@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory + table loaders for the graft engine.
+  *
+  * Local test runs use `local[N]` with `spark.sql.shuffle.partitions` set to
+  * the core count (not Spark's default 200, which would create hundreds of
+  * tiny shuffle files on a laptop-scale run). On a real cluster the same
+  * builder settings scale: AQE coalesces shuffle partitions at runtime and
+  * handles skew joins, so the static setting is only the upper bound.
+  */
+object Graft {
+  def session(cores: Int = 32, appName: String = "graft"): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Load one of the driver-generated test tables from an sf directory. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+}
