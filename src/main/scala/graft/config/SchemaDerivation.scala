@@ -1,0 +1,244 @@
+package graft.config
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.exprs.JsonExprs.{expand_dots_json, json_residual}
+import graft.exprs.exprs.ip_canonical
+import graft.functions.{TextFunctions, TimeFunctions}
+
+/** A schema leaf after flattening static objects, addressed both by path
+  * (for struct access) and by the reference's flattened dotted name with
+  * `\.` escaping (for the query language —
+  * `/root/reference/src/config/mod.rs:132-162`). */
+final case class ResolvedField(
+    path: List[String],
+    flatName: String,
+    array: Boolean,
+    fieldType: FieldType) {
+
+  /** Storage column accessor (nested struct traversal). */
+  def column: Column =
+    path.tail.foldLeft(col(s"`${path.head}`"))((c, p) => c.getField(p))
+}
+
+/** Derives everything the engine needs from an [[IndexConfig]]:
+  * the `from_json` raw-parse schema, the typed Parquet storage schema, the
+  * ingest projection (with the reference's skip-document-on-parse-error
+  * semantics, `src/commands/index.rs:150-157`), and the resolved-field
+  * lookup used by the query compiler.
+  *
+  * Storage layout per split (one Parquet file group per commit):
+  *  - one typed column per declared top-level field (static objects stay
+  *    native nested structs — no flattening; Parquet/Catalyst handle
+  *    pushdown into struct fields),
+  *  - `_dynamic`: JSON text of all undeclared keys (dots expanded),
+  *  - `_terms`: struct of pre-tokenized term arrays for every indexed
+  *    text-ish field, so query-time term match is `array_contains` on a
+  *    columnar array — no per-query tokenization of document text.
+  */
+final class SchemaDerivation(val config: IndexConfig) {
+
+  import SchemaDerivation._
+
+  val fields: List[FieldConfig] = config.schema.fields
+  val topLevelNames: List[String] = fields.map(_.name)
+
+  /** All leaves (static-object children flattened). */
+  val resolved: List[ResolvedField] = {
+    def walk(fs: List[FieldConfig], path: List[String], flat: Option[String]): List[ResolvedField] =
+      fs.flatMap { f =>
+        val esc = escape(f.name)
+        val flatName = flat.map(p => s"$p.$esc").getOrElse(esc)
+        f.fieldType match {
+          case so: StaticObjectField =>
+            walk(so.fields, path :+ f.name, Some(flatName))
+          case t =>
+            List(ResolvedField(path :+ f.name, flatName, f.array, t))
+        }
+      }
+    walk(fields, Nil, None)
+  }
+
+  val byFlatName: Map[String, ResolvedField] = resolved.map(f => f.flatName -> f).toMap
+
+  /** Default search fields: every indexed leaf plus the catch-all. */
+  val defaultFieldNames: List[String] =
+    resolved.filter(_.fieldType.indexed).map(_.flatName) :+ Dynamic
+
+  /** Leaves that get a pre-tokenized `_terms` entry. */
+  val termsFields: List[(String, ResolvedField, String)] = resolved.collect {
+    case f @ ResolvedField(_, flat, _, t: TextField) if t.tokenizer.isDefined =>
+      (flat, f, t.tokenizer.get)
+    case f @ ResolvedField(_, flat, _, t: DynamicObjectField) if t.tokenizer.isDefined =>
+      (flat, f, t.tokenizer.get)
+  }
+
+  // ---- schemas ----------------------------------------------------------
+
+  /** Leaf types as StringType so parse semantics (string coercion, format
+    * cascades, magnitude inference) stay ours, not Jackson's. */
+  val rawParseSchema: StructType = {
+    def rawType(f: FieldConfig): DataType = f.fieldType match {
+      case so: StaticObjectField =>
+        StructType(so.fields.map(c => StructField(c.name, rawType(c), nullable = true)))
+      case _ =>
+        if (f.array) ArrayType(StringType) else StringType
+    }
+    StructType(fields.map(f => StructField(f.name, rawType(f), nullable = true)))
+  }
+
+  def storageLeafType(t: FieldType): DataType = t match {
+    case _: TextField                       => StringType
+    case n: NumberField if n.numType == "f64" => DoubleType
+    case _: NumberField                     => LongType
+    case _: BooleanField                    => BooleanType
+    case _: DateTimeField                   => TimestampType
+    case _: IpField                         => BinaryType
+    case _: DynamicObjectField              => StringType
+    case so: StaticObjectField =>
+      StructType(so.fields.map(c => StructField(c.name, storageType(c), nullable = true)))
+  }
+
+  def storageType(f: FieldConfig): DataType = {
+    val leaf = storageLeafType(f.fieldType)
+    if (f.array) ArrayType(leaf) else leaf
+  }
+
+  val storageSchema: StructType = {
+    val declared = fields.map(f => StructField(f.name, storageType(f), nullable = true))
+    val terms = StructField(Terms, StructType(
+      termsFields.map { case (flat, _, _) => StructField(flat, ArrayType(StringType)) } :+
+        StructField(Dynamic, ArrayType(StringType))))
+    StructType(declared :+ StructField(Dynamic, StringType, nullable = true) :+ terms)
+  }
+
+  // ---- ingest projection ------------------------------------------------
+
+  /** Typed value + parse-error flag for one leaf, from its raw string. */
+  private def parseLeaf(raw: Column, t: FieldType, jsonPath: Option[String],
+      value: Column): (Column, Column) = t match {
+    case _: TextField =>
+      (raw, lit(false))
+    case n: NumberField =>
+      val typed = n.numType match {
+        case "f64" => raw.try_cast("double")
+        case "u64" => when(raw.rlike("^\\+?\\d+$"), raw.try_cast("long"))
+        case _     => when(raw.rlike("^[+-]?\\d+$"), raw.try_cast("long"))
+      }
+      (typed, raw.isNotNull && typed.isNull)
+    case _: BooleanField =>
+      val norm = lower(trim(raw))
+      val typed = when(norm === "true", lit(true)).when(norm === "false", lit(false))
+      (typed, raw.isNotNull && typed.isNull)
+    case d: DateTimeField =>
+      val typed = TimeFunctions.parseCascade(raw, d.formats)
+      (typed, raw.isNotNull && typed.isNull)
+    case _: IpField =>
+      val typed = ip_canonical(raw)
+      (typed, raw.isNotNull && typed.isNull)
+    case dyn: DynamicObjectField =>
+      // Re-extract from the original document via variant so JSON value
+      // types (string quoting etc.) survive; from_json's StringType leaf
+      // strips quotes from plain strings.
+      val json = jsonPath match {
+        case Some(p) => to_json(try_variant_get(try_parse_json(value), s"$$.$p", "variant"))
+        case None    => raw
+      }
+      val typed = if (dyn.expandDots) expand_dots_json(json) else json
+      (typed, lit(false))
+    case _: StaticObjectField =>
+      throw new IllegalStateException("static handled by caller")
+  }
+
+  /** (typed column, error flag) for a declared field subtree. */
+  private def typedField(f: FieldConfig, rawParent: Column, path: List[String],
+      value: Column): (Column, Column) = {
+    val raw = rawParent.getField(f.name)
+    f.fieldType match {
+      case so: StaticObjectField =>
+        val children = so.fields.map(c => typedField(c, raw, path :+ f.name, value))
+        val typed = when(raw.isNull, lit(null).cast(storageType(f)))
+          .otherwise(struct(children.map(_._1): _*).cast(storageType(f)))
+        val err = children.map(_._2).reduceOption(_ || _).getOrElse(lit(false))
+        (typed.as(f.name), err)
+      case t if f.array =>
+        val jsonPath = None // variant path inside arrays unsupported; raw semantics
+        val parse1 = (e: Column) => parseLeaf(e, t, jsonPath, value)._1
+        val typed = when(raw.isNull, lit(null).cast(storageType(f)))
+          .otherwise(transform(raw, e => parse1(e)))
+        val failing = t match {
+          case _: TextField | _: DynamicObjectField => lit(false)
+          case _ => exists(raw, e => e.isNotNull && parse1(e).isNull)
+        }
+        (typed.as(f.name), raw.isNotNull && failing)
+      case t =>
+        val jsonPath = Some((path :+ f.name).mkString("."))
+        val (typed, err) = parseLeaf(raw, t, jsonPath, value)
+        (typed.cast(storageLeafType(t)).as(f.name), err)
+    }
+  }
+
+  /** Full ingest projection over a DataFrame with a `value` JSON-line
+    * column: returns (columns to select, skip-document predicate). */
+  def ingestProjection(value: Column): (Seq[Column], Column) = {
+    val parsed = from_json(value, rawParseSchema)
+    val perField = fields.map(f => typedField(f, parsed, Nil, value))
+    val dynamicCol = expand_dots_json(json_residual(value, topLevelNames)).as(Dynamic)
+
+    val typedByName: Map[String, Column] =
+      fields.zip(perField).map { case (f, (c, _)) => f.name -> c }.toMap
+
+    def leafTyped(rf: ResolvedField): Column =
+      rf.path.tail.foldLeft(typedByName(rf.path.head))((c, p) => c.getField(p))
+
+    val termsCols = termsFields.map { case (flat, rf, tok) =>
+      val typed = leafTyped(rf)
+      val toks =
+        if (rf.array) flatten(transform(typed, e => TextFunctions.tokenize(e.cast("string"), tok)))
+        else TextFunctions.tokenize(typed.cast("string"), tok)
+      toks.as(flat)
+    }
+    val dynTerms = TextFunctions.tokenize(
+      expand_dots_json(json_residual(value, topLevelNames)), "default").as(Dynamic)
+    val terms = struct(termsCols :+ dynTerms: _*).as(Terms)
+
+    // A corrupt line yields a struct of nulls in PERMISSIVE mode, not a
+    // null struct — probe validity via the map parse, which IS null for
+    // anything that isn't a JSON object.
+    val corrupt = from_json(value, MapType(StringType, StringType)).isNull
+    val errors = perField.map(_._2) :+ corrupt
+    val skip = errors.reduce(_ || _)
+    (perField.map(_._1) :+ dynamicCol :+ terms, skip)
+  }
+
+  /** Storage → reference-shaped output JSON is built in the search module
+    * (needs top-K rows only). */
+}
+
+object SchemaDerivation {
+  val Dynamic = "_dynamic"
+  val Terms = "_terms"
+
+  def escape(name: String): String = name.replace(".", "\\.")
+  def unescape(flat: String): String = flat.replace("\\.", ".")
+
+  /** Split a flattened name on unescaped dots
+    * (`/root/reference/src/config/mod.rs:132-145`). */
+  def splitFlatName(s: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer[String]()
+    val cur = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length && s.charAt(i + 1) == '.') {
+        cur.append('.'); i += 2
+      } else if (c == '.') {
+        out += cur.toString; cur.clear(); i += 1
+      } else { cur.append(c); i += 1 }
+    }
+    out += cur.toString
+    out.toList
+  }
+}

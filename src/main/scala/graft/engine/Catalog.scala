@@ -1,0 +1,124 @@
+package graft.engine
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.Comparator
+
+import scala.jdk.CollectionConverters._
+
+import graft.config.IndexConfig
+import graft.exprs.JsonSupport
+
+/** Filesystem catalog — the engine's metadata store, replacing the
+  * reference's Postgres tables (`/root/reference/migrations/0001_base.up.sql`
+  * `indexes` + `index_files`) with:
+  *
+  * {{{
+  * <root>/catalog/<name>.yaml            # index config (create/drop)
+  * <root>/indexes/<name>/splits/<id>/    # parquet files of one split
+  * <root>/indexes/<name>/manifest.json   # list of live splits (commit point)
+  * }}}
+  *
+  * Commit protocol matches the reference's crash-safety order
+  * (`src/commands/merge.rs:50-70`): write new split files first, then
+  * atomically swap the manifest, then best-effort delete dropped files
+  * (leaked files are tolerated; they are invisible without a manifest
+  * entry). The manifest swap is a POSIX atomic rename; on an object store
+  * this single small file would become a conditional PUT or a commit log —
+  * the one node that must be strongly consistent, everything else is
+  * immutable data.
+  */
+final case class SplitInfo(id: String, numDocs: Long)
+
+final class Catalog(rootDir: String) {
+  private val root = Paths.get(rootDir)
+
+  private def configPath(name: String) = root.resolve("catalog").resolve(s"$name.yaml")
+  private def indexDir(name: String) = root.resolve("indexes").resolve(name)
+  private def manifestPath(name: String) = indexDir(name).resolve("manifest.json")
+  def splitDir(name: String, id: String): Path =
+    indexDir(name).resolve("splits").resolve(id)
+
+  // ---- create / drop ----------------------------------------------------
+
+  def create(configYaml: String): IndexConfig = {
+    val cfg = IndexConfig.fromYaml(configYaml) // validates
+    require(!Files.exists(configPath(cfg.name)), s"index '${cfg.name}' already exists")
+    Files.createDirectories(configPath(cfg.name).getParent)
+    Files.write(configPath(cfg.name), configYaml.getBytes(StandardCharsets.UTF_8))
+    Files.createDirectories(indexDir(cfg.name).resolve("splits"))
+    writeManifest(cfg.name, Nil)
+    cfg
+  }
+
+  def load(name: String): IndexConfig = {
+    require(Files.exists(configPath(name)), s"index '$name' does not exist")
+    IndexConfig.fromYaml(new String(Files.readAllBytes(configPath(name)),
+      StandardCharsets.UTF_8))
+  }
+
+  def exists(name: String): Boolean = Files.exists(configPath(name))
+
+  /** Metadata first, then best-effort file deletion (same order as the
+    * reference's drop, `src/commands/drop.rs:11-48`). */
+  def drop(name: String): Unit = {
+    Files.deleteIfExists(configPath(name))
+    val dir = indexDir(name)
+    if (Files.exists(dir)) {
+      Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => { try Files.deleteIfExists(p) catch { case _: Exception => } })
+    }
+  }
+
+  // ---- manifest ---------------------------------------------------------
+
+  def liveSplits(name: String): List[SplitInfo] = {
+    val p = manifestPath(name)
+    if (!Files.exists(p)) return Nil
+    val node = JsonSupport.parse(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+    node.get("splits").elements().asScala.map { s =>
+      SplitInfo(s.get("id").asText(), s.get("numDocs").asLong())
+    }.toList
+  }
+
+  def splitPaths(name: String): List[String] =
+    liveSplits(name).map(s => splitDir(name, s.id).toString)
+
+  private def writeManifest(name: String, splits: List[SplitInfo]): Unit = {
+    val m = JsonSupport.mapper
+    val rootNode = m.createObjectNode()
+    val arr = m.createArrayNode()
+    splits.foreach { s =>
+      val o = m.createObjectNode()
+      o.put("id", s.id); o.put("numDocs", s.numDocs)
+      arr.add(o)
+    }
+    rootNode.set[com.fasterxml.jackson.databind.JsonNode]("splits", arr)
+    val tmp = manifestPath(name).resolveSibling(s"manifest.json.tmp-${System.nanoTime()}")
+    Files.createDirectories(tmp.getParent)
+    Files.write(tmp, m.writeValueAsString(rootNode).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath(name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Append one split (ingest commit). */
+  def commitSplit(name: String, split: SplitInfo): Unit = synchronized {
+    writeManifest(name, liveSplits(name) :+ split)
+  }
+
+  /** Replace `removed` with `added` (merge commit), then best-effort delete
+    * the removed splits' files. */
+  def swapSplits(name: String, removed: List[String], added: List[SplitInfo]): Unit =
+    synchronized {
+      val remaining = liveSplits(name).filterNot(s => removed.contains(s.id))
+      writeManifest(name, remaining ++ added)
+      removed.foreach { id =>
+        val dir = splitDir(name, id)
+        if (Files.exists(dir)) {
+          try Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => { try Files.deleteIfExists(p) catch { case _: Exception => } })
+          catch { case _: Exception => }
+        }
+      }
+    }
+}

@@ -1,0 +1,184 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.config._
+import graft.exprs.JsonExprs.merge_sorted_json
+import graft.exprs.exprs.ip_display
+import graft.functions.{TextFunctions, TimeFunctions}
+import graft.query.{Ast, Occur, QueryCompiler, QueryParser}
+
+/** Search: load live splits → compiled predicate → BM25 top-K → stored
+  * document re-assembly (reference lifecycle:
+  * `/root/reference/src/commands/search.rs:111-252`).
+  *
+  * Divergences from the reference, both deliberate and documented in
+  * SURVEY §2.4:
+  *  - global top-K is score-merged and deterministic
+  *    (`TakeOrderedAndProject`), not the reference's arrival-order cut;
+  *  - BM25 uses whole-index statistics (one tiny aggregate collected to
+  *    the driver and folded into the score expression as literals) instead
+  *    of per-split statistics — strictly more correct ranking, and on a
+  *    cluster it is a single cheap pre-pass, not a shuffle.
+  */
+final class Searcher(spark: SparkSession, catalog: Catalog) {
+
+  import SchemaDerivation.{Dynamic, Terms}
+
+  private val K1 = 1.2
+  private val B = 0.75
+
+  def searchDf(indexName: String, query: String, limit: Int): DataFrame = {
+    val cfg = catalog.load(indexName)
+    val d = new SchemaDerivation(cfg)
+    val paths = catalog.splitPaths(indexName)
+    if (paths.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc",
+            org.apache.spark.sql.types.StringType))))
+
+    val df = spark.read.schema(d.storageSchema).parquet(paths: _*)
+    val ast = QueryParser.parse(query)
+    val pred = new QueryCompiler(d).compileAst(ast)
+
+    val matched = df.where(coalesce(pred, lit(false)))
+    val scored = matched.withColumn("__score", scoreColumn(d, df, ast))
+    scored
+      .orderBy(desc("__score"))
+      .limit(limit)
+      .select(outputJson(d).as("doc"))
+  }
+
+  def search(indexName: String, query: String, limit: Int = 1): Seq[String] =
+    searchDf(indexName, query, limit).collect().map(_.getString(0)).toSeq
+
+  // ---- scoring ----------------------------------------------------------
+
+  /** Text terms that contribute to scoring: (flatName, token). */
+  private def scoringTerms(d: SchemaDerivation, ast: Ast): List[(String, String)] = {
+    def tokFor(flat: String): Option[String] = d.byFlatName.get(flat) match {
+      case Some(rf) => rf.fieldType match {
+        case t: TextField => t.tokenizer
+        case _            => None
+      }
+      case None => Some("default") // _dynamic paths score over its terms
+    }
+    def fields(fOpt: Option[String]): List[String] =
+      fOpt.map(List(_)).getOrElse(d.defaultFieldNames)
+    def walk(a: Ast): List[(String, String)] = a match {
+      case Ast.Term(f, v) =>
+        fields(f).flatMap(fn => tokFor(fn).map(tk => fn -> TextFunctions.tokenizeTerm(v, tk)))
+      case Ast.Phrase(f, ws, _) =>
+        fields(f).flatMap(fn => tokFor(fn).toList.flatMap(tk =>
+          ws.map(w => fn -> TextFunctions.tokenizeTerm(w, tk))))
+      case Ast.Bool(cs) => cs.collect { case (o, x) if o != Occur.MustNot => walk(x) }.flatten
+      case Ast.Boost(x, _) => walk(x)
+      case _ => Nil
+    }
+    walk(ast).distinct
+  }
+
+  /** Terms-array accessor for a scoring field (declared text field or a
+    * path into `_dynamic`). */
+  private def termsAccessor(d: SchemaDerivation, flat: String): Option[Column] =
+    d.byFlatName.get(flat) match {
+      case Some(rf) => rf.fieldType match {
+        case t: TextField if t.tokenizer.isDefined =>
+          Some(col(s"`$Terms`").getField(rf.flatName))
+        case _ => None
+      }
+      case None if flat == Dynamic => Some(col(s"`$Terms`").getField(Dynamic))
+      case None =>
+        val path = SchemaDerivation.splitFlatName(flat).mkString(".")
+        Some(TextFunctions.tokenize(get_json_object(col(Dynamic), s"$$.$path"), "default"))
+    }
+
+  private def fieldnormsEnabled(d: SchemaDerivation, flat: String): Boolean =
+    d.byFlatName.get(flat) match {
+      case Some(rf) => rf.fieldType match {
+        case t: TextField => t.fieldnorms
+        case _            => true
+      }
+      case None => true
+    }
+
+  /** BM25 with corpus stats gathered in one aggregate pass and inlined as
+    * literals (the "small aggregate + broadcast" of SURVEY §4). */
+  private def scoreColumn(d: SchemaDerivation, corpus: DataFrame, ast: Ast): Column = {
+    val terms = scoringTerms(d, ast)
+    if (terms.isEmpty) return lit(0.0)
+
+    val perField = terms.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val statAggs: List[Column] =
+      count(lit(1)).as("__n") ::
+        perField.toList.flatMap { case (flat, toks) =>
+          termsAccessor(d, flat).toList.flatMap { acc =>
+            avg(coalesce(size(acc).cast("double"), lit(0.0))).as(s"avgdl__$flat") ::
+              toks.map(t =>
+                sum(when(array_contains(acc, t), 1L).otherwise(0L)).as(s"df__${flat}__$t"))
+          }
+        }
+
+    val statsRow = corpus.agg(statAggs.head, statAggs.tail: _*).collect()(0)
+    val n = statsRow.getAs[Long]("__n").toDouble.max(1.0)
+
+    val parts: List[Column] = terms.flatMap { case (flat, tok) =>
+      termsAccessor(d, flat).map { acc =>
+        val dfCount = statsRow.getAs[Long](s"df__${flat}__$tok").toDouble
+        val avgdl = math.max(statsRow.getAs[Double](s"avgdl__$flat"), 1e-9)
+        val idf = math.log(1.0 + (n - dfCount + 0.5) / (dfCount + 0.5))
+        val tf = size(filter(acc, x => x === tok)).cast("double")
+        val dl = if (fieldnormsEnabled(d, flat))
+          size(acc).cast("double") / avgdl
+        else lit(1.0)
+        val denom = tf + lit(K1) * (lit(1.0 - B) + lit(B) * dl)
+        coalesce(lit(idf) * tf * lit(K1 + 1.0) / denom, lit(0.0))
+      }
+    }
+    parts.reduceOption(_ + _).getOrElse(lit(0.0))
+  }
+
+  // ---- output -----------------------------------------------------------
+
+  /** Reference-shaped output document (`src/commands/search.rs:25-94`):
+    * typed values echoed in input shape, datetimes as RFC3339, ips in
+    * display form, static objects re-nested (they are already nested
+    * structs here), `_dynamic` keys hoisted to top level, all object keys
+    * alphabetical. */
+  private def outputJson(d: SchemaDerivation): Column = {
+    def outLeaf(c: Column, t: FieldType): Column = t match {
+      case _: DateTimeField => TimeFunctions.formatRfc3339(c)
+      case _: IpField       => ip_display(c)
+      case _                => c
+    }
+    def outField(f: FieldConfig, c: Column): (Column, Boolean) = f.fieldType match {
+      case so: StaticObjectField =>
+        val children = so.fields.map(cf => outField(cf, c.getField(cf.name))._1.as(cf.name))
+        (when(c.isNull, lit(null)).otherwise(struct(children: _*)), false)
+      case _: DynamicObjectField => (c, true) // JSON text: splice raw
+      case t if f.array => (transform(c, e => outLeaf(e, t)), false)
+      case t            => (outLeaf(c, t), false)
+    }
+
+    val (dynFields, plainFields) = d.fields.partition(_.fieldType match {
+      case _: DynamicObjectField => true
+      case _                     => false
+    })
+
+    val declared = to_json(struct(plainFields.map { f =>
+      outField(f, col(s"`${f.name}`"))._1.as(f.name)
+    }: _*))
+
+    // splice each dynamic_object field as {"<name>": <parsed json>} and the
+    // catch-all hoisted; MergeSortedJson sorts keys at the end.
+    val withDyn = dynFields.foldLeft(declared) { (acc, f) =>
+      val wrapped = when(col(s"`${f.name}`").isNull, lit(null))
+        .otherwise(concat(lit(s"""{"${f.name}":"""), col(s"`${f.name}`"), lit("}")))
+      merge_sorted_json(acc, wrapped)
+    }
+    merge_sorted_json(withDyn, col(Dynamic))
+  }
+}

@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.exprs.exprs.porter_stem
+
+/** Index-time text processing, mirroring the reference's tokenizer set
+  * (`/root/reference/src/config/mod.rs:61-90`): `default` splits on
+  * non-alphanumerics, drops tokens longer than 40 bytes, lowercases;
+  * `raw` keeps the whole value as one token; `en_stem` = default + Porter
+  * stemming; `whitespace` splits on whitespace only (no lowercasing, no
+  * length limit).
+  *
+  * All built from codegen'd `functions._` combinators except the stemmer
+  * (a custom expression applied per token inside `transform`). These run
+  * once at ingest; query-time term matching is `array_contains` on the
+  * materialized terms column.
+  */
+object TextFunctions {
+
+  /** Runs of unicode letters/digits, lowercased, <= 40 bytes. */
+  def tokenizeDefault(c: Column): Column =
+    filter(
+      split(lower(c), "[^\\p{L}\\p{N}]+"),
+      t => t =!= "" && octet_length(t) <= 40)
+
+  def tokenizeWhitespace(c: Column): Column =
+    filter(split(c, "\\s+"), t => t =!= "")
+
+  def tokenizeRaw(c: Column): Column = array(c)
+
+  def tokenizeEnStem(c: Column): Column =
+    transform(tokenizeDefault(c), t => porter_stem(t))
+
+  def tokenize(c: Column, tokenizer: String): Column = tokenizer match {
+    case "default"    => tokenizeDefault(c)
+    case "raw"        => tokenizeRaw(c)
+    case "en_stem"    => tokenizeEnStem(c)
+    case "whitespace" => tokenizeWhitespace(c)
+    case other => throw new IllegalArgumentException(s"unknown tokenizer: $other")
+  }
+
+  /** Tokenize a single query term the same way the field was tokenized at
+    * ingest (a term never contains separators, so default/en_stem reduce to
+    * lowercase (+stem)). Used by the query compiler. */
+  def tokenizeTerm(term: String, tokenizer: String): String = tokenizer match {
+    case "default"    => term.toLowerCase
+    case "en_stem"    => graft.exprs.PorterStemmer.stem(term.toLowerCase)
+    case _            => term
+  }
+}

@@ -1,0 +1,270 @@
+package graft.query
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.config._
+import graft.exprs.IpCodec
+import graft.functions.{TextFunctions, TimeFunctions}
+
+/** Compiles a parsed tantivy-syntax query into a Catalyst `Column`
+  * predicate over an index's storage schema (SURVEY §2.3 is the contract).
+  *
+  * Typing rules per target field:
+  *  - tokenized text → `array_contains` on the pre-tokenized `_terms`
+  *    column (term match, not substring — same as an inverted index);
+  *  - raw text → whole-value equality;
+  *  - number/boolean/datetime/ip → literal coerced to the storage type at
+  *    compile time (datetime via the field's format cascade semantics, ip
+  *    via [[IpCodec]] so range compare is binary compare);
+  *  - unknown field names → JSON-path lookup into `_dynamic`
+  *    (`severity_text:INFO` ≡ tantivy's json-field path addressing);
+  *  - fieldless terms → OR over all indexed default fields, where a field
+  *    whose type cannot hold the literal contributes `false` (tantivy's
+  *    lenient parse).
+  *
+  * All predicates are built from codegen'd builtins over typed columns, so
+  * Catalyst pushes comparisons into the Parquet scan (min/max pruning) and
+  * the whole filter stays inside WholeStageCodegen.
+  */
+final class QueryCompiler(d: SchemaDerivation) {
+
+  import SchemaDerivation.{Dynamic, Terms}
+
+  def compile(query: String): Column = compileAst(QueryParser.parse(query))
+
+  def compileAst(ast: Ast): Column = ast match {
+    case Ast.MatchAll => lit(true)
+
+    case Ast.Bool(clauses) =>
+      val musts = clauses.collect { case (Occur.Must, a) => compileAst(a) }
+      val shoulds = clauses.collect { case (Occur.Should, a) => compileAst(a) }
+      val nots = clauses.collect { case (Occur.MustNot, a) => compileAst(a) }
+      // tantivy boolean semantics: all musts; at least one should when no
+      // must exists; never a must_not. (Shoulds with musts present only
+      // affect scoring, not matching.)
+      val base =
+        if (musts.nonEmpty) musts.reduce(_ && _)
+        else if (shoulds.nonEmpty) shoulds.reduce(_ || _)
+        else lit(true)
+      nots.foldLeft(base)((acc, n) => acc && !coalesce(n, lit(false)))
+
+    case Ast.Boost(inner, _) => compileAst(inner) // boost affects scoring only
+
+    case Ast.Term(Some(f), v)   => fieldTerm(f, v)
+    case Ast.Term(None, v)      => overDefaults(fn => fieldTerm(fn, v))
+    case Ast.Prefix(Some(f), v) => fieldPrefix(f, v)
+    case Ast.Prefix(None, v)    => overDefaults(fn => fieldPrefix(fn, v))
+    case Ast.InSet(Some(f), vs) => vs.map(fieldTerm(f, _)).reduceOption(_ || _).getOrElse(lit(false))
+    case Ast.InSet(None, vs)    => overDefaults(fn => vs.map(fieldTerm(fn, _)).reduceOption(_ || _).getOrElse(lit(false)))
+    case Ast.Range(Some(f), lo, hi) => fieldRange(f, lo, hi)
+    case Ast.Range(None, lo, hi)    => overDefaults(fn => fieldRange(fn, lo, hi))
+    case Ast.Phrase(Some(f), ws, slop) => fieldPhrase(f, ws, slop)
+    case Ast.Phrase(None, ws, slop)    => overDefaults(fn => fieldPhrase(fn, ws, slop))
+  }
+
+  private def overDefaults(per: String => Column): Column =
+    d.defaultFieldNames.map(fn => coalesce(per(fn), lit(false)))
+      .reduceOption(_ || _).getOrElse(lit(false))
+
+  private def termsCol(flatName: String): Column =
+    col(s"`$Terms`").getField(flatName)
+
+  // ---- term -------------------------------------------------------------
+
+  private def fieldTerm(flatName: String, value: String): Column =
+    d.byFlatName.get(flatName) match {
+      case Some(rf) => typedTerm(rf, value)
+      case None if flatName == Dynamic =>
+        array_contains(termsCol(Dynamic), TextFunctions.tokenizeTerm(value, "default"))
+      case None => dynamicPathTerm(flatName, value)
+    }
+
+  private def typedTerm(rf: ResolvedField, value: String): Column = {
+    val c = rf.column
+    def elemPred(elem: Column): Column = rf.fieldType match {
+      case t: TextField =>
+        t.tokenizer match {
+          case Some("raw") | None => elem === value
+          case Some(tok) =>
+            // term match on the pre-tokenized column (non-array case below
+            // overrides this with the _terms lookup)
+            elem === TextFunctions.tokenizeTerm(value, tok)
+        }
+      case n: NumberField =>
+        numLit(n, value).map(elem === _).getOrElse(lit(false))
+      case _: BooleanField =>
+        boolLit(value).map(elem === _).getOrElse(lit(false))
+      case dt: DateTimeField =>
+        elem === tsLit(dt, value)
+      case _: IpField =>
+        IpCodec.parse(value).map(b => elem === lit(b)).getOrElse(lit(false))
+      case dyn: DynamicObjectField =>
+        // term against the whole dynamic field: tokenizer semantics
+        dyn.tokenizer match {
+          case Some("raw") | None => get_json_object(elem, "$") === value
+          case Some(tok) =>
+            array_contains(TextFunctions.tokenize(elem, tok),
+              TextFunctions.tokenizeTerm(value, tok))
+        }
+      case _: StaticObjectField => lit(false)
+    }
+
+    rf.fieldType match {
+      case t: TextField if t.tokenizer.exists(_ != "raw") =>
+        // tokenized text: use the ingest-time terms column (works for both
+        // scalar and array fields — terms of arrays are flattened)
+        array_contains(termsCol(rf.flatName), TextFunctions.tokenizeTerm(value, t.tokenizer.get))
+      case _ if rf.array => exists(c, e => elemPred(e))
+      case _             => elemPred(c)
+    }
+  }
+
+  /** Unknown field → path into `_dynamic` JSON (expand_dots made nested
+    * form canonical at ingest). The catch-all is indexed with the default
+    * tokenizer (`src/commands/mod.rs:41-51`), so term match tokenizes the
+    * value at the path. */
+  private def dynamicPathTerm(flatName: String, value: String): Column = {
+    val path = SchemaDerivation.splitFlatName(flatName).mkString(".")
+    val v = get_json_object(col(Dynamic), s"$$.$path")
+    val tokenMatch = array_contains(
+      TextFunctions.tokenize(v, "default"),
+      TextFunctions.tokenizeTerm(value, "default"))
+    // numbers/bools in JSON compare by token too ("58" tokenizes to ["58"])
+    coalesce(tokenMatch, lit(false))
+  }
+
+  // ---- prefix -----------------------------------------------------------
+
+  private def fieldPrefix(flatName: String, value: String): Column =
+    d.byFlatName.get(flatName) match {
+      case Some(rf) =>
+        rf.fieldType match {
+          case t: TextField if t.tokenizer.exists(_ != "raw") =>
+            exists(termsCol(rf.flatName), tk => tk.startsWith(value.toLowerCase))
+          case t: TextField =>
+            val c = rf.column
+            if (rf.array) exists(c, e => e.startsWith(value)) else c.startsWith(value)
+          case _ => lit(false)
+        }
+      case None =>
+        val path = SchemaDerivation.splitFlatName(flatName).mkString(".")
+        val v = get_json_object(col(Dynamic), s"$$.$path")
+        coalesce(exists(TextFunctions.tokenize(v, "default"),
+          tk => tk.startsWith(value.toLowerCase)), lit(false))
+    }
+
+  // ---- range / comparison ----------------------------------------------
+
+  private def fieldRange(flatName: String, lo: Bound, hi: Bound): Column =
+    d.byFlatName.get(flatName) match {
+      case Some(rf) =>
+        def sidePred(c: Column): Column = {
+          val loP = boundPred(rf, c, lo, isLower = true)
+          val hiP = boundPred(rf, c, hi, isLower = false)
+          loP && hiP
+        }
+        if (rf.array) exists(rf.column, e => sidePred(e)) else sidePred(rf.column)
+      case None =>
+        val path = SchemaDerivation.splitFlatName(flatName).mkString(".")
+        val raw = get_json_object(col(Dynamic), s"$$.$path")
+        // numeric compare when both the value and the bounds parse as
+        // numbers; string compare otherwise
+        val numeric = Seq(lo, hi).forall {
+          case Bound.Inclusive(v) => v.toDoubleOption.isDefined
+          case Bound.Exclusive(v) => v.toDoubleOption.isDefined
+          case Bound.Unbounded    => true
+        }
+        val c = if (numeric) raw.try_cast("double") else raw
+        def cmp(b: Bound, lower: Boolean): Column = b match {
+          case Bound.Unbounded => lit(true)
+          case Bound.Inclusive(v) =>
+            val l = if (numeric) lit(v.toDouble) else lit(v)
+            if (lower) c >= l else c <= l
+          case Bound.Exclusive(v) =>
+            val l = if (numeric) lit(v.toDouble) else lit(v)
+            if (lower) c > l else c < l
+        }
+        coalesce(cmp(lo, lower = true) && cmp(hi, lower = false), lit(false))
+    }
+
+  private def boundPred(rf: ResolvedField, c: Column, b: Bound, isLower: Boolean): Column =
+    b match {
+      case Bound.Unbounded => lit(true)
+      case Bound.Inclusive(v) =>
+        literalFor(rf, v).map(l => if (isLower) c >= l else c <= l).getOrElse(lit(false))
+      case Bound.Exclusive(v) =>
+        literalFor(rf, v).map(l => if (isLower) c > l else c < l).getOrElse(lit(false))
+    }
+
+  /** Compile-time literal coercion to the field's storage type. */
+  private def literalFor(rf: ResolvedField, v: String): Option[Column] =
+    rf.fieldType match {
+      case n: NumberField  => numLit(n, v)
+      case _: BooleanField => boolLit(v)
+      case dt: DateTimeField => Some(tsLit(dt, v))
+      case _: IpField      => IpCodec.parse(v).map(lit(_))
+      case _: TextField    => Some(lit(v))
+      case _               => Some(lit(v))
+    }
+
+  private def numLit(n: NumberField, v: String): Option[Column] =
+    if (n.numType == "f64") v.toDoubleOption.map(lit(_))
+    else v.toLongOption.map(lit(_))
+
+  private def boolLit(v: String): Option[Column] = v.trim.toLowerCase match {
+    case "true"  => Some(lit(true))
+    case "false" => Some(lit(false))
+    case _       => None
+  }
+
+  /** Datetime literal via the field's own format cascade, evaluated at
+    * compile time into a constant timestamp column. */
+  private def tsLit(dt: DateTimeField, v: String): Column =
+    TimeFunctions.parseCascade(lit(v), dt.formats)
+
+  // ---- phrase -----------------------------------------------------------
+
+  /** Phrase = ordered subsequence of adjacent tokens (slop widens the
+    * window). Implemented over the terms column with array_position
+    * chaining for the common 2-3 word case; longer phrases fall back to a
+    * conservative all-terms-present AND (documented approximation). */
+  private def fieldPhrase(flatName: String, words: List[String], slop: Int): Column =
+    d.byFlatName.get(flatName) match {
+      case Some(rf) =>
+        rf.fieldType match {
+          case t: TextField if t.tokenizer.exists(_ != "raw") =>
+            val tok = t.tokenizer.get
+            val ws = words.map(TextFunctions.tokenizeTerm(_, tok))
+            phraseOverTerms(termsCol(rf.flatName), ws, slop)
+          case _: TextField =>
+            val c = rf.column
+            val needle = words.mkString(" ")
+            if (rf.array) exists(c, e => e.contains(needle)) else c.contains(needle)
+          case _ => lit(false)
+        }
+      case None =>
+        val path = SchemaDerivation.splitFlatName(flatName).mkString(".")
+        val v = get_json_object(col(Dynamic), s"$$.$path")
+        coalesce(phraseOverTerms(TextFunctions.tokenize(v, "default"),
+          words.map(_.toLowerCase), slop), lit(false))
+    }
+
+  private def phraseOverTerms(terms: Column, words: List[String], slop: Int): Column =
+    words match {
+      case Nil      => lit(true)
+      case w :: Nil => array_contains(terms, w)
+      case _ =>
+        // adjacency via positions: exists i such that terms[i..] matches
+        // word sequence within slop. Expressed with aggregate over indices.
+        val n = words.length
+        val idx = sequence(lit(0), size(terms) - n)
+        val okAt = (i: Column) =>
+          words.zipWithIndex.map { case (w, j) =>
+            if (slop == 0) element_at(terms, i + j + 1) === w
+            else exists(slice(terms, i + lit(1 + math.max(0, j - slop)), lit(1 + 2 * slop)),
+              e => e === w)
+          }.reduce(_ && _)
+        size(terms) >= n && exists(idx, i => okAt(i))
+    }
+}

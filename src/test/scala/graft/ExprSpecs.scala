@@ -1,0 +1,147 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.exprs.{IpCodec, PorterStemmer}
+import graft.config.{IndexConfig, SchemaDerivation}
+
+class IpCodecSpec extends AnyFunSuite {
+  test("v4 parse maps into v6 and displays as dotted quad") {
+    val b = IpCodec.parse("192.168.0.1").get
+    assert(IpCodec.isV4Mapped(b))
+    assert(IpCodec.format(b) == "192.168.0.1")
+  }
+
+  test("v6 parse round-trips via RFC5952 form") {
+    for (s <- Seq("2001:db8::ff00:42:8329", "::1", "::", "1::", "fe80::1",
+        "2001:db8:0:1:1:1:1:1")) {
+      val b = IpCodec.parse(s).get
+      assert(IpCodec.format(b) == s, s"round-trip of $s")
+      // reparse of formatted form is stable
+      assert(IpCodec.parse(IpCodec.format(b)).get.toSeq == b.toSeq)
+    }
+  }
+
+  test("v6 with embedded v4 parses") {
+    val b = IpCodec.parse("::ffff:127.0.0.1").get
+    assert(IpCodec.isV4Mapped(b))
+    assert(IpCodec.format(b) == "127.0.0.1")
+  }
+
+  test("invalid inputs rejected") {
+    for (s <- Seq("", "1.2.3", "1.2.3.4.5", "256.1.1.1", "g::1", "1::2::3",
+        "1:2:3:4:5:6:7:8:9", "hello"))
+      assert(IpCodec.parse(s).isEmpty, s"should reject $s")
+  }
+
+  test("binary order equals numeric order (range query correctness)") {
+    val ips = Seq("9.255.255.255", "10.0.0.0", "10.0.0.1", "192.168.0.1",
+      "195.200.10.1", "::1", "2001:db8::1")
+    val parsed = ips.map(s => IpCodec.parse(s).get)
+    def unsignedCompare(a: Array[Byte], b: Array[Byte]): Int =
+      a.zip(b).collectFirst { case (x, y) if x != y => (x & 0xff) - (y & 0xff) }.getOrElse(0)
+    // v4-mapped addresses sort among themselves in v4 numeric order
+    val v4 = parsed.take(5)
+    assert(v4.sliding(2).forall { case Seq(a, b) => unsignedCompare(a, b) < 0 })
+  }
+
+  test("properties: any parsed ip formats and reparses to same bytes") {
+    val rnd = new scala.util.Random(42)
+    (1 to 500).foreach { _ =>
+      val s = s"${rnd.nextInt(256)}.${rnd.nextInt(256)}.${rnd.nextInt(256)}.${rnd.nextInt(256)}"
+      val bytes = IpCodec.parse(s).get
+      assert(IpCodec.parse(IpCodec.format(bytes)).get.toSeq == bytes.toSeq)
+      // random 16-byte v6 round-trip
+      val raw = Array.fill[Byte](16)(rnd.nextInt(256).toByte)
+      assert(IpCodec.parse(IpCodec.format(raw)).get.toSeq == raw.toSeq)
+    }
+  }
+}
+
+class PorterStemmerSpec extends AnyFunSuite {
+  test("standard porter examples") {
+    val cases = Map(
+      "caresses" -> "caress", "ponies" -> "poni", "ties" -> "ti",
+      "caress" -> "caress", "cats" -> "cat", "feed" -> "feed",
+      "agreed" -> "agre", "plastered" -> "plaster", "bled" -> "bled",
+      "motoring" -> "motor", "sing" -> "sing", "conflated" -> "conflat",
+      "troubled" -> "troubl", "sized" -> "size", "hopping" -> "hop",
+      "tanned" -> "tan", "falling" -> "fall", "hissing" -> "hiss",
+      "fizzed" -> "fizz", "failing" -> "fail", "filing" -> "file",
+      "happy" -> "happi", "sky" -> "sky", "relational" -> "relat",
+      "conditional" -> "condit", "rational" -> "ration",
+      "valenci" -> "valenc", "hesitanci" -> "hesit", "digitizer" -> "digit",
+      "conformabli" -> "conform", "radicalli" -> "radic",
+      "differentli" -> "differ", "vileli" -> "vile", "analogousli" -> "analog",
+      "vietnamization" -> "vietnam", "predication" -> "predic",
+      "operator" -> "oper", "feudalism" -> "feudal",
+      "decisiveness" -> "decis", "hopefulness" -> "hope",
+      "callousness" -> "callous", "formaliti" -> "formal",
+      "sensitiviti" -> "sensit", "sensibiliti" -> "sensibl",
+      "triplicate" -> "triplic", "formative" -> "form", "formalize" -> "formal",
+      "electriciti" -> "electr", "electrical" -> "electr", "hopeful" -> "hope",
+      "goodness" -> "good", "revival" -> "reviv", "allowance" -> "allow",
+      "inference" -> "infer", "airliner" -> "airlin", "gyroscopic" -> "gyroscop",
+      "adjustable" -> "adjust", "defensible" -> "defens", "irritant" -> "irrit",
+      "replacement" -> "replac", "adjustment" -> "adjust", "dependent" -> "depend",
+      "adoption" -> "adopt", "homologou" -> "homolog", "communism" -> "commun",
+      "activate" -> "activ", "angulariti" -> "angular", "homologous" -> "homolog",
+      "effective" -> "effect", "bowdlerize" -> "bowdler",
+      "probate" -> "probat", "rate" -> "rate", "cease" -> "ceas",
+      "controll" -> "control", "roll" -> "roll")
+    cases.foreach { case (in, want) =>
+      assert(PorterStemmer.stem(in) == want, s"stem($in)")
+    }
+  }
+}
+
+class IndexConfigSpec extends AnyFunSuite {
+  val exampleYaml = new String(java.nio.file.Files.readAllBytes(
+    java.nio.file.Paths.get("/root/reference/example_config.yaml")))
+
+  test("parses the reference example config (serde !tag syntax)") {
+    val cfg = IndexConfig.fromYaml(exampleYaml)
+    assert(cfg.name == "test")
+    assert(cfg.schema.timeField.contains("timestamp"))
+    assert(cfg.schema.fields.map(_.name) ==
+      List("timestamp", "tenant_id", "resource", "attributes"))
+    val ts = cfg.schema.fields.head.fieldType.asInstanceOf[graft.config.DateTimeField]
+    assert(ts.formats == List("timestamp"))
+    assert(ts.fastPrecision.contains("seconds"))
+    val attrs = cfg.schema.fields.last.fieldType.asInstanceOf[graft.config.StaticObjectField]
+    assert(attrs.fields.map(_.name) == List("class"))
+  }
+
+  test("derivation flattens static objects with escaped names") {
+    val cfg = IndexConfig.fromYaml(exampleYaml)
+    val d = new SchemaDerivation(cfg)
+    assert(d.resolved.map(_.flatName) ==
+      List("timestamp", "tenant_id", "resource", "attributes.class"))
+    assert(d.defaultFieldNames.contains("attributes.class"))
+    assert(d.defaultFieldNames.contains("_dynamic"))
+    assert(d.storageSchema.fieldNames.toSeq ==
+      Seq("timestamp", "tenant_id", "resource", "attributes", "_dynamic", "_terms"))
+  }
+
+  test("array of static_object rejected") {
+    val bad =
+      """name: x
+        |path: /tmp/x
+        |schema:
+        |  fields:
+        |    - name: a
+        |      array: true
+        |      type: !static_object
+        |        fields:
+        |          - name: b
+        |            type: !text
+        |""".stripMargin
+    intercept[IllegalArgumentException](IndexConfig.fromYaml(bad))
+  }
+
+  test("splitFlatName honors escapes") {
+    assert(SchemaDerivation.splitFlatName("a.b") == List("a", "b"))
+    assert(SchemaDerivation.splitFlatName("a\\.b") == List("a.b"))
+    assert(SchemaDerivation.splitFlatName("a\\.b.c") == List("a.b", "c"))
+  }
+}
