@@ -29,4 +29,17 @@ object Graft {
   /** Load one of the driver-generated test tables from an sf directory. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** The events table stores nanosecond timestamps, which Spark's Parquet
+    * reader rejects by default; read them as longs and derive a
+    * microsecond-truncated naive timestamp `ts` (exactly DuckDB's read of
+    * the same file), keeping the raw value as `ts_ns`. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts",
+        timestamp_micros((col("ts_ns") / 1000L).cast("long")).cast("timestamp_ntz"))
+  }
 }

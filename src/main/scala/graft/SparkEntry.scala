@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.RelationalQueries
+import graft.queries.{PipelineQueries, RelationalQueries, SearchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -10,6 +10,15 @@ import graft.queries.RelationalQueries
   * ANSI-SQL-expressible has a matching DuckDB oracle in `oracleSql` with
   * identical output column names (the driver sorts columns by name before
   * hashing values, so aliases must agree on both sides).
+  *
+  * Modules:
+  *  - [[queries.RelationalQueries]] — the Spark relational surface
+  *    (aggregates, joins, windows, set ops, scalar functions, ...);
+  *  - [[queries.SearchQueries]] — the reference's tantivy query-language
+  *    constructs plus full engine lifecycle roundtrips
+  *    (create → index → merge → search through the query compiler);
+  *  - [[queries.PipelineQueries]] — training-data pipeline operators
+  *    (dedup ×5, similarity search ×2, text analysis ×4, multimodal).
   */
 object SparkEntry {
 
@@ -19,10 +28,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.all
+    RelationalQueries.all ++ SearchQueries.all ++ PipelineQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles
+    RelationalQueries.oracles ++ SearchQueries.oracles ++ PipelineQueries.oracles
 }

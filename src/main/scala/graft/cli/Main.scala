@@ -1,0 +1,108 @@
+package graft.cli
+
+import java.nio.file.{Files, Paths}
+
+import graft.Graft
+import graft.engine.{Catalog, Indexer, Searcher}
+import graft.streaming.StreamingIndexer
+
+/** Arg-compatible CLI for the reference's five verbs
+  * (`/root/reference/src/args.rs:24-127`):
+  *
+  * {{{
+  * graft.cli.Main create <config.yaml>            [--root DIR]
+  * graft.cli.Main drop   <name>                   [--root DIR]
+  * graft.cli.Main index  <name> <file|kafka://host:port/topic>
+  *                       [--root DIR] [--stream] [--commit-interval 30s]
+  * graft.cli.Main search <name> <query> [--limit N] [--root DIR]
+  * graft.cli.Main merge  <name>                   [--root DIR]
+  * }}}
+  *
+  * The engine root (metadata + data location) defaults to `$GRAFT_ROOT` or
+  * `/tmp/graft`; the reference's per-index `path` from the YAML config is
+  * honored when set to an absolute path and no explicit root is given.
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) { usage(); sys.exit(2) }
+
+    val (flags, pos) = parseFlags(args.toList.tail)
+    val root = flags.getOrElse("root",
+      sys.env.getOrElse("GRAFT_ROOT", "/tmp/graft"))
+    val spark = Graft.session(
+      cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, appName = "graft-cli")
+    val cat = new Catalog(root)
+
+    try args.head match {
+      case "create" =>
+        val yaml = new String(Files.readAllBytes(Paths.get(pos.head)), "UTF-8")
+        val cfg = cat.create(yaml)
+        println(s"created index '${cfg.name}'")
+
+      case "drop" =>
+        cat.drop(pos.head)
+        println(s"dropped index '${pos.head}'")
+
+      case "index" =>
+        val name = pos.head
+        val input = pos(1)
+        if (input.startsWith("kafka://")) {
+          val rest = input.stripPrefix("kafka://")
+          val (bootstrap, topic) = rest.split("/", 2) match {
+            case Array(b, t) => (b, t)
+            case _ => sys.error(s"bad kafka url: $input (want kafka://host:port/topic)")
+          }
+          val ckpt = s"$root/checkpoints/$name"
+          val interval = flags.getOrElse("commit-interval", "30 seconds")
+          val q = new StreamingIndexer(spark, cat)
+            .startKafkaStream(name, bootstrap, topic, ckpt, interval,
+              earliest = !flags.contains("stream"))
+          q.awaitTermination()
+        } else if (flags.contains("stream")) {
+          val ckpt = s"$root/checkpoints/$name"
+          val interval = flags.getOrElse("commit-interval", "30 seconds")
+          val q = new StreamingIndexer(spark, cat)
+            .startFileStream(name, input, ckpt, interval)
+          q.awaitTermination()
+        } else {
+          new Indexer(spark, cat).indexFile(name, input) match {
+            case Some(s) => println(s"committed split ${s.id} (${s.numDocs} docs)")
+            case None    => println("no valid documents; nothing committed")
+          }
+        }
+
+      case "merge" =>
+        new Indexer(spark, cat).merge(pos.head) match {
+          case Some(s) => println(s"merged into split ${s.id} (${s.numDocs} docs)")
+          case None    => println("nothing to merge (need >= 2 splits)")
+        }
+
+      case "search" =>
+        val limit = flags.get("limit").map(_.toInt).getOrElse(1)
+        new Searcher(spark, cat).search(pos.head, pos(1), limit).foreach(println)
+
+      case other =>
+        System.err.println(s"unknown command: $other"); usage(); sys.exit(2)
+    } finally spark.stop()
+  }
+
+  private def parseFlags(args: List[String]): (Map[String, String], List[String]) = {
+    val flags = scala.collection.mutable.Map[String, String]()
+    val pos = scala.collection.mutable.ListBuffer[String]()
+    var rest = args
+    while (rest.nonEmpty) {
+      rest match {
+        case "--stream" :: t => flags("stream") = "true"; rest = t
+        case f :: v :: t if f.startsWith("--") => flags(f.stripPrefix("--")) = v; rest = t
+        case x :: t => pos += x; rest = t
+        case Nil =>
+      }
+    }
+    (flags.toMap, pos.toList)
+  }
+
+  private def usage(): Unit =
+    System.err.println(
+      """usage: create <config.yaml> | drop <name> | index <name> <input> [--stream]
+        |       search <name> <query> [--limit N] | merge <name>   (all: [--root DIR])""".stripMargin)
+}

@@ -106,6 +106,12 @@ final class Catalog(rootDir: String) {
     writeManifest(name, liveSplits(name) :+ split)
   }
 
+  /** Append or replace by id — used by streaming ingest, where a replayed
+    * micro-batch rewrites the same split id (effective exactly-once). */
+  def commitSplitIdempotent(name: String, split: SplitInfo): Unit = synchronized {
+    writeManifest(name, liveSplits(name).filterNot(_.id == split.id) :+ split)
+  }
+
   /** Replace `removed` with `added` (merge commit), then best-effort delete
     * the removed splits' files. */
   def swapSplits(name: String, removed: List[String], added: List[SplitInfo]): Unit =

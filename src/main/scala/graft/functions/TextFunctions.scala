@@ -49,4 +49,22 @@ object TextFunctions {
     case "en_stem"    => graft.exprs.PorterStemmer.stem(term.toLowerCase)
     case _            => term
   }
+
+  /** Phrase = ordered run of adjacent tokens (slop widens each word's
+    * window). Shared by the query compiler and the analytics surface. */
+  def phraseMatch(terms: Column, words: List[String], slop: Int = 0): Column =
+    words match {
+      case Nil      => lit(true)
+      case w :: Nil => array_contains(terms, w)
+      case _ =>
+        val n = words.length
+        val idx = sequence(lit(0), size(terms) - n)
+        val okAt = (i: Column) =>
+          words.zipWithIndex.map { case (w, j) =>
+            if (slop == 0) element_at(terms, i + j + 1) === w
+            else exists(slice(terms, i + lit(1 + math.max(0, j - slop)), lit(1 + 2 * slop)),
+              e => e === w)
+          }.reduce(_ && _)
+        size(terms) >= n && exists(idx, i => okAt(i))
+    }
 }

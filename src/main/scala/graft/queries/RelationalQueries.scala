@@ -1,42 +1,290 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.Graft.table
+import graft.Graft.{events, table}
 
-/** Relational operator coverage over the driver-generated TPC-H-ish tables.
+/** Relational operator coverage over the driver-generated TPC-H-ish tables
+  * — the Spark-side surface the reference engine lacks entirely (SURVEY
+  * §2.5: joins, aggregations, windows, set ops are all absent there), made
+  * first-class here.
   *
-  * Numeric convention shared with the DuckDB oracle SQL: double-valued
-  * aggregates are computed over `DECIMAL(18,2)` casts so sums are exact and
-  * independent of partition/accumulation order, then cast back to DOUBLE for
-  * the output column. A plain double sum differs between engines in the last
-  * ulp depending on add order; decimal arithmetic hash-matches exactly.
-  * Averages are expressed as exact decimal sum cast to double, divided by an
-  * exact count — one double division with identical operands in both engines.
+  * Conventions shared with the DuckDB oracle SQL:
+  *  - double aggregates go through `DECIMAL(18,2)` casts so sums are exact
+  *    and independent of partition/accumulation order (a plain double sum
+  *    differs between engines in the last ulp); averages are exact decimal
+  *    sums cast to double divided by exact counts — one double division
+  *    with identical operands on both sides;
+  *  - every query has a total ORDER BY so row order is deterministic;
+  *  - timestamp outputs are `timestamp_ntz` or formatted strings — never
+  *    zone-adjusted timestamps, which pandas/DuckDB render differently.
+  *
+  * Scale notes are on each query: what shuffles, what broadcasts, what
+  * survives a 100× scale-up.
   */
 object RelationalQueries {
   type Q = (SparkSession, String) => DataFrame
 
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  private def decSum(c: Column): Column = sum(dec(c)).cast("double")
+  private val one = lit(1).cast("decimal(18,2)")
 
-  /** TPC-H Q1-shaped pricing summary. One shuffle keyed on a tiny grouping
-    * domain with map-side partial aggregation — at 100 TB the shuffle carries
-    * only (#map tasks × #groups) rows. */
+  /** TPC-H Q1-shaped pricing summary. One shuffle on a 6-value grouping
+    * key with map-side partial aggregation: the shuffle carries only
+    * (#map tasks × #groups) rows at any scale. */
   val q1_agg: Q = (s, dir) =>
     table(s, dir, "lineitem")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        decSum(col("l_quantity")).as("sum_qty"),
+        decSum(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
           .cast("double").as("sum_disc_price"),
-        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        (decSum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
+  /** Scan + filter + projection: predicate and column pruning reach the
+    * Parquet reader (PushedFilters on l_shipdate/l_quantity; ReadSchema is
+    * 4 of 11 columns) — verified in PlanSpec. */
+  val q_scan_filter: Q = (s, dir) =>
+    table(s, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1997-03-01").cast("timestamp_ntz") &&
+        col("l_quantity") < 10)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Top-K: TakeOrderedAndProject — per-partition heaps + single merge of
+    * K rows, never a full sort, at any scale. */
+  val q_topk: Q = (s, dir) =>
+    table(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  /** Star join through two tiny dims: both sides of the dim chain
+    * broadcast (region 5 rows, nation 25 rows — explicit broadcast()), so
+    * the fact table never shuffles. */
+  val q_join_broadcast: Q = (s, dir) => {
+    val c = table(s, dir, "customer")
+    val n = broadcast(table(s, dir, "nation"))
+    val r = broadcast(table(s, dir, "region"))
+    c.join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("customers"), decSum(col("c_acctbal")).as("total_acctbal"))
+      .orderBy(col("r_name"))
+  }
+
+  /** Fact-to-fact join: shuffle hash/sort-merge on o_orderkey. Both sides
+    * partition on the join key — the canonical big-join shape; AQE picks
+    * the physical strategy and handles skew at scale. */
+  val q_join_shuffle: Q = (s, dir) => {
+    val l = table(s, dir, "lineitem")
+    val o = table(s, dir, "orders")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("line_count"),
+        sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Left-semi join = EXISTS; only keys shuffle, no payload duplication. */
+  val q_semi_join: Q = (s, dir) => {
+    val c = table(s, dir, "customer")
+    val o = table(s, dir, "orders")
+      .where(col("o_totalprice") > 150000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left-anti join = NOT EXISTS (filtered build side so the result is
+    * non-empty: customers with no high-value order). */
+  val q_anti_join: Q = (s, dir) => {
+    val c = table(s, dir, "customer")
+    val o = table(s, dir, "orders").where(col("o_totalprice") > 300000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left outer join preserving empty groups. */
+  val q_outer_join: Q = (s, dir) => {
+    val c = table(s, dir, "customer")
+    val o = table(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("order_count"),
+        coalesce(decSum(col("o_totalprice")), lit(0.0)).as("total_spent"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Window functions: rank within partition + running sum. One shuffle on
+    * the partition key; within-partition sort only. */
+  val q_window: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("running_value",
+        sum(dec(col("value"))).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double"))
+      .where(col("rn") <= 3)
+      .select(col("user_id"), col("rn"), col("event_id"), col("event_type"),
+        col("running_value"))
+      .orderBy(col("user_id"), col("rn"))
+  }
+
+  /** DISTINCT — hash aggregate without aggregates. */
+  val q_distinct: Q = (s, dir) =>
+    table(s, dir, "orders")
+      .select(col("o_orderstatus"), col("o_orderpriority"))
+      .distinct()
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+
+  /** UNION ALL / INTERSECT / EXCEPT as one result (tagged). */
+  val q_set_ops: Q = (s, dir) => {
+    val c = table(s, dir, "customer")
+    val auto = c.where(col("c_mktsegment") === "AUTOMOBILE").select(col("c_nationkey"))
+    val bldg = c.where(col("c_mktsegment") === "BUILDING").select(col("c_nationkey"))
+    val inter = auto.intersect(bldg).withColumn("op", lit("intersect"))
+    val exc = auto.except(bldg).withColumn("op", lit("except"))
+    val uni = auto.union(bldg).distinct().withColumn("op", lit("union"))
+    inter.union(exc).union(uni)
+      .groupBy(col("op")).agg(count(lit(1)).as("n"))
+      .orderBy(col("op"))
+  }
+
+  /** ROLLUP grouping sets with grouping_id to disambiguate null groups. */
+  val q_rollup: Q = (s, dir) =>
+    table(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), decSum(col("l_quantity")).as("qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("<all>")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("<all>")).as("linestatus"),
+        col("n"), col("qty"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  /** CUBE over two dims. */
+  val q_cube: Q = (s, dir) =>
+    table(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("<all>")).as("status"),
+        coalesce(col("o_orderpriority"), lit("<all>")).as("priority"),
+        col("n"))
+      .orderBy(col("status"), col("priority"))
+
+  /** HAVING — post-aggregation filter. */
+  val q_having: Q = (s, dir) =>
+    table(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"), decSum(col("o_totalprice")).as("total"))
+      .where(col("n") >= 3)
+      .orderBy(col("o_custkey"))
+
+  /** Exact + distinct aggregation; countDistinct shuffles by (group, key)
+    * then by group — the expand-based plan Catalyst generates. */
+  val q_count_distinct: Q = (s, dir) =>
+    table(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("distinct_supp"),
+        countDistinct(col("l_partkey")).as("distinct_part"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  /** Scalar function battery: string/math/date functions in one
+    * projection — all codegen'd builtins. */
+  val q_scalar_functions: Q = (s, dir) =>
+    table(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_upper"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_type"), 1, 5).as("type_prefix"),
+        concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+        round(dec(col("p_retailprice")) * lit(110).cast("decimal(18,2)") / lit(100), 2)
+          .cast("double").as("price_plus_10pct"),
+        (col("p_size") % 7).as("size_mod"),
+        abs(col("p_size") - 25).as("size_dist"),
+        when(col("p_size") > 25, "large").otherwise("small").as("size_class"))
+      .orderBy(col("p_partkey"))
+
+  /** Correlated scalar subquery shape: customers above their nation's
+    * average balance (expressed as join against an aggregated subframe —
+    * the plan Catalyst would decorrelate to). */
+  val q_subquery: Q = (s, dir) => {
+    val c = table(s, dir, "customer")
+    val nationAvg = table(s, dir, "customer")
+      .groupBy(col("c_nationkey").as("nk"))
+      .agg((decSum(col("c_acctbal")) / count(lit(1))).as("avg_bal"))
+    c.join(broadcast(nationAvg), c("c_nationkey") === nationAvg("nk"))
+      .where(dec(col("c_acctbal")).cast("double") > col("avg_bal"))
+      .select(col("c_custkey"), col("c_nationkey"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Conditional aggregation (pivot shape). */
+  val q_case_agg: Q = (s, dir) =>
+    events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("purchases"),
+        sum(when(col("event_type") === "error", 1).otherwise(0)).as("errors"),
+        decSum(when(col("event_type") === "purchase", col("value")).otherwise(lit(0.0)))
+          .as("purchase_value"))
+      .orderBy(col("user_id"))
+
+  /** Tumbling event-time windows over the events stream table (batch view
+    * of the Structured Streaming aggregation — same plan shape). */
+  val q_event_windows: Q = (s, dir) =>
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), decSum(col("value")).as("total_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("bucket"), col("event_type"))
+
+  /** JSON path extraction from the events props column. */
+  val q_json_path: Q = (s, dir) =>
+    events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .where(col("k") > 50)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"))
+      .orderBy(col("event_type"))
+
   val all: Map[String, Q] = Map(
-    "q1_agg" -> q1_agg
+    "q1_agg" -> q1_agg,
+    "q_scan_filter" -> q_scan_filter,
+    "q_topk" -> q_topk,
+    "q_join_broadcast" -> q_join_broadcast,
+    "q_join_shuffle" -> q_join_shuffle,
+    "q_semi_join" -> q_semi_join,
+    "q_anti_join" -> q_anti_join,
+    "q_outer_join" -> q_outer_join,
+    "q_window" -> q_window,
+    "q_distinct" -> q_distinct,
+    "q_set_ops" -> q_set_ops,
+    "q_rollup" -> q_rollup,
+    "q_cube" -> q_cube,
+    "q_having" -> q_having,
+    "q_count_distinct" -> q_count_distinct,
+    "q_scalar_functions" -> q_scalar_functions,
+    "q_subquery" -> q_subquery,
+    "q_case_agg" -> q_case_agg,
+    "q_event_windows" -> q_event_windows,
+    "q_json_path" -> q_json_path
   )
 
   val oracles: Map[String, String] = Map(
@@ -47,6 +295,116 @@ object RelationalQueries {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
         |  count(*) AS count_order
-        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_scan_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  strftime(l_shipdate, '%Y-%m-%d') AS ship_day
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-03-01'
+        |  AND l_quantity < 10
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT r_name, count(*) AS customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q_join_shuffle" ->
+      """SELECT o_orderpriority, count(*) AS line_count,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_outer_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS order_count,
+        |  coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q_window" ->
+      """SELECT user_id, rn, event_id, event_type, running_value FROM (
+        |  SELECT user_id, event_id, event_type,
+        |    row_number() OVER w AS rn,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |) WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin,
+    "q_distinct" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "q_set_ops" ->
+      """WITH auto AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'),
+        |bldg AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |tagged AS (
+        |  SELECT 'intersect' AS op, c_nationkey FROM (SELECT DISTINCT c_nationkey FROM auto INTERSECT SELECT DISTINCT c_nationkey FROM bldg)
+        |  UNION ALL
+        |  SELECT 'except' AS op, c_nationkey FROM (SELECT DISTINCT c_nationkey FROM auto EXCEPT SELECT DISTINCT c_nationkey FROM bldg)
+        |  UNION ALL
+        |  SELECT 'union' AS op, c_nationkey FROM (SELECT DISTINCT c_nationkey FROM (SELECT c_nationkey FROM auto UNION ALL SELECT c_nationkey FROM bldg))
+        |)
+        |SELECT op, count(*) AS n FROM tagged GROUP BY op ORDER BY op""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+        |  coalesce(l_linestatus, '<all>') AS linestatus,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q_cube" ->
+      """SELECT coalesce(o_orderstatus, '<all>') AS status,
+        |  coalesce(o_orderpriority, '<all>') AS priority, count(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q_having" ->
+      """SELECT o_custkey, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 3 ORDER BY o_custkey""".stripMargin,
+    "q_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS distinct_supp,
+        |  count(DISTINCT l_partkey) AS distinct_part, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_scalar_functions" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_upper, length(p_name) AS name_len,
+        |  substring(p_type, 1, 5) AS type_prefix,
+        |  concat_ws('/', p_brand, p_type) AS brand_type,
+        |  CAST(round(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(110 AS DECIMAL(18,2)) / 100, 2) AS DOUBLE) AS price_plus_10pct,
+        |  p_size % 7 AS size_mod,
+        |  abs(p_size - 25) AS size_dist,
+        |  CASE WHEN p_size > 25 THEN 'large' ELSE 'small' END AS size_class
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_subquery" ->
+      """WITH nation_avg AS (
+        |  SELECT c_nationkey AS nk,
+        |    CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal
+        |  FROM customer GROUP BY c_nationkey
+        |)
+        |SELECT c_custkey, c_nationkey FROM customer JOIN nation_avg ON c_nationkey = nk
+        |WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) > avg_bal
+        |ORDER BY c_custkey""".stripMargin,
+    "q_case_agg" ->
+      """SELECT user_id,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0.0 AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_event_windows" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_json_path" ->
+      """SELECT event_type, count(*) AS n, sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum
+        |FROM events WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 50
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -1,0 +1,191 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.Graft.table
+import graft.engine.{Catalog, Indexer, Searcher}
+import graft.functions.TextFunctions.{phraseMatch, tokenizeDefault}
+
+/** The reference's query-language surface (SURVEY §2.3) as gated queries
+  * over the `documents` table, each with a DuckDB oracle expressing the
+  * identical semantics — term match is *tokenized term* equality (the
+  * inverted-index contract: `\bword\b`, not substring), ranges/sets/bools
+  * compose the same way the tantivy grammar does.
+  *
+  * Plus two end-to-end engine roundtrips (`op_index_search`,
+  * `op_merge_search`) that run the real create → index → (merge) → search
+  * lifecycle inside the correctness gate: documents are serialized to
+  * JSONL, ingested through the full parse/tokenize path into Parquet
+  * splits, queried through the tantivy-syntax compiler, and the
+  * stored-document JSON output is parsed back for comparison against SQL
+  * over the original table — ingest must therefore be lossless and the
+  * query compiler exact.
+  */
+object SearchQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String) =
+    table(s, dir, "documents").withColumn("toks", tokenizeDefault(col("text")))
+
+  /** severity-style field term match: tokenized term equality. */
+  val q_term_search: Q = (s, dir) =>
+    docs(s, dir)
+      .where(array_contains(col("toks"), "spark"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  /** boolean grammar: spark AND join NOT window, OR group. */
+  val q_bool_search: Q = (s, dir) =>
+    docs(s, dir)
+      .where((array_contains(col("toks"), "spark") && array_contains(col("toks"), "join") &&
+        !array_contains(col("toks"), "window")) || array_contains(col("toks"), "vector"))
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+
+  /** mixed-bound range `n_chars:[200 TO 400}` + term. */
+  val q_range_search: Q = (s, dir) =>
+    docs(s, dir)
+      .where(col("n_chars") >= 200 && col("n_chars") < 400 &&
+        array_contains(col("toks"), "merge"))
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** prefix query `wind*` over tokens. */
+  val q_prefix_search: Q = (s, dir) =>
+    docs(s, dir)
+      .where(exists(col("toks"), t => t.startsWith("wind")))
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+
+  /** phrase query `"key order"` — token adjacency. */
+  val q_phrase_search: Q = (s, dir) =>
+    docs(s, dir)
+      .where(phraseMatch(col("toks"), List("key", "order")))
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+
+  /** IN set over a raw-tokenized field. */
+  val q_in_set_search: Q = (s, dir) =>
+    docs(s, dir)
+      .where(col("lang").isin("en", "fr"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"))
+
+  // ---- engine lifecycle roundtrips --------------------------------------
+
+  private val docsIndexConfig =
+    """version: 1
+      |name: %s
+      |path: /tmp/unused
+      |schema:
+      |  fields:
+      |    - name: doc_id
+      |      type: !number
+      |        type: i64
+      |    - name: text
+      |      type: !text
+      |    - name: lang
+      |      type: !text
+      |        indexed:
+      |          tokenizer: raw
+      |    - name: source
+      |      type: !text
+      |        indexed:
+      |          tokenizer: raw
+      |    - name: n_chars
+      |      type: !number
+      |        type: i64
+      |""".stripMargin
+
+  private def docsAsJsonl(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"))).as("value"))
+
+  private def parseResults(results: DataFrame): DataFrame = {
+    val schema = StructType.fromDDL(
+      "doc_id long, text string, lang string, source string, n_chars long")
+    results.select(from_json(col("doc"), schema).as("r")).select(col("r.*"))
+  }
+
+  /** create → index → search `*` → parse output docs back: ingest and
+    * output reassembly must be lossless. */
+  val op_index_search: Q = (s, dir) => {
+    val root = Files.createTempDirectory("graft-rt").toString
+    val cat = new Catalog(root)
+    val name = s"rt_${math.abs(dir.hashCode)}"
+    cat.create(docsIndexConfig.format(name))
+    new Indexer(s, cat).indexDataFrame(name, docsAsJsonl(s, dir))
+    val out = new Searcher(s, cat).searchDf(name, "*", 1000000)
+    parseResults(out)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** create → index two halves → merge → tantivy-syntax search through the
+    * query compiler (`text:spark AND n_chars:>=300`). */
+  val op_merge_search: Q = (s, dir) => {
+    val root = Files.createTempDirectory("graft-rt2").toString
+    val cat = new Catalog(root)
+    val name = s"rtm_${math.abs(dir.hashCode)}"
+    cat.create(docsIndexConfig.format(name))
+    val idx = new Indexer(s, cat)
+    val jsonl = docsAsJsonl(s, dir).withColumn("__even",
+      (get_json_object(col("value"), "$.doc_id").cast("long") % 2) === 0)
+    idx.indexDataFrame(name, jsonl.where(col("__even")).select(col("value")))
+    idx.indexDataFrame(name, jsonl.where(!col("__even")).select(col("value")))
+    require(cat.liveSplits(name).length == 2, "expected 2 splits before merge")
+    idx.merge(name)
+    require(cat.liveSplits(name).length == 1, "expected 1 split after merge")
+    val out = new Searcher(s, cat).searchDf(name, "text:spark AND n_chars:>=300", 1000000)
+    parseResults(out)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Map[String, Q] = Map(
+    "q_term_search" -> q_term_search,
+    "q_bool_search" -> q_bool_search,
+    "q_range_search" -> q_range_search,
+    "q_prefix_search" -> q_prefix_search,
+    "q_phrase_search" -> q_phrase_search,
+    "q_in_set_search" -> q_in_set_search,
+    "op_index_search" -> op_index_search,
+    "op_merge_search" -> op_merge_search
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_term_search" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE regexp_matches(lower(text), '\bspark\b') ORDER BY doc_id""".stripMargin,
+    "q_bool_search" ->
+      """SELECT doc_id FROM documents
+        |WHERE (regexp_matches(lower(text), '\bspark\b') AND regexp_matches(lower(text), '\bjoin\b')
+        |  AND NOT regexp_matches(lower(text), '\bwindow\b'))
+        |  OR regexp_matches(lower(text), '\bvector\b')
+        |ORDER BY doc_id""".stripMargin,
+    "q_range_search" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE n_chars >= 200 AND n_chars < 400 AND regexp_matches(lower(text), '\bmerge\b')
+        |ORDER BY doc_id""".stripMargin,
+    "q_prefix_search" ->
+      """SELECT doc_id FROM documents
+        |WHERE regexp_matches(lower(text), '\bwind') ORDER BY doc_id""".stripMargin,
+    "q_phrase_search" ->
+      """SELECT doc_id FROM documents
+        |WHERE regexp_matches(lower(text), '\bkey order\b') ORDER BY doc_id""".stripMargin,
+    "q_in_set_search" ->
+      """SELECT lang, count(*) AS n FROM documents
+        |WHERE lang IN ('en', 'fr') GROUP BY lang ORDER BY lang""".stripMargin,
+    "op_index_search" ->
+      "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
+    "op_merge_search" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE regexp_matches(lower(text), '\bspark\b') AND n_chars >= 300
+        |ORDER BY doc_id""".stripMargin
+  )
+}

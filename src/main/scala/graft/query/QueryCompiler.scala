@@ -251,20 +251,5 @@ final class QueryCompiler(d: SchemaDerivation) {
     }
 
   private def phraseOverTerms(terms: Column, words: List[String], slop: Int): Column =
-    words match {
-      case Nil      => lit(true)
-      case w :: Nil => array_contains(terms, w)
-      case _ =>
-        // adjacency via positions: exists i such that terms[i..] matches
-        // word sequence within slop. Expressed with aggregate over indices.
-        val n = words.length
-        val idx = sequence(lit(0), size(terms) - n)
-        val okAt = (i: Column) =>
-          words.zipWithIndex.map { case (w, j) =>
-            if (slop == 0) element_at(terms, i + j + 1) === w
-            else exists(slice(terms, i + lit(1 + math.max(0, j - slop)), lit(1 + 2 * slop)),
-              e => e === w)
-          }.reduce(_ && _)
-        size(terms) >= n && exists(idx, i => okAt(i))
-    }
+    TextFunctions.phraseMatch(terms, words, slop)
 }
