@@ -44,7 +44,10 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
     val ast = QueryParser.parse(query)
     val pred = new QueryCompiler(d).compileAst(ast)
 
-    val matched = df.where(coalesce(pred, lit(false)))
+    // No coalesce wrapper: WHERE already drops null-valued predicates, and
+    // wrapping the comparison in coalesce() blocks Parquet filter pushdown
+    // (caught by PlanSpec — the scan lost its PushedFilters line).
+    val matched = df.where(pred)
     val scored = matched.withColumn("__score", scoreColumn(d, df, ast))
     scored
       .orderBy(desc("__score"))

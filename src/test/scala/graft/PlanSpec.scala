@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{Catalog, Indexer, Searcher}
+import graft.queries.RelationalQueries
+
+/** Physical-plan shape assertions — the "is this the plan you'd want at
+  * 100 TB" checks: filters and projections must reach the Parquet scan,
+  * small dims must broadcast, top-K must never global-sort, and the
+  * search path must push typed predicates into the scan of the splits.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def executedPlan(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q_scan_filter pushes predicates and prunes columns at the scan") {
+    val plan = formatted(RelationalQueries.q_scan_filter(spark, sf))
+    assert(plan.contains("PushedFilters:") &&
+      (plan.contains("GreaterThanOrEqual(l_shipdate") || plan.contains("LessThan(l_quantity")),
+      s"expected shipdate/quantity filters pushed to parquet:\n$plan")
+    val readSchema = plan.linesIterator.find(_.trim.startsWith("ReadSchema")).get
+    assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_partkey"),
+      s"column pruning failed: $readSchema")
+  }
+
+  test("q_join_broadcast uses broadcast hash joins, no shuffle of the fact side") {
+    val plan = formatted(RelationalQueries.q_join_broadcast(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"dims must not sort-merge:\n$plan")
+  }
+
+  test("q_topk is TakeOrderedAndProject (no global sort)") {
+    val plan = formatted(RelationalQueries.q_topk(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("search compiles typed predicates that reach the split scan") {
+    val root = Files.createTempDirectory("graft-plan").toString
+    val cat = new Catalog(root)
+    cat.create(new String(Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/example_config.yaml")), "UTF-8"))
+    new Indexer(spark, cat).indexFile("test",
+      "/root/reference/tests/test_files/hdfs-logs-multitenants-2.json")
+    val df = new Searcher(spark, cat).searchDf("test", "tenant_id:>50", 10)
+    val plan = formatted(df)
+    // the tenant_id > 50 comparison must appear as a pushed parquet filter
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(tenant_id,50"),
+      s"typed range must push down to the split scan:\n$plan")
+    cat.drop("test")
+  }
+
+  test("ingest plan is shuffle-free (narrow text -> parse -> columns)") {
+    val cfgYaml = new String(Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/example_config.yaml")), "UTF-8")
+    val cfg = graft.config.IndexConfig.fromYaml(cfgYaml)
+    val d = new graft.config.SchemaDerivation(cfg)
+    import org.apache.spark.sql.functions._
+    val lines = spark.read.text(
+      "/root/reference/tests/test_files/hdfs-logs-multitenants-2.json")
+    val (cols, skip) = d.ingestProjection(col("value"))
+    val typed = lines.where(!coalesce(skip, lit(true))).select(cols: _*)
+    val plan = executedPlan(typed)
+    val shuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty, s"ingest must not shuffle:\n$plan")
+  }
+}
