@@ -75,6 +75,42 @@ object SearchQueries {
       .groupBy(col("lang")).agg(count(lit(1)).as("n"))
       .orderBy(col("lang"))
 
+  /** BM25 ranking (k1=1.2, b=0.75, Lucene/tantivy idf) for the two-term
+    * query `spark join`, emitted as (rank, doc_id) with score kept
+    * internal — document order is stable across engines because exact
+    * ties (same tf/dl profile) resolve by doc_id and non-ties differ by
+    * far more than double noise. Corpus stats (N, df, avgdl) fold in the
+    * same aggregate-then-score shape the Searcher uses. */
+  val q_search_bm25: Q = (s, dir) => {
+    val k1 = 1.2
+    val b = 0.75
+    val terms = Seq("spark", "join")
+    val d = docs(s, dir).withColumn("dl", size(col("toks")))
+    val statsRow = d.agg(
+      count(lit(1)).as("n"),
+      avg(col("dl").cast("double")).as("avgdl"),
+      sum(when(array_contains(col("toks"), terms(0)), 1L).otherwise(0L)).as("df0"),
+      sum(when(array_contains(col("toks"), terms(1)), 1L).otherwise(0L)).as("df1"))
+      .collect()(0)
+    val n = statsRow.getAs[Long]("n").toDouble
+    val avgdl = statsRow.getAs[Double]("avgdl")
+    def idf(df: Double): Double = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    val idfs = Seq(idf(statsRow.getAs[Long]("df0").toDouble),
+      idf(statsRow.getAs[Long]("df1").toDouble))
+    val score = terms.zip(idfs).map { case (t, i) =>
+      val tf = size(filter(col("toks"), x => x === t)).cast("double")
+      lit(i) * tf * lit(k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / lit(avgdl)))
+    }.reduce(_ + _)
+    d.withColumn("score", score)
+      .where(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(10)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select(col("rank"), col("doc_id"))
+  }
+
   // ---- engine lifecycle roundtrips --------------------------------------
 
   private val docsIndexConfig =
@@ -154,6 +190,7 @@ object SearchQueries {
     "q_prefix_search" -> q_prefix_search,
     "q_phrase_search" -> q_phrase_search,
     "q_in_set_search" -> q_in_set_search,
+    "q_search_bm25" -> q_search_bm25,
     "op_index_search" -> op_index_search,
     "op_merge_search" -> op_merge_search
   )
@@ -181,6 +218,29 @@ object SearchQueries {
     "q_in_set_search" ->
       """SELECT lang, count(*) AS n FROM documents
         |WHERE lang IN ('en', 'fr') GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_search_bm25" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+        |      x -> x <> '' AND length(x) <= 40) AS toks
+        |  FROM documents),
+        |d AS (SELECT doc_id, len(toks) AS dl,
+        |        len(list_filter(toks, x -> x = 'spark')) AS tf0,
+        |        len(list_filter(toks, x -> x = 'join')) AS tf1
+        |      FROM t),
+        |stats AS (SELECT count(*) AS n, avg(CAST(dl AS DOUBLE)) AS avgdl,
+        |            sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |            sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1
+        |          FROM d),
+        |scored AS (
+        |  SELECT doc_id,
+        |    ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * (1.2 + 1.0)
+        |      / (tf0 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+        |  + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * (1.2 + 1.0)
+        |      / (tf1 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)) AS score
+        |  FROM d CROSS JOIN stats)
+        |SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id
+        |FROM scored WHERE score > 0 ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
     "op_index_search" ->
       "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
     "op_merge_search" ->

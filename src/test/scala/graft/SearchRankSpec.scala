@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{Catalog, Indexer, Searcher}
+
+/** BM25 ranking behavior of the search path (SURVEY §2.4): more
+  * occurrences of the query term in a shorter document rank first; rarer
+  * terms weigh more than common ones. */
+class SearchRankSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def mkIndex(docs: Seq[String]): (Catalog, Searcher, String) = {
+    val root = Files.createTempDirectory("graft-rank").toString
+    val cat = new Catalog(root)
+    cat.create(
+      """version: 1
+        |name: rank_test
+        |path: /tmp/unused
+        |schema:
+        |  fields:
+        |    - name: id
+        |      type: !number
+        |        type: i64
+        |    - name: body
+        |      type: !text
+        |""".stripMargin)
+    val f = Files.createTempFile("docs", ".json")
+    Files.write(f, docs.mkString("\n").getBytes("UTF-8"))
+    new Indexer(spark, cat).indexFile("rank_test", f.toString)
+    (cat, new Searcher(spark, cat), "rank_test")
+  }
+
+  private def ids(results: Seq[String]): Seq[Long] =
+    results.map(s => """"id":(\d+)""".r.findFirstMatchIn(s).get.group(1).toLong)
+
+  test("term frequency and doc length drive BM25 order") {
+    val (_, search, name) = mkIndex(Seq(
+      """{"id": 1, "body": "alpha beta gamma delta epsilon zeta eta theta"}""",
+      """{"id": 2, "body": "alpha alpha alpha"}""",
+      """{"id": 3, "body": "alpha beta"}""",
+      """{"id": 4, "body": "unrelated words only"}"""))
+    val got = ids(search.search(name, "body:alpha", 10))
+    // doc 2: tf=3 short doc -> top; doc 4 never matches
+    assert(got.head == 2, s"expected doc 2 first, got $got")
+    assert(!got.contains(4L))
+    assert(got.toSet == Set(1L, 2L, 3L))
+  }
+
+  test("rarer terms dominate multi-term scores") {
+    val (_, search, name) = mkIndex(Seq(
+      """{"id": 1, "body": "common common common common"}""",
+      """{"id": 2, "body": "common rare"}""",
+      """{"id": 3, "body": "common words here"}""",
+      """{"id": 4, "body": "common stuff again"}""",
+      """{"id": 5, "body": "common filler text"}"""))
+    val got = ids(search.search(name, "common rare", 5))
+    assert(got.head == 2, s"doc with the rare term must rank first, got $got")
+  }
+}

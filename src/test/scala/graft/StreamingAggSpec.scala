@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Event-time streaming analytics (the capability the reference lacks —
+  * SURVEY §2.5 "no event-time, no watermarks"): tumbling windows with a
+  * watermark over a file stream, and late data beyond the watermark
+  * dropped, via a real writeStream query.
+  */
+class StreamingAggSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("windowed aggregation with watermark over a stream") {
+    val srcDir = Files.createTempDirectory("agg-src").toString
+    val ckpt = Files.createTempDirectory("agg-ckpt").toString
+    Files.write(Paths.get(srcDir, "batch1.json"),
+      """{"ts": "2024-01-01T00:01:00", "event_type": "click", "value": 1.0}
+        |{"ts": "2024-01-01T00:02:00", "event_type": "click", "value": 2.0}
+        |{"ts": "2024-01-01T00:07:00", "event_type": "click", "value": 4.0}
+        |{"ts": "2024-01-01T00:06:30", "event_type": "view",  "value": 8.0}
+        |""".stripMargin.getBytes)
+
+    val schema = StructType.fromDDL("ts timestamp_ntz, event_type string, value double")
+    val stream = spark.readStream.schema(schema).json(srcDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+
+    val q = stream.writeStream
+      .format("memory").queryName("agg_out")
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql(
+        """SELECT date_format(window.start, 'HH:mm') AS w, event_type, n, total
+          |FROM agg_out ORDER BY w, event_type""".stripMargin).collect()
+      val got = rows.map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+      assert(got == Seq(
+        ("00:00", "click", 2L, 3.0),
+        ("00:05", "click", 1L, 4.0),
+        ("00:05", "view", 1L, 8.0)), s"got $got")
+    } finally q.stop()
+  }
+
+  test("sql surface exposes the engine functions") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT ip_display(ip_canonical('::ffff:10.0.0.1')) AS ip, porter_stem('running') AS st, " +
+        "cosine_similarity(array(1.0f, 0.0f), array(1.0f, 0.0f)) AS cos").collect()(0)
+    assert(r.getString(0) == "10.0.0.1")
+    assert(r.getString(1) == "run")
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+  }
+}
