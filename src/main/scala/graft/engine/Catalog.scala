@@ -28,7 +28,11 @@ import graft.exprs.JsonSupport
   * the one node that must be strongly consistent, everything else is
   * immutable data.
   */
-final case class SplitInfo(id: String, numDocs: Long)
+/** One committed split. minTs/maxTs (epoch micros of the configured
+  * time_field) enable manifest-level split pruning for time-ranged
+  * queries. */
+final case class SplitInfo(id: String, numDocs: Long,
+    minTs: Option[Long] = None, maxTs: Option[Long] = None)
 
 final class Catalog(rootDir: String) {
   private val root = Paths.get(rootDir)
@@ -77,7 +81,9 @@ final class Catalog(rootDir: String) {
     if (!Files.exists(p)) return Nil
     val node = JsonSupport.parse(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
     node.get("splits").elements().asScala.map { s =>
-      SplitInfo(s.get("id").asText(), s.get("numDocs").asLong())
+      SplitInfo(s.get("id").asText(), s.get("numDocs").asLong(),
+        Option(s.get("minTs")).filter(!_.isNull).map(_.asLong()),
+        Option(s.get("maxTs")).filter(!_.isNull).map(_.asLong()))
     }.toList
   }
 
@@ -91,6 +97,8 @@ final class Catalog(rootDir: String) {
     splits.foreach { s =>
       val o = m.createObjectNode()
       o.put("id", s.id); o.put("numDocs", s.numDocs)
+      s.minTs.foreach(o.put("minTs", _))
+      s.maxTs.foreach(o.put("maxTs", _))
       arr.add(o)
     }
     rootNode.set[com.fasterxml.jackson.databind.JsonNode]("splits", arr)

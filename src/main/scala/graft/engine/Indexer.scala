@@ -64,7 +64,8 @@ final class Indexer(spark: SparkSession, catalog: Catalog) {
       } catch { case _: Exception => }
       None
     } else {
-      val split = SplitInfo(id, n)
+      val (minTs, maxTs) = Indexer.timeRange(spark, d, dir)
+      val split = SplitInfo(id, n, minTs, maxTs)
       catalog.commitSplit(indexName, split)
       Some(split)
     }
@@ -90,8 +91,42 @@ final class Indexer(spark: SparkSession, catalog: Catalog) {
     val parts = math.max(1, (n / 4000000L).toInt)
     df.repartition(parts).write.mode("overwrite").parquet(dir)
 
-    val split = SplitInfo(id, n)
+    val (minTs, maxTs) = Indexer.timeRange(spark, d, dir)
+    val split = SplitInfo(id, n, minTs, maxTs)
     catalog.swapSplits(indexName, splits.map(_.id), List(split))
     Some(split)
+  }
+}
+
+object Indexer {
+
+  /** Min/max of the configured time_field over a written split (epoch
+    * micros), read from the split's own Parquet (footer-stat-cheap) —
+    * powers manifest-level split pruning. (None, None) when no time_field
+    * is configured or it is not a datetime leaf. */
+  def timeRange(spark: SparkSession, d: SchemaDerivation,
+      splitDir: String): (Option[Long], Option[Long]) = {
+    val tsField = d.config.schema.timeField.flatMap(d.byFlatName.get).filter {
+      _.fieldType.isInstanceOf[graft.config.DateTimeField]
+    }
+    tsField match {
+      case None => (None, None)
+      case Some(rf) =>
+        val row = spark.read.schema(d.storageSchema).parquet(splitDir)
+          .agg(min(rf.column).as("mn"), max(rf.column).as("mx"))
+          .collect()(0)
+        def micros(i: Int): Option[Long] =
+          Option(row.get(i)).map {
+            case t: java.sql.Timestamp =>
+              t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+            case t: java.time.Instant =>
+              t.getEpochSecond * 1000000L + t.getNano / 1000L
+            case t: java.time.LocalDateTime =>
+              t.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L +
+                t.getNano / 1000L
+            case other => sys.error(s"unexpected timestamp type: ${other.getClass}")
+          }
+        (micros(0), micros(1))
+    }
   }
 }

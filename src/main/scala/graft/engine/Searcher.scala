@@ -7,7 +7,7 @@ import graft.config._
 import graft.exprs.JsonExprs.merge_sorted_json
 import graft.exprs.exprs.ip_display
 import graft.functions.{TextFunctions, TimeFunctions}
-import graft.query.{Ast, Occur, QueryCompiler, QueryParser}
+import graft.query.{Ast, Occur, QueryCompiler, QueryParser, TimeBounds}
 
 /** Search: load live splits → compiled predicate → BM25 top-K → stored
   * document re-assembly (reference lifecycle:
@@ -32,7 +32,8 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
   def searchDf(indexName: String, query: String, limit: Int): DataFrame = {
     val cfg = catalog.load(indexName)
     val d = new SchemaDerivation(cfg)
-    val paths = catalog.splitPaths(indexName)
+    val ast = QueryParser.parse(query)
+    val paths = prunedSplitPaths(indexName, cfg, d, ast)
     if (paths.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -41,7 +42,6 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
             org.apache.spark.sql.types.StringType))))
 
     val df = spark.read.schema(d.storageSchema).parquet(paths: _*)
-    val ast = QueryParser.parse(query)
     val pred = new QueryCompiler(d).compileAst(ast)
 
     // No coalesce wrapper: WHERE already drops null-valued predicates, and
@@ -57,6 +57,30 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
 
   def search(indexName: String, query: String, limit: Int = 1): Seq[String] =
     searchDf(indexName, query, limit).collect().map(_.getString(0)).toSeq
+
+  /** Manifest-level split pruning: when the query implies a bound on the
+    * configured time_field, skip splits whose [minTs, maxTs] cannot
+    * overlap — the coarse layer above Parquet row-group pruning. Splits
+    * without recorded stamps are always searched (conservative). */
+  private[graft] def prunedSplitPaths(indexName: String, cfg: graft.config.IndexConfig,
+      d: SchemaDerivation, ast: Ast): List[String] = {
+    val splits = catalog.liveSplits(indexName)
+    val bounds = cfg.schema.timeField.flatMap { tf =>
+      d.byFlatName.get(tf).collect {
+        case rf if rf.fieldType.isInstanceOf[DateTimeField] =>
+          TimeBounds.extract(ast, tf,
+            rf.fieldType.asInstanceOf[DateTimeField].formats)
+      }
+    }.getOrElse(TimeBounds.Unbounded)
+    splits
+      .filter { s =>
+        (s.minTs, s.maxTs) match {
+          case (Some(mn), Some(mx)) => bounds.overlaps(mn, mx)
+          case _                    => true
+        }
+      }
+      .map(s => catalog.splitDir(indexName, s.id).toString)
+  }
 
   // ---- scoring ----------------------------------------------------------
 

@@ -176,14 +176,14 @@ object QueryParser {
           pos += 1
           val incl = !eof && peek == '='
           if (incl) pos += 1
-          val v = parseTermText()
+          val v = parseCompValue()
           Ast.Range(field,
             if (incl) Bound.Inclusive(v) else Bound.Exclusive(v), Bound.Unbounded)
         case '<' =>
           pos += 1
           val incl = !eof && peek == '='
           if (incl) pos += 1
-          val v = parseTermText()
+          val v = parseCompValue()
           Ast.Range(field, Bound.Unbounded,
             if (incl) Bound.Inclusive(v) else Bound.Exclusive(v))
         case _ =>
@@ -245,9 +245,26 @@ object QueryParser {
       Ast.Range(field, bound(loTxt, loIncl), bound(hiTxt, hiIncl))
     }
 
+    /** Comparison values are lexed permissively (until whitespace or a
+      * closing paren) so RFC3339 datetimes with colons work unquoted. */
+    def parseCompValue(): String = {
+      skipWs()
+      val start = pos
+      while (!eof && !peek.isWhitespace && peek != ')') pos += 1
+      if (pos == start) throw ParseError("expected comparison value", pos)
+      s.substring(start, pos)
+    }
+
+    /** Range bounds are lexed permissively (until whitespace or a closing
+      * bracket) so RFC3339 datetimes with colons work unquoted, as in
+      * tantivy: `timestamp:[2016-04-13T06:46:53Z TO *]`. */
     def parseBoundText(): String = {
       skipWs()
-      if (!eof && peek == '*') { pos += 1; "*" } else parseTermText()
+      if (!eof && peek == '*') { pos += 1; return "*" }
+      val start = pos
+      while (!eof && !peek.isWhitespace && peek != ']' && peek != '}') pos += 1
+      if (pos == start) throw ParseError("expected range bound", pos)
+      s.substring(start, pos)
     }
 
     def parseTermText(): String = {

@@ -46,7 +46,8 @@ final class StreamingIndexer(spark: SparkSession, catalog: Catalog) {
     val n = spark.read.schema(d.storageSchema).parquet(dir).count()
     if (n == 0) None
     else {
-      val split = SplitInfo(id, n)
+      val (minTs, maxTs) = graft.engine.Indexer.timeRange(spark, d, dir)
+      val split = SplitInfo(id, n, minTs, maxTs)
       catalog.commitSplitIdempotent(indexName, split)
       Some(split)
     }

@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{Catalog, Indexer, Searcher}
+import graft.query.{QueryParser, TimeBounds}
+
+/** Time-based split pruning (SURVEY §1.1's "cheap, high-value addition"):
+  * the manifest records each split's time_field min/max; a time-ranged
+  * query must skip non-overlapping splits entirely while returning the
+  * same results.
+  */
+class SplitPruningSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val config =
+    """version: 1
+      |name: prune_test
+      |path: /tmp/unused
+      |schema:
+      |  time_field: ts
+      |  fields:
+      |    - name: ts
+      |      type: !datetime
+      |        formats: [rfc3339, timestamp]
+      |    - name: msg
+      |      type: !text
+      |""".stripMargin
+
+  private def write(doc: String): String = {
+    val f = Files.createTempFile("doc", ".json")
+    Files.write(f, doc.getBytes("UTF-8"))
+    f.toString
+  }
+
+  test("manifest stamps split time ranges; ranged query prunes splits") {
+    val root = Files.createTempDirectory("graft-prune").toString
+    val cat = new Catalog(root)
+    cat.create(config)
+    val idx = new Indexer(spark, cat)
+    // split A: January 2020; split B: January 2024
+    idx.indexFile("prune_test", write(
+      """{"ts": "2020-01-10T00:00:00Z", "msg": "old alpha"}
+        |{"ts": "2020-01-20T00:00:00Z", "msg": "old beta"}""".stripMargin))
+    idx.indexFile("prune_test", write(
+      """{"ts": "2024-01-10T00:00:00Z", "msg": "new alpha"}
+        |{"ts": "2024-01-20T00:00:00Z", "msg": "new beta"}""".stripMargin))
+
+    val splits = cat.liveSplits("prune_test")
+    assert(splits.length == 2)
+    assert(splits.forall(s => s.minTs.isDefined && s.maxTs.isDefined))
+
+    val search = new Searcher(spark, cat)
+    val cfg = cat.load("prune_test")
+    val d = new graft.config.SchemaDerivation(cfg)
+
+    def pathsFor(q: String): List[String] =
+      search.prunedSplitPaths("prune_test", cfg, d, QueryParser.parse(q))
+
+    // ranged query touching only 2024 prunes the 2020 split
+    val ranged = "ts:[2024-01-01T00:00:00Z TO 2024-12-31T00:00:00Z]"
+    assert(pathsFor(ranged).length == 1)
+    assert(pathsFor("msg:alpha").length == 2) // no time bound -> no pruning
+    assert(pathsFor("ts:>2030-01-01T00:00:00Z").isEmpty)
+
+    // pruned search returns identical results to the unpruned semantics
+    val got = search.search("prune_test", s"$ranged AND msg:alpha", 10)
+    assert(got == Seq("""{"msg":"new alpha","ts":"2024-01-10T00:00:00Z"}"""))
+    // and an all-splits query still sees everything
+    assert(search.search("prune_test", "msg:alpha", 10).length == 2)
+  }
+
+  test("bound extraction composes through booleans") {
+    val formats = Seq("rfc3339", "timestamp")
+    def b(q: String) = TimeBounds.extract(QueryParser.parse(q), "ts", formats)
+    val jan2024 = b("ts:[2024-01-01T00:00:00Z TO 2024-02-01T00:00:00Z]")
+    assert(jan2024.lo.isDefined && jan2024.hi.isDefined)
+    // must-conjunction intersects
+    val conj = b("ts:>2024-01-01T00:00:00Z AND ts:<2024-02-01T00:00:00Z")
+    assert(conj.lo.isDefined && conj.hi.isDefined && conj.lo.get < conj.hi.get)
+    // disjunction with an unbounded arm is unbounded
+    val disj = b("ts:>2024-01-01T00:00:00Z OR msg:x")
+    assert(disj.lo.isEmpty && disj.hi.isEmpty)
+    // epoch-seconds literal goes through magnitude inference
+    val mag = b("ts:>1704067200")
+    assert(mag.lo.contains(1704067200000001L))
+  }
+}
