@@ -37,9 +37,12 @@ object Graft {
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
+    // Integer `div`, NOT `/`: Column./ is double division, and an epoch-nanos
+    // value exceeds double's 53-bit mantissa — the rounding error is a few
+    // hundred nanoseconds, enough to mismatch DuckDB's exact truncation.
     spark.read.parquet(s"$sfDir/events.parquet")
       .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts",
-        timestamp_micros((col("ts_ns") / 1000L).cast("long")).cast("timestamp_ntz"))
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("ts", timestamp_micros(col("ts_us")).cast("timestamp_ntz"))
   }
 }

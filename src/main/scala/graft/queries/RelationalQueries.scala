@@ -255,6 +255,26 @@ object RelationalQueries {
         col("event_type"), col("n"), col("total_value"))
       .orderBy(col("bucket"), col("event_type"))
 
+  /** Gap-based sessionization (30-minute inactivity closes a session) —
+    * the batch view of `session_window`/flatMapGroupsWithState streaming
+    * state: lag + running sum of session starts, one shuffle on user_id.
+    * All math is on exact microsecond longs so the oracle hash-matches. */
+  val q_sessionize: Q = (s, dir) => {
+    val gapMicros = 1800000000L // 30 min
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us").as("tus"))
+      .withColumn("new_session",
+        when(lag(col("tus"), 1).over(w).isNull ||
+          col("tus") - lag(col("tus"), 1).over(w) > gapMicros, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("tus")) - min(col("tus"))).as("duration_us"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
   /** JSON path extraction from the events props column. */
   val q_json_path: Q = (s, dir) =>
     events(s, dir)
@@ -284,6 +304,7 @@ object RelationalQueries {
     "q_subquery" -> q_subquery,
     "q_case_agg" -> q_case_agg,
     "q_event_windows" -> q_event_windows,
+    "q_sessionize" -> q_sessionize,
     "q_json_path" -> q_json_path
   )
 
@@ -405,6 +426,23 @@ object RelationalQueries {
     "q_json_path" ->
       """SELECT event_type, count(*) AS n, sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum
         |FROM events WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 50
-        |GROUP BY event_type ORDER BY event_type""".stripMargin
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        |marked AS (
+        |  SELECT user_id, event_id, tus,
+        |    CASE WHEN lag(tus) OVER w IS NULL
+        |           OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |sessions AS (
+        |  SELECT user_id, tus,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  max(tus) - min(tus) AS duration_us
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin
   )
 }

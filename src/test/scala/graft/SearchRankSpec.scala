@@ -49,6 +49,34 @@ class SearchRankSpec extends AnyFunSuite {
     assert(got.toSet == Set(1L, 2L, 3L))
   }
 
+  test("en_stem tokenizer matches across inflections") {
+    val root = Files.createTempDirectory("graft-stem").toString
+    val cat = new Catalog(root)
+    cat.create(
+      """version: 1
+        |name: stem_test
+        |path: /tmp/unused
+        |schema:
+        |  fields:
+        |    - name: id
+        |      type: !number
+        |        type: i64
+        |    - name: body
+        |      type: !text
+        |        indexed:
+        |          tokenizer: en_stem
+        |""".stripMargin)
+    val f = Files.createTempFile("docs", ".json")
+    Files.write(f,
+      """{"id": 1, "body": "the runner was running daily"}
+        |{"id": 2, "body": "completely unrelated content"}""".stripMargin.getBytes("UTF-8"))
+    new Indexer(spark, cat).indexFile("stem_test", f.toString)
+    val search = new Searcher(spark, cat)
+    // query "runs" stems to "run", matching the doc's stemmed "running"
+    assert(ids(search.search("stem_test", "body:runs", 10)) == Seq(1L))
+    assert(search.search("stem_test", "body:jogging", 10).isEmpty)
+  }
+
   test("rarer terms dominate multi-term scores") {
     val (_, search, name) = mkIndex(Seq(
       """{"id": 1, "body": "common common common common"}""",
