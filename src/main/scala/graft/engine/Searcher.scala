@@ -84,8 +84,9 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
 
   // ---- scoring ----------------------------------------------------------
 
-  /** Text terms that contribute to scoring: (flatName, token). */
-  private def scoringTerms(d: SchemaDerivation, ast: Ast): List[(String, String)] = {
+  /** Text terms that contribute to scoring: (flatName, token, boost) —
+    * `term^2` multiplies that clause's score contribution. */
+  private def scoringTerms(d: SchemaDerivation, ast: Ast): List[(String, String, Double)] = {
     def tokFor(flat: String): Option[String] = d.byFlatName.get(flat) match {
       case Some(rf) => rf.fieldType match {
         case t: TextField => t.tokenizer
@@ -95,17 +96,20 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
     }
     def fields(fOpt: Option[String]): List[String] =
       fOpt.map(List(_)).getOrElse(d.defaultFieldNames)
-    def walk(a: Ast): List[(String, String)] = a match {
+    def walk(a: Ast, boost: Double): List[(String, String, Double)] = a match {
       case Ast.Term(f, v) =>
-        fields(f).flatMap(fn => tokFor(fn).map(tk => fn -> TextFunctions.tokenizeTerm(v, tk)))
+        fields(f).flatMap(fn => tokFor(fn).map(tk =>
+          (fn, TextFunctions.tokenizeTerm(v, tk), boost)))
       case Ast.Phrase(f, ws, _) =>
         fields(f).flatMap(fn => tokFor(fn).toList.flatMap(tk =>
-          ws.map(w => fn -> TextFunctions.tokenizeTerm(w, tk))))
-      case Ast.Bool(cs) => cs.collect { case (o, x) if o != Occur.MustNot => walk(x) }.flatten
-      case Ast.Boost(x, _) => walk(x)
+          ws.map(w => (fn, TextFunctions.tokenizeTerm(w, tk), boost))))
+      case Ast.Bool(cs) =>
+        cs.collect { case (o, x) if o != Occur.MustNot => walk(x, boost) }.flatten
+      case Ast.Boost(x, b) => walk(x, boost * b)
       case _ => Nil
     }
-    walk(ast).distinct
+    walk(ast, 1.0).groupBy(t => (t._1, t._2))
+      .map { case ((f, tk), hits) => (f, tk, hits.map(_._3).max) }.toList
   }
 
   /** Terms-array accessor for a scoring field (declared text field or a
@@ -152,7 +156,7 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
     val statsRow = corpus.agg(statAggs.head, statAggs.tail: _*).collect()(0)
     val n = statsRow.getAs[Long]("__n").toDouble.max(1.0)
 
-    val parts: List[Column] = terms.flatMap { case (flat, tok) =>
+    val parts: List[Column] = terms.flatMap { case (flat, tok, boost) =>
       termsAccessor(d, flat).map { acc =>
         val dfCount = statsRow.getAs[Long](s"df__${flat}__$tok").toDouble
         val avgdl = math.max(statsRow.getAs[Double](s"avgdl__$flat"), 1e-9)
@@ -162,7 +166,7 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
           size(acc).cast("double") / avgdl
         else lit(1.0)
         val denom = tf + lit(K1) * (lit(1.0 - B) + lit(B) * dl)
-        coalesce(lit(idf) * tf * lit(K1 + 1.0) / denom, lit(0.0))
+        coalesce(lit(boost * idf) * tf * lit(K1 + 1.0) / denom, lit(0.0))
       }
     }
     parts.reduceOption(_ + _).getOrElse(lit(0.0))

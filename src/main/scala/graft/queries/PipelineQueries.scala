@@ -293,13 +293,26 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** Document fingerprint: md5 over whitespace-normalized lowercase text
-    * (the canonical content-defined fingerprint for cache keys). */
-  val text_fingerprint: Q = (s, dir) =>
+  /** Document fingerprints: md5 over whitespace-normalized lowercase text
+    * (content-hash cache key), plus a Rabin-Karp-style rolling polynomial
+    * hash over the token hash stream (acc·B + h mod p, seeded with the
+    * first token's hash — order-sensitive, so reordered text fingerprints
+    * differently while the md5 form only normalizes whitespace). */
+  val text_fingerprint: Q = (s, dir) => {
+    val B = 1000003L
     docs(s, dir)
+      .withColumn("hs", transform(tokenizeDefault(col("text")),
+        t => h64(t) % MersennePrime))
       .select(col("doc_id"),
-        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fingerprint"))
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fingerprint"),
+        when(size(col("hs")) === 0, lit(null).cast("long"))
+          .otherwise(aggregate(
+            slice(col("hs"), lit(2), greatest(size(col("hs")) - 1, lit(0))),
+            element_at(col("hs"), 1),
+            (acc, h) => (acc * B + h) % MersennePrime))
+          .as("rolling_hash"))
       .orderBy(col("doc_id"))
+  }
 
   // ---- multimodal -------------------------------------------------------
 
@@ -451,8 +464,16 @@ object PipelineQueries {
          |  FROM (SELECT doc_id, $toksSql AS toks FROM documents))
          |ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
-      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id,
+         |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+         |  CASE WHEN len(hs) = 0 THEN NULL
+         |       ELSE list_reduce(hs, (acc, h) -> (acc * 1000003 + h) % 2147483647)
+         |  END AS rolling_hash
+         |FROM (SELECT doc_id, text,
+         |        list_transform($toksSql,
+         |          t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 2147483647) AS hs
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin,
     "mm_binary_stats" ->
       """SELECT doc_id,
         |  octet_length(encode(text)) AS n_bytes,

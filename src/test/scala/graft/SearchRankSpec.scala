@@ -77,6 +77,16 @@ class SearchRankSpec extends AnyFunSuite {
     assert(search.search("stem_test", "body:jogging", 10).isEmpty)
   }
 
+  test("boost multiplies a clause's score contribution") {
+    val (_, search, name) = mkIndex(Seq(
+      """{"id": 1, "body": "alpha alpha alpha filler"}""",
+      """{"id": 2, "body": "beta beta beta filler"}"""))
+    // unboosted: symmetric corpus, doc order falls back to score ties;
+    // boosting beta^4 must put doc 2 first
+    val got = ids(search.search(name, "alpha beta^4", 10))
+    assert(got.head == 2, s"boosted term should dominate, got $got")
+  }
+
   test("rarer terms dominate multi-term scores") {
     val (_, search, name) = mkIndex(Seq(
       """{"id": 1, "body": "common common common common"}""",
