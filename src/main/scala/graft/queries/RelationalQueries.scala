@@ -255,6 +255,37 @@ object RelationalQueries {
         col("event_type"), col("n"), col("total_value"))
       .orderBy(col("bucket"), col("event_type"))
 
+  /** Sliding event-time windows (1 hour long, 30-minute hop): every event
+    * belongs to exactly two windows — start = bucket30(ts) and
+    * bucket30(ts) - 30min — the Structured Streaming
+    * `window(ts, "1 hour", "30 minutes")` shape, expressed so the oracle
+    * can mirror it with time_bucket arithmetic. */
+  val q_sliding_windows: Q = (s, dir) => {
+    val ev = events(s, dir)
+    val hop = expr("ts_us div 1800000000 * 1800000000") // floor to 30min in micros
+    val starts = array(hop, hop - lit(1800000000L))
+    ev.withColumn("w_start_us", explode(starts))
+      .groupBy(col("w_start_us"), col("event_type"))
+      .agg(count(lit(1)).as("n"), decSum(col("value")).as("total_value"))
+      .select(
+        date_format(timestamp_micros(col("w_start_us")).cast("timestamp_ntz"),
+          "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("w_start"), col("event_type"))
+  }
+
+  /** Explicit GROUPING SETS (beyond rollup/cube) through the SQL surface. */
+  val q_grouping_sets: Q = (s, dir) => {
+    table(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    s.sql(
+      """SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+        |  coalesce(l_linestatus, '<all>') AS linestatus,
+        |  count(*) AS n
+        |FROM lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY returnflag, linestatus""".stripMargin)
+  }
+
   /** Gap-based sessionization (30-minute inactivity closes a session) —
     * the batch view of `session_window`/flatMapGroupsWithState streaming
     * state: lag + running sum of session starts, one shuffle on user_id.
@@ -304,6 +335,8 @@ object RelationalQueries {
     "q_subquery" -> q_subquery,
     "q_case_agg" -> q_case_agg,
     "q_event_windows" -> q_event_windows,
+    "q_sliding_windows" -> q_sliding_windows,
+    "q_grouping_sets" -> q_grouping_sets,
     "q_sessionize" -> q_sessionize,
     "q_json_path" -> q_json_path
   )
@@ -427,6 +460,24 @@ object RelationalQueries {
       """SELECT event_type, count(*) AS n, sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum
         |FROM events WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 50
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_sliding_windows" ->
+      """WITH w AS (
+        |  SELECT epoch_us(ts) // 1800000000 * 1800000000 AS hop, event_type, value FROM events),
+        |expanded AS (
+        |  SELECT hop AS w_start_us, event_type, value FROM w
+        |  UNION ALL
+        |  SELECT hop - 1800000000 AS w_start_us, event_type, value FROM w)
+        |SELECT strftime(make_timestamp(w_start_us), '%Y-%m-%d %H:%M:%S') AS w_start,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM expanded GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+        |  coalesce(l_linestatus, '<all>') AS linestatus,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY returnflag, linestatus""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
