@@ -122,15 +122,17 @@ final class SchemaDerivation(val config: IndexConfig) {
     case _: TextField =>
       (raw, lit(false))
     case n: NumberField =>
-      val typed = n.numType match {
+      val typed0 = n.numType match {
         case "f64" => raw.try_cast("double")
         case "u64" => when(raw.rlike("^\\+?\\d+$"), raw.try_cast("long"))
         case _     => when(raw.rlike("^[+-]?\\d+$"), raw.try_cast("long"))
       }
+      val typed = guardParseString(n.parseString, typed0, jsonPath, value)
       (typed, raw.isNotNull && typed.isNull)
-    case _: BooleanField =>
+    case b: BooleanField =>
       val norm = lower(trim(raw))
-      val typed = when(norm === "true", lit(true)).when(norm === "false", lit(false))
+      val typed0 = when(norm === "true", lit(true)).when(norm === "false", lit(false))
+      val typed = guardParseString(b.parseString, typed0, jsonPath, value)
       (typed, raw.isNotNull && typed.isNull)
     case d: DateTimeField =>
       val typed = TimeFunctions.parseCascade(raw, d.formats)
@@ -151,6 +153,23 @@ final class SchemaDerivation(val config: IndexConfig) {
     case _: StaticObjectField =>
       throw new IllegalStateException("static handled by caller")
   }
+
+  /** `parse_string: false` (`/root/reference/src/config/number.rs:14-30`)
+    * rejects string-typed JSON input. The raw-parse schema coerces every
+    * leaf through StringType, so `100` and `"100"` are indistinguishable
+    * there — probe the original document's variant type instead and null
+    * out string-typed values, which the caller flags as a parse error
+    * (skip-document semantics). Array elements keep lenient parsing (no
+    * variant path into arrays). */
+  private def guardParseString(parseString: Boolean, typed: Column,
+      jsonPath: Option[String], value: Column): Column =
+    if (parseString) typed
+    else jsonPath match {
+      case Some(p) =>
+        val vt = schema_of_variant(try_variant_get(try_parse_json(value), s"$$.$p", "variant"))
+        when(vt =!= "STRING", typed)
+      case None => typed
+    }
 
   /** (typed column, error flag) for a declared field subtree. */
   private def typedField(f: FieldConfig, rawParent: Column, path: List[String],

@@ -185,13 +185,18 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
       case _: IpField       => ip_display(c)
       case _                => c
     }
-    def outField(f: FieldConfig, c: Column): (Column, Boolean) = f.fieldType match {
+    // `stored: false` fields are indexed/filterable but never echoed in
+    // search output (`/root/reference/src/commands/search.rs:25-94` only
+    // reassembles the stored document).
+    def outField(f: FieldConfig, c: Column): Option[Column] = f.fieldType match {
       case so: StaticObjectField =>
-        val children = so.fields.map(cf => outField(cf, c.getField(cf.name))._1.as(cf.name))
-        (when(c.isNull, lit(null)).otherwise(struct(children: _*)), false)
-      case _: DynamicObjectField => (c, true) // JSON text: splice raw
-      case t if f.array => (transform(c, e => outLeaf(e, t)), false)
-      case t            => (outLeaf(c, t), false)
+        val children = so.fields.flatMap(cf =>
+          outField(cf, c.getField(cf.name)).map(_.as(cf.name)))
+        if (children.isEmpty) None
+        else Some(when(c.isNull, lit(null)).otherwise(struct(children: _*)))
+      case t if !t.stored => None
+      case t if f.array   => Some(transform(c, e => outLeaf(e, t)))
+      case t              => Some(outLeaf(c, t))
     }
 
     val (dynFields, plainFields) = d.fields.partition(_.fieldType match {
@@ -199,13 +204,14 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
       case _                     => false
     })
 
-    val declared = to_json(struct(plainFields.map { f =>
-      outField(f, col(s"`${f.name}`"))._1.as(f.name)
-    }: _*))
+    val storedPlain = plainFields.flatMap(f =>
+      outField(f, col(s"`${f.name}`")).map(_.as(f.name)))
+    val declared =
+      if (storedPlain.isEmpty) lit("{}") else to_json(struct(storedPlain: _*))
 
     // splice each dynamic_object field as {"<name>": <parsed json>} and the
     // catch-all hoisted; MergeSortedJson sorts keys at the end.
-    val withDyn = dynFields.foldLeft(declared) { (acc, f) =>
+    val withDyn = dynFields.filter(_.fieldType.stored).foldLeft(declared) { (acc, f) =>
       val wrapped = when(col(s"`${f.name}`").isNull, lit(null))
         .otherwise(concat(lit(s"""{"${f.name}":"""), col(s"`${f.name}`"), lit("}")))
       merge_sorted_json(acc, wrapped)

@@ -25,21 +25,26 @@ object TimeParse {
     case "timestamp" =>
       raw.toLongOption.flatMap(fromMagnitude)
     case "rfc3339" | "iso8601" =>
-      try Some(OffsetDateTime.parse(raw, DateTimeFormatter.ISO_OFFSET_DATE_TIME)
-        .toInstant.toEpochMilli * 1000L)
+      try Some(toMicros(OffsetDateTime.parse(raw, DateTimeFormatter.ISO_OFFSET_DATE_TIME)
+        .toInstant))
       catch {
         case _: Exception =>
           // lenient: bare date/datetime without offset, treated as UTC
-          try Some(java.time.LocalDateTime.parse(raw.replace(" ", "T"))
-            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L)
+          try Some(toMicros(java.time.LocalDateTime.parse(raw.replace(" ", "T"))
+            .toInstant(java.time.ZoneOffset.UTC)))
           catch { case _: Exception => None }
       }
     case "rfc2822" =>
-      try Some(OffsetDateTime.parse(raw, DateTimeFormatter.RFC_1123_DATE_TIME)
-        .toInstant.toEpochMilli * 1000L)
+      try Some(toMicros(OffsetDateTime.parse(raw, DateTimeFormatter.RFC_1123_DATE_TIME)
+        .toInstant))
       catch { case _: Exception => None }
     case _ => None
   }
+
+  /** Full-microsecond precision — truncating to millis here would let split
+    * pruning drop a split whose contents the compiled predicate matches. */
+  private def toMicros(inst: java.time.Instant): Long =
+    inst.getEpochSecond * 1000000L + inst.getNano / 1000L
 
   def parseCascade(raw: String, formats: Seq[String]): Option[Long] =
     formats.iterator.flatMap(f => parseFormat(raw, f)).nextOption()

@@ -447,8 +447,8 @@ object RelationalQueries {
         |ORDER BY c_custkey""".stripMargin,
     "q_case_agg" ->
       """SELECT user_id,
-        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
-        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0.0 AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_event_windows" ->
@@ -457,7 +457,7 @@ object RelationalQueries {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_json_path" ->
-      """SELECT event_type, count(*) AS n, sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum
+      """SELECT event_type, count(*) AS n, CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
         |FROM events WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 50
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_sliding_windows" ->
@@ -488,8 +488,8 @@ object RelationalQueries {
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
         |sessions AS (
         |  SELECT user_id, tus,
-        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY tus, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM marked)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  max(tus) - min(tus) AS duration_us

@@ -160,8 +160,8 @@ object QueryParser {
           } else if (name == "IN" && !eof && { skipWs(); !eof && peek == '[' }) {
             parseSet(None)
           } else if (!eof && peek == '*') {
-            pos += 1; Ast.Prefix(None, name)
-          } else Ast.Term(None, name)
+            pos += 1; Ast.Prefix(None, unescapeValue(name))
+          } else Ast.Term(None, unescapeValue(name))
       }
     }
 
@@ -189,8 +189,8 @@ object QueryParser {
         case _ =>
           val v = parseTermText()
           if (v == "IN") { skipWs(); if (!eof && peek == '[') return parseSet(field) }
-          if (!eof && peek == '*') { pos += 1; Ast.Prefix(field, v) }
-          else Ast.Term(field, v)
+          if (!eof && peek == '*') { pos += 1; Ast.Prefix(field, unescapeValue(v)) }
+          else Ast.Term(field, unescapeValue(v))
       }
     }
 
@@ -201,7 +201,7 @@ object QueryParser {
       var vals = List.empty[String]
       skipWs()
       while (!eof && peek != ']') {
-        vals ::= parseTermText()
+        vals ::= unescapeValue(parseTermText())
         skipWs()
       }
       if (eof) throw ParseError("unterminated IN set", pos)
@@ -265,6 +265,20 @@ object QueryParser {
       while (!eof && !peek.isWhitespace && peek != ']' && peek != '}') pos += 1
       if (pos == start) throw ParseError("expected range bound", pos)
       s.substring(start, pos)
+    }
+
+    /** Escapes are kept verbatim by [[parseTermText]] so the field-name
+      * position can feed `splitFlatName` (which consumes `\.`); value
+      * literals must be unescaped so `field:foo\:bar` compares as
+      * `foo:bar` against stored text. */
+    def unescapeValue(v: String): String = {
+      val sb = new StringBuilder(v.length)
+      var i = 0
+      while (i < v.length) {
+        if (v.charAt(i) == '\\' && i + 1 < v.length) { sb.append(v.charAt(i + 1)); i += 2 }
+        else { sb.append(v.charAt(i)); i += 1 }
+      }
+      sb.toString
     }
 
     def parseTermText(): String = {

@@ -140,8 +140,13 @@ final class QueryCompiler(d: SchemaDerivation) {
     d.byFlatName.get(flatName) match {
       case Some(rf) =>
         rf.fieldType match {
-          case t: TextField if t.tokenizer.exists(_ != "raw") =>
-            exists(termsCol(rf.flatName), tk => tk.startsWith(value.toLowerCase))
+          case t: TextField if t.tokenizer.exists(tk => tk != "raw") =>
+            // Only lowercase the prefix for tokenizers that lowercase at
+            // ingest (default/en_stem); whitespace keeps original case, so
+            // `Error*` must compare raw to match capitalized tokens.
+            val needle =
+              if (t.tokenizer.contains("whitespace")) value else value.toLowerCase
+            exists(termsCol(rf.flatName), tk => tk.startsWith(needle))
           case t: TextField =>
             val c = rf.column
             if (rf.array) exists(c, e => e.startsWith(value)) else c.startsWith(value)

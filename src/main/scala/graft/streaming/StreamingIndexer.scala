@@ -29,8 +29,16 @@ import graft.engine.{Catalog, SplitInfo}
   */
 final class StreamingIndexer(spark: SparkSession, catalog: Catalog) {
 
-  /** Index one micro-batch idempotently: split id = f(batchId). */
-  def indexBatch(indexName: String, batch: DataFrame, batchId: Long): Option[SplitInfo] = {
+  /** Index one micro-batch idempotently: split id = f(runTag, batchId).
+    *
+    * The run tag scopes idempotent replay to one logical stream: it is a
+    * stable hash of the checkpoint location, so a query restart from the
+    * same checkpoint (same batch ids) overwrites its own split, while a
+    * fresh run with a new checkpoint (batch ids restarting at 0) gets
+    * distinct split ids instead of silently replacing an earlier run's data.
+    */
+  def indexBatch(indexName: String, batch: DataFrame, batchId: Long,
+      runTag: String = ""): Option[SplitInfo] = {
     val cfg = catalog.load(indexName)
     val d = new SchemaDerivation(cfg)
     val (cols, skip) = d.ingestProjection(col("value"))
@@ -40,7 +48,8 @@ final class StreamingIndexer(spark: SparkSession, catalog: Catalog) {
       .where(!coalesce(skip, lit(true)))
       .select(cols: _*)
 
-    val id = f"batch-$batchId%012d"
+    val prefix = if (runTag.isEmpty) "" else s"run-$runTag-"
+    val id = f"${prefix}batch-$batchId%012d"
     val dir = catalog.splitDir(indexName, id).toString
     typed.write.mode("overwrite").parquet(dir)
     val n = spark.read.schema(d.storageSchema).parquet(dir).count()
@@ -80,13 +89,22 @@ final class StreamingIndexer(spark: SparkSession, catalog: Catalog) {
 
   private def startWith(indexName: String, lines: DataFrame, checkpointDir: String,
       commitInterval: String, availableNow: Boolean): StreamingQuery = {
+    val runTag = StreamingIndexer.runTagFor(checkpointDir)
     val writer = lines.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        indexBatch(indexName, batch.toDF(), batchId): Unit
+        indexBatch(indexName, batch.toDF(), batchId, runTag): Unit
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow())
      else writer.trigger(Trigger.ProcessingTime(commitInterval)))
       .start()
+  }
+}
+
+object StreamingIndexer {
+  /** Stable per-logical-stream tag: hash of the checkpoint location. */
+  def runTagFor(checkpointDir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(checkpointDir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
   }
 }

@@ -1,0 +1,125 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{Catalog, Indexer, Searcher}
+import graft.functions.TimeParse
+
+/** Regressions for the round-1 advisor findings:
+  *  1. TimeParse keeps sub-millisecond precision (split pruning must never
+  *     truncate a hi bound downward);
+  *  2. prefix queries on whitespace-tokenized fields compare raw case;
+  *  3. escaped value literals (`foo\:bar`) are unescaped before comparison;
+  *  4. `parse_string: false` rejects string-typed JSON input (skip-doc);
+  *  5. `stored: false` fields are filterable but not echoed in output.
+  */
+class AdviceRegressionSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def withEngine[T](f: (Catalog, Indexer, Searcher) => T): T = {
+    val root = Files.createTempDirectory("graft-advice").toString
+    val cat = new Catalog(root)
+    f(cat, new Indexer(spark, cat), new Searcher(spark, cat))
+  }
+
+  private def writeDocs(docs: String): String = {
+    val p = Files.createTempFile("docs", ".json")
+    Files.write(p, docs.trim.getBytes("UTF-8"))
+    p.toString
+  }
+
+  test("TimeParse keeps microsecond precision for rfc3339 fractional seconds") {
+    val got = TimeParse.parseFormat("2020-01-02T03:04:05.123456Z", "rfc3339")
+    assert(got.contains(1577934245123456L))
+    // bare (no-offset) fallback keeps micros too
+    val bare = TimeParse.parseFormat("2020-01-02T03:04:05.123456", "rfc3339")
+    assert(bare.contains(1577934245123456L))
+  }
+
+  test("prefix query on whitespace-tokenized field matches capitalized tokens") {
+    withEngine { (cat, idx, search) =>
+      cat.create(
+        """version: 1
+          |name: ws_test
+          |path: /tmp/unused
+          |schema:
+          |  fields:
+          |    - name: msg
+          |      type: !text
+          |        indexed:
+          |          tokenizer: whitespace
+          |""".stripMargin)
+      idx.indexFile("ws_test", writeDocs(
+        """{"msg":"Error in pipeline"}
+          |{"msg":"all lowercase here"}""".stripMargin))
+      assert(search.search("ws_test", "msg:Error*", 5) ==
+        Seq("""{"msg":"Error in pipeline"}"""))
+      // lowercase prefix must NOT match the capitalized token (raw compare)
+      assert(search.search("ws_test", "msg:error*", 5).isEmpty)
+    }
+  }
+
+  test("escaped value literal compares unescaped (field:foo\\:bar)") {
+    withEngine { (cat, idx, search) =>
+      cat.create(
+        """version: 1
+          |name: esc_test
+          |path: /tmp/unused
+          |schema:
+          |  fields:
+          |    - name: tag
+          |      type: !text
+          |        indexed:
+          |          tokenizer: raw
+          |""".stripMargin)
+      idx.indexFile("esc_test", writeDocs("""{"tag":"foo:bar"}"""))
+      assert(search.search("esc_test", """tag:foo\:bar""", 5) ==
+        Seq("""{"tag":"foo:bar"}"""))
+    }
+  }
+
+  test("parse_string false rejects string-typed JSON numbers (skip-doc)") {
+    withEngine { (cat, idx, search) =>
+      cat.create(
+        """version: 1
+          |name: ps_test
+          |path: /tmp/unused
+          |schema:
+          |  fields:
+          |    - name: n
+          |      type: !number
+          |        type: i64
+          |        parse_string: false
+          |""".stripMargin)
+      val split = idx.indexFile("ps_test", writeDocs(
+        """{"n": 7}
+          |{"n": "8"}""".stripMargin))
+      // the string-typed doc is skipped entirely, the numeric one survives
+      assert(split.exists(_.numDocs == 1))
+      assert(search.search("ps_test", "n:7", 5) == Seq("""{"n":7}"""))
+    }
+  }
+
+  test("stored:false field is filterable but not echoed") {
+    withEngine { (cat, idx, search) =>
+      cat.create(
+        """version: 1
+          |name: st_test
+          |path: /tmp/unused
+          |schema:
+          |  fields:
+          |    - name: secret
+          |      type: !text
+          |        stored: false
+          |    - name: visible
+          |      type: !text
+          |""".stripMargin)
+      idx.indexFile("st_test", writeDocs(
+        """{"secret":"alpha","visible":"one"}
+          |{"secret":"beta","visible":"two"}""".stripMargin))
+      assert(search.search("st_test", "secret:alpha", 5) == Seq("""{"visible":"one"}"""))
+    }
+  }
+}

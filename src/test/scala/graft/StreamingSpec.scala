@@ -57,14 +57,28 @@ class StreamingSpec extends AnyFunSuite {
       s"expected exactly 3 docs total (no reprocessing), got $splitsAfterSecond")
     assert(search.search("stream_test", "n:3", 1) == Seq("""{"n":3}"""))
 
-    // (b)+idempotence: replaying a batch id overwrites, not duplicates
+    // (b)+idempotence: replaying a batch id within the same run overwrites,
+    // not duplicates
     val streamer2 = new StreamingIndexer(spark, cat)
     import spark.implicits._
     val replay = Seq("""{"n": 1}""", """{"n": 2}""").toDF("value")
-    val existingBatchId = splitsAfterFirst.head.id.stripPrefix("batch-").toLong
-    streamer2.indexBatch("stream_test", replay, existingBatchId)
+    val firstId = splitsAfterFirst.head.id
+    val runTag = StreamingIndexer.runTagFor(ckpt)
+    assert(firstId.startsWith(s"run-$runTag-batch-"), s"split id $firstId carries run tag")
+    val existingBatchId = firstId.substring(firstId.lastIndexOf('-') + 1).toLong
+    streamer2.indexBatch("stream_test", replay, existingBatchId, runTag)
     assert(cat.liveSplits("stream_test").map(_.numDocs).sum == 3 ||
-      cat.liveSplits("stream_test").count(_.id == splitsAfterFirst.head.id) == 1,
+      cat.liveSplits("stream_test").count(_.id == firstId) == 1,
       "replayed batch must not duplicate a manifest entry")
+
+    // a second logical run (fresh checkpoint, batch ids restart at 0) must
+    // NOT clobber the first run's splits
+    val ckpt2 = Files.createTempDirectory("stream-ckpt2").toString
+    val docsBefore = cat.liveSplits("stream_test").map(_.numDocs).sum
+    val q3 = streamer.startFileStream("stream_test", srcDir, ckpt2, availableNow = true)
+    q3.awaitTermination(60000)
+    val after = cat.liveSplits("stream_test")
+    assert(after.map(_.numDocs).sum == docsBefore + 3,
+      s"fresh run must append (distinct run tag), got $after")
   }
 }
