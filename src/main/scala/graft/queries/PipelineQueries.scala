@@ -41,6 +41,14 @@ object PipelineQueries {
     * (df ~ 80) and every posting list explodes; 5-gram df maxes at 3,
     * which is also the realistic shape for web-scale text. */
   private val ShingleN = 5
+
+  /** (doc_id, shingles) persisted: the array is HOF-built, so both the
+    * explode consumers (generate re-evaluates non-trivial generator input
+    * per OUTPUT row) and the self-join consumers (two plan branches) would
+    * otherwise rebuild it repeatedly. Both LSH and Jaccard construct this
+    * identical plan, so Spark's cache manager shares one materialization.
+    * At cluster scale this is the "write the shingle table out once"
+    * step of a dedup pipeline. */
   private def shingled(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .withColumn("toks", tokenizeDefault(col("text")))
@@ -49,6 +57,15 @@ object PipelineQueries {
         transform(sequence(lit(0), size(col("toks")) - ShingleN),
           i => concat_ws(" ",
             (0 until ShingleN).map(j => element_at(col("toks"), i + j + 1)): _*))))
+      .select(col("doc_id"), col("shingles"))
+      .persist()
+
+  /** (doc_id, toks) persisted, for explode consumers — the tokenizer is a
+    * regexp extract, which generate would otherwise re-run per token. */
+  private def tokenized(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), tokenizeDefault(col("text")).as("toks"))
+      .persist()
 
   // ---- dedup ------------------------------------------------------------
 
@@ -71,15 +88,9 @@ object PipelineQueries {
     * filtering (AllPairs/PPJoin, Bayardo et al. 2007) before this join. */
   val dedup_ngram_jaccard: Q = (s, dir) => {
     val threshold = 0.5
-    // The shingle array MUST be materialized before explode: Spark's
-    // generate path re-evaluates a non-trivial generator input per OUTPUT
-    // row, turning the (interpreted-HOF) shingle build quadratic —
-    // measured 19s vs 1.3s for persist+explode on this corpus. At cluster
-    // scale the shingle table would be written out explicitly anyway.
     val base = shingled(s, dir)
-      .select(col("doc_id"), size(col("shingles")).as("nsh"), col("shingles"))
-      .persist()
-    val sh = base.select(col("doc_id"), col("nsh"), explode(col("shingles")).as("sh"))
+    val sh = base.select(col("doc_id"), size(col("shingles")).as("nsh"),
+      explode(col("shingles")).as("sh"))
     val a = sh.select(col("doc_id").as("a"), col("nsh").as("na"), col("sh"))
     val b = sh.select(col("doc_id").as("b"), col("nsh").as("nb"), col("sh"))
     a.join(b, "sh")
@@ -116,14 +127,18 @@ object PipelineQueries {
     * makes this the scale path: candidate generation is linear in corpus
     * size + band-bucket joins. */
   val dedup_minhash_lsh: Q = (s, dir) => {
-    val sh = shingled(s, dir)
-      .withColumn("hbase", transform(col("shingles"), x => h64(x) % MersennePrime))
-      .select(col("doc_id"), col("hbase"))
-      .persist()
-    val sigs = sh.select(
-      col("doc_id") +: (1 to NumHashes).map(i =>
-        array_min(transform(col("hbase"), h => affineHash(i, h)))
-          .as(s"mh${i - 1}")): _*)
+    // Explode once, then everything is flat-column arithmetic inside
+    // whole-stage codegen: one md5 per shingle, 16 affine hashes folded
+    // into min() aggregates (map-side partial). The HOF alternative
+    // (16 interpreted transform passes over the shingle arrays) measured
+    // ~10x slower on this corpus.
+    val flat = shingled(s, dir)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .select(col("doc_id"), (h64(col("sh")) % MersennePrime).as("h"))
+    val mins = (1 to NumHashes).map(i =>
+      min(affineHash(i, col("h"))).as(s"mh${i - 1}"))
+    // Persisted: the band self-join consumes the signature table twice.
+    val sigs = flat.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*).persist()
     val bands = sigs.select(
       col("doc_id"),
       explode(array((0 until Bands).map { bIdx =>
@@ -148,19 +163,27 @@ object PipelineQueries {
     * distance is then verified, so the output equals the naive quadratic
     * scan (the oracle SQL). */
   val dedup_simhash: Q = (s, dir) => {
-    val toks = docs(s, dir)
-      .select(col("doc_id"), explode(tokenizeDefault(col("text"))).as("tok"))
-      .withColumn("th", h64(col("tok")))
+    // Pre-aggregate (doc, token-hash) occurrence counts first: the corpus
+    // vocabulary is small, so distinct (doc, hash) pairs are ~40% of token
+    // occurrences, and the 63 bit-sum aggregates then run over the smaller
+    // weighted table. Same result as summing +-1 per occurrence.
+    val th = tokenized(s, dir)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), h64(col("tok")).as("th"))
+      .agg(count(lit(1)).as("cnt"))
     // 63 bits: bit 63 would be the sign bit and the oracle's power(2,63)
     // overflows BIGINT; the md5-prefix hash is 60 bits anyway.
     val bitCols: Seq[Column] = (0 until 63).map { bit =>
-      sum(when(col("th").bitwiseAND(lit(1L << bit)) =!= 0L, 1).otherwise(-1))
+      sum(when(col("th").bitwiseAND(lit(1L << bit)) =!= 0L, col("cnt")).otherwise(-col("cnt")))
         .as(s"b$bit")
     }
-    val sigs = toks.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+    // Persisted: the bucket self-join below consumes sigs on both sides —
+    // without it the whole tokenize+hash+63-sum pipeline runs twice.
+    val sigs = th.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
       .select(col("doc_id"),
         (0 until 63).map(bit => when(col(s"b$bit") > 0, lit(1L << bit)).otherwise(lit(0L)))
           .reduce(_.bitwiseOR(_)).as("simhash"))
+      .persist()
     val chunked = sigs.select(col("doc_id"), col("simhash"),
       explode(array((0 until 9).map { c =>
         struct(lit(c).as("chunk"),
