@@ -265,7 +265,59 @@ object PipelineQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** IVF-style ANN with a real (deterministic) coarse quantizer: the first
+    * 16 vectors act as centroids, every vector is assigned to its
+    * nearest-centroid cell, and each query probes its nprobe=2 nearest
+    * cells — the standard recall/latency knob. The centroid table
+    * broadcasts (it is tiny by construction), so assignment is one
+    * narrow pass over the corpus; only the probed cells' members are
+    * scored. At scale the assignment would be written once and reused
+    * across query batches. */
+  val knn_ivf: Q = (s, dir) => {
+    val nCells = 16
+    val nProbe = 2
+    val e = table(s, dir, "embeddings")
+    val cents = broadcast(e.where(col("vec_id") < nCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv")))
+    def cellRank = row_number().over(Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid").asc))
+    val asg = e.crossJoin(cents)
+      .withColumn("ccos", cosine(col("embedding"), col("cv")))
+      .withColumn("crn", cellRank)
+      .where(col("crn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+    val probes = e.where(col("vec_id") < 20).crossJoin(cents)
+      .withColumn("ccos", cosine(col("embedding"), col("cv")))
+      .withColumn("crn", cellRank)
+      .where(col("crn") <= nProbe)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("cid").as("cell"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    probes.join(asg, "cell")
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("cos", cosine(col("qv"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   // ---- text analysis ----------------------------------------------------
+
+  /** Corpus bigram top-20 (collocation mining): flat (doc, pos, token)
+    * via posexplode of the cached token arrays, `lead` within document
+    * gives each adjacent pair, then one count shuffle on the bigram and a
+    * TakeOrdered cut — codegen end to end, no HOF in the hot path. */
+  val text_bigrams: Q = (s, dir) =>
+    tokenized(s, dir)
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .withColumn("next", lead(col("tok"), 1).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .where(col("next").isNotNull)
+      .groupBy(concat(col("tok"), lit(" "), col("next")).as("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(20)
 
   /** Token counting: whitespace tokens and a BPE-ish alnum/punct split. */
   val text_token_count: Q = (s, dir) =>
@@ -356,6 +408,22 @@ object PipelineQueries {
         base64(encode(substring(col("text"), 1, 8), "UTF-8")).as("frame0"))
       .orderBy(col("doc_id"))
 
+  /** Frame sampling over the multimodal payload: k fixed-offset slices of
+    * the binary column (the video-keyframe access pattern) encoded for
+    * transport. Pure per-row projection — partition-parallel, no shuffle;
+    * a real codec would replace the slice with a decode UDF over the same
+    * plumbing (see [[graft.ops.Multimodal]]). */
+  val mm_frame_sample: Q = (s, dir) =>
+    docs(s, dir)
+      .withColumn("len", length(col("text")))
+      .select(
+        col("doc_id"),
+        base64(encode(expr("substring(text, 1, 8)"), "UTF-8")).as("f0"),
+        base64(encode(expr("substring(text, 1 + len div 4, 8)"), "UTF-8")).as("f1"),
+        base64(encode(expr("substring(text, 1 + len div 2, 8)"), "UTF-8")).as("f2"),
+        base64(encode(expr("substring(text, 1 + 3 * (len div 4), 8)"), "UTF-8")).as("f3"))
+      .orderBy(col("doc_id"))
+
   val all: Map[String, Q] = Map(
     "dedup_exact" -> dedup_exact,
     "dedup_ngram_jaccard" -> dedup_ngram_jaccard,
@@ -364,6 +432,9 @@ object PipelineQueries {
     "dedup_embedding" -> dedup_embedding,
     "knn_brute" -> knn_brute,
     "knn_cell" -> knn_cell,
+    "knn_ivf" -> knn_ivf,
+    "text_bigrams" -> text_bigrams,
+    "mm_frame_sample" -> mm_frame_sample,
     "text_token_count" -> text_token_count,
     "text_quality" -> text_quality,
     "text_langid" -> text_langid,
@@ -454,6 +525,46 @@ object PipelineQueries {
         |  FROM embeddings q JOIN embeddings e ON q.label = e.label
         |  WHERE q.vec_id < 20 AND e.vec_id <> q.vec_id)
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "knn_ivf" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+        |asg AS (
+        |  SELECT vec_id, embedding, cid AS cell FROM (
+        |    SELECT e.vec_id, e.embedding, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cid ASC) AS crn
+        |    FROM embeddings e CROSS JOIN cents c)
+        |  WHERE crn = 1),
+        |probes AS (
+        |  SELECT qid, qv, cell FROM (
+        |    SELECT e.vec_id AS qid, e.embedding AS qv, c.cid AS cell,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cid ASC) AS crn
+        |    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 20)
+        |  WHERE crn <= 2),
+        |cand AS (
+        |  SELECT p.qid, a.vec_id AS neighbor,
+        |    row_number() OVER (PARTITION BY p.qid
+        |      ORDER BY list_cosine_similarity(p.qv, a.embedding) DESC, a.vec_id ASC) AS rank
+        |  FROM probes p JOIN asg a ON a.cell = p.cell
+        |  WHERE a.vec_id <> p.qid)
+        |SELECT qid, rank, neighbor FROM cand WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+    "text_bigrams" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |bi AS (
+         |  SELECT unnest(list_transform(range(len(toks) - 1),
+         |    i -> toks[i+1] || ' ' || toks[i+2])) AS bigram
+         |  FROM t WHERE len(toks) >= 2)
+         |SELECT bigram, count(*) AS n FROM bi GROUP BY bigram
+         |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
+    "mm_frame_sample" ->
+      """SELECT doc_id,
+        |  to_base64(encode(substring(text, 1, 8))) AS f0,
+        |  to_base64(encode(substring(text, 1 + length(text) // 4, 8))) AS f1,
+        |  to_base64(encode(substring(text, 1 + length(text) // 2, 8))) AS f2,
+        |  to_base64(encode(substring(text, 1 + 3 * (length(text) // 4), 8))) AS f3
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_token_count" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(trim(text), '\S+')) AS ws_tokens,

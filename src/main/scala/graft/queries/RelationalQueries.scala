@@ -306,6 +306,97 @@ object RelationalQueries {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** As-of join: for every purchase event, the most recent click at-or-
+    * before it by the same user. Spark-first shape: NOT a range join —
+    * union both event streams, one shuffle on user_id, and a running
+    * `max(click_ts)` window gives each purchase its as-of match in a
+    * single sort pass (clicks sort before purchases at equal timestamps so
+    * ties are visible, matching ASOF's `>=`). Scales as sort-within-user,
+    * the same plan a 1000-executor backfill would want. */
+  val q_asof_join: Q = (s, dir) => {
+    val ev = events(s, dir)
+      .where(col("event_type").isin("purchase", "click"))
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("event_type"))
+    val isPurchase = when(col("event_type") === "purchase", 1).otherwise(0)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), isPurchase, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ev.withColumn("click_us",
+        max(when(col("event_type") === "click", col("ts_us"))).over(w))
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("click_us"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Range join (interval self-join): pairs of events by the same user
+    * within a 5-minute window, counted per user. The naive form is a
+    * quadratic within-user join; the scale path used here buckets time
+    * into window-width cells and equi-joins on (user, bucket) with the
+    * left side exploded into its own and the next bucket — candidate
+    * pairs are bounded by bucket occupancy, and the exact range predicate
+    * filters after the equi-join. Same result as the oracle's naive join. */
+  val q_range_join: Q = (s, dir) => {
+    val W = 300000000L // 5 minutes in micros
+    val ev = events(s, dir).select(col("user_id"), col("event_id"), col("ts_us"))
+    val bkt = expr(s"ts_us div $W")
+    val a = ev.select(col("user_id"), col("event_id").as("a_id"), col("ts_us").as("a_us"),
+        explode(array(bkt, bkt + 1)).as("bkt"))
+    val b = ev.select(col("user_id"), bkt.as("bkt"),
+      col("event_id").as("b_id"), col("ts_us").as("b_us"))
+    a.join(b, Seq("user_id", "bkt"))
+      .where(col("b_us") > col("a_us") && col("b_us") <= col("a_us") + W)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("user_id"))
+  }
+
+  /** PIVOT: per linestatus, quantity totals fanned out by return flag.
+    * Spark's pivot with explicit values compiles to one pass of
+    * conditional aggregates — no extra shuffle over the plain groupBy. */
+  val q_pivot: Q = (s, dir) =>
+    table(s, dir, "lineitem")
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(decSum(col("l_quantity")))
+      .select(col("l_linestatus"), col("A").as("qty_a"), col("N").as("qty_n"),
+        col("R").as("qty_r"))
+      .orderBy(col("l_linestatus"))
+
+  /** Exact percentiles (linear interpolation) of quantity per return flag
+    * — Spark `percentile` ≡ DuckDB `quantile_cont`. Exact-sort-based here;
+    * the approximate sketch path at scale is `approx_percentile`, whose
+    * t-digest is engine-specific and therefore not oracle-gated. */
+  val q_percentile: Q = (s, dir) =>
+    table(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.9)").as("p90"))
+      .orderBy(col("l_returnflag"))
+
+  /** KMV (k-minimum-values) distinct-count sketch, k=256: hash every key,
+    * keep the k smallest distinct hashes, estimate distinct = (k-1)/u_k
+    * where u_k is the k-th minimum normalized to (0,1). Deterministic
+    * md5-derived hashes make the estimate bit-identical in DuckDB —
+    * unlike HLL, whose register layout is engine-specific. The
+    * `orderBy.limit(k)` is TakeOrdered (per-partition heaps, no global
+    * sort), so the sketch costs one scan at any scale. */
+  val q_kmv_distinct: Q = (s, dir) => {
+    val k = 256
+    val h = table(s, dir, "lineitem")
+      .select(conv(substring(md5(col("l_partkey").cast("string")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+    val kth = h.distinct().orderBy(col("h")).limit(k)
+      .agg(max(col("h")).as("hk"))
+    // (k-1)/u_k = (k-1)·2^60/h_k, computed in double (exact operands, one
+    // division) then floored — identical in both engines.
+    kth.select(
+      floor(lit((k - 1).toDouble) * lit(1.152921504606846976e18) /
+        col("hk").cast("double")).cast("long").as("est_distinct"))
+  }
+
   /** JSON path extraction from the events props column. */
   val q_json_path: Q = (s, dir) =>
     events(s, dir)
@@ -338,7 +429,12 @@ object RelationalQueries {
     "q_sliding_windows" -> q_sliding_windows,
     "q_grouping_sets" -> q_grouping_sets,
     "q_sessionize" -> q_sessionize,
-    "q_json_path" -> q_json_path
+    "q_json_path" -> q_json_path,
+    "q_asof_join" -> q_asof_join,
+    "q_range_join" -> q_range_join,
+    "q_pivot" -> q_pivot,
+    "q_percentile" -> q_percentile,
+    "q_kmv_distinct" -> q_kmv_distinct
   )
 
   val oracles: Map[String, String] = Map(
@@ -478,6 +574,42 @@ object RelationalQueries {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY returnflag, linestatus""".stripMargin,
+    "q_asof_join" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS tus FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS tus FROM events
+        |  WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, c.tus AS click_us
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.tus >= c.tus
+        |ORDER BY p.event_id""".stripMargin,
+    "q_range_join" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events)
+        |SELECT a.user_id, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM e a JOIN e b ON a.user_id = b.user_id
+        |  AND b.tus > a.tus AND b.tus <= a.tus + 300000000
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
+    "q_pivot" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_a,
+        |  CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_n,
+        |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_r
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.9) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM lineitem),
+        |kth AS (SELECT max(h) AS hk FROM (SELECT h FROM h ORDER BY h LIMIT 256))
+        |SELECT CAST(floor(255.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE)) AS BIGINT)
+        |  AS est_distinct
+        |FROM kth""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),

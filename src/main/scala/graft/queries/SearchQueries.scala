@@ -111,6 +111,27 @@ object SearchQueries {
       .select(col("rank"), col("doc_id"))
   }
 
+  /** Regex query over the raw text (tantivy's RegexQuery analogue). The
+    * pattern stays in the RE2-compatible subset so Java and DuckDB regex
+    * semantics agree. Scale: a regex scan is embarrassingly parallel but
+    * never index-accelerated — the ingest-time terms column handles the
+    * common cases; this is the escape hatch. */
+  val q_regex_search: Q = (s, dir) =>
+    docs(s, dir)
+      .where(lower(col("text")).rlike("spark\\s+(join|sql)"))
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+
+  /** Fuzzy term query (tantivy FuzzyTermQuery analogue): documents with a
+    * token within Levenshtein distance 1 of the (misspelled) query term.
+    * Distance computes per pre-tokenized term — the inverted-index
+    * contract — not per character window of the raw text. */
+  val q_fuzzy_search: Q = (s, dir) =>
+    docs(s, dir)
+      .where(exists(col("toks"), t => levenshtein(t, lit("spork")) <= 1))
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+
   // ---- engine lifecycle roundtrips --------------------------------------
 
   private val docsIndexConfig =
@@ -191,6 +212,8 @@ object SearchQueries {
     "q_phrase_search" -> q_phrase_search,
     "q_in_set_search" -> q_in_set_search,
     "q_search_bm25" -> q_search_bm25,
+    "q_regex_search" -> q_regex_search,
+    "q_fuzzy_search" -> q_fuzzy_search,
     "op_index_search" -> op_index_search,
     "op_merge_search" -> op_merge_search
   )
@@ -241,6 +264,17 @@ object SearchQueries {
         |  FROM d CROSS JOIN stats)
         |SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id
         |FROM scored WHERE score > 0 ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "q_regex_search" ->
+      """SELECT doc_id FROM documents
+        |WHERE regexp_matches(lower(text), 'spark\s+(join|sql)')
+        |ORDER BY doc_id""".stripMargin,
+    "q_fuzzy_search" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE len(list_filter(
+         |  list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'),
+         |    t -> t <> '' AND length(t) <= 40),
+         |  t -> levenshtein(t, 'spork') <= 1)) > 0
+         |ORDER BY doc_id""".stripMargin,
     "op_index_search" ->
       "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
     "op_merge_search" ->
