@@ -19,6 +19,9 @@ object Ast {
   final case class Term(field: Option[String], value: String) extends Ast
   final case class Phrase(field: Option[String], words: List[String], slop: Int) extends Ast
   final case class Prefix(field: Option[String], value: String) extends Ast
+  /** `term~` / `term~N` — match within Levenshtein distance N (default 2,
+    * Lucene-compatible; distance computes against ingest-tokenized terms). */
+  final case class Fuzzy(field: Option[String], value: String, distance: Int) extends Ast
   final case class Range(field: Option[String], lo: Bound, hi: Bound) extends Ast
   final case class InSet(field: Option[String], values: List[String]) extends Ast
   /** +a -b c — tantivy boolean query with occurs. */
@@ -83,7 +86,16 @@ object QueryParser {
     }
 
     private def isTermChar(c: Char): Boolean =
-      !c.isWhitespace && !"()[]{}\":*^".contains(c)
+      !c.isWhitespace && !"()[]{}\":*^~".contains(c)
+
+    /** `~` after a term value: optional digits give the edit distance. */
+    def tryFuzzySuffix(): Option[Int] =
+      if (!eof && peek == '~') {
+        pos += 1
+        val st = pos
+        while (!eof && peek.isDigit) pos += 1
+        Some(if (pos > st) s.substring(st, pos).toInt else 2)
+      } else None
 
     def parseQuery(): Ast = {
       var clauses = List.empty[(Occur, Ast)]
@@ -161,7 +173,10 @@ object QueryParser {
             parseSet(None)
           } else if (!eof && peek == '*') {
             pos += 1; Ast.Prefix(None, unescapeValue(name))
-          } else Ast.Term(None, unescapeValue(name))
+          } else tryFuzzySuffix() match {
+            case Some(d) => Ast.Fuzzy(None, unescapeValue(name), d)
+            case None    => Ast.Term(None, unescapeValue(name))
+          }
       }
     }
 
@@ -190,7 +205,10 @@ object QueryParser {
           val v = parseTermText()
           if (v == "IN") { skipWs(); if (!eof && peek == '[') return parseSet(field) }
           if (!eof && peek == '*') { pos += 1; Ast.Prefix(field, unescapeValue(v)) }
-          else Ast.Term(field, unescapeValue(v))
+          else tryFuzzySuffix() match {
+            case Some(d) => Ast.Fuzzy(field, unescapeValue(v), d)
+            case None    => Ast.Term(field, unescapeValue(v))
+          }
       }
     }
 

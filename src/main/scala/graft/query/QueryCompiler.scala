@@ -55,6 +55,8 @@ final class QueryCompiler(d: SchemaDerivation) {
     case Ast.Term(None, v)      => overDefaults(fn => fieldTerm(fn, v))
     case Ast.Prefix(Some(f), v) => fieldPrefix(f, v)
     case Ast.Prefix(None, v)    => overDefaults(fn => fieldPrefix(fn, v))
+    case Ast.Fuzzy(Some(f), v, dist) => fieldFuzzy(f, v, dist)
+    case Ast.Fuzzy(None, v, dist)    => overDefaults(fn => fieldFuzzy(fn, v, dist))
     case Ast.InSet(Some(f), vs) => vs.map(fieldTerm(f, _)).reduceOption(_ || _).getOrElse(lit(false))
     case Ast.InSet(None, vs)    => overDefaults(fn => vs.map(fieldTerm(fn, _)).reduceOption(_ || _).getOrElse(lit(false)))
     case Ast.Range(Some(f), lo, hi) => fieldRange(f, lo, hi)
@@ -157,6 +159,33 @@ final class QueryCompiler(d: SchemaDerivation) {
         val v = get_json_object(col(Dynamic), s"$$.$path")
         coalesce(exists(TextFunctions.tokenize(v, "default"),
           tk => tk.startsWith(value.toLowerCase)), lit(false))
+    }
+
+  /** Fuzzy term match: Levenshtein distance against ingest-tokenized terms
+    * (the FuzzyTermQuery contract — per indexed term, never per character
+    * window of the raw text). The needle goes through the same tokenizer
+    * normalization as an exact term. */
+  private def fieldFuzzy(flatName: String, value: String, dist: Int): Column =
+    d.byFlatName.get(flatName) match {
+      case Some(rf) =>
+        rf.fieldType match {
+          case t: TextField if t.tokenizer.exists(_ != "raw") =>
+            val needle = TextFunctions.tokenizeTerm(value, t.tokenizer.get)
+            exists(termsCol(rf.flatName), tk => levenshtein(tk, lit(needle)) <= dist)
+          case _: TextField =>
+            val c = rf.column
+            if (rf.array) exists(c, e => levenshtein(e, lit(value)) <= dist)
+            else levenshtein(c, lit(value)) <= dist
+          case _ => lit(false)
+        }
+      case None if flatName == Dynamic =>
+        exists(termsCol(Dynamic),
+          tk => levenshtein(tk, lit(TextFunctions.tokenizeTerm(value, "default"))) <= dist)
+      case None =>
+        val path = SchemaDerivation.splitFlatName(flatName).mkString(".")
+        val v = get_json_object(col(Dynamic), s"$$.$path")
+        coalesce(exists(TextFunctions.tokenize(v, "default"),
+          tk => levenshtein(tk, lit(value.toLowerCase)) <= dist), lit(false))
     }
 
   // ---- range / comparison ----------------------------------------------

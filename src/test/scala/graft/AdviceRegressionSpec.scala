@@ -102,6 +102,34 @@ class AdviceRegressionSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzzy query term~N matches within edit distance on tokenized terms") {
+    withEngine { (cat, idx, search) =>
+      cat.create(
+        """version: 1
+          |name: fz_test
+          |path: /tmp/unused
+          |schema:
+          |  fields:
+          |    - name: msg
+          |      type: !text
+          |""".stripMargin)
+      idx.indexFile("fz_test", writeDocs(
+        """{"msg":"the spark engine"}
+          |{"msg":"a sprak typo here"}
+          |{"msg":"completely different"}""".stripMargin))
+      // distance 1 catches the transposition-as-two-edits? no: sprak->spark
+      // is 2 edits (lev), so ~1 only matches the exact-ish token
+      assert(search.search("fz_test", "msg:spark~1", 5) ==
+        Seq("""{"msg":"the spark engine"}"""))
+      // default ~ = distance 2 catches the typo as well
+      assert(search.search("fz_test", "msg:spark~", 5).toSet ==
+        Set("""{"msg":"the spark engine"}""", """{"msg":"a sprak typo here"}"""))
+      // bare default-field fuzzy
+      assert(search.search("fz_test", "spark~1", 5) ==
+        Seq("""{"msg":"the spark engine"}"""))
+    }
+  }
+
   test("stored:false field is filterable but not echoed") {
     withEngine { (cat, idx, search) =>
       cat.create(

@@ -61,6 +61,28 @@ class PlanSpec extends AnyFunSuite {
     cat.drop("test")
   }
 
+  test("q_range_join is a bucketized equi-join, never a nested-loop scan") {
+    val plan = formatted(RelationalQueries.q_range_join(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join must equi-join on (user, bucket), not quadratic-scan:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), s"expected a hash/merge equi-join:\n$plan")
+  }
+
+  test("q_asof_join is one shuffle on user_id, no join operator at all") {
+    val plan = formatted(RelationalQueries.q_asof_join(spark, sf))
+    assert(!plan.contains("Join"), s"as-of should be window-based, not a join:\n$plan")
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("knn_ivf broadcasts the centroid table") {
+    val plan = formatted(graft.queries.PipelineQueries.knn_ivf(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"centroids must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no un-broadcast cartesian anywhere:\n$plan")
+  }
+
   test("ingest plan is shuffle-free (narrow text -> parse -> columns)") {
     val cfgYaml = new String(Files.readAllBytes(
       java.nio.file.Paths.get("/root/reference/example_config.yaml")), "UTF-8")
