@@ -49,6 +49,41 @@ class StreamingAggSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session_window aggregation closes sessions on the gap, streaming") {
+    val srcDir = Files.createTempDirectory("sess-src").toString
+    val ckpt = Files.createTempDirectory("sess-ckpt").toString
+    // user a: two events 2min apart (one session), then one 20min later
+    // (second session); user b: a single event.
+    Files.write(Paths.get(srcDir, "batch1.json"),
+      """{"ts": "2024-01-01T00:01:00", "user": "a"}
+        |{"ts": "2024-01-01T00:03:00", "user": "a"}
+        |{"ts": "2024-01-01T00:23:00", "user": "a"}
+        |{"ts": "2024-01-01T00:02:00", "user": "b"}
+        |""".stripMargin.getBytes)
+
+    val schema = StructType.fromDDL("ts timestamp_ntz, user string")
+    val stream = spark.readStream.schema(schema).json(srcDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user"))
+      .agg(count(lit(1)).as("n"))
+
+    val q = stream.writeStream
+      .format("memory").queryName("sess_out")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql(
+        """SELECT user, date_format(session_window.start, 'HH:mm') AS s, n
+          |FROM sess_out ORDER BY user, s""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      assert(got == Seq(("a", "00:01", 2L), ("a", "00:23", 1L), ("b", "00:02", 1L)),
+        s"got $got")
+    } finally q.stop()
+  }
+
   test("sql surface exposes the engine functions") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(
