@@ -48,11 +48,18 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
     // wrapping the comparison in coalesce() blocks Parquet filter pushdown
     // (caught by PlanSpec — the scan lost its PushedFilters line).
     val matched = df.where(pred)
-    val scored = matched.withColumn("__score", scoreColumn(d, df, ast))
-    scored
-      .orderBy(desc("__score"))
-      .limit(limit)
-      .select(outputJson(d).as("doc"))
+    // Pure-filter queries (no text terms: match-all, ranges, boolean/number
+    // terms) have a constant score — skip the corpus-stats job and the
+    // top-K sort entirely; a plain limit is the reference's own unscored
+    // arrival-order semantics (`search.rs:206-216`) and turns into
+    // incremental job launch instead of a global TakeOrdered.
+    if (scoringTerms(d, ast).isEmpty)
+      matched.limit(limit).select(outputJson(d).as("doc"))
+    else
+      matched.withColumn("__score", scoreColumn(d, df, ast))
+        .orderBy(desc("__score"))
+        .limit(limit)
+        .select(outputJson(d).as("doc"))
   }
 
   def search(indexName: String, query: String, limit: Int = 1): Seq[String] =

@@ -1,7 +1,10 @@
 package graft.tools
 
+import java.nio.file.Files
+
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.Column
+
+import graft.engine.{Catalog, Indexer, Searcher}
 
 /** Ad-hoc profiling/plan-inspection main — not part of the engine. */
 object Scratch {
@@ -14,41 +17,56 @@ object Scratch {
       println(f"[scratch] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
 
-    def h64(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-    val toks = docs.select(col("doc_id"),
-      graft.functions.TextFunctions.tokenizeDefault(col("text")).as("toks")).persist()
-    toks.count()
+    val cfg =
+      """version: 1
+        |name: prof
+        |path: /tmp/unused
+        |schema:
+        |  fields:
+        |    - name: doc_id
+        |      type: !number
+        |        type: i64
+        |    - name: text
+        |      type: !text
+        |    - name: lang
+        |      type: !text
+        |        indexed:
+        |          tokenizer: raw
+        |    - name: source
+        |      type: !text
+        |        indexed:
+        |          tokenizer: raw
+        |    - name: n_chars
+        |      type: !number
+        |        type: i64
+        |""".stripMargin
 
-    // warmup
-    for (_ <- 1 to 2) {
-      val th = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
-        .groupBy(col("doc_id"), h64(col("tok")).as("th")).agg(count(lit(1)).as("cnt"))
-      time("th count")(th.count())
-      val bitCols = (0 until 63).map { bit =>
-        sum(when(col("th").bitwiseAND(lit(1L << bit)) =!= 0L, col("cnt")).otherwise(-col("cnt"))).as(s"b$bit")
-      }
-      val sigs = th.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
-        .select(col("doc_id"),
-          (0 until 63).map(bit => when(col(s"b$bit") > 0, lit(1L << bit)).otherwise(lit(0L)))
-            .reduce(_.bitwiseOR(_)).as("simhash"))
-      time("sigs count")(sigs.count())
-      val sigsP = sigs.persist()
-      sigsP.count()
-      val chunked = sigsP.select(col("doc_id"), col("simhash"),
-        explode(array((0 until 9).map { c =>
-          struct(lit(c).as("chunk"),
-            shiftright(col("simhash"), c * 7).bitwiseAND(lit(0x7fL)).as("val"))
-        }: _*)).as("cv"))
-        .select(col("doc_id"), col("simhash"), col("cv.chunk"), col("cv.val"))
-      val a = chunked.select(col("chunk"), col("val"), col("doc_id").as("a"), col("simhash").as("ha"))
-      val b = chunked.select(col("chunk"), col("val"), col("doc_id").as("b"), col("simhash").as("hb"))
-      val pairs = a.join(b, Seq("chunk", "val")).where(col("a") < col("b"))
-        .select(col("a"), col("b"), col("ha"), col("hb")).distinct()
-        .withColumn("dist", bit_count(col("ha").bitwiseXOR(col("hb"))))
-        .where(col("dist") <= 8)
-      time("pairs count")(pairs.count())
-      sigsP.unpersist()
+    val jsonl = spark.read.parquet(s"$dir/documents.parquet")
+      .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"))).as("value"))
+      .persist()
+    println(s"[scratch] docs: ${jsonl.count()}")
+
+    for (round <- 1 to 2) {
+      val root = Files.createTempDirectory("graft-prof").toString
+      val cat = new Catalog(root)
+      cat.create(cfg)
+      val idx = new Indexer(spark, cat)
+      time(s"r$round indexDataFrame")(idx.indexDataFrame("prof", jsonl))
+      val search = new Searcher(spark, cat)
+      time(s"r$round search * limit 1M")(search.searchDf("prof", "*", 1000000).count())
+      time(s"r$round search term")(search.searchDf("prof", "text:spark AND n_chars:>=300", 1000000).count())
+
+      // ingest sub-steps
+      val d = new graft.config.SchemaDerivation(cat.load("prof"))
+      val (cols, skip) = d.ingestProjection(col("value"))
+      val typed = jsonl
+        .where(col("value").isNotNull && length(trim(col("value"))) > 0)
+        .where(!coalesce(skip, lit(true)))
+        .select(cols: _*)
+      time(s"r$round typed.count (parse only)")(typed.count())
+      val out = Files.createTempDirectory("graft-prof-w").toString
+      time(s"r$round typed.write")(typed.write.mode("overwrite").parquet(out))
     }
     spark.stop()
   }
