@@ -397,6 +397,43 @@ object RelationalQueries {
         col("hk").cast("double")).cast("long").as("est_distinct"))
   }
 
+  /** Window frames beyond row_number: per-customer running order total
+    * (ROWS UNBOUNDED PRECEDING), 3-row moving average, dense_rank and
+    * ntile(4) — one shuffle on o_custkey serves all four functions (same
+    * window spec → one sort). */
+  val q_window_frames: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    val mov = w.rowsBetween(-2, 0)
+    table(s, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(dec(col("o_totalprice"))).over(run).cast("double").as("running_total"),
+        (sum(dec(col("o_totalprice"))).over(mov).cast("double") /
+          count(lit(1)).over(mov)).as("moving_avg"),
+        dense_rank().over(w).cast("long").as("drank"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Skew-safe two-phase aggregation: pre-aggregate on a salted key
+    * (group, salt) so one hot group fans across partitions, then re-
+    * aggregate the partials. Result ≡ the plain groupBy (the oracle); the
+    * salt column never escapes. At 100 TB this is the standard fix when a
+    * handful of keys dominate (AQE skew handling covers joins; salting
+    * covers aggregations with huge per-group state). */
+  val q_skew_agg: Q = (s, dir) => {
+    val salted = events(s, dir)
+      .withColumn("__salt", pmod(col("event_id"), lit(16)))
+      .groupBy(col("event_type"), col("__salt"))
+      .agg(count(lit(1)).as("pn"), sum(dec(col("value"))).as("pv"))
+    salted.groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n"),
+        sum(col("pv")).cast("double").as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** JSON path extraction from the events props column. */
   val q_json_path: Q = (s, dir) =>
     events(s, dir)
@@ -434,7 +471,9 @@ object RelationalQueries {
     "q_range_join" -> q_range_join,
     "q_pivot" -> q_pivot,
     "q_percentile" -> q_percentile,
-    "q_kmv_distinct" -> q_kmv_distinct
+    "q_kmv_distinct" -> q_kmv_distinct,
+    "q_window_frames" -> q_window_frames,
+    "q_skew_agg" -> q_skew_agg
   )
 
   val oracles: Map[String, String] = Map(
@@ -610,6 +649,25 @@ object RelationalQueries {
         |SELECT CAST(floor(255.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE)) AS BIGINT)
         |  AS est_distinct
         |FROM kth""".stripMargin,
+    "q_window_frames" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w_run AS DOUBLE) AS running_total,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w_mov AS DOUBLE)
+        |    / count(*) OVER w_mov AS moving_avg,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drank,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM orders
+        |WINDOW
+        |  w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  w_run AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  w_mov AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_skew_agg" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
