@@ -55,6 +55,48 @@ object Multimodal {
       (payload(n - 1) & 0xff).toFloat)
   }
 
+  /** STUB resize: nearest-neighbor downsample of a (width × height) byte
+    * grid to (outW × outH) — the image-resize access pattern (strided
+    * gather) over raw bytes; a real deployment swaps this for a codec's
+    * scaler. Pads with zeros when the payload is smaller than the claimed
+    * grid (the contract a corrupt-tolerant pipeline needs). */
+  def resizeStub(payload: Array[Byte], width: Int, height: Int,
+      outW: Int, outH: Int): Array[Byte] = {
+    val out = new Array[Byte](outW * outH)
+    if (payload == null || payload.isEmpty || width <= 0 || height <= 0) return out
+    var y = 0
+    while (y < outH) {
+      val srcY = y * height / outH
+      var x = 0
+      while (x < outW) {
+        val srcX = x * width / outW
+        val idx = srcY * width + srcX
+        out(y * outW + x) = if (idx < payload.length) payload(idx) else 0
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Append `thumb: binary` (outW × outH nearest-neighbor thumbnail) using
+    * the meta struct's dimensions — same partition-parallel plumbing as
+    * [[withFeatures]]. */
+  def withThumbnail(df: DataFrame, payloadCol: String, outW: Int, outH: Int): DataFrame = {
+    val outSchema = df.schema.add("thumb", BinaryType)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val metaIdx = df.schema.fieldIndex("meta")
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val meta = r.getStruct(metaIdx)
+        val thumb = resizeStub(r.getAs[Array[Byte]](payloadIdx),
+          meta.getInt(0), meta.getInt(1), outW, outH)
+        Row.fromSeq(r.toSeq :+ thumb)
+      }
+    }
+  }
+
   /** Fixed-stride frame sampling (the video-keyframe access pattern):
     * `frames` byte slices of `frameSize` at even offsets. */
   def sampleFrames(payload: Array[Byte], frames: Int, frameSize: Int): Array[Array[Byte]] = {

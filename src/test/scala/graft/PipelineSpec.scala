@@ -63,4 +63,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(frames(0).toSeq == (0 until 10).map(_.toByte))
     assert(frames(1).head == 25.toByte)
   }
+
+  test("multimodal: resize downsamples the byte grid, pads short payloads") {
+    // 4x4 grid 0..15 -> 2x2 nearest-neighbor picks rows/cols 0 and 2
+    val grid = Array.tabulate[Byte](16)(_.toByte)
+    assert(Multimodal.resizeStub(grid, 4, 4, 2, 2).toSeq ==
+      Seq[Byte](0, 2, 8, 10))
+    // payload shorter than claimed grid: out-of-range gathers read as 0
+    val short = Array.tabulate[Byte](6)(i => (i + 1).toByte)
+    assert(Multimodal.resizeStub(short, 4, 4, 2, 2).toSeq ==
+      Seq[Byte](1, 3, 0, 0))
+    // distributed path appends a binary thumb column
+    val media = Multimodal.mediaFromDocuments(spark, sf)
+    val thumbs = Multimodal.withThumbnail(media, "payload", 8, 8)
+    val t = thumbs.orderBy(col("media_id")).limit(1).collect()(0).getAs[Array[Byte]]("thumb")
+    assert(t.length == 64)
+  }
 }
