@@ -204,6 +204,31 @@ object SearchQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** create → index → six grammar constructs through the tantivy-syntax
+    * compiler, each tagged and unioned — the full parser/compiler path
+    * under the DuckDB oracle (phrase, prefix, fuzzy, IN set, mixed-bound
+    * range, boolean with NOT). One ingest, six searches over the same
+    * splits. */
+  val op_grammar_search: Q = (s, dir) => {
+    val root = Files.createTempDirectory("graft-rt3").toString
+    val cat = new Catalog(root)
+    val name = s"rtg_${math.abs(dir.hashCode)}"
+    cat.create(docsIndexConfig.format(name))
+    new Indexer(s, cat).indexDataFrame(name, docsAsJsonl(s, dir))
+    val search = new Searcher(s, cat)
+    val constructs = Seq(
+      "phrase" -> "text:\"key order\"",
+      "prefix" -> "text:wind*",
+      "fuzzy" -> "text:spork~1",
+      "in_set" -> "lang:IN [en fr]",
+      "range" -> "n_chars:[200 TO 400}",
+      "boolnot" -> "text:spark AND NOT text:window")
+    constructs.map { case (tag, q) =>
+      parseResults(search.searchDf(name, q, 1000000))
+        .select(lit(tag).as("construct"), col("doc_id"))
+    }.reduce(_.unionAll(_)).orderBy(col("construct"), col("doc_id"))
+  }
+
   val all: Map[String, Q] = Map(
     "q_term_search" -> q_term_search,
     "q_bool_search" -> q_bool_search,
@@ -215,7 +240,8 @@ object SearchQueries {
     "q_regex_search" -> q_regex_search,
     "q_fuzzy_search" -> q_fuzzy_search,
     "op_index_search" -> op_index_search,
-    "op_merge_search" -> op_merge_search
+    "op_merge_search" -> op_merge_search,
+    "op_grammar_search" -> op_grammar_search
   )
 
   val oracles: Map[String, String] = Map(
@@ -280,6 +306,30 @@ object SearchQueries {
     "op_merge_search" ->
       """SELECT doc_id, n_chars FROM documents
         |WHERE regexp_matches(lower(text), '\bspark\b') AND n_chars >= 300
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "op_grammar_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, n_chars, text,
+        |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+        |      t -> t <> '' AND length(t) <= 40) AS tk
+        |  FROM documents)
+        |SELECT * FROM (
+        |  SELECT 'phrase' AS construct, doc_id FROM toks
+        |    WHERE regexp_matches(lower(text), '\bkey order\b')
+        |  UNION ALL
+        |  SELECT 'prefix', doc_id FROM toks
+        |    WHERE regexp_matches(lower(text), '\bwind')
+        |  UNION ALL
+        |  SELECT 'fuzzy', doc_id FROM toks
+        |    WHERE len(list_filter(tk, t -> levenshtein(t, 'spork') <= 1)) > 0
+        |  UNION ALL
+        |  SELECT 'in_set', doc_id FROM toks WHERE lang IN ('en', 'fr')
+        |  UNION ALL
+        |  SELECT 'range', doc_id FROM toks WHERE n_chars >= 200 AND n_chars < 400
+        |  UNION ALL
+        |  SELECT 'boolnot', doc_id FROM toks
+        |    WHERE regexp_matches(lower(text), '\bspark\b')
+        |      AND NOT regexp_matches(lower(text), '\bwindow\b'))
+        |ORDER BY construct, doc_id""".stripMargin
   )
 }

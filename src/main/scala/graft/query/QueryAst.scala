@@ -106,8 +106,10 @@ object QueryParser {
         else if (tryKeyword("OR")) { /* OR is the default combinator */ }
         else {
           val (occur, ast) = parseClause()
+          // AND makes a default (Should) clause required; it must NOT
+          // flip a negated clause (`a AND NOT b`) into a positive one.
           val occ2 =
-            if (pendingAnd) Occur.Must
+            if (pendingAnd && occur == Occur.Should) Occur.Must
             else occur
           // AND upgrades the previous clause too
           if (pendingAnd) {
