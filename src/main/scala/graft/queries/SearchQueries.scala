@@ -222,7 +222,10 @@ object SearchQueries {
       "fuzzy" -> "text:spork~1",
       "in_set" -> "lang:IN [en fr]",
       "range" -> "n_chars:[200 TO 400}",
-      "boolnot" -> "text:spark AND NOT text:window")
+      "boolnot" -> "text:spark AND NOT text:window",
+      "minus" -> "text:spark -text:window",
+      "paren" -> "(text:vector OR text:merge) AND n_chars:>=300",
+      "bare" -> "spark")
     constructs.map { case (tag, q) =>
       parseResults(search.searchDf(name, q, 1000000))
         .select(lit(tag).as("construct"), col("doc_id"))
@@ -309,7 +312,7 @@ object SearchQueries {
         |ORDER BY doc_id""".stripMargin,
     "op_grammar_search" ->
       """WITH toks AS (
-        |  SELECT doc_id, lang, n_chars, text,
+        |  SELECT doc_id, lang, source, n_chars, text,
         |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
         |      t -> t <> '' AND length(t) <= 40) AS tk
         |  FROM documents)
@@ -329,7 +332,20 @@ object SearchQueries {
         |  UNION ALL
         |  SELECT 'boolnot', doc_id FROM toks
         |    WHERE regexp_matches(lower(text), '\bspark\b')
-        |      AND NOT regexp_matches(lower(text), '\bwindow\b'))
+        |      AND NOT regexp_matches(lower(text), '\bwindow\b')
+        |  UNION ALL
+        |  SELECT 'minus', doc_id FROM toks
+        |    WHERE regexp_matches(lower(text), '\bspark\b')
+        |      AND NOT regexp_matches(lower(text), '\bwindow\b')
+        |  UNION ALL
+        |  SELECT 'paren', doc_id FROM toks
+        |    WHERE (regexp_matches(lower(text), '\bvector\b')
+        |        OR regexp_matches(lower(text), '\bmerge\b'))
+        |      AND n_chars >= 300
+        |  UNION ALL
+        |  SELECT 'bare', doc_id FROM toks
+        |    WHERE regexp_matches(lower(text), '\bspark\b')
+        |       OR lang = 'spark' OR source = 'spark')
         |ORDER BY construct, doc_id""".stripMargin
   )
 }
