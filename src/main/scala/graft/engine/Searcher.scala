@@ -56,7 +56,7 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
     if (scoringTerms(d, ast).isEmpty)
       matched.limit(limit).select(outputJson(d).as("doc"))
     else
-      matched.withColumn("__score", scoreColumn(d, df, ast))
+      matched.withColumn("__score", scoreColumn(d, df, ast, paths))
         .orderBy(desc("__score"))
         .limit(limit)
         .select(outputJson(d).as("doc"))
@@ -144,29 +144,49 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
     }
 
   /** BM25 with corpus stats gathered in one aggregate pass and inlined as
-    * literals (the "small aggregate + broadcast" of SURVEY §4). */
-  private def scoreColumn(d: SchemaDerivation, corpus: DataFrame, ast: Ast): Column = {
+    * literals (the "small aggregate + broadcast" of SURVEY §4). The stats
+    * job is memoized per (scanned splits, scoring fields/terms): repeated
+    * searches against an unchanged index — the hot serving pattern — skip
+    * the extra job entirely; any ingest/merge changes the split list and
+    * therefore the key. */
+  private def scoreColumn(d: SchemaDerivation, corpus: DataFrame, ast: Ast,
+      paths: Seq[String]): Column = {
     val terms = scoringTerms(d, ast)
     if (terms.isEmpty) return lit(0.0)
 
     val perField = terms.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    val statAggs: List[Column] =
-      count(lit(1)).as("__n") ::
+    val statNames: List[String] =
+      "__n" ::
         perField.toList.flatMap { case (flat, toks) =>
-          termsAccessor(d, flat).toList.flatMap { acc =>
-            avg(coalesce(size(acc).cast("double"), lit(0.0))).as(s"avgdl__$flat") ::
-              toks.map(t =>
-                sum(when(array_contains(acc, t), 1L).otherwise(0L)).as(s"df__${flat}__$t"))
+          termsAccessor(d, flat).toList.flatMap { _ =>
+            s"avgdl__$flat" :: toks.map(t => s"df__${flat}__$t")
           }
         }
-
-    val statsRow = corpus.agg(statAggs.head, statAggs.tail: _*).collect()(0)
-    val n = statsRow.getAs[Long]("__n").toDouble.max(1.0)
+    val cacheKey = (paths.sorted.mkString("|"), statNames.sorted.mkString("|"))
+    if (Searcher.statsCache.size > 4096) Searcher.statsCache.clear()
+    val stats = Searcher.statsCache.computeIfAbsent(cacheKey, { _ =>
+      val statAggs: List[Column] =
+        count(lit(1)).as("__n") ::
+          perField.toList.flatMap { case (flat, toks) =>
+            termsAccessor(d, flat).toList.flatMap { acc =>
+              avg(coalesce(size(acc).cast("double"), lit(0.0))).as(s"avgdl__$flat") ::
+                toks.map(t =>
+                  sum(when(array_contains(acc, t), 1L).otherwise(0L)).as(s"df__${flat}__$t"))
+            }
+          }
+      val row = corpus.agg(statAggs.head, statAggs.tail: _*).collect()(0)
+      statNames.map {
+        case k @ "__n"                      => k -> row.getAs[Long](k).toDouble
+        case k if k.startsWith("avgdl__")   => k -> row.getAs[Double](k)
+        case k                              => k -> row.getAs[Long](k).toDouble
+      }.toMap
+    })
+    val n = stats("__n").max(1.0)
 
     val parts: List[Column] = terms.flatMap { case (flat, tok, boost) =>
       termsAccessor(d, flat).map { acc =>
-        val dfCount = statsRow.getAs[Long](s"df__${flat}__$tok").toDouble
-        val avgdl = math.max(statsRow.getAs[Double](s"avgdl__$flat"), 1e-9)
+        val dfCount = stats(s"df__${flat}__$tok")
+        val avgdl = math.max(stats(s"avgdl__$flat"), 1e-9)
         val idf = math.log(1.0 + (n - dfCount + 0.5) / (dfCount + 0.5))
         val tf = size(filter(acc, x => x === tok)).cast("double")
         val dl = if (fieldnormsEnabled(d, flat))
@@ -225,4 +245,12 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
     }
     merge_sorted_json(withDyn, col(Dynamic))
   }
+}
+
+object Searcher {
+  /** Memoized corpus statistics keyed by (scanned split set, stat names).
+    * Values are a handful of doubles; the size bound only guards a
+    * long-lived session against unbounded index churn. */
+  private val statsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Map[String, Double]]()
 }
