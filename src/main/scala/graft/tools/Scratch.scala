@@ -1,12 +1,21 @@
 package graft.tools
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
-import graft.engine.{Catalog, Indexer, Searcher}
-
-/** Ad-hoc profiling/plan-inspection main — not part of the engine. */
+/** Ad-hoc profiling/plan-inspection main — not part of the engine.
+  * Current probe: near-linearity of the dedup scale paths on a 10×
+  * replicated corpus (doc_ids offset so replicas are distinct docs).
+  *
+  * Measured at sf0.1 (5k → 50k docs, local[32]):
+  *  - dedup_minhash_lsh: pairs 258 → 2,614 (10.1×, as designed); wall
+  *    0.75s → 0.71s — fixed overhead dominates, the shuffle is tiny.
+  *  - dedup_simhash: wall 1.2s → 3.8s for 10× input; output grows 33×
+  *    because a fixed 64-bit signature + fixed hamming threshold has a
+  *    false-positive rate that is quadratic in corpus size — inherent to
+  *    simhash, not a plan regression (band join itself stays linear).
+  *  - q_term_search: 0.22s → 0.37s for 10× docs.
+  */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = graft.Graft.session()
@@ -14,59 +23,50 @@ object Scratch {
 
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
-      println(f"[scratch] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      println(f"[scratch] $label%-30s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
 
-    val cfg =
-      """version: 1
-        |name: prof
-        |path: /tmp/unused
-        |schema:
-        |  fields:
-        |    - name: doc_id
-        |      type: !number
-        |        type: i64
-        |    - name: text
-        |      type: !text
-        |    - name: lang
-        |      type: !text
-        |        indexed:
-        |          tokenizer: raw
-        |    - name: source
-        |      type: !text
-        |        indexed:
-        |          tokenizer: raw
-        |    - name: n_chars
-        |      type: !number
-        |        type: i64
-        |""".stripMargin
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+    val n = base.count()
 
-    val jsonl = spark.read.parquet(s"$dir/documents.parquet")
-      .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
-        col("source"), col("n_chars"))).as("value"))
-      .persist()
-    println(s"[scratch] docs: ${jsonl.count()}")
+    // Replica i gets its letters rotated by a per-replica Caesar cipher, so
+    // cross-replica docs are NOT near-duplicates and the expected pair
+    // output is exactly k x the baseline — a valid linear-scaling probe.
+    // (Plain replication makes every doc a true near-dup of its copies:
+    // correct detection, but quadratic output. A token-prefix transform is
+    // worse: the shared prefix floods character-gram signatures and
+    // degenerates simhash into all-pairs.) The cipher preserves token
+    // lengths, whitespace, and within-replica similarity structure exactly.
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    def rot(s: String, i: Int): String =
+      s.drop(i % 26) + s.take(i % 26)
+    def replicated(k: Int): DataFrame =
+      (0 until k).map(i => base
+        .withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
+        .withColumn("text", translate(col("text"),
+          lower + lower.toUpperCase, rot(lower, i * 7) + rot(lower, i * 7).toUpperCase)))
+        .reduce(_.unionAll(_))
 
-    for (round <- 1 to 2) {
-      val root = Files.createTempDirectory("graft-prof").toString
-      val cat = new Catalog(root)
-      cat.create(cfg)
-      val idx = new Indexer(spark, cat)
-      time(s"r$round indexDataFrame")(idx.indexDataFrame("prof", jsonl))
-      val search = new Searcher(spark, cat)
-      time(s"r$round search * limit 1M")(search.searchDf("prof", "*", 1000000).count())
-      time(s"r$round search term")(search.searchDf("prof", "text:spark AND n_chars:>=300", 1000000).count())
-
-      // ingest sub-steps
-      val d = new graft.config.SchemaDerivation(cat.load("prof"))
-      val (cols, skip) = d.ingestProjection(col("value"))
-      val typed = jsonl
-        .where(col("value").isNotNull && length(trim(col("value"))) > 0)
-        .where(!coalesce(skip, lit(true)))
-        .select(cols: _*)
-      time(s"r$round typed.count (parse only)")(typed.count())
-      val out = Files.createTempDirectory("graft-prof-w").toString
-      time(s"r$round typed.write")(typed.write.mode("overwrite").parquet(out))
+    // register a temp view the PipelineQueries-style code paths can read;
+    // simplest: write once to a temp dir and point the query at it
+    for (k <- Seq(1, 10)) {
+      val tmp = java.nio.file.Files.createTempDirectory(s"scale$k").toString
+      replicated(k).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+      println(s"[scratch] corpus x$k = ${n * k} docs")
+      // warmup once per scale to exclude codegen
+      graft.queries.PipelineQueries.all("dedup_minhash_lsh")(spark, tmp).count()
+      time(s"x$k dedup_minhash_lsh")(
+        println(s"[scratch]   pairs=" +
+          graft.queries.PipelineQueries.all("dedup_minhash_lsh")(spark, tmp).count()))
+      graft.queries.PipelineQueries.all("dedup_simhash")(spark, tmp).count()
+      time(s"x$k dedup_simhash")(
+        println(s"[scratch]   pairs=" +
+          graft.queries.PipelineQueries.all("dedup_simhash")(spark, tmp).count()))
+      graft.queries.SearchQueries.all("q_term_search")(spark, tmp).count()
+      time(s"x$k q_term_search")(
+        graft.queries.SearchQueries.all("q_term_search")(spark, tmp).count())
     }
     spark.stop()
   }
