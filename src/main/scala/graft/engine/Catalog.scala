@@ -30,9 +30,14 @@ import graft.exprs.JsonSupport
   */
 /** One committed split. minTs/maxTs (epoch micros of the configured
   * time_field) enable manifest-level split pruning for time-ranged
-  * queries. */
+  * queries; `numStats` holds per-field min/max zone maps for indexed
+  * numeric fields and `dicts` small complete value dictionaries for
+  * low-cardinality raw-tokenized text fields — both consulted by the
+  * searcher to skip splits without opening a single data file. */
 final case class SplitInfo(id: String, numDocs: Long,
-    minTs: Option[Long] = None, maxTs: Option[Long] = None)
+    minTs: Option[Long] = None, maxTs: Option[Long] = None,
+    numStats: Map[String, (Double, Double)] = Map.empty,
+    dicts: Map[String, List[String]] = Map.empty)
 
 final class Catalog(rootDir: String) {
   private val root = Paths.get(rootDir)
@@ -81,9 +86,20 @@ final class Catalog(rootDir: String) {
     if (!Files.exists(p)) return Nil
     val node = JsonSupport.parse(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
     node.get("splits").elements().asScala.map { s =>
+      val numStats = Option(s.get("stats")).filter(_.isObject).map { st =>
+        st.properties().asScala.map { e =>
+          e.getKey -> (e.getValue.get("min").asDouble(), e.getValue.get("max").asDouble())
+        }.toMap
+      }.getOrElse(Map.empty[String, (Double, Double)])
+      val dicts = Option(s.get("dicts")).filter(_.isObject).map { dc =>
+        dc.properties().asScala.map { e =>
+          e.getKey -> e.getValue.elements().asScala.map(_.asText()).toList
+        }.toMap
+      }.getOrElse(Map.empty[String, List[String]])
       SplitInfo(s.get("id").asText(), s.get("numDocs").asLong(),
         Option(s.get("minTs")).filter(!_.isNull).map(_.asLong()),
-        Option(s.get("maxTs")).filter(!_.isNull).map(_.asLong()))
+        Option(s.get("maxTs")).filter(!_.isNull).map(_.asLong()),
+        numStats, dicts)
     }.toList
   }
 
@@ -99,6 +115,24 @@ final class Catalog(rootDir: String) {
       o.put("id", s.id); o.put("numDocs", s.numDocs)
       s.minTs.foreach(o.put("minTs", _))
       s.maxTs.foreach(o.put("maxTs", _))
+      if (s.numStats.nonEmpty) {
+        val st = m.createObjectNode()
+        s.numStats.toList.sortBy(_._1).foreach { case (f, (mn, mx)) =>
+          val fo = m.createObjectNode()
+          fo.put("min", mn); fo.put("max", mx)
+          st.set[com.fasterxml.jackson.databind.JsonNode](f, fo)
+        }
+        o.set[com.fasterxml.jackson.databind.JsonNode]("stats", st)
+      }
+      if (s.dicts.nonEmpty) {
+        val dc = m.createObjectNode()
+        s.dicts.toList.sortBy(_._1).foreach { case (f, vs) =>
+          val a = m.createArrayNode()
+          vs.foreach(a.add)
+          dc.set[com.fasterxml.jackson.databind.JsonNode](f, a)
+        }
+        o.set[com.fasterxml.jackson.databind.JsonNode]("dicts", dc)
+      }
       arr.add(o)
     }
     rootNode.set[com.fasterxml.jackson.databind.JsonNode]("splits", arr)

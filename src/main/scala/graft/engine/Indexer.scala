@@ -64,8 +64,7 @@ final class Indexer(spark: SparkSession, catalog: Catalog) {
       } catch { case _: Exception => }
       None
     } else {
-      val (minTs, maxTs) = Indexer.timeRange(spark, d, dir)
-      val split = SplitInfo(id, n, minTs, maxTs)
+      val split = Indexer.splitStats(spark, d, dir, id, n)
       catalog.commitSplit(indexName, split)
       Some(split)
     }
@@ -91,8 +90,7 @@ final class Indexer(spark: SparkSession, catalog: Catalog) {
     val parts = math.max(1, (n / 4000000L).toInt)
     df.repartition(parts).write.mode("overwrite").parquet(dir)
 
-    val (minTs, maxTs) = Indexer.timeRange(spark, d, dir)
-    val split = SplitInfo(id, n, minTs, maxTs)
+    val split = Indexer.splitStats(spark, d, dir, id, n)
     catalog.swapSplits(indexName, splits.map(_.id), List(split))
     Some(split)
   }
@@ -100,33 +98,89 @@ final class Indexer(spark: SparkSession, catalog: Catalog) {
 
 object Indexer {
 
-  /** Min/max of the configured time_field over a written split (epoch
-    * micros), read from the split's own Parquet (footer-stat-cheap) —
-    * powers manifest-level split pruning. (None, None) when no time_field
-    * is configured or it is not a datetime leaf. */
-  def timeRange(spark: SparkSession, d: SchemaDerivation,
-      splitDir: String): (Option[Long], Option[Long]) = {
+  /** Complete-dictionary size cap: a raw text field's distinct values are
+    * recorded in the manifest only when there are at most this many —
+    * enough for enum-like log fields (severity, service, lang) while
+    * keeping the manifest O(bytes) per split. */
+  val DictCap = 16
+
+  /** Per-split statistics for manifest-level pruning, computed in one
+    * aggregate pass over the freshly written split (a metadata-cheap
+    * column scan — Parquet prunes to just the stat columns):
+    *
+    *  - time_field min/max in epoch micros (as before);
+    *  - min/max zone maps for every indexed non-array numeric field,
+    *    widened one ulp so Long→Double rounding stays conservative;
+    *  - complete value dictionaries (≤ [[DictCap]] distinct values) for
+    *    indexed non-array raw-tokenizer text fields, detected via an
+    *    approx-distinct probe in the same pass and collected exactly in a
+    *    second single-column pass only when small.
+    */
+  def splitStats(spark: SparkSession, d: SchemaDerivation, splitDir: String,
+      id: String, numDocs: Long): SplitInfo = {
     val tsField = d.config.schema.timeField.flatMap(d.byFlatName.get).filter {
       _.fieldType.isInstanceOf[graft.config.DateTimeField]
     }
-    tsField match {
-      case None => (None, None)
-      case Some(rf) =>
-        val row = spark.read.schema(d.storageSchema).parquet(splitDir)
-          .agg(min(rf.column).as("mn"), max(rf.column).as("mx"))
-          .collect()(0)
-        def micros(i: Int): Option[Long] =
-          Option(row.get(i)).map {
-            case t: java.sql.Timestamp =>
-              t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
-            case t: java.time.Instant =>
-              t.getEpochSecond * 1000000L + t.getNano / 1000L
-            case t: java.time.LocalDateTime =>
-              t.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L +
-                t.getNano / 1000L
-            case other => sys.error(s"unexpected timestamp type: ${other.getClass}")
-          }
-        (micros(0), micros(1))
+    val numFields = d.resolved.filter { rf =>
+      !rf.array && (rf.fieldType match {
+        case n: graft.config.NumberField => n.indexed || n.fast
+        case _                           => false
+      })
     }
+    val dictFields = d.resolved.filter { rf =>
+      !rf.array && (rf.fieldType match {
+        case t: graft.config.TextField => t.tokenizer.contains("raw")
+        case _                         => false
+      })
+    }
+    if (tsField.isEmpty && numFields.isEmpty && dictFields.isEmpty)
+      return SplitInfo(id, numDocs)
+
+    val df = spark.read.schema(d.storageSchema).parquet(splitDir)
+    val aggs: List[org.apache.spark.sql.Column] =
+      tsField.toList.flatMap(rf =>
+        List(min(rf.column).as("__ts_mn"), max(rf.column).as("__ts_mx"))) ++
+      numFields.flatMap(rf => List(
+        min(rf.column).cast("double").as(s"__mn__${rf.flatName}"),
+        max(rf.column).cast("double").as(s"__mx__${rf.flatName}"))) ++
+      dictFields.map(rf =>
+        approx_count_distinct(rf.column).as(s"__adc__${rf.flatName}"))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+
+    def micros(name: String): Option[Long] =
+      Option(row.getAs[Any](name)).map {
+        case t: java.sql.Timestamp =>
+          t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+        case t: java.time.Instant =>
+          t.getEpochSecond * 1000000L + t.getNano / 1000L
+        case t: java.time.LocalDateTime =>
+          t.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L +
+            t.getNano / 1000L
+        case other => sys.error(s"unexpected timestamp type: ${other.getClass}")
+      }
+    val (minTs, maxTs) =
+      if (tsField.isDefined) (micros("__ts_mn"), micros("__ts_mx")) else (None, None)
+
+    val numStats = numFields.flatMap { rf =>
+      (Option(row.getAs[Any](s"__mn__${rf.flatName}")),
+        Option(row.getAs[Any](s"__mx__${rf.flatName}"))) match {
+        case (Some(mn: Double), Some(mx: Double)) if !mn.isNaN && !mx.isNaN =>
+          Some(rf.flatName -> (Math.nextDown(mn), Math.nextUp(mx)))
+        case _ => None
+      }
+    }.toMap
+
+    // approx_count_distinct has bounded relative error (default ~5%); the
+    // 2x margin keeps the probe conservative, the exact collect decides.
+    val smallDicts = dictFields.filter { rf =>
+      row.getAs[Long](s"__adc__${rf.flatName}") <= DictCap * 2L
+    }
+    val dicts = smallDicts.flatMap { rf =>
+      val vals = df.select(rf.column.as("v")).where(col("v").isNotNull)
+        .distinct().limit(DictCap + 1).collect().map(_.getString(0)).toList
+      if (vals.length <= DictCap) Some(rf.flatName -> vals.sorted) else None
+    }.toMap
+
+    SplitInfo(id, numDocs, minTs, maxTs, numStats, dicts)
   }
 }

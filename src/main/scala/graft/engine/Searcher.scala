@@ -7,7 +7,7 @@ import graft.config._
 import graft.exprs.JsonExprs.merge_sorted_json
 import graft.exprs.exprs.ip_display
 import graft.functions.{TextFunctions, TimeFunctions}
-import graft.query.{Ast, Occur, QueryCompiler, QueryParser, TimeBounds}
+import graft.query.{Ast, FieldBounds, Occur, QueryCompiler, QueryParser, TimeBounds}
 
 /** Search: load live splits → compiled predicate → BM25 top-K → stored
   * document re-assembly (reference lifecycle:
@@ -65,10 +65,18 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
   def search(indexName: String, query: String, limit: Int = 1): Seq[String] =
     searchDf(indexName, query, limit).collect().map(_.getString(0)).toSeq
 
-  /** Manifest-level split pruning: when the query implies a bound on the
-    * configured time_field, skip splits whose [minTs, maxTs] cannot
-    * overlap — the coarse layer above Parquet row-group pruning. Splits
-    * without recorded stamps are always searched (conservative). */
+  /** Manifest-level split pruning — the coarse layer above Parquet
+    * row-group pruning, and the piece that keeps a selective query from
+    * listing/opening every object at 100 TB. Three independent,
+    * conservative constraint families (a split survives unless some
+    * recorded stat proves it cannot match; missing stats always keep the
+    * split):
+    *
+    *  - time_field bounds vs the split's [minTs, maxTs] stamps;
+    *  - numeric bounds per indexed number field vs min/max zone maps;
+    *  - required-value sets per raw-tokenized text field vs complete
+    *    small dictionaries ([[Indexer.DictCap]]).
+    */
   private[graft] def prunedSplitPaths(indexName: String, cfg: graft.config.IndexConfig,
       d: SchemaDerivation, ast: Ast): List[String] = {
     val splits = catalog.liveSplits(indexName)
@@ -79,12 +87,35 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
             rf.fieldType.asInstanceOf[DateTimeField].formats)
       }
     }.getOrElse(TimeBounds.Unbounded)
+
+    // Per-field query constraints, computed once; only fields that the
+    // query actually bounds survive into the split loop.
+    val numConstraints: List[(String, FieldBounds.NumBounds)] =
+      d.resolved.collect {
+        case rf if !rf.array && rf.fieldType.isInstanceOf[NumberField] =>
+          rf.flatName -> FieldBounds.extractNumeric(ast, rf.flatName)
+      }.filterNot(_._2.isUnbounded)
+    val dictConstraints: List[(String, Set[String])] =
+      d.resolved.collect {
+        case rf if !rf.array &&
+            rf.fieldType.isInstanceOf[TextField] &&
+            rf.fieldType.asInstanceOf[TextField].tokenizer.contains("raw") =>
+          FieldBounds.requiredTerms(ast, rf.flatName).map(rf.flatName -> _)
+      }.flatten
+
     splits
       .filter { s =>
-        (s.minTs, s.maxTs) match {
+        val timeOk = (s.minTs, s.maxTs) match {
           case (Some(mn), Some(mx)) => bounds.overlaps(mn, mx)
           case _                    => true
         }
+        val numOk = numConstraints.forall { case (f, b) =>
+          s.numStats.get(f).forall { case (mn, mx) => b.overlaps(mn, mx) }
+        }
+        val dictOk = dictConstraints.forall { case (f, required) =>
+          s.dicts.get(f).forall(vals => required.exists(vals.contains))
+        }
+        timeOk && numOk && dictOk
       }
       .map(s => catalog.splitDir(indexName, s.id).toString)
   }

@@ -1,0 +1,93 @@
+package graft.query
+
+/** Conservative per-field constraint extraction from a query AST, powering
+  * manifest-level split pruning beyond the time field (see [[TimeBounds]]):
+  *
+  *  - [[extractNumeric]]: an interval every matching document's numeric
+  *    field must lie in (compared against per-split min/max zone maps);
+  *  - [[requiredTerms]]: a value set every matching document's raw-
+  *    tokenized text field must take a value from (compared against
+  *    per-split small-dictionary stats).
+  *
+  * "Conservative" = when in doubt, unconstrained — pruning must never lose
+  * a match. Numeric comparisons happen in Double space; query-side bounds
+  * are widened by one ulp so Long→Double rounding (|v| > 2^53) can never
+  * shrink the interval. The reference has no split pruning at all (its
+  * `time_field` is parsed and unused, `/root/reference/src/config/mod.rs`
+  * `:229-231`); at 100 TB this layer is what keeps a selective query from
+  * touching every object on the store.
+  */
+object FieldBounds {
+
+  final case class NumBounds(lo: Option[Double], hi: Option[Double]) {
+    def intersect(o: NumBounds): NumBounds = NumBounds(
+      Seq(lo, o.lo).flatten.reduceOption(_ max _),
+      Seq(hi, o.hi).flatten.reduceOption(_ min _))
+    def union(o: NumBounds): NumBounds = NumBounds(
+      for (a <- lo; b <- o.lo) yield math.min(a, b),
+      for (a <- hi; b <- o.hi) yield math.max(a, b))
+    def overlaps(splitMin: Double, splitMax: Double): Boolean =
+      lo.forall(_ <= splitMax) && hi.forall(_ >= splitMin)
+    def isUnbounded: Boolean = lo.isEmpty && hi.isEmpty
+  }
+  val Unbounded: NumBounds = NumBounds(None, None)
+
+  /** Widened one ulp each side: exclusive bounds are treated as inclusive
+    * (a strict superset) — split pruning only needs an over-approximation. */
+  private def point(v: String): Option[NumBounds] =
+    v.toDoubleOption.map(d => NumBounds(Some(Math.nextDown(d)), Some(Math.nextUp(d))))
+
+  def extractNumeric(ast: Ast, field: String): NumBounds = {
+    def walk(a: Ast): NumBounds = a match {
+      case Ast.Term(Some(f), v) if f == field =>
+        point(v).getOrElse(Unbounded)
+      case Ast.Range(Some(f), lo, hi) if f == field =>
+        val loB = lo match {
+          case Bound.Inclusive(v) => v.toDoubleOption.map(Math.nextDown)
+          case Bound.Exclusive(v) => v.toDoubleOption.map(Math.nextDown)
+          case Bound.Unbounded    => None
+        }
+        val hiB = hi match {
+          case Bound.Inclusive(v) => v.toDoubleOption.map(Math.nextUp)
+          case Bound.Exclusive(v) => v.toDoubleOption.map(Math.nextUp)
+          case Bound.Unbounded    => None
+        }
+        NumBounds(loB, hiB)
+      case Ast.InSet(Some(f), vs) if f == field =>
+        val ds = vs.flatMap(_.toDoubleOption)
+        if (ds.nonEmpty && ds.length == vs.length)
+          NumBounds(Some(Math.nextDown(ds.min)), Some(Math.nextUp(ds.max)))
+        else Unbounded
+      case Ast.Bool(clauses) =>
+        val musts = clauses.collect { case (Occur.Must, x) => walk(x) }
+        val shoulds = clauses.collect { case (Occur.Should, x) => walk(x) }
+        if (musts.nonEmpty) musts.reduce(_ intersect _)
+        else if (shoulds.nonEmpty) shoulds.reduce(_ union _)
+        else Unbounded
+      case Ast.Boost(inner, _) => walk(inner)
+      case _ => Unbounded
+    }
+    walk(ast)
+  }
+
+  /** Some(values): every matching document has `field` equal to one of
+    * `values` (raw-tokenizer exact-match semantics). None: unconstrained.
+    * Must-clauses intersect (any one constraint suffices to prune);
+    * should-clauses union and constrain only if EVERY arm constrains. */
+  def requiredTerms(ast: Ast, field: String): Option[Set[String]] = {
+    def walk(a: Ast): Option[Set[String]] = a match {
+      case Ast.Term(Some(f), v) if f == field  => Some(Set(v))
+      case Ast.InSet(Some(f), vs) if f == field => Some(vs.toSet)
+      case Ast.Bool(clauses) =>
+        val musts = clauses.collect { case (Occur.Must, x) => walk(x) }.flatten
+        val shoulds = clauses.collect { case (Occur.Should, x) => walk(x) }
+        if (musts.nonEmpty) Some(musts.reduce(_ intersect _))
+        else if (shoulds.nonEmpty && shoulds.forall(_.isDefined))
+          Some(shoulds.flatten.reduce(_ union _))
+        else None
+      case Ast.Boost(inner, _) => walk(inner)
+      case _ => None
+    }
+    walk(ast)
+  }
+}

@@ -55,8 +55,7 @@ final class StreamingIndexer(spark: SparkSession, catalog: Catalog) {
     val n = spark.read.schema(d.storageSchema).parquet(dir).count()
     if (n == 0) None
     else {
-      val (minTs, maxTs) = graft.engine.Indexer.timeRange(spark, d, dir)
-      val split = SplitInfo(id, n, minTs, maxTs)
+      val split = graft.engine.Indexer.splitStats(spark, d, dir, id, n)
       catalog.commitSplitIdempotent(indexName, split)
       Some(split)
     }

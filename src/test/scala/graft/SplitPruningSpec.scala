@@ -72,6 +72,74 @@ class SplitPruningSpec extends AnyFunSuite {
     assert(search.search("prune_test", "msg:alpha", 10).length == 2)
   }
 
+  private val zoneConfig =
+    """version: 1
+      |name: zone_test
+      |path: /tmp/unused
+      |schema:
+      |  fields:
+      |    - name: tenant_id
+      |      type: !number
+      |        type: i64
+      |    - name: severity
+      |      type: !text
+      |        indexed:
+      |          tokenizer: raw
+      |    - name: msg
+      |      type: !text
+      |""".stripMargin
+
+  test("numeric zone maps and raw-field dictionaries prune splits") {
+    val root = Files.createTempDirectory("graft-zone").toString
+    val cat = new Catalog(root)
+    cat.create(zoneConfig)
+    val idx = new Indexer(spark, cat)
+    // split A: tenants 1-20, INFO/WARN; split B: tenants 80-99, ERROR
+    idx.indexFile("zone_test", write(
+      """{"tenant_id": 1, "severity": "INFO", "msg": "alpha start"}
+        |{"tenant_id": 20, "severity": "WARN", "msg": "beta start"}""".stripMargin))
+    idx.indexFile("zone_test", write(
+      """{"tenant_id": 80, "severity": "ERROR", "msg": "alpha crash"}
+        |{"tenant_id": 99, "severity": "ERROR", "msg": "beta crash"}""".stripMargin))
+
+    val splits = cat.liveSplits("zone_test")
+    assert(splits.length == 2)
+    // the manifest round-trips the stats
+    assert(splits.forall(_.numStats.contains("tenant_id")))
+    assert(splits.forall(_.dicts.get("severity").exists(_.nonEmpty)))
+    val a = splits.find(_.numStats("tenant_id")._2 < 50).get
+    assert(a.dicts("severity").sorted == List("INFO", "WARN"))
+
+    val search = new Searcher(spark, cat)
+    val cfg = cat.load("zone_test")
+    val d = new graft.config.SchemaDerivation(cfg)
+    def pathsFor(q: String): List[String] =
+      search.prunedSplitPaths("zone_test", cfg, d, QueryParser.parse(q))
+
+    // numeric bounds prune
+    assert(pathsFor("tenant_id:>50").length == 1)
+    assert(pathsFor("tenant_id:[5 TO 10]").length == 1)
+    assert(pathsFor("tenant_id:200").isEmpty)
+    assert(pathsFor("tenant_id:>0").length == 2)
+    // dictionary prune: ERROR only lives in split B
+    assert(pathsFor("severity:ERROR").length == 1)
+    assert(pathsFor("severity:INFO OR severity:WARN").length == 1)
+    assert(pathsFor("severity:FATAL").isEmpty)
+    // OR with an unconstrained arm cannot prune
+    assert(pathsFor("severity:ERROR OR msg:alpha").length == 2)
+    // NOT never prunes (conservative)
+    assert(pathsFor("NOT severity:ERROR").length == 2)
+    // default-field term does not constrain a specific field
+    assert(pathsFor("alpha").length == 2)
+
+    // results stay correct through pruning
+    assert(search.search("zone_test", "tenant_id:>50 AND msg:alpha", 10) ==
+      Seq("""{"msg":"alpha crash","severity":"ERROR","tenant_id":80}"""))
+    assert(search.search("zone_test", "severity:ERROR AND msg:beta", 10) ==
+      Seq("""{"msg":"beta crash","severity":"ERROR","tenant_id":99}"""))
+    assert(search.search("zone_test", "msg:alpha", 10).length == 2)
+  }
+
   test("bound extraction composes through booleans") {
     val formats = Seq("rfc3339", "timestamp")
     def b(q: String) = TimeBounds.extract(QueryParser.parse(q), "ts", formats)
