@@ -52,10 +52,10 @@ final class Indexer(spark: SparkSession, catalog: Catalog) {
     val dir = catalog.splitDir(indexName, id).toString
     typed.write.mode("overwrite").parquet(dir)
 
-    // numDocs from the written files (cheap metadata-only count) — also the
-    // commit gate for empty batches.
-    val n = spark.read.schema(d.storageSchema).parquet(dir).count()
-    if (n == 0) {
+    // One stats+count pass over the written files gates empty batches and
+    // fills the manifest entry.
+    val split = Indexer.splitStats(spark, d, dir, id)
+    if (split.numDocs == 0) {
       // best-effort cleanup of the empty split dir
       try {
         import java.nio.file.{Files, Paths}
@@ -64,7 +64,6 @@ final class Indexer(spark: SparkSession, catalog: Catalog) {
       } catch { case _: Exception => }
       None
     } else {
-      val split = Indexer.splitStats(spark, d, dir, id, n)
       catalog.commitSplit(indexName, split)
       Some(split)
     }
@@ -86,11 +85,12 @@ final class Indexer(spark: SparkSession, catalog: Catalog) {
       .parquet(catalog.splitPaths(indexName): _*)
     // Compaction controls output file count via repartition: small indexes
     // collapse to one file; at scale this would target a fixed bytes/file.
-    val n = df.count()
+    // Row count comes free from the manifest — no count job.
+    val n = splits.map(_.numDocs).sum
     val parts = math.max(1, (n / 4000000L).toInt)
     df.repartition(parts).write.mode("overwrite").parquet(dir)
 
-    val split = Indexer.splitStats(spark, d, dir, id, n)
+    val split = Indexer.splitStats(spark, d, dir, id)
     catalog.swapSplits(indexName, splits.map(_.id), List(split))
     Some(split)
   }
@@ -104,20 +104,22 @@ object Indexer {
     * keeping the manifest O(bytes) per split. */
   val DictCap = 16
 
-  /** Per-split statistics for manifest-level pruning, computed in one
-    * aggregate pass over the freshly written split (a metadata-cheap
-    * column scan — Parquet prunes to just the stat columns):
+  /** Per-split statistics for manifest-level pruning plus the row count,
+    * computed in one aggregate pass over the freshly written split (a
+    * metadata-cheap column scan — Parquet prunes to just the stat
+    * columns):
     *
-    *  - time_field min/max in epoch micros (as before);
+    *  - numDocs (fused here so callers skip a separate count job);
+    *  - time_field min/max in epoch micros;
     *  - min/max zone maps for every indexed non-array numeric field,
     *    widened one ulp so Long→Double rounding stays conservative;
     *  - complete value dictionaries (≤ [[DictCap]] distinct values) for
     *    indexed non-array raw-tokenizer text fields, detected via an
-    *    approx-distinct probe in the same pass and collected exactly in a
-    *    second single-column pass only when small.
+    *    approx-distinct probe in the same pass and collected exactly in
+    *    one combined second job only for the fields proven small.
     */
   def splitStats(spark: SparkSession, d: SchemaDerivation, splitDir: String,
-      id: String, numDocs: Long): SplitInfo = {
+      id: String): SplitInfo = {
     val tsField = d.config.schema.timeField.flatMap(d.byFlatName.get).filter {
       _.fieldType.isInstanceOf[graft.config.DateTimeField]
     }
@@ -133,11 +135,10 @@ object Indexer {
         case _                         => false
       })
     }
-    if (tsField.isEmpty && numFields.isEmpty && dictFields.isEmpty)
-      return SplitInfo(id, numDocs)
 
     val df = spark.read.schema(d.storageSchema).parquet(splitDir)
     val aggs: List[org.apache.spark.sql.Column] =
+      count(lit(1)).as("__n") ::
       tsField.toList.flatMap(rf =>
         List(min(rf.column).as("__ts_mn"), max(rf.column).as("__ts_mx"))) ++
       numFields.flatMap(rf => List(
@@ -146,6 +147,8 @@ object Indexer {
       dictFields.map(rf =>
         approx_count_distinct(rf.column).as(s"__adc__${rf.flatName}"))
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val numDocs = row.getAs[Long]("__n")
+    if (numDocs == 0) return SplitInfo(id, 0)
 
     def micros(name: String): Option[Long] =
       Option(row.getAs[Any](name)).map {
@@ -171,15 +174,23 @@ object Indexer {
     }.toMap
 
     // approx_count_distinct has bounded relative error (default ~5%); the
-    // 2x margin keeps the probe conservative, the exact collect decides.
+    // 2x margin keeps the probe conservative. The exact collect_set in the
+    // combined second job decides — it is memory-safe because only fields
+    // the probe already proved near-cap reach it.
     val smallDicts = dictFields.filter { rf =>
       row.getAs[Long](s"__adc__${rf.flatName}") <= DictCap * 2L
     }
-    val dicts = smallDicts.flatMap { rf =>
-      val vals = df.select(rf.column.as("v")).where(col("v").isNotNull)
-        .distinct().limit(DictCap + 1).collect().map(_.getString(0)).toList
-      if (vals.length <= DictCap) Some(rf.flatName -> vals.sorted) else None
-    }.toMap
+    val dicts =
+      if (smallDicts.isEmpty) Map.empty[String, List[String]]
+      else {
+        val dictAggs = smallDicts.map(rf =>
+          collect_set(rf.column).as(s"__dict__${rf.flatName}"))
+        val drow = df.agg(dictAggs.head, dictAggs.tail: _*).collect()(0)
+        smallDicts.flatMap { rf =>
+          val vals = drow.getAs[scala.collection.Seq[String]](s"__dict__${rf.flatName}")
+          if (vals.size <= DictCap) Some(rf.flatName -> vals.toList.sorted) else None
+        }.toMap
+      }
 
     SplitInfo(id, numDocs, minTs, maxTs, numStats, dicts)
   }

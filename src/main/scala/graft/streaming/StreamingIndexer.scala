@@ -52,10 +52,9 @@ final class StreamingIndexer(spark: SparkSession, catalog: Catalog) {
     val id = f"${prefix}batch-$batchId%012d"
     val dir = catalog.splitDir(indexName, id).toString
     typed.write.mode("overwrite").parquet(dir)
-    val n = spark.read.schema(d.storageSchema).parquet(dir).count()
-    if (n == 0) None
+    val split = graft.engine.Indexer.splitStats(spark, d, dir, id)
+    if (split.numDocs == 0) None
     else {
-      val split = graft.engine.Indexer.splitStats(spark, d, dir, id, n)
       catalog.commitSplitIdempotent(indexName, split)
       Some(split)
     }
