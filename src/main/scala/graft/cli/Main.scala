@@ -15,7 +15,7 @@ import graft.streaming.StreamingIndexer
   * graft.cli.Main index  <name> <file|kafka://host:port/topic>
   *                       [--root DIR] [--stream] [--commit-interval 30s]
   * graft.cli.Main search <name> <query> [--limit N] [--root DIR]
-  * graft.cli.Main merge  <name>                   [--root DIR]
+  * graft.cli.Main merge  <name>  [--small-docs N] [--root DIR]
   * }}}
   *
   * The engine root (metadata + data location) defaults to `$GRAFT_ROOT` or
@@ -72,9 +72,14 @@ object Main {
         }
 
       case "merge" =>
-        new Indexer(spark, cat).merge(pos.head) match {
+        val idx = new Indexer(spark, cat)
+        val merged = flags.get("small-docs") match {
+          case Some(n) => idx.mergeSmall(pos.head, n.toLong)
+          case None    => idx.merge(pos.head)
+        }
+        merged match {
           case Some(s) => println(s"merged into split ${s.id} (${s.numDocs} docs)")
-          case None    => println("nothing to merge (need >= 2 splits)")
+          case None    => println("nothing to merge (need >= 2 eligible splits)")
         }
 
       case "search" =>

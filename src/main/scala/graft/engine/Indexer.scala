@@ -73,16 +73,28 @@ final class Indexer(spark: SparkSession, catalog: Catalog) {
     * read all live splits, rewrite as one, swap the manifest atomically,
     * best-effort delete the old files. Requires >= 2 splits, like the
     * reference (`merge.rs:28-31`). */
-  def merge(indexName: String): Option[SplitInfo] = {
+  def merge(indexName: String): Option[SplitInfo] =
+    mergeSplits(indexName, catalog.liveSplits(indexName))
+
+  /** Tiered compaction — the scale-correct variant the reference lacks:
+    * merge only splits smaller than `smallDocs`, leaving large splits'
+    * files untouched. Full `merge` rewrites the whole index every time
+    * (fine for a CLI, quadratic write amplification for a long-lived
+    * stream of small commits); this keeps compaction cost proportional to
+    * the small tier. Repeated calls converge: merged output that crosses
+    * the threshold graduates out of the tier. */
+  def mergeSmall(indexName: String, smallDocs: Long): Option[SplitInfo] =
+    mergeSplits(indexName, catalog.liveSplits(indexName).filter(_.numDocs < smallDocs))
+
+  private def mergeSplits(indexName: String, splits: List[SplitInfo]): Option[SplitInfo] = {
     val cfg = catalog.load(indexName)
     val d = new SchemaDerivation(cfg)
-    val splits = catalog.liveSplits(indexName)
     if (splits.length < 2) return None
 
     val id = newSplitId()
     val dir = catalog.splitDir(indexName, id).toString
     val df = spark.read.schema(d.storageSchema)
-      .parquet(catalog.splitPaths(indexName): _*)
+      .parquet(splits.map(s => catalog.splitDir(indexName, s.id).toString): _*)
     // Compaction controls output file count via repartition: small indexes
     // collapse to one file; at scale this would target a fixed bytes/file.
     // Row count comes free from the manifest — no count job.

@@ -157,6 +157,36 @@ class ToshokanParitySpec extends AnyFunSuite {
     }
   }
 
+  test("tiered merge compacts only the small tier; large split untouched") {
+    withEngine { (cat, idx, search) =>
+      cat.create(refFile("example_config.yaml"))
+      val docs = refFile("tests/test_files/hdfs-logs-multitenants-2.json")
+        .trim.split("\n")
+      // two 1-doc splits (small tier) + one 2-doc split (large tier)
+      idx.indexFile("test", writeDocs(docs(0)))
+      idx.indexFile("test", writeDocs(docs(1)))
+      idx.indexFile("test", writeDocs(docs.mkString("\n")))
+      val before = cat.liveSplits("test")
+      assert(before.length == 3)
+      val bigId = before.find(_.numDocs == 2).get.id
+
+      val q = "tenant_id:>50 AND severity_text:INFO"
+      val beforeHit = search.search("test", q, 1)
+
+      // only the two 1-doc splits are eligible
+      val merged = idx.mergeSmall("test", smallDocs = 2)
+      assert(merged.isDefined && merged.get.numDocs == 2)
+      val after = cat.liveSplits("test")
+      assert(after.length == 2)
+      assert(after.exists(_.id == bigId), "large split must keep its id/files")
+      assert(search.search("test", q, 1) == beforeHit)
+
+      // the merged 2-doc split has graduated: nothing below the threshold
+      assert(idx.mergeSmall("test", smallDocs = 2).isEmpty)
+      cat.drop("test")
+    }
+  }
+
   test("parse errors skip the document, not the batch") {
     withEngine { (cat, idx, search) =>
       cat.create(
