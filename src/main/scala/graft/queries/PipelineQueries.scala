@@ -424,7 +424,54 @@ object PipelineQueries {
         base64(encode(expr("substring(text, 1 + 3 * (len div 4), 8)"), "UTF-8")).as("f3"))
       .orderBy(col("doc_id"))
 
+  /** PII scrubbing — the standard pre-training redaction pass: count and
+    * replace emails and IPv4s with placeholder tags. The synthetic corpus
+    * contains no PII, so the op first injects one deterministic email+IP
+    * per document (derived from doc_id) into a `raw` column — clearly a
+    * test harness; on real data `raw` IS the input column. Regexes avoid
+    * lookaround so Java and RE2 (DuckDB) agree. Pure per-row projection:
+    * partition-parallel, no shuffle, codegen'd end-to-end. */
+  val text_pii_scrub: Q = (s, dir) => {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    docs(s, dir)
+      .withColumn("raw", concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com from 10.0."),
+        pmod(col("doc_id"), lit(256)), lit(".1 end")))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("raw"), lit(email), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("raw"), lit(ip), lit(0))).as("n_ips"),
+        length(regexp_replace(regexp_replace(col("raw"), email, "<EMAIL>"),
+          ip, "<IP>")).as("scrubbed_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Perceptual-hash near-dup buckets over the multimodal payload: 16
+    * evenly spaced sample bytes, thresholded against their mean, packed
+    * into a 16-bit signature — the byte-grid stand-in for an image pHash
+    * (no codecs in this container; a real decoder slots in before the
+    * sampling, same plumbing). Bucket = signature collision; one shuffle
+    * on a 16-bit key, output only buckets with >= 2 members. */
+  val mm_phash_buckets: Q = (s, dir) =>
+    docs(s, dir)
+      .withColumn("len", length(col("text")))
+      .where(col("len") >= 16)
+      .withColumn("samples", expr(
+        "transform(sequence(0, 15), i -> ascii(substring(text, 1 + (len * i) div 16, 1)))"))
+      .withColumn("mean", expr("aggregate(samples, 0L, (a, x) -> a + x) div 16"))
+      .withColumn("phash", expr(
+        """aggregate(zip_with(samples, sequence(0, 15),
+          |  (s, i) -> CASE WHEN s > mean THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END),
+          |  0L, (a, x) -> a + x)""".stripMargin))
+      .groupBy(col("phash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
+      .where(col("n_docs") >= 2)
+      .orderBy(col("phash"))
+
   val all: Map[String, Q] = Map(
+    "text_pii_scrub" -> text_pii_scrub,
+    "mm_phash_buckets" -> mm_phash_buckets,
     "dedup_exact" -> dedup_exact,
     "dedup_ngram_jaccard" -> dedup_ngram_jaccard,
     "dedup_minhash_lsh" -> dedup_minhash_lsh,
@@ -613,6 +660,32 @@ object PipelineQueries {
         |  octet_length(encode(text)) AS n_bytes,
         |  md5(text) AS content_hash,
         |  to_base64(encode(substring(text, 1, 8))) AS frame0
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_pii_scrub" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(raw, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+        |  length(regexp_replace(
+        |    regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS scrubbed_len
+        |FROM (SELECT doc_id,
+        |        text || ' contact user' || doc_id || '@example.com from 10.0.' ||
+        |        (doc_id % 256) || '.1 end' AS raw
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "mm_phash_buckets" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    list_transform(range(16),
+        |      i -> ord(substr(text, CAST(1 + (length(text) * i) // 16 AS INT), 1))) AS samples
+        |  FROM documents WHERE length(text) >= 16),
+        |p AS (
+        |  SELECT doc_id,
+        |    list_sum(list_transform(range(16),
+        |      i -> CASE WHEN samples[i + 1] > list_sum(samples) // 16
+        |                THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END)) AS phash
+        |  FROM s)
+        |SELECT phash, count(*) AS n_docs, min(doc_id) AS min_doc_id
+        |FROM p GROUP BY phash HAVING count(*) >= 2 ORDER BY phash""".stripMargin
   )
 }
