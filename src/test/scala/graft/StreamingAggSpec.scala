@@ -49,6 +49,54 @@ class StreamingAggSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("late data beyond the watermark is dropped; append emits finalized windows") {
+    val srcDir = Files.createTempDirectory("late-src").toString
+    val ckpt = Files.createTempDirectory("late-ckpt").toString
+    val schema = StructType.fromDDL("ts timestamp_ntz, value double")
+    val stream = spark.readStream.schema(schema).json(srcDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+
+    // batch 1: two events in window 00:00 plus one at 00:20 that advances
+    // the watermark to 00:15, sealing window 00:00.
+    Files.write(Paths.get(srcDir, "b1.json"),
+      """{"ts": "2024-01-01T00:01:00", "value": 1.0}
+        |{"ts": "2024-01-01T00:02:00", "value": 2.0}
+        |{"ts": "2024-01-01T00:20:00", "value": 3.0}
+        |""".stripMargin.getBytes)
+
+    val q = stream.writeStream
+      .format("memory").queryName("late_out")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      // batch 2: an event for the sealed 00:00 window (late, must be
+      // dropped) and an on-time one at 00:21.
+      Files.write(Paths.get(srcDir, "b2.json"),
+        """{"ts": "2024-01-01T00:02:30", "value": 100.0}
+          |{"ts": "2024-01-01T00:21:00", "value": 4.0}
+          |""".stripMargin.getBytes)
+      q.processAllAvailable()
+      // batch 3: advance the watermark past 00:25 so window 00:20 emits.
+      Files.write(Paths.get(srcDir, "b3.json"),
+        """{"ts": "2024-01-01T00:40:00", "value": 5.0}
+          |""".stripMargin.getBytes)
+      q.processAllAvailable()
+
+      val got = spark.sql(
+        """SELECT date_format(window.start, 'HH:mm') AS w, n
+          |FROM late_out ORDER BY w""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      // 00:00 holds 2, NOT 3 — the late 00:02:30 event was dropped; 00:20
+      // holds the on-time pair; 00:40's window is still open (not emitted).
+      assert(got == Seq(("00:00", 2L), ("00:20", 2L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("session_window aggregation closes sessions on the gap, streaming") {
     val srcDir = Files.createTempDirectory("sess-src").toString
     val ckpt = Files.createTempDirectory("sess-ckpt").toString
