@@ -37,7 +37,8 @@ import graft.exprs.JsonSupport
 final case class SplitInfo(id: String, numDocs: Long,
     minTs: Option[Long] = None, maxTs: Option[Long] = None,
     numStats: Map[String, (Double, Double)] = Map.empty,
-    dicts: Map[String, List[String]] = Map.empty)
+    dicts: Map[String, List[String]] = Map.empty,
+    hexStats: Map[String, (String, String)] = Map.empty)
 
 final class Catalog(rootDir: String) {
   private val root = Paths.get(rootDir)
@@ -96,10 +97,15 @@ final class Catalog(rootDir: String) {
           e.getKey -> e.getValue.elements().asScala.map(_.asText()).toList
         }.toMap
       }.getOrElse(Map.empty[String, List[String]])
+      val hexStats = Option(s.get("hexStats")).filter(_.isObject).map { st =>
+        st.properties().asScala.map { e =>
+          e.getKey -> (e.getValue.get("min").asText(), e.getValue.get("max").asText())
+        }.toMap
+      }.getOrElse(Map.empty[String, (String, String)])
       SplitInfo(s.get("id").asText(), s.get("numDocs").asLong(),
         Option(s.get("minTs")).filter(!_.isNull).map(_.asLong()),
         Option(s.get("maxTs")).filter(!_.isNull).map(_.asLong()),
-        numStats, dicts)
+        numStats, dicts, hexStats)
     }.toList
   }
 
@@ -123,6 +129,15 @@ final class Catalog(rootDir: String) {
           st.set[com.fasterxml.jackson.databind.JsonNode](f, fo)
         }
         o.set[com.fasterxml.jackson.databind.JsonNode]("stats", st)
+      }
+      if (s.hexStats.nonEmpty) {
+        val st = m.createObjectNode()
+        s.hexStats.toList.sortBy(_._1).foreach { case (f, (mn, mx)) =>
+          val fo = m.createObjectNode()
+          fo.put("min", mn); fo.put("max", mx)
+          st.set[com.fasterxml.jackson.databind.JsonNode](f, fo)
+        }
+        o.set[com.fasterxml.jackson.databind.JsonNode]("hexStats", st)
       }
       if (s.dicts.nonEmpty) {
         val dc = m.createObjectNode()

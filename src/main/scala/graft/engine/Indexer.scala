@@ -147,6 +147,14 @@ object Indexer {
         case _                         => false
       })
     }
+    // IP zone maps: the canonical 16 bytes as fixed-width uppercase hex —
+    // string min/max ≡ unsigned byte order ≡ numeric IP order.
+    val ipFields = d.resolved.filter { rf =>
+      !rf.array && (rf.fieldType match {
+        case ip: graft.config.IpField => ip.indexed || ip.fast
+        case _                        => false
+      })
+    }
 
     val df = spark.read.schema(d.storageSchema).parquet(splitDir)
     val aggs: List[org.apache.spark.sql.Column] =
@@ -156,6 +164,9 @@ object Indexer {
       numFields.flatMap(rf => List(
         min(rf.column).cast("double").as(s"__mn__${rf.flatName}"),
         max(rf.column).cast("double").as(s"__mx__${rf.flatName}"))) ++
+      ipFields.flatMap(rf => List(
+        min(hex(rf.column)).as(s"__ipmn__${rf.flatName}"),
+        max(hex(rf.column)).as(s"__ipmx__${rf.flatName}"))) ++
       dictFields.map(rf =>
         approx_count_distinct(rf.column).as(s"__adc__${rf.flatName}"))
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
@@ -185,6 +196,14 @@ object Indexer {
       }
     }.toMap
 
+    val hexStats = ipFields.flatMap { rf =>
+      (Option(row.getAs[String](s"__ipmn__${rf.flatName}")),
+        Option(row.getAs[String](s"__ipmx__${rf.flatName}"))) match {
+        case (Some(mn), Some(mx)) => Some(rf.flatName -> (mn, mx))
+        case _                    => None
+      }
+    }.toMap
+
     // approx_count_distinct has bounded relative error (default ~5%); the
     // 2x margin keeps the probe conservative. The exact collect_set in the
     // combined second job decides — it is memory-safe because only fields
@@ -204,6 +223,6 @@ object Indexer {
         }.toMap
       }
 
-    SplitInfo(id, numDocs, minTs, maxTs, numStats, dicts)
+    SplitInfo(id, numDocs, minTs, maxTs, numStats, dicts, hexStats)
   }
 }

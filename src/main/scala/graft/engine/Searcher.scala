@@ -67,13 +67,15 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
 
   /** Manifest-level split pruning — the coarse layer above Parquet
     * row-group pruning, and the piece that keeps a selective query from
-    * listing/opening every object at 100 TB. Three independent,
+    * listing/opening every object at 100 TB. Four independent,
     * conservative constraint families (a split survives unless some
     * recorded stat proves it cannot match; missing stats always keep the
     * split):
     *
     *  - time_field bounds vs the split's [minTs, maxTs] stamps;
     *  - numeric bounds per indexed number field vs min/max zone maps;
+    *  - IP bounds per indexed ip field vs hex zone maps (string order on
+    *    fixed-width hex ≡ numeric IP order);
     *  - required-value sets per raw-tokenized text field vs complete
     *    small dictionaries ([[Indexer.DictCap]]).
     */
@@ -95,6 +97,13 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
         case rf if !rf.array && rf.fieldType.isInstanceOf[NumberField] =>
           rf.flatName -> FieldBounds.extractNumeric(ast, rf.flatName)
       }.filterNot(_._2.isUnbounded)
+    val ipConstraints: List[(String, FieldBounds.StrBounds)] =
+      d.resolved.collect {
+        case rf if !rf.array && rf.fieldType.isInstanceOf[IpField] =>
+          rf.flatName -> FieldBounds.extractOrdered(ast, rf.flatName,
+            v => graft.exprs.IpCodec.parse(v)
+              .map(_.map("%02X".format(_)).mkString))
+      }.filterNot(_._2.isUnbounded)
     val dictConstraints: List[(String, Set[String])] =
       d.resolved.collect {
         case rf if !rf.array &&
@@ -112,10 +121,13 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
         val numOk = numConstraints.forall { case (f, b) =>
           s.numStats.get(f).forall { case (mn, mx) => b.overlaps(mn, mx) }
         }
+        val ipOk = ipConstraints.forall { case (f, b) =>
+          s.hexStats.get(f).forall { case (mn, mx) => b.overlaps(mn, mx) }
+        }
         val dictOk = dictConstraints.forall { case (f, required) =>
           s.dicts.get(f).forall(vals => required.exists(vals.contains))
         }
-        timeOk && numOk && dictOk
+        timeOk && numOk && ipOk && dictOk
       }
       .map(s => catalog.splitDir(indexName, s.id).toString)
   }

@@ -70,6 +70,59 @@ object FieldBounds {
     walk(ast)
   }
 
+  /** Bounds over an ordered string domain — used for IP fields, whose
+    * canonical 16 bytes are compared as fixed-width uppercase hex (string
+    * order ≡ unsigned byte order ≡ numeric IP order). Exclusive bounds are
+    * treated as inclusive: a strict superset, which is all pruning needs. */
+  final case class StrBounds(lo: Option[String], hi: Option[String]) {
+    def intersect(o: StrBounds): StrBounds = StrBounds(
+      Seq(lo, o.lo).flatten.reduceOption((a, b) => if (a >= b) a else b),
+      Seq(hi, o.hi).flatten.reduceOption((a, b) => if (a <= b) a else b))
+    def union(o: StrBounds): StrBounds = StrBounds(
+      for (a <- lo; b <- o.lo) yield if (a <= b) a else b,
+      for (a <- hi; b <- o.hi) yield if (a >= b) a else b)
+    def overlaps(splitMin: String, splitMax: String): Boolean =
+      lo.forall(_ <= splitMax) && hi.forall(_ >= splitMin)
+    def isUnbounded: Boolean = lo.isEmpty && hi.isEmpty
+  }
+  val UnboundedStr: StrBounds = StrBounds(None, None)
+
+  /** Extract bounds for a field whose literals map into an ordered string
+    * domain via `parse` (unparsable literal → unconstrained). */
+  def extractOrdered(ast: Ast, field: String,
+      parse: String => Option[String]): StrBounds = {
+    def walk(a: Ast): StrBounds = a match {
+      case Ast.Term(Some(f), v) if f == field =>
+        parse(v).map(p => StrBounds(Some(p), Some(p))).getOrElse(UnboundedStr)
+      case Ast.Range(Some(f), lo, hi) if f == field =>
+        val loB = lo match {
+          case Bound.Inclusive(v) => parse(v)
+          case Bound.Exclusive(v) => parse(v)
+          case Bound.Unbounded    => None
+        }
+        val hiB = hi match {
+          case Bound.Inclusive(v) => parse(v)
+          case Bound.Exclusive(v) => parse(v)
+          case Bound.Unbounded    => None
+        }
+        StrBounds(loB, hiB)
+      case Ast.InSet(Some(f), vs) if f == field =>
+        val ps = vs.flatMap(parse)
+        if (ps.nonEmpty && ps.length == vs.length)
+          StrBounds(Some(ps.min), Some(ps.max))
+        else UnboundedStr
+      case Ast.Bool(clauses) =>
+        val musts = clauses.collect { case (Occur.Must, x) => walk(x) }
+        val shoulds = clauses.collect { case (Occur.Should, x) => walk(x) }
+        if (musts.nonEmpty) musts.reduce(_ intersect _)
+        else if (shoulds.nonEmpty) shoulds.reduce(_ union _)
+        else UnboundedStr
+      case Ast.Boost(inner, _) => walk(inner)
+      case _ => UnboundedStr
+    }
+    walk(ast)
+  }
+
   /** Some(values): every matching document has `field` equal to one of
     * `values` (raw-tokenizer exact-match semantics). None: unconstrained.
     * Must-clauses intersect (any one constraint suffices to prune);

@@ -140,6 +140,52 @@ class SplitPruningSpec extends AnyFunSuite {
     assert(search.search("zone_test", "msg:alpha", 10).length == 2)
   }
 
+  test("ip hex zone maps prune splits; v4/v6 share one ordered domain") {
+    val root = Files.createTempDirectory("graft-ipzone").toString
+    val cat = new Catalog(root)
+    cat.create(
+      """version: 1
+        |name: ip_zone
+        |path: /tmp/unused
+        |schema:
+        |  fields:
+        |    - name: addr
+        |      type: !ip
+        |    - name: msg
+        |      type: !text
+        |""".stripMargin)
+    val idx = new Indexer(spark, cat)
+    // split A: low v4 space; split B: high v4 + a v6 address
+    idx.indexFile("ip_zone", write(
+      """{"addr": "10.0.0.1", "msg": "low one"}
+        |{"addr": "10.0.5.9", "msg": "low two"}""".stripMargin))
+    idx.indexFile("ip_zone", write(
+      """{"addr": "192.168.0.1", "msg": "high one"}
+        |{"addr": "2001:db8::1", "msg": "high two"}""".stripMargin))
+
+    val splits = cat.liveSplits("ip_zone")
+    assert(splits.length == 2 && splits.forall(_.hexStats.contains("addr")))
+
+    val search = new Searcher(spark, cat)
+    val cfg = cat.load("ip_zone")
+    val d = new graft.config.SchemaDerivation(cfg)
+    def pathsFor(q: String): List[String] =
+      search.prunedSplitPaths("ip_zone", cfg, d, QueryParser.parse(q))
+
+    assert(pathsFor("addr:[10.0.0.0 TO 10.255.255.255]").length == 1)
+    assert(pathsFor("addr:192.168.0.1").length == 1)
+    assert(pathsFor("addr:[8.0.0.0 TO 9.0.0.0]").isEmpty)
+    // v6 range spanning only split B's v6 address
+    assert(pathsFor("addr:[2001:db8:: TO 2001:db8::ff]").length == 1)
+    // unparsable literal -> no pruning
+    assert(pathsFor("addr:notanip").length == 2)
+
+    // results stay correct through pruning
+    assert(search.search("ip_zone", "addr:[10.0.0.0 TO 10.0.0.255] AND msg:low", 10) ==
+      Seq("""{"addr":"10.0.0.1","msg":"low one"}"""))
+    cat.drop("ip_zone")
+  }
+
   test("bound extraction composes through booleans") {
     val formats = Seq("rfc3339", "timestamp")
     def b(q: String) = TimeBounds.extract(QueryParser.parse(q), "ts", formats)
