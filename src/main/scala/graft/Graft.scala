@@ -16,6 +16,7 @@ object Graft {
       .builder()
       .master(s"local[$cores]")
       .appName(appName)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -16,17 +16,13 @@ import graft.exprs._
   * }}}
   */
 object GraftFunctions {
+  /** Same function list as [[graft.GraftExtensions]]; this path registers
+    * temp functions on one existing session, the extension injects at
+    * session build. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    registry.createOrReplaceTempFunction("ip_canonical",
-      exprs => IpCanonicalize(exprs.head), "scala_udf")
-    registry.createOrReplaceTempFunction("ip_display",
-      exprs => IpDisplay(exprs.head), "scala_udf")
-    registry.createOrReplaceTempFunction("porter_stem",
-      exprs => PorterStem(exprs.head), "scala_udf")
-    registry.createOrReplaceTempFunction("cosine_similarity",
-      exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
-    registry.createOrReplaceTempFunction("expand_dots_json",
-      exprs => ExpandDotsJson(exprs.head), "scala_udf")
+    graft.GraftExtensions.functions.foreach { case (name, _, builder) =>
+      registry.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
   }
 }

@@ -141,4 +141,15 @@ class StreamingAggSpec extends AnyFunSuite {
     assert(r.getString(1) == "run")
     assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
   }
+
+  test("spark.sql.extensions injects functions into forked sessions") {
+    // temp functions (register) do NOT survive newSession(); functions
+    // visible there can only come from the injected GraftExtensions.
+    val forked = spark.newSession()
+    val r = forked.sql(
+      "SELECT porter_stem('indexing') AS st, ip_display(ip_canonical('10.0.0.7')) AS ip")
+      .collect()(0)
+    assert(r.getString(0) == "index")
+    assert(r.getString(1) == "10.0.0.7")
+  }
 }
