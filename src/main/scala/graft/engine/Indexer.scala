@@ -126,9 +126,9 @@ object Indexer {
     *  - min/max zone maps for every indexed non-array numeric field,
     *    widened one ulp so Long→Double rounding stays conservative;
     *  - complete value dictionaries (≤ [[DictCap]] distinct values) for
-    *    indexed non-array raw-tokenizer text fields, detected via an
-    *    approx-distinct probe in the same pass and collected exactly in
-    *    one combined second job only for the fields proven small.
+    *    indexed non-array raw-tokenizer text fields, via the bounded-set
+    *    aggregate ([[graft.exprs.BoundedSetAgg]]) in the same pass —
+    *    executor state is capped, so no cardinality probe is needed.
     */
   def splitStats(spark: SparkSession, d: SchemaDerivation, splitDir: String,
       id: String): SplitInfo = {
@@ -168,7 +168,8 @@ object Indexer {
         min(hex(rf.column)).as(s"__ipmn__${rf.flatName}"),
         max(hex(rf.column)).as(s"__ipmx__${rf.flatName}"))) ++
       dictFields.map(rf =>
-        approx_count_distinct(rf.column).as(s"__adc__${rf.flatName}"))
+        graft.exprs.BoundedSetAgg.boundedSet(rf.column, DictCap)
+          .as(s"__dict__${rf.flatName}"))
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val numDocs = row.getAs[Long]("__n")
     if (numDocs == 0) return SplitInfo(id, 0)
@@ -204,24 +205,15 @@ object Indexer {
       }
     }.toMap
 
-    // approx_count_distinct has bounded relative error (default ~5%); the
-    // 2x margin keeps the probe conservative. The exact collect_set in the
-    // combined second job decides — it is memory-safe because only fields
-    // the probe already proved near-cap reach it.
-    val smallDicts = dictFields.filter { rf =>
-      row.getAs[Long](s"__adc__${rf.flatName}") <= DictCap * 2L
-    }
-    val dicts =
-      if (smallDicts.isEmpty) Map.empty[String, List[String]]
-      else {
-        val dictAggs = smallDicts.map(rf =>
-          collect_set(rf.column).as(s"__dict__${rf.flatName}"))
-        val drow = df.agg(dictAggs.head, dictAggs.tail: _*).collect()(0)
-        smallDicts.flatMap { rf =>
-          val vals = drow.getAs[scala.collection.Seq[String]](s"__dict__${rf.flatName}")
-          if (vals.size <= DictCap) Some(rf.flatName -> vals.toList.sorted) else None
-        }.toMap
-      }
+    // BoundedSetAgg saturates at cap+1 elements — a saturated result means
+    // "field has too many distinct values, no dictionary"; the state is
+    // bounded on the executors regardless of cardinality, so this runs
+    // inside the single stats pass (no probe, no second scan).
+    val dicts = dictFields.flatMap { rf =>
+      val vals = row.getAs[scala.collection.Seq[String]](s"__dict__${rf.flatName}")
+      if (vals != null && vals.size <= DictCap) Some(rf.flatName -> vals.toList)
+      else None
+    }.toMap
 
     SplitInfo(id, numDocs, minTs, maxTs, numStats, dicts, hexStats)
   }

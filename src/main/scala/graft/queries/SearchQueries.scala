@@ -158,10 +158,14 @@ object SearchQueries {
       |        type: i64
       |""".stripMargin
 
+  /** Persisted: each roundtrip ingests this 1-3 times (split halves, merge
+    * input) and three roundtrip queries build the identical plan — Spark's
+    * cache manager shares the one materialization across them all. */
   private def docsAsJsonl(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents")
       .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
         col("source"), col("n_chars"))).as("value"))
+      .persist()
 
   private def parseResults(results: DataFrame): DataFrame = {
     val schema = StructType.fromDDL(
