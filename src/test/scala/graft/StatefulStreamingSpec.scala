@@ -47,4 +47,46 @@ class StatefulStreamingSpec extends AnyFunSuite {
       assert(got.head._2 == "a", "first occurrence of key 1 must win")
     } finally q.stop()
   }
+
+  test("dropDuplicatesWithinWatermark dedups replays; state expires with time") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // (doc_id, event-time seconds) — the built-in bounded-state streaming
+    // dedup: unlike the flatMapGroupsWithState version above (state lives
+    // forever), dedup state here is dropped once the watermark passes it,
+    // which is what makes streaming ingest dedup viable at 100 TB: state
+    // is O(events within the watermark window), not O(all keys ever).
+    val input = MemoryStream[(Long, Long)]
+    val deduped = input.toDS()
+      .select(col("_1").as("doc_id"),
+        timestamp_seconds(col("_2")).as("ts"))
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark("doc_id")
+
+    val ckpt = java.nio.file.Files.createTempDirectory("ddww-ckpt").toString
+    val q = deduped.writeStream
+      .format("memory").queryName("ddww_out")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      input.addData((1L, 100L), (2L, 101L))
+      q.processAllAvailable()
+      // replay of doc 1 within the watermark window: dropped
+      input.addData((1L, 105L), (3L, 106L))
+      q.processAllAvailable()
+      // advance event time far past the watermark, then replay doc 1:
+      // its dedup state has expired, so it is (correctly) emitted again
+      input.addData((4L, 1000L))
+      q.processAllAvailable()
+      input.addData((1L, 1001L))
+      q.processAllAvailable()
+
+      val got = spark.sql("SELECT doc_id FROM ddww_out ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == Seq(1L, 1L, 2L, 3L, 4L), s"got $got")
+    } finally q.stop()
+  }
 }
