@@ -50,7 +50,9 @@ final class Indexer(spark: SparkSession, catalog: Catalog) {
 
     val id = newSplitId()
     val dir = catalog.splitDir(indexName, id).toString
-    typed.write.mode("overwrite").parquet(dir)
+    typed.write.mode("overwrite")
+      .option("maxRecordsPerFile", Indexer.MaxRecordsPerFile)
+      .parquet(dir)
 
     // One stats+count pass over the written files gates empty batches and
     // fills the manifest entry.
@@ -99,8 +101,10 @@ final class Indexer(spark: SparkSession, catalog: Catalog) {
     // collapse to one file; at scale this would target a fixed bytes/file.
     // Row count comes free from the manifest — no count job.
     val n = splits.map(_.numDocs).sum
-    val parts = math.max(1, (n / 4000000L).toInt)
-    df.repartition(parts).write.mode("overwrite").parquet(dir)
+    val parts = math.max(1, (n / Indexer.MaxRecordsPerFile).toInt)
+    df.repartition(parts).write.mode("overwrite")
+      .option("maxRecordsPerFile", Indexer.MaxRecordsPerFile)
+      .parquet(dir)
 
     val split = Indexer.splitStats(spark, d, dir, id)
     catalog.swapSplits(indexName, splits.map(_.id), List(split))
@@ -109,6 +113,13 @@ final class Indexer(spark: SparkSession, catalog: Catalog) {
 }
 
 object Indexer {
+
+  /** Upper bound on rows per written Parquet file: a skewed or
+    * single-partition input otherwise produces one giant object, which on
+    * an object store means one giant PUT and no read parallelism within
+    * the split. (At real scale this would be a byte target; rows are the
+    * proxy the writer exposes.) */
+  val MaxRecordsPerFile = 4000000L
 
   /** Complete-dictionary size cap: a raw text field's distinct values are
     * recorded in the manifest only when there are at most this many —

@@ -393,7 +393,7 @@ object PipelineQueries {
 
   /** Multimodal column plumbing: opaque binary payloads + typed metadata.
     * The payload here is the utf-8 encoding of the text (the container has
-    * no image/audio codecs — see MultimodalSpec for the stubbed
+    * no image/audio codecs — see PipelineSpec for the stubbed
     * decode/feature-extract path over mapPartitions); the Spark-side
     * contract (binary column, metadata struct, partition-parallel byte
     * processing) is real: byte length, content hash, and a "frame sample"

@@ -51,7 +51,9 @@ final class StreamingIndexer(spark: SparkSession, catalog: Catalog) {
     val prefix = if (runTag.isEmpty) "" else s"run-$runTag-"
     val id = f"${prefix}batch-$batchId%012d"
     val dir = catalog.splitDir(indexName, id).toString
-    typed.write.mode("overwrite").parquet(dir)
+    typed.write.mode("overwrite")
+      .option("maxRecordsPerFile", graft.engine.Indexer.MaxRecordsPerFile)
+      .parquet(dir)
     val split = graft.engine.Indexer.splitStats(spark, d, dir, id)
     if (split.numDocs == 0) None
     else {

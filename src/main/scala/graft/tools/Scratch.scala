@@ -15,6 +15,12 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   *    false-positive rate that is quadratic in corpus size — inherent to
   *    simhash, not a plan regression (band join itself stays linear).
   *  - q_term_search: 0.22s → 0.37s for 10× docs.
+  *
+  * Split-pruning probe (20 monthly splits × 5k docs): all-splits term
+  * search 0.44s (hits=78,360); time-ranged search pruned to 1 split
+  * 0.18s (hits=3,918) — 2.4× at local scale where fixed overhead
+  * dominates; the structural win is 1 file opened instead of 20, which
+  * is the number that matters against an object store.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -67,6 +73,46 @@ object Scratch {
       graft.queries.SearchQueries.all("q_term_search")(spark, tmp).count()
       time(s"x$k q_term_search")(
         graft.queries.SearchQueries.all("q_term_search")(spark, tmp).count())
+    }
+
+    // ---- split-pruning probe: 20 monthly splits, ranged vs full search --
+    {
+      import graft.engine.{Catalog, Indexer, Searcher}
+      val root = java.nio.file.Files.createTempDirectory("graft-prune-probe").toString
+      val cat = new Catalog(root)
+      cat.create(
+        """version: 1
+          |name: probe
+          |path: /tmp/unused
+          |schema:
+          |  time_field: ts
+          |  fields:
+          |    - name: ts
+          |      type: !datetime
+          |    - name: doc_id
+          |      type: !number
+          |        type: i64
+          |    - name: text
+          |      type: !text
+          |""".stripMargin)
+      val idx = new Indexer(spark, cat)
+      val jsonl = base.select(col("doc_id"), col("text"))
+      for (m <- 0 until 20) {
+        val month = f"${2020 + m / 12}%04d-${m % 12 + 1}%02d"
+        idx.indexDataFrame("probe", jsonl
+          .withColumn("ts", lit(s"$month-15T12:00:00Z"))
+          .select(to_json(struct(col("ts"), col("doc_id"), col("text"))).as("value")))
+      }
+      println(s"[scratch] probe splits: ${cat.liveSplits("probe").length}")
+      val search = new Searcher(spark, cat)
+      def run(label: String, q: String): Unit = {
+        search.searchDf("probe", q, 1000000).count() // warm
+        time(label)(println(s"[scratch]   hits=" +
+          search.searchDf("probe", q, 1000000).count()))
+      }
+      run("all-splits term search", "text:spark")
+      run("1-split ranged search",
+        "ts:[2021-03-01T00:00:00Z TO 2021-03-31T00:00:00Z] AND text:spark")
     }
     spark.stop()
   }
