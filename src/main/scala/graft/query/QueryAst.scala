@@ -88,13 +88,18 @@ object QueryParser {
     private def isTermChar(c: Char): Boolean =
       !c.isWhitespace && !"()[]{}\":*^~".contains(c)
 
-    /** `~` after a term value: optional digits give the edit distance. */
+    /** `~` after a term value: optional digits give the edit distance.
+      * toIntOption guards absurd digit runs (`a~99999999999999`) — a
+      * NumberFormatException here would escape the ParseError contract. */
     def tryFuzzySuffix(): Option[Int] =
       if (!eof && peek == '~') {
         pos += 1
         val st = pos
         while (!eof && peek.isDigit) pos += 1
-        Some(if (pos > st) s.substring(st, pos).toInt else 2)
+        Some(if (pos > st)
+          s.substring(st, pos).toIntOption
+            .getOrElse(throw ParseError("fuzzy distance out of range", st))
+        else 2)
       } else None
 
     def parseQuery(): Ast = {
@@ -142,12 +147,15 @@ object QueryParser {
         return (Occur.MustNot, inner)
       }
       val atom = parseAtom()
-      // optional boost: term^2
+      // optional boost: term^2 — empty or malformed digits (`a^`, `a^.`)
+      // must surface as ParseError, not NumberFormatException
       val boosted = if (!eof && peek == '^') {
         pos += 1
         val start = pos
         while (!eof && (peek.isDigit || peek == '.')) pos += 1
-        Ast.Boost(atom, s.substring(start, pos).toDouble)
+        val txt = s.substring(start, pos)
+        Ast.Boost(atom, txt.toDoubleOption
+          .getOrElse(throw ParseError(s"invalid boost '$txt'", start)))
       } else atom
       (occur, boosted)
     }
@@ -241,7 +249,10 @@ object QueryParser {
         pos += 1
         val st = pos
         while (!eof && peek.isDigit) pos += 1
-        slop = if (pos > st) s.substring(st, pos).toInt else 0
+        slop = if (pos > st)
+          s.substring(st, pos).toIntOption
+            .getOrElse(throw ParseError("phrase slop out of range", st))
+        else 0
       }
       Ast.Phrase(field, text.split("\\s+").filter(_.nonEmpty).toList, slop)
     }

@@ -1,0 +1,178 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.exprs.{IpCodec, PorterStemmer}
+import graft.functions.TimeParse
+import graft.query._
+
+/** ScalaCheck properties for the engine's pure kernels (SURVEY §5): the
+  * query printer↔parser fixpoint, IP codec roundtrips, datetime magnitude
+  * inference, and stemmer idempotence. Plain ScalaCheck driven from
+  * ScalaTest (no scalatestplus bridge in the offline cache).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(name: String)(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), p)
+    assert(res.passed, s"$name failed: ${res.status}")
+  }
+
+  // ---- generators ---------------------------------------------------------
+
+  private val keywords = Set("AND", "OR", "NOT", "TO", "IN")
+  private val word: Gen[String] =
+    Gen.chooseNum(1, 8).flatMap(n => Gen.stringOfN(n, Gen.alphaLowerChar))
+      .suchThat(w => w.nonEmpty && !keywords(w.toUpperCase))
+  private val fieldOpt: Gen[Option[String]] = Gen.option(word)
+
+  private val genBound: Gen[Bound] = Gen.frequency(
+    (2, word.map(Bound.Inclusive(_))),
+    (2, word.map(Bound.Exclusive(_))),
+    (1, Gen.const(Bound.Unbounded)))
+
+  private def genAst(depth: Int): Gen[Ast] = {
+    val leaf: Gen[Ast] = Gen.oneOf(
+      Gen.const(Ast.MatchAll),
+      for (f <- fieldOpt; v <- word) yield Ast.Term(f, v),
+      for (f <- fieldOpt; v <- word) yield Ast.Prefix(f, v),
+      for (f <- fieldOpt; v <- word; d <- Gen.chooseNum(1, 2)) yield Ast.Fuzzy(f, v, d),
+      for {
+        f <- fieldOpt
+        ws <- Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, word))
+        slop <- Gen.chooseNum(0, 2)
+      } yield Ast.Phrase(f, ws, slop),
+      for (f <- fieldOpt; lo <- genBound; hi <- genBound) yield Ast.Range(f, lo, hi),
+      for {
+        f <- fieldOpt
+        vs <- Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, word))
+      } yield Ast.InSet(f, vs)
+    )
+    if (depth == 0) leaf
+    else Gen.frequency(
+      (4, leaf),
+      (1, for (inner <- genAst(depth - 1); b <- Gen.oneOf(0.5, 2.0, 3.5))
+        yield Ast.Boost(inner, b)),
+      (2, for {
+        n <- Gen.chooseNum(2, 3)
+        cs <- Gen.listOfN(n, for {
+          o <- Gen.oneOf[Occur](Occur.Must, Occur.Should, Occur.MustNot)
+          a <- genAst(depth - 1)
+        } yield (o, a))
+      } yield Ast.Bool(cs))
+    )
+  }
+
+  // ---- printer (test-local; values are alphanumeric by construction) -----
+
+  private def render(a: Ast): String = a match {
+    case Ast.MatchAll        => "*"
+    case Ast.Term(f, v)      => f.map(_ + ":").getOrElse("") + v
+    case Ast.Prefix(f, v)    => f.map(_ + ":").getOrElse("") + v + "*"
+    case Ast.Fuzzy(f, v, d)  => f.map(_ + ":").getOrElse("") + v + "~" + d
+    case Ast.Phrase(f, ws, s) =>
+      f.map(_ + ":").getOrElse("") + "\"" + ws.mkString(" ") + "\"" +
+        (if (s > 0) "~" + s else "")
+    case Ast.Range(f, lo, hi) =>
+      def b(x: Bound): String = x match {
+        case Bound.Unbounded    => "*"
+        case Bound.Inclusive(v) => v
+        case Bound.Exclusive(v) => v
+      }
+      val lb = if (lo.isInstanceOf[Bound.Exclusive]) "{" else "["
+      val rb = if (hi.isInstanceOf[Bound.Exclusive]) "}" else "]"
+      f.map(_ + ":").getOrElse("") + lb + b(lo) + " TO " + b(hi) + rb
+    case Ast.InSet(f, vs) =>
+      f.map(_ + ":").getOrElse("") + "IN [" + vs.mkString(" ") + "]"
+    case Ast.Boost(inner, bv) => renderAtom(inner) + "^" + bv
+    case Ast.Bool(cs) =>
+      cs.map { case (o, c) =>
+        val p = o match {
+          case Occur.Must    => "+"
+          case Occur.MustNot => "-"
+          case Occur.Should  => ""
+        }
+        p + renderAtom(c)
+      }.mkString(" ")
+  }
+
+  private def renderAtom(a: Ast): String = a match {
+    case _: Ast.Bool  => "(" + render(a) + ")"
+    case _: Ast.Boost => "(" + render(a) + ")"
+    case other        => render(other)
+  }
+
+  // ---- properties ---------------------------------------------------------
+
+  test("printer→parser fixpoint: parse(render(parse(render(ast)))) is stable") {
+    check("parser fixpoint")(Prop.forAll(genAst(2)) { ast =>
+      val a1 = QueryParser.parse(render(ast))
+      val a2 = QueryParser.parse(render(a1))
+      if (a1 != a2) {
+        println(s"UNSTABLE: $ast\n  q1=${render(ast)}\n  a1=$a1\n  q2=${render(a1)}\n  a2=$a2")
+      }
+      a1 == a2
+    })
+  }
+
+  test("parser never throws anything but ParseError on arbitrary ascii input") {
+    val ascii = Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.stringOfN(n, Gen.choose(32.toChar, 126.toChar)))
+    check("parser totality")(Prop.forAll(ascii) { s =>
+      try { QueryParser.parse(s); true }
+      catch {
+        case _: QueryParser.ParseError => true
+        case _: NumberFormatException  => false // boost/fuzzy digits must be guarded
+        case _: Throwable              => false
+      }
+    })
+  }
+
+  test("ip codec: format∘parse is identity on canonical 16-byte addresses") {
+    val bytes16 = Gen.listOfN(16, Gen.chooseNum(0, 255)).map(_.map(_.toByte).toArray)
+    check("ip v6 roundtrip")(Prop.forAll(bytes16) { b =>
+      IpCodec.parse(IpCodec.format(b)).exists(_.sameElements(b))
+    })
+  }
+
+  test("ip codec: dotted-quad roundtrips through the v6-mapped domain") {
+    val octet = Gen.chooseNum(0, 255)
+    check("ip v4 roundtrip")(Prop.forAll(octet, octet, octet, octet) { (a, b, c, d) =>
+      val s = s"$a.$b.$c.$d"
+      IpCodec.parse(s).exists(bs => IpCodec.format(bs) == s)
+    })
+  }
+
+  test("datetime magnitude inference maps all four units to the same micros") {
+    val sec = Gen.chooseNum(72057595L, 8589934591L)
+    check("magnitude consistency")(Prop.forAll(sec) { s =>
+      val us = s * 1000000L
+      TimeParse.fromMagnitude(s).contains(us) &&
+        TimeParse.fromMagnitude(s * 1000L).contains(us) &&
+        TimeParse.fromMagnitude(us).contains(us) &&
+        TimeParse.fromMagnitude(us * 1000L).contains(us)
+    })
+  }
+
+  test("magnitude inference rejects values outside every unit window") {
+    check("magnitude bounds")(Prop.forAll(Gen.chooseNum(0L, 72057594L)) { v =>
+      TimeParse.fromMagnitude(v).isEmpty
+    })
+  }
+
+  test("porter stemmer never lengthens, never empties, stays lowercase") {
+    // NOTE: classic Porter is NOT idempotent in general (found by the
+    // earlier idempotence property on nonsense words like "oieihxbjngse" →
+    // "oieihxbjngs" → "oieihxbjng"); tokens are stemmed exactly once at
+    // ingest and once at query compile, so only single-application
+    // invariants matter.
+    val word = Gen.chooseNum(1, 12).flatMap(n => Gen.stringOfN(n, Gen.alphaLowerChar))
+    check("stem invariants")(Prop.forAll(word) { w =>
+      val s1 = PorterStemmer.stem(w)
+      s1.nonEmpty && s1.length <= w.length &&
+        s1.forall(c => c.isLower || c.isDigit) &&
+        PorterStemmer.stem(w) == s1 // deterministic
+    })
+  }
+}
