@@ -161,6 +161,43 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("compiler and bound extractors are total over generated ASTs") {
+    // Fields from the generator rarely match the schema, exercising the
+    // default-field expansion and `_dynamic` paths; compilation builds
+    // Column trees only (no session needed), so a MatchError on any AST
+    // shape — the class of bug a new node like Fuzzy could introduce —
+    // fails here without touching Spark.
+    val cfg = graft.config.IndexConfig.fromYaml(
+      """version: 1
+        |name: prop
+        |path: /tmp/unused
+        |schema:
+        |  time_field: ts
+        |  fields:
+        |    - name: ts
+        |      type: !datetime
+        |    - name: n
+        |      type: !number
+        |        type: i64
+        |    - name: sev
+        |      type: !text
+        |        indexed:
+        |          tokenizer: raw
+        |    - name: body
+        |      type: !text
+        |""".stripMargin)
+    val d = new graft.config.SchemaDerivation(cfg)
+    val compiler = new QueryCompiler(d)
+    check("compiler totality")(Prop.forAll(genAst(2)) { ast =>
+      compiler.compileAst(ast)
+      TimeBounds.extract(ast, "ts", Seq("rfc3339", "timestamp"))
+      FieldBounds.extractNumeric(ast, "n")
+      FieldBounds.extractOrdered(ast, "sev", Some(_))
+      FieldBounds.requiredTerms(ast, "sev")
+      true
+    })
+  }
+
   test("porter stemmer never lengthens, never empties, stays lowercase") {
     // NOTE: classic Porter is NOT idempotent in general (found by the
     // earlier idempotence property on nonsense words like "oieihxbjngse" →
