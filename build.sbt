@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forward the sbt process's stdin to the forked run JVM so
+// `cat docs.jsonl | sbt "runMain graft.cli.Main index <name> -"` works
+// (the CLI's stdin ingest path, matching the reference).
+run / connectInput := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

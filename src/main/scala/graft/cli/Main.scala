@@ -12,8 +12,10 @@ import graft.streaming.StreamingIndexer
   * {{{
   * graft.cli.Main create <config.yaml>            [--root DIR]
   * graft.cli.Main drop   <name>                   [--root DIR]
-  * graft.cli.Main index  <name> <file|kafka://host:port/topic>
+  * graft.cli.Main index  <name> [file|kafka://host:port/topic]
   *                       [--root DIR] [--stream] [--commit-interval 30s]
+  *                       (no input, or `-`: read JSONL from stdin,
+  *                        like the reference — `src/args.rs:51-56`)
   * graft.cli.Main search <name> <query> [--limit N] [--root DIR]
   * graft.cli.Main merge  <name>  [--small-docs N] [--root DIR]
   * }}}
@@ -45,7 +47,14 @@ object Main {
 
       case "index" =>
         val name = pos.head
-        val input = pos(1)
+        // No input arg (or `-`) = stdin, like the reference: spool to a
+        // temp file so Spark's distributed reader has a path.
+        val input = pos.lift(1).filterNot(_ == "-").getOrElse {
+          val tmp = Files.createTempFile("graft-stdin", ".jsonl")
+          Files.copy(System.in, tmp,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          tmp.toString
+        }
         if (input.startsWith("kafka://")) {
           val rest = input.stripPrefix("kafka://")
           val (bootstrap, topic) = rest.split("/", 2) match {
