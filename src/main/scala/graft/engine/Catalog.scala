@@ -27,6 +27,15 @@ import graft.exprs.JsonSupport
   * this single small file would become a conditional PUT or a commit log —
   * the one node that must be strongly consistent, everything else is
   * immutable data.
+  *
+  * Concurrency contract: metadata mutation is **single-writer per index**
+  * (the `synchronized` blocks serialize writers within one JVM; the
+  * reference gets the same from Postgres transactions). Two *processes*
+  * committing concurrently would race the read-modify-write and one
+  * commit could be lost — on an object store the conditional PUT
+  * (if-match on the manifest ETag) turns that race into a clean
+  * retryable failure. Readers are always safe: they see either the old
+  * or the new manifest, never a partial one.
   */
 /** One committed split. minTs/maxTs (epoch micros of the configured
   * time_field) enable manifest-level split pruning for time-ranged

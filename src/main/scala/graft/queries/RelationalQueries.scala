@@ -363,6 +363,20 @@ object RelationalQueries {
         col("R").as("qty_r"))
       .orderBy(col("l_linestatus"))
 
+  /** Unpivot (wide→long melt) — the inverse of [[q_pivot]]: per-order
+    * metric rows from two value columns. Pure per-row Generate (each
+    * input row fans to exactly 2 output rows): narrow, no shuffle. The
+    * oracle writes the portable UNION ALL form, which is exactly the
+    * relational meaning of UNPIVOT in both engines. */
+  val q_unpivot: Q = (s, dir) =>
+    table(s, dir, "orders")
+      .select(col("o_orderkey"),
+        dec(col("o_totalprice")).cast("double").as("total_price"),
+        year(col("o_orderdate")).cast("double").as("order_year"))
+      .unpivot(Array(col("o_orderkey")),
+        Array(col("total_price"), col("order_year")), "metric", "value")
+      .orderBy(col("o_orderkey"), col("metric"))
+
   /** Exact percentiles (linear interpolation) of quantity per return flag
     * — Spark `percentile` ≡ DuckDB `quantile_cont`. Exact-sort-based here;
     * the approximate sketch path at scale is `approx_percentile`, whose
@@ -473,7 +487,8 @@ object RelationalQueries {
     "q_percentile" -> q_percentile,
     "q_kmv_distinct" -> q_kmv_distinct,
     "q_window_frames" -> q_window_frames,
-    "q_skew_agg" -> q_skew_agg
+    "q_skew_agg" -> q_skew_agg,
+    "q_unpivot" -> q_unpivot
   )
 
   val oracles: Map[String, String] = Map(
@@ -641,6 +656,16 @@ object RelationalQueries {
         |  quantile_cont(l_quantity, 0.5) AS p50,
         |  quantile_cont(l_quantity, 0.9) AS p90
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_unpivot" ->
+      """SELECT o_orderkey, metric, value FROM (
+        |  SELECT o_orderkey, 'total_price' AS metric,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS value
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'order_year' AS metric,
+        |         CAST(year(o_orderdate) AS DOUBLE) AS value
+        |  FROM orders)
+        |ORDER BY o_orderkey, metric""".stripMargin,
     "q_kmv_distinct" ->
       """WITH h AS (
         |  SELECT DISTINCT CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
