@@ -81,4 +81,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(after.map(_.numDocs).sum == docsBefore + 3,
       s"fresh run must append (distinct run tag), got $after")
   }
+
+  test("tiered merge compacts a stream's small splits without stopping ingest") {
+    // The intended production loop: streaming commits many small splits;
+    // a periodic mergeSmall compacts them while the stream keeps writing
+    // (compaction and ingest touch disjoint manifest entries; the swap is
+    // atomic either way).
+    val root = Files.createTempDirectory("graft-stream-merge").toString
+    val srcDir = Files.createTempDirectory("sm-src").toString
+    val ckpt = Files.createTempDirectory("sm-ckpt").toString
+    val cat = new Catalog(root)
+    cat.create(
+      """version: 1
+        |name: sm_test
+        |path: /tmp/unused
+        |schema:
+        |  fields:
+        |    - name: n
+        |      type: !number
+        |        type: i64
+        |""".stripMargin)
+    val streamer = new StreamingIndexer(spark, cat)
+    val idx = new graft.engine.Indexer(spark, cat)
+    val search = new Searcher(spark, cat)
+
+    // five 1-doc files, one AvailableNow drain each -> >=2 small splits
+    for (i <- 1 to 5) {
+      Files.write(Paths.get(srcDir, s"f$i.json"), s"""{"n": $i}""".getBytes)
+      val q = streamer.startFileStream("sm_test", srcDir, ckpt, availableNow = true)
+      q.awaitTermination(60000)
+    }
+    val before = cat.liveSplits("sm_test")
+    assert(before.length >= 2 && before.map(_.numDocs).sum == 5, s"got $before")
+
+    // compact everything under 100 docs (all of them) into one split
+    val merged = idx.mergeSmall("sm_test", smallDocs = 100)
+    assert(merged.isDefined && merged.get.numDocs == 5)
+    assert(cat.liveSplits("sm_test").length == 1)
+
+    // ingest continues against the compacted manifest
+    Files.write(Paths.get(srcDir, "f6.json"), """{"n": 6}""".getBytes)
+    val q = streamer.startFileStream("sm_test", srcDir, ckpt, availableNow = true)
+    q.awaitTermination(60000)
+    assert(cat.liveSplits("sm_test").map(_.numDocs).sum == 6)
+    assert(search.search("sm_test", "n:>=1", 10).length == 6)
+    assert(search.search("sm_test", "n:6", 1) == Seq("""{"n":6}"""))
+  }
 }
