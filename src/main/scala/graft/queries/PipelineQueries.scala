@@ -320,12 +320,19 @@ object PipelineQueries {
       .limit(20)
 
   /** Token counting: whitespace tokens and a BPE-ish alnum/punct split. */
+  /** Token counting three ways: whitespace, word, and a BPE-ish regex —
+    * the GPT-2 pretokenizer shape (space-prefixed letter runs / digit
+    * runs / punctuation runs) without its lookahead, so Java and RE2
+    * (DuckDB) agree; the real tokenizer's vocab merge step would run on
+    * these pretokens. */
   val text_token_count: Q = (s, dir) =>
     docs(s, dir)
       .select(col("doc_id"),
         size(split(trim(col("text")), "\\s+")).as("ws_tokens"),
         size(filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= ""))
           .as("word_tokens"),
+        size(regexp_extract_all(lower(col("text")),
+          lit(" ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+"), lit(0))).as("bpe_tokens"),
         length(col("text")).as("chars"))
       .orderBy(col("doc_id"))
 
@@ -616,6 +623,7 @@ object PipelineQueries {
       """SELECT doc_id,
         |  len(regexp_extract_all(trim(text), '\S+')) AS ws_tokens,
         |  len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS word_tokens,
+        |  len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+')) AS bpe_tokens,
         |  length(text) AS chars
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_quality" ->
