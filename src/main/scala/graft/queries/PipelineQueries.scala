@@ -431,6 +431,60 @@ object PipelineQueries {
         base64(encode(expr("substring(text, 1 + 3 * (len div 4), 8)"), "UTF-8")).as("f3"))
       .orderBy(col("doc_id"))
 
+  /** Random-hyperplane LSH ANN — the third standard ANN shape next to
+    * [[knn_cell]]/[[knn_ivf]]: 16 signed projections pack into two 8-bit
+    * signatures (two LSH tables; a candidate matches if EITHER bucket
+    * matches — the classic recall lever), then exact cosine re-ranks the
+    * candidates. Projections use md5-derived integer weights against
+    * round(v·10⁶) integer components, so the sign bits are exact integer
+    * arithmetic — bit-identical in DuckDB, no float-summation-order
+    * hazard. Scale shape: two shuffles on one-byte keys + a candidate
+    * set bounded by bucket occupancy, never corpus². */
+  val knn_lsh: Q = (s, dir) => {
+    val dim = 64
+    val planes = 16
+    def w(i: Int, j: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"${i}_$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L
+    }
+    val wLit = array((0 until planes).map(i =>
+      array((1 to dim).map(j => lit(w(i, j))): _*)): _*)
+
+    val e = table(s, dir, "embeddings")
+      .withColumn("__w", wLit)
+      .withColumn("vs", expr("transform(embedding, x -> CAST(round(x * 1000000) AS BIGINT))"))
+      .withColumn("bits", expr(
+        s"""transform(sequence(0, ${planes - 1}), i ->
+           |  IF(aggregate(zip_with(vs, element_at(__w, i + 1), (v, ww) -> v * ww),
+           |       0L, (acc, t) -> acc + t) > 0, 1L, 0L))""".stripMargin))
+      .withColumn("sig1", expr(
+        "aggregate(sequence(0, 7), 0L, (acc, i) -> acc + shiftleft(element_at(bits, i + 1), i))"))
+      .withColumn("sig2", expr(
+        "aggregate(sequence(8, 15), 0L, (acc, i) -> acc + shiftleft(element_at(bits, i + 1), i - 8))"))
+      .select(col("vec_id"), col("embedding"), col("sig1"), col("sig2"))
+      .persist()
+
+    val q = e.where(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("sig1").as("qs1"), col("sig2").as("qs2"))
+    val cand1 = q.join(e, col("qs1") === col("sig1"))
+    val cand2 = q.join(e, col("qs2") === col("sig2"))
+    val cands = cand1.select(col("qid"), col("qv"), col("vec_id"), col("embedding"))
+      .unionAll(cand2.select(col("qid"), col("qv"), col("vec_id"), col("embedding")))
+      .where(col("vec_id") =!= col("qid"))
+      .dropDuplicates("qid", "vec_id")
+    val win = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    cands
+      .withColumn("cos", cosine(col("qv"), col("embedding")))
+      .withColumn("rank", row_number().over(win))
+      .where(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** PII scrubbing — the standard pre-training redaction pass: count and
     * replace emails and IPv4s with placeholder tags. The synthetic corpus
     * contains no PII, so the op first injects one deterministic email+IP
@@ -479,6 +533,7 @@ object PipelineQueries {
   val all: Map[String, Q] = Map(
     "text_pii_scrub" -> text_pii_scrub,
     "mm_phash_buckets" -> mm_phash_buckets,
+    "knn_lsh" -> knn_lsh,
     "dedup_exact" -> dedup_exact,
     "dedup_ngram_jaccard" -> dedup_ngram_jaccard,
     "dedup_minhash_lsh" -> dedup_minhash_lsh,
@@ -669,6 +724,32 @@ object PipelineQueries {
         |  md5(text) AS content_hash,
         |  to_base64(encode(substring(text, 1, 8))) AS frame0
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "knn_lsh" ->
+      """WITH sg AS (
+        |  SELECT vec_id, embedding,
+        |    list_transform(range(16), i ->
+        |      CASE WHEN list_sum(list_transform(range(64), j ->
+        |          CAST(round(embedding[j + 1] * 1000000) AS BIGINT) *
+        |          ((CAST('0x' || substr(md5(i || '_' || (j + 1)), 1, 15) AS BIGINT) % 2001) - 1000))
+        |        ) > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS bits
+        |  FROM embeddings),
+        |sig AS (
+        |  SELECT vec_id, embedding,
+        |    list_sum(list_transform(range(8), i -> bits[i + 1] << i)) AS sig1,
+        |    list_sum(list_transform(range(8), i -> bits[i + 9] << i)) AS sig2
+        |  FROM sg),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS qid, q.embedding AS qv,
+        |         e.vec_id AS neighbor, e.embedding AS ev
+        |  FROM sig q JOIN sig e
+        |    ON (q.sig1 = e.sig1 OR q.sig2 = e.sig2) AND e.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 20)
+        |SELECT qid, rank, neighbor FROM (
+        |  SELECT qid, neighbor,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY list_cosine_similarity(qv, ev) DESC, neighbor ASC) AS rank
+        |  FROM cand)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "text_pii_scrub" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
