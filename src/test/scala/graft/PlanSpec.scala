@@ -83,6 +83,14 @@ class PlanSpec extends AnyFunSuite {
       s"no un-broadcast cartesian anywhere:\n$plan")
   }
 
+  test("knn_lsh joins the tiny query side by broadcast, no cartesian") {
+    val plan = formatted(graft.queries.PipelineQueries.knn_lsh(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket joins against 20 queries must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no un-broadcast cartesian anywhere:\n$plan")
+  }
+
   test("ingest plan is shuffle-free (narrow text -> parse -> columns)") {
     val cfgYaml = new String(Files.readAllBytes(
       java.nio.file.Paths.get("/root/reference/example_config.yaml")), "UTF-8")

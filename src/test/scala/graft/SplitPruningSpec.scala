@@ -186,6 +186,32 @@ class SplitPruningSpec extends AnyFunSuite {
     cat.drop("ip_zone")
   }
 
+  test("manifests from before zone maps still load; empty index searches clean") {
+    val root = Files.createTempDirectory("graft-compat").toString
+    val cat = new Catalog(root)
+    cat.create(zoneConfig.replace("zone_test", "compat_test"))
+    // searching a freshly created (zero-split) index returns nothing
+    val search = new Searcher(spark, cat)
+    assert(search.search("compat_test", "*", 10).isEmpty)
+    assert(search.search("compat_test", "tenant_id:>0 AND msg:x", 10).isEmpty)
+
+    // hand-write a round-1-format manifest entry (no stats/dicts/hexStats)
+    // pointing at a real split written through the indexer
+    val idx = new Indexer(spark, cat)
+    val committed = idx.indexFile("compat_test", write(
+      """{"tenant_id": 7, "severity": "INFO", "msg": "legacy doc"}""")).get
+    val manifest = java.nio.file.Paths.get(root, "indexes", "compat_test", "manifest.json")
+    Files.write(manifest,
+      s"""{"splits":[{"id":"${committed.id}","numDocs":1}]}""".getBytes("UTF-8"))
+
+    val legacy = cat.liveSplits("compat_test")
+    assert(legacy == List(graft.engine.SplitInfo(committed.id, 1)))
+    // no stats -> nothing prunes, search still answers
+    assert(search.search("compat_test", "tenant_id:>0 AND msg:legacy", 10) ==
+      Seq("""{"msg":"legacy doc","severity":"INFO","tenant_id":7}"""))
+    cat.drop("compat_test")
+  }
+
   test("bound extraction composes through booleans") {
     val formats = Seq("rfc3339", "timestamp")
     def b(q: String) = TimeBounds.extract(QueryParser.parse(q), "ts", formats)
