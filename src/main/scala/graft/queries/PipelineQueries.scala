@@ -530,10 +530,28 @@ object PipelineQueries {
       .where(col("n_docs") >= 2)
       .orderBy(col("phash"))
 
+  /** Audio-shaped feature extraction over the multimodal payload: treat
+    * the bytes as a waveform, emit integer energy (sum of squared
+    * samples) per 32-sample window — the frame-energy profile a VAD or
+    * silence-trimmer consumes. Integer arithmetic end-to-end (exact in
+    * the oracle); per-row fan-out of len/32 rows, no shuffle. A real
+    * codec slots in before the sampling, same plumbing. */
+  val mm_audio_energy: Q = (s, dir) =>
+    docs(s, dir)
+      .withColumn("vs", expr(
+        "transform(sequence(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))"))
+      .where(size(col("vs")) >= 32)
+      .withColumn("win", expr(
+        """transform(sequence(0, size(vs) div 32 - 1), i ->
+          |  aggregate(slice(vs, i * 32 + 1, 32), 0L, (acc, x) -> acc + x * x))""".stripMargin))
+      .select(col("doc_id"), posexplode(col("win")).as(Seq("window_idx", "energy")))
+      .orderBy(col("doc_id"), col("window_idx"))
+
   val all: Map[String, Q] = Map(
     "text_pii_scrub" -> text_pii_scrub,
     "mm_phash_buckets" -> mm_phash_buckets,
     "knn_lsh" -> knn_lsh,
+    "mm_audio_energy" -> mm_audio_energy,
     "dedup_exact" -> dedup_exact,
     "dedup_ngram_jaccard" -> dedup_ngram_jaccard,
     "dedup_minhash_lsh" -> dedup_minhash_lsh,
@@ -724,6 +742,17 @@ object PipelineQueries {
         |  md5(text) AS content_hash,
         |  to_base64(encode(substring(text, 1, 8))) AS frame0
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_audio_energy" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_transform(range(length(text)), i -> CAST(ord(text[i + 1]) AS BIGINT)) AS vs
+        |  FROM documents WHERE length(text) >= 32)
+        |SELECT doc_id, i AS window_idx,
+        |  list_sum(list_transform(list_slice(vs, i * 32 + 1, i * 32 + 32), x -> x * x)) AS energy
+        |FROM (SELECT doc_id, vs,
+        |        unnest(range(CAST(len(vs) // 32 AS BIGINT))) AS i
+        |      FROM t)
+        |ORDER BY doc_id, window_idx""".stripMargin,
     "knn_lsh" ->
       """WITH sg AS (
         |  SELECT vec_id, embedding,
