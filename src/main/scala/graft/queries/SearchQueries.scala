@@ -229,7 +229,10 @@ object SearchQueries {
       "boolnot" -> "text:spark AND NOT text:window",
       "minus" -> "text:spark -text:window",
       "paren" -> "(text:vector OR text:merge) AND n_chars:>=300",
-      "bare" -> "spark")
+      "bare" -> "spark",
+      "star" -> "*",
+      "boost" -> "text:spark^2 OR text:merge",
+      "cmp" -> "n_chars:>=350")
     constructs.map { case (tag, q) =>
       parseResults(search.searchDf(name, q, 1000000))
         .select(lit(tag).as("construct"), col("doc_id"))
@@ -349,7 +352,15 @@ object SearchQueries {
         |  UNION ALL
         |  SELECT 'bare', doc_id FROM toks
         |    WHERE regexp_matches(lower(text), '\bspark\b')
-        |       OR lang = 'spark' OR source = 'spark')
+        |       OR lang = 'spark' OR source = 'spark'
+        |  UNION ALL
+        |  SELECT 'star', doc_id FROM toks
+        |  UNION ALL
+        |  SELECT 'boost', doc_id FROM toks
+        |    WHERE regexp_matches(lower(text), '\bspark\b')
+        |       OR regexp_matches(lower(text), '\bmerge\b')
+        |  UNION ALL
+        |  SELECT 'cmp', doc_id FROM toks WHERE n_chars >= 350)
         |ORDER BY construct, doc_id""".stripMargin
   )
 }
