@@ -17,7 +17,8 @@ import graft.streaming.StreamingIndexer
   *                       (no input, or `-`: read JSONL from stdin,
   *                        like the reference — `src/args.rs:51-56`)
   * graft.cli.Main search <name> <query> [--limit N] [--root DIR]
-  * graft.cli.Main merge  <name>  [--small-docs N] [--root DIR]
+  * graft.cli.Main merge  <name>  [--small-docs N] [--dedup] [--root DIR]
+  * graft.cli.Main stats  <name>                   [--root DIR]
   * }}}
   *
   * The engine root (metadata + data location) defaults to `$GRAFT_ROOT` or
@@ -82,13 +83,34 @@ object Main {
 
       case "merge" =>
         val idx = new Indexer(spark, cat)
-        val merged = flags.get("small-docs") match {
-          case Some(n) => idx.mergeSmall(pos.head, n.toLong)
-          case None    => idx.merge(pos.head)
+        val merged = (flags.get("small-docs"), flags.contains("dedup")) match {
+          case (Some(n), _)   => idx.mergeSmall(pos.head, n.toLong)
+          case (None, true)   => idx.mergeDedup(pos.head)
+          case (None, false)  => idx.merge(pos.head)
         }
         merged match {
           case Some(s) => println(s"merged into split ${s.id} (${s.numDocs} docs)")
           case None    => println("nothing to merge (need >= 2 eligible splits)")
+        }
+
+      case "stats" =>
+        val name = pos.head
+        val splits = cat.liveSplits(name)
+        println(s"index '$name': ${splits.length} splits, " +
+          s"${splits.map(_.numDocs).sum} docs")
+        splits.sortBy(_.id).foreach { s =>
+          val ts = (s.minTs, s.maxTs) match {
+            case (Some(mn), Some(mx)) => s" ts=[$mn..$mx]"
+            case _                    => ""
+          }
+          val zs = s.numStats.toList.sortBy(_._1)
+            .map { case (f, (mn, mx)) => s"$f=[$mn..$mx]" }.mkString(" ")
+          val hx = s.hexStats.keys.toList.sorted
+            .map(f => s"$f=hex").mkString(" ")
+          val dc = s.dicts.toList.sortBy(_._1)
+            .map { case (f, vs) => s"$f={${vs.mkString(",")}}" }.mkString(" ")
+          println(s"  ${s.id}: ${s.numDocs} docs$ts " +
+            List(zs, hx, dc).filter(_.nonEmpty).mkString(" "))
         }
 
       case "search" =>
@@ -107,6 +129,7 @@ object Main {
     while (rest.nonEmpty) {
       rest match {
         case "--stream" :: t => flags("stream") = "true"; rest = t
+        case "--dedup" :: t  => flags("dedup") = "true"; rest = t
         case f :: v :: t if f.startsWith("--") => flags(f.stripPrefix("--")) = v; rest = t
         case x :: t => pos += x; rest = t
         case Nil =>

@@ -88,15 +88,25 @@ final class Indexer(spark: SparkSession, catalog: Catalog) {
   def mergeSmall(indexName: String, smallDocs: Long): Option[SplitInfo] =
     mergeSplits(indexName, catalog.liveSplits(indexName).filter(_.numDocs < smallDocs))
 
-  private def mergeSplits(indexName: String, splits: List[SplitInfo]): Option[SplitInfo] = {
+  /** Compact-and-deduplicate: merge that also drops exact duplicate
+    * documents (every stored column equal — the at-least-once streaming
+    * failure mode, and the first dedup pass of a training pipeline, run
+    * inside compaction where the data is being rewritten anyway). One
+    * extra shuffle on all columns over data that is already in flight. */
+  def mergeDedup(indexName: String): Option[SplitInfo] =
+    mergeSplits(indexName, catalog.liveSplits(indexName), dedup = true)
+
+  private def mergeSplits(indexName: String, splits: List[SplitInfo],
+      dedup: Boolean = false): Option[SplitInfo] = {
     val cfg = catalog.load(indexName)
     val d = new SchemaDerivation(cfg)
     if (splits.length < 2) return None
 
     val id = newSplitId()
     val dir = catalog.splitDir(indexName, id).toString
-    val df = spark.read.schema(d.storageSchema)
+    val read = spark.read.schema(d.storageSchema)
       .parquet(splits.map(s => catalog.splitDir(indexName, s.id).toString): _*)
+    val df = if (dedup) read.dropDuplicates() else read
     // Compaction controls output file count via repartition: small indexes
     // collapse to one file; at scale this would target a fixed bytes/file.
     // Row count comes free from the manifest — no count job.

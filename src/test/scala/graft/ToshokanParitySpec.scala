@@ -187,6 +187,26 @@ class ToshokanParitySpec extends AnyFunSuite {
     }
   }
 
+  test("merge --dedup drops exact duplicate documents during compaction") {
+    withEngine { (cat, idx, search) =>
+      cat.create(refFile("example_config.yaml"))
+      val docs = refFile("tests/test_files/hdfs-logs-multitenants-2.json")
+        .trim.split("\n")
+      // the same 2 docs ingested twice = the at-least-once replay shape
+      idx.indexFile("test", writeDocs(docs.mkString("\n")))
+      idx.indexFile("test", writeDocs(docs.mkString("\n")))
+      assert(cat.liveSplits("test").map(_.numDocs).sum == 4)
+
+      val merged = idx.mergeDedup("test")
+      assert(merged.isDefined && merged.get.numDocs == 2,
+        s"4 docs with 2 distinct contents must compact to 2, got $merged")
+      assert(cat.liveSplits("test").length == 1)
+      // each doc present exactly once
+      assert(search.search("test", "body:Receiving", 10).length == 1)
+      cat.drop("test")
+    }
+  }
+
   test("parse errors skip the document, not the batch") {
     withEngine { (cat, idx, search) =>
       cat.create(
