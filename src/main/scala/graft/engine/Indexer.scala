@@ -96,6 +96,16 @@ final class Indexer(spark: SparkSession, catalog: Catalog) {
   def mergeDedup(indexName: String): Option[SplitInfo] =
     mergeSplits(indexName, catalog.liveSplits(indexName), dedup = true)
 
+  /** Tiered merge that never touches the named split — the streaming
+    * auto-compaction hook: the just-committed split is the only one a
+    * checkpoint-replayed micro-batch can legitimately overwrite, so
+    * excluding it keeps the idempotent-replay (effective exactly-once)
+    * guarantee while everything older gets compacted. */
+  def mergeSmallExcept(indexName: String, smallDocs: Long,
+      excludeId: String): Option[SplitInfo] =
+    mergeSplits(indexName, catalog.liveSplits(indexName)
+      .filter(s => s.numDocs < smallDocs && s.id != excludeId))
+
   private def mergeSplits(indexName: String, splits: List[SplitInfo],
       dedup: Boolean = false): Option[SplitInfo] = {
     val cfg = catalog.load(indexName)

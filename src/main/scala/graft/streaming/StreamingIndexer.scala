@@ -62,12 +62,22 @@ final class StreamingIndexer(spark: SparkSession, catalog: Catalog) {
     }
   }
 
-  /** Stream a directory of JSONL files into an index. */
+  /** Stream a directory of JSONL files into an index.
+    *
+    * `compactSmallDocs`: when set, each batch commit is followed by a
+    * tiered merge of every live split under the threshold EXCEPT the
+    * split just committed — the one a checkpoint replay could rewrite
+    * (see [[graft.engine.Indexer.mergeSmallExcept]]). This is the
+    * reference's background-commit loop re-expressed as inline
+    * compaction: a long-lived stream of small batches converges to a few
+    * large splits instead of thousands of tiny objects. */
   def startFileStream(indexName: String, sourceDir: String, checkpointDir: String,
       commitInterval: String = "30 seconds",
-      availableNow: Boolean = false): StreamingQuery = {
+      availableNow: Boolean = false,
+      compactSmallDocs: Option[Long] = None): StreamingQuery = {
     val lines = spark.readStream.text(sourceDir)
-    startWith(indexName, lines, checkpointDir, commitInterval, availableNow)
+    startWith(indexName, lines, checkpointDir, commitInterval, availableNow,
+      compactSmallDocs)
   }
 
   /** Stream a Kafka topic (`kafka://host:port/topic` in the reference's URL
@@ -88,12 +98,16 @@ final class StreamingIndexer(spark: SparkSession, catalog: Catalog) {
   }
 
   private def startWith(indexName: String, lines: DataFrame, checkpointDir: String,
-      commitInterval: String, availableNow: Boolean): StreamingQuery = {
+      commitInterval: String, availableNow: Boolean,
+      compactSmallDocs: Option[Long] = None): StreamingQuery = {
     val runTag = StreamingIndexer.runTagFor(checkpointDir)
     val writer = lines.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        indexBatch(indexName, batch.toDF(), batchId, runTag): Unit
+        val committed = indexBatch(indexName, batch.toDF(), batchId, runTag)
+        for (threshold <- compactSmallDocs; split <- committed)
+          new graft.engine.Indexer(spark, catalog)
+            .mergeSmallExcept(indexName, threshold, split.id): Unit
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow())
      else writer.trigger(Trigger.ProcessingTime(commitInterval)))

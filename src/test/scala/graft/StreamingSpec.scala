@@ -127,4 +127,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(search.search("sm_test", "n:>=1", 10).length == 6)
     assert(search.search("sm_test", "n:6", 1) == Seq("""{"n":6}"""))
   }
+
+  test("streaming auto-compaction converges splits, sparing the newest") {
+    val root = Files.createTempDirectory("graft-autocompact").toString
+    val srcDir = Files.createTempDirectory("ac-src").toString
+    val ckpt = Files.createTempDirectory("ac-ckpt").toString
+    val cat = new Catalog(root)
+    cat.create(
+      """version: 1
+        |name: ac_test
+        |path: /tmp/unused
+        |schema:
+        |  fields:
+        |    - name: n
+        |      type: !number
+        |        type: i64
+        |""".stripMargin)
+    val streamer = new StreamingIndexer(spark, cat)
+    val search = new Searcher(spark, cat)
+
+    // six 1-doc micro-batches with inline auto-compaction: every commit
+    // merges all small splits except the one just written, so the live
+    // count stays at <= 2 (merged + newest) instead of growing to 6
+    for (i <- 1 to 6) {
+      Files.write(Paths.get(srcDir, s"f$i.json"), s"""{"n": $i}""".getBytes)
+      val q = streamer.startFileStream("ac_test", srcDir, ckpt,
+        availableNow = true, compactSmallDocs = Some(100L))
+      q.awaitTermination(60000)
+      assert(cat.liveSplits("ac_test").length <= 2,
+        s"batch $i left ${cat.liveSplits("ac_test")}")
+    }
+    assert(cat.liveSplits("ac_test").map(_.numDocs).sum == 6)
+    assert(search.search("ac_test", "n:>=1", 10).length == 6)
+    // the newest split must never have been merged away mid-run: its id
+    // still carries the latest batch tag
+    val runTag = StreamingIndexer.runTagFor(ckpt)
+    assert(cat.liveSplits("ac_test").exists(_.id.startsWith(s"run-$runTag-batch-")),
+      "just-committed split survives compaction for replay safety")
+  }
 }
