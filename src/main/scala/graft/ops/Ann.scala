@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor operators over (id, embedding)
+  * DataFrames — the parameterized library surface behind the oracle-gated
+  * examples in [[graft.queries.PipelineQueries]]. All variants return
+  * (qid, rank, neighbor) with rank 1..k by exact cosine (ties broken by
+  * neighbor id), differing only in how the candidate set is bounded:
+  *
+  *  - [[brute]]: all pairs — the exact baseline, O(Q×N);
+  *  - [[cell]]: same-cell candidates (caller-provided coarse partition);
+  *  - [[ivf]]: nearest-centroid cells, nprobe-deep — IVF with a real
+  *    (caller-provided, tiny, broadcast) centroid table;
+  *  - [[lsh]]: random-hyperplane signatures in `tables` bucket tables —
+  *    candidates match any bucket; sign bits are exact integer arithmetic
+  *    (md5-derived weights × round(v·10⁶)), engine-portable.
+  */
+object Ann {
+
+  private def cosine(x: Column, y: Column): Column =
+    graft.exprs.CosineSimilarity.cosine_similarity(x, y)
+
+  private def topK(cands: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vid").asc)
+    cands
+      .withColumn("cos", cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vid").as("neighbor"))
+  }
+
+  /** queries: (qid, qv); corpus: (vid, v). */
+  def brute(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
+    topK(queries.crossJoin(corpus).where(col("vid") =!= col("qid")), k)
+
+  /** queries: (qid, qv, cell); corpus: (vid, v, cell). */
+  def cell(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
+    topK(queries.join(corpus, "cell").where(col("vid") =!= col("qid")), k)
+
+  /** centroids: (cid, cv) — tiny, broadcast. Assignment is one narrow
+    * pass; each query probes its nprobe nearest cells (the recall/latency
+    * knob). At scale the assignment is written once and reused across
+    * query batches. queries/corpus: (qid, qv) / (vid, v). */
+  def ivf(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      nProbe: Int, k: Int): DataFrame = {
+    val cents = broadcast(centroids)
+    def cellRank(idCol: String) = row_number().over(
+      Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("cid").asc))
+    val asg = corpus.crossJoin(cents)
+      .withColumn("ccos", cosine(col("v"), col("cv")))
+      .withColumn("crn", cellRank("vid"))
+      .where(col("crn") === 1)
+      .select(col("vid"), col("v"), col("cid").as("cell"))
+    val probes = queries.crossJoin(cents)
+      .withColumn("ccos", cosine(col("qv"), col("cv")))
+      .withColumn("crn", cellRank("qid"))
+      .where(col("crn") <= nProbe)
+      .select(col("qid"), col("qv"), col("cid").as("cell"))
+    topK(probes.join(asg, "cell").where(col("vid") =!= col("qid")), k)
+  }
+
+  /** corpus: (vid, v); queries are selected by `isQuery` over vid. Builds
+    * `planes` signed projections split evenly into `tables` bucket
+    * tables; a candidate matches if ANY table's bucket matches. `dim` is
+    * the embedding length. */
+  def lsh(corpus: DataFrame, isQuery: Column => Column, dim: Int,
+      planes: Int = 16, tables: Int = 2, k: Int = 5): DataFrame = {
+    require(planes % tables == 0, "planes must split evenly into tables")
+    val perTable = planes / tables
+    val wLit = array((0 until planes).map(i =>
+      array((1 to dim).map(j => lit(Hashing.planeWeight(i, j))): _*)): _*)
+    val sigCols = (0 until tables).map { t =>
+      expr(
+        s"""aggregate(sequence(${t * perTable}, ${(t + 1) * perTable - 1}), 0L,
+           |  (acc, i) -> acc + shiftleft(element_at(bits, i + 1), i - ${t * perTable}))"""
+          .stripMargin).as(s"sig$t")
+    }
+    val e = corpus
+      .withColumn("__w", wLit)
+      .withColumn("vs", expr("transform(v, x -> CAST(round(x * 1000000) AS BIGINT))"))
+      .withColumn("bits", expr(
+        s"""transform(sequence(0, ${planes - 1}), i ->
+           |  IF(aggregate(zip_with(vs, element_at(__w, i + 1), (a, ww) -> a * ww),
+           |       0L, (acc, t) -> acc + t) > 0, 1L, 0L))""".stripMargin))
+      .select(col("vid") +: col("v") +: sigCols: _*)
+      .persist()
+    val q = e.where(isQuery(col("vid")))
+      .select(col("vid").as("qid") +: col("v").as("qv") +:
+        (0 until tables).map(t => col(s"sig$t").as(s"qs$t")): _*)
+    val cands = (0 until tables).map { t =>
+      q.join(e, col(s"qs$t") === col(s"sig$t"))
+        .select(col("qid"), col("qv"), col("vid"), col("v"))
+    }.reduce(_.unionAll(_))
+      .where(col("vid") =!= col("qid"))
+      .dropDuplicates("qid", "vid")
+    topK(cands, k)
+  }
+}

@@ -1,0 +1,159 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import Hashing.h64
+
+/** Deduplication operators over arbitrary DataFrames — the parameterized
+  * library surface behind the oracle-gated examples in
+  * [[graft.queries.PipelineQueries]] (whose fixed-fixture plans are built
+  * from exactly these functions, so the DuckDB gate certifies them).
+  *
+  * Conventions: `id` must be an orderable unique key (pair outputs use
+  * `a < b`); pair-producing ops emit one row per unordered candidate pair.
+  * Every op is deterministic — hashes are md5-derived ([[Hashing]]), no
+  * float score is ever part of a group key.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: one shuffle on a 128-bit key — the
+    * cheapest dedup and the standard first pass at any scale.
+    * Output: (content_hash, keep_<id>, copies). */
+  def exact(df: DataFrame, id: Column, content: Column): DataFrame =
+    df.groupBy(md5(content).as("content_hash"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("copies"))
+
+  /** Token n-gram shingle sets: (id, shingles). The building block for
+    * [[ngramJaccard]] and [[minhashLsh]]; persist the result when feeding
+    * both (or any self-join). */
+  def shingles(df: DataFrame, id: Column, toks: Column, n: Int): DataFrame =
+    df.select(id.as("doc_id"), toks.as("toks"))
+      .where(size(col("toks")) >= n)
+      .withColumn("shingles", array_distinct(
+        transform(sequence(lit(0), size(col("toks")) - n),
+          i => concat_ws(" ",
+            (0 until n).map(j => element_at(col("toks"), i + j + 1)): _*))))
+      .select(col("doc_id"), col("shingles"))
+
+  /** Exact n-gram Jaccard >= threshold over a shingled table
+    * ((doc_id, shingles) as produced by [[shingles]]): explode → join on
+    * shingle → pair intersection counts → union from per-doc counts.
+    * Quadratic only within one shingle's posting list; with sparse
+    * shingles (large n) the join output is ~linear in corpus size.
+    * Output: (a, b, inter, uni). */
+  def ngramJaccard(shingled: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingled.select(col("doc_id"), size(col("shingles")).as("nsh"),
+      explode(col("shingles")).as("sh"))
+    val a = sh.select(col("doc_id").as("a"), col("nsh").as("na"), col("sh"))
+    val b = sh.select(col("doc_id").as("b"), col("nsh").as("nb"), col("sh"))
+    a.join(b, "sh")
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .where(col("inter").cast("double") / col("uni") >= threshold)
+      .select(col("a"), col("b"), col("inter"), col("uni"))
+  }
+
+  private val MersennePrime = 2147483647L
+
+  /** Hash function i of the affine MinHash family over a base md5 hash:
+    * h_i(x) = (a_i·h(x) + b_i) mod p, p = 2^31-1. One md5 per shingle
+    * total; intermediates stay < 2^62 (DuckDB-reproducible). */
+  private def affineHash(i: Int, base: Column): Column =
+    ((lit(i.toLong * 2654435761L % MersennePrime) * base +
+      lit(i.toLong * 40503L % MersennePrime)) % MersennePrime)
+
+  /** MinHash + LSH banding over a shingled table: constant-width
+    * signatures, candidate pairs share at least one band — the scale path
+    * (shuffle key is (band, band-signature), linear candidate
+    * generation). numHashes must divide evenly into bands.
+    * Output: (a, b) distinct candidate pairs. */
+  def minhashLsh(shingled: DataFrame, numHashes: Int = 16,
+      bands: Int = 8): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be a multiple of bands")
+    val rows = numHashes / bands
+    val flat = shingled
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .select(col("doc_id"), (h64(col("sh")) % MersennePrime).as("h"))
+    val mins = (1 to numHashes).map(i =>
+      min(affineHash(i, col("h"))).as(s"mh${i - 1}"))
+    // Persisted: the band self-join consumes the signature table twice.
+    val sigs = flat.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*).persist()
+    val bandTbl = sigs.select(
+      col("doc_id"),
+      explode(array((0 until bands).map { bIdx =>
+        struct(lit(bIdx).as("band"),
+          concat_ws("_", (0 until rows)
+            .map(r => col(s"mh${bIdx * rows + r}")): _*).as("sig"))
+      }: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band"), col("bs.sig"))
+    val l = bandTbl.select(col("band"), col("sig"), col("doc_id").as("a"))
+    val r = bandTbl.select(col("band"), col("sig"), col("doc_id").as("b"))
+    l.join(r, Seq("band", "sig"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+
+  /** 63-bit SimHash near-dup pairs over a tokenized table
+    * ((doc_id, toks)): hamming distance <= maxDistance. Candidates
+    * bucket-join on ceil(64/(maxDistance+1))-bit chunks — by pigeonhole a
+    * pair within distance d matches at least one chunk exactly, so recall
+    * is total and the exact distance check makes output equal the naive
+    * quadratic scan. Output: (a, b, dist). */
+  def simhash(tokenized: DataFrame, maxDistance: Int = 8): DataFrame = {
+    val chunks = maxDistance + 1
+    val chunkBits = 63 / chunks + (if (63 % chunks == 0) 0 else 1)
+    val chunkMask = (1L << chunkBits) - 1
+    // Pre-aggregate (doc, token-hash) counts: with a bounded vocabulary the
+    // 63 bit-sums then run over the smaller weighted table.
+    val th = tokenized
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), h64(col("tok")).as("th"))
+      .agg(count(lit(1)).as("cnt"))
+    val bitCols: Seq[Column] = (0 until 63).map { bit =>
+      sum(when(col("th").bitwiseAND(lit(1L << bit)) =!= 0L, col("cnt")).otherwise(-col("cnt")))
+        .as(s"b$bit")
+    }
+    // Persisted: the bucket self-join consumes sigs on both sides.
+    val sigs = th.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until 63).map(bit => when(col(s"b$bit") > 0, lit(1L << bit)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("simhash"))
+      .persist()
+    val chunked = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until chunks).map { c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("simhash"), c * chunkBits).bitwiseAND(lit(chunkMask)).as("val"))
+      }: _*)).as("cv"))
+      .select(col("doc_id"), col("simhash"), col("cv.chunk"), col("cv.val"))
+    val a = chunked.select(col("chunk"), col("val"),
+      col("doc_id").as("a"), col("simhash").as("ha"))
+    val b = chunked.select(col("chunk"), col("val"),
+      col("doc_id").as("b"), col("simhash").as("hb"))
+    a.join(b, Seq("chunk", "val"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"), col("ha"), col("hb")).distinct()
+      .withColumn("dist", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .where(col("dist") <= maxDistance)
+      .select(col("a"), col("b"), col("dist"))
+  }
+
+  /** Embedding near-dup pairs: cosine >= threshold within a coarse cell
+    * (the candidate bound — same contract as IVF). Scores stay internal
+    * (float summation order is engine-specific); output is id pairs.
+    * Output: (a, b). */
+  def embeddingCosine(df: DataFrame, id: Column, vec: Column, cell: Column,
+      threshold: Double): DataFrame = {
+    val e = df.select(cell.as("label"), id.as("vid"), vec.as("v"))
+    val a = e.select(col("label"), col("vid").as("a"), col("v").as("va"))
+    val b = e.select(col("label"), col("vid").as("b"), col("v").as("vb"))
+    a.join(b, "label")
+      .where(col("a") < col("b"))
+      .withColumn("cos",
+        graft.exprs.CosineSimilarity.cosine_similarity(col("va"), col("vb")))
+      .where(col("cos") >= threshold)
+      .select(col("a"), col("b"))
+  }
+}

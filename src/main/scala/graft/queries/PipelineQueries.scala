@@ -29,9 +29,8 @@ import graft.functions.TextFunctions.tokenizeDefault
 object PipelineQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  /** md5-prefix → 60-bit positive long, identical in DuckDB. */
-  private def h64(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  import graft.ops.Hashing.h64
+  import graft.ops.{Ann, Dedup}
 
   private def docs(s: SparkSession, dir: String) =
     table(s, dir, "documents")
@@ -50,14 +49,9 @@ object PipelineQueries {
     * At cluster scale this is the "write the shingle table out once"
     * step of a dedup pipeline. */
   private def shingled(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .withColumn("toks", tokenizeDefault(col("text")))
-      .where(size(col("toks")) >= ShingleN)
-      .withColumn("shingles", array_distinct(
-        transform(sequence(lit(0), size(col("toks")) - ShingleN),
-          i => concat_ws(" ",
-            (0 until ShingleN).map(j => element_at(col("toks"), i + j + 1)): _*))))
-      .select(col("doc_id"), col("shingles"))
+    Dedup.shingles(
+      docs(s, dir).withColumn("toks", tokenizeDefault(col("text"))),
+      col("doc_id"), col("toks"), ShingleN)
       .persist()
 
   /** (doc_id, toks) persisted, for explode consumers — the tokenizer is a
@@ -73,10 +67,8 @@ object PipelineQueries {
     * shuffle on a 128-bit key; at 100 TB this is the cheapest dedup and
     * the standard first pass. */
   val dedup_exact: Q = (s, dir) =>
-    docs(s, dir)
-      .groupBy(md5(col("text")).as("content_hash"))
-      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("copies"))
-      .select(col("keep_doc_id"), col("copies"))
+    Dedup.exact(docs(s, dir), col("doc_id"), col("text"))
+      .select(col("keep_id").as("keep_doc_id"), col("copies"))
       .orderBy(col("keep_doc_id"))
 
   /** Near-dedup by exact n-gram Jaccard >= 0.5: explode shingles → join
@@ -86,219 +78,72 @@ object PipelineQueries {
     * sparse on real text) — so the join output is ~linear in corpus size.
     * If a corpus did produce hot shingles, the standard fix is prefix
     * filtering (AllPairs/PPJoin, Bayardo et al. 2007) before this join. */
-  val dedup_ngram_jaccard: Q = (s, dir) => {
-    val threshold = 0.5
-    val base = shingled(s, dir)
-    val sh = base.select(col("doc_id"), size(col("shingles")).as("nsh"),
-      explode(col("shingles")).as("sh"))
-    val a = sh.select(col("doc_id").as("a"), col("nsh").as("na"), col("sh"))
-    val b = sh.select(col("doc_id").as("b"), col("nsh").as("nb"), col("sh"))
-    a.join(b, "sh")
-      .where(col("a") < col("b"))
-      .groupBy(col("a"), col("b"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("uni", col("na") + col("nb") - col("inter"))
-      .where(col("inter").cast("double") / col("uni") >= threshold)
-      .select(col("a"), col("b"), col("inter"), col("uni"))
+  val dedup_ngram_jaccard: Q = (s, dir) =>
+    Dedup.ngramJaccard(shingled(s, dir), threshold = 0.5)
       .orderBy(col("a"), col("b"))
-  }
 
-  // 8 bands x 2 rows: the s-curve catches j>=0.5 pairs with p~0.9 and
-  // j>=0.8 pairs with p~1-1e-5 (4 bands x 4 rows misses ~5% even at
-  // j=0.86 — observed on this corpus).
-  private val NumHashes = 16
-  private val Bands = 8
-  private val RowsPerBand = NumHashes / Bands
+  /** MinHash + LSH banding (16 hashes, 8 bands × 2 rows: the s-curve
+    * catches j>=0.5 pairs with p~0.9; 4×4 missed ~5% even at j=0.86 on
+    * this corpus). See [[graft.ops.Dedup.minhashLsh]] for the
+    * explode-then-codegen shape (the HOF alternative measured ~10×
+    * slower) and the scale contract (constant-width signatures,
+    * band-bucket joins linear in corpus size). */
+  val dedup_minhash_lsh: Q = (s, dir) =>
+    Dedup.minhashLsh(shingled(s, dir), numHashes = 16, bands = 8)
+      .orderBy(col("a"), col("b"))
+
+  /** 63-bit SimHash, hamming <= 8, bucket-join on 9×7-bit chunks
+    * (pigeonhole ⇒ full recall) — see [[graft.ops.Dedup.simhash]]. */
+  val dedup_simhash: Q = (s, dir) =>
+    Dedup.simhash(tokenized(s, dir), maxDistance = 8)
+      .orderBy(col("a"), col("b"))
+
+  /** Embedding near-dup: cosine >= 0.4 pairs within the label cell (the
+    * candidate bound). Scores stay internal — see
+    * [[graft.ops.Dedup.embeddingCosine]]. */
+  val dedup_embedding: Q = (s, dir) =>
+    Dedup.embeddingCosine(table(s, dir, "embeddings"),
+      col("vec_id"), col("embedding"), col("label"), threshold = 0.4)
+      .orderBy(col("a"), col("b"))
+
   private val MersennePrime = 2147483647L
-
-  /** Hash function i of the affine MinHash family over a base md5 hash:
-    * h_i(x) = (a_i·h(x) + b_i) mod p, p = 2^31-1. One md5 per shingle
-    * total (not per hash function) — the family derives arithmetically,
-    * with all intermediates < 2^62 so the identical expression runs in
-    * DuckDB without overflow. */
-  private def affineHash(i: Int, base: Column): Column =
-    ((lit(i.toLong * 2654435761L % MersennePrime) * base +
-      lit(i.toLong * 40503L % MersennePrime)) % MersennePrime)
-
-  /** MinHash signature + LSH banding: 16 affine hash functions over one
-    * md5 base hash per shingle, 4 bands × 4 rows; candidate pairs share at
-    * least one band. The shuffle key is (band index, band signature) —
-    * constant width per doc regardless of document size, which is what
-    * makes this the scale path: candidate generation is linear in corpus
-    * size + band-bucket joins. */
-  val dedup_minhash_lsh: Q = (s, dir) => {
-    // Explode once, then everything is flat-column arithmetic inside
-    // whole-stage codegen: one md5 per shingle, 16 affine hashes folded
-    // into min() aggregates (map-side partial). The HOF alternative
-    // (16 interpreted transform passes over the shingle arrays) measured
-    // ~10x slower on this corpus.
-    val flat = shingled(s, dir)
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
-      .select(col("doc_id"), (h64(col("sh")) % MersennePrime).as("h"))
-    val mins = (1 to NumHashes).map(i =>
-      min(affineHash(i, col("h"))).as(s"mh${i - 1}"))
-    // Persisted: the band self-join consumes the signature table twice.
-    val sigs = flat.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*).persist()
-    val bands = sigs.select(
-      col("doc_id"),
-      explode(array((0 until Bands).map { bIdx =>
-        struct(lit(bIdx).as("band"),
-          concat_ws("_", (0 until RowsPerBand)
-            .map(r => col(s"mh${bIdx * RowsPerBand + r}")): _*).as("sig"))
-      }: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band"), col("bs.sig"))
-    val l = bands.select(col("band"), col("sig"), col("doc_id").as("a"))
-    val r = bands.select(col("band"), col("sig"), col("doc_id").as("b"))
-    l.join(r, Seq("band", "sig"))
-      .where(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
-      .orderBy(col("a"), col("b"))
-  }
-
-  /** 63-bit SimHash over token hashes; near-dup = hamming distance <= 8.
-    * Pair generation bucket-joins on 9 chunks of 7 bits: a pair at
-    * distance <= 8 has its differing bits in at most 8 chunks, so by
-    * pigeonhole at least one of the 9 chunks matches exactly — full
-    * recall, with candidates ~ bucket-sized instead of corpus². Exact
-    * distance is then verified, so the output equals the naive quadratic
-    * scan (the oracle SQL). */
-  val dedup_simhash: Q = (s, dir) => {
-    // Pre-aggregate (doc, token-hash) occurrence counts first: the corpus
-    // vocabulary is small, so distinct (doc, hash) pairs are ~40% of token
-    // occurrences, and the 63 bit-sum aggregates then run over the smaller
-    // weighted table. Same result as summing +-1 per occurrence.
-    val th = tokenized(s, dir)
-      .select(col("doc_id"), explode(col("toks")).as("tok"))
-      .groupBy(col("doc_id"), h64(col("tok")).as("th"))
-      .agg(count(lit(1)).as("cnt"))
-    // 63 bits: bit 63 would be the sign bit and the oracle's power(2,63)
-    // overflows BIGINT; the md5-prefix hash is 60 bits anyway.
-    val bitCols: Seq[Column] = (0 until 63).map { bit =>
-      sum(when(col("th").bitwiseAND(lit(1L << bit)) =!= 0L, col("cnt")).otherwise(-col("cnt")))
-        .as(s"b$bit")
-    }
-    // Persisted: the bucket self-join below consumes sigs on both sides —
-    // without it the whole tokenize+hash+63-sum pipeline runs twice.
-    val sigs = th.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
-      .select(col("doc_id"),
-        (0 until 63).map(bit => when(col(s"b$bit") > 0, lit(1L << bit)).otherwise(lit(0L)))
-          .reduce(_.bitwiseOR(_)).as("simhash"))
-      .persist()
-    val chunked = sigs.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 9).map { c =>
-        struct(lit(c).as("chunk"),
-          shiftright(col("simhash"), c * 7).bitwiseAND(lit(0x7fL)).as("val"))
-      }: _*)).as("cv"))
-      .select(col("doc_id"), col("simhash"), col("cv.chunk"), col("cv.val"))
-    val a = chunked.select(col("chunk"), col("val"),
-      col("doc_id").as("a"), col("simhash").as("ha"))
-    val b = chunked.select(col("chunk"), col("val"),
-      col("doc_id").as("b"), col("simhash").as("hb"))
-    a.join(b, Seq("chunk", "val"))
-      .where(col("a") < col("b"))
-      .select(col("a"), col("b"), col("ha"), col("hb")).distinct()
-      .withColumn("dist", bit_count(col("ha").bitwiseXOR(col("hb"))))
-      .where(col("dist") <= 8)
-      .select(col("a"), col("b"), col("dist"))
-      .orderBy(col("a"), col("b"))
-  }
-
-  /** Embedding near-dup: cosine >= 0.4 pairs (the threshold that yields
-    * actual pairs in this corpus). Scores stay internal (float summation
-    * order differs between engines); output is id pairs only. The label
-    * column bounds the candidate space (same-cell pairs), the same
-    * coarse-quantization contract as the ANN below. */
-  val dedup_embedding: Q = (s, dir) => {
-    val e = table(s, dir, "embeddings")
-    val a = e.select(col("label"), col("vec_id").as("a"), col("embedding").as("va"))
-    val b = e.select(col("label"), col("vec_id").as("b"), col("embedding").as("vb"))
-    a.join(b, "label")
-      .where(col("a") < col("b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
-      .where(col("cos") >= 0.4)
-      .select(col("a"), col("b"))
-      .orderBy(col("a"), col("b"))
-  }
-
-  /** Cosine similarity as a native expression (tight loop, deterministic
-    * left-to-right double accumulation) — see
-    * [[graft.exprs.CosineSimilarity]] for why not the HOF composition. */
-  private def cosine(x: Column, y: Column): Column =
-    graft.exprs.CosineSimilarity.cosine_similarity(x, y)
 
   // ---- similarity search ------------------------------------------------
 
-  /** Brute-force exact top-5 cosine neighbors for the first 20 vectors.
-    * The baseline ANN contract; O(Q×N) — fine for a query batch, the cell
-    * variant below is the scale path. */
+  private def corpus(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "embeddings")
+      .select(col("vec_id").as("vid"), col("embedding").as("v"), col("label"))
+
+  /** Brute-force exact top-5 cosine neighbors for the first 20 vectors —
+    * the exact baseline, O(Q×N). See [[graft.ops.Ann.brute]]. */
   val knn_brute: Q = (s, dir) => {
-    val e = table(s, dir, "embeddings")
-    val q = e.where(col("vec_id") < 20)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    q.crossJoin(e.select(col("vec_id"), col("embedding")))
-      .where(col("vec_id") =!= col("qid"))
-      .withColumn("cos", cosine(col("qv"), col("embedding")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= 5)
-      .select(col("qid"), col("rank"), col("vec_id").as("neighbor"))
+    val e = corpus(s, dir)
+    Ann.brute(
+      e.where(col("vid") < 20).select(col("vid").as("qid"), col("v").as("qv")),
+      e.select(col("vid"), col("v")), k = 5)
       .orderBy(col("qid"), col("rank"))
   }
 
-  /** Cell-partitioned ANN (IVF shape): probe only the query's coarse cell
-    * — here the label column stands in for the k-means coarse quantizer.
-    * Cuts the candidate space by the cell count; the recall/probe tradeoff
-    * is the standard IVF nprobe knob. */
+  /** Cell-partitioned ANN: probe only the query's coarse cell (label =
+    * the stand-in quantizer). See [[graft.ops.Ann.cell]]. */
   val knn_cell: Q = (s, dir) => {
-    val e = table(s, dir, "embeddings")
-    val q = e.where(col("vec_id") < 20)
-      .select(col("label"), col("vec_id").as("qid"), col("embedding").as("qv"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    q.join(e.select(col("label"), col("vec_id"), col("embedding")), "label")
-      .where(col("vec_id") =!= col("qid"))
-      .withColumn("cos", cosine(col("qv"), col("embedding")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= 5)
-      .select(col("qid"), col("rank"), col("vec_id").as("neighbor"))
+    val e = corpus(s, dir)
+    Ann.cell(
+      e.where(col("vid") < 20)
+        .select(col("vid").as("qid"), col("v").as("qv"), col("label").as("cell")),
+      e.select(col("vid"), col("v"), col("label").as("cell")), k = 5)
       .orderBy(col("qid"), col("rank"))
   }
 
-  /** IVF-style ANN with a real (deterministic) coarse quantizer: the first
-    * 16 vectors act as centroids, every vector is assigned to its
-    * nearest-centroid cell, and each query probes its nprobe=2 nearest
-    * cells — the standard recall/latency knob. The centroid table
-    * broadcasts (it is tiny by construction), so assignment is one
-    * narrow pass over the corpus; only the probed cells' members are
-    * scored. At scale the assignment would be written once and reused
-    * across query batches. */
+  /** IVF ANN with a deterministic coarse quantizer (first 16 vectors as
+    * centroids, broadcast; nprobe=2). See [[graft.ops.Ann.ivf]]. */
   val knn_ivf: Q = (s, dir) => {
-    val nCells = 16
-    val nProbe = 2
-    val e = table(s, dir, "embeddings")
-    val cents = broadcast(e.where(col("vec_id") < nCells)
-      .select(col("vec_id").as("cid"), col("embedding").as("cv")))
-    def cellRank = row_number().over(Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cid").asc))
-    val asg = e.crossJoin(cents)
-      .withColumn("ccos", cosine(col("embedding"), col("cv")))
-      .withColumn("crn", cellRank)
-      .where(col("crn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
-    val probes = e.where(col("vec_id") < 20).crossJoin(cents)
-      .withColumn("ccos", cosine(col("embedding"), col("cv")))
-      .withColumn("crn", cellRank)
-      .where(col("crn") <= nProbe)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("cid").as("cell"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    probes.join(asg, "cell")
-      .where(col("vec_id") =!= col("qid"))
-      .withColumn("cos", cosine(col("qv"), col("embedding")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= 5)
-      .select(col("qid"), col("rank"), col("vec_id").as("neighbor"))
+    val e = corpus(s, dir)
+    Ann.ivf(
+      e.where(col("vid") < 20).select(col("vid").as("qid"), col("v").as("qv")),
+      e.select(col("vid"), col("v")),
+      e.where(col("vid") < 16).select(col("vid").as("cid"), col("v").as("cv")),
+      nProbe = 2, k = 5)
       .orderBy(col("qid"), col("rank"))
   }
 
@@ -432,58 +277,15 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
 
   /** Random-hyperplane LSH ANN — the third standard ANN shape next to
-    * [[knn_cell]]/[[knn_ivf]]: 16 signed projections pack into two 8-bit
-    * signatures (two LSH tables; a candidate matches if EITHER bucket
-    * matches — the classic recall lever), then exact cosine re-ranks the
-    * candidates. Projections use md5-derived integer weights against
-    * round(v·10⁶) integer components, so the sign bits are exact integer
-    * arithmetic — bit-identical in DuckDB, no float-summation-order
-    * hazard. Scale shape: two shuffles on one-byte keys + a candidate
-    * set bounded by bucket occupancy, never corpus². */
-  val knn_lsh: Q = (s, dir) => {
-    val dim = 64
-    val planes = 16
-    def w(i: Int, j: Int): Long = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s"${i}_$j".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(15)
-      (java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L
-    }
-    val wLit = array((0 until planes).map(i =>
-      array((1 to dim).map(j => lit(w(i, j))): _*)): _*)
-
-    val e = table(s, dir, "embeddings")
-      .withColumn("__w", wLit)
-      .withColumn("vs", expr("transform(embedding, x -> CAST(round(x * 1000000) AS BIGINT))"))
-      .withColumn("bits", expr(
-        s"""transform(sequence(0, ${planes - 1}), i ->
-           |  IF(aggregate(zip_with(vs, element_at(__w, i + 1), (v, ww) -> v * ww),
-           |       0L, (acc, t) -> acc + t) > 0, 1L, 0L))""".stripMargin))
-      .withColumn("sig1", expr(
-        "aggregate(sequence(0, 7), 0L, (acc, i) -> acc + shiftleft(element_at(bits, i + 1), i))"))
-      .withColumn("sig2", expr(
-        "aggregate(sequence(8, 15), 0L, (acc, i) -> acc + shiftleft(element_at(bits, i + 1), i - 8))"))
-      .select(col("vec_id"), col("embedding"), col("sig1"), col("sig2"))
-      .persist()
-
-    val q = e.where(col("vec_id") < 20)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-        col("sig1").as("qs1"), col("sig2").as("qs2"))
-    val cand1 = q.join(e, col("qs1") === col("sig1"))
-    val cand2 = q.join(e, col("qs2") === col("sig2"))
-    val cands = cand1.select(col("qid"), col("qv"), col("vec_id"), col("embedding"))
-      .unionAll(cand2.select(col("qid"), col("qv"), col("vec_id"), col("embedding")))
-      .where(col("vec_id") =!= col("qid"))
-      .dropDuplicates("qid", "vec_id")
-    val win = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    cands
-      .withColumn("cos", cosine(col("qv"), col("embedding")))
-      .withColumn("rank", row_number().over(win))
-      .where(col("rank") <= 5)
-      .select(col("qid"), col("rank"), col("vec_id").as("neighbor"))
+    * [[knn_cell]]/[[knn_ivf]]: 16 signed projections in two 8-bit bucket
+    * tables (either-bucket match is the recall lever), exact cosine
+    * re-rank. Sign bits are exact integer arithmetic (md5-derived weights
+    * × round(v·10⁶)) — bit-identical in DuckDB. See
+    * [[graft.ops.Ann.lsh]]. */
+  val knn_lsh: Q = (s, dir) =>
+    Ann.lsh(corpus(s, dir).select(col("vid"), col("v")),
+      isQuery = _ < 20, dim = 64, planes = 16, tables = 2, k = 5)
       .orderBy(col("qid"), col("rank"))
-  }
 
   /** PII scrubbing — the standard pre-training redaction pass: count and
     * replace emails and IPv4s with placeholder tags. The synthetic corpus
