@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Hashing.h64
+
+/** Text-analysis operators over arbitrary (id, text) DataFrames — the
+  * parameterized library surface behind the oracle-gated examples in
+  * [[graft.queries.PipelineQueries]]. Every op is a pure per-row
+  * projection (no shuffle) except [[bigrams]] (one count shuffle).
+  */
+object TextAnalysis {
+
+  private val MersennePrime = 2147483647L
+
+  /** Whitespace, word, and BPE-ish pretoken counts plus char length.
+    * Output: (id, ws_tokens, word_tokens, bpe_tokens, chars). */
+  def tokenCounts(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("id"),
+      size(split(trim(text), "\\s+")).as("ws_tokens"),
+      size(filter(split(lower(text), "[^a-z0-9]+"), t => t =!= ""))
+        .as("word_tokens"),
+      size(regexp_extract_all(lower(text),
+        lit(" ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+"), lit(0))).as("bpe_tokens"),
+      length(text).as("chars"))
+
+  /** Quality heuristics: word count, alphabetic ratio, stopword ratio.
+    * `toks` must be the tokenized form of `text` (caller controls the
+    * tokenizer). Output: (id, n_words, alpha_ratio, stopword_ratio). */
+  def quality(df: DataFrame, id: Column, text: Column, toks: Column,
+      stopwords: Seq[String]): DataFrame =
+    df.select(
+      id.as("id"),
+      size(toks).as("n_words"),
+      (length(regexp_replace(text, "[^a-zA-Z]", "")).cast("double") /
+        greatest(length(text), lit(1))).as("alpha_ratio"),
+      (size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*))).cast("double") /
+        greatest(size(toks), lit(1))).as("stopword_ratio"))
+
+  /** Marker-token language id: score per language = marker hits in
+    * `toks`, argmax wins (ties broken by earlier entry in `markers`).
+    * Output: (id, pred_lang). */
+  def langId(df: DataFrame, id: Column, toks: Column,
+      markers: Seq[(String, Seq[String])]): DataFrame = {
+    val scored = markers.map { case (lang, ms) =>
+      struct(size(filter(toks, t => t.isin(ms.map(lit(_)): _*))).as("score"),
+        lit(lang).as("lang"))
+    }.reduce((a, b) => when(b.getField("score") > a.getField("score"), b).otherwise(a))
+    df.select(id.as("id"), scored.getField("lang").as("pred_lang"))
+  }
+
+  /** Content fingerprints: md5 over whitespace-normalized lowercase text
+    * (order-insensitive to spacing only) + a Rabin-Karp rolling
+    * polynomial over the token hash stream (order-sensitive).
+    * Output: (id, fingerprint, rolling_hash). */
+  def fingerprint(df: DataFrame, id: Column, text: Column, toks: Column,
+      base: Long = 1000003L): DataFrame =
+    df.withColumn("__hs", transform(toks, t => h64(t) % MersennePrime))
+      .select(id.as("id"),
+        md5(regexp_replace(lower(trim(text)), "\\s+", " ")).as("fingerprint"),
+        when(size(col("__hs")) === 0, lit(null).cast("long"))
+          .otherwise(aggregate(
+            slice(col("__hs"), lit(2), greatest(size(col("__hs")) - 1, lit(0))),
+            element_at(col("__hs"), 1),
+            (acc, h) => (acc * base + h) % MersennePrime))
+          .as("rolling_hash"))
+
+  /** Top-k corpus bigrams (collocation mining) over a tokenized table
+    * ((id, toks)): posexplode → lead within document → one count shuffle
+    * → TakeOrdered cut. Output: (bigram, n). */
+  def bigrams(tokenized: DataFrame, id: Column, toks: Column,
+      topK: Int): DataFrame =
+    tokenized
+      .select(id.as("id"), posexplode(toks).as(Seq("pos", "tok")))
+      .withColumn("next", lead(col("tok"), 1).over(
+        Window.partitionBy(col("id")).orderBy(col("pos"))))
+      .where(col("next").isNotNull)
+      .groupBy(concat(col("tok"), lit(" "), col("next")).as("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(topK)
+
+  /** Regex PII scrub: counts matches of each (tag, pattern) and replaces
+    * them with `<TAG>` in order. Patterns should avoid lookaround if an
+    * RE2-based oracle needs to reproduce them.
+    * Output: (id, n_<tag>..., scrubbed_len, scrubbed). */
+  def piiScrub(df: DataFrame, id: Column, raw: Column,
+      patterns: Seq[(String, String)]): DataFrame = {
+    val counts = patterns.map { case (tag, p) =>
+      size(regexp_extract_all(raw, lit(p), lit(0))).as(s"n_$tag")
+    }
+    val scrubbed = patterns.foldLeft(raw) { case (c, (tag, p)) =>
+      regexp_replace(c, p, s"<${tag.toUpperCase}>")
+    }
+    df.select(id.as("id") +: counts :+
+      length(scrubbed).as("scrubbed_len") :+ scrubbed.as("scrubbed"): _*)
+  }
+}

@@ -30,7 +30,7 @@ object PipelineQueries {
   type Q = (SparkSession, String) => DataFrame
 
   import graft.ops.Hashing.h64
-  import graft.ops.{Ann, Dedup}
+  import graft.ops.{Ann, Dedup, TextAnalysis}
 
   private def docs(s: SparkSession, dir: String) =
     table(s, dir, "documents")
@@ -154,15 +154,7 @@ object PipelineQueries {
     * gives each adjacent pair, then one count shuffle on the bigram and a
     * TakeOrdered cut — codegen end to end, no HOF in the hot path. */
   val text_bigrams: Q = (s, dir) =>
-    tokenized(s, dir)
-      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
-      .withColumn("next", lead(col("tok"), 1).over(
-        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
-      .where(col("next").isNotNull)
-      .groupBy(concat(col("tok"), lit(" "), col("next")).as("bigram"))
-      .agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("bigram").asc)
-      .limit(20)
+    TextAnalysis.bigrams(tokenized(s, dir), col("doc_id"), col("toks"), topK = 20)
 
   /** Token counting: whitespace tokens and a BPE-ish alnum/punct split. */
   /** Token counting three ways: whitespace, word, and a BPE-ish regex —
@@ -171,75 +163,46 @@ object PipelineQueries {
     * (DuckDB) agree; the real tokenizer's vocab merge step would run on
     * these pretokens. */
   val text_token_count: Q = (s, dir) =>
-    docs(s, dir)
-      .select(col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).as("ws_tokens"),
-        size(filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= ""))
-          .as("word_tokens"),
-        size(regexp_extract_all(lower(col("text")),
-          lit(" ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+"), lit(0))).as("bpe_tokens"),
-        length(col("text")).as("chars"))
+    TextAnalysis.tokenCounts(docs(s, dir), col("doc_id"), col("text"))
+      .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
 
   /** Quality scoring: length, word stats, stopword ratio, alpha ratio. */
-  val text_quality: Q = (s, dir) => {
-    val stop = Seq("the", "a", "and", "of", "to", "in", "is")
-    docs(s, dir)
-      .withColumn("toks", tokenizeDefault(col("text")))
-      .select(
-        col("doc_id"),
-        size(col("toks")).as("n_words"),
-        (length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
-          greatest(length(col("text")), lit(1))).as("alpha_ratio"),
-        (size(filter(col("toks"), t => t.isin(stop.map(lit(_)): _*))).cast("double") /
-          greatest(size(col("toks")), lit(1))).as("stopword_ratio"))
+  val text_quality: Q = (s, dir) =>
+    TextAnalysis.quality(
+      docs(s, dir).withColumn("toks", tokenizeDefault(col("text"))),
+      col("doc_id"), col("text"), col("toks"),
+      stopwords = Seq("the", "a", "and", "of", "to", "in", "is"))
+      .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
-  }
 
   /** Language id: n-gram/stopword heuristic — score per language = marker
     * token hits, argmax wins (ties broken by language code order).
     * Deterministic function of the text, so the oracle expresses the same
     * formula; the `lang` column is NOT consulted. */
-  val text_langid: Q = (s, dir) => {
-    val markers: Seq[(String, Seq[String])] = Seq(
-      "de" -> Seq("der", "die", "und", "das"),
-      "en" -> Seq("the", "a", "and", "of"),
-      "es" -> Seq("el", "la", "los", "de"),
-      "fr" -> Seq("le", "la", "et", "les"),
-      "zh" -> Seq("de", "shi", "le", "wo"))
-    val withToks = docs(s, dir).withColumn("toks", tokenizeDefault(col("text")))
-    val scored = markers.foldLeft(withToks) { case (df, (lang, ms)) =>
-      df.withColumn(s"score_$lang",
-        size(filter(col("toks"), t => t.isin(ms.map(lit(_)): _*))))
-    }
-    val best = markers.map { case (lang, _) =>
-      struct(col(s"score_$lang").as("score"), lit(lang).as("lang"))
-    }.reduce((a, b) => when(b.getField("score") > a.getField("score"), b).otherwise(a))
-    scored
-      .select(col("doc_id"), best.getField("lang").as("pred_lang"))
+  val text_langid: Q = (s, dir) =>
+    TextAnalysis.langId(
+      docs(s, dir).withColumn("toks", tokenizeDefault(col("text"))),
+      col("doc_id"), col("toks"),
+      markers = Seq(
+        "de" -> Seq("der", "die", "und", "das"),
+        "en" -> Seq("the", "a", "and", "of"),
+        "es" -> Seq("el", "la", "los", "de"),
+        "fr" -> Seq("le", "la", "et", "les"),
+        "zh" -> Seq("de", "shi", "le", "wo")))
+      .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
-  }
 
   /** Document fingerprints: md5 over whitespace-normalized lowercase text
     * (content-hash cache key), plus a Rabin-Karp-style rolling polynomial
     * hash over the token hash stream (acc·B + h mod p, seeded with the
     * first token's hash — order-sensitive, so reordered text fingerprints
     * differently while the md5 form only normalizes whitespace). */
-  val text_fingerprint: Q = (s, dir) => {
-    val B = 1000003L
-    docs(s, dir)
-      .withColumn("hs", transform(tokenizeDefault(col("text")),
-        t => h64(t) % MersennePrime))
-      .select(col("doc_id"),
-        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fingerprint"),
-        when(size(col("hs")) === 0, lit(null).cast("long"))
-          .otherwise(aggregate(
-            slice(col("hs"), lit(2), greatest(size(col("hs")) - 1, lit(0))),
-            element_at(col("hs"), 1),
-            (acc, h) => (acc * B + h) % MersennePrime))
-          .as("rolling_hash"))
+  val text_fingerprint: Q = (s, dir) =>
+    TextAnalysis.fingerprint(docs(s, dir), col("doc_id"), col("text"),
+      tokenizeDefault(col("text")))
+      .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
-  }
 
   // ---- multimodal -------------------------------------------------------
 
@@ -294,21 +257,18 @@ object PipelineQueries {
     * test harness; on real data `raw` IS the input column. Regexes avoid
     * lookaround so Java and RE2 (DuckDB) agree. Pure per-row projection:
     * partition-parallel, no shuffle, codegen'd end-to-end. */
-  val text_pii_scrub: Q = (s, dir) => {
-    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-    docs(s, dir)
-      .withColumn("raw", concat(col("text"),
+  val text_pii_scrub: Q = (s, dir) =>
+    TextAnalysis.piiScrub(
+      docs(s, dir).withColumn("raw", concat(col("text"),
         lit(" contact user"), col("doc_id"), lit("@example.com from 10.0."),
-        pmod(col("doc_id"), lit(256)), lit(".1 end")))
-      .select(
-        col("doc_id"),
-        size(regexp_extract_all(col("raw"), lit(email), lit(0))).as("n_emails"),
-        size(regexp_extract_all(col("raw"), lit(ip), lit(0))).as("n_ips"),
-        length(regexp_replace(regexp_replace(col("raw"), email, "<EMAIL>"),
-          ip, "<IP>")).as("scrubbed_len"))
+        pmod(col("doc_id"), lit(256)), lit(".1 end"))),
+      col("doc_id"), col("raw"),
+      patterns = Seq(
+        "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+        "ip" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"))
+      .select(col("id").as("doc_id"), col("n_email").as("n_emails"),
+        col("n_ip").as("n_ips"), col("scrubbed_len"))
       .orderBy(col("doc_id"))
-  }
 
   /** Perceptual-hash near-dup buckets over the multimodal payload: 16
     * evenly spaced sample bytes, thresholded against their mean, packed
