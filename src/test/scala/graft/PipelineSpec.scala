@@ -42,6 +42,57 @@ class PipelineSpec extends AnyFunSuite {
     assert(brute.groupBy(_._1).forall(_._2.size == 5))
   }
 
+  test("ops library works on arbitrary schemas with custom parameters") {
+    import spark.implicits._
+    import graft.ops.{Ann, Dedup, TextAnalysis}
+
+    // custom column names, tiny corpus, non-default parameters everywhere
+    val items = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta iota kappa lambda mu nu xi"),
+      (11L, "alpha beta gamma delta epsilon eta iota kappa lambda mu nu xi"), // near-dup
+      (12L, "one two three four five six seven eight nine ten eleven twelve"),
+      (13L, "completely different words appear in this final document body here")
+    ).toDF("item_id", "body")
+    val toks = items.withColumn("tk", split(col("body"), " "))
+
+    // shingles with n=3 and jaccard at a loose threshold finds the pair
+    val sh = Dedup.shingles(toks, col("item_id"), col("tk"), n = 3)
+    val pairs = Dedup.ngramJaccard(sh, threshold = 0.3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((10L, 11L)), s"got $pairs")
+
+    // minhash with non-default 8 hashes / 4 bands catches the same pair
+    val lsh = Dedup.minhashLsh(sh, numHashes = 8, bands = 4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(lsh.contains((10L, 11L)), s"got $lsh")
+
+    // simhash with a tight radius only pairs the near-dups
+    val sim = Dedup.simhash(toks.select(col("item_id").as("doc_id"), col("tk").as("toks")),
+      maxDistance = 16)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(sim.contains((10L, 11L)), s"got $sim")
+
+    // ANN over a custom 4-dim embedding space, k=2
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(0.9f, 0.1f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f, 0f)), (4L, Array(0f, 0f, 1f, 0f))
+    ).toDF("vid", "v")
+    val nn = Ann.brute(
+      vecs.where(col("vid") === 1).select(col("vid").as("qid"), col("v").as("qv")),
+      vecs, k = 2)
+      .select("rank", "neighbor").as[(Int, Long)].collect().toSet
+    assert(nn == Set((1, 2L), (2, 3L)), s"got $nn")
+
+    // pii scrub with a custom pattern set
+    val scrubbed = TextAnalysis.piiScrub(
+      Seq((1L, "order 1234 code ZZ-99")).toDF("id", "txt"),
+      col("id"), col("txt"),
+      patterns = Seq("num" -> "\\d+", "code" -> "[A-Z]{2}-<NUM>|[A-Z]{2}-\\d+"))
+      .select("n_num", "scrubbed").collect()(0)
+    assert(scrubbed.getInt(0) == 2, s"got $scrubbed") // digit runs: 1234 and 99
+    assert(scrubbed.getString(1) == "order <NUM> code <CODE>", s"got $scrubbed")
+  }
+
   test("multimodal: stubbed decode runs partition-parallel with stable output") {
     val media = Multimodal.mediaFromDocuments(spark, sf)
     val feats = Multimodal.withFeatures(media, "payload")
