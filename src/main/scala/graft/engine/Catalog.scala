@@ -28,14 +28,15 @@ import graft.exprs.JsonSupport
   * the one node that must be strongly consistent, everything else is
   * immutable data.
   *
-  * Concurrency contract: metadata mutation is **single-writer per index**
-  * (the `synchronized` blocks serialize writers within one JVM; the
-  * reference gets the same from Postgres transactions). Two *processes*
-  * committing concurrently would race the read-modify-write and one
-  * commit could be lost — on an object store the conditional PUT
-  * (if-match on the manifest ETag) turns that race into a clean
-  * retryable failure. Readers are always safe: they see either the old
-  * or the new manifest, never a partial one.
+  * Concurrency contract: manifest mutation takes a filesystem lock
+  * (atomic O_EXCL create of `manifest.lock`, bounded retry, stale-lock
+  * break by age) around the read-modify-write, so concurrent writers —
+  * across Catalog instances AND across processes on a shared filesystem —
+  * serialize instead of losing commits (the reference gets the same from
+  * Postgres transactions). On an object store the lock file becomes a
+  * conditional PUT (if-match on the manifest ETag) with the same
+  * retry shape. Readers never take the lock: they see either the old or
+  * the new manifest, never a partial one.
   */
 /** One committed split. minTs/maxTs (epoch micros of the configured
   * time_field) enable manifest-level split pruning for time-ranged
@@ -48,6 +49,13 @@ final case class SplitInfo(id: String, numDocs: Long,
     numStats: Map[String, (Double, Double)] = Map.empty,
     dicts: Map[String, List[String]] = Map.empty,
     hexStats: Map[String, (String, String)] = Map.empty)
+
+object Catalog {
+  /** Manifest lock acquisition timeout (commit fails loudly after this). */
+  val LockTimeoutMs = 30000L
+  /** A lock file older than this is presumed abandoned and broken. */
+  val StaleLockMs = 60000L
+}
 
 final class Catalog(rootDir: String) {
   private val root = Paths.get(rootDir)
@@ -167,30 +175,61 @@ final class Catalog(rootDir: String) {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Append one split (ingest commit). */
-  def commitSplit(name: String, split: SplitInfo): Unit = synchronized {
-    writeManifest(name, liveSplits(name) :+ split)
+  /** Serialize a manifest read-modify-write against all writers (this
+    * JVM, other Catalog instances, other processes) via atomic O_EXCL
+    * creation of a lock file. A lock older than `StaleLockMs` is broken —
+    * a crashed writer must not wedge the index forever. */
+  private def withManifestLock[T](name: String)(body: => T): T = {
+    val lock = indexDir(name).resolve("manifest.lock")
+    Files.createDirectories(lock.getParent)
+    val deadline = System.nanoTime() + Catalog.LockTimeoutMs * 1000000L
+    var acquired = false
+    while (!acquired) {
+      try { Files.createFile(lock); acquired = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          try {
+            val age = System.currentTimeMillis() -
+              Files.getLastModifiedTime(lock).toMillis
+            if (age > Catalog.StaleLockMs) Files.deleteIfExists(lock)
+          } catch { case _: Exception => }
+          if (System.nanoTime() > deadline)
+            throw new IllegalStateException(
+              s"timed out acquiring manifest lock for '$name'")
+          Thread.sleep(5)
+      }
+    }
+    try body finally { Files.deleteIfExists(lock): Unit }
   }
+
+  /** Append one split (ingest commit). */
+  def commitSplit(name: String, split: SplitInfo): Unit =
+    withManifestLock(name) {
+      writeManifest(name, liveSplits(name) :+ split)
+    }
 
   /** Append or replace by id — used by streaming ingest, where a replayed
     * micro-batch rewrites the same split id (effective exactly-once). */
-  def commitSplitIdempotent(name: String, split: SplitInfo): Unit = synchronized {
-    writeManifest(name, liveSplits(name).filterNot(_.id == split.id) :+ split)
-  }
+  def commitSplitIdempotent(name: String, split: SplitInfo): Unit =
+    withManifestLock(name) {
+      writeManifest(name, liveSplits(name).filterNot(_.id == split.id) :+ split)
+    }
 
   /** Replace `removed` with `added` (merge commit), then best-effort delete
-    * the removed splits' files. */
-  def swapSplits(name: String, removed: List[String], added: List[SplitInfo]): Unit =
-    synchronized {
+    * the removed splits' files (outside the lock — they are already
+    * invisible). */
+  def swapSplits(name: String, removed: List[String], added: List[SplitInfo]): Unit = {
+    withManifestLock(name) {
       val remaining = liveSplits(name).filterNot(s => removed.contains(s.id))
       writeManifest(name, remaining ++ added)
-      removed.foreach { id =>
-        val dir = splitDir(name, id)
-        if (Files.exists(dir)) {
-          try Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
-            .forEach(p => { try Files.deleteIfExists(p) catch { case _: Exception => } })
-          catch { case _: Exception => }
-        }
+    }
+    removed.foreach { id =>
+      val dir = splitDir(name, id)
+      if (Files.exists(dir)) {
+        try Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => { try Files.deleteIfExists(p) catch { case _: Exception => } })
+        catch { case _: Exception => }
       }
     }
+  }
 }

@@ -212,6 +212,26 @@ class SplitPruningSpec extends AnyFunSuite {
     cat.drop("compat_test")
   }
 
+  test("concurrent commits from independent catalog instances never lose splits") {
+    val root = Files.createTempDirectory("graft-race").toString
+    new Catalog(root).create(zoneConfig.replace("zone_test", "race_test"))
+    // two Catalog instances = JVM synchronized cannot serialize them; only
+    // the manifest lock file does (same shape as two separate processes)
+    val cats = Seq(new Catalog(root), new Catalog(root))
+    val n = 24
+    val threads = (0 until n).map { i =>
+      val t = new Thread(() => cats(i % 2).commitSplit("race_test",
+        graft.engine.SplitInfo(f"s$i%03d", i + 1L)))
+      t.start(); t
+    }
+    threads.foreach(_.join(30000))
+    val splits = cats.head.liveSplits("race_test")
+    assert(splits.map(_.id).sorted == (0 until n).map(i => f"s$i%03d").toList,
+      s"every concurrent commit must survive, got ${splits.map(_.id).sorted}")
+    assert(!Files.exists(java.nio.file.Paths.get(root,
+      "indexes", "race_test", "manifest.lock")), "lock released")
+  }
+
   test("bound extraction composes through booleans") {
     val formats = Seq("rfc3339", "timestamp")
     def b(q: String) = TimeBounds.extract(QueryParser.parse(q), "ts", formats)
