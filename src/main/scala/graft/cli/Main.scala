@@ -84,7 +84,7 @@ object Main {
       case "merge" =>
         val idx = new Indexer(spark, cat)
         val merged = (flags.get("small-docs"), flags.contains("dedup")) match {
-          case (Some(n), _)   => idx.mergeSmall(pos.head, n.toLong)
+          case (Some(n), dd)  => idx.mergeSmall(pos.head, n.toLong, dedup = dd)
           case (None, true)   => idx.mergeDedup(pos.head)
           case (None, false)  => idx.merge(pos.head)
         }

@@ -191,7 +191,23 @@ final class Catalog(rootDir: String) {
           try {
             val age = System.currentTimeMillis() -
               Files.getLastModifiedTime(lock).toMillis
-            if (age > Catalog.StaleLockMs) Files.deleteIfExists(lock)
+            if (age > Catalog.StaleLockMs) {
+              // Break by rename-to-unique, not delete-in-place: exactly
+              // one breaker wins the rename, and the age is re-checked on
+              // the renamed file (authoritative) — a plain delete could
+              // race and remove a FRESH lock that a new owner created
+              // after this thread observed the stale one. If the rename
+              // caught a fresh lock (we lost that race), restore it.
+              val grave = lock.resolveSibling(
+                s"manifest.lock.broken-${System.nanoTime()}")
+              try {
+                Files.move(lock, grave)
+                val realAge = System.currentTimeMillis() -
+                  Files.getLastModifiedTime(grave).toMillis
+                if (realAge > Catalog.StaleLockMs) Files.deleteIfExists(grave)
+                else Files.move(grave, lock) // raced a fresh owner: restore
+              } catch { case _: Exception => }
+            }
           } catch { case _: Exception => }
           if (System.nanoTime() > deadline)
             throw new IllegalStateException(
@@ -209,21 +225,34 @@ final class Catalog(rootDir: String) {
     }
 
   /** Append or replace by id — used by streaming ingest, where a replayed
-    * micro-batch rewrites the same split id (effective exactly-once). */
-  def commitSplitIdempotent(name: String, split: SplitInfo): Unit =
+    * micro-batch rewrites the same split id (effective exactly-once).
+    * `alsoReplace` drops additional ids in the same atomic commit (e.g. a
+    * pre-run-tag legacy id for the same batch, so an upgrade-spanning
+    * replay cannot duplicate that batch's documents). */
+  def commitSplitIdempotent(name: String, split: SplitInfo,
+      alsoReplace: Seq[String] = Nil): Unit =
     withManifestLock(name) {
-      writeManifest(name, liveSplits(name).filterNot(_.id == split.id) :+ split)
+      writeManifest(name, liveSplits(name)
+        .filterNot(s => s.id == split.id || alsoReplace.contains(s.id)) :+ split)
     }
 
   /** Replace `removed` with `added` (merge commit), then best-effort delete
     * the removed splits' files (outside the lock — they are already
-    * invisible). */
-  def swapSplits(name: String, removed: List[String], added: List[SplitInfo]): Unit = {
-    withManifestLock(name) {
-      val remaining = liveSplits(name).filterNot(s => removed.contains(s.id))
-      writeManifest(name, remaining ++ added)
+    * invisible). Returns false WITHOUT committing when any `removed` id is
+    * no longer live: a concurrent merge already consumed those splits, and
+    * committing `added` anyway would duplicate every document they held —
+    * the compare-and-swap that makes concurrent compactions one-wins. */
+  def swapSplits(name: String, removed: List[String], added: List[SplitInfo]): Boolean = {
+    val committed = withManifestLock(name) {
+      val live = liveSplits(name)
+      val liveIds = live.map(_.id).toSet
+      if (!removed.forall(liveIds.contains)) false
+      else {
+        writeManifest(name, live.filterNot(s => removed.contains(s.id)) ++ added)
+        true
+      }
     }
-    removed.foreach { id =>
+    if (committed) removed.foreach { id =>
       val dir = splitDir(name, id)
       if (Files.exists(dir)) {
         try Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
@@ -231,5 +260,6 @@ final class Catalog(rootDir: String) {
         catch { case _: Exception => }
       }
     }
+    committed
   }
 }

@@ -85,8 +85,10 @@ final class Indexer(spark: SparkSession, catalog: Catalog) {
     * stream of small commits); this keeps compaction cost proportional to
     * the small tier. Repeated calls converge: merged output that crosses
     * the threshold graduates out of the tier. */
-  def mergeSmall(indexName: String, smallDocs: Long): Option[SplitInfo] =
-    mergeSplits(indexName, catalog.liveSplits(indexName).filter(_.numDocs < smallDocs))
+  def mergeSmall(indexName: String, smallDocs: Long,
+      dedup: Boolean = false): Option[SplitInfo] =
+    mergeSplits(indexName,
+      catalog.liveSplits(indexName).filter(_.numDocs < smallDocs), dedup)
 
   /** Compact-and-deduplicate: merge that also drops exact duplicate
     * documents (every stored column equal — the at-least-once streaming
@@ -127,8 +129,17 @@ final class Indexer(spark: SparkSession, catalog: Catalog) {
       .parquet(dir)
 
     val split = Indexer.splitStats(spark, d, dir, id)
-    catalog.swapSplits(indexName, splits.map(_.id), List(split))
-    Some(split)
+    if (catalog.swapSplits(indexName, splits.map(_.id), List(split))) Some(split)
+    else {
+      // a concurrent merge consumed (some of) our inputs first: our output
+      // would duplicate those documents, so abandon it and clean up
+      try {
+        java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p): Unit })
+      } catch { case _: Exception => }
+      None
+    }
   }
 }
 

@@ -33,7 +33,13 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
     val cfg = catalog.load(indexName)
     val d = new SchemaDerivation(cfg)
     val ast = QueryParser.parse(query)
-    val paths = prunedSplitPaths(indexName, cfg, d, ast)
+    val splits = prunedSplits(indexName, cfg, d, ast)
+    val paths = splits.map(s => catalog.splitDir(indexName, s.id).toString)
+    // Cache identity for the corpus-stats memo: paths alone are not enough
+    // because commitSplitIdempotent rewrites a split IN PLACE under the
+    // same id on streaming replay — numDocs+stamps change with content.
+    val version = splits.map(s => s"${s.id}:${s.numDocs}:${s.maxTs.getOrElse(0L)}")
+      .mkString("|")
     if (paths.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -56,7 +62,7 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
     if (scoringTerms(d, ast).isEmpty)
       matched.limit(limit).select(outputJson(d).as("doc"))
     else
-      matched.withColumn("__score", scoreColumn(d, df, ast, paths))
+      matched.withColumn("__score", scoreColumn(d, df, ast, version))
         .orderBy(desc("__score"))
         .limit(limit)
         .select(outputJson(d).as("doc"))
@@ -80,7 +86,12 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
     *    small dictionaries ([[Indexer.DictCap]]).
     */
   private[graft] def prunedSplitPaths(indexName: String, cfg: graft.config.IndexConfig,
-      d: SchemaDerivation, ast: Ast): List[String] = {
+      d: SchemaDerivation, ast: Ast): List[String] =
+    prunedSplits(indexName, cfg, d, ast)
+      .map(s => catalog.splitDir(indexName, s.id).toString)
+
+  private[graft] def prunedSplits(indexName: String, cfg: graft.config.IndexConfig,
+      d: SchemaDerivation, ast: Ast): List[SplitInfo] = {
     val splits = catalog.liveSplits(indexName)
     val bounds = cfg.schema.timeField.flatMap { tf =>
       d.byFlatName.get(tf).collect {
@@ -129,7 +140,6 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
         }
         timeOk && numOk && ipOk && dictOk
       }
-      .map(s => catalog.splitDir(indexName, s.id).toString)
   }
 
   // ---- scoring ----------------------------------------------------------
@@ -193,7 +203,7 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
     * the extra job entirely; any ingest/merge changes the split list and
     * therefore the key. */
   private def scoreColumn(d: SchemaDerivation, corpus: DataFrame, ast: Ast,
-      paths: Seq[String]): Column = {
+      splitsVersion: String): Column = {
     val terms = scoringTerms(d, ast)
     if (terms.isEmpty) return lit(0.0)
 
@@ -205,7 +215,7 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
             s"avgdl__$flat" :: toks.map(t => s"df__${flat}__$t")
           }
         }
-    val cacheKey = (paths.sorted.mkString("|"), statNames.sorted.mkString("|"))
+    val cacheKey = (splitsVersion, statNames.sorted.mkString("|"))
     if (Searcher.statsCache.size > 4096) Searcher.statsCache.clear()
     val stats = Searcher.statsCache.computeIfAbsent(cacheKey, { _ =>
       val statAggs: List[Column] =

@@ -17,6 +17,10 @@ import org.apache.spark.sql.functions._
   *  - [[lsh]]: random-hyperplane signatures in `tables` bucket tables —
   *    candidates match any bucket; sign bits are exact integer arithmetic
   *    (md5-derived weights × round(v·10⁶)), engine-portable.
+  *
+  * Caching: [[lsh]] persists its signature table (the bucket joins
+  * consume it on both sides); a long-lived service should
+  * `spark.catalog.clearCache()` between corpora.
   */
 object Ann {
 

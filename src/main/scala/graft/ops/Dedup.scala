@@ -14,6 +14,11 @@ import Hashing.h64
   * `a < b`); pair-producing ops emit one row per unordered candidate pair.
   * Every op is deterministic — hashes are md5-derived ([[Hashing]]), no
   * float score is ever part of a group key.
+  *
+  * Caching: [[minhashLsh]] and [[simhash]] persist their signature tables
+  * (each feeds a self-join). The cached plans live until the session ends
+  * or the cache evicts; a long-lived service deduping many corpora should
+  * `spark.catalog.clearCache()` between runs.
   */
 object Dedup {
 
@@ -103,9 +108,22 @@ object Dedup {
     * is total and the exact distance check makes output equal the naive
     * quadratic scan. Output: (a, b, dist). */
   def simhash(tokenized: DataFrame, maxDistance: Int = 8): DataFrame = {
+    require(maxDistance >= 0 && maxDistance < 63, "maxDistance must be in [0, 62]")
     val chunks = maxDistance + 1
-    val chunkBits = 63 / chunks + (if (63 % chunks == 0) 0 else 1)
-    val chunkMask = (1L << chunkBits) - 1
+    // Variable-width chunks covering exactly bits 0..62 with exactly
+    // `chunks` non-empty chunks: base width 63/chunks, the first 63%chunks
+    // chunks one bit wider. A fixed ceil-width would push later chunks'
+    // shift past bit 63 (shiftright wraps mod 64) and alias them onto
+    // chunk 0 — silently losing recall for maxDistance >= 16.
+    val base = 63 / chunks
+    val extra = 63 % chunks
+    val chunkRanges: Seq[(Int, Int)] = { // (startBit, width)
+      var off = 0
+      (0 until chunks).map { c =>
+        val w = base + (if (c < extra) 1 else 0)
+        val r = (off, w); off += w; r
+      }
+    }
     // Pre-aggregate (doc, token-hash) counts: with a bounded vocabulary the
     // 63 bit-sums then run over the smaller weighted table.
     val th = tokenized
@@ -123,9 +141,9 @@ object Dedup {
           .reduce(_.bitwiseOR(_)).as("simhash"))
       .persist()
     val chunked = sigs.select(col("doc_id"), col("simhash"),
-      explode(array((0 until chunks).map { c =>
+      explode(array(chunkRanges.zipWithIndex.map { case ((start, width), c) =>
         struct(lit(c).as("chunk"),
-          shiftright(col("simhash"), c * chunkBits).bitwiseAND(lit(chunkMask)).as("val"))
+          shiftright(col("simhash"), start).bitwiseAND(lit((1L << width) - 1)).as("val"))
       }: _*)).as("cv"))
       .select(col("doc_id"), col("simhash"), col("cv.chunk"), col("cv.val"))
     val a = chunked.select(col("chunk"), col("val"),

@@ -106,8 +106,6 @@ object PipelineQueries {
       col("vec_id"), col("embedding"), col("label"), threshold = 0.4)
       .orderBy(col("a"), col("b"))
 
-  private val MersennePrime = 2147483647L
-
   // ---- similarity search ------------------------------------------------
 
   private def corpus(s: SparkSession, dir: String): DataFrame =

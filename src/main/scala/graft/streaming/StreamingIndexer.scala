@@ -57,7 +57,12 @@ final class StreamingIndexer(spark: SparkSession, catalog: Catalog) {
     val split = graft.engine.Indexer.splitStats(spark, d, dir, id)
     if (split.numDocs == 0) None
     else {
-      catalog.commitSplitIdempotent(indexName, split)
+      // Replace the legacy (pre-run-tag) id for this batch too: a stream
+      // started on an older build that crashed before checkpointing this
+      // batch would otherwise leave its old split alongside the replay.
+      val legacyId = f"batch-$batchId%012d"
+      catalog.commitSplitIdempotent(indexName, split,
+        alsoReplace = if (prefix.isEmpty) Nil else Seq(legacyId))
       Some(split)
     }
   }

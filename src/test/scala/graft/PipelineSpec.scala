@@ -67,10 +67,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh.contains((10L, 11L)), s"got $lsh")
 
     // simhash with a tight radius only pairs the near-dups
-    val sim = Dedup.simhash(toks.select(col("item_id").as("doc_id"), col("tk").as("toks")),
-      maxDistance = 16)
+    val simToks = toks.select(col("item_id").as("doc_id"), col("tk").as("toks"))
+    val sim = Dedup.simhash(simToks, maxDistance = 16)
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(sim.contains((10L, 11L)), s"got $sim")
+    // recall regression for the chunk decomposition: maxDistance=62 means
+    // 63 single-bit chunks (full cross product of candidates), so its
+    // dist<=16 subset is ground truth; a chunking bug (e.g. shift-past-63
+    // aliasing) would make the 16-radius run miss pairs
+    val truth = Dedup.simhash(simToks, maxDistance = 62)
+      .where(col("dist") <= 16)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(sim == truth, s"radius-16 run must equal ground truth: $sim vs $truth")
 
     // ANN over a custom 4-dim embedding space, k=2
     val vecs = Seq(
