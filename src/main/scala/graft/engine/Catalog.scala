@@ -28,15 +28,16 @@ import graft.exprs.JsonSupport
   * the one node that must be strongly consistent, everything else is
   * immutable data.
   *
-  * Concurrency contract: manifest mutation takes a filesystem lock
-  * (atomic O_EXCL create of `manifest.lock`, bounded retry, stale-lock
-  * break by age) around the read-modify-write, so concurrent writers —
-  * across Catalog instances AND across processes on a shared filesystem —
-  * serialize instead of losing commits (the reference gets the same from
-  * Postgres transactions). On an object store the lock file becomes a
-  * conditional PUT (if-match on the manifest ETag) with the same
-  * retry shape. Readers never take the lock: they see either the old or
-  * the new manifest, never a partial one.
+  * Concurrency contract: manifest mutation takes an OS advisory file
+  * lock around the read-modify-write, so concurrent writers — across
+  * Catalog instances AND across processes on a shared filesystem —
+  * serialize instead of losing commits, and a crashed writer's lock is
+  * released by the kernel (no stale state; the reference gets the same
+  * from Postgres transactions). On an object store the lock becomes a
+  * conditional PUT (if-match on the manifest ETag) with the same retry
+  * shape. Readers never take the lock: they see either the old or the
+  * new manifest, never a partial one. Every manifest write bumps a
+  * generation counter, the cheap change-detection handle for caches.
   */
 /** One committed split. minTs/maxTs (epoch micros of the configured
   * time_field) enable manifest-level split pruning for time-ranged
@@ -53,8 +54,16 @@ final case class SplitInfo(id: String, numDocs: Long,
 object Catalog {
   /** Manifest lock acquisition timeout (commit fails loudly after this). */
   val LockTimeoutMs = 30000L
-  /** A lock file older than this is presumed abandoned and broken. */
-  val StaleLockMs = 60000L
+
+  /** Best-effort recursive directory delete — the shared idiom for
+    * removing split data (leaked files are tolerated everywhere: without
+    * a manifest entry they are invisible). */
+  private[engine] def deleteDirBestEffort(dir: Path): Unit =
+    if (Files.exists(dir)) {
+      try Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => { try Files.deleteIfExists(p) catch { case _: Exception => } })
+      catch { case _: Exception => }
+    }
 }
 
 final class Catalog(rootDir: String) {
@@ -90,11 +99,7 @@ final class Catalog(rootDir: String) {
     * reference's drop, `src/commands/drop.rs:11-48`). */
   def drop(name: String): Unit = {
     Files.deleteIfExists(configPath(name))
-    val dir = indexDir(name)
-    if (Files.exists(dir)) {
-      Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
-        .forEach(p => { try Files.deleteIfExists(p) catch { case _: Exception => } })
-    }
+    Catalog.deleteDirBestEffort(indexDir(name))
   }
 
   // ---- manifest ---------------------------------------------------------
@@ -129,9 +134,20 @@ final class Catalog(rootDir: String) {
   def splitPaths(name: String): List[String] =
     liveSplits(name).map(s => splitDir(name, s.id).toString)
 
+  /** Monotonic manifest generation — bumped by every committed write; the
+    * exact invalidation handle for anything cached per manifest state
+    * (e.g. the searcher's BM25 corpus-stats memo). 0 = no manifest. */
+  def manifestGen(name: String): Long = {
+    val p = manifestPath(name)
+    if (!Files.exists(p)) return 0L
+    val node = JsonSupport.parse(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+    Option(node.get("gen")).filter(!_.isNull).map(_.asLong()).getOrElse(0L)
+  }
+
   private def writeManifest(name: String, splits: List[SplitInfo]): Unit = {
     val m = JsonSupport.mapper
     val rootNode = m.createObjectNode()
+    rootNode.put("gen", manifestGen(name) + 1L)
     val arr = m.createArrayNode()
     splits.foreach { s =>
       val o = m.createObjectNode()
@@ -176,46 +192,36 @@ final class Catalog(rootDir: String) {
   }
 
   /** Serialize a manifest read-modify-write against all writers (this
-    * JVM, other Catalog instances, other processes) via atomic O_EXCL
-    * creation of a lock file. A lock older than `StaleLockMs` is broken —
-    * a crashed writer must not wedge the index forever. */
+    * JVM, other Catalog instances, other processes) with an OS advisory
+    * lock (`FileChannel.tryLock`) on a dedicated lock file. The kernel
+    * releases the lock when the holder exits or crashes, so there is no
+    * stale-lock state and no lock-breaking heuristics (whose
+    * check-then-delete windows were themselves racy). The lock file is
+    * never deleted — deleting would let a new writer lock a fresh inode
+    * while an old holder still locks the unlinked one. Within one JVM,
+    * `tryLock` on an already-held file throws OverlappingFileLockException,
+    * which is treated as "busy, retry" like any other contention. */
   private def withManifestLock[T](name: String)(body: => T): T = {
     val lock = indexDir(name).resolve("manifest.lock")
     Files.createDirectories(lock.getParent)
     val deadline = System.nanoTime() + Catalog.LockTimeoutMs * 1000000L
-    var acquired = false
-    while (!acquired) {
-      try { Files.createFile(lock); acquired = true }
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          try {
-            val age = System.currentTimeMillis() -
-              Files.getLastModifiedTime(lock).toMillis
-            if (age > Catalog.StaleLockMs) {
-              // Break by rename-to-unique, not delete-in-place: exactly
-              // one breaker wins the rename, and the age is re-checked on
-              // the renamed file (authoritative) — a plain delete could
-              // race and remove a FRESH lock that a new owner created
-              // after this thread observed the stale one. If the rename
-              // caught a fresh lock (we lost that race), restore it.
-              val grave = lock.resolveSibling(
-                s"manifest.lock.broken-${System.nanoTime()}")
-              try {
-                Files.move(lock, grave)
-                val realAge = System.currentTimeMillis() -
-                  Files.getLastModifiedTime(grave).toMillis
-                if (realAge > Catalog.StaleLockMs) Files.deleteIfExists(grave)
-                else Files.move(grave, lock) // raced a fresh owner: restore
-              } catch { case _: Exception => }
-            }
-          } catch { case _: Exception => }
+    val ch = java.nio.channels.FileChannel.open(lock,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      var fl: java.nio.channels.FileLock = null
+      while (fl == null) {
+        fl = try ch.tryLock()
+        catch { case _: java.nio.channels.OverlappingFileLockException => null }
+        if (fl == null) {
           if (System.nanoTime() > deadline)
             throw new IllegalStateException(
               s"timed out acquiring manifest lock for '$name'")
           Thread.sleep(5)
+        }
       }
-    }
-    try body finally { Files.deleteIfExists(lock): Unit }
+      try body finally fl.release()
+    } finally ch.close()
   }
 
   /** Append one split (ingest commit). */
@@ -225,15 +231,10 @@ final class Catalog(rootDir: String) {
     }
 
   /** Append or replace by id — used by streaming ingest, where a replayed
-    * micro-batch rewrites the same split id (effective exactly-once).
-    * `alsoReplace` drops additional ids in the same atomic commit (e.g. a
-    * pre-run-tag legacy id for the same batch, so an upgrade-spanning
-    * replay cannot duplicate that batch's documents). */
-  def commitSplitIdempotent(name: String, split: SplitInfo,
-      alsoReplace: Seq[String] = Nil): Unit =
+    * micro-batch rewrites the same split id (effective exactly-once). */
+  def commitSplitIdempotent(name: String, split: SplitInfo): Unit =
     withManifestLock(name) {
-      writeManifest(name, liveSplits(name)
-        .filterNot(s => s.id == split.id || alsoReplace.contains(s.id)) :+ split)
+      writeManifest(name, liveSplits(name).filterNot(_.id == split.id) :+ split)
     }
 
   /** Replace `removed` with `added` (merge commit), then best-effort delete
@@ -252,14 +253,8 @@ final class Catalog(rootDir: String) {
         true
       }
     }
-    if (committed) removed.foreach { id =>
-      val dir = splitDir(name, id)
-      if (Files.exists(dir)) {
-        try Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
-          .forEach(p => { try Files.deleteIfExists(p) catch { case _: Exception => } })
-        catch { case _: Exception => }
-      }
-    }
+    if (committed) removed.foreach(id =>
+      Catalog.deleteDirBestEffort(splitDir(name, id)))
     committed
   }
 }

@@ -58,12 +58,7 @@ final class Indexer(spark: SparkSession, catalog: Catalog) {
     // fills the manifest entry.
     val split = Indexer.splitStats(spark, d, dir, id)
     if (split.numDocs == 0) {
-      // best-effort cleanup of the empty split dir
-      try {
-        import java.nio.file.{Files, Paths}
-        Files.walk(Paths.get(dir)).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => { Files.deleteIfExists(p): Unit })
-      } catch { case _: Exception => }
+      Catalog.deleteDirBestEffort(java.nio.file.Paths.get(dir))
       None
     } else {
       catalog.commitSplit(indexName, split)
@@ -85,6 +80,9 @@ final class Indexer(spark: SparkSession, catalog: Catalog) {
     * stream of small commits); this keeps compaction cost proportional to
     * the small tier. Repeated calls converge: merged output that crosses
     * the threshold graduates out of the tier. */
+  /** Note: with `dedup` the duplicate drop applies WITHIN the merged
+    * (sub-threshold) set only — a duplicate spanning a small and a large
+    * split survives; run the full [[mergeDedup]] to clear those. */
   def mergeSmall(indexName: String, smallDocs: Long,
       dedup: Boolean = false): Option[SplitInfo] =
     mergeSplits(indexName,
@@ -133,11 +131,7 @@ final class Indexer(spark: SparkSession, catalog: Catalog) {
     else {
       // a concurrent merge consumed (some of) our inputs first: our output
       // would duplicate those documents, so abandon it and clean up
-      try {
-        java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-          .sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => { java.nio.file.Files.deleteIfExists(p): Unit })
-      } catch { case _: Exception => }
+      Catalog.deleteDirBestEffort(java.nio.file.Paths.get(dir))
       None
     }
   }

@@ -35,11 +35,12 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
     val ast = QueryParser.parse(query)
     val splits = prunedSplits(indexName, cfg, d, ast)
     val paths = splits.map(s => catalog.splitDir(indexName, s.id).toString)
-    // Cache identity for the corpus-stats memo: paths alone are not enough
-    // because commitSplitIdempotent rewrites a split IN PLACE under the
-    // same id on streaming replay — numDocs+stamps change with content.
-    val version = splits.map(s => s"${s.id}:${s.numDocs}:${s.maxTs.getOrElse(0L)}")
-      .mkString("|")
+    // Cache identity for the corpus-stats memo: index name (split ids are
+    // not index-scoped) + manifest generation (bumped by EVERY committed
+    // write, including in-place idempotent rewrites that paths or
+    // numDocs-based keys would miss) + the pruned subset actually scanned.
+    val version = s"$indexName#${catalog.manifestGen(indexName)}#" +
+      splits.map(_.id).mkString(",")
     if (paths.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

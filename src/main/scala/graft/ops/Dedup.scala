@@ -103,10 +103,11 @@ object Dedup {
 
   /** 63-bit SimHash near-dup pairs over a tokenized table
     * ((doc_id, toks)): hamming distance <= maxDistance. Candidates
-    * bucket-join on ceil(64/(maxDistance+1))-bit chunks — by pigeonhole a
-    * pair within distance d matches at least one chunk exactly, so recall
-    * is total and the exact distance check makes output equal the naive
-    * quadratic scan. Output: (a, b, dist). */
+    * bucket-join on maxDistance+1 variable-width chunks that partition
+    * bits 0..62 — by pigeonhole a pair within the distance matches at
+    * least one chunk exactly, so recall is total and the exact distance
+    * check makes output equal the naive quadratic scan.
+    * Output: (a, b, dist). */
   def simhash(tokenized: DataFrame, maxDistance: Int = 8): DataFrame = {
     require(maxDistance >= 0 && maxDistance < 63, "maxDistance must be in [0, 62]")
     val chunks = maxDistance + 1

@@ -57,12 +57,14 @@ final class StreamingIndexer(spark: SparkSession, catalog: Catalog) {
     val split = graft.engine.Indexer.splitStats(spark, d, dir, id)
     if (split.numDocs == 0) None
     else {
-      // Replace the legacy (pre-run-tag) id for this batch too: a stream
-      // started on an older build that crashed before checkpointing this
-      // batch would otherwise leave its old split alongside the replay.
-      val legacyId = f"batch-$batchId%012d"
-      catalog.commitSplitIdempotent(indexName, split,
-        alsoReplace = if (prefix.isEmpty) Nil else Seq(legacyId))
+      // Known upgrade corner, deliberately NOT auto-healed: a stream from
+      // a build without run tags that crashed before checkpointing its
+      // LAST batch will duplicate that one batch when replayed on this
+      // build (new id scheme). Auto-removing the legacy id here would be
+      // worse — a fresh-checkpoint run (batch ids restarting at 0) would
+      // silently delete legitimately committed legacy splits. The manual
+      // fix is `merge --dedup`.
+      catalog.commitSplitIdempotent(indexName, split)
       Some(split)
     }
   }

@@ -228,8 +228,11 @@ class SplitPruningSpec extends AnyFunSuite {
     val splits = cats.head.liveSplits("race_test")
     assert(splits.map(_.id).sorted == (0 until n).map(i => f"s$i%03d").toList,
       s"every concurrent commit must survive, got ${splits.map(_.id).sorted}")
-    assert(!Files.exists(java.nio.file.Paths.get(root,
-      "indexes", "race_test", "manifest.lock")), "lock released")
+    // the OS advisory lock is released (an uncontended take succeeds fast);
+    // the lock FILE deliberately persists — deleting it would let a new
+    // writer lock a fresh inode while an old holder locks the unlinked one
+    cats.head.commitSplit("race_test", graft.engine.SplitInfo("final", 1L))
+    assert(cats.head.liveSplits("race_test").length == n + 1)
   }
 
   test("bound extraction composes through booleans") {
