@@ -233,6 +233,10 @@ class SplitPruningSpec extends AnyFunSuite {
     // writer lock a fresh inode while an old holder locks the unlinked one
     cats.head.commitSplit("race_test", graft.engine.SplitInfo("final", 1L))
     assert(cats.head.liveSplits("race_test").length == n + 1)
+    // generation counter: create wrote gen 1, then n + 1 commits — every
+    // serialized write bumped it exactly once (the cache-invalidation handle)
+    assert(cats.head.manifestGen("race_test") == n + 2L,
+      s"gen=${cats.head.manifestGen("race_test")}")
   }
 
   test("bound extraction composes through booleans") {
