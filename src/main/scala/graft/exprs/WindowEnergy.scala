@@ -21,6 +21,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class WindowEnergy(child: Expression, windowSize: Int)
     extends UnaryExpression with CodegenFallback {
+  require(windowSize > 0, s"windowSize must be positive, got $windowSize")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
 

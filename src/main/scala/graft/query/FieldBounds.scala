@@ -32,10 +32,16 @@ object FieldBounds {
   }
   val Unbounded: NumBounds = NumBounds(None, None)
 
+  /** Parsed numeric literal, rejecting NaN: NaN bounds would make
+    * overlaps() unconditionally false and prune splits whose compiled
+    * predicate (`=== NaN` is true under Spark's NaN semantics) can match. */
+  private def num(v: String): Option[Double] =
+    v.toDoubleOption.filterNot(_.isNaN)
+
   /** Widened one ulp each side: exclusive bounds are treated as inclusive
     * (a strict superset) — split pruning only needs an over-approximation. */
   private def point(v: String): Option[NumBounds] =
-    v.toDoubleOption.map(d => NumBounds(Some(Math.nextDown(d)), Some(Math.nextUp(d))))
+    num(v).map(d => NumBounds(Some(Math.nextDown(d)), Some(Math.nextUp(d))))
 
   def extractNumeric(ast: Ast, field: String): NumBounds = {
     def walk(a: Ast): NumBounds = a match {
@@ -43,18 +49,18 @@ object FieldBounds {
         point(v).getOrElse(Unbounded)
       case Ast.Range(Some(f), lo, hi) if f == field =>
         val loB = lo match {
-          case Bound.Inclusive(v) => v.toDoubleOption.map(Math.nextDown)
-          case Bound.Exclusive(v) => v.toDoubleOption.map(Math.nextDown)
+          case Bound.Inclusive(v) => num(v).map(Math.nextDown)
+          case Bound.Exclusive(v) => num(v).map(Math.nextDown)
           case Bound.Unbounded    => None
         }
         val hiB = hi match {
-          case Bound.Inclusive(v) => v.toDoubleOption.map(Math.nextUp)
-          case Bound.Exclusive(v) => v.toDoubleOption.map(Math.nextUp)
+          case Bound.Inclusive(v) => num(v).map(Math.nextUp)
+          case Bound.Exclusive(v) => num(v).map(Math.nextUp)
           case Bound.Unbounded    => None
         }
         NumBounds(loB, hiB)
       case Ast.InSet(Some(f), vs) if f == field =>
-        val ds = vs.flatMap(_.toDoubleOption)
+        val ds = vs.flatMap(num)
         if (ds.nonEmpty && ds.length == vs.length)
           NumBounds(Some(Math.nextDown(ds.min)), Some(Math.nextUp(ds.max)))
         else Unbounded
@@ -125,19 +131,29 @@ object FieldBounds {
 
   /** Some(values): every matching document has `field` equal to one of
     * `values` (raw-tokenizer exact-match semantics). None: unconstrained.
-    * Must-clauses intersect (any one constraint suffices to prune);
-    * should-clauses union and constrain only if EVERY arm constrains. */
+    *
+    * Boolean semantics mirror the compiler's (tantivy's): when ANY Must
+    * clause exists, Should clauses are optional (scoring-only) and must
+    * NOT constrain — the branch keys on the presence of Must *clauses*,
+    * not of Must *constraints*, otherwise `+host:web sev:ERROR` would
+    * treat the optional sev term as required and prune splits holding
+    * real host=web matches. Should-only queries constrain iff EVERY arm
+    * constrains (union). */
   def requiredTerms(ast: Ast, field: String): Option[Set[String]] = {
     def walk(a: Ast): Option[Set[String]] = a match {
       case Ast.Term(Some(f), v) if f == field  => Some(Set(v))
       case Ast.InSet(Some(f), vs) if f == field => Some(vs.toSet)
       case Ast.Bool(clauses) =>
-        val musts = clauses.collect { case (Occur.Must, x) => walk(x) }.flatten
-        val shoulds = clauses.collect { case (Occur.Should, x) => walk(x) }
-        if (musts.nonEmpty) Some(musts.reduce(_ intersect _))
-        else if (shoulds.nonEmpty && shoulds.forall(_.isDefined))
-          Some(shoulds.flatten.reduce(_ union _))
-        else None
+        val mustClauses = clauses.collect { case (Occur.Must, x) => x }
+        val shouldClauses = clauses.collect { case (Occur.Should, x) => x }
+        if (mustClauses.nonEmpty) {
+          val cs = mustClauses.flatMap(walk)
+          if (cs.nonEmpty) Some(cs.reduce(_ intersect _)) else None
+        } else if (shouldClauses.nonEmpty) {
+          val cs = shouldClauses.map(walk)
+          if (cs.forall(_.isDefined)) Some(cs.flatten.reduce(_ union _))
+          else None
+        } else None
       case Ast.Boost(inner, _) => walk(inner)
       case _ => None
     }

@@ -131,6 +131,16 @@ class SplitPruningSpec extends AnyFunSuite {
     assert(pathsFor("NOT severity:ERROR").length == 2)
     // default-field term does not constrain a specific field
     assert(pathsFor("alpha").length == 2)
+    // when a Must clause exists, a Should term is scoring-only (tantivy
+    // semantics): `+msg:alpha severity:ERROR` matches ALL alpha docs, so
+    // the optional severity term must NOT prune split A (INFO/WARN only)
+    assert(pathsFor("+msg:alpha severity:ERROR").length == 2)
+    assert(pathsFor("+tenant_id:>0 severity:ERROR").length == 2)
+    // same guard for numeric shoulds next to an unrelated must
+    assert(pathsFor("+severity:ERROR tenant_id:5").length == 1,
+      "must on the dict field still prunes")
+    assert(search.search("zone_test", "+msg:alpha severity:ERROR", 10).length == 2,
+      "optional severity term must not drop the INFO alpha doc")
 
     // results stay correct through pruning
     assert(search.search("zone_test", "tenant_id:>50 AND msg:alpha", 10) ==
