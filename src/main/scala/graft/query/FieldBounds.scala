@@ -5,19 +5,61 @@ package graft.query
   *
   *  - [[extractNumeric]]: an interval every matching document's numeric
   *    field must lie in (compared against per-split min/max zone maps);
+  *  - [[extractOrdered]]: the same over an ordered string domain (IP
+  *    fields, compared as fixed-width hex);
   *  - [[requiredTerms]]: a value set every matching document's raw-
   *    tokenized text field must take a value from (compared against
   *    per-split small-dictionary stats).
   *
-  * "Conservative" = when in doubt, unconstrained — pruning must never lose
-  * a match. Numeric comparisons happen in Double space; query-side bounds
-  * are widened by one ulp so Long→Double rounding (|v| > 2^53) can never
-  * shrink the interval. The reference has no split pruning at all (its
-  * `time_field` is parsed and unused, `/root/reference/src/config/mod.rs`
-  * `:229-231`); at 100 TB this layer is what keeps a selective query from
-  * touching every object on the store.
+  * All extractors (and [[TimeBounds.extract]]) share ONE AST walker,
+  * [[FieldBounds.extract]], parameterized over a small constraint lattice
+  * — the boolean semantics live in exactly one place. They mirror the
+  * compiler's (tantivy's): when ANY Must clause exists, Should clauses
+  * are scoring-only and never constrain (the walker keys on Must
+  * *clauses*, with "unconstrained" represented in-band as the lattice
+  * top, so `+host:web sev:ERROR` cannot treat the optional sev term as
+  * required); Should-only queries union, and an unconstrained arm makes
+  * the union unconstrained.
+  *
+  * "Conservative" = when in doubt, the lattice top (no pruning) — pruning
+  * must never lose a match. The reference has no split pruning at all
+  * (its `time_field` is parsed and unused,
+  * `/root/reference/src/config/mod.rs:229-231`); at 100 TB this layer is
+  * what keeps a selective query from touching every object on the store.
   */
 object FieldBounds {
+
+  /** Constraint domain for one field type: `top` = unconstrained, plus
+    * the leaf constructors and the two boolean combiners. Implementations
+    * must keep every operation conservative (over-approximate). */
+  trait Lattice[B] {
+    def top: B
+    def intersect(a: B, b: B): B
+    def union(a: B, b: B): B
+    def term(v: String): B
+    def range(lo: Bound, hi: Bound): B
+    def inSet(vs: List[String]): B
+  }
+
+  /** The single AST walker behind every extractor. */
+  def extract[B](ast: Ast, field: String, L: Lattice[B]): B = {
+    def walk(a: Ast): B = a match {
+      case Ast.Term(Some(f), v) if f == field       => L.term(v)
+      case Ast.Range(Some(f), lo, hi) if f == field => L.range(lo, hi)
+      case Ast.InSet(Some(f), vs) if f == field     => L.inSet(vs)
+      case Ast.Bool(clauses) =>
+        val musts = clauses.collect { case (Occur.Must, x) => walk(x) }
+        val shoulds = clauses.collect { case (Occur.Should, x) => walk(x) }
+        if (musts.nonEmpty) musts.reduce(L.intersect)
+        else if (shoulds.nonEmpty) shoulds.reduce(L.union)
+        else L.top
+      case Ast.Boost(inner, _) => walk(inner)
+      case _ => L.top
+    }
+    walk(ast)
+  }
+
+  // ---- numeric (Double interval) domain ----------------------------------
 
   final case class NumBounds(lo: Option[Double], hi: Option[Double]) {
     def intersect(o: NumBounds): NumBounds = NumBounds(
@@ -38,43 +80,35 @@ object FieldBounds {
   private def num(v: String): Option[Double] =
     v.toDoubleOption.filterNot(_.isNaN)
 
-  /** Widened one ulp each side: exclusive bounds are treated as inclusive
-    * (a strict superset) — split pruning only needs an over-approximation. */
-  private def point(v: String): Option[NumBounds] =
-    num(v).map(d => NumBounds(Some(Math.nextDown(d)), Some(Math.nextUp(d))))
-
-  def extractNumeric(ast: Ast, field: String): NumBounds = {
-    def walk(a: Ast): NumBounds = a match {
-      case Ast.Term(Some(f), v) if f == field =>
-        point(v).getOrElse(Unbounded)
-      case Ast.Range(Some(f), lo, hi) if f == field =>
-        val loB = lo match {
-          case Bound.Inclusive(v) => num(v).map(Math.nextDown)
-          case Bound.Exclusive(v) => num(v).map(Math.nextDown)
-          case Bound.Unbounded    => None
-        }
-        val hiB = hi match {
-          case Bound.Inclusive(v) => num(v).map(Math.nextUp)
-          case Bound.Exclusive(v) => num(v).map(Math.nextUp)
-          case Bound.Unbounded    => None
-        }
-        NumBounds(loB, hiB)
-      case Ast.InSet(Some(f), vs) if f == field =>
-        val ds = vs.flatMap(num)
-        if (ds.nonEmpty && ds.length == vs.length)
-          NumBounds(Some(Math.nextDown(ds.min)), Some(Math.nextUp(ds.max)))
-        else Unbounded
-      case Ast.Bool(clauses) =>
-        val musts = clauses.collect { case (Occur.Must, x) => walk(x) }
-        val shoulds = clauses.collect { case (Occur.Should, x) => walk(x) }
-        if (musts.nonEmpty) musts.reduce(_ intersect _)
-        else if (shoulds.nonEmpty) shoulds.reduce(_ union _)
-        else Unbounded
-      case Ast.Boost(inner, _) => walk(inner)
-      case _ => Unbounded
+  /** Bounds widened one ulp each side; exclusive range bounds treated as
+    * inclusive — split pruning only needs an over-approximation. */
+  private object NumLattice extends Lattice[NumBounds] {
+    def top: NumBounds = Unbounded
+    def intersect(a: NumBounds, b: NumBounds): NumBounds = a intersect b
+    def union(a: NumBounds, b: NumBounds): NumBounds = a union b
+    def term(v: String): NumBounds =
+      num(v).map(d => NumBounds(Some(Math.nextDown(d)), Some(Math.nextUp(d))))
+        .getOrElse(top)
+    def range(lo: Bound, hi: Bound): NumBounds = {
+      def b(x: Bound): Option[Double] = x match {
+        case Bound.Inclusive(v) => num(v)
+        case Bound.Exclusive(v) => num(v)
+        case Bound.Unbounded    => None
+      }
+      NumBounds(b(lo).map(Math.nextDown), b(hi).map(Math.nextUp))
     }
-    walk(ast)
+    def inSet(vs: List[String]): NumBounds = {
+      val ds = vs.flatMap(num)
+      if (ds.nonEmpty && ds.length == vs.length)
+        NumBounds(Some(Math.nextDown(ds.min)), Some(Math.nextUp(ds.max)))
+      else top
+    }
   }
+
+  def extractNumeric(ast: Ast, field: String): NumBounds =
+    extract(ast, field, NumLattice)
+
+  // ---- ordered-string domain (canonical-hex IPs) --------------------------
 
   /** Bounds over an ordered string domain — used for IP fields, whose
     * canonical 16 bytes are compared as fixed-width uppercase hex (string
@@ -93,70 +127,52 @@ object FieldBounds {
   }
   val UnboundedStr: StrBounds = StrBounds(None, None)
 
+  private final class StrLattice(parse: String => Option[String])
+      extends Lattice[StrBounds] {
+    def top: StrBounds = UnboundedStr
+    def intersect(a: StrBounds, b: StrBounds): StrBounds = a intersect b
+    def union(a: StrBounds, b: StrBounds): StrBounds = a union b
+    def term(v: String): StrBounds =
+      parse(v).map(p => StrBounds(Some(p), Some(p))).getOrElse(top)
+    def range(lo: Bound, hi: Bound): StrBounds = {
+      def b(x: Bound): Option[String] = x match {
+        case Bound.Inclusive(v) => parse(v)
+        case Bound.Exclusive(v) => parse(v)
+        case Bound.Unbounded    => None
+      }
+      StrBounds(b(lo), b(hi))
+    }
+    def inSet(vs: List[String]): StrBounds = {
+      val ps = vs.flatMap(parse)
+      if (ps.nonEmpty && ps.length == vs.length)
+        StrBounds(Some(ps.min), Some(ps.max))
+      else top
+    }
+  }
+
   /** Extract bounds for a field whose literals map into an ordered string
     * domain via `parse` (unparsable literal → unconstrained). */
   def extractOrdered(ast: Ast, field: String,
-      parse: String => Option[String]): StrBounds = {
-    def walk(a: Ast): StrBounds = a match {
-      case Ast.Term(Some(f), v) if f == field =>
-        parse(v).map(p => StrBounds(Some(p), Some(p))).getOrElse(UnboundedStr)
-      case Ast.Range(Some(f), lo, hi) if f == field =>
-        val loB = lo match {
-          case Bound.Inclusive(v) => parse(v)
-          case Bound.Exclusive(v) => parse(v)
-          case Bound.Unbounded    => None
-        }
-        val hiB = hi match {
-          case Bound.Inclusive(v) => parse(v)
-          case Bound.Exclusive(v) => parse(v)
-          case Bound.Unbounded    => None
-        }
-        StrBounds(loB, hiB)
-      case Ast.InSet(Some(f), vs) if f == field =>
-        val ps = vs.flatMap(parse)
-        if (ps.nonEmpty && ps.length == vs.length)
-          StrBounds(Some(ps.min), Some(ps.max))
-        else UnboundedStr
-      case Ast.Bool(clauses) =>
-        val musts = clauses.collect { case (Occur.Must, x) => walk(x) }
-        val shoulds = clauses.collect { case (Occur.Should, x) => walk(x) }
-        if (musts.nonEmpty) musts.reduce(_ intersect _)
-        else if (shoulds.nonEmpty) shoulds.reduce(_ union _)
-        else UnboundedStr
-      case Ast.Boost(inner, _) => walk(inner)
-      case _ => UnboundedStr
+      parse: String => Option[String]): StrBounds =
+    extract(ast, field, new StrLattice(parse))
+
+  // ---- required-value-set domain (raw-tokenized dictionaries) -------------
+
+  private object TermSetLattice extends Lattice[Option[Set[String]]] {
+    def top: Option[Set[String]] = None
+    def intersect(a: Option[Set[String]], b: Option[Set[String]]) = (a, b) match {
+      case (Some(x), Some(y)) => Some(x intersect y)
+      case _                  => a.orElse(b)
     }
-    walk(ast)
+    def union(a: Option[Set[String]], b: Option[Set[String]]) =
+      for (x <- a; y <- b) yield x union y
+    def term(v: String): Option[Set[String]] = Some(Set(v))
+    def range(lo: Bound, hi: Bound): Option[Set[String]] = top
+    def inSet(vs: List[String]): Option[Set[String]] = Some(vs.toSet)
   }
 
   /** Some(values): every matching document has `field` equal to one of
-    * `values` (raw-tokenizer exact-match semantics). None: unconstrained.
-    *
-    * Boolean semantics mirror the compiler's (tantivy's): when ANY Must
-    * clause exists, Should clauses are optional (scoring-only) and must
-    * NOT constrain — the branch keys on the presence of Must *clauses*,
-    * not of Must *constraints*, otherwise `+host:web sev:ERROR` would
-    * treat the optional sev term as required and prune splits holding
-    * real host=web matches. Should-only queries constrain iff EVERY arm
-    * constrains (union). */
-  def requiredTerms(ast: Ast, field: String): Option[Set[String]] = {
-    def walk(a: Ast): Option[Set[String]] = a match {
-      case Ast.Term(Some(f), v) if f == field  => Some(Set(v))
-      case Ast.InSet(Some(f), vs) if f == field => Some(vs.toSet)
-      case Ast.Bool(clauses) =>
-        val mustClauses = clauses.collect { case (Occur.Must, x) => x }
-        val shouldClauses = clauses.collect { case (Occur.Should, x) => x }
-        if (mustClauses.nonEmpty) {
-          val cs = mustClauses.flatMap(walk)
-          if (cs.nonEmpty) Some(cs.reduce(_ intersect _)) else None
-        } else if (shouldClauses.nonEmpty) {
-          val cs = shouldClauses.map(walk)
-          if (cs.forall(_.isDefined)) Some(cs.flatten.reduce(_ union _))
-          else None
-        } else None
-      case Ast.Boost(inner, _) => walk(inner)
-      case _ => None
-    }
-    walk(ast)
-  }
+    * `values` (raw-tokenizer exact-match semantics). None: unconstrained. */
+  def requiredTerms(ast: Ast, field: String): Option[Set[String]] =
+    extract(ast, field, TermSetLattice)
 }

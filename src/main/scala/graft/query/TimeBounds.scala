@@ -5,7 +5,9 @@ import graft.functions.TimeParse
 /** Conservative time-bound extraction from a query AST for split pruning:
   * computes an interval [lo, hi] (epoch micros, either side optional) that
   * every matching document's time field must satisfy. "Conservative" =
-  * when in doubt, unbounded — pruning must never lose a match.
+  * when in doubt, unbounded — pruning must never lose a match. The AST
+  * traversal (including the must/should boolean semantics) is the shared
+  * [[FieldBounds.extract]] walker; only the micros domain lives here.
   *
   * The reference parses `time_field` and never uses it
   * (`/root/reference/src/config/mod.rs:229-231`); this is the cheap,
@@ -27,37 +29,37 @@ object TimeBounds {
   }
   val Unbounded: Bounds = Bounds(None, None)
 
-  def extract(ast: Ast, timeField: String, formats: Seq[String]): Bounds = {
-    def parse(v: String): Option[Long] = TimeParse.parseCascade(v, formats)
-    def walk(a: Ast): Bounds = a match {
-      case Ast.Term(Some(f), v) if f == timeField =>
-        parse(v).map(t => Bounds(Some(t), Some(t))).getOrElse(Unbounded)
-      case Ast.Range(Some(f), lo, hi) if f == timeField =>
-        val loB = lo match {
-          case Bound.Inclusive(v) => parse(v)
-          case Bound.Exclusive(v) => parse(v).map(_ + 1)
-          case Bound.Unbounded    => None
-        }
-        val hiB = hi match {
-          case Bound.Inclusive(v) => parse(v)
-          case Bound.Exclusive(v) => parse(v).map(_ - 1)
-          case Bound.Unbounded    => None
-        }
-        Bounds(loB, hiB)
-      case Ast.Bool(clauses) =>
-        val musts = clauses.collect { case (Occur.Must, x) => walk(x) }
-        val shoulds = clauses.collect { case (Occur.Should, x) => walk(x) }
-        if (musts.nonEmpty) musts.reduce(_ intersect _)
-        else if (shoulds.nonEmpty) shoulds.reduce(_ union _)
-        else Unbounded
-      case Ast.Boost(inner, _) => walk(inner)
-      case Ast.InSet(Some(f), vs) if f == timeField =>
-        val ts = vs.flatMap(parse)
-        if (ts.nonEmpty && ts.length == vs.length)
-          Bounds(Some(ts.min), Some(ts.max))
-        else Unbounded
-      case _ => Unbounded
+  /** Micros lattice: exclusive bounds tighten by exactly one microsecond
+    * (the storage precision), unlike the Double domain's ulp widening. */
+  private final class MicrosLattice(formats: Seq[String])
+      extends FieldBounds.Lattice[Bounds] {
+    private def parse(v: String): Option[Long] = TimeParse.parseCascade(v, formats)
+    def top: Bounds = Unbounded
+    def intersect(a: Bounds, b: Bounds): Bounds = a intersect b
+    def union(a: Bounds, b: Bounds): Bounds = a union b
+    def term(v: String): Bounds =
+      parse(v).map(t => Bounds(Some(t), Some(t))).getOrElse(top)
+    def range(lo: Bound, hi: Bound): Bounds = {
+      val loB = lo match {
+        case Bound.Inclusive(v) => parse(v)
+        case Bound.Exclusive(v) => parse(v).map(_ + 1)
+        case Bound.Unbounded    => None
+      }
+      val hiB = hi match {
+        case Bound.Inclusive(v) => parse(v)
+        case Bound.Exclusive(v) => parse(v).map(_ - 1)
+        case Bound.Unbounded    => None
+      }
+      Bounds(loB, hiB)
     }
-    walk(ast)
+    def inSet(vs: List[String]): Bounds = {
+      val ts = vs.flatMap(parse)
+      if (ts.nonEmpty && ts.length == vs.length)
+        Bounds(Some(ts.min), Some(ts.max))
+      else top
+    }
   }
+
+  def extract(ast: Ast, timeField: String, formats: Seq[String]): Bounds =
+    FieldBounds.extract(ast, timeField, new MicrosLattice(formats))
 }
