@@ -198,6 +198,23 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("a Should clause next to a Must never constrains any extractor") {
+    // tantivy semantics: once a Must exists, Should is scoring-only. For
+    // ANY generated sub-query placed as the Should arm, every extractor
+    // must report "unconstrained" for every field the Must doesn't touch
+    // (the exact shape of the dict-pruning bug the third review found).
+    check("should-next-to-must")(Prop.forAll(genAst(2)) { inner =>
+      val wrapped = Ast.Bool(List(
+        (Occur.Must, Ast.Term(Some("zzz"), "anchor")),
+        (Occur.Should, inner)))
+      FieldBounds.extractNumeric(wrapped, "n").isUnbounded &&
+        FieldBounds.extractOrdered(wrapped, "sev", Some(_)).isUnbounded &&
+        FieldBounds.requiredTerms(wrapped, "sev").isEmpty &&
+        TimeBounds.extract(wrapped, "ts", Seq("rfc3339", "timestamp")) ==
+          TimeBounds.Unbounded
+    })
+  }
+
   test("porter stemmer never lengthens, never empties, stays lowercase") {
     // NOTE: classic Porter is NOT idempotent in general (found by the
     // earlier idempotence property on nonsense words like "oieihxbjngse" →
