@@ -67,11 +67,13 @@ final class SchemaDerivation(val config: IndexConfig) {
   val defaultFieldNames: List[String] =
     resolved.filter(_.fieldType.indexed).map(_.flatName) :+ Dynamic
 
-  /** Leaves that get a pre-tokenized `_terms` entry. */
+  /** Leaves that get a pre-tokenized `_terms` entry — text fields only:
+    * declared dynamic_object term queries tokenize the stored JSON at
+    * query time (QueryCompiler's dyn case), so a precomputed entry for
+    * them was pure dead storage (for the default `raw` tokenizer it
+    * duplicated the whole payload per row). */
   val termsFields: List[(String, ResolvedField, String)] = resolved.collect {
     case f @ ResolvedField(_, flat, _, t: TextField) if t.tokenizer.isDefined =>
-      (flat, f, t.tokenizer.get)
-    case f @ ResolvedField(_, flat, _, t: DynamicObjectField) if t.tokenizer.isDefined =>
       (flat, f, t.tokenizer.get)
   }
 
@@ -200,8 +202,44 @@ final class SchemaDerivation(val config: IndexConfig) {
   }
 
   /** Full ingest projection over a DataFrame with a `value` JSON-line
-    * column: returns (columns to select, skip-document predicate). */
+    * column: returns (columns to select, skip-document predicate). The
+    * `_terms.<dynamic>` entry tokenizes a RE-parse of the residual here;
+    * [[ingest]] is the two-stage form that reuses the stored `_dynamic`
+    * column instead — prefer it (one Jackson pass per row, not two). */
   def ingestProjection(value: Column): (Seq[Column], Column) = {
+    val (stage1, termsCols, skip) = ingestStage1(value)
+    val dynTerms = TextFunctions.tokenize(
+      expand_dots_json(json_residual(value, topLevelNames)), "default").as(Dynamic)
+    val terms = struct(termsCols :+ dynTerms: _*).as(Terms)
+    (stage1.collect { case (c, None) => c } :+ terms, skip)
+  }
+
+  /** The preferred ingest path: filter + two projections over a `value`
+    * JSON-line DataFrame, computing the residual-JSON parse ONCE (the
+    * catch-all terms tokenize the stored `_dynamic` column in the second
+    * projection instead of re-parsing the raw line). */
+  def ingest(lines: org.apache.spark.sql.DataFrame,
+      value: Column): org.apache.spark.sql.DataFrame = {
+    val (stage1, _, skip) = ingestStage1(value)
+    val declared = fields.map(f => col(s"`${f.name}`"))
+    val termsStruct = struct(
+      termsFields.map { case (flat, _, _) => col(s"`__t__$flat`").as(flat) } :+
+        TextFunctions.tokenize(col(Dynamic), "default").as(Dynamic): _*)
+    lines
+      .where(value.isNotNull && length(trim(value)) > 0)
+      .where(!coalesce(skip, lit(true)))
+      .select(stage1.map { case (c, tmp) =>
+        tmp.map(n => c.as(n)).getOrElse(c)
+      }: _*)
+      .select(declared :+ col(Dynamic) :+ termsStruct.as(Terms): _*)
+  }
+
+  /** Stage 1: typed declared columns + `_dynamic` + per-text-field token
+    * arrays (temp-named `__t__<flat>` so stage 2 can fold them into the
+    * `_terms` struct). Returns ((column, temp-name), bare terms columns,
+    * skip). */
+  private def ingestStage1(
+      value: Column): (Seq[(Column, Option[String])], List[Column], Column) = {
     val parsed = from_json(value, rawParseSchema)
     val perField = fields.map(f => typedField(f, parsed, Nil, value))
     val dynamicCol = expand_dots_json(json_residual(value, topLevelNames)).as(Dynamic)
@@ -219,9 +257,6 @@ final class SchemaDerivation(val config: IndexConfig) {
         else TextFunctions.tokenize(typed.cast("string"), tok)
       toks.as(flat)
     }
-    val dynTerms = TextFunctions.tokenize(
-      expand_dots_json(json_residual(value, topLevelNames)), "default").as(Dynamic)
-    val terms = struct(termsCols :+ dynTerms: _*).as(Terms)
 
     // A corrupt line yields a struct of nulls in PERMISSIVE mode, not a
     // null struct — probe validity via the map parse, which IS null for
@@ -229,7 +264,13 @@ final class SchemaDerivation(val config: IndexConfig) {
     val corrupt = from_json(value, MapType(StringType, StringType)).isNull
     val errors = perField.map(_._2) :+ corrupt
     val skip = errors.reduce(_ || _)
-    (perField.map(_._1) :+ dynamicCol :+ terms, skip)
+    val cols: Seq[(Column, Option[String])] =
+      perField.map { case (c, _) => (c, None: Option[String]) } ++
+        Seq((dynamicCol, None: Option[String])) ++
+        termsCols.zip(termsFields).map { case (c, (flat, _, _)) =>
+          (c, Some(s"__t__$flat"))
+        }
+    (cols, termsCols, skip)
   }
 
   /** Storage → reference-shaped output JSON is built in the search module

@@ -58,7 +58,7 @@ object Catalog {
   /** Best-effort recursive directory delete — the shared idiom for
     * removing split data (leaked files are tolerated everywhere: without
     * a manifest entry they are invisible). */
-  private[engine] def deleteDirBestEffort(dir: Path): Unit =
+  private[graft] def deleteDirBestEffort(dir: Path): Unit =
     if (Files.exists(dir)) {
       try Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
         .forEach(p => { try Files.deleteIfExists(p) catch { case _: Exception => } })
@@ -104,11 +104,24 @@ final class Catalog(rootDir: String) {
 
   // ---- manifest ---------------------------------------------------------
 
-  def liveSplits(name: String): List[SplitInfo] = {
+  /** The catalog root (part of cache identities: index names and split
+    * ids are only unique within one root). Named distinctly from the
+    * constructor parameter: a `rootDir` method would shadow it inside
+    * the `root` initializer and NPE at construction. */
+  def catalogRoot: String = root.toString
+
+  def liveSplits(name: String): List[SplitInfo] = manifestState(name)._2
+
+  /** (generation, live splits) from ONE manifest read — callers that need
+    * both (e.g. the searcher's stats-cache identity) must not issue two
+    * reads, or a concurrent commit can pair generation N+1 with a gen-N
+    * split listing and poison a cache entry for that generation. */
+  def manifestState(name: String): (Long, List[SplitInfo]) = {
     val p = manifestPath(name)
-    if (!Files.exists(p)) return Nil
+    if (!Files.exists(p)) return (0L, Nil)
     val node = JsonSupport.parse(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
-    node.get("splits").elements().asScala.map { s =>
+    val gen = Option(node.get("gen")).filter(!_.isNull).map(_.asLong()).getOrElse(0L)
+    val splits = node.get("splits").elements().asScala.map { s =>
       val numStats = Option(s.get("stats")).filter(_.isObject).map { st =>
         st.properties().asScala.map { e =>
           e.getKey -> (e.getValue.get("min").asDouble(), e.getValue.get("max").asDouble())
@@ -129,6 +142,7 @@ final class Catalog(rootDir: String) {
         Option(s.get("maxTs")).filter(!_.isNull).map(_.asLong()),
         numStats, dicts, hexStats)
     }.toList
+    (gen, splits)
   }
 
   def splitPaths(name: String): List[String] =
@@ -137,12 +151,7 @@ final class Catalog(rootDir: String) {
   /** Monotonic manifest generation — bumped by every committed write; the
     * exact invalidation handle for anything cached per manifest state
     * (e.g. the searcher's BM25 corpus-stats memo). 0 = no manifest. */
-  def manifestGen(name: String): Long = {
-    val p = manifestPath(name)
-    if (!Files.exists(p)) return 0L
-    val node = JsonSupport.parse(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
-    Option(node.get("gen")).filter(!_.isNull).map(_.asLong()).getOrElse(0L)
-  }
+  def manifestGen(name: String): Long = manifestState(name)._1
 
   private def writeManifest(name: String, splits: List[SplitInfo]): Unit = {
     val m = JsonSupport.mapper
@@ -235,6 +244,17 @@ final class Catalog(rootDir: String) {
   def commitSplitIdempotent(name: String, split: SplitInfo): Unit =
     withManifestLock(name) {
       writeManifest(name, liveSplits(name).filterNot(_.id == split.id) :+ split)
+    }
+
+  /** Remove one split's manifest entry if present (no-op otherwise) —
+    * the replay-to-empty form of idempotent commit: a replayed batch that
+    * now reads zero rows must retract the entry its earlier run
+    * committed, since the overwrite already emptied the data files. */
+  def removeSplitIfPresent(name: String, id: String): Unit =
+    withManifestLock(name) {
+      val live = liveSplits(name)
+      if (live.exists(_.id == id))
+        writeManifest(name, live.filterNot(_.id == id))
     }
 
   /** Replace `removed` with `added` (merge commit), then best-effort delete

@@ -41,12 +41,7 @@ final class Indexer(spark: SparkSession, catalog: Catalog) {
   def indexDataFrame(indexName: String, lines: DataFrame): Option[SplitInfo] = {
     val cfg = catalog.load(indexName)
     val d = new SchemaDerivation(cfg)
-    val (cols, skip) = d.ingestProjection(col("value"))
-
-    val typed = lines
-      .where(col("value").isNotNull && length(trim(col("value"))) > 0)
-      .where(!coalesce(skip, lit(true)))
-      .select(cols: _*)
+    val typed = d.ingest(lines, col("value"))
 
     val id = newSplitId()
     val dir = catalog.splitDir(indexName, id).toString

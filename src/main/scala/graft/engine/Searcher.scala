@@ -33,13 +33,18 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
     val cfg = catalog.load(indexName)
     val d = new SchemaDerivation(cfg)
     val ast = QueryParser.parse(query)
-    val splits = prunedSplits(indexName, cfg, d, ast)
+    // ONE manifest read for both the split list and the generation: two
+    // reads could pair gen N+1 with a gen-N listing under a concurrent
+    // commit and poison the stats cache for that generation.
+    val (gen, live) = catalog.manifestState(indexName)
+    val splits = prunedFrom(live, cfg, d, ast)
     val paths = splits.map(s => catalog.splitDir(indexName, s.id).toString)
-    // Cache identity for the corpus-stats memo: index name (split ids are
-    // not index-scoped) + manifest generation (bumped by EVERY committed
-    // write, including in-place idempotent rewrites that paths or
-    // numDocs-based keys would miss) + the pruned subset actually scanned.
-    val version = s"$indexName#${catalog.manifestGen(indexName)}#" +
+    // Cache identity for the corpus-stats memo: catalog root + index name
+    // (split ids are unique only within one root/index) + manifest
+    // generation (bumped by EVERY committed write, including in-place
+    // idempotent rewrites that paths or numDocs-based keys would miss) +
+    // the pruned subset actually scanned.
+    val version = s"${catalog.catalogRoot}#$indexName#$gen#" +
       splits.map(_.id).mkString(",")
     if (paths.isEmpty)
       return spark.createDataFrame(
@@ -88,12 +93,11 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
     */
   private[graft] def prunedSplitPaths(indexName: String, cfg: graft.config.IndexConfig,
       d: SchemaDerivation, ast: Ast): List[String] =
-    prunedSplits(indexName, cfg, d, ast)
+    prunedFrom(catalog.liveSplits(indexName), cfg, d, ast)
       .map(s => catalog.splitDir(indexName, s.id).toString)
 
-  private[graft] def prunedSplits(indexName: String, cfg: graft.config.IndexConfig,
+  private def prunedFrom(splits: List[SplitInfo], cfg: graft.config.IndexConfig,
       d: SchemaDerivation, ast: Ast): List[SplitInfo] = {
-    val splits = catalog.liveSplits(indexName)
     val bounds = cfg.schema.timeField.flatMap { tf =>
       d.byFlatName.get(tf).collect {
         case rf if rf.fieldType.isInstanceOf[DateTimeField] =>
@@ -209,11 +213,18 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
     if (terms.isEmpty) return lit(0.0)
 
     val perField = terms.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    // Aliases hash (field, token) through md5: a plain `df__$flat__$tok`
+    // concatenation is ambiguous when field names or raw tokens themselves
+    // contain "__" (`host`+`web__1` vs `host__web`+`1`), which would
+    // silently serve one term's document frequency to the other.
+    def avgdlAlias(flat: String) = "avgdl_" + Searcher.aliasHash(flat)
+    def dfAlias(flat: String, tok: String) =
+      "df_" + Searcher.aliasHash(flat + " " + tok)
     val statNames: List[String] =
       "__n" ::
         perField.toList.flatMap { case (flat, toks) =>
           termsAccessor(d, flat).toList.flatMap { _ =>
-            s"avgdl__$flat" :: toks.map(t => s"df__${flat}__$t")
+            avgdlAlias(flat) :: toks.map(t => dfAlias(flat, t))
           }
         }
     val cacheKey = (splitsVersion, statNames.sorted.mkString("|"))
@@ -223,24 +234,24 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
         count(lit(1)).as("__n") ::
           perField.toList.flatMap { case (flat, toks) =>
             termsAccessor(d, flat).toList.flatMap { acc =>
-              avg(coalesce(size(acc).cast("double"), lit(0.0))).as(s"avgdl__$flat") ::
+              avg(coalesce(size(acc).cast("double"), lit(0.0))).as(avgdlAlias(flat)) ::
                 toks.map(t =>
-                  sum(when(array_contains(acc, t), 1L).otherwise(0L)).as(s"df__${flat}__$t"))
+                  sum(when(array_contains(acc, t), 1L).otherwise(0L)).as(dfAlias(flat, t)))
             }
           }
       val row = corpus.agg(statAggs.head, statAggs.tail: _*).collect()(0)
       statNames.map {
-        case k @ "__n"                      => k -> row.getAs[Long](k).toDouble
-        case k if k.startsWith("avgdl__")   => k -> row.getAs[Double](k)
-        case k                              => k -> row.getAs[Long](k).toDouble
+        case k @ "__n"                    => k -> row.getAs[Long](k).toDouble
+        case k if k.startsWith("avgdl_")  => k -> row.getAs[Double](k)
+        case k                            => k -> row.getAs[Long](k).toDouble
       }.toMap
     })
     val n = stats("__n").max(1.0)
 
     val parts: List[Column] = terms.flatMap { case (flat, tok, boost) =>
       termsAccessor(d, flat).map { acc =>
-        val dfCount = stats(s"df__${flat}__$tok")
-        val avgdl = math.max(stats(s"avgdl__$flat"), 1e-9)
+        val dfCount = stats(dfAlias(flat, tok))
+        val avgdl = math.max(stats(avgdlAlias(flat)), 1e-9)
         val idf = math.log(1.0 + (n - dfCount + 0.5) / (dfCount + 0.5))
         val tf = size(filter(acc, x => x === tok)).cast("double")
         val dl = if (fieldnormsEnabled(d, flat))
@@ -302,9 +313,15 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
 }
 
 object Searcher {
-  /** Memoized corpus statistics keyed by (scanned split set, stat names).
-    * Values are a handful of doubles; the size bound only guards a
-    * long-lived session against unbounded index churn. */
+  /** Memoized corpus statistics keyed by (catalog root + index + manifest
+    * generation + pruned split set, stat names). Values are a handful of
+    * doubles; the size bound only guards a long-lived session against
+    * unbounded index churn. */
   private val statsCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), Map[String, Double]]()
+
+  private[engine] def aliasHash(s: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+  }
 }

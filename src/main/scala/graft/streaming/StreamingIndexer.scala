@@ -41,12 +41,7 @@ final class StreamingIndexer(spark: SparkSession, catalog: Catalog) {
       runTag: String = ""): Option[SplitInfo] = {
     val cfg = catalog.load(indexName)
     val d = new SchemaDerivation(cfg)
-    val (cols, skip) = d.ingestProjection(col("value"))
-
-    val typed = batch
-      .where(col("value").isNotNull && length(trim(col("value"))) > 0)
-      .where(!coalesce(skip, lit(true)))
-      .select(cols: _*)
+    val typed = d.ingest(batch, col("value"))
 
     val prefix = if (runTag.isEmpty) "" else s"run-$runTag-"
     val id = f"${prefix}batch-$batchId%012d"
@@ -55,8 +50,16 @@ final class StreamingIndexer(spark: SparkSession, catalog: Catalog) {
       .option("maxRecordsPerFile", graft.engine.Indexer.MaxRecordsPerFile)
       .parquet(dir)
     val split = graft.engine.Indexer.splitStats(spark, d, dir, id)
-    if (split.numDocs == 0) None
-    else {
+    if (split.numDocs == 0) {
+      // The overwrite above already emptied the split dir; if an earlier
+      // run of this batch HAD committed rows (replay after source
+      // retention expired), the manifest entry must be retracted too or
+      // it would advertise data that no longer exists. Ordinary empty
+      // batches also clean their orphan dir this way.
+      catalog.removeSplitIfPresent(indexName, id)
+      graft.engine.Catalog.deleteDirBestEffort(java.nio.file.Paths.get(dir))
+      None
+    } else {
       // Known upgrade corner, deliberately NOT auto-healed: a stream from
       // a build without run tags that crashed before checkpointing its
       // LAST batch will duplicate that one batch when replayed on this
@@ -123,9 +126,16 @@ final class StreamingIndexer(spark: SparkSession, catalog: Catalog) {
 }
 
 object StreamingIndexer {
-  /** Stable per-logical-stream tag: hash of the checkpoint location. */
+  /** Stable per-logical-stream tag: hash of the NORMALIZED absolute
+    * checkpoint location — a raw-string hash would give the same location
+    * different tags across spellings ("ckpt" vs "/abs/ckpt", breaking
+    * replay idempotence after a restart with a different cwd) and
+    * different locations the same tag (two streams both passing "ckpt"
+    * from different cwds, letting one overwrite the other's splits). */
   def runTagFor(checkpointDir: String): String = {
+    val canonical = java.nio.file.Paths.get(checkpointDir)
+      .toAbsolutePath.normalize.toString
     val md = java.security.MessageDigest.getInstance("MD5")
-    md.digest(checkpointDir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    md.digest(canonical.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
   }
 }
