@@ -302,10 +302,20 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
       if (storedPlain.isEmpty) lit("{}") else to_json(struct(storedPlain: _*))
 
     // splice each dynamic_object field as {"<name>": <parsed json>} and the
-    // catch-all hoisted; MergeSortedJson sorts keys at the end.
+    // catch-all hoisted; MergeSortedJson sorts keys at the end. Array
+    // dynamic fields store one JSON string per element — join them into a
+    // JSON array literal (a bare concat of string + array would not even
+    // analyze).
     val withDyn = dynFields.filter(_.fieldType.stored).foldLeft(declared) { (acc, f) =>
-      val wrapped = when(col(s"`${f.name}`").isNull, lit(null))
-        .otherwise(concat(lit(s"""{"${f.name}":"""), col(s"`${f.name}`"), lit("}")))
+      val c = col(s"`${f.name}`")
+      val body =
+        if (f.array)
+          concat(lit("["),
+            concat_ws(",", transform(c, e => coalesce(e, lit("null")))),
+            lit("]"))
+        else c
+      val wrapped = when(c.isNull, lit(null))
+        .otherwise(concat(lit(s"""{"${f.name}":"""), body, lit("}")))
       merge_sorted_json(acc, wrapped)
     }
     merge_sorted_json(withDyn, col(Dynamic))

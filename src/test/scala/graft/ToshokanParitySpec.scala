@@ -207,6 +207,29 @@ class ToshokanParitySpec extends AnyFunSuite {
     }
   }
 
+  test("array dynamic_object roundtrips as a JSON array of objects") {
+    withEngine { (cat, idx, search) =>
+      cat.create(
+        """version: 1
+          |name: dynarr_test
+          |path: /tmp/x
+          |schema:
+          |  fields:
+          |    - name: id
+          |      type: !number
+          |        type: i64
+          |    - name: tags
+          |      array: true
+          |      type: !dynamic_object
+          |""".stripMargin)
+      idx.indexFile("dynarr_test", writeDocs(
+        """{"id": 1, "tags": [{"k": 1}, {"b": true}]}"""))
+      assert(search.search("dynarr_test", "*", 5) ==
+        Seq("""{"id":1,"tags":[{"k":1},{"b":true}]}"""))
+      cat.drop("dynarr_test")
+    }
+  }
+
   test("parse errors skip the document, not the batch") {
     withEngine { (cat, idx, search) =>
       cat.create(
