@@ -219,7 +219,7 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
     // silently serve one term's document frequency to the other.
     def avgdlAlias(flat: String) = "avgdl_" + Searcher.aliasHash(flat)
     def dfAlias(flat: String, tok: String) =
-      "df_" + Searcher.aliasHash(flat + " " + tok)
+      "df_" + Searcher.aliasHash(flat + "\u0000" + tok)
     val statNames: List[String] =
       "__n" ::
         perField.toList.flatMap { case (flat, toks) =>
@@ -275,6 +275,11 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
     def outLeaf(c: Column, t: FieldType): Column = t match {
       case _: DateTimeField => TimeFunctions.formatRfc3339(c)
       case _: IpField       => ip_display(c)
+      // a dynamic_object NESTED inside a static_object: its stored JSON
+      // string must splice into the parent struct as a real object, not a
+      // quoted string — variant renders as JSON (keys sorted by the
+      // variant encoding, matching the output contract)
+      case _: DynamicObjectField => parse_json(c)
       case _                => c
     }
     // `stored: false` fields are indexed/filterable but never echoed in

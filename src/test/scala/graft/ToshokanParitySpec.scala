@@ -230,6 +230,31 @@ class ToshokanParitySpec extends AnyFunSuite {
     }
   }
 
+  test("dynamic_object nested in a static_object splices as a real object") {
+    withEngine { (cat, idx, search) =>
+      cat.create(
+        """version: 1
+          |name: dynnest_test
+          |path: /tmp/x
+          |schema:
+          |  fields:
+          |    - name: meta
+          |      type: !static_object
+          |        fields:
+          |          - name: host
+          |            type: !text
+          |          - name: attrs
+          |            type: !dynamic_object
+          |""".stripMargin)
+      idx.indexFile("dynnest_test", writeDocs(
+        """{"meta": {"host": "web1", "attrs": {"z": 1, "a": "x"}}}"""))
+      // not a quoted string: a real nested object, keys sorted recursively
+      assert(search.search("dynnest_test", "*", 5) ==
+        Seq("""{"meta":{"attrs":{"a":"x","z":1},"host":"web1"}}"""))
+      cat.drop("dynnest_test")
+    }
+  }
+
   test("parse errors skip the document, not the batch") {
     withEngine { (cat, idx, search) =>
       cat.create(
