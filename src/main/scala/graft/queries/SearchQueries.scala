@@ -256,21 +256,37 @@ object SearchQueries {
 
   val oracles: Map[String, String] = Map(
     "q_term_search" ->
-      """SELECT doc_id, lang FROM documents
-        |WHERE regexp_matches(lower(text), '\bspark\b') ORDER BY doc_id""".stripMargin,
+      ("""WITH t AS (
+        |  SELECT *, list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+        |      x -> x <> '' AND length(x) <= 40) AS tk
+        |  FROM documents)
+        |SELECT doc_id, lang FROM t
+        |WHERE list_contains(tk, 'spark') ORDER BY doc_id""").stripMargin,
     "q_bool_search" ->
-      """SELECT doc_id FROM documents
-        |WHERE (regexp_matches(lower(text), '\bspark\b') AND regexp_matches(lower(text), '\bjoin\b')
-        |  AND NOT regexp_matches(lower(text), '\bwindow\b'))
-        |  OR regexp_matches(lower(text), '\bvector\b')
-        |ORDER BY doc_id""".stripMargin,
+      ("""WITH t AS (
+        |  SELECT *, list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+        |      x -> x <> '' AND length(x) <= 40) AS tk
+        |  FROM documents)
+        |SELECT doc_id FROM t
+        |WHERE (list_contains(tk, 'spark') AND list_contains(tk, 'join')
+        |  AND NOT list_contains(tk, 'window'))
+        |  OR list_contains(tk, 'vector')
+        |ORDER BY doc_id""").stripMargin,
     "q_range_search" ->
-      """SELECT doc_id, n_chars FROM documents
-        |WHERE n_chars >= 200 AND n_chars < 400 AND regexp_matches(lower(text), '\bmerge\b')
-        |ORDER BY doc_id""".stripMargin,
+      ("""WITH t AS (
+        |  SELECT *, list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+        |      x -> x <> '' AND length(x) <= 40) AS tk
+        |  FROM documents)
+        |SELECT doc_id, n_chars FROM t
+        |WHERE n_chars >= 200 AND n_chars < 400 AND list_contains(tk, 'merge')
+        |ORDER BY doc_id""").stripMargin,
     "q_prefix_search" ->
-      """SELECT doc_id FROM documents
-        |WHERE regexp_matches(lower(text), '\bwind') ORDER BY doc_id""".stripMargin,
+      ("""WITH t AS (
+        |  SELECT *, list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+        |      x -> x <> '' AND length(x) <= 40) AS tk
+        |  FROM documents)
+        |SELECT doc_id FROM t
+        |WHERE len(list_filter(tk, x -> x LIKE 'wind%')) > 0 ORDER BY doc_id""").stripMargin,
     "q_phrase_search" ->
       """SELECT doc_id FROM documents
         |WHERE regexp_matches(lower(text), '\bkey order\b') ORDER BY doc_id""".stripMargin,
@@ -328,7 +344,7 @@ object SearchQueries {
         |    WHERE regexp_matches(lower(text), '\bkey order\b')
         |  UNION ALL
         |  SELECT 'prefix', doc_id FROM toks
-        |    WHERE regexp_matches(lower(text), '\bwind')
+        |    WHERE len(list_filter(tk, t -> t LIKE 'wind%')) > 0
         |  UNION ALL
         |  SELECT 'fuzzy', doc_id FROM toks
         |    WHERE len(list_filter(tk, t -> levenshtein(t, 'spork') <= 1)) > 0
@@ -338,27 +354,25 @@ object SearchQueries {
         |  SELECT 'range', doc_id FROM toks WHERE n_chars >= 200 AND n_chars < 400
         |  UNION ALL
         |  SELECT 'boolnot', doc_id FROM toks
-        |    WHERE regexp_matches(lower(text), '\bspark\b')
-        |      AND NOT regexp_matches(lower(text), '\bwindow\b')
+        |    WHERE list_contains(tk, 'spark')
+        |      AND NOT list_contains(tk, 'window')
         |  UNION ALL
         |  SELECT 'minus', doc_id FROM toks
-        |    WHERE regexp_matches(lower(text), '\bspark\b')
-        |      AND NOT regexp_matches(lower(text), '\bwindow\b')
+        |    WHERE list_contains(tk, 'spark')
+        |      AND NOT list_contains(tk, 'window')
         |  UNION ALL
         |  SELECT 'paren', doc_id FROM toks
-        |    WHERE (regexp_matches(lower(text), '\bvector\b')
-        |        OR regexp_matches(lower(text), '\bmerge\b'))
+        |    WHERE (list_contains(tk, 'vector') OR list_contains(tk, 'merge'))
         |      AND n_chars >= 300
         |  UNION ALL
         |  SELECT 'bare', doc_id FROM toks
-        |    WHERE regexp_matches(lower(text), '\bspark\b')
+        |    WHERE list_contains(tk, 'spark')
         |       OR lang = 'spark' OR source = 'spark'
         |  UNION ALL
         |  SELECT 'star', doc_id FROM toks
         |  UNION ALL
         |  SELECT 'boost', doc_id FROM toks
-        |    WHERE regexp_matches(lower(text), '\bspark\b')
-        |       OR regexp_matches(lower(text), '\bmerge\b')
+        |    WHERE list_contains(tk, 'spark') OR list_contains(tk, 'merge')
         |  UNION ALL
         |  SELECT 'cmp', doc_id FROM toks WHERE n_chars >= 350)
         |ORDER BY construct, doc_id""".stripMargin
