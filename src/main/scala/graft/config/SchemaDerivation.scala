@@ -184,13 +184,27 @@ final class SchemaDerivation(val config: IndexConfig) {
           .otherwise(struct(children.map(_._1): _*).cast(storageType(f)))
         val err = children.map(_._2).reduceOption(_ || _).getOrElse(lit(false))
         (typed.as(f.name), err)
+      case dyn: DynamicObjectField if f.array =>
+        // from_json's StringType leaves strip quotes, making `123` and
+        // `"123"` indistinguishable — re-extract each element from the
+        // original document via variant (computed `$[i]` paths work), so
+        // stored elements are exact JSON values like the scalar dyn case.
+        val p = (path :+ f.name).mkString(".")
+        val av = try_variant_get(try_parse_json(value), s"$$.$p", "variant")
+        val elemJson = (i: Column) => {
+          val j = to_json(try_variant_get(av, concat(lit("$["), i, lit("]")), "variant"))
+          if (dyn.expandDots) expand_dots_json(j) else j
+        }
+        val typed = when(raw.isNull, lit(null).cast(storageType(f)))
+          .otherwise(transform(sequence(lit(0), size(raw) - 1), elemJson))
+        (typed.as(f.name), lit(false))
       case t if f.array =>
         val jsonPath = None // variant path inside arrays unsupported; raw semantics
         val parse1 = (e: Column) => parseLeaf(e, t, jsonPath, value)._1
         val typed = when(raw.isNull, lit(null).cast(storageType(f)))
           .otherwise(transform(raw, e => parse1(e)))
         val failing = t match {
-          case _: TextField | _: DynamicObjectField => lit(false)
+          case _: TextField => lit(false)
           case _ => exists(raw, e => e.isNotNull && parse1(e).isNull)
         }
         (typed.as(f.name), raw.isNotNull && failing)
@@ -201,20 +215,7 @@ final class SchemaDerivation(val config: IndexConfig) {
     }
   }
 
-  /** Full ingest projection over a DataFrame with a `value` JSON-line
-    * column: returns (columns to select, skip-document predicate). The
-    * `_terms.<dynamic>` entry tokenizes a RE-parse of the residual here;
-    * [[ingest]] is the two-stage form that reuses the stored `_dynamic`
-    * column instead — prefer it (one Jackson pass per row, not two). */
-  def ingestProjection(value: Column): (Seq[Column], Column) = {
-    val (stage1, termsCols, skip) = ingestStage1(value)
-    val dynTerms = TextFunctions.tokenize(
-      expand_dots_json(json_residual(value, topLevelNames)), "default").as(Dynamic)
-    val terms = struct(termsCols :+ dynTerms: _*).as(Terms)
-    (stage1.collect { case (c, None) => c } :+ terms, skip)
-  }
-
-  /** The preferred ingest path: filter + two projections over a `value`
+  /** The ingest path: filter + two projections over a `value`
     * JSON-line DataFrame, computing the residual-JSON parse ONCE (the
     * catch-all terms tokenize the stored `_dynamic` column in the second
     * projection instead of re-parsing the raw line). */

@@ -83,7 +83,7 @@ final class Catalog(rootDir: String) {
     Files.createDirectories(configPath(cfg.name).getParent)
     Files.write(configPath(cfg.name), configYaml.getBytes(StandardCharsets.UTF_8))
     Files.createDirectories(indexDir(cfg.name).resolve("splits"))
-    writeManifest(cfg.name, Nil)
+    writeManifest(cfg.name, Nil, prevGen = 0L)
     cfg
   }
 
@@ -153,10 +153,14 @@ final class Catalog(rootDir: String) {
     * (e.g. the searcher's BM25 corpus-stats memo). 0 = no manifest. */
   def manifestGen(name: String): Long = manifestState(name)._1
 
-  private def writeManifest(name: String, splits: List[SplitInfo]): Unit = {
+  /** `prevGen` is the generation the caller read in the same critical
+    * section — passing it avoids a second full manifest parse while the
+    * lock is held. */
+  private def writeManifest(name: String, splits: List[SplitInfo],
+      prevGen: Long): Unit = {
     val m = JsonSupport.mapper
     val rootNode = m.createObjectNode()
-    rootNode.put("gen", manifestGen(name) + 1L)
+    rootNode.put("gen", prevGen + 1L)
     val arr = m.createArrayNode()
     splits.foreach { s =>
       val o = m.createObjectNode()
@@ -236,14 +240,16 @@ final class Catalog(rootDir: String) {
   /** Append one split (ingest commit). */
   def commitSplit(name: String, split: SplitInfo): Unit =
     withManifestLock(name) {
-      writeManifest(name, liveSplits(name) :+ split)
+      val (gen, live) = manifestState(name)
+      writeManifest(name, live :+ split, gen)
     }
 
   /** Append or replace by id — used by streaming ingest, where a replayed
     * micro-batch rewrites the same split id (effective exactly-once). */
   def commitSplitIdempotent(name: String, split: SplitInfo): Unit =
     withManifestLock(name) {
-      writeManifest(name, liveSplits(name).filterNot(_.id == split.id) :+ split)
+      val (gen, live) = manifestState(name)
+      writeManifest(name, live.filterNot(_.id == split.id) :+ split, gen)
     }
 
   /** Remove one split's manifest entry if present (no-op otherwise) —
@@ -252,9 +258,9 @@ final class Catalog(rootDir: String) {
     * committed, since the overwrite already emptied the data files. */
   def removeSplitIfPresent(name: String, id: String): Unit =
     withManifestLock(name) {
-      val live = liveSplits(name)
+      val (gen, live) = manifestState(name)
       if (live.exists(_.id == id))
-        writeManifest(name, live.filterNot(_.id == id))
+        writeManifest(name, live.filterNot(_.id == id), gen)
     }
 
   /** Replace `removed` with `added` (merge commit), then best-effort delete
@@ -265,11 +271,11 @@ final class Catalog(rootDir: String) {
     * the compare-and-swap that makes concurrent compactions one-wins. */
   def swapSplits(name: String, removed: List[String], added: List[SplitInfo]): Boolean = {
     val committed = withManifestLock(name) {
-      val live = liveSplits(name)
+      val (gen, live) = manifestState(name)
       val liveIds = live.map(_.id).toSet
       if (!removed.forall(liveIds.contains)) false
       else {
-        writeManifest(name, live.filterNot(s => removed.contains(s.id)) ++ added)
+        writeManifest(name, live.filterNot(s => removed.contains(s.id)) ++ added, gen)
         true
       }
     }

@@ -335,8 +335,6 @@ object Searcher {
   private val statsCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), Map[String, Double]]()
 
-  private[engine] def aliasHash(s: String): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    md.digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
-  }
+  private[engine] def aliasHash(s: String): String =
+    graft.ops.Hashing.md5Hex(s, 8)
 }

@@ -15,9 +15,15 @@ object Hashing {
   /** md5-derived integer in [-1000, 1000] for hyperplane components:
     * `((md5int(i_j) % 2001) - 1000`, reproducible in SQL. */
   def planeWeight(i: Int, j: Int): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"${i}_$j".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(15)
+    val hex = md5Hex(s"${i}_$j", 8).take(15)
     (java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L
+  }
+
+  /** Driver-side md5 prefix as lowercase hex (`bytes` leading bytes =
+    * 2·bytes hex chars) — the one home for the hashing idiom the
+    * stream-run tags and BM25 stat aliases share. */
+  def md5Hex(s: String, bytes: Int): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s.getBytes("UTF-8")).take(bytes).map("%02x".format(_)).mkString
   }
 }

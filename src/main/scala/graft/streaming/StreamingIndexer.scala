@@ -126,16 +126,19 @@ final class StreamingIndexer(spark: SparkSession, catalog: Catalog) {
 }
 
 object StreamingIndexer {
-  /** Stable per-logical-stream tag: hash of the NORMALIZED absolute
-    * checkpoint location — a raw-string hash would give the same location
-    * different tags across spellings ("ckpt" vs "/abs/ckpt", breaking
-    * replay idempotence after a restart with a different cwd) and
-    * different locations the same tag (two streams both passing "ckpt"
-    * from different cwds, letting one overwrite the other's splits). */
+  /** Stable per-logical-stream tag: hash of the canonical checkpoint
+    * location. Local paths normalize to absolute (a raw-string hash would
+    * give the same location different tags across spellings — "ckpt" vs
+    * "/abs/ckpt" — breaking replay idempotence after a restart with a
+    * different cwd, and different locations the same tag for two streams
+    * both passing "ckpt"). URI locations (hdfs://, s3a://, file://) are
+    * already absolute and hash as-is — Paths.get would mangle them into
+    * cwd-relative garbage and re-open the duplicate-replay hole. */
   def runTagFor(checkpointDir: String): String = {
-    val canonical = java.nio.file.Paths.get(checkpointDir)
-      .toAbsolutePath.normalize.toString
-    val md = java.security.MessageDigest.getInstance("MD5")
-    md.digest(canonical.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    val isUri = checkpointDir.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*")
+    val canonical =
+      if (isUri) checkpointDir
+      else java.nio.file.Paths.get(checkpointDir).toAbsolutePath.normalize.toString
+    graft.ops.Hashing.md5Hex(canonical, 6)
   }
 }

@@ -99,8 +99,7 @@ class PlanSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val lines = spark.read.text(
       "/root/reference/tests/test_files/hdfs-logs-multitenants-2.json")
-    val (cols, skip) = d.ingestProjection(col("value"))
-    val typed = lines.where(!coalesce(skip, lit(true))).select(cols: _*)
+    val typed = d.ingest(lines, col("value"))
     val plan = executedPlan(typed)
     val shuffles = plan.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e

@@ -222,10 +222,13 @@ class ToshokanParitySpec extends AnyFunSuite {
           |      array: true
           |      type: !dynamic_object
           |""".stripMargin)
+      // mixed element types: objects, quoted strings, numbers, booleans —
+      // JSON value types must survive the roundtrip exactly (a naive
+      // from_json string leaf would strip quotes and conflate "42" / 42)
       idx.indexFile("dynarr_test", writeDocs(
-        """{"id": 1, "tags": [{"k": 1}, {"b": true}]}"""))
+        """{"id": 1, "tags": [{"k": 1}, "str", 42, true]}"""))
       assert(search.search("dynarr_test", "*", 5) ==
-        Seq("""{"id":1,"tags":[{"k":1},{"b":true}]}"""))
+        Seq("""{"id":1,"tags":[{"k":1},"str",42,true]}"""))
       cat.drop("dynarr_test")
     }
   }
