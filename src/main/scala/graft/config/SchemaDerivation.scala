@@ -113,8 +113,16 @@ final class SchemaDerivation(val config: IndexConfig) {
     val terms = StructField(Terms, StructType(
       termsFields.map { case (flat, _, _) => StructField(flat, ArrayType(StringType)) } :+
         StructField(Dynamic, ArrayType(StringType))))
-    StructType(declared :+ StructField(Dynamic, StringType, nullable = true) :+ terms)
+    StructType(declared :+ StructField(Dynamic, VariantType, nullable = true) :+ terms)
   }
+
+  /** Format-1 (pre-variant) split layout: `_dynamic` as JSON text.
+    * [[graft.engine.Catalog.readSplits]] upgrades such splits to the
+    * variant shape at read time. */
+  val legacyStorageSchema: StructType = StructType(storageSchema.map {
+    case f if f.name == Dynamic => f.copy(dataType = StringType)
+    case f                      => f
+  })
 
   // ---- ingest projection ------------------------------------------------
 
@@ -225,7 +233,7 @@ final class SchemaDerivation(val config: IndexConfig) {
     val declared = fields.map(f => col(s"`${f.name}`"))
     val termsStruct = struct(
       termsFields.map { case (flat, _, _) => col(s"`__t__$flat`").as(flat) } :+
-        TextFunctions.tokenize(col(Dynamic), "default").as(Dynamic): _*)
+        TextFunctions.tokenize(col(DynJsonTmp), "default").as(Dynamic): _*)
     lines
       .where(value.isNotNull && length(trim(value)) > 0)
       .where(!coalesce(skip, lit(true)))
@@ -243,7 +251,11 @@ final class SchemaDerivation(val config: IndexConfig) {
       value: Column): (Seq[(Column, Option[String])], List[Column], Column) = {
     val parsed = from_json(value, rawParseSchema)
     val perField = fields.map(f => typedField(f, parsed, Nil, value))
-    val dynamicCol = expand_dots_json(json_residual(value, topLevelNames)).as(Dynamic)
+    // The residual JSON text is computed once and kept under a temp name:
+    // storage gets its variant encoding (format-2 splits), the catch-all
+    // terms tokenize the same text in stage 2 without re-serializing.
+    val dynJson = expand_dots_json(json_residual(value, topLevelNames))
+    val dynamicCol = try_parse_json(dynJson).as(Dynamic)
 
     val typedByName: Map[String, Column] =
       fields.zip(perField).map { case (f, (c, _)) => f.name -> c }.toMap
@@ -267,7 +279,8 @@ final class SchemaDerivation(val config: IndexConfig) {
     val skip = errors.reduce(_ || _)
     val cols: Seq[(Column, Option[String])] =
       perField.map { case (c, _) => (c, None: Option[String]) } ++
-        Seq((dynamicCol, None: Option[String])) ++
+        Seq((dynamicCol, None: Option[String]),
+          (dynJson, Some(DynJsonTmp): Option[String])) ++
         termsCols.zip(termsFields).map { case (c, (flat, _, _)) =>
           (c, Some(s"__t__$flat"))
         }
@@ -281,6 +294,19 @@ final class SchemaDerivation(val config: IndexConfig) {
 object SchemaDerivation {
   val Dynamic = "_dynamic"
   val Terms = "_terms"
+
+  /** Stage-1 temp column holding the residual-JSON text (tokenized into
+    * the catch-all terms in stage 2, then dropped). */
+  private[config] val DynJsonTmp = "__dyn_json"
+
+  /** Variant path for a flattened dotted field name: bracket-quoted
+    * segments, so a key containing a literal (escaped) dot addresses the
+    * flat key instead of being misread as nesting — e.g. `a\.b` →
+    * `$['a.b']`, `a.b` → `$['a']['b']`. */
+  def variantPath(flatName: String): String =
+    splitFlatName(flatName)
+      .map(s => s"['${s.replace("'", "\\'")}']")
+      .mkString("$", "", "")
 
   def escape(name: String): String = name.replace(".", "\\.")
   def unescape(flat: String): String = flat.replace("\\.", ".")

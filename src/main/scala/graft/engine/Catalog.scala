@@ -49,11 +49,38 @@ final case class SplitInfo(id: String, numDocs: Long,
     minTs: Option[Long] = None, maxTs: Option[Long] = None,
     numStats: Map[String, (Double, Double)] = Map.empty,
     dicts: Map[String, List[String]] = Map.empty,
-    hexStats: Map[String, (String, String)] = Map.empty)
+    hexStats: Map[String, (String, String)] = Map.empty,
+    format: Int = Catalog.SplitFormat)
 
 object Catalog {
   /** Manifest lock acquisition timeout (commit fails loudly after this). */
   val LockTimeoutMs = 30000L
+
+  /** Current split data-layout version. 1 = `_dynamic` stored as JSON
+    * text; 2 = `_dynamic` stored as Spark `VariantType` (binary-encoded
+    * path access, no per-query JSON re-parse). Manifest entries without a
+    * `format` field are version 1. */
+  val SplitFormat = 2
+
+  /** Read a set of splits as one DataFrame, upgrading format-1 splits
+    * (`_dynamic` as JSON text) to the current in-memory shape (variant)
+    * so every consumer sees a single representation. Grouped by format so
+    * each parquet read gets the schema its files were written with. */
+  private[graft] def readSplits(spark: org.apache.spark.sql.SparkSession,
+      d: graft.config.SchemaDerivation, splits: List[SplitInfo],
+      dir: SplitInfo => String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, try_parse_json}
+    val (cur, legacy) = splits.partition(_.format >= SplitFormat)
+    val parts = List(
+      Option.when(cur.nonEmpty)(
+        spark.read.schema(d.storageSchema).parquet(cur.map(dir): _*)),
+      Option.when(legacy.nonEmpty)(
+        spark.read.schema(d.legacyStorageSchema).parquet(legacy.map(dir): _*)
+          .withColumn(graft.config.SchemaDerivation.Dynamic,
+            try_parse_json(col(graft.config.SchemaDerivation.Dynamic))))
+    ).flatten
+    parts.reduce(_.unionByName(_))
+  }
 
   /** Best-effort recursive directory delete — the shared idiom for
     * removing split data (leaked files are tolerated everywhere: without
@@ -140,7 +167,9 @@ final class Catalog(rootDir: String) {
       SplitInfo(s.get("id").asText(), s.get("numDocs").asLong(),
         Option(s.get("minTs")).filter(!_.isNull).map(_.asLong()),
         Option(s.get("maxTs")).filter(!_.isNull).map(_.asLong()),
-        numStats, dicts, hexStats)
+        numStats, dicts, hexStats,
+        // entries from before the field are format-1 splits
+        Option(s.get("format")).filter(!_.isNull).map(_.asInt()).getOrElse(1))
     }.toList
     (gen, splits)
   }
@@ -165,6 +194,7 @@ final class Catalog(rootDir: String) {
     splits.foreach { s =>
       val o = m.createObjectNode()
       o.put("id", s.id); o.put("numDocs", s.numDocs)
+      o.put("format", s.format)
       s.minTs.foreach(o.put("minTs", _))
       s.maxTs.foreach(o.put("maxTs", _))
       if (s.numStats.nonEmpty) {

@@ -109,9 +109,19 @@ final class Indexer(spark: SparkSession, catalog: Catalog) {
 
     val id = newSplitId()
     val dir = catalog.splitDir(indexName, id).toString
-    val read = spark.read.schema(d.storageSchema)
-      .parquet(splits.map(s => catalog.splitDir(indexName, s.id).toString): _*)
-    val df = if (dedup) read.dropDuplicates() else read
+    // readSplits upgrades format-1 inputs, so a merge across formats
+    // writes one uniform current-format output split.
+    val read = Catalog.readSplits(spark, d, splits,
+      s => catalog.splitDir(indexName, s.id).toString)
+    // variant is not a groupable type — dedup keys on its JSON text
+    // (deterministic: variant object keys render sorted)
+    val df = if (dedup) {
+      val dynKey = "__dyn_key"
+      val keys = read.columns.filterNot(_ == SchemaDerivation.Dynamic).toSeq :+ dynKey
+      read.withColumn(dynKey, to_json(col(SchemaDerivation.Dynamic)))
+        .dropDuplicates(keys)
+        .drop(dynKey)
+    } else read
     // Compaction controls output file count via repartition: small indexes
     // collapse to one file; at scale this would target a fixed bytes/file.
     // Row count comes free from the manifest — no count job.

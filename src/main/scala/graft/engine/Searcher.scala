@@ -53,7 +53,8 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
           org.apache.spark.sql.types.StructField("doc",
             org.apache.spark.sql.types.StringType))))
 
-    val df = spark.read.schema(d.storageSchema).parquet(paths: _*)
+    val df = Catalog.readSplits(spark, d, splits,
+      s => catalog.splitDir(indexName, s.id).toString)
     val pred = new QueryCompiler(d).compileAst(ast)
 
     // No coalesce wrapper: WHERE already drops null-valued predicates, and
@@ -188,8 +189,8 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
       }
       case None if flat == Dynamic => Some(col(s"`$Terms`").getField(Dynamic))
       case None =>
-        val path = SchemaDerivation.splitFlatName(flat).mkString(".")
-        Some(TextFunctions.tokenize(get_json_object(col(Dynamic), s"$$.$path"), "default"))
+        Some(TextFunctions.tokenize(try_variant_get(col(Dynamic),
+          SchemaDerivation.variantPath(flat), "string"), "default"))
     }
 
   private def fieldnormsEnabled(d: SchemaDerivation, flat: String): Boolean =
@@ -323,7 +324,9 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
         .otherwise(concat(lit(s"""{"${f.name}":"""), body, lit("}")))
       merge_sorted_json(acc, wrapped)
     }
-    merge_sorted_json(withDyn, col(Dynamic))
+    // variant → JSON text for the splice (to_json renders object keys
+    // sorted, matching the BTreeMap output contract)
+    merge_sorted_json(withDyn, to_json(col(Dynamic)))
   }
 }
 

@@ -122,13 +122,19 @@ final class QueryCompiler(d: SchemaDerivation) {
     }
   }
 
-  /** Unknown field → path into `_dynamic` JSON (expand_dots made nested
+  /** Value text at a `_dynamic` path: binary variant access (format-2
+    * splits store the catch-all as VariantType), cast to string with
+    * `get_json_object` semantics — strings unquoted, scalars canonical,
+    * objects/arrays as JSON text, missing/JSON-null → null. */
+  private def dynText(flatName: String): Column =
+    try_variant_get(col(Dynamic), SchemaDerivation.variantPath(flatName), "string")
+
+  /** Unknown field → path into `_dynamic` (expand_dots made nested
     * form canonical at ingest). The catch-all is indexed with the default
     * tokenizer (`src/commands/mod.rs:41-51`), so term match tokenizes the
     * value at the path. */
   private def dynamicPathTerm(flatName: String, value: String): Column = {
-    val path = SchemaDerivation.splitFlatName(flatName).mkString(".")
-    val v = get_json_object(col(Dynamic), s"$$.$path")
+    val v = dynText(flatName)
     val tokenMatch = array_contains(
       TextFunctions.tokenize(v, "default"),
       TextFunctions.tokenizeTerm(value, "default"))
@@ -155,9 +161,7 @@ final class QueryCompiler(d: SchemaDerivation) {
           case _ => lit(false)
         }
       case None =>
-        val path = SchemaDerivation.splitFlatName(flatName).mkString(".")
-        val v = get_json_object(col(Dynamic), s"$$.$path")
-        coalesce(exists(TextFunctions.tokenize(v, "default"),
+        coalesce(exists(TextFunctions.tokenize(dynText(flatName), "default"),
           tk => tk.startsWith(value.toLowerCase)), lit(false))
     }
 
@@ -182,9 +186,7 @@ final class QueryCompiler(d: SchemaDerivation) {
         exists(termsCol(Dynamic),
           tk => levenshtein(tk, lit(TextFunctions.tokenizeTerm(value, "default"))) <= dist)
       case None =>
-        val path = SchemaDerivation.splitFlatName(flatName).mkString(".")
-        val v = get_json_object(col(Dynamic), s"$$.$path")
-        coalesce(exists(TextFunctions.tokenize(v, "default"),
+        coalesce(exists(TextFunctions.tokenize(dynText(flatName), "default"),
           tk => levenshtein(tk, lit(value.toLowerCase)) <= dist), lit(false))
     }
 
@@ -200,8 +202,7 @@ final class QueryCompiler(d: SchemaDerivation) {
         }
         if (rf.array) exists(rf.column, e => sidePred(e)) else sidePred(rf.column)
       case None =>
-        val path = SchemaDerivation.splitFlatName(flatName).mkString(".")
-        val raw = get_json_object(col(Dynamic), s"$$.$path")
+        val raw = dynText(flatName)
         // numeric compare when both the value and the bounds parse as
         // numbers; string compare otherwise
         val numeric = Seq(lo, hi).forall {
@@ -278,9 +279,7 @@ final class QueryCompiler(d: SchemaDerivation) {
           case _ => lit(false)
         }
       case None =>
-        val path = SchemaDerivation.splitFlatName(flatName).mkString(".")
-        val v = get_json_object(col(Dynamic), s"$$.$path")
-        coalesce(phraseOverTerms(TextFunctions.tokenize(v, "default"),
+        coalesce(phraseOverTerms(TextFunctions.tokenize(dynText(flatName), "default"),
           words.map(_.toLowerCase), slop), lit(false))
     }
 

@@ -205,20 +205,46 @@ class SplitPruningSpec extends AnyFunSuite {
     assert(search.search("compat_test", "*", 10).isEmpty)
     assert(search.search("compat_test", "tenant_id:>0 AND msg:x", 10).isEmpty)
 
-    // hand-write a round-1-format manifest entry (no stats/dicts/hexStats)
-    // pointing at a real split written through the indexer
+    // hand-write a round-1-format manifest entry (no stats/dicts/hexStats,
+    // no format field => format-1 split: `_dynamic` stored as JSON text)
+    // pointing at a split rewritten into the format-1 layout
+    import org.apache.spark.sql.functions.{col, to_json}
     val idx = new Indexer(spark, cat)
     val committed = idx.indexFile("compat_test", write(
-      """{"tenant_id": 7, "severity": "INFO", "msg": "legacy doc"}""")).get
+      """{"tenant_id": 7, "severity": "INFO", "msg": "legacy doc", "extra": {"k": "legacyval"}}""")).get
+    val d = new graft.config.SchemaDerivation(cat.load("compat_test"))
+    val v1Dir = cat.splitDir("compat_test", "legacy0").toString
+    spark.read.schema(d.storageSchema)
+      .parquet(cat.splitDir("compat_test", committed.id).toString)
+      .withColumn(graft.config.SchemaDerivation.Dynamic,
+        to_json(col(graft.config.SchemaDerivation.Dynamic)))
+      .write.parquet(v1Dir)
     val manifest = java.nio.file.Paths.get(root, "indexes", "compat_test", "manifest.json")
     Files.write(manifest,
-      s"""{"splits":[{"id":"${committed.id}","numDocs":1}]}""".getBytes("UTF-8"))
+      """{"splits":[{"id":"legacy0","numDocs":1}]}""".getBytes("UTF-8"))
 
     val legacy = cat.liveSplits("compat_test")
-    assert(legacy == List(graft.engine.SplitInfo(committed.id, 1)))
-    // no stats -> nothing prunes, search still answers
+    assert(legacy == List(graft.engine.SplitInfo("legacy0", 1, format = 1)))
+    // no stats -> nothing prunes; search reads the v1 layout, including a
+    // dynamic-path term against the JSON-text `_dynamic`
+    val expectedDoc =
+      """{"extra":{"k":"legacyval"},"msg":"legacy doc","severity":"INFO","tenant_id":7}"""
     assert(search.search("compat_test", "tenant_id:>0 AND msg:legacy", 10) ==
-      Seq("""{"msg":"legacy doc","severity":"INFO","tenant_id":7}"""))
+      Seq(expectedDoc))
+    assert(search.search("compat_test", "extra.k:legacyval", 10) == Seq(expectedDoc))
+
+    // a current-format commit alongside the legacy entry: search spans
+    // both representations in one query
+    val fresh = idx.indexFile("compat_test", write(
+      """{"tenant_id": 9, "severity": "WARN", "msg": "fresh doc", "extra": {"k": "freshval"}}""")).get
+    assert(fresh.format == Catalog.SplitFormat)
+    assert(search.search("compat_test", "extra.k:legacyval OR extra.k:freshval", 10).size == 2)
+
+    // merging a v1 + v2 pair produces one current-format split with both docs
+    val merged = idx.merge("compat_test").get
+    assert(merged.format == Catalog.SplitFormat)
+    assert(cat.liveSplits("compat_test").map(_.id) == List(merged.id))
+    assert(search.search("compat_test", "extra.k:legacyval OR extra.k:freshval", 10).size == 2)
     cat.drop("compat_test")
   }
 
