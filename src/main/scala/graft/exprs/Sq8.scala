@@ -1,0 +1,80 @@
+package graft.exprs
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** Scalar quantization of a float vector into 256 integer bins per
+  * dimension: `floor((x - mn) / (mx - mn) * 255)` (0 when the dimension
+  * is constant). The per-dim min/max come in as constructor literals (a
+  * tiny collected aggregate — the BM25-stats pattern), so the hot loop
+  * is branch-light JIT-compiled double math with no per-element lambda
+  * dispatch. `floor` (not `round`) keeps the binning bit-identical
+  * across engines — no round-half tie semantics to match.
+  *
+  * Same CodegenFallback tight-loop rationale as [[CosineSimilarity]].
+  */
+case class Sq8Quantize(child: Expression, mn: Array[Double], mx: Array[Double])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(IntegerType)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), mn.length)
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val lo = mn(i)
+      val hi = mx(i)
+      out(i) =
+        if (hi > lo)
+          math.floor((x.getFloat(i).toDouble - lo) / (hi - lo) * 255.0).toInt
+        else 0
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "sq8_quantize"
+}
+
+/** Integer dot product of two quantized vectors — the SIMD-able int math
+  * that makes quantized scan the memory-bandwidth lever at scale. Exact
+  * (long accumulation of int products: no overflow below 2^43 for
+  * 255²-bounded 64-dim vectors). */
+case class DotInt(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val x = l.asInstanceOf[ArrayData]
+    val y = r.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += x.getInt(i).toLong * y.getInt(i).toLong
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "dot_int"
+}
+
+object Sq8 {
+  def sq8_quantize(v: Column, mn: Array[Double], mx: Array[Double]): Column =
+    Bridge.column(Sq8Quantize(Bridge.expression(v), mn, mx))
+
+  def dot_int(x: Column, y: Column): Column =
+    Bridge.column(DotInt(Bridge.expression(x), Bridge.expression(y)))
+}

@@ -103,4 +103,35 @@ object Ann {
       .dropDuplicates("qid", "vid")
     topK(cands, k)
   }
+
+  /** Scalar-quantized (int8-style) max-inner-product search: per-dim
+    * corpus min/max → 256-bin floor quantization ([[graft.exprs
+    * .Sq8Quantize]]) → exact integer dot product ranking (ties by
+    * neighbor id). Quantization is the memory-bandwidth lever at scale —
+    * 4 bytes → 1 per dim and SIMD-able int math; on a cluster the
+    * quantized corpus is written once and scanned per query batch.
+    * The stats are one tiny aggregate collected to the driver and folded
+    * in as expression literals (the BM25-stats pattern); candidates here
+    * are all pairs — compose with [[cell]]/[[ivf]]'s candidate cut for a
+    * sublinear scan. corpus: (vid, v); queries selected by `isQuery`. */
+  def sq8(corpus: DataFrame, isQuery: Column => Column, k: Int): DataFrame = {
+    import graft.exprs.Sq8.{dot_int, sq8_quantize}
+    val stats = corpus
+      .select(posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy("d").agg(min("x").as("mn"), max("x").as("mx"))
+      .collect().map(r => (r.getInt(0), r.getFloat(1).toDouble, r.getFloat(2).toDouble))
+      .sortBy(_._1)
+    val mn = stats.map(_._2)
+    val mx = stats.map(_._3)
+    val q8 = corpus.select(col("vid"), sq8_quantize(col("v"), mn, mx).as("qv8"))
+    val queries = broadcast(
+      q8.where(isQuery(col("vid"))).select(col("vid").as("qid"), col("qv8").as("qq8")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("qdot").desc, col("vid").asc)
+    q8.join(queries, col("vid") =!= col("qid"))
+      .withColumn("qdot", dot_int(col("qq8"), col("qv8")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vid").as("neighbor"))
+  }
 }

@@ -175,4 +175,48 @@ object Dedup {
       .where(col("cos") >= threshold)
       .select(col("a"), col("b"))
   }
+
+  /** Connected components over a near-duplicate pair list ((a, b)) by
+    * iterative min-label propagation: every vertex starts as its own
+    * label; each round every vertex takes the minimum label among itself
+    * and its neighbors, until a round changes nothing. This is the
+    * "cluster near-dup pairs, keep one canonical document per cluster"
+    * step that follows MinHash-LSH in a training pipeline.
+    *
+    * Scale shape: each round is one shuffle-join keyed by vertex plus a
+    * cheap convergence count; rounds = cluster diameter, which for
+    * near-dup graphs is small (duplicates form near-cliques). For
+    * adversarial long chains the textbook upgrade is large-star/small-star
+    * contraction (Kiveris et al. 2014) with O(log n) rounds — same
+    * per-round join shape. Everything stays distributed: no vertex list
+    * ever collects to the driver.
+    *
+    * Output: (doc_id, canon_id) for every vertex that appears in a pair,
+    * canon_id = min doc_id of its component. */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val edges = pairs.select(col("a").as("u"), col("b").as("v"))
+      .union(pairs.select(col("b").as("u"), col("a").as("v")))
+      .persist()
+    var labels = edges.select(col("u").as("vtx")).distinct()
+      .withColumn("lbl", col("vtx"))
+      .persist()
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      val neigh = edges
+        .join(labels, edges("v") === labels("vtx"))
+        .groupBy(col("u")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels
+        .join(neigh, labels("vtx") === neigh("u"), "left")
+        .select(col("vtx"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .persist()
+      changed = next.join(labels.select(col("vtx"), col("lbl").as("old")), "vtx")
+        .where(col("lbl") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      round += 1
+    }
+    edges.unpersist()
+    labels.select(col("vtx").as("doc_id"), col("lbl").as("canon_id"))
+  }
 }

@@ -82,6 +82,39 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("bigram").asc)
       .limit(topK)
 
+  /** Within-document repetition metrics — the Gopher/RefinedWeb
+    * repetition filters: most-frequent unigram and bigram occurrence
+    * fractions plus the fraction of bigram occurrences that are repeats
+    * (bigrams seen more than once in the document). Documents with fewer
+    * than 2 tokens have no bigrams and are excluded. Two explode →
+    * (id, gram) count shuffles; partial aggregation absorbs per-document
+    * skew, and nothing is corpus-global, so the shape is linear in
+    * corpus size. Output: (id, n_toks, top_unigram_frac,
+    * top_bigram_frac, dup_bigram_frac). */
+  def repetition(tokenized: DataFrame, id: Column, toks: Column): DataFrame = {
+    val base = tokenized.select(id.as("id"), toks.as("toks"))
+      .where(size(col("toks")) >= 2)
+    val uni = base
+      .select(col("id"), explode(col("toks")).as("tok"))
+      .groupBy("id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(sum("c").as("n_toks"), max("c").as("top_uni"))
+    val bi = base
+      .select(col("id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .withColumn("next", lead(col("tok"), 1).over(
+        Window.partitionBy(col("id")).orderBy(col("pos"))))
+      .where(col("next").isNotNull)
+      .select(col("id"), concat(col("tok"), lit(" "), col("next")).as("bigram"))
+      .groupBy("id", "bigram").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(
+        sum("c").as("n_bi"), max("c").as("top_bi"),
+        sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup_bi"))
+    uni.join(bi, "id")
+      .select(col("id"), col("n_toks"),
+        (col("top_uni").cast("double") / col("n_toks")).as("top_unigram_frac"),
+        (col("top_bi").cast("double") / col("n_bi")).as("top_bigram_frac"),
+        (col("dup_bi").cast("double") / col("n_bi")).as("dup_bigram_frac"))
+  }
+
   /** Regex PII scrub: counts matches of each (tag, pattern) and replaces
     * them with `<TAG>` in order. Patterns should avoid lookaround if an
     * RE2-based oracle needs to reproduce them.

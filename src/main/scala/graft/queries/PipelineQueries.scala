@@ -307,7 +307,66 @@ object PipelineQueries {
       .select(col("doc_id"), posexplode(col("win")).as(Seq("window_idx", "energy")))
       .orderBy(col("doc_id"), col("window_idx"))
 
+  /** Within-doc repetition metrics (Gopher/RefinedWeb repetition
+    * filters) — see [[graft.ops.TextAnalysis.repetition]]. */
+  val text_repetition: Q = (s, dir) =>
+    TextAnalysis.repetition(tokenized(s, dir), col("doc_id"), col("toks"))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
+  /** Near-dup clustering: connected components over the MinHash-LSH pair
+    * graph, canonical doc = component-min doc_id — the "keep one copy
+    * per near-dup cluster" step. Distributed min-label propagation; see
+    * [[graft.ops.Dedup.connectedComponents]] for the per-round shape. */
+  val dedup_cluster_canon: Q = (s, dir) =>
+    Dedup.connectedComponents(
+      Dedup.minhashLsh(shingled(s, dir), numHashes = 16, bands = 8))
+      .orderBy(col("doc_id"))
+
+  /** Deterministic stratified sampling — the dataset-mixing primitive:
+    * md5-derived bucket in [0, 100), per-language keep rates (the
+    * overrepresented language is downsampled to 10%, the rest keep 50%).
+    * Pure per-row projection + filter: no shuffle, reproducible across
+    * runs and engines, and trivially resumable — exactly why hash
+    * sampling (not rand()) is the standard at 100 TB. */
+  val pipe_sample_stratified: Q = (s, dir) =>
+    docs(s, dir)
+      .withColumn("bucket", pmod(h64(col("doc_id").cast("string")), lit(100)))
+      .where(col("bucket") <
+        when(col("lang") === "en", lit(10)).otherwise(lit(50)))
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy(col("doc_id"))
+
+  /** Sequence packing for training batches: within each source shard,
+    * documents in doc_id order fill contiguous ~512-token packs
+    * (pack_id = running-token-count-before-this-doc div budget). The
+    * window partitions by source, so packing parallelizes per shard with
+    * no global sort — the way a real pipeline packs per input file. */
+  val pipe_pack_sequences: Q = (s, dir) => {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, dir)
+      .withColumn("n_tok", size(tokenizeDefault(col("text"))).cast("long"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .select(col("source"), col("doc_id"), col("n_tok"),
+        expr("(cum - n_tok) div 512").as("pack_id"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  /** Scalar-quantized ANN — see [[graft.ops.Ann.sq8]]: per-dim min/max →
+    * 256-bin floor quantization → integer dot-product ranking (exact
+    * integer math, so the oracle reproduces ranks bit-for-bit). */
+  val knn_sq8: Q = (s, dir) =>
+    Ann.sq8(corpus(s, dir).select(col("vid"), col("v")),
+      isQuery = _ < 20, k = 5)
+      .orderBy(col("qid"), col("rank"))
+
   val all: Map[String, Q] = Map(
+    "text_repetition" -> text_repetition,
+    "dedup_cluster_canon" -> dedup_cluster_canon,
+    "pipe_sample_stratified" -> pipe_sample_stratified,
+    "pipe_pack_sequences" -> pipe_pack_sequences,
+    "knn_sq8" -> knn_sq8,
     "text_pii_scrub" -> text_pii_scrub,
     "mm_phash_buckets" -> mm_phash_buckets,
     "knn_lsh" -> knn_lsh,
@@ -342,6 +401,25 @@ object PipelineQueries {
        |FROM (SELECT doc_id, $toksSql AS toks FROM documents)
        |WHERE len(toks) >= 5""".stripMargin
 
+  /** MinHash-LSH candidate-pair CTE chain, shared verbatim by the pair
+    * oracle and the connected-components oracle built on it. */
+  private val minhashCtes =
+    s"""sh AS ($shingleSql),
+       |base AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647 AS h
+       |         FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+       |sig AS (
+       |  SELECT doc_id, band,
+       |    concat_ws('_',
+       |      min(((band*2+1) * 2654435761 % 2147483647 * h + (band*2+1) * 40503 % 2147483647) % 2147483647),
+       |      min(((band*2+2) * 2654435761 % 2147483647 * h + (band*2+2) * 40503 % 2147483647) % 2147483647)
+       |    ) AS sig
+       |  FROM base
+       |  CROSS JOIN (SELECT unnest(range(8)) AS band)
+       |  GROUP BY doc_id, band),
+       |prs AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM sig l JOIN sig r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_doc_id, count(*) AS copies
@@ -356,21 +434,81 @@ object PipelineQueries {
          |HAVING CAST(count(*) AS DOUBLE) / (a.nsh + b.nsh - count(*)) >= 0.5
          |ORDER BY a, b""".stripMargin,
     "dedup_minhash_lsh" ->
-      s"""WITH sh AS ($shingleSql),
-         |base AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647 AS h
-         |         FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
-         |sig AS (
-         |  SELECT doc_id, band,
-         |    concat_ws('_',
-         |      min(((band*2+1) * 2654435761 % 2147483647 * h + (band*2+1) * 40503 % 2147483647) % 2147483647),
-         |      min(((band*2+2) * 2654435761 % 2147483647 * h + (band*2+2) * 40503 % 2147483647) % 2147483647)
-         |    ) AS sig
-         |  FROM base
-         |  CROSS JOIN (SELECT unnest(range(8)) AS band)
-         |  GROUP BY doc_id, band)
-         |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-         |FROM sig l JOIN sig r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
-         |ORDER BY a, b""".stripMargin,
+      s"""WITH $minhashCtes
+         |SELECT a, b FROM prs ORDER BY a, b""".stripMargin,
+    "dedup_cluster_canon" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |edges AS (SELECT a AS u, b AS v FROM prs UNION ALL SELECT b AS u, a AS v FROM prs),
+         |reach AS (
+         |  SELECT u AS u, u AS v FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT e.u AS u, r.v AS v FROM edges e JOIN reach r ON e.v = r.u)
+         |SELECT u AS doc_id, min(v) AS canon_id
+         |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      s"""WITH t2 AS (
+         |  SELECT doc_id, toks FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+         |  WHERE len(toks) >= 2),
+         |uni AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks, CAST(max(c) AS BIGINT) AS top_uni
+         |  FROM (SELECT doc_id, tok, count(*) AS c
+         |        FROM (SELECT doc_id, unnest(toks) AS tok FROM t2)
+         |        GROUP BY doc_id, tok)
+         |  GROUP BY doc_id),
+         |bi AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bi, CAST(max(c) AS BIGINT) AS top_bi,
+         |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_bi
+         |  FROM (SELECT doc_id, bigram, count(*) AS c
+         |        FROM (SELECT doc_id, unnest(list_transform(range(len(toks) - 1),
+         |                i -> toks[i+1] || ' ' || toks[i+2])) AS bigram FROM t2)
+         |        GROUP BY doc_id, bigram)
+         |  GROUP BY doc_id)
+         |SELECT uni.doc_id AS doc_id, n_toks,
+         |  CAST(top_uni AS DOUBLE) / n_toks AS top_unigram_frac,
+         |  CAST(top_bi AS DOUBLE) / n_bi AS top_bigram_frac,
+         |  CAST(dup_bi AS DOUBLE) / n_bi AS dup_bigram_frac
+         |FROM uni JOIN bi ON uni.doc_id = bi.doc_id
+         |ORDER BY doc_id""".stripMargin,
+    "pipe_sample_stratified" ->
+      """SELECT doc_id, lang, bucket FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+        |  FROM documents)
+        |WHERE bucket < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+        |ORDER BY doc_id""".stripMargin,
+    "pipe_pack_sequences" ->
+      s"""SELECT source, doc_id, n_tok, CAST((cum - n_tok) // 512 AS BIGINT) AS pack_id
+         |FROM (
+         |  SELECT source, doc_id, n_tok,
+         |    CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM (SELECT source, doc_id, CAST(len($toksSql) AS BIGINT) AS n_tok
+         |        FROM documents))
+         |ORDER BY source, doc_id""".stripMargin,
+    "knn_sq8" ->
+      """WITH st AS (
+        |  SELECT i, CAST(min(embedding[i + 1]) AS DOUBLE) AS mn,
+        |         CAST(max(embedding[i + 1]) AS DOUBLE) AS mx
+        |  FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS i)
+        |  GROUP BY i),
+        |mnx AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM st),
+        |q AS (
+        |  SELECT vec_id,
+        |    list_transform(range(64), j -> CASE WHEN mxs[j + 1] > mns[j + 1]
+        |      THEN CAST(floor((CAST(embedding[j + 1] AS DOUBLE) - mns[j + 1])
+        |                      / (mxs[j + 1] - mns[j + 1]) * 255) AS BIGINT)
+        |      ELSE 0 END) AS qv
+        |  FROM embeddings, mnx),
+        |cand AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS neighbor,
+        |    list_sum(list_transform(range(64), j -> a.qv[j + 1] * b.qv[j + 1])) AS qdot
+        |  FROM q a JOIN q b ON b.vec_id <> a.vec_id
+        |  WHERE a.vec_id < 20)
+        |SELECT qid, rank, neighbor FROM (
+        |  SELECT qid, neighbor,
+        |    row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, neighbor ASC) AS rank
+        |  FROM cand)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "dedup_simhash" ->
       s"""WITH th AS (
          |  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h

@@ -101,6 +101,63 @@ class PipelineSpec extends AnyFunSuite {
     assert(scrubbed.getString(1) == "order <NUM> code <CODE>", s"got $scrubbed")
   }
 
+  test("connected components resolves chains, not just direct pairs") {
+    import spark.implicits._
+    // 1-2, 2-3, 3-4 chain (diameter 3: needs real propagation), plus an
+    // isolated pair 10-11, plus 20-21 + 21-22 sharing only the middle
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (21L, 20L), (21L, 22L))
+      .toDF("a", "b")
+    val got = graft.ops.Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("sq8 quantization: constant dims are zero, extremes hit 0 and 255") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(0.0f, -1.0f, 5.0f)),
+      (2L, Array(0.0f, 1.0f, -5.0f)),
+      (3L, Array(0.0f, 0.0f, 0.0f))
+    ).toDF("vid", "v")
+    val stats = Array((0.0, 0.0), (-1.0, 1.0), (-5.0, 5.0))
+    val q = vecs.select(col("vid"), graft.exprs.Sq8.sq8_quantize(col("v"),
+      stats.map(_._1), stats.map(_._2)).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(q(1L) == Seq(0, 0, 255))   // constant dim -> 0; max -> 255
+    assert(q(2L) == Seq(0, 255, 0))   // min -> 0
+    assert(q(3L) == Seq(0, 127, 127)) // midpoint -> floor(0.5*255)
+    // integer dot product matches hand arithmetic
+    val d = vecs.where(col("vid") === 1L)
+      .crossJoin(vecs.where(col("vid") === 2L).select(col("v").as("v2")))
+      .select(graft.exprs.Sq8.dot_int(
+        graft.exprs.Sq8.sq8_quantize(col("v"), stats.map(_._1), stats.map(_._2)),
+        graft.exprs.Sq8.sq8_quantize(col("v2"), stats.map(_._1), stats.map(_._2))))
+      .collect()(0).getLong(0)
+    assert(d == 0L * 0L + 0L * 255L + 255L * 0L)
+  }
+
+  test("repetition metrics flag a repeated-text document") {
+    import spark.implicits._
+    val docsDf = Seq(
+      (1L, Array("spam", "spam", "spam", "spam")),           // all one token
+      (2L, Array("a", "b", "c", "a", "b", "c")),             // repeated bigrams
+      (3L, Array("all", "tokens", "fully", "distinct", "here")),
+      (4L, Array("solo"))                                     // too short: dropped
+    ).toDF("doc_id", "toks")
+    val rep = graft.ops.TextAnalysis.repetition(docsDf, col("doc_id"), col("toks"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(rep.keySet == Set(1L, 2L, 3L))
+    assert(rep(1L) == ((4L, 1.0, 1.0, 1.0)))       // "spam spam" x3 of 3
+    val (n2, topU2, topB2, dup2) = rep(2L)
+    assert(n2 == 6L && topU2 == 2.0 / 6)
+    // bigrams: ab cb? -> "a b","b c","c a","a b","b c": top 2/5, dup 4/5
+    assert(topB2 == 2.0 / 5 && dup2 == 4.0 / 5)
+    val (_, _, topB3, dup3) = rep(3L)
+    assert(topB3 == 0.25 && dup3 == 0.0)
+  }
+
   test("multimodal: stubbed decode runs partition-parallel with stable output") {
     val media = Multimodal.mediaFromDocuments(spark, sf)
     val feats = Multimodal.withFeatures(media, "payload")
