@@ -16,7 +16,9 @@ import graft.streaming.StreamingIndexer
   *                       [--root DIR] [--stream] [--commit-interval 30s]
   *                       (no input, or `-`: read JSONL from stdin,
   *                        like the reference — `src/args.rs:51-56`)
-  * graft.cli.Main search <name> <query> [--limit N] [--root DIR]
+  * graft.cli.Main search <name> <query> [--limit N] [--fields a,b]
+  *                       [--unscored] [--root DIR]
+  * graft.cli.Main count  <name> <query>           [--root DIR]
   * graft.cli.Main merge  <name>  [--small-docs N] [--dedup] [--root DIR]
   * graft.cli.Main stats  <name>                   [--root DIR]
   * }}}
@@ -114,8 +116,14 @@ object Main {
         }
 
       case "search" =>
-        val limit = flags.get("limit").map(_.toInt).getOrElse(1)
-        new Searcher(spark, cat).search(pos.head, pos(1), limit).foreach(println)
+        val req = graft.engine.SearchRequest(pos(1),
+          limit = flags.get("limit").map(_.toInt).getOrElse(1),
+          fields = flags.get("fields").map(_.split(",").toList),
+          scored = !flags.contains("unscored"))
+        new Searcher(spark, cat).search(pos.head, req).foreach(println)
+
+      case "count" =>
+        println(new Searcher(spark, cat).countMatches(pos.head, pos(1)))
 
       case other =>
         System.err.println(s"unknown command: $other"); usage(); sys.exit(2)
@@ -130,6 +138,7 @@ object Main {
       rest match {
         case "--stream" :: t => flags("stream") = "true"; rest = t
         case "--dedup" :: t  => flags("dedup") = "true"; rest = t
+        case "--unscored" :: t => flags("unscored") = "true"; rest = t
         case f :: v :: t if f.startsWith("--") => flags(f.stripPrefix("--")) = v; rest = t
         case x :: t => pos += x; rest = t
         case Nil =>
@@ -141,5 +150,6 @@ object Main {
   private def usage(): Unit =
     System.err.println(
       """usage: create <config.yaml> | drop <name> | index <name> <input> [--stream]
-        |       search <name> <query> [--limit N] | merge <name>   (all: [--root DIR])""".stripMargin)
+        |       search <name> <query> [--limit N] [--fields a,b] [--unscored]
+        |       count <name> <query> | merge <name>   (all: [--root DIR])""".stripMargin)
 }

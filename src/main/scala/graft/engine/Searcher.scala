@@ -22,6 +22,17 @@ import graft.query.{Ast, FieldBounds, Occur, QueryCompiler, QueryParser, TimeBou
   *    of per-split statistics — strictly more correct ranking, and on a
   *    cluster it is a single cheap pre-pass, not a shuffle.
   */
+/** Per-request search options beyond the reference's `--limit`
+  * (`/root/reference/src/args.rs:120-126`):
+  *  - `fields`: restrict UNFIELDED terms to these flattened field names
+  *    instead of every indexed field + `_dynamic` — the tantivy
+  *    QueryParser default-fields control, surfaced per request;
+  *  - `scored`: false skips BM25 entirely (arrival-order limit
+  *    semantics — the reference's own global cut) even for text
+  *    queries: no corpus-stats job, no top-K sort. */
+final case class SearchRequest(query: String, limit: Int = 1,
+    fields: Option[List[String]] = None, scored: Boolean = true)
+
 final class Searcher(spark: SparkSession, catalog: Catalog) {
 
   import SchemaDerivation.{Dynamic, Terms}
@@ -29,7 +40,17 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
   private val K1 = 1.2
   private val B = 0.75
 
-  def searchDf(indexName: String, query: String, limit: Int): DataFrame = {
+  def searchDf(indexName: String, query: String, limit: Int): DataFrame =
+    searchDf(indexName, SearchRequest(query, limit))
+
+  /** Request-scoped search with per-request knobs ([[SearchRequest]]):
+    * default-field restriction for unfielded terms (tantivy
+    * QueryParser's default-fields control) and a scoring opt-out that
+    * falls back to the reference's own unscored arrival-order cut even
+    * for text queries — the latency knob when ranking is irrelevant. */
+  def searchDf(indexName: String, req: SearchRequest): DataFrame = {
+    val query = req.query
+    val limit = req.limit
     val cfg = catalog.load(indexName)
     val d = new SchemaDerivation(cfg)
     val ast = QueryParser.parse(query)
@@ -55,7 +76,7 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
 
     val df = Catalog.readSplits(spark, d, splits,
       s => catalog.splitDir(indexName, s.id).toString)
-    val pred = new QueryCompiler(d).compileAst(ast)
+    val pred = new QueryCompiler(d, req.fields).compileAst(ast)
 
     // No coalesce wrapper: WHERE already drops null-valued predicates, and
     // wrapping the comparison in coalesce() blocks Parquet filter pushdown
@@ -65,11 +86,12 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
     // terms) have a constant score — skip the corpus-stats job and the
     // top-K sort entirely; a plain limit is the reference's own unscored
     // arrival-order semantics (`search.rs:206-216`) and turns into
-    // incremental job launch instead of a global TakeOrdered.
-    if (scoringTerms(d, ast).isEmpty)
+    // incremental job launch instead of a global TakeOrdered. `scored =
+    // false` forces this path for text queries too.
+    if (!req.scored || scoringTerms(d, ast, req.fields).isEmpty)
       matched.limit(limit).select(outputJson(d).as("doc"))
     else
-      matched.withColumn("__score", scoreColumn(d, df, ast, version))
+      matched.withColumn("__score", scoreColumn(d, df, ast, version, req.fields))
         .orderBy(desc("__score"))
         .limit(limit)
         .select(outputJson(d).as("doc"))
@@ -77,6 +99,26 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
 
   def search(indexName: String, query: String, limit: Int = 1): Seq[String] =
     searchDf(indexName, query, limit).collect().map(_.getString(0)).toSeq
+
+  def search(indexName: String, req: SearchRequest): Seq[String] =
+    searchDf(indexName, req).collect().map(_.getString(0)).toSeq
+
+  /** Matching-document count: same pruning + compiled predicate as a
+    * search, but no scoring, no top-K, no document assembly — the scan
+    * reads only the predicate's columns, so at scale this is a
+    * column-pruned count over the surviving splits. */
+  def countMatches(indexName: String, query: String,
+      fields: Option[List[String]] = None): Long = {
+    val cfg = catalog.load(indexName)
+    val d = new SchemaDerivation(cfg)
+    val ast = QueryParser.parse(query)
+    val splits = prunedFrom(catalog.liveSplits(indexName), cfg, d, ast)
+    if (splits.isEmpty) return 0L
+    Catalog.readSplits(spark, d, splits,
+      s => catalog.splitDir(indexName, s.id).toString)
+      .where(new QueryCompiler(d, fields).compileAst(ast))
+      .count()
+  }
 
   /** Manifest-level split pruning — the coarse layer above Parquet
     * row-group pruning, and the piece that keeps a selective query from
@@ -152,7 +194,8 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
 
   /** Text terms that contribute to scoring: (flatName, token, boost) —
     * `term^2` multiplies that clause's score contribution. */
-  private def scoringTerms(d: SchemaDerivation, ast: Ast): List[(String, String, Double)] = {
+  private def scoringTerms(d: SchemaDerivation, ast: Ast,
+      defaultFields: Option[List[String]] = None): List[(String, String, Double)] = {
     def tokFor(flat: String): Option[String] = d.byFlatName.get(flat) match {
       case Some(rf) => rf.fieldType match {
         case t: TextField => t.tokenizer
@@ -161,7 +204,7 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
       case None => Some("default") // _dynamic paths score over its terms
     }
     def fields(fOpt: Option[String]): List[String] =
-      fOpt.map(List(_)).getOrElse(d.defaultFieldNames)
+      fOpt.map(List(_)).getOrElse(defaultFields.getOrElse(d.defaultFieldNames))
     def walk(a: Ast, boost: Double): List[(String, String, Double)] = a match {
       case Ast.Term(f, v) =>
         fields(f).flatMap(fn => tokFor(fn).map(tk =>
@@ -209,8 +252,8 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
     * the extra job entirely; any ingest/merge changes the split list and
     * therefore the key. */
   private def scoreColumn(d: SchemaDerivation, corpus: DataFrame, ast: Ast,
-      splitsVersion: String): Column = {
-    val terms = scoringTerms(d, ast)
+      splitsVersion: String, defaultFields: Option[List[String]] = None): Column = {
+    val terms = scoringTerms(d, ast, defaultFields)
     if (terms.isEmpty) return lit(0.0)
 
     val perField = terms.groupBy(_._1).view.mapValues(_.map(_._2)).toMap

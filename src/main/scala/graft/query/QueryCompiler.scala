@@ -27,7 +27,8 @@ import graft.functions.{TextFunctions, TimeFunctions}
   * Catalyst pushes comparisons into the Parquet scan (min/max pruning) and
   * the whole filter stays inside WholeStageCodegen.
   */
-final class QueryCompiler(d: SchemaDerivation) {
+final class QueryCompiler(d: SchemaDerivation,
+    defaultFields: Option[List[String]] = None) {
 
   import SchemaDerivation.{Dynamic, Terms}
 
@@ -66,7 +67,8 @@ final class QueryCompiler(d: SchemaDerivation) {
   }
 
   private def overDefaults(per: String => Column): Column =
-    d.defaultFieldNames.map(fn => coalesce(per(fn), lit(false)))
+    defaultFields.getOrElse(d.defaultFieldNames)
+      .map(fn => coalesce(per(fn), lit(false)))
       .reduceOption(_ || _).getOrElse(lit(false))
 
   private def termsCol(flatName: String): Column =

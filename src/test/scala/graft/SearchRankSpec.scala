@@ -97,4 +97,30 @@ class SearchRankSpec extends AnyFunSuite {
     val got = ids(search.search(name, "common rare", 5))
     assert(got.head == 2, s"doc with the rare term must rank first, got $got")
   }
+
+  test("per-request knobs: default-field restriction, unscored, count") {
+    import graft.engine.SearchRequest
+    val (_, search, name) = mkIndex(Seq(
+      """{"id": 1, "body": "alpha words", "note": "unique marker"}""",
+      """{"id": 2, "body": "unique text", "note": "alpha note"}""",
+      """{"id": 3, "body": "other words", "note": "more text"}"""))
+
+    // unfielded "unique" normally matches body OR the _dynamic note
+    assert(ids(search.search(name, SearchRequest("unique", 10))).toSet == Set(1L, 2L))
+    // restricted to body only, doc 1's note no longer matches
+    assert(ids(search.search(name,
+      SearchRequest("unique", 10, fields = Some(List("body"))))) == Seq(2L))
+    // restricted to the dynamic path only
+    assert(ids(search.search(name,
+      SearchRequest("unique", 10, fields = Some(List("note"))))) == Seq(1L))
+
+    // unscored returns the same match set (no ranking contract)
+    val unscored = search.search(name, SearchRequest("body:words", 10, scored = false))
+    assert(ids(unscored).toSet == Set(1L, 3L))
+
+    // count: matches without assembling documents
+    assert(search.countMatches(name, "unique") == 2L)
+    assert(search.countMatches(name, "unique", fields = Some(List("body"))) == 1L)
+    assert(search.countMatches(name, "nosuchtoken") == 0L)
+  }
 }
