@@ -18,7 +18,7 @@ import graft.streaming.StreamingIndexer
   *                        like the reference — `src/args.rs:51-56`)
   * graft.cli.Main search <name> <query> [--limit N] [--fields a,b]
   *                       [--unscored] [--root DIR]
-  * graft.cli.Main count  <name> <query>           [--root DIR]
+  * graft.cli.Main count  <name> <query> [--fields a,b] [--root DIR]
   * graft.cli.Main merge  <name>  [--small-docs N] [--dedup] [--root DIR]
   * graft.cli.Main stats  <name>                   [--root DIR]
   * }}}
@@ -123,7 +123,8 @@ object Main {
         new Searcher(spark, cat).search(pos.head, req).foreach(println)
 
       case "count" =>
-        println(new Searcher(spark, cat).countMatches(pos.head, pos(1)))
+        println(new Searcher(spark, cat).countMatches(pos.head, pos(1),
+          fields = flags.get("fields").map(_.split(",").toList)))
 
       case other =>
         System.err.println(s"unknown command: $other"); usage(); sys.exit(2)

@@ -302,11 +302,16 @@ object SchemaDerivation {
   /** Variant path for a flattened dotted field name: bracket-quoted
     * segments, so a key containing a literal (escaped) dot addresses the
     * flat key instead of being misread as nesting — e.g. `a\.b` →
-    * `$['a.b']`, `a.b` → `$['a']['b']`. */
-  def variantPath(flatName: String): String =
-    splitFlatName(flatName)
-      .map(s => s"['${s.replace("'", "\\'")}']")
-      .mkString("$", "", "")
+    * `$['a.b']`, `a.b` → `$['a']['b']`. None when the name cannot be
+    * expressed: Spark's variant path grammar has NO escape inside
+    * bracket quotes (`['` ~ `[^']*` ~ `']`), so a key containing a
+    * single quote is unaddressable — callers treat that as no-match
+    * (the pre-variant `get_json_object` behavior), never as an error. */
+  def variantPath(flatName: String): Option[String] = {
+    val segs = splitFlatName(flatName)
+    if (segs.exists(_.contains("'"))) None
+    else Some(segs.map(s => s"['$s']").mkString("$", "", ""))
+  }
 
   def escape(name: String): String = name.replace(".", "\\.")
   def unescape(flat: String): String = flat.replace("\\.", ".")

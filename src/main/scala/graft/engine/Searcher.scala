@@ -49,17 +49,8 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
     * falls back to the reference's own unscored arrival-order cut even
     * for text queries — the latency knob when ranking is irrelevant. */
   def searchDf(indexName: String, req: SearchRequest): DataFrame = {
-    val query = req.query
     val limit = req.limit
-    val cfg = catalog.load(indexName)
-    val d = new SchemaDerivation(cfg)
-    val ast = QueryParser.parse(query)
-    // ONE manifest read for both the split list and the generation: two
-    // reads could pair gen N+1 with a gen-N listing under a concurrent
-    // commit and poison the stats cache for that generation.
-    val (gen, live) = catalog.manifestState(indexName)
-    val splits = prunedFrom(live, cfg, d, ast)
-    val paths = splits.map(s => catalog.splitDir(indexName, s.id).toString)
+    val (_, d, ast, gen, splits) = loadAndPrune(indexName, req.query)
     // Cache identity for the corpus-stats memo: catalog root + index name
     // (split ids are unique only within one root/index) + manifest
     // generation (bumped by EVERY committed write, including in-place
@@ -67,7 +58,7 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
     // the pruned subset actually scanned.
     val version = s"${catalog.catalogRoot}#$indexName#$gen#" +
       splits.map(_.id).mkString(",")
-    if (paths.isEmpty)
+    if (splits.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
@@ -109,15 +100,26 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
     * column-pruned count over the surviving splits. */
   def countMatches(indexName: String, query: String,
       fields: Option[List[String]] = None): Long = {
-    val cfg = catalog.load(indexName)
-    val d = new SchemaDerivation(cfg)
-    val ast = QueryParser.parse(query)
-    val splits = prunedFrom(catalog.liveSplits(indexName), cfg, d, ast)
+    val (_, d, ast, _, splits) = loadAndPrune(indexName, query)
     if (splits.isEmpty) return 0L
     Catalog.readSplits(spark, d, splits,
       s => catalog.splitDir(indexName, s.id).toString)
       .where(new QueryCompiler(d, fields).compileAst(ast))
       .count()
+  }
+
+  /** Shared search prologue: config, derivation, parsed AST, manifest
+    * generation, pruned splits. ONE manifest read supplies both the
+    * split list and the generation: two reads could pair gen N+1 with a
+    * gen-N listing under a concurrent commit and poison the stats cache
+    * for that generation. */
+  private def loadAndPrune(indexName: String, query: String)
+      : (graft.config.IndexConfig, SchemaDerivation, Ast, Long, List[SplitInfo]) = {
+    val cfg = catalog.load(indexName)
+    val d = new SchemaDerivation(cfg)
+    val ast = QueryParser.parse(query)
+    val (gen, live) = catalog.manifestState(indexName)
+    (cfg, d, ast, gen, prunedFrom(live, cfg, d, ast))
   }
 
   /** Manifest-level split pruning — the coarse layer above Parquet
@@ -232,8 +234,9 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
       }
       case None if flat == Dynamic => Some(col(s"`$Terms`").getField(Dynamic))
       case None =>
-        Some(TextFunctions.tokenize(try_variant_get(col(Dynamic),
-          SchemaDerivation.variantPath(flat), "string"), "default"))
+        // unaddressable path (embedded quote) contributes no terms
+        SchemaDerivation.variantPath(flat).map(p =>
+          TextFunctions.tokenize(try_variant_get(col(Dynamic), p, "string"), "default"))
     }
 
   private def fieldnormsEnabled(d: SchemaDerivation, flat: String): Boolean =

@@ -116,14 +116,21 @@ object Ann {
     * sublinear scan. corpus: (vid, v); queries selected by `isQuery`. */
   def sq8(corpus: DataFrame, isQuery: Column => Column, k: Int): DataFrame = {
     import graft.exprs.Sq8.{dot_int, sq8_quantize}
-    val stats = corpus
+    // normalize to float vectors (Sq8Quantize reads float slots; same
+    // guard cosine_similarity applies)
+    val vecs = corpus.select(col("vid"),
+      col("v").cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType)).as("v"))
+    val stats = vecs
       .select(posexplode(col("v")).as(Seq("d", "x")))
       .groupBy("d").agg(min("x").as("mn"), max("x").as("mx"))
       .collect().map(r => (r.getInt(0), r.getFloat(1).toDouble, r.getFloat(2).toDouble))
       .sortBy(_._1)
     val mn = stats.map(_._2)
     val mx = stats.map(_._3)
-    val q8 = corpus.select(col("vid"), sq8_quantize(col("v"), mn, mx).as("qv8"))
+    // persisted: both sides of the self-join consume the quantization
+    val q8 = vecs.select(col("vid"), sq8_quantize(col("v"), mn, mx).as("qv8"))
+      .persist()
     val queries = broadcast(
       q8.where(isQuery(col("vid"))).select(col("vid").as("qid"), col("qv8").as("qq8")))
     val w = Window.partitionBy(col("qid"))

@@ -217,6 +217,13 @@ object Dedup {
       round += 1
     }
     edges.unpersist()
+    // A silent early exit would return plausible-but-wrong canon ids (a
+    // chain of diameter > maxRounds stops mid-propagation); fail loudly.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge after $maxRounds rounds " +
+          s"($changed labels still changing); raise maxRounds for graphs " +
+          "with longer chains")
     labels.select(col("vtx").as("doc_id"), col("lbl").as("canon_id"))
   }
 }

@@ -67,17 +67,24 @@ object TextAnalysis {
             (acc, h) => (acc * base + h) % MersennePrime))
           .as("rolling_hash"))
 
-  /** Top-k corpus bigrams (collocation mining) over a tokenized table
-    * ((id, toks)): posexplode → lead within document → one count shuffle
-    * → TakeOrdered cut. Output: (bigram, n). */
-  def bigrams(tokenized: DataFrame, id: Column, toks: Column,
-      topK: Int): DataFrame =
+  /** (id, bigram) occurrences: posexplode → lead within document —
+    * the shared front half of [[bigrams]] and [[repetition]]. */
+  private def docBigrams(tokenized: DataFrame, id: Column,
+      toks: Column): DataFrame =
     tokenized
       .select(id.as("id"), posexplode(toks).as(Seq("pos", "tok")))
       .withColumn("next", lead(col("tok"), 1).over(
         Window.partitionBy(col("id")).orderBy(col("pos"))))
       .where(col("next").isNotNull)
-      .groupBy(concat(col("tok"), lit(" "), col("next")).as("bigram"))
+      .select(col("id"), concat(col("tok"), lit(" "), col("next")).as("bigram"))
+
+  /** Top-k corpus bigrams (collocation mining) over a tokenized table
+    * ((id, toks)): posexplode → lead within document → one count shuffle
+    * → TakeOrdered cut. Output: (bigram, n). */
+  def bigrams(tokenized: DataFrame, id: Column, toks: Column,
+      topK: Int): DataFrame =
+    docBigrams(tokenized, id, toks)
+      .groupBy(col("bigram"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram").asc)
       .limit(topK)
@@ -98,12 +105,7 @@ object TextAnalysis {
       .select(col("id"), explode(col("toks")).as("tok"))
       .groupBy("id", "tok").agg(count(lit(1)).as("c"))
       .groupBy("id").agg(sum("c").as("n_toks"), max("c").as("top_uni"))
-    val bi = base
-      .select(col("id"), posexplode(col("toks")).as(Seq("pos", "tok")))
-      .withColumn("next", lead(col("tok"), 1).over(
-        Window.partitionBy(col("id")).orderBy(col("pos"))))
-      .where(col("next").isNotNull)
-      .select(col("id"), concat(col("tok"), lit(" "), col("next")).as("bigram"))
+    val bi = docBigrams(base, col("id"), col("toks"))
       .groupBy("id", "bigram").agg(count(lit(1)).as("c"))
       .groupBy("id").agg(
         sum("c").as("n_bi"), max("c").as("top_bi"),

@@ -127,9 +127,14 @@ final class QueryCompiler(d: SchemaDerivation,
   /** Value text at a `_dynamic` path: binary variant access (format-2
     * splits store the catch-all as VariantType), cast to string with
     * `get_json_object` semantics — strings unquoted, scalars canonical,
-    * objects/arrays as JSON text, missing/JSON-null → null. */
+    * objects/arrays as JSON text, missing/JSON-null → null. A path name
+    * the variant grammar cannot express (embedded `'`) is a no-match
+    * null, not an error. */
   private def dynText(flatName: String): Column =
-    try_variant_get(col(Dynamic), SchemaDerivation.variantPath(flatName), "string")
+    SchemaDerivation.variantPath(flatName) match {
+      case Some(p) => try_variant_get(col(Dynamic), p, "string")
+      case None    => lit(null).cast("string")
+    }
 
   /** Unknown field → path into `_dynamic` (expand_dots made nested
     * form canonical at ingest). The catch-all is indexed with the default
@@ -141,7 +146,16 @@ final class QueryCompiler(d: SchemaDerivation,
       TextFunctions.tokenize(v, "default"),
       TextFunctions.tokenizeTerm(value, "default"))
     // numbers/bools in JSON compare by token too ("58" tokenizes to ["58"])
-    coalesce(tokenMatch, lit(false))
+    // Variant canonicalizes numeric lexemes ("1e3" is stored as a double
+    // and renders "1000.0" — the reference's serde_json does the same at
+    // echo time), so a numeric query literal additionally matches by
+    // VALUE: `extra.x:1e3` must hit a stored 1000.0 even though their
+    // token streams differ.
+    val numericMatch = value.toDoubleOption match {
+      case Some(n) => coalesce(v.try_cast("double") === lit(n), lit(false))
+      case None    => lit(false)
+    }
+    coalesce(tokenMatch, lit(false)) || numericMatch
   }
 
   // ---- prefix -----------------------------------------------------------

@@ -150,4 +150,67 @@ class AdviceRegressionSpec extends AnyFunSuite {
       assert(search.search("st_test", "secret:alpha", 5) == Seq("""{"visible":"one"}"""))
     }
   }
+
+  test("dynamic path with an embedded quote is a no-match, not a crash") {
+    withEngine { (cat, idx, search) =>
+      cat.create(
+        """version: 1
+          |name: quote_test
+          |path: /tmp/unused
+          |schema:
+          |  fields:
+          |    - name: msg
+          |      type: !text
+          |""".stripMargin)
+      idx.indexFile("quote_test", writeDocs(
+        """{"msg":"hello", "it's": "tricky"}"""))
+      // Spark's variant path grammar cannot express a key containing ';
+      // the fielded query must return nothing (get_json_object behavior),
+      // never throw INVALID_VARIANT_GET_PATH
+      assert(search.search("quote_test", "it\\'s:tricky", 5).isEmpty)
+      // the value is still reachable via the unfielded catch-all terms
+      assert(search.search("quote_test", "tricky", 5).nonEmpty)
+    }
+  }
+
+  test("dynamic-path numeric term matches canonicalized variant values") {
+    withEngine { (cat, idx, search) =>
+      cat.create(
+        """version: 1
+          |name: numlex_test
+          |path: /tmp/unused
+          |schema:
+          |  fields:
+          |    - name: msg
+          |      type: !text
+          |""".stripMargin)
+      idx.indexFile("numlex_test", writeDocs(
+        """{"msg":"a", "extra": {"x": 1e3}}
+          |{"msg":"b", "extra": {"x": 1.50}}
+          |{"msg":"c", "extra": {"x": 58}}""".stripMargin))
+      // variant stores 1e3 as the double 1000.0; the original lexeme must
+      // still match by value
+      assert(search.search("numlex_test", "extra.x:1e3 AND msg:a", 5).nonEmpty)
+      assert(search.search("numlex_test", "extra.x:1000.0 AND msg:a", 5).nonEmpty)
+      assert(search.search("numlex_test", "extra.x:1.50 AND msg:b", 5).nonEmpty)
+      assert(search.search("numlex_test", "extra.x:1.5 AND msg:b", 5).nonEmpty)
+      // integers keep exact token matching too
+      assert(search.search("numlex_test", "extra.x:58", 5).nonEmpty)
+      assert(search.search("numlex_test", "extra.x:59", 5).isEmpty)
+    }
+  }
+
+  test("connectedComponents fails loudly when rounds cannot cover diameter") {
+    import spark.implicits._
+    // chain 1-2-...-8 has diameter 7; 2 rounds cannot converge
+    val pairs = (1L until 8L).map(i => (i, i + 1)).toDF("a", "b")
+    val ex = intercept[IllegalStateException] {
+      graft.ops.Dedup.connectedComponents(pairs, maxRounds = 2).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // enough rounds: the whole chain resolves to canon 1
+    val ok = graft.ops.Dedup.connectedComponents(pairs, maxRounds = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ok.forall(_._2 == 1L) && ok.length == 8)
+  }
 }
