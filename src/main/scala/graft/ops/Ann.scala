@@ -85,7 +85,7 @@ object Ann {
     }
     val e = corpus
       .withColumn("__w", wLit)
-      .withColumn("vs", expr("transform(v, x -> CAST(round(x * 1000000) AS BIGINT))"))
+      .withColumn("vs", expr("transform(v, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0D) AS BIGINT))"))
       .withColumn("bits", expr(
         s"""transform(sequence(0, ${planes - 1}), i ->
            |  IF(aggregate(zip_with(vs, element_at(__w, i + 1), (a, ww) -> a * ww),
@@ -102,6 +102,37 @@ object Ann {
       .where(col("vid") =!= col("qid"))
       .dropDuplicates("qid", "vid")
     topK(cands, k)
+  }
+
+  /** One distributed Lloyd's (k-means) iteration over an embedding
+    * corpus — training the IVF coarse quantizer rather than borrowing
+    * corpus vectors as centroids. Assignment: exact cosine to each
+    * broadcast centroid, nearest wins (ties by centroid id — [[ivf]]'s
+    * rule), one narrow pass. Update: per-(cell, dim) sums of fixed-point
+    * values (`round(v·10⁶)` — integer addition is order-independent, so
+    * the aggregate is exact and engine-reproducible, unlike float
+    * summation). The caller derives the new centroid component as
+    * `sum_q / (n · 10⁶)` and iterates; each iteration is one broadcast
+    * join plus one (cell, dim)-keyed shuffle whose cardinality is
+    * k × dim, independent of corpus size.
+    * corpus: (vid, v); centroids: (cid, cv). Output: (cell, d, sum_q, n). */
+  def kmeansStep(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = broadcast(centroids)
+    val asg = corpus.crossJoin(cents)
+      .withColumn("ccos", cosine(col("v"), col("cv")))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("vid")).orderBy(col("ccos").desc, col("cid").asc)))
+      .where(col("crn") === 1)
+      .select(col("cid").as("cell"), col("v"))
+    asg
+      // explicit double math before round: a float-precision product can
+      // land on the other side of a .5 boundary than the double product,
+      // shifting one fixed-point unit between engines
+      .select(col("cell"), posexplode(
+        expr("transform(v, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0D) AS BIGINT))"))
+        .as(Seq("d", "q")))
+      .groupBy("cell", "d")
+      .agg(sum("q").as("sum_q"), count(lit(1)).as("n"))
   }
 
   /** Scalar-quantized (int8-style) max-inner-product search: per-dim

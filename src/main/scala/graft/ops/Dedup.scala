@@ -61,6 +61,26 @@ object Dedup {
       .select(col("a"), col("b"), col("inter"), col("uni"))
   }
 
+  /** Benchmark decontamination: shingle-overlap counts between a corpus
+    * and a (small) benchmark set — the pass that finds training documents
+    * leaking evaluation data (n-gram collision detection, the standard
+    * 13-gram method scaled down by the caller's shingle width). Both
+    * inputs are (doc_id, shingles) tables from [[shingles]]; the
+    * benchmark side is broadcast (eval sets are tiny next to a corpus),
+    * so the scan stays a single map-side pass over the corpus shingles —
+    * no corpus-wide shuffle at all.
+    * Output: (doc_id, bench_id, n_shared) for pairs with >= minShared. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      minShared: Long = 1L): DataFrame = {
+    val c = corpus.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val b = broadcast(benchmark
+      .select(col("doc_id").as("bench_id"), explode(col("shingles")).as("sh")))
+    c.join(b, "sh")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   private val MersennePrime = 2147483647L
 
   /** Hash function i of the affine MinHash family over a base md5 hash:

@@ -361,7 +361,33 @@ object PipelineQueries {
       isQuery = _ < 20, k = 5)
       .orderBy(col("qid"), col("rank"))
 
+  /** Benchmark decontamination: shingle-overlap counts between the
+    * corpus (doc_id >= 10) and a benchmark set (docs 0-9 stand in for an
+    * eval suite). Benchmark side broadcast → map-side-only corpus pass;
+    * see [[graft.ops.Dedup.decontaminate]]. */
+  val pipe_decontaminate: Q = (s, dir) => {
+    val sh = shingled(s, dir)
+    Dedup.decontaminate(
+      sh.where(col("doc_id") >= 10),
+      sh.where(col("doc_id") < 10))
+      .orderBy(col("doc_id"), col("bench_id"))
+  }
+
+  /** One exact k-means (Lloyd's) iteration training the IVF quantizer:
+    * first 16 vectors seed the centroids, update sums are fixed-point
+    * integers so the oracle reproduces them exactly — see
+    * [[graft.ops.Ann.kmeansStep]]. */
+  val pipe_kmeans_step: Q = (s, dir) => {
+    val e = corpus(s, dir)
+    Ann.kmeansStep(
+      e.select(col("vid"), col("v")),
+      e.where(col("vid") < 16).select(col("vid").as("cid"), col("v").as("cv")))
+      .orderBy(col("cell"), col("d"))
+  }
+
   val all: Map[String, Q] = Map(
+    "pipe_decontaminate" -> pipe_decontaminate,
+    "pipe_kmeans_step" -> pipe_kmeans_step,
     "text_repetition" -> text_repetition,
     "dedup_cluster_canon" -> dedup_cluster_canon,
     "pipe_sample_stratified" -> pipe_sample_stratified,
@@ -469,6 +495,30 @@ object PipelineQueries {
          |  CAST(dup_bi AS DOUBLE) / n_bi AS dup_bigram_frac
          |FROM uni JOIN bi ON uni.doc_id = bi.doc_id
          |ORDER BY doc_id""".stripMargin,
+    "pipe_decontaminate" ->
+      s"""WITH sh AS ($shingleSql),
+         |c AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id >= 10),
+         |b AS (SELECT doc_id AS bench_id, unnest(shingles) AS s FROM sh WHERE doc_id < 10)
+         |SELECT c.doc_id AS doc_id, b.bench_id, count(*) AS n_shared
+         |FROM c JOIN b ON c.s = b.s
+         |GROUP BY 1, 2
+         |HAVING count(*) >= 1
+         |ORDER BY doc_id, bench_id""".stripMargin,
+    "pipe_kmeans_step" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+        |asg AS (
+        |  SELECT cid AS cell, embedding FROM (
+        |    SELECT e.vec_id, e.embedding, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cid ASC) AS crn
+        |    FROM embeddings e CROSS JOIN cents c)
+        |  WHERE crn = 1)
+        |SELECT cell, d, CAST(sum(q) AS BIGINT) AS sum_q, count(*) AS n
+        |FROM (SELECT cell, i AS d,
+        |        CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+        |      FROM asg CROSS JOIN (SELECT unnest(range(64)) AS i))
+        |GROUP BY cell, d ORDER BY cell, d""".stripMargin,
     "pipe_sample_stratified" ->
       """SELECT doc_id, lang, bucket FROM (
         |  SELECT doc_id, lang,
@@ -656,7 +706,7 @@ object PipelineQueries {
         |  SELECT vec_id, embedding,
         |    list_transform(range(16), i ->
         |      CASE WHEN list_sum(list_transform(range(64), j ->
-        |          CAST(round(embedding[j + 1] * 1000000) AS BIGINT) *
+        |          CAST(round(CAST(embedding[j + 1] AS DOUBLE) * 1000000.0) AS BIGINT) *
         |          ((CAST('0x' || substr(md5(i || '_' || (j + 1)), 1, 15) AS BIGINT) % 2001) - 1000))
         |        ) > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS bits
         |  FROM embeddings),

@@ -106,4 +106,35 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(shuffles.isEmpty, s"ingest must not shuffle:\n$plan")
   }
+
+  test("pipe_pack_sequences windows per source shard, never one partition") {
+    val plan = formatted(graft.queries.PipelineQueries.pipe_pack_sequences(spark, sf))
+    // a Window with an empty partition spec would collapse to a single
+    // partition (the 100 TB anti-pattern); ours must key by source
+    assert(plan.contains("Window"), plan)
+    val winLine = plan.linesIterator.filter(_.contains("windowspecdefinition")).mkString
+    assert(winLine.contains("source"),
+      s"window must partition by source:\n$winLine")
+  }
+
+  test("pipe_decontaminate broadcasts the benchmark side") {
+    val plan = formatted(graft.queries.PipelineQueries.pipe_decontaminate(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"the tiny benchmark set must broadcast, not shuffle the corpus:\n$plan")
+  }
+
+  test("pipe_kmeans_step broadcasts centroids; update shuffle is (cell,dim)") {
+    val plan = formatted(graft.queries.PipelineQueries.pipe_kmeans_step(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"centroid assignment must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("knn_sq8 joins the tiny quantized query side by broadcast") {
+    val plan = formatted(graft.queries.PipelineQueries.knn_sq8(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query side must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
