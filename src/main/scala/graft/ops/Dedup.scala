@@ -220,9 +220,18 @@ object Dedup {
     var labels = edges.select(col("u").as("vtx")).distinct()
       .withColumn("lbl", col("vtx"))
       .persist()
+    // Convergence check: labels are monotonically non-increasing per
+    // vertex, so the exact (decimal — no overflow at any scale) label sum
+    // strictly decreases until the fixpoint; an unchanged sum IS
+    // convergence. One cheap aggregate per round instead of a
+    // change-detection join.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("lbl").cast("decimal(38,0)"))).collect()(0)
+        .getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO) // empty graph
+    var prevSum = labelSum(labels)
     var round = 0
-    var changed = 1L
-    while (changed > 0 && round < maxRounds) {
+    var converged = false
+    while (!converged && round < maxRounds) {
       val neigh = edges
         .join(labels, edges("v") === labels("vtx"))
         .groupBy(col("u")).agg(min(col("lbl")).as("nlbl"))
@@ -230,8 +239,9 @@ object Dedup {
         .join(neigh, labels("vtx") === neigh("u"), "left")
         .select(col("vtx"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
         .persist()
-      changed = next.join(labels.select(col("vtx"), col("lbl").as("old")), "vtx")
-        .where(col("lbl") =!= col("old")).count()
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels.unpersist()
       labels = next
       round += 1
@@ -239,11 +249,10 @@ object Dedup {
     edges.unpersist()
     // A silent early exit would return plausible-but-wrong canon ids (a
     // chain of diameter > maxRounds stops mid-propagation); fail loudly.
-    if (changed > 0)
+    if (!converged)
       throw new IllegalStateException(
-        s"connectedComponents did not converge after $maxRounds rounds " +
-          s"($changed labels still changing); raise maxRounds for graphs " +
-          "with longer chains")
+        s"connectedComponents did not converge after $maxRounds rounds; " +
+          "raise maxRounds for graphs with longer chains")
     labels.select(col("vtx").as("doc_id"), col("lbl").as("canon_id"))
   }
 }
