@@ -696,7 +696,7 @@ object PipelineQueries {
         |    list_transform(range(length(text)), i -> CAST(ord(text[i + 1]) AS BIGINT)) AS vs
         |  FROM documents WHERE length(text) >= 32)
         |SELECT doc_id, i AS window_idx,
-        |  list_sum(list_transform(list_slice(vs, i * 32 + 1, i * 32 + 32), x -> x * x)) AS energy
+        |  CAST(list_sum(list_transform(list_slice(vs, i * 32 + 1, i * 32 + 32), x -> x * x)) AS BIGINT) AS energy
         |FROM (SELECT doc_id, vs,
         |        unnest(range(CAST(len(vs) // 32 AS BIGINT))) AS i
         |      FROM t)
@@ -747,9 +747,9 @@ object PipelineQueries {
         |  FROM documents WHERE length(text) >= 16),
         |p AS (
         |  SELECT doc_id,
-        |    list_sum(list_transform(range(16),
+        |    CAST(list_sum(list_transform(range(16),
         |      i -> CASE WHEN samples[i + 1] > list_sum(samples) // 16
-        |                THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END)) AS phash
+        |                THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
         |  FROM s)
         |SELECT phash, count(*) AS n_docs, min(doc_id) AS min_doc_id
         |FROM p GROUP BY phash HAVING count(*) >= 2 ORDER BY phash""".stripMargin
