@@ -15,10 +15,13 @@ import Hashing.h64
   * Every op is deterministic — hashes are md5-derived ([[Hashing]]), no
   * float score is ever part of a group key.
   *
-  * Caching: [[minhashLsh]] and [[simhash]] persist their signature tables
-  * (each feeds a self-join). The cached plans live until the session ends
-  * or the cache evicts; a long-lived service deduping many corpora should
-  * `spark.catalog.clearCache()` between runs.
+  * Caching: [[minhashLsh]] and [[simhash]] snapshot their signature
+  * tables with a lazy `localCheckpoint` (each feeds a self-join). Unlike
+  * `persist`, the blocks are not registered in the session cache — the
+  * ContextCleaner reaps them once the result is no longer referenced, so
+  * repeated calls in a long-lived session do not accumulate cache
+  * entries, and the truncated lineage means an evicted block cannot
+  * cascade into recomputing the whole upstream plan.
   */
 object Dedup {
 
@@ -104,8 +107,9 @@ object Dedup {
       .select(col("doc_id"), (h64(col("sh")) % MersennePrime).as("h"))
     val mins = (1 to numHashes).map(i =>
       min(affineHash(i, col("h"))).as(s"mh${i - 1}"))
-    // Persisted: the band self-join consumes the signature table twice.
-    val sigs = flat.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*).persist()
+    // Snapshotted: the band self-join consumes the signature table twice.
+    val sigs = flat.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .localCheckpoint(eager = false)
     val bandTbl = sigs.select(
       col("doc_id"),
       explode(array((0 until bands).map { bIdx =>
@@ -155,12 +159,12 @@ object Dedup {
       sum(when(col("th").bitwiseAND(lit(1L << bit)) =!= 0L, col("cnt")).otherwise(-col("cnt")))
         .as(s"b$bit")
     }
-    // Persisted: the bucket self-join consumes sigs on both sides.
+    // Snapshotted: the bucket self-join consumes sigs on both sides.
     val sigs = th.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
       .select(col("doc_id"),
         (0 until 63).map(bit => when(col(s"b$bit") > 0, lit(1L << bit)).otherwise(lit(0L)))
           .reduce(_.bitwiseOR(_)).as("simhash"))
-      .persist()
+      .localCheckpoint(eager = false)
     val chunked = sigs.select(col("doc_id"), col("simhash"),
       explode(array(chunkRanges.zipWithIndex.map { case ((start, width), c) =>
         struct(lit(c).as("chunk"),
@@ -197,62 +201,101 @@ object Dedup {
   }
 
   /** Connected components over a near-duplicate pair list ((a, b)) by
-    * iterative min-label propagation: every vertex starts as its own
-    * label; each round every vertex takes the minimum label among itself
-    * and its neighbors, until a round changes nothing. This is the
+    * alternating large-star / small-star contraction (Kiveris et al. 2014,
+    * "Connected Components in MapReduce and Beyond"): each round rewires
+    * every vertex's larger neighbors (large-star) and then its smaller
+    * neighbors (small-star) to the minimum of the neighborhood, halving
+    * component diameter per round, until the edge set is a fixpoint —
+    * every component a star centered on its minimum id. This is the
     * "cluster near-dup pairs, keep one canonical document per cluster"
     * step that follows MinHash-LSH in a training pipeline.
     *
-    * Scale shape: each round is one shuffle-join keyed by vertex plus a
-    * cheap convergence count; rounds = cluster diameter, which for
-    * near-dup graphs is small (duplicates form near-cliques). For
-    * adversarial long chains the textbook upgrade is large-star/small-star
-    * contraction (Kiveris et al. 2014) with O(log n) rounds — same
-    * per-round join shape. Everything stays distributed: no vertex list
-    * ever collects to the driver.
+    * Scale shape: O(log n) rounds regardless of component diameter (a
+    * diameter-d chain converges in ~log2(d) rounds, not d — pinned by a
+    * PipelineSpec chain test), each round two vertex-keyed shuffle-joins.
+    * Ids only need to be orderable — the convergence check is edge-set
+    * equality, no arithmetic on ids, so string keys work (min-label-sum
+    * convergence would break on non-numeric ids under ANSI). Each round is
+    * checkpointed: lineage is cut so an evicted block can never cascade
+    * into recomputing all prior rounds, and the round's blocks are
+    * ContextCleaner-reaped when the loop drops them — no per-call cache
+    * leak. Everything stays distributed: no vertex list ever collects to
+    * the driver.
     *
     * Output: (doc_id, canon_id) for every vertex that appears in a pair,
     * canon_id = min doc_id of its component. */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
-    val edges = pairs.select(col("a").as("u"), col("b").as("v"))
-      .union(pairs.select(col("b").as("u"), col("a").as("v")))
-      .persist()
-    var labels = edges.select(col("u").as("vtx")).distinct()
-      .withColumn("lbl", col("vtx"))
-      .persist()
-    // Convergence check: labels are monotonically non-increasing per
-    // vertex, so the exact (decimal — no overflow at any scale) label sum
-    // strictly decreases until the fixpoint; an unchanged sum IS
-    // convergence. One cheap aggregate per round instead of a
-    // change-detection join.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("lbl").cast("decimal(38,0)"))).collect()(0)
-        .getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO) // empty graph
-    var prevSum = labelSum(labels)
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame =
+    connectedComponentsImpl(pairs, maxRounds)._1
+
+  /** (labels, rounds) — rounds exposed for the test pinning the O(log n)
+    * round bound on long chains. */
+  private[graft] def connectedComponentsImpl(pairs: DataFrame,
+      maxRounds: Int): (DataFrame, Int) = {
+    var edges = cut(pairs
+      .select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct())
     var round = 0
-    var converged = false
+    var converged = edges.isEmpty // an empty graph is already a fixpoint
     while (!converged && round < maxRounds) {
-      val neigh = edges
-        .join(labels, edges("v") === labels("vtx"))
-        .groupBy(col("u")).agg(min(col("lbl")).as("nlbl"))
-      val next = labels
-        .join(neigh, labels("vtx") === neigh("u"), "left")
-        .select(col("vtx"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .persist()
-      val nextSum = labelSum(next)
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
-      labels.unpersist()
-      labels = next
+      val next = cut(smallStar(largeStar(edges)))
+      // Both sides are distinct canonically-oriented sets, so
+      // equal-count + empty-difference is exact set equality.
+      converged = next.count() == edges.count() && next.except(edges).isEmpty
+      edges = next
       round += 1
     }
-    edges.unpersist()
-    // A silent early exit would return plausible-but-wrong canon ids (a
-    // chain of diameter > maxRounds stops mid-propagation); fail loudly.
+    // A silent early exit would return plausible-but-wrong canon ids
+    // (contraction stopped mid-way); fail loudly.
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge after $maxRounds rounds; " +
-          "raise maxRounds for graphs with longer chains")
-    labels.select(col("vtx").as("doc_id"), col("lbl").as("canon_id"))
+          "raise maxRounds for pathological graphs")
+    val allV = pairs.select(col("a").as("doc_id"))
+      .union(pairs.select(col("b").as("doc_id"))).distinct()
+    val labels = allV
+      .join(edges.select(col("u").as("doc_id"), col("v").as("canon_id")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canon_id"), col("doc_id")).as("canon_id"))
+    (labels, round)
+  }
+
+  /** Materialize + truncate lineage for one contraction round. A reliable
+    * checkpoint dir wins if the session has one (survives executor loss on
+    * a cluster); local blocks otherwise (fine in local mode, reaped by the
+    * ContextCleaner once the loop drops the reference). */
+  private def cut(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
+  /** Large-star: for every vertex u, connect each neighbor v > u to
+    * min(Γ(u) ∪ {u}). Preserves connectivity; output oriented
+    * larger → smaller. */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val nbrs = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+    val mins = nbrs.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    nbrs.join(mins, "u")
+      .where(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Small-star: for every vertex u, connect u and its smaller neighbors
+    * to min(Γ(u) ∪ {u}) over the larger → smaller orientation. */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val oriented = edges.select(greatest(col("u"), col("v")).as("u"),
+      least(col("u"), col("v")).as("v"))
+      .where(col("u") =!= col("v"))
+    val mins = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
+    oriented.join(mins, "u")
+      .select(col("v").as("u"), col("m").as("v"))
+      .union(mins.select(col("u"), col("m").as("v")))
+      .where(col("u") =!= col("v"))
+      .distinct()
   }
 }

@@ -113,6 +113,32 @@ class PipelineSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("connected components: diameter-100 chain converges in O(log n) rounds") {
+    import spark.implicits._
+    // a 101-vertex path 0-1-2-...-100: min-label propagation would need
+    // 100 rounds (and throw at maxRounds=50); star contraction halves the
+    // diameter per round
+    val pairs = (0L until 100L).map(i => (i, i + 1)).toDF("a", "b")
+    val (labels, rounds) = graft.ops.Dedup.connectedComponentsImpl(pairs, maxRounds = 10)
+    assert(rounds < 10, s"chain took $rounds rounds")
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 101)
+    assert(got.forall(_._2 == 0L), s"all vertices must canon to 0")
+  }
+
+  test("connected components works with non-numeric string ids") {
+    import spark.implicits._
+    // the old min-label-sum convergence check cast labels to decimal —
+    // string ids would throw under ANSI mode; star contraction only
+    // compares, never does arithmetic on ids
+    val pairs = Seq(("beta", "gamma"), ("alpha", "beta"), ("zeta", "eta"))
+      .toDF("a", "b")
+    val got = graft.ops.Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got == Map("alpha" -> "alpha", "beta" -> "alpha", "gamma" -> "alpha",
+      "zeta" -> "eta", "eta" -> "eta"))
+  }
+
   test("sq8 quantization: constant dims are zero, extremes hit 0 and 255") {
     import spark.implicits._
     val vecs = Seq(
