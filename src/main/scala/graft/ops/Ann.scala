@@ -18,9 +18,11 @@ import org.apache.spark.sql.functions._
   *    candidates match any bucket; sign bits are exact integer arithmetic
   *    (md5-derived weights × round(v·10⁶)), engine-portable.
   *
-  * Caching: [[lsh]] persists its signature table (the bucket joins
-  * consume it on both sides); a long-lived service should
-  * `spark.catalog.clearCache()` between corpora.
+  * Caching: [[lsh]] and [[sq8]] snapshot their signature/quantization
+  * tables with a lazy `localCheckpoint` (the bucket joins consume them on
+  * both sides). The blocks bypass the session cache and are
+  * ContextCleaner-reaped once the result is dropped, so repeated calls do
+  * not accumulate cache entries.
   */
 object Ann {
 
@@ -91,7 +93,7 @@ object Ann {
            |  IF(aggregate(zip_with(vs, element_at(__w, i + 1), (a, ww) -> a * ww),
            |       0L, (acc, t) -> acc + t) > 0, 1L, 0L))""".stripMargin))
       .select(col("vid") +: col("v") +: sigCols: _*)
-      .persist()
+      .localCheckpoint(eager = false)
     val q = e.where(isQuery(col("vid")))
       .select(col("vid").as("qid") +: col("v").as("qv") +:
         (0 until tables).map(t => col(s"sig$t").as(s"qs$t")): _*)
@@ -159,9 +161,9 @@ object Ann {
       .sortBy(_._1)
     val mn = stats.map(_._2)
     val mx = stats.map(_._3)
-    // persisted: both sides of the self-join consume the quantization
+    // snapshotted: both sides of the self-join consume the quantization
     val q8 = vecs.select(col("vid"), sq8_quantize(col("v"), mn, mx).as("qv8"))
-      .persist()
+      .localCheckpoint(eager = false)
     val queries = broadcast(
       q8.where(isQuery(col("vid"))).select(col("vid").as("qid"), col("qv8").as("qq8")))
     val w = Window.partitionBy(col("qid"))
