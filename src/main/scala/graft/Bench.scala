@@ -6,8 +6,10 @@ import org.apache.spark.sql.SparkSession
   *
   * Each query runs once untimed (JIT + codegen + parquet footer warmup —
   * the first action in a fresh JVM otherwise pays ~10s that has nothing to
-  * do with the query), then once timed. Queries run in name order so the
-  * report is stable run-to-run.
+  * do with the query), then three times timed, reporting the MEDIAN — a
+  * single eviction-driven recompute storm or GC stall cannot land on one
+  * query and misreport it by an order of magnitude (the round-2 lesson).
+  * Queries run in name order so the report is stable run-to-run.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -27,9 +29,15 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => }
     }
     val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val median =
+        try { val ts = Seq(once(), once(), once()).sorted; ts(1) }
+        catch { case _: Throwable => -1.0 }
+      name -> median
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
