@@ -276,7 +276,13 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
         }
     val cacheKey = (splitsVersion, statNames.sorted.mkString("|"))
     if (Searcher.statsCache.size > 4096) Searcher.statsCache.clear()
-    val stats = Searcher.statsCache.computeIfAbsent(cacheKey, { _ =>
+    // get → compute → putIfAbsent, NOT computeIfAbsent: the stats job is a
+    // full Spark aggregate and must not run under the CHM bin lock, where
+    // it would serialize unrelated concurrent searches hashing to the same
+    // bin. Two racing threads may compute redundantly; first write wins
+    // and the result is identical either way.
+    val stats = Option(Searcher.statsCache.get(cacheKey)).getOrElse {
+      val computed: Map[String, Double] = {
       val statAggs: List[Column] =
         count(lit(1)).as("__n") ::
           perField.toList.flatMap { case (flat, toks) =>
@@ -292,7 +298,9 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
         case k if k.startsWith("avgdl_")  => k -> row.getAs[Double](k)
         case k                            => k -> row.getAs[Long](k).toDouble
       }.toMap
-    })
+      }
+      Option(Searcher.statsCache.putIfAbsent(cacheKey, computed)).getOrElse(computed)
+    }
     val n = stats("__n").max(1.0)
 
     val parts: List[Column] = terms.flatMap { case (flat, tok, boost) =>
