@@ -4,8 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import Hashing.h64
-
 /** Text-analysis operators over arbitrary (id, text) DataFrames — the
   * parameterized library surface behind the oracle-gated examples in
   * [[graft.queries.PipelineQueries]]. Every op is a pure per-row
@@ -20,7 +18,9 @@ object TextAnalysis {
   def tokenCounts(df: DataFrame, id: Column, text: Column): DataFrame =
     df.select(id.as("id"),
       size(split(trim(text), "\\s+")).as("ws_tokens"),
-      size(filter(split(lower(text), "[^a-z0-9]+"), t => t =!= ""))
+      // maximal alnum runs ≡ non-empty tokens of split("[^a-z0-9]+"),
+      // without the per-element interpreted filter lambda
+      size(regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0)))
         .as("word_tokens"),
       size(regexp_extract_all(lower(text),
         lit(" ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+"), lit(0))).as("bpe_tokens"),
@@ -36,7 +36,7 @@ object TextAnalysis {
       size(toks).as("n_words"),
       (length(regexp_replace(text, "[^a-zA-Z]", "")).cast("double") /
         greatest(length(text), lit(1))).as("alpha_ratio"),
-      (size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*))).cast("double") /
+      (graft.exprs.TokenStats.count_in_set(toks, stopwords).cast("double") /
         greatest(size(toks), lit(1))).as("stopword_ratio"))
 
   /** Marker-token language id: score per language = marker hits in
@@ -45,7 +45,7 @@ object TextAnalysis {
   def langId(df: DataFrame, id: Column, toks: Column,
       markers: Seq[(String, Seq[String])]): DataFrame = {
     val scored = markers.map { case (lang, ms) =>
-      struct(size(filter(toks, t => t.isin(ms.map(lit(_)): _*))).as("score"),
+      struct(graft.exprs.TokenStats.count_in_set(toks, ms).as("score"),
         lit(lang).as("lang"))
     }.reduce((a, b) => when(b.getField("score") > a.getField("score"), b).otherwise(a))
     df.select(id.as("id"), scored.getField("lang").as("pred_lang"))
@@ -57,15 +57,10 @@ object TextAnalysis {
     * Output: (id, fingerprint, rolling_hash). */
   def fingerprint(df: DataFrame, id: Column, text: Column, toks: Column,
       base: Long = 1000003L): DataFrame =
-    df.withColumn("__hs", transform(toks, t => h64(t) % MersennePrime))
-      .select(id.as("id"),
-        md5(regexp_replace(lower(trim(text)), "\\s+", " ")).as("fingerprint"),
-        when(size(col("__hs")) === 0, lit(null).cast("long"))
-          .otherwise(aggregate(
-            slice(col("__hs"), lit(2), greatest(size(col("__hs")) - 1, lit(0))),
-            element_at(col("__hs"), 1),
-            (acc, h) => (acc * base + h) % MersennePrime))
-          .as("rolling_hash"))
+    df.select(id.as("id"),
+      md5(regexp_replace(lower(trim(text)), "\\s+", " ")).as("fingerprint"),
+      graft.exprs.TokenStats.rolling_token_hash(toks, base, MersennePrime)
+        .as("rolling_hash"))
 
   /** (id, bigram) occurrences: posexplode → lead within document —
     * the shared front half of [[bigrams]] and [[repetition]]. */
