@@ -1,17 +1,17 @@
 package graft.engine
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import java.util.Comparator
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
 
 import scala.jdk.CollectionConverters._
 
 import graft.config.IndexConfig
 import graft.exprs.JsonSupport
 
-/** Filesystem catalog — the engine's metadata store, replacing the
-  * reference's Postgres tables (`/root/reference/migrations/0001_base.up.sql`
-  * `indexes` + `index_files`) with:
+/** Filesystem/object-store catalog — the engine's metadata store,
+  * replacing the reference's Postgres tables
+  * (`/root/reference/migrations/0001_base.up.sql` `indexes` +
+  * `index_files`) with:
   *
   * {{{
   * <root>/catalog/<name>.yaml            # index config (create/drop)
@@ -19,25 +19,23 @@ import graft.exprs.JsonSupport
   * <root>/indexes/<name>/manifest.json   # list of live splits (commit point)
   * }}}
   *
-  * Commit protocol matches the reference's crash-safety order
-  * (`src/commands/merge.rs:50-70`): write new split files first, then
-  * atomically swap the manifest, then best-effort delete dropped files
-  * (leaked files are tolerated; they are invisible without a manifest
-  * entry). The manifest swap is a POSIX atomic rename; on an object store
-  * this single small file would become a conditional PUT or a commit log —
-  * the one node that must be strongly consistent, everything else is
-  * immutable data.
+  * All IO goes through the Hadoop `FileSystem` of the root's scheme
+  * ([[ManifestStore]]), so the root can be a local path today and
+  * `hdfs://` / `s3a://` on a cluster. Commit protocol matches the
+  * reference's crash-safety order (`src/commands/merge.rs:50-70`): write
+  * new split files first, then atomically publish the manifest, then
+  * best-effort delete dropped files (leaked files are tolerated; they
+  * are invisible without a manifest entry).
   *
-  * Concurrency contract: manifest mutation takes an OS advisory file
-  * lock around the read-modify-write, so concurrent writers — across
-  * Catalog instances AND across processes on a shared filesystem —
-  * serialize instead of losing commits, and a crashed writer's lock is
-  * released by the kernel (no stale state; the reference gets the same
-  * from Postgres transactions). On an object store the lock becomes a
-  * conditional PUT (if-match on the manifest ETag) with the same retry
-  * shape. Readers never take the lock: they see either the old or the
-  * new manifest, never a partial one. Every manifest write bumps a
-  * generation counter, the cheap change-detection handle for caches.
+  * Concurrency contract: every mutation is an optimistic
+  * read-modify-write against the [[ManifestCommitPoint]] compare-and-
+  * swap — read (gen, splits), apply, publish as gen+1 iff the store is
+  * still at gen, retry on contention. On `file://` the CAS is an OS
+  * advisory lock + atomic rename; on S3 it maps to a conditional PUT
+  * (see [[RenameCommitPoint]]). Readers never take any lock: they see
+  * either the old or the new manifest, never a partial one. Every
+  * manifest write bumps the generation counter, the cheap
+  * change-detection handle for caches.
   */
 /** One committed split. minTs/maxTs (epoch micros of the configured
   * time_field) enable manifest-level split pruning for time-ranged
@@ -53,7 +51,8 @@ final case class SplitInfo(id: String, numDocs: Long,
     format: Int = Catalog.SplitFormat)
 
 object Catalog {
-  /** Manifest lock acquisition timeout (commit fails loudly after this). */
+  /** Manifest commit timeout: lock acquisition on file://, CAS-retry
+    * budget under contention (commit fails loudly after this). */
   val LockTimeoutMs = 30000L
 
   /** Current split data-layout version. 1 = `_dynamic` stored as JSON
@@ -61,6 +60,14 @@ object Catalog {
     * path access, no per-query JSON re-parse). Manifest entries without a
     * `format` field are version 1. */
   val SplitFormat = 2
+
+  /** Hadoop configuration for catalog IO: the active Spark session's
+    * (carries cluster credentials for s3a etc.) when one exists, vanilla
+    * defaults otherwise (pure-metadata use before any session is up). */
+  def defaultHadoopConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
 
   /** Read a set of splits as one DataFrame, upgrading format-1 splits
     * (`_dynamic` as JSON text) to the current in-memory shape (variant)
@@ -81,61 +88,59 @@ object Catalog {
     ).flatten
     parts.reduce(_.unionByName(_))
   }
-
-  /** Best-effort recursive directory delete — the shared idiom for
-    * removing split data (leaked files are tolerated everywhere: without
-    * a manifest entry they are invisible). */
-  private[graft] def deleteDirBestEffort(dir: Path): Unit =
-    if (Files.exists(dir)) {
-      try Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
-        .forEach(p => { try Files.deleteIfExists(p) catch { case _: Exception => } })
-      catch { case _: Exception => }
-    }
 }
 
-final class Catalog(rootDir: String) {
-  private val root = Paths.get(rootDir)
+final class Catalog(rootDir: String,
+    hadoopConf: Configuration = Catalog.defaultHadoopConf()) {
+  private val store = new ManifestStore(rootDir, hadoopConf)
 
-  private def configPath(name: String) = root.resolve("catalog").resolve(s"$name.yaml")
-  private def indexDir(name: String) = root.resolve("indexes").resolve(name)
-  private def manifestPath(name: String) = indexDir(name).resolve("manifest.json")
-  def splitDir(name: String, id: String): Path =
-    indexDir(name).resolve("splits").resolve(id)
+  private def configPath(name: String) =
+    new HPath(new HPath(store.root, "catalog"), s"$name.yaml")
+  private def indexDir(name: String) =
+    new HPath(new HPath(store.root, "indexes"), name)
+  private def manifestPath(name: String) =
+    new HPath(indexDir(name), "manifest.json")
+  def splitDir(name: String, id: String): String =
+    new HPath(new HPath(indexDir(name), "splits"), id).toString
 
   // ---- create / drop ----------------------------------------------------
 
   def create(configYaml: String): IndexConfig = {
     val cfg = IndexConfig.fromYaml(configYaml) // validates
-    require(!Files.exists(configPath(cfg.name)), s"index '${cfg.name}' already exists")
-    Files.createDirectories(configPath(cfg.name).getParent)
-    Files.write(configPath(cfg.name), configYaml.getBytes(StandardCharsets.UTF_8))
-    Files.createDirectories(indexDir(cfg.name).resolve("splits"))
-    writeManifest(cfg.name, Nil, prevGen = 0L)
+    require(!store.exists(configPath(cfg.name)),
+      s"index '${cfg.name}' already exists")
+    store.writeStringExclusive(configPath(cfg.name), configYaml)
+    store.mkdirs(new HPath(indexDir(cfg.name), "splits"))
+    mutate(cfg.name)(_ => Some(Nil)) // initial empty manifest, gen 1
     cfg
   }
 
   def load(name: String): IndexConfig = {
-    require(Files.exists(configPath(name)), s"index '$name' does not exist")
-    IndexConfig.fromYaml(new String(Files.readAllBytes(configPath(name)),
-      StandardCharsets.UTF_8))
+    val yaml = store.readString(configPath(name))
+      .getOrElse(throw new IllegalArgumentException(
+        s"requirement failed: index '$name' does not exist"))
+    IndexConfig.fromYaml(yaml)
   }
 
-  def exists(name: String): Boolean = Files.exists(configPath(name))
+  def exists(name: String): Boolean = store.exists(configPath(name))
 
   /** Metadata first, then best-effort file deletion (same order as the
     * reference's drop, `src/commands/drop.rs:11-48`). */
   def drop(name: String): Unit = {
-    Files.deleteIfExists(configPath(name))
-    Catalog.deleteDirBestEffort(indexDir(name))
+    store.deleteIfExists(configPath(name))
+    store.deleteDirBestEffort(indexDir(name))
   }
+
+  /** Best-effort recursive delete of a split directory by path string —
+    * for callers cleaning up data files already invisible to readers. */
+  def deleteDirBestEffort(dir: String): Unit =
+    store.deleteDirBestEffort(new HPath(dir))
 
   // ---- manifest ---------------------------------------------------------
 
   /** The catalog root (part of cache identities: index names and split
-    * ids are only unique within one root). Named distinctly from the
-    * constructor parameter: a `rootDir` method would shadow it inside
-    * the `root` initializer and NPE at construction. */
-  def catalogRoot: String = root.toString
+    * ids are only unique within one root). */
+  def catalogRoot: String = store.root.toString
 
   def liveSplits(name: String): List[SplitInfo] = manifestState(name)._2
 
@@ -143,50 +148,48 @@ final class Catalog(rootDir: String) {
     * both (e.g. the searcher's stats-cache identity) must not issue two
     * reads, or a concurrent commit can pair generation N+1 with a gen-N
     * split listing and poison a cache entry for that generation. */
-  def manifestState(name: String): (Long, List[SplitInfo]) = {
-    val p = manifestPath(name)
-    if (!Files.exists(p)) return (0L, Nil)
-    val node = JsonSupport.parse(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
-    val gen = Option(node.get("gen")).filter(!_.isNull).map(_.asLong()).getOrElse(0L)
-    val splits = node.get("splits").elements().asScala.map { s =>
-      val numStats = Option(s.get("stats")).filter(_.isObject).map { st =>
-        st.properties().asScala.map { e =>
-          e.getKey -> (e.getValue.get("min").asDouble(), e.getValue.get("max").asDouble())
-        }.toMap
-      }.getOrElse(Map.empty[String, (Double, Double)])
-      val dicts = Option(s.get("dicts")).filter(_.isObject).map { dc =>
-        dc.properties().asScala.map { e =>
-          e.getKey -> e.getValue.elements().asScala.map(_.asText()).toList
-        }.toMap
-      }.getOrElse(Map.empty[String, List[String]])
-      val hexStats = Option(s.get("hexStats")).filter(_.isObject).map { st =>
-        st.properties().asScala.map { e =>
-          e.getKey -> (e.getValue.get("min").asText(), e.getValue.get("max").asText())
-        }.toMap
-      }.getOrElse(Map.empty[String, (String, String)])
-      SplitInfo(s.get("id").asText(), s.get("numDocs").asLong(),
-        Option(s.get("minTs")).filter(!_.isNull).map(_.asLong()),
-        Option(s.get("maxTs")).filter(!_.isNull).map(_.asLong()),
-        numStats, dicts, hexStats,
-        // entries from before the field are format-1 splits
-        Option(s.get("format")).filter(!_.isNull).map(_.asInt()).getOrElse(1))
-    }.toList
-    (gen, splits)
-  }
+  def manifestState(name: String): (Long, List[SplitInfo]) =
+    store.readString(manifestPath(name)) match {
+      case None => (0L, Nil)
+      case Some(text) =>
+        val node = JsonSupport.parse(text)
+        val gen = Option(node.get("gen")).filter(!_.isNull)
+          .map(_.asLong()).getOrElse(0L)
+        val splits = node.get("splits").elements().asScala.map { s =>
+          val numStats = Option(s.get("stats")).filter(_.isObject).map { st =>
+            st.properties().asScala.map { e =>
+              e.getKey -> (e.getValue.get("min").asDouble(), e.getValue.get("max").asDouble())
+            }.toMap
+          }.getOrElse(Map.empty[String, (Double, Double)])
+          val dicts = Option(s.get("dicts")).filter(_.isObject).map { dc =>
+            dc.properties().asScala.map { e =>
+              e.getKey -> e.getValue.elements().asScala.map(_.asText()).toList
+            }.toMap
+          }.getOrElse(Map.empty[String, List[String]])
+          val hexStats = Option(s.get("hexStats")).filter(_.isObject).map { st =>
+            st.properties().asScala.map { e =>
+              e.getKey -> (e.getValue.get("min").asText(), e.getValue.get("max").asText())
+            }.toMap
+          }.getOrElse(Map.empty[String, (String, String)])
+          SplitInfo(s.get("id").asText(), s.get("numDocs").asLong(),
+            Option(s.get("minTs")).filter(!_.isNull).map(_.asLong()),
+            Option(s.get("maxTs")).filter(!_.isNull).map(_.asLong()),
+            numStats, dicts, hexStats,
+            // entries from before the field are format-1 splits
+            Option(s.get("format")).filter(!_.isNull).map(_.asInt()).getOrElse(1))
+        }.toList
+        (gen, splits)
+    }
 
   def splitPaths(name: String): List[String] =
-    liveSplits(name).map(s => splitDir(name, s.id).toString)
+    liveSplits(name).map(s => splitDir(name, s.id))
 
   /** Monotonic manifest generation — bumped by every committed write; the
     * exact invalidation handle for anything cached per manifest state
     * (e.g. the searcher's BM25 corpus-stats memo). 0 = no manifest. */
   def manifestGen(name: String): Long = manifestState(name)._1
 
-  /** `prevGen` is the generation the caller read in the same critical
-    * section — passing it avoids a second full manifest parse while the
-    * lock is held. */
-  private def writeManifest(name: String, splits: List[SplitInfo],
-      prevGen: Long): Unit = {
+  private def renderManifest(splits: List[SplitInfo], prevGen: Long): Array[Byte] = {
     val m = JsonSupport.mapper
     val rootNode = m.createObjectNode()
     rootNode.put("gen", prevGen + 1L)
@@ -227,90 +230,63 @@ final class Catalog(rootDir: String) {
       arr.add(o)
     }
     rootNode.set[com.fasterxml.jackson.databind.JsonNode]("splits", arr)
-    val tmp = manifestPath(name).resolveSibling(s"manifest.json.tmp-${System.nanoTime()}")
-    Files.createDirectories(tmp.getParent)
-    Files.write(tmp, m.writeValueAsString(rootNode).getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, manifestPath(name), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    m.writeValueAsString(rootNode).getBytes(java.nio.charset.StandardCharsets.UTF_8)
   }
 
-  /** Serialize a manifest read-modify-write against all writers (this
-    * JVM, other Catalog instances, other processes) with an OS advisory
-    * lock (`FileChannel.tryLock`) on a dedicated lock file. The kernel
-    * releases the lock when the holder exits or crashes, so there is no
-    * stale-lock state and no lock-breaking heuristics (whose
-    * check-then-delete windows were themselves racy). The lock file is
-    * never deleted — deleting would let a new writer lock a fresh inode
-    * while an old holder still locks the unlinked one. Within one JVM,
-    * `tryLock` on an already-held file throws OverlappingFileLockException,
-    * which is treated as "busy, retry" like any other contention. */
-  private def withManifestLock[T](name: String)(body: => T): T = {
-    val lock = indexDir(name).resolve("manifest.lock")
-    Files.createDirectories(lock.getParent)
+  /** Optimistic read-modify-write: read (gen, splits), apply `f`, publish
+    * via the commit point's CAS, retry on contention until the timeout.
+    * `f` returning None aborts without writing (returns false). */
+  private def mutate(name: String)(
+      f: List[SplitInfo] => Option[List[SplitInfo]]): Boolean = {
+    val commitPoint = store.commitPoint(manifestPath(name))
     val deadline = System.nanoTime() + Catalog.LockTimeoutMs * 1000000L
-    val ch = java.nio.channels.FileChannel.open(lock,
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.WRITE)
-    try {
-      var fl: java.nio.channels.FileLock = null
-      while (fl == null) {
-        fl = try ch.tryLock()
-        catch { case _: java.nio.channels.OverlappingFileLockException => null }
-        if (fl == null) {
+    while (true) {
+      val (gen, live) = manifestState(name)
+      f(live) match {
+        case None => return false
+        case Some(next) =>
+          if (commitPoint.commit(gen + 1L, renderManifest(next, gen)))
+            return true
           if (System.nanoTime() > deadline)
             throw new IllegalStateException(
-              s"timed out acquiring manifest lock for '$name'")
+              s"timed out committing manifest for '$name' under contention")
           Thread.sleep(5)
-        }
       }
-      try body finally fl.release()
-    } finally ch.close()
+    }
+    false // unreachable
   }
 
   /** Append one split (ingest commit). */
   def commitSplit(name: String, split: SplitInfo): Unit =
-    withManifestLock(name) {
-      val (gen, live) = manifestState(name)
-      writeManifest(name, live :+ split, gen)
-    }
+    mutate(name)(live => Some(live :+ split))
 
   /** Append or replace by id — used by streaming ingest, where a replayed
     * micro-batch rewrites the same split id (effective exactly-once). */
   def commitSplitIdempotent(name: String, split: SplitInfo): Unit =
-    withManifestLock(name) {
-      val (gen, live) = manifestState(name)
-      writeManifest(name, live.filterNot(_.id == split.id) :+ split, gen)
-    }
+    mutate(name)(live => Some(live.filterNot(_.id == split.id) :+ split))
 
   /** Remove one split's manifest entry if present (no-op otherwise) —
     * the replay-to-empty form of idempotent commit: a replayed batch that
     * now reads zero rows must retract the entry its earlier run
     * committed, since the overwrite already emptied the data files. */
   def removeSplitIfPresent(name: String, id: String): Unit =
-    withManifestLock(name) {
-      val (gen, live) = manifestState(name)
-      if (live.exists(_.id == id))
-        writeManifest(name, live.filterNot(_.id == id), gen)
+    mutate(name) { live =>
+      if (live.exists(_.id == id)) Some(live.filterNot(_.id == id)) else None
     }
 
   /** Replace `removed` with `added` (merge commit), then best-effort delete
-    * the removed splits' files (outside the lock — they are already
+    * the removed splits' files (outside the commit — they are already
     * invisible). Returns false WITHOUT committing when any `removed` id is
     * no longer live: a concurrent merge already consumed those splits, and
     * committing `added` anyway would duplicate every document they held —
     * the compare-and-swap that makes concurrent compactions one-wins. */
   def swapSplits(name: String, removed: List[String], added: List[SplitInfo]): Boolean = {
-    val committed = withManifestLock(name) {
-      val (gen, live) = manifestState(name)
+    val committed = mutate(name) { live =>
       val liveIds = live.map(_.id).toSet
-      if (!removed.forall(liveIds.contains)) false
-      else {
-        writeManifest(name, live.filterNot(s => removed.contains(s.id)) ++ added, gen)
-        true
-      }
+      if (!removed.forall(liveIds.contains)) None
+      else Some(live.filterNot(s => removed.contains(s.id)) ++ added)
     }
-    if (committed) removed.foreach(id =>
-      Catalog.deleteDirBestEffort(splitDir(name, id)))
+    if (committed) removed.foreach(id => deleteDirBestEffort(splitDir(name, id)))
     committed
   }
 }

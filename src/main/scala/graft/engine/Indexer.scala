@@ -53,7 +53,7 @@ final class Indexer(spark: SparkSession, catalog: Catalog) {
     // fills the manifest entry.
     val split = Indexer.splitStats(spark, d, dir, id)
     if (split.numDocs == 0) {
-      Catalog.deleteDirBestEffort(java.nio.file.Paths.get(dir))
+      catalog.deleteDirBestEffort(dir)
       None
     } else {
       catalog.commitSplit(indexName, split)
@@ -136,7 +136,7 @@ final class Indexer(spark: SparkSession, catalog: Catalog) {
     else {
       // a concurrent merge consumed (some of) our inputs first: our output
       // would duplicate those documents, so abandon it and clean up
-      Catalog.deleteDirBestEffort(java.nio.file.Paths.get(dir))
+      catalog.deleteDirBestEffort(dir)
       None
     }
   }

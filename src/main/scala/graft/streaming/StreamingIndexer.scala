@@ -57,7 +57,7 @@ final class StreamingIndexer(spark: SparkSession, catalog: Catalog) {
       // it would advertise data that no longer exists. Ordinary empty
       // batches also clean their orphan dir this way.
       catalog.removeSplitIfPresent(indexName, id)
-      graft.engine.Catalog.deleteDirBestEffort(java.nio.file.Paths.get(dir))
+      catalog.deleteDirBestEffort(dir)
       None
     } else {
       // Known upgrade corner, deliberately NOT auto-healed: a stream from
