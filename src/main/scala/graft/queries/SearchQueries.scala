@@ -239,6 +239,58 @@ object SearchQueries {
     }.reduce(_.unionAll(_)).orderBy(col("construct"), col("doc_id"))
   }
 
+  private val typedIndexConfig =
+    """version: 1
+      |name: %s
+      |path: /tmp/unused
+      |schema:
+      |  fields:
+      |    - name: doc_id
+      |      type: !number
+      |        type: i64
+      |    - name: ts
+      |      type: !datetime
+      |    - name: ip
+      |      type: !ip
+      |""".stripMargin
+
+  /** create → index documents carrying a derived datetime (epoch seconds,
+    * magnitude-inferred), a derived IPv4 (stored IPv6-mapped), and an
+    * undeclared `extra` object (variant `_dynamic`) → five grammar
+    * constructs through the compiler: RFC3339 mixed-bound datetime range,
+    * datetime comparison, IP range and exact IP term over the canonical
+    * binary domain, and a JSON-path term into `_dynamic` — the §2.3
+    * constructs previously gated by ScalaTest alone. Every synthesized
+    * value is a pure function of doc_id, so the oracle states each
+    * predicate as integer arithmetic (ts = 1700000000 + doc_id·3600,
+    * ip = 10.(doc_id%200).(doc_id/200).25, extra.service = svc(doc_id%4)). */
+  val op_typed_search: Q = (s, dir) => {
+    val root = Files.createTempDirectory("graft-rt4").toString
+    val cat = new Catalog(root)
+    val name = s"rtt_${math.abs(dir.hashCode)}"
+    cat.create(typedIndexConfig.format(name))
+    val jsonl = table(s, dir, "documents").select(to_json(struct(
+      col("doc_id"),
+      (lit(1700000000L) + col("doc_id") * 3600L).as("ts"),
+      concat(lit("10."), (col("doc_id") % 200).cast("string"), lit("."),
+        floor(col("doc_id") / 200).cast("long").cast("string"), lit(".25")).as("ip"),
+      struct(concat(lit("svc"), (col("doc_id") % 4).cast("string")).as("service"))
+        .as("extra")
+    )).as("value"))
+    new Indexer(s, cat).indexDataFrame(name, jsonl)
+    val search = new Searcher(s, cat)
+    val constructs = Seq(
+      "ts_range" -> "ts:[2023-11-19T02:13:20Z TO 2023-11-20T08:13:20Z}",
+      "ts_cmp"   -> "ts:>2023-11-25T00:00:00Z",
+      "ip_range" -> "ip:[10.50.0.0 TO 10.59.255.255]",
+      "ip_term"  -> "ip:10.42.0.25",
+      "dyn_path" -> "extra.service:svc1")
+    constructs.map { case (tag, q) =>
+      parseResults(search.searchDf(name, q, 1000000))
+        .select(lit(tag).as("construct"), col("doc_id"))
+    }.reduce(_.unionAll(_)).orderBy(col("construct"), col("doc_id"))
+  }
+
   val all: Map[String, Q] = Map(
     "q_term_search" -> q_term_search,
     "q_bool_search" -> q_bool_search,
@@ -251,7 +303,8 @@ object SearchQueries {
     "q_fuzzy_search" -> q_fuzzy_search,
     "op_index_search" -> op_index_search,
     "op_merge_search" -> op_merge_search,
-    "op_grammar_search" -> op_grammar_search
+    "op_grammar_search" -> op_grammar_search,
+    "op_typed_search" -> op_typed_search
   )
 
   val oracles: Map[String, String] = Map(
@@ -375,6 +428,24 @@ object SearchQueries {
         |    WHERE list_contains(tk, 'spark') OR list_contains(tk, 'merge')
         |  UNION ALL
         |  SELECT 'cmp', doc_id FROM toks WHERE n_chars >= 350)
+        |ORDER BY construct, doc_id""".stripMargin,
+    // ts = 1700000000 + doc_id*3600 s; the RFC3339 range bounds are the
+    // epochs 1700360000/1700468000 and the cmp threshold is 1700870400,
+    // restated as doc_id arithmetic
+    "op_typed_search" ->
+      """SELECT * FROM (
+        |  SELECT 'ts_range' AS construct, doc_id FROM documents
+        |    WHERE doc_id >= 100 AND doc_id < 130
+        |  UNION ALL
+        |  SELECT 'ts_cmp', doc_id FROM documents WHERE doc_id * 3600 > 870400
+        |  UNION ALL
+        |  SELECT 'ip_range', doc_id FROM documents
+        |    WHERE (doc_id % 200) BETWEEN 50 AND 59
+        |  UNION ALL
+        |  SELECT 'ip_term', doc_id FROM documents
+        |    WHERE doc_id % 200 = 42 AND doc_id // 200 = 0
+        |  UNION ALL
+        |  SELECT 'dyn_path', doc_id FROM documents WHERE doc_id % 4 = 1)
         |ORDER BY construct, doc_id""".stripMargin
   )
 }
