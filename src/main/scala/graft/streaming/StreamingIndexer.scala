@@ -86,7 +86,7 @@ final class StreamingIndexer(spark: SparkSession, catalog: Catalog) {
       availableNow: Boolean = false,
       compactSmallDocs: Option[Long] = None): StreamingQuery = {
     val lines = spark.readStream.text(sourceDir)
-    startWith(indexName, lines, checkpointDir, commitInterval, availableNow,
+    startStream(indexName, lines, checkpointDir, commitInterval, availableNow,
       compactSmallDocs)
   }
 
@@ -103,12 +103,19 @@ final class StreamingIndexer(spark: SparkSession, catalog: Catalog) {
       .option("subscribe", topic)
       .option("startingOffsets", if (earliest) "earliest" else "latest")
       .load()
-      .select(col("value").cast("string").as("value"))
-    startWith(indexName, lines, checkpointDir, commitInterval, availableNow = false)
+      .select(StreamingIndexer.kafkaValueProjection)
+    startStream(indexName, lines, checkpointDir, commitInterval, availableNow = false)
   }
 
-  private def startWith(indexName: String, lines: DataFrame, checkpointDir: String,
-      commitInterval: String, availableNow: Boolean,
+  /** Stream ANY source DataFrame carrying a string `value` column — the
+    * shared path behind [[startFileStream]] and [[startKafkaStream]].
+    * Public so deployments can plug arbitrary sources (socket, rate,
+    * a custom connector) and so the Kafka-shaped contract — a binary
+    * `value` cast through [[StreamingIndexer.kafkaValueProjection]] — is
+    * testable without a broker (StreamingSpec drives it with a
+    * MemoryStream of raw bytes). */
+  def startStream(indexName: String, lines: DataFrame, checkpointDir: String,
+      commitInterval: String = "30 seconds", availableNow: Boolean = false,
       compactSmallDocs: Option[Long] = None): StreamingQuery = {
     val runTag = StreamingIndexer.runTagFor(checkpointDir)
     val writer = lines.writeStream
@@ -126,6 +133,14 @@ final class StreamingIndexer(spark: SparkSession, catalog: Catalog) {
 }
 
 object StreamingIndexer {
+  /** The projection every Kafka-shaped source goes through: the record's
+    * binary `value` cast to a string JSON document (keys/offsets/headers
+    * dropped — the reference reads only payloads,
+    * `kafka_source.rs:314-321`). One definition shared by the real Kafka
+    * source and the broker-less contract test. */
+  def kafkaValueProjection: org.apache.spark.sql.Column =
+    col("value").cast("string").as("value")
+
   /** Stable per-logical-stream tag: hash of the canonical checkpoint
     * location. Local paths normalize to absolute (a raw-string hash would
     * give the same location different tags across spellings — "ckpt" vs

@@ -128,6 +128,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(search.search("sm_test", "n:6", 1) == Seq("""{"n":6}"""))
   }
 
+  test("kafka-shaped source: binary value records commit splits and replay idempotently") {
+    // The Kafka path minus the broker: a MemoryStream of raw byte payloads
+    // goes through the exact projection startKafkaStream applies
+    // (kafkaValueProjection — binary value cast to string) into the shared
+    // startStream entry, so the whole code path below the connector is
+    // exercised: cast, schema ingest, split commit, checkpointed offsets,
+    // run-tagged idempotent replay.
+    val root = Files.createTempDirectory("graft-kafka-shape").toString
+    val ckpt = Files.createTempDirectory("kafka-ckpt").toString
+    val cat = new Catalog(root)
+    cat.create(
+      """version: 1
+        |name: kb_test
+        |path: /tmp/unused
+        |schema:
+        |  fields:
+        |    - name: n
+        |      type: !number
+        |        type: i64
+        |""".stripMargin)
+    val streamer = new StreamingIndexer(spark, cat)
+    val search = new Searcher(spark, cat)
+
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Array[Byte]]
+    val lines = source.toDF().select(StreamingIndexer.kafkaValueProjection)
+
+    source.addData("""{"n": 10}""".getBytes("UTF-8"), """{"n": 20}""".getBytes("UTF-8"))
+    val q = streamer.startStream("kb_test", lines, ckpt)
+    try {
+      q.processAllAvailable()
+      val splits = cat.liveSplits("kb_test")
+      assert(splits.map(_.numDocs).sum == 2, s"got $splits")
+      assert(search.search("kb_test", "n:20", 1) == Seq("""{"n":20}"""))
+
+      // second payload batch appends
+      source.addData("""{"n": 30}""".getBytes("UTF-8"))
+      q.processAllAvailable()
+      assert(cat.liveSplits("kb_test").map(_.numDocs).sum == 3)
+    } finally q.stop()
+
+    // replay of a committed batch id (the rebalance/restart shape,
+    // kafka_indexing.rs:191-246): same run tag + batch id overwrites the
+    // same split — no duplication
+    val runTag = StreamingIndexer.runTagFor(ckpt)
+    val first = cat.liveSplits("kb_test").minBy(_.id)
+    assert(first.id.startsWith(s"run-$runTag-batch-"), s"id ${first.id}")
+    val batchId = first.id.substring(first.id.lastIndexOf('-') + 1).toLong
+    val replay = Seq("""{"n": 10}""", """{"n": 20}""").toDF("value")
+    streamer.indexBatch("kb_test", replay, batchId, runTag)
+    assert(cat.liveSplits("kb_test").map(_.numDocs).sum == 3,
+      "replayed batch must overwrite its split, not duplicate it")
+  }
+
   test("streaming auto-compaction converges splits, sparing the newest") {
     val root = Files.createTempDirectory("graft-autocompact").toString
     val srcDir = Files.createTempDirectory("ac-src").toString
