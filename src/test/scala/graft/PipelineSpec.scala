@@ -126,6 +126,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.forall(_._2 == 0L), s"all vertices must canon to 0")
   }
 
+  test("connected components matches a union-find oracle on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val nV = 20 + rnd.nextInt(20)
+      val pairs = Seq.fill(15 + rnd.nextInt(25))(
+        (rnd.nextInt(nV).toLong, rnd.nextInt(nV).toLong))
+      // driver-side union-find ground truth with min-id canon
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val verts = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      val expected = verts.map(v => v -> find(v)).toMap
+      val got = graft.ops.Dedup.connectedComponents(pairs.toDF("a", "b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == expected, s"trial $trial (seed graph $pairs)")
+    }
+  }
+
   test("connected components works with non-numeric string ids") {
     import spark.implicits._
     // the old min-label-sum convergence check cast labels to decimal —
