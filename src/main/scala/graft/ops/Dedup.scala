@@ -64,6 +64,49 @@ object Dedup {
       .select(col("a"), col("b"), col("inter"), col("uni"))
   }
 
+  /** Exact n-gram Jaccard with AllPairs/PPJoin prefix filtering (Bayardo
+    * et al. 2007) — the hot-shingle-safe form of [[ngramJaccard]], same
+    * output. Shingles get a global total order by ascending document
+    * frequency (rarest first); a doc with n shingles only emits its first
+    * n - ⌈t·n⌉ + 1 shingles into the candidate join, because any pair at
+    * Jaccard ≥ t has |A∩B| ≥ t·|A∪B| ≥ t·max(|A|,|B|), which forces an
+    * intersection element inside both prefixes. Candidates then verify
+    * with the exact intersection over the full sets.
+    *
+    * Scale shape: the candidate join's posting lists hold only PREFIX
+    * occurrences — the frequency ordering puts the rarest shingles in
+    * prefixes, so a hot shingle (df in the millions) lands in almost no
+    * prefix and never explodes the join, the failure mode of the plain
+    * posting join. Costs one extra df aggregate and a per-doc rank window
+    * over the shingle table. Output: (a, b, inter, uni). */
+  def ngramJaccardPrefix(shingled: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df").asc, col("sh").asc)
+    val flat = shingled.select(col("doc_id"), size(col("shingles")).as("nsh"),
+      explode(col("shingles")).as("sh"))
+    val dfreq = flat.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val prefix = flat.join(dfreq, "sh")
+      .withColumn("rk", row_number().over(w))
+      // epsilon guards float rounding: ceil(0.1*30)=4 ≠ ⌈3⌉ would shrink
+      // the prefix below the lemma's bound; erring low only widens it
+      .where(col("rk") <= col("nsh") - ceil(col("nsh") * threshold - 1e-9) + 1)
+      .select(col("doc_id"), col("sh"))
+    val cands = prefix.select(col("doc_id").as("a"), col("sh"))
+      .join(prefix.select(col("doc_id").as("b"), col("sh")), "sh")
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val sets = shingled.select(col("doc_id"), col("shingles"))
+    cands
+      .join(sets.select(col("doc_id").as("a"), col("shingles").as("sha")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("shingles").as("shb")), "b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("uni",
+        (size(col("sha")) + size(col("shb"))).cast("long") - col("inter"))
+      .where(col("inter").cast("double") / col("uni") >= threshold)
+      .select(col("a"), col("b"), col("inter"), col("uni"))
+  }
+
   /** Benchmark decontamination: shingle-overlap counts between a corpus
     * and a (small) benchmark set — the pass that finds training documents
     * leaking evaluation data (n-gram collision detection, the standard

@@ -82,6 +82,15 @@ object PipelineQueries {
     Dedup.ngramJaccard(shingled(s, dir), threshold = 0.5)
       .orderBy(col("a"), col("b"))
 
+  /** The same exact-Jaccard output through AllPairs/PPJoin prefix
+    * filtering ([[graft.ops.Dedup.ngramJaccardPrefix]]): candidates join
+    * only on each doc's n - ⌈t·n⌉ + 1 globally-rarest shingles, so a hot
+    * shingle never explodes a posting list — the scale-safe form of
+    * [[dedup_ngram_jaccard]], gated by the identical oracle. */
+  val dedup_jaccard_prefix: Q = (s, dir) =>
+    Dedup.ngramJaccardPrefix(shingled(s, dir), threshold = 0.5)
+      .orderBy(col("a"), col("b"))
+
   /** MinHash + LSH banding (16 hashes, 8 bands × 2 rows: the s-curve
     * catches j>=0.5 pairs with p~0.9; 4×4 missed ~5% even at j=0.86 on
     * this corpus). See [[graft.ops.Dedup.minhashLsh]] for the
@@ -399,6 +408,7 @@ object PipelineQueries {
     "mm_audio_energy" -> mm_audio_energy,
     "dedup_exact" -> dedup_exact,
     "dedup_ngram_jaccard" -> dedup_ngram_jaccard,
+    "dedup_jaccard_prefix" -> dedup_jaccard_prefix,
     "dedup_minhash_lsh" -> dedup_minhash_lsh,
     "dedup_simhash" -> dedup_simhash,
     "dedup_embedding" -> dedup_embedding,
@@ -451,6 +461,17 @@ object PipelineQueries {
       """SELECT min(doc_id) AS keep_doc_id, count(*) AS copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
+      s"""WITH sh AS ($shingleSql),
+         |ex AS (SELECT doc_id, len(shingles) AS nsh, unnest(shingles) AS s FROM sh)
+         |SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter,
+         |  a.nsh + b.nsh - count(*) AS uni
+         |FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2, a.nsh, b.nsh
+         |HAVING CAST(count(*) AS DOUBLE) / (a.nsh + b.nsh - count(*)) >= 0.5
+         |ORDER BY a, b""".stripMargin,
+    // identical oracle to dedup_ngram_jaccard by design: prefix filtering
+    // is a candidate-pruning optimization, not a semantics change
+    "dedup_jaccard_prefix" ->
       s"""WITH sh AS ($shingleSql),
          |ex AS (SELECT doc_id, len(shingles) AS nsh, unnest(shingles) AS s FROM sh)
          |SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter,

@@ -126,6 +126,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.forall(_._2 == 0L), s"all vertices must canon to 0")
   }
 
+  test("prefix-filtered jaccard equals the plain posting join, hot shingles included") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    // every doc shares one hot 3-gram ("alpha beta gamma"); only 1-2 are
+    // real near-dups. The hot shingle has max df, so frequency-ordered
+    // prefixes exclude it — prefix filtering must still find the true pair
+    // through rarer shingles.
+    val docs = Seq(
+      (1L, "alpha beta gamma one two three four five six"),
+      (2L, "alpha beta gamma one two three four five seven"), // near-dup of 1
+      (3L, "alpha beta gamma red green blue yellow purple orange"),
+      (4L, "alpha beta gamma cat dog bird fish mouse horse")
+    ).toDF("doc_id", "text")
+      .withColumn("toks", split(col("text"), " "))
+    val sh = Dedup.shingles(docs, col("doc_id"), col("toks"), n = 3)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val plain = asSet(Dedup.ngramJaccard(sh, t))
+      val pref = asSet(Dedup.ngramJaccardPrefix(sh, t))
+      assert(pref == plain, s"threshold $t: prefix=$pref plain=$plain")
+    }
+    assert(asSet(Dedup.ngramJaccardPrefix(sh, 0.5)).map(p => (p._1, p._2)) == Set((1L, 2L)))
+  }
+
   test("connected components matches a union-find oracle on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
