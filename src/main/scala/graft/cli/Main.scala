@@ -31,14 +31,22 @@ object Main {
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) { usage(); sys.exit(2) }
 
-    val (flags, pos) = parseFlags(args.toList.tail)
+    val (flags, _) = parseFlags(args.toList.tail)
     val root = flags.getOrElse("root",
       sys.env.getOrElse("GRAFT_ROOT", "/tmp/graft"))
     val spark = Graft.session(
       cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, appName = "graft-cli")
     val cat = new Catalog(root)
+    try run(args, spark, cat, root) finally spark.stop()
+  }
 
-    try args.head match {
+  /** The verb dispatch, session-lifecycle-free so tests can drive the CLI
+    * paths (incl. the stdin spool) against a shared session. */
+  private[graft] def run(args: Array[String],
+      spark: org.apache.spark.sql.SparkSession, cat: Catalog,
+      root: String): Unit = {
+    val (flags, pos) = parseFlags(args.toList.tail)
+    args.head match {
       case "create" =>
         val yaml = new String(Files.readAllBytes(Paths.get(pos.head)), "UTF-8")
         val cfg = cat.create(yaml)
@@ -128,7 +136,7 @@ object Main {
 
       case other =>
         System.err.println(s"unknown command: $other"); usage(); sys.exit(2)
-    } finally spark.stop()
+    }
   }
 
   private def parseFlags(args: List[String]): (Map[String, String], List[String]) = {
