@@ -75,19 +75,11 @@ case class RollingTokenHash(child: Expression, base: Long, mod: Long)
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     if (n == 0) return null
-    val md = RollingTokenHash.digest.get()
     var acc = 0L
     var i = 0
     while (i < n) {
       if (arr.isNullAt(i)) return null
-      md.reset()
-      val d = md.digest(arr.getUTF8String(i).getBytes)
-      // first 15 hex chars = bytes 0..6 + the high nibble of byte 7
-      var v = 0L
-      var b = 0
-      while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
-      v = (v << 4) | ((d(7) & 0xffL) >> 4)
-      val h = v % mod
+      val h = SigExprs.md5Hash60(arr.getUTF8String(i).getBytes) % mod
       acc = if (i == 0) h else (acc * base + h) % mod
       i += 1
     }
@@ -96,11 +88,4 @@ case class RollingTokenHash(child: Expression, base: Long, mod: Long)
 
   override protected def withNewChildInternal(c: Expression): RollingTokenHash = copy(child = c)
   override def prettyName: String = "rolling_token_hash"
-}
-
-object RollingTokenHash {
-  private val digest = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
 }

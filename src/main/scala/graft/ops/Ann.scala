@@ -76,22 +76,15 @@ object Ann {
   def lsh(corpus: DataFrame, isQuery: Column => Column, dim: Int,
       planes: Int = 16, tables: Int = 2, k: Int = 5): DataFrame = {
     require(planes % tables == 0, "planes must split evenly into tables")
-    val perTable = planes / tables
-    val wLit = array((0 until planes).map(i =>
-      array((1 to dim).map(j => lit(Hashing.planeWeight(i, j))): _*)): _*)
-    val sigCols = (0 until tables).map { t =>
-      expr(
-        s"""aggregate(sequence(${t * perTable}, ${(t + 1) * perTable - 1}), 0L,
-           |  (acc, i) -> acc + shiftleft(element_at(bits, i + 1), i - ${t * perTable}))"""
-          .stripMargin).as(s"sig$t")
-    }
+    // One tight-loop expression computes all table signatures per row
+    // (the transform/zip_with/aggregate nest ran ~planes×dim interpreted
+    // lambda calls per row); values are identical — md5-derived weights,
+    // exact integer dot products, round-HALF_UP fixed point.
+    val sigCols = (0 until tables).map(t =>
+      element_at(col("__sigs"), t + 1).as(s"sig$t"))
     val e = corpus
-      .withColumn("__w", wLit)
-      .withColumn("vs", expr("transform(v, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0D) AS BIGINT))"))
-      .withColumn("bits", expr(
-        s"""transform(sequence(0, ${planes - 1}), i ->
-           |  IF(aggregate(zip_with(vs, element_at(__w, i + 1), (a, ww) -> a * ww),
-           |       0L, (acc, t) -> acc + t) > 0, 1L, 0L))""".stripMargin))
+      .withColumn("__sigs",
+        graft.exprs.SigExprs.lsh_sigs(col("v"), planes, tables, dim))
       .select(col("vid") +: col("v") +: sigCols: _*)
       .localCheckpoint(eager = false)
     val q = e.where(isQuery(col("vid")))

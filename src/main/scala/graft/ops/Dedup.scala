@@ -192,21 +192,15 @@ object Dedup {
         val r = (off, w); off += w; r
       }
     }
-    // Pre-aggregate (doc, token-hash) counts: with a bounded vocabulary the
-    // 63 bit-sums then run over the smaller weighted table.
-    val th = tokenized
-      .select(col("doc_id"), explode(col("toks")).as("tok"))
-      .groupBy(col("doc_id"), h64(col("tok")).as("th"))
-      .agg(count(lit(1)).as("cnt"))
-    val bitCols: Seq[Column] = (0 until 63).map { bit =>
-      sum(when(col("th").bitwiseAND(lit(1L << bit)) =!= 0L, col("cnt")).otherwise(-col("cnt")))
-        .as(s"b$bit")
-    }
+    // Map-only signatures: one tight-loop expression per row (the
+    // explode → groupBy(doc, token-hash) → 63-conditional-sum shape cost
+    // two shuffles and ran interpreted). Zero-token docs are filtered to
+    // match the explode form, which simply dropped them.
     // Snapshotted: the bucket self-join consumes sigs on both sides.
-    val sigs = th.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+    val sigs = tokenized
+      .where(size(col("toks")) > 0)
       .select(col("doc_id"),
-        (0 until 63).map(bit => when(col(s"b$bit") > 0, lit(1L << bit)).otherwise(lit(0L)))
-          .reduce(_.bitwiseOR(_)).as("simhash"))
+        graft.exprs.SigExprs.simhash_sig(col("toks")).as("simhash"))
       .localCheckpoint(eager = false)
     val chunked = sigs.select(col("doc_id"), col("simhash"),
       explode(array(chunkRanges.zipWithIndex.map { case ((start, width), c) =>
