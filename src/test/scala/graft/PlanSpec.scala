@@ -107,6 +107,28 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles.isEmpty, s"ingest must not shuffle:\n$plan")
   }
 
+  test("simhash and LSH signature stages are map-only (no shuffle)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the whole point of the tight-loop signature expressions: at 100 TB
+    // the signature pass must be embarrassingly parallel projection work,
+    // never a corpus-wide shuffle
+    val toks = Graft.table(spark, sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val simSig = toks.where(size(col("toks")) > 0)
+      .select(col("doc_id"), graft.exprs.SigExprs.simhash_sig(col("toks")))
+    val vecs = Graft.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").as("v"))
+    val lshSig = vecs.select(col("vec_id"),
+      graft.exprs.SigExprs.lsh_sigs(col("v"), planes = 16, tables = 2, dim = 64))
+    for ((name, df) <- Seq("simhash_sig" -> simSig, "lsh_sigs" -> lshSig)) {
+      val shuffles = executedPlan(df).collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty, s"$name signature stage must not shuffle")
+    }
+  }
+
   test("pipe_pack_sequences windows per source shard, never one partition") {
     val plan = formatted(graft.queries.PipelineQueries.pipe_pack_sequences(spark, sf))
     // a Window with an empty partition spec would collapse to a single
