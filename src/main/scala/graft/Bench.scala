@@ -29,19 +29,19 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => }
     }
     val results = ordered.map { case (name, fn) =>
-      def once(): Double = {
+      def once(): Option[Double] = {
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => None }
       }
-      val median =
-        try { val ts = Seq(once(), once(), once()).sorted; ts(1) }
-        catch { case _: Throwable => -1.0 }
-      name -> median
+      // median of the successful runs: one transient failure must not
+      // discard two valid measurements (-1 only when every run failed)
+      val ok = Seq(once(), once(), once()).flatten.sorted
+      name -> (if (ok.isEmpty) -1.0 else ok(ok.size / 2))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -37,7 +37,11 @@ object Main {
     val spark = Graft.session(
       cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, appName = "graft-cli")
     val cat = new Catalog(root)
-    try run(args, spark, cat, root) finally spark.stop()
+    try run(args, spark, cat, root)
+    catch {
+      case e: IllegalArgumentException =>
+        System.err.println(e.getMessage); usage(); sys.exit(2)
+    } finally spark.stop()
   }
 
   /** The verb dispatch, session-lifecycle-free so tests can drive the CLI
@@ -135,7 +139,9 @@ object Main {
           fields = flags.get("fields").map(_.split(",").toList)))
 
       case other =>
-        System.err.println(s"unknown command: $other"); usage(); sys.exit(2)
+        // throw, don't exit: run() is also the in-process test/embedding
+        // entry, and System.exit would skip main's `finally spark.stop()`
+        throw new IllegalArgumentException(s"unknown command: $other")
     }
   }
 

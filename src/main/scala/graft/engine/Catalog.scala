@@ -51,8 +51,11 @@ final case class SplitInfo(id: String, numDocs: Long,
     format: Int = Catalog.SplitFormat)
 
 object Catalog {
-  /** Manifest commit timeout: lock acquisition on file://, CAS-retry
-    * budget under contention (commit fails loudly after this). */
+  /** Manifest commit timeout, applied per layer: the file:// commit
+    * point bounds lock ACQUISITION by it, and the mutate() CAS-retry loop
+    * separately bounds RETRYING by it — worst-case commit latency under a
+    * stuck peer is therefore a small multiple, not exactly this value.
+    * Either path fails loudly rather than hanging. */
   val LockTimeoutMs = 30000L
 
   /** Current split data-layout version. 1 = `_dynamic` stored as JSON

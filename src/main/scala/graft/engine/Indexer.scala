@@ -44,7 +44,7 @@ final class Indexer(spark: SparkSession, catalog: Catalog) {
     val typed = d.ingest(lines, col("value"))
 
     val id = newSplitId()
-    val dir = catalog.splitDir(indexName, id).toString
+    val dir = catalog.splitDir(indexName, id)
     typed.write.mode("overwrite")
       .option("maxRecordsPerFile", Indexer.MaxRecordsPerFile)
       .parquet(dir)
@@ -108,11 +108,11 @@ final class Indexer(spark: SparkSession, catalog: Catalog) {
     if (splits.length < 2) return None
 
     val id = newSplitId()
-    val dir = catalog.splitDir(indexName, id).toString
+    val dir = catalog.splitDir(indexName, id)
     // readSplits upgrades format-1 inputs, so a merge across formats
     // writes one uniform current-format output split.
     val read = Catalog.readSplits(spark, d, splits,
-      s => catalog.splitDir(indexName, s.id).toString)
+      s => catalog.splitDir(indexName, s.id))
     // variant is not a groupable type — dedup keys on its JSON text
     // (deterministic: variant object keys render sorted)
     val df = if (dedup) {

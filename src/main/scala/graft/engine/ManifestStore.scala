@@ -23,9 +23,12 @@ final class ManifestStore(rootUri: String, conf: Configuration) {
   def exists(p: HPath): Boolean = fs.exists(p)
   def mkdirs(p: HPath): Unit = fs.mkdirs(p)
 
+  /** Open-and-catch, not exists-then-open: the check-then-act window
+    * would turn a concurrent drop into a FileNotFoundException instead of
+    * the expected None, and costs a second metadata RPC per read on an
+    * object store. */
   def readString(p: HPath): Option[String] =
-    if (!fs.exists(p)) None
-    else {
+    try {
       val in = fs.open(p)
       try {
         val out = new ByteArrayOutputStream()
@@ -34,7 +37,7 @@ final class ManifestStore(rootUri: String, conf: Configuration) {
         while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
         Some(new String(out.toByteArray, StandardCharsets.UTF_8))
       } finally in.close()
-    }
+    } catch { case _: java.io.FileNotFoundException => None }
 
   /** Exclusive create — fails if the path already exists (the
     * create-verb guard against clobbering an existing index config). */
@@ -53,10 +56,20 @@ final class ManifestStore(rootUri: String, conf: Configuration) {
     try { if (fs.exists(p)) fs.delete(p, true); () }
     catch { case _: Exception => () }
 
-  /** The commit-point implementation for this store's scheme. */
-  def commitPoint(manifest: HPath): ManifestCommitPoint =
-    if (fs.getScheme == "file") new LocalFsCommitPoint(this, manifest)
-    else new RenameCommitPoint(this, manifest)
+  /** The commit-point implementation for this store's scheme. Schemes
+    * whose rename is not atomic (S3-family flat object stores: rename is
+    * client-side copy+delete) fail FAST here rather than silently losing
+    * concurrent commits — the correct implementation for them is a
+    * conditional PUT (see [[RenameCommitPoint]] docs), which needs the
+    * store SDK, not a filesystem rename. */
+  def commitPoint(manifest: HPath): ManifestCommitPoint = fs.getScheme match {
+    case "file" => new LocalFsCommitPoint(this, manifest)
+    case s if ManifestStore.NonAtomicRenameSchemes(s) =>
+      throw new UnsupportedOperationException(
+        s"scheme '$s' has no atomic rename; manifest commits need a " +
+          "conditional-PUT ManifestCommitPoint (see RenameCommitPoint docs)")
+    case _ => new RenameCommitPoint(this, manifest)
+  }
 
   /** Stored manifest generation (0 = no manifest). */
   private[graft] def readGen(manifest: HPath): Long =
@@ -64,6 +77,13 @@ final class ManifestStore(rootUri: String, conf: Configuration) {
       val node = graft.exprs.JsonSupport.parse(s)
       Option(node.get("gen")).filter(!_.isNull).map(_.asLong()).getOrElse(0L)
     }.getOrElse(0L)
+}
+
+object ManifestStore {
+  /** Flat object stores where "rename" is copy+delete — not a safe
+    * manifest publish primitive. */
+  private val NonAtomicRenameSchemes =
+    Set("s3", "s3a", "s3n", "gs", "oss", "cos", "swift")
 }
 
 /** The one strongly consistent operation in the engine: publish the

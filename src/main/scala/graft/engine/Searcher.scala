@@ -66,7 +66,7 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
             org.apache.spark.sql.types.StringType))))
 
     val df = Catalog.readSplits(spark, d, splits,
-      s => catalog.splitDir(indexName, s.id).toString)
+      s => catalog.splitDir(indexName, s.id))
     val pred = new QueryCompiler(d, req.fields).compileAst(ast)
 
     // No coalesce wrapper: WHERE already drops null-valued predicates, and
@@ -103,7 +103,7 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
     val (_, d, ast, _, splits) = loadAndPrune(indexName, query)
     if (splits.isEmpty) return 0L
     Catalog.readSplits(spark, d, splits,
-      s => catalog.splitDir(indexName, s.id).toString)
+      s => catalog.splitDir(indexName, s.id))
       .where(new QueryCompiler(d, fields).compileAst(ast))
       .count()
   }
@@ -139,7 +139,7 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
   private[graft] def prunedSplitPaths(indexName: String, cfg: graft.config.IndexConfig,
       d: SchemaDerivation, ast: Ast): List[String] =
     prunedFrom(catalog.liveSplits(indexName), cfg, d, ast)
-      .map(s => catalog.splitDir(indexName, s.id).toString)
+      .map(s => catalog.splitDir(indexName, s.id))
 
   private def prunedFrom(splits: List[SplitInfo], cfg: graft.config.IndexConfig,
       d: SchemaDerivation, ast: Ast): List[SplitInfo] = {

@@ -104,31 +104,44 @@ case class LshSigs(child: Expression, planes: Int, tables: Int, dim: Int)
       s"lsh_sigs expects array<float|double>, got $other")
   }
 
-  /** Spark `round()` HALF_UP: ties away from zero (Math.round would pull
-    * negative .5 toward positive infinity and diverge from the oracle). */
+  /** Spark `round()` semantics exactly: decimal HALF_UP via BigDecimal
+    * (floor(d + 0.5) double-rounds — 0.49999999999999994 + 0.5 is 1.0 in
+    * binary — and Math.round pulls negative ties toward +inf; both would
+    * diverge from the replaced SQL form and the oracle). */
   private def fixedPoint(d: Double): Long =
-    (if (d >= 0) math.floor(d + 0.5) else math.ceil(d - 0.5)).toLong
+    java.math.BigDecimal.valueOf(d)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val n = math.min(arr.numElements(), dim)
-    val vs = new Array[Long](n)
+    val n = arr.numElements()
+    // The SQL form zip_with-padded any length mismatch and propagated any
+    // null element into a null dot product, which IF(null > 0, ...) turned
+    // into all-zero sign bits. Reproduce that: malformed vectors hash to
+    // the all-zero signature instead of a partial dot.
+    var malformed = n != dim
+    val vs = new Array[Long](if (malformed) 0 else n)
     var j = 0
-    while (j < n) {
-      val d = if (elemIsFloat) arr.getFloat(j).toDouble else arr.getDouble(j)
-      vs(j) = fixedPoint(d * 1000000.0)
-      j += 1
+    while (!malformed && j < n) {
+      if (arr.isNullAt(j)) malformed = true
+      else {
+        val d = if (elemIsFloat) arr.getFloat(j).toDouble else arr.getDouble(j)
+        vs(j) = fixedPoint(d * 1000000.0)
+        j += 1
+      }
     }
     val perTable = planes / tables
     val sigs = new Array[Long](tables)
-    var i = 0
-    while (i < planes) {
-      val w = weights(i)
-      var dot = 0L
-      j = 0
-      while (j < n) { dot += vs(j) * w(j); j += 1 }
-      if (dot > 0) sigs(i / perTable) |= 1L << (i % perTable)
-      i += 1
+    if (!malformed) {
+      var i = 0
+      while (i < planes) {
+        val w = weights(i)
+        var dot = 0L
+        j = 0
+        while (j < n) { dot += vs(j) * w(j); j += 1 }
+        if (dot > 0) sigs(i / perTable) |= 1L << (i % perTable)
+        i += 1
+      }
     }
     new GenericArrayData(sigs)
   }

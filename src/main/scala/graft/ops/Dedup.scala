@@ -86,12 +86,16 @@ object Dedup {
     val flat = shingled.select(col("doc_id"), size(col("shingles")).as("nsh"),
       explode(col("shingles")).as("sh"))
     val dfreq = flat.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    // Snapshotted: both sides of the candidate join consume the prefix
+    // table — without the snapshot the df aggregate and rank window would
+    // run twice (the same self-join rule as minhashLsh/simhash).
     val prefix = flat.join(dfreq, "sh")
       .withColumn("rk", row_number().over(w))
       // epsilon guards float rounding: ceil(0.1*30)=4 ≠ ⌈3⌉ would shrink
       // the prefix below the lemma's bound; erring low only widens it
       .where(col("rk") <= col("nsh") - ceil(col("nsh") * threshold - 1e-9) + 1)
       .select(col("doc_id"), col("sh"))
+      .localCheckpoint(eager = false)
     val cands = prefix.select(col("doc_id").as("a"), col("sh"))
       .join(prefix.select(col("doc_id").as("b"), col("sh")), "sh")
       .where(col("a") < col("b"))

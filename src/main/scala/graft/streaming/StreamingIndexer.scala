@@ -45,7 +45,7 @@ final class StreamingIndexer(spark: SparkSession, catalog: Catalog) {
 
     val prefix = if (runTag.isEmpty) "" else s"run-$runTag-"
     val id = f"${prefix}batch-$batchId%012d"
-    val dir = catalog.splitDir(indexName, id).toString
+    val dir = catalog.splitDir(indexName, id)
     typed.write.mode("overwrite")
       .option("maxRecordsPerFile", graft.engine.Indexer.MaxRecordsPerFile)
       .parquet(dir)

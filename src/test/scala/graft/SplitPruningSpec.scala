@@ -213,9 +213,9 @@ class SplitPruningSpec extends AnyFunSuite {
     val committed = idx.indexFile("compat_test", write(
       """{"tenant_id": 7, "severity": "INFO", "msg": "legacy doc", "extra": {"k": "legacyval"}}""")).get
     val d = new graft.config.SchemaDerivation(cat.load("compat_test"))
-    val v1Dir = cat.splitDir("compat_test", "legacy0").toString
+    val v1Dir = cat.splitDir("compat_test", "legacy0")
     spark.read.schema(d.storageSchema)
-      .parquet(cat.splitDir("compat_test", committed.id).toString)
+      .parquet(cat.splitDir("compat_test", committed.id))
       .withColumn(graft.config.SchemaDerivation.Dynamic,
         to_json(col(graft.config.SchemaDerivation.Dynamic)))
       .write.parquet(v1Dir)
