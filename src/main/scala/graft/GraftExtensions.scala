@@ -30,6 +30,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  /** Fold a constant argument expression at registration time — the
+    * non-data parameters of the signature/hash expressions (plane counts,
+    * moduli, stopword lists) are plain constructor values, so their SQL
+    * faces require foldable arguments. */
+  private def constArg(e: Expression, what: String): Any = {
+    require(e.foldable, s"$what must be a constant expression")
+    e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+  }
+  private def intArg(e: Expression, what: String): Int =
+    constArg(e, what).asInstanceOf[Number].intValue()
+  private def longArg(e: Expression, what: String): Long =
+    constArg(e, what).asInstanceOf[Number].longValue()
+  private def stringsArg(e: Expression, what: String): Seq[String] =
+    constArg(e, what).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toArray[org.apache.spark.unsafe.types.UTF8String](
+        org.apache.spark.sql.types.StringType)
+      .map(_.toString).toSeq
+
   /** (name, usage, builder) for every engine expression with a SQL face. */
   val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("ip_canonical", "ip_canonical(str) - canonical 16-byte IP (v4 mapped into v6)",
@@ -41,6 +59,19 @@ object GraftExtensions {
     ("cosine_similarity", "cosine_similarity(a, b) - cosine of two float arrays",
       exprs => CosineSimilarity(exprs(0), exprs(1))),
     ("expand_dots_json", "expand_dots_json(str) - expand dotted keys to nested JSON",
-      exprs => ExpandDotsJson(exprs.head))
+      exprs => ExpandDotsJson(exprs.head)),
+    ("simhash_sig", "simhash_sig(toks) - 63-bit SimHash of a token array",
+      exprs => SimHashSig(exprs.head)),
+    ("lsh_sigs", "lsh_sigs(vec, planes, tables, dim) - random-hyperplane LSH bucket signatures",
+      exprs => LshSigs(exprs.head, intArg(exprs(1), "planes"),
+        intArg(exprs(2), "tables"), intArg(exprs(3), "dim"))),
+    ("rolling_token_hash",
+      "rolling_token_hash(toks, base, mod) - Rabin-Karp polynomial over md5 token hashes",
+      exprs => RollingTokenHash(exprs.head, longArg(exprs(1), "base"),
+        longArg(exprs(2), "mod"))),
+    ("count_in_set", "count_in_set(arr, values) - occurrences of arr elements in values",
+      exprs => CountInSet(exprs.head, stringsArg(exprs(1), "values"))),
+    ("window_energy", "window_energy(payload, size) - per-window sum of squared code points",
+      exprs => WindowEnergy(exprs.head, intArg(exprs(1), "size")))
   )
 }

@@ -145,3 +145,46 @@ class IndexConfigSpec extends AnyFunSuite {
     assert(SchemaDerivation.splitFlatName("a\\.b.c") == List("a.b", "c"))
   }
 }
+
+class SigExprsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("lsh_sigs hashes malformed vectors to the all-zero signature") {
+    import org.apache.spark.sql.functions._
+    // the SQL form this expression replaced null-propagated any length
+    // mismatch or null element into zero sign bits; a partial dot would
+    // silently change bucket assignments
+    val rows = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))),
+        |  (2L, array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))),
+        |  (3L, array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT), CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))),
+        |  (4L, CAST(NULL AS ARRAY<FLOAT>)) AS t(vid, v)""".stripMargin)
+    val got = rows.select(col("vid"),
+      graft.exprs.SigExprs.lsh_sigs(col("v"), planes = 8, tables = 2, dim = 4).as("s"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Long](1))).toMap
+    assert(got(2L) == Seq(0L, 0L), "short vector -> zero sigs")
+    assert(got(3L) == Seq(0L, 0L), "null element -> zero sigs")
+    assert(got(4L) == null, "null vector -> null")
+    assert(got(1L) != Seq(0L, 0L), "well-formed vector gets real sign bits")
+  }
+
+  test("new expressions have working SQL faces") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  simhash_sig(array('a', 'b')) AS sh,
+        |  lsh_sigs(array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT)), 4, 2, 2) AS ls,
+        |  rolling_token_hash(array('x', 'y'), 1000003L, 2147483647L) AS rh,
+        |  count_in_set(array('a', 'b', 'a'), array('a')) AS cs,
+        |  window_energy('abcd', 2) AS we""".stripMargin).collect()(0)
+    assert(!r.isNullAt(0) && r.getSeq[Long](1).length == 2)
+    assert(!r.isNullAt(2) && r.getInt(3) == 2)
+    assert(r.getSeq[Long](4).length == 2)
+    // non-constant argument where a constructor param is required -> clear error
+    val e = intercept[Exception](spark.sql(
+      "SELECT count_in_set(array('a'), array(CAST(rand() AS STRING)))").collect())
+    assert(e.getMessage.contains("constant"), e.getMessage)
+  }
+}
