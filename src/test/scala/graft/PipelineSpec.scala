@@ -151,6 +151,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(asSet(Dedup.ngramJaccardPrefix(sh, 0.5)).map(p => (p._1, p._2)) == Set((1L, 2L)))
   }
 
+  test("prefix-filtered jaccard equals the plain join on random corpora and thresholds") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    // random small corpora over a tiny vocabulary (forces shared shingles
+    // and boundary-exact jaccard values) × random thresholds — lemma math
+    // off by one anywhere loses a pair
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    for (trial <- 1 to 4) {
+      val docs = (1L to 12L).map { id =>
+        val len = 4 + rnd.nextInt(6)
+        (id, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))))
+      }.toDF("doc_id", "toks")
+      val sh = Dedup.shingles(docs, col("doc_id"), col("toks"), n = 2)
+      val t = Seq(0.25, 1.0 / 3, 0.5, 2.0 / 3, 0.75)(rnd.nextInt(5))
+      def asSet(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val plain = asSet(Dedup.ngramJaccard(sh, t))
+      val pref = asSet(Dedup.ngramJaccardPrefix(sh, t))
+      assert(pref == plain,
+        s"trial $trial t=$t: missing=${plain -- pref} extra=${pref -- plain}")
+    }
+  }
+
   test("connected components matches a union-find oracle on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
