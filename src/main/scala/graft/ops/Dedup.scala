@@ -272,11 +272,15 @@ object Dedup {
     * round bound on long chains. */
   private[graft] def connectedComponentsImpl(pairs: DataFrame,
       maxRounds: Int): (DataFrame, Int) = {
-    var edges = cut(pairs
+    // Seed with one small-star pass: near-dup graphs are near-cliques,
+    // which a single small-star already collapses to stars — the loop
+    // then confirms the fixpoint in one round instead of two. (Small-star
+    // preserves connectivity, so an extra application is always sound.)
+    var edges = cut(smallStar(pairs
       .select(greatest(col("a"), col("b")).as("u"),
         least(col("a"), col("b")).as("v"))
       .where(col("u") =!= col("v"))
-      .distinct())
+      .distinct()))
     var round = 0
     var converged = edges.isEmpty // an empty graph is already a fixpoint
     while (!converged && round < maxRounds) {
