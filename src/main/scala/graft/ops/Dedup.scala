@@ -307,6 +307,28 @@ object Dedup {
     (labels, round)
   }
 
+  /** End-to-end corpus dedup — the canonical training-data pass in one
+    * call: shingle → prefix-filtered exact Jaccard pairs ([[ngramJaccardPrefix]],
+    * hot-shingle safe) → connected components ([[connectedComponents]],
+    * O(log n) star contraction) → one canonical keeper per duplicate
+    * cluster. Fully deterministic (exact pairs, no LSH probability), so
+    * the whole chain is oracle-reproducible. Documents with fewer than
+    * `n` tokens produce no shingles, never pair, and keep themselves.
+    * Output: (doc_id, canon_id, keep) for EVERY input document —
+    * `keep` marks the cluster minimum; filter on it to materialize the
+    * deduplicated corpus. */
+  def dedupCorpus(df: DataFrame, id: Column, toks: Column, n: Int,
+      threshold: Double): DataFrame = {
+    val sh = shingles(df, id, toks, n).localCheckpoint(eager = false)
+    val canon = connectedComponents(
+      ngramJaccardPrefix(sh, threshold).select(col("a"), col("b")))
+    df.select(id.as("doc_id"))
+      .join(canon, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canon_id"), col("doc_id")).as("canon_id"))
+      .withColumn("keep", col("canon_id") === col("doc_id"))
+  }
+
   /** Materialize + truncate lineage for one contraction round. A reliable
     * checkpoint dir wins if the session has one (survives executor loss on
     * a cluster); local blocks otherwise (fine in local mode, reaped by the

@@ -91,6 +91,16 @@ object PipelineQueries {
     Dedup.ngramJaccardPrefix(shingled(s, dir), threshold = 0.5)
       .orderBy(col("a"), col("b"))
 
+  /** The full dedup pass in one call ([[graft.ops.Dedup.dedupCorpus]]):
+    * shingle → prefix-filtered exact pairs → connected components → keep
+    * decision for every document. The oracle reproduces the whole chain,
+    * components included, via a recursive CTE. */
+  val pipe_dedup_corpus: Q = (s, dir) =>
+    Dedup.dedupCorpus(
+      docs(s, dir).withColumn("toks", tokenizeDefault(col("text"))),
+      col("doc_id"), col("toks"), n = ShingleN, threshold = 0.5)
+      .orderBy(col("doc_id"))
+
   /** MinHash + LSH banding (16 hashes, 8 bands × 2 rows: the s-curve
     * catches j>=0.5 pairs with p~0.9; 4×4 missed ~5% even at j=0.86 on
     * this corpus). See [[graft.ops.Dedup.minhashLsh]] for the
@@ -409,6 +419,7 @@ object PipelineQueries {
     "dedup_exact" -> dedup_exact,
     "dedup_ngram_jaccard" -> dedup_ngram_jaccard,
     "dedup_jaccard_prefix" -> dedup_jaccard_prefix,
+    "pipe_dedup_corpus" -> pipe_dedup_corpus,
     "dedup_minhash_lsh" -> dedup_minhash_lsh,
     "dedup_simhash" -> dedup_simhash,
     "dedup_embedding" -> dedup_embedding,
@@ -480,6 +491,28 @@ object PipelineQueries {
          |GROUP BY 1, 2, a.nsh, b.nsh
          |HAVING CAST(count(*) AS DOUBLE) / (a.nsh + b.nsh - count(*)) >= 0.5
          |ORDER BY a, b""".stripMargin,
+    // the whole dedup chain, connected components included: label
+    // reachability as a recursive CTE (every vertex reaches its
+    // component's smaller ids through edges; min = canon)
+    "pipe_dedup_corpus" ->
+      s"""WITH RECURSIVE
+         |sh AS ($shingleSql),
+         |ex AS (SELECT doc_id, len(shingles) AS nsh, unnest(shingles) AS s FROM sh),
+         |jac AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, a.nsh, b.nsh
+         |  HAVING CAST(count(*) AS DOUBLE) / (a.nsh + b.nsh - count(*)) >= 0.5),
+         |edges AS (SELECT a AS u, b AS v FROM jac UNION ALL SELECT b, a FROM jac),
+         |reach(doc, lbl) AS (
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.doc = e.v),
+         |canon AS (SELECT doc, min(lbl) AS canon_id FROM reach GROUP BY doc)
+         |SELECT d.doc_id, coalesce(c.canon_id, d.doc_id) AS canon_id,
+         |  coalesce(c.canon_id, d.doc_id) = d.doc_id AS keep
+         |FROM documents d LEFT JOIN canon c ON c.doc = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $minhashCtes
          |SELECT a, b FROM prs ORDER BY a, b""".stripMargin,
