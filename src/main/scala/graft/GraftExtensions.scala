@@ -33,20 +33,41 @@ object GraftExtensions {
   /** Fold a constant argument expression at registration time — the
     * non-data parameters of the signature/hash expressions (plane counts,
     * moduli, stopword lists) are plain constructor values, so their SQL
-    * faces require foldable arguments. */
+    * faces require foldable arguments of the right type. Every rejection
+    * path produces a clear analysis-time message — never a raw
+    * ClassCastException/NPE, and never a silent 2.9 → 2 truncation. */
   private def constArg(e: Expression, what: String): Any = {
     require(e.foldable, s"$what must be a constant expression")
-    e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+    val v = e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+    require(v != null, s"$what must not be null")
+    v
   }
-  private def intArg(e: Expression, what: String): Int =
-    constArg(e, what).asInstanceOf[Number].intValue()
-  private def longArg(e: Expression, what: String): Long =
-    constArg(e, what).asInstanceOf[Number].longValue()
-  private def stringsArg(e: Expression, what: String): Seq[String] =
-    constArg(e, what).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-      .toArray[org.apache.spark.unsafe.types.UTF8String](
-        org.apache.spark.sql.types.StringType)
-      .map(_.toString).toSeq
+  private def longArg(e: Expression, what: String): Long = constArg(e, what) match {
+    case b: java.lang.Byte     => b.toLong
+    case s: java.lang.Short    => s.toLong
+    case i: java.lang.Integer  => i.toLong
+    case l: java.lang.Long     => l
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integral constant, got '$other' (${e.dataType.sql})")
+  }
+  private def intArg(e: Expression, what: String): Int = {
+    val l = longArg(e, what)
+    require(l >= Int.MinValue && l <= Int.MaxValue, s"$what out of int range: $l")
+    l.toInt
+  }
+  private def stringsArg(e: Expression, what: String): Seq[String] = {
+    val isStringArray = e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, _) => true
+      case _ => false
+    }
+    require(isStringArray,
+      s"$what must be a constant array<string>, got ${e.dataType.sql}")
+    val arr = constArg(e, what)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    (0 until arr.numElements()).flatMap(i =>
+      if (arr.isNullAt(i)) None else Some(arr.getUTF8String(i).toString))
+  }
 
   /** (name, usage, builder) for every engine expression with a SQL face. */
   val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(

@@ -270,8 +270,13 @@ object Dedup {
 
   /** (labels, rounds) — rounds exposed for the test pinning the O(log n)
     * round bound on long chains. */
-  private[graft] def connectedComponentsImpl(pairs: DataFrame,
+  private[graft] def connectedComponentsImpl(pairs0: DataFrame,
       maxRounds: Int): (DataFrame, Int) = {
+    // One materialization of the (possibly expensive — e.g. a Jaccard
+    // verify join) pair plan: the seed below AND the final vertex set
+    // both read it, and without the snapshot each would re-execute the
+    // whole upstream chain.
+    val pairs = pairs0.select(col("a"), col("b")).localCheckpoint(eager = false)
     // Seed with one small-star pass: near-dup graphs are near-cliques,
     // which a single small-star already collapses to stars — the loop
     // then confirms the fixpoint in one round instead of two. (Small-star

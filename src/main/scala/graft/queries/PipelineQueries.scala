@@ -467,48 +467,47 @@ object PipelineQueries {
        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
        |  FROM sig l JOIN sig r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id)""".stripMargin
 
+  /** Exact shingle-Jaccard >= 0.5 pair CTE chain (`sh`, `ex`, `jac`) —
+    * ONE definition shared by the plain pair oracle, the prefix-filtered
+    * pair oracle (identical by design: prefix filtering only prunes
+    * candidates), and the end-to-end dedup oracle. A threshold or
+    * tokenizer change lands in every gated query at once. */
+  private val jaccardCtes =
+    s"""sh AS ($shingleSql),
+       |ex AS (SELECT doc_id, len(shingles) AS nsh, unnest(shingles) AS s FROM sh),
+       |jac AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter,
+       |    a.nsh + b.nsh - count(*) AS uni
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, a.nsh, b.nsh
+       |  HAVING CAST(count(*) AS DOUBLE) / (a.nsh + b.nsh - count(*)) >= 0.5)""".stripMargin
+
+  /** Recursive label-reachability fragment: connected components with
+    * min-id canon over a named (a, b) pair relation (every vertex
+    * reaches its component's smaller ids through edges; min = canon).
+    * Shared by every oracle that ends in a components step. */
+  private def ccCtes(pairsRel: String) =
+    s"""edges AS (SELECT a AS u, b AS v FROM $pairsRel
+       |          UNION ALL SELECT b AS u, a AS v FROM $pairsRel),
+       |reach(doc, lbl) AS (
+       |  SELECT u, u FROM edges
+       |  UNION
+       |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.doc = e.v),
+       |canon AS (SELECT doc, min(lbl) AS canon_id FROM reach GROUP BY doc)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_doc_id, count(*) AS copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
-      s"""WITH sh AS ($shingleSql),
-         |ex AS (SELECT doc_id, len(shingles) AS nsh, unnest(shingles) AS s FROM sh)
-         |SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter,
-         |  a.nsh + b.nsh - count(*) AS uni
-         |FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-         |GROUP BY 1, 2, a.nsh, b.nsh
-         |HAVING CAST(count(*) AS DOUBLE) / (a.nsh + b.nsh - count(*)) >= 0.5
-         |ORDER BY a, b""".stripMargin,
-    // identical oracle to dedup_ngram_jaccard by design: prefix filtering
-    // is a candidate-pruning optimization, not a semantics change
+      s"""WITH $jaccardCtes
+         |SELECT a, b, inter, uni FROM jac ORDER BY a, b""".stripMargin,
     "dedup_jaccard_prefix" ->
-      s"""WITH sh AS ($shingleSql),
-         |ex AS (SELECT doc_id, len(shingles) AS nsh, unnest(shingles) AS s FROM sh)
-         |SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter,
-         |  a.nsh + b.nsh - count(*) AS uni
-         |FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-         |GROUP BY 1, 2, a.nsh, b.nsh
-         |HAVING CAST(count(*) AS DOUBLE) / (a.nsh + b.nsh - count(*)) >= 0.5
-         |ORDER BY a, b""".stripMargin,
-    // the whole dedup chain, connected components included: label
-    // reachability as a recursive CTE (every vertex reaches its
-    // component's smaller ids through edges; min = canon)
+      s"""WITH $jaccardCtes
+         |SELECT a, b, inter, uni FROM jac ORDER BY a, b""".stripMargin,
     "pipe_dedup_corpus" ->
-      s"""WITH RECURSIVE
-         |sh AS ($shingleSql),
-         |ex AS (SELECT doc_id, len(shingles) AS nsh, unnest(shingles) AS s FROM sh),
-         |jac AS (
-         |  SELECT a.doc_id AS a, b.doc_id AS b
-         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2, a.nsh, b.nsh
-         |  HAVING CAST(count(*) AS DOUBLE) / (a.nsh + b.nsh - count(*)) >= 0.5),
-         |edges AS (SELECT a AS u, b AS v FROM jac UNION ALL SELECT b, a FROM jac),
-         |reach(doc, lbl) AS (
-         |  SELECT u, u FROM edges
-         |  UNION
-         |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.doc = e.v),
-         |canon AS (SELECT doc, min(lbl) AS canon_id FROM reach GROUP BY doc)
+      s"""WITH RECURSIVE $jaccardCtes,
+         |${ccCtes("jac")}
          |SELECT d.doc_id, coalesce(c.canon_id, d.doc_id) AS canon_id,
          |  coalesce(c.canon_id, d.doc_id) = d.doc_id AS keep
          |FROM documents d LEFT JOIN canon c ON c.doc = d.doc_id
@@ -518,13 +517,8 @@ object PipelineQueries {
          |SELECT a, b FROM prs ORDER BY a, b""".stripMargin,
     "dedup_cluster_canon" ->
       s"""WITH RECURSIVE $minhashCtes,
-         |edges AS (SELECT a AS u, b AS v FROM prs UNION ALL SELECT b AS u, a AS v FROM prs),
-         |reach AS (
-         |  SELECT u AS u, u AS v FROM (SELECT DISTINCT u FROM edges)
-         |  UNION
-         |  SELECT e.u AS u, r.v AS v FROM edges e JOIN reach r ON e.v = r.u)
-         |SELECT u AS doc_id, min(v) AS canon_id
-         |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+         |${ccCtes("prs")}
+         |SELECT doc AS doc_id, canon_id FROM canon ORDER BY doc_id""".stripMargin,
     "text_repetition" ->
       s"""WITH t2 AS (
          |  SELECT doc_id, toks FROM (SELECT doc_id, $toksSql AS toks FROM documents)
