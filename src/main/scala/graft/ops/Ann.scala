@@ -140,8 +140,11 @@ object Ann {
     * in as expression literals (the BM25-stats pattern); candidates here
     * are all pairs — compose with [[cell]]/[[ivf]]'s candidate cut for a
     * sublinear scan. corpus: (vid, v); queries selected by `isQuery`. */
-  def sq8(corpus: DataFrame, isQuery: Column => Column, k: Int): DataFrame = {
-    import graft.exprs.Sq8.{dot_int, sq8_quantize}
+  /** (vid, v float, qv8): the corpus with its int8 quantization, stats
+    * collected once (the BM25 broadcast pattern) — shared by [[sq8]] and
+    * [[sq8Ivf]]. */
+  private def sq8Corpus(corpus: DataFrame): DataFrame = {
+    import graft.exprs.Sq8.sq8_quantize
     // normalize to float vectors (Sq8Quantize reads float slots; same
     // guard cosine_similarity applies)
     val vecs = corpus.select(col("vid"),
@@ -152,16 +155,55 @@ object Ann {
       .groupBy("d").agg(min("x").as("mn"), max("x").as("mx"))
       .collect().map(r => (r.getInt(0), r.getFloat(1).toDouble, r.getFloat(2).toDouble))
       .sortBy(_._1)
-    val mn = stats.map(_._2)
-    val mx = stats.map(_._3)
+    vecs.select(col("vid"), col("v"),
+      sq8_quantize(col("v"), stats.map(_._2), stats.map(_._3)).as("qv8"))
+  }
+
+  def sq8(corpus: DataFrame, isQuery: Column => Column, k: Int): DataFrame = {
+    import graft.exprs.Sq8.dot_int
     // snapshotted: both sides of the self-join consume the quantization
-    val q8 = vecs.select(col("vid"), sq8_quantize(col("v"), mn, mx).as("qv8"))
+    val q8 = sq8Corpus(corpus).select(col("vid"), col("qv8"))
       .localCheckpoint(eager = false)
     val queries = broadcast(
       q8.where(isQuery(col("vid"))).select(col("vid").as("qid"), col("qv8").as("qq8")))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("qdot").desc, col("vid").asc)
     q8.join(queries, col("vid") =!= col("qid"))
+      .withColumn("qdot", dot_int(col("qq8"), col("qv8")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vid").as("neighbor"))
+  }
+
+  /** The composed scale pattern [[sq8]]'s doc promises: IVF's nprobe
+    * candidate cut (sublinear scan) ranked by the int8 dot product
+    * (4 bytes → 1 per dim, SIMD-able integer math). Cell assignment is
+    * exact cosine against broadcast centroids — identical to [[ivf]] —
+    * and ranking is exact integer arithmetic, so the whole composition
+    * stays oracle-reproducible. corpus: (vid, v); centroids: (cid, cv);
+    * queries selected by `isQuery`. Output: (qid, rank, neighbor). */
+  def sq8Ivf(corpus: DataFrame, isQuery: Column => Column,
+      centroids: DataFrame, nProbe: Int, k: Int): DataFrame = {
+    import graft.exprs.Sq8.dot_int
+    val cents = broadcast(centroids)
+    // snapshotted: assignment and probing both consume the quantized corpus
+    val q8 = sq8Corpus(corpus).localCheckpoint(eager = false)
+    def cellRank(idCol: String) = row_number().over(
+      Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("cid").asc))
+    val asg = q8.crossJoin(cents)
+      .withColumn("ccos", cosine(col("v"), col("cv")))
+      .withColumn("crn", cellRank("vid"))
+      .where(col("crn") === 1)
+      .select(col("vid"), col("qv8"), col("cid").as("cell"))
+    val probes = q8.where(isQuery(col("vid"))).crossJoin(cents)
+      .withColumn("ccos", cosine(col("v"), col("cv")))
+      .withColumn("crn", cellRank("vid"))
+      .where(col("crn") <= nProbe)
+      .select(col("vid").as("qid"), col("qv8").as("qq8"), col("cid").as("cell"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("qdot").desc, col("vid").asc)
+    probes.join(asg, "cell")
+      .where(col("vid") =!= col("qid"))
       .withColumn("qdot", dot_int(col("qq8"), col("qv8")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)

@@ -112,6 +112,19 @@ object TextAnalysis {
         (col("dup_bi").cast("double") / col("n_bi")).as("dup_bigram_frac"))
   }
 
+  /** URL domain extraction + per-domain document counts — the web-corpus
+    * provenance primitive (domain mixing stats, per-domain caps and
+    * blocklists all start here). One codegen regexp projection (no HOF:
+    * text is lowercased before extraction so no per-element lambda) and
+    * one count shuffle keyed by domain; a document counts once per
+    * distinct domain it cites. Output: (domain, n_docs). */
+  def domainCounts(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("id"),
+        array_distinct(regexp_extract_all(lower(text),
+          lit("https?://([a-z0-9.-]+)"), lit(1))).as("domains"))
+      .select(col("id"), explode(col("domains")).as("domain"))
+      .groupBy(col("domain")).agg(count(lit(1)).as("n_docs"))
+
   /** Regex PII scrub: counts matches of each (tag, pattern) and replaces
     * them with `<TAG>` in order. Patterns should avoid lookaround if an
     * RE2-based oracle needs to reproduce them.

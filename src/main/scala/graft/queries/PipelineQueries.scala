@@ -372,6 +372,21 @@ object PipelineQueries {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** Per-domain document counts over synthesized URLs (each doc cites a
+    * deterministic site and CDN host derived from doc_id — the
+    * text_pii_scrub fixture pattern); see
+    * [[graft.ops.TextAnalysis.domainCounts]]. */
+  val text_domains: Q = (s, dir) =>
+    TextAnalysis.domainCounts(
+      docs(s, dir).withColumn("raw",
+        concat(col("text"), lit(" see https://site"),
+          (col("doc_id") % 7).cast("string"),
+          lit(".example.com/p/"), col("doc_id").cast("string"),
+          lit(" and http://cdn.assets-"),
+          (col("doc_id") % 3).cast("string"), lit(".net/x"))),
+      col("doc_id"), col("raw"))
+      .orderBy(col("domain"))
+
   /** Scalar-quantized ANN — see [[graft.ops.Ann.sq8]]: per-dim min/max →
     * 256-bin floor quantization → integer dot-product ranking (exact
     * integer math, so the oracle reproduces ranks bit-for-bit). */
@@ -379,6 +394,19 @@ object PipelineQueries {
     Ann.sq8(corpus(s, dir).select(col("vid"), col("v")),
       isQuery = _ < 20, k = 5)
       .orderBy(col("qid"), col("rank"))
+
+  /** IVF nprobe candidate cut ranked by the int8 dot product — the
+    * composed memory-bandwidth × sublinear-scan pattern; see
+    * [[graft.ops.Ann.sq8Ivf]]. Same deterministic centroids as
+    * [[knn_ivf]], same quantization as [[knn_sq8]]. */
+  val knn_sq8_ivf: Q = (s, dir) => {
+    val e = corpus(s, dir)
+    Ann.sq8Ivf(e.select(col("vid"), col("v")),
+      isQuery = _ < 20,
+      e.where(col("vid") < 16).select(col("vid").as("cid"), col("v").as("cv")),
+      nProbe = 2, k = 5)
+      .orderBy(col("qid"), col("rank"))
+  }
 
   /** Benchmark decontamination: shingle-overlap counts between the
     * corpus (doc_id >= 10) and a benchmark set (docs 0-9 stand in for an
@@ -412,7 +440,9 @@ object PipelineQueries {
     "pipe_sample_stratified" -> pipe_sample_stratified,
     "pipe_pack_sequences" -> pipe_pack_sequences,
     "knn_sq8" -> knn_sq8,
+    "knn_sq8_ivf" -> knn_sq8_ivf,
     "text_pii_scrub" -> text_pii_scrub,
+    "text_domains" -> text_domains,
     "mm_phash_buckets" -> mm_phash_buckets,
     "knn_lsh" -> knn_lsh,
     "mm_audio_energy" -> mm_audio_energy,
@@ -466,6 +496,45 @@ object PipelineQueries {
        |prs AS (
        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
        |  FROM sig l JOIN sig r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id)""".stripMargin
+
+  /** Deterministic-IVF CTE chain (`cents` → `asg` → `probes`): first 16
+    * vectors as centroids, exact cosine assignment, nprobe=2 — shared by
+    * the cosine-ranked and sq8-ranked IVF oracles. */
+  private val ivfCtes =
+    """cents AS (
+      |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+      |asg AS (
+      |  SELECT vec_id, embedding, cid AS cell FROM (
+      |    SELECT e.vec_id, e.embedding, c.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cid ASC) AS crn
+      |    FROM embeddings e CROSS JOIN cents c)
+      |  WHERE crn = 1),
+      |probes AS (
+      |  SELECT qid, qv, cell FROM (
+      |    SELECT e.vec_id AS qid, e.embedding AS qv, c.cid AS cell,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cid ASC) AS crn
+      |    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 20)
+      |  WHERE crn <= 2)""".stripMargin
+
+  /** int8 scalar-quantization CTE chain (`st` → `mnx` → `q`): per-dim
+    * min/max, 256-bin floor quantization — shared by the all-pairs and
+    * IVF-cut sq8 oracles. */
+  private val sq8Ctes =
+    """st AS (
+      |  SELECT i, CAST(min(embedding[i + 1]) AS DOUBLE) AS mn,
+      |         CAST(max(embedding[i + 1]) AS DOUBLE) AS mx
+      |  FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS i)
+      |  GROUP BY i),
+      |mnx AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM st),
+      |q AS (
+      |  SELECT vec_id,
+      |    list_transform(range(64), j -> CASE WHEN mxs[j + 1] > mns[j + 1]
+      |      THEN CAST(floor((CAST(embedding[j + 1] AS DOUBLE) - mns[j + 1])
+      |                      / (mxs[j + 1] - mns[j + 1]) * 255) AS BIGINT)
+      |      ELSE 0 END) AS qv
+      |  FROM embeddings, mnx)""".stripMargin
 
   /** Exact shingle-Jaccard >= 0.5 pair CTE chain (`sh`, `ex`, `jac`) —
     * ONE definition shared by the plain pair oracle, the prefix-filtered
@@ -584,29 +653,34 @@ object PipelineQueries {
          |        FROM documents))
          |ORDER BY source, doc_id""".stripMargin,
     "knn_sq8" ->
-      """WITH st AS (
-        |  SELECT i, CAST(min(embedding[i + 1]) AS DOUBLE) AS mn,
-        |         CAST(max(embedding[i + 1]) AS DOUBLE) AS mx
-        |  FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS i)
-        |  GROUP BY i),
-        |mnx AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM st),
-        |q AS (
-        |  SELECT vec_id,
-        |    list_transform(range(64), j -> CASE WHEN mxs[j + 1] > mns[j + 1]
-        |      THEN CAST(floor((CAST(embedding[j + 1] AS DOUBLE) - mns[j + 1])
-        |                      / (mxs[j + 1] - mns[j + 1]) * 255) AS BIGINT)
-        |      ELSE 0 END) AS qv
-        |  FROM embeddings, mnx),
-        |cand AS (
-        |  SELECT a.vec_id AS qid, b.vec_id AS neighbor,
-        |    list_sum(list_transform(range(64), j -> a.qv[j + 1] * b.qv[j + 1])) AS qdot
-        |  FROM q a JOIN q b ON b.vec_id <> a.vec_id
-        |  WHERE a.vec_id < 20)
-        |SELECT qid, rank, neighbor FROM (
-        |  SELECT qid, neighbor,
-        |    row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, neighbor ASC) AS rank
-        |  FROM cand)
-        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+      s"""WITH $sq8Ctes,
+         |cand AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS neighbor,
+         |    list_sum(list_transform(range(64), j -> a.qv[j + 1] * b.qv[j + 1])) AS qdot
+         |  FROM q a JOIN q b ON b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < 20)
+         |SELECT qid, rank, neighbor FROM (
+         |  SELECT qid, neighbor,
+         |    row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, neighbor ASC) AS rank
+         |  FROM cand)
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // knn_ivf's candidate cut + knn_sq8's integer ranking, composed from
+    // the same shared CTEs that gate each piece alone
+    "knn_sq8_ivf" ->
+      s"""WITH $ivfCtes,
+         |$sq8Ctes,
+         |cand AS (
+         |  SELECT p.qid, a.vec_id AS neighbor,
+         |    list_sum(list_transform(range(64), j -> qq.qv[j + 1] * qa.qv[j + 1])) AS qdot
+         |  FROM probes p JOIN asg a ON a.cell = p.cell
+         |  JOIN q qq ON qq.vec_id = p.qid
+         |  JOIN q qa ON qa.vec_id = a.vec_id
+         |  WHERE a.vec_id <> p.qid)
+         |SELECT qid, rank, neighbor FROM (
+         |  SELECT qid, neighbor,
+         |    row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, neighbor ASC) AS rank
+         |  FROM cand)
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "dedup_simhash" ->
       s"""WITH th AS (
          |  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
@@ -649,30 +723,15 @@ object PipelineQueries {
         |  WHERE q.vec_id < 20 AND e.vec_id <> q.vec_id)
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "knn_ivf" ->
-      """WITH cents AS (
-        |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
-        |asg AS (
-        |  SELECT vec_id, embedding, cid AS cell FROM (
-        |    SELECT e.vec_id, e.embedding, c.cid,
-        |      row_number() OVER (PARTITION BY e.vec_id
-        |        ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cid ASC) AS crn
-        |    FROM embeddings e CROSS JOIN cents c)
-        |  WHERE crn = 1),
-        |probes AS (
-        |  SELECT qid, qv, cell FROM (
-        |    SELECT e.vec_id AS qid, e.embedding AS qv, c.cid AS cell,
-        |      row_number() OVER (PARTITION BY e.vec_id
-        |        ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cid ASC) AS crn
-        |    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 20)
-        |  WHERE crn <= 2),
-        |cand AS (
-        |  SELECT p.qid, a.vec_id AS neighbor,
-        |    row_number() OVER (PARTITION BY p.qid
-        |      ORDER BY list_cosine_similarity(p.qv, a.embedding) DESC, a.vec_id ASC) AS rank
-        |  FROM probes p JOIN asg a ON a.cell = p.cell
-        |  WHERE a.vec_id <> p.qid)
-        |SELECT qid, rank, neighbor FROM cand WHERE rank <= 5
-        |ORDER BY qid, rank""".stripMargin,
+      s"""WITH $ivfCtes,
+         |cand AS (
+         |  SELECT p.qid, a.vec_id AS neighbor,
+         |    row_number() OVER (PARTITION BY p.qid
+         |      ORDER BY list_cosine_similarity(p.qv, a.embedding) DESC, a.vec_id ASC) AS rank
+         |  FROM probes p JOIN asg a ON a.cell = p.cell
+         |  WHERE a.vec_id <> p.qid)
+         |SELECT qid, rank, neighbor FROM cand WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin,
     "text_bigrams" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |bi AS (
@@ -787,6 +846,16 @@ object PipelineQueries {
         |        (doc_id % 256) || '.1 end' AS raw
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "text_domains" ->
+      """SELECT domain, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    regexp_extract_all(lower(raw), 'https?://([a-z0-9.-]+)', 1))) AS domain
+        |  FROM (SELECT doc_id,
+        |          text || ' see https://site' || (doc_id % 7) || '.example.com/p/' ||
+        |          doc_id || ' and http://cdn.assets-' || (doc_id % 3) || '.net/x' AS raw
+        |        FROM documents))
+        |GROUP BY domain ORDER BY domain""".stripMargin,
     "mm_phash_buckets" ->
       """WITH s AS (
         |  SELECT doc_id,
