@@ -159,4 +159,13 @@ class PlanSpec extends AnyFunSuite {
       s"query side must broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("knn_sq8_ivf broadcasts centroids and never goes cartesian") {
+    val plan = formatted(graft.queries.PipelineQueries.knn_sq8_ivf(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"centroid assignment must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the candidate join itself must key on the probed cell
+    assert(plan.contains("cell"), s"candidate join keys on cell:\n$plan")
+  }
 }
