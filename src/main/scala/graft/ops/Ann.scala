@@ -47,6 +47,21 @@ object Ann {
   def cell(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
     topK(queries.join(corpus, "cell").where(col("vid") =!= col("qid")), k)
 
+  /** Nearest-centroid cell assignment — THE shared IVF-family contract
+    * ([[ivf]], [[sq8Ivf]], [[kmeansStep]] and the probing side all use
+    * exactly this): exact cosine to each already-broadcast centroid,
+    * rank by (cosine desc, cid asc), keep ranks <= maxRank. `carry`
+    * columns ride along; output is (idCol, carry..., cell). A tie-break
+    * or ranking change lands in every operator at once. */
+  private def cellAssign(vecs: DataFrame, cents: DataFrame, idCol: String,
+      vecCol: String, maxRank: Int, carry: Seq[String]): DataFrame =
+    vecs.crossJoin(cents)
+      .withColumn("ccos", cosine(col(vecCol), col("cv")))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("cid").asc)))
+      .where(col("crn") <= maxRank)
+      .select((col(idCol) +: carry.map(col)) :+ col("cid").as("cell"): _*)
+
   /** centroids: (cid, cv) — tiny, broadcast. Assignment is one narrow
     * pass; each query probes its nprobe nearest cells (the recall/latency
     * knob). At scale the assignment is written once and reused across
@@ -54,18 +69,8 @@ object Ann {
   def ivf(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
       nProbe: Int, k: Int): DataFrame = {
     val cents = broadcast(centroids)
-    def cellRank(idCol: String) = row_number().over(
-      Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("cid").asc))
-    val asg = corpus.crossJoin(cents)
-      .withColumn("ccos", cosine(col("v"), col("cv")))
-      .withColumn("crn", cellRank("vid"))
-      .where(col("crn") === 1)
-      .select(col("vid"), col("v"), col("cid").as("cell"))
-    val probes = queries.crossJoin(cents)
-      .withColumn("ccos", cosine(col("qv"), col("cv")))
-      .withColumn("crn", cellRank("qid"))
-      .where(col("crn") <= nProbe)
-      .select(col("qid"), col("qv"), col("cid").as("cell"))
+    val asg = cellAssign(corpus, cents, "vid", "v", maxRank = 1, carry = Seq("v"))
+    val probes = cellAssign(queries, cents, "qid", "qv", nProbe, carry = Seq("qv"))
     topK(probes.join(asg, "cell").where(col("vid") =!= col("qid")), k)
   }
 
@@ -113,12 +118,8 @@ object Ann {
     * corpus: (vid, v); centroids: (cid, cv). Output: (cell, d, sum_q, n). */
   def kmeansStep(corpus: DataFrame, centroids: DataFrame): DataFrame = {
     val cents = broadcast(centroids)
-    val asg = corpus.crossJoin(cents)
-      .withColumn("ccos", cosine(col("v"), col("cv")))
-      .withColumn("crn", row_number().over(
-        Window.partitionBy(col("vid")).orderBy(col("ccos").desc, col("cid").asc)))
-      .where(col("crn") === 1)
-      .select(col("cid").as("cell"), col("v"))
+    val asg = cellAssign(corpus, cents, "vid", "v", maxRank = 1, carry = Seq("v"))
+      .select(col("cell"), col("v"))
     asg
       // explicit double math before round: a float-precision product can
       // land on the other side of a .5 boundary than the double product,
@@ -130,16 +131,6 @@ object Ann {
       .agg(sum("q").as("sum_q"), count(lit(1)).as("n"))
   }
 
-  /** Scalar-quantized (int8-style) max-inner-product search: per-dim
-    * corpus min/max → 256-bin floor quantization ([[graft.exprs
-    * .Sq8Quantize]]) → exact integer dot product ranking (ties by
-    * neighbor id). Quantization is the memory-bandwidth lever at scale —
-    * 4 bytes → 1 per dim and SIMD-able int math; on a cluster the
-    * quantized corpus is written once and scanned per query batch.
-    * The stats are one tiny aggregate collected to the driver and folded
-    * in as expression literals (the BM25-stats pattern); candidates here
-    * are all pairs — compose with [[cell]]/[[ivf]]'s candidate cut for a
-    * sublinear scan. corpus: (vid, v); queries selected by `isQuery`. */
   /** (vid, v float, qv8): the corpus with its int8 quantization, stats
     * collected once (the BM25 broadcast pattern) — shared by [[sq8]] and
     * [[sq8Ivf]]. */
@@ -159,54 +150,54 @@ object Ann {
       sq8_quantize(col("v"), stats.map(_._2), stats.map(_._3)).as("qv8"))
   }
 
-  def sq8(corpus: DataFrame, isQuery: Column => Column, k: Int): DataFrame = {
-    import graft.exprs.Sq8.dot_int
-    // snapshotted: both sides of the self-join consume the quantization
-    val q8 = sq8Corpus(corpus).select(col("vid"), col("qv8"))
-      .localCheckpoint(eager = false)
-    val queries = broadcast(
-      q8.where(isQuery(col("vid"))).select(col("vid").as("qid"), col("qv8").as("qq8")))
+  /** Integer-dot top-K over (qid, qq8, vid, qv8) candidate rows — the
+    * shared rank-and-cut of [[sq8]] and [[sq8Ivf]]: exact int math, ties
+    * by neighbor id. */
+  private def topKDot(cands: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("qdot").desc, col("vid").asc)
-    q8.join(queries, col("vid") =!= col("qid"))
-      .withColumn("qdot", dot_int(col("qq8"), col("qv8")))
+    cands
+      .withColumn("qdot", graft.exprs.Sq8.dot_int(col("qq8"), col("qv8")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vid").as("neighbor"))
   }
 
+  /** Scalar-quantized (int8-style) max-inner-product search: per-dim
+    * corpus min/max → 256-bin floor quantization ([[graft.exprs
+    * .Sq8Quantize]]) → exact integer dot product ranking (ties by
+    * neighbor id). Quantization is the memory-bandwidth lever at scale —
+    * 4 bytes → 1 per dim and SIMD-able int math; on a cluster the
+    * quantized corpus is written once and scanned per query batch.
+    * The stats are one tiny aggregate collected to the driver and folded
+    * in as expression literals (the BM25-stats pattern); candidates here
+    * are all pairs — [[sq8Ivf]] is the composition with the IVF candidate
+    * cut. corpus: (vid, v); queries selected by `isQuery`. */
+  def sq8(corpus: DataFrame, isQuery: Column => Column, k: Int): DataFrame = {
+    // snapshotted: both sides of the self-join consume the quantization
+    val q8 = sq8Corpus(corpus).select(col("vid"), col("qv8"))
+      .localCheckpoint(eager = false)
+    val queries = broadcast(
+      q8.where(isQuery(col("vid"))).select(col("vid").as("qid"), col("qv8").as("qq8")))
+    topKDot(q8.join(queries, col("vid") =!= col("qid")), k)
+  }
+
   /** The composed scale pattern [[sq8]]'s doc promises: IVF's nprobe
     * candidate cut (sublinear scan) ranked by the int8 dot product
     * (4 bytes → 1 per dim, SIMD-able integer math). Cell assignment is
-    * exact cosine against broadcast centroids — identical to [[ivf]] —
-    * and ranking is exact integer arithmetic, so the whole composition
-    * stays oracle-reproducible. corpus: (vid, v); centroids: (cid, cv);
-    * queries selected by `isQuery`. Output: (qid, rank, neighbor). */
+    * [[cellAssign]] — the same contract as [[ivf]] — and ranking is
+    * [[topKDot]], so the whole composition stays oracle-reproducible.
+    * corpus: (vid, v); centroids: (cid, cv); queries selected by
+    * `isQuery`. Output: (qid, rank, neighbor). */
   def sq8Ivf(corpus: DataFrame, isQuery: Column => Column,
       centroids: DataFrame, nProbe: Int, k: Int): DataFrame = {
-    import graft.exprs.Sq8.dot_int
     val cents = broadcast(centroids)
     // snapshotted: assignment and probing both consume the quantized corpus
     val q8 = sq8Corpus(corpus).localCheckpoint(eager = false)
-    def cellRank(idCol: String) = row_number().over(
-      Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("cid").asc))
-    val asg = q8.crossJoin(cents)
-      .withColumn("ccos", cosine(col("v"), col("cv")))
-      .withColumn("crn", cellRank("vid"))
-      .where(col("crn") === 1)
-      .select(col("vid"), col("qv8"), col("cid").as("cell"))
-    val probes = q8.where(isQuery(col("vid"))).crossJoin(cents)
-      .withColumn("ccos", cosine(col("v"), col("cv")))
-      .withColumn("crn", cellRank("vid"))
-      .where(col("crn") <= nProbe)
-      .select(col("vid").as("qid"), col("qv8").as("qq8"), col("cid").as("cell"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("qdot").desc, col("vid").asc)
-    probes.join(asg, "cell")
-      .where(col("vid") =!= col("qid"))
-      .withColumn("qdot", dot_int(col("qq8"), col("qv8")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("vid").as("neighbor"))
+    val asg = cellAssign(q8, cents, "vid", "v", maxRank = 1, carry = Seq("qv8"))
+    val probes = cellAssign(q8.where(isQuery(col("vid"))), cents,
+      "vid", "v", nProbe, carry = Seq("qv8"))
+      .select(col("vid").as("qid"), col("qv8").as("qq8"), col("cell"))
+    topKDot(probes.join(asg, "cell").where(col("vid") =!= col("qid")), k)
   }
 }

@@ -165,7 +165,14 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       s"centroid assignment must broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
-    // the candidate join itself must key on the probed cell
-    assert(plan.contains("cell"), s"candidate join keys on cell:\n$plan")
+    // the candidate join itself must be an EQUI-join keyed on the probed
+    // cell: formatted-mode details list the join keys on "Left keys"/
+    // "Right keys" lines — assert there, not on the whole plan text
+    // (projection aliases would make that check vacuous)
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), s"expected an equi-join:\n$plan")
+    val keyLines = plan.linesIterator.filter(_.matches(".*(Left|Right) keys.*"))
+    assert(keyLines.exists(_.contains("cell")),
+      s"candidate join must key on cell:\n$plan")
   }
 }
