@@ -258,6 +258,30 @@ class ToshokanParitySpec extends AnyFunSuite {
     }
   }
 
+  test("gzip-compressed JSONL ingests transparently") {
+    // log shippers emit .gz; Spark's text source decompresses by
+    // extension, so the whole ingest path needs zero changes — pin it
+    withEngine { (cat, idx, search) =>
+      cat.create(
+        """version: 1
+          |name: gz_test
+          |path: /tmp/x
+          |schema:
+          |  fields:
+          |    - name: n
+          |      type: !number
+          |        type: i64
+          |""".stripMargin)
+      val gz = Files.createTempFile("docs", ".jsonl.gz")
+      val out = new java.util.zip.GZIPOutputStream(Files.newOutputStream(gz))
+      out.write("{\"n\": 1}\n{\"n\": 2}\n".getBytes("UTF-8"))
+      out.close()
+      val split = idx.indexFile("gz_test", gz.toString)
+      assert(split.exists(_.numDocs == 2))
+      assert(search.search("gz_test", "n:2", 1) == Seq("""{"n":2}"""))
+    }
+  }
+
   test("parse errors skip the document, not the batch") {
     withEngine { (cat, idx, search) =>
       cat.create(
