@@ -25,14 +25,20 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val ordered = SparkEntry.queries.toList.sortBy(_._1)
-    ordered.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => }
+    ordered.foreach { case (name, fn) =>
+      try fn(spark, sfDir).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup FAILED for $name: $e")
+      }
     }
     val results = ordered.map { case (name, fn) =>
       def once(): Option[Double] = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case _: Throwable => None }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] query FAILED: $name: $e")
+          None
+        }
       }
       // median of the successful runs: one transient failure must not
       // discard two valid measurements (-1 only when every run failed)
@@ -41,8 +47,13 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // A failed query must not shrink total (the regression would read as a
+    // speedup): report the failure count explicitly and poison the headline
+    // value so a BENCH-vs-BASELINE diff flags it.
+    val failed = results.count(_._2 < 0)
+    val total =
+      if (failed > 0) -1.0 else results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

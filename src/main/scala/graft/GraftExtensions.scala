@@ -93,6 +93,8 @@ object GraftExtensions {
     ("count_in_set", "count_in_set(arr, values) - occurrences of arr elements in values",
       exprs => CountInSet(exprs.head, stringsArg(exprs(1), "values"))),
     ("window_energy", "window_energy(payload, size) - per-window sum of squared code points",
-      exprs => WindowEnergy(exprs.head, intArg(exprs(1), "size")))
+      exprs => WindowEnergy(exprs.head, intArg(exprs(1), "size"))),
+    ("phash16", "phash16(payload) - 16-bit byte-grid perceptual hash",
+      exprs => PHash16(exprs.head))
   )
 }

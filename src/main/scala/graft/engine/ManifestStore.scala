@@ -46,8 +46,12 @@ final class ManifestStore(rootUri: String, conf: Configuration) {
     try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 
-  def deleteIfExists(p: HPath): Unit =
-    try fs.delete(p, false) catch { case _: Exception => () }
+  /** Delete a metadata file. IO failures PROPAGATE: a drop() that cannot
+    * remove the index config must fail loudly — swallowing the error left
+    * the index still exists() while drop reported success, and the next
+    * create() died with an unexplained 'already exists'. A missing file is
+    * a no-op (`FileSystem.delete` returns false, no throw). */
+  def deleteIfExists(p: HPath): Unit = { fs.delete(p, false); () }
 
   /** Best-effort recursive delete — leaked files are tolerated
     * everywhere in the engine: without a manifest entry they are

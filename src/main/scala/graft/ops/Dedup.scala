@@ -290,9 +290,14 @@ object Dedup {
     var converged = edges.isEmpty // an empty graph is already a fixpoint
     while (!converged && round < maxRounds) {
       val next = cut(smallStar(largeStar(edges)))
-      // Both sides are distinct canonically-oriented sets, so
-      // equal-count + empty-difference is exact set equality.
-      converged = next.count() == edges.count() && next.except(edges).isEmpty
+      // Both sides are distinct canonically-oriented sets, so set equality
+      // is "no edge appears on exactly one side" — ONE full-outer join +
+      // isEmpty, one Spark job per round (count+count+except was three).
+      converged = next.select(col("u"), col("v"), lit(1).as("__l"))
+        .join(edges.select(col("u"), col("v"), lit(1).as("__r")),
+          Seq("u", "v"), "full_outer")
+        .where(col("__l").isNull || col("__r").isNull)
+        .isEmpty
       edges = next
       round += 1
     }

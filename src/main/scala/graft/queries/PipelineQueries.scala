@@ -41,25 +41,37 @@ object PipelineQueries {
     * which is also the realistic shape for web-scale text. */
   private val ShingleN = 5
 
-  /** (doc_id, shingles) persisted: the array is HOF-built, so both the
-    * explode consumers (generate re-evaluates non-trivial generator input
-    * per OUTPUT row) and the self-join consumers (two plan branches) would
-    * otherwise rebuild it repeatedly. Both LSH and Jaccard construct this
-    * identical plan, so Spark's cache manager shares one materialization.
-    * At cluster scale this is the "write the shingle table out once"
-    * step of a dedup pipeline. */
-  private def shingled(s: SparkSession, dir: String): DataFrame =
-    Dedup.shingles(
-      docs(s, dir).withColumn("toks", tokenizeDefault(col("text"))),
-      col("doc_id"), col("toks"), ShingleN)
-      .persist()
+  /** (doc_id, shingles) snapshotted once per (session, dir): the array is
+    * HOF-built, so both the explode consumers (generate re-evaluates
+    * non-trivial generator input per OUTPUT row) and the self-join
+    * consumers (two plan branches) would otherwise rebuild it repeatedly,
+    * and LSH + Jaccard share the same table across separate queries.
+    * Memoized `localCheckpoint`, not `persist()`: CacheManager holds
+    * strong refs to persisted plans (the leak class purged from
+    * `graft.ops`); the memo gives the same cross-query sharing by handing
+    * every caller the SAME snapshot DataFrame. At cluster scale this is
+    * the "write the shingle table out once" step of a dedup pipeline. */
+  private val snapMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  private def memoSnap(key: (SparkSession, String, String))(build: => DataFrame): DataFrame = {
+    if (snapMemo.size > 64) snapMemo.clear() // bound a long-lived session
+    snapMemo.computeIfAbsent(key, _ => build.localCheckpoint(eager = false))
+  }
 
-  /** (doc_id, toks) persisted, for explode consumers — the tokenizer is a
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    memoSnap((s, dir, "shingles")) {
+      Dedup.shingles(
+        docs(s, dir).withColumn("toks", tokenizeDefault(col("text"))),
+        col("doc_id"), col("toks"), ShingleN)
+    }
+
+  /** (doc_id, toks) snapshot, for explode consumers — the tokenizer is a
     * regexp extract, which generate would otherwise re-run per token. */
   private def tokenized(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .select(col("doc_id"), tokenizeDefault(col("text")).as("toks"))
-      .persist()
+    memoSnap((s, dir, "toks")) {
+      docs(s, dir)
+        .select(col("doc_id"), tokenizeDefault(col("text")).as("toks"))
+    }
 
   // ---- dedup ------------------------------------------------------------
 
@@ -295,15 +307,11 @@ object PipelineQueries {
     * on a 16-bit key, output only buckets with >= 2 members. */
   val mm_phash_buckets: Q = (s, dir) =>
     docs(s, dir)
-      .withColumn("len", length(col("text")))
-      .where(col("len") >= 16)
-      .withColumn("samples", expr(
-        "transform(sequence(0, 15), i -> ascii(substring(text, 1 + (len * i) div 16, 1)))"))
-      .withColumn("mean", expr("aggregate(samples, 0L, (a, x) -> a + x) div 16"))
-      .withColumn("phash", expr(
-        """aggregate(zip_with(samples, sequence(0, 15),
-          |  (s, i) -> CASE WHEN s > mean THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END),
-          |  0L, (a, x) -> a + x)""".stripMargin))
+      .where(length(col("text")) >= 16)
+      // One tight-loop expression instead of the transform/aggregate/
+      // zip_with HOF nest — interpreted per-element lambdas were the last
+      // such hot spot; bit-identical values (see [[graft.exprs.PHash16]]).
+      .withColumn("phash", graft.exprs.PHash16.phash16(col("text")))
       .groupBy(col("phash"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
       .where(col("n_docs") >= 2)

@@ -165,7 +165,10 @@ object SearchQueries {
     table(s, dir, "documents")
       .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
         col("source"), col("n_chars"))).as("value"))
-      .persist()
+      // snapshot for the callers that read this twice (index both halves) —
+      // localCheckpoint, not persist(): CacheManager holds strong refs to
+      // persisted plans, which leaks across repeated query runs
+      .localCheckpoint(eager = false)
 
   private def parseResults(results: DataFrame): DataFrame = {
     val schema = StructType.fromDDL(

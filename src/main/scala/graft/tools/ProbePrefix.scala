@@ -40,7 +40,7 @@ object ProbePrefix {
           lower(col("text"))).as("text"))
       .withColumn("toks", split(col("text"), "[^a-z0-9]+"))
     val sh = Dedup.shingles(docs, col("doc_id"), col("toks"), n = 5)
-      .persist()
+      .localCheckpoint(eager = false)
     val nDocs = sh.count()
     println(s"[probe] corpus: $nDocs shingled docs, every one sharing 5 hot shingles")
 

@@ -170,6 +170,30 @@ class SigExprsSpec extends AnyFunSuite {
     assert(got(1L) != Seq(0L, 0L), "well-formed vector gets real sign bits")
   }
 
+  test("phash16 is bit-identical to the HOF SQL form it replaced") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // real corpus + adversarial edges (len exactly 16, repeated chars,
+    // non-ASCII multi-byte, supplementary plane)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text"))
+      .unionAll(Seq("abcdefghijklmnop", "aaaaaaaaaaaaaaaa",
+        "héllo wörld çafé ünïcode strings ök", "a😀b😀c😀d😀e😀f😀g😀h😀i😀")
+        .toDF("text"))
+      .where(length(col("text")) >= 16)
+    val both = docs
+      .withColumn("len", length(col("text")))
+      .withColumn("samples", expr(
+        "transform(sequence(0, 15), i -> ascii(substring(text, 1 + (len * i) div 16, 1)))"))
+      .withColumn("mean", expr("aggregate(samples, 0L, (a, x) -> a + x) div 16"))
+      .withColumn("sql_form", expr(
+        """aggregate(zip_with(samples, sequence(0, 15),
+          |  (s, i) -> CASE WHEN s > mean THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END),
+          |  0L, (a, x) -> a + x)""".stripMargin))
+      .withColumn("tight", graft.exprs.PHash16.phash16(col("text")))
+    assert(both.where(col("sql_form") =!= col("tight")).isEmpty)
+  }
+
   test("new expressions have working SQL faces") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(
