@@ -231,9 +231,19 @@ final class SchemaDerivation(val config: IndexConfig) {
       value: Column): org.apache.spark.sql.DataFrame = {
     val (stage1, _, skip) = ingestStage1(value)
     val declared = fields.map(f => col(s"`${f.name}`"))
+    // Catch-all terms tokenize the residual JSON with escape sequences
+    // neutralized to spaces first: every JSON string escape (\n, \", \\,
+    // \uXXXX — the latter only rendered for control chars, themselves
+    // separators) decodes to a token SEPARATOR, but its raw text form
+    // glues onto the next run ("a\nb" would tokenize as [a, nb], losing
+    // the decoded token b). Neutralizing makes every token of every
+    // decoded string value a token of this array — which dynamic-path
+    // queries (they tokenize the DECODED value) and the per-split term
+    // digests both rely on.
     val termsStruct = struct(
       termsFields.map { case (flat, _, _) => col(s"`__t__$flat`").as(flat) } :+
-        TextFunctions.tokenize(col(DynJsonTmp), "default").as(Dynamic): _*)
+        TextFunctions.tokenize(
+          regexp_replace(col(DynJsonTmp), "\\\\.", " "), "default").as(Dynamic): _*)
     lines
       .where(value.isNotNull && length(trim(value)) > 0)
       .where(!coalesce(skip, lit(true)))

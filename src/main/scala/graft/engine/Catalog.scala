@@ -48,7 +48,12 @@ final case class SplitInfo(id: String, numDocs: Long,
     numStats: Map[String, (Double, Double)] = Map.empty,
     dicts: Map[String, List[String]] = Map.empty,
     hexStats: Map[String, (String, String)] = Map.empty,
-    format: Int = Catalog.SplitFormat)
+    format: Int = Catalog.SplitFormat,
+    /** md5 of the split's `_digests.json` term-digest sidecar (None = no
+      * digests: pre-digest split, or every filter saturated). The hash —
+      * not the filters — lives in the manifest, so manifest reads stay
+      * O(bytes) and cached digests have an exact identity. */
+    digest: Option[String] = None)
 
 object Catalog {
   /** Manifest commit timeout, applied per layer: the file:// commit
@@ -71,6 +76,12 @@ object Catalog {
     org.apache.spark.sql.SparkSession.getActiveSession
       .map(_.sessionState.newHadoopConf())
       .getOrElse(new Configuration())
+
+  /** Memoized term-digest sidecars, keyed by catalog root + index + split
+    * id + sidecar md5 (exact content identity — see [[Catalog.loadDigests]]).
+    * Values are a few KB each; the size bound guards long-lived sessions. */
+  private val digestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Map[String, TermDigest]]]()
 
   /** Read a set of splits as one DataFrame, upgrading format-1 splits
     * (`_dynamic` as JSON text) to the current in-memory shape (variant)
@@ -179,13 +190,33 @@ final class Catalog(rootDir: String,
             Option(s.get("maxTs")).filter(!_.isNull).map(_.asLong()),
             numStats, dicts, hexStats,
             // entries from before the field are format-1 splits
-            Option(s.get("format")).filter(!_.isNull).map(_.asInt()).getOrElse(1))
+            Option(s.get("format")).filter(!_.isNull).map(_.asInt()).getOrElse(1),
+            Option(s.get("digest")).filter(!_.isNull).map(_.asText()))
         }.toList
         (gen, splits)
     }
 
   def splitPaths(name: String): List[String] =
     liveSplits(name).map(s => splitDir(name, s.id))
+
+  /** Lazily fetch + memoize a split's term digests. The cache key includes
+    * the manifest-recorded sidecar md5, so a replayed/rewritten split id
+    * can never serve stale filters; a missing, unreadable, or
+    * hash-mismatched sidecar yields None (= never prune). Digests are
+    * fetched once per split per process and amortize across every query. */
+  def loadDigests(name: String, s: SplitInfo): Option[Map[String, TermDigest]] =
+    s.digest.flatMap { md5 =>
+      val key = s"$catalogRoot#$name#${s.id}#$md5"
+      if (Catalog.digestCache.size > 4096) Catalog.digestCache.clear()
+      Catalog.digestCache.computeIfAbsent(key, _ =>
+        try {
+          val p = new HPath(splitDir(name, s.id), TermDigest.SidecarName)
+          store.readString(p).filter(text =>
+            TermDigest.md5HexBytes(
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8)) == md5)
+            .map(TermDigest.parseAll)
+        } catch { case scala.util.control.NonFatal(_) => None })
+    }
 
   /** Monotonic manifest generation — bumped by every committed write; the
     * exact invalidation handle for anything cached per manifest state
@@ -203,6 +234,7 @@ final class Catalog(rootDir: String,
       o.put("format", s.format)
       s.minTs.foreach(o.put("minTs", _))
       s.maxTs.foreach(o.put("maxTs", _))
+      s.digest.foreach(o.put("digest", _))
       if (s.numStats.nonEmpty) {
         val st = m.createObjectNode()
         s.numStats.toList.sortBy(_._1).foreach { case (f, (mn, mx)) =>

@@ -197,6 +197,14 @@ object Indexer {
       })
     }
 
+    // Term-digest inputs: every text field's ingest-time terms array plus
+    // the catch-all — the same single pass builds the per-split Bloom
+    // filters that let term queries prune splits at the manifest level.
+    val digestFields: List[String] =
+      d.termsFields.map(_._1) :+ graft.config.SchemaDerivation.Dynamic
+    def termsCol(flat: String) =
+      col(s"`${graft.config.SchemaDerivation.Terms}`").getField(flat)
+
     val df = spark.read.schema(d.storageSchema).parquet(splitDir)
     val aggs: List[org.apache.spark.sql.Column] =
       count(lit(1)).as("__n") ::
@@ -210,7 +218,9 @@ object Indexer {
         max(hex(rf.column)).as(s"__ipmx__${rf.flatName}"))) ++
       dictFields.map(rf =>
         graft.exprs.BoundedSetAgg.boundedSet(rf.column, DictCap)
-          .as(s"__dict__${rf.flatName}"))
+          .as(s"__dict__${rf.flatName}")) ++
+      digestFields.map(f =>
+        TokenBloomAgg.tokenBloom(termsCol(f)).as(s"__bloom__$f"))
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val numDocs = row.getAs[Long]("__n")
     if (numDocs == 0) return SplitInfo(id, 0)
@@ -256,6 +266,28 @@ object Indexer {
       else None
     }.toMap
 
-    SplitInfo(id, numDocs, minTs, maxTs, numStats, dicts, hexStats)
+    // Shrink the build-size Bloom filters (fold while sparse, drop when
+    // saturated) and publish them as a sidecar INSIDE the split dir —
+    // written before the manifest commit like all split data, invisible to
+    // the Parquet reader (`_` prefix). The manifest entry carries only the
+    // sidecar's md5, keeping the hot-path manifest read small while giving
+    // the searcher an exact cache key for the lazily fetched digests.
+    val digests = digestFields.flatMap { f =>
+      Option(row.getAs[Array[Byte]](s"__bloom__$f"))
+        .flatMap(TermDigest.shrinkBytes).map(f -> _)
+    }.toMap
+    val digestMd5 =
+      if (digests.isEmpty) None
+      else {
+        val bytes = TermDigest.renderAll(digests)
+        val p = new org.apache.hadoop.fs.Path(splitDir, TermDigest.SidecarName)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        val out = fs.create(p, true)
+        try out.write(bytes) finally out.close()
+        Some(TermDigest.md5HexBytes(bytes))
+      }
+
+    SplitInfo(id, numDocs, minTs, maxTs, numStats, dicts, hexStats,
+      digest = digestMd5)
   }
 }

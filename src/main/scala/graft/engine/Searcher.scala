@@ -50,7 +50,7 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
     * for text queries — the latency knob when ranking is irrelevant. */
   def searchDf(indexName: String, req: SearchRequest): DataFrame = {
     val limit = req.limit
-    val (_, d, ast, gen, splits) = loadAndPrune(indexName, req.query)
+    val (_, d, ast, gen, splits) = loadAndPrune(indexName, req.query, req.fields)
     // Cache identity for the corpus-stats memo: catalog root + index name
     // (split ids are unique only within one root/index) + manifest
     // generation (bumped by EVERY committed write, including in-place
@@ -100,7 +100,7 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
     * column-pruned count over the surviving splits. */
   def countMatches(indexName: String, query: String,
       fields: Option[List[String]] = None): Long = {
-    val (_, d, ast, _, splits) = loadAndPrune(indexName, query)
+    val (_, d, ast, _, splits) = loadAndPrune(indexName, query, fields)
     if (splits.isEmpty) return 0L
     Catalog.readSplits(spark, d, splits,
       s => catalog.splitDir(indexName, s.id))
@@ -113,13 +113,14 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
     * split list and the generation: two reads could pair gen N+1 with a
     * gen-N listing under a concurrent commit and poison the stats cache
     * for that generation. */
-  private def loadAndPrune(indexName: String, query: String)
+  private def loadAndPrune(indexName: String, query: String,
+      fields: Option[List[String]] = None)
       : (graft.config.IndexConfig, SchemaDerivation, Ast, Long, List[SplitInfo]) = {
     val cfg = catalog.load(indexName)
     val d = new SchemaDerivation(cfg)
     val ast = QueryParser.parse(query)
     val (gen, live) = catalog.manifestState(indexName)
-    (cfg, d, ast, gen, prunedFrom(live, cfg, d, ast))
+    (cfg, d, ast, gen, prunedFrom(live, cfg, d, ast, fields))
   }
 
   /** Manifest-level split pruning — the coarse layer above Parquet
@@ -134,15 +135,21 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
     *  - IP bounds per indexed ip field vs hex zone maps (string order on
     *    fixed-width hex ≡ numeric IP order);
     *  - required-value sets per raw-tokenized text field vs complete
-    *    small dictionaries ([[Indexer.DictCap]]).
+    *    small dictionaries ([[Indexer.DictCap]]);
+    *  - required-token CNF clauses ([[graft.query.TermPruning]]) vs
+    *    per-split Bloom term digests ([[TermDigest]], fetched lazily and
+    *    memoized) — the layer that makes the core verb, term search on a
+    *    tokenized text field, skip splits that provably lack a token.
     */
   private[graft] def prunedSplitPaths(indexName: String, cfg: graft.config.IndexConfig,
-      d: SchemaDerivation, ast: Ast): List[String] =
-    prunedFrom(catalog.liveSplits(indexName), cfg, d, ast)
+      d: SchemaDerivation, ast: Ast,
+      fields: Option[List[String]] = None): List[String] =
+    prunedFrom(catalog.liveSplits(indexName), cfg, d, ast, fields)
       .map(s => catalog.splitDir(indexName, s.id))
 
   private def prunedFrom(splits: List[SplitInfo], cfg: graft.config.IndexConfig,
-      d: SchemaDerivation, ast: Ast): List[SplitInfo] = {
+      d: SchemaDerivation, ast: Ast,
+      defaultFields: Option[List[String]] = None): List[SplitInfo] = {
     val bounds = cfg.schema.timeField.flatMap { tf =>
       d.byFlatName.get(tf).collect {
         case rf if rf.fieldType.isInstanceOf[DateTimeField] =>
@@ -172,6 +179,10 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
             rf.fieldType.asInstanceOf[TextField].tokenizer.contains("raw") =>
           FieldBounds.requiredTerms(ast, rf.flatName).map(rf.flatName -> _)
       }.flatten
+    // Required-token CNF for the term digests; computed once per query.
+    // Digest sidecars are only fetched when clauses exist AND the split
+    // advertises a digest (never-prune-on-missing, like every family).
+    val termClauses = graft.query.TermPruning.clauses(ast, d, defaultFields)
 
     splits
       .filter { s =>
@@ -188,7 +199,18 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
         val dictOk = dictConstraints.forall { case (f, required) =>
           s.dicts.get(f).forall(vals => required.exists(vals.contains))
         }
-        timeOk && numOk && ipOk && dictOk
+        def termOk = termClauses.isEmpty || {
+          catalog.loadDigests(cfg.name, s) match {
+            case None     => true // no/unreadable digests: keep the split
+            case Some(ds) =>
+              // a clause holds unless every alternative token is provably
+              // absent; atoms on fields without a digest count as present
+              termClauses.forall(_.exists { case (f, tok) =>
+                ds.get(f).forall(_.mightContain(tok))
+              })
+          }
+        }
+        timeOk && numOk && ipOk && dictOk && termOk
       }
   }
 

@@ -1,0 +1,165 @@
+package graft.query
+
+import graft.config._
+import graft.exprs.IpCodec
+import graft.functions.TextFunctions
+
+/** Required-token extraction for manifest-level split pruning against
+  * per-split term digests ([[graft.engine.TermDigest]]).
+  *
+  * Output is a conservative CNF over token-presence atoms: a list of
+  * clauses, each a set of `(flatField, token)` alternatives, such that
+  * EVERY matching document contains, for every clause, at least one of
+  * the clause's tokens in that field's ingest-time terms array. A split
+  * whose digests prove some clause unsatisfiable cannot hold a match and
+  * is skipped; everything uncertain (missing digest, unknown field,
+  * un-tokenizable construct) keeps the split.
+  *
+  * Boolean semantics mirror [[FieldBounds]] (and the compiler's/tantivy's):
+  * Must clauses conjoin (CNF concat); with any Must present, Should
+  * clauses are scoring-only and contribute nothing; Should-only queries
+  * disjoin (clause-set cross product, capped); MustNot never constrains.
+  * The lattice top is the empty clause list ("no constraint").
+  *
+  * Leaf conservatism — a clause is emitted only when the compiled
+  * predicate provably requires a token:
+  *  - tokenized/raw text term → its single ingest token;
+  *  - phrase over tokenized fields → one clause per word;
+  *  - `IN [..]` → one clause of per-value alternatives;
+  *  - unfielded terms fan out over the default fields: typed fields whose
+  *    literal cannot coerce (alpha term vs number/ip/bool field) are
+  *    statically non-matching and drop out; any field that could match
+  *    through a non-token route (numeric equality, datetime parse,
+  *    declared dynamic_object) makes the whole clause top;
+  *  - `_dynamic` path terms use the catch-all token digest (value tokens
+  *    are a subset of the neutralized residual-JSON tokens — see the
+  *    ingest-side escape handling in [[SchemaDerivation]]); numeric
+  *    literals also match by value there, so they are top;
+  *  - prefix / fuzzy / regex / range and anything else → top.
+  */
+object TermPruning {
+  type Atom = (String, String)
+
+  /** Clause-count cap: CNF cross products of pathological Should nests
+    * degrade to top rather than blow up. */
+  private val MaxClauses = 24
+
+  private sealed trait FieldAtom
+  private final case class AtomOf(atom: Atom) extends FieldAtom
+  /** The field could match through a route no digest covers. */
+  private case object Unprunable extends FieldAtom
+  /** The field statically cannot match this literal. */
+  private case object NoMatch extends FieldAtom
+
+  def clauses(ast: Ast, d: SchemaDerivation,
+      defaultFields: Option[List[String]] = None): List[Set[Atom]] = {
+    val defaults = defaultFields.getOrElse(d.defaultFieldNames)
+    def fieldsFor(f: Option[String]): List[String] = f.map(List(_)).getOrElse(defaults)
+
+    def atomFor(fn: String, v: String): FieldAtom = d.byFlatName.get(fn) match {
+      case Some(rf) => rf.fieldType match {
+        case t: TextField => t.tokenizer match {
+          case Some(tk) =>
+            // tokenizeTerm of a multi-token literal keeps its separators,
+            // which no ingest token contains — the atom is then never in
+            // any digest AND the compiled array_contains is false, so
+            // pruning on it stays exact.
+            AtomOf(fn -> TextFunctions.tokenizeTerm(v, tk))
+          case None => Unprunable // no terms entry, compiled as raw equality
+        }
+        case n: NumberField =>
+          val parses = if (n.numType == "f64") v.toDoubleOption.isDefined
+            else v.toLongOption.isDefined
+          if (parses) Unprunable else NoMatch
+        case _: BooleanField =>
+          if (Set("true", "false")(v.trim.toLowerCase)) Unprunable else NoMatch
+        case dt: DateTimeField =>
+          // digit-free literals cannot parse the built-in formats; custom
+          // strptime patterns (month names etc.) stay conservative
+          val builtin = Set("timestamp", "rfc3339", "iso8601", "rfc2822")
+          if (v.exists(_.isDigit) || dt.formats.exists(f => !builtin(f)))
+            Unprunable
+          else NoMatch
+        case _: IpField =>
+          if (IpCodec.parse(v).isDefined) Unprunable else NoMatch
+        case _: DynamicObjectField => Unprunable // declared dyn: no digest
+        case _: StaticObjectField  => NoMatch    // compiled lit(false)
+      }
+      case None if fn == SchemaDerivation.Dynamic =>
+        AtomOf(SchemaDerivation.Dynamic -> TextFunctions.tokenizeTerm(v, "default"))
+      case None =>
+        // dynamic path: token match prunes via the catch-all digest, but a
+        // numeric literal additionally matches by VALUE (canonicalized
+        // lexemes) — those stay top
+        if (v.toDoubleOption.isDefined) Unprunable
+        else AtomOf(SchemaDerivation.Dynamic -> TextFunctions.tokenizeTerm(v, "default"))
+    }
+
+    /** None = top (some field matches un-digestably); Some(atoms) = every
+      * matching doc holds one of these tokens. All target fields
+      * statically non-matching → also top: the compiled predicate is
+      * false everywhere, pruning gains nothing and safety costs nothing. */
+    def termClause(fs: List[String], v: String): Option[Set[Atom]] = {
+      val per = fs.map(atomFor(_, v))
+      if (per.contains(Unprunable)) None
+      else Some(per.collect { case AtomOf(a) => a }.toSet).filter(_.nonEmpty)
+    }
+
+    /** Phrase: per-field all-or-nothing — a field contributes its word
+      * tokens only if every word is an achievable token there; any field
+      * matchable through a non-token route tops the whole phrase. */
+    def phraseClauses(fs: List[String], ws: List[String]): List[Set[Atom]] = {
+      val tokenRe = "[\\p{L}\\p{N}]{1,40}".r
+      // per field: Some(word tokens) | None (can't match) | top marker
+      val per: List[Option[Option[List[String]]]] = fs.map { fn =>
+        d.byFlatName.get(fn) match {
+          case Some(rf) => rf.fieldType match {
+            case t: TextField => t.tokenizer match {
+              case Some(tk) if tk != "raw" =>
+                Some(Some(ws.map(TextFunctions.tokenizeTerm(_, tk))))
+              case _ => None // raw/untokenized: substring contains — top
+            }
+            case _ => Some(None) // other types: compiled lit(false)
+          }
+          case None => // _dynamic or a path into it: query-time lowercase words
+            val toks = ws.map(_.toLowerCase)
+            if (toks.forall(t => tokenRe.matches(t))) Some(Some(toks))
+            else Some(None) // a non-token word can never appear adjacently
+        }
+      }
+      if (per.contains(None)) return Nil
+      val perField: List[(String, List[String])] = fs.zip(per).collect {
+        case (fn, Some(Some(toks))) =>
+          (d.byFlatName.get(fn) match {
+            case Some(_) => fn
+            case None    => SchemaDerivation.Dynamic
+          }) -> toks
+      }
+      if (perField.isEmpty) return Nil
+      ws.indices.toList.map(i => perField.map { case (f, toks) => f -> toks(i) }.toSet)
+    }
+
+    def or(a: List[Set[Atom]], b: List[Set[Atom]]): List[Set[Atom]] =
+      if (a.isEmpty || b.isEmpty) Nil
+      else if (a.length * b.length > MaxClauses) Nil
+      else for { ca <- a; cb <- b } yield ca ++ cb
+
+    def walk(a: Ast): List[Set[Atom]] = a match {
+      case Ast.Term(f, v) => termClause(fieldsFor(f), v).toList
+      case Ast.InSet(f, vs) =>
+        val alts = vs.map(termClause(fieldsFor(f), _))
+        if (alts.exists(_.isEmpty)) Nil else List(alts.flatten.flatten.toSet)
+      case Ast.Phrase(f, ws, _) => phraseClauses(fieldsFor(f), ws)
+      case Ast.Bool(cs) =>
+        val musts = cs.collect { case (Occur.Must, x) => walk(x) }
+        val shoulds = cs.collect { case (Occur.Should, x) => walk(x) }
+        if (musts.nonEmpty) musts.flatten.take(MaxClauses)
+        else if (shoulds.nonEmpty) shoulds.reduce(or)
+        else Nil
+      case Ast.Boost(inner, _) => walk(inner)
+      case _ => Nil
+    }
+
+    walk(ast)
+  }
+}

@@ -196,6 +196,118 @@ class SplitPruningSpec extends AnyFunSuite {
     cat.drop("ip_zone")
   }
 
+  private val digestConfig =
+    """version: 1
+      |name: digest_test
+      |path: /tmp/unused
+      |schema:
+      |  fields:
+      |    - name: msg
+      |      type: !text
+      |    - name: body
+      |      type: !text
+      |        indexed:
+      |          tokenizer: en_stem
+      |""".stripMargin
+
+  test("per-split term digests prune tokenized term queries") {
+    val root = Files.createTempDirectory("graft-digest").toString
+    val cat = new Catalog(root)
+    cat.create(digestConfig)
+    val idx = new Indexer(spark, cat)
+    // split A and split B share "alpha"; each has a unique token, a unique
+    // stemmable body word, and a unique dynamic value
+    idx.indexFile("digest_test", write(
+      """{"msg": "alpha uniqueatoken", "body": "runners running", "extra": {"k": "dynuniquea"}}
+        |{"msg": "alpha second doc", "body": "walked", "extra": {"k": "other"}}""".stripMargin))
+    idx.indexFile("digest_test", write(
+      """{"msg": "alpha uniquebtoken", "body": "jumping", "extra": {"k": "dynuniqueb"}}
+        |{"msg": "alpha fourth doc", "body": "jumped", "extra": {"k": "other"}}""".stripMargin))
+
+    val splits = cat.liveSplits("digest_test")
+    assert(splits.length == 2)
+    // the manifest round-trips the sidecar hash; the sidecar parses
+    assert(splits.forall(_.digest.isDefined))
+    assert(splits.forall(s => cat.loadDigests("digest_test", s)
+      .exists(ds => ds.contains("msg") && ds.contains("body") &&
+        ds.contains(graft.config.SchemaDerivation.Dynamic))))
+
+    val search = new Searcher(spark, cat)
+    val cfg = cat.load("digest_test")
+    val d = new graft.config.SchemaDerivation(cfg)
+    def pathsFor(q: String): List[String] =
+      search.prunedSplitPaths("digest_test", cfg, d, QueryParser.parse(q))
+
+    // fielded term on a tokenized field prunes to the one split holding it
+    assert(pathsFor("msg:uniquebtoken").length == 1)
+    assert(pathsFor("msg:alpha").length == 2)
+    assert(pathsFor("msg:neverseen").isEmpty)
+    // bare term: default fields + catch-all all reject split A
+    assert(pathsFor("uniquebtoken").length == 1)
+    // en_stem: query token stems to the ingest token ("running" -> "run")
+    assert(pathsFor("body:running").length == 1)
+    assert(pathsFor("body:runs").length == 1, "stem unifies runs/running")
+    // dynamic path term prunes via the catch-all digest
+    assert(pathsFor("extra.k:dynuniqueb").length == 1)
+    assert(pathsFor("dynuniquea").length == 1)
+    // phrase: every word required
+    assert(pathsFor("msg:\"alpha uniqueatoken\"").length == 1)
+    // boolean composition: AND prunes, OR of two uniques keeps both,
+    // OR with an unprunable arm keeps everything
+    assert(pathsFor("msg:alpha AND msg:uniquebtoken").length == 1)
+    assert(pathsFor("msg:uniqueatoken OR msg:uniquebtoken").length == 2)
+    assert(pathsFor("msg:uniquebtoken OR uniq*").length == 2)
+    // should next to a must is scoring-only (tantivy semantics)
+    assert(pathsFor("+msg:alpha msg:uniquebtoken").length == 2)
+    // NOT and fuzzy never prune
+    assert(pathsFor("NOT msg:uniquebtoken").length == 2)
+    assert(pathsFor("msg:uniquebtoken~1").length == 2)
+    // IN-set: alternatives union
+    assert(pathsFor("msg: IN [uniqueatoken uniquebtoken]").length == 2)
+    assert(pathsFor("msg: IN [neverseen alsonever]").isEmpty)
+
+    // results stay correct through pruning
+    assert(search.search("digest_test", "msg:uniquebtoken", 10).length == 1)
+    assert(search.search("digest_test", "body:running AND msg:alpha", 10).length == 1)
+    assert(search.search("digest_test", "extra.k:dynuniquea", 10).length == 1)
+    assert(search.search("digest_test", "msg:alpha", 10).length == 4)
+    cat.drop("digest_test")
+  }
+
+  test("digest pruning survives merge and JSON-escaped dynamic tokens") {
+    val root = Files.createTempDirectory("graft-digest2").toString
+    val cat = new Catalog(root)
+    cat.create(digestConfig.replace("digest_test", "digest_m"))
+    val idx = new Indexer(spark, cat)
+    // a dynamic string value containing a JSON escape: its decoded token
+    // "escaped" must still be findable AND prunable (the catch-all terms
+    // neutralize escape sequences at ingest)
+    idx.indexFile("digest_m", write(
+      """{"msg": "alpha", "extra": {"k": "line1\nescaped"}}"""))
+    idx.indexFile("digest_m", write(
+      """{"msg": "beta mergedtoken", "extra": {"k": "plain"}}"""))
+
+    val search = new Searcher(spark, cat)
+    def paths(q: String): List[String] = {
+      val cfg = cat.load("digest_m")
+      search.prunedSplitPaths("digest_m", cfg,
+        new graft.config.SchemaDerivation(cfg), QueryParser.parse(q))
+    }
+    // decoded-value token matches and prunes to the right split
+    assert(search.search("digest_m", "extra.k:escaped", 10).length == 1)
+    assert(paths("extra.k:escaped").length == 1)
+
+    // merge rebuilds one split with a fresh digest covering both sides
+    assert(idx.merge("digest_m").isDefined)
+    val merged = cat.liveSplits("digest_m")
+    assert(merged.length == 1 && merged.head.digest.isDefined)
+    assert(paths("msg:mergedtoken").length == 1)
+    assert(paths("msg:neverseen").isEmpty)
+    assert(search.search("digest_m", "extra.k:escaped", 10).length == 1)
+    assert(search.search("digest_m", "msg:mergedtoken", 10).length == 1)
+    cat.drop("digest_m")
+  }
+
   test("manifests from before zone maps still load; empty index searches clean") {
     val root = Files.createTempDirectory("graft-compat").toString
     val cat = new Catalog(root)
