@@ -60,19 +60,49 @@ final class ManifestStore(rootUri: String, conf: Configuration) {
     try { if (fs.exists(p)) fs.delete(p, true); () }
     catch { case _: Exception => () }
 
-  /** The commit-point implementation for this store's scheme. Schemes
-    * whose rename is not atomic (S3-family flat object stores: rename is
-    * client-side copy+delete) fail FAST here rather than silently losing
-    * concurrent commits — the correct implementation for them is a
-    * conditional PUT (see [[RenameCommitPoint]] docs), which needs the
-    * store SDK, not a filesystem rename. */
-  def commitPoint(manifest: HPath): ManifestCommitPoint = fs.getScheme match {
+  /** The commit-point implementation for this store's scheme:
+    *
+    *  - `file://` → OS advisory lock + atomic rename (a true CAS);
+    *  - any scheme with a registered [[CompareAndPut]] → the store's own
+    *    conditional write ([[ConditionalPutCommitPoint]]) — the intended
+    *    production path for S3-family roots;
+    *  - S3-family schemes without one fail FAST (client-side copy+delete
+    *    "rename" would silently lose concurrent commits);
+    *  - remote atomic-rename schemes (hdfs, abfs, …) fail fast too unless
+    *    the deployment explicitly opts into single-writer mode
+    *    (`graft.manifest.single-writer=true` in the Hadoop conf):
+    *    [[RenameCommitPoint]]'s generation check has no cross-process
+    *    exclusion, so two concurrent writers could both pass it and one
+    *    commit would vanish — losing a split, or undoing a compaction
+    *    swap and duplicating documents. Opt-in makes that trade explicit
+    *    instead of a silent degradation.
+    */
+  def commitPoint(manifest: HPath): ManifestCommitPoint =
+    commitPointForScheme(fs.getScheme, manifest)
+
+  private[graft] def commitPointForScheme(scheme: String,
+      manifest: HPath): ManifestCommitPoint = scheme match {
     case "file" => new LocalFsCommitPoint(this, manifest)
-    case s if ManifestStore.NonAtomicRenameSchemes(s) =>
-      throw new UnsupportedOperationException(
-        s"scheme '$s' has no atomic rename; manifest commits need a " +
-          "conditional-PUT ManifestCommitPoint (see RenameCommitPoint docs)")
-    case _ => new RenameCommitPoint(this, manifest)
+    case s =>
+      ManifestStore.compareAndPutFor(s) match {
+        case Some(cp) => new ConditionalPutCommitPoint(cp, manifest.toString)
+        case None if ManifestStore.NonAtomicRenameSchemes(s) =>
+          throw new UnsupportedOperationException(
+            s"scheme '$s' has no atomic rename; register a CompareAndPut " +
+              s"for it (ManifestStore.registerCompareAndPut(\"$s\", ...)) " +
+              "mapping putIfGeneration onto the store's conditional write " +
+              "— on S3: PUT with If-Match on the previous manifest's ETag " +
+              "(If-None-Match: * for generation 1), HTTP 412 -> false")
+        case None if conf.getBoolean(ManifestStore.SingleWriterKey, false) =>
+          new RenameCommitPoint(this, manifest)
+        case None =>
+          throw new UnsupportedOperationException(
+            s"scheme '$s' renames atomically but cannot exclude concurrent " +
+              "manifest writers (a lost commit drops splits or undoes a " +
+              "compaction swap); either register a CompareAndPut for the " +
+              s"scheme or set ${ManifestStore.SingleWriterKey}=true to " +
+              "accept a strictly single-writer deployment")
+      }
   }
 
   /** Stored manifest generation (0 = no manifest). */
@@ -88,6 +118,27 @@ object ManifestStore {
     * manifest publish primitive. */
   private val NonAtomicRenameSchemes =
     Set("s3", "s3a", "s3n", "gs", "oss", "cos", "swift")
+
+  /** Hadoop-conf opt-in accepting [[RenameCommitPoint]]'s lack of
+    * cross-writer exclusion on remote atomic-rename schemes. */
+  val SingleWriterKey = "graft.manifest.single-writer"
+
+  private val compareAndPuts =
+    new java.util.concurrent.ConcurrentHashMap[String, CompareAndPut]()
+
+  /** Install the conditional-write primitive for a URI scheme; every
+    * catalog whose root uses that scheme routes manifest commits through
+    * it. This is the deployment hook for S3-family roots: implement
+    * [[CompareAndPut.putIfGeneration]] with the store SDK's conditional
+    * PUT and register it once at startup. */
+  def registerCompareAndPut(scheme: String, cp: CompareAndPut): Unit =
+    compareAndPuts.put(scheme, cp): Unit
+
+  def unregisterCompareAndPut(scheme: String): Unit =
+    compareAndPuts.remove(scheme): Unit
+
+  private[engine] def compareAndPutFor(scheme: String): Option[CompareAndPut] =
+    Option(compareAndPuts.get(scheme))
 }
 
 /** The one strongly consistent operation in the engine: publish the
@@ -175,4 +226,55 @@ final class RenameCommitPoint(store: ManifestStore, manifest: HPath)
     fc.rename(tmp, manifest, Options.Rename.OVERWRITE)
     true
   }
+}
+
+/** The conditional-write primitive of a store with native compare-and-put
+  * semantics: publish `bytes` at `path` as generation `gen` if and only
+  * if the stored generation is `gen - 1` (0 = nothing stored yet), all in
+  * ONE store-side atomic operation. Mappings onto real stores:
+  *
+  *  - S3: `PUT` with `If-Match: <etag of the gen-1 object>`
+  *    (`If-None-Match: *` when gen == 1); HTTP 412 → false. The
+  *    implementation tracks the last-read ETag alongside the generation
+  *    (a GET on 412/unknown refreshes both), exactly the reference's
+  *    Postgres-insert atomicity re-expressed
+  *    (`/root/reference/src/commands/mod.rs:178-187`).
+  *  - GCS: `x-goog-if-generation-match`.
+  *  - DynamoDB / any SQL store: conditional insert keyed on (path, gen).
+  *
+  * Implementations must be safe under concurrent callers from multiple
+  * processes — that is the entire point. */
+trait CompareAndPut {
+  def putIfGeneration(path: String, bytes: Array[Byte], gen: Long): Boolean
+}
+
+/** [[ManifestCommitPoint]] over a [[CompareAndPut]]: the store's own
+  * conditional write IS the CAS, so there is no lock file and no
+  * check-then-act window at all — the strongest commit point of the
+  * three, available wherever the store offers one. */
+final class ConditionalPutCommitPoint(cp: CompareAndPut, path: String)
+    extends ManifestCommitPoint {
+  def commit(gen: Long, bytes: Array[Byte]): Boolean =
+    cp.putIfGeneration(path, bytes, gen)
+}
+
+/** In-memory [[CompareAndPut]] with exactly the S3 conditional-PUT
+  * semantics (atomic compare of the stored generation, first writer
+  * wins): the reference implementation the commit-point race tests run
+  * against, and the template an SDK-backed implementation must match. */
+final class InMemoryCompareAndPut extends CompareAndPut {
+  private val objects =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Array[Byte])]()
+
+  def putIfGeneration(path: String, bytes: Array[Byte], gen: Long): Boolean = {
+    var won = false
+    objects.compute(path, (_, cur) => {
+      val stored = if (cur == null) 0L else cur._1
+      if (stored == gen - 1L) { won = true; (gen, bytes) } else cur
+    })
+    won
+  }
+
+  def read(path: String): Option[(Long, Array[Byte])] =
+    Option(objects.get(path))
 }

