@@ -78,9 +78,13 @@ object Main {
           }
           val ckpt = s"$root/checkpoints/$name"
           val interval = flags.getOrElse("commit-interval", "30 seconds")
+          // Non-`--stream` = the reference's batch Kafka mode: backfill
+          // from earliest to the current end offsets, then exit
+          // (Trigger.AvailableNow makes awaitTermination return at EOF).
+          val batch = !flags.contains("stream")
           val q = new StreamingIndexer(spark, cat)
             .startKafkaStream(name, bootstrap, topic, ckpt, interval,
-              earliest = !flags.contains("stream"))
+              earliest = batch, availableNow = batch)
           q.awaitTermination()
         } else if (flags.contains("stream")) {
           val ckpt = s"$root/checkpoints/$name"

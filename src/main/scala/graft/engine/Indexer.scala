@@ -45,13 +45,10 @@ final class Indexer(spark: SparkSession, catalog: Catalog) {
 
     val id = newSplitId()
     val dir = catalog.splitDir(indexName, id)
-    typed.write.mode("overwrite")
-      .option("maxRecordsPerFile", Indexer.MaxRecordsPerFile)
-      .parquet(dir)
-
-    // One stats+count pass over the written files gates empty batches and
-    // fills the manifest entry.
-    val split = Indexer.splitStats(spark, d, dir, id)
+    // ONE job: the write pass carries the stats aggregates as observed
+    // metrics, gating empty batches and filling the manifest entry without
+    // re-reading what was just written.
+    val split = Indexer.writeSplit(spark, d, typed, dir, id)
     if (split.numDocs == 0) {
       catalog.deleteDirBestEffort(dir)
       None
@@ -157,10 +154,40 @@ object Indexer {
     * keeping the manifest O(bytes) per split. */
   val DictCap = 16
 
-  /** Per-split statistics for manifest-level pruning plus the row count,
-    * computed in one aggregate pass over the freshly written split (a
-    * metadata-cheap column scan — Parquet prunes to just the stat
-    * columns):
+  private def tsFieldOf(d: SchemaDerivation) =
+    d.config.schema.timeField.flatMap(d.byFlatName.get).filter {
+      _.fieldType.isInstanceOf[graft.config.DateTimeField]
+    }
+  private def numFieldsOf(d: SchemaDerivation) = d.resolved.filter { rf =>
+    !rf.array && (rf.fieldType match {
+      case n: graft.config.NumberField => n.indexed || n.fast
+      case _                           => false
+    })
+  }
+  private def dictFieldsOf(d: SchemaDerivation) = d.resolved.filter { rf =>
+    !rf.array && (rf.fieldType match {
+      case t: graft.config.TextField => t.tokenizer.contains("raw")
+      case _                         => false
+    })
+  }
+  // IP zone maps: the canonical 16 bytes as fixed-width uppercase hex —
+  // string min/max ≡ unsigned byte order ≡ numeric IP order.
+  private def ipFieldsOf(d: SchemaDerivation) = d.resolved.filter { rf =>
+    !rf.array && (rf.fieldType match {
+      case ip: graft.config.IpField => ip.indexed || ip.fast
+      case _                        => false
+    })
+  }
+  // Term-digest inputs: every text field's ingest-time terms array plus
+  // the catch-all — the same single pass builds the per-split Bloom
+  // filters that let term queries prune splits at the manifest level.
+  private def digestFieldsOf(d: SchemaDerivation): List[String] =
+    d.termsFields.map(_._1) :+ graft.config.SchemaDerivation.Dynamic
+
+  /** The per-split statistics aggregate list — shared verbatim between
+    * the ingest write pass ([[Indexer.writeSplit]]'s `Dataset.observe`)
+    * and the read-back fallback ([[splitStats]]), so both produce
+    * identical manifests:
     *
     *  - numDocs (fused here so callers skip a separate count job);
     *  - time_field min/max in epoch micros;
@@ -168,65 +195,40 @@ object Indexer {
     *    widened one ulp so Long→Double rounding stays conservative;
     *  - complete value dictionaries (≤ [[DictCap]] distinct values) for
     *    indexed non-array raw-tokenizer text fields, via the bounded-set
-    *    aggregate ([[graft.exprs.BoundedSetAgg]]) in the same pass —
-    *    executor state is capped, so no cardinality probe is needed.
+    *    aggregate ([[graft.exprs.BoundedSetAgg]]) — executor state is
+    *    capped, so no cardinality probe is needed;
+    *  - token Bloom digests per text field + catch-all ([[TokenBloomAgg]],
+    *    fixed-size state, shrunk driver-side).
     */
-  def splitStats(spark: SparkSession, d: SchemaDerivation, splitDir: String,
-      id: String): SplitInfo = {
-    val tsField = d.config.schema.timeField.flatMap(d.byFlatName.get).filter {
-      _.fieldType.isInstanceOf[graft.config.DateTimeField]
-    }
-    val numFields = d.resolved.filter { rf =>
-      !rf.array && (rf.fieldType match {
-        case n: graft.config.NumberField => n.indexed || n.fast
-        case _                           => false
-      })
-    }
-    val dictFields = d.resolved.filter { rf =>
-      !rf.array && (rf.fieldType match {
-        case t: graft.config.TextField => t.tokenizer.contains("raw")
-        case _                         => false
-      })
-    }
-    // IP zone maps: the canonical 16 bytes as fixed-width uppercase hex —
-    // string min/max ≡ unsigned byte order ≡ numeric IP order.
-    val ipFields = d.resolved.filter { rf =>
-      !rf.array && (rf.fieldType match {
-        case ip: graft.config.IpField => ip.indexed || ip.fast
-        case _                        => false
-      })
-    }
-
-    // Term-digest inputs: every text field's ingest-time terms array plus
-    // the catch-all — the same single pass builds the per-split Bloom
-    // filters that let term queries prune splits at the manifest level.
-    val digestFields: List[String] =
-      d.termsFields.map(_._1) :+ graft.config.SchemaDerivation.Dynamic
+  private def statsAggs(d: SchemaDerivation): List[org.apache.spark.sql.Column] = {
     def termsCol(flat: String) =
       col(s"`${graft.config.SchemaDerivation.Terms}`").getField(flat)
-
-    val df = spark.read.schema(d.storageSchema).parquet(splitDir)
-    val aggs: List[org.apache.spark.sql.Column] =
-      count(lit(1)).as("__n") ::
-      tsField.toList.flatMap(rf =>
+    count(lit(1)).as("__n") ::
+      tsFieldOf(d).toList.flatMap(rf =>
         List(min(rf.column).as("__ts_mn"), max(rf.column).as("__ts_mx"))) ++
-      numFields.flatMap(rf => List(
+      numFieldsOf(d).flatMap(rf => List(
         min(rf.column).cast("double").as(s"__mn__${rf.flatName}"),
         max(rf.column).cast("double").as(s"__mx__${rf.flatName}"))) ++
-      ipFields.flatMap(rf => List(
+      ipFieldsOf(d).flatMap(rf => List(
         min(hex(rf.column)).as(s"__ipmn__${rf.flatName}"),
         max(hex(rf.column)).as(s"__ipmx__${rf.flatName}"))) ++
-      dictFields.map(rf =>
+      dictFieldsOf(d).map(rf =>
         graft.exprs.BoundedSetAgg.boundedSet(rf.column, DictCap)
           .as(s"__dict__${rf.flatName}")) ++
-      digestFields.map(f =>
+      digestFieldsOf(d).map(f =>
         TokenBloomAgg.tokenBloom(termsCol(f)).as(s"__bloom__$f"))
-    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val numDocs = row.getAs[Long]("__n")
+  }
+
+  /** Build the [[SplitInfo]] (and write the term-digest sidecar) from one
+    * stats row, addressed by aggregate alias — `get` abstracts over a
+    * collected `Row` and an observed-metrics map. */
+  private def splitInfoFrom(spark: SparkSession, d: SchemaDerivation,
+      get: String => Any, splitDir: String, id: String): SplitInfo = {
+    val numDocs = get("__n").asInstanceOf[Long]
     if (numDocs == 0) return SplitInfo(id, 0)
 
     def micros(name: String): Option[Long] =
-      Option(row.getAs[Any](name)).map {
+      Option(get(name)).map {
         case t: java.sql.Timestamp =>
           t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
         case t: java.time.Instant =>
@@ -237,20 +239,21 @@ object Indexer {
         case other => sys.error(s"unexpected timestamp type: ${other.getClass}")
       }
     val (minTs, maxTs) =
-      if (tsField.isDefined) (micros("__ts_mn"), micros("__ts_mx")) else (None, None)
+      if (tsFieldOf(d).isDefined) (micros("__ts_mn"), micros("__ts_mx"))
+      else (None, None)
 
-    val numStats = numFields.flatMap { rf =>
-      (Option(row.getAs[Any](s"__mn__${rf.flatName}")),
-        Option(row.getAs[Any](s"__mx__${rf.flatName}"))) match {
+    val numStats = numFieldsOf(d).flatMap { rf =>
+      (Option(get(s"__mn__${rf.flatName}")),
+        Option(get(s"__mx__${rf.flatName}"))) match {
         case (Some(mn: Double), Some(mx: Double)) if !mn.isNaN && !mx.isNaN =>
           Some(rf.flatName -> (Math.nextDown(mn), Math.nextUp(mx)))
         case _ => None
       }
     }.toMap
 
-    val hexStats = ipFields.flatMap { rf =>
-      (Option(row.getAs[String](s"__ipmn__${rf.flatName}")),
-        Option(row.getAs[String](s"__ipmx__${rf.flatName}"))) match {
+    val hexStats = ipFieldsOf(d).flatMap { rf =>
+      (Option(get(s"__ipmn__${rf.flatName}")).map(_.asInstanceOf[String]),
+        Option(get(s"__ipmx__${rf.flatName}")).map(_.asInstanceOf[String])) match {
         case (Some(mn), Some(mx)) => Some(rf.flatName -> (mn, mx))
         case _                    => None
       }
@@ -260,8 +263,9 @@ object Indexer {
     // "field has too many distinct values, no dictionary"; the state is
     // bounded on the executors regardless of cardinality, so this runs
     // inside the single stats pass (no probe, no second scan).
-    val dicts = dictFields.flatMap { rf =>
-      val vals = row.getAs[scala.collection.Seq[String]](s"__dict__${rf.flatName}")
+    val dicts = dictFieldsOf(d).flatMap { rf =>
+      val vals = get(s"__dict__${rf.flatName}")
+        .asInstanceOf[scala.collection.Seq[String]]
       if (vals != null && vals.size <= DictCap) Some(rf.flatName -> vals.toList)
       else None
     }.toMap
@@ -272,8 +276,8 @@ object Indexer {
     // the Parquet reader (`_` prefix). The manifest entry carries only the
     // sidecar's md5, keeping the hot-path manifest read small while giving
     // the searcher an exact cache key for the lazily fetched digests.
-    val digests = digestFields.flatMap { f =>
-      Option(row.getAs[Array[Byte]](s"__bloom__$f"))
+    val digests = digestFieldsOf(d).flatMap { f =>
+      Option(get(s"__bloom__$f")).map(_.asInstanceOf[Array[Byte]])
         .flatMap(TermDigest.shrinkBytes).map(f -> _)
     }.toMap
     val digestMd5 =
@@ -289,5 +293,48 @@ object Indexer {
 
     SplitInfo(id, numDocs, minTs, maxTs, numStats, dicts, hexStats,
       digest = digestMd5)
+  }
+
+  /** Write one split AND compute its manifest stats in the same job:
+    * the stats aggregates ride the write pass as observed metrics
+    * (`Dataset.observe` — partial aggregation inside the write tasks,
+    * merged on the driver), so batch ingest reads every byte once instead
+    * of re-scanning the written files for stats. Falls back to the
+    * read-back scan ([[splitStats]]) if the metrics don't surface (e.g. a
+    * future execution path that bypasses the listener) — same aggregates,
+    * identical result, just a second job. */
+  private[graft] def writeSplit(spark: SparkSession, d: SchemaDerivation,
+      typed: org.apache.spark.sql.DataFrame, splitDir: String,
+      id: String): SplitInfo = {
+    val obs = org.apache.spark.sql.Observation(s"graft-stats-$id")
+    val aggs = statsAggs(d)
+    typed.observe(obs, aggs.head, aggs.tail: _*)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", MaxRecordsPerFile)
+      .parquet(splitDir)
+    // The metrics future is normally already complete here (the execution
+    // listener fires synchronously at action end); the bounded wait +
+    // fallback guards any path where it doesn't.
+    val metrics: Option[org.apache.spark.sql.Row] =
+      try Some(scala.concurrent.Await.result(obs.future,
+        scala.concurrent.duration.Duration(30, "seconds")))
+      catch { case _: java.util.concurrent.TimeoutException => None }
+    metrics match {
+      case Some(row) => splitInfoFrom(spark, d, name => row.getAs[Any](name), splitDir, id)
+      case None      => splitStats(spark, d, splitDir, id)
+    }
+  }
+
+  /** Read-back stats pass over an already-written split — the merge path
+    * (whose writer input is a shuffled repartition, where a stats observe
+    * would aggregate pre-shuffle rows just the same, but the re-read is
+    * of freshly compacted, page-cached files) and the fallback for
+    * [[writeSplit]]. Same aggregates, same [[SplitInfo]]. */
+  def splitStats(spark: SparkSession, d: SchemaDerivation, splitDir: String,
+      id: String): SplitInfo = {
+    val df = spark.read.schema(d.storageSchema).parquet(splitDir)
+    val aggs = statsAggs(d)
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    splitInfoFrom(spark, d, name => row.getAs[Any](name), splitDir, id)
   }
 }

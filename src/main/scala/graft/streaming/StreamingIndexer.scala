@@ -46,10 +46,10 @@ final class StreamingIndexer(spark: SparkSession, catalog: Catalog) {
     val prefix = if (runTag.isEmpty) "" else s"run-$runTag-"
     val id = f"${prefix}batch-$batchId%012d"
     val dir = catalog.splitDir(indexName, id)
-    typed.write.mode("overwrite")
-      .option("maxRecordsPerFile", graft.engine.Indexer.MaxRecordsPerFile)
-      .parquet(dir)
-    val split = graft.engine.Indexer.splitStats(spark, d, dir, id)
+    // Single-pass write + stats (observed metrics), same as batch ingest;
+    // a foreachBatch body runs ordinary batch actions, so the metrics
+    // surface the same way (with the read-back fallback if not).
+    val split = graft.engine.Indexer.writeSplit(spark, d, typed, dir, id)
     if (split.numDocs == 0) {
       // The overwrite above already emptied the split dir; if an earlier
       // run of this batch HAD committed rows (replay after source
@@ -93,10 +93,18 @@ final class StreamingIndexer(spark: SparkSession, catalog: Catalog) {
   /** Stream a Kafka topic (`kafka://host:port/topic` in the reference's URL
     * scheme, `kafka_source.rs:167-182`). Requires the Kafka connector on
     * the classpath; not exercised in local CI (no broker), same contract as
-    * the file source. */
+    * the file source.
+    *
+    * `availableNow = true` is the reference's BATCH Kafka mode (read
+    * earliest → current end offsets, then exit — `kafka_source.rs`'s
+    * non-stream path): `Trigger.AvailableNow` drains everything available
+    * at start in micro-batches through the same checkpointed, idempotent
+    * commit path, then terminates the query, so `awaitTermination()`
+    * returns instead of serving forever. Combine with `earliest = true`
+    * for whole-topic backfill (the CLI's non-`--stream` form). */
   def startKafkaStream(indexName: String, bootstrap: String, topic: String,
       checkpointDir: String, commitInterval: String = "30 seconds",
-      earliest: Boolean = false): StreamingQuery = {
+      earliest: Boolean = false, availableNow: Boolean = false): StreamingQuery = {
     val lines = spark.readStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
@@ -104,7 +112,7 @@ final class StreamingIndexer(spark: SparkSession, catalog: Catalog) {
       .option("startingOffsets", if (earliest) "earliest" else "latest")
       .load()
       .select(StreamingIndexer.kafkaValueProjection)
-    startStream(indexName, lines, checkpointDir, commitInterval, availableNow = false)
+    startStream(indexName, lines, checkpointDir, commitInterval, availableNow)
   }
 
   /** Stream ANY source DataFrame carrying a string `value` column — the

@@ -175,4 +175,55 @@ class PlanSpec extends AnyFunSuite {
     assert(keyLines.exists(_.contains("cell")),
       s"candidate join must key on cell:\n$plan")
   }
+
+  test("batch ingest is ONE job; observed stats equal the read-back scan") {
+    val root = Files.createTempDirectory("graft-onejob").toString
+    val cat = new Catalog(root)
+    cat.create(
+      """version: 1
+        |name: onejob
+        |path: /tmp/unused
+        |schema:
+        |  time_field: ts
+        |  fields:
+        |    - name: ts
+        |      type: !datetime
+        |        formats: [rfc3339]
+        |    - name: n
+        |      type: !number
+        |        type: i64
+        |    - name: sev
+        |      type: !text
+        |        indexed:
+        |          tokenizer: raw
+        |    - name: msg
+        |      type: !text
+        |""".stripMargin)
+    val doc = Files.createTempFile("onejob", ".jsonl")
+    Files.write(doc, (1 to 50).map(i =>
+      s"""{"ts": "2024-01-${"%02d".format(i % 28 + 1)}T00:00:00Z", "n": $i, "sev": "INFO", "msg": "event number $i"}""")
+      .mkString("\n").getBytes("UTF-8"))
+
+    // stats ride the write as observed metrics: the whole ingest (write +
+    // count + zone maps + dicts + term digests) is exactly one Spark job
+    val sc = spark.sparkContext
+    sc.setJobGroup("onejob-ingest", "ingest", interruptOnCancel = false)
+    val committed =
+      try new Indexer(spark, cat).indexFile("onejob", doc.toString).get
+      finally sc.clearJobGroup()
+    val jobs = sc.statusTracker.getJobIdsForGroup("onejob-ingest")
+    assert(jobs.length == 1, s"batch ingest must be one job, ran ${jobs.length}")
+
+    // the fallback read-back scan reproduces the manifest entry EXACTLY
+    // (same aggregate list, same digest sidecar bytes -> same md5)
+    val d = new graft.config.SchemaDerivation(cat.load("onejob"))
+    val rescan = Indexer.splitStats(spark, d,
+      cat.splitDir("onejob", committed.id), committed.id)
+    assert(rescan == committed,
+      s"observe-pass and scan-pass stats must agree:\n  $committed\n  $rescan")
+    assert(committed.numDocs == 50 && committed.minTs.isDefined &&
+      committed.numStats.contains("n") && committed.dicts.contains("sev") &&
+      committed.digest.isDefined)
+    cat.drop("onejob")
+  }
 }

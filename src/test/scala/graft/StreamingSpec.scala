@@ -183,6 +183,48 @@ class StreamingSpec extends AnyFunSuite {
       "replayed batch must overwrite its split, not duplicate it")
   }
 
+  test("kafka-shaped batch mode: AvailableNow drains to EOF, then the query terminates") {
+    // The reference's non-stream Kafka ingest reads earliest -> current end
+    // offsets and exits (kafka_source.rs batch path). Same contract-test
+    // shape as above: a MemoryStream of raw bytes through
+    // kafkaValueProjection + startStream, but with availableNow = true —
+    // the query must drain what exists, commit through the idempotent
+    // path, and terminate on its own (no stop()).
+    val root = Files.createTempDirectory("graft-kafka-batch").toString
+    val ckpt = Files.createTempDirectory("kafka-batch-ckpt").toString
+    val cat = new Catalog(root)
+    cat.create(
+      """version: 1
+        |name: kbatch_test
+        |path: /tmp/unused
+        |schema:
+        |  fields:
+        |    - name: n
+        |      type: !number
+        |        type: i64
+        |""".stripMargin)
+    val streamer = new StreamingIndexer(spark, cat)
+
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Array[Byte]]
+    val lines = source.toDF().select(StreamingIndexer.kafkaValueProjection)
+    source.addData("""{"n": 1}""".getBytes("UTF-8"), """{"n": 2}""".getBytes("UTF-8"))
+
+    val q = streamer.startStream("kbatch_test", lines, ckpt, availableNow = true)
+    assert(q.awaitTermination(60000), "AvailableNow query must self-terminate at EOF")
+    assert(cat.liveSplits("kbatch_test").map(_.numDocs).sum == 2)
+
+    // a later batch invocation from the same checkpoint picks up only NEW
+    // data (offsets persisted), the incremental-backfill shape
+    source.addData("""{"n": 3}""".getBytes("UTF-8"))
+    val q2 = streamer.startStream("kbatch_test", lines, ckpt, availableNow = true)
+    assert(q2.awaitTermination(60000))
+    assert(cat.liveSplits("kbatch_test").map(_.numDocs).sum == 3)
+    assert(new Searcher(spark, cat).search("kbatch_test", "n:3", 1) ==
+      Seq("""{"n":3}"""))
+  }
+
   test("streaming auto-compaction converges splits, sparing the newest") {
     val root = Files.createTempDirectory("graft-autocompact").toString
     val srcDir = Files.createTempDirectory("ac-src").toString
