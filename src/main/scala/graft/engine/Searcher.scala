@@ -73,13 +73,17 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
     // wrapping the comparison in coalesce() blocks Parquet filter pushdown
     // (caught by PlanSpec — the scan lost its PushedFilters line).
     val matched = df.where(pred)
-    // Pure-filter queries (no text terms: match-all, ranges, boolean/number
-    // terms) have a constant score — skip the corpus-stats job and the
-    // top-K sort entirely; a plain limit is the reference's own unscored
-    // arrival-order semantics (`search.rs:206-216`) and turns into
-    // incremental job launch instead of a global TakeOrdered. `scored =
-    // false` forces this path for text queries too.
-    if (!req.scored || scoringTerms(d, ast, req.fields).isEmpty)
+    // Queries whose matches all score identically — match-all, ranges,
+    // boolean/number terms, and automaton clauses (fuzzy/prefix/IN, const
+    // 1.0 in tantivy) at ONE uniform boost — need no ranking: skip the
+    // corpus-stats job and the top-K sort entirely; a plain limit is the
+    // reference's own unscored arrival-order semantics
+    // (`search.rs:206-216`, any order is valid under all-equal scores)
+    // and turns into incremental job launch instead of a global
+    // TakeOrdered. `scored = false` forces this path for text queries too.
+    val uniformScore = scoringTerms(d, ast, req.fields).isEmpty &&
+      constScoringClauses(ast).map(_._2).distinct.lengthCompare(1) <= 0
+    if (!req.scored || uniformScore)
       matched.limit(limit).select(outputJson(d).as("doc"))
     else
       matched.withColumn("__score", scoreColumn(d, df, ast, version, req.fields))
@@ -245,6 +249,23 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
       .map { case ((f, tk), hits) => (f, tk, hits.map(_._3).max) }.toList
   }
 
+  /** Constant-score clauses, tantivy parity: automaton-backed queries —
+    * fuzzy, prefix, `IN [..]` term sets — score a flat `1.0 × boost` per
+    * matching clause there (ConstScorer), not BM25; boolean scoring sums
+    * every matching non-MustNot clause. Ranges/comparisons are left
+    * unscored as a documented divergence (SURVEY §2.4): they are filters
+    * in every realistic query, and under a conjunction a uniform constant
+    * shifts all scores equally, never the order. */
+  private def constScoringClauses(ast: Ast,
+      boost: Double = 1.0): List[(Ast, Double)] = ast match {
+    case a @ (_: Ast.Fuzzy | _: Ast.Prefix | _: Ast.InSet) => List(a -> boost)
+    case Ast.Bool(cs) =>
+      cs.collect { case (o, x) if o != Occur.MustNot =>
+        constScoringClauses(x, boost) }.flatten
+    case Ast.Boost(x, b) => constScoringClauses(x, boost * b)
+    case _ => Nil
+  }
+
   /** Terms-array accessor for a scoring field (declared text field or a
     * path into `_dynamic`). */
   private def termsAccessor(d: SchemaDerivation, flat: String): Option[Column] =
@@ -279,7 +300,17 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
   private def scoreColumn(d: SchemaDerivation, corpus: DataFrame, ast: Ast,
       splitsVersion: String, defaultFields: Option[List[String]] = None): Column = {
     val terms = scoringTerms(d, ast, defaultFields)
-    if (terms.isEmpty) return lit(0.0)
+    // Constant contributions (tantivy ConstScorer parity — see
+    // [[constScoringClauses]]): each matching fuzzy/prefix/IN clause adds
+    // its flat boost, no corpus stats needed.
+    val compiler = new QueryCompiler(d, defaultFields)
+    val constParts: List[Column] = constScoringClauses(ast).map {
+      case (node, boost) =>
+        when(coalesce(compiler.compileAst(node), lit(false)), lit(boost))
+          .otherwise(lit(0.0))
+    }
+    if (terms.isEmpty)
+      return constParts.reduceOption(_ + _).getOrElse(lit(0.0))
 
     val perField = terms.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     // Aliases hash (field, token) through md5: a plain `df__$flat__$tok`
@@ -338,7 +369,7 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
         coalesce(lit(boost * idf) * tf * lit(K1 + 1.0) / denom, lit(0.0))
       }
     }
-    parts.reduceOption(_ + _).getOrElse(lit(0.0))
+    (parts ++ constParts).reduceOption(_ + _).getOrElse(lit(0.0))
   }
 
   // ---- output -----------------------------------------------------------

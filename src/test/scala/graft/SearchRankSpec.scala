@@ -36,6 +36,44 @@ class SearchRankSpec extends AnyFunSuite {
   private def ids(results: Seq[String]): Seq[Long] =
     results.map(s => """"id":(\d+)""".r.findFirstMatchIn(s).get.group(1).toLong)
 
+  test("automaton clauses (fuzzy/prefix/IN) add a constant 1.0 x boost, tantivy-style") {
+    // tantivy scores automaton-backed queries (FuzzyTermQuery, prefix,
+    // TermSetQuery) with a flat ConstScorer(1.0 * boost), while Term and
+    // Phrase get BM25; a boolean query sums every matching clause. Pin the
+    // mixed-query ordering that semantics produces (VERDICT r3 item 9).
+    val (_, search, name) = mkIndex(Seq(
+      """{"id": 1, "body": "alpha zebulon"}""",
+      """{"id": 2, "body": "alpha common words"}""",
+      """{"id": 3, "body": "zebulon common words"}""",
+      """{"id": 4, "body": "common words only here"}"""))
+
+    // BM25(alpha) ~ 0.96 for both matchers; fuzzy adds flat 1.0:
+    // doc 1 (both) > doc 3 (fuzzy only, 1.0) > doc 2 (term only, ~0.96)
+    val mixed = ids(search.search(name, "body:alpha OR body:zebulun~1", 10))
+    assert(mixed == Seq(1L, 3L, 2L), s"got $mixed")
+
+    // boost scales the constant: fuzzy^3 (3.0) outranks term+prefix
+    // (BM25(alpha) ~0.96 + 1.0) — doc 3 above docs 1 and 2
+    val boosted = ids(search.search(name, "body:zebulun~1^3 OR body:alpha OR body:comm*", 10))
+    assert(boosted.head == 3L, s"got $boosted")
+    // doc 1 (alpha BM25 + fuzzy 3.0 ... ) — doc 1 matches fuzzy too, so it
+    // carries 3.0 + BM25(alpha): top overall is actually doc 1
+    assert(boosted.take(2).toSet == Set(1L, 3L), s"got $boosted")
+
+    // differing const boosts alone force the scored path and rank by boost
+    val constOnly = ids(search.search(name, "body:zebulun~1^2 OR body:comm*", 10))
+    assert(constOnly.head == 1L || constOnly.head == 3L, s"got $constOnly")
+    assert(constOnly.toSet == Set(1L, 2L, 3L, 4L), s"got $constOnly")
+    // docs matching fuzzy (2.0) before prefix-only (1.0)
+    assert(constOnly.indexOf(2L) > constOnly.indexOf(1L) &&
+      constOnly.indexOf(2L) > constOnly.indexOf(3L), s"got $constOnly")
+
+    // uniform-boost automaton query: every match scores the same — result
+    // SET is the contract (arrival-order fast path)
+    val uniform = ids(search.search(name, "body:zebulun~1", 10))
+    assert(uniform.toSet == Set(1L, 3L))
+  }
+
   test("term frequency and doc length drive BM25 order") {
     val (_, search, name) = mkIndex(Seq(
       """{"id": 1, "body": "alpha beta gamma delta epsilon zeta eta theta"}""",
