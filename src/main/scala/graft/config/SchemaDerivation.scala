@@ -231,19 +231,22 @@ final class SchemaDerivation(val config: IndexConfig) {
       value: Column): org.apache.spark.sql.DataFrame = {
     val (stage1, _, skip) = ingestStage1(value)
     val declared = fields.map(f => col(s"`${f.name}`"))
-    // Catch-all terms tokenize the residual JSON with escape sequences
-    // neutralized to spaces first: every JSON string escape (\n, \", \\,
-    // \uXXXX — the latter only rendered for control chars, themselves
-    // separators) decodes to a token SEPARATOR, but its raw text form
-    // glues onto the next run ("a\nb" would tokenize as [a, nb], losing
-    // the decoded token b). Neutralizing makes every token of every
-    // decoded string value a token of this array — which dynamic-path
-    // queries (they tokenize the DECODED value) and the per-split term
-    // digests both rely on.
+    // Catch-all terms tokenize the CANONICAL variant render (not the raw
+    // residual text) with escape sequences neutralized to spaces. Raw
+    // input may escape anything (`"abc"`), so its token stream can
+    // miss decoded tokens; the canonical render only ever escapes
+    // control characters, quotes, and backslashes — all of which decode
+    // to token SEPARATORS — so after neutralizing `\uXXXX` units and
+    // two-char escapes, every token of every decoded string value is a
+    // token of this array. Dynamic-path queries (which tokenize the
+    // DECODED value at query time) and the per-split term digests both
+    // rely on exactly that subset property; without neutralization
+    // "a\nb" would tokenize as [a, nb] and hide token b.
     val termsStruct = struct(
       termsFields.map { case (flat, _, _) => col(s"`__t__$flat`").as(flat) } :+
         TextFunctions.tokenize(
-          regexp_replace(col(DynJsonTmp), "\\\\.", " "), "default").as(Dynamic): _*)
+          regexp_replace(to_json(col(Dynamic)),
+            "\\\\u[0-9a-fA-F]{4}|\\\\.", " "), "default").as(Dynamic): _*)
     lines
       .where(value.isNotNull && length(trim(value)) > 0)
       .where(!coalesce(skip, lit(true)))
@@ -261,9 +264,9 @@ final class SchemaDerivation(val config: IndexConfig) {
       value: Column): (Seq[(Column, Option[String])], List[Column], Column) = {
     val parsed = from_json(value, rawParseSchema)
     val perField = fields.map(f => typedField(f, parsed, Nil, value))
-    // The residual JSON text is computed once and kept under a temp name:
-    // storage gets its variant encoding (format-2 splits), the catch-all
-    // terms tokenize the same text in stage 2 without re-serializing.
+    // The residual JSON text feeds the variant encoding (format-2
+    // storage); the catch-all terms tokenize the canonical render of that
+    // variant in stage 2 (the temp text column is pruned away unused).
     val dynJson = expand_dots_json(json_residual(value, topLevelNames))
     val dynamicCol = try_parse_json(dynJson).as(Dynamic)
 

@@ -79,9 +79,10 @@ object Catalog {
 
   /** Memoized term-digest sidecars, keyed by catalog root + index + split
     * id + sidecar md5 (exact content identity — see [[Catalog.loadDigests]]).
-    * Values are a few KB each; the size bound guards long-lived sessions. */
+    * Only successful loads are stored (failures retry on the next query);
+    * values are a few KB each; the size bound guards long-lived sessions. */
   private val digestCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Option[Map[String, TermDigest]]]()
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, TermDigest]]()
 
   /** Read a set of splits as one DataFrame, upgrading format-1 splits
     * (`_dynamic` as JSON text) to the current in-memory shape (variant)
@@ -202,20 +203,31 @@ final class Catalog(rootDir: String,
   /** Lazily fetch + memoize a split's term digests. The cache key includes
     * the manifest-recorded sidecar md5, so a replayed/rewritten split id
     * can never serve stale filters; a missing, unreadable, or
-    * hash-mismatched sidecar yields None (= never prune). Digests are
-    * fetched once per split per process and amortize across every query. */
+    * hash-mismatched sidecar yields None (= never prune) WITHOUT caching
+    * — a transient store error must not disable pruning for the split
+    * for the rest of the process. get → fetch → putIfAbsent, not
+    * computeIfAbsent: the sidecar read is remote IO and must not run
+    * under the CHM bin lock (racing threads fetch redundantly; identical
+    * content either way). Successful digests are fetched once per split
+    * per process and amortize across every query. */
   def loadDigests(name: String, s: SplitInfo): Option[Map[String, TermDigest]] =
     s.digest.flatMap { md5 =>
       val key = s"$catalogRoot#$name#${s.id}#$md5"
-      if (Catalog.digestCache.size > 4096) Catalog.digestCache.clear()
-      Catalog.digestCache.computeIfAbsent(key, _ =>
-        try {
-          val p = new HPath(splitDir(name, s.id), TermDigest.SidecarName)
-          store.readString(p).filter(text =>
-            TermDigest.md5HexBytes(
-              text.getBytes(java.nio.charset.StandardCharsets.UTF_8)) == md5)
-            .map(TermDigest.parseAll)
-        } catch { case scala.util.control.NonFatal(_) => None })
+      Option(Catalog.digestCache.get(key)).orElse {
+        val loaded =
+          try {
+            val p = new HPath(splitDir(name, s.id), TermDigest.SidecarName)
+            store.readString(p).filter(text =>
+              TermDigest.md5HexBytes(
+                text.getBytes(java.nio.charset.StandardCharsets.UTF_8)) == md5)
+              .map(TermDigest.parseAll)
+          } catch { case scala.util.control.NonFatal(_) => None }
+        loaded.foreach { m =>
+          if (Catalog.digestCache.size > 4096) Catalog.digestCache.clear()
+          Catalog.digestCache.putIfAbsent(key, m)
+        }
+        loaded
+      }
     }
 
   /** Monotonic manifest generation — bumped by every committed write; the

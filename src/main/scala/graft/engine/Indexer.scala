@@ -200,9 +200,8 @@ object Indexer {
     *  - token Bloom digests per text field + catch-all ([[TokenBloomAgg]],
     *    fixed-size state, shrunk driver-side).
     */
-  private def statsAggs(d: SchemaDerivation): List[org.apache.spark.sql.Column] = {
-    def termsCol(flat: String) =
-      col(s"`${graft.config.SchemaDerivation.Terms}`").getField(flat)
+  /** Byte-sized-per-task aggregates: count, zone maps, dictionaries. */
+  private def scalarAggs(d: SchemaDerivation): List[org.apache.spark.sql.Column] =
     count(lit(1)).as("__n") ::
       tsFieldOf(d).toList.flatMap(rf =>
         List(min(rf.column).as("__ts_mn"), max(rf.column).as("__ts_mx"))) ++
@@ -214,10 +213,19 @@ object Indexer {
         max(hex(rf.column)).as(s"__ipmx__${rf.flatName}"))) ++
       dictFieldsOf(d).map(rf =>
         graft.exprs.BoundedSetAgg.boundedSet(rf.column, DictCap)
-          .as(s"__dict__${rf.flatName}")) ++
-      digestFieldsOf(d).map(f =>
-        TokenBloomAgg.tokenBloom(termsCol(f)).as(s"__bloom__$f"))
+          .as(s"__dict__${rf.flatName}"))
+
+  /** Bloom-digest aggregates — up to [[TermDigest.BuildBits]]/8 bytes of
+    * state per task per field. */
+  private def bloomAggs(d: SchemaDerivation): List[org.apache.spark.sql.Column] = {
+    def termsCol(flat: String) =
+      col(s"`${graft.config.SchemaDerivation.Terms}`").getField(flat)
+    digestFieldsOf(d).map(f =>
+      TokenBloomAgg.tokenBloom(termsCol(f)).as(s"__bloom__$f"))
   }
+
+  private def statsAggs(d: SchemaDerivation): List[org.apache.spark.sql.Column] =
+    scalarAggs(d) ++ bloomAggs(d)
 
   /** Build the [[SplitInfo]] (and write the term-digest sidecar) from one
     * stats row, addressed by aggregate alias — `get` abstracts over a
@@ -295,19 +303,31 @@ object Indexer {
       digest = digestMd5)
   }
 
-  /** Write one split AND compute its manifest stats in the same job:
-    * the stats aggregates ride the write pass as observed metrics
+  /** Observed-metric partials travel in task results to the driver (no
+    * executor-side tree merge), so the Bloom aggregates — up to 512 KB
+    * per field per task — only ride the write when the task count is
+    * bounded; beyond this, a wide backfill would ship gigabytes of
+    * accumulator payload (and trip spark.driver.maxResultSize). */
+  val ObserveBloomMaxTasks = 32
+
+  /** Write one split AND compute its manifest stats in the same job: the
+    * stats aggregates ride the write pass as observed metrics
     * (`Dataset.observe` — partial aggregation inside the write tasks,
     * merged on the driver), so batch ingest reads every byte once instead
-    * of re-scanning the written files for stats. Falls back to the
-    * read-back scan ([[splitStats]]) if the metrics don't surface (e.g. a
-    * future execution path that bypasses the listener) — same aggregates,
-    * identical result, just a second job. */
+    * of re-scanning the written files for stats. The scalar aggregates
+    * (bytes per task) always ride; the Bloom digests ride only for
+    * narrow inputs ([[ObserveBloomMaxTasks]] — streaming micro-batches,
+    * CLI files), and a WIDE backfill computes them in a column-pruned
+    * second scan of just the `_terms` struct — the shuffle-merged
+    * aggregation shape that actually scales to thousands of tasks.
+    * Falls back to the full read-back scan ([[splitStats]]) if the
+    * metrics don't surface — same aggregates, identical result. */
   private[graft] def writeSplit(spark: SparkSession, d: SchemaDerivation,
       typed: org.apache.spark.sql.DataFrame, splitDir: String,
       id: String): SplitInfo = {
+    val bloomsOnWrite = typed.rdd.getNumPartitions <= ObserveBloomMaxTasks
     val obs = org.apache.spark.sql.Observation(s"graft-stats-$id")
-    val aggs = statsAggs(d)
+    val aggs = if (bloomsOnWrite) statsAggs(d) else scalarAggs(d)
     typed.observe(obs, aggs.head, aggs.tail: _*)
       .write.mode("overwrite")
       .option("maxRecordsPerFile", MaxRecordsPerFile)
@@ -320,8 +340,21 @@ object Indexer {
         scala.concurrent.duration.Duration(30, "seconds")))
       catch { case _: java.util.concurrent.TimeoutException => None }
     metrics match {
-      case Some(row) => splitInfoFrom(spark, d, name => row.getAs[Any](name), splitDir, id)
-      case None      => splitStats(spark, d, splitDir, id)
+      case Some(row) if bloomsOnWrite =>
+        splitInfoFrom(spark, d, name => row.getAs[Any](name), splitDir, id)
+      case Some(row) =>
+        // lazy: splitInfoFrom short-circuits on numDocs == 0 before any
+        // bloom lookup, so empty batches never pay the scan
+        lazy val bloomRow = {
+          val ba = bloomAggs(d)
+          spark.read.schema(d.storageSchema).parquet(splitDir)
+            .agg(ba.head, ba.tail: _*).collect()(0)
+        }
+        splitInfoFrom(spark, d,
+          name => if (name.startsWith("__bloom__")) bloomRow.getAs[Any](name)
+            else row.getAs[Any](name),
+          splitDir, id)
+      case None => splitStats(spark, d, splitDir, id)
     }
   }
 

@@ -75,14 +75,16 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
     val matched = df.where(pred)
     // Queries whose matches all score identically — match-all, ranges,
     // boolean/number terms, and automaton clauses (fuzzy/prefix/IN, const
-    // 1.0 in tantivy) at ONE uniform boost — need no ranking: skip the
-    // corpus-stats job and the top-K sort entirely; a plain limit is the
-    // reference's own unscored arrival-order semantics
+    // 1.0 in tantivy) that every match necessarily satisfies — need no
+    // ranking: skip the corpus-stats job and the top-K sort entirely; a
+    // plain limit is the reference's own unscored arrival-order semantics
     // (`search.rs:206-216`, any order is valid under all-equal scores)
     // and turns into incremental job launch instead of a global
     // TakeOrdered. `scored = false` forces this path for text queries too.
+    // Optional const clauses (Shoulds, OR arms) score different matches
+    // differently, so their presence forces the scored path.
     val uniformScore = scoringTerms(d, ast, req.fields).isEmpty &&
-      constScoringClauses(ast).map(_._2).distinct.lengthCompare(1) <= 0
+      constClausesAllRequired(ast)
     if (!req.scored || uniformScore)
       matched.limit(limit).select(outputJson(d).as("doc"))
     else
@@ -264,6 +266,30 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
         constScoringClauses(x, boost) }.flatten
     case Ast.Boost(x, b) => constScoringClauses(x, boost * b)
     case _ => Nil
+  }
+
+  /** True when every const-scored clause is REQUIRED — reached only
+    * through Must clauses (or as the sole clause of its boolean level) —
+    * so every matching document carries the same constant sum and scores
+    * are uniform. An optional const clause (a Should next to Musts, an
+    * OR arm among several) scores only the docs matching it; those
+    * queries must rank. */
+  private def constClausesAllRequired(ast: Ast): Boolean = {
+    def walk(a: Ast, required: Boolean): List[Boolean] = a match {
+      case _: Ast.Fuzzy | _: Ast.Prefix | _: Ast.InSet => List(required)
+      case Ast.Bool(cs) =>
+        val musts = cs.collect { case (Occur.Must, x) => x }
+        val shoulds = cs.collect { case (Occur.Should, x) => x }
+        if (musts.nonEmpty)
+          musts.flatMap(walk(_, required)) ++ shoulds.flatMap(walk(_, required = false))
+        else shoulds match {
+          case x :: Nil => walk(x, required) // a sole Should must match
+          case xs       => xs.flatMap(walk(_, required = false))
+        }
+      case Ast.Boost(x, _) => walk(x, required)
+      case _ => Nil
+    }
+    walk(ast, required = true).forall(identity)
   }
 
   /** Terms-array accessor for a scoring field (declared text field or a

@@ -49,7 +49,11 @@ object PipelineQueries {
     * Memoized `localCheckpoint`, not `persist()`: CacheManager holds
     * strong refs to persisted plans (the leak class purged from
     * `graft.ops`); the memo gives the same cross-query sharing by handing
-    * every caller the SAME snapshot DataFrame. At cluster scale this is
+    * every caller the SAME snapshot DataFrame. Known trade: checkpoint
+    * blocks have no lineage to recompute from under executor loss — a
+    * non-event for these driver-bench fixtures on local mode (executor
+    * loss = JVM loss); library operators in `graft.ops` make the same
+    * choice deliberately (see Dedup scaladoc). At cluster scale this is
     * the "write the shingle table out once" step of a dedup pipeline. */
   private val snapMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()

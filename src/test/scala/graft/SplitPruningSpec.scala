@@ -279,11 +279,14 @@ class SplitPruningSpec extends AnyFunSuite {
     val cat = new Catalog(root)
     cat.create(digestConfig.replace("digest_test", "digest_m"))
     val idx = new Indexer(spark, cat)
-    // a dynamic string value containing a JSON escape: its decoded token
-    // "escaped" must still be findable AND prunable (the catch-all terms
-    // neutralize escape sequences at ingest)
+    // dynamic string values containing JSON escapes: decoded tokens must
+    // still be findable AND prunable (the catch-all terms tokenize the
+    // canonical variant render with escape units neutralized). BEL is
+    // the nasty case: a control char rendered as a 6-char \uXXXX unit
+    // whose hex digits would otherwise glue onto the next token.
+    val bell = "\\" + "u0007" // literal backslash-u-0007 in the JSON file
     idx.indexFile("digest_m", write(
-      """{"msg": "alpha", "extra": {"k": "line1\nescaped"}}"""))
+      s"""{"msg": "alpha", "extra": {"k": "line1\\nescaped", "b": "a${bell}belltok"}}"""))
     idx.indexFile("digest_m", write(
       """{"msg": "beta mergedtoken", "extra": {"k": "plain"}}"""))
 
@@ -293,9 +296,13 @@ class SplitPruningSpec extends AnyFunSuite {
       search.prunedSplitPaths("digest_m", cfg,
         new graft.config.SchemaDerivation(cfg), QueryParser.parse(q))
     }
-    // decoded-value token matches and prunes to the right split
+    // decoded-value tokens match and prune to the right split
     assert(search.search("digest_m", "extra.k:escaped", 10).length == 1)
     assert(paths("extra.k:escaped").length == 1)
+    assert(search.search("digest_m", "extra.b:belltok", 10).length == 1,
+      "token after a \\uXXXX escape must match")
+    assert(paths("extra.b:belltok").length == 1,
+      "and must not be pruned away by the digest")
 
     // merge rebuilds one split with a fresh digest covering both sides
     assert(idx.merge("digest_m").isDefined)
