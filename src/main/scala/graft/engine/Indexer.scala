@@ -121,14 +121,13 @@ final class Indexer(spark: SparkSession, catalog: Catalog) {
     } else read
     // Compaction controls output file count via repartition: small indexes
     // collapse to one file; at scale this would target a fixed bytes/file.
-    // Row count comes free from the manifest — no count job.
+    // Stats ride the write pass (observed metrics over the post-shuffle
+    // rows), so the compacted output is never re-read for its manifest
+    // entry; the write-task count equals `parts`, which is small by
+    // construction, so the Bloom digests ride along too.
     val n = splits.map(_.numDocs).sum
     val parts = math.max(1, (n / Indexer.MaxRecordsPerFile).toInt)
-    df.repartition(parts).write.mode("overwrite")
-      .option("maxRecordsPerFile", Indexer.MaxRecordsPerFile)
-      .parquet(dir)
-
-    val split = Indexer.splitStats(spark, d, dir, id)
+    val split = Indexer.writeSplit(spark, d, df.repartition(parts), dir, id)
     if (catalog.swapSplits(indexName, splits.map(_.id), List(split))) Some(split)
     else {
       // a concurrent merge consumed (some of) our inputs first: our output

@@ -189,6 +189,15 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
     // Digest sidecars are only fetched when clauses exist AND the split
     // advertises a digest (never-prune-on-missing, like every family).
     val termClauses = graft.query.TermPruning.clauses(ast, d, defaultFields)
+    // First-touch warmup: uncached sidecars fetch in parallel (one small
+    // GET each) instead of serially inside the filter loop — on a cold
+    // searcher over thousands of splits the difference is pool-parallel
+    // vs strictly sequential object-store latency. Cached splits no-op.
+    if (termClauses.nonEmpty && splits.count(_.digest.isDefined) > 4) {
+      import scala.jdk.CollectionConverters._
+      splits.filter(_.digest.isDefined).asJava.parallelStream()
+        .forEach(s => { catalog.loadDigests(cfg.name, s); () })
+    }
 
     splits
       .filter { s =>
