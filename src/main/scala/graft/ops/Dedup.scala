@@ -131,6 +131,63 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Incremental near-dedup: decide, for each NEW document, whether it
+    * duplicates the EXISTING corpus (exact n-gram Jaccard ≥ threshold) —
+    * the ingest-time pass of a continuously growing training corpus,
+    * where the corpus side is the already-deduplicated store and the new
+    * side a fresh crawl batch. Within-batch duplicates are deliberately
+    * out of scope (run [[dedupCorpus]] on the batch first; the two
+    * compose).
+    *
+    * Same AllPairs/PPJoin prefix filtering as [[ngramJaccardPrefix]],
+    * with document frequencies computed over BOTH sides so the global
+    * rarity order (and therefore the prefix-filter lemma: a pair at
+    * J ≥ t shares an element inside both prefixes) holds across the two
+    * tables; candidates verify with the exact intersection. Scale shape:
+    * the corpus side is never self-joined and only its prefix shingles
+    * enter the candidate join — cost stays proportional to the batch,
+    * not the corpus.
+    *
+    * Inputs are (doc_id, shingles) tables from [[shingles]]. Output: one
+    * row per NEW-side shingled document — (doc_id, dup_of, keep), where
+    * dup_of = the smallest matching corpus id (null when kept). */
+  def dedupIncremental(corpusSh: DataFrame, newSh: DataFrame,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df").asc, col("sh").asc)
+    def flatten(sh: DataFrame) =
+      sh.select(col("doc_id"), size(col("shingles")).as("nsh"),
+        explode(col("shingles")).as("sh"))
+    val cFlat = flatten(corpusSh)
+    val nFlat = flatten(newSh)
+    // One global df table over both sides, snapshotted — both prefix
+    // computations consume it.
+    val dfreq = cFlat.select(col("sh")).unionAll(nFlat.select(col("sh")))
+      .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .localCheckpoint(eager = false)
+    def prefixOf(flat: DataFrame) =
+      flat.join(dfreq, "sh")
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= col("nsh") - ceil(col("nsh") * threshold - 1e-9) + 1)
+        .select(col("doc_id"), col("sh"))
+    val cands = prefixOf(nFlat).select(col("doc_id").as("n_id"), col("sh"))
+      .join(prefixOf(cFlat).select(col("doc_id").as("c_id"), col("sh")), "sh")
+      .select(col("n_id"), col("c_id")).distinct()
+    val matches = cands
+      .join(newSh.select(col("doc_id").as("n_id"), col("shingles").as("shn")), "n_id")
+      .join(corpusSh.select(col("doc_id").as("c_id"), col("shingles").as("shc")), "c_id")
+      .withColumn("inter", size(array_intersect(col("shn"), col("shc"))).cast("long"))
+      .withColumn("uni",
+        (size(col("shn")) + size(col("shc"))).cast("long") - col("inter"))
+      .where(col("inter").cast("double") / col("uni") >= threshold)
+      .groupBy(col("n_id")).agg(min(col("c_id")).as("dup_of"))
+    newSh.select(col("doc_id"))
+      .join(matches.select(col("n_id").as("doc_id"), col("dup_of")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"), col("dup_of").isNull.as("keep"))
+  }
+
   private val MersennePrime = 2147483647L
 
   /** Hash function i of the affine MinHash family over a base md5 hash:

@@ -51,6 +51,42 @@ object TextAnalysis {
     df.select(id.as("id"), scored.getField("lang").as("pred_lang"))
   }
 
+  /** Gopher-style document quality filter (Rae et al. 2021, Appendix A —
+    * the standard web-corpus keep/drop pass, also the RefinedWeb/Dolma
+    * baseline): word count within [minWords, maxWords], mean word length
+    * in [3, 10], at least 80% of words containing an alphabetic
+    * character, and at least `minStopHits` stopword occurrences. One
+    * keep/drop bit per document with the contributing metrics exposed so
+    * threshold sweeps need no recompute. Pure per-row codegen projection
+    * — no HOF lambdas, no shuffle; at 100 TB this is a map-only pass.
+    * Output: (id, n_words, mean_word_len, alpha_word_frac, stop_hits,
+    * keep). */
+  def gopherFilter(df: DataFrame, id: Column, text: Column,
+      stopwords: Seq[String], minWords: Long, maxWords: Long,
+      minStopHits: Long = 2L): DataFrame = {
+    val toks = regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+    // mean word length without a per-element lambda: total alnum chars /
+    // word count (identical because words partition the alnum chars)
+    val nWords = size(toks).cast("long")
+    val alnumChars = length(regexp_replace(lower(text), "[^a-z0-9]", ""))
+    // words containing >= 1 letter: a maximal alnum run with a letter
+    // matches this pattern exactly once (greedy tail eats the run)
+    val alphaWords = size(regexp_extract_all(lower(text),
+      lit("[0-9]*[a-z][a-z0-9]*"), lit(0)))
+    df.select(id.as("id"), nWords.as("n_words"),
+        (alnumChars.cast("double") / greatest(nWords, lit(1L)))
+          .as("mean_word_len"),
+        (alphaWords.cast("double") / greatest(nWords, lit(1L)))
+          .as("alpha_word_frac"),
+        graft.exprs.TokenStats.count_in_set(toks, stopwords).cast("long")
+          .as("stop_hits"))
+      .withColumn("keep",
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("alpha_word_frac") >= 0.8 &&
+          col("stop_hits") >= minStopHits)
+  }
+
   /** Content fingerprints: md5 over whitespace-normalized lowercase text
     * (order-insensitive to spacing only) + a Rabin-Karp rolling
     * polynomial over the token hash stream (order-sensitive).

@@ -117,6 +117,28 @@ object PipelineQueries {
       col("doc_id"), col("toks"), n = ShingleN, threshold = 0.5)
       .orderBy(col("doc_id"))
 
+  /** Incremental ingest dedup ([[graft.ops.Dedup.dedupIncremental]]):
+    * corpus = docs below 400, new batch = docs from 400 up PLUS exact
+    * copies of every doc_id % 7 == 3 below 100 (re-keyed +100000), so
+    * the batch provably contains known corpus duplicates. Each copy must
+    * come back dropped with dup_of = its original; genuinely new docs
+    * keep unless a planted near-dup pair crosses the 400 boundary —
+    * ground truth either way, the oracle recomputes the same exact
+    * Jaccard. */
+  val pipe_dedup_incremental: Q = (s, dir) => {
+    val base = docs(s, dir)
+    val newDocs = base.where(col("doc_id") >= 400)
+      .unionAll(base.where(col("doc_id") < 100 &&
+          pmod(col("doc_id"), lit(7)) === 3)
+        .withColumn("doc_id", col("doc_id") + 100000))
+    def sh(df: DataFrame) = Dedup.shingles(
+      df.withColumn("toks", tokenizeDefault(col("text"))),
+      col("doc_id"), col("toks"), ShingleN)
+    Dedup.dedupIncremental(sh(base.where(col("doc_id") < 400)), sh(newDocs),
+      threshold = 0.5)
+      .orderBy(col("doc_id"))
+  }
+
   /** MinHash + LSH banding (16 hashes, 8 bands × 2 rows: the s-curve
     * catches j>=0.5 pairs with p~0.9; 4×4 missed ~5% even at j=0.86 on
     * this corpus). See [[graft.ops.Dedup.minhashLsh]] for the
@@ -206,6 +228,16 @@ object PipelineQueries {
       docs(s, dir).withColumn("toks", tokenizeDefault(col("text"))),
       col("doc_id"), col("text"), col("toks"),
       stopwords = Seq("the", "a", "and", "of", "to", "in", "is"))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
+  /** The Gopher quality keep/drop pass ([[graft.ops.TextAnalysis.gopherFilter]]):
+    * word-count bounds, mean word length, alpha-word fraction, stopword
+    * floor — one boolean per document with the metrics exposed. */
+  val text_gopher_filter: Q = (s, dir) =>
+    TextAnalysis.gopherFilter(docs(s, dir), col("doc_id"), col("text"),
+      stopwords = Seq("the", "a", "and", "of", "to", "in", "is"),
+      minWords = 30L, maxWords = 100000L)
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
 
@@ -462,6 +494,8 @@ object PipelineQueries {
     "dedup_ngram_jaccard" -> dedup_ngram_jaccard,
     "dedup_jaccard_prefix" -> dedup_jaccard_prefix,
     "pipe_dedup_corpus" -> pipe_dedup_corpus,
+    "pipe_dedup_incremental" -> pipe_dedup_incremental,
+    "text_gopher_filter" -> text_gopher_filter,
     "dedup_minhash_lsh" -> dedup_minhash_lsh,
     "dedup_simhash" -> dedup_simhash,
     "dedup_embedding" -> dedup_embedding,
@@ -586,6 +620,49 @@ object PipelineQueries {
     "dedup_jaccard_prefix" ->
       s"""WITH $jaccardCtes
          |SELECT a, b, inter, uni FROM jac ORDER BY a, b""".stripMargin,
+    "pipe_dedup_incremental" ->
+      s"""WITH toks0 AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents),
+         |corp AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(len(toks) - 4),
+         |    i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3], toks[i+4], toks[i+5]))) AS shingles
+         |  FROM toks0 WHERE len(toks) >= 5 AND doc_id < 400),
+         |newdocs AS (
+         |  SELECT doc_id, toks FROM toks0 WHERE doc_id >= 400
+         |  UNION ALL
+         |  SELECT doc_id + 100000, toks FROM toks0 WHERE doc_id < 100 AND doc_id % 7 = 3),
+         |newsh AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(len(toks) - 4),
+         |    i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3], toks[i+4], toks[i+5]))) AS shingles
+         |  FROM newdocs WHERE len(toks) >= 5),
+         |jac AS (
+         |  SELECT n.doc_id AS doc_id, c.doc_id AS cid
+         |  FROM newsh n, corp c
+         |  WHERE CAST(len(list_intersect(n.shingles, c.shingles)) AS DOUBLE)
+         |    / (len(n.shingles) + len(c.shingles) - len(list_intersect(n.shingles, c.shingles))) >= 0.5),
+         |m AS (SELECT doc_id, min(cid) AS dup_of FROM jac GROUP BY doc_id)
+         |SELECT n.doc_id, m.dup_of, m.dup_of IS NULL AS keep
+         |FROM newsh n LEFT JOIN m ON m.doc_id = n.doc_id
+         |ORDER BY n.doc_id""".stripMargin,
+    "text_gopher_filter" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS w,
+        |    length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS alnum,
+        |    regexp_extract_all(lower(text), '[0-9]*[a-z][a-z0-9]*') AS aw
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(alnum AS DOUBLE) / greatest(len(w), 1) AS mean_word_len,
+        |    CAST(len(aw) AS DOUBLE) / greatest(len(w), 1) AS alpha_word_frac,
+        |    CAST(len(list_filter(w,
+        |      t -> t IN ('the','a','and','of','to','in','is'))) AS BIGINT) AS stop_hits
+        |  FROM g)
+        |SELECT doc_id, n_words, mean_word_len, alpha_word_frac, stop_hits,
+        |  (n_words BETWEEN 30 AND 100000 AND mean_word_len BETWEEN 3 AND 10
+        |   AND alpha_word_frac >= 0.8 AND stop_hits >= 2) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
     "pipe_dedup_corpus" ->
       s"""WITH RECURSIVE $jaccardCtes,
          |${ccCtes("jac")}
