@@ -176,6 +176,16 @@ class PlanSpec extends AnyFunSuite {
       s"candidate join must key on cell:\n$plan")
   }
 
+  test("pipe_dedup_incremental keys on shingles/ids, never cartesian") {
+    val plan = formatted(
+      graft.queries.PipelineQueries.pipe_dedup_incremental(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan)
+    val keyLines = plan.linesIterator.filter(_.matches(".*(Left|Right) keys.*")).toList
+    assert(keyLines.exists(_.contains("sh")),
+      s"candidate join must key on sh:\n$plan")
+  }
+
   test("batch ingest is ONE job; observed stats equal the read-back scan") {
     val root = Files.createTempDirectory("graft-onejob").toString
     val cat = new Catalog(root)

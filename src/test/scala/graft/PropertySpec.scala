@@ -229,4 +229,43 @@ class PropertySpec extends AnyFunSuite {
         PorterStemmer.stem(w) == s1 // deterministic
     })
   }
+
+  test("term digests never produce a false negative, through any fold") {
+    // The entire pruning layer rests on this: a token inserted into the
+    // build-size filter must report mightContain == true after EVERY
+    // fold level down to the minimum size (shrink picks one of these
+    // levels), otherwise a split holding a match could be skipped.
+    import graft.engine.TermDigest
+    val toks: Gen[List[String]] =
+      Gen.chooseNum(1, 200).flatMap(n => Gen.listOfN(n,
+        Gen.chooseNum(1, 12).flatMap(l =>
+          Gen.stringOfN(l, Gen.frequency((9, Gen.alphaNumChar), (1, Gen.oneOf('é', '語', ' ')))))))
+    check("digest membership survives folding")(Prop.forAll(toks) { ts =>
+      val agg = new graft.engine.TokenBloomAgg
+      val bits = ts.foldLeft(agg.zero)((b, t) => agg.reduce(b, Seq(t)))
+      var d = new TermDigest(TermDigest.K, bits)
+      var ok = ts.forall(d.mightContain)
+      while (ok && d.m > TermDigest.MinBits) {
+        d = d.fold
+        ok = ts.forall(d.mightContain)
+      }
+      ok && TermDigest.shrink(bits).forall(s => ts.forall(s.mightContain))
+    })
+  }
+
+  test("digest sidecar serialization round-trips exactly") {
+    import graft.engine.TermDigest
+    val toks: Gen[List[String]] = Gen.chooseNum(1, 50)
+      .flatMap(n => Gen.listOfN(n, Gen.alphaNumStr.suchThat(_.nonEmpty)))
+    check("render/parse fixpoint")(Prop.forAll(toks) { ts =>
+      val agg = new graft.engine.TokenBloomAgg
+      val bits = ts.foldLeft(agg.zero)((b, t) => agg.reduce(b, Seq(t)))
+      TermDigest.shrink(bits).forall { d =>
+        val parsed = TermDigest.parseAll(new String(
+          TermDigest.renderAll(Map("f" -> d)), "UTF-8"))("f")
+        parsed.k == d.k && parsed.bits.sameElements(d.bits) &&
+          ts.forall(parsed.mightContain)
+      }
+    })
+  }
 }
