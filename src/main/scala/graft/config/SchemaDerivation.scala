@@ -265,8 +265,8 @@ final class SchemaDerivation(val config: IndexConfig) {
     val parsed = from_json(value, rawParseSchema)
     val perField = fields.map(f => typedField(f, parsed, Nil, value))
     // The residual JSON text feeds the variant encoding (format-2
-    // storage); the catch-all terms tokenize the canonical render of that
-    // variant in stage 2 (the temp text column is pruned away unused).
+    // storage); the catch-all terms tokenize the canonical render of the
+    // VARIANT in stage 2, not this raw text.
     val dynJson = expand_dots_json(json_residual(value, topLevelNames))
     val dynamicCol = try_parse_json(dynJson).as(Dynamic)
 
@@ -292,8 +292,7 @@ final class SchemaDerivation(val config: IndexConfig) {
     val skip = errors.reduce(_ || _)
     val cols: Seq[(Column, Option[String])] =
       perField.map { case (c, _) => (c, None: Option[String]) } ++
-        Seq((dynamicCol, None: Option[String]),
-          (dynJson, Some(DynJsonTmp): Option[String])) ++
+        Seq((dynamicCol, None: Option[String])) ++
         termsCols.zip(termsFields).map { case (c, (flat, _, _)) =>
           (c, Some(s"__t__$flat"))
         }
@@ -307,10 +306,6 @@ final class SchemaDerivation(val config: IndexConfig) {
 object SchemaDerivation {
   val Dynamic = "_dynamic"
   val Terms = "_terms"
-
-  /** Stage-1 temp column holding the residual-JSON text (tokenized into
-    * the catch-all terms in stage 2, then dropped). */
-  private[config] val DynJsonTmp = "__dyn_json"
 
   /** Variant path for a flattened dotted field name: bracket-quoted
     * segments, so a key containing a literal (escaped) dot addresses the

@@ -84,6 +84,13 @@ object Catalog {
   private val digestCache =
     new java.util.concurrent.ConcurrentHashMap[String, Map[String, TermDigest]]()
 
+  /** Failed sidecar loads per cache key; at [[DigestLoadStrikes]] the key
+    * is negatively cached (empty map = no pruning info) so a permanently
+    * broken sidecar stops costing one store round trip per query. */
+  private val digestFailures =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private val DigestLoadStrikes = 3
+
   /** Read a set of splits as one DataFrame, upgrading format-1 splits
     * (`_dynamic` as JSON text) to the current in-memory shape (variant)
     * so every consumer sees a single representation. Grouped by format so
@@ -222,9 +229,22 @@ final class Catalog(rootDir: String,
                 text.getBytes(java.nio.charset.StandardCharsets.UTF_8)) == md5)
               .map(TermDigest.parseAll)
           } catch { case scala.util.control.NonFatal(_) => None }
-        loaded.foreach { m =>
-          if (Catalog.digestCache.size > 4096) Catalog.digestCache.clear()
-          Catalog.digestCache.putIfAbsent(key, m)
+        loaded match {
+          case Some(m) =>
+            if (Catalog.digestCache.size > 16384) Catalog.digestCache.clear()
+            Catalog.digestCache.putIfAbsent(key, m)
+            Catalog.digestFailures.remove(key)
+          case None =>
+            // transient errors retry on later queries, but a persistently
+            // missing/corrupt sidecar must not cost a store round trip per
+            // query forever: after a few strikes, cache "no pruning info"
+            // (an EMPTY digest map — semantically identical to unreadable)
+            if (Catalog.digestFailures.size > 4096) Catalog.digestFailures.clear()
+            val n = Catalog.digestFailures.merge(key, 1, (a, b) => a + b)
+            if (n >= Catalog.DigestLoadStrikes) {
+              Catalog.digestCache.putIfAbsent(key, Map.empty)
+              Catalog.digestFailures.remove(key)
+            }
         }
         loaded
       }

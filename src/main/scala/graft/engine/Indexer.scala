@@ -123,11 +123,14 @@ final class Indexer(spark: SparkSession, catalog: Catalog) {
     // collapse to one file; at scale this would target a fixed bytes/file.
     // Stats ride the write pass (observed metrics over the post-shuffle
     // rows), so the compacted output is never re-read for its manifest
-    // entry; the write-task count equals `parts`, which is small by
-    // construction, so the Bloom digests ride along too.
+    // entry; the write-task count is `parts` — passed as the hint, which
+    // both sizes the Bloom-on-observe decision and spares writeSplit an
+    // RDD probe (under AQE, probing a plan holding an exchange would
+    // eagerly EXECUTE the shuffle, running the repartition twice).
     val n = splits.map(_.numDocs).sum
     val parts = math.max(1, (n / Indexer.MaxRecordsPerFile).toInt)
-    val split = Indexer.writeSplit(spark, d, df.repartition(parts), dir, id)
+    val split = Indexer.writeSplit(spark, d, df.repartition(parts), dir, id,
+      partitionsHint = Some(parts))
     if (catalog.swapSplits(indexName, splits.map(_.id), List(split))) Some(split)
     else {
       // a concurrent merge consumed (some of) our inputs first: our output
@@ -323,8 +326,21 @@ object Indexer {
     * metrics don't surface — same aggregates, identical result. */
   private[graft] def writeSplit(spark: SparkSession, d: SchemaDerivation,
       typed: org.apache.spark.sql.DataFrame, splitDir: String,
-      id: String): SplitInfo = {
-    val bloomsOnWrite = typed.rdd.getNumPartitions <= ObserveBloomMaxTasks
+      id: String, partitionsHint: Option[Int] = None): SplitInfo = {
+    // Task count: the caller's hint when it knows (merge's repartition),
+    // else probe the RDD — safe only for exchange-free plans (ingest is a
+    // narrow projection): under AQE, `.rdd` on a plan WITH an exchange
+    // eagerly executes its shuffle stages, which would run the work
+    // twice. An AQE-wrapped plan without a hint is treated as wide
+    // (blooms via the column-pruned scan) rather than probed.
+    val parts = partitionsHint.getOrElse {
+      typed.queryExecution.executedPlan match {
+        case _: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Int.MaxValue
+        case _ => typed.rdd.getNumPartitions
+      }
+    }
+    val bloomsOnWrite = parts <= ObserveBloomMaxTasks
     val obs = org.apache.spark.sql.Observation(s"graft-stats-$id")
     val aggs = if (bloomsOnWrite) statsAggs(d) else scalarAggs(d)
     typed.observe(obs, aggs.head, aggs.tail: _*)

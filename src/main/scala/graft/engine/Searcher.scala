@@ -189,17 +189,12 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
     // Digest sidecars are only fetched when clauses exist AND the split
     // advertises a digest (never-prune-on-missing, like every family).
     val termClauses = graft.query.TermPruning.clauses(ast, d, defaultFields)
-    // First-touch warmup: uncached sidecars fetch in parallel (one small
-    // GET each) instead of serially inside the filter loop — on a cold
-    // searcher over thousands of splits the difference is pool-parallel
-    // vs strictly sequential object-store latency. Cached splits no-op.
-    if (termClauses.nonEmpty && splits.count(_.digest.isDefined) > 4) {
-      import scala.jdk.CollectionConverters._
-      splits.filter(_.digest.isDefined).asJava.parallelStream()
-        .forEach(s => { catalog.loadDigests(cfg.name, s); () })
-    }
 
-    splits
+    // The scalar families (manifest-resident stats, zero IO) filter
+    // FIRST; the digest family — the only one that fetches anything —
+    // runs over the survivors only, so a time/zone/dict-selective query
+    // never touches a sidecar its cheap constraints already excluded.
+    val scalarSurvivors = splits
       .filter { s =>
         val timeOk = (s.minTs, s.maxTs) match {
           case (Some(mn), Some(mx)) => bounds.overlaps(mn, mx)
@@ -214,19 +209,31 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
         val dictOk = dictConstraints.forall { case (f, required) =>
           s.dicts.get(f).forall(vals => required.exists(vals.contains))
         }
-        def termOk = termClauses.isEmpty || {
-          catalog.loadDigests(cfg.name, s) match {
-            case None     => true // no/unreadable digests: keep the split
-            case Some(ds) =>
-              // a clause holds unless every alternative token is provably
-              // absent; atoms on fields without a digest count as present
-              termClauses.forall(_.exists { case (f, tok) =>
-                ds.get(f).forall(_.mightContain(tok))
-              })
-          }
-        }
-        timeOk && numOk && ipOk && dictOk && termOk
+        timeOk && numOk && ipOk && dictOk
       }
+    if (termClauses.isEmpty) return scalarSurvivors
+
+    // First-touch warmup: uncached sidecars of the SURVIVORS fetch in
+    // parallel (one small GET each) instead of serially inside the
+    // filter loop — on a cold searcher over thousands of splits the
+    // difference is pool-parallel vs sequential object-store latency.
+    // Cached splits no-op.
+    if (scalarSurvivors.count(_.digest.isDefined) > 4) {
+      import scala.jdk.CollectionConverters._
+      scalarSurvivors.filter(_.digest.isDefined).asJava.parallelStream()
+        .forEach(s => { catalog.loadDigests(cfg.name, s); () })
+    }
+    scalarSurvivors.filter { s =>
+      catalog.loadDigests(cfg.name, s) match {
+        case None     => true // no/unreadable digests: keep the split
+        case Some(ds) =>
+          // a clause holds unless every alternative token is provably
+          // absent; atoms on fields without a digest count as present
+          termClauses.forall(_.exists { case (f, tok) =>
+            ds.get(f).forall(_.mightContain(tok))
+          })
+      }
+    }
   }
 
   // ---- scoring ----------------------------------------------------------

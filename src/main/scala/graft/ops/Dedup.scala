@@ -79,35 +79,57 @@ object Dedup {
     * prefix and never explodes the join, the failure mode of the plain
     * posting join. Costs one extra df aggregate and a per-doc rank window
     * over the shingle table. Output: (a, b, inter, uni). */
-  def ngramJaccardPrefix(shingled: DataFrame, threshold: Double): DataFrame = {
-    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+  /** (doc_id, nsh, sh) exploded view of a shingled table. */
+  private def flattenShingles(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), size(col("shingles")).as("nsh"),
+      explode(col("shingles")).as("sh"))
+
+  /** AllPairs/PPJoin prefix: under the global rarity order (`dfreq`:
+    * ascending document frequency, shingle text tie-break), a doc with n
+    * shingles keeps only its first n - ⌈t·n⌉ + 1 — any pair at Jaccard
+    * ≥ t shares an element inside both prefixes. The epsilon guards
+    * float rounding (ceil(0.1*30)=4 ≠ ⌈3⌉ would shrink the prefix below
+    * the lemma's bound; erring low only widens it). Shared by
+    * [[ngramJaccardPrefix]] and [[dedupIncremental]] so the bound cannot
+    * drift between them. */
+  private def prefixShingles(flat: DataFrame, dfreq: DataFrame,
+      threshold: Double): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df").asc, col("sh").asc)
-    val flat = shingled.select(col("doc_id"), size(col("shingles")).as("nsh"),
-      explode(col("shingles")).as("sh"))
+    flat.join(dfreq, "sh")
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= col("nsh") - ceil(col("nsh") * threshold - 1e-9) + 1)
+      .select(col("doc_id"), col("sh"))
+  }
+
+  /** Exact-Jaccard verification: given candidate rows carrying both full
+    * shingle sets, keep pairs with |A∩B| / |A∪B| ≥ t; adds (inter, uni). */
+  private def verifyJaccard(cands: DataFrame, sa: Column, sb: Column,
+      threshold: Double): DataFrame =
+    cands
+      .withColumn("inter", size(array_intersect(sa, sb)).cast("long"))
+      .withColumn("uni", (size(sa) + size(sb)).cast("long") - col("inter"))
+      .where(col("inter").cast("double") / col("uni") >= threshold)
+
+  def ngramJaccardPrefix(shingled: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    val flat = flattenShingles(shingled)
     val dfreq = flat.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     // Snapshotted: both sides of the candidate join consume the prefix
     // table — without the snapshot the df aggregate and rank window would
     // run twice (the same self-join rule as minhashLsh/simhash).
-    val prefix = flat.join(dfreq, "sh")
-      .withColumn("rk", row_number().over(w))
-      // epsilon guards float rounding: ceil(0.1*30)=4 ≠ ⌈3⌉ would shrink
-      // the prefix below the lemma's bound; erring low only widens it
-      .where(col("rk") <= col("nsh") - ceil(col("nsh") * threshold - 1e-9) + 1)
-      .select(col("doc_id"), col("sh"))
+    val prefix = prefixShingles(flat, dfreq, threshold)
       .localCheckpoint(eager = false)
     val cands = prefix.select(col("doc_id").as("a"), col("sh"))
       .join(prefix.select(col("doc_id").as("b"), col("sh")), "sh")
       .where(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
     val sets = shingled.select(col("doc_id"), col("shingles"))
-    cands
-      .join(sets.select(col("doc_id").as("a"), col("shingles").as("sha")), "a")
-      .join(sets.select(col("doc_id").as("b"), col("shingles").as("shb")), "b")
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
-      .withColumn("uni",
-        (size(col("sha")) + size(col("shb"))).cast("long") - col("inter"))
-      .where(col("inter").cast("double") / col("uni") >= threshold)
+    verifyJaccard(
+      cands
+        .join(sets.select(col("doc_id").as("a"), col("shingles").as("sha")), "a")
+        .join(sets.select(col("doc_id").as("b"), col("shingles").as("shb")), "b"),
+      col("sha"), col("shb"), threshold)
       .select(col("a"), col("b"), col("inter"), col("uni"))
   }
 
@@ -151,36 +173,32 @@ object Dedup {
     * Inputs are (doc_id, shingles) tables from [[shingles]]. Output: one
     * row per NEW-side shingled document — (doc_id, dup_of, keep), where
     * dup_of = the smallest matching corpus id (null when kept). */
-  def dedupIncremental(corpusSh: DataFrame, newSh: DataFrame,
+  def dedupIncremental(corpusSh0: DataFrame, newSh0: DataFrame,
       threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("df").asc, col("sh").asc)
-    def flatten(sh: DataFrame) =
-      sh.select(col("doc_id"), size(col("shingles")).as("nsh"),
-        explode(col("shingles")).as("sh"))
-    val cFlat = flatten(corpusSh)
-    val nFlat = flatten(newSh)
-    // One global df table over both sides, snapshotted — both prefix
-    // computations consume it.
+    // Snapshot both inputs: each is consumed by multiple branches (df
+    // aggregate, prefix join, verify join, final left join) — without the
+    // snapshot the possibly-expensive shingle construction re-executes
+    // per branch (the module's standing self-join rule).
+    val corpusSh = corpusSh0.localCheckpoint(eager = false)
+    val newSh = newSh0.localCheckpoint(eager = false)
+    val cFlat = flattenShingles(corpusSh)
+    val nFlat = flattenShingles(newSh)
+    // One global df table over both sides — the rarity order must span
+    // both tables for the cross-table prefix lemma to hold.
     val dfreq = cFlat.select(col("sh")).unionAll(nFlat.select(col("sh")))
       .groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .localCheckpoint(eager = false)
-    def prefixOf(flat: DataFrame) =
-      flat.join(dfreq, "sh")
-        .withColumn("rk", row_number().over(w))
-        .where(col("rk") <= col("nsh") - ceil(col("nsh") * threshold - 1e-9) + 1)
-        .select(col("doc_id"), col("sh"))
-    val cands = prefixOf(nFlat).select(col("doc_id").as("n_id"), col("sh"))
-      .join(prefixOf(cFlat).select(col("doc_id").as("c_id"), col("sh")), "sh")
+    val cands = prefixShingles(nFlat, dfreq, threshold)
+      .select(col("doc_id").as("n_id"), col("sh"))
+      .join(prefixShingles(cFlat, dfreq, threshold)
+        .select(col("doc_id").as("c_id"), col("sh")), "sh")
       .select(col("n_id"), col("c_id")).distinct()
-    val matches = cands
-      .join(newSh.select(col("doc_id").as("n_id"), col("shingles").as("shn")), "n_id")
-      .join(corpusSh.select(col("doc_id").as("c_id"), col("shingles").as("shc")), "c_id")
-      .withColumn("inter", size(array_intersect(col("shn"), col("shc"))).cast("long"))
-      .withColumn("uni",
-        (size(col("shn")) + size(col("shc"))).cast("long") - col("inter"))
-      .where(col("inter").cast("double") / col("uni") >= threshold)
+    val matches = verifyJaccard(
+      cands
+        .join(newSh.select(col("doc_id").as("n_id"), col("shingles").as("shn")), "n_id")
+        .join(corpusSh.select(col("doc_id").as("c_id"), col("shingles").as("shc")), "c_id"),
+      col("shn"), col("shc"), threshold)
       .groupBy(col("n_id")).agg(min(col("c_id")).as("dup_of"))
     newSh.select(col("doc_id"))
       .join(matches.select(col("n_id").as("doc_id"), col("dup_of")),

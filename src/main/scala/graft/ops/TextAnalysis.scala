@@ -64,14 +64,17 @@ object TextAnalysis {
   def gopherFilter(df: DataFrame, id: Column, text: Column,
       stopwords: Seq[String], minWords: Long, maxWords: Long,
       minStopHits: Long = 2L): DataFrame = {
-    val toks = regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+    // null text = empty document (keep=false), not keep=NULL — a null
+    // bit would vanish from BOTH where(keep) and where(!keep)
+    val t = coalesce(text, lit(""))
+    val toks = regexp_extract_all(lower(t), lit("[a-z0-9]+"), lit(0))
     // mean word length without a per-element lambda: total alnum chars /
     // word count (identical because words partition the alnum chars)
     val nWords = size(toks).cast("long")
-    val alnumChars = length(regexp_replace(lower(text), "[^a-z0-9]", ""))
+    val alnumChars = length(regexp_replace(lower(t), "[^a-z0-9]", ""))
     // words containing >= 1 letter: a maximal alnum run with a letter
     // matches this pattern exactly once (greedy tail eats the run)
-    val alphaWords = size(regexp_extract_all(lower(text),
+    val alphaWords = size(regexp_extract_all(lower(t),
       lit("[0-9]*[a-z][a-z0-9]*"), lit(0)))
     df.select(id.as("id"), nWords.as("n_words"),
         (alnumChars.cast("double") / greatest(nWords, lit(1L)))

@@ -172,7 +172,7 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
       plan.contains("BroadcastHashJoin"), s"expected an equi-join:\n$plan")
     val keyLines = plan.linesIterator.filter(_.matches(".*(Left|Right) keys.*"))
-    assert(keyLines.exists(_.contains("cell")),
+    assert(keyLines.exists(_.matches(".*\\bcell#\\d+.*")),
       s"candidate join must key on cell:\n$plan")
   }
 
@@ -182,7 +182,9 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoop"), plan)
     val keyLines = plan.linesIterator.filter(_.matches(".*(Left|Right) keys.*")).toList
-    assert(keyLines.exists(_.contains("sh")),
+    // exact attribute match (sh#NNN) — a bare "sh" substring would also
+    // hit "shingles"/"hash" and pin nothing
+    assert(keyLines.exists(_.matches(".*\\bsh#\\d+.*")),
       s"candidate join must key on sh:\n$plan")
   }
 
