@@ -140,8 +140,8 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
     *  - numeric bounds per indexed number field vs min/max zone maps;
     *  - IP bounds per indexed ip field vs hex zone maps (string order on
     *    fixed-width hex ≡ numeric IP order);
-    *  - required-value sets per raw-tokenized text field vs complete
-    *    small dictionaries ([[Indexer.DictCap]]);
+    *  - required-value sets AND required-prefix CNFs per raw-tokenized
+    *    text field vs complete small dictionaries ([[Indexer.DictCap]]);
     *  - required-token CNF clauses ([[graft.query.TermPruning]]) vs
     *    per-split Bloom term digests ([[TermDigest]], fetched lazily and
     *    memoized) — the layer that makes the core verb, term search on a
@@ -178,13 +178,21 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
             v => graft.exprs.IpCodec.parse(v)
               .map(_.map("%02X".format(_)).mkString))
       }.filterNot(_._2.isUnbounded)
+    val rawFields = d.resolved.filter { rf =>
+      !rf.array && rf.fieldType.isInstanceOf[TextField] &&
+        rf.fieldType.asInstanceOf[TextField].tokenizer.contains("raw")
+    }
     val dictConstraints: List[(String, Set[String])] =
-      d.resolved.collect {
-        case rf if !rf.array &&
-            rf.fieldType.isInstanceOf[TextField] &&
-            rf.fieldType.asInstanceOf[TextField].tokenizer.contains("raw") =>
-          FieldBounds.requiredTerms(ast, rf.flatName).map(rf.flatName -> _)
-      }.flatten
+      rawFields.flatMap(rf =>
+        FieldBounds.requiredTerms(ast, rf.flatName).map(rf.flatName -> _))
+    // Prefix CNF per raw field vs complete dictionaries — the family
+    // that lets `severity:ERR*` skip splits (an exact term is its own
+    // prefix, so this only ever adds constraints the dict family can't
+    // express, like wildcards and mixed Musts).
+    val prefixConstraints: List[(String, List[Set[String]])] =
+      rawFields.map(rf => rf.flatName ->
+          FieldBounds.requiredPrefixes(ast, rf.flatName))
+        .filter(_._2.nonEmpty)
     // Required-token CNF for the term digests; computed once per query.
     // Digest sidecars are only fetched when clauses exist AND the split
     // advertises a digest (never-prune-on-missing, like every family).
@@ -209,7 +217,11 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
         val dictOk = dictConstraints.forall { case (f, required) =>
           s.dicts.get(f).forall(vals => required.exists(vals.contains))
         }
-        timeOk && numOk && ipOk && dictOk
+        val prefixOk = prefixConstraints.forall { case (f, clauses) =>
+          s.dicts.get(f).forall(vals =>
+            clauses.forall(_.exists(p => vals.exists(_.startsWith(p)))))
+        }
+        timeOk && numOk && ipOk && dictOk && prefixOk
       }
     if (termClauses.isEmpty) return scalarSurvivors
 

@@ -31,7 +31,9 @@ object FieldBounds {
 
   /** Constraint domain for one field type: `top` = unconstrained, plus
     * the leaf constructors and the two boolean combiners. Implementations
-    * must keep every operation conservative (over-approximate). */
+    * must keep every operation conservative (over-approximate).
+    * `prefix` defaults to top — only domains whose order/semantics can
+    * exploit a leading-substring constraint override it. */
   trait Lattice[B] {
     def top: B
     def intersect(a: B, b: B): B
@@ -39,6 +41,7 @@ object FieldBounds {
     def term(v: String): B
     def range(lo: Bound, hi: Bound): B
     def inSet(vs: List[String]): B
+    def prefix(v: String): B = top
   }
 
   /** The single AST walker behind every extractor. */
@@ -47,6 +50,7 @@ object FieldBounds {
       case Ast.Term(Some(f), v) if f == field       => L.term(v)
       case Ast.Range(Some(f), lo, hi) if f == field => L.range(lo, hi)
       case Ast.InSet(Some(f), vs) if f == field     => L.inSet(vs)
+      case Ast.Prefix(Some(f), v) if f == field     => L.prefix(v)
       case Ast.Bool(clauses) =>
         val musts = clauses.collect { case (Occur.Must, x) => walk(x) }
         val shoulds = clauses.collect { case (Occur.Should, x) => walk(x) }
@@ -175,4 +179,34 @@ object FieldBounds {
     * `values` (raw-tokenizer exact-match semantics). None: unconstrained. */
   def requiredTerms(ast: Ast, field: String): Option[Set[String]] =
     extract(ast, field, TermSetLattice)
+
+  // ---- required-prefix CNF domain (raw-field dictionaries) ----------------
+
+  /** Prefix constraints need CNF, not a flat set: `+f:a* +f:ab*` means
+    * the value starts with `a` AND with `ab` — a set intersection (the
+    * exact-value algebra) would empty out and wrongly prune docs like
+    * "abc". Each clause is a set of ALTERNATIVE prefixes; all clauses
+    * must hold. Nil = unconstrained (top); the cross-product union is
+    * capped and degrades to top. An exact term is its own prefix, so
+    * Term/InSet leaves tighten this domain too. */
+  private object PrefixCnfLattice extends Lattice[List[Set[String]]] {
+    private val MaxClauses = 16
+    def top: List[Set[String]] = Nil
+    def intersect(a: List[Set[String]], b: List[Set[String]]) =
+      (a ++ b).take(MaxClauses) // dropping clauses only widens
+    def union(a: List[Set[String]], b: List[Set[String]]) =
+      if (a.isEmpty || b.isEmpty || a.length * b.length > MaxClauses) Nil
+      else for { ca <- a; cb <- b } yield ca ++ cb
+    def term(v: String): List[Set[String]] = List(Set(v))
+    def range(lo: Bound, hi: Bound): List[Set[String]] = Nil
+    def inSet(vs: List[String]): List[Set[String]] = List(vs.toSet)
+    override def prefix(v: String): List[Set[String]] = List(Set(v))
+  }
+
+  /** CNF of prefix alternatives every matching document's `field` value
+    * must satisfy (each clause: starts with one of the clause's
+    * prefixes). Nil: unconstrained. Consulted against complete raw-field
+    * dictionaries, the family that lets `severity:ERR*` skip splits. */
+  def requiredPrefixes(ast: Ast, field: String): List[Set[String]] =
+    extract(ast, field, PrefixCnfLattice)
 }

@@ -210,6 +210,7 @@ class PropertySpec extends AnyFunSuite {
       FieldBounds.extractNumeric(wrapped, "n").isUnbounded &&
         FieldBounds.extractOrdered(wrapped, "sev", Some(_)).isUnbounded &&
         FieldBounds.requiredTerms(wrapped, "sev").isEmpty &&
+        FieldBounds.requiredPrefixes(wrapped, "sev").isEmpty &&
         TimeBounds.extract(wrapped, "ts", Seq("rfc3339", "timestamp")) ==
           TimeBounds.Unbounded
     })

@@ -125,6 +125,17 @@ class SplitPruningSpec extends AnyFunSuite {
     assert(pathsFor("severity:ERROR").length == 1)
     assert(pathsFor("severity:INFO OR severity:WARN").length == 1)
     assert(pathsFor("severity:FATAL").isEmpty)
+    // prefix CNF vs complete dictionaries
+    assert(pathsFor("severity:ERR*").length == 1)
+    assert(pathsFor("severity:I*").length == 1)
+    assert(pathsFor("severity:X*").isEmpty)
+    // two Must prefixes CONJOIN per value (CNF) — a set intersection
+    // would empty out and wrongly prune the ERROR split too
+    assert(pathsFor("+severity:E* +severity:ER*").length == 1)
+    assert(pathsFor("+msg:alpha severity:ERR*").length == 2,
+      "optional prefix next to a Must is scoring-only")
+    assert(search.search("zone_test", "severity:ERR* AND msg:beta", 10) ==
+      Seq("""{"msg":"beta crash","severity":"ERROR","tenant_id":99}"""))
     // OR with an unconstrained arm cannot prune
     assert(pathsFor("severity:ERROR OR msg:alpha").length == 2)
     // NOT never prunes (conservative)
