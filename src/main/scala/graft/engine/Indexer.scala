@@ -180,11 +180,34 @@ object Indexer {
       case _                        => false
     })
   }
-  // Term-digest inputs: every text field's ingest-time terms array plus
-  // the catch-all — the same single pass builds the per-split Bloom
-  // filters that let term queries prune splits at the manifest level.
-  private def digestFieldsOf(d: SchemaDerivation): List[String] =
-    d.termsFields.map(_._1) :+ graft.config.SchemaDerivation.Dynamic
+  // Term-digest inputs: (flatName, token-array column) — every text
+  // field's ingest-time terms array, every declared dynamic_object field
+  // with a real tokenizer (the compiled term predicate tokenizes the
+  // STORED JSON text with that tokenizer, so a digest over the same
+  // tokenization is exact; raw/None dyn fields compare against the
+  // CANONICALIZED text and stay undigested), plus the catch-all. The
+  // same single pass builds every per-split Bloom filter.
+  private def digestFieldsOf(d: SchemaDerivation)
+      : List[(String, org.apache.spark.sql.Column)] = {
+    def termsCol(flat: String) =
+      col(s"`${graft.config.SchemaDerivation.Terms}`").getField(flat)
+    val declared = d.termsFields.map { case (flat, _, _) => flat -> termsCol(flat) }
+    val dyn = d.resolved.collect {
+      case rf if rf.fieldType.isInstanceOf[graft.config.DynamicObjectField] &&
+          rf.fieldType.asInstanceOf[graft.config.DynamicObjectField]
+            .tokenizer.exists(_ != "raw") =>
+        val tok = rf.fieldType.asInstanceOf[graft.config.DynamicObjectField]
+          .tokenizer.get
+        val toks =
+          if (rf.array) flatten(transform(rf.column,
+            e => graft.functions.TextFunctions.tokenize(e, tok)))
+          else graft.functions.TextFunctions.tokenize(rf.column, tok)
+        rf.flatName -> toks
+    }
+    declared ++ dyn :+
+      (graft.config.SchemaDerivation.Dynamic ->
+        termsCol(graft.config.SchemaDerivation.Dynamic))
+  }
 
   /** The per-split statistics aggregate list — shared verbatim between
     * the ingest write pass ([[Indexer.writeSplit]]'s `Dataset.observe`)
@@ -219,12 +242,10 @@ object Indexer {
 
   /** Bloom-digest aggregates — up to [[TermDigest.BuildBits]]/8 bytes of
     * state per task per field. */
-  private def bloomAggs(d: SchemaDerivation): List[org.apache.spark.sql.Column] = {
-    def termsCol(flat: String) =
-      col(s"`${graft.config.SchemaDerivation.Terms}`").getField(flat)
-    digestFieldsOf(d).map(f =>
-      TokenBloomAgg.tokenBloom(termsCol(f)).as(s"__bloom__$f"))
-  }
+  private def bloomAggs(d: SchemaDerivation): List[org.apache.spark.sql.Column] =
+    digestFieldsOf(d).map { case (f, toks) =>
+      TokenBloomAgg.tokenBloom(toks).as(s"__bloom__$f")
+    }
 
   private def statsAggs(d: SchemaDerivation): List[org.apache.spark.sql.Column] =
     scalarAggs(d) ++ bloomAggs(d)
@@ -286,7 +307,7 @@ object Indexer {
     // the Parquet reader (`_` prefix). The manifest entry carries only the
     // sidecar's md5, keeping the hot-path manifest read small while giving
     // the searcher an exact cache key for the lazily fetched digests.
-    val digests = digestFieldsOf(d).flatMap { f =>
+    val digests = digestFieldsOf(d).flatMap { case (f, _) =>
       Option(get(s"__bloom__$f")).map(_.asInstanceOf[Array[Byte]])
         .flatMap(TermDigest.shrinkBytes).map(f -> _)
     }.toMap

@@ -82,7 +82,14 @@ object TermPruning {
           else NoMatch
         case _: IpField =>
           if (IpCodec.parse(v).isDefined) Unprunable else NoMatch
-        case _: DynamicObjectField => Unprunable // declared dyn: no digest
+        case dyn: DynamicObjectField => dyn.tokenizer match {
+          // the compiled predicate tokenizes the stored JSON with this
+          // tokenizer; the split digest is built over the same stream
+          case Some(tk) if tk != "raw" =>
+            AtomOf(fn -> TextFunctions.tokenizeTerm(v, tk))
+          // raw/None compare against CANONICALIZED JSON text — no digest
+          case _ => Unprunable
+        }
         case _: StaticObjectField  => NoMatch    // compiled lit(false)
       }
       case None if fn == SchemaDerivation.Dynamic =>

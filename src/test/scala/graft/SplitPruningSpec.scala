@@ -285,6 +285,49 @@ class SplitPruningSpec extends AnyFunSuite {
     cat.drop("digest_test")
   }
 
+  test("declared dynamic_object fields with a tokenizer digest and prune") {
+    val root = Files.createTempDirectory("graft-dyndigest").toString
+    val cat = new Catalog(root)
+    cat.create(
+      """version: 1
+        |name: dyn_digest
+        |path: /tmp/unused
+        |schema:
+        |  fields:
+        |    - name: msg
+        |      type: !text
+        |    - name: attrs
+        |      type: !dynamic_object
+        |        indexed:
+        |          tokenizer: default
+        |""".stripMargin)
+    val idx = new Indexer(spark, cat)
+    idx.indexFile("dyn_digest", write(
+      """{"msg": "alpha", "attrs": {"service": "ingestsvc", "zone": "east"}}"""))
+    idx.indexFile("dyn_digest", write(
+      """{"msg": "alpha", "attrs": {"service": "querysvc", "zone": "west"}}"""))
+
+    val search = new Searcher(spark, cat)
+    val cfg = cat.load("dyn_digest")
+    val d = new graft.config.SchemaDerivation(cfg)
+    def pathsFor(q: String): List[String] =
+      search.prunedSplitPaths("dyn_digest", cfg, d, QueryParser.parse(q))
+
+    // the declared field's digest exists alongside msg + catch-all
+    assert(cat.liveSplits("dyn_digest").forall(s =>
+      cat.loadDigests("dyn_digest", s).exists(_.contains("attrs"))))
+    // fielded term against the declared dyn field prunes
+    assert(pathsFor("attrs:querysvc").length == 1)
+    assert(pathsFor("attrs:ingestsvc").length == 1)
+    assert(pathsFor("attrs:nosuchsvc").isEmpty)
+    // bare term: attrs is a default field and no longer tops the clause
+    assert(pathsFor("querysvc").length == 1)
+    // results stay correct through pruning
+    assert(search.search("dyn_digest", "attrs:querysvc", 10).length == 1)
+    assert(search.search("dyn_digest", "attrs:east", 10).length == 1)
+    cat.drop("dyn_digest")
+  }
+
   test("digest pruning survives merge and JSON-escaped dynamic tokens") {
     val root = Files.createTempDirectory("graft-digest2").toString
     val cat = new Catalog(root)
