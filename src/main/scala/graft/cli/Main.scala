@@ -127,8 +127,14 @@ object Main {
             .map(f => s"$f=hex").mkString(" ")
           val dc = s.dicts.toList.sortBy(_._1)
             .map { case (f, vs) => s"$f={${vs.mkString(",")}}" }.mkString(" ")
+          // term-digest diagnostics: which fields can prune and how full
+          // their filters are (fill → pass-through rate = fill^K)
+          val dg = s.digest.flatMap(_ => cat.loadDigests(name, s)).map(ds =>
+            "digests[" + ds.toList.sortBy(_._1).map { case (f, d) =>
+              f"$f:${d.m}b/${d.fill * 100}%.0f%%"
+            }.mkString(" ") + "]").getOrElse("")
           println(s"  ${s.id}: ${s.numDocs} docs$ts " +
-            List(zs, hx, dc).filter(_.nonEmpty).mkString(" "))
+            List(zs, hx, dc, dg).filter(_.nonEmpty).mkString(" "))
         }
 
       case "search" =>
