@@ -129,7 +129,7 @@ object Main {
             .map { case (f, vs) => s"$f={${vs.mkString(",")}}" }.mkString(" ")
           // term-digest diagnostics: which fields can prune and how full
           // their filters are (fill → pass-through rate = fill^K)
-          val dg = s.digest.flatMap(_ => cat.loadDigests(name, s)).map(ds =>
+          val dg = cat.loadDigests(name, s).map(ds =>
             "digests[" + ds.toList.sortBy(_._1).map { case (f, d) =>
               f"$f:${d.m}b/${d.fill * 100}%.0f%%"
             }.mkString(" ") + "]").getOrElse("")

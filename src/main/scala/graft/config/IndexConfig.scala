@@ -79,13 +79,22 @@ final case class IndexConfig(
 ) {
   /** Validation from the reference's create command
     * (`src/commands/create.rs:9-22`): arrays of static objects are
-    * rejected. */
+    * rejected. Tokenizer names are checked here too so a typo fails at
+    * CREATE with the field named, not at first ingest (the `_terms` and
+    * digest builds both feed the name to the tokenizer dispatch). */
   def validate(): Unit = {
+    def checkTok(name: String, tok: Option[String]): Unit = tok.foreach { t =>
+      require(graft.functions.TextFunctions.KnownTokenizers(t),
+        s"field '$name': unknown tokenizer '$t' (expected one of " +
+          graft.functions.TextFunctions.KnownTokenizers.toList.sorted.mkString(", ") + ")")
+    }
     def walk(fs: List[FieldConfig]): Unit = fs.foreach { f =>
       f.fieldType match {
         case so: StaticObjectField =>
           require(!f.array, s"field '${f.name}': array of static_object is not supported")
           walk(so.fields)
+        case t: TextField          => checkTok(f.name, t.tokenizer)
+        case d: DynamicObjectField => checkTok(f.name, d.tokenizer)
         case _ =>
       }
     }

@@ -277,11 +277,7 @@ final class SchemaDerivation(val config: IndexConfig) {
       rf.path.tail.foldLeft(typedByName(rf.path.head))((c, p) => c.getField(p))
 
     val termsCols = termsFields.map { case (flat, rf, tok) =>
-      val typed = leafTyped(rf)
-      val toks =
-        if (rf.array) flatten(transform(typed, e => TextFunctions.tokenize(e.cast("string"), tok)))
-        else TextFunctions.tokenize(typed.cast("string"), tok)
-      toks.as(flat)
+      TextFunctions.tokensOf(leafTyped(rf), tok, rf.array).as(flat)
     }
 
     // A corrupt line yields a struct of nulls in PERMISSIVE mode, not a

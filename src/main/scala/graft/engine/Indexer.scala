@@ -198,11 +198,8 @@ object Indexer {
             .tokenizer.exists(_ != "raw") =>
         val tok = rf.fieldType.asInstanceOf[graft.config.DynamicObjectField]
           .tokenizer.get
-        val toks =
-          if (rf.array) flatten(transform(rf.column,
-            e => graft.functions.TextFunctions.tokenize(e, tok)))
-          else graft.functions.TextFunctions.tokenize(rf.column, tok)
-        rf.flatName -> toks
+        rf.flatName ->
+          graft.functions.TextFunctions.tokensOf(rf.column, tok, rf.array)
     }
     declared ++ dyn :+
       (graft.config.SchemaDerivation.Dynamic ->
@@ -341,8 +338,11 @@ object Indexer {
     * (bytes per task) always ride; the Bloom digests ride only for
     * narrow inputs ([[ObserveBloomMaxTasks]] — streaming micro-batches,
     * CLI files), and a WIDE backfill computes them in a column-pruned
-    * second scan of just the `_terms` struct — the shuffle-merged
-    * aggregation shape that actually scales to thousands of tasks.
+    * second scan of the `_terms` struct (plus, when the schema declares
+    * tokenized dynamic_object fields, those JSON columns re-tokenized —
+    * the one case where the second scan is not cheap) — the
+    * shuffle-merged aggregation shape that actually scales to thousands
+    * of tasks.
     * Falls back to the full read-back scan ([[splitStats]]) if the
     * metrics don't surface — same aggregates, identical result. */
   private[graft] def writeSplit(spark: SparkSession, d: SchemaDerivation,

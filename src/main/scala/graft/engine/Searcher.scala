@@ -186,11 +186,18 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
       rawFields.flatMap(rf =>
         FieldBounds.requiredTerms(ast, rf.flatName).map(rf.flatName -> _))
     // Prefix CNF per raw field vs complete dictionaries — the family
-    // that lets `severity:ERR*` skip splits (an exact term is its own
-    // prefix, so this only ever adds constraints the dict family can't
-    // express, like wildcards and mixed Musts).
+    // that lets `severity:ERR*` skip splits. Only computed when the
+    // query actually contains a prefix node: without one, every clause
+    // is exact terms, which the dict family already checks more tightly.
+    def hasPrefix(a: Ast): Boolean = a match {
+      case _: Ast.Prefix       => true
+      case Ast.Bool(cs)        => cs.exists(c => hasPrefix(c._2))
+      case Ast.Boost(inner, _) => hasPrefix(inner)
+      case _                   => false
+    }
     val prefixConstraints: List[(String, List[Set[String]])] =
-      rawFields.map(rf => rf.flatName ->
+      if (!hasPrefix(ast)) Nil
+      else rawFields.map(rf => rf.flatName ->
           FieldBounds.requiredPrefixes(ast, rf.flatName))
         .filter(_._2.nonEmpty)
     // Required-token CNF for the term digests; computed once per query.
@@ -217,9 +224,13 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
         val dictOk = dictConstraints.forall { case (f, required) =>
           s.dicts.get(f).forall(vals => required.exists(vals.contains))
         }
+        // per-VALUE check: all clauses constrain the same field value of
+        // any matching doc, so some single dictionary value must satisfy
+        // every clause (per-clause independent satisfaction would keep a
+        // {ERROR, WARN} split for `+sev:E* +sev:W*`, which matches nothing)
         val prefixOk = prefixConstraints.forall { case (f, clauses) =>
           s.dicts.get(f).forall(vals =>
-            clauses.forall(_.exists(p => vals.exists(_.startsWith(p)))))
+            vals.exists(v => clauses.forall(_.exists(p => v.startsWith(p)))))
         }
         timeOk && numOk && ipOk && dictOk && prefixOk
       }

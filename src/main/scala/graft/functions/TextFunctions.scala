@@ -39,6 +39,10 @@ object TextFunctions {
   def tokenizeEnStem(c: Column): Column =
     transform(tokenizeDefault(c), t => porter_stem(t))
 
+  /** The tokenizer vocabulary — validated at index CREATE so a typo
+    * fails there, not at first ingest or first query. */
+  val KnownTokenizers: Set[String] = Set("default", "raw", "en_stem", "whitespace")
+
   def tokenize(c: Column, tokenizer: String): Column = tokenizer match {
     case "default"    => tokenizeDefault(c)
     case "raw"        => tokenizeRaw(c)
@@ -46,6 +50,14 @@ object TextFunctions {
     case "whitespace" => tokenizeWhitespace(c)
     case other => throw new IllegalArgumentException(s"unknown tokenizer: $other")
   }
+
+  /** The array-aware ingest tokenization shape, shared by the `_terms`
+    * construction and the digest build so the two can never
+    * desynchronize: scalar columns tokenize directly, array columns
+    * tokenize per element and flatten. */
+  def tokensOf(c: Column, tokenizer: String, array: Boolean): Column =
+    if (array) flatten(transform(c, e => tokenize(e.cast("string"), tokenizer)))
+    else tokenize(c.cast("string"), tokenizer)
 
   /** Tokenize a single query term the same way the field was tokenized at
     * ingest (a term never contains separators, so default/en_stem reduce to

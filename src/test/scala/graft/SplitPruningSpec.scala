@@ -132,6 +132,9 @@ class SplitPruningSpec extends AnyFunSuite {
     // two Must prefixes CONJOIN per value (CNF) — a set intersection
     // would empty out and wrongly prune the ERROR split too
     assert(pathsFor("+severity:E* +severity:ER*").length == 1)
+    // ...and conjunction applies per VALUE: no single severity starts
+    // with both E and W, so a {INFO,WARN} or {ERROR} split can't match
+    assert(pathsFor("+severity:E* +severity:W*").isEmpty)
     assert(pathsFor("+msg:alpha severity:ERR*").length == 2,
       "optional prefix next to a Must is scoring-only")
     assert(search.search("zone_test", "severity:ERR* AND msg:beta", 10) ==
@@ -283,6 +286,24 @@ class SplitPruningSpec extends AnyFunSuite {
     assert(search.search("digest_test", "extra.k:dynuniquea", 10).length == 1)
     assert(search.search("digest_test", "msg:alpha", 10).length == 4)
     cat.drop("digest_test")
+  }
+
+  test("create rejects unknown tokenizer names with the field named") {
+    val cat = new Catalog(Files.createTempDirectory("graft-badtok").toString)
+    val bad = intercept[IllegalArgumentException](cat.create(
+      """version: 1
+        |name: bad_tok
+        |path: /tmp/unused
+        |schema:
+        |  fields:
+        |    - name: msg
+        |      type: !text
+        |        indexed:
+        |          tokenizer: en-stem
+        |""".stripMargin))
+    assert(bad.getMessage.contains("msg") &&
+      bad.getMessage.contains("en-stem"), bad.getMessage)
+    assert(!cat.exists("bad_tok"), "failed create must leave nothing behind")
   }
 
   test("declared dynamic_object fields with a tokenizer digest and prune") {
