@@ -189,6 +189,56 @@ object Ann {
     * [[topKDot]], so the whole composition stays oracle-reproducible.
     * corpus: (vid, v); centroids: (cid, cv); queries selected by
     * `isQuery`. Output: (qid, rank, neighbor). */
+  /** Product-quantization ANN (Jégou et al. 2011) — the memory-bandwidth
+    * tier beyond [[sq8]]: the corpus collapses to `numSubspaces` small
+    * codes per vector (16-codeword codebooks seeded from the first 16
+    * corpus vectors' sub-vectors — the deterministic seed rule [[ivf]]
+    * uses), and each query carries a tiny ADC lookup table, so ranking
+    * reads m ints per candidate instead of dim floats. Encode is one
+    * map-only pass with the codebooks shipped as expression constants
+    * (the sq8 stats-as-literals pattern); at cluster scale the coded
+    * corpus is written once and rescanned per query batch at ~m/dim of
+    * the raw bandwidth. Exact fixed-point arithmetic end to end (encode
+    * argmin, LUT, ADC sums — [[graft.exprs.Pq]]) keeps the tier
+    * DuckDB-reproducible. Approximate-L2 ranking ascending, ties by
+    * neighbor id. corpus: (vid, v); queries selected by `isQuery`.
+    * Output: (qid, rank, neighbor). */
+  def pq(corpus: DataFrame, isQuery: Column => Column, numSubspaces: Int,
+      k: Int): DataFrame = {
+    import graft.exprs.Pq
+    val vecs = corpus.select(col("vid"), col("v"))
+    // Codebooks: the first 16 vectors' sub-vectors, fixed-point — one
+    // tiny driver-side collect, like the sq8 min/max stats.
+    val seeds = vecs.where(col("vid") < 16).orderBy(col("vid")).collect()
+    val dim = seeds.head.getSeq[Any](1).length
+    require(dim % numSubspaces == 0,
+      s"dim $dim must split evenly into $numSubspaces subspaces")
+    val subDim = dim / numSubspaces
+    val cb: Pq.Codebooks = (0 until numSubspaces).map { s =>
+      seeds.toSeq.map { r =>
+        val full = r.getSeq[Any](1).map {
+          case f: java.lang.Float  => f.toDouble
+          case d: java.lang.Double => d.doubleValue
+        }
+        (0 until subDim).map(i => Pq.fixedPoint(full(s * subDim + i) * 1000000.0))
+      }
+    }
+    // snapshotted: the coded corpus feeds both the candidate scan and the
+    // query-side LUT projection
+    val snap = vecs.withColumn("code", Pq.pq_encode(col("v"), cb))
+      .localCheckpoint(eager = false)
+    val queries = broadcast(snap.where(isQuery(col("vid")))
+      .select(col("vid").as("qid"), Pq.pq_lut(col("v"), cb).as("lut")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adist").asc, col("vid").asc)
+    snap.where(col("code").isNotNull).select(col("vid"), col("code"))
+      .join(queries, col("vid") =!= col("qid"))
+      .withColumn("adist", Pq.pq_adc(col("code"), col("lut")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vid").as("neighbor"))
+  }
+
   def sq8Ivf(corpus: DataFrame, isQuery: Column => Column,
       centroids: DataFrame, nProbe: Int, k: Int): DataFrame = {
     val cents = broadcast(centroids)

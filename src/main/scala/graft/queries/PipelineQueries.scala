@@ -315,6 +315,14 @@ object PipelineQueries {
       isQuery = _ < 20, dim = 64, planes = 16, tables = 2, k = 5)
       .orderBy(col("qid"), col("rank"))
 
+  /** Product-quantization ANN: 4 subspaces × 16 seed codewords over the
+    * 64-dim embeddings, per-query ADC lookup tables, fixed-point
+    * arithmetic end to end — see [[graft.ops.Ann.pq]]. */
+  val knn_pq: Q = (s, dir) =>
+    Ann.pq(corpus(s, dir).select(col("vid"), col("v")),
+      isQuery = _ < 20, numSubspaces = 4, k = 5)
+      .orderBy(col("qid"), col("rank"))
+
   /** PII scrubbing — the standard pre-training redaction pass: count and
     * replace emails and IPv4s with placeholder tags. The synthetic corpus
     * contains no PII, so the op first injects one deterministic email+IP
@@ -485,6 +493,7 @@ object PipelineQueries {
     "pipe_pack_sequences" -> pipe_pack_sequences,
     "knn_sq8" -> knn_sq8,
     "knn_sq8_ivf" -> knn_sq8_ivf,
+    "knn_pq" -> knn_pq,
     "text_pii_scrub" -> text_pii_scrub,
     "text_domains" -> text_domains,
     "mm_phash_buckets" -> mm_phash_buckets,
@@ -770,6 +779,38 @@ object PipelineQueries {
          |    row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, neighbor ASC) AS rank
          |  FROM cand)
          |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // PQ: encode + ADC share ONE dists CTE (sub-vector × codeword
+    // fixed-point squared L2) — queries are corpus members, so their
+    // lookup tables are the same rows
+    "knn_pq" ->
+      """WITH fx AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS f
+        |  FROM embeddings),
+        |sub AS (
+        |  SELECT vec_id, s, f[s*16+1 : s*16+16] AS fs
+        |  FROM fx CROSS JOIN (SELECT unnest(range(4)) AS s)),
+        |cw AS (SELECT s, vec_id AS cid, fs FROM sub WHERE vec_id < 16),
+        |dists AS (
+        |  SELECT a.vec_id, a.s, c.cid,
+        |    list_sum(list_transform(range(16),
+        |      i -> (a.fs[i+1] - c.fs[i+1]) * (a.fs[i+1] - c.fs[i+1]))) AS dist
+        |  FROM sub a JOIN cw c ON c.s = a.s),
+        |enc AS (
+        |  SELECT vec_id, s, cid FROM (
+        |    SELECT vec_id, s, cid,
+        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dist ASC, cid ASC) AS rn
+        |    FROM dists) WHERE rn = 1),
+        |adc AS (
+        |  SELECT dq.vec_id AS qid, e.vec_id AS neighbor, CAST(sum(dq.dist) AS BIGINT) AS adist
+        |  FROM enc e JOIN dists dq ON dq.s = e.s AND dq.cid = e.cid
+        |  WHERE dq.vec_id < 20 AND e.vec_id <> dq.vec_id
+        |  GROUP BY dq.vec_id, e.vec_id)
+        |SELECT qid, rank, neighbor FROM (
+        |  SELECT qid, neighbor,
+        |    row_number() OVER (PARTITION BY qid ORDER BY adist ASC, neighbor ASC) AS rank
+        |  FROM adc)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "dedup_simhash" ->
       s"""WITH th AS (
          |  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h

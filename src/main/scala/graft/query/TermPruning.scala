@@ -15,6 +15,12 @@ import graft.functions.TextFunctions
   * is skipped; everything uncertain (missing digest, unknown field,
   * un-tokenizable construct) keeps the split.
   *
+  * This layer stands in for the per-split term dictionaries tantivy
+  * gives the reference for free (every split carries a real inverted
+  * index — `/root/reference/src/commands/search.rs:186-188`); here the
+  * digest answers only "could this token be present", which is all
+  * split-level pruning needs.
+  *
   * Boolean semantics mirror [[FieldBounds]] (and the compiler's/tantivy's):
   * Must clauses conjoin (CNF concat); with any Must present, Should
   * clauses are scoring-only and contribute nothing; Should-only queries

@@ -153,6 +153,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("knn_pq broadcasts the query LUTs; the corpus side carries codes only") {
+    val plan = formatted(graft.queries.PipelineQueries.knn_pq(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query side must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("knn_sq8 joins the tiny quantized query side by broadcast") {
     val plan = formatted(graft.queries.PipelineQueries.knn_sq8(spark, sf))
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
