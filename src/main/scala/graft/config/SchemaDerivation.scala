@@ -231,21 +231,23 @@ final class SchemaDerivation(val config: IndexConfig) {
       value: Column): org.apache.spark.sql.DataFrame = {
     val (stage1, _, skip) = ingestStage1(value)
     val declared = fields.map(f => col(s"`${f.name}`"))
-    // Catch-all terms tokenize the CANONICAL variant render (not the raw
-    // residual text) with escape sequences neutralized to spaces. Raw
-    // input may escape anything (`"abc"`), so its token stream can
-    // miss decoded tokens; the canonical render only ever escapes
-    // control characters, quotes, and backslashes — all of which decode
-    // to token SEPARATORS — so after neutralizing `\uXXXX` units and
-    // two-char escapes, every token of every decoded string value is a
-    // token of this array. Dynamic-path queries (which tokenize the
-    // DECODED value at query time) and the per-split term digests both
-    // rely on exactly that subset property; without neutralization
-    // "a\nb" would tokenize as [a, nb] and hide token b.
+    // Catch-all terms tokenize the residual-JSON text with escape
+    // sequences neutralized to spaces. The text is Jackson-CANONICAL
+    // (json_residual / expand_dots_json re-render through Jackson, which
+    // only ever escapes control characters, quotes, and backslashes —
+    // never alphanumerics: a raw-input `"abc"` arrives decoded), and
+    // those escapes all decode to token SEPARATORS, so after
+    // neutralizing `\uXXXX` units and two-char escapes, every token of
+    // every decoded string value is a token of this array. Dynamic-path
+    // queries (which tokenize the DECODED value at query time) and the
+    // per-split term digests both rely on exactly that subset property;
+    // without neutralization "a\nb" would tokenize as [a, nb] and hide
+    // token b. (Tokenizing this text, not `to_json(variant)`, skips a
+    // parse+render round trip per ingested row.)
     val termsStruct = struct(
       termsFields.map { case (flat, _, _) => col(s"`__t__$flat`").as(flat) } :+
         TextFunctions.tokenize(
-          regexp_replace(to_json(col(Dynamic)),
+          regexp_replace(col(DynJsonTmp),
             "\\\\u[0-9a-fA-F]{4}|\\\\.", " "), "default").as(Dynamic): _*)
     lines
       .where(value.isNotNull && length(trim(value)) > 0)
@@ -264,9 +266,10 @@ final class SchemaDerivation(val config: IndexConfig) {
       value: Column): (Seq[(Column, Option[String])], List[Column], Column) = {
     val parsed = from_json(value, rawParseSchema)
     val perField = fields.map(f => typedField(f, parsed, Nil, value))
-    // The residual JSON text feeds the variant encoding (format-2
-    // storage); the catch-all terms tokenize the canonical render of the
-    // VARIANT in stage 2, not this raw text.
+    // The residual JSON text (Jackson-canonical) is computed once and
+    // kept under a temp name: storage gets its variant encoding
+    // (format-2 splits), the catch-all terms tokenize the same text in
+    // stage 2 without re-serializing.
     val dynJson = expand_dots_json(json_residual(value, topLevelNames))
     val dynamicCol = try_parse_json(dynJson).as(Dynamic)
 
@@ -288,7 +291,8 @@ final class SchemaDerivation(val config: IndexConfig) {
     val skip = errors.reduce(_ || _)
     val cols: Seq[(Column, Option[String])] =
       perField.map { case (c, _) => (c, None: Option[String]) } ++
-        Seq((dynamicCol, None: Option[String])) ++
+        Seq((dynamicCol, None: Option[String]),
+          (dynJson, Some(DynJsonTmp): Option[String])) ++
         termsCols.zip(termsFields).map { case (c, (flat, _, _)) =>
           (c, Some(s"__t__$flat"))
         }
@@ -302,6 +306,10 @@ final class SchemaDerivation(val config: IndexConfig) {
 object SchemaDerivation {
   val Dynamic = "_dynamic"
   val Terms = "_terms"
+
+  /** Stage-1 temp column holding the Jackson-canonical residual-JSON
+    * text (tokenized into the catch-all terms in stage 2, then dropped). */
+  private[config] val DynJsonTmp = "__dyn_json"
 
   /** Variant path for a flattened dotted field name: bracket-quoted
     * segments, so a key containing a literal (escaped) dot addresses the

@@ -153,11 +153,19 @@ case class PqAdc(left: Expression, right: Expression)
     val cd = code.asInstanceOf[ArrayData]
     val lt = lut.asInstanceOf[ArrayData]
     val m = cd.numElements()
-    if (m == 0) return null
+    // mismatched shapes (a lut built for a different m, or codes from a
+    // foreign codebook) must surface as null, not as silently wrong
+    // distances or an out-of-bounds task failure
+    if (m == 0 || lt.numElements() % m != 0) return null
     val numCw = lt.numElements() / m
     var acc = 0L
     var s = 0
-    while (s < m) { acc += lt.getLong(s * numCw + cd.getInt(s)); s += 1 }
+    while (s < m) {
+      val c = cd.getInt(s)
+      if (c < 0 || c >= numCw) return null
+      acc += lt.getLong(s * numCw + c)
+      s += 1
+    }
     java.lang.Long.valueOf(acc)
   }
 

@@ -104,13 +104,10 @@ case class LshSigs(child: Expression, planes: Int, tables: Int, dim: Int)
       s"lsh_sigs expects array<float|double>, got $other")
   }
 
-  /** Spark `round()` semantics exactly: decimal HALF_UP via BigDecimal
-    * (floor(d + 0.5) double-rounds — 0.49999999999999994 + 0.5 is 1.0 in
-    * binary — and Math.round pulls negative ties toward +inf; both would
-    * diverge from the replaced SQL form and the oracle). */
-  private def fixedPoint(d: Double): Long =
-    java.math.BigDecimal.valueOf(d)
-      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+  /** Spark `round()` semantics exactly — one shared definition
+    * ([[Pq.fixedPoint]]) so the oracle-critical rounding convention
+    * cannot drift between the signature and quantization families. */
+  private def fixedPoint(d: Double): Long = Pq.fixedPoint(d)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]

@@ -29,15 +29,19 @@ object Ann {
   private def cosine(x: Column, y: Column): Column =
     graft.exprs.CosineSimilarity.cosine_similarity(x, y)
 
-  private def topK(cands: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("vid").asc)
+  /** The shared rank-and-cut: top-k per query by `order` with the file's
+    * tie-break contract (ties by neighbor id) in exactly one place. */
+  private def rankCut(cands: DataFrame, order: Column, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(order, col("vid").asc)
     cands
-      .withColumn("cos", cosine(col("qv"), col("v")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vid").as("neighbor"))
   }
+
+  private def topK(cands: DataFrame, k: Int): DataFrame =
+    rankCut(cands.withColumn("cos", cosine(col("qv"), col("v"))),
+      col("cos").desc, k)
 
   /** queries: (qid, qv); corpus: (vid, v). */
   def brute(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
@@ -153,15 +157,9 @@ object Ann {
   /** Integer-dot top-K over (qid, qq8, vid, qv8) candidate rows — the
     * shared rank-and-cut of [[sq8]] and [[sq8Ivf]]: exact int math, ties
     * by neighbor id. */
-  private def topKDot(cands: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("qdot").desc, col("vid").asc)
-    cands
-      .withColumn("qdot", graft.exprs.Sq8.dot_int(col("qq8"), col("qv8")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("vid").as("neighbor"))
-  }
+  private def topKDot(cands: DataFrame, k: Int): DataFrame =
+    rankCut(cands.withColumn("qdot",
+      graft.exprs.Sq8.dot_int(col("qq8"), col("qv8"))), col("qdot").desc, k)
 
   /** Scalar-quantized (int8-style) max-inner-product search: per-dim
     * corpus min/max → 256-bin floor quantization ([[graft.exprs
@@ -189,6 +187,18 @@ object Ann {
     * [[topKDot]], so the whole composition stays oracle-reproducible.
     * corpus: (vid, v); centroids: (cid, cv); queries selected by
     * `isQuery`. Output: (qid, rank, neighbor). */
+  def sq8Ivf(corpus: DataFrame, isQuery: Column => Column,
+      centroids: DataFrame, nProbe: Int, k: Int): DataFrame = {
+    val cents = broadcast(centroids)
+    // snapshotted: assignment and probing both consume the quantized corpus
+    val q8 = sq8Corpus(corpus).localCheckpoint(eager = false)
+    val asg = cellAssign(q8, cents, "vid", "v", maxRank = 1, carry = Seq("qv8"))
+    val probes = cellAssign(q8.where(isQuery(col("vid"))), cents,
+      "vid", "v", nProbe, carry = Seq("qv8"))
+      .select(col("vid").as("qid"), col("qv8").as("qq8"), col("cell"))
+    topKDot(probes.join(asg, "cell").where(col("vid") =!= col("qid")), k)
+  }
+
   /** Product-quantization ANN (Jégou et al. 2011) — the memory-bandwidth
     * tier beyond [[sq8]]: the corpus collapses to `numSubspaces` small
     * codes per vector (16-codeword codebooks seeded from the first 16
@@ -201,53 +211,48 @@ object Ann {
     * the raw bandwidth. Exact fixed-point arithmetic end to end (encode
     * argmin, LUT, ADC sums — [[graft.exprs.Pq]]) keeps the tier
     * DuckDB-reproducible. Approximate-L2 ranking ascending, ties by
-    * neighbor id. corpus: (vid, v); queries selected by `isQuery`.
-    * Output: (qid, rank, neighbor). */
+    * neighbor id; malformed corpus vectors encode to null and drop,
+    * malformed QUERY vectors drop too (a null lookup table must not
+    * rank arbitrary neighbors). corpus: (vid, v); queries selected by
+    * `isQuery`. Output: (qid, rank, neighbor). */
   def pq(corpus: DataFrame, isQuery: Column => Column, numSubspaces: Int,
       k: Int): DataFrame = {
     import graft.exprs.Pq
     val vecs = corpus.select(col("vid"), col("v"))
     // Codebooks: the first 16 vectors' sub-vectors, fixed-point — one
-    // tiny driver-side collect, like the sq8 min/max stats.
+    // tiny driver-side collect, like the sq8 min/max stats. Seeds must
+    // be clean: a codebook from a malformed vector is undefined, so fail
+    // with a named cause rather than a MatchError.
     val seeds = vecs.where(col("vid") < 16).orderBy(col("vid")).collect()
-    val dim = seeds.head.getSeq[Any](1).length
+    require(seeds.nonEmpty, "pq needs seed vectors (vid < 16) for codebooks")
+    val fixedSeeds: Seq[IndexedSeq[Long]] = seeds.toSeq.map { r =>
+      val v = r.getSeq[Any](1)
+      require(v != null && !v.contains(null),
+        s"pq seed vector vid=${r.get(0)} is null or has null elements")
+      v.map {
+        case f: java.lang.Float  => Pq.fixedPoint(f.toDouble * 1000000.0)
+        case d: java.lang.Double => Pq.fixedPoint(d.doubleValue * 1000000.0)
+      }.toIndexedSeq
+    }
+    val dim = fixedSeeds.head.length
+    require(fixedSeeds.forall(_.length == dim),
+      "pq seed vectors disagree on dimensionality")
     require(dim % numSubspaces == 0,
       s"dim $dim must split evenly into $numSubspaces subspaces")
     val subDim = dim / numSubspaces
-    val cb: Pq.Codebooks = (0 until numSubspaces).map { s =>
-      seeds.toSeq.map { r =>
-        val full = r.getSeq[Any](1).map {
-          case f: java.lang.Float  => f.toDouble
-          case d: java.lang.Double => d.doubleValue
-        }
-        (0 until subDim).map(i => Pq.fixedPoint(full(s * subDim + i) * 1000000.0))
-      }
-    }
+    val cb: Pq.Codebooks = (0 until numSubspaces).map(s =>
+      fixedSeeds.map(_.slice(s * subDim, (s + 1) * subDim)))
     // snapshotted: the coded corpus feeds both the candidate scan and the
     // query-side LUT projection
     val snap = vecs.withColumn("code", Pq.pq_encode(col("v"), cb))
       .localCheckpoint(eager = false)
     val queries = broadcast(snap.where(isQuery(col("vid")))
-      .select(col("vid").as("qid"), Pq.pq_lut(col("v"), cb).as("lut")))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("adist").asc, col("vid").asc)
-    snap.where(col("code").isNotNull).select(col("vid"), col("code"))
-      .join(queries, col("vid") =!= col("qid"))
-      .withColumn("adist", Pq.pq_adc(col("code"), col("lut")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("vid").as("neighbor"))
-  }
-
-  def sq8Ivf(corpus: DataFrame, isQuery: Column => Column,
-      centroids: DataFrame, nProbe: Int, k: Int): DataFrame = {
-    val cents = broadcast(centroids)
-    // snapshotted: assignment and probing both consume the quantized corpus
-    val q8 = sq8Corpus(corpus).localCheckpoint(eager = false)
-    val asg = cellAssign(q8, cents, "vid", "v", maxRank = 1, carry = Seq("qv8"))
-    val probes = cellAssign(q8.where(isQuery(col("vid"))), cents,
-      "vid", "v", nProbe, carry = Seq("qv8"))
-      .select(col("vid").as("qid"), col("qv8").as("qq8"), col("cell"))
-    topKDot(probes.join(asg, "cell").where(col("vid") =!= col("qid")), k)
+      .select(col("vid").as("qid"), Pq.pq_lut(col("v"), cb).as("lut"))
+      .where(col("lut").isNotNull))
+    rankCut(
+      snap.where(col("code").isNotNull).select(col("vid"), col("code"))
+        .join(queries, col("vid") =!= col("qid"))
+        .withColumn("adist", Pq.pq_adc(col("code"), col("lut"))),
+      col("adist").asc, k)
   }
 }
