@@ -288,6 +288,35 @@ class SplitPruningSpec extends AnyFunSuite {
     cat.drop("digest_test")
   }
 
+  test("a selective term over 12 monthly splits opens exactly one") {
+    // the round-3 verdict's Done criterion for term digests, verbatim:
+    // N monthly splits, a selective term query, ~1 file opened
+    val root = Files.createTempDirectory("graft-monthly").toString
+    val cat = new Catalog(root)
+    cat.create(digestConfig.replace("digest_test", "monthly"))
+    val idx = new Indexer(spark, cat)
+    (1 to 12).foreach { m =>
+      idx.indexFile("monthly", write(
+        s"""{"msg": "common telemetry month$m marker$m", "body": "filler words"}
+           |{"msg": "common payload month$m second", "body": "more filler"}""".stripMargin))
+    }
+    assert(cat.liveSplits("monthly").length == 12)
+
+    val search = new Searcher(spark, cat)
+    val cfg = cat.load("monthly")
+    val d = new graft.config.SchemaDerivation(cfg)
+    def pathsFor(q: String): List[String] =
+      search.prunedSplitPaths("monthly", cfg, d, QueryParser.parse(q))
+
+    assert(pathsFor("msg:marker7").length == 1, "selective term -> one split")
+    assert(pathsFor("marker7").length == 1, "bare selective term too")
+    assert(pathsFor("msg:common").length == 12, "common term -> all splits")
+    assert(pathsFor("msg:marker7 AND msg:common").length == 1)
+    assert(search.search("monthly", "msg:marker7", 10).length == 1)
+    assert(search.search("monthly", "msg:common", 100).length == 24)
+    cat.drop("monthly")
+  }
+
   test("create rejects unknown tokenizer names with the field named") {
     val cat = new Catalog(Files.createTempDirectory("graft-badtok").toString)
     val bad = intercept[IllegalArgumentException](cat.create(
