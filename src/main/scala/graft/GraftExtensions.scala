@@ -55,6 +55,12 @@ object GraftExtensions {
     require(l >= Int.MinValue && l <= Int.MaxValue, s"$what out of int range: $l")
     l.toInt
   }
+  private def stringArg(e: Expression, what: String): String =
+    constArg(e, what) match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$what must be a string constant, got '$other' (${e.dataType.sql})")
+    }
   private def stringsArg(e: Expression, what: String): Seq[String] = {
     val isStringArray = e.dataType match {
       case org.apache.spark.sql.types.ArrayType(
@@ -95,6 +101,20 @@ object GraftExtensions {
     ("window_energy", "window_energy(payload, size) - per-window sum of squared code points",
       exprs => WindowEnergy(exprs.head, intArg(exprs(1), "size"))),
     ("phash16", "phash16(payload) - 16-bit byte-grid perceptual hash",
-      exprs => PHash16(exprs.head))
+      exprs => PHash16(exprs.head)),
+    ("count_token_eq", "count_token_eq(arr, token) - occurrences of token in arr",
+      exprs => CountTokenEq(exprs.head, stringArg(exprs(1), "token"))),
+    ("any_starts_with", "any_starts_with(arr, prefix) - some element starts with prefix",
+      exprs => AnyStartsWith(exprs.head, stringArg(exprs(1), "prefix"))),
+    ("any_contains", "any_contains(arr, needle) - some element contains needle",
+      exprs => AnyContains(exprs.head, stringArg(exprs(1), "needle"))),
+    ("any_levenshtein_le",
+      "any_levenshtein_le(arr, needle, dist) - some element within edit distance",
+      exprs => AnyLevenshteinLe(exprs.head, stringArg(exprs(1), "needle"),
+        intArg(exprs(2), "dist"))),
+    ("phrase_freq",
+      "phrase_freq(toks, words, slop) - occurrences of the phrase (slop-windowed)",
+      exprs => PhraseFreq(exprs.head, stringsArg(exprs(1), "words"),
+        intArg(exprs(2), "slop")))
   )
 }

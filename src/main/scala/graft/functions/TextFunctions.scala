@@ -32,7 +32,7 @@ object TextFunctions {
       lit("(?<![\\p{L}\\p{N}])[\\p{L}\\p{N}]{1,40}(?![\\p{L}\\p{N}])"), lit(0))
 
   def tokenizeWhitespace(c: Column): Column =
-    filter(split(c, "\\s+"), t => t =!= "")
+    array_remove(split(c, "\\s+"), "")
 
   def tokenizeRaw(c: Column): Column = array(c)
 
@@ -85,13 +85,9 @@ object TextFunctions {
         concat(lit(d), array_join(terms, d), lit(d))
           .contains(d + words.mkString(d) + d)
       case _ =>
-        val n = words.length
-        val idx = sequence(lit(0), size(terms) - n)
-        val okAt = (i: Column) =>
-          words.zipWithIndex.map { case (w, j) =>
-            exists(slice(terms, i + lit(1 + math.max(0, j - slop)), lit(1 + 2 * slop)),
-              e => e === w)
-          }.reduce(_ && _)
-        size(terms) >= n && exists(idx, i => okAt(i))
+        // tight-loop positional scan (one virtual call per row — the
+        // sequence+slice+exists HOF form this replaces materialized an
+        // index array and ran interpreted lambdas per candidate position)
+        graft.exprs.ArrayMatch.phrase_freq(terms, words, slop) > 0
     }
 }

@@ -8,6 +8,7 @@ import org.apache.spark.sql.types.StructType
 
 import graft.Graft.table
 import graft.engine.{Catalog, Indexer, Searcher}
+import graft.exprs.ArrayMatch
 import graft.functions.TextFunctions.{phraseMatch, tokenizeDefault}
 
 /** The reference's query-language surface (SURVEY §2.3) as gated queries
@@ -57,7 +58,7 @@ object SearchQueries {
   /** prefix query `wind*` over tokens. */
   val q_prefix_search: Q = (s, dir) =>
     docs(s, dir)
-      .where(exists(col("toks"), t => t.startsWith("wind")))
+      .where(ArrayMatch.any_starts_with(col("toks"), "wind"))
       .select(col("doc_id"))
       .orderBy(col("doc_id"))
 
@@ -98,7 +99,7 @@ object SearchQueries {
     val idfs = Seq(idf(statsRow.getAs[Long]("df0").toDouble),
       idf(statsRow.getAs[Long]("df1").toDouble))
     val score = terms.zip(idfs).map { case (t, i) =>
-      val tf = size(filter(col("toks"), x => x === t)).cast("double")
+      val tf = ArrayMatch.count_token_eq(col("toks"), t).cast("double")
       lit(i) * tf * lit(k1 + 1.0) /
         (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / lit(avgdl)))
     }.reduce(_ + _)
@@ -128,7 +129,7 @@ object SearchQueries {
     * contract — not per character window of the raw text. */
   val q_fuzzy_search: Q = (s, dir) =>
     docs(s, dir)
-      .where(exists(col("toks"), t => levenshtein(t, lit("spork")) <= 1))
+      .where(ArrayMatch.any_levenshtein_le(col("toks"), "spork", 1))
       .select(col("doc_id"))
       .orderBy(col("doc_id"))
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.config._
-import graft.exprs.IpCodec
+import graft.exprs.{ArrayMatch, IpCodec}
 import graft.functions.{TextFunctions, TimeFunctions}
 
 /** Compiles a parsed tantivy-syntax query into a Catalyst `Column`
@@ -119,10 +119,42 @@ final class QueryCompiler(d: SchemaDerivation,
         // tokenized text: use the ingest-time terms column (works for both
         // scalar and array fields — terms of arrays are flattened)
         array_contains(termsCol(rf.flatName), TextFunctions.tokenizeTerm(value, t.tokenizer.get))
-      case _ if rf.array => exists(c, e => elemPred(e))
+      case _ if rf.array => arrayTerm(rf, c, value)
       case _             => elemPred(c)
     }
   }
+
+  /** Array-field term match without a per-element lambda: every leaf type
+    * reduces to `array_contains` against a compile-time-coerced literal
+    * (equality semantics identical to the scalar `elemPred`). Dynamic
+    * arrays match by tokenizing the elements JOINED on "\n" — a character
+    * every tokenizer treats as a separator, so the token set of the join
+    * is exactly the union of the per-element token sets; raw-tokenized
+    * dynamic arrays compare the canonical element text directly (stored
+    * elements are Jackson-canonical JSON, so a string value matches its
+    * quoted form and any other JSON value its literal text — the same
+    * equivalences `get_json_object(e, "$") === value` encoded). */
+  private def arrayTerm(rf: ResolvedField, c: Column, value: String): Column =
+    rf.fieldType match {
+      case _: TextField => array_contains(c, value) // raw/untokenized only here
+      case n: NumberField =>
+        numLit(n, value).map(array_contains(c, _)).getOrElse(lit(false))
+      case _: BooleanField =>
+        boolLit(value).map(array_contains(c, _)).getOrElse(lit(false))
+      case dt: DateTimeField => array_contains(c, tsLit(dt, value))
+      case _: IpField =>
+        IpCodec.parse(value).map(b => array_contains(c, lit(b))).getOrElse(lit(false))
+      case dyn: DynamicObjectField =>
+        dyn.tokenizer match {
+          case Some("raw") | None =>
+            array_contains(c, value) ||
+              array_contains(c, QueryCompiler.jsonQuote(value))
+          case Some(tok) =>
+            array_contains(TextFunctions.tokenize(concat_ws("\n", c), tok),
+              TextFunctions.tokenizeTerm(value, tok))
+        }
+      case _: StaticObjectField => lit(false)
+    }
 
   /** Value text at a `_dynamic` path: binary variant access (format-2
     * splits store the catch-all as VariantType), cast to string with
@@ -170,15 +202,16 @@ final class QueryCompiler(d: SchemaDerivation,
             // `Error*` must compare raw to match capitalized tokens.
             val needle =
               if (t.tokenizer.contains("whitespace")) value else value.toLowerCase
-            exists(termsCol(rf.flatName), tk => tk.startsWith(needle))
+            ArrayMatch.any_starts_with(termsCol(rf.flatName), needle)
           case t: TextField =>
             val c = rf.column
-            if (rf.array) exists(c, e => e.startsWith(value)) else c.startsWith(value)
+            if (rf.array) ArrayMatch.any_starts_with(c, value) else c.startsWith(value)
           case _ => lit(false)
         }
       case None =>
-        coalesce(exists(TextFunctions.tokenize(dynText(flatName), "default"),
-          tk => tk.startsWith(value.toLowerCase)), lit(false))
+        coalesce(ArrayMatch.any_starts_with(
+          TextFunctions.tokenize(dynText(flatName), "default"),
+          value.toLowerCase), lit(false))
     }
 
   /** Fuzzy term match: Levenshtein distance against ingest-tokenized terms
@@ -191,19 +224,20 @@ final class QueryCompiler(d: SchemaDerivation,
         rf.fieldType match {
           case t: TextField if t.tokenizer.exists(_ != "raw") =>
             val needle = TextFunctions.tokenizeTerm(value, t.tokenizer.get)
-            exists(termsCol(rf.flatName), tk => levenshtein(tk, lit(needle)) <= dist)
+            ArrayMatch.any_levenshtein_le(termsCol(rf.flatName), needle, dist)
           case _: TextField =>
             val c = rf.column
-            if (rf.array) exists(c, e => levenshtein(e, lit(value)) <= dist)
+            if (rf.array) ArrayMatch.any_levenshtein_le(c, value, dist)
             else levenshtein(c, lit(value)) <= dist
           case _ => lit(false)
         }
       case None if flatName == Dynamic =>
-        exists(termsCol(Dynamic),
-          tk => levenshtein(tk, lit(TextFunctions.tokenizeTerm(value, "default"))) <= dist)
+        ArrayMatch.any_levenshtein_le(termsCol(Dynamic),
+          TextFunctions.tokenizeTerm(value, "default"), dist)
       case None =>
-        coalesce(exists(TextFunctions.tokenize(dynText(flatName), "default"),
-          tk => levenshtein(tk, lit(value.toLowerCase)) <= dist), lit(false))
+        coalesce(ArrayMatch.any_levenshtein_le(
+          TextFunctions.tokenize(dynText(flatName), "default"),
+          value.toLowerCase, dist), lit(false))
     }
 
   // ---- range / comparison ----------------------------------------------
@@ -216,7 +250,7 @@ final class QueryCompiler(d: SchemaDerivation,
           val hiP = boundPred(rf, c, hi, isLower = false)
           loP && hiP
         }
-        if (rf.array) exists(rf.column, e => sidePred(e)) else sidePred(rf.column)
+        if (rf.array) arrayRange(rf, lo, hi) else sidePred(rf.column)
       case None =>
         val raw = dynText(flatName)
         // numeric compare when both the value and the bounds parse as
@@ -238,6 +272,26 @@ final class QueryCompiler(d: SchemaDerivation,
         }
         coalesce(cmp(lo, lower = true) && cmp(hi, lower = false), lit(false))
     }
+
+  /** Range over an array field as one tight-loop [[ArrayMatch.any_in_range]]
+    * (`exists(arr, e => lo && hi)` without the per-element lambda). A
+    * bounded side whose literal fails compile-time coercion matches
+    * nothing, same as the scalar `boundPred`. */
+  private def arrayRange(rf: ResolvedField, lo: Bound, hi: Bound): Column = {
+    def side(b: Bound): Option[(Option[Column], Boolean)] = b match {
+      case Bound.Unbounded    => Some((None, true))
+      case Bound.Inclusive(v) => literalFor(rf, v).map(c => (Some(c), true))
+      case Bound.Exclusive(v) => literalFor(rf, v).map(c => (Some(c), false))
+    }
+    (side(lo), side(hi)) match {
+      case (Some((loC, loIn)), Some((hiC, hiIn))) =>
+        ArrayMatch.any_in_range(rf.column,
+          loC.getOrElse(lit(null)), hiC.getOrElse(lit(null)),
+          if (loC.isDefined) Some(loIn) else None,
+          if (hiC.isDefined) Some(hiIn) else None)
+      case _ => lit(false) // an unparseable bound can never match
+    }
+  }
 
   private def boundPred(rf: ResolvedField, c: Column, b: Bound, isLower: Boolean): Column =
     b match {
@@ -291,7 +345,7 @@ final class QueryCompiler(d: SchemaDerivation,
           case _: TextField =>
             val c = rf.column
             val needle = words.mkString(" ")
-            if (rf.array) exists(c, e => e.contains(needle)) else c.contains(needle)
+            if (rf.array) ArrayMatch.any_contains(c, needle) else c.contains(needle)
           case _ => lit(false)
         }
       case None =>
@@ -301,4 +355,13 @@ final class QueryCompiler(d: SchemaDerivation,
 
   private def phraseOverTerms(terms: Column, words: List[String], slop: Int): Column =
     TextFunctions.phraseMatch(terms, words, slop)
+}
+
+object QueryCompiler {
+  /** JSON-encode a string the way Jackson renders stored dynamic values
+    * (canonical: only control chars, quotes, and backslashes escaped). */
+  private[query] def jsonQuote(s: String): String = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper
+    m.writeValueAsString(s)
+  }
 }
