@@ -9,6 +9,10 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// The container locale is POSIX (JVM file.encoding = US-ASCII on JDK 17),
+// so both scalac's source reading and the forked JVMs' default charset
+// must be pinned to UTF-8 or non-ASCII literals/IO mangle silently.
+ThisBuild / scalacOptions ++= Seq("-encoding", "UTF-8")
 Test / fork := true
 run / fork := true
 // Forward the sbt process's stdin to the forked run JVM so
@@ -28,6 +32,7 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  "-Dfile.encoding=UTF-8",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",

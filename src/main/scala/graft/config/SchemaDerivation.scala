@@ -231,24 +231,26 @@ final class SchemaDerivation(val config: IndexConfig) {
       value: Column): org.apache.spark.sql.DataFrame = {
     val (stage1, _, skip) = ingestStage1(value)
     val declared = fields.map(f => col(s"`${f.name}`"))
-    // Catch-all terms tokenize the residual-JSON text with escape
-    // sequences neutralized to spaces. The text is Jackson-CANONICAL
-    // (json_residual / expand_dots_json re-render through Jackson, which
-    // only ever escapes control characters, quotes, and backslashes —
-    // never alphanumerics: a raw-input `"abc"` arrives decoded), and
-    // those escapes all decode to token SEPARATORS, so after
-    // neutralizing `\uXXXX` units and two-char escapes, every token of
-    // every decoded string value is a token of this array. Dynamic-path
-    // queries (which tokenize the DECODED value at query time) and the
-    // per-split term digests both rely on exactly that subset property;
-    // without neutralization "a\nb" would tokenize as [a, nb] and hide
-    // token b. (Tokenizing this text, not `to_json(variant)`, skips a
-    // parse+render round trip per ingested row.)
+    // Catch-all terms tokenize the residual-JSON text with escape units
+    // neutralized ([[graft.exprs.JsonEscapeNeutralize]] — the SAME
+    // transform query-time `_dynamic`-path tokenization applies, see
+    // [[graft.query.QueryCompiler.dynTokens]], so the two token streams
+    // cannot desynchronize). The text is Jackson-CANONICAL (json_residual
+    // / expand_dots_json re-render through Jackson, which only ever
+    // escapes control characters, quotes, and backslashes — never
+    // alphanumerics: a raw-input `"abc"` arrives decoded), and those
+    // escapes all decode to token SEPARATORS, so after neutralization
+    // every token of every decoded string value is a token of this
+    // array. Dynamic-path queries and the per-split term digests both
+    // rely on exactly that equality; without neutralization "a\nb" would
+    // tokenize as [a, nb] and hide token b. (Tokenizing this text, not
+    // `to_json(variant)`, skips a parse+render round trip per ingested
+    // row.)
     val termsStruct = struct(
       termsFields.map { case (flat, _, _) => col(s"`__t__$flat`").as(flat) } :+
         TextFunctions.tokenize(
-          regexp_replace(col(DynJsonTmp),
-            "\\\\u[0-9a-fA-F]{4}|\\\\.", " "), "default").as(Dynamic): _*)
+          graft.exprs.JsonExprs.json_escape_neutralize(col(DynJsonTmp)),
+          "default").as(Dynamic): _*)
     lines
       .where(value.isNotNull && length(trim(value)) > 0)
       .where(!coalesce(skip, lit(true)))

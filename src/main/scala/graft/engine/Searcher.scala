@@ -372,9 +372,12 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
       }
       case None if flat == Dynamic => Some(col(s"`$Terms`").getField(Dynamic))
       case None =>
-        // unaddressable path (embedded quote) contributes no terms
-        SchemaDerivation.variantPath(flat).map(p =>
-          TextFunctions.tokenize(try_variant_get(col(Dynamic), p, "string"), "default"))
+        // unaddressable path (embedded quote) contributes no terms; the
+        // token stream is the SAME escape-neutralized rendering the
+        // compiled predicate matches on (QueryCompiler.dynTokens), so tf
+        // counts exactly the tokens the filter admitted
+        SchemaDerivation.variantPath(flat).map(_ =>
+          QueryCompiler.dynTokens(col(Dynamic), flat))
     }
 
   private def fieldnormsEnabled(d: SchemaDerivation, flat: String): Boolean =

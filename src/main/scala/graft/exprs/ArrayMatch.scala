@@ -59,13 +59,17 @@ object ArrayMatch {
       loIncl: Option[Boolean], hiIncl: Option[Boolean]): Column =
     toColumn(AnyInRange(toExpr(arr), toExpr(lo), toExpr(hi), loIncl, hiIncl))
 
-  /** Number of positions where the phrase matches: for each start i, word
-    * j must appear within the slop window of position i+j (slop=0 ≡ exact
-    * adjacent run). This is tantivy's phrase frequency — the tf a
-    * PhraseScorer feeds BM25 — and `phrase_freq > 0` is the slop-phrase
-    * predicate. */
+  /** Number of distinct phrase occurrences (slop-windowed positional
+    * matches, deduped on the word-0 position that anchors them). This is
+    * tantivy's phrase frequency — the tf a PhraseScorer feeds BM25. */
   def phrase_freq(terms: Column, words: Seq[String], slop: Int): Column =
-    toColumn(PhraseFreq(toExpr(terms), words, slop))
+    toColumn(PhraseFreq(toExpr(terms), words, slop, Int.MaxValue))
+
+  /** The slop-phrase PREDICATE: same match semantics as
+    * `phrase_freq > 0`, but the scan stops at the first occurrence
+    * instead of counting them all across a long document. */
+  def phrase_any(terms: Column, words: Seq[String], slop: Int): Column =
+    toColumn(PhraseFreq(toExpr(terms), words, slop, 1)) > 0
 }
 
 case class CountTokenEq(child: Expression, token: String)
@@ -221,15 +225,31 @@ case class AnyInRange(first: Expression, second: Expression, third: Expression,
   override def prettyName: String = "any_in_range"
 }
 
-/** Phrase frequency with slop: the number of start positions i such that
-  * every word j of the phrase appears within the slop window
-  * [i + max(0, j - slop), i + j + slop] (slop=0 degenerates to the exact
-  * adjacent run). Matches the positional-scan semantics the HOF form
-  * (`exists(sequence(...), i => ...)`) implemented, as one flat loop. */
-case class PhraseFreq(child: Expression, words: Seq[String], slop: Int)
+/** Phrase frequency with slop, counting each physical occurrence ONCE.
+  *
+  * A start position i matches when every word j is found in its window —
+  * `[i + max(0, j - slop), min(n-1, i + max(0, j - slop) + 2*slop)]`,
+  * i.e. the window START is clipped at i and then spans 2*slop further
+  * (deliberately wider than the naive `[i+j-slop, i+j+slop]` when
+  * j < slop: this mirrors the slice-based HOF form the expression
+  * replaced, so match SETS are bit-identical to it). Matches are then
+  * deduped on the position word 0 actually matched at: with slop > 0,
+  * up to 2*slop+1 adjacent starts find the SAME word-0 occurrence, and
+  * counting all of them inflated sloppy-phrase BM25 tf relative to
+  * tantivy's phrase_count, which counts each match once. First-found
+  * word-0 positions are non-decreasing in i, so a single lastP0 register
+  * dedupes in one pass. `phrase_freq > 0` is unchanged by the dedupe
+  * (the first match is always counted), so predicate semantics are
+  * identical to the HOF form for every input.
+  *
+  * `cap` bounds the count: the predicate path passes 1 (stop scanning at
+  * the first occurrence), scoring passes MaxValue for the exact tf. */
+case class PhraseFreq(child: Expression, words: Seq[String], slop: Int,
+    cap: Int = Int.MaxValue)
     extends UnaryExpression with CodegenFallback {
   require(words.nonEmpty, "phrase needs at least one word")
   require(slop >= 0, "slop must be non-negative")
+  require(cap > 0, "cap must be positive")
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = true
 
@@ -242,24 +262,25 @@ case class PhraseFreq(child: Expression, words: Seq[String], slop: Int)
     val m = ws.length
     if (n < m) return 0
     var count = 0
+    var lastP0 = -1
     var i = 0
-    while (i <= n - m) {
+    while (count < cap && i <= n - m) {
       var j = 0
       var ok = true
+      var p0 = -1
       while (ok && j < m) {
-        // window of word j relative to start i (clipped at i, mirroring
-        // the slice-based form: start = i + max(0, j - slop), len = 1 + 2*slop)
         var p = i + math.max(0, j - slop)
         val end = math.min(n - 1, i + math.max(0, j - slop) + 2 * slop)
         var found = false
         while (!found && p <= end) {
           if (!arr.isNullAt(p) && ws(j).equals(arr.getUTF8String(p))) found = true
-          p += 1
+          else p += 1
         }
+        if (found && j == 0) p0 = p
         ok = found
         j += 1
       }
-      if (ok) count += 1
+      if (ok && p0 != lastP0) { count += 1; lastP0 = p0 }
       i += 1
     }
     count

@@ -158,6 +158,87 @@ case class MergeSortedJson(left: Expression, right: Expression)
   override def prettyName: String = "merge_sorted_json"
 }
 
+/** Escape neutralization for tokenizing rendered JSON TEXT: rewrites every
+  * escape unit into what it means for tokenization, so the output's
+  * default-tokenizer token set equals the token set of the DECODED string
+  * values regardless of which escaping convention the JSON writer picked.
+  *
+  *  - a `\uXXXX` unit (adjacent surrogate-pair units combined) becomes its
+  *    decoded character when that character is a token character
+  *    (`\p{L}\p{N}` — a writer that ASCII-escapes letters must not split
+  *    tokens) and a single space otherwise (controls and punctuation are
+  *    token separators);
+  *  - every two-char escape (`\n`, `\t`, `\"`, `\\`, `\/`, ...) decodes to
+  *    a token separator and becomes a space;
+  *  - everything else copies through.
+  *
+  * Both the ingest-side catch-all terms / split term digests
+  * ([[graft.config.SchemaDerivation.ingest]], over the Jackson-canonical
+  * residual text) and the query-time `_dynamic`-path tokenization
+  * ([[graft.query.QueryCompiler]], over Spark's variant rendering) run on
+  * this one transform, so the two token streams cannot desynchronize —
+  * tokenizing RAW rendered text glued escape chars onto adjacent tokens
+  * (`"x\ny"` → `[x, ny]` while the digest held `[x, y]`), a wrong-prune
+  * false negative (tantivy never misses an indexed term,
+  * `/root/reference/src/commands/search.rs:186-188`). Tight per-row loop,
+  * no regex.
+  */
+case class JsonEscapeNeutralize(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  // \p{L} or \p{N} — the default tokenizer's token-character class
+  private def isTokenChar(cp: Int): Boolean = Character.isLetter(cp) || {
+    val t = Character.getType(cp)
+    t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
+      t == Character.OTHER_NUMBER
+  }
+
+  private def hex4(s: String, at: Int): Int = {
+    var v = 0
+    var j = at
+    while (j < at + 4) {
+      val d = Character.digit(s.charAt(j), 16)
+      if (d < 0) return -1
+      v = (v << 4) | d
+      j += 1
+    }
+    v
+  }
+
+  private def emitUnit(out: java.lang.StringBuilder, u: Int): Unit =
+    if (isTokenChar(u)) { out.appendCodePoint(u); () } else { out.append(' '); () }
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    val n = s.length
+    val out = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < n) {
+        val u = if (s.charAt(i + 1) == 'u' && i + 5 < n) hex4(s, i + 2) else -1
+        if (u >= 0) {
+          // surrogate pair written as two adjacent \uXXXX units
+          val lo = if (Character.isHighSurrogate(u.toChar) && i + 11 < n &&
+              s.charAt(i + 6) == '\\' && s.charAt(i + 7) == 'u') hex4(s, i + 8)
+            else -1
+          if (lo >= 0 && Character.isLowSurrogate(lo.toChar)) {
+            val cp = Character.toCodePoint(u.toChar, lo.toChar)
+            if (isTokenChar(cp)) out.appendCodePoint(cp) else out.append(' ')
+            i += 12
+          } else { emitUnit(out, u); i += 6 }
+        } else { out.append(' '); i += 2 } // two-char escape → separator
+      } else { out.append(c); i += 1 }
+    }
+    UTF8String.fromString(out.toString)
+  }
+  override protected def withNewChildInternal(c: Expression): JsonEscapeNeutralize =
+    copy(c)
+  override def prettyName: String = "json_escape_neutralize"
+}
+
 object JsonExprs {
   import graft.exprs.exprs.{toColumn, toExpr}
 
@@ -166,4 +247,6 @@ object JsonExprs {
   def expand_dots_json(c: Column): Column = toColumn(ExpandDotsJson(toExpr(c)))
   def merge_sorted_json(declared: Column, dynamic: Column): Column =
     toColumn(MergeSortedJson(toExpr(declared), toExpr(dynamic)))
+  def json_escape_neutralize(c: Column): Column =
+    toColumn(JsonEscapeNeutralize(toExpr(c)))
 }

@@ -87,7 +87,9 @@ object TextFunctions {
       case _ =>
         // tight-loop positional scan (one virtual call per row — the
         // sequence+slice+exists HOF form this replaces materialized an
-        // index array and ran interpreted lambdas per candidate position)
-        graft.exprs.ArrayMatch.phrase_freq(terms, words, slop) > 0
+        // index array and ran interpreted lambdas per candidate position),
+        // early-exiting at the first occurrence: the WHERE path needs
+        // existence, not the exact count a scorer needs
+        graft.exprs.ArrayMatch.phrase_any(terms, words, slop)
     }
 }

@@ -23,9 +23,13 @@ import graft.functions.{TextFunctions, TimeFunctions}
   *    whose type cannot hold the literal contributes `false` (tantivy's
   *    lenient parse).
   *
-  * All predicates are built from codegen'd builtins over typed columns, so
-  * Catalyst pushes comparisons into the Parquet scan (min/max pruning) and
-  * the whole filter stays inside WholeStageCodegen.
+  * Typed comparisons compile to codegen'd builtins over typed columns, so
+  * Catalyst pushes them into the Parquet scan (min/max pruning) and those
+  * filters stay inside WholeStageCodegen. Text-match predicates over token
+  * arrays (prefix, fuzzy, array range, phrase) compile to the tight-loop
+  * CodegenFallback expressions in [[graft.exprs.ArrayMatch]] — one virtual
+  * call per row, no per-element interpreted lambdas — so a scored text
+  * filter costs a codegen boundary but never an interpreter loop.
   */
 final class QueryCompiler(d: SchemaDerivation,
     defaultFields: Option[List[String]] = None) {
@@ -168,6 +172,11 @@ final class QueryCompiler(d: SchemaDerivation,
       case None    => lit(null).cast("string")
     }
 
+  /** Token array at a `_dynamic` path for term/prefix/fuzzy/phrase
+    * matching — see [[QueryCompiler.dynTokens]]. */
+  private def dynTokenArr(flatName: String): Column =
+    QueryCompiler.dynTokens(col(Dynamic), flatName)
+
   /** Unknown field → path into `_dynamic` (expand_dots made nested
     * form canonical at ingest). The catch-all is indexed with the default
     * tokenizer (`src/commands/mod.rs:41-51`), so term match tokenizes the
@@ -175,7 +184,7 @@ final class QueryCompiler(d: SchemaDerivation,
   private def dynamicPathTerm(flatName: String, value: String): Column = {
     val v = dynText(flatName)
     val tokenMatch = array_contains(
-      TextFunctions.tokenize(v, "default"),
+      dynTokenArr(flatName),
       TextFunctions.tokenizeTerm(value, "default"))
     // numbers/bools in JSON compare by token too ("58" tokenizes to ["58"])
     // Variant canonicalizes numeric lexemes ("1e3" is stored as a double
@@ -210,8 +219,7 @@ final class QueryCompiler(d: SchemaDerivation,
         }
       case None =>
         coalesce(ArrayMatch.any_starts_with(
-          TextFunctions.tokenize(dynText(flatName), "default"),
-          value.toLowerCase), lit(false))
+          dynTokenArr(flatName), value.toLowerCase), lit(false))
     }
 
   /** Fuzzy term match: Levenshtein distance against ingest-tokenized terms
@@ -236,8 +244,7 @@ final class QueryCompiler(d: SchemaDerivation,
           TextFunctions.tokenizeTerm(value, "default"), dist)
       case None =>
         coalesce(ArrayMatch.any_levenshtein_le(
-          TextFunctions.tokenize(dynText(flatName), "default"),
-          value.toLowerCase, dist), lit(false))
+          dynTokenArr(flatName), value.toLowerCase, dist), lit(false))
     }
 
   // ---- range / comparison ----------------------------------------------
@@ -349,7 +356,7 @@ final class QueryCompiler(d: SchemaDerivation,
           case _ => lit(false)
         }
       case None =>
-        coalesce(phraseOverTerms(TextFunctions.tokenize(dynText(flatName), "default"),
+        coalesce(phraseOverTerms(dynTokenArr(flatName),
           words.map(_.toLowerCase), slop), lit(false))
     }
 
@@ -364,4 +371,34 @@ object QueryCompiler {
     val m = new com.fasterxml.jackson.databind.ObjectMapper
     m.writeValueAsString(s)
   }
+
+  /** The query-time token array at a `_dynamic` path, shared by the
+    * compiled predicates (term/prefix/fuzzy/phrase) and the scorer's
+    * terms accessor: the subtree rendered as JSON with escape units
+    * neutralized ([[graft.exprs.JsonEscapeNeutralize]]), then
+    * default-tokenized — exactly the transform the ingest-side catch-all
+    * terms and split term digests apply, so every query-time token is
+    * digest-covered (the no-false-negative invariant
+    * [[graft.query.TermPruning]] relies on). Tokenizing the subtree's RAW
+    * rendered text instead glued escape chars onto adjacent alnum runs
+    * (`"x\ny"` under `obj.a` made `obj:ny` match on scan while the digest
+    * proved `ny` absent — the only matching split could be pruned).
+    * Rendering via `to_json(variant)` rather than the string cast keeps
+    * leaf strings ESCAPED (the string cast decodes them, where a literal
+    * backslash is data, not an escape intro, and neutralization would eat
+    * real tokens); for scalar leaves the neutralized tokens equal the
+    * decoded value's tokens, for object/array subtrees the union of the
+    * nested values' (and keys') tokens. JSON null stays SQL null —
+    * tantivy does not index nulls — preserving the no-match semantics of
+    * the previous string-cast path. */
+  private[graft] def dynTokens(dynamic: Column, flatName: String): Column =
+    SchemaDerivation.variantPath(flatName) match {
+      case Some(p) =>
+        val vv = try_variant_get(dynamic, p, "variant")
+        TextFunctions.tokenize(
+          when(!is_variant_null(vv),
+            graft.exprs.JsonExprs.json_escape_neutralize(to_json(vv))),
+          "default")
+      case None => lit(null).cast("array<string>")
+    }
 }

@@ -37,9 +37,13 @@ import graft.functions.TextFunctions
   *    statically non-matching and drop out; any field that could match
   *    through a non-token route (numeric equality, datetime parse,
   *    declared dynamic_object) makes the whole clause top;
-  *  - `_dynamic` path terms use the catch-all token digest (value tokens
-  *    are a subset of the neutralized residual-JSON tokens — see the
-  *    ingest-side escape handling in [[SchemaDerivation]]); numeric
+  *  - `_dynamic` path terms use the catch-all token digest: query-time
+  *    path tokenization ([[graft.query.QueryCompiler.dynTokens]]) and the
+  *    ingest-side catch-all terms the digest is built over apply the SAME
+  *    escape-neutralized rendering transform, so every query-time token
+  *    is digest-covered — including under escaped values (`"x\ny"`),
+  *    where tokenizing raw rendered text used to produce glued tokens the
+  *    digest provably lacked (a wrong-prune false negative); numeric
   *    literals also match by value there, so they are top;
   *  - prefix / fuzzy / regex / range and anything else → top.
   */

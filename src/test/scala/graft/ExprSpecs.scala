@@ -316,6 +316,33 @@ class ArrayMatchSpec extends AnyFunSuite {
       ArrayMatch.phrase_freq(col("toks"), words, 1)).collect()
       .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getInt(1))).toMap
     assert(slop1(3L) == 1 && slop1(2L) == 1 && slop1(4L) == 0)
+
+    // occurrence dedupe (the round-5 ADVICE medium): one physical
+    // occurrence is ONE match even when several slop-shifted starts see
+    // it. ('x','the','quick') with slop 1 satisfied starts 0 AND 1 in the
+    // undeduped count (word 0 is windowed too), inflating sloppy-phrase
+    // BM25 tf; tantivy's phrase_count counts it once.
+    val dedupe = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, array('x', 'the', 'quick')),
+        |  (2L, array('x', 'x', 'the', 'quick')),
+        |  (3L, array('the', 'quick', 'pad', 'the', 'quick')),
+        |  (4L, array('the', 'the', 'quick')) AS t(id, toks)""".stripMargin)
+    def freqs(slop: Int): Map[Long, Int] = dedupe.select(col("id"),
+      ArrayMatch.phrase_freq(col("toks"), words, slop)).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val s1 = freqs(1)
+    assert(s1(1L) == 1, s"single sloppy occurrence counts once, got ${s1(1L)}")
+    assert(freqs(2)(2L) == 1, "wider slop still counts one occurrence")
+    assert(s1(3L) == 2, "two real occurrences keep counting as two")
+    assert(s1(4L) == 2, "distinct word-0 anchors are distinct matches")
+    // the predicate face stops at the first occurrence, same decisions
+    val any = dedupe.select(col("id"),
+      ArrayMatch.phrase_any(col("toks"), words, 1)).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(any.values.forall(identity))
+    assert(!rows.where(col("id") === 4L).select(
+      ArrayMatch.phrase_any(col("toks"), words, 1)).collect()(0).getBoolean(0))
   }
 
   test("search-hot-path SQL faces work") {

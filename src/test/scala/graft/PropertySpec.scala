@@ -231,6 +231,48 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("escape neutralization yields decoded-value tokens under any writer") {
+    // The digest/no-false-negative contract for `_dynamic` paths rests on
+    // this: tokenizing the escape-NEUTRALIZED rendering of a JSON string
+    // must yield exactly the decoded value's tokens, whether the writer
+    // escapes minimally (Jackson canonical — what ingest digests are
+    // built over) or ASCII-escapes every non-ASCII char as \uXXXX
+    // (anything Spark's variant renderer might do at query time),
+    // including supplementary-plane letters written as surrogate pairs.
+    import com.fasterxml.jackson.databind.ObjectMapper
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+
+    def neutralize(s: String): String =
+      graft.exprs.JsonEscapeNeutralize(Literal(UTF8String.fromString(s), StringType))
+        .eval(InternalRow.empty).asInstanceOf[UTF8String].toString
+    // reference tokenization of DECODED text (the default tokenizer's
+    // token class; generated runs stay far below the 40-char cap)
+    def toks(s: String): List[String] =
+      "[\\p{L}\\p{N}]+".r.findAllIn(s.toLowerCase).toList
+    val canonical = new ObjectMapper
+    val asciiOnly = new ObjectMapper
+    asciiOnly.getFactory.enable(
+      com.fasterxml.jackson.core.JsonGenerator.Feature.ESCAPE_NON_ASCII)
+
+    val nastyChar: Gen[Char] = Gen.frequency(
+      (6, Gen.alphaNumChar), (1, Gen.oneOf('é', '語', 'ß', '5')),
+      (1, Gen.oneOf('\n', '\t', '\u0007', '\u0000')),
+      (1, Gen.oneOf('\\', '"', '/', ' ', '.')))
+    val value: Gen[String] = for {
+      n <- Gen.chooseNum(0, 12)
+      cs <- Gen.listOfN(n, nastyChar)
+      supp <- Gen.oneOf("", new String(Character.toChars(0x1D54F)), "😀")
+    } yield cs.mkString + supp
+    check("neutralized render tokens == decoded tokens")(Prop.forAll(value) { s =>
+      val expected = toks(s)
+      toks(neutralize(canonical.writeValueAsString(s))) == expected &&
+        toks(neutralize(asciiOnly.writeValueAsString(s))) == expected
+    })
+  }
+
   test("term digests never produce a false negative, through any fold") {
     // The entire pruning layer rests on this: a token inserted into the
     // build-size filter must report mightContain == true after EVERY

@@ -135,6 +135,41 @@ class SearchRankSpec extends AnyFunSuite {
     assert(got.head == 2, s"doc with the rare term must rank first, got $got")
   }
 
+  test("phrase frequency, not per-word tf, drives mixed phrase+term order") {
+    // The round-4/5 scoring-semantics pin (op_grammar's oracle orders by
+    // doc_id, so only this test sees phrase RANKING): a phrase clause
+    // scores BM25 with tf = phrase frequency and idf = sum of word idfs.
+    val (_, search, name) = mkIndex(Seq(
+      """{"id": 1, "body": "the quick fox jumps"}""",
+      """{"id": 2, "body": "quick fox the jumps"}""",
+      """{"id": 3, "body": "fox alone here now"}""",
+      """{"id": 4, "body": "nothing relevant here"}"""))
+    // docs 1-3 tie on body:fox (same tf, same length); only doc 1 holds
+    // the adjacent phrase — the phrase clause must decide the top rank,
+    // and doc 2 (same words scattered, phrase freq 0) must NOT share it
+    val mixed = ids(search.search(name, "body:\"the quick\" OR body:fox", 10))
+    assert(mixed.head == 1L, s"adjacent phrase must outrank scattered words, got $mixed")
+    assert(mixed.toSet == Set(1L, 2L, 3L), s"got $mixed")
+
+    // repeated occurrences raise the score: same doc length, phrase freq
+    // 2 vs 1 — the tf=2 doc must rank first
+    val (_, search2, name2) = mkIndex(Seq(
+      """{"id": 1, "body": "the quick pad the quick"}""",
+      """{"id": 2, "body": "the quick pad pad pad"}"""))
+    val rep = ids(search2.search(name2, "body:\"the quick\"", 10))
+    assert(rep == Seq(1L, 2L), s"higher phrase freq must rank first, got $rep")
+
+    // sloppy phrases: ONE physical occurrence counts once (round-5 ADVICE
+    // medium — the undeduped scan credited 'pad the quick tail' with tf 2
+    // because starts 0 and 1 both saw the same occurrence); two real
+    // occurrences in an equal-length doc must still outrank it
+    val (_, search3, name3) = mkIndex(Seq(
+      """{"id": 1, "body": "pad the quick tail"}""",
+      """{"id": 2, "body": "the quick the quick"}"""))
+    val sloppy = ids(search3.search(name3, "body:\"the quick\"~1", 10))
+    assert(sloppy == Seq(2L, 1L), s"two occurrences must outrank one, got $sloppy")
+  }
+
   test("per-request knobs: default-field restriction, unscored, count") {
     import graft.engine.SearchRequest
     val (_, search, name) = mkIndex(Seq(
