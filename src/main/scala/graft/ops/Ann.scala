@@ -219,10 +219,29 @@ object Ann {
       k: Int): DataFrame = {
     import graft.exprs.Pq
     val vecs = corpus.select(col("vid"), col("v"))
-    // Codebooks: the first 16 vectors' sub-vectors, fixed-point — one
-    // tiny driver-side collect, like the sq8 min/max stats. Seeds must
-    // be clean: a codebook from a malformed vector is undefined, so fail
-    // with a named cause rather than a MatchError.
+    val cb = pqCodebooks(vecs, numSubspaces)
+    // snapshotted: the coded corpus feeds both the candidate scan and the
+    // query-side LUT projection
+    val snap = vecs.withColumn("code", Pq.pq_encode(col("v"), cb))
+      .localCheckpoint(eager = false)
+    val queries = broadcast(snap.where(isQuery(col("vid")))
+      .select(col("vid").as("qid"), Pq.pq_lut(col("v"), cb).as("lut"))
+      .where(col("lut").isNotNull))
+    rankCut(
+      snap.where(col("code").isNotNull).select(col("vid"), col("code"))
+        .join(queries, col("vid") =!= col("qid"))
+        .withColumn("adist", Pq.pq_adc(col("code"), col("lut"))),
+      col("adist").asc, k)
+  }
+
+  /** PQ codebooks from the first 16 vectors' sub-vectors, fixed-point —
+    * one tiny driver-side collect, like the sq8 min/max stats (shared by
+    * [[pq]] and [[ivfPq]] so both tiers encode identically). Seeds must
+    * be clean: a codebook from a malformed vector is undefined, so fail
+    * with a named cause rather than a MatchError. */
+  private def pqCodebooks(vecs: DataFrame,
+      numSubspaces: Int): graft.exprs.Pq.Codebooks = {
+    import graft.exprs.Pq
     val seeds = vecs.where(col("vid") < 16).orderBy(col("vid")).collect()
     require(seeds.nonEmpty, "pq needs seed vectors (vid < 16) for codebooks")
     val fixedSeeds: Seq[IndexedSeq[Long]] = seeds.toSeq.map { r =>
@@ -240,18 +259,41 @@ object Ann {
     require(dim % numSubspaces == 0,
       s"dim $dim must split evenly into $numSubspaces subspaces")
     val subDim = dim / numSubspaces
-    val cb: Pq.Codebooks = (0 until numSubspaces).map(s =>
+    (0 until numSubspaces).map(s =>
       fixedSeeds.map(_.slice(s * subDim, (s + 1) * subDim)))
-    // snapshotted: the coded corpus feeds both the candidate scan and the
-    // query-side LUT projection
+  }
+
+  /** IVF-PQ — the production ANN tier ([[pq]]'s doc promises it): the
+    * IVF nprobe candidate cut (sublinear scan, [[cellAssign]] — the same
+    * contract as [[ivf]]/[[sq8Ivf]]) ranked by PQ's ADC lookup
+    * (m ints per candidate instead of dim floats). Per query the scan
+    * touches only its nprobe cells' codes; the lookup table is computed
+    * ONCE per query before cell probing, not per probe row. Codebooks,
+    * encode, LUT, and ADC are byte-identical to [[pq]]
+    * ([[pqCodebooks]] / [[graft.exprs.Pq]]), so the tier stays
+    * DuckDB-reproducible. Approximate-L2 ascending, ties by neighbor id;
+    * null codes/LUTs (malformed vectors) drop as in [[pq]].
+    * corpus: (vid, v); centroids: (cid, cv) — tiny, broadcast; queries
+    * selected by `isQuery`. Output: (qid, rank, neighbor). */
+  def ivfPq(corpus: DataFrame, isQuery: Column => Column,
+      centroids: DataFrame, nProbe: Int, numSubspaces: Int,
+      k: Int): DataFrame = {
+    import graft.exprs.Pq
+    val cents = broadcast(centroids)
+    val vecs = corpus.select(col("vid"), col("v"))
+    val cb = pqCodebooks(vecs, numSubspaces)
+    // snapshotted: the coded corpus feeds assignment, probing, and LUTs
     val snap = vecs.withColumn("code", Pq.pq_encode(col("v"), cb))
       .localCheckpoint(eager = false)
-    val queries = broadcast(snap.where(isQuery(col("vid")))
-      .select(col("vid").as("qid"), Pq.pq_lut(col("v"), cb).as("lut"))
-      .where(col("lut").isNotNull))
+    val asg = cellAssign(snap.where(col("code").isNotNull), cents,
+      "vid", "v", maxRank = 1, carry = Seq("code"))
+    val qs = snap.where(isQuery(col("vid")))
+      .withColumn("lut", Pq.pq_lut(col("v"), cb))
+      .where(col("lut").isNotNull)
+    val probes = cellAssign(qs, cents, "vid", "v", nProbe, carry = Seq("lut"))
+      .select(col("vid").as("qid"), col("lut"), col("cell"))
     rankCut(
-      snap.where(col("code").isNotNull).select(col("vid"), col("code"))
-        .join(queries, col("vid") =!= col("qid"))
+      probes.join(asg, "cell").where(col("vid") =!= col("qid"))
         .withColumn("adist", Pq.pq_adc(col("code"), col("lut"))),
       col("adist").asc, k)
   }

@@ -80,7 +80,7 @@ object Dedup {
     * posting join. Costs one extra df aggregate and a per-doc rank window
     * over the shingle table. Output: (a, b, inter, uni). */
   /** (doc_id, nsh, sh) exploded view of a shingled table. */
-  private def flattenShingles(sh: DataFrame): DataFrame =
+  private[ops] def flattenShingles(sh: DataFrame): DataFrame =
     sh.select(col("doc_id"), size(col("shingles")).as("nsh"),
       explode(col("shingles")).as("sh"))
 
@@ -92,7 +92,7 @@ object Dedup {
     * the lemma's bound; erring low only widens it). Shared by
     * [[ngramJaccardPrefix]] and [[dedupIncremental]] so the bound cannot
     * drift between them. */
-  private def prefixShingles(flat: DataFrame, dfreq: DataFrame,
+  private[ops] def prefixShingles(flat: DataFrame, dfreq: DataFrame,
       threshold: Double): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df").asc, col("sh").asc)
@@ -104,7 +104,7 @@ object Dedup {
 
   /** Exact-Jaccard verification: given candidate rows carrying both full
     * shingle sets, keep pairs with |A∩B| / |A∪B| ≥ t; adds (inter, uni). */
-  private def verifyJaccard(cands: DataFrame, sa: Column, sb: Column,
+  private[ops] def verifyJaccard(cands: DataFrame, sa: Column, sb: Column,
       threshold: Double): DataFrame =
     cands
       .withColumn("inter", size(array_intersect(sa, sb)).cast("long"))

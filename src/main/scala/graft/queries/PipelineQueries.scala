@@ -117,14 +117,19 @@ object PipelineQueries {
       col("doc_id"), col("toks"), n = ShingleN, threshold = 0.5)
       .orderBy(col("doc_id"))
 
-  /** Incremental ingest dedup ([[graft.ops.Dedup.dedupIncremental]]):
-    * corpus = docs below 400, new batch = docs from 400 up PLUS exact
-    * copies of every doc_id % 7 == 3 below 100 (re-keyed +100000), so
-    * the batch provably contains known corpus duplicates. Each copy must
-    * come back dropped with dup_of = its original; genuinely new docs
-    * keep unless a planted near-dup pair crosses the 400 boundary —
-    * ground truth either way, the oracle recomputes the same exact
-    * Jaccard. */
+  /** Incremental ingest dedup, STATEFUL form
+    * ([[graft.ops.IncrementalDedupState]] — absorb the corpus once into
+    * persisted df/prefix/sets state, then dedup the batch against the
+    * state; the stateless [[graft.ops.Dedup.dedupIncremental]] remains
+    * the one-shot API): corpus = docs below 400, new batch = docs from
+    * 400 up PLUS exact copies of every doc_id % 7 == 3 below 100
+    * (re-keyed +100000), so the batch provably contains known corpus
+    * duplicates. Each copy must come back dropped with dup_of = its
+    * original; genuinely new docs keep unless a planted near-dup pair
+    * crosses the 400 boundary — ground truth either way. The oracle
+    * recomputes the same exact Jaccard over corpus × batch, which gates
+    * the frozen-order prefix filter's losslessness (any fixed total
+    * order satisfies the AllPairs lemma; verification is exact). */
   val pipe_dedup_incremental: Q = (s, dir) => {
     val base = docs(s, dir)
     val newDocs = base.where(col("doc_id") >= 400)
@@ -134,8 +139,11 @@ object PipelineQueries {
     def sh(df: DataFrame) = Dedup.shingles(
       df.withColumn("toks", tokenizeDefault(col("text"))),
       col("doc_id"), col("toks"), ShingleN)
-    Dedup.dedupIncremental(sh(base.where(col("doc_id") < 400)), sh(newDocs),
+    val st = new graft.ops.IncrementalDedupState(s,
+      java.nio.file.Files.createTempDirectory("graft-dedup-state").toString,
       threshold = 0.5)
+    st.absorb(sh(base.where(col("doc_id") < 400)))
+    st.dedupBatch(sh(newDocs))
       .orderBy(col("doc_id"))
   }
 
@@ -460,6 +468,19 @@ object PipelineQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** IVF nprobe candidate cut ranked by PQ's ADC lookup — the production
+    * ANN tier (sublinear scan × m-ints-per-candidate memory bandwidth).
+    * Same deterministic centroids as [[knn_ivf]], same codebooks and
+    * fixed-point ADC as [[knn_pq]]; see [[graft.ops.Ann.ivfPq]]. */
+  val knn_ivf_pq: Q = (s, dir) => {
+    val e = corpus(s, dir)
+    Ann.ivfPq(e.select(col("vid"), col("v")),
+      isQuery = _ < 20,
+      e.where(col("vid") < 16).select(col("vid").as("cid"), col("v").as("cv")),
+      nProbe = 2, numSubspaces = 4, k = 5)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Benchmark decontamination: shingle-overlap counts between the
     * corpus (doc_id >= 10) and a benchmark set (docs 0-9 stand in for an
     * eval suite). Benchmark side broadcast → map-side-only corpus pass;
@@ -494,6 +515,7 @@ object PipelineQueries {
     "knn_sq8" -> knn_sq8,
     "knn_sq8_ivf" -> knn_sq8_ivf,
     "knn_pq" -> knn_pq,
+    "knn_ivf_pq" -> knn_ivf_pq,
     "text_pii_scrub" -> text_pii_scrub,
     "text_domains" -> text_domains,
     "mm_phash_buckets" -> mm_phash_buckets,
@@ -590,6 +612,32 @@ object PipelineQueries {
       |                      / (mxs[j + 1] - mns[j + 1]) * 255) AS BIGINT)
       |      ELSE 0 END) AS qv
       |  FROM embeddings, mnx)""".stripMargin
+
+  /** PQ CTE chain (`fx` → `sub` → `cw` → `dists` → `enc`): fixed-point
+    * sub-vectors, 16 seed codewords per subspace, squared-L2 distance
+    * table, argmin encode — shared by the all-pairs ADC oracle
+    * ([[knn_pq]]) and the IVF-cut composition ([[knn_ivf_pq]]). Queries
+    * are corpus members, so their lookup tables are the same `dists`
+    * rows. */
+  private val pqCtes =
+    """fx AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS f
+      |  FROM embeddings),
+      |sub AS (
+      |  SELECT vec_id, s, f[s*16+1 : s*16+16] AS fs
+      |  FROM fx CROSS JOIN (SELECT unnest(range(4)) AS s)),
+      |cw AS (SELECT s, vec_id AS cid, fs FROM sub WHERE vec_id < 16),
+      |dists AS (
+      |  SELECT a.vec_id, a.s, c.cid,
+      |    list_sum(list_transform(range(16),
+      |      i -> (a.fs[i+1] - c.fs[i+1]) * (a.fs[i+1] - c.fs[i+1]))) AS dist
+      |  FROM sub a JOIN cw c ON c.s = a.s),
+      |enc AS (
+      |  SELECT vec_id, s, cid FROM (
+      |    SELECT vec_id, s, cid,
+      |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dist ASC, cid ASC) AS rn
+      |    FROM dists) WHERE rn = 1)""".stripMargin
 
   /** Exact shingle-Jaccard >= 0.5 pair CTE chain (`sh`, `ex`, `jac`) —
     * ONE definition shared by the plain pair oracle, the prefix-filtered
@@ -779,38 +827,35 @@ object PipelineQueries {
          |    row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, neighbor ASC) AS rank
          |  FROM cand)
          |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
-    // PQ: encode + ADC share ONE dists CTE (sub-vector × codeword
-    // fixed-point squared L2) — queries are corpus members, so their
-    // lookup tables are the same rows
     "knn_pq" ->
-      """WITH fx AS (
-        |  SELECT vec_id, list_transform(embedding,
-        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS f
-        |  FROM embeddings),
-        |sub AS (
-        |  SELECT vec_id, s, f[s*16+1 : s*16+16] AS fs
-        |  FROM fx CROSS JOIN (SELECT unnest(range(4)) AS s)),
-        |cw AS (SELECT s, vec_id AS cid, fs FROM sub WHERE vec_id < 16),
-        |dists AS (
-        |  SELECT a.vec_id, a.s, c.cid,
-        |    list_sum(list_transform(range(16),
-        |      i -> (a.fs[i+1] - c.fs[i+1]) * (a.fs[i+1] - c.fs[i+1]))) AS dist
-        |  FROM sub a JOIN cw c ON c.s = a.s),
-        |enc AS (
-        |  SELECT vec_id, s, cid FROM (
-        |    SELECT vec_id, s, cid,
-        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dist ASC, cid ASC) AS rn
-        |    FROM dists) WHERE rn = 1),
-        |adc AS (
-        |  SELECT dq.vec_id AS qid, e.vec_id AS neighbor, CAST(sum(dq.dist) AS BIGINT) AS adist
-        |  FROM enc e JOIN dists dq ON dq.s = e.s AND dq.cid = e.cid
-        |  WHERE dq.vec_id < 20 AND e.vec_id <> dq.vec_id
-        |  GROUP BY dq.vec_id, e.vec_id)
-        |SELECT qid, rank, neighbor FROM (
-        |  SELECT qid, neighbor,
-        |    row_number() OVER (PARTITION BY qid ORDER BY adist ASC, neighbor ASC) AS rank
-        |  FROM adc)
-        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+      s"""WITH $pqCtes,
+         |adc AS (
+         |  SELECT dq.vec_id AS qid, e.vec_id AS neighbor, CAST(sum(dq.dist) AS BIGINT) AS adist
+         |  FROM enc e JOIN dists dq ON dq.s = e.s AND dq.cid = e.cid
+         |  WHERE dq.vec_id < 20 AND e.vec_id <> dq.vec_id
+         |  GROUP BY dq.vec_id, e.vec_id)
+         |SELECT qid, rank, neighbor FROM (
+         |  SELECT qid, neighbor,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adist ASC, neighbor ASC) AS rank
+         |  FROM adc)
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // knn_ivf's candidate cut + knn_pq's ADC ranking, composed from the
+    // same shared CTEs that gate each tier alone
+    "knn_ivf_pq" ->
+      s"""WITH $ivfCtes,
+         |$pqCtes,
+         |adc AS (
+         |  SELECT p.qid, a.vec_id AS neighbor, CAST(sum(dq.dist) AS BIGINT) AS adist
+         |  FROM probes p JOIN asg a ON a.cell = p.cell
+         |  JOIN enc e ON e.vec_id = a.vec_id
+         |  JOIN dists dq ON dq.s = e.s AND dq.cid = e.cid AND dq.vec_id = p.qid
+         |  WHERE a.vec_id <> p.qid
+         |  GROUP BY p.qid, a.vec_id)
+         |SELECT qid, rank, neighbor FROM (
+         |  SELECT qid, neighbor,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adist ASC, neighbor ASC) AS rank
+         |  FROM adc)
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "dedup_simhash" ->
       s"""WITH th AS (
          |  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h

@@ -42,6 +42,68 @@ class PipelineSpec extends AnyFunSuite {
     assert(brute.groupBy(_._1).forall(_._2.size == 5))
   }
 
+  test("incremental dedup state: batch 2 reads updated state, no corpus re-derivation") {
+    import spark.implicits._
+    import graft.ops.{Dedup, IncrementalDedupState}
+    def sh(rows: Seq[(Long, String)]) = Dedup.shingles(
+      rows.toDF("doc_id", "text").withColumn("tk", split(col("text"), " ")),
+      col("doc_id"), col("tk"), n = 3)
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-incr").toString
+    val st = new IncrementalDedupState(spark, stateDir, threshold = 0.5)
+    assert(st.generation == 0L)
+    // empty state: everything keeps
+    val cold = st.dedupBatch(sh(Seq(1L -> "a b c d e f g h"))).collect()
+    assert(cold.length == 1 && cold(0).getBoolean(2))
+
+    st.absorb(sh(Seq(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "one two three four five six seven eight")))
+    assert(st.generation == 1L)
+    // batch 1: doc 100 duplicates corpus doc 1, doc 101 is new
+    val b1 = sh(Seq(
+      100L -> "alpha beta gamma delta epsilon zeta eta theta",
+      101L -> "completely fresh words in this new document body"))
+    val r1 = st.dedupBatch(b1).collect().map(r =>
+      r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(r1(100L) == 1L && r1(101L) == -1L, s"got $r1")
+
+    // absorb batch 1's keeper; batch 2 must see it THROUGH THE STATE —
+    // a duplicate of doc 101 (never in the original corpus) proves the
+    // df/prefix/sets state actually updated
+    st.absorb(sh(Seq(101L -> "completely fresh words in this new document body")))
+    assert(st.generation == 2L)
+    val b2 = st.dedupBatch(sh(Seq(
+      200L -> "completely fresh words in this new document body",
+      201L -> "yet another unrelated batch two document arrives here")))
+    val r2 = b2.collect().map(r =>
+      r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(r2(200L) == 101L && r2(201L) == -1L, s"got $r2")
+
+    // plan pin: the batch plan derives NOTHING corpus-wide — the corpus
+    // side arrives as the precomputed gen-2 df/prefix/sets parquet, and
+    // the only rank window in the plan is the batch-side prefix rank
+    // (the stateless form ran a second window + a df aggregate over the
+    // whole corpus per batch)
+    val planFull = b2.queryExecution.executedPlan.toString
+    // AQE prints the final AND the initial plan — count nodes once
+    val plan = planFull.split("== Initial Plan ==")(0)
+    assert(planFull.contains("gen-2"), s"batch must read generation-2 state:\n$planFull")
+    val windows = plan.linesIterator.count(_.contains("Window ["))
+    assert(windows == 1, s"exactly one (batch-side) rank window, got $windows:\n$plan")
+
+    // and the stateful path agrees with the stateless one-shot API
+    val corpus = sh(Seq(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "one two three four five six seven eight",
+      101L -> "completely fresh words in this new document body"))
+    val stateless = Dedup.dedupIncremental(corpus, sh(Seq(
+      200L -> "completely fresh words in this new document body",
+      201L -> "yet another unrelated batch two document arrives here")),
+      threshold = 0.5).collect().map(r =>
+      r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(stateless == r2, s"stateful and stateless outputs must agree: $stateless vs $r2")
+  }
+
   test("ops library works on arbitrary schemas with custom parameters") {
     import spark.implicits._
     import graft.ops.{Ann, Dedup, TextAnalysis}

@@ -183,6 +183,19 @@ class PlanSpec extends AnyFunSuite {
       s"candidate join must key on cell:\n$plan")
   }
 
+  test("knn_ivf_pq broadcasts centroids, keys candidates on cell, no cartesian") {
+    val plan = formatted(graft.queries.PipelineQueries.knn_ivf_pq(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"centroid assignment must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the ADC candidate join must be the cell-keyed equi-join (the
+    // sublinear cut), not a full scan per query like knn_pq's labeled
+    // baseline
+    val keyLines = plan.linesIterator.filter(_.matches(".*(Left|Right) keys.*"))
+    assert(keyLines.exists(_.matches(".*\\bcell#\\d+.*")),
+      s"candidate join must key on cell:\n$plan")
+  }
+
   test("pipe_dedup_incremental keys on shingles/ids, never cartesian") {
     val plan = formatted(
       graft.queries.PipelineQueries.pipe_dedup_incremental(spark, sf))
