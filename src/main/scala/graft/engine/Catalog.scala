@@ -80,9 +80,22 @@ object Catalog {
   /** Memoized term-digest sidecars, keyed by catalog root + index + split
     * id + sidecar md5 (exact content identity — see [[Catalog.loadDigests]]).
     * Only successful loads are stored (failures retry on the next query);
-    * values are a few KB each; the size bound guards long-lived sessions. */
-  private val digestCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Map[String, TermDigest]]()
+    * values are a few KB each. Access-ordered LRU: at 100k-split scale a
+    * wholesale clear() on overflow would trigger a refetch storm (every
+    * live split's sidecar re-GET on the next query); evicting only the
+    * least-recently-probed entry keeps the hot split set resident.
+    * Synchronized map: critical sections are tiny get/put of small
+    * values, and the sidecar IO itself always runs OUTSIDE the lock
+    * (get → fetch → putIfAbsent in [[Catalog.loadDigests]]). */
+  private val DigestCacheMax = 16384
+  private val digestCache: java.util.Map[String, Map[String, TermDigest]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Map[String, TermDigest]](
+          1024, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Map[String, TermDigest]]): Boolean =
+          size() > DigestCacheMax
+      })
 
   /** Failed sidecar loads per cache key; at [[DigestLoadStrikes]] the key
     * is negatively cached (empty map = no pruning info) so a permanently
@@ -231,7 +244,6 @@ final class Catalog(rootDir: String,
           } catch { case scala.util.control.NonFatal(_) => None }
         loaded match {
           case Some(m) =>
-            if (Catalog.digestCache.size > 16384) Catalog.digestCache.clear()
             Catalog.digestCache.putIfAbsent(key, m)
             Catalog.digestFailures.remove(key)
           case None =>

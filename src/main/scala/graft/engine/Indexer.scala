@@ -325,10 +325,14 @@ object Indexer {
 
   /** Observed-metric partials travel in task results to the driver (no
     * executor-side tree merge), so the Bloom aggregates — up to 512 KB
-    * per field per task — only ride the write when the task count is
-    * bounded; beyond this, a wide backfill would ship gigabytes of
-    * accumulator payload (and trip spark.driver.maxResultSize). */
-  val ObserveBloomMaxTasks = 32
+    * ([[TermDigest.BuildBits]]/8) per field per task — only ride the
+    * write when tasks × digest-fields stays under this cell budget:
+    * 64 cells ≈ 32 MB of accumulator payload, safely inside the default
+    * 1g spark.driver.maxResultSize. A fixed task bound alone under-counts
+    * schemas with many digested fields (10 text fields at 32 tasks would
+    * ship 160 MB); budgeting cells scales the cutoff both ways — a
+    * one-field schema rides up to 64 tasks, a ten-field schema only 6. */
+  val ObserveBloomMaxCells = 64
 
   /** Write one split AND compute its manifest stats in the same job: the
     * stats aggregates ride the write pass as observed metrics
@@ -336,7 +340,7 @@ object Indexer {
     * merged on the driver), so batch ingest reads every byte once instead
     * of re-scanning the written files for stats. The scalar aggregates
     * (bytes per task) always ride; the Bloom digests ride only for
-    * narrow inputs ([[ObserveBloomMaxTasks]] — streaming micro-batches,
+    * narrow inputs ([[ObserveBloomMaxCells]] — streaming micro-batches,
     * CLI files), and a WIDE backfill computes them in a column-pruned
     * second scan of the `_terms` struct (plus, when the schema declares
     * tokenized dynamic_object fields, those JSON columns re-tokenized —
@@ -361,7 +365,8 @@ object Indexer {
         case _ => typed.rdd.getNumPartitions
       }
     }
-    val bloomsOnWrite = parts <= ObserveBloomMaxTasks
+    val bloomsOnWrite =
+      parts.toLong * math.max(1, digestFieldsOf(d).size) <= ObserveBloomMaxCells
     val obs = org.apache.spark.sql.Observation(s"graft-stats-$id")
     val aggs = if (bloomsOnWrite) statsAggs(d) else scalarAggs(d)
     typed.observe(obs, aggs.head, aggs.tail: _*)

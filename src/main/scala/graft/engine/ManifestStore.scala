@@ -258,6 +258,123 @@ final class ConditionalPutCommitPoint(cp: CompareAndPut, path: String)
     cp.putIfGeneration(path, bytes, gen)
 }
 
+/** The minimal slice of the S3 object API the manifest CAS needs — three
+  * conditional-request shapes, all standard S3 HTTP semantics. Kept as
+  * its own interface so [[S3CompareAndPut]]'s compare-and-swap LOGIC is
+  * SDK-free (contract-tested offline against a stub with the same
+  * conditional semantics as [[InMemoryCompareAndPut]]) and only the
+  * ~30-line transport ([[ReflectiveS3Ops]]) touches the AWS SDK. */
+trait S3ObjectOps {
+  /** GET: the object's (ETag, stored manifest generation parsed from its
+    * body), or None when the key does not exist. */
+  def getEtagAndGen(bucket: String, key: String): Option[(String, Long)]
+  /** PUT with `If-None-Match: *` — true on success, false when the key
+    * already exists (HTTP 412). */
+  def putIfAbsent(bucket: String, key: String, bytes: Array[Byte]): Boolean
+  /** PUT with `If-Match: etag` — true on success, false when the stored
+    * object's ETag no longer matches (HTTP 412). */
+  def putIfMatch(bucket: String, key: String, bytes: Array[Byte],
+      etag: String): Boolean
+}
+
+/** [[CompareAndPut]] over S3 conditional writes — the deployment path the
+  * ManifestStore error message points at, closing the loop from design
+  * ([[ConditionalPutCommitPoint]]) to store:
+  *
+  *  - generation 1 publishes with `If-None-Match: *` (exactly one of any
+  *    number of concurrent first writers gets the 200);
+  *  - generation N reads the manifest once for (ETag, stored gen): a
+  *    stored gen ≠ N-1 loses without a write, otherwise the publish is a
+  *    PUT with `If-Match` on that ETag — if ANY other writer committed
+  *    between the read and the put, the ETag is stale and S3 answers 412
+  *    (atomic on the store side, the same first-writer-wins the
+  *    reference gets from its Postgres insert,
+  *    `/root/reference/src/commands/mod.rs:178-187`).
+  *
+  * `path` arrives as a URI (`s3a://bucket/key...`); bucket = authority,
+  * key = path without the leading slash. Register at startup:
+  * `ManifestStore.registerCompareAndPut("s3a", new S3CompareAndPut(ops))`. */
+final class S3CompareAndPut(ops: S3ObjectOps) extends CompareAndPut {
+  def putIfGeneration(path: String, bytes: Array[Byte], gen: Long): Boolean = {
+    val uri = new java.net.URI(path)
+    val bucket = uri.getAuthority
+    val key = uri.getPath.stripPrefix("/")
+    if (gen == 1L) ops.putIfAbsent(bucket, key, bytes)
+    else ops.getEtagAndGen(bucket, key) match {
+      case Some((etag, stored)) if stored == gen - 1L =>
+        ops.putIfMatch(bucket, key, bytes, etag)
+      case _ => false // absent or at the wrong generation: lose, no write
+    }
+  }
+}
+
+/** [[S3ObjectOps]] over an AWS SDK v2 `S3Client`, built entirely through
+  * reflection so this repo compiles and tests with ZERO egress and no SDK
+  * jar; at deployment, drop the SDK on the classpath, construct the
+  * client, and pass it here — no code changes. Every call shape below is
+  * the public SDK v2 surface (request builders + `RequestBody`); 412
+  * surfaces as an `S3Exception` with statusCode 412, mapped to false. */
+final class ReflectiveS3Ops(client: AnyRef) extends S3ObjectOps {
+  private def cls(n: String) = Class.forName(n)
+  private val model = "software.amazon.awssdk.services.s3.model."
+
+  // every field the CAS sets (bucket, key, ifMatch, ifNoneMatch) is a
+  // String-typed builder setter in the SDK
+  private def builder(req: String, fields: Map[String, String]): AnyRef = {
+    val b = cls(model + req).getMethod("builder").invoke(null)
+    fields.foreach { case (m, v) =>
+      b.getClass.getMethod(m, classOf[String]).invoke(b, v): Unit
+    }
+    b.getClass.getMethod("build").invoke(b)
+  }
+
+  private def statusCode(e: Throwable): Int =
+    try e.getClass.getMethod("statusCode").invoke(e).asInstanceOf[Int]
+    catch { case _: Exception => -1 }
+
+  private def put(bucket: String, key: String, bytes: Array[Byte],
+      cond: Map[String, String]): Boolean = {
+    val req = builder("PutObjectRequest",
+      Map("bucket" -> bucket, "key" -> key) ++ cond)
+    val body = cls("software.amazon.awssdk.core.sync.RequestBody")
+      .getMethod("fromBytes", classOf[Array[Byte]]).invoke(null, bytes)
+    try {
+      client.getClass.getMethod("putObject", req.getClass.getInterfaces.head,
+        body.getClass.getSuperclass).invoke(client, req, body)
+      true
+    } catch {
+      case e: java.lang.reflect.InvocationTargetException
+          if statusCode(e.getCause) == 412 => false
+    }
+  }
+
+  def putIfAbsent(bucket: String, key: String, bytes: Array[Byte]): Boolean =
+    put(bucket, key, bytes, Map("ifNoneMatch" -> "*"))
+
+  def putIfMatch(bucket: String, key: String, bytes: Array[Byte],
+      etag: String): Boolean =
+    put(bucket, key, bytes, Map("ifMatch" -> etag))
+
+  def getEtagAndGen(bucket: String, key: String): Option[(String, Long)] =
+    try {
+      val req = builder("GetObjectRequest", Map("bucket" -> bucket, "key" -> key))
+      val resp = client.getClass.getMethod("getObjectAsBytes",
+        req.getClass.getInterfaces.head).invoke(client, req)
+      val etag = resp.getClass.getMethod("response").invoke(resp) match {
+        case r => r.getClass.getMethod("eTag").invoke(r).asInstanceOf[String]
+      }
+      val bytes = resp.getClass.getMethod("asByteArray").invoke(resp)
+        .asInstanceOf[Array[Byte]]
+      val gen = Option(graft.exprs.JsonSupport.parse(
+        new String(bytes, StandardCharsets.UTF_8)).get("gen"))
+        .filter(!_.isNull).map(_.asLong()).getOrElse(0L)
+      Some(etag -> gen)
+    } catch {
+      case e: java.lang.reflect.InvocationTargetException
+          if statusCode(e.getCause) == 404 => None
+    }
+}
+
 /** In-memory [[CompareAndPut]] with exactly the S3 conditional-PUT
   * semantics (atomic compare of the stored generation, first writer
   * wins): the reference implementation the commit-point race tests run

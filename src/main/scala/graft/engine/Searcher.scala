@@ -241,11 +241,23 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
     // parallel (one small GET each) instead of serially inside the
     // filter loop — on a cold searcher over thousands of splits the
     // difference is pool-parallel vs sequential object-store latency.
-    // Cached splits no-op.
+    // Cached splits no-op. Runs on the engine's own bounded IO pool,
+    // NOT the JVM commonPool: these are blocking store GETs, and
+    // stalling the commonPool would starve Parquet footer reads and any
+    // other parallel work sharing it. A fetch that outlives the wait
+    // bound just finishes in the background; the filter loop below
+    // falls back to its own (memoized) load.
     if (scalarSurvivors.count(_.digest.isDefined) > 4) {
-      import scala.jdk.CollectionConverters._
-      scalarSurvivors.filter(_.digest.isDefined).asJava.parallelStream()
-        .forEach(s => { catalog.loadDigests(cfg.name, s); () })
+      val futures = scalarSurvivors.filter(_.digest.isDefined).map(s =>
+        Searcher.warmupPool.submit(new Runnable {
+          def run(): Unit = { catalog.loadDigests(cfg.name, s); () }
+        }))
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      futures.foreach { f =>
+        try f.get(math.max(1, deadline - System.nanoTime()),
+          java.util.concurrent.TimeUnit.NANOSECONDS)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
     }
     scalarSurvivors.filter { s =>
       catalog.loadDigests(cfg.name, s) match {
@@ -565,6 +577,25 @@ object Searcher {
     * unbounded index churn. */
   private val statsCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), Map[String, Double]]()
+
+  /** Bounded daemon pool for digest-sidecar warmup — blocking object-store
+    * GETs, deliberately OFF the JVM commonPool. 16 threads matches the
+    * useful parallelism of small-object GETs; idle threads retire. */
+  private[engine] val warmupPool: java.util.concurrent.ThreadPoolExecutor = {
+    val tf = new java.util.concurrent.ThreadFactory {
+      private val n = new java.util.concurrent.atomic.AtomicInteger
+      def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"graft-digest-warmup-${n.incrementAndGet()}")
+        t.setDaemon(true)
+        t
+      }
+    }
+    val p = new java.util.concurrent.ThreadPoolExecutor(16, 16, 60,
+      java.util.concurrent.TimeUnit.SECONDS,
+      new java.util.concurrent.LinkedBlockingQueue[Runnable](), tf)
+    p.allowCoreThreadTimeOut(true)
+    p
+  }
 
   private[engine] def aliasHash(s: String): String =
     graft.ops.Hashing.md5Hex(s, 8)

@@ -44,11 +44,18 @@ import scala.jdk.CollectionConverters._
   * searcher lifetime — not per query, and never the manifest itself
   * ballooning to megabytes.
   */
-final class TermDigest(val k: Int, val bits: Array[Long]) {
+final class TermDigest(val k: Int, val bits: Array[Long],
+    val hasPrefixes: Boolean = true) {
   /** Filter size in bits (always a power of two). */
   def m: Int = bits.length << 6
 
+  /** Membership probe for a token OR a [[TermDigest.prefixKey]] marker.
+    * A digest from a sidecar written before prefix markers existed
+    * (`pfx` absent) cannot prove a marker absent — answer true
+    * (never-prune-on-missing, the family's standing rule). */
   def mightContain(token: String): Boolean = {
+    if (!hasPrefixes && token.nonEmpty &&
+        token.charAt(0) == TermDigest.PrefixMarker) return true
     val (h1, h2) = TermDigest.hash128(token)
     val mask = (m - 1).toLong
     var i = 0
@@ -75,7 +82,7 @@ final class TermDigest(val k: Int, val bits: Array[Long]) {
     val out = new Array[Long](half)
     var i = 0
     while (i < half) { out(i) = bits(i) | bits(i + half); i += 1 }
-    new TermDigest(k, out)
+    new TermDigest(k, out, hasPrefixes)
   }
 }
 
@@ -103,6 +110,24 @@ object TermDigest {
     * it invisible to Spark's Parquet file listing (same convention as
     * `_SUCCESS`). */
   val SidecarName = "_digests.json"
+
+  /** Namespace byte for token-PREFIX Bloom entries. Every stored token
+    * also inserts markers for its prefixes of length
+    * [[PrefixMinLen]]..[[PrefixMaxLen]], so a selective `body:recei*`
+    * can skip splits instead of opening every one (Bloom alone answers
+    * exact membership only; dictionaries cover only tiny raw fields).
+    * The marker char cannot appear in default/en_stem/whitespace tokens
+    * (it is a separator), and even a raw value starting with it could
+    * only ADD bits — a Bloom false positive keeps a split, never loses
+    * one. Query side: [[graft.query.TermPruning]] emits a marker atom
+    * for the needle clamped to [[PrefixMaxLen]] (a token starting with
+    * the needle also starts with its first 8 chars); needles shorter
+    * than [[PrefixMinLen]] stay unprunable. */
+  val PrefixMarker = '\u0001'
+  val PrefixMinLen = 3
+  val PrefixMaxLen = 8
+
+  def prefixKey(prefix: String): String = PrefixMarker.toString + prefix
 
   private val digest = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
@@ -159,11 +184,15 @@ object TermDigest {
     buf.array()
   }
 
-  /** Sidecar JSON: `{"k":5,"fields":{"<flat>":{"m":16384,"b64":"..."}}}`. */
+  /** Sidecar JSON: `{"k":5,"pfx":true,"fields":{"<flat>":{"m":16384,
+    * "b64":"..."}}}`. `pfx` marks that the build inserted prefix-marker
+    * entries; digests parsed from sidecars WITHOUT it answer true for
+    * every marker probe (they cannot prove a prefix absent). */
   def renderAll(digests: Map[String, TermDigest]): Array[Byte] = {
     val m = graft.exprs.JsonSupport.mapper
     val root = m.createObjectNode()
     root.put("k", K)
+    root.put("pfx", true)
     val fields = m.createObjectNode()
     digests.toList.sortBy(_._1).foreach { case (f, d) =>
       val o = m.createObjectNode()
@@ -178,9 +207,10 @@ object TermDigest {
   def parseAll(text: String): Map[String, TermDigest] = {
     val node = graft.exprs.JsonSupport.parse(text)
     val k = node.get("k").asInt()
+    val pfx = Option(node.get("pfx")).exists(_.asBoolean())
     node.get("fields").properties().asScala.map { e =>
       val bytes = Base64.getDecoder.decode(e.getValue.get("b64").asText())
-      e.getKey -> new TermDigest(k, bytesToLongs(bytes))
+      e.getKey -> new TermDigest(k, bytesToLongs(bytes), pfx)
     }.toMap
   }
 }
@@ -195,19 +225,31 @@ object TermDigest {
 final class TokenBloomAgg extends Aggregator[Seq[String], Array[Long], Array[Byte]] {
   override def zero: Array[Long] = new Array[Long](TermDigest.BuildBits >> 6)
 
+  private def insert(b: Array[Long], key: String): Unit = {
+    val mask = (TermDigest.BuildBits - 1).toLong
+    val (h1, h2) = TermDigest.hash128(key)
+    var i = 0
+    while (i < TermDigest.K) {
+      val pos = ((h1 + i.toLong * h2) & mask).toInt
+      b(pos >>> 6) |= 1L << (pos & 63)
+      i += 1
+    }
+  }
+
   override def reduce(b: Array[Long], toks: Seq[String]): Array[Long] = {
     if (toks != null) {
-      val mask = (TermDigest.BuildBits - 1).toLong
       val it = toks.iterator
       while (it.hasNext) {
         val tok = it.next()
         if (tok != null) {
-          val (h1, h2) = TermDigest.hash128(tok)
-          var i = 0
-          while (i < TermDigest.K) {
-            val pos = ((h1 + i.toLong * h2) & mask).toInt
-            b(pos >>> 6) |= 1L << (pos & 63)
-            i += 1
+          insert(b, tok)
+          // prefix markers 3..8 chars — the [[TermDigest.PrefixMarker]]
+          // family that lets `body:recei*` prune splits
+          var l = TermDigest.PrefixMinLen
+          val maxL = math.min(TermDigest.PrefixMaxLen, tok.length)
+          while (l <= maxL) {
+            insert(b, TermDigest.prefixKey(tok.substring(0, l)))
+            l += 1
           }
         }
       }

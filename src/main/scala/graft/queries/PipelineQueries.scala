@@ -57,6 +57,14 @@ object PipelineQueries {
     * the "write the shingle table out once" step of a dedup pipeline. */
   private val snapMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  /** NO content invalidation by design: keys are (session, dir, name) and
+    * the `dir` fixtures are immutable driver-written parquet — a memo
+    * entry can only go stale if someone rewrites a fixture in place,
+    * which nothing in this repo does (an engine-state equivalent would
+    * key on a manifest generation, as the searcher's stats memo does).
+    * The size bound only guards a pathological many-dir session; clearing
+    * drops DataFrame references, and their checkpoint blocks are
+    * ContextCleaner-reaped once the last consumer finishes. */
   private def memoSnap(key: (SparkSession, String, String))(build: => DataFrame): DataFrame = {
     if (snapMemo.size > 64) snapMemo.clear() // bound a long-lived session
     snapMemo.computeIfAbsent(key, _ => build.localCheckpoint(eager = false))

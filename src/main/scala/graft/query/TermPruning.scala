@@ -45,7 +45,12 @@ import graft.functions.TextFunctions
   *    where tokenizing raw rendered text used to produce glued tokens the
   *    digest provably lacked (a wrong-prune false negative); numeric
   *    literals also match by value there, so they are top;
-  *  - prefix / fuzzy / regex / range and anything else → top.
+  *  - prefix over a digested field → the digest's prefix-MARKER entry
+  *    ([[graft.engine.TermDigest.prefixKey]]): every stored token also
+  *    inserted markers for its 3..8-char prefixes, so the needle clamped
+  *    to 8 chars is provably present in any split holding a match;
+  *    needles under 3 chars, and tokenizer-less fields, stay top;
+  *  - fuzzy / regex / range and anything else → top.
   */
 object TermPruning {
   type Atom = (String, String)
@@ -156,6 +161,42 @@ object TermPruning {
       ws.indices.toList.map(i => perField.map { case (f, toks) => f -> toks(i) }.toSet)
     }
 
+    /** Prefix atoms vs the digest's prefix-marker family. Needle
+      * normalization mirrors the compiled predicate
+      * (QueryCompiler.fieldPrefix) exactly: default/en_stem lowercase
+      * it, whitespace and raw compare verbatim, dynamic paths lowercase
+      * (default tokenizer). The marker is the needle clamped to
+      * [[graft.engine.TermDigest.PrefixMaxLen]] — a token starting with
+      * the needle also starts with its first 8 chars, so the clamped
+      * marker was inserted at ingest whenever a match exists. Old
+      * sidecars without markers answer true to every marker probe
+      * (TermDigest.hasPrefixes), keeping the family conservative. */
+    def prefixAtomFor(fn: String, v: String): FieldAtom = {
+      def atom(field: String, needle: String): FieldAtom =
+        if (needle.length < graft.engine.TermDigest.PrefixMinLen) Unprunable
+        else AtomOf(field -> graft.engine.TermDigest.prefixKey(
+          needle.take(graft.engine.TermDigest.PrefixMaxLen)))
+      d.byFlatName.get(fn) match {
+        case Some(rf) => rf.fieldType match {
+          case t: TextField => t.tokenizer match {
+            case Some("whitespace") | Some("raw") => atom(fn, v)
+            case Some(_)                          => atom(fn, v.toLowerCase)
+            case None => Unprunable // no terms entry, no digest
+          }
+          case _ => NoMatch // prefix on non-text compiles to lit(false)
+        }
+        // catch-all or a path into it: query side tokenizes with the
+        // default tokenizer and lowercases the needle
+        case None => atom(SchemaDerivation.Dynamic, v.toLowerCase)
+      }
+    }
+
+    def prefixClause(fs: List[String], v: String): Option[Set[Atom]] = {
+      val per = fs.map(prefixAtomFor(_, v))
+      if (per.contains(Unprunable)) None
+      else Some(per.collect { case AtomOf(a) => a }.toSet).filter(_.nonEmpty)
+    }
+
     def or(a: List[Set[Atom]], b: List[Set[Atom]]): List[Set[Atom]] =
       if (a.isEmpty || b.isEmpty) Nil
       else if (a.length * b.length > MaxClauses) Nil
@@ -167,6 +208,7 @@ object TermPruning {
         val alts = vs.map(termClause(fieldsFor(f), _))
         if (alts.exists(_.isEmpty)) Nil else List(alts.flatten.flatten.toSet)
       case Ast.Phrase(f, ws, _) => phraseClauses(fieldsFor(f), ws)
+      case Ast.Prefix(f, v)     => prefixClause(fieldsFor(f), v).toList
       case Ast.Bool(cs) =>
         val musts = cs.collect { case (Occur.Must, x) => walk(x) }
         val shoulds = cs.collect { case (Occur.Should, x) => walk(x) }

@@ -69,6 +69,56 @@ class CatalogStoreSpec extends AnyFunSuite {
     assert(cp.read("s3a://bucket/idx/manifest.json").exists(_._1 == 50L))
   }
 
+  test("S3CompareAndPut over stubbed conditional requests passes the race contract") {
+    // Stub with S3's exact conditional-request semantics, atomic per key
+    // (what the real store guarantees): If-None-Match:* = putIfAbsent,
+    // If-Match = compare-and-replace on the ETag, fresh ETag per write.
+    // S3CompareAndPut's GET -> If-Match PUT loop must then satisfy the
+    // same first-writer-wins contract InMemoryCompareAndPut pins.
+    class StubS3 extends graft.engine.S3ObjectOps {
+      val objects =
+        new java.util.concurrent.ConcurrentHashMap[String, (String, Array[Byte])]()
+      private def tag() = java.util.UUID.randomUUID().toString
+      def getEtagAndGen(bucket: String, key: String): Option[(String, Long)] =
+        Option(objects.get(s"$bucket/$key")).map { case (etag, bytes) =>
+          val gen = Option(graft.exprs.JsonSupport.parse(
+            new String(bytes, "UTF-8")).get("gen")).map(_.asLong()).getOrElse(0L)
+          (etag, gen)
+        }
+      def putIfAbsent(b: String, k: String, bytes: Array[Byte]): Boolean =
+        objects.putIfAbsent(s"$b/$k", (tag(), bytes)) == null
+      def putIfMatch(b: String, k: String, bytes: Array[Byte], etag: String): Boolean = {
+        var won = false
+        objects.computeIfPresent(s"$b/$k", (_, cur) =>
+          if (cur._1 == etag) { won = true; (tag(), bytes) } else cur)
+        won
+      }
+    }
+    val stub = new StubS3
+    val cas = new graft.engine.S3CompareAndPut(stub)
+    val path = "s3a://bucket/idx/manifest.json"
+    val a = new graft.engine.ConditionalPutCommitPoint(cas, path)
+    val b = new graft.engine.ConditionalPutCommitPoint(cas, path)
+    (1 to 50).foreach { gen =>
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[Boolean]()
+      val threads = Seq(a, b).map(p => new Thread(() => {
+        barrier.await()
+        results.add(p.commit(gen.toLong, genBytes(gen.toLong)))
+      }))
+      threads.foreach(_.start()); threads.foreach(_.join(30000))
+      val rs = results.toArray(Array.empty[java.lang.Boolean]).map(_.booleanValue)
+      assert(rs.count(identity) == 1,
+        s"generation $gen: exactly one racing commit must win, got ${rs.toList}")
+    }
+    assert(stub.getEtagAndGen("bucket", "idx/manifest.json").exists(_._2 == 50L))
+    // stale / gapped / first-gen-after-existence all lose without writes
+    assert(!a.commit(50L, genBytes(50L)))
+    assert(!a.commit(52L, genBytes(52L)))
+    assert(!a.commit(1L, genBytes(1L)))
+    assert(stub.getEtagAndGen("bucket", "idx/manifest.json").exists(_._2 == 50L))
+  }
+
   test("scheme routing: s3 requires a CompareAndPut; hdfs requires opt-in or one") {
     val (store, manifest) = freshStore()
     // file:// -> advisory-lock CAS

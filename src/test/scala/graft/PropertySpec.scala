@@ -286,13 +286,23 @@ class PropertySpec extends AnyFunSuite {
     check("digest membership survives folding")(Prop.forAll(toks) { ts =>
       val agg = new graft.engine.TokenBloomAgg
       val bits = ts.foldLeft(agg.zero)((b, t) => agg.reduce(b, Seq(t)))
+      // tokens AND their ingest-inserted prefix markers must all survive
+      // every fold level — a marker lost to folding would wrong-prune a
+      // prefix query
+      val keys = ts ++ ts.flatMap(t =>
+        (TermDigest.PrefixMinLen to math.min(TermDigest.PrefixMaxLen, t.length))
+          .map(l => TermDigest.prefixKey(t.substring(0, l))))
       var d = new TermDigest(TermDigest.K, bits)
-      var ok = ts.forall(d.mightContain)
+      var ok = keys.forall(d.mightContain)
       while (ok && d.m > TermDigest.MinBits) {
         d = d.fold
-        ok = ts.forall(d.mightContain)
+        ok = keys.forall(d.mightContain)
       }
-      ok && TermDigest.shrink(bits).forall(s => ts.forall(s.mightContain))
+      ok && TermDigest.shrink(bits).forall(s => keys.forall(s.mightContain)) &&
+        // a digest parsed from a pre-marker sidecar cannot prove any
+        // marker absent — it must answer true (never-prune-on-missing)
+        new TermDigest(TermDigest.K, d.bits, hasPrefixes = false)
+          .mightContain(TermDigest.prefixKey("zzzneverinserted"))
     })
   }
 

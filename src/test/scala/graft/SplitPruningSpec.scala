@@ -276,6 +276,29 @@ class SplitPruningSpec extends AnyFunSuite {
     // NOT and fuzzy never prune
     assert(pathsFor("NOT msg:uniquebtoken").length == 2)
     assert(pathsFor("msg:uniquebtoken~1").length == 2)
+    // prefix-marker pruning on TOKENIZED fields (the round-4/5 carry-over:
+    // Bloom answered exact membership only, so `msg:uniqueb*` opened every
+    // split): selective prefixes open one split, short needles (<3) never
+    // prune, en_stem prefixes match against STEMMED stored tokens
+    assert(pathsFor("msg:uniqueb*").length == 1)
+    assert(pathsFor("msg:uniquea*").length == 1)
+    assert(pathsFor("msg:unique*").length == 2, "shared prefix keeps both")
+    assert(pathsFor("msg:zzx*").isEmpty, "absent prefix prunes everything")
+    assert(pathsFor("msg:al*").length == 2, "needle under 3 chars never prunes")
+    assert(pathsFor("msg:zz*").length == 2, "even an absent short needle keeps all")
+    assert(pathsFor("body:runn*").length == 1, "runner stem keeps its prefixes")
+    assert(pathsFor("body:jum*").length == 1)
+    // dynamic-path prefixes prune via the catch-all markers; needles are
+    // clamped to 8 chars, so dynuniquea/dynuniqueb (first divergence at
+    // char 10) legitimately keep both splits, and an absent <=8 prefix
+    // prunes everything
+    assert(pathsFor("extra.k:dynuniqueb*").length == 2)
+    assert(pathsFor("extra.k:dynzz*").isEmpty)
+    assert(search.search("digest_test", "extra.k:dynuniqueb*", 10).length == 1,
+      "clamped marker keeps both splits but the scan still filters exactly")
+    // results stay correct through prefix pruning
+    assert(search.search("digest_test", "msg:uniqueb*", 10).length == 1)
+    assert(search.search("digest_test", "body:runn*", 10).length == 1)
     // IN-set: alternatives union
     assert(pathsFor("msg: IN [uniqueatoken uniquebtoken]").length == 2)
     assert(pathsFor("msg: IN [neverseen alsonever]").isEmpty)
@@ -314,6 +337,15 @@ class SplitPruningSpec extends AnyFunSuite {
     assert(pathsFor("msg:marker7 AND msg:common").length == 1)
     assert(search.search("monthly", "msg:marker7", 10).length == 1)
     assert(search.search("monthly", "msg:common", 100).length == 24)
+    // the round-4/5 prefix-pruning Done criterion, verbatim: a selective
+    // PREFIX query over the 12 monthly splits opens ~1 file. month12's
+    // token starts with "month1", so that needle legitimately keeps two.
+    assert(pathsFor("msg:month7*").length == 1, "selective prefix -> one split")
+    assert(pathsFor("msg:month1*").length == 4,
+      "month1* also prefixes month10/11/12")
+    assert(pathsFor("msg:month*").length == 12)
+    assert(pathsFor("msg:nosuchpre*").isEmpty)
+    assert(search.search("monthly", "msg:month7*", 10).length == 2)
     cat.drop("monthly")
   }
 
