@@ -336,11 +336,14 @@ final class ReflectiveS3Ops(client: AnyRef) extends S3ObjectOps {
       cond: Map[String, String]): Boolean = {
     val req = builder("PutObjectRequest",
       Map("bucket" -> bucket, "key" -> key) ++ cond)
-    val body = cls("software.amazon.awssdk.core.sync.RequestBody")
-      .getMethod("fromBytes", classOf[Array[Byte]]).invoke(null, bytes)
+    val bodyCls = cls("software.amazon.awssdk.core.sync.RequestBody")
+    val body = bodyCls.getMethod("fromBytes", classOf[Array[Byte]])
+      .invoke(null, bytes)
     try {
-      client.getClass.getMethod("putObject", req.getClass.getInterfaces.head,
-        body.getClass.getSuperclass).invoke(client, req, body)
+      // getMethod needs the DECLARED parameter types:
+      // putObject(PutObjectRequest, RequestBody)
+      client.getClass.getMethod("putObject",
+        cls(model + "PutObjectRequest"), bodyCls).invoke(client, req, body)
       true
     } catch {
       case e: java.lang.reflect.InvocationTargetException
@@ -359,7 +362,7 @@ final class ReflectiveS3Ops(client: AnyRef) extends S3ObjectOps {
     try {
       val req = builder("GetObjectRequest", Map("bucket" -> bucket, "key" -> key))
       val resp = client.getClass.getMethod("getObjectAsBytes",
-        req.getClass.getInterfaces.head).invoke(client, req)
+        cls(model + "GetObjectRequest")).invoke(client, req)
       val etag = resp.getClass.getMethod("response").invoke(resp) match {
         case r => r.getClass.getMethod("eTag").invoke(r).asInstanceOf[String]
       }

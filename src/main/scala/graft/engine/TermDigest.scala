@@ -56,7 +56,7 @@ final class TermDigest(val k: Int, val bits: Array[Long],
   def mightContain(token: String): Boolean = {
     if (!hasPrefixes && token.nonEmpty &&
         token.charAt(0) == TermDigest.PrefixMarker) return true
-    val (h1, h2) = TermDigest.hash128(token)
+    val (h1, h2) = TermDigest.hashFor(token)
     val mask = (m - 1).toLong
     var i = 0
     while (i < k) {
@@ -116,10 +116,12 @@ object TermDigest {
     * [[PrefixMinLen]]..[[PrefixMaxLen]], so a selective `body:recei*`
     * can skip splits instead of opening every one (Bloom alone answers
     * exact membership only; dictionaries cover only tiny raw fields).
-    * The marker char cannot appear in default/en_stem/whitespace tokens
-    * (it is a separator), and even a raw value starting with it could
-    * only ADD bits — a Bloom false positive keeps a split, never loses
-    * one. Query side: [[graft.query.TermPruning]] emits a marker atom
+    * The marker char cannot appear in default/en_stem tokens (it is not
+    * a letter or digit); whitespace-tokenizer and raw tokens CAN carry
+    * it (U+0001 is not \s), but such a token's insertions only ADD bits
+    * — a Bloom collision keeps a split, never loses one, so markers are
+    * prune-conservative, not unforgeable. Query side:
+    * [[graft.query.TermPruning]] emits a marker atom
     * for the needle clamped to [[PrefixMaxLen]] (a token starting with
     * the needle also starts with its first 8 chars); needles shorter
     * than [[PrefixMinLen]] stay unprunable. */
@@ -128,6 +130,38 @@ object TermDigest {
   val PrefixMaxLen = 8
 
   def prefixKey(prefix: String): String = PrefixMarker.toString + prefix
+
+  /** FNV-1a-style double-hash constants for prefix-MARKER keys. Markers
+    * multiply Bloom-insert work ~7× per token; an md5 round-trip per
+    * marker measurably slowed every ingest/merge lifecycle, and a Bloom
+    * key only needs good dispersion, not cryptographic strength — token
+    * entries keep md5 ([[hash128]]) because changing their hash would
+    * invalidate every existing sidecar's token bits, while marker bits
+    * are already versioned by the sidecar's `pfx` flag. The incremental
+    * form lets the build hash all of a token's prefixes in ONE pass over
+    * its chars ([[TokenBloomAgg.reduce]]); [[hashFor]] computes the same
+    * sequence from the full marker key, so probe and insert positions
+    * agree by construction (pinned by the marker fold property). */
+  private[engine] val Fnv1 = 0xcbf29ce484222325L
+  private[engine] val FnvP1 = 0x100000001b3L
+  private[engine] val Fnv2 = 0x9e3779b97f4a7c15L
+  private[engine] val FnvP2 = 0xc6a4a7935bd1e995L
+
+  /** Hash dispatch for any Bloom key: marker keys (leading
+    * [[PrefixMarker]]) use the cheap FNV pair, tokens use md5. */
+  def hashFor(key: String): (Long, Long) =
+    if (key.nonEmpty && key.charAt(0) == PrefixMarker) {
+      var h1 = Fnv1
+      var h2 = Fnv2
+      var i = 0
+      while (i < key.length) {
+        val c = key.charAt(i)
+        h1 = (h1 ^ c) * FnvP1
+        h2 = (h2 ^ c) * FnvP2
+        i += 1
+      }
+      (h1, h2)
+    } else hash128(key)
 
   private val digest = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
@@ -225,9 +259,8 @@ object TermDigest {
 final class TokenBloomAgg extends Aggregator[Seq[String], Array[Long], Array[Byte]] {
   override def zero: Array[Long] = new Array[Long](TermDigest.BuildBits >> 6)
 
-  private def insert(b: Array[Long], key: String): Unit = {
+  private def setBits(b: Array[Long], h1: Long, h2: Long): Unit = {
     val mask = (TermDigest.BuildBits - 1).toLong
-    val (h1, h2) = TermDigest.hash128(key)
     var i = 0
     while (i < TermDigest.K) {
       val pos = ((h1 + i.toLong * h2) & mask).toInt
@@ -242,14 +275,27 @@ final class TokenBloomAgg extends Aggregator[Seq[String], Array[Long], Array[Byt
       while (it.hasNext) {
         val tok = it.next()
         if (tok != null) {
-          insert(b, tok)
-          // prefix markers 3..8 chars — the [[TermDigest.PrefixMarker]]
-          // family that lets `body:recei*` prune splits
-          var l = TermDigest.PrefixMinLen
-          val maxL = math.min(TermDigest.PrefixMaxLen, tok.length)
-          while (l <= maxL) {
-            insert(b, TermDigest.prefixKey(tok.substring(0, l)))
-            l += 1
+          val (t1, t2) = TermDigest.hash128(tok)
+          setBits(b, t1, t2)
+          // Prefix markers 3..8 chars — the [[TermDigest.PrefixMarker]]
+          // family that lets `body:recei*` prune splits. Hashed
+          // incrementally (the FNV pair extends one char at a time), so
+          // ALL of a token's markers cost one pass over its chars and
+          // zero allocations; [[TermDigest.hashFor]] reproduces the same
+          // values from the full marker key on the probe side.
+          if (tok.length >= TermDigest.PrefixMinLen) {
+            val mc = TermDigest.PrefixMarker
+            var h1 = (TermDigest.Fnv1 ^ mc) * TermDigest.FnvP1
+            var h2 = (TermDigest.Fnv2 ^ mc) * TermDigest.FnvP2
+            val maxL = math.min(TermDigest.PrefixMaxLen, tok.length)
+            var l = 0
+            while (l < maxL) {
+              val c = tok.charAt(l)
+              h1 = (h1 ^ c) * TermDigest.FnvP1
+              h2 = (h2 ^ c) * TermDigest.FnvP2
+              l += 1
+              if (l >= TermDigest.PrefixMinLen) setBits(b, h1, h2)
+            }
           }
         }
       }

@@ -92,13 +92,23 @@ object Dedup {
     * the lemma's bound; erring low only widens it). Shared by
     * [[ngramJaccardPrefix]] and [[dedupIncremental]] so the bound cannot
     * drift between them. */
+  /** The AllPairs prefix-length bound — a doc with `nsh` shingles keeps
+    * its first `nsh - ⌈t·nsh⌉ + 1` under the global order; the epsilon
+    * guards float rounding (see [[prefixShingles]]'s lemma note). ONE
+    * definition compiled into the stateless prefix build AND the
+    * stateful batch ranking ([[IncrementalDedupState.dedupBatch]]) —
+    * an asymmetric bound between the two sides of a candidate join
+    * would silently break the lemma's recall guarantee. */
+  private[ops] def prefixRankBound(nsh: Column, threshold: Double): Column =
+    nsh - ceil(nsh * threshold - 1e-9) + 1
+
   private[ops] def prefixShingles(flat: DataFrame, dfreq: DataFrame,
       threshold: Double): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df").asc, col("sh").asc)
     flat.join(dfreq, "sh")
       .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= col("nsh") - ceil(col("nsh") * threshold - 1e-9) + 1)
+      .where(col("rk") <= prefixRankBound(col("nsh"), threshold))
       .select(col("doc_id"), col("sh"))
   }
 

@@ -79,13 +79,16 @@ final class IncrementalDedupState(spark: SparkSession, stateDir: String,
     val merged = (if (g == 0) merged0
       else read(g, "sets").unionAll(merged0)).dropDuplicates("doc_id")
     val next = g + 1
-    merged.write.parquet(new Path(genDir(next), "sets").toString)
+    // overwrite: a crash after writing gen-N but before the LATEST flip
+    // leaves an orphan generation dir; the retry must be able to rewrite
+    // it (an unreferenced generation is dead data until LATEST flips)
+    merged.write.mode("overwrite").parquet(new Path(genDir(next), "sets").toString)
     val sets = read(next, "sets")
     val flat = Dedup.flattenShingles(sets)
     flat.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .write.parquet(new Path(genDir(next), "df").toString)
+      .write.mode("overwrite").parquet(new Path(genDir(next), "df").toString)
     Dedup.prefixShingles(flat, read(next, "df"), threshold)
-      .write.parquet(new Path(genDir(next), "prefix").toString)
+      .write.mode("overwrite").parquet(new Path(genDir(next), "prefix").toString)
     val out = fs.create(latestPath, true)
     try out.write(next.toString.getBytes("UTF-8")) finally out.close()
   }
@@ -114,7 +117,7 @@ final class IncrementalDedupState(spark: SparkSession, stateDir: String,
       .join(stDf, Seq("sh"), "left")
       .withColumn("df0", coalesce(col("df"), lit(0L)))
       .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= col("nsh") - ceil(col("nsh") * threshold - 1e-9) + 1)
+      .where(col("rk") <= Dedup.prefixRankBound(col("nsh"), threshold))
       .select(col("doc_id").as("n_id"), col("sh"))
     val cands = bPrefix
       .join(read(g, "prefix").select(col("doc_id").as("c_id"), col("sh")), "sh")
