@@ -445,7 +445,6 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
           }
         }
     val cacheKey = (splitsVersion, statNames.sorted.mkString("|"))
-    if (Searcher.statsCache.size > 4096) Searcher.statsCache.clear()
     // get → compute → putIfAbsent, NOT computeIfAbsent: the stats job is a
     // full Spark aggregate and must not run under the CHM bin lock, where
     // it would serialize unrelated concurrent searches hashing to the same
@@ -574,9 +573,19 @@ object Searcher {
   /** Memoized corpus statistics keyed by (catalog root + index + manifest
     * generation + pruned split set, stat names). Values are a handful of
     * doubles; the size bound only guards a long-lived session against
-    * unbounded index churn. */
-  private val statsCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), Map[String, Double]]()
+    * unbounded index churn. Access-ordered LRU (not clear-on-overflow):
+    * evicting everything at once would make every concurrently-served
+    * query re-run its stats aggregate in the same burst — the same
+    * refetch-storm class the digest cache fixed. */
+  private val StatsCacheMax = 4096
+  private val statsCache: java.util.Map[(String, String), Map[String, Double]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, String), Map[String, Double]](
+          256, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, String), Map[String, Double]]): Boolean =
+          size() > StatsCacheMax
+      })
 
   /** Bounded daemon pool for digest-sidecar warmup — blocking object-store
     * GETs, deliberately OFF the JVM commonPool. 16 threads matches the

@@ -499,6 +499,33 @@ object PipelineQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** ANN quality evaluation — recall@5 of the production IVF-PQ tier
+    * against the exact brute-force baseline, per query: the acceptance
+    * gate any approximate index build runs before serving (probe/recall
+    * tradeoffs are tuned against exactly this curve). One row per query:
+    * (qid, hits) with hits = |top5_ivfpq ∩ top5_exact| ∈ [0, 5]. Pure
+    * composition of the two already-gated tiers ([[knn_brute]],
+    * [[knn_ivf_pq]]) plus one intersection count — at scale the exact
+    * side runs over a SAMPLE of queries, which is this same plan with a
+    * narrower isQuery. */
+  val knn_recall: Q = (s, dir) => {
+    val e = corpus(s, dir)
+    val exact = Ann.brute(
+      e.where(col("vid") < 20).select(col("vid").as("qid"), col("v").as("qv")),
+      e.select(col("vid"), col("v")), k = 5)
+      .select(col("qid"), col("neighbor"))
+    val approx = Ann.ivfPq(e.select(col("vid"), col("v")), _ < 20,
+      e.where(col("vid") < 16).select(col("vid").as("cid"), col("v").as("cv")),
+      nProbe = 2, numSubspaces = 4, k = 5)
+      .select(col("qid"), col("neighbor"))
+    val inter = exact.join(approx, Seq("qid", "neighbor"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+    e.where(col("vid") < 20).select(col("vid").as("qid"))
+      .join(inter, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"))
+      .orderBy(col("qid"))
+  }
+
   /** Benchmark decontamination: shingle-overlap counts between the
     * corpus (doc_id >= 10) and a benchmark set (docs 0-9 stand in for an
     * eval suite). Benchmark side broadcast → map-side-only corpus pass;
@@ -534,6 +561,7 @@ object PipelineQueries {
     "knn_sq8_ivf" -> knn_sq8_ivf,
     "knn_pq" -> knn_pq,
     "knn_ivf_pq" -> knn_ivf_pq,
+    "knn_recall" -> knn_recall,
     "text_pii_scrub" -> text_pii_scrub,
     "text_domains" -> text_domains,
     "mm_phash_buckets" -> mm_phash_buckets,
@@ -857,6 +885,39 @@ object PipelineQueries {
          |    row_number() OVER (PARTITION BY qid ORDER BY adist ASC, neighbor ASC) AS rank
          |  FROM adc)
          |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // recall@5 of the IVF-PQ tier vs the exact baseline: the two gated
+    // tiers' own CTE chains plus one intersection count
+    "knn_recall" ->
+      s"""WITH $ivfCtes,
+         |$pqCtes,
+         |adc AS (
+         |  SELECT p.qid, a.vec_id AS neighbor, CAST(sum(dq.dist) AS BIGINT) AS adist
+         |  FROM probes p JOIN asg a ON a.cell = p.cell
+         |  JOIN enc e ON e.vec_id = a.vec_id
+         |  JOIN dists dq ON dq.s = e.s AND dq.cid = e.cid AND dq.vec_id = p.qid
+         |  WHERE a.vec_id <> p.qid
+         |  GROUP BY p.qid, a.vec_id),
+         |approx AS (
+         |  SELECT qid, neighbor FROM (
+         |    SELECT qid, neighbor,
+         |      row_number() OVER (PARTITION BY qid ORDER BY adist ASC, neighbor ASC) AS rank
+         |    FROM adc) WHERE rank <= 5),
+         |exact AS (
+         |  SELECT qid, neighbor FROM (
+         |    SELECT q.vec_id AS qid, e.vec_id AS neighbor,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id ASC) AS rank
+         |    FROM embeddings q CROSS JOIN embeddings e
+         |    WHERE q.vec_id < 20 AND e.vec_id <> q.vec_id) WHERE rank <= 5),
+         |inter AS (
+         |  SELECT exact.qid, count(*) AS hits
+         |  FROM exact JOIN approx ON approx.qid = exact.qid
+         |    AND approx.neighbor = exact.neighbor
+         |  GROUP BY exact.qid)
+         |SELECT q.vec_id AS qid, CAST(coalesce(i.hits, 0) AS BIGINT) AS hits
+         |FROM embeddings q LEFT JOIN inter i ON i.qid = q.vec_id
+         |WHERE q.vec_id < 20
+         |ORDER BY qid""".stripMargin,
     // knn_ivf's candidate cut + knn_pq's ADC ranking, composed from the
     // same shared CTEs that gate each tier alone
     "knn_ivf_pq" ->

@@ -48,6 +48,59 @@ class StatefulStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch + IncrementalDedupState: streaming NEAR-dedup against persisted state") {
+    // The production streaming ingest-dedup composition: each micro-batch
+    // dedups against the persisted corpus state (df/prefix/sets parquet),
+    // then absorbs its keepers — so a near-duplicate (not exact: the
+    // watermark dedup above only catches identical keys) of a document
+    // absorbed in ANY earlier batch is dropped, across restarts, with
+    // per-batch cost proportional to the batch.
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val stateDir = java.nio.file.Files.createTempDirectory("stream-dedup").toString
+    val st = new graft.ops.IncrementalDedupState(spark, stateDir, threshold = 0.5)
+    val decisions = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+
+    val input = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("stream-dedup-ckpt").toString
+    val q = input.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sh = graft.ops.Dedup.shingles(
+          batch.withColumn("tk", split(col("text"), " ")),
+          col("doc_id"), col("tk"), n = 3)
+        val res = st.dedupBatch(sh).collect()
+        res.foreach(r => decisions.put(r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1)))
+        val keep = res.filter(_.getBoolean(2)).map(_.getLong(0)).toSeq
+        st.absorb(sh.where(col("doc_id").isin(keep: _*)))
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      input.addData(
+        (1L, "alpha beta gamma delta epsilon zeta"),
+        (2L, "one two three four five six"))
+      q.processAllAvailable()
+      // near-dup of doc 1 (last word changed: jaccard 3/5 >= 0.5) + new doc
+      input.addData(
+        (10L, "alpha beta gamma delta epsilon eta"),
+        (11L, "totally different content appears here now"))
+      q.processAllAvailable()
+      // near-dup of the BATCH-2 keeper: proves state grew across batches
+      input.addData((20L, "totally different content appears here today"))
+      q.processAllAvailable()
+
+      import scala.jdk.CollectionConverters._
+      val got = decisions.asScala.toMap
+      assert(got == Map(1L -> -1L, 2L -> -1L, 10L -> 1L, 11L -> -1L, 20L -> 11L),
+        s"got $got")
+      assert(st.generation == 3L, s"one absorb per micro-batch, got ${st.generation}")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups replays; state expires with time") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
