@@ -273,6 +273,62 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("phrase_freq equals the declarative spec; predicate and cap laws hold") {
+    // Independent re-statement of the dedupe semantics: the frequency is
+    // the number of DISTINCT word-0 positions that anchor some
+    // window-satisfying start, where start i is satisfied when every
+    // word j appears in [i + max(0, j-slop), min(n-1, i + max(0, j-slop)
+    // + 2*slop)] and i's anchor is the FIRST word-0 position in its
+    // window. The implementation is an incremental one-pass loop with a
+    // lastP0 register — this closed-form spec checks it, along with:
+    // freq > 0 ⟺ some start satisfies (the pre-dedupe HOF predicate),
+    // and cap=1 (the phrase_any path) agreeing with min(1, freq).
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+
+    def freq(toks: List[String], words: List[String], slop: Int, cap: Int): Int =
+      graft.exprs.PhraseFreq(
+        Literal.create(toks, ArrayType(StringType)), words, slop, cap)
+        .eval(InternalRow.empty).asInstanceOf[Int]
+
+    def windowOf(i: Int, j: Int, slop: Int, n: Int): Range = {
+      val start = i + math.max(0, j - slop)
+      start to math.min(n - 1, start + 2 * slop)
+    }
+    def satisfied(toks: Vector[String], words: List[String], slop: Int,
+        i: Int): Boolean =
+      words.zipWithIndex.forall { case (w, j) =>
+        windowOf(i, j, slop, toks.length).exists(p => toks(p) == w)
+      }
+    def specFreq(toks: Vector[String], words: List[String], slop: Int): Int = {
+      val n = toks.length
+      val anchors = (0 to n - words.length).flatMap { i =>
+        if (!satisfied(toks, words, slop, i)) None
+        else windowOf(i, 0, slop, n).find(p => toks(p) == words.head)
+      }
+      anchors.distinct.size
+    }
+
+    val tok = Gen.oneOf("a", "b", "c")
+    val cases = for {
+      n <- Gen.chooseNum(0, 10)
+      toks <- Gen.listOfN(n, tok)
+      m <- Gen.chooseNum(1, 3)
+      words <- Gen.listOfN(m, tok)
+      slop <- Gen.chooseNum(0, 2)
+    } yield (toks, words, slop)
+    check("phrase_freq == spec")(Prop.forAll(cases) { case (toks, words, slop) =>
+      val got = freq(toks, words, slop, Int.MaxValue)
+      val spec = specFreq(toks.toVector, words, slop)
+      val anyStart = (0 to toks.length - words.length)
+        .exists(i => satisfied(toks.toVector, words, slop, i))
+      got == spec &&
+        (got > 0) == anyStart &&
+        freq(toks, words, slop, 1) == math.min(1, got)
+    })
+  }
+
   test("term digests never produce a false negative, through any fold") {
     // The entire pruning layer rests on this: a token inserted into the
     // build-size filter must report mightContain == true after EVERY
