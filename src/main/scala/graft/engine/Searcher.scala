@@ -446,10 +446,11 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
         }
     val cacheKey = (splitsVersion, statNames.sorted.mkString("|"))
     // get → compute → putIfAbsent, NOT computeIfAbsent: the stats job is a
-    // full Spark aggregate and must not run under the CHM bin lock, where
-    // it would serialize unrelated concurrent searches hashing to the same
-    // bin. Two racing threads may compute redundantly; first write wins
-    // and the result is identical either way.
+    // full Spark aggregate, and the LRU is a synchronizedMap with ONE
+    // global mutex — computeIfAbsent would run the whole job under it,
+    // blocking every concurrent search's cache access (hit or miss) for
+    // the duration. Two racing threads may compute redundantly; first
+    // write wins and the result is identical either way.
     val stats = Option(Searcher.statsCache.get(cacheKey)).getOrElse {
       val computed: Map[String, Double] = {
       val statAggs: List[Column] =

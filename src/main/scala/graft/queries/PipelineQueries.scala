@@ -685,6 +685,31 @@ object PipelineQueries {
       |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dist ASC, cid ASC) AS rn
       |    FROM dists) WHERE rn = 1)""".stripMargin
 
+  /** IVF-PQ ADC candidate CTE (`adc`, over the ivfCtes + pqCtes names) —
+    * ONE definition shared by the gated tier ([[knn_ivf_pq]]) and the
+    * recall evaluation composed on top of it ([[knn_recall]]), so a
+    * distance/tie-break change lands in both at once. */
+  private val ivfPqAdcCte =
+    """adc AS (
+      |  SELECT p.qid, a.vec_id AS neighbor, CAST(sum(dq.dist) AS BIGINT) AS adist
+      |  FROM probes p JOIN asg a ON a.cell = p.cell
+      |  JOIN enc e ON e.vec_id = a.vec_id
+      |  JOIN dists dq ON dq.s = e.s AND dq.cid = e.cid AND dq.vec_id = p.qid
+      |  WHERE a.vec_id <> p.qid
+      |  GROUP BY p.qid, a.vec_id)""".stripMargin
+
+  /** Exact cosine top-5 per query (`exact`) — knn_brute's ranking as a
+    * shared fragment ([[knn_brute]], [[knn_recall]]). */
+  private val bruteTop5Cte =
+    """exact AS (
+      |  SELECT qid, rank, neighbor FROM (
+      |    SELECT q.vec_id AS qid, e.vec_id AS neighbor,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id ASC) AS rank
+      |    FROM embeddings q CROSS JOIN embeddings e
+      |    WHERE q.vec_id < 20 AND e.vec_id <> q.vec_id)
+      |  WHERE rank <= 5)""".stripMargin
+
   /** Exact shingle-Jaccard >= 0.5 pair CTE chain (`sh`, `ex`, `jac`) —
     * ONE definition shared by the plain pair oracle, the prefix-filtered
     * pair oracle (identical by design: prefix filtering only prunes
@@ -886,29 +911,17 @@ object PipelineQueries {
          |  FROM adc)
          |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     // recall@5 of the IVF-PQ tier vs the exact baseline: the two gated
-    // tiers' own CTE chains plus one intersection count
+    // tiers' own shared CTE fragments plus one intersection count
     "knn_recall" ->
       s"""WITH $ivfCtes,
          |$pqCtes,
-         |adc AS (
-         |  SELECT p.qid, a.vec_id AS neighbor, CAST(sum(dq.dist) AS BIGINT) AS adist
-         |  FROM probes p JOIN asg a ON a.cell = p.cell
-         |  JOIN enc e ON e.vec_id = a.vec_id
-         |  JOIN dists dq ON dq.s = e.s AND dq.cid = e.cid AND dq.vec_id = p.qid
-         |  WHERE a.vec_id <> p.qid
-         |  GROUP BY p.qid, a.vec_id),
+         |$ivfPqAdcCte,
          |approx AS (
          |  SELECT qid, neighbor FROM (
          |    SELECT qid, neighbor,
          |      row_number() OVER (PARTITION BY qid ORDER BY adist ASC, neighbor ASC) AS rank
          |    FROM adc) WHERE rank <= 5),
-         |exact AS (
-         |  SELECT qid, neighbor FROM (
-         |    SELECT q.vec_id AS qid, e.vec_id AS neighbor,
-         |      row_number() OVER (PARTITION BY q.vec_id
-         |        ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id ASC) AS rank
-         |    FROM embeddings q CROSS JOIN embeddings e
-         |    WHERE q.vec_id < 20 AND e.vec_id <> q.vec_id) WHERE rank <= 5),
+         |$bruteTop5Cte,
          |inter AS (
          |  SELECT exact.qid, count(*) AS hits
          |  FROM exact JOIN approx ON approx.qid = exact.qid
@@ -923,13 +936,7 @@ object PipelineQueries {
     "knn_ivf_pq" ->
       s"""WITH $ivfCtes,
          |$pqCtes,
-         |adc AS (
-         |  SELECT p.qid, a.vec_id AS neighbor, CAST(sum(dq.dist) AS BIGINT) AS adist
-         |  FROM probes p JOIN asg a ON a.cell = p.cell
-         |  JOIN enc e ON e.vec_id = a.vec_id
-         |  JOIN dists dq ON dq.s = e.s AND dq.cid = e.cid AND dq.vec_id = p.qid
-         |  WHERE a.vec_id <> p.qid
-         |  GROUP BY p.qid, a.vec_id)
+         |$ivfPqAdcCte
          |SELECT qid, rank, neighbor FROM (
          |  SELECT qid, neighbor,
          |    row_number() OVER (PARTITION BY qid ORDER BY adist ASC, neighbor ASC) AS rank
@@ -961,13 +968,8 @@ object PipelineQueries {
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
         |ORDER BY a, b""".stripMargin,
     "knn_brute" ->
-      """SELECT qid, rank, neighbor FROM (
-        |  SELECT q.vec_id AS qid, e.vec_id AS neighbor,
-        |    row_number() OVER (PARTITION BY q.vec_id
-        |      ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id ASC) AS rank
-        |  FROM embeddings q CROSS JOIN embeddings e
-        |  WHERE q.vec_id < 20 AND e.vec_id <> q.vec_id)
-        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+      s"""WITH $bruteTop5Cte
+         |SELECT qid, rank, neighbor FROM exact ORDER BY qid, rank""".stripMargin,
     "knn_cell" ->
       """SELECT qid, rank, neighbor FROM (
         |  SELECT q.vec_id AS qid, e.vec_id AS neighbor,

@@ -75,7 +75,8 @@ class StatefulStreamingSpec extends AnyFunSuite {
         res.foreach(r => decisions.put(r.getLong(0),
           if (r.isNullAt(1)) -1L else r.getLong(1)))
         val keep = res.filter(_.getBoolean(2)).map(_.getLong(0)).toSeq
-        st.absorb(sh.where(col("doc_id").isin(keep: _*)))
+        // all-duplicate batches change nothing: skip the state rebuild
+        if (keep.nonEmpty) st.absorb(sh.where(col("doc_id").isin(keep: _*)))
       }
       .option("checkpointLocation", ckpt)
       .start()
@@ -97,7 +98,8 @@ class StatefulStreamingSpec extends AnyFunSuite {
       val got = decisions.asScala.toMap
       assert(got == Map(1L -> -1L, 2L -> -1L, 10L -> 1L, 11L -> -1L, 20L -> 11L),
         s"got $got")
-      assert(st.generation == 3L, s"one absorb per micro-batch, got ${st.generation}")
+      assert(st.generation == 2L,
+        s"one absorb per KEEPING batch (batch 3 was all-dup), got ${st.generation}")
     } finally q.stop()
   }
 
