@@ -164,6 +164,34 @@ object TextAnalysis {
       .select(col("id"), explode(col("domains")).as("domain"))
       .groupBy(col("domain")).agg(count(lit(1)).as("n_docs"))
 
+  /** C4-style global line dedup (Raffel et al. 2020 kept one occurrence
+    * of every three-sentence span corpus-wide; this is the line/sentence
+    * granularity of that pass): split each document on `sep`, drop
+    * blank segments, and assign every DISTINCT line one owner — the
+    * smallest document id containing it. A document "keeps" the lines it
+    * owns; repeated lines inside one document also collapse to one.
+    * Ownership needs no position bookkeeping: which occurrence inside
+    * the owning document survives does not change the count.
+    *
+    * Scale shape: one shuffle keyed on the line text (the C4 pass is
+    * exactly this exact-match aggregate at corpus scale — hot boilerplate
+    * lines produce big groups but min() is a trivial combiner-friendly
+    * aggregate) plus one doc-keyed count; no joins against the corpus
+    * text itself. Output: (id, n_lines, n_kept) per document with at
+    * least one non-blank line. */
+  def lineDedup(df: DataFrame, id: Column, text: Column,
+      sep: String = "\\. "): DataFrame = {
+    val lines = df.select(id.as("id"), explode(split(text, sep)).as("l"))
+      .select(col("id"), trim(col("l")).as("line"))
+      .where(length(col("line")) > 0)
+    val owned = lines.groupBy(col("line")).agg(min(col("id")).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_kept"))
+    lines.groupBy(col("id")).agg(count(lit(1)).as("n_lines"))
+      .join(owned, Seq("id"), "left")
+      .select(col("id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** Regex PII scrub: counts matches of each (tag, pattern) and replaces
     * them with `<TAG>` in order. Patterns should avoid lookaround if an
     * RE2-based oracle needs to reproduce them.

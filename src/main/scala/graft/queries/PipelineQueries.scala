@@ -499,6 +499,24 @@ object PipelineQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** C4-style global line dedup ([[graft.ops.TextAnalysis.lineDedup]]):
+    * every distinct line keeps exactly one occurrence corpus-wide, owned
+    * by the smallest doc containing it. The fixture corpus has no
+    * sentence separators, so the query plants them (the text_pii_scrub
+    * fixture pattern): two document substrings plus a boilerplate notice
+    * shared by every fifth document — the boilerplate-removal shape the
+    * C4 pass exists for. */
+  val text_line_dedup: Q = (s, dir) =>
+    TextAnalysis.lineDedup(
+      docs(s, dir).withColumn("lined", concat_ws(". ",
+        substring(col("text"), 1, 40),
+        concat(lit("shared boilerplate notice "),
+          pmod(col("doc_id"), lit(5)).cast("string")),
+        substring(col("text"), 41, 40))),
+      col("doc_id"), col("lined"))
+      .select(col("id").as("doc_id"), col("n_lines"), col("n_kept"))
+      .orderBy(col("doc_id"))
+
   /** ANN quality evaluation — recall@5 of the production IVF-PQ tier
     * against the exact brute-force baseline, per query: the acceptance
     * gate any approximate index build runs before serving (probe/recall
@@ -562,6 +580,7 @@ object PipelineQueries {
     "knn_pq" -> knn_pq,
     "knn_ivf_pq" -> knn_ivf_pq,
     "knn_recall" -> knn_recall,
+    "text_line_dedup" -> text_line_dedup,
     "text_pii_scrub" -> text_pii_scrub,
     "text_domains" -> text_domains,
     "mm_phash_buckets" -> mm_phash_buckets,
@@ -910,6 +929,24 @@ object PipelineQueries {
          |    row_number() OVER (PARTITION BY qid ORDER BY adist ASC, neighbor ASC) AS rank
          |  FROM adc)
          |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "text_line_dedup" ->
+      """WITH lines AS (
+        |  SELECT doc_id, trim(l) AS line FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(
+        |      substr(text, 1, 40) || '. shared boilerplate notice '
+        |        || CAST(doc_id % 5 AS VARCHAR) || '. ' || substr(text, 41, 40),
+        |      '\. ')) AS l
+        |    FROM documents)
+        |  WHERE len(trim(l)) > 0),
+        |owned AS (
+        |  SELECT doc_id, count(*) AS n_kept FROM (
+        |    SELECT line, min(doc_id) AS doc_id FROM lines GROUP BY line)
+        |  GROUP BY doc_id),
+        |cnt AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+        |SELECT c.doc_id, CAST(c.n_lines AS BIGINT) AS n_lines,
+        |  CAST(coalesce(o.n_kept, 0) AS BIGINT) AS n_kept
+        |FROM cnt c LEFT JOIN owned o ON o.doc_id = c.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
     // recall@5 of the IVF-PQ tier vs the exact baseline: the two gated
     // tiers' own shared CTE fragments plus one intersection count
     "knn_recall" ->

@@ -42,6 +42,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(brute.groupBy(_._1).forall(_._2.size == 5))
   }
 
+  test("lineDedup assigns each distinct line one owner; within-doc dups collapse") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha one. common boilerplate. alpha two"),
+      (2L, "beta one. common boilerplate. beta two"),
+      (3L, "common boilerplate. common boilerplate.  . gamma solo"),
+      (4L, "")).toDF("doc_id", "body")
+    val got = graft.ops.TextAnalysis.lineDedup(df, col("doc_id"), col("body"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 1 owns its two unique lines AND the shared boilerplate (min id)
+    assert(got(1L) == (3L, 3L), s"got $got")
+    // doc 2 keeps only its own lines; the boilerplate is owned elsewhere
+    assert(got(2L) == (3L, 2L), s"got $got")
+    // doc 3: boilerplate twice (both lost to doc 1), blank segment
+    // filtered, one owned line
+    assert(got(3L) == (3L, 1L), s"got $got")
+    // a document with no non-blank line produces no row
+    assert(!got.contains(4L), s"got $got")
+  }
+
   test("incremental dedup state: batch 2 reads updated state, no corpus re-derivation") {
     import spark.implicits._
     import graft.ops.{Dedup, IncrementalDedupState}
