@@ -517,6 +517,19 @@ object PipelineQueries {
       .select(col("id").as("doc_id"), col("n_lines"), col("n_kept"))
       .orderBy(col("doc_id"))
 
+  /** Training-mixture token allocation ([[graft.ops.Mixture]]): weights
+    * derive deterministically from the source number (the fixture
+    * pattern — weight parts 1..3), availability is each source's token
+    * count, and the output is the largest no-upsampling budget's
+    * per-source allocation in exact integer arithmetic. */
+  val pipe_mix_weights: Q = (s, dir) =>
+    graft.ops.Mixture.mixAllocation(
+      docs(s, dir),
+      col("source"),
+      size(tokenizeDefault(col("text"))).cast("long"),
+      pmod(substring(col("source"), 4, 10).cast("long"), lit(3)) + 1)
+      .orderBy(col("source"))
+
   /** ANN quality evaluation — recall@5 of the production IVF-PQ tier
     * against the exact brute-force baseline, per query: the acceptance
     * gate any approximate index build runs before serving (probe/recall
@@ -581,6 +594,7 @@ object PipelineQueries {
     "knn_ivf_pq" -> knn_ivf_pq,
     "knn_recall" -> knn_recall,
     "text_line_dedup" -> text_line_dedup,
+    "pipe_mix_weights" -> pipe_mix_weights,
     "text_pii_scrub" -> text_pii_scrub,
     "text_domains" -> text_domains,
     "mm_phash_buckets" -> mm_phash_buckets,
@@ -929,6 +943,17 @@ object PipelineQueries {
          |    row_number() OVER (PARTITION BY qid ORDER BY adist ASC, neighbor ASC) AS rank
          |  FROM adc)
          |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "pipe_mix_weights" ->
+      s"""WITH per AS (
+         |  SELECT source,
+         |    CAST(substr(source, 4) AS BIGINT) % 3 + 1 AS weight,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1, 2),
+         |u AS (SELECT min(n_tokens // weight) AS u FROM per)
+         |SELECT source, n_docs, n_tokens, CAST(weight AS BIGINT) AS weight,
+         |  CAST(weight * u AS BIGINT) AS alloc_tokens
+         |FROM per CROSS JOIN u ORDER BY source""".stripMargin,
     "text_line_dedup" ->
       """WITH lines AS (
         |  SELECT doc_id, trim(l) AS line FROM (
