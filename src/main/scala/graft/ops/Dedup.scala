@@ -44,6 +44,50 @@ object Dedup {
             (0 until n).map(j => element_at(col("toks"), i + j + 1)): _*))))
       .select(col("doc_id"), col("shingles"))
 
+  /** Positional token k-grams: (doc_id, gram), one row per window START
+    * — within-doc repeats kept, unlike [[shingles]]' distinct sets, so
+    * downstream counts weight by occurrence. */
+  private[ops] def posGrams(df: DataFrame, id: Column, toks: Column,
+      k: Int): DataFrame =
+    df.select(id.as("doc_id"), toks.as("toks"))
+      .where(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("toks")) - k),
+          i => concat_ws(" ",
+            (0 until k).map(j => element_at(col("toks"), i + j + 1)): _*)))
+          .as("gram"))
+
+  /** Exact k-gram overlap profile — the token-granularity form of
+    * ExactSubstr dedup (Lee et al. 2021, "Deduplicating Training Data
+    * Makes Language Models Better": any >= k-token span appearing twice
+    * in the corpus is a duplicate span). A gram is DUPLICATED when it
+    * occurs in >= 2 distinct documents; each document reports how many
+    * of its k-gram positions carry a duplicated gram — the per-doc
+    * duplicated-span mass a curation pass thresholds or trims on.
+    *
+    * Scale shape: the positional gram table is ~one row per corpus
+    * token; the duplicated-gram set derives from a (doc_id, gram)
+    * distinct + gram-keyed count (combiner-friendly), and docs meet it
+    * through a gram-keyed semi-ish join — never gram-posting × posting,
+    * so a boilerplate gram in millions of documents grows a posting
+    * list but no quadratic pair blowup. Gram keys stay as text for
+    * exactness; at 100 TB the standard shuffle-width cut is keying on a
+    * 128-bit gram hash instead (collision-negligible, same plan).
+    * Output: (doc_id, n_grams, n_dup) for docs with >= k tokens. */
+  def kgramOverlap(df: DataFrame, id: Column, toks: Column,
+      k: Int): DataFrame = {
+    val grams = posGrams(df, id, toks, k)
+    val dup = grams.select(col("doc_id"), col("gram")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("ndocs"))
+      .where(col("ndocs") >= 2).select(col("gram"))
+    val perDoc = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val dupPos = grams.join(dup, Seq("gram"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+    perDoc.join(dupPos, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+  }
+
   /** Exact n-gram Jaccard >= threshold over a shingled table
     * ((doc_id, shingles) as produced by [[shingles]]): explode → join on
     * shingle → pair intersection counts → union from per-doc counts.

@@ -115,6 +115,17 @@ object PipelineQueries {
     Dedup.ngramJaccardPrefix(shingled(s, dir), threshold = 0.5)
       .orderBy(col("a"), col("b"))
 
+  /** Exact 5-gram overlap profile ([[graft.ops.Dedup.kgramOverlap]]):
+    * per document, how many of its token 5-gram positions carry a gram
+    * occurring in >= 2 distinct documents — the duplicated-span mass of
+    * ExactSubstr dedup (Lee et al. 2021) at token granularity,
+    * complementing the Jaccard/MinHash ops (which threshold whole-doc
+    * similarity; this finds ANY exact k-token overlap). */
+  val dedup_kgram_overlap: Q = (s, dir) =>
+    Dedup.kgramOverlap(
+      docs(s, dir), col("doc_id"), tokenizeDefault(col("text")), k = 5)
+      .orderBy(col("doc_id"))
+
   /** The full dedup pass in one call ([[graft.ops.Dedup.dedupCorpus]]):
     * shingle → prefix-filtered exact pairs → connected components → keep
     * decision for every document. The oracle reproduces the whole chain,
@@ -602,6 +613,7 @@ object PipelineQueries {
     "mm_audio_energy" -> mm_audio_energy,
     "dedup_exact" -> dedup_exact,
     "dedup_ngram_jaccard" -> dedup_ngram_jaccard,
+    "dedup_kgram_overlap" -> dedup_kgram_overlap,
     "dedup_jaccard_prefix" -> dedup_jaccard_prefix,
     "pipe_dedup_corpus" -> pipe_dedup_corpus,
     "pipe_dedup_incremental" -> pipe_dedup_incremental,
@@ -781,6 +793,24 @@ object PipelineQueries {
     "dedup_jaccard_prefix" ->
       s"""WITH $jaccardCtes
          |SELECT a, b, inter, uni FROM jac ORDER BY a, b""".stripMargin,
+    "dedup_kgram_overlap" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (
+         |  SELECT doc_id, unnest(list_transform(range(len(toks) - 4),
+         |    i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3], toks[i+4], toks[i+5]))) AS gram
+         |  FROM t WHERE len(toks) >= 5),
+         |dup AS (
+         |  SELECT gram FROM (
+         |    SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY gram)
+         |  WHERE nd >= 2),
+         |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+         |        FROM g GROUP BY doc_id),
+         |d AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_dup
+         |      FROM g JOIN dup ON g.gram = dup.gram GROUP BY g.doc_id)
+         |SELECT tot.doc_id, tot.n_grams,
+         |  CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup
+         |FROM tot LEFT JOIN d ON tot.doc_id = d.doc_id
+         |ORDER BY tot.doc_id""".stripMargin,
     "pipe_dedup_incremental" ->
       s"""WITH toks0 AS (
          |  SELECT doc_id, $toksSql AS toks FROM documents),

@@ -42,6 +42,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(brute.groupBy(_._1).forall(_._2.size == 5))
   }
 
+  test("kgramOverlap counts positions of cross-doc grams; within-doc repeats don't count") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq("a", "b", "c", "d")),       // grams ab bc cd
+      (2L, Seq("b", "c", "d", "e")),       // grams bc cd de
+      (3L, Seq("x", "y", "x", "y", "x")),  // xy yx xy yx — doc 3 only
+      (4L, Seq("a"))                       // < k tokens: no row
+    ).toDF("doc_id", "toks")
+    val got = graft.ops.Dedup.kgramOverlap(df, col("doc_id"), col("toks"), k = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // bc and cd occur in docs 1 AND 2 → duplicated; de/ab unique
+    assert(got(1L) == (3L, 2L), s"got $got")
+    assert(got(2L) == (3L, 2L), s"got $got")
+    // xy/yx repeat only WITHIN doc 3 → not duplicated, but all 4
+    // positions count in n_grams
+    assert(got(3L) == (4L, 0L), s"got $got")
+    assert(!got.contains(4L), s"got $got")
+  }
+
   test("lineDedup assigns each distinct line one owner; within-doc dups collapse") {
     import spark.implicits._
     val df = Seq(
