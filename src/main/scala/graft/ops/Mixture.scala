@@ -16,8 +16,12 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: ONE source-keyed aggregate over the corpus (partial
   * map-side combine, tiny result), then the global min over the handful
-  * of per-source rows rides a broadcast — the corpus is never
-  * reshuffled and never read twice.
+  * of per-source rows is an unpartitioned window OVER THAT AGGREGATE —
+  * single-partition, but only the per-source rows ever enter it, so the
+  * corpus is never reshuffled and never read twice. (A two-branch
+  * aggregate-plus-crossJoin form reads the corpus TWICE: column pruning
+  * specializes each branch's scan, so ReuseExchange never fires —
+  * plan-pinned in PlanSpec.)
   */
 object Mixture {
 
@@ -30,10 +34,10 @@ object Mixture {
     val per = df.select(source.as("source"), nTok.as("n_tok"), weight.as("weight"))
       .groupBy(col("source"), col("weight"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
-    // the no-upsampling unit count: one tiny row, broadcast back
-    val units = per.select(min(expr("n_tokens DIV weight")).as("u"))
-    per.crossJoin(broadcast(units))
-      .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"),
-        (col("weight") * col("u")).as("alloc_tokens"))
+    // the no-upsampling unit count: global min over the per-source rows
+    val u = min(expr("n_tokens DIV weight"))
+      .over(org.apache.spark.sql.expressions.Window.partitionBy())
+    per.select(col("source"), col("n_docs"), col("n_tokens"), col("weight"),
+      (col("weight") * u).as("alloc_tokens"))
   }
 }

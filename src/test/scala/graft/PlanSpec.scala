@@ -208,6 +208,17 @@ class PlanSpec extends AnyFunSuite {
       s"candidate join must key on sh:\n$plan")
   }
 
+  test("pipe_mix_weights scans the corpus once (units branch reuses the agg exchange)") {
+    val df = graft.queries.PipelineQueries.pipe_mix_weights(spark, sf)
+    df.collect() // materialize so AQE settles the final plan
+    // AQE plan strings print Final AND Initial sections; count only Final
+    val plan = executedPlan(df).toString.split("== Initial Plan ==").head
+    val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+    val reused = plan.contains("ReusedExchange") || plan.contains("ReusedSubquery")
+    assert(scans <= 1 || reused,
+      s"corpus must be scanned once ($scans scans, reused=$reused):\n$plan")
+  }
+
   test("batch ingest is ONE job; observed stats equal the read-back scan") {
     val root = Files.createTempDirectory("graft-onejob").toString
     val cat = new Catalog(root)
