@@ -38,11 +38,16 @@ object Dedup {
   def shingles(df: DataFrame, id: Column, toks: Column, n: Int): DataFrame =
     df.select(id.as("doc_id"), toks.as("toks"))
       .where(size(col("toks")) >= n)
-      .withColumn("shingles", array_distinct(
-        transform(sequence(lit(0), size(col("toks")) - n),
-          i => concat_ws(" ",
-            (0 until n).map(j => element_at(col("toks"), i + j + 1)): _*))))
+      .withColumn("shingles", array_distinct(gramArray(col("toks"), n)))
       .select(col("doc_id"), col("shingles"))
+
+  /** All n-token window concatenations of `toks`, one per start position
+    * (positions kept; [[shingles]] distincts, [[posGrams]] explodes —
+    * one definition so the gram text cannot drift between them). */
+  private def gramArray(toks: Column, n: Int): Column =
+    transform(sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ",
+        (0 until n).map(j => element_at(toks, i + j + 1)): _*))
 
   /** Positional token k-grams: (doc_id, gram), one row per window START
     * — within-doc repeats kept, unlike [[shingles]]' distinct sets, so
@@ -51,11 +56,7 @@ object Dedup {
       k: Int): DataFrame =
     df.select(id.as("doc_id"), toks.as("toks"))
       .where(size(col("toks")) >= k)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(col("toks")) - k),
-          i => concat_ws(" ",
-            (0 until k).map(j => element_at(col("toks"), i + j + 1)): _*)))
-          .as("gram"))
+      .select(col("doc_id"), explode(gramArray(col("toks"), k)).as("gram"))
 
   /** Exact k-gram overlap profile — the token-granularity form of
     * ExactSubstr dedup (Lee et al. 2021, "Deduplicating Training Data
@@ -76,7 +77,9 @@ object Dedup {
     * Output: (doc_id, n_grams, n_dup) for docs with >= k tokens. */
   def kgramOverlap(df: DataFrame, id: Column, toks: Column,
       k: Int): DataFrame = {
-    val grams = posGrams(df, id, toks, k)
+    // three consumers (dup set, per-doc totals, dup positions) — snapshot
+    // so the scan + gram build runs once (the module's self-join rule)
+    val grams = posGrams(df, id, toks, k).localCheckpoint(eager = false)
     val dup = grams.select(col("doc_id"), col("gram")).distinct()
       .groupBy(col("gram")).agg(count(lit(1)).as("ndocs"))
       .where(col("ndocs") >= 2).select(col("gram"))

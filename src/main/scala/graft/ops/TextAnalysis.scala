@@ -181,9 +181,13 @@ object TextAnalysis {
     * least one non-blank line. */
   def lineDedup(df: DataFrame, id: Column, text: Column,
       sep: String = "\\. "): DataFrame = {
+    // two aggregate consumers on different keys (line, id) — snapshot so
+    // the corpus split/explode runs once (ReuseExchange cannot fire
+    // across differently-keyed shuffles)
     val lines = df.select(id.as("id"), explode(split(text, sep)).as("l"))
       .select(col("id"), trim(col("l")).as("line"))
       .where(length(col("line")) > 0)
+      .localCheckpoint(eager = false)
     val owned = lines.groupBy(col("line")).agg(min(col("id")).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("n_kept"))
     lines.groupBy(col("id")).agg(count(lit(1)).as("n_lines"))

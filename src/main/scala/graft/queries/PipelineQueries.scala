@@ -123,7 +123,7 @@ object PipelineQueries {
     * similarity; this finds ANY exact k-token overlap). */
   val dedup_kgram_overlap: Q = (s, dir) =>
     Dedup.kgramOverlap(
-      docs(s, dir), col("doc_id"), tokenizeDefault(col("text")), k = 5)
+      tokenized(s, dir), col("doc_id"), col("toks"), k = 5)
       .orderBy(col("doc_id"))
 
   /** The full dedup pass in one call ([[graft.ops.Dedup.dedupCorpus]]):

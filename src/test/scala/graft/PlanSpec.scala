@@ -214,8 +214,9 @@ class PlanSpec extends AnyFunSuite {
     // AQE plan strings print Final AND Initial sections; count only Final
     val plan = executedPlan(df).toString.split("== Initial Plan ==").head
     val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
-    val reused = plan.contains("ReusedExchange") || plan.contains("ReusedSubquery")
-    assert(scans <= 1 || reused,
+    // a stray ReusedSubquery must not mask a second independent scan
+    val reused = plan.contains("ReusedExchange")
+    assert(scans <= 1 || (scans == 2 && reused),
       s"corpus must be scanned once ($scans scans, reused=$reused):\n$plan")
   }
 
