@@ -64,6 +64,22 @@ object TextAnalysis {
   def gopherFilter(df: DataFrame, id: Column, text: Column,
       stopwords: Seq[String], minWords: Long, maxWords: Long,
       minStopHits: Long = 2L): DataFrame = {
+    val (nWords, meanLen, alphaFrac, stopHits) = gopherMetrics(text, stopwords)
+    df.select(id.as("id"), nWords.as("n_words"),
+        meanLen.as("mean_word_len"), alphaFrac.as("alpha_word_frac"),
+        stopHits.as("stop_hits"))
+      .withColumn("keep",
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("alpha_word_frac") >= 0.8 &&
+          col("stop_hits") >= minStopHits)
+  }
+
+  /** The four Gopher metric expressions over raw `text` — ONE definition
+    * shared by [[gopherFilter]] and [[gopherKeep]] so the thresholds
+    * can't drift between the metric view and inline predicates. */
+  private def gopherMetrics(text: Column,
+      stopwords: Seq[String]): (Column, Column, Column, Column) = {
     // null text = empty document (keep=false), not keep=NULL — a null
     // bit would vanish from BOTH where(keep) and where(!keep)
     val t = coalesce(text, lit(""))
@@ -76,18 +92,21 @@ object TextAnalysis {
     // matches this pattern exactly once (greedy tail eats the run)
     val alphaWords = size(regexp_extract_all(lower(t),
       lit("[0-9]*[a-z][a-z0-9]*"), lit(0)))
-    df.select(id.as("id"), nWords.as("n_words"),
-        (alnumChars.cast("double") / greatest(nWords, lit(1L)))
-          .as("mean_word_len"),
-        (alphaWords.cast("double") / greatest(nWords, lit(1L)))
-          .as("alpha_word_frac"),
-        graft.exprs.TokenStats.count_in_set(toks, stopwords).cast("long")
-          .as("stop_hits"))
-      .withColumn("keep",
-        col("n_words").between(minWords, maxWords) &&
-          col("mean_word_len").between(3.0, 10.0) &&
-          col("alpha_word_frac") >= 0.8 &&
-          col("stop_hits") >= minStopHits)
+    (nWords,
+      alnumChars.cast("double") / greatest(nWords, lit(1L)),
+      alphaWords.cast("double") / greatest(nWords, lit(1L)),
+      graft.exprs.TokenStats.count_in_set(toks, stopwords).cast("long"))
+  }
+
+  /** [[gopherFilter]]'s keep decision as a bare predicate over raw
+    * `text`, for pass-through compositions that must stay single-scan
+    * (a WHERE inline in the corpus projection instead of a metric table
+    * joined back). Same metrics, same thresholds. */
+  def gopherKeep(text: Column, stopwords: Seq[String], minWords: Long,
+      maxWords: Long, minStopHits: Long = 2L): Column = {
+    val (nWords, meanLen, alphaFrac, stopHits) = gopherMetrics(text, stopwords)
+    nWords.between(minWords, maxWords) && meanLen.between(3.0, 10.0) &&
+      alphaFrac >= 0.8 && stopHits >= minStopHits
   }
 
   /** Content fingerprints: md5 over whitespace-normalized lowercase text

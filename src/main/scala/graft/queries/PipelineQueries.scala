@@ -541,6 +541,33 @@ object PipelineQueries {
       pmod(substring(col("source"), 4, 10).cast("long"), lit(3)) + 1)
       .orderBy(col("source"))
 
+  /** The full curation pass end-to-end, one call: Gopher quality
+    * keep/drop ([[graft.ops.TextAnalysis.gopherKeep]], inline in the
+    * corpus projection — single scan), exact dedup among the keepers
+    * (first-by-doc_id per content hash, one md5-keyed window), then
+    * training-mixture token allocation over the survivors
+    * ([[graft.ops.Mixture.mixAllocation]]). The per-stage ops are each
+    * gated alone (`text_gopher_filter`, `dedup_exact`,
+    * `pipe_mix_weights`); this gates their composition — the pipeline a
+    * curation run actually executes. Scale shape: ONE corpus scan, one
+    * content-hash shuffle, one source-keyed aggregate. */
+  val pipe_curate: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val survivors = docs(s, dir)
+      .where(graft.ops.TextAnalysis.gopherKeep(col("text"),
+        stopwords = Seq("the", "a", "and", "of", "to", "in", "is"),
+        minWords = 30L, maxWords = 100000L))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .where(col("rn") === 1)
+    graft.ops.Mixture.mixAllocation(
+      survivors,
+      col("source"),
+      size(tokenizeDefault(col("text"))).cast("long"),
+      pmod(substring(col("source"), 4, 10).cast("long"), lit(3)) + 1)
+      .orderBy(col("source"))
+  }
+
   /** ANN quality evaluation — recall@5 of the production IVF-PQ tier
     * against the exact brute-force baseline, per query: the acceptance
     * gate any approximate index build runs before serving (probe/recall
@@ -606,6 +633,7 @@ object PipelineQueries {
     "knn_recall" -> knn_recall,
     "text_line_dedup" -> text_line_dedup,
     "pipe_mix_weights" -> pipe_mix_weights,
+    "pipe_curate" -> pipe_curate,
     "text_pii_scrub" -> text_pii_scrub,
     "text_domains" -> text_domains,
     "mm_phash_buckets" -> mm_phash_buckets,
@@ -973,6 +1001,36 @@ object PipelineQueries {
          |    row_number() OVER (PARTITION BY qid ORDER BY adist ASC, neighbor ASC) AS rank
          |  FROM adc)
          |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "pipe_curate" ->
+      s"""WITH keepers AS (
+         |  SELECT doc_id, source, text FROM (
+         |    SELECT doc_id, source, text,
+         |      CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_words,
+         |      CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE)
+         |        / greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1) AS mean_word_len,
+         |      CAST(len(regexp_extract_all(lower(text), '[0-9]*[a-z][a-z0-9]*')) AS DOUBLE)
+         |        / greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1) AS alpha_word_frac,
+         |      len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+         |        t -> t IN ('the','a','and','of','to','in','is'))) AS stop_hits
+         |    FROM documents)
+         |  WHERE n_words BETWEEN 30 AND 100000 AND mean_word_len BETWEEN 3 AND 10
+         |    AND alpha_word_frac >= 0.8 AND stop_hits >= 2),
+         |surv AS (
+         |  SELECT source, text FROM (
+         |    SELECT source, text,
+         |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |    FROM keepers)
+         |  WHERE rn = 1),
+         |per AS (
+         |  SELECT source,
+         |    CAST(substr(source, 4) AS BIGINT) % 3 + 1 AS weight,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
+         |  FROM surv GROUP BY 1, 2),
+         |u AS (SELECT min(n_tokens // weight) AS u FROM per)
+         |SELECT source, n_docs, n_tokens, CAST(weight AS BIGINT) AS weight,
+         |  CAST(weight * u AS BIGINT) AS alloc_tokens
+         |FROM per CROSS JOIN u ORDER BY source""".stripMargin,
     "pipe_mix_weights" ->
       s"""WITH per AS (
          |  SELECT source,

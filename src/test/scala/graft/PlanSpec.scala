@@ -220,6 +220,16 @@ class PlanSpec extends AnyFunSuite {
       s"corpus must be scanned once ($scans scans, reused=$reused):\n$plan")
   }
 
+  test("pipe_curate is one corpus scan: inline quality filter, window dedup, agg") {
+    val df = graft.queries.PipelineQueries.pipe_curate(spark, sf)
+    df.collect()
+    val plan = executedPlan(df).toString.split("== Initial Plan ==").head
+    val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"curation must scan the corpus once ($scans scans):\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"no product joins in the curation pass:\n$plan")
+  }
+
   test("batch ingest is ONE job; observed stats equal the read-back scan") {
     val root = Files.createTempDirectory("graft-onejob").toString
     val cat = new Catalog(root)
