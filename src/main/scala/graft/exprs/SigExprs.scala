@@ -33,6 +33,19 @@ object SigExprs {
   def lsh_sigs(vec: Column, planes: Int, tables: Int, dim: Int): Column =
     toColumn(LshSigs(toExpr(vec), planes, tables, dim))
 
+  /** Winnowing fingerprints (Schleimer et al. 2003, the MOSS local
+    * algorithm) over a token array: hash every k-token gram (md5-60,
+    * the engine-portable family), slide a window of `w` consecutive
+    * gram hashes, select each window's MINIMUM, return the distinct
+    * selected values ascending. Guarantee: two documents sharing any
+    * run of >= k+w-1 tokens share a fingerprint. Null (filter before
+    * use) when the doc has fewer than w grams. Subsumes gram-build →
+    * hash → slide → min → distinct in ONE pass per row: the window min
+    * is a monotonic deque (O(n) total, not O(n·w) interpreted slice/min
+    * lambdas). */
+  def winnow_fps(toks: Column, k: Int, w: Int): Column =
+    toColumn(WinnowFps(toExpr(toks), k, w))
+
   /** First 15 md5 hex chars of a UTF-8 string as a 60-bit long — the
     * engine-portable hash family base (`Hashing.h64` / DuckDB
     * `('0x'||substr(md5(x),1,15))::BIGINT`). */
@@ -50,6 +63,62 @@ object SigExprs {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
+}
+
+case class WinnowFps(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1 && w >= 1, "gram size and window must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val numGrams = n - k + 1
+    if (numGrams < w) return null
+    // gram hashes: md5-60 of the space-joined k tokens (null tokens
+    // skipped like concat_ws, matching the shingle/minhash gram text)
+    val hs = new Array[Long](numGrams)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < numGrams) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (!arr.isNullAt(i + j)) {
+          if (sb.length > 0) sb.append(' ')
+          sb.append(arr.getUTF8String(i + j).toString)
+        }
+        j += 1
+      }
+      hs(i) = SigExprs.md5Hash60(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      i += 1
+    }
+    // monotonic deque sliding-window min; collect distinct selections
+    val deque = new Array[Int](numGrams)
+    var head = 0
+    var tail = 0 // deque indices in [head, tail)
+    val out = new java.util.TreeSet[java.lang.Long]
+    i = 0
+    while (i < numGrams) {
+      while (tail > head && hs(deque(tail - 1)) >= hs(i)) tail -= 1
+      deque(tail) = i
+      tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1) out.add(hs(deque(head)))
+      i += 1
+    }
+    val res = new Array[Any](out.size)
+    val it = out.iterator()
+    i = 0
+    while (it.hasNext) { res(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(res)
+  }
+
+  override protected def withNewChildInternal(c: Expression): WinnowFps = copy(child = c)
+  override def prettyName: String = "winnow_fps"
 }
 
 case class SimHashSig(child: Expression)

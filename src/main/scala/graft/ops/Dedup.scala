@@ -91,6 +91,36 @@ object Dedup {
         coalesce(col("n_dup"), lit(0L)).as("n_dup"))
   }
 
+  /** Winnowing near-dup candidate pairs (Schleimer et al. 2003 — the
+    * MOSS fingerprint family): each doc keeps the distinct minima of a
+    * w-window slid over its k-gram md5-60 hashes
+    * ([[graft.exprs.SigExprs.winnow_fps]], one map-only pass per row),
+    * pairs sharing >= minShared fingerprints surface as candidates.
+    * Guarantee: any shared token run of length >= k+w-1 forces a shared
+    * fingerprint, so long verbatim overlaps can't hide — the property
+    * MinHash only has probabilistically. Docs with fewer than w grams
+    * are out of the guarantee and excluded.
+    *
+    * Scale shape: signatures map-only; the pair join is a posting join
+    * on fingerprint values — winnowing selects ~2/(w+1) of grams, so
+    * postings are w-fold sparser than the raw gram join, with the same
+    * hot-value caveat (and fix: prefix filtering) as [[ngramJaccard]].
+    * Output: (a, b, n_shared). */
+  def winnowPairs(df: DataFrame, id: Column, toks: Column, k: Int,
+      w: Int, minShared: Long): DataFrame = {
+    val fps = df.select(id.as("doc_id"), toks.as("toks"))
+      .where(size(col("toks")) >= k + w - 1)
+      .select(col("doc_id"),
+        explode(graft.exprs.SigExprs.winnow_fps(col("toks"), k, w)).as("fp"))
+      .localCheckpoint(eager = false) // feeds both sides of the self-join
+    val a = fps.select(col("doc_id").as("a"), col("fp"))
+    val b = fps.select(col("doc_id").as("b"), col("fp"))
+    a.join(b, "fp").where(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .select(col("a"), col("b"), col("n_shared"))
+  }
+
   /** Exact n-gram Jaccard >= threshold over a shingled table
     * ((doc_id, shingles) as produced by [[shingles]]): explode → join on
     * shingle → pair intersection counts → union from per-doc counts.

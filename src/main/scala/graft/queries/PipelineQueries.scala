@@ -126,6 +126,15 @@ object PipelineQueries {
       tokenized(s, dir), col("doc_id"), col("toks"), k = 5)
       .orderBy(col("doc_id"))
 
+  /** Winnowing fingerprint candidates ([[graft.ops.Dedup.winnowPairs]],
+    * Schleimer et al. 2003): window-min selection over k-gram hashes —
+    * any shared >= k+w-1-token run forces a shared fingerprint, the
+    * deterministic counterpart to MinHash's probabilistic recall. */
+  val dedup_winnow: Q = (s, dir) =>
+    Dedup.winnowPairs(tokenized(s, dir), col("doc_id"), col("toks"),
+      k = 5, w = 4, minShared = 2L)
+      .orderBy(col("a"), col("b"))
+
   /** The full dedup pass in one call ([[graft.ops.Dedup.dedupCorpus]]):
     * shingle → prefix-filtered exact pairs → connected components → keep
     * decision for every document. The oracle reproduces the whole chain,
@@ -642,6 +651,7 @@ object PipelineQueries {
     "dedup_exact" -> dedup_exact,
     "dedup_ngram_jaccard" -> dedup_ngram_jaccard,
     "dedup_kgram_overlap" -> dedup_kgram_overlap,
+    "dedup_winnow" -> dedup_winnow,
     "dedup_jaccard_prefix" -> dedup_jaccard_prefix,
     "pipe_dedup_corpus" -> pipe_dedup_corpus,
     "pipe_dedup_incremental" -> pipe_dedup_incremental,
@@ -821,6 +831,21 @@ object PipelineQueries {
     "dedup_jaccard_prefix" ->
       s"""WITH $jaccardCtes
          |SELECT a, b, inter, uni FROM jac ORDER BY a, b""".stripMargin,
+    "dedup_winnow" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |gh AS (
+         |  SELECT doc_id, list_transform(
+         |    list_transform(range(len(toks) - 4),
+         |      i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3], toks[i+4], toks[i+5])),
+         |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS hs
+         |  FROM t WHERE len(toks) >= 8),
+         |fp AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(range(len(hs) - 3),
+         |    i -> list_min(hs[i+1:i+4])))) AS fp
+         |  FROM gh)
+         |SELECT a.doc_id AS a, b.doc_id AS b, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY a, b""".stripMargin,
     "dedup_kgram_overlap" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |g AS (

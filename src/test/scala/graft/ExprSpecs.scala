@@ -194,6 +194,47 @@ class SigExprsSpec extends AnyFunSuite {
     assert(both.where(col("sql_form") =!= col("tight")).isEmpty)
   }
 
+  test("winnow_fps equals the naive slide/min/distinct spec; run guarantee holds") {
+    import org.apache.spark.sql.functions._
+    import graft.exprs.SigExprs
+    // independent restatement of the hash + winnowing definition
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    def naive(toks: Seq[String], k: Int, w: Int): Option[Seq[Long]] = {
+      val grams = toks.sliding(k).filter(_.size == k).map(_.mkString(" ")).toVector
+      if (grams.size < w) None
+      else Some(grams.map(h60).sliding(w).map(_.min).toVector.distinct.sorted)
+    }
+    val rnd = new scala.util.Random(20260813L)
+    val vocab = Vector("a", "b", "c", "dog", "e")
+    val arrays = Vector.fill(120)(
+      Vector.fill(rnd.nextInt(16))(vocab(rnd.nextInt(vocab.size))))
+    import spark.implicits._
+    for ((k, w) <- Seq((1, 1), (2, 3), (5, 4))) {
+      val df = arrays.zipWithIndex.map { case (a, i) => (i.toLong, a) }
+        .toDF("id", "toks")
+      val got = df.select(col("id"), SigExprs.winnow_fps(col("toks"), k, w))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getSeq[Long](1)))).toMap
+      arrays.zipWithIndex.foreach { case (a, i) =>
+        assert(got(i.toLong) == naive(a, k, w),
+          s"k=$k w=$w toks=$a: got ${got(i.toLong)}, want ${naive(a, k, w)}")
+      }
+    }
+    // the winnowing guarantee: a shared run of >= k+w-1 tokens forces a
+    // shared fingerprint regardless of surrounding context
+    val run = Vector.fill(8)(vocab(rnd.nextInt(vocab.size)))
+    val docA = Vector("p", "q") ++ run ++ Vector("r")
+    val docB = Vector("s") ++ run ++ Vector("t", "u", "v")
+    val Some(fa) = naive(docA, 5, 4)
+    val Some(fb) = naive(docB, 5, 4)
+    assert(fa.toSet.intersect(fb.toSet).nonEmpty,
+      s"shared 8-token run must share a fingerprint: $fa vs $fb")
+  }
+
   test("new expressions have working SQL faces") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(
