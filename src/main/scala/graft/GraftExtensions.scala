@@ -92,6 +92,8 @@ object GraftExtensions {
     ("lsh_sigs", "lsh_sigs(vec, planes, tables, dim) - random-hyperplane LSH bucket signatures",
       exprs => LshSigs(exprs.head, intArg(exprs(1), "planes"),
         intArg(exprs(2), "tables"), intArg(exprs(3), "dim"))),
+    ("winnow_fps", "winnow_fps(toks, k, w) - distinct winnowing fingerprints (window mins of k-gram md5-60 hashes)",
+      exprs => WinnowFps(exprs.head, intArg(exprs(1), "k"), intArg(exprs(2), "w"))),
     ("rolling_token_hash",
       "rolling_token_hash(toks, base, mod) - Rabin-Karp polynomial over md5 token hashes",
       exprs => RollingTokenHash(exprs.head, longArg(exprs(1), "base"),

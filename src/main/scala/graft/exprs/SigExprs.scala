@@ -8,12 +8,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
 
 /** Tight-loop signature computation for the dedup/ANN hot paths.
   *
-  * Both expressions replace multi-stage DataFrame shapes with one
+  * Each expression replaces a multi-stage DataFrame shape with one
   * map-only projection per row:
   *  - [[SimHashSig]] subsumes explode → groupBy(doc, token-hash) →
   *    63 conditional sums → bit fold (two shuffles become zero);
   *  - [[LshSigs]] subsumes a planes×dim nest of interpreted `aggregate` /
-  *    `zip_with` lambdas (~1000 interpreted calls per row).
+  *    `zip_with` lambdas (~1000 interpreted calls per row);
+  *  - [[WinnowFps]] subsumes gram-build → hash → slide → min → distinct
+  *    (a monotonic deque, O(n) instead of O(n·w) slice/min lambdas).
   *
   * Values are bit-identical to the SQL forms they replace (md5-prefix
   * hashes, exact integer arithmetic, Spark `round` HALF_UP ties), so the

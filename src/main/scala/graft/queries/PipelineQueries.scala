@@ -561,7 +561,6 @@ object PipelineQueries {
     * curation run actually executes. Scale shape: ONE corpus scan, one
     * content-hash shuffle, one source-keyed aggregate. */
   val pipe_curate: Q = (s, dir) => {
-    import org.apache.spark.sql.expressions.Window
     val survivors = docs(s, dir)
       .where(graft.ops.TextAnalysis.gopherKeep(col("text"),
         stopwords = Seq("the", "a", "and", "of", "to", "in", "is"),
@@ -677,10 +676,35 @@ object PipelineQueries {
     """list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
       |        t -> t <> '' AND length(t) <= 40)""".stripMargin
 
+  /** DuckDB rendition of [[graft.ops.TextAnalysis]]'s gopherMetrics —
+    * SELECT-list fragment over `text`, plus the keep predicate over the
+    * resulting columns; ONE definition shared by the text_gopher_filter
+    * and pipe_curate oracles (mirrors gopherMetrics/gopherKeep sharing
+    * on the Scala side so thresholds cannot drift). */
+  private val gopherMetricsSql =
+    """CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_words,
+      |    CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE)
+      |      / greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1) AS mean_word_len,
+      |    CAST(len(regexp_extract_all(lower(text), '[0-9]*[a-z][a-z0-9]*')) AS DOUBLE)
+      |      / greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1) AS alpha_word_frac,
+      |    CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+      |      t -> t IN ('the','a','and','of','to','in','is'))) AS BIGINT) AS stop_hits""".stripMargin
+
+  private val gopherKeepSql =
+    """n_words BETWEEN 30 AND 100000 AND mean_word_len BETWEEN 3 AND 10
+      |    AND alpha_word_frac >= 0.8 AND stop_hits >= 2""".stripMargin
+
+  /** DuckDB rendition of [[graft.ops.Dedup]]'s gramArray at n=5 over a
+    * column named `toks` — ONE copy for every 5-gram oracle (shingles,
+    * kgram overlap, winnow, incremental) so the gram text cannot drift
+    * from the shared Scala builder. */
+  private val gram5Sql =
+    """list_transform(range(len(toks) - 4),
+      |    i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3], toks[i+4], toks[i+5]))""".stripMargin
+
   private val shingleSql =
     s"""SELECT doc_id,
-       |  list_distinct(list_transform(range(len(toks) - 4),
-       |    i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3], toks[i+4], toks[i+5]))) AS shingles
+       |  list_distinct($gram5Sql) AS shingles
        |FROM (SELECT doc_id, $toksSql AS toks FROM documents)
        |WHERE len(toks) >= 5""".stripMargin
 
@@ -835,8 +859,7 @@ object PipelineQueries {
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |gh AS (
          |  SELECT doc_id, list_transform(
-         |    list_transform(range(len(toks) - 4),
-         |      i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3], toks[i+4], toks[i+5])),
+         |    ${gram5Sql},
          |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS hs
          |  FROM t WHERE len(toks) >= 8),
          |fp AS (
@@ -849,8 +872,7 @@ object PipelineQueries {
     "dedup_kgram_overlap" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |g AS (
-         |  SELECT doc_id, unnest(list_transform(range(len(toks) - 4),
-         |    i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3], toks[i+4], toks[i+5]))) AS gram
+         |  SELECT doc_id, unnest(${gram5Sql}) AS gram
          |  FROM t WHERE len(toks) >= 5),
          |dup AS (
          |  SELECT gram FROM (
@@ -868,16 +890,14 @@ object PipelineQueries {
       s"""WITH toks0 AS (
          |  SELECT doc_id, $toksSql AS toks FROM documents),
          |corp AS (
-         |  SELECT doc_id, list_distinct(list_transform(range(len(toks) - 4),
-         |    i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3], toks[i+4], toks[i+5]))) AS shingles
+         |  SELECT doc_id, list_distinct(${gram5Sql}) AS shingles
          |  FROM toks0 WHERE len(toks) >= 5 AND doc_id < 400),
          |newdocs AS (
          |  SELECT doc_id, toks FROM toks0 WHERE doc_id >= 400
          |  UNION ALL
          |  SELECT doc_id + 100000, toks FROM toks0 WHERE doc_id < 100 AND doc_id % 7 = 3),
          |newsh AS (
-         |  SELECT doc_id, list_distinct(list_transform(range(len(toks) - 4),
-         |    i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3], toks[i+4], toks[i+5]))) AS shingles
+         |  SELECT doc_id, list_distinct(${gram5Sql}) AS shingles
          |  FROM newdocs WHERE len(toks) >= 5),
          |jac AS (
          |  SELECT n.doc_id AS doc_id, c.doc_id AS cid
@@ -889,24 +909,12 @@ object PipelineQueries {
          |FROM newsh n LEFT JOIN m ON m.doc_id = n.doc_id
          |ORDER BY n.doc_id""".stripMargin,
     "text_gopher_filter" ->
-      """WITH g AS (
-        |  SELECT doc_id,
-        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS w,
-        |    length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS alnum,
-        |    regexp_extract_all(lower(text), '[0-9]*[a-z][a-z0-9]*') AS aw
-        |  FROM documents),
-        |m AS (
-        |  SELECT doc_id,
-        |    CAST(len(w) AS BIGINT) AS n_words,
-        |    CAST(alnum AS DOUBLE) / greatest(len(w), 1) AS mean_word_len,
-        |    CAST(len(aw) AS DOUBLE) / greatest(len(w), 1) AS alpha_word_frac,
-        |    CAST(len(list_filter(w,
-        |      t -> t IN ('the','a','and','of','to','in','is'))) AS BIGINT) AS stop_hits
-        |  FROM g)
-        |SELECT doc_id, n_words, mean_word_len, alpha_word_frac, stop_hits,
-        |  (n_words BETWEEN 30 AND 100000 AND mean_word_len BETWEEN 3 AND 10
-        |   AND alpha_word_frac >= 0.8 AND stop_hits >= 2) AS keep
-        |FROM m ORDER BY doc_id""".stripMargin,
+      s"""WITH m AS (
+         |  SELECT doc_id, $gopherMetricsSql
+         |  FROM documents)
+         |SELECT doc_id, n_words, mean_word_len, alpha_word_frac, stop_hits,
+         |  ($gopherKeepSql) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin,
     "pipe_dedup_corpus" ->
       s"""WITH RECURSIVE $jaccardCtes,
          |${ccCtes("jac")}
@@ -1029,17 +1037,9 @@ object PipelineQueries {
     "pipe_curate" ->
       s"""WITH keepers AS (
          |  SELECT doc_id, source, text FROM (
-         |    SELECT doc_id, source, text,
-         |      CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_words,
-         |      CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE)
-         |        / greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1) AS mean_word_len,
-         |      CAST(len(regexp_extract_all(lower(text), '[0-9]*[a-z][a-z0-9]*')) AS DOUBLE)
-         |        / greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1) AS alpha_word_frac,
-         |      len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
-         |        t -> t IN ('the','a','and','of','to','in','is'))) AS stop_hits
+         |    SELECT doc_id, source, text, $gopherMetricsSql
          |    FROM documents)
-         |  WHERE n_words BETWEEN 30 AND 100000 AND mean_word_len BETWEEN 3 AND 10
-         |    AND alpha_word_frac >= 0.8 AND stop_hits >= 2),
+         |  WHERE $gopherKeepSql),
          |surv AS (
          |  SELECT source, text FROM (
          |    SELECT source, text,

@@ -243,10 +243,12 @@ class SigExprsSpec extends AnyFunSuite {
         |  lsh_sigs(array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT)), 4, 2, 2) AS ls,
         |  rolling_token_hash(array('x', 'y'), 1000003L, 2147483647L) AS rh,
         |  count_in_set(array('a', 'b', 'a'), array('a')) AS cs,
-        |  window_energy('abcd', 2) AS we""".stripMargin).collect()(0)
+        |  window_energy('abcd', 2) AS we,
+        |  winnow_fps(array('a', 'b', 'a', 'b'), 2, 2) AS wf""".stripMargin).collect()(0)
     assert(!r.isNullAt(0) && r.getSeq[Long](1).length == 2)
     assert(!r.isNullAt(2) && r.getInt(3) == 2)
     assert(r.getSeq[Long](4).length == 2)
+    assert(r.getSeq[Long](5).nonEmpty)
     // non-constant argument where a constructor param is required -> clear error
     val e = intercept[Exception](spark.sql(
       "SELECT count_in_set(array('a'), array(CAST(rand() AS STRING)))").collect())
