@@ -576,6 +576,30 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** Overlapping token-window chunking — the standard pre-pass of an
+    * embedding/RAG pipeline (chunk = 64 tokens, stride 48, so adjacent
+    * chunks overlap by 16): one chunk per start position 0, s, 2s, …
+    * while inside the doc, the last chunk clamped to the doc end. Output
+    * per chunk: (doc_id, chunk_id, start_tok, n_tok, chunk_hash) with
+    * chunk_hash = md5 of the space-joined window, the key a downstream
+    * embed-once/dedup-chunks stage joins on. Map-only explode — no
+    * shuffle at any scale; chunk arithmetic is exact integers. */
+  val pipe_chunk_windows: Q = (s, dir) => {
+    val (chunk, stride) = (64, 48)
+    tokenized(s, dir).where(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0),
+          expr(s"(size(toks) - 1) DIV $stride").cast("int"))).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        (col("chunk_id") * stride).cast("long").as("start_tok"),
+        least(lit(chunk), size(col("toks")) - col("chunk_id") * stride)
+          .cast("long").as("n_tok"),
+        md5(concat_ws(" ",
+          slice(col("toks"), col("chunk_id") * stride + 1, lit(chunk))))
+          .as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   /** ANN quality evaluation — recall@5 of the production IVF-PQ tier
     * against the exact brute-force baseline, per query: the acceptance
     * gate any approximate index build runs before serving (probe/recall
@@ -642,6 +666,7 @@ object PipelineQueries {
     "text_line_dedup" -> text_line_dedup,
     "pipe_mix_weights" -> pipe_mix_weights,
     "pipe_curate" -> pipe_curate,
+    "pipe_chunk_windows" -> pipe_chunk_windows,
     "text_pii_scrub" -> text_pii_scrub,
     "text_domains" -> text_domains,
     "mm_phash_buckets" -> mm_phash_buckets,
@@ -1056,6 +1081,16 @@ object PipelineQueries {
          |SELECT source, n_docs, n_tokens, CAST(weight AS BIGINT) AS weight,
          |  CAST(weight * u AS BIGINT) AS alloc_tokens
          |FROM per CROSS JOIN u ORDER BY source""".stripMargin,
+    "pipe_chunk_windows" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |c AS (
+         |  SELECT doc_id, toks, unnest(range((len(toks) - 1) // 48 + 1)) AS chunk_id
+         |  FROM t WHERE len(toks) > 0)
+         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |  CAST(chunk_id * 48 AS BIGINT) AS start_tok,
+         |  CAST(least(64, len(toks) - chunk_id * 48) AS BIGINT) AS n_tok,
+         |  md5(array_to_string(toks[chunk_id*48+1:chunk_id*48+64], ' ')) AS chunk_hash
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "pipe_mix_weights" ->
       s"""WITH per AS (
          |  SELECT source,
