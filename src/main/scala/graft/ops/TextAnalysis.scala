@@ -215,6 +215,35 @@ object TextAnalysis {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** The APPLY form of [[lineDedup]] — C4's pass actually rewrites the
+    * corpus, not just counts it: a line survives in doc d at position p
+    * iff d is the line's owner (smallest containing doc) AND p is its
+    * first occurrence inside d; surviving lines reassemble in original
+    * order. Output: (id, n_kept, new_text) for docs owning >= 1 line.
+    *
+    * Scale shape: same two keyed aggregates as [[lineDedup]] plus one
+    * doc-keyed reassembly aggregate (collect_list of the doc's OWN
+    * surviving lines only — bounded by the doc's size, never a corpus
+    * blowup); the exploded line table is snapshotted once for its two
+    * consumers. */
+  def lineDedupApply(df: DataFrame, id: Column, text: Column,
+      sep: String = "\\. "): DataFrame = {
+    val lines = df
+      .select(id.as("id"), posexplode(split(text, sep)).as(Seq("pos", "l")))
+      .select(col("id"), col("pos"), trim(col("l")).as("line"))
+      .where(length(col("line")) > 0)
+      .localCheckpoint(eager = false)
+    val owner = lines.groupBy(col("line")).agg(min(col("id")).as("id"))
+    val firstPos = lines.groupBy(col("id"), col("line"))
+      .agg(min(col("pos")).as("pos"))
+    firstPos.join(owner, Seq("line", "id"))
+      .groupBy(col("id")).agg(
+        count(lit(1)).as("n_kept"),
+        concat_ws(". ", transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line"))).as("new_text"))
+  }
+
   /** Regex PII scrub: counts matches of each (tag, pattern) and replaces
     * them with `<TAG>` in order. Patterns should avoid lookaround if an
     * RE2-based oracle needs to reproduce them.

@@ -527,14 +527,28 @@ object PipelineQueries {
     * shared by every fifth document — the boilerplate-removal shape the
     * C4 pass exists for. */
   val text_line_dedup: Q = (s, dir) =>
-    TextAnalysis.lineDedup(
-      docs(s, dir).withColumn("lined", concat_ws(". ",
-        substring(col("text"), 1, 40),
-        concat(lit("shared boilerplate notice "),
-          pmod(col("doc_id"), lit(5)).cast("string")),
-        substring(col("text"), 41, 40))),
-      col("doc_id"), col("lined"))
+    TextAnalysis.lineDedup(linedDocs(s, dir), col("doc_id"), col("lined"))
       .select(col("id").as("doc_id"), col("n_lines"), col("n_kept"))
+      .orderBy(col("doc_id"))
+
+  /** Documents with planted sentence separators — shared input of the
+    * line-dedup diagnostic and apply queries (the fixture corpus has no
+    * separators, so the queries plant two document substrings around a
+    * boilerplate notice shared by every fifth doc). */
+  private def linedDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).withColumn("lined", concat_ws(". ",
+      substring(col("text"), 1, 40),
+      concat(lit("shared boilerplate notice "),
+        pmod(col("doc_id"), lit(5)).cast("string")),
+      substring(col("text"), 41, 40)))
+
+  /** The C4 pass as a TRANSFORM ([[graft.ops.TextAnalysis.lineDedupApply]]):
+    * drop every line owned elsewhere (and within-doc repeats), reassemble
+    * the survivors in original order — the rewritten corpus itself, not
+    * just the counts. */
+  val text_line_dedup_apply: Q = (s, dir) =>
+    TextAnalysis.lineDedupApply(linedDocs(s, dir), col("doc_id"), col("lined"))
+      .select(col("id").as("doc_id"), col("n_kept"), col("new_text"))
       .orderBy(col("doc_id"))
 
   /** Training-mixture token allocation ([[graft.ops.Mixture]]): weights
@@ -664,6 +678,7 @@ object PipelineQueries {
     "knn_ivf_pq" -> knn_ivf_pq,
     "knn_recall" -> knn_recall,
     "text_line_dedup" -> text_line_dedup,
+    "text_line_dedup_apply" -> text_line_dedup_apply,
     "pipe_mix_weights" -> pipe_mix_weights,
     "pipe_curate" -> pipe_curate,
     "pipe_chunk_windows" -> pipe_chunk_windows,
@@ -718,6 +733,19 @@ object PipelineQueries {
   private val gopherKeepSql =
     """n_words BETWEEN 30 AND 100000 AND mean_word_len BETWEEN 3 AND 10
       |    AND alpha_word_frac >= 0.8 AND stop_hits >= 2""".stripMargin
+
+  /** DuckDB rendition of [[linedDocs]] exploded to (doc_id, pos, line)
+    * with blanks dropped — ONE copy shared by the line-dedup diagnostic
+    * and apply oracles (parallel unnests zip positionally in DuckDB, so
+    * `pos` tracks the split index like Spark's posexplode). */
+  private val linedLinesSql =
+    """SELECT doc_id, pos, trim(l) AS line FROM (
+      |    SELECT doc_id, unnest(range(len(ls))) AS pos, unnest(ls) AS l
+      |    FROM (SELECT doc_id, regexp_split_to_array(
+      |      substr(text, 1, 40) || '. shared boilerplate notice ' ||
+      |        CAST(doc_id % 5 AS VARCHAR) || '. ' || substr(text, 41, 40),
+      |      '\. ') AS ls FROM documents))
+      |  WHERE len(trim(l)) > 0""".stripMargin
 
   /** DuckDB rendition of [[graft.ops.Dedup]]'s gramArray at n=5 over a
     * column named `toks` — ONE copy for every 5-gram oracle (shingles,
@@ -1103,23 +1131,25 @@ object PipelineQueries {
          |  CAST(weight * u AS BIGINT) AS alloc_tokens
          |FROM per CROSS JOIN u ORDER BY source""".stripMargin,
     "text_line_dedup" ->
-      """WITH lines AS (
-        |  SELECT doc_id, trim(l) AS line FROM (
-        |    SELECT doc_id, unnest(regexp_split_to_array(
-        |      substr(text, 1, 40) || '. shared boilerplate notice '
-        |        || CAST(doc_id % 5 AS VARCHAR) || '. ' || substr(text, 41, 40),
-        |      '\. ')) AS l
-        |    FROM documents)
-        |  WHERE len(trim(l)) > 0),
-        |owned AS (
-        |  SELECT doc_id, count(*) AS n_kept FROM (
-        |    SELECT line, min(doc_id) AS doc_id FROM lines GROUP BY line)
-        |  GROUP BY doc_id),
-        |cnt AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
-        |SELECT c.doc_id, CAST(c.n_lines AS BIGINT) AS n_lines,
-        |  CAST(coalesce(o.n_kept, 0) AS BIGINT) AS n_kept
-        |FROM cnt c LEFT JOIN owned o ON o.doc_id = c.doc_id
-        |ORDER BY c.doc_id""".stripMargin,
+      s"""WITH lines AS ($linedLinesSql)
+         |, owned AS (
+         |  SELECT doc_id, count(*) AS n_kept FROM (
+         |    SELECT line, min(doc_id) AS doc_id FROM lines GROUP BY line)
+         |  GROUP BY doc_id),
+         |cnt AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+         |SELECT c.doc_id, CAST(c.n_lines AS BIGINT) AS n_lines,
+         |  CAST(coalesce(o.n_kept, 0) AS BIGINT) AS n_kept
+         |FROM cnt c LEFT JOIN owned o ON o.doc_id = c.doc_id
+         |ORDER BY c.doc_id""".stripMargin,
+    "text_line_dedup_apply" ->
+      s"""WITH lines AS ($linedLinesSql)
+         |, owner AS (SELECT line, min(doc_id) AS doc_id FROM lines GROUP BY line),
+         |firstpos AS (
+         |  SELECT doc_id, line, min(pos) AS pos FROM lines GROUP BY doc_id, line)
+         |SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |  string_agg(f.line, '. ' ORDER BY f.pos) AS new_text
+         |FROM firstpos f JOIN owner o ON o.line = f.line AND o.doc_id = f.doc_id
+         |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin,
     // recall@5 of the IVF-PQ tier vs the exact baseline: the two gated
     // tiers' own shared CTE fragments plus one intersection count
     "knn_recall" ->

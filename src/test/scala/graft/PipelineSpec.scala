@@ -79,6 +79,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(3L) == (3L, 1L), s"got $got")
     // a document with no non-blank line produces no row
     assert(!got.contains(4L), s"got $got")
+
+    // the APPLY form rewrites: survivors reassemble in original order,
+    // within-doc repeats keep only the first occurrence
+    val applied = graft.ops.TextAnalysis.lineDedupApply(df, col("doc_id"), col("body"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(applied(1L) == (3L, "alpha one. common boilerplate. alpha two"), s"got $applied")
+    assert(applied(2L) == (2L, "beta one. beta two"), s"got $applied")
+    assert(applied(3L) == (1L, "gamma solo"), s"got $applied")
+    assert(!applied.contains(4L), s"got $applied")
   }
 
   test("incremental dedup state: batch 2 reads updated state, no corpus re-derivation") {
