@@ -227,7 +227,7 @@ object TextAnalysis {
     * blowup); the exploded line table is snapshotted once for its two
     * consumers. */
   def lineDedupApply(df: DataFrame, id: Column, text: Column,
-      sep: String = "\\. "): DataFrame = {
+      sep: String = "\\. ", joinWith: String = ". "): DataFrame = {
     val lines = df
       .select(id.as("id"), posexplode(split(text, sep)).as(Seq("pos", "l")))
       .select(col("id"), col("pos"), trim(col("l")).as("line"))
@@ -236,12 +236,14 @@ object TextAnalysis {
     val owner = lines.groupBy(col("line")).agg(min(col("id")).as("id"))
     val firstPos = lines.groupBy(col("id"), col("line"))
       .agg(min(col("pos")).as("pos"))
+    // ordered reassembly without a per-element lambda: field extraction
+    // over an array of structs is a native GetArrayStructFields
     firstPos.join(owner, Seq("line", "id"))
       .groupBy(col("id")).agg(
         count(lit(1)).as("n_kept"),
-        concat_ws(". ", transform(
-          array_sort(collect_list(struct(col("pos"), col("line")))),
-          x => x.getField("line"))).as("new_text"))
+        concat_ws(joinWith,
+          array_sort(collect_list(struct(col("pos"), col("line"))))
+            .getField("line")).as("new_text"))
   }
 
   /** Regex PII scrub: counts matches of each (tag, pattern) and replaces

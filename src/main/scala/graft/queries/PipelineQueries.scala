@@ -593,8 +593,10 @@ object PipelineQueries {
   /** Overlapping token-window chunking — the standard pre-pass of an
     * embedding/RAG pipeline (chunk = 64 tokens, stride 48, so adjacent
     * chunks overlap by 16): one chunk per start position 0, s, 2s, …
-    * while inside the doc, the last chunk clamped to the doc end. Output
-    * per chunk: (doc_id, chunk_id, start_tok, n_tok, chunk_hash) with
+    * stopping at the FIRST window that reaches the doc end (a later
+    * start would be fully contained in it — zero added coverage for the
+    * embed-once stage), that last chunk clamped to the end. Output per
+    * chunk: (doc_id, chunk_id, start_tok, n_tok, chunk_hash) with
     * chunk_hash = md5 of the space-joined window, the key a downstream
     * embed-once/dedup-chunks stage joins on. Map-only explode — no
     * shuffle at any scale; chunk arithmetic is exact integers. */
@@ -603,7 +605,9 @@ object PipelineQueries {
     tokenized(s, dir).where(size(col("toks")) > 0)
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(0),
-          expr(s"(size(toks) - 1) DIV $stride").cast("int"))).as("chunk_id"))
+          expr(s"""CASE WHEN size(toks) <= $chunk THEN 0
+                  |ELSE (size(toks) - $chunk + ${stride - 1}) DIV $stride
+                  |END""".stripMargin).cast("int"))).as("chunk_id"))
       .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
         (col("chunk_id") * stride).cast("long").as("start_tok"),
         least(lit(chunk), size(col("toks")) - col("chunk_id") * stride)
@@ -1112,7 +1116,9 @@ object PipelineQueries {
     "pipe_chunk_windows" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |c AS (
-         |  SELECT doc_id, toks, unnest(range((len(toks) - 1) // 48 + 1)) AS chunk_id
+         |  SELECT doc_id, toks, unnest(range(
+         |    CASE WHEN len(toks) <= 64 THEN 1
+         |         ELSE (len(toks) - 64 + 47) // 48 + 1 END)) AS chunk_id
          |  FROM t WHERE len(toks) > 0)
          |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
          |  CAST(chunk_id * 48 AS BIGINT) AS start_tok,

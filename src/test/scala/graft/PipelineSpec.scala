@@ -64,14 +64,16 @@ class PipelineSpec extends AnyFunSuite {
   test("lineDedup assigns each distinct line one owner; within-doc dups collapse") {
     import spark.implicits._
     val df = Seq(
-      (1L, "alpha one. common boilerplate. alpha two"),
+      // doc 1 repeats a line IT OWNS — the within-owner collapse case
+      (1L, "alpha one. alpha one. common boilerplate. alpha two"),
       (2L, "beta one. common boilerplate. beta two"),
       (3L, "common boilerplate. common boilerplate.  . gamma solo"),
       (4L, "")).toDF("doc_id", "body")
     val got = graft.ops.TextAnalysis.lineDedup(df, col("doc_id"), col("body"))
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-    // doc 1 owns its two unique lines AND the shared boilerplate (min id)
-    assert(got(1L) == (3L, 3L), s"got $got")
+    // doc 1: 4 line positions; owns its two unique lines AND the shared
+    // boilerplate (min id) — its own repeat collapses to one
+    assert(got(1L) == (4L, 3L), s"got $got")
     // doc 2 keeps only its own lines; the boilerplate is owned elsewhere
     assert(got(2L) == (3L, 2L), s"got $got")
     // doc 3: boilerplate twice (both lost to doc 1), blank segment
@@ -84,10 +86,27 @@ class PipelineSpec extends AnyFunSuite {
     // within-doc repeats keep only the first occurrence
     val applied = graft.ops.TextAnalysis.lineDedupApply(df, col("doc_id"), col("body"))
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // doc 1's own repeat keeps only its FIRST position
     assert(applied(1L) == (3L, "alpha one. common boilerplate. alpha two"), s"got $applied")
     assert(applied(2L) == (2L, "beta one. beta two"), s"got $applied")
     assert(applied(3L) == (1L, "gamma solo"), s"got $applied")
     assert(!applied.contains(4L), s"got $applied")
+  }
+
+  test("chunk windows: stop at the first end-reaching window, nothing contained") {
+    val rows = PipelineQueries.pipe_chunk_windows(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (doc, cs) =>
+      val total = cs.map(c => c._3 + c._4).max
+      val last = cs.maxBy(_._2)
+      assert(last._3 + last._4 == total, s"doc $doc: final chunk must reach the end")
+      cs.filter(_._2 != last._2).foreach { c =>
+        assert(c._4 == 64 && c._3 + 64 < total,
+          s"doc $doc chunk ${c._2}: non-final chunks are full and strictly " +
+            s"before the end (else they'd be final), got $c of $total")
+      }
+    }
   }
 
   test("incremental dedup state: batch 2 reads updated state, no corpus re-derivation") {

@@ -230,6 +230,15 @@ class PlanSpec extends AnyFunSuite {
       s"no product joins in the curation pass:\n$plan")
   }
 
+  test("text_line_dedup_apply snapshots the line table: at most one corpus scan") {
+    val df = graft.queries.PipelineQueries.text_line_dedup_apply(spark, sf)
+    df.collect()
+    val plan = executedPlan(df).toString.split("== Initial Plan ==").head
+    val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans <= 1,
+      s"owner/firstPos must consume the snapshot, not re-scan ($scans scans):\n$plan")
+  }
+
   test("batch ingest is ONE job; observed stats equal the read-back scan") {
     val root = Files.createTempDirectory("graft-onejob").toString
     val cat = new Catalog(root)
