@@ -135,6 +135,26 @@ object PipelineQueries {
       k = 5, w = 4, minShared = 2L)
       .orderBy(col("a"), col("b"))
 
+  /** Boilerplate mining: the top-5 most document-frequent 5-gram
+    * shingles per source — the candidate boilerplate strings (shared
+    * headers, notices, navigation) a curation pass reviews and strips.
+    * Reuses the memoized shingle snapshot; one (source, gram) aggregate
+    * and a per-source rank window (partitioned — never one partition),
+    * ties broken by gram text for determinism. */
+  val text_boilerplate_ngrams: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    shingled(s, dir)
+      .select(col("doc_id"), explode(col("shingles")).as("gram"))
+      .join(docs(s, dir).select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"), col("gram")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("n_docs").desc, col("gram"))).cast("long"))
+      .where(col("rank") <= 5)
+      .select(col("source"), col("gram"), col("n_docs"), col("rank"))
+      .orderBy(col("source"), col("rank"))
+  }
+
   /** The full dedup pass in one call ([[graft.ops.Dedup.dedupCorpus]]):
     * shingle → prefix-filtered exact pairs → connected components → keep
     * decision for every document. The oracle reproduces the whole chain,
@@ -695,6 +715,7 @@ object PipelineQueries {
     "dedup_ngram_jaccard" -> dedup_ngram_jaccard,
     "dedup_kgram_overlap" -> dedup_kgram_overlap,
     "dedup_winnow" -> dedup_winnow,
+    "text_boilerplate_ngrams" -> text_boilerplate_ngrams,
     "dedup_jaccard_prefix" -> dedup_jaccard_prefix,
     "pipe_dedup_corpus" -> pipe_dedup_corpus,
     "pipe_dedup_incremental" -> pipe_dedup_incremental,
@@ -912,6 +933,19 @@ object PipelineQueries {
     "dedup_jaccard_prefix" ->
       s"""WITH $jaccardCtes
          |SELECT a, b, inter, uni FROM jac ORDER BY a, b""".stripMargin,
+    "text_boilerplate_ngrams" ->
+      s"""WITH sh AS ($shingleSql),
+         |e AS (SELECT doc_id, unnest(shingles) AS gram FROM sh),
+         |g AS (
+         |  SELECT d.source, e.gram, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM e JOIN documents d ON d.doc_id = e.doc_id
+         |  GROUP BY 1, 2),
+         |r AS (
+         |  SELECT source, gram, n_docs, row_number() OVER (
+         |    PARTITION BY source ORDER BY n_docs DESC, gram) AS rank
+         |  FROM g)
+         |SELECT source, gram, n_docs, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
     "dedup_winnow" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |gh AS (
