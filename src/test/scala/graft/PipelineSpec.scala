@@ -93,6 +93,56 @@ class PipelineSpec extends AnyFunSuite {
     assert(!applied.contains(4L), s"got $applied")
   }
 
+  test("kgramOverlap and lineDedup match declarative specs on a randomized corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(626L)
+    val vocab = Vector("a", "b", "c", "d")
+    // small vocab forces heavy cross-doc gram/line collisions
+    val corpus = (0L until 40L).map(i =>
+      i -> Vector.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))))
+    val k = 3
+
+    // ---- kgramOverlap spec: positions of grams occurring in >=2 docs
+    val gramsOf = corpus.map { case (id, ts) =>
+      id -> ts.sliding(k).filter(_.size == k).map(_.mkString(" ")).toVector
+    }.toMap
+    // NB: .toSeq before flatMap — flatMapping a Map collapses dup keys
+    val dupSet = gramsOf.toSeq.flatMap { case (id, gs) => gs.distinct.map(_ -> id) }
+      .groupBy(_._1).filter(_._2.size >= 2).keySet
+    val specK = gramsOf.collect { case (id, gs) if gs.nonEmpty =>
+      id -> (gs.size.toLong, gs.count(dupSet).toLong)
+    }
+    val gotK = graft.ops.Dedup.kgramOverlap(
+      corpus.toDF("doc_id", "toks"), col("doc_id"), col("toks"), k)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(gotK == specK.toMap, s"got $gotK\nwant $specK")
+
+    // ---- lineDedup spec over the same corpus rendered as line text
+    val docs = corpus.map { case (id, ts) => id -> ts.mkString(". ") }
+    val linesOf = docs.map { case (id, t) =>
+      id -> t.split("\\. ").map(_.trim).filter(_.nonEmpty).toVector
+    }.toMap
+    val lineOwner = linesOf.toSeq.flatMap { case (id, ls) => ls.map(_ -> id) }
+      .groupBy(_._1).map { case (l, occ) => l -> occ.map(_._2).min }
+    val specL = linesOf.collect { case (id, ls) if ls.nonEmpty =>
+      id -> (ls.size.toLong, ls.distinct.count(lineOwner(_) == id).toLong)
+    }
+    val df = docs.toDF("doc_id", "body")
+    val gotL = graft.ops.TextAnalysis.lineDedup(df, col("doc_id"), col("body"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(gotL == specL.toMap, s"got $gotL\nwant $specL")
+
+    // ---- apply spec: first occurrence of each owned line, in order
+    val specA = linesOf.collect { case (id, ls) if ls.nonEmpty =>
+      val kept = ls.zipWithIndex
+        .filter { case (l, p) => lineOwner(l) == id && ls.indexOf(l) == p }
+      id -> (kept.size.toLong, kept.map(_._1).mkString(". "))
+    }.filter(_._2._1 > 0L)
+    val gotA = graft.ops.TextAnalysis.lineDedupApply(df, col("doc_id"), col("body"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(gotA == specA.toMap, s"got $gotA\nwant $specA")
+  }
+
   test("chunk windows: stop at the first end-reaching window, nothing contained") {
     val rows = PipelineQueries.pipe_chunk_windows(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
