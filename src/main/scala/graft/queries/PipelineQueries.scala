@@ -142,7 +142,6 @@ object PipelineQueries {
     * and a per-source rank window (partitioned — never one partition),
     * ties broken by gram text for determinism. */
   val text_boilerplate_ngrams: Q = (s, dir) => {
-    import org.apache.spark.sql.expressions.Window
     shingled(s, dir)
       .select(col("doc_id"), explode(col("shingles")).as("gram"))
       .join(docs(s, dir).select(col("doc_id"), col("source")), "doc_id")

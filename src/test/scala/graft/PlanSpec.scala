@@ -239,6 +239,15 @@ class PlanSpec extends AnyFunSuite {
       s"owner/firstPos must consume the snapshot, not re-scan ($scans scans):\n$plan")
   }
 
+  test("text_boilerplate_ngrams reads the shingle snapshot plus one source scan") {
+    val df = graft.queries.PipelineQueries.text_boilerplate_ngrams(spark, sf)
+    df.collect()
+    val plan = executedPlan(df).toString.split("== Initial Plan ==").head
+    val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans <= 1,
+      s"shingles must come from the snapshot, only (doc_id, source) scans ($scans):\n$plan")
+  }
+
   test("batch ingest is ONE job; observed stats equal the read-back scan") {
     val root = Files.createTempDirectory("graft-onejob").toString
     val cat = new Catalog(root)
