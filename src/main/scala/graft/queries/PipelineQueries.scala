@@ -135,6 +135,42 @@ object PipelineQueries {
       k = 5, w = 4, minShared = 2L)
       .orderBy(col("a"), col("b"))
 
+  /** Per-source corpus datasheet — the one-aggregate health report a
+    * curation run publishes per source ("datasheets for datasets"):
+    * document count, exact-distinct count (md5), token mass, and the
+    * Gopher-keep count ([[graft.ops.TextAnalysis.gopherKeep]] inline,
+    * same shared thresholds as the filter ops). ONE corpus scan, one
+    * source-keyed aggregate with partial map-side combine — the
+    * cheapest possible shape at any scale. */
+  val pipe_source_report: Q = (s, dir) =>
+    docs(s, dir).groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(md5(col("text"))).as("n_distinct"),
+      sum(size(tokenizeDefault(col("text")))).cast("long").as("n_tokens"),
+      sum(when(graft.ops.TextAnalysis.gopherKeep(col("text"),
+        stopwords = Seq("the", "a", "and", "of", "to", "in", "is"),
+        minWords = 30L, maxWords = 100000L), 1L).otherwise(0L)).as("n_keep"))
+      .orderBy(col("source"))
+
+  /** Vocabulary growth curve — per document (in doc_id order), how many
+    * distinct tokens appear for the FIRST time in that document: the
+    * novelty signal corpus-growth monitoring plots to decide when more
+    * of a source stops adding anything. Same ownership shape as the
+    * line dedup family: one token-keyed min() aggregate (combiner
+    * friendly) plus a doc-keyed count; no corpus self-join. */
+  val text_vocab_growth: Q = (s, dir) => {
+    // both branches read the memoized snapshot; only the left explodes
+    val owned = tokenized(s, dir)
+      .select(col("doc_id"), explode(array_distinct(col("toks"))).as("tok"))
+      .groupBy(col("tok")).agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_new_tokens"))
+    tokenized(s, dir).where(size(col("toks")) > 0).select(col("doc_id"))
+      .join(owned, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_new_tokens"), lit(0L)).as("n_new_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Boilerplate mining: the top-5 most document-frequent 5-gram
     * shingles per source — the candidate boilerplate strings (shared
     * headers, notices, navigation) a curation pass reviews and strips.
@@ -715,6 +751,8 @@ object PipelineQueries {
     "dedup_kgram_overlap" -> dedup_kgram_overlap,
     "dedup_winnow" -> dedup_winnow,
     "text_boilerplate_ngrams" -> text_boilerplate_ngrams,
+    "pipe_source_report" -> pipe_source_report,
+    "text_vocab_growth" -> text_vocab_growth,
     "dedup_jaccard_prefix" -> dedup_jaccard_prefix,
     "pipe_dedup_corpus" -> pipe_dedup_corpus,
     "pipe_dedup_incremental" -> pipe_dedup_incremental,
@@ -932,6 +970,23 @@ object PipelineQueries {
     "dedup_jaccard_prefix" ->
       s"""WITH $jaccardCtes
          |SELECT a, b, inter, uni FROM jac ORDER BY a, b""".stripMargin,
+    "pipe_source_report" ->
+      s"""WITH m AS (SELECT source, text, $gopherMetricsSql FROM documents)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+         |  CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN $gopherKeepSql THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+         |FROM m GROUP BY source ORDER BY source""".stripMargin,
+    "text_vocab_growth" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |e AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM t),
+         |owned AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_new_tokens FROM (
+         |    SELECT tok, min(doc_id) AS doc_id FROM e GROUP BY tok)
+         |  GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(coalesce(o.n_new_tokens, 0) AS BIGINT) AS n_new_tokens
+         |FROM t LEFT JOIN owned o ON o.doc_id = t.doc_id
+         |WHERE len(t.toks) > 0 ORDER BY t.doc_id""".stripMargin,
     "text_boilerplate_ngrams" ->
       s"""WITH sh AS ($shingleSql),
          |e AS (SELECT doc_id, unnest(shingles) AS gram FROM sh),
