@@ -148,8 +148,8 @@ object PipelineQueries {
       countDistinct(md5(col("text"))).as("n_distinct"),
       sum(size(tokenizeDefault(col("text")))).cast("long").as("n_tokens"),
       sum(when(graft.ops.TextAnalysis.gopherKeep(col("text"),
-        stopwords = Seq("the", "a", "and", "of", "to", "in", "is"),
-        minWords = 30L, maxWords = 100000L), 1L).otherwise(0L)).as("n_keep"))
+        stopwords = GopherStops,
+        minWords = GopherMinWords, maxWords = GopherMaxWords), 1L).otherwise(0L)).as("n_keep"))
       .orderBy(col("source"))
 
   /** Vocabulary growth curve — per document (in doc_id order), how many
@@ -159,7 +159,8 @@ object PipelineQueries {
     * line dedup family: one token-keyed min() aggregate (combiner
     * friendly) plus a doc-keyed count; no corpus self-join. */
   val text_vocab_growth: Q = (s, dir) => {
-    // both branches read the memoized snapshot; only the left explodes
+    // both branches read the memoized snapshot; only the ownership
+    // branch (the join's right side) explodes
     val owned = tokenized(s, dir)
       .select(col("doc_id"), explode(array_distinct(col("toks"))).as("tok"))
       .groupBy(col("tok")).agg(min(col("doc_id")).as("doc_id"))
@@ -323,12 +324,20 @@ object PipelineQueries {
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
 
+  /** The Gopher stopword list and word-count bounds — ONE Scala-side
+    * definition for every consumer (quality, filter, curate, report),
+    * mirroring the shared gopherMetricsSql/gopherKeepSql oracle
+    * fragments so thresholds cannot drift between queries. */
+  private val GopherStops = Seq("the", "a", "and", "of", "to", "in", "is")
+  private val GopherMinWords = 30L
+  private val GopherMaxWords = 100000L
+
   /** Quality scoring: length, word stats, stopword ratio, alpha ratio. */
   val text_quality: Q = (s, dir) =>
     TextAnalysis.quality(
       docs(s, dir).withColumn("toks", tokenizeDefault(col("text"))),
       col("doc_id"), col("text"), col("toks"),
-      stopwords = Seq("the", "a", "and", "of", "to", "in", "is"))
+      stopwords = GopherStops)
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
 
@@ -337,8 +346,8 @@ object PipelineQueries {
     * floor — one boolean per document with the metrics exposed. */
   val text_gopher_filter: Q = (s, dir) =>
     TextAnalysis.gopherFilter(docs(s, dir), col("doc_id"), col("text"),
-      stopwords = Seq("the", "a", "and", "of", "to", "in", "is"),
-      minWords = 30L, maxWords = 100000L)
+      stopwords = GopherStops,
+      minWords = GopherMinWords, maxWords = GopherMaxWords)
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
 
@@ -632,8 +641,8 @@ object PipelineQueries {
   val pipe_curate: Q = (s, dir) => {
     val survivors = docs(s, dir)
       .where(graft.ops.TextAnalysis.gopherKeep(col("text"),
-        stopwords = Seq("the", "a", "and", "of", "to", "in", "is"),
-        minWords = 30L, maxWords = 100000L))
+        stopwords = GopherStops,
+        minWords = GopherMinWords, maxWords = GopherMaxWords))
       .withColumn("rn", row_number().over(
         Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
       .where(col("rn") === 1)

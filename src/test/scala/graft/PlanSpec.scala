@@ -248,6 +248,15 @@ class PlanSpec extends AnyFunSuite {
       s"shingles must come from the snapshot, only (doc_id, source) scans ($scans):\n$plan")
   }
 
+  test("text_vocab_growth reads only the token snapshot: no corpus re-scan") {
+    val df = graft.queries.PipelineQueries.text_vocab_growth(spark, sf)
+    df.collect()
+    val plan = executedPlan(df).toString.split("== Initial Plan ==").head
+    val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 0,
+      s"both branches must consume the memoized snapshot ($scans scans):\n$plan")
+  }
+
   test("batch ingest is ONE job; observed stats equal the read-back scan") {
     val root = Files.createTempDirectory("graft-onejob").toString
     val cat = new Catalog(root)
