@@ -44,7 +44,7 @@ object Dedup {
   /** All n-token window concatenations of `toks`, one per start position
     * (positions kept; [[shingles]] distincts, [[posGrams]] explodes —
     * one definition so the gram text cannot drift between them). */
-  private def gramArray(toks: Column, n: Int): Column =
+  private[ops] def gramArray(toks: Column, n: Int): Column =
     transform(sequence(lit(0), size(toks) - n),
       i => concat_ws(" ",
         (0 until n).map(j => element_at(toks, i + j + 1)): _*))
@@ -391,8 +391,18 @@ object Dedup {
     * (float summation order is engine-specific); output is id pairs.
     * Output: (a, b). */
   def embeddingCosine(df: DataFrame, id: Column, vec: Column, cell: Column,
-      threshold: Double): DataFrame = {
-    val e = df.select(cell.as("label"), id.as("vid"), vec.as("v"))
+      threshold: Double): DataFrame =
+    cosinePairs(df.select(cell.as("label"), id.as("vid"), vec.as("v")),
+      threshold).select(col("a"), col("b"))
+
+  /** Within-cell cosine pairs WITH the similarity kept — shared by
+    * [[embeddingCosine]] (which drops it: float scores never leave an
+    * operator) and [[semantic]] (which consumes it internally for the
+    * keep decision). `e` must be (label, vid, v); output (a, b, cos),
+    * a < b. The cosine itself is a sequential tight loop
+    * ([[graft.exprs.CosineSimilarity]]) — deterministic, no
+    * aggregation-order float drift. */
+  private[ops] def cosinePairs(e: DataFrame, threshold: Double): DataFrame = {
     val a = e.select(col("label"), col("vid").as("a"), col("v").as("va"))
     val b = e.select(col("label"), col("vid").as("b"), col("v").as("vb"))
     a.join(b, "label")
@@ -400,7 +410,56 @@ object Dedup {
       .withColumn("cos",
         graft.exprs.CosineSimilarity.cosine_similarity(col("va"), col("vb")))
       .where(col("cos") >= threshold)
-      .select(col("a"), col("b"))
+      .select(col("a"), col("b"), col("cos"))
+  }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication"):
+    * cluster the embedding space coarsely (the `cell` column — a k-means
+    * assignment at scale, see [[Ann.kmeansStep]]), find within-cell
+    * cosine-similar pairs, group them into duplicate clusters, and keep
+    * ONE representative per cluster.
+    *
+    * Keep rule: the paper keeps the example with LOW similarity to the
+    * cluster's centroid (the most distinct copy, preserving diversity).
+    * A float mean-vector centroid is an aggregation-order artifact
+    * (non-associative double sums differ run to run, let alone engine to
+    * engine), so the rule here is the deterministic equivalent: keep the
+    * member with the LOWEST MAXIMUM cosine to any of its over-threshold
+    * neighbors (max over a fixed set of deterministic pairwise cosines
+    * is order-exact), ties broken by smallest id. Same intent — the
+    * least-redundant member survives — engine-reproducible, so the
+    * DuckDB oracle gates the whole chain.
+    *
+    * Scale shape: pair generation is bounded by cell population (the IVF
+    * contract — never corpus²); components are O(log n) star-contraction
+    * rounds ([[connectedComponents]]); the keep decision is one
+    * vertex-keyed aggregate plus a per-cluster window over members only.
+    * Output: (<id>, group_id, keep) for EVERY input row — unpaired rows
+    * keep themselves, group_id = component minimum. */
+  def semantic(df: DataFrame, id: Column, vec: Column, cell: Column,
+      threshold: Double): DataFrame = {
+    // one materialization: the self-join (two branches) reads it twice
+    val e = df.select(cell.as("label"), id.as("vid"), vec.as("v"))
+      .localCheckpoint(eager = false)
+    // (a, b, cos): consumed by components AND the max-sim aggregate
+    val pc = cosinePairs(e, threshold).localCheckpoint(eager = false)
+    val canon = connectedComponents(pc.select(col("a"), col("b")))
+    val maxSim = pc.select(col("a").as("m_vid"), col("cos"))
+      .union(pc.select(col("b").as("m_vid"), col("cos")))
+      .groupBy(col("m_vid")).agg(max(col("cos")).as("max_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group_id"))
+      .orderBy(col("max_sim").asc, col("doc_id").asc)
+    val ranked = canon
+      .join(maxSim, canon("doc_id") === maxSim("m_vid"))
+      .select(col("doc_id"), col("canon_id").as("group_id"), col("max_sim"))
+      .withColumn("rk", row_number().over(w))
+    e.select(col("vid"))
+      .join(ranked, e("vid") === ranked("doc_id"), "left")
+      .select(col("vid"),
+        coalesce(col("group_id"), col("vid")).as("group_id"),
+        coalesce(col("rk") === 1, lit(true)).as("keep"))
   }
 
   /** Connected components over a near-duplicate pair list ((a, b)) by

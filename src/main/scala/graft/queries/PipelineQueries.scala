@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Graft.table
 import graft.functions.TextFunctions.tokenizeDefault
+import graft.ops.Dsir
 
 /** Large-scale training-data pipeline operators over `documents` and
   * `embeddings` — the north-star surface beyond the reference's own
@@ -264,6 +265,18 @@ object PipelineQueries {
     Dedup.embeddingCosine(table(s, dir, "embeddings"),
       col("vec_id"), col("embedding"), col("label"), threshold = 0.4)
       .orderBy(col("a"), col("b"))
+
+  /** SemDeDup semantic dedup ([[graft.ops.Dedup.semantic]]): label cells
+    * as the coarse clustering, within-cell cosine >= 0.4 pairs, duplicate
+    * clusters via star-contraction components, ONE least-redundant keeper
+    * per cluster (lowest max-neighbor-cosine, ties to smallest id — the
+    * deterministic form of the paper's low-centroid-similarity rule).
+    * Floats stay internal; output is (vec_id, group_id, keep). */
+  val dedup_semantic: Q = (s, dir) =>
+    Dedup.semantic(table(s, dir, "embeddings"),
+      col("vec_id"), col("embedding"), col("label"), threshold = 0.4)
+      .withColumnRenamed("vid", "vec_id")
+      .orderBy(col("vec_id"))
 
   // ---- similarity search ------------------------------------------------
 
@@ -682,6 +695,30 @@ object PipelineQueries {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** DSIR data selection ([[graft.ops.Dsir.importanceScores]]): the `en`
+    * documents are the target corpus, every other document is the raw
+    * candidate pool; hashed unigram+bigram features in 256 buckets, and
+    * the 100 highest-importance candidates are selected (ties to the
+    * smaller doc_id). Scores are exact integers (quantized-LLR sums), so
+    * the whole selection is oracle-reproducible. */
+  val pipe_dsir_select: Q = (s, dir) => {
+    val scores = Dsir.importanceScores(
+      docs(s, dir).select(col("doc_id"), col("lang"),
+        tokenizeDefault(col("text")).as("toks")),
+      col("doc_id"), col("toks"), col("lang") === "en", buckets = 256)
+    // TakeOrdered cut FIRST (scale-safe global top-k), then the rank
+    // window runs over the 100 survivors only — never the corpus
+    val top = docs(s, dir).where(col("lang") =!= "en")
+      .select(col("doc_id"))
+      .join(scores, col("doc_id") === col("did"))
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(100)
+    top.withColumn("sel_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy()
+          .orderBy(col("score").desc, col("doc_id").asc)))
+      .orderBy(col("doc_id"))
+  }
+
   /** ANN quality evaluation — recall@5 of the production IVF-PQ tier
     * against the exact brute-force baseline, per query: the acceptance
     * gate any approximate index build runs before serving (probe/recall
@@ -750,6 +787,7 @@ object PipelineQueries {
     "pipe_mix_weights" -> pipe_mix_weights,
     "pipe_curate" -> pipe_curate,
     "pipe_chunk_windows" -> pipe_chunk_windows,
+    "pipe_dsir_select" -> pipe_dsir_select,
     "text_pii_scrub" -> text_pii_scrub,
     "text_domains" -> text_domains,
     "mm_phash_buckets" -> mm_phash_buckets,
@@ -769,6 +807,7 @@ object PipelineQueries {
     "dedup_minhash_lsh" -> dedup_minhash_lsh,
     "dedup_simhash" -> dedup_simhash,
     "dedup_embedding" -> dedup_embedding,
+    "dedup_semantic" -> dedup_semantic,
     "knn_brute" -> knn_brute,
     "knn_cell" -> knn_cell,
     "knn_ivf" -> knn_ivf,
@@ -1062,6 +1101,39 @@ object PipelineQueries {
          |SELECT n.doc_id, m.dup_of, m.dup_of IS NULL AS keep
          |FROM newsh n LEFT JOIN m ON m.doc_id = n.doc_id
          |ORDER BY n.doc_id""".stripMargin,
+    "pipe_dsir_select" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+         |feat AS (
+         |  SELECT doc_id, tgt,
+         |    CAST(('0x' || substr(md5(f), 1, 15)) AS BIGINT) % 256 AS bucket
+         |  FROM (
+         |    SELECT doc_id, lang = 'en' AS tgt,
+         |      unnest(list_concat(toks,
+         |        list_transform(range(greatest(len(toks) - 1, 0)),
+         |          i -> toks[i+1] || ' ' || toks[i+2]))) AS f
+         |    FROM t)),
+         |bc AS (
+         |  SELECT bucket,
+         |    sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS c_t,
+         |    sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS c_r
+         |  FROM feat GROUP BY bucket),
+         |lr AS (
+         |  SELECT bucket, CAST(floor(ln(
+         |      (CAST(c_t + 1 AS DOUBLE) * CAST(sum(c_r) OVER () + 256 AS DOUBLE)) /
+         |      (CAST(c_r + 1 AS DOUBLE) * CAST(sum(c_t) OVER () + 256 AS DOUBLE)))
+         |    * 1000000.0) AS BIGINT) AS lr
+         |  FROM bc),
+         |sc AS (
+         |  SELECT doc_id, sum(lr) AS score
+         |  FROM feat JOIN lr USING (bucket) GROUP BY doc_id),
+         |sel AS (
+         |  SELECT d.doc_id, coalesce(sc.score, 0) AS score,
+         |    row_number() OVER (ORDER BY coalesce(sc.score, 0) DESC, d.doc_id ASC)
+         |      AS sel_rank
+         |  FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+         |  WHERE d.lang <> 'en')
+         |SELECT doc_id, score, sel_rank FROM sel WHERE sel_rank <= 100
+         |ORDER BY doc_id""".stripMargin,
     "text_gopher_filter" ->
       s"""WITH m AS (
          |  SELECT doc_id, $gopherMetricsSql
@@ -1310,6 +1382,28 @@ object PipelineQueries {
         |  ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
         |ORDER BY a, b""".stripMargin,
+    "dedup_semantic" ->
+      s"""WITH RECURSIVE prc AS (
+         |  SELECT a.vec_id AS a, b.vec_id AS b,
+         |    list_cosine_similarity(a.embedding, b.embedding) AS cos
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4),
+         |${ccCtes("prc")},
+         |ms AS (
+         |  SELECT m_vid, max(cos) AS max_sim FROM (
+         |    SELECT a AS m_vid, cos FROM prc
+         |    UNION ALL SELECT b AS m_vid, cos FROM prc)
+         |  GROUP BY m_vid),
+         |rk AS (
+         |  SELECT c.doc AS vec_id, c.canon_id AS group_id,
+         |    row_number() OVER (PARTITION BY c.canon_id
+         |      ORDER BY ms.max_sim ASC, c.doc ASC) AS rk
+         |  FROM canon c JOIN ms ON ms.m_vid = c.doc)
+         |SELECT e.vec_id, coalesce(rk.group_id, e.vec_id) AS group_id,
+         |  coalesce(rk.rk = 1, TRUE) AS keep
+         |FROM embeddings e LEFT JOIN rk ON rk.vec_id = e.vec_id
+         |ORDER BY e.vec_id""".stripMargin,
     "knn_brute" ->
       s"""WITH $bruteTop5Cte
          |SELECT qid, rank, neighbor FROM exact ORDER BY qid, rank""".stripMargin,

@@ -474,4 +474,52 @@ class PipelineSpec extends AnyFunSuite {
     val t = thumbs.orderBy(col("media_id")).limit(1).collect()(0).getAs[Array[Byte]]("thumb")
     assert(t.length == 64)
   }
+
+  test("semantic dedup keeps the least-redundant member per duplicate cluster") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    // one cell; three groups: identical pair {1,2}, a triangle {10,11,12}
+    // where 12's max neighbor-cosine (~0.898) is lower than 10/11's (1.0),
+    // and an unpaired singleton 20
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (10L, Array(0.0f, 1.0f)), (11L, Array(0.0f, 1.0f)),
+      (12L, Array(0.44f, 0.9f)),
+      (20L, Array(-1.0f, 0.0f))
+    ).toDF("vid", "v").withColumn("cell", lit(0))
+    val out = Dedup.semantic(e, col("vid"), col("v"), col("cell"),
+        threshold = 0.85)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 1L, true),   // pair tie on max-sim -> smaller id kept
+      (2L, 1L, false),
+      (10L, 10L, false), // max-sim 1.0 (vs 11)
+      (11L, 10L, false), // max-sim 1.0 (vs 10)
+      (12L, 10L, true),  // max-sim ~0.898 -> least redundant, kept
+      (20L, 20L, true))) // unpaired keeps itself
+  }
+
+  test("dsir importance scores rank target-like candidates above dissimilar ones") {
+    import spark.implicits._
+    import graft.ops.Dsir
+    // targets establish the 'alpha beta gamma' feature distribution;
+    // candidate 100 shares it, candidate 101 shares nothing, 102 is empty
+    val rows = Seq(
+      (1L, "alpha beta gamma alpha beta", true),
+      (2L, "alpha beta gamma gamma", true),
+      (100L, "alpha beta gamma delta", false),
+      (101L, "zeta eta theta iota", false),
+      (102L, "", false)
+    ).toDF("id", "text", "tgt")
+      .withColumn("toks",
+        filter(split(col("text"), " "), t => length(t) > 0))
+    val s = Dsir.importanceScores(rows, col("id"), col("toks"), col("tgt"),
+        buckets = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(s(102L) == 0L, "token-less doc scores zero")
+    assert(s(100L) > s(101L),
+      s"target-like candidate must outscore dissimilar one: $s")
+    assert(s(1L) > 0L, "target docs themselves score positive")
+  }
 }

@@ -208,6 +208,41 @@ class PlanSpec extends AnyFunSuite {
       s"candidate join must key on sh:\n$plan")
   }
 
+  test("pipe_dsir_select broadcasts the bucket LLR table, no cartesian") {
+    val plan = formatted(
+      graft.queries.PipelineQueries.pipe_dsir_select(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan)
+    // the ≤256-row lr table joins the exploded feature stream broadcast —
+    // a shuffle of the feature stream on bucket would be the scale killer
+    assert(plan.contains("BroadcastHashJoin"),
+      s"lr table must broadcast-join the feature stream:\n$plan")
+    // the global top-100 cut is a TakeOrdered, never a full sort
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"selection cut must be TakeOrdered:\n$plan")
+  }
+
+  test("dedup_semantic pairs within cells only, no cartesian") {
+    val plan = formatted(
+      graft.queries.PipelineQueries.dedup_semantic(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan)
+    // the final plan reads the checkpointed pair table, so pin the pair
+    // GENERATION keys on the shared builder's own plan: it must key on
+    // the cell label (the IVF candidate bound), never corpus x corpus
+    val pairPlan = formatted(graft.ops.Dedup.embeddingCosine(
+      graft.Graft.table(spark, sf, "embeddings"),
+      org.apache.spark.sql.functions.col("vec_id"),
+      org.apache.spark.sql.functions.col("embedding"),
+      org.apache.spark.sql.functions.col("label"), threshold = 0.4))
+    assert(!pairPlan.contains("CartesianProduct") &&
+      !pairPlan.contains("BroadcastNestedLoop"), pairPlan)
+    val keyLines = pairPlan.linesIterator
+      .filter(_.matches(".*(Left|Right) keys.*")).toList
+    assert(keyLines.exists(_.matches(".*\\blabel#\\d+.*")),
+      s"candidate join must key on the cell label:\n$pairPlan")
+  }
+
   test("pipe_mix_weights scans the corpus once (units branch reuses the agg exchange)") {
     val df = graft.queries.PipelineQueries.pipe_mix_weights(spark, sf)
     df.collect() // materialize so AQE settles the final plan
