@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** One training iteration of byte-pair encoding (Sennrich et al. 2016,
+  * "Neural Machine Translation of Rare Words with Subword Units"): count
+  * every adjacent symbol pair across the corpus, weighted by word
+  * frequency, and surface the top merge candidates. Tokenizer training
+  * over a pretraining corpus is exactly this loop; like
+  * [[Ann.kmeansStep]], the operator is the distributed STEP (the
+  * downstream trainer owns the merge-apply-repeat driver loop).
+  *
+  * Scale shape — the reason BPE training is feasible at 100 TB at all:
+  * the corpus collapses to its word-frequency table first (one explode →
+  * combiner-friendly count, output ∝ VOCABULARY), and the pair counting
+  * then runs over distinct words only, each weighted by its frequency —
+  * so per-iteration work is vocabulary-sized, corpus-size-independent.
+  * The final cut is a TakeOrdered top-k, never a full sort.
+  *
+  * Determinism: counts are exact integers; ties in the merge ranking
+  * break lexicographically on the pair text, so the top-k set and order
+  * reproduce in any engine.
+  */
+object Bpe {
+
+  /** Adjacent character pairs of `w` as "a b" strings, one per position
+    * (empty below 2 chars — `sequence()` runs DESCENDING on a negative
+    * span, the [[Dedup.gramArray]] guard). `substring` is 1-based and
+    * codepoint-counted in both Spark and DuckDB's `substr`, so the pair
+    * text is engine-portable. */
+  private def charPairs(w: Column): Column =
+    when(length(w) >= 2,
+      transform(sequence(lit(0), length(w) - 2),
+        i => concat(substring(w, lit(1) + i, lit(1)), lit(" "),
+          substring(w, lit(2) + i, lit(1)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** The top-`k` symbol-pair merge candidates over `df`'s tokenized
+    * `toks` column: `(rank, pair, cnt)` with `cnt` the exact number of
+    * corpus occurrences of the adjacent pair (weighted by word
+    * frequency, all occurrences within a word counted), ranked by count
+    * descending then pair text ascending. */
+  def topPairs(df: DataFrame, toks: Column, k: Int): DataFrame = {
+    // corpus -> word frequency table: the one corpus-sized pass
+    val words = df.select(explode(toks).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    // vocabulary-sized from here on: pairs explode over DISTINCT words
+    val pairs = words
+      .select(col("freq"), explode(charPairs(col("w"))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+    // global top-k: orderBy+limit compiles to TakeOrderedAndProject, and
+    // the rank window then runs over the k survivors only
+    val top = pairs.orderBy(col("cnt").desc, col("pair").asc).limit(k)
+    top.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy()
+          .orderBy(col("cnt").desc, col("pair").asc)))
+      .select(col("rank"), col("pair"), col("cnt"))
+  }
+}

@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** CCNet-style n-gram language-model quality scoring (Wenzek et al. 2020,
+  * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+  * Data"): train a bigram LM on a trusted corpus (CCNet uses Wikipedia;
+  * here any boolean `isTrain` marker), score every document by its total
+  * negative log-likelihood under the model, and keep the documents whose
+  * per-bigram NLL is below a threshold — the "does this read like the
+  * reference corpus" filter that runs after language id and before dedup
+  * in a pretraining pipeline.
+  *
+  * Model: add-one-smoothed bigram probabilities
+  * `p(w2|w1) = (c2(w1 w2) + 1) / (c1(w1) + V)` with `c2` the train bigram
+  * count, `c1` the train count of `w1` as a bigram left-context, and `V`
+  * the distinct-unigram vocabulary size of the train corpus (so unseen
+  * contexts degrade to the uniform `1/V` floor instead of dividing by
+  * zero).
+  *
+  * Engine-reproducibility (same discipline as [[Dsir]]): each bigram's
+  * NLL is quantized ONCE — `floor(-ln(p) · 1e6)` as a 64-bit integer, a
+  * pure function of the integer triple `(c2, c1, V)` — and a document's
+  * score is the exact integer sum of quantized NLLs, immune to float
+  * summation order across engines. Per-document NORMALIZATION stays
+  * integral too: the keep decision `nll_q ≤ n_bigrams · perBigramNllQ`
+  * is the threshold-crossed form of "average NLL below ln(ppl_max)",
+  * computed without a single division.
+  *
+  * Scale shape: three combiner-friendly aggregates over the exploded
+  * train bigram stream (bigram counts, left-context counts, a one-row
+  * vocabulary size that rides the plan as a broadcast cross join — never
+  * a collect); the document side pre-aggregates to (doc, bigram, count)
+  * before the model join, so the gram-keyed shuffle carries distinct
+  * doc-bigrams, not token positions. The model tables stay distributed —
+  * at 100 TB the bigram table is itself huge, and the join runs
+  * shuffle-hash on the gram key; only the 1-row vocab scalar broadcasts.
+  */
+object LangModel {
+
+  /** Quantized-NLL bigram-LM scores for EVERY row of `df` (train rows
+    * included — their scores are the fit diagnostic). `toks` is the
+    * tokenized text, `isTrain` marks the trusted corpus, `perBigramNllQ`
+    * is the keep threshold in quantized-NLL units (i.e. `ln(ppl_max)·1e6`
+    * for a perplexity cutoff `ppl_max`). Output per input row:
+    * `(<id>, n_bigrams, nll_q, keep)` — token-less and 1-token documents
+    * have zero bigrams, score 0, and are kept (no evidence against). */
+  def bigramNll(df: DataFrame, id: Column, toks: Column, isTrain: Column,
+      perBigramNllQ: Long): DataFrame = {
+    // one materialization: the train aggregates and the doc stream below
+    // all re-derive their explodes from this compact snapshot
+    val base = df
+      .select(id.as("did"), toks.as("toks"), isTrain.cast("boolean").as("tr"))
+      .localCheckpoint(eager = false)
+    // (did, tr, g, w1): one row per bigram POSITION; the `>= 2` guard is
+    // gramArray's own (sequence() runs DESCENDING below 2 tokens)
+    val bg = base.select(col("did"), col("tr"),
+        explode(when(size(col("toks")) >= 2, Dedup.gramArray(col("toks"), 2))
+          .otherwise(array().cast("array<string>"))).as("g"))
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+    val train = bg.where(col("tr"))
+    val c2 = train.groupBy(col("g")).agg(count(lit(1)).as("c2"))
+    val c1 = train.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    // distinct-unigram vocab of the train corpus: a 1-row aggregate that
+    // stays in-plan as a broadcast cross join (never collected)
+    val v = base.where(col("tr"))
+      .select(explode(col("toks")).as("u"))
+      .agg(count_distinct(col("u")).as("v"))
+    // document side pre-aggregated to distinct (did, g) with counts, so
+    // the model join shuffles doc-bigram TYPES, not positions
+    val dg = bg.groupBy(col("did"), col("g"), col("w1"))
+      .agg(count(lit(1)).as("cnt"))
+    val qlp = floor(-log(
+        (coalesce(col("c2"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")) * 1e6)
+      .cast("long")
+    val scored = dg
+      .join(c2, Seq("g"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .groupBy(col("did")).agg(
+        sum(col("cnt")).as("n_bigrams"),
+        sum(col("cnt") * qlp).as("nll_q"))
+    base.select(col("did"))
+      .join(scored, Seq("did"), "left")
+      .select(col("did"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nll_q"), lit(0L)).as("nll_q"))
+      .withColumn("keep",
+        col("nll_q") <= col("n_bigrams") * lit(perBigramNllQ))
+  }
+}

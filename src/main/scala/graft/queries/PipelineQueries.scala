@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Graft.table
 import graft.functions.TextFunctions.tokenizeDefault
-import graft.ops.Dsir
+import graft.ops.{Bpe, Dsir, LangModel}
 
 /** Large-scale training-data pipeline operators over `documents` and
   * `embeddings` — the north-star surface beyond the reference's own
@@ -719,6 +719,39 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-bigram quantized-NLL keep threshold for [[pipe_lm_perplexity]]:
+    * `ln(ppl_max) · 1e6` for a perplexity ceiling of 30 — the fixture
+    * corpus' per-bigram NLL centers at ln(30), so this splits it near the
+    * median (CCNet's head/middle/tail split plays the same role on real
+    * crawls). ONE definition shared with the oracle SQL so the threshold
+    * cannot drift. */
+  private val PerBigramNllQ = 3401197L // floor(ln(30) * 1e6)
+
+  /** CCNet-style LM quality filter ([[graft.ops.LangModel.bigramNll]]):
+    * the `en` documents train an add-one-smoothed bigram LM; every
+    * document scores its exact integer quantized NLL under it, and `keep`
+    * is the integral per-bigram-threshold form of "perplexity below 60".
+    * Scores are exact integers, so the whole filter is
+    * oracle-reproducible. */
+  val pipe_lm_perplexity: Q = (s, dir) =>
+    LangModel.bigramNll(
+      docs(s, dir).select(col("doc_id"), col("lang"),
+        tokenizeDefault(col("text")).as("toks")),
+      col("doc_id"), col("toks"), col("lang") === "en", PerBigramNllQ)
+      .withColumnRenamed("did", "doc_id")
+      .orderBy(col("doc_id"))
+
+  /** One BPE training iteration ([[graft.ops.Bpe.topPairs]]): the 50 most
+    * frequent adjacent character pairs over the tokenized corpus, weighted
+    * by word frequency — counts exact, ties broken on pair text, rank
+    * included so the merge priority order is itself gated. */
+  val pipe_bpe_step: Q = (s, dir) =>
+    Bpe.topPairs(
+      docs(s, dir).select(tokenizeDefault(col("text")).as("toks")),
+      col("toks"), k = 50)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy(col("rank"))
+
   /** ANN quality evaluation — recall@5 of the production IVF-PQ tier
     * against the exact brute-force baseline, per query: the acceptance
     * gate any approximate index build runs before serving (probe/recall
@@ -788,6 +821,8 @@ object PipelineQueries {
     "pipe_curate" -> pipe_curate,
     "pipe_chunk_windows" -> pipe_chunk_windows,
     "pipe_dsir_select" -> pipe_dsir_select,
+    "pipe_lm_perplexity" -> pipe_lm_perplexity,
+    "pipe_bpe_step" -> pipe_bpe_step,
     "text_pii_scrub" -> text_pii_scrub,
     "text_domains" -> text_domains,
     "mm_phash_buckets" -> mm_phash_buckets,
@@ -1124,7 +1159,7 @@ object PipelineQueries {
          |    * 1000000.0) AS BIGINT) AS lr
          |  FROM bc),
          |sc AS (
-         |  SELECT doc_id, sum(lr) AS score
+         |  SELECT doc_id, CAST(sum(lr) AS BIGINT) AS score
          |  FROM feat JOIN lr USING (bucket) GROUP BY doc_id),
          |sel AS (
          |  SELECT d.doc_id, coalesce(sc.score, 0) AS score,
@@ -1134,6 +1169,49 @@ object PipelineQueries {
          |  WHERE d.lang <> 'en')
          |SELECT doc_id, score, sel_rank FROM sel WHERE sel_rank <= 100
          |ORDER BY doc_id""".stripMargin,
+    "pipe_lm_perplexity" ->
+      s"""WITH t AS (SELECT doc_id, lang = 'en' AS tr, $toksSql AS toks FROM documents),
+         |bg AS (
+         |  SELECT doc_id, tr, g, split_part(g, ' ', 1) AS w1 FROM (
+         |    SELECT doc_id, tr,
+         |      unnest(list_transform(range(greatest(len(toks) - 1, 0)),
+         |        i -> toks[i+1] || ' ' || toks[i+2])) AS g
+         |    FROM t)),
+         |c2 AS (SELECT g, count(*) AS c2 FROM bg WHERE tr GROUP BY g),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM bg WHERE tr GROUP BY w1),
+         |v AS (SELECT count(DISTINCT u) AS v
+         |  FROM (SELECT unnest(toks) AS u FROM t WHERE tr)),
+         |dg AS (SELECT doc_id, g, w1, count(*) AS cnt FROM bg
+         |  GROUP BY doc_id, g, w1),
+         |sc AS (
+         |  SELECT dg.doc_id,
+         |    CAST(sum(dg.cnt) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(dg.cnt * CAST(floor(-ln(
+         |        CAST(coalesce(c2.c2, 0) + 1 AS DOUBLE) /
+         |        CAST(coalesce(c1.c1, 0) + v.v AS DOUBLE)) * 1000000.0)
+         |      AS BIGINT)) AS BIGINT) AS nll_q
+         |  FROM dg LEFT JOIN c2 USING (g) LEFT JOIN c1 USING (w1) CROSS JOIN v
+         |  GROUP BY dg.doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(sc.n_bigrams, 0) AS n_bigrams,
+         |  coalesce(sc.nll_q, 0) AS nll_q,
+         |  coalesce(sc.nll_q, 0) <= coalesce(sc.n_bigrams, 0) * $PerBigramNllQ
+         |    AS keep
+         |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "pipe_bpe_step" ->
+      s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+         |wf AS (SELECT w, count(*) AS freq
+         |  FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+         |pc AS (
+         |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq,
+         |      unnest(list_transform(range(greatest(length(w) - 1, 0)),
+         |        i -> substr(w, i + 1, 1) || ' ' || substr(w, i + 2, 1))) AS pair
+         |    FROM wf) GROUP BY pair)
+         |SELECT row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rank,
+         |  pair, cnt
+         |FROM pc ORDER BY cnt DESC, pair ASC LIMIT 50""".stripMargin,
     "text_gopher_filter" ->
       s"""WITH m AS (
          |  SELECT doc_id, $gopherMetricsSql

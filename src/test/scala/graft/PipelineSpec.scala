@@ -500,6 +500,50 @@ class PipelineSpec extends AnyFunSuite {
       (20L, 20L, true))) // unpaired keeps itself
   }
 
+  test("bigram LM scores train-like docs lower-NLL than out-of-model docs") {
+    import spark.implicits._
+    import graft.ops.LangModel
+    // train corpus: 'a b' dominates; candidate 100 repeats it, candidate
+    // 101 is all unseen bigrams, 102 has one token (no bigrams)
+    val rows = Seq(
+      (1L, "a b a b a b", true),
+      (2L, "a b c a b", true),
+      (100L, "a b a b", false),
+      (101L, "x y z w", false),
+      (102L, "a", false)
+    ).toDF("id", "text", "tgt")
+      .withColumn("toks", filter(split(col("text"), " "), t => length(t) > 0))
+    val out = LangModel.bigramNll(rows, col("id"), col("toks"), col("tgt"),
+        perBigramNllQ = 1000000L)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(out(102L) == ((0L, 0L, true)), "bigram-less doc: zero score, kept")
+    val (n100, s100, _) = out(100L)
+    val (n101, s101, _) = out(101L)
+    assert(n100 == 3L && n101 == 3L)
+    // per-bigram NLL comparison at equal bigram counts
+    assert(s100 < s101, s"in-model doc must score lower NLL: $out")
+    // train vocab V=3 (a,b,c); unseen-context bigram NLL = ln(V) = ln(3);
+    // doc 101's three bigrams all hit the uniform floor exactly
+    assert(s101 == 3L * math.floor(math.log(3.0) * 1e6).toLong)
+    // per-bigram NLL 1.0 sits between doc 100's ~0.42 and the ln(3)≈1.10
+    // uniform floor, so the keep bit separates the two
+    assert(out(100L)._3 && !out(101L)._3,
+      s"keep threshold must admit the in-model doc only: $out")
+  }
+
+  test("bpe step counts weighted adjacent pairs with deterministic ranking") {
+    import spark.implicits._
+    import graft.ops.Bpe
+    // 'ab' x3 and 'ba' x1 -> pair "a b" count 3, "b a" count 1;
+    // 'aaa' x1 -> "a a" count 2 (both positions); 1-char words ignored
+    val rows = Seq("ab ab ab ba aaa c").toDF("text")
+      .withColumn("toks", split(col("text"), " "))
+    val out = Bpe.topPairs(rows, col("toks"), k = 10)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1, "a b", 3L), (2, "a a", 2L), (3, "b a", 1L)))
+  }
+
   test("dsir importance scores rank target-like candidates above dissimilar ones") {
     import spark.implicits._
     import graft.ops.Dsir

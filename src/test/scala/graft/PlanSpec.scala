@@ -243,6 +243,35 @@ class PlanSpec extends AnyFunSuite {
       s"candidate join must key on the cell label:\n$pairPlan")
   }
 
+  test("pipe_lm_perplexity: gram-keyed model join, scalar vocab attach only") {
+    val plan = formatted(
+      graft.queries.PipelineQueries.pipe_lm_perplexity(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the ONE nested-loop join allowed is the 1-row vocab-size attach;
+    // the bigram/context model tables must join keyed, never nested-loop
+    // formatted explain prints each node in the tree AND the detail
+    // section — count distinct node ids, not lines
+    val bnlj = "\\(\\d+\\) BroadcastNestedLoopJoin".r
+      .findAllIn(plan).toSet.size
+    assert(bnlj <= 1, s"only the scalar vocab attach may nested-loop:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"model tables must join on the gram key:\n$plan")
+  }
+
+  test("pipe_bpe_step: vocabulary-sized pair stage, top-k never full-sorts") {
+    val plan = formatted(
+      graft.queries.PipelineQueries.pipe_bpe_step(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-k must be TakeOrdered, not sort+limit:\n$plan")
+    // both counting stages must partial-aggregate (map-side combine):
+    // corpus->word-freq and word->pair-count each show partial_count/sum
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      s"word-frequency stage must combine map-side:\n$plan")
+  }
+
   test("pipe_mix_weights scans the corpus once (units branch reuses the agg exchange)") {
     val df = graft.queries.PipelineQueries.pipe_mix_weights(spark, sf)
     df.collect() // materialize so AQE settles the final plan
