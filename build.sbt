@@ -35,5 +35,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dfile.encoding=UTF-8",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] on the 128 GiB bench machine: 8g thrashed G1 once the
+  // query surface passed ~90 (bench run-to-run swung 42..57s); 32g holds
+  // shuffle + checkpoint blocks comfortably and stabilizes timings.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

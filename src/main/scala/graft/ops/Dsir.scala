@@ -30,14 +30,15 @@ import Hashing.h64
   * engine to engine). The only cross-engine float surface is `ln` on B
   * bucket constants, agreed to 1e-6 between the JVM and DuckDB's libm.
   *
-  * Scale shape: one explode → bucket-keyed aggregate for the feature
-  * distributions (combiner-friendly, ≤ `buckets` result rows), the tiny
-  * `lr` table broadcast back over a second explode, one doc-keyed integer
-  * sum. The compact (id, toks, tgt) projection is snapshotted once; the
-  * exploded feature stream itself is never materialized — both passes
-  * re-derive it map-side from the snapshot, which is the right trade at
-  * 100 TB (re-exploding checkpointed arrays is cheap; spilling the
-  * exploded table is not).
+  * Scale shape: ONE explode+hash pass over the corpus, immediately
+  * collapsed to the per-document feature histogram (did, tgt, bucket,
+  * cnt) — combiner-friendly, ≤ docs × buckets rows — and snapshotted.
+  * Both model passes run over that compact table: the bucket
+  * distributions are a second-level aggregate of it (≤ `buckets` result
+  * rows), and scoring joins the tiny broadcast `lr` table back to it for
+  * one doc-keyed integer sum. The raw exploded feature stream is never
+  * materialized OR re-derived — at 100 TB, hashing every token twice is
+  * the cost worth designing away.
   */
 object Dsir {
 
@@ -51,20 +52,24 @@ object Dsir {
   def importanceScores(df: DataFrame, id: Column, toks: Column,
       isTarget: Column, buckets: Int): DataFrame = {
     val b = lit(buckets.toLong)
-    // one materialization: the two feature passes below both explode it
     val base = df
       .select(id.as("did"), toks.as("toks"), isTarget.cast("boolean").as("tgt"))
       .localCheckpoint(eager = false)
-    def features(src: DataFrame): DataFrame = src
+    // THE one corpus pass: explode unigrams+bigrams, hash, and collapse
+    // straight to the per-document feature histogram — every downstream
+    // stage reads this compact snapshot, never the raw feature stream
+    val feat = base
       .select(col("did"), col("tgt"),
         // guard: gramArray's sequence() runs DESCENDING below 2 tokens
         explode(concat(col("toks"),
           when(size(col("toks")) >= 2, Dedup.gramArray(col("toks"), 2))
             .otherwise(array().cast("array<string>")))).as("f"))
-      .select(col("did"), col("tgt"), pmod(h64(col("f")), b).as("bucket"))
-    val counts = features(base).groupBy(col("bucket")).agg(
-      sum(when(col("tgt"), 1L).otherwise(0L)).as("c_t"),
-      sum(when(col("tgt"), 0L).otherwise(1L)).as("c_r"))
+      .groupBy(col("did"), col("tgt"), pmod(h64(col("f")), b).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false)
+    val counts = feat.groupBy(col("bucket")).agg(
+      sum(when(col("tgt"), col("cnt")).otherwise(0L)).as("c_t"),
+      sum(when(col("tgt"), 0L).otherwise(col("cnt"))).as("c_r"))
     // totals: an unpartitioned window over the ≤ `buckets`-row aggregate
     // (never over the corpus — same shape as Mixture's global min)
     val all = Window.partitionBy()
@@ -75,9 +80,9 @@ object Dsir {
         ((col("c_r") + 1).cast("double") *
           (sum(col("c_t")).over(all) + b).cast("double"))) * 1e6)
         .cast("long").as("lr"))
-    val scored = features(base)
+    val scored = feat
       .join(broadcast(lr), "bucket")
-      .groupBy(col("did")).agg(sum(col("lr")).as("score"))
+      .groupBy(col("did")).agg(sum(col("cnt") * col("lr")).as("score"))
     base.select(col("did"))
       .join(scored, Seq("did"), "left")
       .select(col("did"), coalesce(col("score"), lit(0L)).as("score"))
