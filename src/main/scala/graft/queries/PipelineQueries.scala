@@ -536,6 +536,31 @@ object PipelineQueries {
     * (pack_id = running-token-count-before-this-doc div budget). The
     * window partitions by source, so packing parallelizes per shard with
     * no global sort — the way a real pipeline packs per input file. */
+  /** Deterministic epoch shuffle + sharding — the "globally shuffle the
+    * corpus, then write N training shards" stage every pretraining run
+    * ends with. The permutation is the md5 order of (seed, doc_id):
+    * reproducible in any engine, uncorrelated with the source order, and
+    * re-keyable per epoch by changing the seed. Shard = hash mod N (so
+    * shard sizes are balanced in expectation and assignment is map-only);
+    * pos = the doc's position in its shard's hash order.
+    *
+    * Scale shape: one map-only hash projection, one shuffle on the shard
+    * key, and a per-shard window — the window's sort is exactly the
+    * shard-local write order the sink needs anyway. No global sort
+    * anywhere: the permutation is DEFINED per shard, which is what a
+    * trainer consuming shards in parallel sees regardless. */
+  val pipe_epoch_shuffle: Q = (s, dir) => {
+    val key = h64(concat(lit("epoch1:"), col("doc_id")))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("key").asc, col("doc_id").asc)
+    docs(s, dir)
+      .select(col("doc_id"), key.as("key"))
+      .withColumn("shard", pmod(col("key"), lit(8L)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("doc_id"))
+  }
+
   val pipe_pack_sequences: Q = (s, dir) => {
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -810,6 +835,7 @@ object PipelineQueries {
     "dedup_cluster_canon" -> dedup_cluster_canon,
     "pipe_sample_stratified" -> pipe_sample_stratified,
     "pipe_pack_sequences" -> pipe_pack_sequences,
+    "pipe_epoch_shuffle" -> pipe_epoch_shuffle,
     "knn_sq8" -> knn_sq8,
     "knn_sq8_ivf" -> knn_sq8_ivf,
     "knn_pq" -> knn_pq,
@@ -1288,6 +1314,15 @@ object PipelineQueries {
         |  FROM documents)
         |WHERE bucket < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
         |ORDER BY doc_id""".stripMargin,
+    "pipe_epoch_shuffle" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5('epoch1:' || doc_id), 1, 15)) AS BIGINT) AS key
+        |  FROM documents)
+        |SELECT doc_id, key % 8 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY key % 8
+        |    ORDER BY key ASC, doc_id ASC) AS BIGINT) AS pos
+        |FROM k ORDER BY doc_id""".stripMargin,
     "pipe_pack_sequences" ->
       s"""SELECT source, doc_id, n_tok, CAST((cum - n_tok) // 512 AS BIGINT) AS pack_id
          |FROM (

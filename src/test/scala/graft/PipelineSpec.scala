@@ -500,6 +500,29 @@ class PipelineSpec extends AnyFunSuite {
       (20L, 20L, true))) // unpaired keeps itself
   }
 
+  test("epoch shuffle is a reproducible permutation with dense shard positions") {
+    import graft.queries.PipelineQueries
+    val sf = "/root/testdata/sf0.001"
+    val a = PipelineQueries.pipe_epoch_shuffle(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val b = PipelineQueries.pipe_epoch_shuffle(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.toSeq == b.toSeq, "the permutation must be run-reproducible")
+    assert(a.map(_._1).distinct.length == a.length, "every doc exactly once")
+    // positions are dense 1..n within each shard (the shard write order)
+    a.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        s"shard $shard positions not dense")
+    }
+    // the hash order must actually permute: doc_id order and shard-pos
+    // order disagree somewhere (holds for any non-degenerate corpus)
+    val inShardByDoc = a.groupBy(_._2).values.exists { rows =>
+      val byDoc = rows.sortBy(_._1).map(_._3).toSeq
+      byDoc != byDoc.sorted
+    }
+    assert(inShardByDoc, "hash order should not equal doc_id order")
+  }
+
   test("bigram LM scores train-like docs lower-NLL than out-of-model docs") {
     import spark.implicits._
     import graft.ops.LangModel
