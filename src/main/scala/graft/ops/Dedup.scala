@@ -43,11 +43,17 @@ object Dedup {
 
   /** All n-token window concatenations of `toks`, one per start position
     * (positions kept; [[shingles]] distincts, [[posGrams]] explodes —
-    * one definition so the gram text cannot drift between them). */
+    * one definition so the gram text cannot drift between them). Empty
+    * for arrays shorter than n — the guard lives HERE because
+    * `sequence()` runs DESCENDING on a negative span and would
+    * element_at(toks, 0) under ANSI mode; callers must not need to know
+    * that. */
   private[ops] def gramArray(toks: Column, n: Int): Column =
-    transform(sequence(lit(0), size(toks) - n),
-      i => concat_ws(" ",
-        (0 until n).map(j => element_at(toks, i + j + 1)): _*))
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ",
+          (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
 
   /** Positional token k-grams: (doc_id, gram), one row per window START
     * — within-doc repeats kept, unlike [[shingles]]' distinct sets, so
@@ -426,10 +432,14 @@ object Dedup {
     * (non-associative double sums differ run to run, let alone engine to
     * engine), so the rule here is the deterministic equivalent: keep the
     * member with the LOWEST MAXIMUM cosine to any of its over-threshold
-    * neighbors (max over a fixed set of deterministic pairwise cosines
-    * is order-exact), ties broken by smallest id. Same intent — the
-    * least-redundant member survives — engine-reproducible, so the
-    * DuckDB oracle gates the whole chain.
+    * neighbors, ties broken by smallest id. The ranked cosine is
+    * QUANTIZED first — `floor(cos · 1e4)` per pair — because an ORDERING
+    * is sensitive to float disagreement everywhere (a 1e-8 engine
+    * difference flips ranks and thus the keep bit), unlike the threshold
+    * compare, which is only sensitive at the cutoff; at 1e-4 granularity
+    * the rank is a pure integer comparison and residual ties fall to the
+    * id. Same intent — the least-redundant member survives —
+    * engine-reproducible, so the DuckDB oracle gates the whole chain.
     *
     * Scale shape: pair generation is bounded by cell population (the IVF
     * contract — never corpus²); components are O(log n) star-contraction
@@ -445,9 +455,10 @@ object Dedup {
     // (a, b, cos): consumed by components AND the max-sim aggregate
     val pc = cosinePairs(e, threshold).localCheckpoint(eager = false)
     val canon = connectedComponents(pc.select(col("a"), col("b")))
-    val maxSim = pc.select(col("a").as("m_vid"), col("cos"))
-      .union(pc.select(col("b").as("m_vid"), col("cos")))
-      .groupBy(col("m_vid")).agg(max(col("cos")).as("max_sim"))
+    val qcos = floor(col("cos") * 1e4).cast("long").as("qcos")
+    val maxSim = pc.select(col("a").as("m_vid"), qcos)
+      .union(pc.select(col("b").as("m_vid"), qcos))
+      .groupBy(col("m_vid")).agg(max(col("qcos")).as("max_sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("group_id"))
       .orderBy(col("max_sim").asc, col("doc_id").asc)

@@ -60,10 +60,7 @@ object Dsir {
     // stage reads this compact snapshot, never the raw feature stream
     val feat = base
       .select(col("did"), col("tgt"),
-        // guard: gramArray's sequence() runs DESCENDING below 2 tokens
-        explode(concat(col("toks"),
-          when(size(col("toks")) >= 2, Dedup.gramArray(col("toks"), 2))
-            .otherwise(array().cast("array<string>")))).as("f"))
+        explode(concat(col("toks"), Dedup.gramArray(col("toks"), 2))).as("f"))
       .groupBy(col("did"), col("tgt"), pmod(h64(col("f")), b).as("bucket"))
       .agg(count(lit(1)).as("cnt"))
       .localCheckpoint(eager = false)

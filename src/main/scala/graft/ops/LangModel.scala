@@ -53,11 +53,10 @@ object LangModel {
     val base = df
       .select(id.as("did"), toks.as("toks"), isTrain.cast("boolean").as("tr"))
       .localCheckpoint(eager = false)
-    // (did, tr, g, w1): one row per bigram POSITION; the `>= 2` guard is
-    // gramArray's own (sequence() runs DESCENDING below 2 tokens)
+    // (did, tr, g, w1): one row per bigram POSITION (gramArray is empty
+    // below 2 tokens)
     val bg = base.select(col("did"), col("tr"),
-        explode(when(size(col("toks")) >= 2, Dedup.gramArray(col("toks"), 2))
-          .otherwise(array().cast("array<string>"))).as("g"))
+        explode(Dedup.gramArray(col("toks"), 2)).as("g"))
       .withColumn("w1", substring_index(col("g"), " ", 1))
     val train = bg.where(col("tr"))
     val c2 = train.groupBy(col("g")).agg(count(lit(1)).as("c2"))

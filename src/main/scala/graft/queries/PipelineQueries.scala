@@ -269,9 +269,11 @@ object PipelineQueries {
   /** SemDeDup semantic dedup ([[graft.ops.Dedup.semantic]]): label cells
     * as the coarse clustering, within-cell cosine >= 0.4 pairs, duplicate
     * clusters via star-contraction components, ONE least-redundant keeper
-    * per cluster (lowest max-neighbor-cosine, ties to smallest id — the
-    * deterministic form of the paper's low-centroid-similarity rule).
-    * Floats stay internal; output is (vec_id, group_id, keep). */
+    * per cluster (lowest QUANTIZED max-neighbor-cosine, ties to smallest
+    * id — the deterministic form of the paper's low-centroid-similarity
+    * rule; see [[graft.ops.Dedup.semantic]] on why an ordering must
+    * quantize). Floats stay internal; output is (vec_id, group_id,
+    * keep). */
   val dedup_semantic: Q = (s, dir) =>
     Dedup.semantic(table(s, dir, "embeddings"),
       col("vec_id"), col("embedding"), col("label"), threshold = 0.4)
@@ -531,11 +533,6 @@ object PipelineQueries {
       .select(col("doc_id"), col("lang"), col("bucket"))
       .orderBy(col("doc_id"))
 
-  /** Sequence packing for training batches: within each source shard,
-    * documents in doc_id order fill contiguous ~512-token packs
-    * (pack_id = running-token-count-before-this-doc div budget). The
-    * window partitions by source, so packing parallelizes per shard with
-    * no global sort — the way a real pipeline packs per input file. */
   /** Deterministic epoch shuffle + sharding — the "globally shuffle the
     * corpus, then write N training shards" stage every pretraining run
     * ends with. The permutation is the md5 order of (seed, doc_id):
@@ -561,6 +558,11 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Sequence packing for training batches: within each source shard,
+    * documents in doc_id order fill contiguous ~512-token packs
+    * (pack_id = running-token-count-before-this-doc div budget). The
+    * window partitions by source, so packing parallelizes per shard with
+    * no global sort — the way a real pipeline packs per input file. */
   val pipe_pack_sequences: Q = (s, dir) => {
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -755,7 +757,8 @@ object PipelineQueries {
   /** CCNet-style LM quality filter ([[graft.ops.LangModel.bigramNll]]):
     * the `en` documents train an add-one-smoothed bigram LM; every
     * document scores its exact integer quantized NLL under it, and `keep`
-    * is the integral per-bigram-threshold form of "perplexity below 60".
+    * is the integral per-bigram-threshold form of "perplexity below 30"
+    * ([[PerBigramNllQ]] — ONE constant shared with the oracle SQL).
     * Scores are exact integers, so the whole filter is
     * oracle-reproducible. */
   val pipe_lm_perplexity: Q = (s, dir) =>
@@ -1504,9 +1507,12 @@ object PipelineQueries {
          |  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4),
          |${ccCtes("prc")},
          |ms AS (
-         |  SELECT m_vid, max(cos) AS max_sim FROM (
-         |    SELECT a AS m_vid, cos FROM prc
-         |    UNION ALL SELECT b AS m_vid, cos FROM prc)
+         |  SELECT m_vid, max(qcos) AS max_sim FROM (
+         |    SELECT a AS m_vid, CAST(floor(cos * 10000.0) AS BIGINT) AS qcos
+         |      FROM prc
+         |    UNION ALL
+         |    SELECT b AS m_vid, CAST(floor(cos * 10000.0) AS BIGINT) AS qcos
+         |      FROM prc)
          |  GROUP BY m_vid),
          |rk AS (
          |  SELECT c.doc AS vec_id, c.canon_id AS group_id,
