@@ -500,6 +500,76 @@ class PipelineSpec extends AnyFunSuite {
       (20L, 20L, true))) // unpaired keeps itself
   }
 
+  test("bigramNll, importanceScores, and topPairs match declarative specs on a randomized corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(727L)
+    // multi-char words so BPE pairs are non-trivial; small vocab forces
+    // shared bigrams between train and candidate docs
+    val vocab = Vector("ab", "bc", "abc", "ca", "a", "dd")
+    val corpus = (0L until 40L).map(i =>
+      (i, Vector.fill(rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))),
+        i % 3 == 0))
+    val df = corpus.toDF("id", "toks", "tgt")
+    def bigrams(ts: Vector[String]): Vector[String] =
+      ts.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toVector
+
+    // ---- LangModel spec: add-one bigram LM over the tgt rows
+    val train = corpus.filter(_._3)
+    val c2 = train.flatMap(c => bigrams(c._2)).groupBy(identity)
+      .map { case (g, o) => g -> o.size.toLong }
+    val c1 = train.flatMap(c => bigrams(c._2).map(_.split(" ")(0)))
+      .groupBy(identity).map { case (w, o) => w -> o.size.toLong }
+    val vv = train.flatMap(_._2).distinct.size.toLong
+    def qlp(g: String): Long = math.floor(-math.log(
+      (c2.getOrElse(g, 0L) + 1).toDouble /
+        (c1.getOrElse(g.split(" ")(0), 0L) + vv).toDouble) * 1e6).toLong
+    val thresh = 1500000L
+    val specLm = corpus.map { case (id, ts, _) =>
+      val bs = bigrams(ts)
+      val nll = bs.map(qlp).sum
+      id -> (bs.size.toLong, nll, nll <= bs.size * thresh)
+    }.toMap
+    val gotLm = graft.ops.LangModel.bigramNll(df, col("id"), col("toks"),
+        col("tgt"), thresh)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(gotLm == specLm, s"got $gotLm\nwant $specLm")
+
+    // ---- Dsir spec: hashed unigram+bigram LLR importance weights
+    val buckets = 32
+    def bucket(f: String): Long =
+      java.lang.Long.parseLong(
+        graft.ops.Hashing.md5Hex(f, 8).take(15), 16) % buckets
+    val feats = corpus.map { case (id, ts, tgt) =>
+      (id, tgt, (ts ++ bigrams(ts)).map(bucket)) }
+    val ct = feats.filter(_._2).flatMap(_._3).groupBy(identity)
+      .map { case (b, o) => b -> o.size.toLong }
+    val cr = feats.filterNot(_._2).flatMap(_._3).groupBy(identity)
+      .map { case (b, o) => b -> o.size.toLong }
+    val (tt, tr) = (ct.values.sum, cr.values.sum)
+    def lr(b: Long): Long = math.floor(math.log(
+      ((ct.getOrElse(b, 0L) + 1).toDouble * (tr + buckets)) /
+        ((cr.getOrElse(b, 0L) + 1).toDouble * (tt + buckets))) * 1e6).toLong
+    val specDs = feats.map { case (id, _, bs) => id -> bs.map(lr).sum }.toMap
+    val gotDs = graft.ops.Dsir.importanceScores(df, col("id"), col("toks"),
+        col("tgt"), buckets)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotDs == specDs, s"got $gotDs\nwant $specDs")
+
+    // ---- Bpe spec: word-frequency-weighted adjacent char pairs, top-k
+    val wf = corpus.flatMap(_._2).groupBy(identity)
+      .map { case (w, o) => w -> o.size.toLong }
+    val pc = wf.toSeq.flatMap { case (w, f) =>
+      w.toSeq.sliding(2).filter(_.size == 2)
+        .map(p => s"${p(0)} ${p(1)}" -> f).toSeq }
+      .groupBy(_._1).map { case (p, o) => p -> o.map(_._2).sum }
+    val specBp = pc.toSeq.sortBy { case (p, c) => (-c, p) }.take(5)
+      .zipWithIndex.map { case ((p, c), i) => (i + 1, p, c) }
+    val gotBp = graft.ops.Bpe.topPairs(df, col("toks"), k = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(gotBp == specBp, s"got $gotBp\nwant $specBp")
+  }
+
   test("epoch shuffle is a reproducible permutation with dense shard positions") {
     import graft.queries.PipelineQueries
     val sf = "/root/testdata/sf0.001"
