@@ -272,6 +272,42 @@ class PlanSpec extends AnyFunSuite {
       s"word-frequency stage must combine map-side:\n$plan")
   }
 
+  test("every registered query plans without an UNDECLARED cartesian") {
+    // The blanket scale audit: a CartesianProduct or nested-loop join
+    // appearing in ANY query's plan is a 100 TB killer unless it is one
+    // of the DECLARED exceptions below — each a deliberate, documented
+    // shape whose build side is bounded (a labeled brute-force baseline,
+    // a broadcast centroid table, a 1-row scalar). A new query that
+    // trips this must either fix its join keys or justify itself here.
+    val declared: Map[String, String] = Map(
+      "knn_brute" -> "labeled exact O(Q*N) baseline (Ann.scaladoc)",
+      "knn_recall" -> "composes knn_brute as its ground truth",
+      "pipe_kmeans_step" -> "corpus x k broadcast centroid assignment",
+      "knn_cell" -> "centroid assignment, k-bounded broadcast side",
+      "knn_ivf" -> "centroid assignment + nprobe cut, broadcast side",
+      "knn_sq8" -> "broadcast query side over int8 codes",
+      "knn_sq8_ivf" -> "centroid assignment + int8 ranking",
+      "knn_pq" -> "broadcast ADC lookup tables over PQ codes",
+      "knn_ivf_pq" -> "centroid assignment + ADC ranking",
+      "knn_lsh" -> "hyperplane constants, broadcast query side",
+      "pipe_lm_perplexity" -> "1-row vocabulary-size scalar attach",
+      "pipe_dsir_select" -> "1-row target-total scalar attach"
+    )
+    val sfDir = "/root/testdata/sf0.001"
+    val bad = SparkEntry.queries.toList.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan =
+          try formatted(fn(spark, sfDir))
+          catch { case e: Throwable => s"PLANNING FAILED: $e" }
+        val cartesian = plan.contains("CartesianProduct") ||
+          plan.contains("BroadcastNestedLoopJoin") ||
+          plan.contains("PLANNING FAILED")
+        if (cartesian && !declared.contains(name)) Some(name) else None
+    }
+    assert(bad.isEmpty,
+      s"undeclared cartesian/nested-loop (or planning failure) in: $bad")
+  }
+
   test("pipe_mix_weights scans the corpus once (units branch reuses the agg exchange)") {
     val df = graft.queries.PipelineQueries.pipe_mix_weights(spark, sf)
     df.collect() // materialize so AQE settles the final plan
