@@ -40,4 +40,60 @@ object Mixture {
     per.select(col("source"), col("n_docs"), col("n_tokens"), col("weight"),
       (col("weight") * u).as("alloc_tokens"))
   }
+
+  /** Temperature-scaled mixture sampling (the mC4 / XLM-R α-sampling
+    * rule, α = 1/2): per-source sampling mass ∝ n_tokens^α, so
+    * low-resource sources are upweighted relative to their natural
+    * share. Everything after the one `floor(sqrt(·))` — an exact IEEE
+    * pair of ops on any engine — is integer arithmetic:
+    *
+    *   w_s      = ⌊√n_tokens_s⌋
+    *   budget   = (Σ n_tokens) DIV 2          (half-corpus token budget)
+    *   target_s = (w_s · budget) DIV Σw
+    *   rate_s   = min(10^6, (target_s · 10^6) DIV n_tokens_s)  [ppm]
+    *
+    * A document survives iff its md5 bucket (`pmod(h64('tsamp:'||id),
+    * 10^6)`) falls under its source's rate — hash sampling, not rand():
+    * reproducible across runs, engines, and resumes, the same reason
+    * `pipe_sample_stratified` hashes. Selection is token-mass-targeted
+    * but decided per document, so realized kept_tokens tracks target_s
+    * in expectation (exact-budget packing is a knapsack, not a sampling
+    * pass).
+    *
+    * Scale shape: one source-keyed aggregate (map-side combine, tiny
+    * result), unpartitioned window sums over the per-source rows ONLY,
+    * then the rates broadcast back onto the corpus for the keep pass —
+    * the corpus is scanned twice (aggregate + filter), which is
+    * inherent: rates are a function of the global aggregate. Output per
+    * source: (source, n_docs, n_tokens, w, target_tokens, rate_ppm,
+    * kept_docs, kept_tokens). */
+  def temperatureSample(df: DataFrame, id: Column, source: Column,
+      nTok: Column): DataFrame = {
+    // two consumers (aggregate + keep pass) of the tokenized projection —
+    // snapshot so the token count runs once (the module self-join rule)
+    val rows = df.select(id.as("id"), source.as("source"), nTok.as("n_tok"))
+      .localCheckpoint(eager = false)
+    val per = rows.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val rates = per
+      .withColumn("w", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+      .withColumn("target_tokens",
+        expr("(w * (sum(n_tokens) OVER () DIV 2)) DIV sum(w) OVER ()"))
+      .withColumn("rate_ppm",
+        least(lit(1000000L), expr("(target_tokens * 1000000) DIV n_tokens")))
+    val kept = rows
+      .withColumn("bucket",
+        pmod(Hashing.h64(concat(lit("tsamp:"), col("id").cast("string"))),
+          lit(1000000L)))
+      .join(broadcast(rates.select(col("source"), col("rate_ppm"))),
+        Seq("source"))
+      .where(col("bucket") < col("rate_ppm"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("kept_docs"), sum(col("n_tok")).as("kept_tokens"))
+    rates.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("w"),
+        col("target_tokens"), col("rate_ppm"),
+        coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+  }
 }

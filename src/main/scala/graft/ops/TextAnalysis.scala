@@ -246,6 +246,64 @@ object TextAnalysis {
             .getField("line")).as("new_text"))
   }
 
+  /** URL canonicalization — the normalization every URL-keyed dedup or
+    * blocklist pass runs first (CommonCrawl-style pipelines dedup crawl
+    * records on exactly this key before any content pass). Rules, in
+    * order: drop the fragment; lowercase the scheme+authority (paths
+    * stay case-sensitive per RFC 3986); strip the scheme's default port
+    * (`:443` for https, `:80` for http); drop a pure-tracking query
+    * (`?utm_...` with only `utm_*`/`&`-joined params); strip one
+    * trailing slash. Pure ordered `regexp_replace` chain — codegen'd,
+    * engine-portable (no lookaround), map-only at any scale. */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    // lowercase scheme://host[:port] only — capture the prefix up to the
+    // first path/query character and rebuild with lower() via callUDF-free
+    // split: extract both halves, concat
+    val prefix = regexp_extract(noFrag, "^([^/?]*://[^/?]*)", 1)
+    val rest = noFrag.substr(length(prefix) + 1, length(noFrag))
+    val noPort = regexp_replace(
+      regexp_replace(lower(prefix), "^(https://[^/?:]*):443$", "$1"),
+      "^(http://[^/?:]*):80$", "$1")
+    val joined = concat(noPort, rest)
+    val noUtm = regexp_replace(joined, "\\?utm_[a-z]+=[^?#&]*(&utm_[a-z]+=[^?#&]*)*$", "")
+    regexp_replace(noUtm, "/$", "")
+  }
+
+  /** URL-keyed exact dedup over [[canonicalUrl]]: one occurrence per
+    * canonical URL survives (smallest id). One md5-keyed shuffle — the
+    * cheapest dedup pass a crawl corpus runs, before any content hash.
+    * Output: (canon_url, keep_id, copies). */
+  def urlDedup(df: DataFrame, id: Column, url: Column): DataFrame =
+    df.select(id.as("id"), canonicalUrl(url).as("canon_url"))
+      .groupBy(col("canon_url"))
+      .agg(min(col("id")).as("keep_id"), count(lit(1)).as("copies"))
+
+  /** Fixed-weight linear quality classifier over the Gopher metric
+    * features — the shape of a fastText/logreg quality scorer applied at
+    * corpus scale (the weights come from offline training; the engine's
+    * job is the map-only scoring pass). The score is integer-quantized
+    * so thresholding is engine-reproducible: features are floored to
+    * integers FIRST (each an exact IEEE op on both engines), then
+    * combined with integer weights — keep iff score >= 0.
+    *
+    *   f_alpha = floor(1000 · alpha_word_frac)   ∈ [0, 1000]
+    *   f_stop  = min(stop_hits, 20)
+    *   f_len   = floor(100 · mean_word_len)
+    *   score   = 3·f_alpha + 150·f_stop − 2·|f_len − 550| − 2500
+    *
+    * One codegen projection, no shuffle. Output: (id, score_q, keep). */
+  def qualityLinear(df: DataFrame, id: Column, text: Column,
+      stopwords: Seq[String]): DataFrame = {
+    val (_, meanLen, alphaFrac, stopHits) = gopherMetrics(text, stopwords)
+    val fAlpha = floor(alphaFrac * 1000).cast("long")
+    val fStop = least(stopHits, lit(20L))
+    val fLen = floor(meanLen * 100).cast("long")
+    val score = fAlpha * 3L + fStop * 150L - abs(fLen - 550L) * 2L - 2500L
+    df.select(id.as("id"), score.as("score_q"))
+      .withColumn("keep", col("score_q") >= 0L)
+  }
+
   /** Regex PII scrub: counts matches of each (tag, pattern) and replaces
     * them with `<TAG>` in order. Patterns should avoid lookaround if an
     * RE2-based oracle needs to reproduce them.

@@ -780,6 +780,53 @@ object PipelineQueries {
       .withColumn("rank", col("rank").cast("long"))
       .orderBy(col("rank"))
 
+  /** URL-keyed dedup over [[graft.ops.TextAnalysis.canonicalUrl]]: each
+    * doc_id-group of four synthesizes the same page behind four surface
+    * forms (upper-cased scheme/host + explicit `:443`, trailing slash,
+    * pure-utm tracking query, fragment) — the CommonCrawl crawl-record
+    * shapes — and canonicalization must collapse all four. The oracle
+    * derives the canonical form ARITHMETICALLY from the group number
+    * (never runs a regex), so the regex chain is gated against an
+    * independent restatement. One md5-keyed shuffle; map-only before it. */
+  val dedup_url: Q = (s, dir) => {
+    val g = expr("doc_id DIV 4")
+    val gs = g.cast("string")
+    val host = concat(pmod(g, lit(7)).cast("string"), lit(".example.com/p/"), gs)
+    val url = when(pmod(col("doc_id"), lit(4)) === 0,
+        concat(lit("HTTPS://Site"), pmod(g, lit(7)).cast("string"),
+          lit(".Example.COM:443/p/"), gs))
+      .when(pmod(col("doc_id"), lit(4)) === 1,
+        concat(lit("https://site"), host, lit("/")))
+      .when(pmod(col("doc_id"), lit(4)) === 2,
+        concat(lit("https://site"), host, lit("?utm_source=feed&utm_medium=rss")))
+      .otherwise(concat(lit("https://site"), host, lit("#sec2")))
+    TextAnalysis.urlDedup(docs(s, dir).withColumn("url", url),
+        col("doc_id"), col("url"))
+      .select(col("canon_url"), col("keep_id").as("keep_doc_id"), col("copies"))
+      .orderBy(col("canon_url"))
+  }
+
+  /** Temperature-scaled mixture sampling — see
+    * [[graft.ops.Mixture.temperatureSample]] (α = 1/2 over per-source
+    * token mass, half-corpus budget, ppm keep rates, md5-hash row
+    * selection). All-integer after one exact ⌊√·⌋, so the oracle
+    * reproduces rates AND the realized kept counts bit-for-bit. */
+  val pipe_temperature_sample: Q = (s, dir) =>
+    graft.ops.Mixture.temperatureSample(docs(s, dir), col("doc_id"),
+      col("source"), size(tokenizeDefault(col("text"))).cast("long"))
+      .orderBy(col("source"))
+
+  /** Fixed-weight linear quality classifier — see
+    * [[graft.ops.TextAnalysis.qualityLinear]]: the fastText/logreg
+    * scorer shape over the shared Gopher metric features, integer
+    * weights over floored features so the decision threshold is
+    * engine-exact. Map-only codegen projection. */
+  val pipe_quality_logreg: Q = (s, dir) =>
+    TextAnalysis.qualityLinear(docs(s, dir), col("doc_id"), col("text"),
+      stopwords = GopherStops)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
   /** ANN quality evaluation — recall@5 of the production IVF-PQ tier
     * against the exact brute-force baseline, per query: the acceptance
     * gate any approximate index build runs before serving (probe/recall
@@ -852,6 +899,9 @@ object PipelineQueries {
     "pipe_dsir_select" -> pipe_dsir_select,
     "pipe_lm_perplexity" -> pipe_lm_perplexity,
     "pipe_bpe_step" -> pipe_bpe_step,
+    "dedup_url" -> dedup_url,
+    "pipe_temperature_sample" -> pipe_temperature_sample,
+    "pipe_quality_logreg" -> pipe_quality_logreg,
     "text_pii_scrub" -> text_pii_scrub,
     "text_domains" -> text_domains,
     "mm_phash_buckets" -> mm_phash_buckets,
@@ -1241,6 +1291,57 @@ object PipelineQueries {
          |SELECT row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rank,
          |  pair, cnt
          |FROM pc ORDER BY cnt DESC, pair ASC LIMIT 50""".stripMargin,
+    // canonical URL derived ARITHMETICALLY from the group number — an
+    // independent restatement of what the Spark-side regex chain must
+    // collapse the four synthesized surface forms into
+    "dedup_url" ->
+      """SELECT 'https://site' || CAST((doc_id // 4) % 7 AS VARCHAR)
+        |    || '.example.com/p/' || CAST(doc_id // 4 AS VARCHAR) AS canon_url,
+        |  CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+        |  CAST(count(*) AS BIGINT) AS copies
+        |FROM documents GROUP BY 1 ORDER BY canon_url""".stripMargin,
+    "pipe_temperature_sample" ->
+      s"""WITH rows_ AS (
+         |  SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |per AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |  FROM rows_ GROUP BY source),
+         |r1 AS (
+         |  SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w
+         |  FROM per),
+         |r2 AS (
+         |  SELECT *, CAST((w * (sum(n_tokens) OVER () // 2))
+         |      // sum(w) OVER () AS BIGINT) AS target_tokens
+         |  FROM r1),
+         |r3 AS (
+         |  SELECT *, CAST(least(1000000, (target_tokens * 1000000) // n_tokens)
+         |    AS BIGINT) AS rate_ppm
+         |  FROM r2),
+         |kept AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS kept_docs,
+         |    CAST(sum(n_tok) AS BIGINT) AS kept_tokens
+         |  FROM rows_ JOIN r3 USING (source)
+         |  WHERE CAST(('0x' || substr(md5('tsamp:' || CAST(doc_id AS VARCHAR)), 1, 15))
+         |      AS BIGINT) % 1000000 < rate_ppm
+         |  GROUP BY source)
+         |SELECT source, n_docs, n_tokens, w, target_tokens, rate_ppm,
+         |  coalesce(kept_docs, 0) AS kept_docs,
+         |  coalesce(kept_tokens, 0) AS kept_tokens
+         |FROM r3 LEFT JOIN kept USING (source) ORDER BY source""".stripMargin,
+    "pipe_quality_logreg" ->
+      s"""WITH m AS (SELECT doc_id, $gopherMetricsSql FROM documents),
+         |f AS (
+         |  SELECT doc_id,
+         |    CAST(floor(alpha_word_frac * 1000) AS BIGINT) AS f_alpha,
+         |    least(stop_hits, 20) AS f_stop,
+         |    CAST(floor(mean_word_len * 100) AS BIGINT) AS f_len
+         |  FROM m)
+         |SELECT doc_id,
+         |  f_alpha * 3 + f_stop * 150 - abs(f_len - 550) * 2 - 2500 AS score_q,
+         |  f_alpha * 3 + f_stop * 150 - abs(f_len - 550) * 2 - 2500 >= 0 AS keep
+         |FROM f ORDER BY doc_id""".stripMargin,
     "text_gopher_filter" ->
       s"""WITH m AS (
          |  SELECT doc_id, $gopherMetricsSql

@@ -659,4 +659,92 @@ class PipelineSpec extends AnyFunSuite {
       s"target-like candidate must outscore dissimilar one: $s")
     assert(s(1L) > 0L, "target docs themselves score positive")
   }
+
+  test("canonicalUrl normalizes the RFC-3986-equivalent surface forms only") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val cases = Seq(
+      // (input, expected canonical)
+      ("HTTPS://WWW.Example.COM:443/Path/A", "https://www.example.com/Path/A"),
+      ("http://Host.net:80/x", "http://host.net/x"),
+      ("https://host.net:80/x", "https://host.net:80/x"), // non-default port kept
+      ("http://host.net:8080/x", "http://host.net:8080/x"),
+      ("https://a.com/p/", "https://a.com/p"),
+      ("https://a.com/p#frag", "https://a.com/p"),
+      ("https://a.com/p?utm_source=f&utm_medium=r", "https://a.com/p"),
+      // a real param anywhere means the query survives (incl. its utm_)
+      ("https://a.com/p?page=2&utm_source=f", "https://a.com/p?page=2&utm_source=f"),
+      ("https://a.com/p?utm_source=f&page=2", "https://a.com/p?utm_source=f&page=2"),
+      // path case is significant per RFC 3986 — only scheme+host lowercase
+      ("https://A.com/CaseSensitive", "https://a.com/CaseSensitive"),
+      // no scheme: canonicalization degrades to fragment/slash cleanup
+      ("www.example.com/p/", "www.example.com/p"))
+    val got = cases.map(_._1).toDF("u")
+      .select(TextAnalysis.canonicalUrl(col("u")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2),
+      got.zip(cases).filter { case (g, (_, w)) => g != w }.mkString("; "))
+  }
+
+  test("temperatureSample upweights low-resource sources and rates are exact") {
+    import spark.implicits._
+    import graft.ops.{Hashing, Mixture}
+    // two sources, 9:1 token mass — alpha=0.5 lifts the small source's
+    // share from 10% to sqrt(1)/(sqrt(9)+sqrt(1)) = 25%
+    val rows = (0L until 100L).map { i =>
+      val src = if (i < 90) "big" else "small"
+      (i, src, 10L) // 10 tokens each: big=900 toks, small=100
+    }
+    val df = rows.toDF("id", "src", "n")
+    val out = Mixture.temperatureSample(df, col("id"), col("src"), col("n"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7))).toMap
+    // spec, restated independently: w=floor(sqrt(toks)), budget=500,
+    // target=(w*500) div sum_w, rate=min(1e6, target*1e6 div toks)
+    val (wBig, wSmall) = (30L, 10L) // sqrt(900), sqrt(100)
+    val (tBig, tSmall) = ((wBig * 500) / 40, (wSmall * 500) / 40) // 375, 125
+    val (rBig, rSmall) = (tBig * 1000000L / 900, lit1e6min(tSmall * 1000000L / 100))
+    assert(out("big")._1 == 90 && out("big")._2 == 900)
+    assert(out("big")._3 == wBig && out("big")._4 == tBig && out("big")._5 == rBig)
+    assert(out("small")._3 == wSmall && out("small")._4 == tSmall &&
+      out("small")._5 == rSmall)
+    // small source's keep rate must exceed big's (the whole point)
+    assert(out("small")._5 > out("big")._5)
+    // kept counts match the hash rule exactly
+    def keptOf(src: String, rate: Long): Long = rows.count { case (i, s, _) =>
+      s == src && java.lang.Long.parseLong(
+        Hashing.md5Hex(s"tsamp:$i", 8).take(15), 16) % 1000000L < rate
+    }.toLong
+    assert(out("big")._6 == keptOf("big", rBig), s"big kept ${out("big")}")
+    assert(out("small")._6 == keptOf("small", rSmall))
+  }
+  private def lit1e6min(x: Long): Long = math.min(1000000L, x)
+
+  test("qualityLinear scores match the hand arithmetic on boundary docs") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val good = "the cat and the dog sat in a warm house " * 3 // stops, alpha
+    val digits = "12345 67890 11111 22222 33333"              // alpha_frac 0
+    val rows = Seq((1L, good), (2L, digits), (3L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val out = TextAnalysis.qualityLinear(rows, col("id"), col("text"),
+        Seq("the", "a", "and", "of", "to", "in", "is"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    def spec(text: String): Long = {
+      val t = Option(text).getOrElse("").toLowerCase
+      val toks = "[a-z0-9]+".r.findAllIn(t).toVector
+      val alnum = t.count(_.isLetterOrDigit).toLong
+      val alpha = toks.count(_.exists(_.isLetter)).toLong
+      val n = math.max(toks.size.toLong, 1L)
+      val fAlpha = math.floor(alpha.toDouble / n * 1000).toLong
+      val fStop = math.min(toks.count(Set("the", "a", "and", "of", "to", "in", "is")).toLong, 20L)
+      val fLen = math.floor(alnum.toDouble / n * 100).toLong
+      fAlpha * 3 + fStop * 150 - math.abs(fLen - 550) * 2 - 2500
+    }
+    assert(out(1L)._1 == spec(good) && out(1L)._2 == (spec(good) >= 0))
+    assert(out(1L)._2, "stopword-rich english must pass")
+    assert(out(2L)._1 == spec(digits) && !out(2L)._2, "digit gibberish fails")
+    assert(out(3L)._1 == spec(null) && !out(3L)._2, "null text scores as empty")
+  }
 }

@@ -146,6 +146,25 @@ class PlanSpec extends AnyFunSuite {
       s"the tiny benchmark set must broadcast, not shuffle the corpus:\n$plan")
   }
 
+  test("pipe_temperature_sample broadcasts the per-source rate table") {
+    val plan = formatted(
+      graft.queries.PipelineQueries.pipe_temperature_sample(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"the tiny rates table must broadcast onto the corpus, not shuffle it:\n$plan")
+  }
+
+  test("pipe_quality_logreg is one map-only projection before its output sort") {
+    val plan = formatted(
+      graft.queries.PipelineQueries.pipe_quality_logreg(spark, sf))
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
+      s"the linear scorer must not join or aggregate:\n$plan")
+    // exactly one exchange: the deterministic output orderBy
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, // range-partition sample + exchange in formatted output
+      s"scoring must add no shuffle beyond the output sort:\n$plan")
+  }
+
   test("pipe_kmeans_step broadcasts centroids; update shuffle is (cell,dim)") {
     val plan = formatted(graft.queries.PipelineQueries.pipe_kmeans_step(spark, sf))
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
