@@ -57,4 +57,13 @@ object Bpe {
           .orderBy(col("cnt").desc, col("pair").asc)))
       .select(col("rank"), col("pair"), col("cnt"))
   }
+
+  /** Greedy BPE encoding of `word` under `merges` (rank = list order,
+    * pair text space-joined as [[topPairs]] emits it) — see
+    * [[graft.exprs.BpeEncode]] for the exact GPT-2 `bpe()` semantics.
+    * Returns the piece array. */
+  def encode(word: Column, merges: Seq[String]): Column = {
+    import graft.exprs.exprs.{toColumn, toExpr}
+    toColumn(graft.exprs.BpeEncode(toExpr(word), merges))
+  }
 }

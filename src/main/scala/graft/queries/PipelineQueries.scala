@@ -780,6 +780,33 @@ object PipelineQueries {
       .withColumn("rank", col("rank").cast("long"))
       .orderBy(col("rank"))
 
+  /** BPE ENCODE under the table [[pipe_bpe_step]] trains — the
+    * tokenize-the-corpus pass of the tokenizer lifecycle, at the scale
+    * shape that makes it feasible: the corpus collapses to its DISTINCT
+    * words first (vocabulary-sized), each encoded once by the tight-loop
+    * [[graft.exprs.BpeEncode]] expression, and the 50-entry merge table
+    * rides the expression as a model-artifact constant (the
+    * [[graft.exprs.Pq]] codebook pattern — collecting a trained model to
+    * the driver is not a data collect). The oracle re-derives the same
+    * merge table and replays the greedy merge loop as a recursive CTE
+    * whose pass-parity arithmetic independently restates the
+    * sequential-scan rule, so the encode semantics are gated
+    * end-to-end. Output: (word, freq, enc, n_pieces). */
+  val pipe_bpe_apply: Q = (s, dir) => {
+    val merges = Bpe.topPairs(
+        docs(s, dir).select(tokenizeDefault(col("text")).as("toks")),
+        col("toks"), k = 50)
+      .orderBy(col("rank")).collect().map(_.getString(1)).toSeq
+    docs(s, dir).select(explode(tokenizeDefault(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("w").as("word"), col("freq"),
+        Bpe.encode(col("w"), merges).as("pieces"))
+      .select(col("word"), col("freq"),
+        concat_ws(" ", col("pieces")).as("enc"),
+        size(col("pieces")).cast("long").as("n_pieces"))
+      .orderBy(col("word"))
+  }
+
   /** URL-keyed dedup over [[graft.ops.TextAnalysis.canonicalUrl]]: each
     * doc_id-group of four synthesizes the same page behind four surface
     * forms (upper-cased scheme/host + explicit `:443`, trailing slash,
@@ -899,6 +926,7 @@ object PipelineQueries {
     "pipe_dsir_select" -> pipe_dsir_select,
     "pipe_lm_perplexity" -> pipe_lm_perplexity,
     "pipe_bpe_step" -> pipe_bpe_step,
+    "pipe_bpe_apply" -> pipe_bpe_apply,
     "dedup_url" -> dedup_url,
     "pipe_temperature_sample" -> pipe_temperature_sample,
     "pipe_quality_logreg" -> pipe_quality_logreg,
@@ -975,6 +1003,21 @@ object PipelineQueries {
     * column named `toks` — ONE copy for every 5-gram oracle (shingles,
     * kgram overlap, winnow, incremental) so the gram text cannot drift
     * from the shared Scala builder. */
+  /** DuckDB rendition of the BPE trainer's word-frequency + pair-count
+    * tables ([[graft.ops.Bpe.topPairs]]) — ONE copy shared by the
+    * pipe_bpe_step and pipe_bpe_apply oracles so the trained merge
+    * table cannot drift from the one the encoder replays. */
+  private val bpeCtesSql =
+    s"""t AS (SELECT $toksSql AS toks FROM documents),
+       |wf AS (SELECT w, count(*) AS freq
+       |  FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+       |pc AS (
+       |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT freq,
+       |      unnest(list_transform(range(greatest(length(w) - 1, 0)),
+       |        i -> substr(w, i + 1, 1) || ' ' || substr(w, i + 2, 1))) AS pair
+       |    FROM wf) GROUP BY pair)""".stripMargin
+
   private val gram5Sql =
     """list_transform(range(len(toks) - 4),
       |    i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3], toks[i+4], toks[i+5]))""".stripMargin
@@ -1279,18 +1322,66 @@ object PipelineQueries {
          |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
     "pipe_bpe_step" ->
-      s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
-         |wf AS (SELECT w, count(*) AS freq
-         |  FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
-         |pc AS (
-         |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
-         |    SELECT freq,
-         |      unnest(list_transform(range(greatest(length(w) - 1, 0)),
-         |        i -> substr(w, i + 1, 1) || ' ' || substr(w, i + 2, 1))) AS pair
-         |    FROM wf) GROUP BY pair)
+      s"""WITH $bpeCtesSql
          |SELECT row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rank,
          |  pair, cnt
          |FROM pc ORDER BY cnt DESC, pair ASC LIMIT 50""".stripMargin,
+    // the merge table re-derives via the SAME pc fragment the trainer
+    // oracle uses; the greedy merge loop replays as a recursive CTE —
+    // one iteration per applied merge, the within-pass "merge the 1st,
+    // 3rd, ... of overlapping occurrences" rule restated as island
+    // parity over the candidate positions (cs ascending, diff cs[k]-k
+    // constant within an island of consecutive candidates; a candidate
+    // merges iff its offset from the island head is even)
+    "pipe_bpe_apply" ->
+      s"""WITH RECURSIVE $bpeCtesSql,
+         |ms AS (
+         |  SELECT list(pair ORDER BY rnk) AS ms FROM (
+         |    SELECT pair, row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rnk
+         |    FROM pc) WHERE rnk <= 50),
+         |enc AS (
+         |  SELECT w, freq,
+         |    list_transform(range(length(w)), i -> substr(w, i + 1, 1)) AS syms,
+         |    length(w) < 2 AS done
+         |  FROM wf
+         |  UNION ALL
+         |  SELECT w, freq,
+         |    CASE WHEN minr IS NULL THEN syms ELSE
+         |      list_transform(
+         |        list_filter(range(len(syms)), i -> NOT list_contains(acts, i - 1)),
+         |        i -> CASE WHEN list_contains(acts, i)
+         |             THEN syms[i + 1] || syms[i + 2] ELSE syms[i + 1] END)
+         |    END AS syms,
+         |    minr IS NULL AS done
+         |  FROM (
+         |    SELECT w, freq, syms, minr,
+         |      CASE WHEN minr IS NULL THEN CAST([] AS BIGINT[]) ELSE
+         |        list_transform(
+         |          list_filter(range(len(cs)),
+         |            k -> (k - (list_position(diffs, diffs[k + 1]) - 1)) % 2 = 0),
+         |          k -> cs[k + 1]) END AS acts
+         |    FROM (
+         |      SELECT w, freq, syms, minr, cs,
+         |        list_transform(range(len(cs)), k -> cs[k + 1] - k) AS diffs
+         |      FROM (
+         |        SELECT w, freq, syms, minr,
+         |          CASE WHEN minr IS NULL THEN CAST([] AS BIGINT[])
+         |          ELSE list_filter(range(len(prs)), i -> prs[i + 1] = ms[minr])
+         |          END AS cs
+         |        FROM (
+         |          SELECT w, freq, syms, prs, ms,
+         |            list_min(list_filter(
+         |              list_transform(prs, p -> list_position(ms, p)),
+         |              r -> r IS NOT NULL AND r > 0)) AS minr
+         |          FROM (
+         |            SELECT e.w, e.freq, e.syms, m.ms,
+         |              list_transform(range(len(e.syms) - 1),
+         |                i -> e.syms[i + 1] || ' ' || e.syms[i + 2]) AS prs
+         |            FROM enc e, ms m WHERE NOT e.done))))))
+         |SELECT w AS word, CAST(freq AS BIGINT) AS freq,
+         |  array_to_string(syms, ' ') AS enc,
+         |  CAST(len(syms) AS BIGINT) AS n_pieces
+         |FROM enc WHERE done ORDER BY word""".stripMargin,
     // canonical URL derived ARITHMETICALLY from the group number — an
     // independent restatement of what the Spark-side regex chain must
     // collapse the four synthesized surface forms into

@@ -660,6 +660,55 @@ class PipelineSpec extends AnyFunSuite {
     assert(s(1L) > 0L, "target docs themselves score positive")
   }
 
+  test("BpeEncode matches a recursive declarative spec on randomized merge tables") {
+    import spark.implicits._
+    import graft.ops.Bpe
+    // independent restatement of GPT-2 bpe(): recursive single pass per
+    // best-rank pair (the expression uses an imperative index scan)
+    def pass(s: List[String], a: String, b: String): List[String] = s match {
+      case x :: y :: rest if x == a && y == b => (a + b) :: pass(rest, a, b)
+      case x :: rest => x :: pass(rest, a, b)
+      case Nil => Nil
+    }
+    def spec(word: String, merges: Seq[String]): List[String] = {
+      val rank = merges.zipWithIndex.reverse.toMap // first entry wins
+      @annotation.tailrec
+      def loop(s: List[String]): List[String] = {
+        val prs = s.zip(s.drop(1)).map { case (x, y) => s"$x $y" }
+        val present = prs.filter(rank.contains)
+        if (present.isEmpty) s
+        else {
+          val Array(a, b) = present.minBy(rank).split(" ", 2)
+          loop(pass(s, a, b))
+        }
+      }
+      loop(word.map(_.toString).toList)
+    }
+    val rnd = new scala.util.Random(1137L)
+    val alpha = Vector("a", "b", "c")
+    val allPairs = for (x <- alpha; y <- alpha) yield s"$x $y"
+    val cases = (0 until 200).map { _ =>
+      val w = (0 until rnd.nextInt(13)).map(_ => alpha(rnd.nextInt(3))).mkString
+      val ms = rnd.shuffle(allPairs).take(1 + rnd.nextInt(allPairs.size))
+      (w, ms)
+    }.filter(_._1.nonEmpty) :+
+      // the case where one-at-a-time merging would diverge from the
+      // pass-based rule: [a,b,a,b] with (ab a) outranked by (a b)
+      ("abab", Seq("a b", "ab a")) :+
+      ("aaaa", Seq("a a")) :+ ("aaaaa", Seq("a a", "aa a"))
+    for ((w, ms) <- cases) {
+      val got = Seq(w).toDF("w").select(Bpe.encode(col("w"), ms).as("p"))
+        .collect()(0).getSeq[String](0).toList
+      assert(got == spec(w, ms), s"word=$w merges=$ms got=$got want=${spec(w, ms)}")
+    }
+    // codepoint splitting: a surrogate-pair symbol is one symbol
+    val sp = "𝕒b" // 𝕒b
+    val got = Seq(sp).toDF("w")
+      .select(Bpe.encode(col("w"), Seq("𝕒 b")).as("p"))
+      .collect()(0).getSeq[String](0).toList
+    assert(got == List("𝕒b"), s"surrogate merge got $got")
+  }
+
   test("canonicalUrl normalizes the RFC-3986-equivalent surface forms only") {
     import spark.implicits._
     import graft.ops.TextAnalysis
