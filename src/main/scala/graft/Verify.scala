@@ -7,9 +7,15 @@ object Verify {
   def main(args: Array[String]): Unit = {
     // args: sfDir outDir [comma-separated query-name filter — local
     // iteration only; the driver always passes two args = run everything]
+    require(args.length >= 2, "usage: Verify <sfDir> <outDir> [names]")
     val (sfDir, outDir) = (args(0), args(1))
+    // drop empty segments: a trailing "" filter would otherwise pass the
+    // unknown-name require and silently run nothing
     val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSet) else None
+      if (args.length > 2)
+        Some(args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet)
+          .filter(_.nonEmpty)
+      else None
     // a misspelled filter name must fail loudly, not silently run nothing
     // (stale outputs from a previous dump would then be compared instead)
     only.foreach { names =>

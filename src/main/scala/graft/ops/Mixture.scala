@@ -79,8 +79,14 @@ object Mixture {
       .withColumn("w", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
       .withColumn("target_tokens",
         expr("(w * (sum(n_tokens) OVER () DIV 2)) DIV sum(w) OVER ()"))
+      // widen to DECIMAL(38,0) before the ×10^6 scale-up: in pure Int64
+      // the multiply wraps above ~9.2e12 target tokens — real at the
+      // module's 100 TB design point — and Spark wraps silently while
+      // DuckDB raises, so the engines would diverge exactly there. DIV on
+      // decimal operands is IntegralDivide → BIGINT (DuckDB: HUGEINT `//`).
       .withColumn("rate_ppm",
-        least(lit(1000000L), expr("(target_tokens * 1000000) DIV n_tokens")))
+        least(lit(1000000L),
+          expr("(CAST(target_tokens AS DECIMAL(38,0)) * 1000000) DIV n_tokens")))
     val kept = rows
       .withColumn("bucket",
         pmod(Hashing.h64(concat(lit("tsamp:"), col("id").cast("string"))),

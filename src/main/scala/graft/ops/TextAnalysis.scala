@@ -257,16 +257,28 @@ object TextAnalysis {
     * engine-portable (no lookaround), map-only at any scale. */
   def canonicalUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
-    // lowercase scheme://host[:port] only — capture the prefix up to the
-    // first path/query character and rebuild with lower() via callUDF-free
-    // split: extract both halves, concat
+    // lowercase ONLY the scheme and the host[:port] — userinfo
+    // (user:Pass@host) is case-sensitive per RFC 3986, so split the
+    // authority at its last '@' and rebuild, lowering just the two
+    // case-insensitive parts
     val prefix = regexp_extract(noFrag, "^([^/?]*://[^/?]*)", 1)
     val rest = noFrag.substr(length(prefix) + 1, length(noFrag))
-    val noPort = regexp_replace(
-      regexp_replace(lower(prefix), "^(https://[^/?:]*):443$", "$1"),
-      "^(http://[^/?:]*):80$", "$1")
+    val scheme = lower(regexp_extract(prefix, "^([^:]*)://", 1))
+    val auth = regexp_extract(prefix, "^[^:]*://(.*)$", 1)
+    val userinfo = regexp_extract(auth, "^(.*@)", 1) // greedy → last '@'
+    val hostPort = lower(regexp_replace(auth, "^.*@", ""))
+    val hostStripped = when(scheme === "https",
+        regexp_replace(hostPort, ":443$", ""))
+      .when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .otherwise(hostPort)
+    // scheme-less input never matched `prefix`: pass it through untouched
+    val noPort = when(length(prefix) === 0, lit(""))
+      .otherwise(concat(scheme, lit("://"), userinfo, hostStripped))
     val joined = concat(noPort, rest)
-    val noUtm = regexp_replace(joined, "\\?utm_[a-z]+=[^?#&]*(&utm_[a-z]+=[^?#&]*)*$", "")
+    // (?i): tracking params are stripped whatever their case — '?UTM_SOURCE='
+    // must collapse with '?utm_source=' (RE2-safe inline flag)
+    val noUtm = regexp_replace(joined,
+      "(?i)\\?utm_[a-z]+=[^?#&]*(&utm_[a-z]+=[^?#&]*)*$", "")
     regexp_replace(noUtm, "/$", "")
   }
 

@@ -1407,8 +1407,8 @@ object PipelineQueries {
          |      // sum(w) OVER () AS BIGINT) AS target_tokens
          |  FROM r1),
          |r3 AS (
-         |  SELECT *, CAST(least(1000000, (target_tokens * 1000000) // n_tokens)
-         |    AS BIGINT) AS rate_ppm
+         |  SELECT *, CAST(least(1000000, (CAST(target_tokens AS HUGEINT)
+         |      * 1000000) // n_tokens) AS BIGINT) AS rate_ppm
          |  FROM r2),
          |kept AS (
          |  SELECT source, CAST(count(*) AS BIGINT) AS kept_docs,
