@@ -397,9 +397,15 @@ object Dedup {
     * (float summation order is engine-specific); output is id pairs.
     * Output: (a, b). */
   def embeddingCosine(df: DataFrame, id: Column, vec: Column, cell: Column,
-      threshold: Double): DataFrame =
+      threshold: Double, maxCellSize: Int = DefaultMaxCellSize): DataFrame =
     cosinePairs(df.select(cell.as("label"), id.as("vid"), vec.as("v")),
-      threshold).select(col("a"), col("b"))
+      threshold, maxCellSize).select(col("a"), col("b"))
+
+  /** Per-cell population bound for [[cosinePairs]]. 2048 caps a sub-cell's
+    * pair volume at ~2M cosines (seconds of work per task) while staying a
+    * no-op for any healthy k-means assignment (corpus/k members per cell);
+    * the sf fixtures top out at 218 members per cell. */
+  val DefaultMaxCellSize: Int = 2048
 
   /** Within-cell cosine pairs WITH the similarity kept — shared by
     * [[embeddingCosine]] (which drops it: float scores never leave an
@@ -407,11 +413,38 @@ object Dedup {
     * keep decision). `e` must be (label, vid, v); output (a, b, cos),
     * a < b. The cosine itself is a sequential tight loop
     * ([[graft.exprs.CosineSimilarity]]) — deterministic, no
-    * aggregation-order float drift. */
-  private[ops] def cosinePairs(e: DataFrame, threshold: Double): DataFrame = {
-    val a = e.select(col("label"), col("vid").as("a"), col("v").as("va"))
-    val b = e.select(col("label"), col("vid").as("b"), col("v").as("vb"))
-    a.join(b, "label")
+    * aggregation-order float drift.
+    *
+    * Hot-cell guard: the within-cell self-join is Σ cell² — fine under a
+    * healthy clustering, quadratic under a degenerate one (every vector in
+    * one cell). Cells above `maxCellSize` members are re-salted into
+    * ceil(n / maxCellSize) sub-cells by a secondary hash of the VECTOR
+    * (deterministic — same corpus, same sub-cells), and pairs form within
+    * sub-cells only, bounding candidates at ~n·maxCellSize per hot cell
+    * instead of n². This trades recall inside oversized cells (a pair
+    * split across sub-cells is missed, ~1/ceil(n/cap) of hot-cell pairs
+    * survive) — acceptable under SemDeDup's own contract, which already
+    * treats the coarse clustering as an approximation and never compares
+    * across cells; an oversized cell is precisely where the clustering has
+    * failed to be informative. Healthy cells (n <= maxCellSize, the sf
+    * fixtures included) are bit-for-bit unaffected: salt is constant 0.
+    * The per-cell census joins back via broadcast — it is one row per
+    * CELL (k rows for a k-means assignment), never corpus-sized. */
+  private[ops] def cosinePairs(e: DataFrame, threshold: Double,
+      maxCellSize: Int = DefaultMaxCellSize): DataFrame = {
+    val census = e.groupBy(col("label")).agg(count(lit(1)).as("cell_n"))
+    val salted = e.join(broadcast(census), "label")
+      .withColumn("salt",
+        when(col("cell_n") > maxCellSize,
+          pmod(xxhash64(col("v")),
+            ceil(col("cell_n") / lit(maxCellSize.toDouble)).cast("long")))
+          .otherwise(lit(0L)))
+      .select(col("label"), col("salt"), col("vid"), col("v"))
+    val a = salted.select(col("label"), col("salt"),
+      col("vid").as("a"), col("v").as("va"))
+    val b = salted.select(col("label"), col("salt"),
+      col("vid").as("b"), col("v").as("vb"))
+    a.join(b, Seq("label", "salt"))
       .where(col("a") < col("b"))
       .withColumn("cos",
         graft.exprs.CosineSimilarity.cosine_similarity(col("va"), col("vb")))
@@ -448,12 +481,12 @@ object Dedup {
     * Output: (<id>, group_id, keep) for EVERY input row — unpaired rows
     * keep themselves, group_id = component minimum. */
   def semantic(df: DataFrame, id: Column, vec: Column, cell: Column,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxCellSize: Int = DefaultMaxCellSize): DataFrame = {
     // one materialization: the self-join (two branches) reads it twice
     val e = df.select(cell.as("label"), id.as("vid"), vec.as("v"))
       .localCheckpoint(eager = false)
     // (a, b, cos): consumed by components AND the max-sim aggregate
-    val pc = cosinePairs(e, threshold).localCheckpoint(eager = false)
+    val pc = cosinePairs(e, threshold, maxCellSize).localCheckpoint(eager = false)
     val canon = connectedComponents(pc.select(col("a"), col("b")))
     val qcos = floor(col("cos") * 1e4).cast("long").as("qcos")
     val maxSim = pc.select(col("a").as("m_vid"), qcos)

@@ -500,6 +500,36 @@ class PipelineSpec extends AnyFunSuite {
       (20L, 20L, true))) // unpaired keeps itself
   }
 
+  test("hot-cell guard bounds a degenerate cell's candidates; healthy cells untouched") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    // adversarial shape: EVERY vector lands in one cell (a failed/degenerate
+    // clustering) — unguarded, the within-cell self-join is n(n-1)/2
+    val n = 120
+    val e = (0 until n).map(i =>
+        (i.toLong, Array(math.cos(i * 0.1).toFloat, math.sin(i * 0.1).toFloat)))
+      .toDF("vid", "v").withColumn("cell", lit(0))
+    def pairs(cap: Int): Long =
+      Dedup.embeddingCosine(e, col("vid"), col("v"), col("cell"),
+        threshold = -1.0, maxCellSize = cap).count() // -1 keeps every candidate
+    // cap above the cell population -> guard is a no-op, all pairs emitted
+    assert(pairs(n) == n.toLong * (n - 1) / 2)
+    // cap 30 -> ceil(120/30)=4 salted sub-cells; candidates are exactly the
+    // within-sub-cell pairs (replay the salt to compute the expectation)
+    val subCounts = e
+      .withColumn("salt", pmod(xxhash64(col("v")), lit(4L)))
+      .groupBy("salt").count().collect().map(_.getAs[Long]("count"))
+    assert(subCounts.length == 4, s"salt must spread: ${subCounts.toSeq}")
+    val expected = subCounts.map(c => c * (c - 1) / 2).sum
+    val guarded = pairs(30)
+    assert(guarded == expected && guarded < n.toLong * (n - 1) / 2,
+      s"guarded=$guarded expected=$expected")
+    // the guard must not perturb semantic() below the cap: default cap on a
+    // 6-row cell reproduces the pinned output of the test above (implicit —
+    // that test runs with the default), and determinism holds across runs
+    assert(pairs(30) == guarded)
+  }
+
   test("bigramNll, importanceScores, and topPairs match declarative specs on a randomized corpus") {
     import spark.implicits._
     val rnd = new scala.util.Random(727L)

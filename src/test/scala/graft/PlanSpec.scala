@@ -260,6 +260,13 @@ class PlanSpec extends AnyFunSuite {
       .filter(_.matches(".*(Left|Right) keys.*")).toList
     assert(keyLines.exists(_.matches(".*\\blabel#\\d+.*")),
       s"candidate join must key on the cell label:\n$pairPlan")
+    // hot-cell guard (r8): the pair join must ALSO key on the salt, and
+    // the per-cell census (k rows for a k-cell clustering) must attach
+    // via broadcast — a corpus shuffle for a k-row table would be wrong
+    assert(keyLines.exists(_.matches(".*\\bsalt#\\d+.*")),
+      s"candidate join must key on the hot-cell salt:\n$pairPlan")
+    assert(pairPlan.contains("BroadcastHashJoin"),
+      s"cell census must broadcast-join, never shuffle the corpus:\n$pairPlan")
   }
 
   test("pipe_lm_perplexity: gram-keyed model join, scalar vocab attach only") {
