@@ -31,19 +31,38 @@ object Graft {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** The events table stores nanosecond timestamps, which Spark's Parquet
-    * reader rejects by default; read them as longs and derive a
-    * microsecond-truncated naive timestamp `ts` (exactly DuckDB's read of
-    * the same file), keeping the raw value as `ts_ns`. */
+  /** The events table, normalized to three timestamp views regardless of how
+    * the fixture stores `ts`: a naive `ts: timestamp_ntz`, epoch-micros
+    * `ts_us: long`, and epoch-nanos `ts_ns: long`. Fixture generations have
+    * alternated between int64 epoch-nanos (which Spark's Parquet reader
+    * rejects without the nanosAsLong shim) and a native `timestamp[us]`
+    * column, so we branch on the physical type — schema-on-read, same as the
+    * rest of the engine. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    // Integer `div`, NOT `/`: Column./ is double division, and an epoch-nanos
-    // value exceeds double's 53-bit mantissa — the rounding error is a few
-    // hundred nanoseconds, enough to mismatch DuckDB's exact truncation.
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts_us", expr("ts_ns div 1000"))
-      .withColumn("ts", timestamp_micros(col("ts_us")).cast("timestamp_ntz"))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // Integer `div`, NOT `/`: Column./ is double division, and an
+        // epoch-nanos value exceeds double's 53-bit mantissa — the rounding
+        // error is a few hundred nanoseconds, enough to mismatch DuckDB's
+        // exact truncation.
+        raw
+          .withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts_us", expr("ts_ns div 1000"))
+          .withColumn("ts", timestamp_micros(col("ts_us")).cast("timestamp_ntz"))
+      case TimestampType | TimestampNTZType =>
+        // Session TZ is pinned to UTC, so NTZ→LTZ cast for unix_micros is the
+        // identity instant mapping — same values DuckDB's epoch_us(ts) gives.
+        raw
+          .withColumn("ts", col("ts").cast(TimestampNTZType))
+          .withColumn("ts_us", unix_micros(col("ts").cast(TimestampType)))
+          .withColumn("ts_ns", col("ts_us") * lit(1000L))
+      case other =>
+        throw new IllegalStateException(
+          s"events.parquet ts column has unsupported type $other (expected int64 nanos or timestamp)")
+    }
   }
 }
