@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Hashing.h64
+
+/** Deterministic epoch shuffle + shard assignment — the "globally shuffle
+  * the corpus, then write N training shards" stage every pretraining run
+  * ends with (the reference engine has no analogue; this is part of the
+  * LLM-pipeline surface).
+  *
+  * The permutation is the md5 order of (seed, doc_id): reproducible in any
+  * engine, uncorrelated with the source order, and re-keyable per epoch by
+  * changing the seed. Shard = hash mod N (balanced in expectation,
+  * assignment is map-only); pos = the doc's position in its shard's hash
+  * order — exactly the shard-local write order the sink needs.
+  *
+  * Scale shape: one map-only hash projection, ONE shuffle on the shard
+  * key, and a per-shard window whose sort is shard-local. No global sort
+  * anywhere: the permutation is DEFINED per shard, which is what a trainer
+  * consuming shards in parallel sees regardless. The per-task sort is
+  * bounded by the shard size, so the shard count — not the corpus size —
+  * decides whether a task spills: at 100 TB you do not run 8 shards, you
+  * run corpus/targetShardSize of them. [[shardCount]]/[[epochShuffleAuto]]
+  * encode that sizing so callers never hard-code a count.
+  */
+object EpochShuffle {
+
+  /** Shuffle `df` into `numShards` shards under `seed`.
+    *
+    * Output columns: (doc_id, shard, pos) with pos dense 1..n per shard.
+    * `id` must be unique per row (it tiebreaks equal hash keys so the
+    * permutation is total, and names the output's doc_id column).
+    */
+  def epochShuffle(df: DataFrame, id: Column, seed: String, numShards: Long): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val key = h64(concat(lit(s"$seed:"), id.cast("string")))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("key").asc, col("doc_id").asc)
+    df.select(id.as("doc_id"), key.as("key"))
+      .withColumn("shard", pmod(col("key"), lit(numShards)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  /** Shard count for a corpus of `totalSize` units at `targetShardSize`
+    * units per shard: ceil(total/target), at least 1. Integer arithmetic so
+    * an external oracle reproduces the count exactly. */
+  def shardCount(totalSize: Long, targetShardSize: Long): Long = {
+    require(targetShardSize > 0, s"targetShardSize must be positive, got $targetShardSize")
+    math.max(1L, (math.max(0L, totalSize) + targetShardSize - 1) / targetShardSize)
+  }
+
+  /** Auto-sized variant: shard count = ceil(Σ size / targetShardSize).
+    *
+    * `size` is the per-row cost measure (tokens, bytes, chars). The census
+    * is one column-pruned aggregate returning a single scalar to the
+    * driver — O(scan) work, O(1) result, the same shape as any row-count
+    * census — and it fixes the per-shard sort at ~targetShardSize
+    * regardless of corpus scale. */
+  def epochShuffleAuto(df: DataFrame, id: Column, size: Column, seed: String,
+      targetShardSize: Long): DataFrame = {
+    require(targetShardSize > 0, s"targetShardSize must be positive, got $targetShardSize")
+    val total = df.agg(sum(size.cast("long"))).first() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    epochShuffle(df, id, seed, shardCount(total, targetShardSize))
+  }
+}

@@ -533,30 +533,26 @@ object PipelineQueries {
       .select(col("doc_id"), col("lang"), col("bucket"))
       .orderBy(col("doc_id"))
 
-  /** Deterministic epoch shuffle + sharding — the "globally shuffle the
-    * corpus, then write N training shards" stage every pretraining run
-    * ends with. The permutation is the md5 order of (seed, doc_id):
-    * reproducible in any engine, uncorrelated with the source order, and
-    * re-keyable per epoch by changing the seed. Shard = hash mod N (so
-    * shard sizes are balanced in expectation and assignment is map-only);
-    * pos = the doc's position in its shard's hash order.
-    *
-    * Scale shape: one map-only hash projection, one shuffle on the shard
-    * key, and a per-shard window — the window's sort is exactly the
-    * shard-local write order the sink needs anyway. No global sort
-    * anywhere: the permutation is DEFINED per shard, which is what a
-    * trainer consuming shards in parallel sees regardless. */
-  val pipe_epoch_shuffle: Q = (s, dir) => {
-    val key = h64(concat(lit("epoch1:"), col("doc_id")))
-    val w = Window.partitionBy(col("shard"))
-      .orderBy(col("key").asc, col("doc_id").asc)
-    docs(s, dir)
-      .select(col("doc_id"), key.as("key"))
-      .withColumn("shard", pmod(col("key"), lit(8L)))
-      .withColumn("pos", row_number().over(w).cast("long"))
-      .select(col("doc_id"), col("shard"), col("pos"))
+  /** Deterministic epoch shuffle + sharding at a fixed 8-shard oracle
+    * point; see [[graft.ops.EpochShuffle]] for the op and its scale
+    * shape (the shard count is the caller's lever — 8 is this oracle's
+    * pin, not a default). */
+  val pipe_epoch_shuffle: Q = (s, dir) =>
+    graft.ops.EpochShuffle
+      .epochShuffle(docs(s, dir), col("doc_id"), "epoch1", numShards = 8L)
       .orderBy(col("doc_id"))
-  }
+
+  /** Auto-sized epoch shuffle: shard count = ceil(Σ length(text) /
+    * 200k chars), so the per-shard sort stays ~200k chars of corpus no
+    * matter the scale — the sizing a 100 TB run needs (fixed counts give
+    * corpus/N-sized per-task sorts). The census is one column-pruned
+    * scalar aggregate; the oracle reproduces the count with the same
+    * integer ceil. */
+  val pipe_epoch_shuffle_auto: Q = (s, dir) =>
+    graft.ops.EpochShuffle
+      .epochShuffleAuto(docs(s, dir), col("doc_id"), length(col("text")),
+        "epoch1", targetShardSize = 200000L)
+      .orderBy(col("doc_id"))
 
   /** Sequence packing for training batches: within each source shard,
     * documents in doc_id order fill contiguous ~512-token packs
@@ -913,6 +909,7 @@ object PipelineQueries {
     "pipe_sample_stratified" -> pipe_sample_stratified,
     "pipe_pack_sequences" -> pipe_pack_sequences,
     "pipe_epoch_shuffle" -> pipe_epoch_shuffle,
+    "pipe_epoch_shuffle_auto" -> pipe_epoch_shuffle_auto,
     "knn_sq8" -> knn_sq8,
     "knn_sq8_ivf" -> knn_sq8_ivf,
     "knn_pq" -> knn_pq,
@@ -1518,6 +1515,18 @@ object PipelineQueries {
         |  CAST(row_number() OVER (PARTITION BY key % 8
         |    ORDER BY key ASC, doc_id ASC) AS BIGINT) AS pos
         |FROM k ORDER BY doc_id""".stripMargin,
+    "pipe_epoch_shuffle_auto" ->
+      """WITH n AS (
+        |  SELECT GREATEST(1, (sum(length(text)) + 199999) // 200000) AS ns
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5('epoch1:' || doc_id), 1, 15)) AS BIGINT) AS key
+        |  FROM documents)
+        |SELECT doc_id, key % ns AS shard,
+        |  CAST(row_number() OVER (PARTITION BY key % ns
+        |    ORDER BY key ASC, doc_id ASC) AS BIGINT) AS pos
+        |FROM k, n ORDER BY doc_id""".stripMargin,
     "pipe_pack_sequences" ->
       s"""SELECT source, doc_id, n_tok, CAST((cum - n_tok) // 512 AS BIGINT) AS pack_id
          |FROM (

@@ -623,6 +623,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(inShardByDoc, "hash order should not equal doc_id order")
   }
 
+  test("auto-sized epoch shuffle picks ceil(total/target) shards") {
+    import graft.ops.EpochShuffle
+    // the integer-ceil sizing rule, exactly
+    assert(EpochShuffle.shardCount(0L, 100L) == 1L)
+    assert(EpochShuffle.shardCount(1L, 100L) == 1L)
+    assert(EpochShuffle.shardCount(100L, 100L) == 1L)
+    assert(EpochShuffle.shardCount(101L, 100L) == 2L)
+    assert(EpochShuffle.shardCount(1000L, 100L) == 10L)
+    intercept[IllegalArgumentException](EpochShuffle.shardCount(10L, 0L))
+    intercept[IllegalArgumentException](
+      EpochShuffle.epochShuffle(Graft.table(spark, "/root/testdata/sf0.001", "documents"),
+        org.apache.spark.sql.functions.col("doc_id"), "s", numShards = 0L))
+    // the auto variant is the explicit variant at the computed count
+    val sf = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    val d = Graft.table(spark, sf, "documents")
+    val total = d.agg(sum(length(col("text")).cast("long"))).first().getLong(0)
+    val n = EpochShuffle.shardCount(total, 200000L)
+    val auto = graft.queries.PipelineQueries.pipe_epoch_shuffle_auto(spark, sf).collect()
+    val explicit = EpochShuffle.epochShuffle(d, col("doc_id"), "epoch1", n)
+      .orderBy(col("doc_id")).collect()
+    assert(auto.toSeq == explicit.toSeq)
+    assert(auto.map(_.getLong(1)).distinct.length.toLong == math.min(n, auto.length),
+      "every shard in range should be populated at this corpus size")
+  }
+
   test("bigram LM scores train-like docs lower-NLL than out-of-model docs") {
     import spark.implicits._
     import graft.ops.LangModel

@@ -139,6 +139,24 @@ class PlanSpec extends AnyFunSuite {
       s"window must partition by source:\n$winLine")
   }
 
+  test("epoch shuffle windows per shard, never one partition") {
+    import org.apache.spark.sql.functions._
+    // per-shard independence is the whole scale story: the position window
+    // must partition by shard (an empty spec = one-task global sort), and
+    // the only shuffle is the hash partition on the shard key
+    val df = graft.ops.EpochShuffle.epochShuffle(
+      Graft.table(spark, sf, "documents"), col("doc_id"), "epoch1", numShards = 8L)
+    val plan = formatted(df)
+    val winLine = plan.linesIterator.filter(_.contains("windowspecdefinition")).mkString
+    assert(winLine.contains("shard"), s"window must partition by shard:\n$winLine")
+    // count detail headers "(n) Exchange" — one per physical node
+    assert(plan.linesIterator.count(_.matches("\\(\\d+\\) Exchange.*")) == 1,
+      s"one shard-key shuffle expected:\n$plan")
+    val exchLine = plan.linesIterator.filter(_.contains("hashpartitioning")).mkString
+    assert(exchLine.contains("shard"),
+      s"the one shuffle must hash on shard:\n$plan")
+  }
+
   test("pipe_decontaminate broadcasts the benchmark side") {
     val plan = formatted(graft.queries.PipelineQueries.pipe_decontaminate(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), plan)
