@@ -58,6 +58,65 @@ object Bpe {
       .select(col("rank"), col("pair"), col("cnt"))
   }
 
+  /** Symbol array of `w`: its codepoints as one-char strings (the BPE
+    * base vocabulary). Empty for the empty string — `sequence()` runs
+    * DESCENDING on a negative span. */
+  private def charSyms(w: Column): Column =
+    when(length(w) >= 1,
+      transform(sequence(lit(1), length(w)), i => substring(w, i, lit(1))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Adjacent pairs of a symbol array as "a b" strings (the general form
+    * of [[charPairs]], over merged symbols instead of raw codepoints). */
+  private def symPairs(syms: Column): Column =
+    when(size(syms) >= 2,
+      transform(sequence(lit(0), size(syms) - 2),
+        i => concat(element_at(syms, i + 1), lit(" "),
+          element_at(syms, i + 2))))
+      .otherwise(array().cast("array<string>"))
+
+  /** The full BPE training loop: `iterations` rounds of count-pairs →
+    * pick the argmax → merge it everywhere, returning the learned merge
+    * table `(iter, pair, cnt)` in learning order. This is the driver
+    * loop [[topPairs]] deliberately leaves to the caller, packaged: the
+    * corpus collapses ONCE to its word-frequency table (localCheckpoint
+    * cuts the lineage so iteration i does not replay the corpus scan),
+    * and each round is a vocabulary-sized job — re-derive the current
+    * segmentation by replaying the merges learned so far through the
+    * tight-loop [[graft.exprs.BpeEncode]] expression (sequential
+    * training application ≡ rank-greedy encode: any merge that could
+    * re-expose an earlier pair must itself rank earlier, since a pair's
+    * component symbols always come from strictly earlier merges), count
+    * adjacent pairs weighted by word freq, and TakeOrdered the single
+    * winner to the driver (a model artifact, not a data collect).
+    *
+    * Stops early if the vocabulary runs out of adjacent pairs. Counts
+    * are exact; ties break on pair text — reproducible anywhere. */
+  def train(df: DataFrame, toks: Column, iterations: Int): DataFrame = {
+    require(iterations > 0, s"iterations must be positive, got $iterations")
+    val sp = df.sparkSession
+    val words = df.select(explode(toks).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    var exhausted = false
+    for (_ <- 1 to iterations if !exhausted) {
+      val syms =
+        if (merges.isEmpty) charSyms(col("w"))
+        else encode(col("w"), merges.map(_._1).toSeq)
+      val best = words
+        .select(col("freq"), explode(symPairs(syms)).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc).limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else merges += ((best(0).getString(0), best(0).getLong(1)))
+    }
+    import sp.implicits._
+    merges.toSeq.zipWithIndex
+      .map { case ((p, c), i) => ((i + 1).toLong, p, c) }
+      .toDF("iter", "pair", "cnt")
+  }
+
   /** Greedy BPE encoding of `word` under `merges` (rank = list order,
     * pair text space-joined as [[topPairs]] emits it) — see
     * [[graft.exprs.BpeEncode]] for the exact GPT-2 `bpe()` semantics.

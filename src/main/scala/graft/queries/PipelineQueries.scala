@@ -776,6 +776,39 @@ object PipelineQueries {
       .withColumn("rank", col("rank").cast("long"))
       .orderBy(col("rank"))
 
+  /** The FULL BPE training loop at N=3 ([[graft.ops.Bpe.train]]): each
+    * round counts pairs over the current segmentation, merges the argmax
+    * everywhere, repeats — so rounds 2 and 3 see pairs containing merged
+    * symbols the initial frequency table never had. The oracle replays
+    * all three rounds unrolled (count → argmax → island-parity merge
+    * apply), so the whole loop — not just round 1 — is gated. */
+  val pipe_bpe_train: Q = (s, dir) =>
+    Bpe.train(
+      docs(s, dir).select(tokenizeDefault(col("text")).as("toks")),
+      col("toks"), iterations = 3)
+      .orderBy(col("iter"))
+
+  /** ENCODE under the table [[pipe_bpe_train]] produces — train and
+    * apply gated as one lifecycle: the Spark side re-encodes the
+    * vocabulary with the learned 3-merge table via the rank-greedy
+    * [[graft.exprs.BpeEncode]], the oracle takes the segmentation the
+    * unrolled training replay left behind (sequential application),
+    * and the two must agree word-for-word. */
+  val pipe_bpe_train_apply: Q = (s, dir) => {
+    val merges = Bpe.train(
+        docs(s, dir).select(tokenizeDefault(col("text")).as("toks")),
+        col("toks"), iterations = 3)
+      .orderBy(col("iter")).collect().map(_.getString(1)).toSeq
+    docs(s, dir).select(explode(tokenizeDefault(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("w").as("word"), col("freq"),
+        Bpe.encode(col("w"), merges).as("pieces"))
+      .select(col("word"), col("freq"),
+        concat_ws(" ", col("pieces")).as("enc"),
+        size(col("pieces")).cast("long").as("n_pieces"))
+      .orderBy(col("word"))
+  }
+
   /** BPE ENCODE under the table [[pipe_bpe_step]] trains — the
     * tokenize-the-corpus pass of the tokenizer lifecycle, at the scale
     * shape that makes it feasible: the corpus collapses to its DISTINCT
@@ -924,6 +957,8 @@ object PipelineQueries {
     "pipe_lm_perplexity" -> pipe_lm_perplexity,
     "pipe_bpe_step" -> pipe_bpe_step,
     "pipe_bpe_apply" -> pipe_bpe_apply,
+    "pipe_bpe_train" -> pipe_bpe_train,
+    "pipe_bpe_train_apply" -> pipe_bpe_train_apply,
     "dedup_url" -> dedup_url,
     "pipe_temperature_sample" -> pipe_temperature_sample,
     "pipe_quality_logreg" -> pipe_quality_logreg,
@@ -1014,6 +1049,55 @@ object PipelineQueries {
        |      unnest(list_transform(range(greatest(length(w) - 1, 0)),
        |        i -> substr(w, i + 1, 1) || ' ' || substr(w, i + 2, 1))) AS pair
        |    FROM wf) GROUP BY pair)""".stripMargin
+
+  /** DuckDB rendition of ONE BPE training round over the running
+    * segmentation `enc{i-1}(w, freq, syms)`: count adjacent pairs
+    * weighted by freq (`pc_i`), keep the argmax (`m_i`, ties on pair
+    * text), and merge it everywhere (`enc_i`) under the same
+    * island-parity overlap rule the pipe_bpe_apply oracle restates —
+    * candidate positions `cs`, island id `cs[k]-k`, a candidate merges
+    * iff its offset from the island head is even. Generated per
+    * iteration so the unroll cannot drift between rounds. */
+  private def bpeTrainIterSql(i: Int): String =
+    s"""pc$i AS (
+       |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT freq,
+       |      unnest(list_transform(range(greatest(len(syms) - 1, 0)),
+       |        j -> syms[j + 1] || ' ' || syms[j + 2])) AS pair
+       |    FROM enc${i - 1}) GROUP BY pair),
+       |m$i AS (SELECT pair, cnt FROM pc$i ORDER BY cnt DESC, pair ASC LIMIT 1),
+       |enc$i AS (
+       |  SELECT w, freq,
+       |    list_transform(
+       |      list_filter(range(len(syms)), j -> NOT list_contains(acts, j - 1)),
+       |      j -> CASE WHEN list_contains(acts, j)
+       |           THEN syms[j + 1] || syms[j + 2] ELSE syms[j + 1] END) AS syms
+       |  FROM (
+       |    SELECT w, freq, syms,
+       |      list_transform(
+       |        list_filter(range(len(cs)),
+       |          k -> (k - (list_position(diffs, diffs[k + 1]) - 1)) % 2 = 0),
+       |        k -> cs[k + 1]) AS acts
+       |    FROM (
+       |      SELECT w, freq, syms, cs,
+       |        list_transform(range(len(cs)), k -> cs[k + 1] - k) AS diffs
+       |      FROM (
+       |        SELECT e.w, e.freq, e.syms,
+       |          list_filter(range(len(e.syms) - 1),
+       |            j -> e.syms[j + 1] || ' ' || e.syms[j + 2] = m.pair) AS cs
+       |        FROM enc${i - 1} e, m$i m))))""".stripMargin
+
+  /** The shared unrolled 3-round training chain: char segmentation
+    * `enc0` plus [[bpeTrainIterSql]] rounds 1..3. */
+  private val bpeTrainCtesSql =
+    s"""$bpeCtesSql,
+       |enc0 AS (
+       |  SELECT w, freq,
+       |    list_transform(range(length(w)), j -> substr(w, j + 1, 1)) AS syms
+       |  FROM wf),
+       |${bpeTrainIterSql(1)},
+       |${bpeTrainIterSql(2)},
+       |${bpeTrainIterSql(3)}""".stripMargin
 
   private val gram5Sql =
     """list_transform(range(len(toks) - 4),
@@ -1379,6 +1463,25 @@ object PipelineQueries {
          |  array_to_string(syms, ' ') AS enc,
          |  CAST(len(syms) AS BIGINT) AS n_pieces
          |FROM enc WHERE done ORDER BY word""".stripMargin,
+    // the unrolled 3-round training chain: each m_i is the argmax over
+    // pair counts of the PREVIOUS round's segmentation, so rounds 2-3
+    // gate the count→merge→recount loop, not just the initial table
+    "pipe_bpe_train" ->
+      s"""WITH $bpeTrainCtesSql
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS iter, pair, cnt FROM m1
+         |  UNION ALL SELECT 2, pair, cnt FROM m2
+         |  UNION ALL SELECT 3, pair, cnt FROM m3)
+         |ORDER BY iter""".stripMargin,
+    // the segmentation the training replay leaves behind IS the oracle
+    // for encode-under-the-trained-table (sequential application ≡
+    // rank-greedy encode)
+    "pipe_bpe_train_apply" ->
+      s"""WITH $bpeTrainCtesSql
+         |SELECT w AS word, CAST(freq AS BIGINT) AS freq,
+         |  array_to_string(syms, ' ') AS enc,
+         |  CAST(len(syms) AS BIGINT) AS n_pieces
+         |FROM enc3 ORDER BY word""".stripMargin,
     // canonical URL derived ARITHMETICALLY from the group number — an
     // independent restatement of what the Spark-side regex chain must
     // collapse the four synthesized surface forms into

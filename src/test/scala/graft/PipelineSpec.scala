@@ -600,6 +600,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(gotBp == specBp, s"got $gotBp\nwant $specBp")
   }
 
+  test("BPE training loop matches a sequential reference implementation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the Sennrich toy corpus shape: rounds 2+ must see pairs over merged
+    // symbols ("lo w", "ne w"-style) the initial char-pair table lacks
+    val corpus = Seq(
+      Seq("low", "low", "lower", "lowest", "newer", "newest"),
+      Seq("wider", "wide", "new", "newer", "lower", "low"))
+    val df = corpus.toDF("toks")
+
+    def mergeWord(syms: Vector[String], a: String, b: String): Vector[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += syms(i) + syms(i + 1); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toVector
+    }
+    var wf: Map[Vector[String], Long] = corpus.flatten.groupBy(identity)
+      .map { case (w, o) => w.map(_.toString).toVector -> o.size.toLong }
+    val want = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    for (it <- 1 to 4) {
+      val pc = wf.toSeq.flatMap { case (syms, f) =>
+        syms.sliding(2).filter(_.size == 2).map(p => (p(0), p(1)) -> f) }
+        .groupBy(_._1).map { case (p, o) => p -> o.map(_._2).sum }
+      val ((ba, bb), bc) = pc.toSeq.minBy { case ((a, b), c) => (-c, s"$a $b") }
+      want += ((it.toLong, s"$ba $bb", bc))
+      wf = wf.toSeq.map { case (syms, f) => mergeWord(syms, ba, bb) -> f }
+        .groupBy(_._1).map { case (s2, o) => s2 -> o.map(_._2).sum }
+    }
+    val got = graft.ops.Bpe.train(df, col("toks"), iterations = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == want.toSeq, s"got $got\nwant ${want.toSeq}")
+    intercept[IllegalArgumentException](
+      graft.ops.Bpe.train(df, col("toks"), iterations = 0))
+  }
+
   test("epoch shuffle is a reproducible permutation with dense shard positions") {
     import graft.queries.PipelineQueries
     val sf = "/root/testdata/sf0.001"
