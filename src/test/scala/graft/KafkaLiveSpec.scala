@@ -1,0 +1,159 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{Catalog, Searcher}
+import graft.streaming.StreamingIndexer
+
+/** F7-live — the reference's flagship Kafka tests against a REAL broker
+  * (`/root/reference/tests/kafka_indexing.rs:143-189` produce→split,
+  * `:191-246` restart mid-topic, `:266-329` checkpoint resume), which the
+  * MemoryStream contract suite (StreamingSpec) cannot cover: partition
+  * assignment, offset commit timing, and the connector's earliest/latest
+  * semantics only exist with a broker on the wire.
+  *
+  * Opt-in by environment: set `GRAFT_KAFKA_BOOTSTRAP=host:port` and put
+  * the `spark-sql-kafka-0-10` connector (+ its `kafka-clients`) on the
+  * test classpath. Absent either, every test CANCELS (never passes
+  * vacuously) — this sandbox has no broker and no connector jar, so the
+  * suite exists to make the claim testable anywhere, at zero cost here.
+  *
+  * The producer is driven reflectively so the suite compiles without
+  * kafka-clients at build time (the same reflection-adapter pattern as
+  * the S3 SDK adapter in ManifestStore).
+  */
+class KafkaLiveSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val bootstrap = sys.env.get("GRAFT_KAFKA_BOOTSTRAP")
+
+  private def classPresent(name: String): Boolean =
+    try { Class.forName(name); true }
+    catch { case _: Throwable => false }
+
+  /** Cancel (not pass) unless a broker address and the connector stack are
+    * both available; returns the bootstrap address when live. */
+  private def liveKafka(): String = {
+    assume(bootstrap.isDefined,
+      "GRAFT_KAFKA_BOOTSTRAP not set — live-broker suite canceled " +
+        "(MemoryStream contract coverage only)")
+    assume(classPresent("org.apache.spark.sql.kafka010.KafkaSourceProvider"),
+      "spark-sql-kafka connector not on the classpath — canceled")
+    assume(classPresent("org.apache.kafka.clients.producer.KafkaProducer"),
+      "kafka-clients not on the classpath — canceled")
+    bootstrap.get
+  }
+
+  /** Produce string values to `topic`, reflectively (no compile-time
+    * kafka-clients dependency). Flushes before returning so offsets are
+    * visible to the connector. */
+  private def produce(servers: String, topic: String, values: Seq[String]): Unit = {
+    val props = new java.util.Properties()
+    props.put("bootstrap.servers", servers)
+    props.put("key.serializer",
+      "org.apache.kafka.common.serialization.StringSerializer")
+    props.put("value.serializer",
+      "org.apache.kafka.common.serialization.StringSerializer")
+    val pCls = Class.forName("org.apache.kafka.clients.producer.KafkaProducer")
+    val rCls = Class.forName("org.apache.kafka.clients.producer.ProducerRecord")
+    val producer = pCls.getConstructor(classOf[java.util.Properties]).newInstance(props)
+    val rCtor = rCls.getConstructor(classOf[String], classOf[Object])
+    val send = pCls.getMethod("send", rCls)
+    try {
+      values.foreach { v =>
+        send.invoke(producer, rCtor.newInstance(topic, v).asInstanceOf[Object]): Unit
+      }
+      pCls.getMethod("flush").invoke(producer): Unit
+    } finally pCls.getMethod("close").invoke(producer): Unit
+  }
+
+  private val configYaml =
+    """version: 1
+      |name: kafka_live
+      |path: /tmp/unused
+      |schema:
+      |  fields:
+      |    - name: n
+      |      type: !number
+      |        type: i64
+      |""".stripMargin
+
+  private def freshTopic(): String =
+    s"graft-live-${graft.ops.Hashing.md5Hex(System.nanoTime().toString, 6)}"
+
+  test("produce -> AvailableNow batch drain -> splits + searchable docs") {
+    val servers = liveKafka()
+    val topic = freshTopic()
+    produce(servers, topic, (1 to 5).map(i => s"""{"n": $i}"""))
+
+    val root = Files.createTempDirectory("kafka-live").toString
+    val ckpt = Files.createTempDirectory("kafka-live-ckpt").toString
+    val cat = new Catalog(root)
+    cat.create(configYaml)
+    val streamer = new StreamingIndexer(spark, cat)
+    // earliest+AvailableNow = the reference's batch Kafka mode: drain the
+    // whole topic, commit, terminate (kafka_indexing.rs:143-189)
+    val q = streamer.startKafkaStream("kafka_live", servers, topic, ckpt,
+      earliest = true, availableNow = true)
+    q.awaitTermination(120000)
+
+    val splits = cat.liveSplits("kafka_live")
+    assert(splits.nonEmpty, "a drained topic with docs must commit a split")
+    assert(splits.map(_.numDocs).sum == 5)
+    val search = new Searcher(spark, cat)
+    assert(search.search("kafka_live", "n:3", 1) == Seq("""{"n":3}"""))
+  }
+
+  test("checkpoint restart resumes from committed offsets, not the beginning") {
+    val servers = liveKafka()
+    val topic = freshTopic()
+    produce(servers, topic, (1 to 3).map(i => s"""{"n": $i}"""))
+
+    val root = Files.createTempDirectory("kafka-live2").toString
+    val ckpt = Files.createTempDirectory("kafka-live2-ckpt").toString
+    val cat = new Catalog(root)
+    cat.create(configYaml)
+    val streamer = new StreamingIndexer(spark, cat)
+    val q1 = streamer.startKafkaStream("kafka_live", servers, topic, ckpt,
+      earliest = true, availableNow = true)
+    q1.awaitTermination(120000)
+    assert(cat.liveSplits("kafka_live").map(_.numDocs).sum == 3)
+
+    // new messages after the first drain; the SAME checkpoint must index
+    // only them (kafka_indexing.rs:266-329) — earliest=true exercises that
+    // committed offsets beat startingOffsets on restart
+    produce(servers, topic, Seq("""{"n": 4}""", """{"n": 5}"""))
+    val q2 = streamer.startKafkaStream("kafka_live", servers, topic, ckpt,
+      earliest = true, availableNow = true)
+    q2.awaitTermination(120000)
+    assert(cat.liveSplits("kafka_live").map(_.numDocs).sum == 5,
+      "restart must resume from committed offsets (no reprocessing)")
+  }
+
+  test("continuous-trigger stream commits splits while running") {
+    val servers = liveKafka()
+    val topic = freshTopic()
+    produce(servers, topic, Seq("""{"n": 1}""", """{"n": 2}"""))
+
+    val root = Files.createTempDirectory("kafka-live3").toString
+    val ckpt = Files.createTempDirectory("kafka-live3-ckpt").toString
+    val cat = new Catalog(root)
+    cat.create(configYaml)
+    val streamer = new StreamingIndexer(spark, cat)
+    // the serve-forever mode (kafka_indexing.rs:191-246): short commit
+    // interval, poll the manifest until the docs land, then stop
+    val q = streamer.startKafkaStream("kafka_live", servers, topic, ckpt,
+      commitInterval = "2 seconds", earliest = true)
+    try {
+      val deadline = System.currentTimeMillis() + 120000
+      var total = 0L
+      while (total < 2 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(1000)
+        total = cat.liveSplits("kafka_live").map(_.numDocs).sum
+      }
+      assert(total == 2, s"expected 2 docs committed by the running stream, got $total")
+    } finally q.stop()
+  }
+}
