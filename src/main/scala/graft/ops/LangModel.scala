@@ -89,4 +89,57 @@ object LangModel {
       .withColumn("keep",
         col("nll_q") <= col("n_bigrams") * lit(perBigramNllQ))
   }
+
+  /** CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3): score
+    * every document with [[bigramNll]], then bucket each language's
+    * documents into perplexity terciles — `head` = the best-fitting
+    * (lowest-perplexity) third, `middle`, `tail`. CCNet trains on the
+    * head bucket and uses middle/tail as progressively noisier pools.
+    *
+    * The per-document measure is the integer per-bigram NLL
+    * `ppl_q = nll_q div n_bigrams` (0 for bigram-less docs — no evidence
+    * against them, same stance as [[bigramNll]]'s keep). Boundaries are
+    * `percentile_disc(1/3)` / `percentile_disc(2/3)` per language —
+    * i.e. the smallest value whose cumulative count reaches ceil(n/3)
+    * resp. ceil(2n/3) — computed EXACTLY without a corpus sort: one
+    * histogram aggregate on (lang, ppl_q) (bounded by distinct quantized
+    * scores, far below row count), a cumulative window over that
+    * histogram (per-lang partitions of distinct VALUES, immune to the
+    * corpus-level skew of a dominant language), and a broadcast of the
+    * per-language boundary table back onto the scores (languages are
+    * ISO-code-bounded — a few hundred rows at any corpus size).
+    *
+    * Output: `(did, lang, n_bigrams, nll_q, ppl_q, bucket)`. */
+  def perplexityTerciles(df: DataFrame, id: Column, lang: Column,
+      toks: Column, isTrain: Column): DataFrame = {
+    // thread lang through bigramNll as part of a composite key so the
+    // scores come back language-tagged without a second corpus join
+    val scored = bigramNll(df, struct(id.as("i"), lang.as("l")), toks,
+        isTrain, perBigramNllQ = 0L)
+      .select(col("did.i").as("did"), col("did.l").as("lang"),
+        col("n_bigrams"), col("nll_q"))
+      .withColumn("ppl_q",
+        when(col("n_bigrams") > 0, expr("nll_q div n_bigrams"))
+          .otherwise(lit(0L)))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("ppl_q").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wLang = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    val hist = scored.groupBy(col("lang"), col("ppl_q"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wLang))
+    // percentile_disc positions: ceil(n/3) and ceil(2n/3), 1-based
+    val bounds = hist.groupBy(col("lang")).agg(
+      min(when(col("cum") >= expr("(n + 2) div 3"), col("ppl_q"))).as("t1"),
+      min(when(col("cum") >= expr("(2 * n + 2) div 3"), col("ppl_q"))).as("t2"))
+    scored.join(broadcast(bounds), Seq("lang"))
+      .withColumn("bucket",
+        when(col("ppl_q") <= col("t1"), lit("head"))
+          .when(col("ppl_q") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col("did"), col("lang"), col("n_bigrams"), col("nll_q"),
+        col("ppl_q"), col("bucket"))
+  }
 }

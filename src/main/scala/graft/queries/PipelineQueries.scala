@@ -776,6 +776,20 @@ object PipelineQueries {
       .withColumn("rank", col("rank").cast("long"))
       .orderBy(col("rank"))
 
+  /** CCNet's head/middle/tail perplexity terciles
+    * ([[graft.ops.LangModel.perplexityTerciles]]): per-language
+    * percentile_disc(1/3, 2/3) boundaries over the integer per-bigram
+    * NLL, exact via a value histogram — no corpus sort. The oracle uses
+    * DuckDB's native percentile_disc, so the histogram restatement is
+    * gated against the textbook definition. */
+  val pipe_lm_terciles: Q = (s, dir) =>
+    LangModel.perplexityTerciles(
+      docs(s, dir).select(col("doc_id"), col("lang"),
+        tokenizeDefault(col("text")).as("toks")),
+      col("doc_id"), col("lang"), col("toks"), col("lang") === "en")
+      .withColumnRenamed("did", "doc_id")
+      .orderBy(col("doc_id"))
+
   /** The FULL BPE training loop at N=3 ([[graft.ops.Bpe.train]]): each
     * round counts pairs over the current segmentation, merges the argmax
     * everywhere, repeats — so rounds 2 and 3 see pairs containing merged
@@ -955,6 +969,7 @@ object PipelineQueries {
     "pipe_chunk_windows" -> pipe_chunk_windows,
     "pipe_dsir_select" -> pipe_dsir_select,
     "pipe_lm_perplexity" -> pipe_lm_perplexity,
+    "pipe_lm_terciles" -> pipe_lm_terciles,
     "pipe_bpe_step" -> pipe_bpe_step,
     "pipe_bpe_apply" -> pipe_bpe_apply,
     "pipe_bpe_train" -> pipe_bpe_train,
@@ -1049,6 +1064,35 @@ object PipelineQueries {
        |      unnest(list_transform(range(greatest(length(w) - 1, 0)),
        |        i -> substr(w, i + 1, 1) || ' ' || substr(w, i + 2, 1))) AS pair
        |    FROM wf) GROUP BY pair)""".stripMargin
+
+  /** DuckDB rendition of [[graft.ops.LangModel.bigramNll]]'s scoring
+    * chain (train counts, vocab, per-doc quantized NLL sums) — ONE copy
+    * shared by the pipe_lm_perplexity and pipe_lm_terciles oracles so
+    * the model arithmetic cannot drift between the filter and tercile
+    * views. */
+  private val lmScoreCtesSql =
+    s"""t AS (SELECT doc_id, lang = 'en' AS tr, $toksSql AS toks FROM documents),
+       |bg AS (
+       |  SELECT doc_id, tr, g, split_part(g, ' ', 1) AS w1 FROM (
+       |    SELECT doc_id, tr,
+       |      unnest(list_transform(range(greatest(len(toks) - 1, 0)),
+       |        i -> toks[i+1] || ' ' || toks[i+2])) AS g
+       |    FROM t)),
+       |c2 AS (SELECT g, count(*) AS c2 FROM bg WHERE tr GROUP BY g),
+       |c1 AS (SELECT w1, count(*) AS c1 FROM bg WHERE tr GROUP BY w1),
+       |v AS (SELECT count(DISTINCT u) AS v
+       |  FROM (SELECT unnest(toks) AS u FROM t WHERE tr)),
+       |dg AS (SELECT doc_id, g, w1, count(*) AS cnt FROM bg
+       |  GROUP BY doc_id, g, w1),
+       |sc AS (
+       |  SELECT dg.doc_id,
+       |    CAST(sum(dg.cnt) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(dg.cnt * CAST(floor(-ln(
+       |        CAST(coalesce(c2.c2, 0) + 1 AS DOUBLE) /
+       |        CAST(coalesce(c1.c1, 0) + v.v AS DOUBLE)) * 1000000.0)
+       |      AS BIGINT)) AS BIGINT) AS nll_q
+       |  FROM dg LEFT JOIN c2 USING (g) LEFT JOIN c1 USING (w1) CROSS JOIN v
+       |  GROUP BY dg.doc_id)""".stripMargin
 
   /** DuckDB rendition of ONE BPE training round over the running
     * segmentation `enc{i-1}(w, freq, syms)`: count adjacent pairs
@@ -1373,28 +1417,7 @@ object PipelineQueries {
          |SELECT doc_id, score, sel_rank FROM sel WHERE sel_rank <= 100
          |ORDER BY doc_id""".stripMargin,
     "pipe_lm_perplexity" ->
-      s"""WITH t AS (SELECT doc_id, lang = 'en' AS tr, $toksSql AS toks FROM documents),
-         |bg AS (
-         |  SELECT doc_id, tr, g, split_part(g, ' ', 1) AS w1 FROM (
-         |    SELECT doc_id, tr,
-         |      unnest(list_transform(range(greatest(len(toks) - 1, 0)),
-         |        i -> toks[i+1] || ' ' || toks[i+2])) AS g
-         |    FROM t)),
-         |c2 AS (SELECT g, count(*) AS c2 FROM bg WHERE tr GROUP BY g),
-         |c1 AS (SELECT w1, count(*) AS c1 FROM bg WHERE tr GROUP BY w1),
-         |v AS (SELECT count(DISTINCT u) AS v
-         |  FROM (SELECT unnest(toks) AS u FROM t WHERE tr)),
-         |dg AS (SELECT doc_id, g, w1, count(*) AS cnt FROM bg
-         |  GROUP BY doc_id, g, w1),
-         |sc AS (
-         |  SELECT dg.doc_id,
-         |    CAST(sum(dg.cnt) AS BIGINT) AS n_bigrams,
-         |    CAST(sum(dg.cnt * CAST(floor(-ln(
-         |        CAST(coalesce(c2.c2, 0) + 1 AS DOUBLE) /
-         |        CAST(coalesce(c1.c1, 0) + v.v AS DOUBLE)) * 1000000.0)
-         |      AS BIGINT)) AS BIGINT) AS nll_q
-         |  FROM dg LEFT JOIN c2 USING (g) LEFT JOIN c1 USING (w1) CROSS JOIN v
-         |  GROUP BY dg.doc_id)
+      s"""WITH $lmScoreCtesSql
          |SELECT d.doc_id,
          |  coalesce(sc.n_bigrams, 0) AS n_bigrams,
          |  coalesce(sc.nll_q, 0) AS nll_q,
@@ -1402,6 +1425,27 @@ object PipelineQueries {
          |    AS keep
          |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // native percentile_disc on the oracle side vs the exact histogram
+    // restatement on the Spark side — the tercile boundary definition is
+    // what's being gated
+    "pipe_lm_terciles" ->
+      s"""WITH $lmScoreCtesSql,
+         |d2 AS (
+         |  SELECT d.doc_id, d.lang,
+         |    coalesce(sc.n_bigrams, 0) AS n_bigrams,
+         |    coalesce(sc.nll_q, 0) AS nll_q,
+         |    CASE WHEN coalesce(sc.n_bigrams, 0) > 0
+         |         THEN coalesce(sc.nll_q, 0) // sc.n_bigrams ELSE 0 END AS ppl_q
+         |  FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id),
+         |b AS (
+         |  SELECT lang,
+         |    percentile_disc(1.0/3) WITHIN GROUP (ORDER BY ppl_q) AS t1,
+         |    percentile_disc(2.0/3) WITHIN GROUP (ORDER BY ppl_q) AS t2
+         |  FROM d2 GROUP BY lang)
+         |SELECT doc_id, lang, n_bigrams, nll_q, ppl_q,
+         |  CASE WHEN ppl_q <= t1 THEN 'head'
+         |       WHEN ppl_q <= t2 THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM d2 JOIN b USING (lang) ORDER BY doc_id""".stripMargin,
     "pipe_bpe_step" ->
       s"""WITH $bpeCtesSql
          |SELECT row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rank,
