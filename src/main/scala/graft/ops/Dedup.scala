@@ -395,7 +395,9 @@ object Dedup {
   /** Embedding near-dup pairs: cosine >= threshold within a coarse cell
     * (the candidate bound — same contract as IVF). Scores stay internal
     * (float summation order is engine-specific); output is id pairs.
-    * Output: (a, b). */
+    * `cell` must be a coarse clustering label (k-means/IVF cell, k
+    * distinct values) — its census is broadcast, so row-cardinality
+    * labels are out of contract. Output: (a, b). */
   def embeddingCosine(df: DataFrame, id: Column, vec: Column, cell: Column,
       threshold: Double, maxCellSize: Int = DefaultMaxCellSize): DataFrame =
     cosinePairs(df.select(cell.as("label"), id.as("vid"), vec.as("v")),
@@ -432,6 +434,13 @@ object Dedup {
     * CELL (k rows for a k-means assignment), never corpus-sized. */
   private[ops] def cosinePairs(e: DataFrame, threshold: Double,
       maxCellSize: Int = DefaultMaxCellSize): DataFrame = {
+    // a cap <= 0 would make ceil(cell_n / cap) overflow instead of failing
+    require(maxCellSize > 0, s"maxCellSize must be positive, got $maxCellSize")
+    // broadcast contract: `label` must be a COARSE cell id (k-means /
+    // IVF-style, k rows of census, never row-cardinality) — a caller
+    // passing a high-cardinality column would broadcast a corpus-sized
+    // census; the forced hint is deliberate because Spark cannot estimate
+    // the census size under the checkpoint
     val census = e.groupBy(col("label")).agg(count(lit(1)).as("cell_n"))
     val salted = e.join(broadcast(census), "label")
       .withColumn("salt",
@@ -482,7 +491,8 @@ object Dedup {
     * keep themselves, group_id = component minimum. */
   def semantic(df: DataFrame, id: Column, vec: Column, cell: Column,
       threshold: Double, maxCellSize: Int = DefaultMaxCellSize): DataFrame = {
-    // one materialization: the self-join (two branches) reads it twice
+    // one materialization: the census groupBy plus the self-join's two
+    // branches read it three times
     val e = df.select(cell.as("label"), id.as("vid"), vec.as("v"))
       .localCheckpoint(eager = false)
     // (a, b, cos): consumed by components AND the max-sim aggregate

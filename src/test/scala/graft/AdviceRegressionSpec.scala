@@ -213,4 +213,25 @@ class AdviceRegressionSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(ok.forall(_._2 == 1L) && ok.length == 8)
   }
+
+  test("cosine-pair ops reject a non-positive cell cap instead of silently degrading") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // a cap <= 0 used to overflow ceil(cell_n/cap) so every row got a
+    // unique salt and the op emitted near-zero pairs without failing
+    val vecs = Seq((1L, Array(1.0f, 0.0f), 0L), (2L, Array(1.0f, 0.0f), 0L))
+      .toDF("vid", "v", "cell")
+    for (cap <- Seq(0, -1)) {
+      val ex = intercept[IllegalArgumentException] {
+        graft.ops.Dedup.embeddingCosine(vecs, col("vid"), col("v"), col("cell"),
+          threshold = 0.9, maxCellSize = cap).collect()
+      }
+      assert(ex.getMessage.contains("maxCellSize"))
+      val ex2 = intercept[IllegalArgumentException] {
+        graft.ops.Dedup.semantic(vecs, col("vid"), col("v"), col("cell"),
+          threshold = 0.9, maxCellSize = cap).collect()
+      }
+      assert(ex2.getMessage.contains("maxCellSize"))
+    }
+  }
 }
