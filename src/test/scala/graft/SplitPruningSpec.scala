@@ -578,6 +578,70 @@ class SplitPruningSpec extends AnyFunSuite {
       s"gen=${cats.head.manifestGen("race_test")}")
   }
 
+  test("a selective query opens O(matching splits) files at high split count") {
+    // the serving pin behind tools/ProbeServe (measured there at 1,000
+    // splits): a term/zone-selective query must OPEN only the splits the
+    // manifest prune keeps — `df.inputFiles` is the executed scan's file
+    // list, so this catches any regression where pruning is computed but
+    // the scan still enumerates everything. Bulk-backfill build shape:
+    // parallel writeSplit, one atomic swapSplits commit.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val n = 24
+    val root = Files.createTempDirectory("graft-serve").toString
+    val cat = new Catalog(root)
+    val cfg = cat.create(
+      """version: 1
+        |name: serve_test
+        |path: /tmp/unused
+        |schema:
+        |  fields:
+        |    - name: tenant
+        |      type: !text
+        |        indexed:
+        |          tokenizer: raw
+        |    - name: n
+        |      type: !number
+        |        type: i64
+        |    - name: msg
+        |      type: !text
+        |""".stripMargin)
+    val d = new graft.config.SchemaDerivation(cfg)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val splits = Await.result(Future.sequence((0 until n).map { i =>
+      Future {
+        val doc = f"""{"tenant": "t$i%04d", "n": $i, "msg": "payload alpha uniqtoken$i"}"""
+        val typed = d.ingest(Seq(doc).toDF("value"), col("value"))
+        val id = f"serve-$i%05d"
+        Indexer.writeSplit(spark, d, typed, cat.splitDir("serve_test", id), id)
+      }
+    }), Duration(300, "seconds"))
+    pool.shutdown()
+    assert(cat.swapSplits("serve_test", Nil, splits.toList))
+    assert(cat.liveSplits("serve_test").length == n)
+
+    val search = new Searcher(spark, cat)
+    def opened(q: String): Int =
+      search.searchDf("serve_test", graft.engine.SearchRequest(q, limit = 10))
+        .inputFiles.length
+    // dict prune: one tenant lives in one split
+    assert(opened("tenant:t0007") == 1)
+    assert(search.countMatches("serve_test", "tenant:t0007") == 1L)
+    // numeric zone maps: a 5-wide range opens exactly 5 splits
+    assert(opened("n:[10 TO 14]") == 5)
+    assert(search.countMatches("serve_test", "n:[10 TO 14]") == 5L)
+    // bloom term digests: a token unique to one doc opens ~1 split
+    // (digests are probabilistic; allow a false positive but not a scan)
+    assert(opened("msg:uniqtoken7") <= 2)
+    assert(search.countMatches("serve_test", "msg:uniqtoken7") == 1L)
+    // and the un-prunable query still sees everything (conservatism)
+    assert(opened("*") == n)
+    assert(search.countMatches("serve_test", "*") == n.toLong)
+  }
+
   test("bound extraction composes through booleans") {
     val formats = Seq("rfc3339", "timestamp")
     def b(q: String) = TimeBounds.extract(QueryParser.parse(q), "ts", formats)
