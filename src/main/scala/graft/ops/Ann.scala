@@ -135,6 +135,50 @@ object Ann {
       .agg(sum("q").as("sum_q"), count(lit(1)).as("n"))
   }
 
+  /** The full k-means driver loop over [[kmeansStep]]: `iterations`
+    * rounds of assign → update, returning `(iter, cell, d, cq)` — the
+    * micro-unit (1e-6 fixed point) centroid coordinates AFTER each
+    * round — so a replay oracle gates every round, not just the last.
+    * This is the loop [[kmeansStep]] leaves to the caller, packaged the
+    * same way [[Bpe.train]] packages the merge loop.
+    *
+    * Determinism across engines: per-dim sums are exact integers
+    * (kmeansStep's fixed-point quantization), the centroid update is
+    * integer division `sum_q div n` (truncating — Spark `div` and
+    * DuckDB `//` agree on negatives), and the next round's float
+    * centroids are the SAME float-rounded values on both sides
+    * (`(cq/1e6).toFloat` ≡ `CAST(CAST(cq AS DOUBLE)/1e6 AS FLOAT)`).
+    * Cells that lose all members drop out of later rounds (standard
+    * k-means empty-cell drop), identically in the replay.
+    *
+    * Scale shape: each round is one corpus assignment pass (broadcast
+    * centroids, narrow projection) plus a (cell, dim)-keyed aggregate
+    * whose result is k·dim rows — collected to the driver as a model
+    * artifact (the [[graft.exprs.Pq]] codebook pattern), never a data
+    * collect. Corpus cost is iterations × one scan, the unavoidable
+    * k-means floor. */
+  def kmeansTrain(corpus: DataFrame, init: DataFrame, iterations: Int): DataFrame = {
+    require(iterations > 0, s"iterations must be positive, got $iterations")
+    val sp = corpus.sparkSession
+    val c = corpus.localCheckpoint(eager = false)
+    var cents = init
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    for (i <- 1 to iterations) {
+      val upd = kmeansStep(c, cents)
+        .select(col("cell"), col("d").cast("long").as("d"),
+          expr("sum_q div n").as("cq"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      out ++= upd.map { case (cell, d, cq) => (i.toLong, cell, d, cq) }
+      val centRows = upd.groupBy(_._1).toSeq.map { case (cell, ds) =>
+        (cell, ds.sortBy(_._2).map(t => (t._3.toDouble / 1e6).toFloat).toSeq)
+      }
+      import sp.implicits._
+      cents = centRows.toDF("cid", "cv")
+    }
+    import sp.implicits._
+    out.toSeq.toDF("iter", "cell", "d", "cq")
+  }
+
   /** (vid, v float, qv8): the corpus with its int8 quantization, stats
     * collected once (the BM25 broadcast pattern) — shared by [[sq8]] and
     * [[sq8Ivf]]. */

@@ -948,9 +948,25 @@ object PipelineQueries {
       .orderBy(col("cell"), col("d"))
   }
 
+  /** The FULL k-means training loop at N=3 ([[graft.ops.Ann.kmeansTrain]]):
+    * assign → integer centroid update → reassign, seeded from the first
+    * 16 vectors. Rounds 2-3 assign against COMPUTED centroids, so the
+    * loop's cross-engine determinism story (fixed-point sums, truncating
+    * division, float-rounded centroid rebuild) is what the unrolled
+    * oracle gates. */
+  val pipe_kmeans_train: Q = (s, dir) => {
+    val e = corpus(s, dir)
+    Ann.kmeansTrain(
+      e.select(col("vid"), col("v")),
+      e.where(col("vid") < 16).select(col("vid").as("cid"), col("v").as("cv")),
+      iterations = 3)
+      .orderBy(col("iter"), col("cell"), col("d"))
+  }
+
   val all: Map[String, Q] = Map(
     "pipe_decontaminate" -> pipe_decontaminate,
     "pipe_kmeans_step" -> pipe_kmeans_step,
+    "pipe_kmeans_train" -> pipe_kmeans_train,
     "text_repetition" -> text_repetition,
     "dedup_cluster_canon" -> dedup_cluster_canon,
     "pipe_sample_stratified" -> pipe_sample_stratified,
@@ -1142,6 +1158,33 @@ object PipelineQueries {
        |${bpeTrainIterSql(1)},
        |${bpeTrainIterSql(2)},
        |${bpeTrainIterSql(3)}""".stripMargin
+
+  /** DuckDB rendition of ONE k-means round against the previous round's
+    * centroid table `kc{i-1}(cid, cv)`: cosine-argmax assignment
+    * (`asg_i`), fixed-point per-dim sums (`upd_i` — the pipe_kmeans_step
+    * arithmetic), truncating-division centroid micro-units (`cq_i`;
+    * DuckDB `//` ≡ Spark `div` on negatives), and the float-rounded
+    * rebuild (`kc_i`) the next round assigns against. Generated per
+    * iteration so the unroll cannot drift between rounds. */
+  private def kmeansIterSql(i: Int): String =
+    s"""asg$i AS (
+       |  SELECT cid AS cell, embedding FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cid ASC) AS crn
+       |    FROM embeddings e CROSS JOIN kc${i - 1} c)
+       |  WHERE crn = 1),
+       |upd$i AS (
+       |  SELECT cell, d, CAST(sum(q) AS BIGINT) AS sum_q, count(*) AS n FROM (
+       |    SELECT cell, i AS d,
+       |      CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+       |    FROM asg$i CROSS JOIN (SELECT unnest(range(64)) AS i))
+       |  GROUP BY cell, d),
+       |cq$i AS (SELECT cell, d, sum_q // n AS cq FROM upd$i),
+       |kc$i AS (
+       |  SELECT cell AS cid,
+       |    list(CAST(CAST(cq AS DOUBLE) / 1000000.0 AS FLOAT) ORDER BY d) AS cv
+       |  FROM cq$i GROUP BY cell)""".stripMargin
 
   private val gram5Sql =
     """list_transform(range(len(toks) - 4),
@@ -1425,6 +1468,20 @@ object PipelineQueries {
          |    AS keep
          |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // the unrolled 3-round k-means chain: rounds 2-3 assign against
+    // computed (fixed-point, float-rounded) centroids, gating the full
+    // assign->update->reassign loop, not just one step
+    "pipe_kmeans_train" ->
+      s"""WITH kc0 AS (
+         |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+         |${kmeansIterSql(1)},
+         |${kmeansIterSql(2)},
+         |${kmeansIterSql(3)}
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS iter, cell, d, cq FROM cq1
+         |  UNION ALL SELECT 2, cell, d, cq FROM cq2
+         |  UNION ALL SELECT 3, cell, d, cq FROM cq3)
+         |ORDER BY iter, cell, d""".stripMargin,
     // native percentile_disc on the oracle side vs the exact histogram
     // restatement on the Spark side — the tercile boundary definition is
     // what's being gated
