@@ -335,6 +335,7 @@ class PlanSpec extends AnyFunSuite {
       "knn_ivf_pq" -> "centroid assignment + ADC ranking",
       "knn_lsh" -> "hyperplane constants, broadcast query side",
       "pipe_lm_perplexity" -> "1-row vocabulary-size scalar attach",
+      "pipe_lm_terciles" -> "1-row vocabulary-size scalar attach (same bigramNll chain)",
       "pipe_dsir_select" -> "1-row target-total scalar attach"
     )
     val sfDir = "/root/testdata/sf0.001"
