@@ -963,10 +963,37 @@ object PipelineQueries {
       .orderBy(col("iter"), col("cell"), col("d"))
   }
 
+  /** IVF search served from TRAINED centroids — the production ANN
+    * lifecycle end-to-end: [[pipe_kmeans_train]]'s round-3 table is
+    * rebuilt in-plan into float centroid vectors (sorted-struct
+    * collect, the engine-stable float rounding) and fed straight into
+    * [[graft.ops.Ann.ivf]]. Gates that the trained quantizer actually
+    * serves: assignment, probing, and ranking all run against computed
+    * centroids, replayed end-to-end by the oracle. */
+  val knn_ivf_trained: Q = (s, dir) => {
+    val e = corpus(s, dir)
+    val trained = Ann.kmeansTrain(
+        e.select(col("vid"), col("v")),
+        e.where(col("vid") < 16).select(col("vid").as("cid"), col("v").as("cv")),
+        iterations = 3)
+      .where(col("iter") === 3)
+    val cents = trained.groupBy(col("cell"))
+      .agg(sort_array(collect_list(struct(col("d"), col("cq")))).as("ds"))
+      .select(col("cell").as("cid"),
+        expr("transform(ds, x -> CAST(CAST(x.cq AS DOUBLE) / 1000000.0 AS FLOAT))")
+          .as("cv"))
+    Ann.ivf(
+      e.where(col("vid") < 20).select(col("vid").as("qid"), col("v").as("qv")),
+      e.select(col("vid"), col("v")),
+      cents, nProbe = 2, k = 5)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val all: Map[String, Q] = Map(
     "pipe_decontaminate" -> pipe_decontaminate,
     "pipe_kmeans_step" -> pipe_kmeans_step,
     "pipe_kmeans_train" -> pipe_kmeans_train,
+    "knn_ivf_trained" -> knn_ivf_trained,
     "text_repetition" -> text_repetition,
     "dedup_cluster_canon" -> dedup_cluster_canon,
     "pipe_sample_stratified" -> pipe_sample_stratified,
@@ -1482,6 +1509,37 @@ object PipelineQueries {
          |  UNION ALL SELECT 2, cell, d, cq FROM cq2
          |  UNION ALL SELECT 3, cell, d, cq FROM cq3)
          |ORDER BY iter, cell, d""".stripMargin,
+    // the trained-quantizer serving path: the same unrolled training
+    // chain, then assignment/probing/ranking against kc3 — knn_ivf's
+    // query shape with computed centroids
+    "knn_ivf_trained" ->
+      s"""WITH kc0 AS (
+         |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+         |${kmeansIterSql(1)},
+         |${kmeansIterSql(2)},
+         |${kmeansIterSql(3)},
+         |asgT AS (
+         |  SELECT vec_id, embedding, cid AS cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cid ASC) AS crn
+         |    FROM embeddings e CROSS JOIN kc3 c)
+         |  WHERE crn = 1),
+         |probesT AS (
+         |  SELECT qid, qv, cell FROM (
+         |    SELECT e.vec_id AS qid, e.embedding AS qv, c.cid AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cid ASC) AS crn
+         |    FROM embeddings e CROSS JOIN kc3 c WHERE e.vec_id < 20)
+         |  WHERE crn <= 2),
+         |cand AS (
+         |  SELECT p.qid, a.vec_id AS neighbor,
+         |    row_number() OVER (PARTITION BY p.qid
+         |      ORDER BY list_cosine_similarity(p.qv, a.embedding) DESC, a.vec_id ASC) AS rank
+         |  FROM probesT p JOIN asgT a ON a.cell = p.cell
+         |  WHERE a.vec_id <> p.qid)
+         |SELECT qid, rank, neighbor FROM cand WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin,
     // native percentile_disc on the oracle side vs the exact histogram
     // restatement on the Spark side — the tercile boundary definition is
     // what's being gated
