@@ -24,17 +24,11 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  /** Adjacent character pairs of `w` as "a b" strings, one per position
-    * (empty below 2 chars — `sequence()` runs DESCENDING on a negative
-    * span, the [[Dedup.gramArray]] guard). `substring` is 1-based and
+  /** Adjacent character pairs of `w` as "a b" strings, one per position —
+    * [[symPairs]] over [[charSyms]]; `substring` is 1-based and
     * codepoint-counted in both Spark and DuckDB's `substr`, so the pair
     * text is engine-portable. */
-  private def charPairs(w: Column): Column =
-    when(length(w) >= 2,
-      transform(sequence(lit(0), length(w) - 2),
-        i => concat(substring(w, lit(1) + i, lit(1)), lit(" "),
-          substring(w, lit(2) + i, lit(1)))))
-      .otherwise(array().cast("array<string>"))
+  private def charPairs(w: Column): Column = symPairs(charSyms(w))
 
   /** The top-`k` symbol-pair merge candidates over `df`'s tokenized
     * `toks` column: `(rank, pair, cnt)` with `cnt` the exact number of
@@ -66,14 +60,10 @@ object Bpe {
       transform(sequence(lit(1), length(w)), i => substring(w, i, lit(1))))
       .otherwise(array().cast("array<string>"))
 
-  /** Adjacent pairs of a symbol array as "a b" strings (the general form
-    * of [[charPairs]], over merged symbols instead of raw codepoints). */
-  private def symPairs(syms: Column): Column =
-    when(size(syms) >= 2,
-      transform(sequence(lit(0), size(syms) - 2),
-        i => concat(element_at(syms, i + 1), lit(" "),
-          element_at(syms, i + 2))))
-      .otherwise(array().cast("array<string>"))
+  /** Adjacent pairs of a symbol array as "a b" strings — exactly
+    * [[Dedup.gramArray]] at n=2 (one definition of the space-joined
+    * pair text, shared with every other gram consumer). */
+  private def symPairs(syms: Column): Column = Dedup.gramArray(syms, 2)
 
   /** The full BPE training loop: `iterations` rounds of count-pairs →
     * pick the argmax → merge it everywhere, returning the learned merge
@@ -92,7 +82,16 @@ object Bpe {
     *
     * Stops early if the vocabulary runs out of adjacent pairs. Counts
     * are exact; ties break on pair text — reproducible anywhere. */
-  def train(df: DataFrame, toks: Column, iterations: Int): DataFrame = {
+  def train(df: DataFrame, toks: Column, iterations: Int): DataFrame =
+    trainWithVocab(df, toks, iterations)._1
+
+  /** [[train]] plus the checkpointed `(w, freq)` word-frequency table it
+    * trained on — for callers that immediately encode the same
+    * vocabulary (one corpus collapse instead of two; the checkpoint is
+    * already paid, re-deriving it would repeat the corpus explode the
+    * train scaladoc says we avoid). */
+  def trainWithVocab(df: DataFrame, toks: Column,
+      iterations: Int): (DataFrame, DataFrame) = {
     require(iterations > 0, s"iterations must be positive, got $iterations")
     val sp = df.sparkSession
     val words = df.select(explode(toks).as("w"))
@@ -112,9 +111,9 @@ object Bpe {
       else merges += ((best(0).getString(0), best(0).getLong(1)))
     }
     import sp.implicits._
-    merges.toSeq.zipWithIndex
+    (merges.toSeq.zipWithIndex
       .map { case ((p, c), i) => ((i + 1).toLong, p, c) }
-      .toDF("iter", "pair", "cnt")
+      .toDF("iter", "pair", "cnt"), words)
   }
 
   /** Greedy BPE encoding of `word` under `merges` (rank = list order,

@@ -809,12 +809,13 @@ object PipelineQueries {
     * unrolled training replay left behind (sequential application),
     * and the two must agree word-for-word. */
   val pipe_bpe_train_apply: Q = (s, dir) => {
-    val merges = Bpe.train(
-        docs(s, dir).select(tokenizeDefault(col("text")).as("toks")),
-        col("toks"), iterations = 3)
-      .orderBy(col("iter")).collect().map(_.getString(1)).toSeq
-    docs(s, dir).select(explode(tokenizeDefault(col("text"))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    // trainWithVocab hands back the checkpointed word-frequency table, so
+    // the encode pass reuses the one corpus collapse training already paid
+    val (mt, words) = Bpe.trainWithVocab(
+      docs(s, dir).select(tokenizeDefault(col("text")).as("toks")),
+      col("toks"), iterations = 3)
+    val merges = mt.orderBy(col("iter")).collect().map(_.getString(1)).toSeq
+    words
       .select(col("w").as("word"), col("freq"),
         Bpe.encode(col("w"), merges).as("pieces"))
       .select(col("word"), col("freq"),
@@ -1169,10 +1170,16 @@ object PipelineQueries {
        |      SELECT w, freq, syms, cs,
        |        list_transform(range(len(cs)), k -> cs[k + 1] - k) AS diffs
        |      FROM (
+       |        -- LEFT JOIN (not cross): a round with no merge candidate
+       |        -- left must pass the segmentation through unchanged, the
+       |        -- same early-stop Bpe.train takes — a cross join against an
+       |        -- empty m would silently empty the whole vocabulary
        |        SELECT e.w, e.freq, e.syms,
-       |          list_filter(range(len(e.syms) - 1),
-       |            j -> e.syms[j + 1] || ' ' || e.syms[j + 2] = m.pair) AS cs
-       |        FROM enc${i - 1} e, m$i m))))""".stripMargin
+       |          CASE WHEN m.pair IS NULL THEN CAST([] AS BIGINT[])
+       |          ELSE list_filter(range(len(e.syms) - 1),
+       |            j -> e.syms[j + 1] || ' ' || e.syms[j + 2] = m.pair)
+       |          END AS cs
+       |        FROM enc${i - 1} e LEFT JOIN m$i m ON TRUE))))""".stripMargin
 
   /** The shared unrolled 3-round training chain: char segmentation
     * `enc0` plus [[bpeTrainIterSql]] rounds 1..3. */

@@ -62,10 +62,13 @@ class KafkaLiveSpec extends AnyFunSuite {
     val rCtor = rCls.getConstructor(classOf[String], classOf[Object])
     val send = pCls.getMethod("send", rCls)
     try {
-      values.foreach { v =>
-        send.invoke(producer, rCtor.newInstance(topic, v).asInstanceOf[Object]): Unit
+      val futures = values.map { v =>
+        send.invoke(producer, rCtor.newInstance(topic, v).asInstanceOf[Object])
       }
       pCls.getMethod("flush").invoke(producer): Unit
+      // surface per-record failures NOW (ACLs, missing topic) — flush alone
+      // swallows them and the test would burn its full await instead
+      futures.foreach(_.asInstanceOf[java.util.concurrent.Future[_]].get(): Unit)
     } finally pCls.getMethod("close").invoke(producer): Unit
   }
 

@@ -637,6 +637,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == want.toSeq, s"got $got\nwant ${want.toSeq}")
     intercept[IllegalArgumentException](
       graft.ops.Bpe.train(df, col("toks"), iterations = 0))
+
+    // pair exhaustion before the iteration budget: "ab" has one pair,
+    // round 2 finds nothing — train stops early with ONE merge and the
+    // vocabulary still encodes (the oracle's LEFT-JOIN pass-through edge)
+    val tiny = Seq(Seq("ab", "ab", "ab")).toDF("toks")
+    val (mt, words) = graft.ops.Bpe.trainWithVocab(tiny, col("toks"), iterations = 3)
+    val mtRows = mt.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(mtRows == Seq((1L, "a b", 3L)), s"got $mtRows")
+    val encRows = words.select(col("w"),
+        concat_ws(" ", graft.ops.Bpe.encode(col("w"), mtRows.map(_._2))).as("enc"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(encRows == Seq(("ab", "ab")), s"got $encRows")
   }
 
   test("epoch shuffle is a reproducible permutation with dense shard positions") {
