@@ -925,6 +925,30 @@ object PipelineQueries {
       .orderBy(col("qid"))
   }
 
+  /** LSH candidate-quality gate — the dedup-tier analogue of
+    * [[knn_recall]]: precision/recall of the MinHash-LSH candidate pairs
+    * against the exact shingle-Jaccard >= 0.5 truth set, in exact-integer
+    * ppm (the acceptance check a dedup deployment runs before trusting a
+    * banding config). One row: missed true pairs cost recall, surviving
+    * false candidates cost precision (they only cost verify time — LSH
+    * feeds a verifier — which is why recall is the number that matters).
+    * Both operands are bounded pair sets; the truth side pays the same
+    * posting join its own gate (dedup_ngram_jaccard) already pays. */
+  val dedup_lsh_recall: Q = (s, dir) => {
+    val sh = shingled(s, dir)
+    val truth = Dedup.ngramJaccard(sh, threshold = 0.5).select(col("a"), col("b"))
+    val cand = Dedup.minhashLsh(sh, numHashes = 16, bands = 8)
+    val hit = truth.join(cand, Seq("a", "b")).agg(count(lit(1)).as("n_hit"))
+    val nt = truth.agg(count(lit(1)).as("n_true"))
+    val nc = cand.agg(count(lit(1)).as("n_cand"))
+    nt.crossJoin(nc).crossJoin(hit)
+      .select(col("n_true"), col("n_cand"), col("n_hit"),
+        expr("CASE WHEN n_cand > 0 THEN n_hit * 1000000 DIV n_cand ELSE 1000000 END")
+          .as("precision_ppm"),
+        expr("CASE WHEN n_true > 0 THEN n_hit * 1000000 DIV n_true ELSE 1000000 END")
+          .as("recall_ppm"))
+  }
+
   /** Benchmark decontamination: shingle-overlap counts between the
     * corpus (doc_id >= 10) and a benchmark set (docs 0-9 stand in for an
     * eval suite). Benchmark side broadcast → map-side-only corpus pass;
@@ -1006,6 +1030,7 @@ object PipelineQueries {
     "knn_pq" -> knn_pq,
     "knn_ivf_pq" -> knn_ivf_pq,
     "knn_recall" -> knn_recall,
+    "dedup_lsh_recall" -> dedup_lsh_recall,
     "text_line_dedup" -> text_line_dedup,
     "text_line_dedup_apply" -> text_line_dedup_apply,
     "pipe_mix_weights" -> pipe_mix_weights,
@@ -1339,6 +1364,19 @@ object PipelineQueries {
       |    WHERE q.vec_id < 20 AND e.vec_id <> q.vec_id)
       |  WHERE rank <= 5)""".stripMargin
 
+  /** The exact shingle-Jaccard >= 0.5 pair fragment (`ex`, `jac`) over a
+    * CTE named `sh` the caller supplies — split out so chains that
+    * already define `sh` (the MinHash one, in the recall gate) can
+    * compose without duplicating the pair arithmetic. */
+  private val jaccardPairCtes =
+    """ex AS (SELECT doc_id, len(shingles) AS nsh, unnest(shingles) AS s FROM sh),
+      |jac AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter,
+      |    a.nsh + b.nsh - count(*) AS uni
+      |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, a.nsh, b.nsh
+      |  HAVING CAST(count(*) AS DOUBLE) / (a.nsh + b.nsh - count(*)) >= 0.5)""".stripMargin
+
   /** Exact shingle-Jaccard >= 0.5 pair CTE chain (`sh`, `ex`, `jac`) —
     * ONE definition shared by the plain pair oracle, the prefix-filtered
     * pair oracle (identical by design: prefix filtering only prunes
@@ -1346,13 +1384,7 @@ object PipelineQueries {
     * tokenizer change lands in every gated query at once. */
   private val jaccardCtes =
     s"""sh AS ($shingleSql),
-       |ex AS (SELECT doc_id, len(shingles) AS nsh, unnest(shingles) AS s FROM sh),
-       |jac AS (
-       |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter,
-       |    a.nsh + b.nsh - count(*) AS uni
-       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2, a.nsh, b.nsh
-       |  HAVING CAST(count(*) AS DOUBLE) / (a.nsh + b.nsh - count(*)) >= 0.5)""".stripMargin
+       |$jaccardPairCtes""".stripMargin
 
   /** Recursive label-reachability fragment: connected components with
     * min-id canon over a named (a, b) pair relation (every vertex
@@ -1374,6 +1406,21 @@ object PipelineQueries {
     "dedup_ngram_jaccard" ->
       s"""WITH $jaccardCtes
          |SELECT a, b, inter, uni FROM jac ORDER BY a, b""".stripMargin,
+    // LSH candidates (prs) scored against the exact truth set (jac):
+    // the two shared chains compose over the one sh definition
+    "dedup_lsh_recall" ->
+      s"""WITH $minhashCtes,
+         |$jaccardPairCtes,
+         |hit AS (SELECT count(*) AS n_hit
+         |  FROM jac j JOIN prs p ON p.a = j.a AND p.b = j.b),
+         |nt AS (SELECT count(*) AS n_true FROM jac),
+         |nc AS (SELECT count(*) AS n_cand FROM prs)
+         |SELECT n_true, n_cand, n_hit,
+         |  CASE WHEN n_cand > 0 THEN n_hit * 1000000 // n_cand
+         |       ELSE 1000000 END AS precision_ppm,
+         |  CASE WHEN n_true > 0 THEN n_hit * 1000000 // n_true
+         |       ELSE 1000000 END AS recall_ppm
+         |FROM nt, nc, hit""".stripMargin,
     "dedup_jaccard_prefix" ->
       s"""WITH $jaccardCtes
          |SELECT a, b, inter, uni FROM jac ORDER BY a, b""".stripMargin,

@@ -337,7 +337,8 @@ class PlanSpec extends AnyFunSuite {
       "knn_lsh" -> "hyperplane constants, broadcast query side",
       "pipe_lm_perplexity" -> "1-row vocabulary-size scalar attach",
       "pipe_lm_terciles" -> "1-row vocabulary-size scalar attach (same bigramNll chain)",
-      "pipe_dsir_select" -> "1-row target-total scalar attach"
+      "pipe_dsir_select" -> "1-row target-total scalar attach",
+      "dedup_lsh_recall" -> "three 1-row count scalars cross-joined into the report row"
     )
     val sfDir = "/root/testdata/sf0.001"
     // planning failure is tracked SEPARATELY from the cartesian flag: a
