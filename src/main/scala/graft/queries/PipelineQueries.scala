@@ -700,6 +700,32 @@ object PipelineQueries {
     * chunk_hash = md5 of the space-joined window, the key a downstream
     * embed-once/dedup-chunks stage joins on. Map-only explode — no
     * shuffle at any scale; chunk arithmetic is exact integers. */
+  /** Sentence-boundary chunking under a token budget — the OTHER
+    * embedding-pipeline chunker ([[pipe_chunk_windows]] cuts fixed token
+    * windows mid-sentence; RAG/embedding pipelines usually prefer
+    * sentence-aligned chunks): split each doc into sentences, then group
+    * consecutive sentences into chunks of ~32 tokens with the
+    * pack_sequences running-sum rule (chunk_id = tokens-before DIV
+    * budget — a sentence longer than the budget gets its own chunk, no
+    * sentence splits). The window partitions per doc, so chunking
+    * parallelizes per document with no global sort. Output:
+    * (doc_id, pos, n_tok, chunk_id) — pos is the sentence's original
+    * index, positions with only punctuation keep n_tok = 0. */
+  val pipe_chunk_sentences: Q = (s, dir) => {
+    val sents = docs(s, dir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\\. ")).as(Seq("pos", "sent")))
+      .where(length(trim(col("sent"))) > 0)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sents
+      .withColumn("n_tok", size(tokenizeDefault(col("sent"))).cast("long"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("n_tok"),
+        expr("(cum - n_tok) div 32").as("chunk_id"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
   val pipe_chunk_windows: Q = (s, dir) => {
     val (chunk, stride) = (64, 48)
     tokenized(s, dir).where(size(col("toks")) > 0)
@@ -1036,6 +1062,7 @@ object PipelineQueries {
     "pipe_mix_weights" -> pipe_mix_weights,
     "pipe_curate" -> pipe_curate,
     "pipe_chunk_windows" -> pipe_chunk_windows,
+    "pipe_chunk_sentences" -> pipe_chunk_sentences,
     "pipe_dsir_select" -> pipe_dsir_select,
     "pipe_lm_perplexity" -> pipe_lm_perplexity,
     "pipe_lm_terciles" -> pipe_lm_terciles,
@@ -1079,10 +1106,14 @@ object PipelineQueries {
   )
 
   /** DuckDB rendition of [[tokenizeDefault]] (split + filter ≡ the
-    * lookaround-extract form; length in chars on both sides). */
-  private val toksSql =
-    """list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
-      |        t -> t <> '' AND length(t) <= 40)""".stripMargin
+    * lookaround-extract form; length in chars on both sides) over an
+    * arbitrary column — `toksSql` is the `text`-column instance every
+    * whole-document oracle uses. */
+  private def toksSqlOf(c: String) =
+    raw"""list_filter(regexp_split_to_array(lower($c), '[^\p{L}\p{N}]+'),
+         |        t -> t <> '' AND length(t) <= 40)""".stripMargin
+
+  private val toksSql = toksSqlOf("text")
 
   /** DuckDB rendition of [[graft.ops.TextAnalysis]]'s gopherMetrics —
     * SELECT-list fragment over `text`, plus the keep predicate over the
@@ -1915,6 +1946,24 @@ object PipelineQueries {
          |SELECT source, n_docs, n_tokens, CAST(weight AS BIGINT) AS weight,
          |  CAST(weight * u AS BIGINT) AS alloc_tokens
          |FROM per CROSS JOIN u ORDER BY source""".stripMargin,
+    "pipe_chunk_sentences" ->
+      s"""WITH sents AS (
+         |  SELECT doc_id, pos, s FROM (
+         |    SELECT doc_id, unnest(range(len(ls))) AS pos, unnest(ls) AS s
+         |    FROM (SELECT doc_id, regexp_split_to_array(text, '\\. ') AS ls
+         |          FROM documents))
+         |  WHERE len(trim(s)) > 0),
+         |tok AS (
+         |  SELECT doc_id, pos, CAST(len(${toksSqlOf("s")}) AS BIGINT) AS n_tok
+         |  FROM sents)
+         |SELECT doc_id, CAST(pos AS BIGINT) AS pos, n_tok,
+         |  (cum - n_tok) // 32 AS chunk_id
+         |FROM (
+         |  SELECT doc_id, pos, n_tok,
+         |    sum(n_tok) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM tok)
+         |ORDER BY doc_id, pos""".stripMargin,
     "pipe_chunk_windows" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |c AS (
