@@ -26,6 +26,36 @@ object TextAnalysis {
         lit(" ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+"), lit(0))).as("bpe_tokens"),
       length(text).as("chars"))
 
+  /** Character-distribution entropy — the gibberish/low-diversity filter
+    * (base64 blobs and aaaa-runs score near 0, natural text near
+    * ln(alphabet)): `ent_q = Σ_c cnt_c · floor(ln(n/cnt_c)·1e6)` over the
+    * per-doc character histogram, i.e. n·H in micro-nats. The per-CLASS
+    * quantize-then-exact-integer-sum discipline is [[graft.ops.LangModel]]'s
+    * — a document's score never depends on float summation order, so the
+    * DuckDB oracle reproduces it bit-for-bit. Scale shape: one map-side
+    * char explode collapsing straight to the (doc, char) histogram
+    * (rows ≤ docs × alphabet), a per-doc window over those histogram
+    * rows only, one aggregate back to docs. Char-less docs score 0.
+    * Output: (id, n_chars, ent_q). */
+  def charEntropy(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val base = df.select(id.as("did"), text.as("text"))
+    val cf = base
+      .select(col("did"), explode(split(col("text"), "")).as("c"))
+      .where(col("c") =!= "")
+      .groupBy(col("did"), col("c")).agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("did"))
+    val q = floor(log(col("n").cast("double") / col("cnt").cast("double")) * 1e6)
+      .cast("long")
+    val sc = cf.withColumn("n", sum(col("cnt")).over(w))
+      .groupBy(col("did")).agg(
+        max(col("n")).as("n_chars"),
+        sum(col("cnt") * q).as("ent_q"))
+    base.select(col("did")).join(sc, Seq("did"), "left")
+      .select(col("did").as("id"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        coalesce(col("ent_q"), lit(0L)).as("ent_q"))
+  }
+
   /** Quality heuristics: word count, alphabetic ratio, stopword ratio.
     * `toks` must be the tokenized form of `text` (caller controls the
     * tokenizer). Output: (id, n_words, alpha_ratio, stopword_ratio). */

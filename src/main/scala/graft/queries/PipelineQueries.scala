@@ -348,6 +348,15 @@ object PipelineQueries {
   private val GopherMaxWords = 100000L
 
   /** Quality scoring: length, word stats, stopword ratio, alpha ratio. */
+  /** Character-entropy gibberish scoring
+    * ([[graft.ops.TextAnalysis.charEntropy]]): n·H in micro-nats per doc,
+    * the filter that separates natural text from base64/repeated-char
+    * noise. */
+  val text_char_entropy: Q = (s, dir) =>
+    TextAnalysis.charEntropy(docs(s, dir), col("doc_id"), col("text"))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
   val text_quality: Q = (s, dir) =>
     TextAnalysis.quality(
       docs(s, dir).withColumn("toks", tokenizeDefault(col("text"))),
@@ -1100,6 +1109,7 @@ object PipelineQueries {
     "mm_frame_sample" -> mm_frame_sample,
     "text_token_count" -> text_token_count,
     "text_quality" -> text_quality,
+    "text_char_entropy" -> text_char_entropy,
     "text_langid" -> text_langid,
     "text_fingerprint" -> text_fingerprint,
     "mm_binary_stats" -> mm_binary_stats
@@ -2132,6 +2142,27 @@ object PipelineQueries {
         |  len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+')) AS bpe_tokens,
         |  length(text) AS chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // per-char quantized entropy terms summed as exact integers — the
+    // LangModel discipline, so no float-order drift between engines
+    "text_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, c FROM (
+        |    SELECT doc_id, unnest(list_transform(range(length(text)),
+        |      i -> substr(text, CAST(i + 1 AS INT), 1))) AS c
+        |    FROM documents)
+        |  WHERE c <> ''),
+        |cf AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY doc_id, c),
+        |wn AS (SELECT doc_id, cnt,
+        |  sum(cnt) OVER (PARTITION BY doc_id) AS n FROM cf),
+        |sc AS (
+        |  SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chars,
+        |    CAST(sum(cnt * CAST(floor(ln(CAST(n AS DOUBLE) / cnt) * 1000000.0)
+        |      AS BIGINT)) AS BIGINT) AS ent_q
+        |  FROM wn GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(sc.n_chars, 0) AS n_chars,
+        |  coalesce(sc.ent_q, 0) AS ent_q
+        |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "text_quality" ->
       s"""SELECT doc_id,
          |  len(toks) AS n_words,
