@@ -699,6 +699,38 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** [[pipe_curate]] with the CCNet stage in the chain — the
+    * RedPajama-shape pipeline a modern pretraining run executes:
+    * Gopher quality keep/drop AND bigram-LM perplexity keep
+    * ([[graft.ops.LangModel.bigramNll]] — "reads like the reference
+    * corpus"), exact dedup among the double-keepers, mixture allocation
+    * over the survivors. Each stage is gated alone; this gates the
+    * composition. The LM stage inherently costs a second corpus pass
+    * (its model is a global aggregate of the corpus being filtered) and
+    * one doc-keyed join to attach the keep bit; everything else rides
+    * the single-scan shape of [[pipe_curate]]. */
+  val pipe_curate_v2: Q = (s, dir) => {
+    val lm = LangModel.bigramNll(
+        docs(s, dir).select(col("doc_id"), col("lang"),
+          tokenizeDefault(col("text")).as("toks")),
+        col("doc_id"), col("toks"), col("lang") === "en", PerBigramNllQ)
+      .where(col("keep")).select(col("did").as("doc_id"))
+    val survivors = docs(s, dir)
+      .join(lm, Seq("doc_id"))
+      .where(graft.ops.TextAnalysis.gopherKeep(col("text"),
+        stopwords = GopherStops,
+        minWords = GopherMinWords, maxWords = GopherMaxWords))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .where(col("rn") === 1)
+    graft.ops.Mixture.mixAllocation(
+      survivors,
+      col("source"),
+      size(tokenizeDefault(col("text"))).cast("long"),
+      pmod(substring(col("source"), 4, 10).cast("long"), lit(3)) + 1)
+      .orderBy(col("source"))
+  }
+
   /** Overlapping token-window chunking — the standard pre-pass of an
     * embedding/RAG pipeline (chunk = 64 tokens, stride 48, so adjacent
     * chunks overlap by 16): one chunk per start position 0, s, 2s, …
@@ -1070,6 +1102,7 @@ object PipelineQueries {
     "text_line_dedup_apply" -> text_line_dedup_apply,
     "pipe_mix_weights" -> pipe_mix_weights,
     "pipe_curate" -> pipe_curate,
+    "pipe_curate_v2" -> pipe_curate_v2,
     "pipe_chunk_windows" -> pipe_chunk_windows,
     "pipe_chunk_sentences" -> pipe_chunk_sentences,
     "pipe_dsir_select" -> pipe_dsir_select,
@@ -1142,6 +1175,27 @@ object PipelineQueries {
   private val gopherKeepSql =
     """n_words BETWEEN 30 AND 100000 AND mean_word_len BETWEEN 3 AND 10
       |    AND alpha_word_frac >= 0.8 AND stop_hits >= 2""".stripMargin
+
+  /** The curation chain's dedup + mixture tail over a CTE named
+    * `keepers(doc_id, source, text)` — ONE copy shared by pipe_curate
+    * and pipe_curate_v2 (which differ only in how keepers is filtered). */
+  private lazy val curateTailSql =
+    s"""surv AS (
+       |  SELECT source, text FROM (
+       |    SELECT source, text,
+       |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |    FROM keepers)
+       |  WHERE rn = 1),
+       |per AS (
+       |  SELECT source,
+       |    CAST(substr(source, 4) AS BIGINT) % 3 + 1 AS weight,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
+       |  FROM surv GROUP BY 1, 2),
+       |u AS (SELECT min(n_tokens // weight) AS u FROM per)
+       |SELECT source, n_docs, n_tokens, CAST(weight AS BIGINT) AS weight,
+       |  CAST(weight * u AS BIGINT) AS alloc_tokens
+       |FROM per CROSS JOIN u ORDER BY source""".stripMargin
 
   /** DuckDB rendition of [[linedDocs]] exploded to (doc_id, pos, line)
     * with blanks dropped — ONE copy shared by the line-dedup diagnostic
@@ -1934,28 +1988,27 @@ object PipelineQueries {
          |    row_number() OVER (PARTITION BY qid ORDER BY adist ASC, neighbor ASC) AS rank
          |  FROM adc)
          |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // the same curation chain with the LM keep ANDed in — the shared
+    // lmScoreCtesSql supplies the model arithmetic, so the filter stage
+    // and the standalone perplexity gate cannot drift
+    "pipe_curate_v2" ->
+      s"""WITH $lmScoreCtesSql,
+         |lmkeep AS (
+         |  SELECT d.doc_id FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+         |  WHERE coalesce(sc.nll_q, 0) <= coalesce(sc.n_bigrams, 0) * $PerBigramNllQ),
+         |keepers AS (
+         |  SELECT doc_id, source, text FROM (
+         |    SELECT doc_id, source, text, $gopherMetricsSql
+         |    FROM documents JOIN lmkeep USING (doc_id))
+         |  WHERE $gopherKeepSql),
+         |$curateTailSql""".stripMargin,
     "pipe_curate" ->
       s"""WITH keepers AS (
          |  SELECT doc_id, source, text FROM (
          |    SELECT doc_id, source, text, $gopherMetricsSql
          |    FROM documents)
          |  WHERE $gopherKeepSql),
-         |surv AS (
-         |  SELECT source, text FROM (
-         |    SELECT source, text,
-         |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-         |    FROM keepers)
-         |  WHERE rn = 1),
-         |per AS (
-         |  SELECT source,
-         |    CAST(substr(source, 4) AS BIGINT) % 3 + 1 AS weight,
-         |    CAST(count(*) AS BIGINT) AS n_docs,
-         |    CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
-         |  FROM surv GROUP BY 1, 2),
-         |u AS (SELECT min(n_tokens // weight) AS u FROM per)
-         |SELECT source, n_docs, n_tokens, CAST(weight AS BIGINT) AS weight,
-         |  CAST(weight * u AS BIGINT) AS alloc_tokens
-         |FROM per CROSS JOIN u ORDER BY source""".stripMargin,
+         |$curateTailSql""".stripMargin,
     "pipe_chunk_sentences" ->
       s"""WITH sents AS (
          |  SELECT doc_id, pos, s FROM (
