@@ -19,6 +19,16 @@ class PropertySpec extends AnyFunSuite {
     assert(res.passed, s"$name failed: ${res.status}")
   }
 
+  test("EpochShuffle.shardCount is exactly max(1, ceil(total/target))") {
+    check("shardCount ceil law")(Prop.forAll(
+      Gen.chooseNum(0L, 1000000000000L), Gen.chooseNum(1L, 1000000000L)) {
+      (total, target) =>
+        val n = graft.ops.EpochShuffle.shardCount(total, target)
+        val want = ((BigInt(total.max(0L)) + target - 1) / target).max(1).toLong
+        n == want && n >= 1 && (total <= 0 || (n - 1) * target < total)
+    })
+  }
+
   // ---- generators ---------------------------------------------------------
 
   private val keywords = Set("AND", "OR", "NOT", "TO", "IN")
