@@ -280,6 +280,44 @@ object PipelineQueries {
       .withColumnRenamed("vid", "vec_id")
       .orderBy(col("vec_id"))
 
+  /** SemDeDup cell-approximation loss, quantified — the embedding
+    * analogue of [[dedup_lsh_recall]]: recall/precision of the
+    * cell-bounded cosine candidates ([[graft.ops.Dedup.embeddingCosine]])
+    * against the BRUTE all-pairs cosine >= 0.4 truth set, exact-integer
+    * ppm. Within-cell precision is 1.0 by construction (candidates are
+    * verified cosines); recall prices exactly the pairs the coarse
+    * clustering splits across cells — the approximation SemDeDup accepts,
+    * now measured instead of assumed. The truth side is the diagnostic
+    * O(n²) tier (same standing as [[knn_brute]]); the candidate side is
+    * the production path.
+    *
+    * Measured at sf0.01: recall_ppm = 84,745 — the fixture's arbitrary
+    * `label` column is a POOR coarse clustering at threshold 0.4 (5 of
+    * 59 true pairs within-cell), which is precisely the kind of finding
+    * this gate exists to surface: a real deployment derives cells from
+    * [[pipe_kmeans_train]] centroids, and this query is the check that
+    * the chosen clustering actually captures the near-dup mass. */
+  val dedup_semantic_recall: Q = (s, dir) => {
+    val e = table(s, dir, "embeddings")
+    val a = e.select(col("vec_id").as("a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("b"), col("embedding").as("vb"))
+    val truth = a.crossJoin(b).where(col("a") < col("b"))
+      .where(graft.exprs.CosineSimilarity
+        .cosine_similarity(col("va"), col("vb")) >= 0.4)
+      .select(col("a"), col("b"))
+    val cand = Dedup.embeddingCosine(e, col("vec_id"), col("embedding"),
+      col("label"), threshold = 0.4)
+    val hit = truth.join(cand, Seq("a", "b")).agg(count(lit(1)).as("n_hit"))
+    val nt = truth.agg(count(lit(1)).as("n_true"))
+    val nc = cand.agg(count(lit(1)).as("n_cand"))
+    nt.crossJoin(nc).crossJoin(hit)
+      .select(col("n_true"), col("n_cand"), col("n_hit"),
+        expr("CASE WHEN n_cand > 0 THEN n_hit * 1000000 DIV n_cand ELSE 1000000 END")
+          .as("precision_ppm"),
+        expr("CASE WHEN n_true > 0 THEN n_hit * 1000000 DIV n_true ELSE 1000000 END")
+          .as("recall_ppm"))
+  }
+
   // ---- similarity search ------------------------------------------------
 
   private def corpus(s: SparkSession, dir: String): DataFrame =
@@ -1098,6 +1136,7 @@ object PipelineQueries {
     "knn_ivf_pq" -> knn_ivf_pq,
     "knn_recall" -> knn_recall,
     "dedup_lsh_recall" -> dedup_lsh_recall,
+    "dedup_semantic_recall" -> dedup_semantic_recall,
     "text_line_dedup" -> text_line_dedup,
     "text_line_dedup_apply" -> text_line_dedup_apply,
     "pipe_mix_weights" -> pipe_mix_weights,
@@ -2127,6 +2166,28 @@ object PipelineQueries {
         |  ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
         |ORDER BY a, b""".stripMargin,
+    // brute all-pairs truth vs cell-bounded candidates — recall prices
+    // the cross-cell pairs the coarse clustering gives up
+    "dedup_semantic_recall" ->
+      """WITH truth AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4),
+        |cand AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4),
+        |hit AS (SELECT count(*) AS n_hit
+        |  FROM truth t JOIN cand c ON c.a = t.a AND c.b = t.b),
+        |nt AS (SELECT count(*) AS n_true FROM truth),
+        |nc AS (SELECT count(*) AS n_cand FROM cand)
+        |SELECT n_true, n_cand, n_hit,
+        |  CASE WHEN n_cand > 0 THEN n_hit * 1000000 // n_cand
+        |       ELSE 1000000 END AS precision_ppm,
+        |  CASE WHEN n_true > 0 THEN n_hit * 1000000 // n_true
+        |       ELSE 1000000 END AS recall_ppm
+        |FROM nt, nc, hit""".stripMargin,
     "dedup_semantic" ->
       s"""WITH RECURSIVE prc AS (
          |  SELECT a.vec_id AS a, b.vec_id AS b,

@@ -339,7 +339,8 @@ class PlanSpec extends AnyFunSuite {
       "pipe_lm_terciles" -> "1-row vocabulary-size scalar attach (same bigramNll chain)",
       "pipe_curate_v2" -> "1-row vocabulary-size scalar attach (bigramNll stage)",
       "pipe_dsir_select" -> "1-row target-total scalar attach",
-      "dedup_lsh_recall" -> "three 1-row count scalars cross-joined into the report row"
+      "dedup_lsh_recall" -> "three 1-row count scalars cross-joined into the report row",
+      "dedup_semantic_recall" -> "brute-force truth tier (declared O(n^2) diagnostic) + 1-row scalars"
     )
     val sfDir = "/root/testdata/sf0.001"
     // planning failure is tracked SEPARATELY from the cartesian flag: a
