@@ -1,0 +1,106 @@
+package graft.exprs
+
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Viterbi-best segmentation of one word under a fixed unigram piece
+  * model (Kudo 2018, "Subword Regularization" — the SentencePiece
+  * unigram LM, hard-EM flavor): among all ways to cover the word with
+  * vocabulary pieces, return the one minimizing total piece cost, where
+  * `cost_q(piece) = ⌊-ln(p(piece)) · 10⁶⌋` is the integer-quantized
+  * negative log-probability ([[graft.ops.LangModel]]'s discipline — the
+  * DP then runs in exact integer arithmetic and reproduces on any
+  * engine).
+  *
+  * Tie-break contract (what makes an all-paths oracle restatable): among
+  * equal-cost segmentations, the one whose '|'-joined piece string is
+  * lexicographically smallest. That choice is DP-compatible — two
+  * distinct prefixes covering the same codepoints first differ at a
+  * position where one has '|' and the other a word character (they
+  * carry the same character subsequence), so their order is decided
+  * inside the prefix and survives any common suffix; per-position
+  * (cost, prefix-string) minimization is therefore globally optimal.
+  * The comparison is Java UTF-16 order — identical to an oracle's
+  * binary UTF-8 order on ASCII pieces (callers gate non-ASCII out).
+  *
+  * DP is O(len · maxPieceLen) table lookups per word, one virtual call
+  * per row (the [[BpeEncode]] tight-loop pattern); the vocabulary rides
+  * the expression as a model constant (bounded by vocab training, not
+  * corpus data). Null word → null; empty word → empty array; a word
+  * with a codepoint outside the vocabulary's character set → null (the
+  * caller's vocabulary-completeness contract: seed vocabularies include
+  * every corpus character).
+  */
+case class UnigramEncode(child: Expression, vocab: Seq[(String, Long)],
+    maxPieceLen: Int) extends UnaryExpression with CodegenFallback {
+  require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  @transient private lazy val cost: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](vocab.size * 2)
+    // lowest cost wins on duplicate table entries
+    vocab.foreach { case (p, c) =>
+      val prev = m.get(p)
+      if (prev == null || c < prev) m.put(p, c)
+    }
+    m
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val w = input.asInstanceOf[UTF8String].toString
+    // codepoint-indexed symbols, so piece boundaries match engines that
+    // count characters (not UTF-16 units)
+    val cps = {
+      val b = new scala.collection.mutable.ArrayBuffer[String](w.length)
+      var i = 0
+      while (i < w.length) {
+        val n = Character.charCount(w.codePointAt(i))
+        b += w.substring(i, i + n)
+        i += n
+      }
+      b
+    }
+    val L = cps.length
+    if (L == 0)
+      return new GenericArrayData(Array.empty[Any])
+    val bestCost = Array.fill[Long](L + 1)(Long.MaxValue)
+    val bestStr = new Array[String](L + 1)
+    bestCost(0) = 0L
+    bestStr(0) = ""
+    var i = 1
+    while (i <= L) {
+      var l = 1
+      val lMax = math.min(maxPieceLen, i)
+      while (l <= lMax) {
+        val j = i - l
+        if (bestCost(j) != Long.MaxValue) {
+          val piece = cps.slice(j, i).mkString
+          val c = cost.get(piece)
+          if (c != null) {
+            val cand = bestCost(j) + c.longValue
+            val candStr =
+              if (j == 0) piece else bestStr(j) + "|" + piece
+            if (cand < bestCost(i) ||
+                (cand == bestCost(i) && candStr.compareTo(bestStr(i)) < 0)) {
+              bestCost(i) = cand
+              bestStr(i) = candStr
+            }
+          }
+        }
+        l += 1
+      }
+      i += 1
+    }
+    if (bestCost(L) == Long.MaxValue) null
+    else new GenericArrayData(
+      bestStr(L).split('|').map(s => UTF8String.fromString(s): Any))
+  }
+
+  override protected def withNewChildInternal(c: Expression): UnigramEncode =
+    copy(child = c)
+  override def prettyName: String = "unigram_encode"
+}

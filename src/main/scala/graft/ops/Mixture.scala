@@ -41,6 +41,35 @@ object Mixture {
       (col("weight") * u).as("alloc_tokens"))
   }
 
+  /** Domain balancing by per-domain quota (the C4/RefinedWeb "cap any one
+    * host's contribution" rule): keep at most `quota` documents per
+    * domain, chosen by md5-hash rank — hash order, not arrival or id
+    * order, so the survivors are an unbiased, reproducible sample of the
+    * domain (the same reason [[temperatureSample]] hash-buckets instead
+    * of rand()), and re-running on a grown corpus keeps a stable prefix
+    * of the old survivors' ordering.
+    *
+    * Scale shape: one domain-keyed window (row_number over hash) — a
+    * single shuffle on domain; per-task cost is that domain's doc count.
+    * A pathologically hot domain (≫ memory) would instead take the
+    * two-pass form: aggregate an approximate per-domain hash threshold
+    * at quota/n_domain quantile, broadcast it, map-side filter, and only
+    * exact-rank the survivors — same output, corpus never sorted. The
+    * window form is right up to domains of ~10⁸ docs.
+    *
+    * Output: (id, domain, rk) for survivors, rk 1..quota in hash order. */
+  def domainQuota(df: DataFrame, id: Column, domain: Column,
+      quota: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domain")).orderBy(col("h"), col("id"))
+    df.select(id.as("id"), domain.as("domain"))
+      .withColumn("h",
+        Hashing.h64(concat(col("domain"), lit("|"), col("id").cast("string"))))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= quota)
+      .select(col("id"), col("domain"), col("rk"))
+  }
+
   /** Temperature-scaled mixture sampling (the mC4 / XLM-R α-sampling
     * rule, α = 1/2): per-source sampling mass ∝ n_tokens^α, so
     * low-resource sources are upweighted relative to their natural

@@ -346,6 +346,45 @@ object TextAnalysis {
       .withColumn("keep", col("score_q") >= 0L)
   }
 
+  /** Per-document top-k keyword extraction by tf·idf over a pre-tokenized
+    * corpus. Classic smoothed idf, quantized ONCE to a 64-bit integer —
+    * `idf_q = ⌊ln((N+1)/(df+1)) · 10⁶⌋` — so the per-term score
+    * `tfidf_q = tf · idf_q` is exact integer arithmetic and the top-k
+    * ordering (tfidf_q desc, term asc) is engine-reproducible (the
+    * [[LangModel]] quantize-then-integer discipline; the single ln sits
+    * on a rational argument both engines compute identically).
+    *
+    * Scale shape: explode → (id, term) count aggregate (map-side
+    * combine), a term-keyed df aggregate OVER THE TF TABLE (bounded by
+    * distinct (doc, term) pairs, not token instances), the corpus-size
+    * scalar rides in as a 1-row broadcast, and the final top-k is a
+    * per-doc window over that doc's distinct terms only. No posting-list
+    * self-join anywhere, so a hot term costs its df, never df².
+    *
+    * `tokenized`: (id, toks); output (id, rank, term, tfidf_q). */
+  def tfidfTop(tokenized: DataFrame, id: Column, toks: Column,
+      k: Int): DataFrame = {
+    val tf = tokenized.select(id.as("id"), explode(toks).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // df over the tf table: one row per (doc, term) is exactly document
+    // frequency; reuses the (id, term) shuffle's term-locality partially
+    val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = tokenized.select(id.as("id")).agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(dfTab, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf_q",
+        floor(log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) *
+          lit(1000000.0)).cast("long"))
+      .withColumn("tfidf_q", col("tf") * col("idf_q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("tfidf_q").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("id"), col("rank"), col("term"), col("tfidf_q"))
+  }
+
   /** Regex PII scrub: counts matches of each (tag, pattern) and replaces
     * them with `<TAG>` in order. Patterns should avoid lookaround if an
     * RE2-based oracle needs to reproduce them.

@@ -580,6 +580,85 @@ object PipelineQueries {
       .select(col("doc_id"), col("lang"), col("bucket"))
       .orderBy(col("doc_id"))
 
+  /** Domain balancing: cap every source at 15 documents, survivors chosen
+    * by md5-hash rank — see [[graft.ops.Mixture.domainQuota]] for the
+    * C4/RefinedWeb host-cap rationale and the hot-domain two-pass
+    * alternative. One domain-keyed window shuffle. */
+  val pipe_domain_quota: Q = (s, dir) =>
+    graft.ops.Mixture
+      .domainQuota(docs(s, dir), col("doc_id"), col("source"), quota = 15L)
+      .select(col("id").as("doc_id"), col("domain").as("source"), col("rk"))
+      .orderBy(col("doc_id"))
+
+  /** Per-document top-3 keyword extraction by integer-quantized tf·idf —
+    * see [[graft.ops.TextAnalysis.tfidfTop]] for the quantization
+    * discipline and the no-posting-self-join scale shape. */
+  val text_tfidf_top: Q = (s, dir) =>
+    TextAnalysis.tfidfTop(tokenized(s, dir), col("doc_id"), col("toks"), k = 3)
+      .select(col("id").as("doc_id"), col("rank"), col("term"), col("tfidf_q"))
+      .orderBy(col("doc_id"), col("rank"))
+
+  /** Hybrid retrieval — the RAG-serving composition: a lexical BM25 arm
+    * (terms `spark join`, the [[graft.queries.SearchQueries]] scoring
+    * shape) fused with a semantic arm (query-by-example: document 7's
+    * embedding, exact cosine top-10 via [[graft.ops.Ann.brute]]) by
+    * reciprocal-rank fusion. RRF contributions are integer-quantized —
+    * `⌊10⁹ / (60 + rank)⌋` summed as BIGINTs — so fusion order cannot
+    * produce float drift and the fused ranking is engine-exact.
+    *
+    * Scale shape: each arm is its own top-k (BM25 = stats aggregate +
+    * scan-score-topk; cosine = the ANN tier, brute here as the oracle-able
+    * stand-in for IVF serving); fusion then touches only 2·k rank rows —
+    * a no-op at any corpus size. Emits (rank, doc_id, rrf_q). */
+  val pipe_hybrid_rrf: Q = (s, dir) => {
+    import graft.exprs.ArrayMatch
+    val k1 = 1.2
+    val b = 0.75
+    val terms = Seq("spark", "join")
+    val d = tokenized(s, dir).withColumn("dl", size(col("toks")))
+    val statsRow = d.agg(
+      count(lit(1)).as("n"),
+      avg(col("dl").cast("double")).as("avgdl"),
+      sum(when(array_contains(col("toks"), terms(0)), 1L).otherwise(0L)).as("df0"),
+      sum(when(array_contains(col("toks"), terms(1)), 1L).otherwise(0L)).as("df1"))
+      .collect()(0)
+    val n = statsRow.getAs[Long]("n").toDouble
+    val avgdl = statsRow.getAs[Double]("avgdl")
+    def idf(df: Double): Double = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    val idfs = Seq(idf(statsRow.getAs[Long]("df0").toDouble),
+      idf(statsRow.getAs[Long]("df1").toDouble))
+    val score = terms.zip(idfs).map { case (t, i) =>
+      val tf = ArrayMatch.count_token_eq(col("toks"), t).cast("double")
+      lit(i) * tf * lit(k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / lit(avgdl)))
+    }.reduce(_ + _)
+    // orderBy+limit = TakeOrderedAndProject (per-partition top-k, merged
+    // on the driver) — the rank window then sees only the 10 survivors,
+    // never the corpus (the q_search_bm25 shape)
+    val bmW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val bm = d.withColumn("score", score)
+      .where(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(10)
+      .withColumn("rank", row_number().over(bmW))
+      .select(col("doc_id"), col("rank"))
+    val e = corpus(s, dir)
+    val cos = Ann.brute(
+        e.where(col("vid") === 7).select(col("vid").as("qid"), col("v").as("qv")),
+        e.select(col("vid"), col("v")), k = 10)
+      .select(col("neighbor").as("doc_id"), col("rank"))
+    val fused = bm.unionByName(cos)
+      .withColumn("contrib", expr("CAST(1000000000 AS BIGINT) div (60 + rank)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).as("rrf_q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rrf_q").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 10)
+      .select(col("rank"), col("doc_id"), col("rrf_q"))
+  }
+
   /** Deterministic epoch shuffle + sharding at a fixed 8-shard oracle
     * point; see [[graft.ops.EpochShuffle]] for the op and its scale
     * shape (the shard count is the caller's lever — 8 is this oracle's
@@ -1127,6 +1206,9 @@ object PipelineQueries {
     "text_repetition" -> text_repetition,
     "dedup_cluster_canon" -> dedup_cluster_canon,
     "pipe_sample_stratified" -> pipe_sample_stratified,
+    "pipe_domain_quota" -> pipe_domain_quota,
+    "text_tfidf_top" -> text_tfidf_top,
+    "pipe_hybrid_rrf" -> pipe_hybrid_rrf,
     "pipe_pack_sequences" -> pipe_pack_sequences,
     "pipe_epoch_shuffle" -> pipe_epoch_shuffle,
     "pipe_epoch_shuffle_auto" -> pipe_epoch_shuffle_auto,
@@ -1956,6 +2038,70 @@ object PipelineQueries {
         |  FROM documents)
         |WHERE bucket < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
         |ORDER BY doc_id""".stripMargin,
+    "pipe_domain_quota" ->
+      """SELECT doc_id, source, rk FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY CAST(('0x' || substr(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+        |               doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 15 ORDER BY doc_id""".stripMargin,
+    "text_tfidf_top" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+         |  GROUP BY doc_id, term),
+         |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    CAST(tf.tf AS BIGINT) *
+         |      CAST(floor(ln((n_docs + 1.0) / (df + 1.0)) * 1000000.0) AS BIGINT) AS tfidf_q
+         |  FROM tf JOIN dft USING (term) CROSS JOIN n)
+         |SELECT doc_id, rank, term, tfidf_q FROM (
+         |  SELECT doc_id, term, tfidf_q,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY tfidf_q DESC, term ASC) AS rank
+         |  FROM scored)
+         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "pipe_hybrid_rrf" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |d AS (SELECT doc_id, len(toks) AS dl,
+         |        len(list_filter(toks, x -> x = 'spark')) AS tf0,
+         |        len(list_filter(toks, x -> x = 'join')) AS tf1
+         |      FROM t),
+         |stats AS (SELECT count(*) AS n, avg(CAST(dl AS DOUBLE)) AS avgdl,
+         |            sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         |            sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1
+         |          FROM d),
+         |bmscored AS (
+         |  SELECT doc_id,
+         |    ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * (1.2 + 1.0)
+         |      / (tf0 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+         |  + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * (1.2 + 1.0)
+         |      / (tf1 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)) AS score
+         |  FROM d CROSS JOIN stats),
+         |bm AS (SELECT doc_id, rank FROM (
+         |    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+         |    FROM bmscored WHERE score > 0)
+         |  WHERE rank <= 10),
+         |cos AS (SELECT doc_id, rank FROM (
+         |    SELECT e.vec_id AS doc_id,
+         |      row_number() OVER (ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+         |                         e.vec_id ASC) AS rank
+         |    FROM embeddings e CROSS JOIN embeddings q
+         |    WHERE q.vec_id = 7 AND e.vec_id <> 7)
+         |  WHERE rank <= 10),
+         |arms AS (SELECT doc_id, rank FROM bm UNION ALL SELECT doc_id, rank FROM cos),
+         |fused AS (
+         |  SELECT doc_id, CAST(sum(1000000000 // (60 + rank)) AS BIGINT) AS rrf_q
+         |  FROM arms GROUP BY doc_id)
+         |SELECT rank, doc_id, rrf_q FROM (
+         |  SELECT doc_id, rrf_q,
+         |    row_number() OVER (ORDER BY rrf_q DESC, doc_id ASC) AS rank
+         |  FROM fused)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
     "pipe_epoch_shuffle" ->
       """WITH k AS (
         |  SELECT doc_id,
