@@ -1035,6 +1035,67 @@ object PipelineQueries {
       .orderBy(col("word"))
   }
 
+  // ---- unigram-LM tokenizer (the second tokenizer family) --------------
+
+  private val UnigramMaxPiece = 4
+
+  /** The unigram gate's word universe: corpus word-frequency table
+    * restricted to ASCII alnum words of ≤ 10 codepoints. The bound is a
+    * GATE-POINT choice, not an operator limit — the oracle independently
+    * restates Viterbi by enumerating EVERY segmentation of every word
+    * (exponential in word length, fine at ≤ 10; the engine's DP is
+    * linear and unbounded), and ASCII keeps Java-UTF-16 vs binary-UTF-8
+    * tie-break collation identical (UnigramEncode scaladoc). */
+  private def unigramWords(s: SparkSession, dir: String): DataFrame =
+    tokenized(s, dir).select(explode(col("toks")).as("w"))
+      .where(length(col("w")) <= 10 && col("w").rlike("^[a-z0-9]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+
+  /** Trained model artifact: (piece, cost_q) rows collected to the
+    * driver — V + alphabet rows, the [[graft.ops.Bpe]] merge-table
+    * pattern, not a data collect. */
+  private def unigramModel(words: DataFrame): Seq[(String, Long)] =
+    graft.ops.Unigram.seedVocab(words, UnigramMaxPiece, topV = 200)
+      .select(col("piece"), col("cost_q"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  /** Unigram-LM (SentencePiece-style) Viterbi segmentation under a seed
+    * vocabulary trained on the same corpus — see [[graft.ops.Unigram]]
+    * for the lifecycle and [[graft.exprs.UnigramEncode]] for the DP +
+    * tie-break contract. `cost_q` re-derives from the piece costs by an
+    * exact integer fold, so the oracle gates BOTH the chosen path and
+    * its claimed cost. Output: (w, seg, n_pieces, cost_q, freq). */
+  val pipe_unigram_seg: Q = (s, dir) => {
+    val words = unigramWords(s, dir).localCheckpoint(eager = false)
+    val model = unigramModel(words)
+    val costMap = typedLit(model.toMap)
+    words
+      .withColumn("pieces",
+        graft.ops.Unigram.encode(col("w"), model, UnigramMaxPiece))
+      .select(col("w"), array_join(col("pieces"), "|").as("seg"),
+        size(col("pieces")).cast("long").as("n_pieces"),
+        aggregate(col("pieces"), lit(0L),
+          (acc, p) => acc + element_at(costMap, p)).as("cost_q"),
+        col("freq"))
+      .orderBy(col("w"))
+  }
+
+  /** The hard-EM training signal: frequency-weighted Viterbi piece
+    * counts over the same segmentation — the expected-count E-step a
+    * unigram trainer feeds its re-estimate (Kudo 2018 §3.2, Viterbi
+    * flavor). Piece-keyed combiner aggregate over distinct words.
+    * Output: (piece, vit_cnt). */
+  val pipe_unigram_counts: Q = (s, dir) => {
+    val words = unigramWords(s, dir).localCheckpoint(eager = false)
+    val model = unigramModel(words)
+    words
+      .withColumn("pieces",
+        graft.ops.Unigram.encode(col("w"), model, UnigramMaxPiece))
+      .select(explode(col("pieces")).as("piece"), col("freq"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("vit_cnt"))
+      .orderBy(col("piece"))
+  }
+
   /** URL-keyed dedup over [[graft.ops.TextAnalysis.canonicalUrl]]: each
     * doc_id-group of four synthesizes the same page behind four surface
     * forms (upper-cased scheme/host + explicit `:443`, trailing slash,
@@ -1207,6 +1268,8 @@ object PipelineQueries {
     "dedup_cluster_canon" -> dedup_cluster_canon,
     "pipe_sample_stratified" -> pipe_sample_stratified,
     "pipe_domain_quota" -> pipe_domain_quota,
+    "pipe_unigram_seg" -> pipe_unigram_seg,
+    "pipe_unigram_counts" -> pipe_unigram_counts,
     "text_tfidf_top" -> text_tfidf_top,
     "pipe_hybrid_rrf" -> pipe_hybrid_rrf,
     "pipe_pack_sequences" -> pipe_pack_sequences,
@@ -1278,6 +1341,54 @@ object PipelineQueries {
          |        t -> t <> '' AND length(t) <= 40)""".stripMargin
 
   private val toksSql = toksSqlOf("text")
+
+  /** The unigram-LM oracle's shared CTE chain (both unigram oracles end
+    * in `best` + `words`): re-derives the seed vocabulary (substring
+    * counts → top-200 + singles → quantized costs) exactly as
+    * [[graft.ops.Unigram.seedVocab]], then INDEPENDENTLY restates
+    * Viterbi by enumerating EVERY segmentation of every word with a
+    * recursive CTE and taking min (cost, piece-string) — no DP, so the
+    * engine's DP + tie-break is gated against exhaustive ground truth.
+    * Tractable because the gate's word universe is ≤ 10 codepoints
+    * (`unigramWords` scaladoc). */
+  private lazy val unigramCtes =
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |words AS (
+       |  SELECT w, count(*) AS freq FROM (SELECT unnest(toks) AS w FROM t)
+       |  WHERE length(w) <= 10 AND regexp_matches(w, '^[a-z0-9]+$$')
+       |  GROUP BY w),
+       |subs AS (
+       |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT freq, substr(w, CAST(i AS INTEGER), CAST(l AS INTEGER)) AS piece
+       |    FROM words
+       |    CROSS JOIN range(1, 11) r1(i)
+       |    CROSS JOIN range(1, 5) r2(l)
+       |    WHERE i + l - 1 <= length(w))
+       |  GROUP BY piece),
+       |top AS (SELECT piece, cnt FROM subs WHERE length(piece) >= 2
+       |        ORDER BY cnt DESC, piece ASC LIMIT 200),
+       |singles AS (SELECT piece, cnt FROM subs WHERE length(piece) = 1),
+       |vocab0 AS (SELECT piece, cnt FROM top UNION ALL SELECT piece, cnt FROM singles),
+       |tot AS (SELECT sum(cnt) AS total FROM vocab0),
+       |vocab AS (SELECT piece, cnt,
+       |    CAST(floor(-ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000.0) AS BIGINT) AS cost_q
+       |  FROM vocab0 CROSS JOIN tot),
+       |seg AS (
+       |  SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS cost, '' AS segstr FROM words
+       |  UNION ALL
+       |  SELECT s.w, s.pos + length(v.piece), s.cost + v.cost_q,
+       |    CASE WHEN s.segstr = '' THEN v.piece ELSE s.segstr || '|' || v.piece END
+       |  FROM seg s JOIN vocab v
+       |    ON substr(s.w, s.pos + 1, length(v.piece)) = v.piece
+       |  WHERE s.pos < length(s.w)),
+       |complete AS (SELECT w, cost, segstr FROM seg WHERE pos = length(w)),
+       |best AS (
+       |  SELECT w, seg, n_pieces, cost_q FROM (
+       |    SELECT w, segstr AS seg,
+       |      CAST(len(string_split(segstr, '|')) AS BIGINT) AS n_pieces,
+       |      cost AS cost_q,
+       |      row_number() OVER (PARTITION BY w ORDER BY cost ASC, segstr ASC) AS rn
+       |    FROM complete) WHERE rn = 1)""".stripMargin
 
   /** DuckDB rendition of [[graft.ops.TextAnalysis]]'s gopherMetrics —
     * SELECT-list fragment over `text`, plus the keep predicate over the
@@ -2038,6 +2149,16 @@ object PipelineQueries {
         |  FROM documents)
         |WHERE bucket < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
         |ORDER BY doc_id""".stripMargin,
+    "pipe_unigram_seg" ->
+      s"""WITH RECURSIVE $unigramCtes
+         |SELECT b.w, b.seg, b.n_pieces, b.cost_q, wo.freq
+         |FROM best b JOIN words wo USING (w) ORDER BY w""".stripMargin,
+    "pipe_unigram_counts" ->
+      s"""WITH RECURSIVE $unigramCtes
+         |SELECT piece, CAST(sum(freq) AS BIGINT) AS vit_cnt FROM (
+         |  SELECT unnest(string_split(b.seg, '|')) AS piece, wo.freq
+         |  FROM best b JOIN words wo USING (w))
+         |GROUP BY piece ORDER BY piece""".stripMargin,
     "pipe_domain_quota" ->
       """SELECT doc_id, source, rk FROM (
         |  SELECT doc_id, source,

@@ -651,6 +651,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(encRows == Seq(("ab", "ab")), s"got $encRows")
   }
 
+  test("unigram Viterbi DP matches exhaustive segmentation enumeration") {
+    import spark.implicits._
+    // vocab engineered with exact cost ties ("ab"+"c" vs "a"+"bc" both
+    // cost 30) so the lexicographic piece-string tie-break is exercised,
+    // not just the cost minimum
+    val vocab = Seq("a" -> 10L, "b" -> 12L, "c" -> 14L, "d" -> 11L,
+      "ab" -> 16L, "bc" -> 20L, "abc" -> 40L, "cd" -> 9L, "abcd" -> 37L)
+    val vmap = vocab.toMap
+
+    def enumerate(w: String): Seq[List[String]] =
+      if (w.isEmpty) Seq(Nil)
+      else (1 to math.min(4, w.length)).flatMap { l =>
+        val p = w.substring(0, l)
+        if (vmap.contains(p)) enumerate(w.substring(l)).map(p :: _) else Nil
+      }
+
+    def bruteBest(w: String): Option[(Long, String)] = {
+      val all = enumerate(w)
+        .map(ps => (ps.map(vmap).sum, ps.mkString("|")))
+      if (all.isEmpty) None else Some(all.min)
+    }
+
+    val words = Seq("abc", "abcd", "abcabc", "dcba", "aaaa", "cdcd",
+      "abcdabcd", "bbbb", "a", "dddd")
+    val got = words.toDF("w")
+      .select(col("w"),
+        array_join(graft.ops.Unigram.encode(col("w"), vocab, 4), "|").as("seg"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    words.foreach { w =>
+      val want = bruteBest(w).get._2
+      assert(got(w) == want, s"$w: got ${got(w)}, enumeration says $want")
+    }
+
+    // totality contract: empty word -> empty array (joined: ""), a word
+    // with a character outside the vocab alphabet -> null
+    val edge = Seq("", "axc").toDF("w")
+      .select(col("w"),
+        graft.ops.Unigram.encode(col("w"), vocab, 4).as("pieces"))
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(edge("").exists(_.asInstanceOf[scala.collection.Seq[_]].isEmpty))
+    assert(edge("axc").isEmpty, "uncoverable word must be null")
+    intercept[IllegalArgumentException](
+      graft.ops.Unigram.seedVocab(Seq(("x", 1L)).toDF("w", "freq"), 0, 10))
+  }
+
   test("epoch shuffle is a reproducible permutation with dense shard positions") {
     import graft.queries.PipelineQueries
     val sf = "/root/testdata/sf0.001"
