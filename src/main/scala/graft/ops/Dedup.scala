@@ -97,6 +97,46 @@ object Dedup {
         coalesce(col("n_dup"), lit(0L)).as("n_dup"))
   }
 
+  /** ExactSubstr span REMOVAL — the apply step of [[kgramOverlap]] (Lee
+    * et al. 2021's policy: don't drop the document, cut the duplicated
+    * span out of it, at token granularity): a token survives iff NO
+    * duplicated k-gram (one occurring in >= 2 distinct documents, the
+    * [[kgramOverlap]] rule) covers it, and survivors reassemble
+    * space-joined in original order.
+    *
+    * Scale shape: the positional gram table is ~one row per corpus
+    * token; the duplicated-gram set is a gram-keyed count; each doc's
+    * duplicated START positions collect into one array (bounded by the
+    * doc's own gram count) joined back by doc_id; the rebuild is
+    * map-only HOFs. Rebuild cost is O(tokens × dup-starts) per doc —
+    * fine for bounded documents with sparse duplication; a corpus of
+    * pathological fully-duplicated mega-docs would take the flat
+    * relational form instead (explode covered positions, anti-join,
+    * re-aggregate by position — same answer, one more shuffle).
+    *
+    * Output: (doc_id, n_toks, n_kept, scrubbed). */
+  def spanScrub(df: DataFrame, id: Column, toks: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // two consumers (gram side + rebuild side) — snapshot, self-join rule
+    val base = df.select(id.as("doc_id"), toks.as("toks"))
+      .localCheckpoint(eager = false)
+    val grams = base.where(size(col("toks")) >= k)
+      .select(col("doc_id"), posexplode(gramArray(col("toks"), k)))
+      .withColumnRenamed("pos", "gpos").withColumnRenamed("col", "gram")
+    val dup = grams.select(col("doc_id"), col("gram")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("ndocs"))
+      .where(col("ndocs") >= 2).select(col("gram"))
+    val dupStarts = grams.join(dup, Seq("gram"))
+      .groupBy(col("doc_id")).agg(sort_array(collect_set(col("gpos"))).as("dps"))
+    base.join(dupStarts, Seq("doc_id"), "left")
+      .withColumn("dps", coalesce(col("dps"), array().cast("array<int>")))
+      .withColumn("kept", filter(col("toks"),
+        (x, i) => !exists(col("dps"), g => g <= i && i < g + lit(k))))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
+        size(col("kept")).cast("long").as("n_kept"),
+        array_join(col("kept"), " ").as("scrubbed"))
+  }
+
   /** Winnowing near-dup candidate pairs (Schleimer et al. 2003 — the
     * MOSS fingerprint family): each doc keeps the distinct minima of a
     * w-window slid over its k-gram md5-60 hashes

@@ -1035,6 +1035,16 @@ object PipelineQueries {
       .orderBy(col("word"))
   }
 
+  /** ExactSubstr span removal at the [[dedup_kgram_overlap]] gate point
+    * (same 5-gram, same >= 2-distinct-docs rule) — the text actually
+    * gets CUT, not just profiled; see [[graft.ops.Dedup.spanScrub]].
+    * The oracle restates the rebuild relationally (explode covered
+    * positions → anti-join → ordered string_agg), so the HOF coverage
+    * logic is gated against an independent formulation. */
+  val text_span_scrub: Q = (s, dir) =>
+    Dedup.spanScrub(tokenized(s, dir), col("doc_id"), col("toks"), k = ShingleN)
+      .orderBy(col("doc_id"))
+
   // ---- unigram-LM tokenizer (the second tokenizer family) --------------
 
   private val UnigramMaxPiece = 4
@@ -1268,6 +1278,7 @@ object PipelineQueries {
     "dedup_cluster_canon" -> dedup_cluster_canon,
     "pipe_sample_stratified" -> pipe_sample_stratified,
     "pipe_domain_quota" -> pipe_domain_quota,
+    "text_span_scrub" -> text_span_scrub,
     "pipe_unigram_seg" -> pipe_unigram_seg,
     "pipe_unigram_counts" -> pipe_unigram_counts,
     "text_tfidf_top" -> text_tfidf_top,
@@ -2149,6 +2160,38 @@ object PipelineQueries {
         |  FROM documents)
         |WHERE bucket < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
         |ORDER BY doc_id""".stripMargin,
+    "text_span_scrub" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g0 AS (
+         |  SELECT doc_id, unnest(list_transform(range(len(toks) - 4),
+         |    i -> {'gpos': i,
+         |          'gram': concat_ws(' ', toks[i+1], toks[i+2], toks[i+3], toks[i+4], toks[i+5])})) AS ge
+         |  FROM t WHERE len(toks) >= 5),
+         |g AS (SELECT doc_id, ge.gpos AS gpos, ge.gram AS gram FROM g0),
+         |dup AS (
+         |  SELECT gram FROM (
+         |    SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY gram)
+         |  WHERE nd >= 2),
+         |cov AS (
+         |  SELECT DISTINCT g.doc_id, g.gpos + j AS tpos
+         |  FROM g JOIN dup USING (gram) CROSS JOIN range(0, 5) r(j)),
+         |tp0 AS (
+         |  SELECT doc_id, unnest(list_transform(range(len(toks)),
+         |    i -> {'tpos': i, 'tok': toks[i+1]})) AS te
+         |  FROM t),
+         |tp AS (SELECT doc_id, te.tpos AS tpos, te.tok AS tok FROM tp0),
+         |kept AS (
+         |  SELECT tp.doc_id, tp.tpos, tp.tok FROM tp
+         |  ANTI JOIN cov ON tp.doc_id = cov.doc_id AND tp.tpos = cov.tpos),
+         |res AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |    string_agg(tok, ' ' ORDER BY tpos) AS scrubbed
+         |  FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_toks,
+         |  coalesce(res.n_kept, 0) AS n_kept,
+         |  coalesce(res.scrubbed, '') AS scrubbed
+         |FROM t LEFT JOIN res ON t.doc_id = res.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
     "pipe_unigram_seg" ->
       s"""WITH RECURSIVE $unigramCtes
          |SELECT b.w, b.seg, b.n_pieces, b.cost_q, wo.freq

@@ -651,6 +651,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(encRows == Seq(("ab", "ab")), s"got $encRows")
   }
 
+  test("span scrub cuts cross-doc duplicated spans and nothing else") {
+    import spark.implicits._
+    // docs 1 and 2 share the exact 7-token span "q w e r t y u" (covers
+    // token positions beyond a single 3-gram); doc 3 is unique; doc 4
+    // repeats a 3-gram WITHIN itself only — the >=2-distinct-docs rule
+    // must leave it whole
+    val rows = Seq(
+      (1L, "a b c q w e r t y u d d2 d3"),
+      (2L, "x y z q w e r t y u f f2 f3"),
+      (3L, "m n o p s v h j k l"),
+      (4L, "g1 g2 g3 z9 g1 g2 g3 z8 q q2 q3")
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val got = graft.ops.Dedup.spanScrub(rows, col("doc_id"), col("toks"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    // every 3-gram inside "q w e r t y u" appears in docs 1 AND 2, so all
+    // 7 span tokens go; the flanks survive
+    assert(got(0) == ((1L, 13L, 6L, "a b c d d2 d3")), s"got ${got(0)}")
+    assert(got(1) == ((2L, 13L, 6L, "x y z f f2 f3")), s"got ${got(1)}")
+    assert(got(2) == ((3L, 10L, 10L, "m n o p s v h j k l")), s"got ${got(2)}")
+    assert(got(3)._2 == 11L && got(3)._3 == 11L,
+      s"within-doc-only repeats must not scrub: ${got(3)}")
+  }
+
   test("unigram Viterbi DP matches exhaustive segmentation enumeration") {
     import spark.implicits._
     // vocab engineered with exact cost ties ("ab"+"c" vs "a"+"bc" both
