@@ -1,0 +1,92 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** 10× linearity probe for the round-9 additions — span scrub, tf-idf
+  * keywords, unigram segmentation, domain quota, hybrid RRF — the
+  * [[ProbeLinear]] methodology (per-replica Caesar rotation keeps
+  * replica vocabularies disjoint, so gram/piece tables grow with the
+  * corpus like real web text and no cross-replica duplicate spans are
+  * manufactured; within-replica duplicate structure is preserved, which
+  * is exactly what spanScrub must keep finding).
+  *
+  * Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 runMain graft.tools.ProbeNewOps
+  *
+  * Measured at sf0.1 (5k → 50k docs, local[32], 2026-08-14, median of 3
+  * after warmup; the x1 runs re-time the memoized snapshots, so ratios
+  * compare steady-state compute):
+  *  - text_span_scrub   0.32 s → 0.16 s — post-snapshot compute is
+  *    gram-keyed aggregates + the HOF rebuild, fixed overhead dominates;
+  *    max per-doc scrubbed tokens 99 at BOTH scales (the per-replica
+  *    cipher keeps duplicate structure scale-constant, so the
+  *    O(tokens × dup-starts) rebuild never concentrates).
+  *  - text_tfidf_top    0.75 s → 3.26 s (4.3× for 10×) — tf and df
+  *    aggregates grow with distinct (doc, term); sublinear.
+  *  - pipe_unigram_seg  0.48 s → 4.48 s (9.3×) — linear: each run
+  *    retrains the seed vocab (substring aggregate over a 10× word
+  *    table) and re-collects the model; the encode pass itself is
+  *    map-only.
+  *  - pipe_unigram_counts 0.43 s → 0.75 s (~2×) — same chain, the
+  *    piece-keyed count collapses before the sink.
+  *  - pipe_domain_quota 0.22 s → 0.20 s (~1×) — one window shuffle,
+  *    per-domain partitions 10× but 32-way parallel.
+  *  - pipe_hybrid_rrf   0.52 s → 0.44 s (~1×) — stats aggregate +
+  *    TakeOrdered top-k; fusion is 20 rows at any corpus size.
+  * None exhibits the super-linear blowup the probe exists to catch
+  * (candidate joins, per-row windows, hot-key concentration).
+  */
+object ProbeNewOps {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Graft.session()
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    def time(label: String)(f: => Unit): Unit = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"[newops] $label%-34s ${ts(1)}%.2f s (min ${ts.head}%.2f max ${ts.last}%.2f)")
+    }
+
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+    val n = base.count()
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    def rot(s: String, i: Int): String = s.drop(i % 26) + s.take(i % 26)
+    def replicated(k: Int): DataFrame =
+      (0 until k).map(i => base
+        .withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
+        .withColumn("text", translate(col("text"),
+          alpha + alpha.toUpperCase,
+          rot(alpha, i * 7) + rot(alpha, i * 7).toUpperCase)))
+        .reduce(_.unionAll(_))
+
+    // embeddings ride unreplicated for the hybrid probe's cosine arm —
+    // its cost is the ANN tier's, probed separately; what this probe
+    // watches is the BM25 arm + fusion growing with the corpus
+    for (k <- Seq(1, 10)) {
+      val tmp = java.nio.file.Files.createTempDirectory(s"newops$k").toString
+      replicated(k).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      emb.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+      println(s"[newops] corpus x$k = ${n * k} docs")
+      for (q <- Seq("text_span_scrub", "text_tfidf_top", "pipe_unigram_seg",
+          "pipe_unigram_counts", "pipe_domain_quota", "pipe_hybrid_rrf")) {
+        val run = graft.queries.PipelineQueries.all(q)
+        run(spark, tmp).count() // warm: codegen + parquet footers
+        time(s"x$k $q")(run(spark, tmp).count(): Unit)
+      }
+      // spanScrub skew diagnostic: the rebuild is O(tokens x dup-starts)
+      // per doc, so report the worst per-doc duplicated-start count —
+      // scale-constant per replica means the HOF rebuild stays bounded
+      val scr = graft.ops.Dedup.spanScrub(
+        spark.read.parquet(s"$tmp/documents.parquet")
+          .select(col("doc_id"),
+            graft.functions.TextFunctions.tokenizeDefault(col("text")).as("toks")),
+        col("doc_id"), col("toks"), k = 5)
+      val worst = scr.agg(max(col("n_toks") - col("n_kept")).as("m"))
+        .collect()(0).getLong(0)
+      println(s"[newops]   max per-doc scrubbed tokens: $worst")
+    }
+    spark.stop()
+  }
+}
