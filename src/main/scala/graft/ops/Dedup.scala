@@ -286,6 +286,51 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Bloom-filter decontamination — the at-scale form of
+    * [[decontaminate]]: when the benchmark suite's shingle set is too
+    * large to broadcast raw (the real shape once every eval suite ever
+    * published is in the blocklist), fold it into an m-bit Bloom filter
+    * and test corpus shingles against THAT. The filter is a (word_idx,
+    * word) table of 32-bit words in BIGINTs — m/32 rows, broadcast — and
+    * membership is j md5-derived probes per shingle, all in exact
+    * integer arithmetic (`pmod(h64("bloom<t>:" || sh), m)`, bit test by
+    * truncating division), so false positives are DETERMINISTIC and an
+    * independent engine reproduces them bit-for-bit.
+    *
+    * Scale shape: build side is one aggregate over benchmark shingles
+    * (j rows each), corpus side one map-side pass (j probe rows per
+    * shingle joined to the broadcast word table) — the corpus never
+    * joins the benchmark. False-positive rate ~ (1 - e^{-jn/m})^j; the
+    * caller sizes m for it. minHits thresholds how many filter-positive
+    * shingles condemn a document.
+    *
+    * Output per corpus doc: (doc_id, n_sh, n_hits, keep). */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
+      mBits: Int, numHashes: Int, minHits: Long): DataFrame = {
+    require(mBits >= 32 && mBits % 32 == 0, s"mBits must be a multiple of 32, got $mBits")
+    require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+    val seeds = explode(array((0 until numHashes).map(lit): _*)).as("t")
+    def probes(sh: DataFrame): DataFrame = sh
+      .select(col("*"), seeds)
+      .withColumn("bit", pmod(Hashing.h64(
+        concat(lit("bloom"), col("t").cast("string"), lit(":"), col("sh"))),
+        lit(mBits.toLong)))
+      .withColumn("widx", expr("bit DIV 32"))
+      .withColumn("mask", expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 32 AS INT))"))
+    val words = probes(benchmark.select(explode(col("shingles")).as("sh")).distinct())
+      .groupBy(col("widx")).agg(expr("bit_or(mask)").as("wv"))
+    probes(corpus.select(col("doc_id"), explode(col("shingles")).as("sh")))
+      .join(broadcast(words), Seq("widx"), "left")
+      .withColumn("hit",
+        when(expr("(coalesce(wv, CAST(0 AS BIGINT)) DIV mask) % 2 = 1"), 1L)
+          .otherwise(0L))
+      // a shingle is filter-positive iff ALL j probes hit
+      .groupBy(col("doc_id"), col("sh")).agg(min(col("hit")).as("all_hit"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"),
+        sum(col("all_hit")).as("n_hits"))
+      .withColumn("keep", col("n_hits") < minHits)
+  }
+
   /** Incremental near-dedup: decide, for each NEW document, whether it
     * duplicates the EXISTING corpus (exact n-gram Jaccard ≥ threshold) —
     * the ingest-time pass of a continuously growing training corpus,

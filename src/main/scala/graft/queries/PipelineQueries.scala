@@ -1216,6 +1216,21 @@ object PipelineQueries {
       .orderBy(col("doc_id"), col("bench_id"))
   }
 
+  /** Bloom-filter decontamination at the [[pipe_decontaminate]] gate
+    * fixture (docs < 10 are the benchmark, the rest the corpus) — see
+    * [[graft.ops.Dedup.decontaminateBloom]]. m = 2^18 bits, j = 3
+    * probes: false positives are deterministic integer arithmetic, so
+    * the oracle reproduces them exactly — what is gated is the filter
+    * CONSTRUCTION + membership logic, not a probabilistic claim. */
+  val pipe_bloom_decontaminate: Q = (s, dir) => {
+    val sh = shingled(s, dir)
+    Dedup.decontaminateBloom(
+      sh.where(col("doc_id") >= 10),
+      sh.where(col("doc_id") < 10),
+      mBits = 1 << 18, numHashes = 3, minHits = 1L)
+      .orderBy(col("doc_id"))
+  }
+
   /** One exact k-means (Lloyd's) iteration training the IVF quantizer:
     * first 16 vectors seed the centroids, update sums are fixed-point
     * integers so the oracle reproduces them exactly — see
@@ -1279,6 +1294,7 @@ object PipelineQueries {
     "pipe_sample_stratified" -> pipe_sample_stratified,
     "pipe_domain_quota" -> pipe_domain_quota,
     "text_span_scrub" -> text_span_scrub,
+    "pipe_bloom_decontaminate" -> pipe_bloom_decontaminate,
     "pipe_unigram_seg" -> pipe_unigram_seg,
     "pipe_unigram_counts" -> pipe_unigram_counts,
     "text_tfidf_top" -> text_tfidf_top,
@@ -2160,6 +2176,34 @@ object PipelineQueries {
         |  FROM documents)
         |WHERE bucket < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
         |ORDER BY doc_id""".stripMargin,
+    "pipe_bloom_decontaminate" ->
+      s"""WITH sh AS ($shingleSql),
+         |bsh AS (SELECT DISTINCT unnest(shingles) AS sh FROM sh WHERE doc_id < 10),
+         |bp AS (
+         |  SELECT widx, bit_or(mask) AS wv FROM (
+         |    SELECT (bit // 32) AS widx,
+         |      (CAST(1 AS BIGINT) << CAST(bit % 32 AS INTEGER)) AS mask
+         |    FROM (
+         |      SELECT CAST(('0x' || substr(md5('bloom' || CAST(t AS VARCHAR) || ':' || sh), 1, 15)) AS BIGINT) % 262144 AS bit
+         |      FROM bsh CROSS JOIN range(0, 3) r(t)))
+         |  GROUP BY widx),
+         |cp AS (
+         |  SELECT doc_id, sh, (bit // 32) AS widx,
+         |    (CAST(1 AS BIGINT) << CAST(bit % 32 AS INTEGER)) AS mask
+         |  FROM (
+         |    SELECT doc_id, sh,
+         |      CAST(('0x' || substr(md5('bloom' || CAST(t AS VARCHAR) || ':' || sh), 1, 15)) AS BIGINT) % 262144 AS bit
+         |    FROM (SELECT doc_id, unnest(shingles) AS sh FROM sh WHERE doc_id >= 10)
+         |    CROSS JOIN range(0, 3) r(t))),
+         |hits AS (
+         |  SELECT doc_id, sh,
+         |    min(CASE WHEN (coalesce(wv, 0) // mask) % 2 = 1 THEN 1 ELSE 0 END) AS all_hit
+         |  FROM cp LEFT JOIN bp USING (widx)
+         |  GROUP BY doc_id, sh)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh,
+         |  CAST(sum(all_hit) AS BIGINT) AS n_hits,
+         |  sum(all_hit) < 1 AS keep
+         |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_span_scrub" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |g0 AS (

@@ -651,6 +651,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(encRows == Seq(("ab", "ab")), s"got $encRows")
   }
 
+  test("bloom decontamination never misses an exact contamination hit") {
+    // Bloom filters have false positives, never false negatives: every
+    // doc the exact broadcast-join decontaminate flags must be flagged
+    // by the filter too (both at minHits=1 on the same fixture split)
+    val exact = PipelineQueries.pipe_decontaminate(spark, sf)
+      .select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val bloom = PipelineQueries.pipe_bloom_decontaminate(spark, sf)
+      .where(!col("keep")).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.nonEmpty, "fixture should plant contamination")
+    val missed = exact -- bloom
+    assert(missed.isEmpty, s"bloom filter dropped exact hits: $missed")
+  }
+
   test("span scrub cuts cross-doc duplicated spans and nothing else") {
     import spark.implicits._
     // docs 1 and 2 share the exact 7-token span "q w e r t y u" (covers
