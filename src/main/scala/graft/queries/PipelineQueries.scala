@@ -1204,6 +1204,28 @@ object PipelineQueries {
           .as("recall_ppm"))
   }
 
+  /** SimHash candidate-quality gate — the [[dedup_lsh_recall]]
+    * methodology for the OTHER signature family: precision/recall (ppm,
+    * integer-exact) of Hamming-≤8 SimHash pairs against exact
+    * shingle-Jaccard ≥ 0.5 truth. SimHash trades the MinHash banding
+    * guarantee for a single 64-bit signature; this gate is where that
+    * trade's recall cost stays measured instead of assumed. */
+  val dedup_simhash_recall: Q = (s, dir) => {
+    val truth = Dedup.ngramJaccard(shingled(s, dir), threshold = 0.5)
+      .select(col("a"), col("b"))
+    val cand = Dedup.simhash(tokenized(s, dir), maxDistance = 8)
+      .select(col("a"), col("b"))
+    val hit = truth.join(cand, Seq("a", "b")).agg(count(lit(1)).as("n_hit"))
+    val nt = truth.agg(count(lit(1)).as("n_true"))
+    val nc = cand.agg(count(lit(1)).as("n_cand"))
+    nt.crossJoin(nc).crossJoin(hit)
+      .select(col("n_true"), col("n_cand"), col("n_hit"),
+        expr("CASE WHEN n_cand > 0 THEN n_hit * 1000000 DIV n_cand ELSE 1000000 END")
+          .as("precision_ppm"),
+        expr("CASE WHEN n_true > 0 THEN n_hit * 1000000 DIV n_true ELSE 1000000 END")
+          .as("recall_ppm"))
+  }
+
   /** Benchmark decontamination: shingle-overlap counts between the
     * corpus (doc_id >= 10) and a benchmark set (docs 0-9 stand in for an
     * eval suite). Benchmark side broadcast → map-side-only corpus pass;
@@ -1308,6 +1330,7 @@ object PipelineQueries {
     "knn_ivf_pq" -> knn_ivf_pq,
     "knn_recall" -> knn_recall,
     "dedup_lsh_recall" -> dedup_lsh_recall,
+    "dedup_simhash_recall" -> dedup_simhash_recall,
     "dedup_semantic_recall" -> dedup_semantic_recall,
     "text_line_dedup" -> text_line_dedup,
     "text_line_dedup_apply" -> text_line_dedup_apply,
@@ -1722,6 +1745,25 @@ object PipelineQueries {
     * CTE named `sh` the caller supplies — split out so chains that
     * already define `sh` (the MinHash one, in the recall gate) can
     * compose without duplicating the pair arithmetic. */
+  /** SimHash signature CTE (`shth`, `shsig`) — ONE definition shared by
+    * the pair oracle and the recall gate, mirroring
+    * [[graft.exprs.SigExprs]]'s simhash_sig exactly (md5-60 token
+    * hashes, 63 bit-majority votes). */
+  private val simhashSigCtes =
+    s"""shth AS (
+       |  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+       |  FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)),
+       |shsig AS (
+       |  SELECT doc_id,
+       |    bit_or(CASE WHEN cnt > 0 THEN power_of_two ELSE 0 END) AS simhash
+       |  FROM (
+       |    SELECT doc_id, bit,
+       |      CAST(power(2, bit) AS BIGINT) AS power_of_two,
+       |      sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+       |    FROM shth CROSS JOIN (SELECT unnest(range(63)) AS bit)
+       |    GROUP BY doc_id, bit)
+       |  GROUP BY doc_id)""".stripMargin
+
   private val jaccardPairCtes =
     """ex AS (SELECT doc_id, len(shingles) AS nsh, unnest(shingles) AS s FROM sh),
       |jac AS (
@@ -2496,24 +2538,29 @@ object PipelineQueries {
          |  FROM adc)
          |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "dedup_simhash" ->
-      s"""WITH th AS (
-         |  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
-         |  FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)),
-         |sig AS (
-         |  SELECT doc_id,
-         |    bit_or(CASE WHEN cnt > 0 THEN power_of_two ELSE 0 END) AS simhash
-         |  FROM (
-         |    SELECT doc_id, bit,
-         |      CAST(power(2, bit) AS BIGINT) AS power_of_two,
-         |      sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
-         |    FROM th CROSS JOIN (SELECT unnest(range(63)) AS bit)
-         |    GROUP BY doc_id, bit)
-         |  GROUP BY doc_id)
+      s"""WITH $simhashSigCtes
          |SELECT a.doc_id AS a, b.doc_id AS b,
          |  bit_count(xor(a.simhash, b.simhash)) AS dist
-         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |FROM shsig a JOIN shsig b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
          |ORDER BY a, b""".stripMargin,
+    "dedup_simhash_recall" ->
+      s"""WITH $jaccardCtes,
+         |$simhashSigCtes,
+         |shprs AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM shsig a JOIN shsig b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 8),
+         |hit AS (SELECT count(*) AS n_hit
+         |  FROM jac j JOIN shprs p ON p.a = j.a AND p.b = j.b),
+         |nt AS (SELECT count(*) AS n_true FROM jac),
+         |nc AS (SELECT count(*) AS n_cand FROM shprs)
+         |SELECT n_true, n_cand, n_hit,
+         |  CASE WHEN n_cand > 0 THEN n_hit * 1000000 // n_cand
+         |       ELSE 1000000 END AS precision_ppm,
+         |  CASE WHEN n_true > 0 THEN n_hit * 1000000 // n_true
+         |       ELSE 1000000 END AS recall_ppm
+         |FROM nt, nc, hit""".stripMargin,
     "dedup_embedding" ->
       """SELECT a.vec_id AS a, b.vec_id AS b
         |FROM embeddings a JOIN embeddings b

@@ -340,6 +340,7 @@ class PlanSpec extends AnyFunSuite {
       "pipe_curate_v2" -> "1-row vocabulary-size scalar attach (bigramNll stage)",
       "pipe_dsir_select" -> "1-row target-total scalar attach",
       "dedup_lsh_recall" -> "three 1-row count scalars cross-joined into the report row",
+      "dedup_simhash_recall" -> "three 1-row count scalars cross-joined into the report row",
       "dedup_semantic_recall" -> "brute-force truth tier (declared O(n^2) diagnostic) + 1-row scalars",
       "text_tfidf_top" -> "1-row corpus-size scalar attach (idf denominator)",
       "pipe_hybrid_rrf" -> "semantic arm = Ann.brute with a 1-query broadcast side"
