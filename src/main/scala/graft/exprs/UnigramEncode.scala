@@ -37,6 +37,13 @@ import org.apache.spark.unsafe.types.UTF8String
 case class UnigramEncode(child: Expression, vocab: Seq[(String, Long)],
     maxPieceLen: Int) extends UnaryExpression with CodegenFallback {
   require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+  // '|' is the DP's internal path separator: a piece containing it would
+  // mis-split the final piece array AND break the tie-break ordering
+  // argument (piece strings would no longer first-differ at a
+  // separator-vs-character position) — reject loudly, not corrupt
+  require(vocab.forall(!_._1.contains('|')),
+    "vocabulary pieces must not contain '|' (the segmentation separator); " +
+      s"offending: ${vocab.collect { case (p, _) if p.contains('|') => p }.take(3).mkString(", ")}")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = true
 

@@ -1057,17 +1057,28 @@ object PipelineQueries {
     * linear and unbounded), and ASCII keeps Java-UTF-16 vs binary-UTF-8
     * tie-break collation identical (UnigramEncode scaladoc). */
   private def unigramWords(s: SparkSession, dir: String): DataFrame =
-    tokenized(s, dir).select(explode(col("toks")).as("w"))
-      .where(length(col("w")) <= 10 && col("w").rlike("^[a-z0-9]+$"))
-      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    memoSnap((s, dir, "uniwords")) {
+      tokenized(s, dir).select(explode(col("toks")).as("w"))
+        .where(length(col("w")) <= 10 && col("w").rlike("^[a-z0-9]+$"))
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    }
 
   /** Trained model artifact: (piece, cost_q) rows collected to the
     * driver — V + alphabet rows, the [[graft.ops.Bpe]] merge-table
-    * pattern, not a data collect. */
-  private def unigramModel(words: DataFrame): Seq[(String, Long)] =
-    graft.ops.Unigram.seedVocab(words, UnigramMaxPiece, topV = 200)
-      .select(col("piece"), col("cost_q"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    * pattern, not a data collect. Memoized per (session, dir) like the
+    * snapshots above (same immutable-fixture argument): seg and counts
+    * share one training pass instead of each retraining — training
+    * dominates the chain (ProbeNewOps). */
+  private val uniModelMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), Seq[(String, Long)]]()
+  private def unigramModel(s: SparkSession, dir: String): Seq[(String, Long)] = {
+    if (uniModelMemo.size > 64) uniModelMemo.clear()
+    uniModelMemo.computeIfAbsent((s, dir), _ =>
+      graft.ops.Unigram.seedVocab(unigramWords(s, dir), UnigramMaxPiece, topV = 200)
+        .select(col("piece"), col("cost_q"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
 
   /** Unigram-LM (SentencePiece-style) Viterbi segmentation under a seed
     * vocabulary trained on the same corpus — see [[graft.ops.Unigram]]
@@ -1076,8 +1087,8 @@ object PipelineQueries {
     * exact integer fold, so the oracle gates BOTH the chosen path and
     * its claimed cost. Output: (w, seg, n_pieces, cost_q, freq). */
   val pipe_unigram_seg: Q = (s, dir) => {
-    val words = unigramWords(s, dir).localCheckpoint(eager = false)
-    val model = unigramModel(words)
+    val words = unigramWords(s, dir)
+    val model = unigramModel(s, dir)
     val costMap = typedLit(model.toMap)
     words
       .withColumn("pieces",
@@ -1096,8 +1107,8 @@ object PipelineQueries {
     * flavor). Piece-keyed combiner aggregate over distinct words.
     * Output: (piece, vit_cnt). */
   val pipe_unigram_counts: Q = (s, dir) => {
-    val words = unigramWords(s, dir).localCheckpoint(eager = false)
-    val model = unigramModel(words)
+    val words = unigramWords(s, dir)
+    val model = unigramModel(s, dir)
     words
       .withColumn("pieces",
         graft.ops.Unigram.encode(col("w"), model, UnigramMaxPiece))
@@ -1191,8 +1202,19 @@ object PipelineQueries {
     * posting join its own gate (dedup_ngram_jaccard) already pays. */
   val dedup_lsh_recall: Q = (s, dir) => {
     val sh = shingled(s, dir)
-    val truth = Dedup.ngramJaccard(sh, threshold = 0.5).select(col("a"), col("b"))
-    val cand = Dedup.minhashLsh(sh, numHashes = 16, bands = 8)
+    recallReport(
+      Dedup.ngramJaccard(sh, threshold = 0.5).select(col("a"), col("b")),
+      Dedup.minhashLsh(sh, numHashes = 16, bands = 8))
+  }
+
+  /** Shared candidate-quality report: precision/recall of a candidate
+    * (a, b) pair set against a truth pair set, as integer ppm — three
+    * 1-row count scalars cross-joined into the report row; an empty
+    * candidate (resp. truth) set reports 10^6, vacuous success. ONE
+    * definition for every recall gate (LSH, SimHash), mirrored by
+    * `recallReportSql` on the oracle side so the ppm convention cannot
+    * drift between gates or engines. */
+  private def recallReport(truth: DataFrame, cand: DataFrame): DataFrame = {
     val hit = truth.join(cand, Seq("a", "b")).agg(count(lit(1)).as("n_hit"))
     val nt = truth.agg(count(lit(1)).as("n_true"))
     val nc = cand.agg(count(lit(1)).as("n_cand"))
@@ -1210,21 +1232,12 @@ object PipelineQueries {
     * shingle-Jaccard ≥ 0.5 truth. SimHash trades the MinHash banding
     * guarantee for a single 64-bit signature; this gate is where that
     * trade's recall cost stays measured instead of assumed. */
-  val dedup_simhash_recall: Q = (s, dir) => {
-    val truth = Dedup.ngramJaccard(shingled(s, dir), threshold = 0.5)
-      .select(col("a"), col("b"))
-    val cand = Dedup.simhash(tokenized(s, dir), maxDistance = 8)
-      .select(col("a"), col("b"))
-    val hit = truth.join(cand, Seq("a", "b")).agg(count(lit(1)).as("n_hit"))
-    val nt = truth.agg(count(lit(1)).as("n_true"))
-    val nc = cand.agg(count(lit(1)).as("n_cand"))
-    nt.crossJoin(nc).crossJoin(hit)
-      .select(col("n_true"), col("n_cand"), col("n_hit"),
-        expr("CASE WHEN n_cand > 0 THEN n_hit * 1000000 DIV n_cand ELSE 1000000 END")
-          .as("precision_ppm"),
-        expr("CASE WHEN n_true > 0 THEN n_hit * 1000000 DIV n_true ELSE 1000000 END")
-          .as("recall_ppm"))
-  }
+  val dedup_simhash_recall: Q = (s, dir) =>
+    recallReport(
+      Dedup.ngramJaccard(shingled(s, dir), threshold = 0.5)
+        .select(col("a"), col("b")),
+      Dedup.simhash(tokenized(s, dir), maxDistance = 8)
+        .select(col("a"), col("b")))
 
   /** Benchmark decontamination: shingle-overlap counts between the
     * corpus (doc_id >= 10) and a benchmark set (docs 0-9 stand in for an
@@ -1741,10 +1754,20 @@ object PipelineQueries {
       |    WHERE q.vec_id < 20 AND e.vec_id <> q.vec_id)
       |  WHERE rank <= 5)""".stripMargin
 
-  /** The exact shingle-Jaccard >= 0.5 pair fragment (`ex`, `jac`) over a
-    * CTE named `sh` the caller supplies — split out so chains that
-    * already define `sh` (the MinHash one, in the recall gate) can
-    * compose without duplicating the pair arithmetic. */
+  /** Oracle twin of `recallReport` over named truth/candidate pair
+    * relations — the ppm arithmetic exists exactly once per engine. */
+  private def recallReportSql(truthRel: String, candRel: String) =
+    s"""hit AS (SELECT count(*) AS n_hit
+       |  FROM $truthRel j JOIN $candRel p ON p.a = j.a AND p.b = j.b),
+       |nt AS (SELECT count(*) AS n_true FROM $truthRel),
+       |nc AS (SELECT count(*) AS n_cand FROM $candRel)
+       |SELECT n_true, n_cand, n_hit,
+       |  CASE WHEN n_cand > 0 THEN n_hit * 1000000 // n_cand
+       |       ELSE 1000000 END AS precision_ppm,
+       |  CASE WHEN n_true > 0 THEN n_hit * 1000000 // n_true
+       |       ELSE 1000000 END AS recall_ppm
+       |FROM nt, nc, hit""".stripMargin
+
   /** SimHash signature CTE (`shth`, `shsig`) — ONE definition shared by
     * the pair oracle and the recall gate, mirroring
     * [[graft.exprs.SigExprs]]'s simhash_sig exactly (md5-60 token
@@ -1764,6 +1787,10 @@ object PipelineQueries {
        |    GROUP BY doc_id, bit)
        |  GROUP BY doc_id)""".stripMargin
 
+  /** The exact shingle-Jaccard >= 0.5 pair fragment (`ex`, `jac`) over a
+    * CTE named `sh` the caller supplies — split out so chains that
+    * already define `sh` (the MinHash one, in the recall gate) can
+    * compose without duplicating the pair arithmetic. */
   private val jaccardPairCtes =
     """ex AS (SELECT doc_id, len(shingles) AS nsh, unnest(shingles) AS s FROM sh),
       |jac AS (
@@ -1807,16 +1834,7 @@ object PipelineQueries {
     "dedup_lsh_recall" ->
       s"""WITH $minhashCtes,
          |$jaccardPairCtes,
-         |hit AS (SELECT count(*) AS n_hit
-         |  FROM jac j JOIN prs p ON p.a = j.a AND p.b = j.b),
-         |nt AS (SELECT count(*) AS n_true FROM jac),
-         |nc AS (SELECT count(*) AS n_cand FROM prs)
-         |SELECT n_true, n_cand, n_hit,
-         |  CASE WHEN n_cand > 0 THEN n_hit * 1000000 // n_cand
-         |       ELSE 1000000 END AS precision_ppm,
-         |  CASE WHEN n_true > 0 THEN n_hit * 1000000 // n_true
-         |       ELSE 1000000 END AS recall_ppm
-         |FROM nt, nc, hit""".stripMargin,
+         |${recallReportSql("jac", "prs")}""".stripMargin,
     "dedup_jaccard_prefix" ->
       s"""WITH $jaccardCtes
          |SELECT a, b, inter, uni FROM jac ORDER BY a, b""".stripMargin,
@@ -2551,16 +2569,7 @@ object PipelineQueries {
          |  SELECT a.doc_id AS a, b.doc_id AS b
          |  FROM shsig a JOIN shsig b ON a.doc_id < b.doc_id
          |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 8),
-         |hit AS (SELECT count(*) AS n_hit
-         |  FROM jac j JOIN shprs p ON p.a = j.a AND p.b = j.b),
-         |nt AS (SELECT count(*) AS n_true FROM jac),
-         |nc AS (SELECT count(*) AS n_cand FROM shprs)
-         |SELECT n_true, n_cand, n_hit,
-         |  CASE WHEN n_cand > 0 THEN n_hit * 1000000 // n_cand
-         |       ELSE 1000000 END AS precision_ppm,
-         |  CASE WHEN n_true > 0 THEN n_hit * 1000000 // n_true
-         |       ELSE 1000000 END AS recall_ppm
-         |FROM nt, nc, hit""".stripMargin,
+         |${recallReportSql("jac", "shprs")}""".stripMargin,
     "dedup_embedding" ->
       """SELECT a.vec_id AS a, b.vec_id AS b
         |FROM embeddings a JOIN embeddings b

@@ -64,7 +64,9 @@ object ProbeNewOps {
     // its cost is the ANN tier's, probed separately; what this probe
     // watches is the BM25 arm + fusion growing with the corpus
     for (k <- Seq(1, 10)) {
-      val tmp = java.nio.file.Files.createTempDirectory(s"newops$k").toString
+      val tmpPath = java.nio.file.Files.createTempDirectory(s"newops$k")
+      val tmp = tmpPath.toString
+      try {
       replicated(k).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       emb.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
@@ -86,6 +88,11 @@ object ProbeNewOps {
       val worst = scr.agg(max(col("n_toks") - col("n_kept")).as("m"))
         .collect()(0).getLong(0)
       println(s"[newops]   max per-doc scrubbed tokens: $worst")
+      } finally { // the x10 replica is ~11x the sf corpus — don't leak it
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmpPath).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
     }
     spark.stop()
   }

@@ -734,6 +734,12 @@ class PipelineSpec extends AnyFunSuite {
     assert(edge("axc").isEmpty, "uncoverable word must be null")
     intercept[IllegalArgumentException](
       graft.ops.Unigram.seedVocab(Seq(("x", 1L)).toDF("w", "freq"), 0, 10))
+    // '|' is the DP's path separator — a piece containing it must be
+    // rejected at construction, not silently corrupt the piece array
+    intercept[IllegalArgumentException](
+      graft.exprs.UnigramEncode(
+        org.apache.spark.sql.catalyst.expressions.Literal("ab"),
+        Seq("a" -> 1L, "|b" -> 2L), 4))
   }
 
   test("epoch shuffle is a reproducible permutation with dense shard positions") {
