@@ -1300,30 +1300,53 @@ object PipelineQueries {
     * [[graft.ops.Ann.ivf]]. Gates that the trained quantizer actually
     * serves: assignment, probing, and ranking all run against computed
     * centroids, replayed end-to-end by the oracle. */
-  val knn_ivf_trained: Q = (s, dir) => {
+  /** The 3-round-trained centroid table (cid, cv) — float vectors
+    * rebuilt from [[graft.ops.Ann.kmeansTrain]]'s final-round quantized
+    * per-dim values, exactly the kc3 relation the unrolled oracles
+    * re-derive. ONE definition shared by every trained-quantizer
+    * serving composition. */
+  private def trainedCentroids(s: SparkSession, dir: String): DataFrame = {
     val e = corpus(s, dir)
-    val trained = Ann.kmeansTrain(
+    Ann.kmeansTrain(
         e.select(col("vid"), col("v")),
         e.where(col("vid") < 16).select(col("vid").as("cid"), col("v").as("cv")),
         iterations = 3)
       .where(col("iter") === 3)
-    val cents = trained.groupBy(col("cell"))
+      .groupBy(col("cell"))
       .agg(sort_array(collect_list(struct(col("d"), col("cq")))).as("ds"))
       .select(col("cell").as("cid"),
         expr("transform(ds, x -> CAST(CAST(x.cq AS DOUBLE) / 1000000.0 AS FLOAT))")
           .as("cv"))
+  }
+
+  val knn_ivf_trained: Q = (s, dir) => {
+    val e = corpus(s, dir)
     Ann.ivf(
       e.where(col("vid") < 20).select(col("vid").as("qid"), col("v").as("qv")),
       e.select(col("vid"), col("v")),
-      cents, nProbe = 2, k = 5)
+      trainedCentroids(s, dir), nProbe = 2, k = 5)
       .orderBy(col("qid"), col("rank"))
   }
+
+  /** The FULL production ANN tier end-to-end trained: IVF-PQ served from
+    * the k-means-trained quantizer — trained coarse cells (rounds 2–3
+    * assign against COMPUTED centroids) + PQ codebooks + ADC ranking,
+    * replayed end-to-end by the oracle (kmeans unroll composed with the
+    * shared PQ/ADC fragments). The last serving composition the
+    * one-stage gates ([[knn_ivf_trained]], [[knn_ivf_pq]]) individually
+    * cover. */
+  val knn_ivfpq_trained: Q = (s, dir) =>
+    Ann.ivfPq(corpus(s, dir).select(col("vid"), col("v")),
+      isQuery = _ < 20,
+      trainedCentroids(s, dir), nProbe = 2, numSubspaces = 4, k = 5)
+      .orderBy(col("qid"), col("rank"))
 
   val all: Map[String, Q] = Map(
     "pipe_decontaminate" -> pipe_decontaminate,
     "pipe_kmeans_step" -> pipe_kmeans_step,
     "pipe_kmeans_train" -> pipe_kmeans_train,
     "knn_ivf_trained" -> knn_ivf_trained,
+    "knn_ivfpq_trained" -> knn_ivfpq_trained,
     "text_repetition" -> text_repetition,
     "dedup_cluster_canon" -> dedup_cluster_canon,
     "pipe_sample_stratified" -> pipe_sample_stratified,
@@ -2555,6 +2578,33 @@ object PipelineQueries {
          |    row_number() OVER (PARTITION BY qid ORDER BY adist ASC, neighbor ASC) AS rank
          |  FROM adc)
          |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "knn_ivfpq_trained" ->
+      s"""WITH kc0 AS (
+         |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+         |${kmeansIterSql(1)},
+         |${kmeansIterSql(2)},
+         |${kmeansIterSql(3)},
+         |asg AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cid ASC) AS crn
+         |    FROM embeddings e CROSS JOIN kc3 c)
+         |  WHERE crn = 1),
+         |probes AS (
+         |  SELECT qid, cell FROM (
+         |    SELECT e.vec_id AS qid, c.cid AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cid ASC) AS crn
+         |    FROM embeddings e CROSS JOIN kc3 c WHERE e.vec_id < 20)
+         |  WHERE crn <= 2),
+         |$pqCtes,
+         |$ivfPqAdcCte
+         |SELECT qid, rank, neighbor FROM (
+         |  SELECT qid, neighbor,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adist ASC, neighbor ASC) AS rank
+         |  FROM adc)
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $simhashSigCtes
          |SELECT a.doc_id AS a, b.doc_id AS b,
@@ -2579,25 +2629,16 @@ object PipelineQueries {
     // brute all-pairs truth vs cell-bounded candidates — recall prices
     // the cross-cell pairs the coarse clustering gives up
     "dedup_semantic_recall" ->
-      """WITH truth AS (
-        |  SELECT a.vec_id AS a, b.vec_id AS b
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4),
-        |cand AS (
-        |  SELECT a.vec_id AS a, b.vec_id AS b
-        |  FROM embeddings a JOIN embeddings b
-        |    ON a.label = b.label AND a.vec_id < b.vec_id
-        |  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4),
-        |hit AS (SELECT count(*) AS n_hit
-        |  FROM truth t JOIN cand c ON c.a = t.a AND c.b = t.b),
-        |nt AS (SELECT count(*) AS n_true FROM truth),
-        |nc AS (SELECT count(*) AS n_cand FROM cand)
-        |SELECT n_true, n_cand, n_hit,
-        |  CASE WHEN n_cand > 0 THEN n_hit * 1000000 // n_cand
-        |       ELSE 1000000 END AS precision_ppm,
-        |  CASE WHEN n_true > 0 THEN n_hit * 1000000 // n_true
-        |       ELSE 1000000 END AS recall_ppm
-        |FROM nt, nc, hit""".stripMargin,
+      s"""WITH truth AS (
+         |  SELECT a.vec_id AS a, b.vec_id AS b
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4),
+         |cand AS (
+         |  SELECT a.vec_id AS a, b.vec_id AS b
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4),
+         |${recallReportSql("truth", "cand")}""".stripMargin,
     "dedup_semantic" ->
       s"""WITH RECURSIVE prc AS (
          |  SELECT a.vec_id AS a, b.vec_id AS b,
