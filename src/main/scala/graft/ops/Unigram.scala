@@ -61,6 +61,63 @@ object Unigram {
           lit(1000000.0)).cast("long").as("cost_q"))
   }
 
+  /** The full unigram hard-EM training loop (Kudo 2018 §3.2, Viterbi
+    * flavor — the third oracle-replayed training loop next to
+    * [[Bpe.train]] and [[Ann.kmeansTrain]]): start from [[seedVocab]],
+    * then per round (1) Viterbi-segment every distinct word under the
+    * CURRENT costs, (2) count pieces frequency-weighted, (3)
+    * re-estimate costs from the counts and PRUNE multi-character pieces
+    * whose Viterbi count hit zero. Single characters never prune and
+    * their counts floor at 1 (a Laplace floor on the alphabet — the
+    * completeness guarantee [[graft.exprs.UnigramEncode]]'s null
+    * contract needs survives every round), so every word stays
+    * coverable.
+    *
+    * Update rule, exactly (restated by the unrolled oracle):
+    *   cnt_r(p)  = Σ_w freq(w) · occurrences of p in viterbi_r(w)
+    *   adj_r(p)  = max(cnt_r(p), 1) if |p| = 1 else cnt_r(p)
+    *   vocab_r+1 = { (p, ⌊-ln(adj/Σadj)·10⁶⌋) : adj_r(p) > 0 }
+    * The one ln per piece uses StrictMath.log — the same function
+    * Catalyst's log expression evaluates, so driver-side re-estimation
+    * is bit-identical to the in-plan form ([[seedVocab]]) and to the
+    * oracle's ln.
+    *
+    * Scale shape: each round is ONE vocabulary-sized job (distinct-word
+    * encode through the tight-loop expression, piece-keyed count
+    * aggregate) plus model-table arithmetic on the driver — counts and
+    * costs are model artifacts (V + alphabet rows), never corpus data.
+    * Output: (iter, piece, cnt, cost_q) — round r's re-estimated
+    * vocabulary, i.e. the model entering round r+1. */
+  def train(words: DataFrame, maxPieceLen: Int, topV: Int,
+      iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val sp = words.sparkSession
+    var vocab: Seq[(String, Long)] =
+      seedVocab(words, maxPieceLen, topV)
+        .select(col("piece"), col("cost_q"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
+    for (r <- 1 to iterations) {
+      val counts: Map[String, Long] = words
+        .withColumn("pieces", encode(col("w"), vocab, maxPieceLen))
+        .select(explode(col("pieces")).as("piece"), col("freq"))
+        .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+        .collect().map(row => row.getString(0) -> row.getLong(1)).toMap
+      val adj = vocab.map { case (p, _) =>
+        val c = counts.getOrElse(p, 0L)
+        p -> (if (p.codePointCount(0, p.length) == 1) math.max(c, 1L) else c)
+      }.filter(_._2 > 0)
+      val total = adj.map(_._2).sum.toDouble
+      val next = adj.map { case (p, c) =>
+        (p, c, math.floor(-StrictMath.log(c.toDouble / total) * 1000000.0).toLong)
+      }
+      out ++= next.map { case (p, c, q) => (r.toLong, p, c, q) }
+      vocab = next.map { case (p, _, q) => (p, q) }
+    }
+    import sp.implicits._
+    out.toSeq.toDF("iter", "piece", "cnt", "cost_q")
+  }
+
   /** Viterbi-best segmentation of `word` under the trained `vocab`
     * model — see [[graft.exprs.UnigramEncode]]. Returns the piece
     * array (null for words the vocabulary cannot cover). */

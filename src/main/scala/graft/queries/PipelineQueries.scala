@@ -1117,6 +1117,21 @@ object PipelineQueries {
       .orderBy(col("piece"))
   }
 
+  /** The FULL unigram hard-EM training loop at N=2
+    * ([[graft.ops.Unigram.train]]): round 1 re-estimates from the
+    * seed-vocab segmentation (pruning zero-count multi-char pieces,
+    * alphabet floored at 1), round 2 re-segments under the COMPUTED
+    * round-1 costs — the part a one-step gate never sees. The oracle
+    * unrolls both rounds: round 2's segmentation is a fresh exhaustive
+    * enumeration under the re-estimated costs, so the loop's
+    * cross-round determinism (integer Viterbi under re-derived
+    * quantized costs) is gated end-to-end. Output: (iter, piece, cnt,
+    * cost_q) — each round's re-estimated vocabulary. */
+  val pipe_unigram_train: Q = (s, dir) =>
+    graft.ops.Unigram.train(unigramWords(s, dir), UnigramMaxPiece,
+        topV = 200, iterations = 2)
+      .orderBy(col("iter"), col("piece"))
+
   /** URL-keyed dedup over [[graft.ops.TextAnalysis.canonicalUrl]]: each
     * doc_id-group of four synthesizes the same page behind four surface
     * forms (upper-cased scheme/host + explicit `:443`, trailing slash,
@@ -1354,6 +1369,7 @@ object PipelineQueries {
     "text_span_scrub" -> text_span_scrub,
     "pipe_bloom_decontaminate" -> pipe_bloom_decontaminate,
     "pipe_unigram_seg" -> pipe_unigram_seg,
+    "pipe_unigram_train" -> pipe_unigram_train,
     "pipe_unigram_counts" -> pipe_unigram_counts,
     "text_tfidf_top" -> text_tfidf_top,
     "pipe_hybrid_rrf" -> pipe_hybrid_rrf,
@@ -1475,6 +1491,45 @@ object PipelineQueries {
        |      cost AS cost_q,
        |      row_number() OVER (PARTITION BY w ORDER BY cost ASC, segstr ASC) AS rn
        |    FROM complete) WHERE rn = 1)""".stripMargin
+
+  /** One unigram-training enumeration round: all segmentations of every
+    * word under `vocab\$r`'s costs (fresh recursive CTE per round — the
+    * oracle re-derives each round's Viterbi from scratch, no DP). */
+  private def unigramSegSql(r: Int) =
+    s"""seg$r AS (
+       |  SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS cost, '' AS segstr FROM words
+       |  UNION ALL
+       |  SELECT s.w, s.pos + length(v.piece), s.cost + v.cost_q,
+       |    CASE WHEN s.segstr = '' THEN v.piece ELSE s.segstr || '|' || v.piece END
+       |  FROM seg$r s JOIN vocab$r v
+       |    ON substr(s.w, s.pos + 1, length(v.piece)) = v.piece
+       |  WHERE s.pos < length(s.w)),
+       |best$r AS (
+       |  SELECT w, seg FROM (
+       |    SELECT w, segstr AS seg,
+       |      row_number() OVER (PARTITION BY w ORDER BY cost ASC, segstr ASC) AS rn
+       |    FROM seg$r WHERE pos = length(w)) WHERE rn = 1)""".stripMargin
+
+  /** One unigram-training re-estimate round: Viterbi piece counts from
+    * `best\$r`, the alphabet Laplace floor, zero-count multi-char prune,
+    * re-quantized costs — [[graft.ops.Unigram.train]]'s update rule
+    * restated. */
+  private def unigramUpdateSql(r: Int) =
+    s"""cnt$r AS (
+       |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(string_split(b.seg, '|')) AS piece, wo.freq
+       |    FROM best$r b JOIN words wo USING (w))
+       |  GROUP BY piece),
+       |adj$r AS (
+       |  SELECT v.piece,
+       |    CASE WHEN length(v.piece) = 1 THEN greatest(coalesce(c.cnt, 0), 1)
+       |         ELSE coalesce(c.cnt, 0) END AS cnt
+       |  FROM vocab$r v LEFT JOIN cnt$r c USING (piece)),
+       |vocab${r + 1} AS (
+       |  SELECT piece, cnt,
+       |    CAST(floor(-ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000.0) AS BIGINT) AS cost_q
+       |  FROM (SELECT piece, cnt FROM adj$r WHERE cnt > 0)
+       |  CROSS JOIN (SELECT sum(cnt) AS total FROM adj$r WHERE cnt > 0))""".stripMargin
 
   /** DuckDB rendition of [[graft.ops.TextAnalysis]]'s gopherMetrics —
     * SELECT-list fragment over `text`, plus the keep predicate over the
@@ -2323,6 +2378,17 @@ object PipelineQueries {
       s"""WITH RECURSIVE $unigramCtes
          |SELECT b.w, b.seg, b.n_pieces, b.cost_q, wo.freq
          |FROM best b JOIN words wo USING (w) ORDER BY w""".stripMargin,
+    "pipe_unigram_train" ->
+      s"""WITH RECURSIVE $unigramCtes,
+         |vocab1 AS (SELECT piece, cnt, cost_q FROM vocab),
+         |best1 AS (SELECT w, seg FROM best),
+         |${unigramUpdateSql(1)},
+         |${unigramSegSql(2)},
+         |${unigramUpdateSql(2)}
+         |SELECT CAST(1 AS BIGINT) AS iter, piece, cnt, cost_q FROM vocab2
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT) AS iter, piece, cnt, cost_q FROM vocab3
+         |ORDER BY iter, piece""".stripMargin,
     "pipe_unigram_counts" ->
       s"""WITH RECURSIVE $unigramCtes
          |SELECT piece, CAST(sum(freq) AS BIGINT) AS vit_cnt FROM (

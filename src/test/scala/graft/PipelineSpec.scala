@@ -742,6 +742,64 @@ class PipelineSpec extends AnyFunSuite {
         Seq("a" -> 1L, "|b" -> 2L), 4))
   }
 
+  test("unigram training loop matches a sequential reference implementation") {
+    import spark.implicits._
+    val corpus = Seq(("lowlow", 4L), ("lower", 3L), ("newer", 2L), ("low", 5L))
+    val words = corpus.toDF("w", "freq")
+    val maxLen = 3
+    val topV = 6
+
+    // sequential reference: seed vocab, then 2 rounds of viterbi-count ->
+    // floor/prune -> re-quantize, entirely in-process
+    def substrings(w: String): Seq[String] =
+      for (i <- 0 until w.length; l <- 1 to math.min(maxLen, w.length - i))
+        yield w.substring(i, i + l)
+    val subCnt = corpus.flatMap { case (w, f) => substrings(w).map(_ -> f) }
+      .groupBy(_._1).map { case (p, o) => p -> o.map(_._2).sum }
+    val top = subCnt.filter(_._1.length >= 2).toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(topV)
+    val singles = subCnt.filter(_._1.length == 1).toSeq
+    var vocab: Map[String, Long] = {
+      val v0 = top ++ singles
+      val tot = v0.map(_._2).sum.toDouble
+      v0.map { case (p, c) =>
+        p -> math.floor(-StrictMath.log(c / tot) * 1e6).toLong }.toMap
+    }
+    def viterbi(w: String): List[String] = {
+      def enum(s: String): Seq[List[String]] =
+        if (s.isEmpty) Seq(Nil)
+        else (1 to math.min(maxLen, s.length)).flatMap { l =>
+          val p = s.substring(0, l)
+          if (vocab.contains(p)) enum(s.substring(l)).map(p :: _) else Nil
+        }
+      enum(w).map(ps => ((ps.map(vocab).sum, ps.mkString("|")), ps))
+        .minBy(_._1)._2
+    }
+    val want = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
+    for (r <- 1 to 2) {
+      val cnt = corpus.flatMap { case (w, f) => viterbi(w).map(_ -> f) }
+        .groupBy(_._1).map { case (p, o) => p -> o.map(_._2).sum }
+      val adj = vocab.keys.toSeq.sorted.map { p =>
+        val c = cnt.getOrElse(p, 0L)
+        p -> (if (p.length == 1) math.max(c, 1L) else c)
+      }.filter(_._2 > 0)
+      val tot = adj.map(_._2).sum.toDouble
+      val next = adj.map { case (p, c) =>
+        (p, c, math.floor(-StrictMath.log(c / tot) * 1e6).toLong) }
+      want ++= next.map { case (p, c, q) => (r.toLong, p, c, q) }
+      vocab = next.map { case (p, _, q) => p -> q }.toMap
+    }
+    val got = graft.ops.Unigram.train(words, maxLen, topV, iterations = 2)
+      .orderBy(col("iter"), col("piece"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want.sortBy(x => (x._1, x._2)).toSeq, s"got $got\nwant $want")
+    // pruning must actually fire: round-1 vocab smaller than the seed
+    val seedSize = top.size + singles.size
+    assert(got.count(_._1 == 1L) < seedSize, "round 1 should prune unused pieces")
+    intercept[IllegalArgumentException](
+      graft.ops.Unigram.train(words, maxLen, topV, iterations = 0))
+  }
+
   test("epoch shuffle is a reproducible permutation with dense shard positions") {
     import graft.queries.PipelineQueries
     val sf = "/root/testdata/sf0.001"
