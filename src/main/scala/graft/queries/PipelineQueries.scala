@@ -848,6 +848,43 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** The FineWeb-shape curation chain — the third composition tier:
+    * per-domain quota ([[graft.ops.Mixture.domainQuota]]) ∧ Gopher keep
+    * ∧ NOT Bloom-contaminated ([[graft.ops.Dedup.decontaminateBloom]],
+    * docs < 10 = the benchmark, excluded from the corpus) → exact dedup
+    * → mixture allocation (the [[pipe_curate]] tail). Contamination is
+    * a doc-level property, so the keep sets intersect — the drop set
+    * anti-joins in, and docs too short to shingle (absent from the
+    * filter's probe table) are kept by the anti-join's absence
+    * semantics, matching the oracle's ANTI JOIN restatement. */
+  val pipe_curate_v3: Q = (s, dir) => {
+    val quota = graft.ops.Mixture
+      .domainQuota(docs(s, dir), col("doc_id"), col("source"), quota = 15L)
+      .select(col("id").as("doc_id"))
+    val sh = shingled(s, dir)
+    val contaminated = Dedup.decontaminateBloom(
+        sh.where(col("doc_id") >= 10),
+        sh.where(col("doc_id") < 10),
+        mBits = 1 << 18, numHashes = 3, minHits = 1L)
+      .where(!col("keep")).select(col("doc_id"))
+    val survivors = docs(s, dir)
+      .where(col("doc_id") >= 10)
+      .join(quota, Seq("doc_id"))
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .where(graft.ops.TextAnalysis.gopherKeep(col("text"),
+        stopwords = GopherStops,
+        minWords = GopherMinWords, maxWords = GopherMaxWords))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .where(col("rn") === 1)
+    graft.ops.Mixture.mixAllocation(
+      survivors,
+      col("source"),
+      size(tokenizeDefault(col("text"))).cast("long"),
+      pmod(substring(col("source"), 4, 10).cast("long"), lit(3)) + 1)
+      .orderBy(col("source"))
+  }
+
   /** Overlapping token-window chunking — the standard pre-pass of an
     * embedding/RAG pipeline (chunk = 64 tokens, stride 48, so adjacent
     * chunks overlap by 16): one chunk per start position 0, s, 2s, …
@@ -1389,6 +1426,7 @@ object PipelineQueries {
     "pipe_mix_weights" -> pipe_mix_weights,
     "pipe_curate" -> pipe_curate,
     "pipe_curate_v2" -> pipe_curate_v2,
+    "pipe_curate_v3" -> pipe_curate_v3,
     "pipe_chunk_windows" -> pipe_chunk_windows,
     "pipe_chunk_sentences" -> pipe_chunk_sentences,
     "pipe_dsir_select" -> pipe_dsir_select,
@@ -1845,6 +1883,35 @@ object PipelineQueries {
        |  CASE WHEN n_true > 0 THEN n_hit * 1000000 // n_true
        |       ELSE 1000000 END AS recall_ppm
        |FROM nt, nc, hit""".stripMargin
+
+  /** Bloom-filter membership chain over a CTE named `sh` (the
+    * [[graft.ops.Dedup.decontaminateBloom]] gate shape: docs < 10 build
+    * the filter, docs >= 10 probe it; m = 2^18, j = 3) ending in
+    * `bhits(doc_id, sh, all_hit)` — ONE definition shared by the
+    * decontamination oracle and the curation chains composing it. */
+  private val bloomCtes =
+    """bsh AS (SELECT DISTINCT unnest(shingles) AS sh FROM sh WHERE doc_id < 10),
+      |bp AS (
+      |  SELECT widx, bit_or(mask) AS wv FROM (
+      |    SELECT (bit // 32) AS widx,
+      |      (CAST(1 AS BIGINT) << CAST(bit % 32 AS INTEGER)) AS mask
+      |    FROM (
+      |      SELECT CAST(('0x' || substr(md5('bloom' || CAST(t AS VARCHAR) || ':' || sh), 1, 15)) AS BIGINT) % 262144 AS bit
+      |      FROM bsh CROSS JOIN range(0, 3) r(t)))
+      |  GROUP BY widx),
+      |cp AS (
+      |  SELECT doc_id, sh, (bit // 32) AS widx,
+      |    (CAST(1 AS BIGINT) << CAST(bit % 32 AS INTEGER)) AS mask
+      |  FROM (
+      |    SELECT doc_id, sh,
+      |      CAST(('0x' || substr(md5('bloom' || CAST(t AS VARCHAR) || ':' || sh), 1, 15)) AS BIGINT) % 262144 AS bit
+      |    FROM (SELECT doc_id, unnest(shingles) AS sh FROM sh WHERE doc_id >= 10)
+      |    CROSS JOIN range(0, 3) r(t))),
+      |bhits AS (
+      |  SELECT doc_id, sh,
+      |    min(CASE WHEN (coalesce(wv, 0) // mask) % 2 = 1 THEN 1 ELSE 0 END) AS all_hit
+      |  FROM cp LEFT JOIN bp USING (widx)
+      |  GROUP BY doc_id, sh)""".stripMargin
 
   /** SimHash signature CTE (`shth`, `shsig`) — ONE definition shared by
     * the pair oracle and the recall gate, mirroring
@@ -2316,32 +2383,32 @@ object PipelineQueries {
         |ORDER BY doc_id""".stripMargin,
     "pipe_bloom_decontaminate" ->
       s"""WITH sh AS ($shingleSql),
-         |bsh AS (SELECT DISTINCT unnest(shingles) AS sh FROM sh WHERE doc_id < 10),
-         |bp AS (
-         |  SELECT widx, bit_or(mask) AS wv FROM (
-         |    SELECT (bit // 32) AS widx,
-         |      (CAST(1 AS BIGINT) << CAST(bit % 32 AS INTEGER)) AS mask
-         |    FROM (
-         |      SELECT CAST(('0x' || substr(md5('bloom' || CAST(t AS VARCHAR) || ':' || sh), 1, 15)) AS BIGINT) % 262144 AS bit
-         |      FROM bsh CROSS JOIN range(0, 3) r(t)))
-         |  GROUP BY widx),
-         |cp AS (
-         |  SELECT doc_id, sh, (bit // 32) AS widx,
-         |    (CAST(1 AS BIGINT) << CAST(bit % 32 AS INTEGER)) AS mask
-         |  FROM (
-         |    SELECT doc_id, sh,
-         |      CAST(('0x' || substr(md5('bloom' || CAST(t AS VARCHAR) || ':' || sh), 1, 15)) AS BIGINT) % 262144 AS bit
-         |    FROM (SELECT doc_id, unnest(shingles) AS sh FROM sh WHERE doc_id >= 10)
-         |    CROSS JOIN range(0, 3) r(t))),
-         |hits AS (
-         |  SELECT doc_id, sh,
-         |    min(CASE WHEN (coalesce(wv, 0) // mask) % 2 = 1 THEN 1 ELSE 0 END) AS all_hit
-         |  FROM cp LEFT JOIN bp USING (widx)
-         |  GROUP BY doc_id, sh)
+         |$bloomCtes
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh,
          |  CAST(sum(all_hit) AS BIGINT) AS n_hits,
          |  sum(all_hit) < 1 AS keep
-         |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+         |FROM bhits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "pipe_curate_v3" ->
+      s"""WITH sh AS ($shingleSql),
+         |$bloomCtes,
+         |bloomdrop AS (
+         |  SELECT doc_id FROM bhits GROUP BY doc_id HAVING sum(all_hit) >= 1),
+         |quota AS (SELECT doc_id FROM (
+         |    SELECT doc_id,
+         |      row_number() OVER (PARTITION BY source
+         |        ORDER BY CAST(('0x' || substr(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+         |                 doc_id) AS rk
+         |    FROM documents)
+         |  WHERE rk <= 15),
+         |keepers AS (
+         |  SELECT doc_id, source, text FROM (
+         |    SELECT d.doc_id, d.source, d.text, $gopherMetricsSql
+         |    FROM documents d
+         |    JOIN quota USING (doc_id)
+         |    ANTI JOIN bloomdrop USING (doc_id)
+         |    WHERE d.doc_id >= 10)
+         |  WHERE $gopherKeepSql),
+         |$curateTailSql""".stripMargin,
     "text_span_scrub" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |g0 AS (
