@@ -372,6 +372,39 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("UnigramEncode always reconstructs the word at the enumeration optimum") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    // tiny alphabet + small integer costs concentrate exact cost TIES, so
+    // the lexicographic tie-break is exercised constantly, not rarely
+    val abc = Gen.oneOf('a', 'b', 'c')
+    val pieceGen = Gen.chooseNum(2, 4).flatMap(n => Gen.stringOfN(n, abc))
+    val vocabGen: Gen[Seq[(String, Long)]] = for {
+      multis <- Gen.listOfN(12, pieceGen).map(_.distinct)
+      costs <- Gen.listOfN(multis.size + 3, Gen.chooseNum(1L, 20L))
+    } yield multis.zip(costs) ++ Seq("a", "b", "c").zip(costs.drop(multis.size))
+    val wordGen = Gen.chooseNum(1, 8).flatMap(n => Gen.stringOfN(n, abc))
+
+    check("unigram DP vs exhaustive enumeration")(
+      Prop.forAll(vocabGen, wordGen) { (vocab, w) =>
+        val vmap = vocab.groupBy(_._1).map { case (p, o) => p -> o.map(_._2).min }
+        def enum(s: String): Seq[List[String]] =
+          if (s.isEmpty) Seq(Nil)
+          else (1 to math.min(4, s.length)).flatMap { l =>
+            val p = s.substring(0, l)
+            if (vmap.contains(p)) enum(s.substring(l)).map(p :: _) else Nil
+          }
+        val want = enum(w).map(ps => (ps.map(vmap).sum, ps.mkString("|"))).min
+        val got = graft.exprs.UnigramEncode(Literal(w), vocab, 4)
+          .nullSafeEval(UTF8String.fromString(w))
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+          .array.map(_.toString)
+        got.mkString == w &&                           // pieces reconstruct
+          got.forall(vmap.contains) &&                 // all pieces in vocab
+          (got.map(vmap).sum, got.mkString("|")) == want // DP = optimum
+      })
+  }
+
   test("digest sidecar serialization round-trips exactly") {
     import graft.engine.TermDigest
     val toks: Gen[List[String]] = Gen.chooseNum(1, 50)
