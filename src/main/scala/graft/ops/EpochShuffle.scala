@@ -34,15 +34,57 @@ object EpochShuffle {
     * `id` must be unique per row (it tiebreaks equal hash keys so the
     * permutation is total, and names the output's doc_id column).
     */
-  def epochShuffle(df: DataFrame, id: Column, seed: String, numShards: Long): DataFrame = {
-    require(numShards > 0, s"numShards must be positive, got $numShards")
-    val key = h64(concat(lit(s"$seed:"), id.cast("string")))
-    val w = Window.partitionBy(col("shard"))
-      .orderBy(col("key").asc, col("doc_id").asc)
-    df.select(id.as("doc_id"), key.as("key"))
-      .withColumn("shard", pmod(col("key"), lit(numShards)))
-      .withColumn("pos", row_number().over(w).cast("long"))
+  def epochShuffle(df: DataFrame, id: Column, seed: String, numShards: Long): DataFrame =
+    shuffled(df.select(id.as("doc_id")), col("doc_id"), seed, numShards)
       .select(col("doc_id"), col("shard"), col("pos"))
+
+  /** The payload-carrying core: every column of `df` plus (shard, pos).
+    * [[epochShuffle]] is its id-only projection; [[writeShards]] keeps
+    * the payload so the sink never joins the assignment back. */
+  private def shuffled(df: DataFrame, id: Column, seed: String,
+      numShards: Long): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__key").asc, id.asc)
+    df.withColumn("__key", h64(concat(lit(s"$seed:"), id.cast("string"))))
+      .withColumn("shard", pmod(col("__key"), lit(numShards)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__key")
+  }
+
+  /** Write the shuffled corpus as ACTUAL training shards — the sink step
+    * after [[epochShuffle]]'s assignment: one `shard=N/` parquet
+    * directory per shard with rows in `pos` order, then a `manifest/`
+    * table written LAST (the commit point — a reader treats the
+    * manifest's presence as "the shard set is complete", the same
+    * write-data-then-commit ordering the engine's split writer uses; a
+    * crash mid-write leaves data files but no manifest, so nothing
+    * downstream consumes a partial epoch).
+    *
+    * Scale shape: the assignment is [[shuffled]]'s one shard-keyed
+    * exchange; the write re-uses that partitioning (repartition on the
+    * same key collapses into it under AQE) with a shard-local sort, and
+    * `partitionBy` fans each task's rows into its shard directory. The
+    * manifest aggregates the WRITTEN files (not the plan that produced
+    * them), so its counts attest what actually landed.
+    *
+    * Returns the manifest: (shard, n_docs, last_pos, n_chars) read back
+    * from disk. `sizeCol` is the per-row cost measure recorded per
+    * shard. */
+  def writeShards(df: DataFrame, id: Column, sizeCol: Column, seed: String,
+      numShards: Long, outDir: String): DataFrame = {
+    val sp = df.sparkSession
+    shuffled(df.select(id.as("doc_id"), sizeCol.cast("long").as("sz")),
+        col("doc_id"), seed, numShards)
+      .repartition(numShards.toInt, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$outDir/data")
+    val manifest = sp.read.parquet(s"$outDir/data")
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"), max(col("pos")).as("last_pos"),
+        sum(col("sz")).as("n_chars"))
+    manifest.write.mode("overwrite").parquet(s"$outDir/manifest")
+    sp.read.parquet(s"$outDir/manifest")
   }
 
   /** Shard count for a corpus of `totalSize` units at `targetShardSize`

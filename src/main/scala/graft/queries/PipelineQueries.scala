@@ -580,6 +580,20 @@ object PipelineQueries {
       .select(col("doc_id"), col("lang"), col("bucket"))
       .orderBy(col("doc_id"))
 
+  /** The epoch SINK: [[graft.ops.EpochShuffle.writeShards]] actually
+    * writes the 8 shard directories (+ the commit-point manifest) to a
+    * temp root and returns the manifest read back from disk — so what
+    * the oracle gates is the per-shard document count, dense-position
+    * top, and size mass of the FILES THAT LANDED, not a plan that never
+    * ran (the op_index_search pattern: side-effecting lifecycle under
+    * the oracle). */
+  val pipe_shard_write: Q = (s, dir) => {
+    val out = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    graft.ops.EpochShuffle.writeShards(docs(s, dir), col("doc_id"),
+        length(col("text")), "epoch1", numShards = 8L, out)
+      .orderBy(col("shard"))
+  }
+
   /** Domain balancing: cap every source at 15 documents, survivors chosen
     * by md5-hash rank — see [[graft.ops.Mixture.domainQuota]] for the
     * C4/RefinedWeb host-cap rationale and the hot-domain two-pass
@@ -1403,6 +1417,7 @@ object PipelineQueries {
     "dedup_cluster_canon" -> dedup_cluster_canon,
     "pipe_sample_stratified" -> pipe_sample_stratified,
     "pipe_domain_quota" -> pipe_domain_quota,
+    "pipe_shard_write" -> pipe_shard_write,
     "text_span_scrub" -> text_span_scrub,
     "pipe_bloom_decontaminate" -> pipe_bloom_decontaminate,
     "pipe_unigram_seg" -> pipe_unigram_seg,
@@ -2462,6 +2477,15 @@ object PipelineQueries {
          |  SELECT unnest(string_split(b.seg, '|')) AS piece, wo.freq
          |  FROM best b JOIN words wo USING (w))
          |GROUP BY piece ORDER BY piece""".stripMargin,
+    "pipe_shard_write" ->
+      """WITH k AS (
+        |  SELECT doc_id, length(text) AS sz,
+        |    CAST(('0x' || substr(md5('epoch1:' || doc_id), 1, 15)) AS BIGINT) AS key
+        |  FROM documents)
+        |SELECT key % 8 AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS last_pos,
+        |  CAST(sum(sz) AS BIGINT) AS n_chars
+        |FROM k GROUP BY 1 ORDER BY shard""".stripMargin,
     "pipe_domain_quota" ->
       """SELECT doc_id, source, rk FROM (
         |  SELECT doc_id, source,

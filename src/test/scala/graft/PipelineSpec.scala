@@ -800,6 +800,36 @@ class PipelineSpec extends AnyFunSuite {
       graft.ops.Unigram.train(words, maxLen, topV, iterations = 0))
   }
 
+  test("shard writer lands every doc once, in shard-local hash order, manifest last") {
+    import graft.ops.EpochShuffle
+    val out = java.nio.file.Files.createTempDirectory("shardspec").toString
+    val src = Graft.table(spark, sf, "documents")
+    val manifest = EpochShuffle.writeShards(src, col("doc_id"),
+      length(col("text")), "epoch1", numShards = 4L, out)
+    // commit point: manifest directory exists (written AFTER the data)
+    assert(new java.io.File(s"$out/manifest").exists())
+    val data = spark.read.parquet(s"$out/data")
+    // coverage: every doc exactly once across all shards
+    val total = src.count()
+    assert(data.count() == total)
+    assert(data.select(col("doc_id")).distinct().count() == total)
+    // per-shard positions dense 1..n and ordered by the epochShuffle hash
+    val want = EpochShuffle.epochShuffle(
+        src.select(col("doc_id")), col("doc_id"), "epoch1", numShards = 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = data.select(col("doc_id"), col("shard").cast("long"), col("pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, "written (doc, shard, pos) must equal the assignment")
+    // manifest attests the landed files
+    val m = manifest.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
+    val perShard = data.groupBy(col("shard").cast("long").as("s"))
+      .agg(count(lit(1)).as("n"), max(col("pos")).as("p"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
+    assert(m == perShard)
+    m.foreach { case (_, n, last) => assert(n == last, "positions must be dense") }
+  }
+
   test("epoch shuffle is a reproducible permutation with dense shard positions") {
     import graft.queries.PipelineQueries
     val sf = "/root/testdata/sf0.001"
