@@ -346,6 +346,28 @@ object TextAnalysis {
       .withColumn("keep", col("score_q") >= 0L)
   }
 
+  /** Integer-quantized quality features + the Gopher weak label — the
+    * training table for [[LogReg]]-style quality-classifier distillation:
+    * x0 = 1 (bias), x1 = min(stop_hits, 20) − 10, x2 = min(n_words,
+    * 100) − 50, y = 1 iff [[gopherKeep]]. CENTERED, and restricted to
+    * the dimensions whose Gopher conditions actually vary on web-shaped
+    * text (stop-hit mass and document length): a feature whose keep
+    * condition never fires carries no label signal and only
+    * ill-conditions full-batch GD (measured on the fixture — alpha-frac
+    * and mean-word-len never fail there, and including them left the
+    * model degenerate at the always-keep base rate). Map-only.
+    * Output: (id, x0, x1, x2, y). */
+  def quantizedQualityFeatures(df: DataFrame, id: Column, text: Column,
+      stopwords: Seq[String], minWords: Long, maxWords: Long): DataFrame = {
+    val (nWords, _, _, stopHits) = gopherMetrics(text, stopwords)
+    df.select(id.as("id"),
+      lit(1L).as("x0"),
+      (least(stopHits, lit(20L)) - 10L).as("x1"),
+      (least(nWords, lit(100L)) - 50L).as("x2"),
+      when(gopherKeep(text, stopwords, minWords, maxWords), 1L)
+        .otherwise(0L).as("y"))
+  }
+
   /** Per-document top-k keyword extraction by tf·idf over a pre-tokenized
     * corpus. Classic smoothed idf, quantized ONCE to a 64-bit integer —
     * `idf_q = ⌊ln((N+1)/(df+1)) · 10⁶⌋` — so the per-term score

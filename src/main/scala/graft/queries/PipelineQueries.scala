@@ -1096,6 +1096,48 @@ object PipelineQueries {
     Dedup.spanScrub(tokenized(s, dir), col("doc_id"), col("toks"), k = ShingleN)
       .orderBy(col("doc_id"))
 
+  // ---- quality-classifier distillation (logreg training loop) ---------
+
+  /** (doc_id, x0..x3, y) — [[graft.ops.TextAnalysis.quantizedQualityFeatures]]
+    * at the module's Gopher constants, snapshotted: training iterations
+    * and the apply pass all consume it. */
+  private def qualityFeats(s: SparkSession, dir: String): DataFrame =
+    memoSnap((s, dir, "qfeats")) {
+      TextAnalysis.quantizedQualityFeatures(docs(s, dir), col("doc_id"),
+        col("text"), GopherStops, GopherMinWords, GopherMaxWords)
+    }
+
+  private val QualityLrDen = 10000L
+
+  /** The FULL logistic-regression training loop at N=3
+    * ([[graft.ops.LogReg.train]]) distilling the Gopher rule filter into
+    * a learned linear quality model (the fastText/CCNet weak-supervision
+    * recipe). Every iteration's weights are gated — rounds 2-3 compute
+    * gradients under LEARNED weights, which is what a one-step gate
+    * never sees; the oracle unrolls all three with the same quantized
+    * sigmoid. */
+  val pipe_quality_train: Q = (s, dir) =>
+    graft.ops.LogReg.train(qualityFeats(s, dir), numFeatures = 3,
+        lrDen = QualityLrDen, iterations = 3)
+      .orderBy(col("iter"))
+
+  /** Inference under the trained model + agreement with the weak label:
+    * (doc_id, p_q, keep, gopher_keep) — the distillation quality check
+    * rides the gate (how often the learned model reproduces the rule it
+    * was trained on is exactly what a curation team reviews before
+    * swapping the rule out). */
+  val pipe_quality_train_apply: Q = (s, dir) => {
+    val f = qualityFeats(s, dir)
+    val last = graft.ops.LogReg.train(f, numFeatures = 3,
+        lrDen = QualityLrDen, iterations = 3)
+      .orderBy(col("iter").desc).limit(1).collect()(0)
+    val w = (0 until 3).map(j => last.getLong(j + 1))
+    graft.ops.LogReg.score(f, w, numFeatures = 3)
+      .select(col("id").as("doc_id"), col("p_q"), col("keep"),
+        (col("y") === 1L).as("gopher_keep"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- unigram-LM tokenizer (the second tokenizer family) --------------
 
   private val UnigramMaxPiece = 4
@@ -1418,6 +1460,8 @@ object PipelineQueries {
     "pipe_sample_stratified" -> pipe_sample_stratified,
     "pipe_domain_quota" -> pipe_domain_quota,
     "pipe_shard_write" -> pipe_shard_write,
+    "pipe_quality_train" -> pipe_quality_train,
+    "pipe_quality_train_apply" -> pipe_quality_train_apply,
     "text_span_scrub" -> text_span_scrub,
     "pipe_bloom_decontaminate" -> pipe_bloom_decontaminate,
     "pipe_unigram_seg" -> pipe_unigram_seg,
@@ -1544,6 +1588,46 @@ object PipelineQueries {
        |      cost AS cost_q,
        |      row_number() OVER (PARTITION BY w ORDER BY cost ASC, segstr ASC) AS rn
        |    FROM complete) WHERE rn = 1)""".stripMargin
+
+  /** The quality-feature table (`feats`) — oracle twin of
+    * [[graft.ops.TextAnalysis.quantizedQualityFeatures]] at the module's
+    * Gopher constants. */
+  private lazy val qualityFeatsSql =
+    s"""feats AS (
+       |  SELECT doc_id,
+       |    CAST(1 AS BIGINT) AS x0,
+       |    least(stop_hits, 20) - 10 AS x1,
+       |    least(n_words, 100) - 50 AS x2,
+       |    CASE WHEN $gopherKeepSql THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y
+       |  FROM (SELECT doc_id, $gopherMetricsSql FROM documents))""".stripMargin
+
+  /** One logreg GD round: quantized sigmoid under wt{r-1}, exact integer
+    * gradient sums, truncating-division update —
+    * [[graft.ops.LogReg.train]]'s arithmetic restated per round. */
+  private def logRegIterSql(r: Int) =
+    s"""p$r AS (
+       |  SELECT y, x0, x1, x2,
+       |    CAST(floor(1000000.0 / (1.0 + exp(-(CAST(w0*x0 + w1*x1 + w2*x2 AS DOUBLE) / 1000000.0)))) AS BIGINT) AS pq
+       |  FROM feats CROSS JOIN wt${r - 1}),
+       |g$r AS (
+       |  SELECT CAST(sum((pq - y*1000000) * x0) AS BIGINT) AS g0,
+       |         CAST(sum((pq - y*1000000) * x1) AS BIGINT) AS g1,
+       |         CAST(sum((pq - y*1000000) * x2) AS BIGINT) AS g2,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM p$r),
+       |wt$r AS (
+       |  SELECT w0 - g0 // (n * $QualityLrDen) AS w0,
+       |         w1 - g1 // (n * $QualityLrDen) AS w1,
+       |         w2 - g2 // (n * $QualityLrDen) AS w2
+       |  FROM g$r CROSS JOIN wt${r - 1})""".stripMargin
+
+  private lazy val logRegTrainCtes =
+    s"""$qualityFeatsSql,
+       |wt0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+       |        CAST(0 AS BIGINT) AS w2),
+       |${logRegIterSql(1)},
+       |${logRegIterSql(2)},
+       |${logRegIterSql(3)}""".stripMargin
 
   /** One unigram-training enumeration round: all segmentations of every
     * word under `vocab\$r`'s costs (fresh recursive CTE per round — the
@@ -2477,6 +2561,21 @@ object PipelineQueries {
          |  SELECT unnest(string_split(b.seg, '|')) AS piece, wo.freq
          |  FROM best b JOIN words wo USING (w))
          |GROUP BY piece ORDER BY piece""".stripMargin,
+    "pipe_quality_train" ->
+      s"""WITH $logRegTrainCtes
+         |SELECT CAST(1 AS BIGINT) AS iter, w0 AS w_x0, w1 AS w_x1, w2 AS w_x2 FROM wt1
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT) AS iter, w0, w1, w2 FROM wt2
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT) AS iter, w0, w1, w2 FROM wt3
+         |ORDER BY iter""".stripMargin,
+    "pipe_quality_train_apply" ->
+      s"""WITH $logRegTrainCtes
+         |SELECT doc_id, pq AS p_q, pq >= 500000 AS keep, y = 1 AS gopher_keep FROM (
+         |  SELECT f.doc_id, f.y,
+         |    CAST(floor(1000000.0 / (1.0 + exp(-(CAST(w0*x0 + w1*x1 + w2*x2 AS DOUBLE) / 1000000.0)))) AS BIGINT) AS pq
+         |  FROM feats f CROSS JOIN wt3)
+         |ORDER BY doc_id""".stripMargin,
     "pipe_shard_write" ->
       """WITH k AS (
         |  SELECT doc_id, length(text) AS sz,

@@ -742,6 +742,21 @@ class PipelineSpec extends AnyFunSuite {
         Seq("a" -> 1L, "|b" -> 2L), 4))
   }
 
+  test("logreg distillation learns past the always-keep base rate") {
+    val a = PipelineQueries.pipe_quality_train_apply(spark, sf)
+      .collect().map(r => (r.getBoolean(2), r.getBoolean(3)))
+    val agree = a.count { case (k, g) => k == g }.toDouble / a.length
+    val keepRate = a.count(_._2).toDouble / a.length
+    val base = math.max(keepRate, 1 - keepRate)
+    assert(agree > base + 0.05,
+      f"model must beat the constant-predictor base rate: agree=$agree%.3f base=$base%.3f")
+    // and it must actually use the threshold, not predict one class
+    assert(a.exists(_._1) && a.exists(!_._1), "both classes must be predicted")
+    intercept[IllegalArgumentException](
+      graft.ops.LogReg.train(PipelineQueries.pipe_quality_train_apply(spark, sf)
+        .limit(0), 3, 10000L, 0))
+  }
+
   test("unigram training loop matches a sequential reference implementation") {
     import spark.implicits._
     val corpus = Seq(("lowlow", 4L), ("lower", 3L), ("newer", 2L), ("low", 5L))
