@@ -1138,6 +1138,33 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The distillation payoff: the curation chain with the LEARNED
+    * quality model standing in for the rule filter (train → swap the
+    * rule out — why a curation team trains the classifier at all, it
+    * generalizes past the rule's hard thresholds), then the shared
+    * dedup + mixture tail. The oracle replays training AND inference
+    * before the tail, so the swap is gated end-to-end. */
+  val pipe_curate_v4: Q = (s, dir) => {
+    val f = qualityFeats(s, dir)
+    val last = graft.ops.LogReg.train(f, numFeatures = 3,
+        lrDen = QualityLrDen, iterations = 3)
+      .orderBy(col("iter").desc).limit(1).collect()(0)
+    val w = (0 until 3).map(j => last.getLong(j + 1))
+    val learnedKeep = graft.ops.LogReg.score(f, w, numFeatures = 3)
+      .where(col("keep")).select(col("id").as("doc_id"))
+    val survivors = docs(s, dir)
+      .join(learnedKeep, Seq("doc_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .where(col("rn") === 1)
+    graft.ops.Mixture.mixAllocation(
+      survivors,
+      col("source"),
+      size(tokenizeDefault(col("text"))).cast("long"),
+      pmod(substring(col("source"), 4, 10).cast("long"), lit(3)) + 1)
+      .orderBy(col("source"))
+  }
+
   // ---- unigram-LM tokenizer (the second tokenizer family) --------------
 
   private val UnigramMaxPiece = 4
@@ -1462,6 +1489,7 @@ object PipelineQueries {
     "pipe_shard_write" -> pipe_shard_write,
     "pipe_quality_train" -> pipe_quality_train,
     "pipe_quality_train_apply" -> pipe_quality_train_apply,
+    "pipe_curate_v4" -> pipe_curate_v4,
     "text_span_scrub" -> text_span_scrub,
     "pipe_bloom_decontaminate" -> pipe_bloom_decontaminate,
     "pipe_unigram_seg" -> pipe_unigram_seg,
@@ -2576,6 +2604,14 @@ object PipelineQueries {
          |    CAST(floor(1000000.0 / (1.0 + exp(-(CAST(w0*x0 + w1*x1 + w2*x2 AS DOUBLE) / 1000000.0)))) AS BIGINT) AS pq
          |  FROM feats f CROSS JOIN wt3)
          |ORDER BY doc_id""".stripMargin,
+    "pipe_curate_v4" ->
+      s"""WITH $logRegTrainCtes,
+         |keepers AS (
+         |  SELECT d.doc_id, d.source, d.text FROM documents d JOIN (
+         |    SELECT f.doc_id FROM feats f CROSS JOIN wt3
+         |    WHERE CAST(floor(1000000.0 / (1.0 + exp(-(CAST(w0*x0 + w1*x1 + w2*x2 AS DOUBLE) / 1000000.0)))) AS BIGINT) >= 500000
+         |  ) k ON k.doc_id = d.doc_id),
+         |$curateTailSql""".stripMargin,
     "pipe_shard_write" ->
       """WITH k AS (
         |  SELECT doc_id, length(text) AS sz,
