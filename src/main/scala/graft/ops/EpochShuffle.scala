@@ -74,8 +74,10 @@ object EpochShuffle {
   def writeShards(df: DataFrame, id: Column, sizeCol: Column, seed: String,
       numShards: Long, outDir: String): DataFrame = {
     val sp = df.sparkSession
-    shuffled(df.select(id.as("doc_id"), sizeCol.cast("long").as("sz")),
-        col("doc_id"), seed, numShards)
+    // EVERY payload column rides into the shard files (plus sz/shard/pos)
+    // — the whole point of the payload-carrying core: a trainer reads the
+    // shards directly, it never joins the corpus back by id
+    shuffled(df.withColumn("sz", sizeCol.cast("long")), id, seed, numShards)
       .repartition(numShards.toInt, col("shard"))
       .sortWithinPartitions(col("shard"), col("pos"))
       .write.mode("overwrite").partitionBy("shard").parquet(s"$outDir/data")

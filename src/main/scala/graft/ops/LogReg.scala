@@ -61,7 +61,6 @@ object LogReg {
       }
       out += (r.toLong +: w.toSeq)
     }
-    import sp.implicits._
     sp.createDataFrame(
       sp.sparkContext.parallelize(out.toSeq.map(vs =>
         org.apache.spark.sql.Row.fromSeq(vs)), 1),

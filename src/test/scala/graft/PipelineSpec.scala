@@ -752,9 +752,15 @@ class PipelineSpec extends AnyFunSuite {
       f"model must beat the constant-predictor base rate: agree=$agree%.3f base=$base%.3f")
     // and it must actually use the threshold, not predict one class
     assert(a.exists(_._1) && a.exists(!_._1), "both classes must be predicted")
+    // guards, each actually reached: bad iterations on a valid table,
+    // and the empty-table check with real feature columns present
+    import spark.implicits._
+    val feats = Seq((1L, 0L, 0L, 1L)).toDF("x0", "x1", "x2", "y")
     intercept[IllegalArgumentException](
-      graft.ops.LogReg.train(PipelineQueries.pipe_quality_train_apply(spark, sf)
-        .limit(0), 3, 10000L, 0))
+      graft.ops.LogReg.train(feats, 3, 10000L, 0))
+    val emptyErr = intercept[IllegalArgumentException](
+      graft.ops.LogReg.train(feats.limit(0), 3, 10000L, 1))
+    assert(emptyErr.getMessage.contains("empty"), emptyErr.getMessage)
   }
 
   test("unigram training loop matches a sequential reference implementation") {
@@ -824,6 +830,10 @@ class PipelineSpec extends AnyFunSuite {
     // commit point: manifest directory exists (written AFTER the data)
     assert(new java.io.File(s"$out/manifest").exists())
     val data = spark.read.parquet(s"$out/data")
+    // the PAYLOAD rides into the files — a trainer reads shards directly,
+    // never joins the corpus back (the writeShards contract)
+    assert(data.columns.contains("text") && data.columns.contains("source"),
+      s"payload columns must land in the shard files: ${data.columns.toSeq}")
     // coverage: every doc exactly once across all shards
     val total = src.count()
     assert(data.count() == total)
