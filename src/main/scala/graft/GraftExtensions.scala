@@ -117,6 +117,47 @@ object GraftExtensions {
     ("phrase_freq",
       "phrase_freq(toks, words, slop) - occurrences of the phrase (slop-windowed)",
       exprs => PhraseFreq(exprs.head, stringsArg(exprs(1), "words"),
-        intArg(exprs(2), "slop")))
+        intArg(exprs(2), "slop"))),
+    ("bpe_encode",
+      "bpe_encode(word, merges) - greedy BPE pieces under a constant merge table ('a b' pair strings, rank = position)",
+      exprs => BpeEncode(exprs.head, stringsArg(exprs(1), "merges"))),
+    ("unigram_encode",
+      "unigram_encode(word, pieces, costs, max_piece_len) - Viterbi-best unigram-LM segmentation under a constant (pieces, quantized costs) vocabulary",
+      exprs => {
+        val pieces = stringsArg(exprs(1), "pieces")
+        val costs = longsArg(exprs(2), "costs")
+        require(pieces.size == costs.size,
+          s"pieces (${pieces.size}) and costs (${costs.size}) must align")
+        UnigramEncode(exprs.head, pieces.zip(costs),
+          intArg(exprs(3), "max_piece_len"))
+      })
   )
+
+  private def longsArg(e: Expression, what: String): Seq[Long] = {
+    val elemOk = e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(et, _) => et match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
+      case _ => false
+    }
+    require(elemOk,
+      s"$what must be a constant array of integers, got ${e.dataType.sql}")
+    val et = e.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType
+    val arr = constArg(e, what)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    (0 until arr.numElements()).map { i =>
+      require(!arr.isNullAt(i), s"$what must not contain nulls")
+      et match {
+        case org.apache.spark.sql.types.ByteType => arr.getByte(i).toLong
+        case org.apache.spark.sql.types.ShortType => arr.getShort(i).toLong
+        case org.apache.spark.sql.types.IntegerType => arr.getInt(i).toLong
+        case _ => arr.getLong(i)
+      }
+    }
+  }
 }

@@ -401,4 +401,22 @@ class ArrayMatchSpec extends AnyFunSuite {
     assert(r.getInt(0) == 2 && r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3))
     assert(r.getInt(4) == 2)
   }
+
+  test("tokenizer SQL faces: bpe_encode and unigram_encode with constant models") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  bpe_encode('lower', array('l o', 'lo w', 'e r')) AS bpe,
+        |  unigram_encode('abc', array('a', 'b', 'c', 'ab', 'bc'),
+        |                 array(10L, 12L, 14L, 16L, 20L), 4) AS uni
+        |""".stripMargin).collect()(0)
+    assert(r.getSeq[String](0) == Seq("low", "er"), r.getSeq[String](0))
+    // 'ab'+'c' = 30 ties 'a'+'bc' = 30; lexicographic piece-string order
+    // ("ab|c" < "a|bc" since 'b' < '|') picks the ab-first split
+    assert(r.getSeq[String](1) == Seq("ab", "c"), r.getSeq[String](1))
+    // non-constant model argument must fail at analysis, not at runtime
+    val e = intercept[Exception](spark.sql(
+      "SELECT unigram_encode('a', array(CAST(rand() AS STRING)), array(1L), 4)").collect())
+    assert(e.getMessage.contains("constant"), e.getMessage)
+  }
 }
