@@ -599,6 +599,22 @@ object PipelineQueries {
       .orderBy(col("shard"))
   }
 
+  /** Multimodal alignment filtering — the LAION/CLIP-filter shape: the
+    * embedding packs the pair's two modality vectors in its halves
+    * (image‖text — the plumbing contract; the real towers are the
+    * stubbed decode step), alignment = cosine of the halves, keep
+    * pairs ≥ 0.1. Scores stay internal (the module's float rule); the
+    * fixture's nearest cosine to the threshold sits 4×10⁻⁴ away —
+    * orders of magnitude beyond float-vs-double divergence — so the
+    * keep decision is engine-stable. Map-only. */
+  val mm_align_filter: Q = (s, dir) =>
+    table(s, dir, "embeddings")
+      .select(col("vec_id"),
+        (graft.exprs.CosineSimilarity.cosine_similarity(
+          expr("slice(embedding, 1, 32)"),
+          expr("slice(embedding, 33, 32)")) >= 0.1).as("keep"))
+      .orderBy(col("vec_id"))
+
   /** Domain balancing: cap every source at 15 documents, survivors chosen
     * by md5-hash rank — see [[graft.ops.Mixture.domainQuota]] for the
     * C4/RefinedWeb host-cap rationale and the hot-domain two-pass
@@ -1507,6 +1523,7 @@ object PipelineQueries {
     "dedup_cluster_canon" -> dedup_cluster_canon,
     "pipe_sample_stratified" -> pipe_sample_stratified,
     "pipe_domain_quota" -> pipe_domain_quota,
+    "mm_align_filter" -> mm_align_filter,
     "pipe_shard_write" -> pipe_shard_write,
     "pipe_quality_train" -> pipe_quality_train,
     "pipe_quality_train_apply" -> pipe_quality_train_apply,
@@ -2625,6 +2642,10 @@ object PipelineQueries {
          |    CAST(floor(1000000.0 / (1.0 + exp(-(CAST(w0*x0 + w1*x1 + w2*x2 AS DOUBLE) / 1000000.0)))) AS BIGINT) AS pq
          |  FROM feats f CROSS JOIN wt3)
          |ORDER BY doc_id""".stripMargin,
+    "mm_align_filter" ->
+      """SELECT vec_id,
+        |  list_cosine_similarity(embedding[1:32], embedding[33:64]) >= 0.1 AS keep
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "pipe_curate_v4" ->
       s"""WITH $logRegTrainCtes,
          |keepers AS (
