@@ -316,6 +316,41 @@ class PlanSpec extends AnyFunSuite {
       s"word-frequency stage must combine map-side:\n$plan")
   }
 
+  test("pipe_domain_quota is ONE domain-keyed exchange feeding the window") {
+    val plan = formatted(
+      graft.queries.PipelineQueries.all("pipe_domain_quota")(spark, sf))
+    // one hash exchange on the domain key (the final orderBy's range
+    // exchange is presentation, not the op); no global (empty-key) window
+    val exchanges = plan.linesIterator.count(_.contains("hashpartitioning("))
+    assert(exchanges == 1, s"expected exactly one hash exchange:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"no single-partition stage in a domain-keyed cap:\n$plan")
+  }
+
+  test("text_span_scrub joins dup-starts by doc_id, never cartesian") {
+    val plan = formatted(
+      graft.queries.PipelineQueries.all("text_span_scrub")(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"span scrub must stay keyed:\n$plan")
+  }
+
+  test("pipe_bloom_decontaminate probes a BROADCAST word table, no sort-merge") {
+    val plan = formatted(
+      graft.queries.PipelineQueries.all("pipe_bloom_decontaminate")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the m/32-row filter table must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus probes must not sort-merge against the filter:\n$plan")
+  }
+
+  test("pipe_hybrid_rrf cuts BM25 with TakeOrdered; fusion never sees the corpus") {
+    val plan = formatted(
+      graft.queries.PipelineQueries.all("pipe_hybrid_rrf")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the BM25 arm's top-k must be TakeOrdered, not a global sort:\n$plan")
+  }
+
   test("every registered query plans without an UNDECLARED cartesian") {
     // The blanket scale audit: a CartesianProduct or nested-loop join
     // appearing in ANY query's plan is a 100 TB killer unless it is one
