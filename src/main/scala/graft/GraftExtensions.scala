@@ -71,8 +71,12 @@ object GraftExtensions {
       s"$what must be a constant array<string>, got ${e.dataType.sql}")
     val arr = constArg(e, what)
       .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    (0 until arr.numElements()).flatMap(i =>
-      if (arr.isNullAt(i)) None else Some(arr.getUTF8String(i).toString))
+    (0 until arr.numElements()).map { i =>
+      // dropping a null would silently SHIFT later elements — merge ranks
+      // and piece↔cost alignment are positional, so reject loudly
+      require(!arr.isNullAt(i), s"$what must not contain nulls (position $i)")
+      arr.getUTF8String(i).toString
+    }
   }
 
   /** (name, usage, builder) for every engine expression with a SQL face. */

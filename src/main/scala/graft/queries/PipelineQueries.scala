@@ -606,13 +606,19 @@ object PipelineQueries {
     * pairs ≥ 0.1. Scores stay internal (the module's float rule); the
     * fixture's nearest cosine to the threshold sits 4×10⁻⁴ away —
     * orders of magnitude beyond float-vs-double divergence — so the
-    * keep decision is engine-stable. Map-only. */
+    * keep decision is engine-stable; a zero half-vector (null cosine
+    * here, NaN there — and DuckDB orders NaN above everything) is
+    * explicitly not-keep on BOTH sides. Map-only. */
   val mm_align_filter: Q = (s, dir) =>
     table(s, dir, "embeddings")
       .select(col("vec_id"),
-        (graft.exprs.CosineSimilarity.cosine_similarity(
-          expr("slice(embedding, 1, 32)"),
-          expr("slice(embedding, 33, 32)")) >= 0.1).as("keep"))
+        // a zero half-vector is null cosine here but NaN in DuckDB —
+        // both mean "no alignment evidence", so both must read not-keep
+        coalesce(
+          graft.exprs.CosineSimilarity.cosine_similarity(
+            expr("slice(embedding, 1, 32)"),
+            expr("slice(embedding, 33, 32)")) >= 0.1,
+          lit(false)).as("keep"))
       .orderBy(col("vec_id"))
 
   /** Domain balancing: cap every source at 15 documents, survivors chosen
@@ -2644,8 +2650,12 @@ object PipelineQueries {
          |ORDER BY doc_id""".stripMargin,
     "mm_align_filter" ->
       """SELECT vec_id,
-        |  list_cosine_similarity(embedding[1:32], embedding[33:64]) >= 0.1 AS keep
-        |FROM embeddings ORDER BY vec_id""".stripMargin,
+        |  coalesce(CASE WHEN isnan(c) THEN false ELSE c >= 0.1 END, false) AS keep
+        |FROM (
+        |  SELECT vec_id,
+        |    list_cosine_similarity(embedding[1:32], embedding[33:64]) AS c
+        |  FROM embeddings)
+        |ORDER BY vec_id""".stripMargin,
     "pipe_curate_v4" ->
       s"""WITH $logRegTrainCtes,
          |keepers AS (

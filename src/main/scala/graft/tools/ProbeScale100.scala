@@ -13,52 +13,47 @@ import org.apache.spark.sql.functions._
   *
   * Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 runMain graft.tools.ProbeScale100
   *
-  * Measured 2026-08-14 (median of 3 after warmup, seconds, local[32]):
+  * Measured 2026-08-14, permutation-cipher methodology (median of 3
+  * after warmup, seconds, local[32]):
   *
   * | query | x1 (5k) | x10 (50k) | x100 (500k) | x100/x1 |
   * |---|---|---|---|---|
-  * | dedup_exact          | 0.39 | 0.21 | 0.36  | ~1×  |
-  * | dedup_minhash_lsh    | 0.73 | 0.98 | 2.64  | 3.6× |
-  * | dedup_jaccard_prefix | 0.96 | 3.97 | 13.29 | 14×  |
-  * | pipe_dedup_corpus    | 2.92 | 8.48 | 42.9  | 15×  |
-  * | text_langid          | 0.11 | 0.14 | 0.18  | 1.6× |
-  * | pipe_dsir_select     | 1.40 | 2.54 | 9.80  | 7×   |
-  * | pipe_curate          | 0.38 | 0.53 | 1.40  | 3.7× |
+  * | dedup_exact          | 1.97 | 0.26  | 0.41  | ~1×  |
+  * | dedup_minhash_lsh    | 1.09 | 1.15  | 2.73  | 2.5× |
+  * | dedup_jaccard_prefix | 1.46 | 11.39 | 21.85 | 15×  |
+  * | pipe_dedup_corpus    | 3.91 | 8.65  | 29.61 | 7.6× |
+  * | text_langid          | 0.24 | 0.17  | 0.13  | ~1×  |
+  * | pipe_dsir_select     | 1.91 | 4.11  | 16.23 | 8.5× |
+  * | pipe_curate          | 0.44 | 0.69  | 2.54  | 5.8× |
   *
   * Every operator is SUBLINEAR in wall clock at 100× input on fixed
   * hardware (x100/x1 at most 15× — fixed overhead amortizes and the 32
   * cores absorb the rest); none shows the quadratic knee the probe
   * exists to catch. The full dedup chain — shingles, prefix-filtered
   * exact pairs, star-contraction components, keep decisions — processes
-  * half a million documents in 43 s on one machine, its candidate
+  * half a million documents in ~30 s on one machine, its candidate
   * volume still bounded by the prefix/band structure: the scale
   * argument the SURVEY rows make, demonstrated rather than asserted.
-  * (pipe_dedup_corpus's x100 spread was 28–82 s across the three runs —
-  * GC/checkpoint-eviction noise at this heap pressure; the median is
-  * the signal, same protocol as Bench.) */
+  * (pipe_dedup_corpus's x100 spread was 22–112 s across the three
+  * runs — GC/checkpoint-eviction noise at this heap pressure; the
+  * median is the signal, same protocol as Bench. An earlier revision
+  * recorded similar curves under a rotation cipher whose 26-key limit
+  * manufactured cross-replica exact duplicates past k=26 — superseded
+  * by this run; see ProbeKit.) */
 object ProbeScale100 {
   def main(args: Array[String]): Unit = {
     val spark = graft.Graft.session()
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-    def time(label: String)(f: => Unit): Unit = {
-      val ts = (1 to 3).map { _ =>
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }.sorted
-      println(f"[x100] $label%-30s ${ts(1)}%.2f s (min ${ts.head}%.2f max ${ts.last}%.2f)")
-    }
+    def time(label: String)(f: => Unit): Unit =
+      ProbeKit.median3("x100", label)(f)
 
     val base = spark.read.parquet(s"$dir/documents.parquet")
     val n = base.count()
-    val alpha = "abcdefghijklmnopqrstuvwxyz"
-    def rot(s: String, i: Int): String = s.drop(i % 26) + s.take(i % 26)
-    def replicated(k: Int): DataFrame =
-      (0 until k).map(i => base
-        .withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
-        .withColumn("text", translate(col("text"),
-          alpha + alpha.toUpperCase,
-          rot(alpha, i * 7) + rot(alpha, i * 7).toUpperCase)))
-        .reduce(_.unionAll(_))
+    // full alphabet PERMUTATIONS, not rotations: a rotation cipher only
+    // has 26 keys, so k=100 rot-replicas would contain byte-identical
+    // cross-replica documents — see ProbeKit
+    def replicated(k: Int): DataFrame = ProbeKit.permutedReplicas(base, k)
 
     val queries = Seq("dedup_exact", "dedup_minhash_lsh",
       "dedup_jaccard_prefix", "pipe_dedup_corpus", "text_langid",
