@@ -142,4 +142,82 @@ object LangModel {
       .select(col("did"), col("lang"), col("n_bigrams"), col("nll_q"),
         col("ppl_q"), col("bucket"))
   }
+
+  /** Trigram "stupid backoff" scorer (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" — the LM designed for
+    * exactly this execution model: SCORES, not normalized
+    * probabilities, no discount re-estimation, so the whole model is
+    * three count tables that build in three combiner aggregates and
+    * join distributed). Per trigram position (w1 w2 w3):
+    *
+    *   S = c3(w1w2w3) / c2(w1w2)          if the trigram was seen
+    *     = 0.4 · c2(w2w3) / c1(w2)        else if the bigram was seen
+    *     = 0.16 · (c1(w3)+1) / (N+V)      otherwise (Laplace floor —
+    *                                       stupid backoff's 0.4² with
+    *                                       a smoothed unigram, so S is
+    *                                       always positive)
+    *
+    * quantized ONCE — floor(-ln(S)·10⁶) — then summed as exact
+    * integers (the module discipline: per-doc totals are immune to
+    * float summation order). `keep` thresholds the mean per-trigram
+    * quantized NLL at `perTrigramNllQ`.
+    *
+    * Scale shape: counts are gram-keyed combiner aggregates over the
+    * TRAIN side; the document side pre-aggregates to distinct
+    * (doc, trigram) types, so each model join's fan-out is a gram's
+    * document frequency (the [[bigramNll]] argument); the N/V scalars
+    * ride as a 1-row broadcast. Output: (did, n_trigrams, nll_q,
+    * keep) — one row per input document, trigram-less docs keep. */
+  def trigramNll(df: DataFrame, id: Column, toks: Column, isTrain: Column,
+      perTrigramNllQ: Long): DataFrame = {
+    val base = df
+      .select(id.as("did"), toks.as("toks"), isTrain.cast("boolean").as("tr"))
+      .localCheckpoint(eager = false)
+    val tg = base.select(col("did"), col("tr"),
+        explode(Dedup.gramArray(col("toks"), 3)).as("g"))
+      .withColumn("p12", substring_index(col("g"), " ", 2))
+      .withColumn("s23", substring_index(col("g"), " ", -2))
+      .withColumn("w2",
+        substring_index(substring_index(col("g"), " ", 2), " ", -1))
+      .withColumn("w3", substring_index(col("g"), " ", -1))
+    val c3 = tg.where(col("tr")).groupBy(col("g")).agg(count(lit(1)).as("c3"))
+    // bigram/unigram count tables each feed TWO joins (context and
+    // backoff keys) — snapshot, the module self-join rule
+    val cb = base.where(col("tr"))
+      .select(explode(Dedup.gramArray(col("toks"), 2)).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("cb"))
+      .localCheckpoint(eager = false)
+    val ug = base.where(col("tr")).select(explode(col("toks")).as("u"))
+    val cu = ug.groupBy(col("u")).agg(count(lit(1)).as("cu"))
+      .localCheckpoint(eager = false)
+    val nv = ug.agg(count(lit(1)).as("n_tok"), count_distinct(col("u")).as("v"))
+    val dg = tg.groupBy(col("did"), col("g"), col("p12"), col("s23"),
+        col("w2"), col("w3"))
+      .agg(count(lit(1)).as("cnt"))
+    val qs = floor(-log(
+        when(coalesce(col("c3"), lit(0L)) > 0,
+          col("c3").cast("double") / col("c12").cast("double"))
+        .when(coalesce(col("c23"), lit(0L)) > 0,
+          lit(0.4) * col("c23").cast("double") / col("cw2").cast("double"))
+        .otherwise(
+          lit(0.16) * (coalesce(col("cw3"), lit(0L)) + 1).cast("double") /
+            (col("n_tok") + col("v")).cast("double"))) * lit(1000000.0))
+      .cast("long")
+    val scored = dg
+      .join(c3, Seq("g"), "left")
+      .join(cb.select(col("b").as("p12"), col("cb").as("c12")), Seq("p12"), "left")
+      .join(cb.select(col("b").as("s23"), col("cb").as("c23")), Seq("s23"), "left")
+      .join(cu.select(col("u").as("w2"), col("cu").as("cw2")), Seq("w2"), "left")
+      .join(cu.select(col("u").as("w3"), col("cu").as("cw3")), Seq("w3"), "left")
+      .crossJoin(broadcast(nv))
+      .groupBy(col("did"))
+      .agg(sum(col("cnt")).as("n_trigrams"), sum(col("cnt") * qs).as("nll_q"))
+    base.select(col("did"))
+      .join(scored, Seq("did"), "left")
+      .select(col("did"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("nll_q"), lit(0L)).as("nll_q"))
+      .withColumn("keep",
+        col("nll_q") <= col("n_trigrams") * lit(perTrigramNllQ))
+  }
 }

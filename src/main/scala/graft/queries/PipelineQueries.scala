@@ -1012,6 +1012,27 @@ object PipelineQueries {
     * cannot drift. */
   private val PerBigramNllQ = 3401197L // floor(ln(30) * 1e6)
 
+  /** Mean per-trigram quantized stupid-backoff NLL keep threshold —
+    * the same "perplexity ≤ 30" semantics as [[PerBigramNllQ]]
+    * (ln(30)·1e6): on the fixture the per-trigram NLL distribution has
+    * median 3.51e6 with backed-off documents above it, so this keeps
+    * the mostly-in-model ~45% and drops the mostly-backed-off rest.
+    * ONE constant shared with the oracle. */
+  private val PerTrigramNllQ = 3401197L // floor(ln(30) * 1e6)
+
+  /** Trigram stupid-backoff perplexity filter
+    * ([[graft.ops.LangModel.trigramNll]] — Brants et al. 2007, the LM
+    * family designed for distributed count tables): train on the 'en'
+    * slice, score every document, keep mean per-trigram quantized NLL
+    * ≤ ln(8)·10⁶. The CCNet tier's n=3 member next to the bigram
+    * filter and its terciles. */
+  val pipe_lm_trigram: Q = (s, dir) =>
+    LangModel.trigramNll(
+        docs(s, dir).select(col("doc_id"), col("lang"),
+          tokenizeDefault(col("text")).as("toks")),
+        col("doc_id"), col("toks"), col("lang") === "en", PerTrigramNllQ)
+      .orderBy(col("did"))
+
   /** CCNet-style LM quality filter ([[graft.ops.LangModel.bigramNll]]):
     * the `en` documents train an add-one-smoothed bigram LM; every
     * document scores its exact integer quantized NLL under it, and `keep`
@@ -1563,6 +1584,7 @@ object PipelineQueries {
     "pipe_dsir_select" -> pipe_dsir_select,
     "pipe_lm_perplexity" -> pipe_lm_perplexity,
     "pipe_lm_terciles" -> pipe_lm_terciles,
+    "pipe_lm_trigram" -> pipe_lm_trigram,
     "pipe_bpe_step" -> pipe_bpe_step,
     "pipe_bpe_apply" -> pipe_bpe_apply,
     "pipe_bpe_train" -> pipe_bpe_train,
@@ -1612,6 +1634,52 @@ object PipelineQueries {
          |        t -> t <> '' AND length(t) <= 40)""".stripMargin
 
   private val toksSql = toksSqlOf("text")
+
+  /** Trigram stupid-backoff oracle chain — restates
+    * [[graft.ops.LangModel.trigramNll]]'s three count tables and the
+    * CASE-laddered quantized score with identical arithmetic text. */
+  private lazy val lmTrigramSql =
+    s"""t AS (SELECT doc_id, lang = 'en' AS tr, $toksSql AS toks FROM documents),
+       |tg AS (
+       |  SELECT doc_id, tr, g,
+       |    split_part(g, ' ', 1) || ' ' || split_part(g, ' ', 2) AS p12,
+       |    split_part(g, ' ', 2) || ' ' || split_part(g, ' ', 3) AS s23,
+       |    split_part(g, ' ', 2) AS w2, split_part(g, ' ', 3) AS w3
+       |  FROM (
+       |    SELECT doc_id, tr,
+       |      unnest(list_transform(range(greatest(len(toks) - 2, 0)),
+       |        i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS g
+       |    FROM t)),
+       |c3 AS (SELECT g, count(*) AS c3 FROM tg WHERE tr GROUP BY g),
+       |cb AS (SELECT b, count(*) AS cb FROM (
+       |    SELECT unnest(list_transform(range(greatest(len(toks) - 1, 0)),
+       |      i -> toks[i+1] || ' ' || toks[i+2])) AS b
+       |    FROM t WHERE tr) GROUP BY b),
+       |cu AS (SELECT u, count(*) AS cu FROM (
+       |    SELECT unnest(toks) AS u FROM t WHERE tr) GROUP BY u),
+       |nv AS (SELECT count(*) AS n_tok, count(DISTINCT u) AS v FROM (
+       |    SELECT unnest(toks) AS u FROM t WHERE tr)),
+       |dg AS (SELECT doc_id, g, p12, s23, w2, w3, count(*) AS cnt FROM tg
+       |  GROUP BY doc_id, g, p12, s23, w2, w3),
+       |sc AS (
+       |  SELECT dg.doc_id,
+       |    CAST(sum(dg.cnt) AS BIGINT) AS n_trigrams,
+       |    CAST(sum(dg.cnt * CAST(floor(-ln(
+       |      CASE WHEN coalesce(c3.c3, 0) > 0
+       |             THEN CAST(c3.c3 AS DOUBLE) / CAST(b12.cb AS DOUBLE)
+       |           WHEN coalesce(b23.cb, 0) > 0
+       |             THEN 0.4 * CAST(b23.cb AS DOUBLE) / CAST(u2.cu AS DOUBLE)
+       |           ELSE 0.16 * CAST(coalesce(u3.cu, 0) + 1 AS DOUBLE) /
+       |                CAST(nv.n_tok + nv.v AS DOUBLE)
+       |      END) * 1000000.0) AS BIGINT)) AS BIGINT) AS nll_q
+       |  FROM dg
+       |  LEFT JOIN c3 USING (g)
+       |  LEFT JOIN cb b12 ON b12.b = dg.p12
+       |  LEFT JOIN cb b23 ON b23.b = dg.s23
+       |  LEFT JOIN cu u2 ON u2.u = dg.w2
+       |  LEFT JOIN cu u3 ON u3.u = dg.w3
+       |  CROSS JOIN nv
+       |  GROUP BY dg.doc_id)""".stripMargin
 
   /** The unigram-LM oracle's shared CTE chain (both unigram oracles end
     * in `best` + `words`): re-derives the seed vocabulary (substring
@@ -2611,6 +2679,14 @@ object PipelineQueries {
          |  coalesce(res.n_kept, 0) AS n_kept,
          |  coalesce(res.scrubbed, '') AS scrubbed
          |FROM t LEFT JOIN res ON t.doc_id = res.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
+    "pipe_lm_trigram" ->
+      s"""WITH $lmTrigramSql
+         |SELECT t.doc_id AS did,
+         |  CAST(coalesce(sc.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+         |  CAST(coalesce(sc.nll_q, 0) AS BIGINT) AS nll_q,
+         |  coalesce(sc.nll_q, 0) <= coalesce(sc.n_trigrams, 0) * $PerTrigramNllQ AS keep
+         |FROM t LEFT JOIN sc ON sc.doc_id = t.doc_id
          |ORDER BY t.doc_id""".stripMargin,
     "pipe_unigram_seg" ->
       s"""WITH RECURSIVE $unigramCtes

@@ -691,6 +691,24 @@ class PipelineSpec extends AnyFunSuite {
       s"within-doc-only repeats must not scrub: ${got(3)}")
   }
 
+  test("span scrub is the identity on a corpus with no repeated grams") {
+    import spark.implicits._
+    // globally unique tokens -> no gram can repeat anywhere -> nothing
+    // may be cut (the no-false-scrubbing side of the planted-span test)
+    val rows = (1 to 20).map(i =>
+      (i.toLong, (0 until 10).map(j => s"u${i}x$j").mkString(" ")))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"),
+        col("text"))
+    val got = graft.ops.Dedup.spanScrub(rows, col("doc_id"), col("toks"), k = 3)
+      .join(rows.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_kept") == r.getAs[Long]("n_toks"))
+      assert(r.getAs[String]("scrubbed") == r.getAs[String]("text"))
+    }
+  }
+
   test("unigram Viterbi DP matches exhaustive segmentation enumeration") {
     import spark.implicits._
     // vocab engineered with exact cost ties ("ab"+"c" vs "a"+"bc" both

@@ -373,6 +373,7 @@ class PlanSpec extends AnyFunSuite {
       "knn_lsh" -> "hyperplane constants, broadcast query side",
       "pipe_lm_perplexity" -> "1-row vocabulary-size scalar attach",
       "pipe_lm_terciles" -> "1-row vocabulary-size scalar attach (same bigramNll chain)",
+      "pipe_lm_trigram" -> "1-row N/V scalar attach (trigramNll chain)",
       "pipe_curate_v2" -> "1-row vocabulary-size scalar attach (bigramNll stage)",
       "pipe_dsir_select" -> "1-row target-total scalar attach",
       "dedup_lsh_recall" -> "three 1-row count scalars cross-joined into the report row",
