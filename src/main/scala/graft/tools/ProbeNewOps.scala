@@ -13,33 +13,37 @@ import org.apache.spark.sql.functions._
   *
   * Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 runMain graft.tools.ProbeNewOps
   *
-  * Measured at sf0.1 (5k → 50k docs, local[32], 2026-08-14, median of 3
-  * after warmup; the x1 runs re-time the memoized snapshots/models, so
-  * ratios compare steady-state compute):
-  *  - text_span_scrub   0.33 s → 0.16 s — post-snapshot compute is
+  * Measured at sf0.1 (5k → 50k docs, local[32], 2026-08-14 final run,
+  * median of 3 after warmup; the x1 runs re-time the memoized
+  * snapshots/models, so ratios compare steady-state compute):
+  *  - text_span_scrub   0.30 s → 0.14 s — post-snapshot compute is
   *    gram-keyed aggregates + the HOF rebuild, fixed overhead dominates;
   *    max per-doc scrubbed tokens 99 at BOTH scales (the per-replica
   *    cipher keeps duplicate structure scale-constant, so the
   *    O(tokens × dup-starts) rebuild never concentrates).
-  *  - text_tfidf_top    0.82 s → 2.79 s (3.4× for 10×) — tf and df
+  *  - text_tfidf_top    0.71 s → 1.24 s (1.7× for 10×) — tf and df
   *    aggregates grow with distinct (doc, term); sublinear.
-  *  - pipe_unigram_seg / _counts  0.08/0.14 s → 0.05/0.09 s (~1×) —
+  *  - pipe_unigram_seg / _counts  0.06/0.10 s → 0.06/0.11 s (~1×) —
   *    with the model memoized per (session, dir), the measured path is
   *    the map-only encode + piece aggregate; corpus-size-free because
   *    both run over the DISTINCT-word table. (Before the memo, each run
   *    retrained: 0.48 → 4.48 s linear — the training cost now shows up
   *    once, in pipe_unigram_train.)
-  *  - pipe_unigram_train 0.50 s → 0.43 s (~1×) — both EM rounds run
+  *  - pipe_unigram_train 0.46 s → 0.36 s (~1×) — both EM rounds run
   *    over the vocabulary-sized word-frequency table; corpus size only
   *    enters through the one memoized collapse, exactly the Bpe.train
   *    scale argument.
-  *  - pipe_domain_quota 0.25 s → 0.23 s (~1×) — one window shuffle,
+  *  - pipe_domain_quota 0.21 s → 0.16 s (~1×) — one window shuffle,
   *    per-domain partitions 10× but 32-way parallel.
-  *  - pipe_hybrid_rrf   0.56 s → 0.52 s (~1×) — stats aggregate +
+  *  - pipe_hybrid_rrf   0.49 s → 0.35 s (~1×) — stats aggregate +
   *    TakeOrdered top-k; fusion is 20 rows at any corpus size.
-  *  - pipe_bloom_decontaminate 0.18 s → 0.22 s (~1×) — filter build is
+  *  - pipe_bloom_decontaminate 0.13 s → 0.14 s (~1×) — filter build is
   *    benchmark-sized; the corpus side is one map pass against the
   *    broadcast word table.
+  *  - pipe_lm_trigram   0.42 s → 0.57 s (1.4×) — three count tables
+  *    build combiner-side; the model joins' fan-out is per-gram
+  *    DOCUMENT frequency (doc side pre-aggregated to trigram types),
+  *    scale-constant under disjoint replica vocabularies.
   * None exhibits the super-linear blowup the probe exists to catch
   * (candidate joins, per-row windows, hot-key concentration).
   */
@@ -86,7 +90,7 @@ object ProbeNewOps {
       // of the gate itself
       for (q <- Seq("text_span_scrub", "text_tfidf_top", "pipe_unigram_seg",
           "pipe_unigram_counts", "pipe_unigram_train", "pipe_domain_quota",
-          "pipe_hybrid_rrf", "pipe_bloom_decontaminate")) {
+          "pipe_hybrid_rrf", "pipe_bloom_decontaminate", "pipe_lm_trigram")) {
         val run = graft.queries.PipelineQueries.all(q)
         run(spark, tmp).count() // warm: codegen + parquet footers
         time(s"x$k $q")(run(spark, tmp).count(): Unit)
