@@ -44,6 +44,15 @@ case class UnigramEncode(child: Expression, vocab: Seq[(String, Long)],
   require(vocab.forall(!_._1.contains('|')),
     "vocabulary pieces must not contain '|' (the segmentation separator); " +
       s"offending: ${vocab.collect { case (p, _) if p.contains('|') => p }.take(3).mkString(", ")}")
+  // a piece longer than maxPieceLen can never be considered by the DP —
+  // accepting it would silently return a "best" segmentation that ignores
+  // the caller's cheapest pieces (the same silent-corruption class the
+  // '|' require rejects)
+  require(vocab.forall(p => p._1.codePointCount(0, p._1.length) <= maxPieceLen),
+    s"vocabulary pieces must be <= maxPieceLen=$maxPieceLen codepoints; " +
+      s"offending: ${vocab.collect {
+        case (p, _) if p.codePointCount(0, p.length) > maxPieceLen => p
+      }.take(3).mkString(", ")}")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = true
 
@@ -75,9 +84,24 @@ case class UnigramEncode(child: Expression, vocab: Seq[(String, Long)],
     if (L == 0)
       return new GenericArrayData(Array.empty[Any])
     val bestCost = Array.fill[Long](L + 1)(Long.MaxValue)
-    val bestStr = new Array[String](L + 1)
+    val bestFrom = Array.fill[Int](L + 1)(-1)
     bestCost(0) = 0L
-    bestStr(0) = ""
+    // the '|'-joined best path INTO position i, rebuilt from backpointers
+    // — materialized only on exact cost ties (and at the end), so the
+    // common no-tie case stays O(len · maxPieceLen) table lookups and
+    // the tie comparison is byte-identical to comparing stored strings
+    def pathStr(i: Int): String = {
+      val sb = new java.lang.StringBuilder
+      def walk(p: Int): Unit = if (p > 0) {
+        val f = bestFrom(p)
+        walk(f)
+        if (f > 0) sb.append('|')
+        var k = f
+        while (k < p) { sb.append(cps(k)); k += 1 }
+      }
+      walk(i)
+      sb.toString
+    }
     var i = 1
     while (i <= L) {
       var l = 1
@@ -89,12 +113,12 @@ case class UnigramEncode(child: Expression, vocab: Seq[(String, Long)],
           val c = cost.get(piece)
           if (c != null) {
             val cand = bestCost(j) + c.longValue
-            val candStr =
-              if (j == 0) piece else bestStr(j) + "|" + piece
-            if (cand < bestCost(i) ||
-                (cand == bestCost(i) && candStr.compareTo(bestStr(i)) < 0)) {
+            if (cand < bestCost(i)) {
               bestCost(i) = cand
-              bestStr(i) = candStr
+              bestFrom(i) = j
+            } else if (cand == bestCost(i)) {
+              val candStr = if (j == 0) piece else pathStr(j) + "|" + piece
+              if (candStr.compareTo(pathStr(i)) < 0) bestFrom(i) = j
             }
           }
         }
@@ -104,7 +128,7 @@ case class UnigramEncode(child: Expression, vocab: Seq[(String, Long)],
     }
     if (bestCost(L) == Long.MaxValue) null
     else new GenericArrayData(
-      bestStr(L).split('|').map(s => UTF8String.fromString(s): Any))
+      pathStr(L).split('|').map(s => UTF8String.fromString(s): Any))
   }
 
   override protected def withNewChildInternal(c: Expression): UnigramEncode =

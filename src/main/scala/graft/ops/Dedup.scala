@@ -58,6 +58,17 @@ object Dedup {
   /** Positional token k-grams: (doc_id, gram), one row per window START
     * — within-doc repeats kept, unlike [[shingles]]' distinct sets, so
     * downstream counts weight by occurrence. */
+  /** The DUPLICATED-gram rule — a gram occurring in >= 2 distinct
+    * documents — over any (doc_id, gram, ...) table: ONE definition
+    * shared by the profile ([[kgramOverlap]]) and the apply step
+    * ([[spanScrub]]), so the rule (and its documented 100 TB cut:
+    * keying on a 128-bit gram hash instead of the text) changes in one
+    * place. */
+  private def dupGrams(grams: DataFrame): DataFrame =
+    grams.select(col("doc_id"), col("gram")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("ndocs"))
+      .where(col("ndocs") >= 2).select(col("gram"))
+
   private[ops] def posGrams(df: DataFrame, id: Column, toks: Column,
       k: Int): DataFrame =
     df.select(id.as("doc_id"), toks.as("toks"))
@@ -86,9 +97,7 @@ object Dedup {
     // three consumers (dup set, per-doc totals, dup positions) — snapshot
     // so the scan + gram build runs once (the module's self-join rule)
     val grams = posGrams(df, id, toks, k).localCheckpoint(eager = false)
-    val dup = grams.select(col("doc_id"), col("gram")).distinct()
-      .groupBy(col("gram")).agg(count(lit(1)).as("ndocs"))
-      .where(col("ndocs") >= 2).select(col("gram"))
+    val dup = dupGrams(grams)
     val perDoc = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
     val dupPos = grams.join(dup, Seq("gram"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
@@ -123,10 +132,7 @@ object Dedup {
     val grams = base.where(size(col("toks")) >= k)
       .select(col("doc_id"), posexplode(gramArray(col("toks"), k)))
       .withColumnRenamed("pos", "gpos").withColumnRenamed("col", "gram")
-    val dup = grams.select(col("doc_id"), col("gram")).distinct()
-      .groupBy(col("gram")).agg(count(lit(1)).as("ndocs"))
-      .where(col("ndocs") >= 2).select(col("gram"))
-    val dupStarts = grams.join(dup, Seq("gram"))
+    val dupStarts = grams.join(dupGrams(grams), Seq("gram"))
       .groupBy(col("doc_id")).agg(sort_array(collect_set(col("gpos"))).as("dps"))
     base.join(dupStarts, Seq("doc_id"), "left")
       .withColumn("dps", coalesce(col("dps"), array().cast("array<int>")))

@@ -71,6 +71,18 @@ object PipelineQueries {
     snapMemo.computeIfAbsent(key, _ => build.localCheckpoint(eager = false))
   }
 
+  /** [[memoSnap]]'s sibling for collected DRIVER artifacts (trained
+    * model tables, weight vectors): same (session, dir, name) keying,
+    * same immutable-fixture argument, same size bound — one eviction
+    * policy for every memo in the module. */
+  private val artifactMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), AnyRef]()
+  private def memoArtifact[T <: AnyRef](
+      key: (SparkSession, String, String))(build: => T): T = {
+    if (artifactMemo.size > 64) artifactMemo.clear()
+    artifactMemo.computeIfAbsent(key, _ => build).asInstanceOf[T]
+  }
+
   private def shingled(s: SparkSession, dir: String): DataFrame =
     memoSnap((s, dir, "shingles")) {
       Dedup.shingles(
@@ -588,12 +600,15 @@ object PipelineQueries {
     * ran (the op_index_search pattern: side-effecting lifecycle under
     * the oracle). */
   val pipe_shard_write: Q = (s, dir) => {
-    // deterministic per-fixture output root + overwrite mode: repeated
-    // gate/bench invocations rewrite in place instead of accumulating
-    // fresh temp copies of the corpus
+    // deterministic per-(JVM, fixture) output root + overwrite mode:
+    // repeated invocations IN a process rewrite in place (no temp-copy
+    // accumulation), md5 keys the fixture (hashCode can collide and
+    // abs(MinValue) stays negative), and the pid component keeps two
+    // concurrent JVMs gating the same fixture from clobbering each
+    // other's data dir mid-read
     val out = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"),
-      s"graft-shards-${math.abs(dir.hashCode)}").toString
+      s"graft-shards-${graft.ops.Hashing.md5Hex(dir, 8)}-p${ProcessHandle.current().pid()}").toString
     graft.ops.EpochShuffle.writeShards(docs(s, dir), col("doc_id"),
         length(col("text")), "epoch1", numShards = 8L, out)
       .orderBy(col("shard"))
@@ -1024,8 +1039,9 @@ object PipelineQueries {
     * ([[graft.ops.LangModel.trigramNll]] — Brants et al. 2007, the LM
     * family designed for distributed count tables): train on the 'en'
     * slice, score every document, keep mean per-trigram quantized NLL
-    * ≤ ln(8)·10⁶. The CCNet tier's n=3 member next to the bigram
-    * filter and its terciles. */
+    * ≤ [[PerTrigramNllQ]] (ln(30)·10⁶ — the bigram filter's
+    * perplexity-30 semantics). The CCNet tier's n=3 member next to the
+    * bigram filter and its terciles. */
   val pipe_lm_trigram: Q = (s, dir) =>
     LangModel.trigramNll(
         docs(s, dir).select(col("doc_id"), col("lang"),
@@ -1159,21 +1175,17 @@ object PipelineQueries {
 
   /** The trained model — ONE 3-iteration training execution per
     * (session, dir), shared by the train gate, the apply gate, and the
-    * v4 chain (the uniModelMemo pattern: a collected model artifact over
-    * immutable fixtures). Rows: (iter, w_x0..w_x2). */
-  private val qualityTrainMemo =
-    new java.util.concurrent.ConcurrentHashMap[
-      (SparkSession, String), Seq[(Long, Long, Long, Long)]]()
+    * v4 chain (a collected model artifact over immutable fixtures,
+    * through the shared [[memoArtifact]]). Rows: (iter, w_x0..w_x2). */
   private def qualityTrainRows(s: SparkSession,
-      dir: String): Seq[(Long, Long, Long, Long)] = {
-    if (qualityTrainMemo.size > 64) qualityTrainMemo.clear()
-    qualityTrainMemo.computeIfAbsent((s, dir), _ =>
+      dir: String): Seq[(Long, Long, Long, Long)] =
+    memoArtifact((s, dir, "qtrain")) {
       graft.ops.LogReg.train(qualityFeats(s, dir), numFeatures = 3,
           lrDen = QualityLrDen, iterations = 3)
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-        .toSeq.sortBy(_._1))
-  }
+        .toSeq.sortBy(_._1)
+    }
 
   /** The final-iteration weights — the model the apply/v4 consumers
     * serve under. */
@@ -1254,16 +1266,12 @@ object PipelineQueries {
     * snapshots above (same immutable-fixture argument): seg and counts
     * share one training pass instead of each retraining — training
     * dominates the chain (ProbeNewOps). */
-  private val uniModelMemo =
-    new java.util.concurrent.ConcurrentHashMap[
-      (SparkSession, String), Seq[(String, Long)]]()
-  private def unigramModel(s: SparkSession, dir: String): Seq[(String, Long)] = {
-    if (uniModelMemo.size > 64) uniModelMemo.clear()
-    uniModelMemo.computeIfAbsent((s, dir), _ =>
+  private def unigramModel(s: SparkSession, dir: String): Seq[(String, Long)] =
+    memoArtifact((s, dir, "unimodel")) {
       graft.ops.Unigram.seedVocab(unigramWords(s, dir), UnigramMaxPiece, topV = 200)
         .select(col("piece"), col("cost_q"))
-        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
-  }
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    }
 
   /** Unigram-LM (SentencePiece-style) Viterbi segmentation under a seed
     * vocabulary trained on the same corpus — see [[graft.ops.Unigram]]

@@ -32,12 +32,8 @@ object ProbeAnn {
     val spark = graft.Graft.session()
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-    def time(label: String)(f: => Unit): Unit = {
-      val ts = (1 to 3).map { _ =>
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }.sorted
-      println(f"[ann] $label%-26s ${ts(1)}%.2f s (min ${ts.head}%.2f max ${ts.last}%.2f)")
-    }
+    def time(label: String)(f: => Unit): Unit =
+      ProbeKit.median3("ann", label)(f)
 
     val base = spark.read.parquet(s"$dir/embeddings.parquet")
     val n = base.count()
@@ -66,11 +62,7 @@ object ProbeAnn {
           run(spark, tmp).count() // warm
           time(s"x$k $q")(run(spark, tmp).count(): Unit)
         }
-      } finally {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(tmpPath).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      }
+      } finally ProbeKit.deleteRecursively(tmpPath)
     }
     spark.stop()
   }

@@ -44,4 +44,12 @@ object ProbeKit {
     }.sorted
     println(f"[$tag] $label%-30s ${ts(1)}%.2f s (min ${ts.head}%.2f max ${ts.last}%.2f)")
   }
+
+  /** Recursive delete of a probe's replicated temp corpus — don't leak
+    * multi-hundred-MB parquet per run. */
+  def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+      .foreach(q => java.nio.file.Files.deleteIfExists(q))
+  }
 }

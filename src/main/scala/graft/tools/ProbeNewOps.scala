@@ -52,12 +52,8 @@ object ProbeNewOps {
     val spark = graft.Graft.session()
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-    def time(label: String)(f: => Unit): Unit = {
-      val ts = (1 to 3).map { _ =>
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }.sorted
-      println(f"[newops] $label%-34s ${ts(1)}%.2f s (min ${ts.head}%.2f max ${ts.last}%.2f)")
-    }
+    def time(label: String)(f: => Unit): Unit =
+      ProbeKit.median3("newops", label)(f)
 
     val base = spark.read.parquet(s"$dir/documents.parquet")
     val n = base.count()
@@ -106,11 +102,7 @@ object ProbeNewOps {
       val worst = scr.agg(max(col("n_toks") - col("n_kept")).as("m"))
         .collect()(0).getLong(0)
       println(s"[newops]   max per-doc scrubbed tokens: $worst")
-      } finally { // the x10 replica is ~11x the sf corpus — don't leak it
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(tmpPath).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      }
+      } finally ProbeKit.deleteRecursively(tmpPath)
     }
     spark.stop()
   }

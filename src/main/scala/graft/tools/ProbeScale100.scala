@@ -69,11 +69,7 @@ object ProbeScale100 {
           run(spark, tmp).count() // warm
           time(s"x$k $q")(run(spark, tmp).count(): Unit)
         }
-      } finally {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(tmpPath).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      }
+      } finally ProbeKit.deleteRecursively(tmpPath)
     }
     spark.stop()
   }
