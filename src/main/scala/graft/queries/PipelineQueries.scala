@@ -725,15 +725,18 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
 
   /** Auto-sized epoch shuffle: shard count = ceil(Σ length(text) /
-    * 200k chars), so the per-shard sort stays ~200k chars of corpus no
+    * 20k chars), so the per-shard sort stays ~20k chars of corpus no
     * matter the scale — the sizing a 100 TB run needs (fixed counts give
     * corpus/N-sized per-task sorts). The census is one column-pruned
     * scalar aggregate; the oracle reproduces the count with the same
-    * integer ceil. */
+    * integer ceil. The 20k target is the GATE's pin (sf0.01 sums to
+    * ~149k chars → 8 shards, so the modulo + multi-shard window paths
+    * actually exercise; 200k collapsed to 1 shard and proved nothing —
+    * r9 verdict #2); production callers pick a real per-shard budget. */
   val pipe_epoch_shuffle_auto: Q = (s, dir) =>
     graft.ops.EpochShuffle
       .epochShuffleAuto(docs(s, dir), col("doc_id"), length(col("text")),
-        "epoch1", targetShardSize = 200000L)
+        "epoch1", targetShardSize = 20000L)
       .orderBy(col("doc_id"))
 
   /** Sequence packing for training batches: within each source shard,
@@ -961,11 +964,24 @@ object PipelineQueries {
     * sentence splits). The window partitions per doc, so chunking
     * parallelizes per document with no global sort. Output:
     * (doc_id, pos, n_tok, chunk_id) — pos is the sentence's original
-    * index, positions with only punctuation keep n_tok = 0. */
+    * index, positions with only punctuation keep n_tok = 0.
+    *
+    * The fixture corpus has NO sentence punctuation (r9 verdict #2: the
+    * split/window/multi-chunk paths were all unexercised — one sentence
+    * per doc, chunk_id 0 everywhere), so the gate synthesizes boundaries
+    * first, the text_domains synthesized-URL pattern: '.' is appended to
+    * every k-th token with k = 5 + doc_id % 7, giving 4-10 sentences per
+    * doc and cum > 32 tokens → chunk_id > 0. Both engines build the
+    * IDENTICAL synthetic text (indexed-lambda transform; Spark's index is
+    * 0-based, DuckDB's 1-based — the oracle accounts for it). */
   val pipe_chunk_sentences: Q = (s, dir) => {
     val sents = docs(s, dir)
+      .withColumn("stext", expr(
+        """array_join(transform(split(text, ' '),
+          |  (x, i) -> CASE WHEN (i + 1) % (5 + doc_id % 7) = 0
+          |            THEN concat(x, '.') ELSE x END), ' ')""".stripMargin))
       .select(col("doc_id"),
-        posexplode(split(col("text"), "\\. ")).as(Seq("pos", "sent")))
+        posexplode(split(col("stext"), "\\. ")).as(Seq("pos", "sent")))
       .where(length(trim(col("sent"))) > 0)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -2214,6 +2230,16 @@ object PipelineQueries {
        |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.doc = e.v),
        |canon AS (SELECT doc, min(lbl) AS canon_id FROM reach GROUP BY doc)""".stripMargin
 
+  /** DuckDB oracle SQL per registered query.
+    *
+    * TYPE CONVENTION (r9 verdict #1): the driver hashes TYPED values, and
+    * DuckDB widens `sum()` over integers to HUGEINT — which `//` and `%`
+    * propagate — so ANY projected column derived from `sum()` MUST be
+    * wrapped in `CAST(... AS BIGINT)` or it arrives as decimal128 where
+    * Spark emits int64 and the hash diverges on equal values. `count(*)`,
+    * `row_number()`, `len()` are already BIGINT and need no cast.
+    * `tools/oracle_check.py` enforces this locally (type-family-strict
+    * compare since r10). */
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_doc_id, count(*) AS copies
@@ -2832,13 +2858,13 @@ object PipelineQueries {
         |FROM k ORDER BY doc_id""".stripMargin,
     "pipe_epoch_shuffle_auto" ->
       """WITH n AS (
-        |  SELECT GREATEST(1, (sum(length(text)) + 199999) // 200000) AS ns
+        |  SELECT GREATEST(1, (sum(length(text)) + 19999) // 20000) AS ns
         |  FROM documents),
         |k AS (
         |  SELECT doc_id,
         |    CAST(('0x' || substr(md5('epoch1:' || doc_id), 1, 15)) AS BIGINT) AS key
         |  FROM documents)
-        |SELECT doc_id, key % ns AS shard,
+        |SELECT doc_id, CAST(key % ns AS BIGINT) AS shard,
         |  CAST(row_number() OVER (PARTITION BY key % ns
         |    ORDER BY key ASC, doc_id ASC) AS BIGINT) AS pos
         |FROM k, n ORDER BY doc_id""".stripMargin,
@@ -2914,17 +2940,23 @@ object PipelineQueries {
          |  WHERE $gopherKeepSql),
          |$curateTailSql""".stripMargin,
     "pipe_chunk_sentences" ->
-      s"""WITH sents AS (
+      s"""WITH synth AS (
+         |  SELECT doc_id, array_to_string(
+         |    list_transform(string_split(text, ' '),
+         |      (x, i) -> CASE WHEN i % (5 + doc_id % 7) = 0
+         |                THEN x || '.' ELSE x END), ' ') AS text
+         |  FROM documents),
+         |sents AS (
          |  SELECT doc_id, pos, s FROM (
          |    SELECT doc_id, unnest(range(len(ls))) AS pos, unnest(ls) AS s
          |    FROM (SELECT doc_id, regexp_split_to_array(text, '\\. ') AS ls
-         |          FROM documents))
+         |          FROM synth))
          |  WHERE len(trim(s)) > 0),
          |tok AS (
          |  SELECT doc_id, pos, CAST(len(${toksSqlOf("s")}) AS BIGINT) AS n_tok
          |  FROM sents)
          |SELECT doc_id, CAST(pos AS BIGINT) AS pos, n_tok,
-         |  (cum - n_tok) // 32 AS chunk_id
+         |  CAST((cum - n_tok) // 32 AS BIGINT) AS chunk_id
          |FROM (
          |  SELECT doc_id, pos, n_tok,
          |    sum(n_tok) OVER (PARTITION BY doc_id ORDER BY pos

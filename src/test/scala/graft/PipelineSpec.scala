@@ -913,7 +913,7 @@ class PipelineSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val d = Graft.table(spark, sf, "documents")
     val total = d.agg(sum(length(col("text")).cast("long"))).first().getLong(0)
-    val n = EpochShuffle.shardCount(total, 200000L)
+    val n = EpochShuffle.shardCount(total, 20000L)
     val auto = graft.queries.PipelineQueries.pipe_epoch_shuffle_auto(spark, sf).collect()
     val explicit = EpochShuffle.epochShuffle(d, col("doc_id"), "epoch1", n)
       .orderBy(col("doc_id")).collect()

@@ -7,7 +7,7 @@ name and rows by all columns, and compares values. Usage:
 
     python3 tools/oracle_check.py /root/testdata/sf0.01 /tmp/verify_out
 """
-import json, math, sys, glob
+import decimal, json, math, sys, glob
 import duckdb
 import pandas as pd
 
@@ -22,7 +22,39 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def type_kind(v):
+    """Coarse type family used for the strictness check. The driver hashes
+    TYPED Arrow values, so DuckDB HUGEINT (-> decimal128) vs Spark BIGINT
+    (-> int64) is a driver FAIL even when every value is numerically equal
+    (the exact r9 bug class: un-cast sum()-derived projections). pandas
+    erases that distinction (Decimal(5) == 5), so compare the python type
+    family explicitly."""
+    if v is None:
+        return None
+    if isinstance(v, decimal.Decimal):
+        return "decimal"
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, (int,)):
+        return "int"
+    if isinstance(v, float):
+        return "float"
+    if isinstance(v, str):
+        return "str"
+    if isinstance(v, (bytes, bytearray)):
+        return "bytes"
+    if isinstance(v, (list, tuple)):
+        return "list"
+    return type(v).__name__
+
+
 def values_equal(a, b) -> bool:
+    ka, kb = type_kind(a), type_kind(b)
+    if ka is not None and kb is not None and ka != kb:
+        # int vs float is tolerated only when pandas up-casts a nullable int
+        # column to float64 on the spark side; decimal never matches int
+        if {ka, kb} != {"int", "float"}:
+            return False
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
