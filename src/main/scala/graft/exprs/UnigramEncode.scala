@@ -23,8 +23,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * carry the same character subsequence), so their order is decided
   * inside the prefix and survives any common suffix; per-position
   * (cost, prefix-string) minimization is therefore globally optimal.
-  * The comparison is Java UTF-16 order — identical to an oracle's
-  * binary UTF-8 order on ASCII pieces (callers gate non-ASCII out).
+  * The comparison is UTF-8 BYTE order (UTF8String), not Java UTF-16
+  * `compareTo`: the two differ for supplementary codepoints (UTF-16
+  * sorts surrogates below U+E000..U+FFFF), and the public `unigram_encode`
+  * SQL face accepts arbitrary vocabularies — byte order is what a
+  * binary-collation oracle (DuckDB, tantivy) reproduces (r9 ADVICE).
   *
   * DP is O(len · maxPieceLen) table lookups per word, one virtual call
   * per row (the [[BpeEncode]] tight-loop pattern); the vocabulary rides
@@ -118,7 +121,9 @@ case class UnigramEncode(child: Expression, vocab: Seq[(String, Long)],
               bestFrom(i) = j
             } else if (cand == bestCost(i)) {
               val candStr = if (j == 0) piece else pathStr(j) + "|" + piece
-              if (candStr.compareTo(pathStr(i)) < 0) bestFrom(i) = j
+              if (UTF8String.fromString(candStr)
+                    .compareTo(UTF8String.fromString(pathStr(i))) < 0)
+                bestFrom(i) = j
             }
           }
         }

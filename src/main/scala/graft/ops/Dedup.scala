@@ -310,7 +310,13 @@ object Dedup {
     * caller sizes m for it. minHits thresholds how many filter-positive
     * shingles condemn a document.
     *
-    * Output per corpus doc: (doc_id, n_sh, n_hits, keep). */
+    * Output per corpus doc: (doc_id, n_sh, n_hits, keep) — EVERY corpus
+    * doc gets a row: a doc whose shingle set is empty (too short to
+    * shingle) contributes no probes, so it is left-joined back in as
+    * (n_sh=0, n_hits=0, keep=true) rather than silently absent. Callers
+    * may inner-join on keep without dropping shingle-less docs (r9
+    * ADVICE: pipe_curate_v3's anti-join happened to compensate; a join
+    * on keep would not have). */
   def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
       mBits: Int, numHashes: Int, minHits: Long): DataFrame = {
     require(mBits >= 32 && mBits % 32 == 0, s"mBits must be a multiple of 32, got $mBits")
@@ -325,7 +331,8 @@ object Dedup {
       .withColumn("mask", expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 32 AS INT))"))
     val words = probes(benchmark.select(explode(col("shingles")).as("sh")).distinct())
       .groupBy(col("widx")).agg(expr("bit_or(mask)").as("wv"))
-    probes(corpus.select(col("doc_id"), explode(col("shingles")).as("sh")))
+    val perDoc = probes(
+        corpus.select(col("doc_id"), explode(col("shingles")).as("sh")))
       .join(broadcast(words), Seq("widx"), "left")
       .withColumn("hit",
         when(expr("(coalesce(wv, CAST(0 AS BIGINT)) DIV mask) % 2 = 1"), 1L)
@@ -334,6 +341,13 @@ object Dedup {
       .groupBy(col("doc_id"), col("sh")).agg(min(col("hit")).as("all_hit"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"),
         sum(col("all_hit")).as("n_hits"))
+    // restore shingle-less docs (explode emitted no probe rows for them):
+    // doc-count-proportional join, NOT shingle-proportional
+    corpus.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_sh"), lit(0L)).as("n_sh"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
       .withColumn("keep", col("n_hits") < minHits)
   }
 

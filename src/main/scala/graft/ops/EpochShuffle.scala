@@ -59,7 +59,13 @@ object EpochShuffle {
     * manifest's presence as "the shard set is complete", the same
     * write-data-then-commit ordering the engine's split writer uses; a
     * crash mid-write leaves data files but no manifest, so nothing
-    * downstream consumes a partial epoch).
+    * downstream consumes a partial epoch). On a REWRITE of an existing
+    * outDir the previous epoch's manifest is deleted FIRST — otherwise a
+    * crash mid-rewrite would leave a valid-looking stale manifest paired
+    * with partially rewritten data, and "manifest present" would no
+    * longer imply "data complete" (r9 ADVICE). The rewrite is therefore
+    * destructive-by-design: a crash between delete and commit reads as
+    * "no epoch here", never as a partial one.
     *
     * Scale shape: the assignment is [[shuffled]]'s one shard-keyed
     * exchange; the write re-uses that partitioning (repartition on the
@@ -74,6 +80,12 @@ object EpochShuffle {
   def writeShards(df: DataFrame, id: Column, sizeCol: Column, seed: String,
       numShards: Long, outDir: String): DataFrame = {
     val sp = df.sparkSession
+    // invalidate the OLD commit point before touching data: readers see
+    // either the previous complete epoch (before this line) or no epoch
+    // (until the new manifest lands) — never stale-manifest + new data
+    val mPath = new org.apache.hadoop.fs.Path(s"$outDir/manifest")
+    val fs = mPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
+    if (fs.exists(mPath)) fs.delete(mPath, true)
     // EVERY payload column rides into the shard files (plus sz/shard/pos)
     // — the whole point of the payload-carrying core: a trainer reads the
     // shards directly, it never joins the corpus back by id

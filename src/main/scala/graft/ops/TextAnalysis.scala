@@ -386,9 +386,13 @@ object TextAnalysis {
     * `tokenized`: (id, toks); output (id, rank, term, tfidf_q). */
   def tfidfTop(tokenized: DataFrame, id: Column, toks: Column,
       k: Int): DataFrame = {
+    // tf feeds TWO consumers (the df aggregate and the scoring join) —
+    // snapshot it per the module's self-join rule (see trigramNll) so the
+    // explode+count over the corpus runs once, not once per branch
     val tf = tokenized.select(id.as("id"), explode(toks).as("term"))
       .groupBy(col("id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
     // df over the tf table: one row per (doc, term) is exactly document
     // frequency; reuses the (id, term) shuffle's term-locality partially
     val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))

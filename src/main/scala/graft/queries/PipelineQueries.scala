@@ -2656,11 +2656,16 @@ object PipelineQueries {
         |ORDER BY doc_id""".stripMargin,
     "pipe_bloom_decontaminate" ->
       s"""WITH sh AS ($shingleSql),
-         |$bloomCtes
-         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh,
-         |  CAST(sum(all_hit) AS BIGINT) AS n_hits,
-         |  sum(all_hit) < 1 AS keep
-         |FROM bhits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+         |$bloomCtes,
+         |perdoc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh,
+         |    CAST(sum(all_hit) AS BIGINT) AS n_hits
+         |  FROM bhits GROUP BY doc_id)
+         |SELECT doc_id, coalesce(n_sh, 0) AS n_sh,
+         |  coalesce(n_hits, 0) AS n_hits,
+         |  coalesce(n_hits, 0) < 1 AS keep
+         |FROM (SELECT doc_id FROM sh WHERE doc_id >= 10)
+         |LEFT JOIN perdoc USING (doc_id) ORDER BY doc_id""".stripMargin,
     "pipe_curate_v3" ->
       s"""WITH sh AS ($shingleSql),
          |$bloomCtes,

@@ -871,6 +871,24 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
     assert(m == perShard)
     m.foreach { case (_, n, last) => assert(n == last, "positions must be dense") }
+
+    // REWRITE invariant (r9 ADVICE): the previous epoch's manifest is
+    // deleted BEFORE data is touched, so a crash mid-rewrite can never
+    // pair a valid-looking stale manifest with partial data. Inject a
+    // failure into the rewrite's data stage and check the commit point
+    // is already gone.
+    intercept[Exception] {
+      EpochShuffle.writeShards(src, col("doc_id"),
+        expr("raise_error('injected mid-rewrite crash')"), "epoch2",
+        numShards = 4L, out)
+    }
+    assert(!new java.io.File(s"$out/manifest").exists(),
+      "a failed rewrite must not leave the previous epoch's manifest")
+    // and a subsequent successful rewrite restores the commit point
+    val m2 = EpochShuffle.writeShards(src, col("doc_id"),
+      length(col("text")), "epoch2", numShards = 4L, out)
+    assert(new java.io.File(s"$out/manifest").exists())
+    assert(m2.agg(sum(col("n_docs"))).first().getLong(0) == total)
   }
 
   test("epoch shuffle is a reproducible permutation with dense shard positions") {

@@ -405,6 +405,27 @@ class PropertySpec extends AnyFunSuite {
       })
   }
 
+  test("UnigramEncode handles supplementary codepoints and byte-order ties") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    // U+10000 is a surrogate pair in UTF-16 but one codepoint to the DP
+    // (codepoint-indexed symbols) and 4 bytes to the UTF-8 tie-break
+    val sup = new String(Character.toChars(0x10000))
+    val vocab = Seq(sup -> 5L, "z" -> 5L, s"${sup}z" -> 5L, s"z$sup" -> 5L)
+    def enc(w: String): Seq[String] =
+      graft.exprs.UnigramEncode(Literal(w), vocab, 2)
+        .nullSafeEval(UTF8String.fromString(w))
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+        .array.map(_.toString).toSeq
+    // word = sup z sup: ties at cost 10 between [sup z][sup] and
+    // [sup][z sup]; 'z' (0x7A) < '|' (0x7C) in BOTH UTF-8 and UTF-16, so
+    // the joined path "supz|sup" wins — pinned so any future comparator
+    // change that breaks byte-order ties surfaces here
+    assert(enc(s"$sup" + "z" + s"$sup") == Seq(s"${sup}z", sup))
+    // single supplementary char round-trips through the codepoint DP
+    assert(enc(sup) == Seq(sup))
+  }
+
   test("digest sidecar serialization round-trips exactly") {
     import graft.engine.TermDigest
     val toks: Gen[List[String]] = Gen.chooseNum(1, 50)
