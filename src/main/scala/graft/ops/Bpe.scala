@@ -124,4 +124,29 @@ object Bpe {
     import graft.exprs.exprs.{toColumn, toExpr}
     toColumn(graft.exprs.BpeEncode(toExpr(word), merges))
   }
+
+  /** GPT-2-shape pre-tokenizer, minus the trailing-space lookahead
+    * (`\s+(?!\S)`) the original uses — RE2-based oracles have no
+    * lookahead, so runs of 2+ spaces keep their spaces in the whitespace
+    * pre-token instead of donating one to the next word (deterministic
+    * in both engines; single-spaced text is unaffected). A word carries
+    * its leading space (the 'Ġ' convention after [[byteLevelToks]]'
+    * remap), letters/digits/other split into separate pre-tokens. */
+  val PreTokenRegex: String =
+    """ ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""
+
+  /** Byte-level tokens of `text`: [[PreTokenRegex]] pre-tokenization,
+    * each pre-token byte-remapped ([[graft.exprs.ByteRemap]]) so its
+    * CODEPOINTS are its UTF-8 BYTES under the GPT-2 printable table.
+    * Feed the result anywhere [[train]]/[[topPairs]]/[[encode]] take a
+    * `toks` column and the whole whitespace-word machinery becomes
+    * byte-level BPE with byte fallback: no input can fall outside the
+    * 256-symbol base alphabet, which is what makes a trained tokenizer
+    * total over an uncurated crawl. Map-only; the remap is one tight
+    * loop per pre-token. */
+  def byteLevelToks(text: Column): Column = {
+    import graft.exprs.exprs.{toColumn, toExpr}
+    transform(regexp_extract_all(text, lit(PreTokenRegex), lit(0)),
+      tk => toColumn(graft.exprs.ByteRemap(toExpr(tk))))
+  }
 }

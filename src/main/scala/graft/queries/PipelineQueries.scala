@@ -1139,6 +1139,37 @@ object PipelineQueries {
       .orderBy(col("word"))
   }
 
+  /** BYTE-LEVEL BPE, trained and applied ([[graft.ops.Bpe.byteLevelToks]]
+    * over the [[pipe_bpe_train_apply]] lifecycle): GPT-2-shape regex
+    * pre-tokenization (words carry their leading space), every pre-token
+    * byte-remapped so its codepoints are its UTF-8 bytes under the
+    * printable table (space → 'Ġ'), then the UNCHANGED merge-table
+    * machinery — 3 training rounds + rank-greedy encode — runs over the
+    * 256-symbol base alphabet. The fixture corpus is pure ASCII, so the
+    * gate synthesizes multi-byte text per doc (' café №' + doc_id%5):
+    * 'é' exercises the identity Latin-1 bytes, '№' the U+0100+ fallback
+    * rows, the digits the number pre-tokens. The oracle rebuilds the
+    * byte remap from pure codepoint arithmetic, replays the 3 training
+    * rounds unrolled, and takes the sequential segmentation — which the
+    * rank-greedy encode must reproduce (the train_apply equivalence).
+    * Output: (word, freq, enc, n_pieces) over remapped pre-tokens. */
+  val pipe_bpe_bytes: Q = (s, dir) => {
+    val synth = docs(s, dir).select(
+      concat(col("text"), lit(" café №"),
+        (col("doc_id") % 5).cast("string")).as("text"))
+    val (mt, words) = Bpe.trainWithVocab(
+      synth.select(Bpe.byteLevelToks(col("text")).as("toks")),
+      col("toks"), iterations = 3)
+    val merges = mt.orderBy(col("iter")).collect().map(_.getString(1)).toSeq
+    words
+      .select(col("w").as("word"), col("freq"),
+        Bpe.encode(col("w"), merges).as("pieces"))
+      .select(col("word"), col("freq"),
+        concat_ws(" ", col("pieces")).as("enc"),
+        size(col("pieces")).cast("long").as("n_pieces"))
+      .orderBy(col("word"))
+  }
+
   /** BPE ENCODE under the table [[pipe_bpe_step]] trains — the
     * tokenize-the-corpus pass of the tokenizer lifecycle, at the scale
     * shape that makes it feasible: the corpus collapses to its DISTINCT
@@ -1611,6 +1642,7 @@ object PipelineQueries {
     "pipe_lm_trigram" -> pipe_lm_trigram,
     "pipe_bpe_step" -> pipe_bpe_step,
     "pipe_bpe_apply" -> pipe_bpe_apply,
+    "pipe_bpe_bytes" -> pipe_bpe_bytes,
     "pipe_bpe_train" -> pipe_bpe_train,
     "pipe_bpe_train_apply" -> pipe_bpe_train_apply,
     "dedup_url" -> dedup_url,
@@ -1979,6 +2011,55 @@ object PipelineQueries {
     * `enc0` plus [[bpeTrainIterSql]] rounds 1..3. */
   private val bpeTrainCtesSql =
     s"""$bpeCtesSql,
+       |enc0 AS (
+       |  SELECT w, freq,
+       |    list_transform(range(length(w)), j -> substr(w, j + 1, 1)) AS syms
+       |  FROM wf),
+       |${bpeTrainIterSql(1)},
+       |${bpeTrainIterSql(2)},
+       |${bpeTrainIterSql(3)}""".stripMargin
+
+  /** DuckDB rendition of [[graft.exprs.ByteRemap]] over a lambda-bound
+    * pre-token `tk`, from pure codepoint arithmetic — codepoints →
+    * UTF-8 bytes (the standard length-prefix encode, all integer
+    * div/mod) → GPT-2 printable remap → chr — so the byte-level gate
+    * shares NO code with the expression it gates. */
+  private val byteRemapSql =
+    """array_to_string(list_transform(
+      |  flatten(list_transform(
+      |    list_transform(range(length(tk)), i -> unicode(substr(tk, i + 1, 1))),
+      |    u -> CASE
+      |      WHEN u < 128 THEN [u]
+      |      WHEN u < 2048 THEN [192 + u // 64, 128 + u % 64]
+      |      WHEN u < 65536 THEN [224 + u // 4096, 128 + (u // 64) % 64,
+      |                           128 + u % 64]
+      |      ELSE [240 + u // 262144, 128 + (u // 4096) % 64,
+      |            128 + (u // 64) % 64, 128 + u % 64] END)),
+      |  b -> chr(CAST(CASE
+      |    WHEN (b BETWEEN 33 AND 126) OR (b BETWEEN 161 AND 172)
+      |      OR (b >= 174) THEN b
+      |    WHEN b <= 32 THEN 256 + b
+      |    WHEN b <= 160 THEN b + 162
+      |    ELSE 323 END AS INTEGER))), '')""".stripMargin
+
+  /** Byte-level tokens of a column named `text` — the
+    * [[graft.ops.Bpe.byteLevelToks]] restatement: the SAME
+    * `Bpe.PreTokenRegex` string drives both engines (one definition;
+    * the pattern avoids lookahead precisely so RE2 can run it), each
+    * pre-token remapped by [[byteRemapSql]]. */
+  private val byteToksSql =
+    s"""list_transform(
+       |  regexp_extract_all(text, '${graft.ops.Bpe.PreTokenRegex}'),
+       |  tk -> $byteRemapSql)""".stripMargin
+
+  /** [[bpeTrainCtesSql]] with the corpus-to-words step swapped out: the
+    * identical unrolled 3-round training chain over ANY `t(toks)` CTE —
+    * shared by the byte-level gate so the round arithmetic cannot drift
+    * from the word-level one. */
+  private def bpeTrainCtesOver(tSql: String): String =
+    s"""t AS ($tSql),
+       |wf AS (SELECT w, count(*) AS freq
+       |  FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
        |enc0 AS (
        |  SELECT w, freq,
        |    list_transform(range(length(w)), j -> substr(w, j + 1, 1)) AS syms
@@ -2523,6 +2604,18 @@ object PipelineQueries {
     // rank-greedy encode)
     "pipe_bpe_train_apply" ->
       s"""WITH $bpeTrainCtesSql
+         |SELECT w AS word, CAST(freq AS BIGINT) AS freq,
+         |  array_to_string(syms, ' ') AS enc,
+         |  CAST(len(syms) AS BIGINT) AS n_pieces
+         |FROM enc3 ORDER BY word""".stripMargin,
+    // the byte-level lifecycle: synthesized multi-byte corpus → regex
+    // pre-tokens → arithmetic byte remap → the SAME unrolled 3-round
+    // chain; enc3's sequential segmentation gates the rank-greedy encode
+    "pipe_bpe_bytes" ->
+      s"""WITH ${bpeTrainCtesOver(
+             s"""SELECT $byteToksSql AS toks
+                |  FROM (SELECT text || ' café №' || CAST(doc_id % 5 AS VARCHAR) AS text
+                |        FROM documents)""".stripMargin)}
          |SELECT w AS word, CAST(freq AS BIGINT) AS freq,
          |  array_to_string(syms, ' ') AS enc,
          |  CAST(len(syms) AS BIGINT) AS n_pieces

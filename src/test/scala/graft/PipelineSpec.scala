@@ -1056,6 +1056,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == List("𝕒b"), s"surrogate merge got $got")
   }
 
+  test("ByteRemap is the GPT-2 byte table and byteLevelToks pre-tokenizes") {
+    import spark.implicits._
+    import graft.ops.Bpe
+    // the table itself: a bijection onto {33..126, 161..172, 174..255,
+    // 256..323} with the documented arithmetic
+    val t = graft.exprs.ByteRemap.table
+    assert(t.distinct.length == 256, "remap must be injective")
+    assert(t(32) == 0x120, "space -> 'Ġ' (the GPT-2 landmark)")
+    assert(t('a'.toInt) == 'a'.toInt && t('~'.toInt) == '~'.toInt)
+    assert(t(0) == 256 && t(10) == 266, "controls -> 256+b")
+    assert(t(127) == 289 && t(160) == 322, "0x7F..0xA0 -> b+162")
+    assert(t(173) == 323, "soft hyphen is the last fallback row")
+    assert(t(0xC3) == 0xC3 && t(0xA9) == 0xA9, "é's UTF-8 bytes map to themselves")
+    // end-to-end: pre-tokens carry their leading space as Ġ; multi-byte
+    // chars split into one symbol per UTF-8 byte
+    val got = Seq("hello world café №3").toDF("text")
+      .select(Bpe.byteLevelToks(col("text")).as("toks"))
+      .collect()(0).getSeq[String](0).toList
+    assert(got == List("hello", "Ġworld", "ĠcafÃ©", "ĠâĦĸ", "3"),
+      s"byte-level pre-tokens: $got")
+    // byte fallback: a raw control byte can never leave the alphabet
+    val ctl = Seq("a\tb").toDF("text")
+      .select(Bpe.byteLevelToks(col("text")).as("toks"))
+      .collect()(0).getSeq[String](0).toList
+    assert(ctl == List("a", "ĉ", "b"), s"tab remaps to U+0109: $ctl")
+  }
+
   test("canonicalUrl normalizes the RFC-3986-equivalent surface forms only") {
     import spark.implicits._
     import graft.ops.TextAnalysis
