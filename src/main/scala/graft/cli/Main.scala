@@ -21,7 +21,13 @@ import graft.streaming.StreamingIndexer
   * graft.cli.Main count  <name> <query> [--fields a,b] [--root DIR]
   * graft.cli.Main merge  <name>  [--small-docs N] [--dedup] [--root DIR]
   * graft.cli.Main stats  <name>                   [--root DIR]
+  * graft.cli.Main pipeline <config.yaml>
   * }}}
+  *
+  * `pipeline` is the training-data composition (beyond the reference's
+  * verb set): curate → dedup → optional decontamination → epoch shuffle →
+  * shard write with a manifest commit point — see [[graft.ops.Pipeline]]
+  * for the config schema and stage semantics.
   *
   * The engine root (metadata + data location) defaults to `$GRAFT_ROOT` or
   * `/tmp/graft`; the reference's per-index `path` from the YAML config is
@@ -148,6 +154,18 @@ object Main {
         println(new Searcher(spark, cat).countMatches(pos.head, pos(1),
           fields = flags.get("fields").map(_.split(",").toList)))
 
+      case "pipeline" =>
+        val yaml = new String(Files.readAllBytes(Paths.get(pos.head)), "UTF-8")
+        val cfg = graft.ops.Pipeline.fromYaml(yaml)
+        val manifest = graft.ops.Pipeline.run(spark, cfg)
+        val rows = manifest.orderBy(org.apache.spark.sql.functions.col("shard"))
+          .collect()
+        println(s"pipeline wrote ${rows.length} shard(s) to ${cfg.output}")
+        rows.foreach { r =>
+          println(s"  shard ${r.getLong(0)}: ${r.getLong(1)} docs, " +
+            s"${r.getLong(3)} chars")
+        }
+
       case other =>
         // throw, don't exit: run() is also the in-process test/embedding
         // entry, and System.exit would skip main's `finally spark.stop()`
@@ -176,5 +194,6 @@ object Main {
     System.err.println(
       """usage: create <config.yaml> | drop <name> | index <name> <input> [--stream]
         |       search <name> <query> [--limit N] [--fields a,b] [--unscored]
-        |       count <name> <query> | merge <name>   (all: [--root DIR])""".stripMargin)
+        |       count <name> <query> | merge <name>   (all: [--root DIR])
+        |       pipeline <config.yaml>   (curate -> dedup -> shuffle -> shards)""".stripMargin)
 }

@@ -1,0 +1,140 @@
+package graft.ops
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.yaml.snakeyaml.{LoaderOptions, Yaml}
+import org.yaml.snakeyaml.constructor.SafeConstructor
+
+import graft.functions.TextFunctions.tokenizeDefault
+
+/** The end-to-end training-data pipeline as ONE composable entry point —
+  * curate (Gopher quality keep) → exact dedup → optional Bloom
+  * decontamination → deterministic epoch shuffle → shard SINK with the
+  * manifest commit point. Every stage is an already-oracle-gated
+  * operator from this package ([[TextAnalysis.gopherKeep]],
+  * [[Dedup.decontaminateBloom]], [[EpochShuffle.writeShards]]); this
+  * object only sequences them and parses the YAML config the CLI's
+  * `pipeline` verb takes, so the composition a user actually runs is the
+  * same code the per-stage gates exercise.
+  *
+  * Scale shape: the corpus is scanned once per keep-signal family (the
+  * pipe_curate_v3 pattern), the dedup window shuffles on the content
+  * hash, decontamination probes a broadcast word table, and the sink is
+  * [[EpochShuffle]]'s one shard-keyed exchange — no stage holds more
+  * than model/census-sized state on the driver (the decontamination
+  * filter is m/32 BIGINTs; the shard census is one scalar).
+  */
+object Pipeline {
+
+  /** YAML-parsed pipeline run configuration. Field names follow the
+    * reference CLI's snake_case config convention. */
+  final case class Config(
+      input: String,                    // JSONL corpus path
+      output: String,                   // shard-sink directory
+      textField: String = "text",
+      idField: Option[String] = None,   // absent: md5(text) after dedup
+      sourceField: Option[String] = None,
+      minWords: Long = 30L,
+      maxWords: Long = 100000L,
+      stopwords: Seq[String] =
+        Seq("the", "a", "and", "of", "to", "in", "is"),
+      benchmark: Option[String] = None, // JSONL blocklist for decontam
+      shingleN: Int = 5,
+      bloomBits: Int = 1 << 18,
+      bloomHashes: Int = 3,
+      seed: String = "epoch1",
+      targetShardSize: Long = 1L << 28) // ~256 MB of chars per shard
+
+  /** Parse the `pipeline` verb's YAML. Required keys: `input`, `output`;
+    * everything else defaults as in [[Config]]. Unknown keys are
+    * rejected loudly — a typo'd threshold silently running the default
+    * is the config-file failure mode that loses corpora. */
+  def fromYaml(yamlText: String): Config = {
+    val yaml = new Yaml(new SafeConstructor(new LoaderOptions))
+    val root = Option(yaml.load[java.util.Map[String, Object]](yamlText))
+      .map(_.asScala.toMap).getOrElse(Map.empty[String, Object])
+    val known = Set("input", "output", "text_field", "id_field",
+      "source_field", "min_words", "max_words", "stopwords", "benchmark",
+      "shingle_n", "bloom_bits", "bloom_hashes", "seed",
+      "target_shard_size")
+    val unknown = root.keySet.diff(known)
+    require(unknown.isEmpty, s"unknown pipeline config key(s): ${unknown.toList.sorted.mkString(", ")}")
+    def str(k: String): Option[String] = root.get(k).map(_.toString)
+    def lng(k: String, d: Long): Long = str(k).map(_.toLong).getOrElse(d)
+    def int(k: String, d: Int): Int = str(k).map(_.toInt).getOrElse(d)
+    Config(
+      input = str("input").getOrElse(sys.error("pipeline config: 'input' is required")),
+      output = str("output").getOrElse(sys.error("pipeline config: 'output' is required")),
+      textField = str("text_field").getOrElse("text"),
+      idField = str("id_field"),
+      sourceField = str("source_field"),
+      minWords = lng("min_words", 30L),
+      maxWords = lng("max_words", 100000L),
+      stopwords = root.get("stopwords")
+        .map(_.asInstanceOf[java.util.List[Object]].asScala.toSeq.map(_.toString))
+        .getOrElse(Seq("the", "a", "and", "of", "to", "in", "is")),
+      benchmark = str("benchmark"),
+      shingleN = int("shingle_n", 5),
+      bloomBits = int("bloom_bits", 1 << 18),
+      bloomHashes = int("bloom_hashes", 3),
+      seed = str("seed").getOrElse("epoch1"),
+      targetShardSize = lng("target_shard_size", 1L << 28))
+  }
+
+  /** Run the pipeline; returns the landed-shard manifest
+    * (shard, n_docs, last_pos, n_chars) read back from the sink — the
+    * same commit-point table [[EpochShuffle.writeShards]] attests. */
+  def run(spark: SparkSession, cfg: Config): DataFrame = {
+    val raw = spark.read.json(cfg.input)
+    val withMeta = raw
+      .withColumn("text", col(cfg.textField).cast("string"))
+      .withColumn("source",
+        cfg.sourceField.map(f => col(f).cast("string"))
+          .getOrElse(lit("corpus")))
+    // 1. curate: the Gopher rule inline in the corpus projection (one
+    //    scan, no metric table joined back)
+    val curated = withMeta.where(TextAnalysis.gopherKeep(col("text"),
+      cfg.stopwords, cfg.minWords, cfg.maxWords))
+    // 2. exact dedup: content-hash window, smallest id survives (the
+    //    curate-chain convention); with no id field the hash IS the id,
+    //    so the tiebreak is vacuous and the survivor deterministic
+    val withId = cfg.idField match {
+      case Some(f) => curated.withColumn("doc_id", col(f).cast("string"))
+      case None    => curated.withColumn("doc_id", md5(col("text")))
+    }
+    val deduped = withId
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .where(col("__rn") === 1).drop("__rn")
+    // 3. optional decontamination against a benchmark blocklist: filter
+    //    built from the benchmark's shingles, corpus probes it map-side
+    val survivors = cfg.benchmark match {
+      case None => deduped
+      case Some(benchPath) =>
+        val bench = spark.read.json(benchPath)
+          .withColumn("text", col(cfg.textField).cast("string"))
+          .withColumn("doc_id", md5(col("text")))
+        def sh(df: DataFrame): DataFrame = Dedup.shingles(
+          df.withColumn("toks", tokenizeDefault(col("text"))),
+          col("doc_id"), col("toks"), cfg.shingleN)
+        val keep = Dedup.decontaminateBloom(sh(deduped), sh(bench),
+            cfg.bloomBits, cfg.bloomHashes, minHits = 1L)
+          .where(col("keep")).select(col("doc_id"))
+        // inner join is safe: shingle-less docs get explicit keep rows
+        deduped.join(keep, Seq("doc_id"))
+    }
+    // 4. shuffle + shard sink: auto-sized count from a one-scalar census,
+    //    manifest written last as the commit point
+    val total = survivors.agg(sum(length(col("text")).cast("long")))
+      .first() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    val numShards = EpochShuffle.shardCount(total, cfg.targetShardSize)
+    EpochShuffle.writeShards(survivors, col("doc_id"),
+      length(col("text")), cfg.seed, numShards, cfg.output)
+  }
+}

@@ -57,4 +57,54 @@ class CliSpec extends AnyFunSuite {
     assert(cat.liveSplits("cli_test").map(_.numDocs).sum == 3)
     assert(search.search("cli_test", "n:3", 1) == Seq("""{"body":"third","n":3}"""))
   }
+
+  test("pipeline verb runs curate -> dedup -> decontaminate -> shards e2e") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-pipe").toString
+    // corpus: 40 keepable docs (distinct, quality-passing), one exact
+    // duplicate pair, one too-short doc, one benchmark-contaminated doc
+    val keepable = (0 until 40).map { i =>
+      val words = (0 until 12).map(j => Seq("the", "quick", "brown", "fox",
+        "jumps", "over", "lazy", "dog", s"w$i", s"x${(i + j) % 7}")((i + j) % 10))
+      s"""{"id": $i, "text": "${words.mkString(" ")} of and to in is"}"""
+    }
+    val dup = """{"id": 100, "text": "the quick brown fox jumps over the lazy dog of and to in is"}
+                |{"id": 101, "text": "the quick brown fox jumps over the lazy dog of and to in is"}""".stripMargin
+    val short = """{"id": 102, "text": "too short"}"""
+    val contaminated = """{"id": 103, "text": "the secret benchmark answer key is alpha beta gamma delta epsilon zeta of and to in"}"""
+    Files.write(java.nio.file.Paths.get(s"$dir/corpus.jsonl"),
+      (keepable ++ Seq(dup, short, contaminated)).mkString("\n").getBytes("UTF-8"))
+    Files.write(java.nio.file.Paths.get(s"$dir/bench.jsonl"),
+      """{"text": "the secret benchmark answer key is alpha beta gamma delta epsilon zeta of and to in"}"""
+        .getBytes("UTF-8"))
+    Files.write(java.nio.file.Paths.get(s"$dir/pipe.yaml"),
+      s"""input: $dir/corpus.jsonl
+         |output: $dir/out
+         |id_field: id
+         |min_words: 5
+         |benchmark: $dir/bench.jsonl
+         |target_shard_size: 800
+         |""".stripMargin.getBytes("UTF-8"))
+
+    val root = Files.createTempDirectory("graft-cli2").toString
+    cli.Main.run(Array("pipeline", s"$dir/pipe.yaml"), spark,
+      new Catalog(root), root)
+
+    // commit point + shard dirs landed
+    assert(new java.io.File(s"$dir/out/manifest").exists())
+    val data = spark.read.parquet(s"$dir/out/data")
+    assert(data.select(col("shard")).distinct().count() > 1,
+      "target_shard_size=800 must yield multiple shards")
+    // 40 keepable + 1 dedup survivor; short + contaminated dropped
+    val ids = data.select(col("doc_id")).collect().map(_.getString(0)).toSet
+    assert(data.count() == 41, s"got ${data.count()} docs: $ids")
+    assert(ids.contains("100") && !ids.contains("101"), "min-id dedup survivor")
+    assert(!ids.contains("102") && !ids.contains("103"),
+      "quality + decontamination drops")
+    // payload rides into the shards; manifest attests the landed files
+    assert(data.columns.contains("text"))
+    val m = spark.read.parquet(s"$dir/out/manifest")
+    assert(m.agg(org.apache.spark.sql.functions.sum(col("n_docs")))
+      .first().getLong(0) == 41)
+  }
 }
