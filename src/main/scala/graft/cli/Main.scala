@@ -122,6 +122,10 @@ object Main {
         val splits = cat.liveSplits(name)
         println(s"index '$name': ${splits.length} splits, " +
           s"${splits.map(_.numDocs).sum} docs")
+        val (dh, dm, dn) = Catalog.digestCacheStats
+        if (dh + dm > 0)
+          println(f"digest cache: $dh%d hits / $dm%d misses " +
+            f"(${100.0 * dh / (dh + dm)}%.1f%% hit rate), $dn%d resident")
         splits.sortBy(_.id).foreach { s =>
           val ts = (s.minTs, s.maxTs) match {
             case (Some(mn), Some(mx)) => s" ts=[$mn..$mx]"

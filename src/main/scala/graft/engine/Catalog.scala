@@ -104,6 +104,16 @@ object Catalog {
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
   private val DigestLoadStrikes = 3
 
+  private val digestHits = new java.util.concurrent.atomic.AtomicLong()
+  private val digestMisses = new java.util.concurrent.atomic.AtomicLong()
+
+  /** (hits, misses, residentEntries) of the process-wide digest cache —
+    * a MISS is a store round trip (sidecar GET), so at a 10k+ split
+    * count the hit rate is the difference between O(matching) per query
+    * and a refetch storm; surfaced by the CLI `stats` verb. */
+  def digestCacheStats: (Long, Long, Int) =
+    (digestHits.get(), digestMisses.get(), digestCache.size())
+
   /** Read a set of splits as one DataFrame, upgrading format-1 splits
     * (`_dynamic` as JSON text) to the current in-memory shape (variant)
     * so every consumer sees a single representation. Grouped by format so
@@ -233,7 +243,10 @@ final class Catalog(rootDir: String,
   def loadDigests(name: String, s: SplitInfo): Option[Map[String, TermDigest]] =
     s.digest.flatMap { md5 =>
       val key = s"$catalogRoot#$name#${s.id}#$md5"
-      Option(Catalog.digestCache.get(key)).orElse {
+      val cached = Option(Catalog.digestCache.get(key))
+      if (cached.isDefined) Catalog.digestHits.incrementAndGet()
+      else Catalog.digestMisses.incrementAndGet()
+      cached.orElse {
         val loaded =
           try {
             val p = new HPath(splitDir(name, s.id), TermDigest.SidecarName)

@@ -1553,11 +1553,17 @@ object PipelineQueries {
     * per-dim values, exactly the kc3 relation the unrolled oracles
     * re-derive. ONE definition shared by every trained-quantizer
     * serving composition. */
-  private def trainedCentroids(s: SparkSession, dir: String): DataFrame = {
+  private def trainedCentroids(s: SparkSession, dir: String): DataFrame =
+    trainedCentroidsK(s, dir, seedK = 16L)
+
+  /** [[trainedCentroids]] generalized over the seed-cell count — the
+    * nlist lever the √n-scaled tier sizes from a census. */
+  private def trainedCentroidsK(s: SparkSession, dir: String,
+      seedK: Long): DataFrame = {
     val e = corpus(s, dir)
     Ann.kmeansTrain(
         e.select(col("vid"), col("v")),
-        e.where(col("vid") < 16).select(col("vid").as("cid"), col("v").as("cv")),
+        e.where(col("vid") < seedK).select(col("vid").as("cid"), col("v").as("cv")),
         iterations = 3)
       .where(col("iter") === 3)
       .groupBy(col("cell"))
@@ -1595,8 +1601,38 @@ object PipelineQueries {
       trainedCentroids(s, dir), nProbe = 2, numSubspaces = 4, k = 5)
       .orderBy(col("qid"), col("rank"))
 
+  /** Recall@5 of the √n-SCALED trained IVF tier against exact brute
+    * force — [[knn_recall]]'s curve with the sizing rule that survives a
+    * scale-up: nlist = ceil(√n) seed cells (3 k-means rounds) and
+    * nProbe = ceil(√nlist), BOTH derived from one corpus census inside
+    * the query, so the same gate text measures at any sf. Motivated by
+    * the r10 measurement that the fixed 16-cell/2-probe tier dilutes
+    * 32% → 14% recall across sf0.01 → sf0.1 — this tier's per-probe
+    * candidate count stays ~n/√n·√√n ≈ √n-ish, the classic IVF scaling,
+    * and its recall holds (recorded in SURVEY §11 round 10). */
+  val knn_recall_scaled: Q = (s, dir) => {
+    val e = corpus(s, dir)
+    val n = e.count()
+    val nlist = math.ceil(math.sqrt(n.toDouble)).toLong
+    val nProbe = math.ceil(math.sqrt(nlist.toDouble)).toInt
+    val queries =
+      e.where(col("vid") < 20).select(col("vid").as("qid"), col("v").as("qv"))
+    val exact = Ann.brute(queries, e.select(col("vid"), col("v")), k = 5)
+      .select(col("qid"), col("neighbor"))
+    val approx = Ann.ivf(queries, e.select(col("vid"), col("v")),
+        trainedCentroidsK(s, dir, nlist), nProbe = nProbe, k = 5)
+      .select(col("qid"), col("neighbor"))
+    val inter = exact.join(approx, Seq("qid", "neighbor"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+    e.where(col("vid") < 20).select(col("vid").as("qid"))
+      .join(inter, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"))
+      .orderBy(col("qid"))
+  }
+
   val all: Map[String, Q] = Map(
     "pipe_decontaminate" -> pipe_decontaminate,
+    "knn_recall_scaled" -> knn_recall_scaled,
     "pipe_kmeans_step" -> pipe_kmeans_step,
     "pipe_kmeans_train" -> pipe_kmeans_train,
     "knn_ivf_trained" -> knn_ivf_trained,
@@ -3115,6 +3151,52 @@ object PipelineQueries {
          |    SELECT qid, neighbor,
          |      row_number() OVER (PARTITION BY qid ORDER BY adist ASC, neighbor ASC) AS rank
          |    FROM adc) WHERE rank <= 5),
+         |$bruteTop5Cte,
+         |inter AS (
+         |  SELECT exact.qid, count(*) AS hits
+         |  FROM exact JOIN approx ON approx.qid = exact.qid
+         |    AND approx.neighbor = exact.neighbor
+         |  GROUP BY exact.qid)
+         |SELECT q.vec_id AS qid, CAST(coalesce(i.hits, 0) AS BIGINT) AS hits
+         |FROM embeddings q LEFT JOIN inter i ON i.qid = q.vec_id
+         |WHERE q.vec_id < 20
+         |ORDER BY qid""".stripMargin,
+    // the √n-scaled trained tier: nlist and nProbe both derive from the
+    // census CTE, then the SAME unrolled k-means chain (kc0 is just a
+    // different seed cut) and knn_ivf_trained's serving shape
+    "knn_recall_scaled" ->
+      s"""WITH sz AS (
+         |  SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS nlist,
+         |    CAST(ceil(sqrt(ceil(sqrt(count(*))))) AS BIGINT) AS nprobe
+         |  FROM embeddings),
+         |kc0 AS (
+         |  SELECT vec_id AS cid, embedding AS cv FROM embeddings, sz
+         |  WHERE vec_id < sz.nlist),
+         |${kmeansIterSql(1)},
+         |${kmeansIterSql(2)},
+         |${kmeansIterSql(3)},
+         |asgT AS (
+         |  SELECT vec_id, embedding, cid AS cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cid ASC) AS crn
+         |    FROM embeddings e CROSS JOIN kc3 c)
+         |  WHERE crn = 1),
+         |probesT AS (
+         |  SELECT qid, qv, cell FROM (
+         |    SELECT e.vec_id AS qid, e.embedding AS qv, c.cid AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cid ASC) AS crn
+         |    FROM embeddings e CROSS JOIN kc3 c WHERE e.vec_id < 20)
+         |  WHERE crn <= (SELECT nprobe FROM sz)),
+         |approx AS (
+         |  SELECT qid, neighbor FROM (
+         |    SELECT p.qid, a.vec_id AS neighbor,
+         |      row_number() OVER (PARTITION BY p.qid
+         |        ORDER BY list_cosine_similarity(p.qv, a.embedding) DESC, a.vec_id ASC) AS rank
+         |    FROM probesT p JOIN asgT a ON a.cell = p.cell
+         |    WHERE a.vec_id <> p.qid)
+         |  WHERE rank <= 5),
          |$bruteTop5Cte,
          |inter AS (
          |  SELECT exact.qid, count(*) AS hits

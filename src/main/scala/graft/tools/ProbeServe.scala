@@ -112,6 +112,12 @@ object ProbeServe {
         f"opened=$opened%4d matches=$cnt%4d p50(search)=$pSearch%7.1f ms " +
         f"p50(count)=$pCount%7.1f ms")
     }
+    // the warm-serving economics: after first touch, every digest probe
+    // should hit the process cache (misses ≈ nSplits = the one-time
+    // sidecar fetch per split; everything above that is refetch)
+    val (dh, dm, dn) = Catalog.digestCacheStats
+    println(f"[probe] digest cache: $dh%d hits / $dm%d misses " +
+      f"(${100.0 * dh / math.max(1, dh + dm)}%.1f%% hit rate), $dn%d resident")
     spark.stop()
   }
 }

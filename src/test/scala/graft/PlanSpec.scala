@@ -361,6 +361,7 @@ class PlanSpec extends AnyFunSuite {
     val declared: Map[String, String] = Map(
       "knn_brute" -> "labeled exact O(Q*N) baseline (Ann.scaladoc)",
       "knn_recall" -> "composes knn_brute as its ground truth",
+      "knn_recall_scaled" -> "composes knn_brute truth + sqrt(n) centroid assignment",
       "pipe_kmeans_step" -> "corpus x k broadcast centroid assignment",
       "knn_cell" -> "centroid assignment, k-bounded broadcast side",
       "knn_ivf" -> "centroid assignment + nprobe cut, broadcast side",
