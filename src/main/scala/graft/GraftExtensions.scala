@@ -125,6 +125,9 @@ object GraftExtensions {
     ("bpe_encode",
       "bpe_encode(word, merges) - greedy BPE pieces under a constant merge table ('a b' pair strings, rank = position)",
       exprs => BpeEncode(exprs.head, stringsArg(exprs(1), "merges"))),
+    ("byte_remap",
+      "byte_remap(str) - GPT-2 byte-to-unicode remap: codepoints of the result are the input's UTF-8 bytes (space -> 'Ġ'); compose with bpe_encode for byte-level BPE",
+      exprs => ByteRemap(exprs.head)),
     ("unigram_encode",
       "unigram_encode(word, pieces, costs, max_piece_len) - Viterbi-best unigram-LM segmentation under a constant (pieces, quantized costs) vocabulary",
       exprs => {

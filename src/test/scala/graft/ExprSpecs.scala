@@ -418,5 +418,12 @@ class ArrayMatchSpec extends AnyFunSuite {
     val e = intercept[Exception](spark.sql(
       "SELECT unigram_encode('a', array(CAST(rand() AS STRING)), array(1L), 4)").collect())
     assert(e.getMessage.contains("constant"), e.getMessage)
+    // byte_remap composes with bpe_encode into byte-level BPE in pure SQL
+    val b = spark.sql(
+      """SELECT byte_remap(' café') AS br,
+        |  bpe_encode(byte_remap(' low'), array('Ġ l', 'o w', 'Ġl ow')) AS bl
+        |""".stripMargin).collect()(0)
+    assert(b.getString(0) == "ĠcafÃ©", b.getString(0))
+    assert(b.getSeq[String](1) == Seq("Ġlow"), b.getSeq[String](1))
   }
 }
