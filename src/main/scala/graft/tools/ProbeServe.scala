@@ -37,6 +37,18 @@ import graft.query.QueryParser
   * latency is flat in total split count — the manifest prune runs on
   * driver-held stats and never touches object storage for losers (term
   * digests ride the manifest dir, fetched once and memoized).
+  *
+  * Measured (local[32], 10,000 splits, 2026-08-14 run — the 10× rerun):
+  *  - build: 10,000 splits + 1 manifest commit in 223.9 s
+  *  - dict  `tenant:t5000`:      1/10000 survive, 1 file;  p50 92.1 ms
+  *  - zone  `n:[2500 TO 2519]`: 20/10000 survive, 20 files; p50 110.5 ms
+  *  - bloom `msg:uniqtoken5000`: 1/10000 survive, 1 file;  p50 97.1 ms
+  *  - match-all `*`:        10000/10000, 10000 files; p50 13.0 s (the
+  *    unprunable floor is linear in split count, by construction)
+  *  - digest cache: 490,025 hits / 10,000 misses = 98.0% hit rate,
+  *    10,000 resident — EXACTLY one miss per split (the first-touch
+  *    sidecar fetch), zero refetch; selective p50s are FLAT 1k → 10k
+  *    (92–110 ms vs 93–171 ms), confirming prune cost stays driver-side.
   */
 object ProbeServe {
   private val configYaml =
