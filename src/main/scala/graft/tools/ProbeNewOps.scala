@@ -44,6 +44,11 @@ import org.apache.spark.sql.functions._
   *    build combiner-side; the model joins' fan-out is per-gram
   *    DOCUMENT frequency (doc side pre-aggregated to trigram types),
   *    scale-constant under disjoint replica vocabularies.
+  *  - pipe_bpe_bytes (round 10) 0.63 s → 0.63 s (~1× for 10×) — the
+  *    byte-level lifecycle inherits Bpe.train's scale argument: one
+  *    corpus collapse to the pre-token frequency table, then
+  *    vocabulary-sized rounds; the regex pre-tokenizer and byte remap
+  *    are map-only.
   * None exhibits the super-linear blowup the probe exists to catch
   * (candidate joins, per-row windows, hot-key concentration).
   */
@@ -86,7 +91,8 @@ object ProbeNewOps {
       // of the gate itself
       for (q <- Seq("text_span_scrub", "text_tfidf_top", "pipe_unigram_seg",
           "pipe_unigram_counts", "pipe_unigram_train", "pipe_domain_quota",
-          "pipe_hybrid_rrf", "pipe_bloom_decontaminate", "pipe_lm_trigram")) {
+          "pipe_hybrid_rrf", "pipe_bloom_decontaminate", "pipe_lm_trigram",
+          "pipe_bpe_bytes")) {
         val run = graft.queries.PipelineQueries.all(q)
         run(spark, tmp).count() // warm: codegen + parquet footers
         time(s"x$k $q")(run(spark, tmp).count(): Unit)
