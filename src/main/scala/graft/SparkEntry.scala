@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{PipelineQueries, RelationalQueries, SearchQueries}
+import graft.queries.{PipelineQueries, RelationalQueries, SearchQueries, SketchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -28,10 +28,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.all ++ SearchQueries.all ++ PipelineQueries.all
+    RelationalQueries.all ++ SearchQueries.all ++ PipelineQueries.all ++
+      SketchQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ SearchQueries.oracles ++ PipelineQueries.oracles
+    RelationalQueries.oracles ++ SearchQueries.oracles ++
+      PipelineQueries.oracles ++ SketchQueries.oracles
 }

@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable cardinality / frequency sketches with engine-portable
+  * determinism — the sketch tier a 100 TB pipeline reports from when exact
+  * `COUNT(DISTINCT)` / full frequency tables stop being affordable.
+  *
+  * Both sketches here are built from the repo's md5-derived 60-bit hash
+  * ([[Hashing.h64]]) and pure integer arithmetic, so a DuckDB oracle
+  * reproduces every register and counter bit-for-bit. That is deliberately
+  * NOT how `approx_count_distinct` works: Spark's HLL++ register layout
+  * (and DuckDB's) is engine-private, so the built-in sketch can never be
+  * oracle-gated. The register CONSTRUCTION below is the textbook HLL of
+  * Flajolet et al. 2007 with one portable twist — `rho` is computed as
+  * `53 - length(bin(remainder))` (both engines print binary without
+  * leading zeros), and the harmonic sum is kept in exact integers by
+  * scaling each `2^-M[j]` term to `2^(53-M[j])`: with m=256 registers the
+  * scaled sum is ≤ 2^61, inside BIGINT, so the only float op is the final
+  * one-division estimate (identical operands in both engines).
+  *
+  * Scale shape: registers are a `groupBy(group, bucket).agg(max(rho))` —
+  * partial-aggregated map-side, shuffling at most `groups × 256` rows no
+  * matter the corpus; counters in the count-min sketch are
+  * `groupBy(depth, col).agg(sum(cnt))` over a `depth × width` grid that is
+  * constant-size regardless of input. Both merge by the same aggregates
+  * (max for registers, sum for counters), which is what makes them
+  * sketches: per-split partial sketches combine without revisiting data
+  * (pinned in SketchSpec's merge tests).
+  */
+object Sketch {
+
+  /** Register count m = 2^8. Standard error 1.04/√256 ≈ 6.5%. */
+  val HllBuckets = 256
+
+  /** h64 yields 60 bits; the top 8 select the bucket, the low 52 feed the
+    * leading-zero count, so rho ∈ [1, 53]. */
+  private val RemBits = 52
+  private val RemMod = 1L << RemBits // 4503599627370496
+
+  /** alpha_m · m² · 2^53 — the whole numerator of the raw HLL estimate as
+    * one double constant, so the estimate is a single float division with
+    * identical operands in both engines. */
+  val HllNumerator: Double =
+    0.7213 / (1.0 + 1.079 / HllBuckets) * HllBuckets.toDouble *
+      HllBuckets.toDouble * 9007199254740992.0
+
+  /** HLL register table `(group, bucket, m)` for the hashed key column:
+    * bucket = top 8 hash bits, m = max over keys of (leading zeros of the
+    * 52-bit remainder) + 1. Only observed buckets appear (missing bucket ≡
+    * register 0); [[hllReport]] accounts for the absent ones exactly. */
+  def hllRegisters(df: DataFrame, group: Column, key: Column): DataFrame =
+    df.select(group.as("grp"), Hashing.h64(key).as("h"))
+      .select(col("grp"),
+        expr(s"CAST(h DIV $RemMod AS BIGINT)").as("bucket"),
+        (col("h") % RemMod).as("r"))
+      .select(col("grp"), col("bucket"),
+        when(col("r") === 0, lit(53L))
+          .otherwise(lit(53L) - length(bin(col("r")))).as("rho"))
+      .groupBy(col("grp"), col("bucket"))
+      .agg(max(col("rho")).as("m"))
+
+  /** Raw HLL estimate per group from a register table: the scaled harmonic
+    * sum S = (256 - observed)·2^53 + Σ 2^(53-M[j]) in exact BIGINTs, then
+    * est = ⌊numerator / S⌋ — one double division. `v_empty` (the
+    * linear-counting trigger in a full production estimator) is reported
+    * rather than acted on: linear counting needs `ln`, whose last-ulp
+    * behavior is libm-specific, so the raw estimate is the oracle-gated
+    * value and the correction stays a documented consumer-side step. */
+  def hllEstimate(regs: DataFrame): DataFrame =
+    regs.groupBy(col("grp"))
+      .agg(count(lit(1)).as("observed"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - m AS INT))"))
+          .cast("long").as("s_obs"))
+      .select(col("grp"),
+        (lit(HllBuckets.toLong) - col("observed")).as("v_empty"),
+        floor(lit(HllNumerator) /
+          ((lit(HllBuckets.toLong) - col("observed")) * lit(RemMod * 2) +
+            col("s_obs")).cast("double")).cast("long").as("est_distinct"))
+
+  /** Count-min sketch counters `(d, c, cell)` over a pre-aggregated
+    * frequency table `(key, cnt)`: depth rows each hash the key with a
+    * distinct salt, cells sum the counts that land on them. The grid is
+    * `depth × width` rows total — constant in corpus size — and additive
+    * under union, so per-split grids merge by `sum(cell)`. */
+  def cmsCounters(freq: DataFrame, key: Column, cnt: Column,
+      depth: Int, width: Int): DataFrame =
+    freq.select(key.as("k"), cnt.as("cnt"))
+      .select(col("k"), col("cnt"),
+        explode(array((0 until depth).map(lit): _*)).as("d"))
+      .select(col("d"),
+        (Hashing.h64(concat_ws("_", col("d"), col("k"))) % width).as("c"),
+        col("cnt"))
+      .groupBy(col("d"), col("c"))
+      .agg(sum(col("cnt")).cast("long").as("cell"))
+
+  /** Point-query the sketch for a set of probe keys: est(k) = min over
+    * depths of the counter each salt hashes k into. Estimates never
+    * undercount; collisions only inflate, and the min across independent
+    * salts bounds the inflation (the Cormode–Muthukrishnan guarantee). */
+  def cmsEstimate(counters: DataFrame, probes: DataFrame, key: Column,
+      depth: Int, width: Int): DataFrame =
+    probes.select(key.as("k"))
+      .select(col("k"), explode(array((0 until depth).map(lit): _*)).as("d"))
+      .select(col("k"), col("d"),
+        (Hashing.h64(concat_ws("_", col("d"), col("k"))) % width).as("c"))
+      .join(counters, Seq("d", "c"))
+      .groupBy(col("k"))
+      .agg(min(col("cell")).as("est_cnt"))
+}

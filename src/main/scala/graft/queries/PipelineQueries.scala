@@ -1721,11 +1721,11 @@ object PipelineQueries {
     * lookaround-extract form; length in chars on both sides) over an
     * arbitrary column — `toksSql` is the `text`-column instance every
     * whole-document oracle uses. */
-  private def toksSqlOf(c: String) =
+  private[queries] def toksSqlOf(c: String) =
     raw"""list_filter(regexp_split_to_array(lower($c), '[^\p{L}\p{N}]+'),
          |        t -> t <> '' AND length(t) <= 40)""".stripMargin
 
-  private val toksSql = toksSqlOf("text")
+  private[queries] val toksSql = toksSqlOf("text")
 
   /** Trigram stupid-backoff oracle chain — restates
     * [[graft.ops.LangModel.trigramNll]]'s three count tables and the

@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Graft.table
+import graft.functions.TextFunctions.tokenizeDefault
+import graft.ops.Sketch
+
+/** The sketch tier: approximate distinct counting and frequency estimation
+  * whose state is constant-size and mergeable — what a 100 TB datasheet
+  * pass actually runs when exact `COUNT(DISTINCT)` (a full shuffle of every
+  * key) and exact frequency tables (vocabulary-sized state) stop being
+  * affordable per split. Both gates REPORT the sketch error against the
+  * exact answer on the same fixture — measured, not assumed, in the same
+  * spirit as the dedup/ANN recall gates.
+  *
+  * Determinism: registers and counters derive from [[graft.ops.Hashing.h64]]
+  * md5 prefixes and pure integer arithmetic (see [[graft.ops.Sketch]]), so
+  * the DuckDB oracles reproduce every register, counter, and estimate
+  * bit-for-bit — unlike the engine-private layouts behind
+  * `approx_count_distinct`.
+  */
+object SketchQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Deterministic HyperLogLog distinct-order estimate per lineitem return
+    * flag plus a merged `__all__` row — the merge is `max(m)` over the
+    * SAME per-group register tables (the sketch property: partial sketches
+    * combine without revisiting rows). Output reports the raw estimate,
+    * the exact distinct count, and the error in ppm. At sf0.01 the groups
+    * hold ~11k distinct orders against m=256 registers (standard error
+    * 1.04/√256 ≈ 6.5%). Scale shape: one `(grp, bucket)` max-aggregate
+    * shuffling ≤ groups×256 rows; the exact tier alongside it is the
+    * expensive truth baseline the sketch replaces at scale. */
+  val sketch_hll: Q = (s, dir) => {
+    val li = table(s, dir, "lineitem")
+    val keyed = li.select(col("l_returnflag").as("grp"),
+      col("l_orderkey").cast("string").as("k"))
+    val regs = Sketch.hllRegisters(keyed, col("grp"), col("k"))
+      .localCheckpoint(eager = false) // two consumers: per-group + merged
+    val merged = regs.groupBy(col("bucket")).agg(max(col("m")).as("m"))
+      .select(lit("__all__").as("grp"), col("bucket"), col("m"))
+    val est = Sketch.hllEstimate(regs.unionByName(merged))
+    val exact = li.groupBy(col("l_returnflag").as("grp"))
+      .agg(countDistinct(col("l_orderkey")).as("exact_distinct"))
+      .unionByName(li.agg(countDistinct(col("l_orderkey")).as("exact_distinct"))
+        .select(lit("__all__").as("grp"), col("exact_distinct")))
+    est.join(exact, "grp")
+      .select(col("grp"), col("v_empty"), col("est_distinct"),
+        col("exact_distinct"),
+        expr("CAST(abs(est_distinct - exact_distinct) * 1000000" +
+          " DIV exact_distinct AS BIGINT)").as("err_ppm"))
+      .orderBy(col("grp"))
+  }
+
+  private val CmsDepth = 4
+  private val CmsWidth = 256
+
+  /** Count-min heavy hitters over document token bigrams (916 distinct
+    * keys at sf0.01 into a 4×256 grid — ~3.6 keys/cell, so collisions are
+    * real and the min-over-salts correction is exercised): build the
+    * constant-size counter grid, point-query it for the top-20 true
+    * bigrams, and report estimated vs exact counts with the overcount
+    * (CMS never undercounts). Scale shape: the bigram build is a map-only
+    * HOF transform; the grid aggregate shuffles ≤ depth×width rows after
+    * map-side partials regardless of corpus size; the exact tf table here
+    * is the truth baseline the sketch replaces at scale. */
+  val sketch_cms_topk: Q = (s, dir) => {
+    val bg = table(s, dir, "documents")
+      .select(tokenizeDefault(col("text")).as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 2)," +
+          " i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"))
+        .as("bg"))
+    // tf feeds three consumers (grid, top-k, truth join) → snapshot once,
+    // per the module self-join rule.
+    val tf = bg.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false)
+    val counters = Sketch.cmsCounters(tf, col("bg"), col("cnt"),
+      CmsDepth, CmsWidth)
+    val top = tf.orderBy(col("cnt").desc, col("bg")).limit(20)
+    val est = Sketch.cmsEstimate(counters, top, col("bg"), CmsDepth, CmsWidth)
+    top.join(est, top("bg") === est("k"))
+      .select(col("bg").as("key"), col("cnt").as("true_cnt"), col("est_cnt"),
+        (col("est_cnt") - col("cnt")).as("overcount"))
+      .orderBy(col("true_cnt").desc, col("key"))
+  }
+
+  val all: Map[String, Q] = Map(
+    "sketch_hll" -> sketch_hll,
+    "sketch_cms_topk" -> sketch_cms_topk
+  )
+
+  private val hllNumerSql = Sketch.HllNumerator.toString
+
+  val oracles: Map[String, String] = Map(
+    "sketch_hll" ->
+      s"""WITH k AS (
+         |  SELECT l_returnflag AS grp,
+         |    CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |  FROM lineitem),
+         |b AS (SELECT grp, h // 4503599627370496 AS bucket,
+         |             h % 4503599627370496 AS r FROM k),
+         |regs AS (
+         |  SELECT grp, bucket,
+         |    max(CASE WHEN r = 0 THEN 53 ELSE 53 - length(bin(r)) END) AS m
+         |  FROM b GROUP BY grp, bucket),
+         |allregs AS (
+         |  SELECT grp, bucket, m FROM regs
+         |  UNION ALL
+         |  SELECT '__all__' AS grp, bucket, max(m) AS m FROM regs GROUP BY bucket),
+         |est AS (
+         |  SELECT grp, 256 - count(*) AS v_empty,
+         |    CAST(floor($hllNumerSql / CAST(
+         |      (256 - count(*)) * 9007199254740992 +
+         |      CAST(sum(1::BIGINT << CAST(53 - m AS INT)) AS BIGINT)
+         |    AS DOUBLE)) AS BIGINT) AS est_distinct
+         |  FROM allregs GROUP BY grp),
+         |ex AS (
+         |  SELECT l_returnflag AS grp, count(DISTINCT l_orderkey) AS exact_distinct
+         |  FROM lineitem GROUP BY 1
+         |  UNION ALL
+         |  SELECT '__all__', count(DISTINCT l_orderkey) FROM lineitem)
+         |SELECT est.grp, v_empty, est_distinct, exact_distinct,
+         |  CAST(abs(est_distinct - exact_distinct) * 1000000 // exact_distinct
+         |    AS BIGINT) AS err_ppm
+         |FROM est JOIN ex ON est.grp = ex.grp
+         |ORDER BY est.grp""".stripMargin,
+    "sketch_cms_topk" ->
+      s"""WITH t AS (SELECT ${PipelineQueries.toksSql} AS toks FROM documents),
+         |tf AS (
+         |  SELECT bg, count(*) AS cnt FROM (
+         |    SELECT unnest(list_transform(range(len(toks) - 1),
+         |      i -> toks[i+1] || ' ' || toks[i+2])) AS bg
+         |    FROM t WHERE len(toks) >= 2) GROUP BY bg),
+         |counters AS (
+         |  SELECT d,
+         |    CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || '_' || k), 1, 15)) AS BIGINT)
+         |      % 256 AS c,
+         |    CAST(sum(cnt) AS BIGINT) AS cell
+         |  FROM (SELECT bg AS k, cnt, unnest([0, 1, 2, 3]) AS d FROM tf)
+         |  GROUP BY d, c),
+         |top AS (SELECT bg, cnt FROM tf ORDER BY cnt DESC, bg LIMIT 20),
+         |probes AS (
+         |  SELECT bg, d,
+         |    CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || '_' || bg), 1, 15)) AS BIGINT)
+         |      % 256 AS c
+         |  FROM (SELECT bg, unnest([0, 1, 2, 3]) AS d FROM top)),
+         |est AS (
+         |  SELECT bg, min(cell) AS est_cnt
+         |  FROM probes JOIN counters USING (d, c) GROUP BY bg)
+         |SELECT top.bg AS key, cnt AS true_cnt, est_cnt,
+         |  est_cnt - cnt AS overcount
+         |FROM top JOIN est ON top.bg = est.bg
+         |ORDER BY true_cnt DESC, key""".stripMargin
+  )
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Sketch
+import graft.queries.SketchQueries
+
+/** Gates for the sketch tier ([[graft.ops.Sketch]]): the merge laws that
+  * make a sketch a sketch (per-split partials combine without revisiting
+  * rows), the error guarantees the literature promises, and the
+  * determinism the oracle gate relies on. */
+class SketchSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def li = Graft.table(spark, sf, "lineitem")
+    .select(col("l_returnflag").as("grp"),
+      col("l_orderkey").cast("string").as("k"),
+      col("l_orderkey"))
+
+  test("HLL registers merge by max: two half-corpus sketches == whole-corpus sketch") {
+    val whole = Sketch.hllRegisters(li, col("grp"), col("k"))
+    val halves = Seq(0, 1).map { p =>
+      Sketch.hllRegisters(li.where(pmod(col("l_orderkey"), lit(2)) === p),
+        col("grp"), col("k"))
+    }
+    val merged = halves.reduce(_ unionByName _)
+      .groupBy(col("grp"), col("bucket")).agg(max(col("m")).as("m"))
+    assert(whole.exceptAll(merged).isEmpty && merged.exceptAll(whole).isEmpty,
+      "register tables must be identical under split-then-merge")
+  }
+
+  test("HLL estimate lands within 3 standard errors of exact distinct per group") {
+    val rep = SketchQueries.sketch_hll(spark, sf).collect()
+    assert(rep.length == 4) // A, N, R, __all__
+    val sigma3 = 3.0 * 1.04 / math.sqrt(Sketch.HllBuckets)
+    rep.foreach { r =>
+      val est = r.getAs[Long]("est_distinct").toDouble
+      val exact = r.getAs[Long]("exact_distinct").toDouble
+      assert(math.abs(est - exact) / exact < sigma3,
+        s"grp=${r.getString(0)}: est $est vs exact $exact beyond 3 sigma")
+    }
+  }
+
+  test("CMS counters merge by sum and never undercount any key") {
+    import spark.implicits._
+    val tf = Seq(("aa", 10L), ("bb", 7L), ("cc", 5L), ("dd", 1L)).toDF("k", "cnt")
+    val d = 4; val w = 8 // tiny grid => forced collisions
+    val whole = Sketch.cmsCounters(tf, col("k"), col("cnt"), d, w)
+    val halves = Seq(tf.limit(2), tf.exceptAll(tf.limit(2)))
+      .map(Sketch.cmsCounters(_, col("k"), col("cnt"), d, w))
+    val merged = halves.reduce(_ unionByName _)
+      .groupBy(col("d"), col("c")).agg(sum(col("cell")).as("cell"))
+    assert(whole.exceptAll(merged).isEmpty && merged.exceptAll(whole).isEmpty,
+      "counter grids must be additive under split-then-merge")
+    val est = Sketch.cmsEstimate(whole, tf, col("k"), d, w)
+      .withColumnRenamed("k", "probe_k")
+      .join(tf, col("probe_k") === tf("k")).select(col("est_cnt"), col("cnt"))
+      .collect()
+    est.foreach(r => assert(r.getLong(0) >= r.getLong(1),
+      "CMS point estimates must never undercount"))
+  }
+
+  test("sketch_cms_topk estimates bound true counts and respect the epsilon guarantee") {
+    val rows = SketchQueries.sketch_cms_topk(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val totalMass = rows.map(_.getAs[Long]("true_cnt")).sum // lower bound on N
+    rows.foreach { r =>
+      assert(r.getAs[Long]("overcount") >= 0L, "CMS never undercounts")
+    }
+    // e/w * N with N >= the top-20 mass; the real N is larger, so this is
+    // a loose sanity ceiling rather than the tight guarantee
+    val grid = rows.map(_.getAs[Long]("est_cnt")).max
+    assert(grid < totalMass * 10, s"estimates implausibly large: $grid")
+  }
+
+  test("HLL register construction is deterministic across runs") {
+    val a = SketchQueries.sketch_hll(spark, sf).collect().toSeq
+    val b = SketchQueries.sketch_hll(spark, sf).collect().toSeq
+    assert(a == b)
+  }
+}
