@@ -179,6 +179,33 @@ object Ann {
     out.toSeq.toDF("iter", "cell", "d", "cq")
   }
 
+  /** Cluster-balanced subsample — the diversity-selection pass that caps
+    * every cluster's share of the kept set, so over-represented regions
+    * of embedding space (boilerplate, templates, near-dup families that
+    * survived dedup) don't dominate a training mix. Assign each vector
+    * to its nearest centroid cell (ties by cid — [[ivf]]'s rule), then
+    * keep at most `quota` per cell by md5-hash rank: hash, not `rand()`,
+    * so the selection is reproducible across runs, engines, and resumes
+    * (the [[Mixture.domainQuota]] discipline on learned cells instead of
+    * URL domains).
+    *
+    * Scale shape: one broadcast-centroid assignment pass (narrow) plus
+    * one cell-keyed window whose per-cell state is the rank counter only;
+    * nothing is corpus-global. corpus: (vid, v); centroids: (cid, cv).
+    * Output: (vid, cell, rk) for kept vectors, rk 1..quota. */
+  def clusterBalance(corpus: DataFrame, centroids: DataFrame,
+      quota: Long): DataFrame = {
+    val asg = cellAssign(corpus, broadcast(centroids), "vid", "v",
+      maxRank = 1, carry = Nil)
+    val w = Window.partitionBy(col("cell")).orderBy(col("h"), col("vid"))
+    asg
+      .withColumn("h",
+        Hashing.h64(concat(lit("cbal:"), col("vid").cast("string"))))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= quota)
+      .select(col("vid"), col("cell"), col("rk"))
+  }
+
   /** (vid, v float, qv8): the corpus with its int8 quantization, stats
     * collected once (the BM25 broadcast pattern) — shared by [[sq8]] and
     * [[sq8Ivf]]. */

@@ -1630,9 +1630,26 @@ object PipelineQueries {
       .orderBy(col("qid"))
   }
 
+  /** Cluster-balanced sampling over the TRAINED k-means cells
+    * ([[graft.ops.Ann.clusterBalance]]): cap each learned cluster at 24
+    * kept vectors by md5-hash rank — the diversity-selection pass (cap a
+    * cluster's share so dense embedding-space regions don't dominate the
+    * mix), the [[pipe_domain_quota]] rule applied to learned cells
+    * instead of URL domains. At sf0.01 the 500-vector corpus averages
+    * ~31 per cell, so hot cells are genuinely cut. The oracle replays
+    * k-means training end-to-end (the kc0→kc3 unroll), then the
+    * assignment and the hash-rank window. */
+  val pipe_cluster_balance: Q = (s, dir) => {
+    val e = corpus(s, dir)
+    Ann.clusterBalance(e.select(col("vid"), col("v")),
+        trainedCentroids(s, dir), quota = 24)
+      .orderBy(col("cell"), col("rk"))
+  }
+
   val all: Map[String, Q] = Map(
     "pipe_decontaminate" -> pipe_decontaminate,
     "knn_recall_scaled" -> knn_recall_scaled,
+    "pipe_cluster_balance" -> pipe_cluster_balance,
     "pipe_kmeans_step" -> pipe_kmeans_step,
     "pipe_kmeans_train" -> pipe_kmeans_train,
     "knn_ivf_trained" -> knn_ivf_trained,
@@ -2543,6 +2560,28 @@ object PipelineQueries {
          |  WHERE a.vec_id <> p.qid)
          |SELECT qid, rank, neighbor FROM cand WHERE rank <= 5
          |ORDER BY qid, rank""".stripMargin,
+    "pipe_cluster_balance" ->
+      s"""WITH kc0 AS (
+         |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+         |${kmeansIterSql(1)},
+         |${kmeansIterSql(2)},
+         |${kmeansIterSql(3)},
+         |asgT AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cid ASC) AS crn
+         |    FROM embeddings e CROSS JOIN kc3 c)
+         |  WHERE crn = 1),
+         |rk AS (
+         |  SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY cell ORDER BY h, vec_id) AS rk
+         |  FROM (
+         |    SELECT vec_id, cell,
+         |      CAST(('0x' || substr(md5('cbal:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |    FROM asgT))
+         |SELECT vec_id AS vid, cell, rk FROM rk WHERE rk <= 24
+         |ORDER BY cell, rk""".stripMargin,
     // native percentile_disc on the oracle side vs the exact histogram
     // restatement on the Spark side — the tercile boundary definition is
     // what's being gated

@@ -1170,4 +1170,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(2L)._1 == spec(digits) && !out(2L)._2, "digit gibberish fails")
     assert(out(3L)._1 == spec(null) && !out(3L)._2, "null text scores as empty")
   }
+  test("clusterBalance caps every cell at the quota and keeps a prefix of hash ranks") {
+    import spark.implicits._
+    val e = Graft.table(spark, sf, "embeddings")
+      .select(col("vec_id").as("vid"), col("embedding").as("v"))
+    val cents = e.where(col("vid") < 4).select(col("vid").as("cid"), col("v").as("cv"))
+    val kept = graft.ops.Ann.clusterBalance(e, cents, quota = 40).collect()
+    assert(kept.nonEmpty)
+    val perCell = kept.groupBy(_.getAs[Long]("cell")).view.mapValues(_.length).toMap
+    assert(perCell.values.forall(_ <= 40), s"cell over quota: $perCell")
+    assert(perCell.values.exists(_ == 40),
+      "with 500 vectors in 4 cells at quota 40, some cell must be cut")
+    // ranks are a contiguous 1..n prefix per cell
+    kept.groupBy(_.getAs[Long]("cell")).foreach { case (_, rows) =>
+      val rks = rows.map(_.getAs[Int]("rk")).sorted
+      assert(rks.toSeq == (1 to rks.length).toSeq)
+    }
+  }
 }

@@ -366,6 +366,7 @@ class PlanSpec extends AnyFunSuite {
       "knn_cell" -> "centroid assignment, k-bounded broadcast side",
       "knn_ivf" -> "centroid assignment + nprobe cut, broadcast side",
       "knn_ivf_trained" -> "centroid assignment + nprobe cut over trained centroids",
+      "pipe_cluster_balance" -> "centroid assignment over trained centroids (quota cut is cell-keyed)",
       "knn_ivfpq_trained" -> "centroid assignment + ADC ranking over trained centroids",
       "knn_sq8" -> "broadcast query side over int8 codes",
       "knn_sq8_ivf" -> "centroid assignment + int8 ranking",
