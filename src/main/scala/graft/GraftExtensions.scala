@@ -128,6 +128,9 @@ object GraftExtensions {
     ("byte_remap",
       "byte_remap(str) - GPT-2 byte-to-unicode remap: codepoints of the result are the input's UTF-8 bytes (space -> 'Ġ'); compose with bpe_encode for byte-level BPE",
       exprs => ByteRemap(exprs.head)),
+    ("wordpiece_encode",
+      "wordpiece_encode(word, vocab) - greedy longest-match-first WordPiece pieces ('##' continuation, whole word -> '[UNK]' on any miss) under a constant vocabulary",
+      exprs => WordPieceEncode(exprs.head, stringsArg(exprs(1), "vocab"))),
     ("unigram_encode",
       "unigram_encode(word, pieces, costs, max_piece_len) - Viterbi-best unigram-LM segmentation under a constant (pieces, quantized costs) vocabulary",
       exprs => {

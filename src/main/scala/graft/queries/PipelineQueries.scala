@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Graft.table
 import graft.functions.TextFunctions.tokenizeDefault
-import graft.ops.{Bpe, Dsir, LangModel}
+import graft.ops.{Bpe, Dsir, LangModel, Wordpiece}
 
 /** Large-scale training-data pipeline operators over `documents` and
   * `embeddings` — the north-star surface beyond the reference's own
@@ -1139,6 +1139,43 @@ object PipelineQueries {
       .orderBy(col("word"))
   }
 
+  /** The FULL WordPiece training loop at N=4
+    * ([[graft.ops.Wordpiece.train]]): each round counts symbols AND
+    * pairs over the current segmentation, merges the argmax of the
+    * likelihood-gain score `cnt·10^12 DIV (c_left·c_right)` (quantized
+    * integers, ties on pair text), repeats. Emits the full evidence per
+    * round — pair count, both component counts, quantized score — and
+    * the oracle replays all four rounds unrolled, so the score
+    * arithmetic and the `##`-stripping merge apply are both gated. */
+  val pipe_wordpiece_train: Q = (s, dir) =>
+    Wordpiece.train(
+      docs(s, dir).select(tokenizeDefault(col("text")).as("toks")),
+      col("toks"), iterations = 4)
+      .orderBy(col("iter"))
+
+  /** WordPiece INFERENCE under the trained vocabulary — greedy
+    * longest-match-first ([[graft.exprs.WordPieceEncode]]), which is NOT
+    * the training replay (longest match can segment differently than the
+    * merge sequence did), so the oracle implements longest-match
+    * independently: per-position best-match tables joined against the
+    * vocabulary, then a recursive walk that follows the longest piece at
+    * every step. Vocabulary = corpus alphabet (first + `##` forms) plus
+    * the four merge outputs. */
+  val pipe_wordpiece_train_apply: Q = (s, dir) => {
+    val (mt, words) = Wordpiece.trainWithVocab(
+      docs(s, dir).select(tokenizeDefault(col("text")).as("toks")),
+      col("toks"), iterations = 4)
+    val mergePairs = mt.orderBy(col("iter")).collect().map(_.getString(1)).toSeq
+    val vocab = Wordpiece.vocabFrom(Wordpiece.alphabet(words), mergePairs)
+    words
+      .select(col("w").as("word"), col("freq"),
+        Wordpiece.encode(col("w"), vocab).as("pieces"))
+      .select(col("word"), col("freq"),
+        concat_ws(" ", col("pieces")).as("enc"),
+        size(col("pieces")).cast("long").as("n_pieces"))
+      .orderBy(col("word"))
+  }
+
   /** BYTE-LEVEL BPE, trained and applied ([[graft.ops.Bpe.byteLevelToks]]
     * over the [[pipe_bpe_train_apply]] lifecycle): GPT-2-shape regex
     * pre-tokenization (words carry their leading space), every pre-token
@@ -1698,6 +1735,8 @@ object PipelineQueries {
     "pipe_bpe_bytes" -> pipe_bpe_bytes,
     "pipe_bpe_train" -> pipe_bpe_train,
     "pipe_bpe_train_apply" -> pipe_bpe_train_apply,
+    "pipe_wordpiece_train" -> pipe_wordpiece_train,
+    "pipe_wordpiece_train_apply" -> pipe_wordpiece_train_apply,
     "dedup_url" -> dedup_url,
     "pipe_temperature_sample" -> pipe_temperature_sample,
     "pipe_quality_logreg" -> pipe_quality_logreg,
@@ -2120,6 +2159,76 @@ object PipelineQueries {
        |${bpeTrainIterSql(1)},
        |${bpeTrainIterSql(2)},
        |${bpeTrainIterSql(3)}""".stripMargin
+
+  /** DuckDB rendition of ONE WordPiece training round over the previous
+    * round's segmentation `wenc{i-1}(w, freq, syms)`: symbol counts
+    * (`sc_i`), pair counts (`pc_i`), the argmax of the quantized
+    * likelihood-gain score `cnt·10^12 // (c_left·c_right)` in HUGEINT
+    * (≡ the Spark side's DECIMAL(38,0) widen, both cast back to BIGINT;
+    * ties on pair text), and the island-parity merge apply — the
+    * [[bpeTrainIterSql]] list machinery with the one WordPiece change:
+    * the merged symbol strips the right component's `##`. */
+  private def wpTrainIterSql(i: Int): String =
+    s"""sc$i AS (SELECT s, CAST(sum(freq) AS BIGINT) AS c FROM (
+       |    SELECT freq, unnest(syms) AS s FROM wenc${i - 1}) GROUP BY s),
+       |pc$i AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT freq,
+       |      unnest(list_transform(range(greatest(len(syms) - 1, 0)),
+       |        j -> syms[j + 1] || ' ' || syms[j + 2])) AS pair
+       |    FROM wenc${i - 1}) GROUP BY pair),
+       |wm$i AS (
+       |  SELECT pair, cnt, ca, cb, score_q FROM (
+       |    SELECT p.pair, p.cnt, a.c AS ca, b.c AS cb,
+       |      CAST(CAST(p.cnt AS HUGEINT) * 1000000000000 //
+       |           (CAST(a.c AS HUGEINT) * b.c) AS BIGINT) AS score_q
+       |    FROM pc$i p
+       |    JOIN sc$i a ON a.s = split_part(p.pair, ' ', 1)
+       |    JOIN sc$i b ON b.s = split_part(p.pair, ' ', 2))
+       |  ORDER BY score_q DESC, pair ASC LIMIT 1),
+       |wenc$i AS (
+       |  SELECT w, freq,
+       |    list_transform(
+       |      list_filter(range(len(syms)), j -> NOT list_contains(acts, j - 1)),
+       |      j -> CASE WHEN list_contains(acts, j)
+       |           THEN syms[j + 1] ||
+       |             (CASE WHEN syms[j + 2] LIKE '##%'
+       |              THEN substr(syms[j + 2], 3) ELSE syms[j + 2] END)
+       |           ELSE syms[j + 1] END) AS syms
+       |  FROM (
+       |    SELECT w, freq, syms,
+       |      list_transform(
+       |        list_filter(range(len(cs)),
+       |          k -> (k - (list_position(diffs, diffs[k + 1]) - 1)) % 2 = 0),
+       |        k -> cs[k + 1]) AS acts
+       |    FROM (
+       |      SELECT w, freq, syms, cs,
+       |        list_transform(range(len(cs)), k -> cs[k + 1] - k) AS diffs
+       |      FROM (
+       |        -- LEFT JOIN: a round with no candidate passes the
+       |        -- segmentation through unchanged (Bpe's early-stop rule)
+       |        SELECT e.w, e.freq, e.syms,
+       |          CASE WHEN m.pair IS NULL THEN CAST([] AS BIGINT[])
+       |          ELSE list_filter(range(len(e.syms) - 1),
+       |            j -> e.syms[j + 1] || ' ' || e.syms[j + 2] = m.pair)
+       |          END AS cs
+       |        FROM wenc${i - 1} e LEFT JOIN wm$i m ON TRUE))))""".stripMargin
+
+  /** The unrolled 4-round WordPiece training chain: `##`-prefixed char
+    * segmentation `wenc0` plus [[wpTrainIterSql]] rounds 1..4. */
+  private val wpTrainCtesSql =
+    s"""t AS (SELECT $toksSql AS toks FROM documents),
+       |wf AS (SELECT w, count(*) AS freq
+       |  FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+       |wenc0 AS (
+       |  SELECT w, freq,
+       |    list_transform(range(length(w)),
+       |      j -> CASE WHEN j = 0 THEN substr(w, 1, 1)
+       |           ELSE '##' || substr(w, j + 1, 1) END) AS syms
+       |  FROM wf),
+       |${wpTrainIterSql(1)},
+       |${wpTrainIterSql(2)},
+       |${wpTrainIterSql(3)},
+       |${wpTrainIterSql(4)}""".stripMargin
 
   /** DuckDB rendition of ONE k-means round against the previous round's
     * centroid table `kc{i-1}(cid, cv)`: cosine-argmax assignment
@@ -2683,6 +2792,67 @@ object PipelineQueries {
          |  array_to_string(syms, ' ') AS enc,
          |  CAST(len(syms) AS BIGINT) AS n_pieces
          |FROM enc3 ORDER BY word""".stripMargin,
+    "pipe_wordpiece_train" ->
+      s"""WITH $wpTrainCtesSql
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS iter, pair, cnt, ca, cb, score_q FROM wm1
+         |  UNION ALL SELECT 2, pair, cnt, ca, cb, score_q FROM wm2
+         |  UNION ALL SELECT 3, pair, cnt, ca, cb, score_q FROM wm3
+         |  UNION ALL SELECT 4, pair, cnt, ca, cb, score_q FROM wm4)
+         |ORDER BY iter""".stripMargin,
+    // WordPiece inference is longest-match-first, NOT merge replay — the
+    // oracle derives per-position best-match lengths against the final
+    // vocabulary, then a recursive walk follows the longest piece at
+    // each step; a position with no match fails the whole word to [UNK]
+    "pipe_wordpiece_train_apply" ->
+      s"""WITH RECURSIVE $wpTrainCtesSql,
+         |vocab AS (
+         |  SELECT DISTINCT s AS sym FROM (SELECT unnest(syms) AS s FROM wenc0)
+         |  UNION
+         |  SELECT split_part(pair, ' ', 1) ||
+         |    (CASE WHEN split_part(pair, ' ', 2) LIKE '##%'
+         |     THEN substr(split_part(pair, ' ', 2), 3)
+         |     ELSE split_part(pair, ' ', 2) END) AS sym
+         |  FROM (SELECT pair FROM wm1 UNION ALL SELECT pair FROM wm2
+         |        UNION ALL SELECT pair FROM wm3 UNION ALL SELECT pair FROM wm4)),
+         |bf AS (
+         |  SELECT w, max(length(sym)) AS cons
+         |  FROM wf JOIN vocab ON sym NOT LIKE '##%'
+         |    AND substr(w, 1, length(sym)) = sym
+         |  GROUP BY w),
+         |bc AS (
+         |  SELECT pos.w, pos.p, max(length(sym) - 2) AS cons
+         |  FROM (SELECT w, unnest(range(2, length(w) + 1)) AS p FROM wf) pos
+         |  JOIN vocab ON sym LIKE '##%' AND length(sym) > 2
+         |    AND substr(pos.w, CAST(pos.p AS INTEGER), length(sym) - 2) = substr(sym, 3)
+         |  GROUP BY pos.w, pos.p),
+         |walk AS (
+         |  SELECT w, CAST(1 AS BIGINT) AS p, CAST(0 AS BIGINT) AS np,
+         |    '' AS ps, FALSE AS failed
+         |  FROM wf
+         |  UNION ALL
+         |  SELECT w,
+         |    CASE WHEN cons = 0 THEN length(w) + 1 ELSE p + cons END AS p,
+         |    np + CASE WHEN cons = 0 THEN 0 ELSE 1 END AS np,
+         |    CASE WHEN cons = 0 THEN ps
+         |         WHEN ps = '' THEN piece
+         |         ELSE ps || ' ' || piece END AS ps,
+         |    failed OR cons = 0 AS failed
+         |  FROM (
+         |    SELECT wk.w, wk.p, wk.np, wk.ps, wk.failed,
+         |      coalesce(CASE WHEN wk.p = 1 THEN f.cons ELSE c.cons END, 0) AS cons,
+         |      CASE WHEN wk.p = 1 THEN substr(wk.w, 1, f.cons)
+         |           ELSE '##' || substr(wk.w, CAST(wk.p AS INTEGER), c.cons) END AS piece
+         |    FROM walk wk
+         |    LEFT JOIN bf f ON wk.p = 1 AND f.w = wk.w
+         |    LEFT JOIN bc c ON wk.p > 1 AND c.w = wk.w AND c.p = wk.p
+         |    WHERE wk.p <= length(wk.w) AND NOT wk.failed)),
+         |fin AS (SELECT w, np, ps, failed FROM walk WHERE p = length(w) + 1)
+         |SELECT wf.w AS word, CAST(wf.freq AS BIGINT) AS freq,
+         |  CASE WHEN f.failed THEN '[UNK]' ELSE f.ps END AS enc,
+         |  CAST(CASE WHEN f.failed THEN 1 ELSE f.np END AS BIGINT) AS n_pieces
+         |FROM wf JOIN fin f ON f.w = wf.w
+         |ORDER BY word""".stripMargin,
     // the byte-level lifecycle: synthesized multi-byte corpus → regex
     // pre-tokens → arithmetic byte remap → the SAME unrolled 3-round
     // chain; enc3's sequential segmentation gates the rank-greedy encode

@@ -426,4 +426,33 @@ class ArrayMatchSpec extends AnyFunSuite {
     assert(b.getString(0) == "ĠcafÃ©", b.getString(0))
     assert(b.getSeq[String](1) == Seq("Ġlow"), b.getSeq[String](1))
   }
+  test("WordPiece: longest-match encode, UNK semantics, replay parity, SQL face") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  wordpiece_encode('unable',
+        |    array('un', '##able', 'u', 'n', '##a', '##b', '##l', '##e')) AS a,
+        |  wordpiece_encode('able', array('un', '##able', 'able')) AS b,
+        |  wordpiece_encode('unfit', array('un', '##able', 'u', 'n')) AS c,
+        |  wordpiece_encode(repeat('a', 101), array('a', '##a')) AS d
+        |""".stripMargin).collect()(0)
+    // longest match beats char-by-char
+    assert(r.getSeq[String](0) == Seq("un", "##able"), r.getSeq[String](0))
+    assert(r.getSeq[String](1) == Seq("able"))
+    // '##f' absent: the WHOLE word becomes [UNK], not a partial encode
+    assert(r.getSeq[String](2) == Seq("[UNK]"))
+    // max_input_chars_per_word guard
+    assert(r.getSeq[String](3) == Seq("[UNK]"))
+    // training replay: rank-greedy with ##-stripping merges
+    import graft.exprs.exprs.{toColumn, toExpr}
+    import org.apache.spark.sql.functions.lit
+    val syms = spark.range(1).select(
+      toColumn(graft.exprs.WordPieceSyms(toExpr(lit("hello")),
+        Seq("h ##e", "##l ##l", "he ##ll"))).as("s"),
+      toColumn(graft.exprs.WordPieceSyms(toExpr(lit("baaaa")),
+        Seq("##a ##a"))).as("p")).collect()(0)
+    assert(syms.getSeq[String](0) == Seq("hell", "##o"), syms.getSeq[String](0))
+    // parity rule: in a run of overlapping occurrences the 1st, 3rd merge
+    assert(syms.getSeq[String](1) == Seq("b", "##aa", "##aa"), syms.getSeq[String](1))
+  }
 }

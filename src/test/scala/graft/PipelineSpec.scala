@@ -1187,4 +1187,20 @@ class PipelineSpec extends AnyFunSuite {
       assert(rks.toSeq == (1 to rks.length).toSeq)
     }
   }
+  test("WordPiece training picks the likelihood-gain argmax, not the most frequent pair") {
+    import spark.implicits._
+    // 'a ##b' is the most FREQUENT pair (10) but its components are
+    // everywhere (c_a=30); 'q ##u' occurs only 3 times but q and u occur
+    // ONLY together (3*1e12/9 > 10*1e12/300) -- the WordPiece score must
+    // pick it where BPE's frequency rule would not
+    val corpus = (Seq.fill(10)("ab") ++ Seq.fill(3)("qu") ++
+      Seq.fill(20)("a") ++ Seq.fill(20)("b")).map(Seq(_)).toDF("toks")
+    val mt = graft.ops.Wordpiece.train(corpus, col("toks"), iterations = 1)
+      .collect()
+    assert(mt.length == 1)
+    assert(mt(0).getAs[String]("pair") == "q ##u", mt(0))
+    assert(mt(0).getAs[Long]("cnt") == 3L && mt(0).getAs[Long]("ca") == 3L &&
+      mt(0).getAs[Long]("cb") == 3L)
+    assert(mt(0).getAs[Long]("score_q") == 333333333333L)
+  }
 }
