@@ -90,6 +90,85 @@ object LangModel {
         col("nll_q") <= col("n_bigrams") * lit(perBigramNllQ))
   }
 
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; the
+    * Chen & Goodman 1998 interpolated form with fixed absolute discount
+    * D = 0.75) — the LM-quality tier above add-one smoothing
+    * ([[bigramNll]]) and stupid backoff ([[trigramNll]]): the lower-order
+    * distribution is the CONTINUATION probability (how many distinct
+    * contexts a word follows) rather than raw frequency, which is what
+    * stops "francisco" (frequent, but only ever after "san") from
+    * inflating unseen-context scores.
+    *
+    *   P(w2|w1) = max(c(w1w2) − D, 0)/c(w1·) + D·N1+(w1·)/c(w1·) · Pcont(w2)
+    *   Pcont(w2) = (N1+(·w2) + 1) / (N_bigram_types + V)
+    *
+    * (+1/+V keeps Pcont positive for words never seen as continuations —
+    * the same add-one floor [[bigramNll]] uses; a w1 outside the train
+    * contexts backs off to Pcont alone, λ = 1.) Determinism follows the
+    * module convention: the probability is one fixed-shape double
+    * expression over exact integer counts, quantized ONCE to
+    * `floor(−ln(p)·1e6)`, and summed as exact integers.
+    *
+    * Scale shape = [[bigramNll]]'s: four combiner aggregates over the
+    * train bigram stream (c2, c1, and the two distinct-type counts from
+    * ONE deduped bigram-type table), two 1-row scalars riding as
+    * broadcast cross joins, doc side pre-aggregated to (doc, bigram)
+    * types before the gram-keyed model join. Output per row:
+    * `(did, n_bigrams, nll_q, keep)`. */
+  def kneserNeyNll(df: DataFrame, id: Column, toks: Column, isTrain: Column,
+      perBigramNllQ: Long): DataFrame = {
+    val base = df
+      .select(id.as("did"), toks.as("toks"), isTrain.cast("boolean").as("tr"))
+      .localCheckpoint(eager = false)
+    val bg = base.select(col("did"), col("tr"),
+        explode(Dedup.gramArray(col("toks"), 2)).as("g"))
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+      .withColumn("w2", substring_index(col("g"), " ", -1))
+    val train = bg.where(col("tr"))
+      .localCheckpoint(eager = false) // four aggregate consumers
+    val c2 = train.groupBy(col("g")).agg(count(lit(1)).as("c2"))
+    val c1 = train.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    // distinct bigram TYPES once; both continuation-count tables and the
+    // type-count scalar derive from it
+    val types = train.select(col("w1"), col("w2")).distinct()
+      .localCheckpoint(eager = false)
+    val n1f = types.groupBy(col("w1")).agg(count(lit(1)).as("n1f"))
+    val n1b = types.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+    val nbb = types.agg(count(lit(1)).as("nbb"))
+    val v = base.where(col("tr"))
+      .select(explode(col("toks")).as("u"))
+      .agg(count_distinct(col("u")).as("v"))
+    val dg = bg.groupBy(col("did"), col("g"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+    // ONE fixed-shape double expression (identical text in the oracle):
+    // IEEE ops over exact integer operands, quantized once
+    val qlp = expr(
+      """CAST(floor(-ln(
+        |  CASE WHEN c1 IS NOT NULL THEN
+        |    greatest(CAST(coalesce(c2, 0) AS DOUBLE) - 0.75, 0.0) / CAST(c1 AS DOUBLE)
+        |      + (0.75 * CAST(n1f AS DOUBLE) / CAST(c1 AS DOUBLE)) *
+        |        (CAST(coalesce(n1b, 0) + 1 AS DOUBLE) / CAST(nbb + v AS DOUBLE))
+        |  ELSE CAST(coalesce(n1b, 0) + 1 AS DOUBLE) / CAST(nbb + v AS DOUBLE) END
+        |) * 1e6) AS BIGINT)""".stripMargin)
+    val scored = dg
+      .join(c2, Seq("g"), "left")
+      .join(c1, Seq("w1"), "left")
+      .join(n1f, Seq("w1"), "left")
+      .join(n1b, Seq("w2"), "left")
+      .crossJoin(broadcast(nbb))
+      .crossJoin(broadcast(v))
+      .groupBy(col("did")).agg(
+        sum(col("cnt")).as("n_bigrams"),
+        sum(col("cnt") * qlp).as("nll_q"))
+    base.select(col("did"))
+      .join(scored, Seq("did"), "left")
+      .select(col("did"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nll_q"), lit(0L)).as("nll_q"))
+      .withColumn("keep",
+        col("nll_q") <= col("n_bigrams") * lit(perBigramNllQ))
+  }
+
   /** CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3): score
     * every document with [[bigramNll]], then bucket each language's
     * documents into perplexity terciles — `head` = the best-fitting

@@ -1080,6 +1080,20 @@ object PipelineQueries {
       .withColumnRenamed("did", "doc_id")
       .orderBy(col("doc_id"))
 
+  /** Interpolated Kneser–Ney bigram scoring
+    * ([[graft.ops.LangModel.kneserNeyNll]]) — the discount/continuation
+    * tier of the LM-quality family, same train corpus (`en`), same
+    * "perplexity ≤ 30" keep threshold, same quantized-integer NLL
+    * discipline; the oracle restates the four count tables, both 1-row
+    * scalars, and the ONE fixed-shape probability expression verbatim. */
+  val pipe_lm_kneser_ney: Q = (s, dir) =>
+    LangModel.kneserNeyNll(
+      docs(s, dir).select(col("doc_id"), col("lang"),
+        tokenizeDefault(col("text")).as("toks")),
+      col("doc_id"), col("toks"), col("lang") === "en", PerBigramNllQ)
+      .withColumnRenamed("did", "doc_id")
+      .orderBy(col("doc_id"))
+
   /** One BPE training iteration ([[graft.ops.Bpe.topPairs]]): the 50 most
     * frequent adjacent character pairs over the tokenized corpus, weighted
     * by word frequency — counts exact, ties broken on pair text, rank
@@ -1728,6 +1742,7 @@ object PipelineQueries {
     "pipe_chunk_sentences" -> pipe_chunk_sentences,
     "pipe_dsir_select" -> pipe_dsir_select,
     "pipe_lm_perplexity" -> pipe_lm_perplexity,
+    "pipe_lm_kneser_ney" -> pipe_lm_kneser_ney,
     "pipe_lm_terciles" -> pipe_lm_terciles,
     "pipe_lm_trigram" -> pipe_lm_trigram,
     "pipe_bpe_step" -> pipe_bpe_step,
@@ -2617,6 +2632,49 @@ object PipelineQueries {
          |ORDER BY doc_id""".stripMargin,
     "pipe_lm_perplexity" ->
       s"""WITH $lmScoreCtesSql
+         |SELECT d.doc_id,
+         |  coalesce(sc.n_bigrams, 0) AS n_bigrams,
+         |  coalesce(sc.nll_q, 0) AS nll_q,
+         |  coalesce(sc.nll_q, 0) <= coalesce(sc.n_bigrams, 0) * $PerBigramNllQ
+         |    AS keep
+         |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    // interpolated Kneser-Ney: the probability expression is restated
+    // with the IDENTICAL shape and casts as the Spark-side expr string —
+    // one double expression over exact integer counts, quantized once
+    "pipe_lm_kneser_ney" ->
+      s"""WITH t AS (SELECT doc_id, lang = 'en' AS tr, $toksSql AS toks FROM documents),
+         |bg AS (
+         |  SELECT doc_id, tr, g,
+         |    split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2 FROM (
+         |    SELECT doc_id, tr,
+         |      unnest(list_transform(range(greatest(len(toks) - 1, 0)),
+         |        i -> toks[i+1] || ' ' || toks[i+2])) AS g
+         |    FROM t)),
+         |c2 AS (SELECT g, count(*) AS c2 FROM bg WHERE tr GROUP BY g),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM bg WHERE tr GROUP BY w1),
+         |typ AS (SELECT DISTINCT w1, w2 FROM bg WHERE tr),
+         |n1f AS (SELECT w1, count(*) AS n1f FROM typ GROUP BY w1),
+         |n1b AS (SELECT w2, count(*) AS n1b FROM typ GROUP BY w2),
+         |nbbt AS (SELECT count(*) AS nbb FROM typ),
+         |v AS (SELECT count(DISTINCT u) AS v
+         |  FROM (SELECT unnest(toks) AS u FROM t WHERE tr)),
+         |dg AS (SELECT doc_id, g, w1, w2, count(*) AS cnt FROM bg
+         |  GROUP BY doc_id, g, w1, w2),
+         |sc AS (
+         |  SELECT dg.doc_id,
+         |    CAST(sum(dg.cnt) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(dg.cnt * CAST(floor(-ln(
+         |      CASE WHEN c1.c1 IS NOT NULL THEN
+         |        greatest(CAST(coalesce(c2.c2, 0) AS DOUBLE) - 0.75, 0.0) / CAST(c1.c1 AS DOUBLE)
+         |          + (0.75 * CAST(n1f.n1f AS DOUBLE) / CAST(c1.c1 AS DOUBLE)) *
+         |            (CAST(coalesce(n1b.n1b, 0) + 1 AS DOUBLE) / CAST(nbbt.nbb + v.v AS DOUBLE))
+         |      ELSE CAST(coalesce(n1b.n1b, 0) + 1 AS DOUBLE) / CAST(nbbt.nbb + v.v AS DOUBLE) END
+         |    ) * 1e6) AS BIGINT)) AS BIGINT) AS nll_q
+         |  FROM dg LEFT JOIN c2 USING (g) LEFT JOIN c1 USING (w1)
+         |    LEFT JOIN n1f USING (w1) LEFT JOIN n1b USING (w2)
+         |    CROSS JOIN nbbt CROSS JOIN v
+         |  GROUP BY dg.doc_id)
          |SELECT d.doc_id,
          |  coalesce(sc.n_bigrams, 0) AS n_bigrams,
          |  coalesce(sc.nll_q, 0) AS nll_q,

@@ -1203,4 +1203,30 @@ class PipelineSpec extends AnyFunSuite {
       mt(0).getAs[Long]("cb") == 3L)
     assert(mt(0).getAs[Long]("score_q") == 333333333333L)
   }
+  test("Kneser-Ney: diverse-context words beat frequent-but-single-context words in unseen contexts") {
+    import spark.implicits._
+    // b occurs 3x after 3 DISTINCT contexts; francisco occurs 3x after one
+    // (san). Raw frequency ties them; KN continuation must not.
+    val rows = Seq(
+      (1L, Seq("a", "b"), true), (2L, Seq("c", "b"), true),
+      (3L, Seq("d", "b"), true),
+      (4L, Seq("san", "francisco"), true), (5L, Seq("san", "francisco"), true),
+      (6L, Seq("san", "francisco"), true),
+      (10L, Seq("z", "b"), false), (11L, Seq("z", "francisco"), false)
+    ).toDF("id", "toks", "tr")
+    val out = graft.ops.LangModel.kneserNeyNll(
+        rows, col("id"), col("toks"), col("tr"), 0L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // nbb = 4 bigram types, V = 6; unseen context z backs off to Pcont:
+    // Pcont(b) = (3+1)/10, Pcont(francisco) = (1+1)/10
+    val q10 = math.floor(-math.log((3.0 + 1) / 10.0) * 1e6).toLong
+    val q11 = math.floor(-math.log((1.0 + 1) / 10.0) * 1e6).toLong
+    assert(out(10L) == (1L, q10), out(10L))
+    assert(out(11L) == (1L, q11), out(11L))
+    assert(q10 < q11, "diverse-context word must score cheaper")
+    // seen context (san francisco): discounted ML + lambda * Pcont
+    val q4 = math.floor(-math.log(
+      (3.0 - 0.75) / 3.0 + (0.75 * 1.0 / 3.0) * ((1.0 + 1) / 10.0)) * 1e6).toLong
+    assert(out(4L) == (1L, q4), out(4L))
+  }
 }
