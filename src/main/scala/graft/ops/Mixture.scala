@@ -70,6 +70,46 @@ object Mixture {
       .select(col("id"), col("domain"), col("rk"))
   }
 
+  /** The TWO-PASS form of [[domainQuota]] — the shape [[domainQuota]]'s
+    * scaladoc prescribes for pathologically hot domains (≫ executor
+    * memory), now implemented: pass 1 aggregates per-domain counts (tiny,
+    * broadcast); each domain gets a hash THRESHOLD
+    * `min(2^60, (2^60 DIV n_d) · quota · slack)` sized so the expected
+    * survivor count is `quota · slack`; the corpus is then map-side
+    * filtered on `h < thr_d` — no window touches the full domain — and
+    * only the small survivor set is exact-ranked to the final
+    * `rk ≤ quota` cut. With `slack` ≥ 2 the survivor superset covers the
+    * true hash-top-quota with overwhelming probability, making the
+    * output equal to the window form's (pinned by spec on the fixtures);
+    * a domain whose survivors fell short would under-deliver
+    * deterministically rather than corrupt — the documented trade.
+    * Threshold arithmetic widens to DECIMAL(38,0) (HUGEINT in the
+    * oracle): `(2^60 DIV 1) · quota · slack` overflows BIGINT.
+    *
+    * Scale shape: one combiner count aggregate, one broadcast join +
+    * map filter, then a window over `quota · slack` expected rows per
+    * domain — per-task cost is bounded by the threshold, not the
+    * domain's size. */
+  def domainQuotaTwoPass(df: DataFrame, id: Column, domain: Column,
+      quota: Long, slack: Long = 2L): DataFrame = {
+    val MaxH = 1152921504606846976L // 2^60, the h64 range
+    val base = df.select(id.as("id"), domain.as("domain"))
+      .withColumn("h",
+        Hashing.h64(concat(col("domain"), lit("|"), col("id").cast("string"))))
+    val thr = expr(s"CAST(LEAST(CAST($MaxH AS DECIMAL(38,0)), " +
+      s"CAST($MaxH DIV n AS DECIMAL(38,0)) * ${quota * slack}) AS BIGINT)")
+    val counts = base.groupBy(col("domain")).agg(count(lit(1)).as("n"))
+      .withColumn("thr", thr)
+    val surv = base
+      .join(broadcast(counts.select(col("domain"), col("thr"))), "domain")
+      .where(col("h") < col("thr"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domain")).orderBy(col("h"), col("id"))
+    surv.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= quota)
+      .select(col("id"), col("domain"), col("rk"))
+  }
+
   /** Temperature-scaled mixture sampling (the mC4 / XLM-R α-sampling
     * rule, α = 1/2): per-source sampling mass ∝ n_tokens^α, so
     * low-resource sources are upweighted relative to their natural

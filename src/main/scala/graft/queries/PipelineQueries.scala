@@ -646,6 +646,20 @@ object PipelineQueries {
       .select(col("id").as("doc_id"), col("domain").as("source"), col("rk"))
       .orderBy(col("doc_id"))
 
+  /** The hot-domain-safe TWO-PASS quota
+    * ([[graft.ops.Mixture.domainQuotaTwoPass]]): per-domain counts →
+    * broadcast hash thresholds sized for quota·slack expected survivors
+    * → map-side filter → exact rank over survivors only. Same quota as
+    * [[pipe_domain_quota]]; the spec pins output EQUALITY with the
+    * window form on the fixture, and the oracle replays the threshold
+    * arithmetic (HUGEINT ≡ DECIMAL(38,0) widen) and both passes. */
+  val pipe_domain_quota_2pass: Q = (s, dir) =>
+    graft.ops.Mixture
+      .domainQuotaTwoPass(docs(s, dir), col("doc_id"), col("source"),
+        quota = 15L, slack = 2L)
+      .select(col("id").as("doc_id"), col("domain").as("source"), col("rk"))
+      .orderBy(col("doc_id"))
+
   /** Per-document top-3 keyword extraction by integer-quantized tf·idf —
     * see [[graft.ops.TextAnalysis.tfidfTop]] for the quantization
     * discipline and the no-posting-self-join scale shape. */
@@ -1709,6 +1723,7 @@ object PipelineQueries {
     "dedup_cluster_canon" -> dedup_cluster_canon,
     "pipe_sample_stratified" -> pipe_sample_stratified,
     "pipe_domain_quota" -> pipe_domain_quota,
+    "pipe_domain_quota_2pass" -> pipe_domain_quota_2pass,
     "mm_align_filter" -> mm_align_filter,
     "pipe_shard_write" -> pipe_shard_write,
     "pipe_quality_train" -> pipe_quality_train,
@@ -3191,6 +3206,26 @@ object PipelineQueries {
         |      ORDER BY CAST(('0x' || substr(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
         |               doc_id) AS rk
         |  FROM documents)
+        |WHERE rk <= 15 ORDER BY doc_id""".stripMargin,
+    // two-pass: thresholds in HUGEINT (the Spark side widens to
+    // DECIMAL(38,0) -- (2^60 DIV 1)*30 overflows BIGINT), then the
+    // exact-rank window runs over threshold survivors only
+    "pipe_domain_quota_2pass" ->
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |    CAST(('0x' || substr(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM documents),
+        |c AS (SELECT source, count(*) AS n FROM b GROUP BY source),
+        |s AS (
+        |  SELECT b.doc_id, b.source, b.h
+        |  FROM b JOIN c USING (source)
+        |  WHERE b.h < CAST(LEAST(CAST(1152921504606846976 AS HUGEINT),
+        |    CAST(1152921504606846976 // c.n AS HUGEINT) * 30) AS BIGINT)),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+        |  FROM s)
+        |SELECT doc_id, source, rk FROM r
         |WHERE rk <= 15 ORDER BY doc_id""".stripMargin,
     "text_tfidf_top" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -1229,4 +1229,10 @@ class PipelineSpec extends AnyFunSuite {
       (3.0 - 0.75) / 3.0 + (0.75 * 1.0 / 3.0) * ((1.0 + 1) / 10.0)) * 1e6).toLong
     assert(out(4L) == (1L, q4), out(4L))
   }
+  test("two-pass domain quota equals the window form on the fixture") {
+    val one = PipelineQueries.pipe_domain_quota(spark, sf).collect().toSet
+    val two = PipelineQueries.pipe_domain_quota_2pass(spark, sf).collect().toSet
+    assert(one.nonEmpty && one == two,
+      s"threshold pass must cover the hash-top-quota: ${(one -- two).take(5)}")
+  }
 }
