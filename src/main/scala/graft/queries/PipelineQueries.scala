@@ -1094,6 +1094,38 @@ object PipelineQueries {
       .withColumnRenamed("did", "doc_id")
       .orderBy(col("doc_id"))
 
+  /** Moore–Lewis cross-entropy difference selection (Moore & Lewis
+    * 2010, "Intelligent Selection of Language Model Training Data") —
+    * the classic two-LM data-selection rule: score every document with
+    * `H_in(doc) − H_out(doc)`, its per-bigram NLL under the IN-DOMAIN
+    * model (trained on `en`) minus under the GENERAL model (trained on
+    * the whole corpus), and keep documents the in-domain model explains
+    * better (`ml_q ≤ 0`). Unlike a single-LM perplexity filter this
+    * cancels generic easiness: a document scoring well under BOTH models
+    * is not selected for domain affinity it doesn't have. Both scores
+    * are [[graft.ops.LangModel.bigramNll]]'s exact quantized integers,
+    * so the difference and the integer-division normalization are
+    * oracle-exact. Two model chains = two corpus passes (inherent —
+    * the models have different training sets); the tokenized snapshot
+    * is shared. */
+  val pipe_moore_lewis: Q = (s, dir) => {
+    val base = docs(s, dir)
+      .select(col("doc_id"), col("lang"), tokenizeDefault(col("text")).as("toks"))
+      .localCheckpoint(eager = false) // two model chains consume it
+    val inS = LangModel.bigramNll(base, col("doc_id"), col("toks"),
+        col("lang") === "en", 0L)
+      .select(col("did").as("doc_id"), col("n_bigrams"),
+        col("nll_q").as("nll_in_q"))
+    val outS = LangModel.bigramNll(base, col("doc_id"), col("toks"),
+        lit(true), 0L)
+      .select(col("did").as("doc_id"), col("nll_q").as("nll_out_q"))
+    inS.join(outS, "doc_id")
+      .withColumn("ml_q", expr("CASE WHEN n_bigrams > 0" +
+        " THEN (nll_in_q - nll_out_q) DIV n_bigrams ELSE 0 END"))
+      .withColumn("keep", col("ml_q") <= 0)
+      .orderBy(col("doc_id"))
+  }
+
   /** Interpolated Kneser–Ney bigram scoring
     * ([[graft.ops.LangModel.kneserNeyNll]]) — the discount/continuation
     * tier of the LM-quality family, same train corpus (`en`), same
@@ -1758,6 +1790,7 @@ object PipelineQueries {
     "pipe_dsir_select" -> pipe_dsir_select,
     "pipe_lm_perplexity" -> pipe_lm_perplexity,
     "pipe_lm_kneser_ney" -> pipe_lm_kneser_ney,
+    "pipe_moore_lewis" -> pipe_moore_lewis,
     "pipe_lm_terciles" -> pipe_lm_terciles,
     "pipe_lm_trigram" -> pipe_lm_trigram,
     "pipe_bpe_step" -> pipe_bpe_step,
@@ -2653,6 +2686,36 @@ object PipelineQueries {
          |  coalesce(sc.nll_q, 0) <= coalesce(sc.n_bigrams, 0) * $PerBigramNllQ
          |    AS keep
          |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    // Moore-Lewis: the in-domain chain is lmScoreCtesSql verbatim; the
+    // general-model chain reuses its t/bg/dg tables with all-rows counts
+    "pipe_moore_lewis" ->
+      s"""WITH $lmScoreCtesSql,
+         |c2a AS (SELECT g, count(*) AS c2 FROM bg GROUP BY g),
+         |c1a AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+         |va AS (SELECT count(DISTINCT u) AS v
+         |  FROM (SELECT unnest(toks) AS u FROM t)),
+         |sca AS (
+         |  SELECT dg.doc_id,
+         |    CAST(sum(dg.cnt * CAST(floor(-ln(
+         |        CAST(coalesce(c2a.c2, 0) + 1 AS DOUBLE) /
+         |        CAST(coalesce(c1a.c1, 0) + va.v AS DOUBLE)) * 1000000.0)
+         |      AS BIGINT)) AS BIGINT) AS nll_q
+         |  FROM dg LEFT JOIN c2a USING (g) LEFT JOIN c1a USING (w1) CROSS JOIN va
+         |  GROUP BY dg.doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(sc.n_bigrams, 0) AS n_bigrams,
+         |  coalesce(sc.nll_q, 0) AS nll_in_q,
+         |  coalesce(sca.nll_q, 0) AS nll_out_q,
+         |  CAST(CASE WHEN coalesce(sc.n_bigrams, 0) > 0
+         |    THEN (coalesce(sc.nll_q, 0) - coalesce(sca.nll_q, 0)) // sc.n_bigrams
+         |    ELSE 0 END AS BIGINT) AS ml_q,
+         |  CAST(CASE WHEN coalesce(sc.n_bigrams, 0) > 0
+         |    THEN (coalesce(sc.nll_q, 0) - coalesce(sca.nll_q, 0)) // sc.n_bigrams
+         |    ELSE 0 END AS BIGINT) <= 0 AS keep
+         |FROM documents d
+         |LEFT JOIN sc ON sc.doc_id = d.doc_id
+         |LEFT JOIN sca ON sca.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
     // interpolated Kneser-Ney: the probability expression is restated
     // with the IDENTICAL shape and casts as the Spark-side expr string —

@@ -1235,4 +1235,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(one.nonEmpty && one == two,
       s"threshold pass must cover the hash-top-quota: ${(one -- two).take(5)}")
   }
+  test("Moore-Lewis keeps in-domain documents at a far higher rate than out-of-domain") {
+    val rows = PipelineQueries.pipe_moore_lewis(spark, sf).collect()
+    val lang = Graft.table(spark, sf, "documents")
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byLang = rows.groupBy(r => lang(r.getAs[Long]("doc_id")))
+      .view.mapValues { rs =>
+        rs.count(_.getAs[Boolean]("keep")).toDouble / rs.length
+      }.toMap
+    assert(byLang("en") > 0.5, s"en keep rate too low: $byLang")
+    byLang.filterKeys(_ != "en").foreach { case (l, rate) =>
+      assert(rate < byLang("en") / 2,
+        s"$l keep rate $rate not separated from en ${byLang("en")}")
+    }
+  }
 }
