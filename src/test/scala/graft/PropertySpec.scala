@@ -441,4 +441,47 @@ class PropertySpec extends AnyFunSuite {
       }
     })
   }
+  test("WordPieceEncode matches an independent greedy longest-match reference") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    val abc = Gen.oneOf('a', 'b', 'c')
+    val pieceGen = Gen.chooseNum(1, 4).flatMap(n => Gen.stringOfN(n, abc))
+    // random mix of first-position and ##-continuation pieces; the base
+    // alphabet is NOT always complete, so the [UNK] path fires often
+    val vocabGen: Gen[Seq[String]] = for {
+      firsts <- Gen.listOfN(6, pieceGen)
+      conts <- Gen.listOfN(6, pieceGen.map("##" + _))
+      base <- Gen.someOf(Seq("a", "b", "c", "##a", "##b", "##c"))
+    } yield (firsts ++ conts ++ base).distinct
+    val wordGen = Gen.chooseNum(1, 10).flatMap(n => Gen.stringOfN(n, abc))
+
+    check("wordpiece greedy vs reference")(
+      Prop.forAll(vocabGen, wordGen) { (vocab, w) =>
+        val vs = vocab.toSet
+        // independent greedy reference: longest match at each step, the
+        // whole word fails to [UNK] on any dead-end (no backtracking --
+        // that is the WordPiece contract, unlike unigram Viterbi)
+        def greedy: List[String] = {
+          var pos = 0
+          val out = scala.collection.mutable.ListBuffer.empty[String]
+          while (pos < w.length) {
+            val hit = (w.length - pos to 1 by -1).iterator.map { l =>
+              (if (pos == 0) "" else "##") + w.substring(pos, pos + l)
+            }.find(vs)
+            hit match {
+              case None => return List("[UNK]")
+              case Some(h) =>
+                out += h
+                pos += (if (h.startsWith("##")) h.length - 2 else h.length)
+            }
+          }
+          out.toList
+        }
+        val got = graft.exprs.WordPieceEncode(Literal(w), vocab)
+          .nullSafeEval(UTF8String.fromString(w))
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+          .array.map(_.toString).toList
+        got == greedy
+      })
+  }
 }

@@ -152,4 +152,55 @@ class StreamingAggSpec extends AnyFunSuite {
     assert(r.getString(0) == "index")
     assert(r.getString(1) == "10.0.0.7")
   }
+  test("streaming HLL: per-batch register merges equal the batch sketch") {
+    // The sketch merge law under foreachBatch: each micro-batch builds its
+    // own register table and max-merges into persistent state -- the
+    // streaming form of approximate distinct counting whose state is 256
+    // rows per group forever, no matter how many events stream through.
+    import java.nio.file.Files
+    val srcDir = Files.createTempDirectory("hll-src").toString
+    val ckpt = Files.createTempDirectory("hll-ckpt").toString
+    val stateDir = Files.createTempDirectory("hll-state").toString + "/regs"
+    // enough distinct keys per group (1020 > 2.5m = 640) that the RAW
+    // HLL estimate is in its valid regime -- below that, linear counting
+    // over the reported v_empty is the documented consumer-side step
+    val rows = (0 until 2040).map(i => s"""{"grp": "g${i % 2}", "k": "k$i"}""")
+    // three files -> micro-batches (maxFilesPerTrigger = 1)
+    rows.grouped(680).zipWithIndex.foreach { case (chunk, i) =>
+      Files.write(java.nio.file.Paths.get(srcDir, s"b$i.json"),
+        chunk.mkString("\n").getBytes)
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("grp string, k string")
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").json(srcDir)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val newRegs = graft.ops.Sketch.hllRegisters(batch, col("grp"), col("k"))
+        val merged =
+          if (Files.exists(java.nio.file.Paths.get(stateDir)))
+            spark.read.parquet(stateDir).unionByName(newRegs)
+              .groupBy(col("grp"), col("bucket")).agg(max(col("m")).as("m"))
+          else newRegs
+        // rewrite-then-swap would be the production form; overwrite is
+        // fine for the law being tested here
+        val tmp = stateDir + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(stateDir)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.parquet(stateDir)
+    val batchRegs = graft.ops.Sketch.hllRegisters(
+      spark.read.schema(schema).json(srcDir), col("grp"), col("k"))
+    assert(streamed.exceptAll(batchRegs).isEmpty &&
+      batchRegs.exceptAll(streamed).isEmpty,
+      "incrementally merged registers must equal the one-shot batch sketch")
+    // and the estimates agree with exact distinct within 3 sigma
+    val est = graft.ops.Sketch.hllEstimate(streamed).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("est_distinct")).toMap
+    assert(est.keySet == Set("g0", "g1"))
+    est.values.foreach(e => assert(math.abs(e - 1020.0) / 1020.0 < 0.2, est))
+  }
 }
