@@ -374,6 +374,8 @@ class PlanSpec extends AnyFunSuite {
       "knn_ivf_pq" -> "centroid assignment + ADC ranking",
       "knn_lsh" -> "hyperplane constants, broadcast query side",
       "pipe_lm_perplexity" -> "1-row vocabulary-size scalar attach",
+      "pipe_lm_kneser_ney" -> "two 1-row scalar attaches (bigram-type count + vocabulary size)",
+      "pipe_moore_lewis" -> "1-row vocabulary-size scalar attaches (both bigramNll chains)",
       "pipe_lm_terciles" -> "1-row vocabulary-size scalar attach (same bigramNll chain)",
       "pipe_lm_trigram" -> "1-row N/V scalar attach (trigramNll chain)",
       "pipe_curate_v2" -> "1-row vocabulary-size scalar attach (bigramNll stage)",
