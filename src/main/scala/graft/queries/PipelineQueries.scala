@@ -1108,7 +1108,12 @@ object PipelineQueries {
     * oracle-exact. Two model chains = two corpus passes (inherent —
     * the models have different training sets); the tokenized snapshot
     * is shared. */
-  val pipe_moore_lewis: Q = (s, dir) => {
+  val pipe_moore_lewis: Q = (s, dir) =>
+    mooreLewisScored(s, dir).orderBy(col("doc_id"))
+
+  /** [[pipe_moore_lewis]]'s unordered scored table — shared with the
+    * [[pipe_curate_v5]] composition. */
+  private def mooreLewisScored(s: SparkSession, dir: String): DataFrame = {
     val base = docs(s, dir)
       .select(col("doc_id"), col("lang"), tokenizeDefault(col("text")).as("toks"))
       .localCheckpoint(eager = false) // two model chains consume it
@@ -1123,7 +1128,34 @@ object PipelineQueries {
       .withColumn("ml_q", expr("CASE WHEN n_bigrams > 0" +
         " THEN (nll_in_q - nll_out_q) DIV n_bigrams ELSE 0 END"))
       .withColumn("keep", col("ml_q") <= 0)
-      .orderBy(col("doc_id"))
+  }
+
+  /** The curation chain with the NEW selection tiers standing in for the
+    * rule filters: Moore–Lewis domain affinity (∧) the two-pass domain
+    * quota, then the shared dedup + mixture tail — the FineWeb shape of
+    * [[pipe_curate_v3]] with learned-LM selection replacing Gopher and
+    * the hot-domain-safe quota replacing the window form. The oracle
+    * replays both selection tiers (two LM chains + threshold/rank
+    * passes) before the shared tail fragment. */
+  val pipe_curate_v5: Q = (s, dir) => {
+    val mlKeep = mooreLewisScored(s, dir)
+      .where(col("keep")).select(col("doc_id"))
+    val quotaKeep = graft.ops.Mixture
+      .domainQuotaTwoPass(docs(s, dir), col("doc_id"), col("source"),
+        quota = 15L, slack = 2L)
+      .select(col("id").as("doc_id"))
+    val keepers = docs(s, dir)
+      .join(mlKeep, Seq("doc_id")).join(quotaKeep, Seq("doc_id"))
+    val survivors = keepers
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .where(col("rn") === 1)
+    graft.ops.Mixture.mixAllocation(
+      survivors,
+      col("source"),
+      size(tokenizeDefault(col("text"))).cast("long"),
+      pmod(substring(col("source"), 4, 10).cast("long"), lit(3)) + 1)
+      .orderBy(col("source"))
   }
 
   /** Interpolated Kneser–Ney bigram scoring
@@ -1791,6 +1823,7 @@ object PipelineQueries {
     "pipe_lm_perplexity" -> pipe_lm_perplexity,
     "pipe_lm_kneser_ney" -> pipe_lm_kneser_ney,
     "pipe_moore_lewis" -> pipe_moore_lewis,
+    "pipe_curate_v5" -> pipe_curate_v5,
     "pipe_lm_terciles" -> pipe_lm_terciles,
     "pipe_lm_trigram" -> pipe_lm_trigram,
     "pipe_bpe_step" -> pipe_bpe_step,
@@ -2222,6 +2255,32 @@ object PipelineQueries {
        |${bpeTrainIterSql(1)},
        |${bpeTrainIterSql(2)},
        |${bpeTrainIterSql(3)}""".stripMargin
+
+  /** The Moore–Lewis CTE chain: [[lmScoreCtesSql]]'s in-domain model
+    * (`sc`) plus the general model trained on ALL rows (`sca`), reusing
+    * the same `t`/`bg`/`dg` tables — shared by the score gate and the
+    * v5 curation composition. */
+  private lazy val mooreLewisCtesSql =
+    s"""$lmScoreCtesSql,
+       |c2a AS (SELECT g, count(*) AS c2 FROM bg GROUP BY g),
+       |c1a AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+       |va AS (SELECT count(DISTINCT u) AS v
+       |  FROM (SELECT unnest(toks) AS u FROM t)),
+       |sca AS (
+       |  SELECT dg.doc_id,
+       |    CAST(sum(dg.cnt * CAST(floor(-ln(
+       |        CAST(coalesce(c2a.c2, 0) + 1 AS DOUBLE) /
+       |        CAST(coalesce(c1a.c1, 0) + va.v AS DOUBLE)) * 1000000.0)
+       |      AS BIGINT)) AS BIGINT) AS nll_q
+       |  FROM dg LEFT JOIN c2a USING (g) LEFT JOIN c1a USING (w1) CROSS JOIN va
+       |  GROUP BY dg.doc_id)""".stripMargin
+
+  /** The quantized Moore–Lewis score projection over joined `sc`/`sca`
+    * rows — ONE definition for the score column and the keep predicate. */
+  private val mlQSql =
+    """CAST(CASE WHEN coalesce(sc.n_bigrams, 0) > 0
+      |    THEN (coalesce(sc.nll_q, 0) - coalesce(sca.nll_q, 0)) // sc.n_bigrams
+      |    ELSE 0 END AS BIGINT)""".stripMargin
 
   /** DuckDB rendition of ONE WordPiece training round over the previous
     * round's segmentation `wenc{i-1}(w, freq, syms)`: symbol counts
@@ -2690,33 +2749,47 @@ object PipelineQueries {
     // Moore-Lewis: the in-domain chain is lmScoreCtesSql verbatim; the
     // general-model chain reuses its t/bg/dg tables with all-rows counts
     "pipe_moore_lewis" ->
-      s"""WITH $lmScoreCtesSql,
-         |c2a AS (SELECT g, count(*) AS c2 FROM bg GROUP BY g),
-         |c1a AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
-         |va AS (SELECT count(DISTINCT u) AS v
-         |  FROM (SELECT unnest(toks) AS u FROM t)),
-         |sca AS (
-         |  SELECT dg.doc_id,
-         |    CAST(sum(dg.cnt * CAST(floor(-ln(
-         |        CAST(coalesce(c2a.c2, 0) + 1 AS DOUBLE) /
-         |        CAST(coalesce(c1a.c1, 0) + va.v AS DOUBLE)) * 1000000.0)
-         |      AS BIGINT)) AS BIGINT) AS nll_q
-         |  FROM dg LEFT JOIN c2a USING (g) LEFT JOIN c1a USING (w1) CROSS JOIN va
-         |  GROUP BY dg.doc_id)
+      s"""WITH $mooreLewisCtesSql
          |SELECT d.doc_id,
          |  coalesce(sc.n_bigrams, 0) AS n_bigrams,
          |  coalesce(sc.nll_q, 0) AS nll_in_q,
          |  coalesce(sca.nll_q, 0) AS nll_out_q,
-         |  CAST(CASE WHEN coalesce(sc.n_bigrams, 0) > 0
-         |    THEN (coalesce(sc.nll_q, 0) - coalesce(sca.nll_q, 0)) // sc.n_bigrams
-         |    ELSE 0 END AS BIGINT) AS ml_q,
-         |  CAST(CASE WHEN coalesce(sc.n_bigrams, 0) > 0
-         |    THEN (coalesce(sc.nll_q, 0) - coalesce(sca.nll_q, 0)) // sc.n_bigrams
-         |    ELSE 0 END AS BIGINT) <= 0 AS keep
+         |  $mlQSql AS ml_q,
+         |  $mlQSql <= 0 AS keep
          |FROM documents d
          |LEFT JOIN sc ON sc.doc_id = d.doc_id
          |LEFT JOIN sca ON sca.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // v5: Moore-Lewis affinity AND the two-pass quota, then the shared
+    // dedup + mixture tail -- both selection tiers replayed in full
+    "pipe_curate_v5" ->
+      s"""WITH $mooreLewisCtesSql,
+         |mlk AS (
+         |  SELECT d.doc_id FROM documents d
+         |  LEFT JOIN sc ON sc.doc_id = d.doc_id
+         |  LEFT JOIN sca ON sca.doc_id = d.doc_id
+         |  WHERE $mlQSql <= 0),
+         |qb AS (
+         |  SELECT doc_id, source,
+         |    CAST(('0x' || substr(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |  FROM documents),
+         |qc AS (SELECT source, count(*) AS n FROM qb GROUP BY source),
+         |qs AS (
+         |  SELECT qb.doc_id, qb.source, qb.h
+         |  FROM qb JOIN qc USING (source)
+         |  WHERE qb.h < CAST(LEAST(CAST(1152921504606846976 AS HUGEINT),
+         |    CAST(1152921504606846976 // qc.n AS HUGEINT) * 30) AS BIGINT)),
+         |qk AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id,
+         |      row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+         |    FROM qs)
+         |  WHERE rk <= 15),
+         |keepers AS (
+         |  SELECT d.doc_id, d.source, d.text FROM documents d
+         |  JOIN mlk ON mlk.doc_id = d.doc_id
+         |  JOIN qk ON qk.doc_id = d.doc_id),
+         |$curateTailSql""".stripMargin,
     // interpolated Kneser-Ney: the probability expression is restated
     // with the IDENTICAL shape and casts as the Spark-side expr string —
     // one double expression over exact integer counts, quantized once

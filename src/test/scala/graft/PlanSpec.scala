@@ -376,6 +376,7 @@ class PlanSpec extends AnyFunSuite {
       "pipe_lm_perplexity" -> "1-row vocabulary-size scalar attach",
       "pipe_lm_kneser_ney" -> "two 1-row scalar attaches (bigram-type count + vocabulary size)",
       "pipe_moore_lewis" -> "1-row vocabulary-size scalar attaches (both bigramNll chains)",
+      "pipe_curate_v5" -> "1-row vocabulary-size scalar attaches (the Moore-Lewis stage's two LM chains)",
       "pipe_lm_terciles" -> "1-row vocabulary-size scalar attach (same bigramNll chain)",
       "pipe_lm_trigram" -> "1-row N/V scalar attach (trigramNll chain)",
       "pipe_curate_v2" -> "1-row vocabulary-size scalar attach (bigramNll stage)",
