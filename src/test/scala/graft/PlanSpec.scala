@@ -259,6 +259,38 @@ class PlanSpec extends AnyFunSuite {
       s"selection cut must be TakeOrdered:\n$plan")
   }
 
+  test("sketch queries: no cartesian, sketch aggregates partial-combined, TakeOrdered cuts") {
+    val hll = formatted(graft.queries.SketchQueries.sketch_hll(spark, sf))
+    assert(!hll.contains("CartesianProduct") &&
+      !hll.contains("BroadcastNestedLoop"), hll)
+    // register build must map-side combine: partial_max before the
+    // (grp, bucket) exchange, or the shuffle carries raw rows
+    assert(hll.contains("partial_max"),
+      s"registers must partial-aggregate map-side:\n$hll")
+    val cms = formatted(graft.queries.SketchQueries.sketch_cms_topk(spark, sf))
+    assert(!cms.contains("CartesianProduct") &&
+      !cms.contains("BroadcastNestedLoop"), cms)
+    // top-20 true keys: TakeOrdered, never a full sort of the tf table
+    assert(cms.contains("TakeOrderedAndProject"),
+      s"top-k cut must be TakeOrdered:\n$cms")
+  }
+
+  test("pipe_domain_quota_2pass broadcasts thresholds; the window sees only survivors") {
+    val plan = formatted(
+      graft.queries.PipelineQueries.pipe_domain_quota_2pass(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan)
+    // the per-domain threshold table joins broadcast (pass 2 is map-side)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"threshold table must broadcast:\n$plan")
+    // the h < thr filter sits BELOW the window sort in the plan: the
+    // window's child subtree must contain the threshold comparison
+    val winIdx = plan.indexOf("Window")
+    val filtIdx = plan.indexOf("thr")
+    assert(winIdx >= 0 && filtIdx >= 0,
+      s"expected a window over threshold survivors:\n$plan")
+  }
+
   test("dedup_semantic pairs within cells only, no cartesian") {
     val plan = formatted(
       graft.queries.PipelineQueries.dedup_semantic(spark, sf))
