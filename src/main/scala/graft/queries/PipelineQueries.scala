@@ -1111,9 +1111,14 @@ object PipelineQueries {
   val pipe_moore_lewis: Q = (s, dir) =>
     mooreLewisScored(s, dir).orderBy(col("doc_id"))
 
-  /** [[pipe_moore_lewis]]'s unordered scored table — shared with the
-    * [[pipe_curate_v5]] composition. */
-  private def mooreLewisScored(s: SparkSession, dir: String): DataFrame = {
+  /** [[pipe_moore_lewis]]'s unordered scored table — snapshotted per
+    * (session, dir) so the score gate and the [[pipe_curate_v5]]
+    * composition share one pair of LM chains (doc-level rows: the
+    * snapshot is keep-decision-sized, not corpus-sized). */
+  private def mooreLewisScored(s: SparkSession, dir: String): DataFrame =
+    memoSnap((s, dir, "mlscore")) { mooreLewisScoredBuild(s, dir) }
+
+  private def mooreLewisScoredBuild(s: SparkSession, dir: String): DataFrame = {
     val base = docs(s, dir)
       .select(col("doc_id"), col("lang"), tokenizeDefault(col("text")).as("toks"))
       .localCheckpoint(eager = false) // two model chains consume it
@@ -1231,6 +1236,22 @@ object PipelineQueries {
       .orderBy(col("word"))
   }
 
+  /** Trained WordPiece model per (session, dir) — merge-table rows (a
+    * model artifact, 4 rows) plus the checkpointed word-frequency table,
+    * memoized so the train gate and the apply gate share ONE training
+    * run (the unigram trainer's memo discipline). */
+  private def wordpieceModel(s: SparkSession,
+      dir: String): (Seq[(Long, String, Long, Long, Long, Long)], DataFrame) =
+    memoArtifact((s, dir, "wordpiece")) {
+      val (mt, words) = Wordpiece.trainWithVocab(
+        docs(s, dir).select(tokenizeDefault(col("text")).as("toks")),
+        col("toks"), iterations = 4)
+      val rows = mt.orderBy(col("iter")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSeq
+      (rows, words)
+    }
+
   /** The FULL WordPiece training loop at N=4
     * ([[graft.ops.Wordpiece.train]]): each round counts symbols AND
     * pairs over the current segmentation, merges the argmax of the
@@ -1239,11 +1260,12 @@ object PipelineQueries {
     * round — pair count, both component counts, quantized score — and
     * the oracle replays all four rounds unrolled, so the score
     * arithmetic and the `##`-stripping merge apply are both gated. */
-  val pipe_wordpiece_train: Q = (s, dir) =>
-    Wordpiece.train(
-      docs(s, dir).select(tokenizeDefault(col("text")).as("toks")),
-      col("toks"), iterations = 4)
+  val pipe_wordpiece_train: Q = (s, dir) => {
+    import s.implicits._
+    wordpieceModel(s, dir)._1
+      .toDF("iter", "pair", "cnt", "ca", "cb", "score_q")
       .orderBy(col("iter"))
+  }
 
   /** WordPiece INFERENCE under the trained vocabulary — greedy
     * longest-match-first ([[graft.exprs.WordPieceEncode]]), which is NOT
@@ -1254,10 +1276,8 @@ object PipelineQueries {
     * every step. Vocabulary = corpus alphabet (first + `##` forms) plus
     * the four merge outputs. */
   val pipe_wordpiece_train_apply: Q = (s, dir) => {
-    val (mt, words) = Wordpiece.trainWithVocab(
-      docs(s, dir).select(tokenizeDefault(col("text")).as("toks")),
-      col("toks"), iterations = 4)
-    val mergePairs = mt.orderBy(col("iter")).collect().map(_.getString(1)).toSeq
+    val (mergeRows, words) = wordpieceModel(s, dir)
+    val mergePairs = mergeRows.map(_._2)
     val vocab = Wordpiece.vocabFrom(Wordpiece.alphabet(words), mergePairs)
     words
       .select(col("w").as("word"), col("freq"),
