@@ -426,4 +426,57 @@ object TextAnalysis {
     df.select(id.as("id") +: counts :+
       length(scrubbed).as("scrubbed_len") :+ scrubbed.as("scrubbed"): _*)
   }
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4) — the
+    * objective-preparation pass that turns curated text into
+    * (input, target) denoising pairs: fixed-length token blocks are
+    * masked by a deterministic hash on (id, block) — hash, not rand(),
+    * so the corruption is reproducible across runs, engines, and epochs
+    * (vary the salt for fresh noise per epoch) — each masked block is
+    * replaced by one `<X_n>` sentinel in the input, and the target lists
+    * every sentinel followed by the tokens it hid. A 1-in-`modDen` block
+    * rate with `span`-token blocks approximates the paper's 15% noise
+    * density at mean span `span`; fixed-length blocks (rather than
+    * sampled span lengths) are the deterministic simplification, and
+    * adjacent masked blocks keep separate sentinels (the paper merges
+    * runs — a documented divergence that keeps the oracle a pure
+    * restatement).
+    *
+    * Scale shape: posexplode → one (id, block)-keyed window over MASKED
+    * blocks only (≈ tokens/(span·modDen) rows) → one id-keyed
+    * collect_list re-assembly, the [[lineDedupApply]] rebuild pattern —
+    * nothing corpus-global. Output: (id, input, target, n_masked). */
+  def spanCorrupt(tokenized: DataFrame, id: Column, toks: Column,
+      span: Int, modDen: Long): DataFrame = {
+    val t = tokenized.select(id.as("id"), toks.as("toks"))
+    val e = t
+      .select(col("id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .withColumn("blk", expr(s"pos DIV $span"))
+      .withColumn("masked",
+        Hashing.h64(concat(lit("sc:"), col("id").cast("string"),
+          lit(":"), col("blk"))) % modDen === 0)
+    val w = Window.partitionBy(col("id")).orderBy(col("blk"))
+    val mb = e.where(col("masked")).select(col("id"), col("blk")).distinct()
+      .withColumn("sent", row_number().over(w))
+    val arr = e.join(mb, Seq("id", "blk"), "left")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("tok"),
+        col("sent")))).as("arr"))
+      .select(col("id"),
+        expr(s"""array_join(transform(
+          filter(arr, x -> x.sent IS NULL OR x.pos % $span = 0),
+          x -> CASE WHEN x.sent IS NULL THEN x.tok
+               ELSE concat('<X_', x.sent, '>') END), ' ')""").as("input"),
+        expr(s"""array_join(transform(
+          filter(arr, x -> x.sent IS NOT NULL),
+          x -> CASE WHEN x.pos % $span = 0
+               THEN concat('<X_', x.sent, '> ', x.tok) ELSE x.tok END),
+          ' ')""").as("target"),
+        expr("CAST(size(filter(arr, x -> x.sent IS NOT NULL)) AS BIGINT)")
+          .as("n_masked"))
+    t.select(col("id")).join(arr, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("input"), lit("")).as("input"),
+        coalesce(col("target"), lit("")).as("target"),
+        coalesce(col("n_masked"), lit(0L)).as("n_masked"))
+  }
 }

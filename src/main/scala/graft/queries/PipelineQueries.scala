@@ -1236,6 +1236,21 @@ object PipelineQueries {
       .orderBy(col("word"))
   }
 
+  /** T5 span corruption over the corpus
+    * ([[graft.ops.TextAnalysis.spanCorrupt]]): 3-token blocks masked at
+    * a deterministic 1-in-7 hash rate (≈ the paper's 15% noise density),
+    * sentinel-replaced input and sentinel-prefixed target per document —
+    * the objective-preparation stage between curation and
+    * [[pipe_pack_sequences]]. Corruption is hash-keyed on (doc, block):
+    * reproducible across engines and epochs, fresh noise per epoch by
+    * salt. */
+  val pipe_span_corrupt: Q = (s, dir) =>
+    TextAnalysis.spanCorrupt(
+      docs(s, dir).select(col("doc_id"), tokenizeDefault(col("text")).as("toks")),
+      col("doc_id"), col("toks"), span = 3, modDen = 7L)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
   /** Trained WordPiece model per (session, dir) — merge-table rows (a
     * model artifact, 4 rows) plus the checkpointed word-frequency table,
     * memoized so the train gate and the apply gate share ONE training
@@ -1844,6 +1859,7 @@ object PipelineQueries {
     "pipe_lm_kneser_ney" -> pipe_lm_kneser_ney,
     "pipe_moore_lewis" -> pipe_moore_lewis,
     "pipe_curate_v5" -> pipe_curate_v5,
+    "pipe_span_corrupt" -> pipe_span_corrupt,
     "pipe_lm_terciles" -> pipe_lm_terciles,
     "pipe_lm_trigram" -> pipe_lm_trigram,
     "pipe_bpe_step" -> pipe_bpe_step,
@@ -2765,6 +2781,41 @@ object PipelineQueries {
          |  coalesce(sc.nll_q, 0) <= coalesce(sc.n_bigrams, 0) * $PerBigramNllQ
          |    AS keep
          |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    // span corruption: sentinel numbering restated via the same
+    // masked-block window; assembly by ordered string_agg with FILTER
+    "pipe_span_corrupt" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |e AS (
+         |  SELECT doc_id, pos, toks[pos + 1] AS tok, pos // 3 AS blk
+         |  FROM (SELECT doc_id, toks, unnest(range(len(toks))) AS pos FROM t)),
+         |em AS (
+         |  SELECT e.*,
+         |    CAST(('0x' || substr(md5('sc:' || CAST(doc_id AS VARCHAR) || ':' ||
+         |      CAST(blk AS VARCHAR)), 1, 15)) AS BIGINT) % 7 = 0 AS masked
+         |  FROM e),
+         |mb AS (
+         |  SELECT doc_id, blk,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY blk) AS sent
+         |  FROM (SELECT DISTINCT doc_id, blk FROM em WHERE masked)),
+         |j AS (
+         |  SELECT em.doc_id, em.pos, em.tok, mb.sent
+         |  FROM em LEFT JOIN mb ON mb.doc_id = em.doc_id AND mb.blk = em.blk),
+         |agg AS (
+         |  SELECT doc_id,
+         |    string_agg(CASE WHEN sent IS NULL THEN tok
+         |        ELSE '<X_' || sent || '>' END, ' ' ORDER BY pos)
+         |      FILTER (WHERE sent IS NULL OR pos % 3 = 0) AS input,
+         |    string_agg(CASE WHEN pos % 3 = 0
+         |        THEN '<X_' || sent || '> ' || tok ELSE tok END, ' ' ORDER BY pos)
+         |      FILTER (WHERE sent IS NOT NULL) AS target,
+         |    CAST(count(*) FILTER (WHERE sent IS NOT NULL) AS BIGINT) AS n_masked
+         |  FROM j GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(agg.input, '') AS input,
+         |  coalesce(agg.target, '') AS target,
+         |  coalesce(agg.n_masked, 0) AS n_masked
+         |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
     // Moore-Lewis: the in-domain chain is lmScoreCtesSql verbatim; the
     // general-model chain reuses its t/bg/dg tables with all-rows counts

@@ -1250,4 +1250,34 @@ class PipelineSpec extends AnyFunSuite {
         s"$l keep rate $rate not separated from en ${byLang("en")}")
     }
   }
+  test("span corruption round-trips: substituting targets back reconstructs the original") {
+    val out = PipelineQueries.pipe_span_corrupt(spark, sf).collect()
+    val orig = Graft.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val toks = "[\\p{L}\\p{N}]+".r
+          .findAllIn(Option(r.getString(1)).getOrElse("").toLowerCase)
+          .filter(_.length <= 40).toList
+        r.getLong(0) -> toks.mkString(" ")
+      }.toMap
+    var masked = 0L; var total = 0L
+    out.foreach { r =>
+      val (id, input, target) =
+        (r.getLong(0), r.getString(1), r.getString(2))
+      val spans = "<X_(\\d+)>((?: [^< ]+)*)".r.findAllMatchIn(target)
+        .map(m => m.group(1).toInt -> m.group(2).trim).toMap
+      val rebuilt = input.split(" ").toSeq.filter(_.nonEmpty).flatMap { t =>
+        "<X_(\\d+)>".r.findFirstMatchIn(t) match {
+          case Some(m) =>
+            spans(m.group(1).toInt).split(" ").toSeq.filter(_.nonEmpty)
+          case None => Seq(t)
+        }
+      }.mkString(" ")
+      assert(rebuilt == orig(id), s"doc $id: $rebuilt != ${orig(id)}")
+      masked += r.getLong(3)
+      total += orig(id).split(" ").count(_.nonEmpty)
+    }
+    val noise = masked.toDouble / total
+    assert(noise > 0.05 && noise < 0.25, s"noise density $noise out of band")
+  }
 }
