@@ -48,7 +48,7 @@ object Dedup {
     * `sequence()` runs DESCENDING on a negative span and would
     * element_at(toks, 0) under ANSI mode; callers must not need to know
     * that. */
-  private[ops] def gramArray(toks: Column, n: Int): Column =
+  private[graft] def gramArray(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ",

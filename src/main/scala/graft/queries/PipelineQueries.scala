@@ -1236,6 +1236,43 @@ object PipelineQueries {
       .orderBy(col("word"))
   }
 
+  /** Hard-negative mining for contrastive training (the DPR/retrieval
+    * recipe): for each query document, candidates that are LEXICALLY
+    * close (shared 5-gram shingles, the prefix-filterable signal) but
+    * NOT among its exact semantic top-10 — the lexically-confusable,
+    * semantically-distant examples a bi-encoder learns the most from.
+    * The lexical arm counts shared distinct token 3-grams (3, not the
+    * dedup tier's 5: confusability needs a DENSE signal — 5-gram df ≤ 3
+    * here yields 2 candidate pairs corpus-wide, a degenerate gate; at
+    * 100 TB the posting join takes the AllPairs prefix filter or LSH
+    * banding exactly as the dedup tier does). Semantic truth is
+    * [[graft.ops.Ann.brute]] (the oracle-able stand-in for the trained
+    * IVF tier); the negatives are a per-query anti-join of two top-10
+    * lists. Output: (qid, neg_id, shared, lex_rank). */
+  val pipe_hard_negatives: Q = (s, dir) => {
+    val ex = tokenized(s, dir)
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(Dedup.gramArray(col("toks"), 3))).as("s"))
+    val qp = ex.where(col("doc_id") < 20).select(col("doc_id").as("qid"), col("s"))
+      .join(ex.select(col("doc_id").as("cand"), col("s")), Seq("s"))
+      .where(col("cand") =!= col("qid"))
+      .groupBy(col("qid"), col("cand")).agg(count(lit(1)).as("shared"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("shared").desc, col("cand").asc)
+    val lex = qp.withColumn("lex_rank", row_number().over(w))
+      .where(col("lex_rank") <= 10)
+    val e = corpus(s, dir)
+    val sem = Ann.brute(
+        e.where(col("vid") < 20).select(col("vid").as("qid"), col("v").as("qv")),
+        e.select(col("vid"), col("v")), k = 10)
+      .select(col("qid"), col("neighbor").as("cand"))
+    lex.join(sem, Seq("qid", "cand"), "left_anti")
+      .select(col("qid"), col("cand").as("neg_id"), col("shared"),
+        col("lex_rank"))
+      .orderBy(col("qid"), col("lex_rank"))
+  }
+
   /** T5 span corruption over the corpus
     * ([[graft.ops.TextAnalysis.spanCorrupt]]): 3-token blocks masked at
     * a deterministic 1-in-7 hash rate (≈ the paper's 15% noise density),
@@ -1860,6 +1897,7 @@ object PipelineQueries {
     "pipe_moore_lewis" -> pipe_moore_lewis,
     "pipe_curate_v5" -> pipe_curate_v5,
     "pipe_span_corrupt" -> pipe_span_corrupt,
+    "pipe_hard_negatives" -> pipe_hard_negatives,
     "pipe_lm_terciles" -> pipe_lm_terciles,
     "pipe_lm_trigram" -> pipe_lm_trigram,
     "pipe_bpe_step" -> pipe_bpe_step,
@@ -2782,6 +2820,40 @@ object PipelineQueries {
          |    AS keep
          |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // hard negatives: lexical top-10 by shared shingles, anti-joined
+    // against the exact semantic top-10 per query
+    "pipe_hard_negatives" ->
+      s"""WITH ex AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks) - 2),
+         |    i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])))) AS s
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+         |  WHERE len(toks) >= 3),
+         |qp AS (
+         |  SELECT q.doc_id AS qid, c.doc_id AS cand, count(*) AS shared
+         |  FROM ex q JOIN ex c ON q.s = c.s AND c.doc_id <> q.doc_id
+         |  WHERE q.doc_id < 20
+         |  GROUP BY qid, cand),
+         |lex AS (
+         |  SELECT qid, cand, shared, lex_rank FROM (
+         |    SELECT qid, cand, shared,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY shared DESC, cand ASC) AS lex_rank
+         |    FROM qp)
+         |  WHERE lex_rank <= 10),
+         |sem AS (
+         |  SELECT qid, cand FROM (
+         |    SELECT q.vec_id AS qid, e.vec_id AS cand,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+         |                 e.vec_id ASC) AS rank
+         |    FROM embeddings q CROSS JOIN embeddings e
+         |    WHERE q.vec_id < 20 AND e.vec_id <> q.vec_id)
+         |  WHERE rank <= 10)
+         |SELECT l.qid, l.cand AS neg_id, CAST(l.shared AS BIGINT) AS shared,
+         |  l.lex_rank
+         |FROM lex l LEFT JOIN sem s ON s.qid = l.qid AND s.cand = l.cand
+         |WHERE s.cand IS NULL
+         |ORDER BY l.qid, l.lex_rank""".stripMargin,
     // span corruption: sentinel numbering restated via the same
     // masked-block window; assembly by ordered string_agg with FILTER
     "pipe_span_corrupt" ->

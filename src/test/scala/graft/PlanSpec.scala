@@ -417,7 +417,8 @@ class PlanSpec extends AnyFunSuite {
       "dedup_simhash_recall" -> "three 1-row count scalars cross-joined into the report row",
       "dedup_semantic_recall" -> "brute-force truth tier (declared O(n^2) diagnostic) + 1-row scalars",
       "text_tfidf_top" -> "1-row corpus-size scalar attach (idf denominator)",
-      "pipe_hybrid_rrf" -> "semantic arm = Ann.brute with a 1-query broadcast side"
+      "pipe_hybrid_rrf" -> "semantic arm = Ann.brute with a 1-query broadcast side",
+      "pipe_hard_negatives" -> "semantic truth arm = Ann.brute (20-query broadcast side)"
     )
     val sfDir = "/root/testdata/sf0.001"
     // planning failure is tracked SEPARATELY from the cartesian flag: a
