@@ -479,4 +479,41 @@ object TextAnalysis {
         coalesce(col("target"), lit("")).as("target"),
         coalesce(col("n_masked"), lit(0L)).as("n_masked"))
   }
+  /** Fill-in-the-middle transformation (Bavarian et al. 2022, "Efficient
+    * Training of Language Models to Fill in the Middle") — the second
+    * objective-preparation op next to [[spanCorrupt]]: a deterministic
+    * hash coin selects `1/fimDen` of documents for FIM; each selected
+    * document's token stream splits at two hash-chosen cut points into
+    * (prefix, middle, suffix) and re-serializes in PSM order
+    * `<PRE> p <SUF> s <MID> m`, teaching the model to infill; unselected
+    * documents pass through verbatim (the paper's joint objective). All
+    * three hash draws key on the id — reproducible across engines,
+    * epochs, and resumes, like every sampling decision in this module.
+    * Map-only: slicing and re-serialization are per-row HOFs; nothing
+    * shuffles. Output: (id, fim, out). */
+  def fimTransform(tokenized: DataFrame, id: Column, toks: Column,
+      fimDen: Long): DataFrame = {
+    val t = tokenized.select(id.as("id"), toks.as("toks"))
+      .withColumn("len", size(col("toks")).cast("long"))
+      .withColumn("fim",
+        Hashing.h64(concat(lit("fim:"), col("id").cast("string"))) % fimDen === 0)
+      .withColumn("c1",
+        Hashing.h64(concat(lit("fim1:"), col("id").cast("string"))) % (col("len") + 1))
+      .withColumn("c2",
+        Hashing.h64(concat(lit("fim2:"), col("id").cast("string"))) % (col("len") + 1))
+      .withColumn("lo", least(col("c1"), col("c2")).cast("int"))
+      .withColumn("hi", greatest(col("c1"), col("c2")).cast("int"))
+    t.select(col("id"), col("fim"),
+      when(!col("fim"), array_join(col("toks"), " "))
+        .otherwise(concat(
+          lit("<PRE> "),
+          array_join(slice(col("toks"), lit(1), col("lo")), " "),
+          lit(" <SUF> "),
+          array_join(slice(col("toks"), col("hi") + 1,
+            size(col("toks")) - col("hi")), " "),
+          lit(" <MID> "),
+          array_join(slice(col("toks"), col("lo") + 1, col("hi") - col("lo")),
+            " ")))
+        .as("out"))
+  }
 }

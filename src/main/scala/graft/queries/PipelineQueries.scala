@@ -1288,6 +1288,18 @@ object PipelineQueries {
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
 
+  /** Fill-in-the-middle transformation
+    * ([[graft.ops.TextAnalysis.fimTransform]]): half the corpus (hash
+    * coin on doc_id) re-serialized in PSM order at two hash-chosen cut
+    * points, the rest passing through verbatim — [[pipe_span_corrupt]]'s
+    * sibling for infilling objectives. Map-only. */
+  val pipe_fim_transform: Q = (s, dir) =>
+    TextAnalysis.fimTransform(
+      docs(s, dir).select(col("doc_id"), tokenizeDefault(col("text")).as("toks")),
+      col("doc_id"), col("toks"), fimDen = 2L)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
   /** Trained WordPiece model per (session, dir) — merge-table rows (a
     * model artifact, 4 rows) plus the checkpointed word-frequency table,
     * memoized so the train gate and the apply gate share ONE training
@@ -1898,6 +1910,7 @@ object PipelineQueries {
     "pipe_curate_v5" -> pipe_curate_v5,
     "pipe_span_corrupt" -> pipe_span_corrupt,
     "pipe_hard_negatives" -> pipe_hard_negatives,
+    "pipe_fim_transform" -> pipe_fim_transform,
     "pipe_lm_terciles" -> pipe_lm_terciles,
     "pipe_lm_trigram" -> pipe_lm_trigram,
     "pipe_bpe_step" -> pipe_bpe_step,
@@ -2820,6 +2833,29 @@ object PipelineQueries {
          |    AS keep
          |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // FIM: the PSM re-serialization restated with list slicing; all
+    // three hash draws key on doc_id alone
+    "pipe_fim_transform" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |x AS (
+         |  SELECT doc_id, toks, len(toks) AS L,
+         |    CAST(('0x' || substr(md5('fim:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |      % 2 = 0 AS fim,
+         |    CAST(('0x' || substr(md5('fim1:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |      % (len(toks) + 1) AS c1,
+         |    CAST(('0x' || substr(md5('fim2:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |      % (len(toks) + 1) AS c2
+         |  FROM t),
+         |y AS (SELECT doc_id, toks, fim, L,
+         |        LEAST(c1, c2) AS lo, GREATEST(c1, c2) AS hi FROM x)
+         |SELECT doc_id, fim,
+         |  -- array_to_string of an empty list is NULL in DuckDB where
+         |  -- Spark's array_join is '' -- coalesce every slice
+         |  CASE WHEN NOT fim THEN coalesce(array_to_string(toks, ' '), '')
+         |  ELSE '<PRE> ' || coalesce(array_to_string(toks[1:lo], ' '), '') ||
+         |       ' <SUF> ' || coalesce(array_to_string(toks[hi+1:L], ' '), '') ||
+         |       ' <MID> ' || coalesce(array_to_string(toks[lo+1:hi], ' '), '') END AS out
+         |FROM y ORDER BY doc_id""".stripMargin,
     // hard negatives: lexical top-10 by shared shingles, anti-joined
     // against the exact semantic top-10 per query
     "pipe_hard_negatives" ->

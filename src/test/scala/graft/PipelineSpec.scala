@@ -1280,4 +1280,32 @@ class PipelineSpec extends AnyFunSuite {
     val noise = masked.toDouble / total
     assert(noise > 0.05 && noise < 0.25, s"noise density $noise out of band")
   }
+  test("FIM transform round-trips: prefix + middle + suffix reassemble the original") {
+    val out = PipelineQueries.pipe_fim_transform(spark, sf).collect()
+    val orig = Graft.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val toks = "[\\p{L}\\p{N}]+".r
+          .findAllIn(Option(r.getString(1)).getOrElse("").toLowerCase)
+          .filter(_.length <= 40).toList
+        r.getLong(0) -> toks.mkString(" ")
+      }.toMap
+    var fimmed = 0
+    out.foreach { r =>
+      val (id, fim, o) = (r.getLong(0), r.getBoolean(1), r.getString(2))
+      if (!fim) assert(o == orig(id))
+      else {
+        fimmed += 1
+        val m = "<PRE> (.*) <SUF> (.*) <MID> (.*)".r
+          .findFirstMatchIn(o + " ").orElse(
+            "<PRE> (.*) <SUF> (.*) <MID>(.*)".r.findFirstMatchIn(o))
+        assert(m.isDefined, s"doc $id: bad PSM shape: $o")
+        val Seq(p, sfx, mid) = m.get.subgroups.map(_.trim)
+        val joined = Seq(p, mid, sfx).filter(_.nonEmpty).mkString(" ")
+        assert(joined == orig(id), s"doc $id: $joined != ${orig(id)}")
+      }
+    }
+    // hash coin: roughly half the corpus transforms
+    assert(fimmed > out.length / 3 && fimmed < 2 * out.length / 3, fimmed)
+  }
 }
