@@ -54,6 +54,37 @@ object SketchQueries {
       .orderBy(col("grp"))
   }
 
+  /** Event-time windowed HLL: distinct event ids per ISO week of the
+    * events stream, plus the `__all__` roll-up — the datasheet shape
+    * where per-window partial sketches max-merge into the period total
+    * without revisiting events (exactly what the streaming foreachBatch
+    * form in StreamingAggSpec maintains incrementally). Weekly, not
+    * daily, windows: ~2.3k ids/week keeps the RAW estimate in its valid
+    * regime (n > 2.5m = 640); below that the reported `v_empty` feeds
+    * linear counting consumer-side (see [[graft.ops.Sketch]]). */
+  val sketch_hll_window: Q = (s, dir) => {
+    val ev = graft.Graft.events(s, dir)
+    val keyed = ev.select(
+      date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("grp"),
+      col("event_id").cast("string").as("k"))
+    val regs = Sketch.hllRegisters(keyed, col("grp"), col("k"))
+      .localCheckpoint(eager = false) // two consumers: per-week + roll-up
+    val merged = regs.groupBy(col("bucket")).agg(max(col("m")).as("m"))
+      .select(lit("__all__").as("grp"), col("bucket"), col("m"))
+    val est = Sketch.hllEstimate(regs.unionByName(merged))
+    val exact = ev
+      .groupBy(date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("grp"))
+      .agg(countDistinct(col("event_id")).as("exact_distinct"))
+      .unionByName(ev.agg(countDistinct(col("event_id")).as("exact_distinct"))
+        .select(lit("__all__").as("grp"), col("exact_distinct")))
+    est.join(exact, "grp")
+      .select(col("grp"), col("v_empty"), col("est_distinct"),
+        col("exact_distinct"),
+        expr("CAST(abs(est_distinct - exact_distinct) * 1000000" +
+          " DIV exact_distinct AS BIGINT)").as("err_ppm"))
+      .orderBy(col("grp"))
+  }
+
   private val CmsDepth = 4
   private val CmsWidth = 256
 
@@ -90,6 +121,7 @@ object SketchQueries {
 
   val all: Map[String, Q] = Map(
     "sketch_hll" -> sketch_hll,
+    "sketch_hll_window" -> sketch_hll_window,
     "sketch_cms_topk" -> sketch_cms_topk
   )
 
@@ -123,6 +155,39 @@ object SketchQueries {
          |  FROM lineitem GROUP BY 1
          |  UNION ALL
          |  SELECT '__all__', count(DISTINCT l_orderkey) FROM lineitem)
+         |SELECT est.grp, v_empty, est_distinct, exact_distinct,
+         |  CAST(abs(est_distinct - exact_distinct) * 1000000 // exact_distinct
+         |    AS BIGINT) AS err_ppm
+         |FROM est JOIN ex ON est.grp = ex.grp
+         |ORDER BY est.grp""".stripMargin,
+    "sketch_hll_window" ->
+      s"""WITH k AS (
+         |  SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS grp,
+         |    CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |  FROM events),
+         |b AS (SELECT grp, h // 4503599627370496 AS bucket,
+         |             h % 4503599627370496 AS r FROM k),
+         |regs AS (
+         |  SELECT grp, bucket,
+         |    max(CASE WHEN r = 0 THEN 53 ELSE 53 - length(bin(r)) END) AS m
+         |  FROM b GROUP BY grp, bucket),
+         |allregs AS (
+         |  SELECT grp, bucket, m FROM regs
+         |  UNION ALL
+         |  SELECT '__all__' AS grp, bucket, max(m) AS m FROM regs GROUP BY bucket),
+         |est AS (
+         |  SELECT grp, 256 - count(*) AS v_empty,
+         |    CAST(floor($hllNumerSql / CAST(
+         |      (256 - count(*)) * 9007199254740992 +
+         |      CAST(sum(1::BIGINT << CAST(53 - m AS INT)) AS BIGINT)
+         |    AS DOUBLE)) AS BIGINT) AS est_distinct
+         |  FROM allregs GROUP BY grp),
+         |ex AS (
+         |  SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS grp,
+         |    count(DISTINCT event_id) AS exact_distinct
+         |  FROM events GROUP BY 1
+         |  UNION ALL
+         |  SELECT '__all__', count(DISTINCT event_id) FROM events)
          |SELECT est.grp, v_empty, est_distinct, exact_distinct,
          |  CAST(abs(est_distinct - exact_distinct) * 1000000 // exact_distinct
          |    AS BIGINT) AS err_ppm
