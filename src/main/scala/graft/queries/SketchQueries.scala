@@ -11,9 +11,9 @@ import graft.ops.Sketch
   * whose state is constant-size and mergeable — what a 100 TB datasheet
   * pass actually runs when exact `COUNT(DISTINCT)` (a full shuffle of every
   * key) and exact frequency tables (vocabulary-sized state) stop being
-  * affordable per split. Both gates REPORT the sketch error against the
-  * exact answer on the same fixture — measured, not assumed, in the same
-  * spirit as the dedup/ANN recall gates.
+  * affordable per split. Every gate REPORTS the sketch error against
+  * the exact answer on the same fixture — measured, not assumed, in the
+  * same spirit as the dedup/ANN recall gates.
   *
   * Determinism: registers and counters derive from [[graft.ops.Hashing.h64]]
   * md5 prefixes and pure integer arithmetic (see [[graft.ops.Sketch]]), so
