@@ -1288,6 +1288,30 @@ object PipelineQueries {
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
 
+  /** Integer PageRank over a synthesized link graph
+    * ([[graft.ops.Graphs.pageRank]]): each document links to two
+    * hash-chosen targets (self-loops dropped, edges deduped — the
+    * [[text_domains]] synthesized-structure pattern, since the fixture
+    * has no real links), three exact-integer power iterations, every
+    * node's final rank emitted. The crawl-curation authority signal
+    * (host ranking) as the iterative-graph tier next to
+    * [[dedup_cluster_canon]]'s label propagation; the oracle unrolls
+    * all three iterations. */
+  val pipe_pagerank: Q = (s, dir) => {
+    val d = docs(s, dir).select(col("doc_id"))
+    val nDocs = d.count()
+    val targets = Seq("e1", "e2").map { salt =>
+      d.select(col("doc_id").as("src"),
+        (h64(concat(lit(s"$salt:"), col("doc_id").cast("string"))) % nDocs)
+          .as("dst"))
+    }.reduce(_ unionByName _)
+    val edges = targets.where(col("dst") =!= col("src")).distinct()
+    graft.ops.Graphs.pageRank(d.select(col("doc_id").as("id")), edges,
+        iterations = 3)
+      .select(col("id").as("doc_id"), col("rank_q"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Fill-in-the-middle transformation
     * ([[graft.ops.TextAnalysis.fimTransform]]): half the corpus (hash
     * coin on doc_id) re-serialized in PSM order at two hash-chosen cut
@@ -1911,6 +1935,7 @@ object PipelineQueries {
     "pipe_span_corrupt" -> pipe_span_corrupt,
     "pipe_hard_negatives" -> pipe_hard_negatives,
     "pipe_fim_transform" -> pipe_fim_transform,
+    "pipe_pagerank" -> pipe_pagerank,
     "pipe_lm_terciles" -> pipe_lm_terciles,
     "pipe_lm_trigram" -> pipe_lm_trigram,
     "pipe_bpe_step" -> pipe_bpe_step,
@@ -2833,6 +2858,38 @@ object PipelineQueries {
          |    AS keep
          |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // PageRank: three unrolled integer power iterations; the damping
+    // arithmetic (150000 + (85*inflow)//100) and truncating per-degree
+    // division restate the Spark expressions exactly
+    "pipe_pagerank" -> {
+      def iter(i: Int) =
+        s"""inf$i AS (
+           |  SELECT e.dst AS id, CAST(sum(r.rank_q // e.deg) AS BIGINT) AS inflow
+           |  FROM e JOIN r${i - 1} r ON r.id = e.src GROUP BY e.dst),
+           |r$i AS (
+           |  SELECT d.doc_id AS id,
+           |    CAST(150000 + (85 * coalesce(inf.inflow, 0)) // 100 AS BIGINT) AS rank_q
+           |  FROM documents d LEFT JOIN inf$i inf ON inf.id = d.doc_id)""".stripMargin
+      s"""WITH ed AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT doc_id AS src,
+         |      CAST(('0x' || substr(md5('e1:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |        % (SELECT count(*) FROM documents) AS dst
+         |    FROM documents
+         |    UNION ALL
+         |    SELECT doc_id AS src,
+         |      CAST(('0x' || substr(md5('e2:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |        % (SELECT count(*) FROM documents) AS dst
+         |    FROM documents)
+         |  WHERE dst <> src),
+         |deg AS (SELECT src, count(*) AS deg FROM ed GROUP BY src),
+         |e AS (SELECT ed.src, ed.dst, deg.deg FROM ed JOIN deg USING (src)),
+         |r0 AS (SELECT doc_id AS id, CAST(1000000 AS BIGINT) AS rank_q FROM documents),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)}
+         |SELECT id AS doc_id, rank_q FROM r3 ORDER BY doc_id""".stripMargin
+    },
     // FIM: the PSM re-serialization restated with list slicing; all
     // three hash draws key on doc_id alone
     "pipe_fim_transform" ->

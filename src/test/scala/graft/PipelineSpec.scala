@@ -1308,4 +1308,24 @@ class PipelineSpec extends AnyFunSuite {
     // hash coin: roughly half the corpus transforms
     assert(fimmed > out.length / 3 && fimmed < 2 * out.length / 3, fimmed)
   }
+  test("integer PageRank: hand-computed star graph, fixed point, and mass conservation") {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    // star: 2->1, 3->1, 1->2
+    val edges = Seq((2L, 1L), (3L, 1L), (1L, 2L)).toDF("src", "dst")
+    val r1 = graft.ops.Graphs.pageRank(nodes, edges, iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1L -> 1850000L, 2L -> 1000000L, 3L -> 150000L), r1)
+    // a 2-cycle is the uniform fixed point at any iteration count
+    val cyc = graft.ops.Graphs.pageRank(
+      Seq(1L, 2L).toDF("id"), Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"),
+      iterations = 4).collect().map(_.getLong(1))
+    assert(cyc.forall(_ == 1000000L), cyc.toSeq)
+    // corpus-scale mass: truncating division only ever loses mass, and
+    // dangling losses are bounded -- mean stays within 1% of 10^6
+    val pr = PipelineQueries.pipe_pagerank(spark, sf).collect().map(_.getLong(1))
+    val mean = pr.sum / pr.length
+    assert(math.abs(mean - 1000000L) < 10000, s"mean rank $mean")
+    assert(pr.min >= 150000L, "floor is the damping constant")
+  }
 }
