@@ -1288,6 +1288,28 @@ object PipelineQueries {
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
 
+  /** Weighted sampling WITHOUT replacement, k=20, weight = document
+    * length (Efraimidis–Spirakis 2006 via the exponential race: draw
+    * u_i from the doc's hash, the winner set is the k SMALLEST
+    * `-ln(u_i)/w_i`). Deterministic form of "sample k docs proportional
+    * to length": the exponential variate is quantized once
+    * (`floor(-ln((h+1)/2^60)·10^6)`, the module's ln discipline) and
+    * divided by the weight with truncating DIV — integers end to end,
+    * ties on doc_id. One map pass + a TakeOrdered k-cut; rerunning on a
+    * grown corpus preserves every surviving doc's key (hash, not
+    * rand()), which is what makes the sample resumable. */
+  val pipe_weighted_sample: Q = (s, dir) => {
+    val keyed = docs(s, dir).select(col("doc_id"), col("n_chars"))
+      .withColumn("eq",
+        floor(-log((h64(concat(lit("ws:"), col("doc_id").cast("string"))) + 1)
+          .cast("double") / lit(1.152921504606846976e18)) * 1e6).cast("long"))
+      .withColumn("key_q", expr("eq DIV n_chars"))
+    val w = Window.orderBy(col("key_q").asc, col("doc_id").asc)
+    keyed.orderBy(col("key_q").asc, col("doc_id").asc).limit(20)
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("doc_id"), col("n_chars"), col("key_q"))
+  }
+
   /** Integer PageRank over a synthesized link graph
     * ([[graft.ops.Graphs.pageRank]]): each document links to two
     * hash-chosen targets (self-loops dropped, edges deduped — the
@@ -1936,6 +1958,7 @@ object PipelineQueries {
     "pipe_hard_negatives" -> pipe_hard_negatives,
     "pipe_fim_transform" -> pipe_fim_transform,
     "pipe_pagerank" -> pipe_pagerank,
+    "pipe_weighted_sample" -> pipe_weighted_sample,
     "pipe_lm_terciles" -> pipe_lm_terciles,
     "pipe_lm_trigram" -> pipe_lm_trigram,
     "pipe_bpe_step" -> pipe_bpe_step,
@@ -2858,6 +2881,20 @@ object PipelineQueries {
          |    AS keep
          |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // A-ES weighted sampling: the exponential-race keys restated with
+    // identical quantization and truncating division
+    "pipe_weighted_sample" ->
+      """WITH k AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(floor(-ln(
+        |      CAST(CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1 AS DOUBLE)
+        |      / 1.152921504606846976e18) * 1e6) AS BIGINT) AS eq
+        |  FROM documents),
+        |s AS (SELECT doc_id, n_chars, eq // n_chars AS key_q FROM k
+        |      ORDER BY key_q ASC, doc_id ASC LIMIT 20)
+        |SELECT row_number() OVER (ORDER BY key_q ASC, doc_id ASC) AS rank,
+        |  doc_id, n_chars, CAST(key_q AS BIGINT) AS key_q
+        |FROM s ORDER BY rank""".stripMargin,
     // PageRank: three unrolled integer power iterations; the damping
     // arithmetic (150000 + (85*inflow)//100) and truncating per-degree
     // division restate the Spark expressions exactly

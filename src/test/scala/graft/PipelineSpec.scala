@@ -1328,4 +1328,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(mean - 1000000L) < 10000, s"mean rank $mean")
     assert(pr.min >= 150000L, "floor is the damping constant")
   }
+  test("weighted sampling: length-biased winners, deterministic across runs") {
+    val a = PipelineQueries.pipe_weighted_sample(spark, sf).collect().toSeq
+    val b = PipelineQueries.pipe_weighted_sample(spark, sf).collect().toSeq
+    assert(a == b, "hash-keyed sampling must be run-stable")
+    assert(a.length == 20)
+    val winnerMean = a.map(_.getAs[Long]("n_chars")).sum.toDouble / a.length
+    val corpusMean = Graft.table(spark, sf, "documents")
+      .agg(avg(col("n_chars"))).collect()(0).getDouble(0)
+    assert(winnerMean > corpusMean,
+      s"length-weighted winners must skew long: $winnerMean vs $corpusMean")
+  }
 }
