@@ -1328,15 +1328,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(mean - 1000000L) < 10000, s"mean rank $mean")
     assert(pr.min >= 150000L, "floor is the damping constant")
   }
-  test("weighted sampling: length-biased winners, deterministic across runs") {
+  test("weighted sampling: winners are exactly the k smallest race keys, run-stable") {
     val a = PipelineQueries.pipe_weighted_sample(spark, sf).collect().toSeq
     val b = PipelineQueries.pipe_weighted_sample(spark, sf).collect().toSeq
     assert(a == b, "hash-keyed sampling must be run-stable")
     assert(a.length == 20)
-    val winnerMean = a.map(_.getAs[Long]("n_chars")).sum.toDouble / a.length
-    val corpusMean = Graft.table(spark, sf, "documents")
-      .agg(avg(col("n_chars"))).collect()(0).getDouble(0)
-    assert(winnerMean > corpusMean,
-      s"length-weighted winners must skew long: $winnerMean vs $corpusMean")
+    // independent reference: recompute every doc's exponential-race key
+    // with java MessageDigest and take the 20 smallest -- the exact
+    // semantics, robust where a 20-doc mean comparison is pure noise
+    val want = Graft.table(spark, sf, "documents")
+      .select(col("doc_id"), col("n_chars")).collect().map { r =>
+        val (id, w) = (r.getLong(0), r.getLong(1))
+        val h = java.lang.Long.parseLong(
+          graft.ops.Hashing.md5Hex(s"ws:$id", 8).take(15), 16)
+        val eq = math.floor(-math.log((h + 1).toDouble / 1.152921504606846976e18) * 1e6).toLong
+        (eq / w, id)
+      }.sorted.take(20).map(_._2).toSeq
+    assert(a.map(_.getAs[Long]("doc_id")) == want,
+      "winner set must equal the independently recomputed k smallest keys")
   }
 }
