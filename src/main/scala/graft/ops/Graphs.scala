@@ -36,23 +36,30 @@ object Graphs {
       iterations: Int): DataFrame = {
     require(iterations > 0, s"iterations must be positive, got $iterations")
     val n = nodes.select(col("id")).localCheckpoint(eager = false)
-    // degree attach is a src-keyed join computed ONCE (the snapshot is
-    // what every iteration re-reads); the degree table is |V|-sized, so
-    // it shuffles rather than broadcasts — AQE may still broadcast small
-    // graphs on its own
-    val e = edges.select(col("src"), col("dst"))
-      .join(edges.groupBy(col("src")).agg(count(lit(1)).as("deg")), Seq("src"))
+    // snapshot the caller's edge plan ONCE (it feeds both the edge list
+    // and the degree aggregate — the module self-join rule), then attach
+    // degrees by a src-keyed join computed once; the degree table is
+    // |V|-sized, so it shuffles rather than broadcasts — AQE may still
+    // broadcast small graphs on its own
+    val ed = edges.select(col("src"), col("dst")).localCheckpoint(eager = false)
+    val e = ed
+      .join(ed.groupBy(col("src")).agg(count(lit(1)).as("deg")), Seq("src"))
       .localCheckpoint(eager = false) // consumed once per iteration
     var ranks = n.withColumn("rank_q", lit(1000000L))
     for (_ <- 1 to iterations) {
       val inflow = e.join(ranks.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"), expr("rank_q DIV deg").as("contrib"))
         .groupBy(col("id")).agg(sum(col("contrib")).as("inflow"))
+      // snapshot each round's vector: without the cut, iteration i's plan
+      // nests i copies of the join+aggregate and analysis cost compounds
+      // with caller-chosen iteration counts (the iterate-then-checkpoint
+      // discipline every loop in graft.ops follows)
       ranks = n.join(inflow, Seq("id"), "left")
         .select(col("id"),
           (lit(150000L) +
             expr("(85 * coalesce(inflow, CAST(0 AS BIGINT))) DIV 100"))
             .as("rank_q"))
+        .localCheckpoint(eager = false)
     }
     ranks
   }

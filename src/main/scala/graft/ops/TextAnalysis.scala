@@ -447,7 +447,10 @@ object TextAnalysis {
     * nothing corpus-global. Output: (id, input, target, n_masked). */
   def spanCorrupt(tokenized: DataFrame, id: Column, toks: Column,
       span: Int, modDen: Long): DataFrame = {
+    // two consumers (the exploded stream + the final id join) — snapshot,
+    // per the module self-join rule
     val t = tokenized.select(id.as("id"), toks.as("toks"))
+      .localCheckpoint(eager = false)
     val e = t
       .select(col("id"), posexplode(col("toks")).as(Seq("pos", "tok")))
       .withColumn("blk", expr(s"pos DIV $span"))

@@ -1250,10 +1250,13 @@ object PipelineQueries {
     * IVF tier); the negatives are a per-query anti-join of two top-10
     * lists. Output: (qid, neg_id, shared, lex_rank). */
   val pipe_hard_negatives: Q = (s, dir) => {
+    // the 3-gram stream feeds both sides of the posting self-join —
+    // snapshot so the explode runs once
     val ex = tokenized(s, dir)
       .where(size(col("toks")) >= 3)
       .select(col("doc_id"),
         explode(array_distinct(Dedup.gramArray(col("toks"), 3))).as("s"))
+      .localCheckpoint(eager = false)
     val qp = ex.where(col("doc_id") < 20).select(col("doc_id").as("qid"), col("s"))
       .join(ex.select(col("doc_id").as("cand"), col("s")), Seq("s"))
       .where(col("cand") =!= col("qid"))
