@@ -11,9 +11,10 @@ import org.yaml.snakeyaml.constructor.SafeConstructor
 import graft.functions.TextFunctions.tokenizeDefault
 
 /** The end-to-end training-data pipeline as ONE composable entry point —
-  * curate (Gopher quality keep) → exact dedup → optional Bloom
-  * decontamination → deterministic epoch shuffle → shard SINK with the
-  * manifest commit point. Every stage is an already-oracle-gated
+  * curate (Gopher quality keep) → exact dedup → optional per-source
+  * quota (two-pass) → optional Bloom decontamination → optional
+  * weighted-sample budget → deterministic epoch shuffle → shard SINK
+  * with the manifest commit point. Every stage is an already-oracle-gated
   * operator from this package ([[TextAnalysis.gopherKeep]],
   * [[Dedup.decontaminateBloom]], [[EpochShuffle.writeShards]]); this
   * object only sequences them and parses the YAML config the CLI's
@@ -42,6 +43,8 @@ object Pipeline {
       stopwords: Seq[String] =
         Seq("the", "a", "and", "of", "to", "in", "is"),
       benchmark: Option[String] = None, // JSONL blocklist for decontam
+      domainQuota: Option[Long] = None, // per-source doc cap (two-pass)
+      sampleK: Option[Int] = None,      // corpus budget: weighted sample
       shingleN: Int = 5,
       bloomBits: Int = 1 << 18,
       bloomHashes: Int = 3,
@@ -58,8 +61,8 @@ object Pipeline {
       .map(_.asScala.toMap).getOrElse(Map.empty[String, Object])
     val known = Set("input", "output", "text_field", "id_field",
       "source_field", "min_words", "max_words", "stopwords", "benchmark",
-      "shingle_n", "bloom_bits", "bloom_hashes", "seed",
-      "target_shard_size")
+      "domain_quota", "sample_k", "shingle_n", "bloom_bits",
+      "bloom_hashes", "seed", "target_shard_size")
     val unknown = root.keySet.diff(known)
     require(unknown.isEmpty, s"unknown pipeline config key(s): ${unknown.toList.sorted.mkString(", ")}")
     def str(k: String): Option[String] = root.get(k).map(_.toString)
@@ -77,6 +80,8 @@ object Pipeline {
         .map(_.asInstanceOf[java.util.List[Object]].asScala.toSeq.map(_.toString))
         .getOrElse(Seq("the", "a", "and", "of", "to", "in", "is")),
       benchmark = str("benchmark"),
+      domainQuota = str("domain_quota").map(_.toLong),
+      sampleK = str("sample_k").map(_.toInt),
       shingleN = int("shingle_n", 5),
       bloomBits = int("bloom_bits", 1 << 18),
       bloomHashes = int("bloom_hashes", 3),
@@ -109,10 +114,21 @@ object Pipeline {
       .withColumn("__rn", row_number().over(
         Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
       .where(col("__rn") === 1).drop("__rn")
+    // 2a. optional per-source cap — the hot-domain-safe two-pass quota
+    //     ([[Mixture.domainQuotaTwoPass]]): counts broadcast as hash
+    //     thresholds, map-side filter, exact rank over survivors only
+    val quotaed = cfg.domainQuota match {
+      case None => deduped
+      case Some(q) =>
+        val keep = Mixture
+          .domainQuotaTwoPass(deduped, col("doc_id"), col("source"), q)
+          .select(col("id").as("doc_id"))
+        deduped.join(keep, Seq("doc_id"))
+    }
     // 3. optional decontamination against a benchmark blocklist: filter
     //    built from the benchmark's shingles, corpus probes it map-side
     val survivors = cfg.benchmark match {
-      case None => deduped
+      case None => quotaed
       case Some(benchPath) =>
         val bench = spark.read.json(benchPath)
           .withColumn("text", col(cfg.textField).cast("string"))
@@ -124,17 +140,32 @@ object Pipeline {
             cfg.bloomBits, cfg.bloomHashes, minHits = 1L)
           .where(col("keep")).select(col("doc_id"))
         // inner join is safe: shingle-less docs get explicit keep rows
-        deduped.join(keep, Seq("doc_id"))
+        quotaed.join(keep, Seq("doc_id"))
+    }
+    // 3a. optional corpus budget: keep k docs by the exponential-race
+    //     weighted draw (weight = length) — deterministic and resumable,
+    //     the pipe_weighted_sample op inline
+    val budgeted = cfg.sampleK match {
+      case None => survivors
+      case Some(k) =>
+        survivors
+          .withColumn("__eq", floor(-log(
+            (Hashing.h64(concat(lit("ws:"), col("doc_id"))) + 1)
+              .cast("double") / lit(1.152921504606846976e18)) * 1e6)
+            .cast("long"))
+          .withColumn("__key", expr("__eq DIV greatest(length(text), 1)"))
+          .orderBy(col("__key").asc, col("doc_id").asc).limit(k)
+          .drop("__eq", "__key")
     }
     // 4. shuffle + shard sink: auto-sized count from a one-scalar census,
     //    manifest written last as the commit point
-    val total = survivors.agg(sum(length(col("text")).cast("long")))
+    val total = budgeted.agg(sum(length(col("text")).cast("long")))
       .first() match {
         case r if r.isNullAt(0) => 0L
         case r => r.getLong(0)
       }
     val numShards = EpochShuffle.shardCount(total, cfg.targetShardSize)
-    EpochShuffle.writeShards(survivors, col("doc_id"),
+    EpochShuffle.writeShards(budgeted, col("doc_id"),
       length(col("text")), cfg.seed, numShards, cfg.output)
   }
 }

@@ -107,4 +107,41 @@ class CliSpec extends AnyFunSuite {
     assert(m.agg(org.apache.spark.sql.functions.sum(col("n_docs")))
       .first().getLong(0) == 41)
   }
+  test("pipeline verb: quota and weighted-budget stages cap the corpus deterministically") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-pipe2").toString
+    val docs = (0 until 30).map { i =>
+      val words = (0 until 12).map(j => Seq("the", "quick", "brown", "fox",
+        "jumps", "over", "lazy", "dog", s"w$i", s"x${(i + j) % 7}")((i + j) % 10))
+      s"""{"id": $i, "src": "s${i % 3}", "text": "${words.mkString(" ")} of and to in is"}"""
+    }
+    Files.write(java.nio.file.Paths.get(s"$dir/corpus.jsonl"),
+      docs.mkString("\n").getBytes("UTF-8"))
+    Files.write(java.nio.file.Paths.get(s"$dir/pipe.yaml"),
+      s"""input: $dir/corpus.jsonl
+         |output: $dir/out
+         |id_field: id
+         |source_field: src
+         |min_words: 5
+         |domain_quota: 6
+         |sample_k: 10
+         |target_shard_size: 400
+         |""".stripMargin.getBytes("UTF-8"))
+    val root = Files.createTempDirectory("graft-cli3").toString
+    cli.Main.run(Array("pipeline", s"$dir/pipe.yaml"), spark,
+      new Catalog(root), root)
+    val data = spark.read.parquet(s"$dir/out/data")
+    // 30 docs -> quota 6 per 3 sources = 18 -> budget 10
+    assert(data.count() == 10, s"got ${data.count()}")
+    val ids1 = data.select(col("doc_id")).collect().map(_.getString(0)).toSet
+    // deterministic: a rerun lands the identical survivor set
+    cli.Main.run(Array("pipeline", s"$dir/pipe.yaml"), spark,
+      new Catalog(root), root)
+    val ids2 = spark.read.parquet(s"$dir/out/data")
+      .select(col("doc_id")).collect().map(_.getString(0)).toSet
+    assert(ids1 == ids2, "hash-keyed stages must reproduce across reruns")
+    val m = spark.read.parquet(s"$dir/out/manifest")
+    assert(m.agg(org.apache.spark.sql.functions.sum(col("n_docs")))
+      .first().getLong(0) == 10)
+  }
 }
