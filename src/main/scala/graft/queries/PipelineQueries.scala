@@ -545,6 +545,36 @@ object PipelineQueries {
       .where(col("n_docs") >= 2)
       .orderBy(col("phash"))
 
+  /** Scene-cut detection over the multimodal payload — the video
+    * shot-boundary pass: 8 fixed-offset frames ([[mm_frame_sample]]'s
+    * access pattern), a 16-bit perceptual hash per frame
+    * ([[graft.exprs.PHash16]] over the frame slice), and a cut wherever
+    * consecutive frames' Hamming distance ≥ 8 (the fixture's
+    * consecutive-frame distances center at 6, so both cut and no-cut
+    * paths exercise; a real decoder slots in before the hashing, same
+    * plumbing). Map-only per-row HOFs; output packs the cut positions
+    * into a 7-bit mask so the gate hashes exact transition structure,
+    * not just counts. */
+  val mm_scene_cuts: Q = (s, dir) => {
+    val F = 8
+    docs(s, dir)
+      .where(length(col("text")) >= F * 16)
+      .withColumn("flen", expr(s"length(text) DIV $F"))
+      .withColumn("ph", transform(sequence(lit(0), lit(F - 1)),
+        f => graft.exprs.PHash16.phash16(
+          col("text").substr(lit(1) + f * col("flen"), col("flen")))))
+      .withColumn("cut_mask", expr(
+        s"""aggregate(sequence(0, ${F - 2}), CAST(0 AS BIGINT),
+           |  (acc, f) -> acc + CASE
+           |    WHEN bit_count(element_at(ph, f + 1) ^ element_at(ph, f + 2)) >= 8
+           |    THEN shiftleft(CAST(1 AS BIGINT), f) ELSE CAST(0 AS BIGINT) END)"""
+          .stripMargin))
+      .select(col("doc_id"), lit(F.toLong).as("n_frames"),
+        expr("CAST(bit_count(cut_mask) AS BIGINT)").as("n_cuts"),
+        col("cut_mask"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Audio-shaped feature extraction over the multimodal payload: treat
     * the bytes as a waveform, emit integer energy (sum of squared
     * samples) per 32-sample window — the frame-energy profile a VAD or
@@ -1977,6 +2007,7 @@ object PipelineQueries {
     "text_pii_scrub" -> text_pii_scrub,
     "text_domains" -> text_domains,
     "mm_phash_buckets" -> mm_phash_buckets,
+    "mm_scene_cuts" -> mm_scene_cuts,
     "knn_lsh" -> knn_lsh,
     "mm_audio_energy" -> mm_audio_energy,
     "dedup_exact" -> dedup_exact,
@@ -4184,6 +4215,36 @@ object PipelineQueries {
         |          doc_id || ' and http://cdn.assets-' || (doc_id % 3) || '.net/x' AS raw
         |        FROM documents))
         |GROUP BY domain ORDER BY domain""".stripMargin,
+    // scene cuts: per-frame pHash restated from ord/substr arithmetic
+    // (absolute sample position = 1 + f*flen + (flen*i)//16), cuts by
+    // bit_count(xor) on consecutive frames
+    "mm_scene_cuts" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) // 8 AS flen
+        |  FROM documents WHERE length(text) >= 128),
+        |fr AS (
+        |  SELECT doc_id, f,
+        |    list_transform(range(16),
+        |      i -> ord(substr(text, CAST(1 + f * flen + (flen * i) // 16 AS INT), 1))) AS samples
+        |  FROM d, (SELECT unnest(range(8)) AS f)),
+        |ph AS (
+        |  SELECT doc_id, f,
+        |    CAST(list_sum(list_transform(range(16),
+        |      i -> CASE WHEN samples[i + 1] > list_sum(samples) // 16
+        |           THEN CAST(1 AS BIGINT) << CAST(i AS INT)
+        |           ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
+        |  FROM fr),
+        |cuts AS (
+        |  SELECT a.doc_id,
+        |    CAST(sum(CASE WHEN bit_count(xor(a.phash, b.phash)) >= 8
+        |      THEN CAST(1 AS BIGINT) << CAST(a.f AS INT)
+        |      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS cut_mask
+        |  FROM ph a JOIN ph b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+        |  GROUP BY a.doc_id)
+        |SELECT d.doc_id, CAST(8 AS BIGINT) AS n_frames,
+        |  CAST(bit_count(CAST(cut_mask AS BIGINT)) AS BIGINT) AS n_cuts, cut_mask
+        |FROM d JOIN cuts ON cuts.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "mm_phash_buckets" ->
       """WITH s AS (
         |  SELECT doc_id,
