@@ -80,4 +80,42 @@ class SketchSpec extends AnyFunSuite {
     val b = SketchQueries.sketch_hll(spark, sf).collect().toSeq
     assert(a == b)
   }
+  test("windowed HLL's __all__ roll-up equals registers built with no grouping at all") {
+    // the invariant that makes per-window sketching sound: grouping is
+    // transparent -- max-merging per-window registers must reproduce the
+    // register table a single global pass would build
+    val ev = Graft.events(spark, sf)
+    val weekly = Sketch.hllRegisters(
+      ev.select(date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("grp"),
+        col("event_id").cast("string").as("k")),
+      col("grp"), col("k"))
+    val rolled = weekly.groupBy(col("bucket")).agg(max(col("m")).as("m"))
+    val global = Sketch.hllRegisters(
+      ev.select(lit("g").as("grp"), col("event_id").cast("string").as("k")),
+      col("grp"), col("k")).select(col("bucket"), col("m"))
+    assert(rolled.exceptAll(global).isEmpty && global.exceptAll(rolled).isEmpty,
+      "roll-up must be grouping-transparent")
+  }
+
+  test("rho matches an independent bit-twiddling reference on random hashes") {
+    import spark.implicits._
+    // h64 yields 60 bits; rho = leading zeros of the low 52 bits + 1.
+    // Reference: Long.numberOfLeadingZeros(r) - 11 (the top 12 bits of a
+    // 52-bit value are always zero in a 64-bit long), 53 when r = 0.
+    val rnd = new scala.util.Random(42)
+    val hs = Seq.fill(2000)(math.abs(rnd.nextLong()) % (1L << 60)) :+ 0L :+
+      (1L << 52) :+ ((1L << 52) - 1) :+ 1L
+    val got = hs.toDF("h")
+      .select(col("h"), (col("h") % (1L << 52)).as("r"))
+      .select(col("h"),
+        when(col("r") === 0, lit(53L))
+          .otherwise(lit(53L) - length(bin(col("r")))).as("rho"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    hs.foreach { h =>
+      val r = h % (1L << 52)
+      val want = if (r == 0) 53L
+        else (java.lang.Long.numberOfLeadingZeros(r) - 11).toLong
+      assert(got(h) == want, s"h=$h r=$r: got ${got(h)} want $want")
+    }
+  }
 }
