@@ -35,11 +35,21 @@ import org.apache.spark.sql.functions._
   *  - pipe_domain_quota_2pass 0.25 s → 0.29 s (1.2×) — count pass +
   *    map filter are parallel scans; the exact-rank window sees only
   *    quota·slack expected survivors per domain at both scales.
-  *  - pipe_curate_v5      0.44 s → 0.44 s (1×) — selection reads the
+  *  - pipe_curate_v5      0.44 s → 0.42 s (1×) — selection reads the
   *    memoized scores; the tail windows only quota survivors.
-  * Nothing exceeds 1.2× wall for 10× data on a fixed box — no
-  * candidate-join or per-row-window blowup; the sketch state-constancy
-  * lines are the structural evidence the wall-clock ratios corroborate.
+  *  - pipe_pagerank       0.69 s → 1.18 s (1.7×) — each power iteration
+  *    is one src-keyed join + one dst-keyed aggregate, linear in |E| by
+  *    construction; the 10× edge list costs proportionally.
+  *  - pipe_weighted_sample 0.10 s → 0.13 s / pipe_span_corrupt
+  *    0.21 s → 0.25 s / pipe_fim_transform 0.11 s → 0.10 s /
+  *    mm_scene_cuts 0.11 s → 0.11 s — all map-only (+ a TakeOrdered or
+  *    masked-block window), flat under 32-way parallelism.
+  *  - sketch_hll_window   0.46 s → 0.45 s (1×) — weekly registers and
+  *    the roll-up are groups×256 rows regardless of event volume.
+  * Nothing exceeds 1.7× wall for 10× data on a fixed box (and that one
+  * is the |E|-linear PageRank iteration) — no candidate-join or
+  * per-row-window blowup; the sketch state-constancy lines are the
+  * structural evidence the wall-clock ratios corroborate.
   */
 object ProbeRound10 {
   def main(args: Array[String]): Unit = {
@@ -66,6 +76,11 @@ object ProbeRound10 {
       (0 until k).map(i => li
         .withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L)))
         .reduce(_.unionAll(_))
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    def replicatedEv(k: Int): DataFrame =
+      (0 until k).map(i => ev
+        .withColumn("event_id", col("event_id") + lit(i * 100000000L)))
+        .reduce(_.unionAll(_))
 
     for (k <- Seq(1, 10)) {
       val tmpPath = java.nio.file.Files.createTempDirectory(s"r10x$k")
@@ -73,6 +88,7 @@ object ProbeRound10 {
       try {
         replicatedDocs(k).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
         replicatedLi(k).write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+        replicatedEv(k).write.mode("overwrite").parquet(s"$tmp/events.parquet")
         println(s"[r10] corpus x$k = ${nDocs * k} docs, ${nLi * k} lineitems")
         // pipe_cluster_balance is absent on purpose: it runs on the
         // (unreplicated) embeddings table — assignment cost is the ANN
@@ -80,7 +96,9 @@ object ProbeRound10 {
         // quota-bounded per cell by construction
         for (q <- Seq("sketch_hll", "sketch_cms_topk", "pipe_wordpiece_train",
             "pipe_wordpiece_train_apply", "pipe_lm_kneser_ney",
-            "pipe_moore_lewis", "pipe_domain_quota_2pass", "pipe_curate_v5")) {
+            "pipe_moore_lewis", "pipe_domain_quota_2pass", "pipe_curate_v5",
+            "pipe_pagerank", "pipe_weighted_sample", "pipe_span_corrupt",
+            "pipe_fim_transform", "mm_scene_cuts", "sketch_hll_window")) {
           val run = graft.SparkEntry.queries(q)
           run(spark, tmp).count() // warm: codegen + parquet footers + memos
           time(s"x$k $q")(run(spark, tmp).count(): Unit)
