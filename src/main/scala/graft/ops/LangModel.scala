@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** CCNet-style n-gram language-model quality scoring (Wenzek et al. 2020,
@@ -167,6 +168,71 @@ object LangModel {
         coalesce(col("nll_q"), lit(0L)).as("nll_q"))
       .withColumn("keep",
         col("nll_q") <= col("n_bigrams") * lit(perBigramNllQ))
+  }
+
+  /** Min-K% prob membership inference (Shi et al. 2023, "Detecting
+    * Pretraining Data from Large Language Models") — the contamination
+    * AUDIT that complements decontamination: a document the model has
+    * memorized scores suspiciously well even on its WORST tokens, so the
+    * statistic is the mean NLL of the k% highest-NLL token positions.
+    * Members (text inside the train corpus) sit far below non-members.
+    *
+    * Integer discipline throughout: per-(doc, bigram-type) quantized
+    * NLLs from the [[bigramNll]] arithmetic, a per-doc window ordered by
+    * (nll desc, bigram text) with a running position count, the boundary
+    * type taken PARTIALLY (`take = min(cnt, ceil(n/5) − positions
+    * before)` — the [[Mixture]] prefix-take pattern), and the final mean
+    * as one truncating division. Output: (did, n_bigrams, mink_q) with
+    * mink_q = 0 for bigram-less docs.
+    *
+    * Scale shape: the model tables and doc-type table are [[bigramNll]]'s;
+    * the only addition is a doc-keyed window over each doc's OWN bigram
+    * types (bounded by doc length, never corpus-global). */
+  def minKProb(df: DataFrame, id: Column, toks: Column, isTrain: Column,
+      kPercent: Int = 20): DataFrame = {
+    require(kPercent > 0 && kPercent <= 100, s"bad kPercent $kPercent")
+    val base = df
+      .select(id.as("did"), toks.as("toks"), isTrain.cast("boolean").as("tr"))
+      .localCheckpoint(eager = false)
+    val bg = base.select(col("did"), col("tr"),
+        explode(Dedup.gramArray(col("toks"), 2)).as("g"))
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+    val train = bg.where(col("tr"))
+    val c2 = train.groupBy(col("g")).agg(count(lit(1)).as("c2"))
+    val c1 = train.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = base.where(col("tr"))
+      .select(explode(col("toks")).as("u"))
+      .agg(count_distinct(col("u")).as("v"))
+    val dg = bg.groupBy(col("did"), col("g"), col("w1"))
+      .agg(count(lit(1)).as("cnt"))
+    val qlp = floor(-log(
+        (coalesce(col("c2"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")) * 1e6)
+      .cast("long")
+    val scoredTypes = dg
+      .join(c2, Seq("g"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("did"), col("g"), col("cnt"), qlp.as("nllq"))
+    val w = Window.partitionBy(col("did"))
+      .orderBy(col("nllq").desc, col("g").asc)
+    val run = sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    val nDoc = sum(col("cnt")).over(Window.partitionBy(col("did")))
+    val scored = scoredTypes
+      .withColumn("n", nDoc)
+      .withColumn("topn", expr(s"(n * $kPercent + 99) DIV 100")) // ceil
+      .withColumn("run", run)
+      .withColumn("take",
+        greatest(lit(0L), least(col("cnt"), col("topn") - (col("run") - col("cnt")))))
+      .where(col("take") > 0)
+      .groupBy(col("did"))
+      .agg(expr("CAST(sum(take * nllq) DIV max(topn) AS BIGINT)").as("mink_q"),
+        max(col("n")).as("n_bigrams"))
+    base.select(col("did"))
+      .join(scored, Seq("did"), "left")
+      .select(col("did"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("mink_q"), lit(0L)).as("mink_q"))
   }
 
   /** CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3): score

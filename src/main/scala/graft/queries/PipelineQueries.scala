@@ -1193,6 +1193,22 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** Min-K% prob membership audit
+    * ([[graft.ops.LangModel.minKProb]], Shi et al. 2023): mean quantized
+    * NLL of each document's worst-20% bigram positions under the
+    * `en`-trained model — members score suspiciously low even on their
+    * worst tokens. The boundary bigram type is taken partially, so the
+    * statistic is position-exact, not type-approximate; the spec pins
+    * the membership separation (train docs' mean far below
+    * non-members'). */
+  val pipe_min_k_prob: Q = (s, dir) =>
+    LangModel.minKProb(
+      docs(s, dir).select(col("doc_id"), col("lang"),
+        tokenizeDefault(col("text")).as("toks")),
+      col("doc_id"), col("toks"), col("lang") === "en")
+      .withColumnRenamed("did", "doc_id")
+      .orderBy(col("doc_id"))
+
   /** Interpolated Kneser–Ney bigram scoring
     * ([[graft.ops.LangModel.kneserNeyNll]]) — the discount/continuation
     * tier of the LM-quality family, same train corpus (`en`), same
@@ -1986,6 +2002,7 @@ object PipelineQueries {
     "pipe_lm_perplexity" -> pipe_lm_perplexity,
     "pipe_lm_kneser_ney" -> pipe_lm_kneser_ney,
     "pipe_moore_lewis" -> pipe_moore_lewis,
+    "pipe_min_k_prob" -> pipe_min_k_prob,
     "pipe_curate_v5" -> pipe_curate_v5,
     "pipe_span_corrupt" -> pipe_span_corrupt,
     "pipe_hard_negatives" -> pipe_hard_negatives,
@@ -3097,6 +3114,36 @@ object PipelineQueries {
          |  JOIN mlk ON mlk.doc_id = d.doc_id
          |  JOIN qk ON qk.doc_id = d.doc_id),
          |$curateTailSql""".stripMargin,
+    // min-k% prob: per-type NLLs from the shared LM chain, a per-doc
+    // window ordered by (nll desc, g) with the partial boundary take
+    "pipe_min_k_prob" ->
+      s"""WITH $lmScoreCtesSql,
+         |st AS (
+         |  SELECT dg.doc_id, dg.g, dg.cnt,
+         |    CAST(floor(-ln(
+         |      CAST(coalesce(c2.c2, 0) + 1 AS DOUBLE) /
+         |      CAST(coalesce(c1.c1, 0) + v.v AS DOUBLE)) * 1000000.0) AS BIGINT) AS nllq
+         |  FROM dg LEFT JOIN c2 USING (g) LEFT JOIN c1 USING (w1) CROSS JOIN v),
+         |wn AS (
+         |  SELECT doc_id, g, cnt, nllq,
+         |    sum(cnt) OVER (PARTITION BY doc_id) AS n,
+         |    sum(cnt) OVER (PARTITION BY doc_id ORDER BY nllq DESC, g ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+         |  FROM st),
+         |tk AS (
+         |  SELECT doc_id, n, (n * 20 + 99) // 100 AS topn,
+         |    greatest(0, least(cnt, (n * 20 + 99) // 100 - (run - cnt))) AS take,
+         |    nllq
+         |  FROM wn),
+         |agg AS (
+         |  SELECT doc_id, CAST(max(n) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(take * nllq) // max(topn) AS BIGINT) AS mink_q
+         |  FROM tk WHERE take > 0 GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(agg.n_bigrams, 0) AS n_bigrams,
+         |  coalesce(agg.mink_q, 0) AS mink_q
+         |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     // interpolated Kneser-Ney: the probability expression is restated
     // with the IDENTICAL shape and casts as the Spark-side expr string —
     // one double expression over exact integer counts, quantized once

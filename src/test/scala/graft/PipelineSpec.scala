@@ -1347,4 +1347,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(a.map(_.getAs[Long]("doc_id")) == want,
       "winner set must equal the independently recomputed k smallest keys")
   }
+  test("min-k% prob: hand-computed worst-token mean with a partial boundary take") {
+    import spark.implicits._
+    // train [a b a b]: c2("a b")=2, c2("b a")=1, c1(a)=2, c1(b)=1, V=2
+    val rows = Seq(
+      (1L, Seq("a", "b", "a", "b"), true),
+      (10L, Seq("a", "b", "a"), false),          // n=2, topn=1
+      (11L, Seq("a", "b", "a", "b", "a"), false) // n=4, topn=1, cnt(b a)=2 partial
+    ).toDF("id", "toks", "tr")
+    val out = graft.ops.LangModel.minKProb(rows, col("id"), col("toks"), col("tr"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val qAB = math.floor(-math.log(3.0 / 4.0) * 1e6).toLong // 287682
+    val qBA = math.floor(-math.log(2.0 / 3.0) * 1e6).toLong // 405465
+    assert(qAB == 287682L && qBA == 405465L)
+    // worst single position is always a "b a" bigram
+    assert(out(10L) == (2L, qBA), out(10L))
+    assert(out(11L) == (4L, qBA), out(11L))
+    // membership separation on the fixture: members' worst-20% mean sits
+    // below non-members' (deterministic fixture, stable assertion)
+    val scored = PipelineQueries.pipe_min_k_prob(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val lang = Graft.table(spark, sf, "documents")
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def mean(member: Boolean): Double = {
+      val xs = scored.toSeq.collect {
+        case (id, (n, q)) if n > 0 && (lang(id) == "en") == member => q.toDouble
+      }
+      xs.sum / xs.length
+    }
+    assert(mean(member = true) < mean(member = false),
+      s"members must score lower: ${mean(true)} vs ${mean(false)}")
+  }
 }
