@@ -408,6 +408,7 @@ class PlanSpec extends AnyFunSuite {
       "pipe_lm_perplexity" -> "1-row vocabulary-size scalar attach",
       "pipe_lm_kneser_ney" -> "two 1-row scalar attaches (bigram-type count + vocabulary size)",
       "pipe_moore_lewis" -> "1-row vocabulary-size scalar attaches (both bigramNll chains)",
+      "pipe_min_k_prob" -> "1-row vocabulary-size scalar attach (bigramNll arithmetic)",
       "pipe_curate_v5" -> "1-row vocabulary-size scalar attaches (the Moore-Lewis stage's two LM chains)",
       "pipe_lm_terciles" -> "1-row vocabulary-size scalar attach (same bigramNll chain)",
       "pipe_lm_trigram" -> "1-row N/V scalar attach (trigramNll chain)",
