@@ -151,7 +151,8 @@ object Main {
         val req = graft.engine.SearchRequest(pos(1),
           limit = flags.get("limit").map(_.toInt).getOrElse(1),
           fields = flags.get("fields").map(_.split(",").toList),
-          scored = !flags.contains("unscored"))
+          scored = !flags.contains("unscored"),
+          asOfGen = flags.get("at-gen").map(_.toLong))
         new Searcher(spark, cat).search(pos.head, req).foreach(println)
 
       case "count" =>

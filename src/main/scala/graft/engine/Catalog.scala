@@ -145,8 +145,14 @@ final class Catalog(rootDir: String,
     new HPath(new HPath(store.root, "indexes"), name)
   private def manifestPath(name: String) =
     new HPath(indexDir(name), "manifest.json")
+  private def archivePath(name: String, gen: Long) =
+    new HPath(indexDir(name), s"manifest.v$gen.json")
   def splitDir(name: String, id: String): String =
     new HPath(new HPath(indexDir(name), "splits"), id).toString
+  /** Whether a split's directory still exists — the time-travel guard's
+    * probe for history vacuumed by merge compaction. */
+  def splitDirExists(name: String, id: String): Boolean =
+    store.exists(new HPath(new HPath(indexDir(name), "splits"), id))
 
   // ---- create / drop ----------------------------------------------------
 
@@ -196,7 +202,32 @@ final class Catalog(rootDir: String,
   def manifestState(name: String): (Long, List[SplitInfo]) =
     store.readString(manifestPath(name)) match {
       case None => (0L, Nil)
-      case Some(text) =>
+      case Some(text) => parseManifest(text)
+    }
+
+  /** Snapshot read: (generation, splits) as of a PAST committed
+    * generation — the Iceberg-style time-travel surface, served from the
+    * advisory per-generation archive [[mutate]] leaves behind AFTER each
+    * commit point. The archive is best-effort and NON-authoritative: the
+    * current manifest remains the only commit point, and a missing
+    * archive fails loudly rather than serving plausible-but-wrong
+    * history (generation 0 — the empty index — is always answerable;
+    * asking for the current generation falls back to the live
+    * manifest, so pre-archive indexes still answer for "now"). */
+  def manifestStateAt(name: String, gen: Long): (Long, List[SplitInfo]) = {
+    if (gen == 0L) return (0L, Nil)
+    store.readString(archivePath(name, gen)) match {
+      case Some(text) => parseManifest(text)
+      case None =>
+        val cur = manifestState(name)
+        if (cur._1 == gen) cur
+        else throw new IllegalArgumentException(
+          s"no archived manifest for '$name' generation $gen" +
+            s" (current generation ${cur._1})")
+    }
+  }
+
+  private def parseManifest(text: String): (Long, List[SplitInfo]) = {
         val node = JsonSupport.parse(text)
         val gen = Option(node.get("gen")).filter(!_.isNull)
           .map(_.asLong()).getOrElse(0L)
@@ -225,7 +256,7 @@ final class Catalog(rootDir: String,
             Option(s.get("digest")).filter(!_.isNull).map(_.asText()))
         }.toList
         (gen, splits)
-    }
+  }
 
   def splitPaths(name: String): List[String] =
     liveSplits(name).map(s => splitDir(name, s.id))
@@ -337,8 +368,18 @@ final class Catalog(rootDir: String,
       f(live) match {
         case None => return false
         case Some(next) =>
-          if (commitPoint.commit(gen + 1L, renderManifest(next, gen)))
+          val bytes = renderManifest(next, gen)
+          if (commitPoint.commit(gen + 1L, bytes)) {
+            // advisory time-travel archive, AFTER the commit point and
+            // best-effort: exactly one writer wins a generation, so
+            // exclusive-create is race-free; a failed archive only
+            // disables snapshot reads for this generation, never the
+            // commit itself
+            try store.writeStringExclusive(archivePath(name, gen + 1L),
+              new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+            catch { case _: Throwable => () }
             return true
+          }
           if (System.nanoTime() > deadline)
             throw new IllegalStateException(
               s"timed out committing manifest for '$name' under contention")

@@ -29,9 +29,19 @@ import graft.query.{Ast, FieldBounds, Occur, QueryCompiler, QueryParser, TimeBou
   *    QueryParser default-fields control, surfaced per request;
   *  - `scored`: false skips BM25 entirely (arrival-order limit
   *    semantics — the reference's own global cut) even for text
-  *    queries: no corpus-stats job, no top-K sort. */
+  *    queries: no corpus-stats job, no top-K sort;
+  *  - `asOfGen`: search the index AS OF a past manifest generation
+  *    ([[Catalog.manifestStateAt]] time travel) — reads the archived
+  *    split listing for that generation. History reaches back as far as
+  *    the referenced split data still exists: ingest-only history is
+  *    fully answerable, but merge compaction vacuums its inputs
+  *    eagerly ([[Catalog.swapSplits]]), so pre-merge generations whose
+  *    splits were compacted away fail LOUDLY rather than returning
+  *    partial history (a retain-for-time-travel merge mode would defer
+  *    that delete — the Iceberg vacuum trade, documented not built). */
 final case class SearchRequest(query: String, limit: Int = 1,
-    fields: Option[List[String]] = None, scored: Boolean = true)
+    fields: Option[List[String]] = None, scored: Boolean = true,
+    asOfGen: Option[Long] = None)
 
 final class Searcher(spark: SparkSession, catalog: Catalog) {
 
@@ -50,7 +60,8 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
     * for text queries — the latency knob when ranking is irrelevant. */
   def searchDf(indexName: String, req: SearchRequest): DataFrame = {
     val limit = req.limit
-    val (_, d, ast, gen, splits) = loadAndPrune(indexName, req.query, req.fields)
+    val (_, d, ast, gen, splits) =
+      loadAndPrune(indexName, req.query, req.fields, req.asOfGen)
     // Cache identity for the corpus-stats memo: catalog root + index name
     // (split ids are unique only within one root/index) + manifest
     // generation (bumped by EVERY committed write, including in-place
@@ -121,13 +132,28 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
     * gen-N listing under a concurrent commit and poison the stats cache
     * for that generation. */
   private def loadAndPrune(indexName: String, query: String,
-      fields: Option[List[String]] = None)
+      fields: Option[List[String]] = None, asOfGen: Option[Long] = None)
       : (graft.config.IndexConfig, SchemaDerivation, Ast, Long, List[SplitInfo]) = {
     val cfg = catalog.load(indexName)
     val d = new SchemaDerivation(cfg)
     val ast = QueryParser.parse(query)
-    val (gen, live) = catalog.manifestState(indexName)
-    (cfg, d, ast, gen, prunedFrom(live, cfg, d, ast, fields))
+    val (gen, live) = asOfGen match {
+      case Some(g) => catalog.manifestStateAt(indexName, g)
+      case None => catalog.manifestState(indexName)
+    }
+    // a snapshot read must never silently return PARTIAL history: if any
+    // split the archived manifest references was vacuumed by a later
+    // merge, fail loudly (prune first — a query that provably cannot
+    // match a vacuumed split is still answerable)
+    val pruned = prunedFrom(live, cfg, d, ast, fields)
+    if (asOfGen.isDefined) {
+      val gone = pruned.filterNot(sp => catalog.splitDirExists(indexName, sp.id))
+      if (gone.nonEmpty)
+        throw new IllegalStateException(
+          s"generation $gen of '$indexName' references vacuumed split(s) " +
+            s"${gone.map(_.id).mkString(", ")} — compacted away by a later merge")
+    }
+    (cfg, d, ast, gen, pruned)
   }
 
   /** Manifest-level split pruning — the coarse layer above Parquet
