@@ -99,7 +99,12 @@ object Main {
             .startFileStream(name, input, ckpt, interval)
           q.awaitTermination()
         } else {
-          new Indexer(spark, cat).indexFile(name, input) match {
+          val idx = new Indexer(spark, cat)
+          val committed = flags.get("format") match {
+            case Some("jsonl") | None => idx.indexFile(name, input)
+            case Some(fmt) => idx.indexStructured(name, input, fmt)
+          }
+          committed match {
             case Some(s) => println(s"committed split ${s.id} (${s.numDocs} docs)")
             case None    => println("no valid documents; nothing committed")
           }

@@ -63,6 +63,22 @@ final class SchemaDerivation(val config: IndexConfig) {
 
   val byFlatName: Map[String, ResolvedField] = resolved.map(f => f.flatName -> f).toMap
 
+  /** Longest declared dynamic_object PREFIX of a flat path that does not
+    * itself resolve — tantivy json-field addressing: `resource.service`
+    * routes into the declared `resource` json field, never the
+    * catch-all. Returns the owner field and the remaining flat path
+    * (dot-escaped segments) inside its JSON. */
+  def dynamicOwner(flatName: String): Option[(ResolvedField, String)] = {
+    val segs = SchemaDerivation.splitFlatName(flatName)
+    (segs.length - 1 to 1 by -1).iterator.flatMap { n =>
+      val prefix = segs.take(n).map(SchemaDerivation.escape).mkString(".")
+      byFlatName.get(prefix).collect {
+        case rf if rf.fieldType.isInstanceOf[DynamicObjectField] =>
+          (rf, segs.drop(n).map(SchemaDerivation.escape).mkString("."))
+      }
+    }.nextOption()
+  }
+
   /** Default search fields: every indexed leaf plus the catch-all. */
   val defaultFieldNames: List[String] =
     resolved.filter(_.fieldType.indexed).map(_.flatName) :+ Dynamic

@@ -36,6 +36,28 @@ final class Indexer(spark: SparkSession, catalog: Catalog) {
     indexDataFrame(indexName, lines)
   }
 
+  /** Ingest from a STRUCTURED source (parquet / csv-with-header) by
+    * re-serializing each row to a JSON line and feeding the one ingest
+    * path — the schema cascade, skip-on-error policy, `_dynamic`
+    * residual, and stats-on-write all apply identically, so a column
+    * the index schema doesn't know lands in `_dynamic` instead of being
+    * dropped. `to_json` is a codegen'd projection: the detour costs one
+    * narrow map, not a shuffle, and keeps ONE parser as the single
+    * source of ingest truth (two parse paths drifting is the bug class
+    * this avoids). */
+  def indexStructured(indexName: String, inputPath: String,
+      format: String): Option[SplitInfo] = {
+    val df = format match {
+      case "parquet" => spark.read.parquet(inputPath)
+      case "csv" => spark.read.option("header", "true")
+        .option("inferSchema", "true").csv(inputPath)
+      case other => sys.error(s"unsupported ingest format: $other" +
+        " (want parquet | csv | jsonl)")
+    }
+    indexDataFrame(indexName,
+      df.select(to_json(struct(df.columns.map(col): _*)).as("value")))
+  }
+
   /** Index a DataFrame with a single string column `value` (one JSON doc
     * per row). Used by both batch and streaming paths. */
   def indexDataFrame(indexName: String, lines: DataFrame): Option[SplitInfo] = {

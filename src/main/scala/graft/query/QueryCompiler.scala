@@ -160,22 +160,45 @@ final class QueryCompiler(d: SchemaDerivation,
       case _: StaticObjectField => lit(false)
     }
 
-  /** Value text at a `_dynamic` path: binary variant access (format-2
+  /** Variant source + in-source path + tokenizer for a flat name that is
+    * not a declared leaf: a path into a DECLARED dynamic_object field
+    * reads that field's stored JSON (tantivy json-field addressing — the
+    * reference resolves `resource.service:x` against the `resource`
+    * json field, never the catch-all; the catch-all only owns paths no
+    * declared field claims). The declared column stores expand-dots-
+    * normalized JSON text, so `try_parse_json` gives it the same variant
+    * access the catch-all gets natively. */
+  private def dynRoute(flatName: String): (Column, Option[String], String) =
+    d.dynamicOwner(flatName) match {
+      case Some((rf, rest)) =>
+        val tk = rf.fieldType.asInstanceOf[DynamicObjectField]
+          .tokenizer.getOrElse("default")
+        (try_parse_json(col(rf.flatName)),
+          SchemaDerivation.variantPath(rest), tk)
+      case None =>
+        (col(Dynamic), SchemaDerivation.variantPath(flatName), "default")
+    }
+
+  /** Value text at a dynamic path: binary variant access (format-2
     * splits store the catch-all as VariantType), cast to string with
     * `get_json_object` semantics — strings unquoted, scalars canonical,
     * objects/arrays as JSON text, missing/JSON-null → null. A path name
     * the variant grammar cannot express (embedded `'`) is a no-match
     * null, not an error. */
-  private def dynText(flatName: String): Column =
-    SchemaDerivation.variantPath(flatName) match {
-      case Some(p) => try_variant_get(col(Dynamic), p, "string")
+  private def dynText(flatName: String): Column = {
+    val (src, path, _) = dynRoute(flatName)
+    path match {
+      case Some(p) => try_variant_get(src, p, "string")
       case None    => lit(null).cast("string")
     }
+  }
 
-  /** Token array at a `_dynamic` path for term/prefix/fuzzy/phrase
-    * matching — see [[QueryCompiler.dynTokens]]. */
-  private def dynTokenArr(flatName: String): Column =
-    QueryCompiler.dynTokens(col(Dynamic), flatName)
+  /** Token array at a dynamic path for term/prefix/fuzzy/phrase
+    * matching — see [[QueryCompiler.dynTokensFrom]]. */
+  private def dynTokenArr(flatName: String): Column = {
+    val (src, path, tk) = dynRoute(flatName)
+    QueryCompiler.dynTokensFrom(src, path, tk)
+  }
 
   /** Unknown field → path into `_dynamic` (expand_dots made nested
     * form canonical at ingest). The catch-all is indexed with the default
@@ -183,9 +206,15 @@ final class QueryCompiler(d: SchemaDerivation,
     * value at the path. */
   private def dynamicPathTerm(flatName: String, value: String): Column = {
     val v = dynText(flatName)
-    val tokenMatch = array_contains(
-      dynTokenArr(flatName),
-      TextFunctions.tokenizeTerm(value, "default"))
+    val tk = dynRoute(flatName)._3
+    // a RAW-tokenized owner (the reference's dynamic_object default)
+    // indexes string values as single tokens: term match is whole-value
+    // equality, exactly like a raw TextField
+    val tokenMatch =
+      if (tk == "raw") v === lit(value)
+      else array_contains(
+        dynTokenArr(flatName),
+        TextFunctions.tokenizeTerm(value, tk))
     // numbers/bools in JSON compare by token too ("58" tokenizes to ["58"])
     // Variant canonicalizes numeric lexemes ("1e3" is stored as a double
     // and renders "1000.0" — the reference's serde_json does the same at
@@ -392,13 +421,17 @@ object QueryCompiler {
     * tantivy does not index nulls — preserving the no-match semantics of
     * the previous string-cast path. */
   private[graft] def dynTokens(dynamic: Column, flatName: String): Column =
-    SchemaDerivation.variantPath(flatName) match {
+    dynTokensFrom(dynamic, SchemaDerivation.variantPath(flatName), "default")
+
+  private[graft] def dynTokensFrom(src: Column, path: Option[String],
+      tokenizer: String): Column =
+    path match {
       case Some(p) =>
-        val vv = try_variant_get(dynamic, p, "variant")
+        val vv = try_variant_get(src, p, "variant")
         TextFunctions.tokenize(
           when(!is_variant_null(vv),
             graft.exprs.JsonExprs.json_escape_neutralize(to_json(vv))),
-          "default")
+          tokenizer)
       case None => lit(null).cast("array<string>")
     }
 }

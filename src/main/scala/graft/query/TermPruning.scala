@@ -66,6 +66,23 @@ object TermPruning {
   /** The field statically cannot match this literal. */
   private case object NoMatch extends FieldAtom
 
+  /** Digest route for a flat path that is not a declared leaf: a path
+    * into a DECLARED dynamic_object field prunes via that field's own
+    * token digest (its stream tokenizes the stored JSON — keys and
+    * values — so any path match implies the value's tokens are present);
+    * otherwise the `_dynamic` catch-all digest. None = the owner is
+    * raw-tokenized (no digest stream) and pruning must stay top. */
+  private def dynDigestRoute(d: SchemaDerivation,
+      fn: String): Option[(String, String)] =
+    d.dynamicOwner(fn) match {
+      case Some((rf, _)) =>
+        rf.fieldType.asInstanceOf[graft.config.DynamicObjectField].tokenizer match {
+          case Some(tk) if tk != "raw" => Some((rf.flatName, tk))
+          case _ => None
+        }
+      case None => Some((SchemaDerivation.Dynamic, "default"))
+    }
+
   def clauses(ast: Ast, d: SchemaDerivation,
       defaultFields: Option[List[String]] = None): List[Set[Atom]] = {
     val defaults = defaultFields.getOrElse(d.defaultFieldNames)
@@ -110,11 +127,17 @@ object TermPruning {
       case None if fn == SchemaDerivation.Dynamic =>
         AtomOf(SchemaDerivation.Dynamic -> TextFunctions.tokenizeTerm(v, "default"))
       case None =>
-        // dynamic path: token match prunes via the catch-all digest, but a
-        // numeric literal additionally matches by VALUE (canonicalized
-        // lexemes) — those stay top
+        // dynamic path: token match prunes via the OWNING digest (a
+        // declared dynamic_object prefix owns its paths — the compiled
+        // predicate reads that field, so its token digest is the right
+        // filter; otherwise the catch-all), but a numeric literal
+        // additionally matches by VALUE (canonicalized lexemes) — those
+        // stay top
         if (v.toDoubleOption.isDefined) Unprunable
-        else AtomOf(SchemaDerivation.Dynamic -> TextFunctions.tokenizeTerm(v, "default"))
+        else dynDigestRoute(d, fn) match {
+          case Some((key, tk)) => AtomOf(key -> TextFunctions.tokenizeTerm(v, tk))
+          case None => Unprunable // raw-tokenized owner: no digest stream
+        }
     }
 
     /** None = top (some field matches un-digestably); Some(atoms) = every
@@ -143,10 +166,14 @@ object TermPruning {
             }
             case _ => Some(None) // other types: compiled lit(false)
           }
-          case None => // _dynamic or a path into it: query-time lowercase words
-            val toks = ws.map(_.toLowerCase)
-            if (toks.forall(t => tokenRe.matches(t))) Some(Some(toks))
-            else Some(None) // a non-token word can never appear adjacently
+          case None => // dynamic path: words per the owning digest's stream
+            dynDigestRoute(d, fn) match {
+              case None => None // raw-tokenized owner: digest can't see it
+              case Some(_) =>
+                val toks = ws.map(_.toLowerCase)
+                if (toks.forall(t => tokenRe.matches(t))) Some(Some(toks))
+                else Some(None) // a non-token word can never appear adjacently
+            }
         }
       }
       if (per.contains(None)) return Nil
@@ -154,7 +181,8 @@ object TermPruning {
         case (fn, Some(Some(toks))) =>
           (d.byFlatName.get(fn) match {
             case Some(_) => fn
-            case None    => SchemaDerivation.Dynamic
+            case None    => dynDigestRoute(d, fn)
+              .map(_._1).getOrElse(SchemaDerivation.Dynamic)
           }) -> toks
       }
       if (perField.isEmpty) return Nil
@@ -185,9 +213,12 @@ object TermPruning {
           }
           case _ => NoMatch // prefix on non-text compiles to lit(false)
         }
-        // catch-all or a path into it: query side tokenizes with the
-        // default tokenizer and lowercases the needle
-        case None => atom(SchemaDerivation.Dynamic, v.toLowerCase)
+        // dynamic path: the owning digest (declared dynamic_object
+        // prefix, else the catch-all); query side lowercases the needle
+        case None => dynDigestRoute(d, fn) match {
+          case Some((key, _)) => atom(key, v.toLowerCase)
+          case None => Unprunable
+        }
       }
     }
 

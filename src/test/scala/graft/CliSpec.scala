@@ -144,4 +144,38 @@ class CliSpec extends AnyFunSuite {
     assert(m.agg(org.apache.spark.sql.functions.sum(col("n_docs")))
       .first().getLong(0) == 10)
   }
+  test("index --format parquet and csv ingest through the one JSON path") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-fmt").toString
+    val root = Files.createTempDirectory("graft-cli4").toString
+    val cat = new Catalog(root)
+    cat.create(new String(Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/example_config.yaml")), "UTF-8"))
+    // parquet keeps the nested resource/attributes structs intact
+    spark.read.json("/root/reference/tests/test_files/hdfs-logs-multitenants-2.json")
+      .write.mode("overwrite").parquet(s"$dir/in.parquet")
+    cli.Main.run(Array("index", "test", s"$dir/in.parquet", "--format", "parquet"),
+      spark, cat, root)
+    val s = new graft.engine.Searcher(spark, cat)
+    assert(s.searchDf("test", "tenant_id:>50", 10).count() == 1,
+      "typed range over parquet-ingested rows")
+    // resource is a DECLARED raw-tokenized dynamic_object: the path term
+    // is whole-value equality (tantivy json-field + raw tokenizer), and
+    // a partial token must NOT match
+    assert(s.searchDf("test", "resource.service:datanode/01", 10).count() == 2,
+      "path into a declared dynamic_object must hit its own column")
+    assert(s.searchDf("test", "resource.service:datanode", 10).count() == 0,
+      "raw-tokenized value is a single token; partial terms don't match")
+    // csv: flat columns, header-driven
+    Files.write(java.nio.file.Paths.get(s"$dir/in.csv"),
+      """timestamp,severity_text,body,tenant_id
+        |1460530020,INFO,csv ingest row one,91
+        |1460530021,ERROR,csv ingest row two,92
+        |""".stripMargin.getBytes("UTF-8"))
+    cli.Main.run(Array("index", "test", s"$dir/in.csv", "--format", "csv"),
+      spark, cat, root)
+    assert(s.searchDf("test", "body:csv", 10).count() == 2)
+    assert(s.searchDf("test", "tenant_id:>90", 10).count() == 2)
+    cat.drop("test")
+  }
 }
