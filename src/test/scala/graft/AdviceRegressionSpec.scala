@@ -234,4 +234,43 @@ class AdviceRegressionSpec extends AnyFunSuite {
       assert(ex2.getMessage.contains("maxCellSize"))
     }
   }
+  test("declared TOKENIZED dynamic_object paths: token match + split pruning via the owning digest") {
+    withEngine { (cat, idx, s) =>
+      // a dynamic_object whose tokenizer is default (not the reference's
+      // raw default): path terms must token-match against the OWNING
+      // column, and multi-split pruning must key on that field's digest
+      cat.create(
+        """version: 1
+          |name: dyntok
+          |path: /tmp/unused
+          |schema:
+          |  fields:
+          |    - name: body
+          |      type: !text
+          |        tokenizer:
+          |          type: default
+          |    - name: meta
+          |      type: !dynamic_object
+          |        indexed:
+          |          tokenizer: default
+          |""".stripMargin)
+      idx.indexFile("dyntok", writeDocs(
+        """{"body": "first split", "meta": {"tag": "alpha beta", "n": 7}}
+          |{"body": "first split too", "meta": {"tag": "alpha"}}"""
+          .stripMargin))
+      idx.indexFile("dyntok", writeDocs(
+        """{"body": "second split", "meta": {"tag": "gamma delta"}}"""
+          .stripMargin))
+      // token match inside the declared field (value tokenizes)
+      assert(s.searchDf("dyntok", "meta.tag:alpha", 10).count() == 2)
+      assert(s.searchDf("dyntok", "meta.tag:delta", 10).count() == 1)
+      assert(s.searchDf("dyntok", "meta.tag:missing", 10).count() == 0)
+      // numeric value match at a path
+      assert(s.searchDf("dyntok", "meta.n:7", 10).count() == 1)
+      // pruning keyed on the owning digest must NOT drop the split that
+      // holds the match (would return 0 if routed to the catch-all digest)
+      assert(s.searchDf("dyntok", "meta.tag:gamma", 10).count() == 1)
+      cat.drop("dyntok")
+    }
+  }
 }
