@@ -377,7 +377,10 @@ final class Catalog(rootDir: String,
             // commit itself
             try store.writeStringExclusive(archivePath(name, gen + 1L),
               new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
-            catch { case _: Throwable => () }
+            catch {
+              case _: InterruptedException => Thread.currentThread().interrupt()
+              case scala.util.control.NonFatal(_) => ()
+            }
             return true
           }
           if (System.nanoTime() > deadline)

@@ -129,11 +129,14 @@ object Bpe {
     * (`\s+(?!\S)`) the original uses — RE2-based oracles have no
     * lookahead, so runs of 2+ spaces keep their spaces in the whitespace
     * pre-token instead of donating one to the next word (deterministic
-    * in both engines; single-spaced text is unaffected). A word carries
-    * its leading space (the 'Ġ' convention after [[byteLevelToks]]'
-    * remap), letters/digits/other split into separate pre-tokens. */
+    * in both engines; single-spaced text is unaffected). The contraction
+    * alternations ('s|'t|'re|'ve|'m|'ll|'d) ARE kept — lookahead-free,
+    * so RE2 runs them — making "don't" pre-tokenize as [don, 't] like
+    * GPT-2, not [don, ', t]. A word carries its leading space (the 'Ġ'
+    * convention after [[byteLevelToks]]' remap), letters/digits/other
+    * split into separate pre-tokens. */
   val PreTokenRegex: String =
-    """ ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""
+    """'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""
 
   /** Byte-level tokens of `text`: [[PreTokenRegex]] pre-tokenization,
     * each pre-token byte-remapped ([[graft.exprs.ByteRemap]]) so its

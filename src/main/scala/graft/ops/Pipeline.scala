@@ -104,15 +104,19 @@ object Pipeline {
     val curated = withMeta.where(TextAnalysis.gopherKeep(col("text"),
       cfg.stopwords, cfg.minWords, cfg.maxWords))
     // 2. exact dedup: content-hash window, smallest id survives (the
-    //    curate-chain convention); with no id field the hash IS the id,
-    //    so the tiebreak is vacuous and the survivor deterministic
+    //    curate-chain convention). Ties — duplicate ids, or no id field
+    //    (doc_id = md5(text), so every duplicate ties) — break on the
+    //    md5 of the FULL row, so the surviving row's metadata (source,
+    //    extra JSON fields riding into the shards) is deterministic
+    //    across runs, not window-order luck.
     val withId = cfg.idField match {
       case Some(f) => curated.withColumn("doc_id", col(f).cast("string"))
       case None    => curated.withColumn("doc_id", md5(col("text")))
     }
+    val rowKey = md5(to_json(struct(withId.columns.sorted.map(col): _*)))
     val deduped = withId
       .withColumn("__rn", row_number().over(
-        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"), rowKey)))
       .where(col("__rn") === 1).drop("__rn")
     // 2a. optional per-source cap — the hot-domain-safe two-pass quota
     //     ([[Mixture.domainQuotaTwoPass]]): counts broadcast as hash
@@ -136,7 +140,9 @@ object Pipeline {
         def sh(df: DataFrame): DataFrame = Dedup.shingles(
           df.withColumn("toks", tokenizeDefault(col("text"))),
           col("doc_id"), col("toks"), cfg.shingleN)
-        val keep = Dedup.decontaminateBloom(sh(deduped), sh(bench),
+        // probe the POST-quota corpus: quota-dropped docs never shingle,
+        // so the decontamination pass scales with what actually survives
+        val keep = Dedup.decontaminateBloom(sh(quotaed), sh(bench),
             cfg.bloomBits, cfg.bloomHashes, minHits = 1L)
           .where(col("keep")).select(col("doc_id"))
         // inner join is safe: shingle-less docs get explicit keep rows

@@ -2423,7 +2423,7 @@ object PipelineQueries {
     * pre-token remapped by [[byteRemapSql]]. */
   private val byteToksSql =
     s"""list_transform(
-       |  regexp_extract_all(text, '${graft.ops.Bpe.PreTokenRegex}'),
+       |  regexp_extract_all(text, '${graft.ops.Bpe.PreTokenRegex.replace("'", "''")}'),
        |  tk -> $byteRemapSql)""".stripMargin
 
   /** [[bpeTrainCtesSql]] with the corpus-to-words step swapped out: the

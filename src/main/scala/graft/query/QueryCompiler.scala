@@ -108,9 +108,12 @@ final class QueryCompiler(d: SchemaDerivation,
       case _: IpField =>
         IpCodec.parse(value).map(b => elem === lit(b)).getOrElse(lit(false))
       case dyn: DynamicObjectField =>
-        // term against the whole dynamic field: tokenizer semantics
+        // term against the whole dynamic field: tokenizer semantics;
+        // `indexed: false` (tokenizer None) is stored-only — unsearchable,
+        // like the reference's unindexed json fields
         dyn.tokenizer match {
-          case Some("raw") | None => get_json_object(elem, "$") === value
+          case None        => lit(false)
+          case Some("raw") => get_json_object(elem, "$") === value
           case Some(tok) =>
             array_contains(TextFunctions.tokenize(elem, tok),
               TextFunctions.tokenizeTerm(value, tok))
@@ -150,7 +153,8 @@ final class QueryCompiler(d: SchemaDerivation,
         IpCodec.parse(value).map(b => array_contains(c, lit(b))).getOrElse(lit(false))
       case dyn: DynamicObjectField =>
         dyn.tokenizer match {
-          case Some("raw") | None =>
+          case None => lit(false) // indexed: false — stored-only, unsearchable
+          case Some("raw") =>
             array_contains(c, value) ||
               array_contains(c, QueryCompiler.jsonQuote(value))
           case Some(tok) =>
@@ -171,10 +175,15 @@ final class QueryCompiler(d: SchemaDerivation,
   private def dynRoute(flatName: String): (Column, Option[String], String) =
     d.dynamicOwner(flatName) match {
       case Some((rf, rest)) =>
-        val tk = rf.fieldType.asInstanceOf[DynamicObjectField]
-          .tokenizer.getOrElse("default")
-        (try_parse_json(col(rf.flatName)),
-          SchemaDerivation.variantPath(rest), tk)
+        rf.fieldType.asInstanceOf[DynamicObjectField].tokenizer match {
+          // `indexed: false` owner: the reference's unindexed json fields
+          // are unsearchable — path None makes every downstream form
+          // (dynText, dynTokenArr, ranges) a null source → no match
+          case None => (lit(null), None, "default")
+          case Some(tk) =>
+            (try_parse_json(col(rf.flatName)),
+              SchemaDerivation.variantPath(rest), tk)
+        }
       case None =>
         (col(Dynamic), SchemaDerivation.variantPath(flatName), "default")
     }

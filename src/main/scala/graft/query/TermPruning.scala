@@ -83,6 +83,13 @@ object TermPruning {
       case None => Some((SchemaDerivation.Dynamic, "default"))
     }
 
+  /** Paths owned by an `indexed: false` dynamic_object compile to
+    * lit(false) (QueryCompiler.dynRoute) — statically no-match, so
+    * pruning on them is exact, not merely conservative. */
+  private def ownerUnindexed(d: SchemaDerivation, fn: String): Boolean =
+    d.dynamicOwner(fn).exists(_._1.fieldType
+      .asInstanceOf[graft.config.DynamicObjectField].tokenizer.isEmpty)
+
   def clauses(ast: Ast, d: SchemaDerivation,
       defaultFields: Option[List[String]] = None): List[Set[Atom]] = {
     val defaults = defaultFields.getOrElse(d.defaultFieldNames)
@@ -133,7 +140,8 @@ object TermPruning {
         // filter; otherwise the catch-all), but a numeric literal
         // additionally matches by VALUE (canonicalized lexemes) — those
         // stay top
-        if (v.toDoubleOption.isDefined) Unprunable
+        if (ownerUnindexed(d, fn)) NoMatch // compiled lit(false)
+        else if (v.toDoubleOption.isDefined) Unprunable
         else dynDigestRoute(d, fn) match {
           case Some((key, tk)) => AtomOf(key -> TextFunctions.tokenizeTerm(v, tk))
           case None => Unprunable // raw-tokenized owner: no digest stream
@@ -166,6 +174,7 @@ object TermPruning {
             }
             case _ => Some(None) // other types: compiled lit(false)
           }
+          case None if ownerUnindexed(d, fn) => Some(None) // compiled lit(false)
           case None => // dynamic path: words per the owning digest's stream
             dynDigestRoute(d, fn) match {
               case None => None // raw-tokenized owner: digest can't see it
@@ -215,6 +224,7 @@ object TermPruning {
         }
         // dynamic path: the owning digest (declared dynamic_object
         // prefix, else the catch-all); query side lowercases the needle
+        case None if ownerUnindexed(d, fn) => NoMatch // compiled lit(false)
         case None => dynDigestRoute(d, fn) match {
           case Some((key, _)) => atom(key, v.toLowerCase)
           case None => Unprunable

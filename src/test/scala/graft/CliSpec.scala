@@ -58,6 +58,50 @@ class CliSpec extends AnyFunSuite {
     assert(search.search("cli_test", "n:3", 1) == Seq("""{"body":"third","n":3}"""))
   }
 
+  test("indexed: false dynamic_object is stored but unsearchable") {
+    // reference parity: an unindexed json field stores and echoes its
+    // value but no query can match through it — neither a path term into
+    // the field nor a term on the field name, and the value never leaks
+    // into the catch-all either (declared fields own their keys)
+    val root = Files.createTempDirectory("graft-cli-unidx").toString
+    val cat = new Catalog(root)
+    val yaml = Files.createTempFile("cli-unidx", ".yaml")
+    Files.write(yaml,
+      """version: 1
+        |name: unidx
+        |path: /tmp/unused
+        |schema:
+        |  fields:
+        |    - name: body
+        |      type: !text
+        |    - name: meta
+        |      type: !dynamic_object
+        |        indexed: false
+        |""".stripMargin.getBytes("UTF-8"))
+    cli.Main.run(Array("create", yaml.toString), spark, cat, root)
+    val docs = """{"body": "searchable words", "meta": {"service": "datanode", "zone": "east"}}
+                 |{"body": "other doc", "meta": {"service": "namenode"}}""".stripMargin
+    val savedIn = System.in
+    try {
+      System.setIn(new ByteArrayInputStream(docs.getBytes("UTF-8")))
+      cli.Main.run(Array("index", "unidx", "-"), spark, cat, root)
+    } finally System.setIn(savedIn)
+    val s = new Searcher(spark, cat)
+    // stored + echoed (re-nested, sorted keys)
+    assert(s.search("unidx", "body:searchable", 1) ==
+      Seq("""{"body":"searchable words","meta":{"service":"datanode","zone":"east"}}"""))
+    // unsearchable through every route: path term, field term, prefix
+    assert(s.searchDf("unidx", "meta.service:datanode", 10).count() == 0,
+      "path into an indexed:false dynamic_object must match nothing")
+    assert(s.searchDf("unidx", "meta:datanode", 10).count() == 0,
+      "term on an indexed:false dynamic_object must match nothing")
+    assert(s.searchDf("unidx", "meta.service:data*", 10).count() == 0,
+      "prefix into an indexed:false dynamic_object must match nothing")
+    assert(s.searchDf("unidx", "meta.zone:[a TO z]", 10).count() == 0,
+      "range into an indexed:false dynamic_object must match nothing")
+    cat.drop("unidx")
+  }
+
   test("pipeline verb runs curate -> dedup -> decontaminate -> shards e2e") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("graft-pipe").toString
