@@ -250,7 +250,10 @@ object Dedup {
       .withColumn("uni", (size(sa) + size(sb)).cast("long") - col("inter"))
       .where(col("inter").cast("double") / col("uni") >= threshold)
 
-  def ngramJaccardPrefix(shingled: DataFrame, threshold: Double): DataFrame = {
+  /** AllPairs candidate pairs (a, b), a < b — the verifier INPUT of
+    * [[ngramJaccardPrefix]], exposed so probes can measure the candidate
+    * volume the filter admits without duplicating the prefix logic. */
+  def prefixCandidates(shingled: DataFrame, threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
     val flat = flattenShingles(shingled)
     val dfreq = flat.groupBy(col("sh")).agg(count(lit(1)).as("df"))
@@ -259,10 +262,14 @@ object Dedup {
     // run twice (the same self-join rule as minhashLsh/simhash).
     val prefix = prefixShingles(flat, dfreq, threshold)
       .localCheckpoint(eager = false)
-    val cands = prefix.select(col("doc_id").as("a"), col("sh"))
+    prefix.select(col("doc_id").as("a"), col("sh"))
       .join(prefix.select(col("doc_id").as("b"), col("sh")), "sh")
       .where(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
+  }
+
+  def ngramJaccardPrefix(shingled: DataFrame, threshold: Double): DataFrame = {
+    val cands = prefixCandidates(shingled, threshold)
     val sets = shingled.select(col("doc_id"), col("shingles"))
     verifyJaccard(
       cands

@@ -1322,6 +1322,57 @@ object PipelineQueries {
       .orderBy(col("qid"), col("lex_rank"))
   }
 
+  /** The BOUNDED hard-negative miner — [[pipe_hard_negatives]]'s 100 TB
+    * form, both arms cut the way the production dedup/ANN tiers already
+    * are. Lexical arm: candidate pairs are the dedup tier's VERIFIED
+    * 5-gram Jaccard ≥ 0.5 pairs ([[graft.ops.Dedup.ngramJaccardPrefix]]
+    * — AllPairs prefix-filtered, measured linear in planted-dup mass:
+    * 25 → 256 pairs across sf0.01 → sf0.1), then the dense
+    * 3-gram-overlap score is computed ONLY on those pairs
+    * (`array_intersect` of the two 3-gram sets — per-pair work, no
+    * posting join), oriented both ways so every participating doc mines
+    * its own confusable set, ranked per query by shared-3-gram count.
+    * 3-gram AllPairs prefixes and 16/8 MinHash banding were both probed
+    * and rejected for this corpus shape ([[graft.tools.ProbeHardNeg]]:
+    * 409k resp. 6.3k candidates at sf0.1 vs 256 here — hot 3-grams keep
+    * df-sized/collision-sized fan-out super-linear). Semantic arm: the
+    * TRAINED IVF top-10 ([[graft.ops.Ann.ivf]] over [[trainedCentroids]]
+    * — broadcast centroids, cell-keyed candidate join) instead of
+    * [[pipe_hard_negatives]]'s declared brute truth tier. Negatives =
+    * lexical top-10 minus IVF top-10 per query. The unbounded sibling
+    * stays registered as the oracle-able truth baseline, exactly like
+    * [[knn_brute]] beside [[knn_ivf_trained]]. */
+  val pipe_hard_negatives_bounded: Q = (s, dir) => {
+    // the dedup tier's bounded pair set IS the confusability candidate
+    // set; snapshot — both orientations consume it
+    val pairs = Dedup.ngramJaccardPrefix(shingled(s, dir), threshold = 0.5)
+      .localCheckpoint(eager = false)
+    val sh3 = Dedup.shingles(tokenized(s, dir), col("doc_id"), col("toks"), 3)
+    val scored = pairs
+      .join(sh3.select(col("doc_id").as("a"), col("shingles").as("g3a")), "a")
+      .join(sh3.select(col("doc_id").as("b"), col("shingles").as("g3b")), "b")
+      .select(col("a"), col("b"),
+        size(array_intersect(col("g3a"), col("g3b"))).cast("long").as("shared"))
+    val oriented = scored
+      .select(col("a").as("qid"), col("b").as("cand"), col("shared"))
+      .unionByName(scored
+        .select(col("b").as("qid"), col("a").as("cand"), col("shared")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("shared").desc, col("cand").asc)
+    val lex = oriented.withColumn("lex_rank", row_number().over(w))
+      .where(col("lex_rank") <= 10)
+    val e = corpus(s, dir)
+    val sem = Ann.ivf(
+        e.select(col("vid").as("qid"), col("v").as("qv")),
+        e.select(col("vid"), col("v")),
+        trainedCentroids(s, dir), nProbe = 2, k = 10)
+      .select(col("qid"), col("neighbor").as("cand"))
+    lex.join(sem, Seq("qid", "cand"), "left_anti")
+      .select(col("qid"), col("cand").as("neg_id"), col("shared"),
+        col("lex_rank"))
+      .orderBy(col("qid"), col("lex_rank"))
+  }
+
   /** T5 span corruption over the corpus
     * ([[graft.ops.TextAnalysis.spanCorrupt]]): 3-token blocks masked at
     * a deterministic 1-in-7 hash rate (≈ the paper's 15% noise density),
@@ -2006,6 +2057,7 @@ object PipelineQueries {
     "pipe_curate_v5" -> pipe_curate_v5,
     "pipe_span_corrupt" -> pipe_span_corrupt,
     "pipe_hard_negatives" -> pipe_hard_negatives,
+    "pipe_hard_negatives_bounded" -> pipe_hard_negatives_bounded,
     "pipe_fim_transform" -> pipe_fim_transform,
     "pipe_pagerank" -> pipe_pagerank,
     "pipe_weighted_sample" -> pipe_weighted_sample,
@@ -2575,6 +2627,50 @@ object PipelineQueries {
        |FROM (SELECT doc_id, $toksSql AS toks FROM documents)
        |WHERE len(toks) >= 5""".stripMargin
 
+  /** 3-gram sibling of [[shingleSql]] — the DENSE lexical-confusability
+    * signal the hard-negative tiers shingle on (see
+    * [[pipe_hard_negatives]]'s scaladoc for why 3, not the dedup
+    * tier's 5). */
+  private val shingle3Sql =
+    s"""SELECT doc_id,
+       |  list_distinct(list_transform(range(len(toks) - 2),
+       |    i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS shingles
+       |FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+       |WHERE len(toks) >= 3""".stripMargin
+
+  /** Trained-IVF SERVING chain (kc0 seed → 3 unrolled k-means rounds →
+    * corpus assignment `asgT` → query probes `probesT` (nProbe=2) →
+    * ranked candidates `knn(qid, neighbor, rank)`) over the query set
+    * `queryPred` selects — ONE definition shared by [[knn_ivf_trained]]
+    * and the bounded hard-negative oracle, so the serving arithmetic
+    * cannot drift between the gates that compose it. */
+  private def ivfTrainedCtes(queryPred: String): String =
+    s"""kc0 AS (
+       |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+       |${kmeansIterSql(1)},
+       |${kmeansIterSql(2)},
+       |${kmeansIterSql(3)},
+       |asgT AS (
+       |  SELECT vec_id, embedding, cid AS cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cid ASC) AS crn
+       |    FROM embeddings e CROSS JOIN kc3 c)
+       |  WHERE crn = 1),
+       |probesT AS (
+       |  SELECT qid, qv, cell FROM (
+       |    SELECT e.vec_id AS qid, e.embedding AS qv, c.cid AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cid ASC) AS crn
+       |    FROM embeddings e CROSS JOIN kc3 c WHERE $queryPred)
+       |  WHERE crn <= 2),
+       |knn AS (
+       |  SELECT p.qid, a.vec_id AS neighbor,
+       |    row_number() OVER (PARTITION BY p.qid
+       |      ORDER BY list_cosine_similarity(p.qv, a.embedding) DESC, a.vec_id ASC) AS rank
+       |  FROM probesT p JOIN asgT a ON a.cell = p.cell
+       |  WHERE a.vec_id <> p.qid)""".stripMargin
+
   /** MinHash-LSH candidate-pair CTE chain, shared verbatim by the pair
     * oracle and the connected-components oracle built on it. */
   private val minhashCtes =
@@ -3035,6 +3131,34 @@ object PipelineQueries {
          |FROM lex l LEFT JOIN sem s ON s.qid = l.qid AND s.cand = l.cand
          |WHERE s.cand IS NULL
          |ORDER BY l.qid, l.lex_rank""".stripMargin,
+    // bounded miner: the dedup tier's exact 5-gram-Jaccard pairs (shared
+    // jaccardCtes — prefix filtering only prunes candidates, the
+    // dedup_jaccard_prefix convention) scored by 3-gram intersect on
+    // those pairs only, the shared trained-IVF chain for the semantic arm
+    "pipe_hard_negatives_bounded" ->
+      s"""WITH $jaccardCtes,
+         |sh3 AS ($shingle3Sql),
+         |scored AS (
+         |  SELECT j.a, j.b,
+         |    CAST(len(list_intersect(ga.shingles, gb.shingles)) AS BIGINT) AS shared
+         |  FROM jac j
+         |  JOIN sh3 ga ON ga.doc_id = j.a
+         |  JOIN sh3 gb ON gb.doc_id = j.b),
+         |ori AS (SELECT a AS qid, b AS cand, shared FROM scored
+         |        UNION ALL SELECT b AS qid, a AS cand, shared FROM scored),
+         |lex AS (
+         |  SELECT qid, cand, shared, lex_rank FROM (
+         |    SELECT qid, cand, shared,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY shared DESC, cand ASC) AS lex_rank
+         |    FROM ori)
+         |  WHERE lex_rank <= 10),
+         |${ivfTrainedCtes("TRUE")}
+         |SELECT l.qid, l.cand AS neg_id, l.shared, l.lex_rank
+         |FROM lex l LEFT JOIN knn s
+         |  ON s.qid = l.qid AND s.neighbor = l.cand AND s.rank <= 10
+         |WHERE s.neighbor IS NULL
+         |ORDER BY l.qid, l.lex_rank""".stripMargin,
     // span corruption: sentinel numbering restated via the same
     // masked-block window; assembly by ordered string_agg with FILTER
     "pipe_span_corrupt" ->
@@ -3205,32 +3329,8 @@ object PipelineQueries {
     // chain, then assignment/probing/ranking against kc3 — knn_ivf's
     // query shape with computed centroids
     "knn_ivf_trained" ->
-      s"""WITH kc0 AS (
-         |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
-         |${kmeansIterSql(1)},
-         |${kmeansIterSql(2)},
-         |${kmeansIterSql(3)},
-         |asgT AS (
-         |  SELECT vec_id, embedding, cid AS cell FROM (
-         |    SELECT e.vec_id, e.embedding, c.cid,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cid ASC) AS crn
-         |    FROM embeddings e CROSS JOIN kc3 c)
-         |  WHERE crn = 1),
-         |probesT AS (
-         |  SELECT qid, qv, cell FROM (
-         |    SELECT e.vec_id AS qid, e.embedding AS qv, c.cid AS cell,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cid ASC) AS crn
-         |    FROM embeddings e CROSS JOIN kc3 c WHERE e.vec_id < 20)
-         |  WHERE crn <= 2),
-         |cand AS (
-         |  SELECT p.qid, a.vec_id AS neighbor,
-         |    row_number() OVER (PARTITION BY p.qid
-         |      ORDER BY list_cosine_similarity(p.qv, a.embedding) DESC, a.vec_id ASC) AS rank
-         |  FROM probesT p JOIN asgT a ON a.cell = p.cell
-         |  WHERE a.vec_id <> p.qid)
-         |SELECT qid, rank, neighbor FROM cand WHERE rank <= 5
+      s"""WITH ${ivfTrainedCtes("e.vec_id < 20")}
+         |SELECT qid, rank, neighbor FROM knn WHERE rank <= 5
          |ORDER BY qid, rank""".stripMargin,
     "pipe_cluster_balance" ->
       s"""WITH kc0 AS (

@@ -319,6 +319,38 @@ class PlanSpec extends AnyFunSuite {
       s"cell census must broadcast-join, never shuffle the corpus:\n$pairPlan")
   }
 
+  test("pipe_hard_negatives_bounded: prefix-keyed lexical arm, cell-keyed semantic arm") {
+    val plan = formatted(
+      graft.queries.PipelineQueries.all("pipe_hard_negatives_bounded")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the only nested-loops allowed are assignments against the <=16-row
+    // (broadcast) centroid tables — 3 training rounds + corpus assign +
+    // query probes; the lexical arm and the anti-join must all be keyed
+    val bnlj = "\\(\\d+\\) BroadcastNestedLoopJoin".r
+      .findAllIn(plan).toSet.size
+    assert(bnlj <= 6,
+      s"only centroid assignments may nested-loop (got $bnlj):\n$plan")
+    // the final plan reads the checkpointed pair table, so pin the pair
+    // GENERATION keys on the shared builder's own plan: the AllPairs
+    // candidate join must key on the shingle, never doc x doc
+    import org.apache.spark.sql.functions.col
+    val pairPlan = formatted(graft.ops.Dedup.ngramJaccardPrefix(
+      graft.ops.Dedup.shingles(
+        graft.Graft.table(spark, sf, "documents")
+          .select(col("doc_id"),
+            graft.functions.TextFunctions.tokenize(col("text"), "default").as("toks")),
+        col("doc_id"), col("toks"), 3),
+      threshold = 0.5))
+    assert(!pairPlan.contains("CartesianProduct") &&
+      !pairPlan.contains("BroadcastNestedLoop"), pairPlan)
+    val keyLines = pairPlan.linesIterator
+      .filter(_.matches(".*(Left|Right) keys.*")).toList
+    assert(keyLines.exists(_.matches(".*\\bsh#\\d+.*")),
+      s"lexical candidate join must key on the shingle:\n$pairPlan")
+    // the semantic anti-join is keyed on (qid, cand)
+    assert(plan.contains("LeftAnti"), s"negatives must anti-join:\n$plan")
+  }
+
   test("pipe_lm_perplexity: gram-keyed model join, scalar vocab attach only") {
     val plan = formatted(
       graft.queries.PipelineQueries.pipe_lm_perplexity(spark, sf))
@@ -419,7 +451,8 @@ class PlanSpec extends AnyFunSuite {
       "dedup_semantic_recall" -> "brute-force truth tier (declared O(n^2) diagnostic) + 1-row scalars",
       "text_tfidf_top" -> "1-row corpus-size scalar attach (idf denominator)",
       "pipe_hybrid_rrf" -> "semantic arm = Ann.brute with a 1-query broadcast side",
-      "pipe_hard_negatives" -> "semantic truth arm = Ann.brute (20-query broadcast side)"
+      "pipe_hard_negatives" -> "semantic truth arm = Ann.brute (20-query broadcast side; declared diagnostic tier — pipe_hard_negatives_bounded is the production form)",
+      "pipe_hard_negatives_bounded" -> "centroid assignment over trained centroids (lexical arm is prefix-filtered, sh-keyed — see dedicated shape test)"
     )
     val sfDir = "/root/testdata/sf0.001"
     // planning failure is tracked SEPARATELY from the cartesian flag: a
