@@ -19,7 +19,9 @@ import graft.streaming.StreamingIndexer
   * graft.cli.Main search <name> <query> [--limit N] [--fields a,b]
   *                       [--unscored] [--root DIR]
   * graft.cli.Main count  <name> <query> [--fields a,b] [--root DIR]
-  * graft.cli.Main merge  <name>  [--small-docs N] [--dedup] [--root DIR]
+  * graft.cli.Main merge  <name>  [--small-docs N] [--dedup] [--retain-inputs]
+  *                               [--root DIR]
+  * graft.cli.Main vacuum <name>  --before-gen N   [--root DIR]
   * graft.cli.Main stats  <name>                   [--root DIR]
   * graft.cli.Main pipeline <config.yaml>
   * }}}
@@ -112,15 +114,27 @@ object Main {
 
       case "merge" =>
         val idx = new Indexer(spark, cat)
+        // --retain-inputs keeps the compacted splits' files on disk so
+        // archived generations stay servable (`--at-gen`); reclaim with
+        // an explicit `vacuum --before-gen N`
+        val retain = flags.contains("retain-inputs")
         val merged = (flags.get("small-docs"), flags.contains("dedup")) match {
-          case (Some(n), dd)  => idx.mergeSmall(pos.head, n.toLong, dedup = dd)
-          case (None, true)   => idx.mergeDedup(pos.head)
-          case (None, false)  => idx.merge(pos.head)
+          case (Some(n), dd)  =>
+            idx.mergeSmall(pos.head, n.toLong, dedup = dd, retainInputs = retain)
+          case (None, true)   => idx.mergeDedup(pos.head, retainInputs = retain)
+          case (None, false)  => idx.merge(pos.head, retainInputs = retain)
         }
         merged match {
           case Some(s) => println(s"merged into split ${s.id} (${s.numDocs} docs)")
           case None    => println("nothing to merge (need >= 2 eligible splits)")
         }
+
+      case "vacuum" =>
+        val before = flags.getOrElse("before-gen",
+          sys.error("vacuum requires --before-gen N")).toLong
+        val (archives, dirs) = cat.vacuum(pos.head, before)
+        println(s"vacuumed $archives archived generation(s), " +
+          s"$dirs unreferenced split dir(s) before gen $before")
 
       case "stats" =>
         val name = pos.head
@@ -192,6 +206,7 @@ object Main {
         case "--stream" :: t => flags("stream") = "true"; rest = t
         case "--dedup" :: t  => flags("dedup") = "true"; rest = t
         case "--unscored" :: t => flags("unscored") = "true"; rest = t
+        case "--retain-inputs" :: t => flags("retain-inputs") = "true"; rest = t
         case f :: v :: t if f.startsWith("--") => flags(f.stripPrefix("--")) = v; rest = t
         case x :: t => pos += x; rest = t
         case Nil =>
@@ -204,6 +219,7 @@ object Main {
     System.err.println(
       """usage: create <config.yaml> | drop <name> | index <name> <input> [--stream]
         |       search <name> <query> [--limit N] [--fields a,b] [--unscored]
-        |       count <name> <query> | merge <name>   (all: [--root DIR])
+        |       count <name> <query> | merge <name> [--retain-inputs]
+        |       vacuum <name> --before-gen N   (all: [--root DIR])
         |       pipeline <config.yaml>   (curate -> dedup -> shuffle -> shards)""".stripMargin)
 }

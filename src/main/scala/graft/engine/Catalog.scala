@@ -416,13 +416,52 @@ final class Catalog(rootDir: String,
     * no longer live: a concurrent merge already consumed those splits, and
     * committing `added` anyway would duplicate every document they held —
     * the compare-and-swap that makes concurrent compactions one-wins. */
-  def swapSplits(name: String, removed: List[String], added: List[SplitInfo]): Boolean = {
+  /** Replace `removed` splits with `added` in one manifest commit.
+    * With `retainInputs` the removed splits' FILES stay on disk —
+    * invisible to the live manifest but still servable through archived
+    * generations ([[manifestStateAt]] snapshot reads), until an
+    * explicit [[vacuum]] unreferences them. Without it (the default,
+    * the reference's `merge.rs:50-70` order) the files are best-effort
+    * deleted after the commit point. */
+  def swapSplits(name: String, removed: List[String], added: List[SplitInfo],
+      retainInputs: Boolean = false): Boolean = {
     val committed = mutate(name) { live =>
       val liveIds = live.map(_.id).toSet
       if (!removed.forall(liveIds.contains)) None
       else Some(live.filterNot(s => removed.contains(s.id)) ++ added)
     }
-    if (committed) removed.foreach(id => deleteDirBestEffort(splitDir(name, id)))
+    if (committed && !retainInputs)
+      removed.foreach(id => deleteDirBestEffort(splitDir(name, id)))
     committed
+  }
+
+  /** Iceberg-style history expiry — the explicit counterpart of a
+    * retain-inputs merge: delete every archived generation STRICTLY
+    * below `beforeGen`, plus any split directory only those generations
+    * reference (the live manifest and surviving archives keep their
+    * splits servable; a split still referenced by either is never
+    * touched). After vacuum, a snapshot read of an expired generation
+    * fails loudly ("no archived manifest"), never partially. Ordering is
+    * crash-safe the same way drop is: data dirs first, then the archive
+    * files that referenced them — a crash in between leaves extra
+    * archives whose reads fail loudly on the missing-split guard, not
+    * silently-partial history. Returns (archivesDeleted, splitDirsDeleted). */
+  def vacuum(name: String, beforeGen: Long): (Int, Int) = {
+    val (curGen, live) = manifestState(name)
+    require(beforeGen <= curGen + 1,
+      s"--before-gen $beforeGen is ahead of current generation $curGen")
+    val archRe = """manifest\.v(\d+)\.json""".r
+    val gens = store.listFileNames(indexDir(name)).collect {
+      case archRe(g) => g.toLong
+    }
+    val (dropGens, keepGens) = gens.partition(_ < beforeGen)
+    def idsAt(g: Long): List[String] =
+      store.readString(archivePath(name, g))
+        .map(parseManifest(_)._2.map(_.id)).getOrElse(Nil)
+    val referenced = live.map(_.id).toSet ++ keepGens.flatMap(idsAt)
+    val victims = dropGens.flatMap(idsAt).distinct.filterNot(referenced)
+    victims.foreach(id => deleteDirBestEffort(splitDir(name, id)))
+    dropGens.foreach(g => store.deleteIfExists(archivePath(name, g)))
+    (dropGens.size, victims.size)
   }
 }

@@ -84,8 +84,9 @@ final class Indexer(spark: SparkSession, catalog: Catalog) {
     * read all live splits, rewrite as one, swap the manifest atomically,
     * best-effort delete the old files. Requires >= 2 splits, like the
     * reference (`merge.rs:28-31`). */
-  def merge(indexName: String): Option[SplitInfo] =
-    mergeSplits(indexName, catalog.liveSplits(indexName))
+  def merge(indexName: String, retainInputs: Boolean = false): Option[SplitInfo] =
+    mergeSplits(indexName, catalog.liveSplits(indexName),
+      retainInputs = retainInputs)
 
   /** Tiered compaction — the scale-correct variant the reference lacks:
     * merge only splits smaller than `smallDocs`, leaving large splits'
@@ -98,17 +99,20 @@ final class Indexer(spark: SparkSession, catalog: Catalog) {
     * (sub-threshold) set only — a duplicate spanning a small and a large
     * split survives; run the full [[mergeDedup]] to clear those. */
   def mergeSmall(indexName: String, smallDocs: Long,
-      dedup: Boolean = false): Option[SplitInfo] =
+      dedup: Boolean = false, retainInputs: Boolean = false): Option[SplitInfo] =
     mergeSplits(indexName,
-      catalog.liveSplits(indexName).filter(_.numDocs < smallDocs), dedup)
+      catalog.liveSplits(indexName).filter(_.numDocs < smallDocs), dedup,
+      retainInputs)
 
   /** Compact-and-deduplicate: merge that also drops exact duplicate
     * documents (every stored column equal — the at-least-once streaming
     * failure mode, and the first dedup pass of a training pipeline, run
     * inside compaction where the data is being rewritten anyway). One
     * extra shuffle on all columns over data that is already in flight. */
-  def mergeDedup(indexName: String): Option[SplitInfo] =
-    mergeSplits(indexName, catalog.liveSplits(indexName), dedup = true)
+  def mergeDedup(indexName: String,
+      retainInputs: Boolean = false): Option[SplitInfo] =
+    mergeSplits(indexName, catalog.liveSplits(indexName), dedup = true,
+      retainInputs = retainInputs)
 
   /** Tiered merge that never touches the named split — the streaming
     * auto-compaction hook: the just-committed split is the only one a
@@ -121,7 +125,8 @@ final class Indexer(spark: SparkSession, catalog: Catalog) {
       .filter(s => s.numDocs < smallDocs && s.id != excludeId))
 
   private def mergeSplits(indexName: String, splits: List[SplitInfo],
-      dedup: Boolean = false): Option[SplitInfo] = {
+      dedup: Boolean = false,
+      retainInputs: Boolean = false): Option[SplitInfo] = {
     val cfg = catalog.load(indexName)
     val d = new SchemaDerivation(cfg)
     if (splits.length < 2) return None
@@ -153,7 +158,8 @@ final class Indexer(spark: SparkSession, catalog: Catalog) {
     val parts = math.max(1, (n / Indexer.MaxRecordsPerFile).toInt)
     val split = Indexer.writeSplit(spark, d, df.repartition(parts), dir, id,
       partitionsHint = Some(parts))
-    if (catalog.swapSplits(indexName, splits.map(_.id), List(split))) Some(split)
+    if (catalog.swapSplits(indexName, splits.map(_.id), List(split),
+        retainInputs)) Some(split)
     else {
       // a concurrent merge consumed (some of) our inputs first: our output
       // would duplicate those documents, so abandon it and clean up

@@ -23,6 +23,13 @@ final class ManifestStore(rootUri: String, conf: Configuration) {
   def exists(p: HPath): Boolean = fs.exists(p)
   def mkdirs(p: HPath): Unit = fs.mkdirs(p)
 
+  /** Names of plain files directly under `dir` (empty for a missing
+    * dir) — one LIST call; used by vacuum to enumerate archived
+    * manifest generations. */
+  def listFileNames(dir: HPath): List[String] =
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toList.filter(_.isFile).map(_.getPath.getName)
+
   /** Open-and-catch, not exists-then-open: the check-then-act window
     * would turn a concurrent drop into a FileNotFoundException instead of
     * the expected None, and costs a second metadata RPC per read on an

@@ -58,6 +58,45 @@ class TimeTravelSpec extends AnyFunSuite {
     cat.drop("test")
   }
 
+  test("retain-inputs merge keeps history servable; vacuum expires it explicitly") {
+    val (cat, idx, s, root) = freshIndex()
+    idx.indexFile("test",
+      "/root/reference/tests/test_files/hdfs-logs-multitenants-2.json")
+    idx.indexFile("test", secondBatch(root))
+    val preMerge = cat.manifestGen("test")
+    val preMergeSplits = cat.liveSplits("test").map(_.id)
+    assert(idx.merge("test", retainInputs = true).isDefined)
+    // the merged split serves the present...
+    assert(s.searchDf("test", SearchRequest("*", limit = 1000)).count() == 12)
+    // ...AND the pre-merge generation still answers from retained files
+    assert(s.searchDf("test",
+      SearchRequest("*", limit = 1000, asOfGen = Some(preMerge))).count() == 12)
+    assert(s.searchDf("test",
+      SearchRequest("*", limit = 1000, asOfGen = Some(preMerge - 1))).count() == 2,
+      "the first-batch-only generation answers too")
+    preMergeSplits.foreach(id => assert(cat.splitDirExists("test", id),
+      "retain-inputs must leave the compacted inputs' files on disk"))
+    // vacuum strictly-before the merge generation: history gone LOUDLY,
+    // the live manifest (and its merged split) untouched
+    val postMerge = cat.manifestGen("test")
+    val (archives, dirs) = cat.vacuum("test", postMerge)
+    assert(archives >= 2 && dirs == preMergeSplits.size,
+      s"expected the two ingest generations + their splits gone, " +
+        s"got ($archives, $dirs)")
+    preMergeSplits.foreach(id => assert(!cat.splitDirExists("test", id)))
+    val e = intercept[IllegalArgumentException](
+      s.searchDf("test",
+        SearchRequest("*", limit = 10, asOfGen = Some(preMerge))).count())
+    assert(e.getMessage.contains("no archived manifest"), e.getMessage)
+    assert(s.searchDf("test", SearchRequest("*", limit = 1000)).count() == 12,
+      "vacuum never touches the live manifest's splits")
+    // the current generation remains snapshot-addressable (falls back to
+    // the live manifest even though its archive was not vacuumed)
+    assert(s.searchDf("test",
+      SearchRequest("*", limit = 1000, asOfGen = Some(postMerge))).count() == 12)
+    cat.drop("test")
+  }
+
   test("history vacuumed by merge fails loudly; unaffected queries still answer") {
     val (cat, idx, s, root) = freshIndex()
     idx.indexFile("test",
