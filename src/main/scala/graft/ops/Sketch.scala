@@ -65,9 +65,10 @@ object Sketch {
     * sum S = (256 - observed)·2^53 + Σ 2^(53-M[j]) in exact BIGINTs, then
     * est = ⌊numerator / S⌋ — one double division. `v_empty` (the
     * linear-counting trigger in a full production estimator) is reported
-    * rather than acted on: linear counting needs `ln`, whose last-ulp
-    * behavior is libm-specific, so the raw estimate is the oracle-gated
-    * value and the correction stays a documented consumer-side step. */
+    * rather than acted on here, keeping the raw estimate a pure
+    * integer-plus-one-division value; [[hllEstimateCorrected]] applies
+    * the small-range linear-counting correction in-engine (oracle-gated
+    * since r11 — `sketch_hll_lc`). */
   def hllEstimate(regs: DataFrame): DataFrame =
     regs.groupBy(col("grp"))
       .agg(count(lit(1)).as("observed"),
@@ -78,6 +79,34 @@ object Sketch {
         floor(lit(HllNumerator) /
           ((lit(HllBuckets.toLong) - col("observed")) * lit(RemMod * 2) +
             col("s_obs")).cast("double")).cast("long").as("est_distinct"))
+
+  /** Raw estimate at or below which the small-range regime applies
+    * (Flajolet et al. 2007: E ≤ 5/2·m). */
+  val HllSmallRangeMax: Long = (2.5 * HllBuckets).toLong
+
+  /** [[hllEstimate]] with the small-range (linear counting) correction
+    * applied IN-ENGINE: when the raw estimate is in the small-range
+    * regime (≤ 5/2·m) and empty registers exist, the estimate becomes
+    * `⌊m · ln(m / V)⌋` (Whang et al.'s linear counting over the m
+    * registers as bitmap); otherwise the raw estimate stands. The `ln`
+    * is evaluated ONCE on identical double operands in both engines and
+    * floored — the module's quantize-once discipline, the same
+    * last-ulp exposure as the `floor(-ln(p)·10⁶)` race keys already
+    * gated elsewhere. Output adds `est_raw` and the chosen `regime`
+    * ('lc' | 'raw') beside the corrected `est_distinct`, so gates pin
+    * WHICH branch served each group. */
+  def hllEstimateCorrected(regs: DataFrame): DataFrame =
+    hllEstimate(regs)
+      .withColumnRenamed("est_distinct", "est_raw")
+      .withColumn("__lc",
+        col("v_empty") > 0 && col("est_raw") <= lit(HllSmallRangeMax))
+      .select(col("grp"), col("v_empty"), col("est_raw"),
+        when(col("__lc"),
+          floor(lit(HllBuckets.toDouble) *
+            log(lit(HllBuckets.toDouble) / col("v_empty").cast("double")))
+            .cast("long"))
+          .otherwise(col("est_raw")).as("est_distinct"),
+        when(col("__lc"), lit("lc")).otherwise(lit("raw")).as("regime"))
 
   /** Count-min sketch counters `(d, c, cell)` over a pre-aggregated
     * frequency table `(key, cnt)`: depth rows each hash the key with a
@@ -94,6 +123,25 @@ object Sketch {
         col("cnt"))
       .groupBy(col("d"), col("c"))
       .agg(sum(col("cnt")).cast("long").as("cell"))
+
+  /** Census-derived CMS width — the sizing rule that turns the
+    * Cormode–Muthukrishnan ε·N bound into a FIXED ABSOLUTE guarantee as
+    * the corpus grows: the smallest power of two strictly greater than
+    * totalMass/64 (floored at 256), so expected overcount stays
+    * ≤ e·N/w ≈ e·64 ≈ 174 at any scale while the grid grows only as
+    * N/64 cells (4×8192 rows at 266k mass — still trivially mergeable).
+    * Fixed-width grids keep memory constant but let absolute overcount
+    * grow with corpus mass (the r10 measurement: +140 → +1,145 across
+    * sf0.01 → sf0.1 at w=256); this rule is the `epochShuffleAuto`
+    * pattern applied to the sketch tier — ONE integer census scalar,
+    * identical in both engines, drives the layout. */
+  def cmsAutoWidth(totalMass: Long): Int = {
+    val target = math.max(totalMass / 64L, 1L)
+    // 2^bitlength(target): strictly greater than target, matching the
+    // oracle's `1 << length(bin(target))`
+    val w = 1L << (64 - java.lang.Long.numberOfLeadingZeros(target))
+    math.max(w, 256L).toInt
+  }
 
   /** Point-query the sketch for a set of probe keys: est(k) = min over
     * depths of the counter each salt hashes k into. Estimates never

@@ -85,6 +85,36 @@ object SketchQueries {
       .orderBy(col("grp"))
   }
 
+  /** Small-range-corrected HLL ([[graft.ops.Sketch.hllEstimateCorrected]])
+    * on the two regimes one gate text exercises at BOTH scales: weekly
+    * distinct USERS (150/week at sf0.01 → deep linear-counting regime;
+    * 1,500/week at sf0.1 → raw regime, so the 10× re-gate flips the
+    * chooser's branch) and global distinct event TYPES (5 — the sparse
+    * extreme where the raw estimate collapses and linear counting is
+    * near-exact). The `regime` column pins WHICH branch served each
+    * group; err_ppm measures the correction against the exact tier —
+    * closing r10's "correction is consumer-side" gap with the quantized
+    * one-`ln` form the verdict prescribed. */
+  val sketch_hll_lc: Q = (s, dir) => {
+    val ev = graft.Graft.events(s, dir)
+    val keyed = ev.select(
+        concat(lit("users:"),
+          date_format(date_trunc("week", col("ts")), "yyyy-MM-dd")).as("grp"),
+        col("user_id").cast("string").as("k"))
+      .unionByName(ev.select(lit("types:all").as("grp"),
+        col("event_type").as("k")))
+    val est = Sketch.hllEstimateCorrected(
+      Sketch.hllRegisters(keyed, col("grp"), col("k")))
+    val exact = keyed.groupBy(col("grp"))
+      .agg(countDistinct(col("k")).as("exact_distinct"))
+    est.join(exact, "grp")
+      .select(col("grp"), col("v_empty"), col("est_raw"), col("regime"),
+        col("est_distinct"), col("exact_distinct"),
+        expr("CAST(abs(est_distinct - exact_distinct) * 1000000" +
+          " DIV exact_distinct AS BIGINT)").as("err_ppm"))
+      .orderBy(col("grp"))
+  }
+
   private val CmsDepth = 4
   private val CmsWidth = 256
 
@@ -119,10 +149,45 @@ object SketchQueries {
       .orderBy(col("true_cnt").desc, col("key"))
   }
 
+  /** [[sketch_cms_topk]] with the width derived from a one-scalar corpus
+    * census ([[graft.ops.Sketch.cmsAutoWidth]]): w = first power of two
+    * past totalMass/64, so the ε·N overcount bound is a fixed ABSOLUTE
+    * budget (~e·64) at every scale instead of growing with corpus mass
+    * (the r10 fixed-width measurement: +140 → +1,145 overcount across
+    * 10×). One integer census (total bigram occurrences — exact in both
+    * engines) picks the layout; the same census value is reported as
+    * `n_total` with the chosen `width` so the gate pins the sizing rule
+    * itself, not just the estimates. The census is a 1-row driver pull,
+    * the module's bounded-model-pull convention. */
+  val sketch_cms_auto: Q = (s, dir) => {
+    val bg = table(s, dir, "documents")
+      .select(tokenizeDefault(col("text")).as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 2)," +
+          " i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"))
+        .as("bg"))
+    val tf = bg.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false)
+    val total = tf.agg(sum(col("cnt")).cast("long")).first().getLong(0)
+    val width = Sketch.cmsAutoWidth(total)
+    val counters = Sketch.cmsCounters(tf, col("bg"), col("cnt"),
+      CmsDepth, width)
+    val top = tf.orderBy(col("cnt").desc, col("bg")).limit(20)
+    val est = Sketch.cmsEstimate(counters, top, col("bg"), CmsDepth, width)
+    top.join(est, top("bg") === est("k"))
+      .select(col("bg").as("key"), col("cnt").as("true_cnt"), col("est_cnt"),
+        (col("est_cnt") - col("cnt")).as("overcount"),
+        lit(width.toLong).as("width"), lit(total).as("n_total"))
+      .orderBy(col("true_cnt").desc, col("key"))
+  }
+
   val all: Map[String, Q] = Map(
     "sketch_hll" -> sketch_hll,
     "sketch_hll_window" -> sketch_hll_window,
-    "sketch_cms_topk" -> sketch_cms_topk
+    "sketch_hll_lc" -> sketch_hll_lc,
+    "sketch_cms_topk" -> sketch_cms_topk,
+    "sketch_cms_auto" -> sketch_cms_auto
   )
 
   private val hllNumerSql = Sketch.HllNumerator.toString
@@ -193,6 +258,43 @@ object SketchQueries {
          |    AS BIGINT) AS err_ppm
          |FROM est JOIN ex ON est.grp = ex.grp
          |ORDER BY est.grp""".stripMargin,
+    "sketch_hll_lc" ->
+      s"""WITH k AS (
+         |  SELECT 'users:' || strftime(date_trunc('week', ts), '%Y-%m-%d') AS grp,
+         |    CAST(user_id AS VARCHAR) AS kk
+         |  FROM events
+         |  UNION ALL
+         |  SELECT 'types:all' AS grp, event_type AS kk FROM events),
+         |b AS (
+         |  SELECT grp,
+         |    h // 4503599627370496 AS bucket, h % 4503599627370496 AS r
+         |  FROM (SELECT grp,
+         |    CAST(('0x' || substr(md5(kk), 1, 15)) AS BIGINT) AS h FROM k)),
+         |regs AS (
+         |  SELECT grp, bucket,
+         |    max(CASE WHEN r = 0 THEN 53 ELSE 53 - length(bin(r)) END) AS m
+         |  FROM b GROUP BY grp, bucket),
+         |est AS (
+         |  SELECT grp, 256 - count(*) AS v_empty,
+         |    CAST(floor($hllNumerSql / CAST(
+         |      (256 - count(*)) * 9007199254740992 +
+         |      CAST(sum(1::BIGINT << CAST(53 - m AS INT)) AS BIGINT)
+         |    AS DOUBLE)) AS BIGINT) AS est_raw
+         |  FROM regs GROUP BY grp),
+         |corr AS (
+         |  SELECT grp, v_empty, est_raw,
+         |    CASE WHEN v_empty > 0 AND est_raw <= ${Sketch.HllSmallRangeMax} THEN 'lc' ELSE 'raw' END
+         |      AS regime,
+         |    CASE WHEN v_empty > 0 AND est_raw <= ${Sketch.HllSmallRangeMax}
+         |      THEN CAST(floor(256.0 * ln(256.0 / CAST(v_empty AS DOUBLE))) AS BIGINT)
+         |      ELSE est_raw END AS est_distinct
+         |  FROM est),
+         |ex AS (SELECT grp, count(DISTINCT kk) AS exact_distinct FROM k GROUP BY grp)
+         |SELECT corr.grp, v_empty, est_raw, regime, est_distinct, exact_distinct,
+         |  CAST(abs(est_distinct - exact_distinct) * 1000000 // exact_distinct
+         |    AS BIGINT) AS err_ppm
+         |FROM corr JOIN ex ON corr.grp = ex.grp
+         |ORDER BY corr.grp""".stripMargin,
     "sketch_cms_topk" ->
       s"""WITH t AS (SELECT ${PipelineQueries.toksSql} AS toks FROM documents),
          |tf AS (
@@ -218,6 +320,42 @@ object SketchQueries {
          |  FROM probes JOIN counters USING (d, c) GROUP BY bg)
          |SELECT top.bg AS key, cnt AS true_cnt, est_cnt,
          |  est_cnt - cnt AS overcount
+         |FROM top JOIN est ON top.bg = est.bg
+         |ORDER BY true_cnt DESC, key""".stripMargin,
+    // same chain with the width from the one-scalar census: w = first
+    // power of two past total/64 (floored at 256) — `1 << length(bin(t))`
+    // ≡ the engine's 2^bitlength(t)
+    "sketch_cms_auto" ->
+      s"""WITH t AS (SELECT ${PipelineQueries.toksSql} AS toks FROM documents),
+         |tf AS (
+         |  SELECT bg, count(*) AS cnt FROM (
+         |    SELECT unnest(list_transform(range(len(toks) - 1),
+         |      i -> toks[i+1] || ' ' || toks[i+2])) AS bg
+         |    FROM t WHERE len(toks) >= 2) GROUP BY bg),
+         |wd AS (
+         |  SELECT CAST(sum(cnt) AS BIGINT) AS n_total,
+         |    greatest(1::BIGINT << length(bin(greatest(
+         |      CAST(sum(cnt) AS BIGINT) // 64, 1))), 256) AS w
+         |  FROM tf),
+         |counters AS (
+         |  SELECT d,
+         |    CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || '_' || k), 1, 15)) AS BIGINT)
+         |      % (SELECT w FROM wd) AS c,
+         |    CAST(sum(cnt) AS BIGINT) AS cell
+         |  FROM (SELECT bg AS k, cnt, unnest([0, 1, 2, 3]) AS d FROM tf)
+         |  GROUP BY d, c),
+         |top AS (SELECT bg, cnt FROM tf ORDER BY cnt DESC, bg LIMIT 20),
+         |probes AS (
+         |  SELECT bg, d,
+         |    CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || '_' || bg), 1, 15)) AS BIGINT)
+         |      % (SELECT w FROM wd) AS c
+         |  FROM (SELECT bg, unnest([0, 1, 2, 3]) AS d FROM top)),
+         |est AS (
+         |  SELECT bg, min(cell) AS est_cnt
+         |  FROM probes JOIN counters USING (d, c) GROUP BY bg)
+         |SELECT top.bg AS key, cnt AS true_cnt, est_cnt,
+         |  est_cnt - cnt AS overcount,
+         |  (SELECT w FROM wd) AS width, (SELECT n_total FROM wd) AS n_total
          |FROM top JOIN est ON top.bg = est.bg
          |ORDER BY true_cnt DESC, key""".stripMargin
   )

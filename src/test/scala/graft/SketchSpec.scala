@@ -97,6 +97,40 @@ class SketchSpec extends AnyFunSuite {
       "roll-up must be grouping-transparent")
   }
 
+  test("linear-counting chooser: LC in the sparse regime, raw above it, near-exact at tiny n") {
+    import spark.implicits._
+    // 40 distinct keys: deep LC regime — LC must land within ±10% where
+    // the raw sparse estimate is known-biased; and the regime column
+    // must say which branch served
+    val small = (0 until 40).flatMap(i => Seq.fill(3)(s"key$i"))
+      .toDF("k").select(lit("g").as("grp"), col("k"))
+    val rep = Sketch.hllEstimateCorrected(
+      Sketch.hllRegisters(small, col("grp"), col("k"))).collect().head
+    assert(rep.getAs[String]("regime") == "lc")
+    val est = rep.getAs[Long]("est_distinct")
+    assert(math.abs(est - 40L) <= 6, s"LC estimate $est for n=40")
+    // 5,000 distinct keys: raw regime — est_distinct must BE est_raw
+    val big = (0 until 5000).map(i => s"key$i")
+      .toDF("k").select(lit("g").as("grp"), col("k"))
+    val rep2 = Sketch.hllEstimateCorrected(
+      Sketch.hllRegisters(big, col("grp"), col("k"))).collect().head
+    assert(rep2.getAs[String]("regime") == "raw")
+    assert(rep2.getAs[Long]("est_distinct") == rep2.getAs[Long]("est_raw"))
+  }
+
+  test("cmsAutoWidth: power of two strictly past total/64, floored at 256") {
+    assert(Sketch.cmsAutoWidth(0L) == 256)
+    assert(Sketch.cmsAutoWidth(64L * 255) == 256)
+    assert(Sketch.cmsAutoWidth(64L * 256) == 512) // t=256 -> strictly past
+    assert(Sketch.cmsAutoWidth(26665L) == 512)    // the sf0.01 census
+    assert(Sketch.cmsAutoWidth(265704L) == 8192)  // the sf0.1 census
+    // matches the oracle text: 1 << length(bin(t))
+    for (t <- Seq(1L, 2L, 3L, 255L, 256L, 257L, 4095L, 4096L)) {
+      val w = Sketch.cmsAutoWidth(t * 64)
+      assert(w > t && w <= 2 * math.max(t, 128), s"t=$t w=$w")
+    }
+  }
+
   test("rho matches an independent bit-twiddling reference on random hashes") {
     import spark.implicits._
     // h64 yields 60 bits; rho = leading zeros of the low 52 bits + 1.
