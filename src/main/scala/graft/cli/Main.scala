@@ -14,8 +14,14 @@ import graft.streaming.StreamingIndexer
   * graft.cli.Main drop   <name>                   [--root DIR]
   * graft.cli.Main index  <name> [file|kafka://host:port/topic]
   *                       [--root DIR] [--stream] [--commit-interval 30s]
+  *                       [--dedup-field F [--dedup-threshold 0.5]
+  *                        [--sketch-field F] [--state-dir DIR]]
   *                       (no input, or `-`: read JSONL from stdin,
-  *                        like the reference — `src/args.rs:51-56`)
+  *                        like the reference — `src/args.rs:51-56`;
+  *                        --dedup-field: streaming near-dedup against
+  *                        persisted state before indexing, --sketch-field:
+  *                        HLL datasheet maintenance — see
+  *                        [[graft.streaming.StreamStateConfig]])
   * graft.cli.Main search <name> <query> [--limit N] [--fields a,b]
   *                       [--unscored] [--root DIR]
   * graft.cli.Main count  <name> <query> [--fields a,b] [--root DIR]
@@ -97,8 +103,18 @@ object Main {
         } else if (flags.contains("stream")) {
           val ckpt = s"$root/checkpoints/$name"
           val interval = flags.getOrElse("commit-interval", "30 seconds")
+          // stateful sidecars: --dedup-field F [--dedup-threshold 0.5]
+          // near-dedups each batch against persisted state before
+          // indexing; --sketch-field F maintains the HLL datasheet
+          val stateful = flags.get("dedup-field").map { f =>
+            graft.streaming.StreamStateConfig(
+              stateDir = flags.getOrElse("state-dir", s"$root/state/$name"),
+              textField = f,
+              threshold = flags.getOrElse("dedup-threshold", "0.5").toDouble,
+              sketchField = flags.get("sketch-field"))
+          }
           val q = new StreamingIndexer(spark, cat)
-            .startFileStream(name, input, ckpt, interval)
+            .startFileStream(name, input, ckpt, interval, stateful = stateful)
           q.awaitTermination()
         } else {
           val idx = new Indexer(spark, cat)

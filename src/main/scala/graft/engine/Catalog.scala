@@ -87,7 +87,14 @@ object Catalog {
     * Synchronized map: critical sections are tiny get/put of small
     * values, and the sidecar IO itself always runs OUTSIDE the lock
     * (get → fetch → putIfAbsent in [[Catalog.loadDigests]]). */
-  private val DigestCacheMax = 16384
+  /** Sizing rule (ProbeServe, 100k splits): a digest-prunable query
+    * probes EVERY live split's sidecar, so a cache smaller than the
+    * live split count thrashes — every repeat query re-fetches the
+    * evicted majority. Deployments serve with this ≥ live splits
+    * (entries are a few KB; 100k ≈ low hundreds of MB); the default
+    * suits ≤16k-split indexes. */
+  private val DigestCacheMax =
+    sys.props.get("graft.digest.cache.max").map(_.toInt).getOrElse(16384)
   private val digestCache: java.util.Map[String, Map[String, TermDigest]] =
     java.util.Collections.synchronizedMap(
       new java.util.LinkedHashMap[String, Map[String, TermDigest]](
@@ -204,6 +211,39 @@ final class Catalog(rootDir: String,
       case None => (0L, Nil)
       case Some(text) => parseManifest(text)
     }
+
+  /** Parsed manifests keyed by (file length, mtime) signature — at 100k
+    * splits the manifest is ~16 MB of JSON and its read+parse (202 ms
+    * p50, ProbeServe 2026-08-14) dominated selective serving; a repeat
+    * query at an unchanged generation costs ONE metadata RPC instead.
+    * Serving-path only: mutators ([[mutate]]) always read fresh — a
+    * stale generation there would spin the CAS loop — and invalidate
+    * this cache after every commit, so a same-instance
+    * commit-then-search always sees its own write. Cross-process
+    * staleness is bounded by the signature (any commit rewrites the
+    * file, bumping mtime) — the reader contract is unchanged: an old or
+    * new manifest, never a partial one. */
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, ((Long, Long), (Long, List[SplitInfo]))]()
+
+  /** [[manifestState]] through the signature cache — the searcher's
+    * read path. */
+  def manifestStateCached(name: String): (Long, List[SplitInfo]) =
+    store.fileSignature(manifestPath(name)) match {
+      case None => (0L, Nil)
+      case Some(sig) =>
+        val hit = manifestCache.get(name)
+        if (hit != null && hit._1 == sig) hit._2
+        else {
+          val st = manifestState(name)
+          manifestCache.put(name, (sig, st))
+          st
+        }
+    }
+
+  private def invalidateManifestCache(name: String): Unit =
+    manifestCache.remove(name): Unit
 
   /** Snapshot read: (generation, splits) as of a PAST committed
     * generation — the Iceberg-style time-travel surface, served from the
@@ -370,6 +410,7 @@ final class Catalog(rootDir: String,
         case Some(next) =>
           val bytes = renderManifest(next, gen)
           if (commitPoint.commit(gen + 1L, bytes)) {
+            invalidateManifestCache(name)
             // advisory time-travel archive, AFTER the commit point and
             // best-effort: exactly one writer wins a generation, so
             // exclusive-create is race-free; a failed archive only

@@ -23,6 +23,16 @@ final class ManifestStore(rootUri: String, conf: Configuration) {
   def exists(p: HPath): Boolean = fs.exists(p)
   def mkdirs(p: HPath): Unit = fs.mkdirs(p)
 
+  /** (length, modification time) of a file, None if missing — ONE
+    * metadata RPC, the cheap change-detection signature the parsed-
+    * manifest cache keys on (a manifest commit always rewrites the
+    * file, changing at least mtime). */
+  def fileSignature(p: HPath): Option[(Long, Long)] =
+    try {
+      val st = fs.getFileStatus(p)
+      Some((st.getLen, st.getModificationTime))
+    } catch { case _: java.io.FileNotFoundException => None }
+
   /** Names of plain files directly under `dir` (empty for a missing
     * dir) — one LIST call; used by vacuum to enumerate archived
     * manifest generations. */

@@ -139,7 +139,7 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
     val ast = QueryParser.parse(query)
     val (gen, live) = asOfGen match {
       case Some(g) => catalog.manifestStateAt(indexName, g)
-      case None => catalog.manifestState(indexName)
+      case None => catalog.manifestStateCached(indexName)
     }
     // a snapshot read must never silently return PARTIAL history: if any
     // split the archived manifest references was vacuumed by a later

@@ -80,8 +80,15 @@ final class QueryCompiler(d: SchemaDerivation,
 
   // ---- term -------------------------------------------------------------
 
+  /** Every query form below guards on `fieldType.indexed` first: the
+    * reference hands its QueryParser only indexed fields
+    * (`src/commands/search.rs:138-186`, `config/mod.rs:105,198`), so an
+    * `indexed: false` field of ANY type is stored-but-unsearchable —
+    * compiled here as a static no-match rather than the error tantivy
+    * raises (no wrong hits either way). */
   private def fieldTerm(flatName: String, value: String): Column =
     d.byFlatName.get(flatName) match {
+      case Some(rf) if !rf.fieldType.indexed => lit(false)
       case Some(rf) => typedTerm(rf, value)
       case None if flatName == Dynamic =>
         array_contains(termsCol(Dynamic), TextFunctions.tokenizeTerm(value, "default"))
@@ -241,6 +248,7 @@ final class QueryCompiler(d: SchemaDerivation,
 
   private def fieldPrefix(flatName: String, value: String): Column =
     d.byFlatName.get(flatName) match {
+      case Some(rf) if !rf.fieldType.indexed => lit(false)
       case Some(rf) =>
         rf.fieldType match {
           case t: TextField if t.tokenizer.exists(tk => tk != "raw") =>
@@ -266,6 +274,7 @@ final class QueryCompiler(d: SchemaDerivation,
     * normalization as an exact term. */
   private def fieldFuzzy(flatName: String, value: String, dist: Int): Column =
     d.byFlatName.get(flatName) match {
+      case Some(rf) if !rf.fieldType.indexed => lit(false)
       case Some(rf) =>
         rf.fieldType match {
           case t: TextField if t.tokenizer.exists(_ != "raw") =>
@@ -289,6 +298,7 @@ final class QueryCompiler(d: SchemaDerivation,
 
   private def fieldRange(flatName: String, lo: Bound, hi: Bound): Column =
     d.byFlatName.get(flatName) match {
+      case Some(rf) if !rf.fieldType.indexed => lit(false)
       case Some(rf) =>
         def sidePred(c: Column): Column = {
           val loP = boundPred(rf, c, lo, isLower = true)
@@ -381,6 +391,7 @@ final class QueryCompiler(d: SchemaDerivation,
     * conservative all-terms-present AND (documented approximation). */
   private def fieldPhrase(flatName: String, words: List[String], slop: Int): Column =
     d.byFlatName.get(flatName) match {
+      case Some(rf) if !rf.fieldType.indexed => lit(false)
       case Some(rf) =>
         rf.fieldType match {
           case t: TextField if t.tokenizer.exists(_ != "raw") =>

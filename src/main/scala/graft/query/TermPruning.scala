@@ -96,6 +96,9 @@ object TermPruning {
     def fieldsFor(f: Option[String]): List[String] = f.map(List(_)).getOrElse(defaults)
 
     def atomFor(fn: String, v: String): FieldAtom = d.byFlatName.get(fn) match {
+      // indexed: false fields of ANY type compile to lit(false)
+      // (QueryCompiler's unsearchable guard) — statically no-match
+      case Some(rf) if !rf.fieldType.indexed => NoMatch
       case Some(rf) => rf.fieldType match {
         case t: TextField => t.tokenizer match {
           case Some(tk) =>
@@ -166,6 +169,7 @@ object TermPruning {
       // per field: Some(word tokens) | None (can't match) | top marker
       val per: List[Option[Option[List[String]]]] = fs.map { fn =>
         d.byFlatName.get(fn) match {
+          case Some(rf) if !rf.fieldType.indexed => Some(None) // compiled lit(false)
           case Some(rf) => rf.fieldType match {
             case t: TextField => t.tokenizer match {
               case Some(tk) if tk != "raw" =>
@@ -214,6 +218,7 @@ object TermPruning {
         else AtomOf(field -> graft.engine.TermDigest.prefixKey(
           needle.take(graft.engine.TermDigest.PrefixMaxLen)))
       d.byFlatName.get(fn) match {
+        case Some(rf) if !rf.fieldType.indexed => NoMatch // compiled lit(false)
         case Some(rf) => rf.fieldType match {
           case t: TextField => t.tokenizer match {
             case Some("whitespace") | Some("raw") => atom(fn, v)

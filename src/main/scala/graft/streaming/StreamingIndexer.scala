@@ -27,6 +27,31 @@ import graft.engine.{Catalog, SplitInfo}
   * file source for tests/CI, `spark.readStream.format("kafka")` in
   * production (same contract: Kafka's `value` is cast to string).
   */
+/** Stateful sidecars a production streaming ingest maintains ALONGSIDE
+  * split commits — the batch-gated ops run inside the same foreachBatch,
+  * so after any stream prefix the state equals what the batch pipeline
+  * would leave behind (pinned in StatefulStreamingSpec):
+  *
+  *  - `textField`: near-dedup each batch against the persisted
+  *    generational corpus state ([[graft.ops.IncrementalDedupState]],
+  *    3-gram shingles over the field, Jaccard ≥ `threshold`) and drop
+  *    duplicates BEFORE they are indexed; keepers are absorbed. Exact
+  *    within-batch duplicates (identical lines) also collapse.
+  *  - `sketchField`: max-merge per-batch HLL registers of the field's
+  *    values into [[graft.ops.HllRegisterState]] — the streaming
+  *    datasheet (distinct-count) maintenance.
+  *
+  * Both states live under `stateDir` (`dedup/`, `hll/`). Batch replay
+  * caveat: the split commit is idempotent per batch id, but absorb/merge
+  * are append-only — a replayed batch re-absorbs already-present doc ids
+  * (idempotent by doc id) and re-merges registers (idempotent by max), so
+  * replays cannot corrupt either state. */
+final case class StreamStateConfig(
+    stateDir: String,
+    textField: String,
+    threshold: Double = 0.5,
+    sketchField: Option[String] = None)
+
 final class StreamingIndexer(spark: SparkSession, catalog: Catalog) {
 
   /** Index one micro-batch idempotently: split id = f(runTag, batchId).
@@ -84,10 +109,11 @@ final class StreamingIndexer(spark: SparkSession, catalog: Catalog) {
   def startFileStream(indexName: String, sourceDir: String, checkpointDir: String,
       commitInterval: String = "30 seconds",
       availableNow: Boolean = false,
-      compactSmallDocs: Option[Long] = None): StreamingQuery = {
+      compactSmallDocs: Option[Long] = None,
+      stateful: Option[StreamStateConfig] = None): StreamingQuery = {
     val lines = spark.readStream.text(sourceDir)
     startStream(indexName, lines, checkpointDir, commitInterval, availableNow,
-      compactSmallDocs)
+      compactSmallDocs, stateful)
   }
 
   /** Stream a Kafka topic (`kafka://host:port/topic` in the reference's URL
@@ -124,12 +150,17 @@ final class StreamingIndexer(spark: SparkSession, catalog: Catalog) {
     * MemoryStream of raw bytes). */
   def startStream(indexName: String, lines: DataFrame, checkpointDir: String,
       commitInterval: String = "30 seconds", availableNow: Boolean = false,
-      compactSmallDocs: Option[Long] = None): StreamingQuery = {
+      compactSmallDocs: Option[Long] = None,
+      stateful: Option[StreamStateConfig] = None): StreamingQuery = {
     val runTag = StreamingIndexer.runTagFor(checkpointDir)
     val writer = lines.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val committed = indexBatch(indexName, batch.toDF(), batchId, runTag)
+        val toIndex = stateful match {
+          case None => batch.toDF()
+          case Some(sc) => maintainState(batch.toDF(), sc)
+        }
+        val committed = indexBatch(indexName, toIndex, batchId, runTag)
         for (threshold <- compactSmallDocs; split <- committed)
           new graft.engine.Indexer(spark, catalog)
             .mergeSmallExcept(indexName, threshold, split.id): Unit
@@ -137,6 +168,51 @@ final class StreamingIndexer(spark: SparkSession, catalog: Catalog) {
     (if (availableNow) writer.trigger(Trigger.AvailableNow())
      else writer.trigger(Trigger.ProcessingTime(commitInterval)))
       .start()
+  }
+
+  /** Run one micro-batch through the stateful sidecars (see
+    * [[StreamStateConfig]]) and return the rows that should be INDEXED:
+    * exact within-batch duplicates collapsed, near-duplicates of the
+    * absorbed corpus dropped. Keepers are absorbed and (when configured)
+    * their sketch registers merged, BEFORE the split commit — crash
+    * between state flip and commit replays the batch, and both state
+    * mutations are idempotent (absorb by doc id, merge by max). */
+  private def maintainState(batch: DataFrame,
+      sc: StreamStateConfig): DataFrame = {
+    import graft.ops.{Dedup, Hashing, IncrementalDedupState, HllRegisterState, Sketch}
+    // deterministic doc key = h64 of the raw line; exact dupes collapse
+    // here (same key), so the key is unique within the batch — consumed
+    // by the shingle pass, the keep filter, and the sketch → snapshot
+    val df = batch.dropDuplicates("value")
+      .withColumn("__did", Hashing.h64(col("value")))
+      .localCheckpoint(eager = false)
+    val sh = Dedup.shingles(
+      df.withColumn("__tk", graft.functions.TextFunctions.tokenize(
+        get_json_object(col("value"), s"$$.${sc.textField}"), "default")),
+      col("__did"), col("__tk"), n = 3)
+      .localCheckpoint(eager = false) // consumed by dedupBatch AND absorb
+    val st = new IncrementalDedupState(spark, s"${sc.stateDir}/dedup",
+      sc.threshold)
+    val keepIds = st.dedupBatch(sh).where(col("keep"))
+      .select(col("doc_id").as("__did"))
+      .localCheckpoint(eager = false) // consumed by absorb filter + index join
+    val keptSh = sh.join(keepIds.withColumnRenamed("__did", "doc_id"), "doc_id")
+    if (!keptSh.isEmpty) st.absorb(keptSh)
+    val kept = df.join(keepIds, "__did")
+    // docs the shingler skips (field missing / < 3 tokens) have no sh row
+    // but dedupBatch never saw them either — they pass through unfiltered
+    val shortDocs = df.join(sh.select(col("doc_id").as("__did")), Seq("__did"),
+      "left_anti")
+    val out = kept.unionByName(shortDocs)
+    for (f <- sc.sketchField) {
+      val keyed = out.select(lit("stream").as("grp"),
+        get_json_object(col("value"), s"$$.$f").as("k"))
+        .where(col("k").isNotNull)
+      if (!keyed.isEmpty)
+        new HllRegisterState(spark, s"${sc.stateDir}/hll")
+          .merge(Sketch.hllRegisters(keyed, col("grp"), col("k")))
+    }
+    out.drop("__did")
   }
 }
 

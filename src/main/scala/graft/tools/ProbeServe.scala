@@ -69,9 +69,19 @@ object ProbeServe {
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {
+    // the digest LRU is part of what this probe measures: size it to the
+    // split count (the production sizing rule) unless the caller pinned it
+    val nSplits = sys.env.getOrElse("SPARK_GRAFT_PROBE_SPLITS", "1000").toInt
+    if (sys.props.get("graft.digest.cache.max").isEmpty)
+      sys.props("graft.digest.cache.max") = math.max(16384, nSplits * 2).toString
     val spark = graft.Graft.session()
     import spark.implicits._
-    val nSplits = sys.env.getOrElse("SPARK_GRAFT_PROBE_SPLITS", "1000").toInt
+    // above SPARK_GRAFT_PROBE_REAL, splits are synthesized by copying a
+    // template split's files (REAL parquet + REAL digest sidecar) with
+    // per-split loser stats — every selective query still prunes/probes
+    // all of them, but the build stays minutes, not hours, at 100k
+    val nReal = math.min(nSplits,
+      sys.env.getOrElse("SPARK_GRAFT_PROBE_REAL", "1000").toInt)
     val root = Files.createTempDirectory("graft-serve-probe").toString
     val cat = new Catalog(root)
     val cfg = cat.create(configYaml)
@@ -81,7 +91,7 @@ object ProbeServe {
     val t0 = System.nanoTime()
     val pool = Executors.newFixedThreadPool(8)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    val futures = (0 until nSplits).map { i =>
+    val futures = (0 until nReal).map { i =>
       Future {
         val doc =
           f"""{"tenant": "t$i%04d", "n": $i, "msg": "payload alpha uniqtoken$i"}"""
@@ -90,10 +100,54 @@ object ProbeServe {
         Indexer.writeSplit(spark, d, typed, cat.splitDir("serve_probe", id), id)
       }
     }
-    val splits = Await.result(Future.sequence(futures), Duration(1800, "seconds"))
-    require(cat.swapSplits("serve_probe", Nil, splits.toList), "bulk commit failed")
+    val real = Await.result(Future.sequence(futures), Duration(1800, "seconds"))
+    val synth: Seq[graft.engine.SplitInfo] = if (nSplits > nReal) {
+      val tmplId = "probe-template"
+      val typed = d.ingest(Seq(
+        """{"tenant": "tzztemplate", "n": -1, "msg": "payload alpha uniqtokentemplate"}""")
+        .toDF("value"), col("value"))
+      val tmpl = Indexer.writeSplit(spark, d, typed,
+        cat.splitDir("serve_probe", tmplId), tmplId)
+      val tmplFiles = new java.io.File(cat.splitDir("serve_probe", tmplId))
+        .listFiles.filter(_.isFile)
+      val fs = (nReal until nSplits).map { i =>
+        Future {
+          val id = f"probe-$i%06d"
+          val dir = new java.io.File(cat.splitDir("serve_probe", id))
+          dir.mkdirs()
+          tmplFiles.foreach(f => java.nio.file.Files.copy(f.toPath,
+            new java.io.File(dir, f.getName).toPath))
+          // loser stats for every probe class: n outside any real zone,
+          // tenant dict never matching, the template's digest (which
+          // holds no real uniqtoken) under its verbatim md5
+          tmpl.copy(id = id,
+            numStats = Map("n" -> (i.toDouble, i.toDouble)),
+            dicts = Map("tenant" -> List(f"z$i%06d")))
+        }
+      }
+      Await.result(Future.sequence(fs), Duration(3600, "seconds"))
+    } else Nil
+    require(cat.swapSplits("serve_probe", Nil, real.toList ++ synth),
+      "bulk commit failed")
     pool.shutdown()
-    println(f"[probe] built $nSplits%d splits in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    println(f"[probe] built $nReal%d real + ${synth.size}%d synthetic splits " +
+      f"in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    // the manifest-read floor: every uncached serving decision starts by
+    // reading + parsing this JSON — at 100k entries its size is the thing
+    // a page/segment manifest format would shard
+    val manifestBytes = new java.io.File(
+      s"$root/indexes/serve_probe/manifest.json").length()
+    def p50Of(f: => Unit): Double = {
+      val times = (1 to 7).map { _ =>
+        val s = System.nanoTime(); f; (System.nanoTime() - s) / 1e6
+      }.sorted
+      times(3)
+    }
+    val pManifest = p50Of(cat.manifestState("serve_probe"): Unit)
+    val pCached = p50Of(cat.manifestStateCached("serve_probe"): Unit)
+    println(f"[probe] manifest: $manifestBytes%d bytes, " +
+      f"p50 read+parse $pManifest%.1f ms, signature-cached $pCached%.2f ms")
 
     val search = new Searcher(spark, cat)
     def p50(reps: Int)(f: => Unit): Double = {
@@ -103,23 +157,25 @@ object ProbeServe {
       times(reps / 2)
     }
 
-    val mid = nSplits / 2
-    val lo = nSplits / 4
-    val hi = lo + math.min(19, nSplits / 8)
+    // query targets live in the REAL range; synthetic splits are losers
+    // for every class and exist to be pruned/probed at scale
+    val mid = nReal / 2
+    val lo = nReal / 4
+    val hi = lo + math.min(19, nReal / 8)
     val cases = Seq(
-      (f"dict  tenant:t$mid%04d", f"tenant:t$mid%04d", true),
-      (s"zone  n:[$lo TO $hi]", s"n:[$lo TO $hi]", true),
-      (s"bloom msg:uniqtoken$mid", s"msg:uniqtoken$mid", true),
-      ("all   *", "*", false))
-    for ((label, q, scored) <- cases) {
+      (f"dict  tenant:t$mid%04d", f"tenant:t$mid%04d", true, 11),
+      (s"zone  n:[$lo TO $hi]", s"n:[$lo TO $hi]", true, 11),
+      (s"bloom msg:uniqtoken$mid", s"msg:uniqtoken$mid", true, 11),
+      ("all   *", "*", false, if (nSplits > 20000) 3 else 11))
+    for ((label, q, scored, reps) <- cases) {
       val pruned = search.prunedSplitPaths("serve_probe", cfg, d, QueryParser.parse(q))
       val df = search.searchDf("serve_probe", SearchRequest(q, limit = 10, scored = scored))
       val opened = df.inputFiles.length
       df.collect() // warm
       val cnt = search.countMatches("serve_probe", q)
-      val pSearch = p50(11)(search.searchDf("serve_probe",
+      val pSearch = p50(reps)(search.searchDf("serve_probe",
         SearchRequest(q, limit = 10, scored = scored)).collect(): Unit)
-      val pCount = p50(11)(search.countMatches("serve_probe", q): Unit)
+      val pCount = p50(reps)(search.countMatches("serve_probe", q): Unit)
       println(f"[probe] $label%-22s pruned=${pruned.length}%4d/$nSplits%d " +
         f"opened=$opened%4d matches=$cnt%4d p50(search)=$pSearch%7.1f ms " +
         f"p50(count)=$pCount%7.1f ms")

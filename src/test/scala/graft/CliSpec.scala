@@ -74,13 +74,20 @@ class CliSpec extends AnyFunSuite {
         |  fields:
         |    - name: body
         |      type: !text
+        |    - name: note
+        |      type: !text
+        |        indexed: false
+        |    - name: score
+        |      type: !number
+        |        type: i64
+        |        indexed: false
         |    - name: meta
         |      type: !dynamic_object
         |        indexed: false
         |""".stripMargin.getBytes("UTF-8"))
     cli.Main.run(Array("create", yaml.toString), spark, cat, root)
-    val docs = """{"body": "searchable words", "meta": {"service": "datanode", "zone": "east"}}
-                 |{"body": "other doc", "meta": {"service": "namenode"}}""".stripMargin
+    val docs = """{"body": "searchable words", "note": "private words", "score": 7, "meta": {"service": "datanode", "zone": "east"}}
+                 |{"body": "other doc", "note": "words too", "score": 9, "meta": {"service": "namenode"}}""".stripMargin
     val savedIn = System.in
     try {
       System.setIn(new ByteArrayInputStream(docs.getBytes("UTF-8")))
@@ -89,7 +96,22 @@ class CliSpec extends AnyFunSuite {
     val s = new Searcher(spark, cat)
     // stored + echoed (re-nested, sorted keys)
     assert(s.search("unidx", "body:searchable", 1) ==
-      Seq("""{"body":"searchable words","meta":{"service":"datanode","zone":"east"}}"""))
+      Seq("""{"body":"searchable words","meta":{"service":"datanode","zone":"east"},"note":"private words","score":7}"""))
+    // indexed: false TEXT and NUMBER fields are equally unsearchable
+    // (the reference hands its QueryParser only indexed fields) — but
+    // never pollute the catch-all or other fields' matches
+    assert(s.searchDf("unidx", "note:private", 10).count() == 0,
+      "term on indexed:false text must match nothing")
+    assert(s.searchDf("unidx", "note:priv*", 10).count() == 0)
+    assert(s.searchDf("unidx", "note:\"private words\"", 10).count() == 0)
+    assert(s.searchDf("unidx", "score:7", 10).count() == 0,
+      "term on indexed:false number must match nothing")
+    assert(s.searchDf("unidx", "score:[1 TO 10]", 10).count() == 0,
+      "range on indexed:false number must match nothing")
+    // the fieldless default expansion ignores unindexed fields: "words"
+    // appears in both docs' note but only body hits count
+    assert(s.searchDf("unidx", "words", 10).count() == 1,
+      "default-field term must not search indexed:false fields")
     // unsearchable through every route: path term, field term, prefix
     assert(s.searchDf("unidx", "meta.service:datanode", 10).count() == 0,
       "path into an indexed:false dynamic_object must match nothing")

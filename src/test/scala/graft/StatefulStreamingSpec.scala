@@ -144,4 +144,100 @@ class StatefulStreamingSpec extends AnyFunSuite {
       assert(got == Seq(1L, 1L, 2L, 3L, 4L), s"got $got")
     } finally q.stop()
   }
+
+  test("index --stream with StreamStateConfig: one stream drives split commits, " +
+      "near-dedup state, and the HLL datasheet, batch-identically") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val root = java.nio.file.Files.createTempDirectory("graft-sstream").toString
+    val cat = new graft.engine.Catalog(root)
+    cat.create(
+      """version: 1
+        |name: sstream
+        |path: /tmp/unused
+        |schema:
+        |  fields:
+        |    - name: body
+        |      type: !text
+        |    - name: tenant
+        |      type: !text
+        |        indexed:
+        |          tokenizer: raw
+        |""".stripMargin)
+    val stateDir = s"$root/state/sstream"
+    val sc = graft.streaming.StreamStateConfig(stateDir, textField = "body",
+      threshold = 0.5, sketchField = Some("tenant"))
+
+    def doc(t: String, body: String) =
+      s"""{"tenant": "$t", "body": "$body"}"""
+    val b1 = Seq(
+      doc("t1", "alpha beta gamma delta epsilon zeta"),
+      doc("t1", "alpha beta gamma delta epsilon zeta"), // exact dup, same batch
+      doc("t2", "one two three four five six"))
+    val b2 = Seq(
+      doc("t3", "alpha beta gamma delta epsilon eta"), // near-dup of batch-1 doc
+      doc("t2", "totally different content appears here now"))
+    val b3 = Seq(
+      doc("t4", "totally different content appears here today")) // near-dup of b2 keeper
+
+    val input = MemoryStream[String]
+    val ckpt = java.nio.file.Files.createTempDirectory("sstream-ckpt").toString
+    val q = new graft.streaming.StreamingIndexer(spark, cat).startStream(
+      "sstream", input.toDF(), ckpt, availableNow = false, stateful = Some(sc))
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      input.addData(b3: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    // only the 3 keepers were ever indexed (the exact dup collapsed and
+    // both near-dups dropped before any split write)
+    assert(cat.liveSplits("sstream").map(_.numDocs).sum == 3,
+      s"splits: ${cat.liveSplits("sstream")}")
+    val s = new graft.engine.Searcher(spark, cat)
+    assert(s.searchDf("sstream", "body:eta", 10).count() == 0,
+      "the near-duplicate never reached the index")
+    assert(s.searchDf("sstream", "body:alpha", 10).count() == 1)
+
+    // batch-identical: drive the SAME batches through the batch-tier APIs
+    // on fresh state — decisions, final corpus state, and registers must
+    // all agree with what the stream left behind
+    val refDir = java.nio.file.Files.createTempDirectory("sstream-ref").toString
+    val st = new graft.ops.IncrementalDedupState(spark, s"$refDir/dedup", 0.5)
+    val hll = new graft.ops.HllRegisterState(spark, s"$refDir/hll")
+    Seq(b1, b2, b3).foreach { b =>
+      val df = b.toDF("value").dropDuplicates("value")
+        .withColumn("__did", graft.ops.Hashing.h64(col("value")))
+      val sh = graft.ops.Dedup.shingles(
+        df.withColumn("tk", graft.functions.TextFunctions.tokenize(
+          get_json_object(col("value"), "$.body"), "default")),
+        col("__did"), col("tk"), 3)
+      val keep = st.dedupBatch(sh).where(col("keep"))
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      if (keep.nonEmpty)
+        st.absorb(sh.where(col("doc_id").isin(keep.toSeq: _*)))
+      val kept = df.where(col("__did").isin(keep.toSeq: _*))
+        .select(lit("stream").as("grp"),
+          get_json_object(col("value"), "$.tenant").as("k"))
+      hll.merge(graft.ops.Sketch.hllRegisters(kept, col("grp"), col("k")))
+    }
+    val streamed = new graft.ops.HllRegisterState(spark, s"$stateDir/hll")
+    assert(streamed.registers.exceptAll(hll.registers).isEmpty &&
+      hll.registers.exceptAll(streamed.registers).isEmpty,
+      "streamed registers must equal the batch-replayed registers")
+    // the streamed HLL estimate serves the datasheet: keepers carry
+    // tenants t1, t2, t2 -> 2 distinct, deep LC regime -> exact
+    val est = graft.ops.Sketch.hllEstimateCorrected(streamed.registers)
+      .collect().head
+    assert(est.getAs[String]("regime") == "lc")
+    assert(est.getAs[Long]("est_distinct") == 2L,
+      s"tenants t1,t2 among keepers: $est")
+    val streamedDedup =
+      new graft.ops.IncrementalDedupState(spark, s"$stateDir/dedup", 0.5)
+    assert(streamedDedup.generation == st.generation,
+      "same number of absorbing generations")
+    cat.drop("sstream")
+  }
 }
