@@ -44,6 +44,19 @@ import org.apache.spark.sql.functions._
   * contract (the ingest pipeline owns its state), like the reference's
   * single index-writer assumption (`/root/reference/src/commands/
   * index.rs:150-157` processes batches serially).
+  *
+  * Batch tags (crash-replay idempotence): a caller that re-executes whole
+  * batches after a crash (Structured Streaming `foreachBatch`) passes a
+  * stable per-batch tag. [[absorb]] records the tag of the batch that
+  * produced each generation (second line of `LATEST`); when [[dedupBatch]]
+  * sees that the LATEST generation was produced by ITS OWN tag — i.e. this
+  * batch already absorbed, then crashed before the caller's downstream
+  * commit — it evaluates against the PREVIOUS generation, reproducing the
+  * original keep/dup_of decisions exactly (the docs would otherwise
+  * self-match their stored copies at Jaccard 1.0 and be silently dropped),
+  * and the retried [[absorb]] no-ops (the stored generation already equals
+  * pre-state ∪ keepers, both deterministic). Untagged calls (batch
+  * pipelines, `pipe_dedup_incremental`) behave exactly as before.
   */
 final class IncrementalDedupState(spark: SparkSession, stateDir: String,
     threshold: Double) {
@@ -55,15 +68,29 @@ final class IncrementalDedupState(spark: SparkSession, stateDir: String,
   private def latestPath = new Path(root, "LATEST")
   private def genDir(g: Long) = new Path(root, s"gen-$g")
 
-  /** 0 = empty state (nothing absorbed yet). */
-  def generation: Long =
-    if (!fs.exists(latestPath)) 0L
+  /** `LATEST` content: line 1 = generation, optional line 2 = the batch
+    * tag that produced it (absent for untagged absorbs / older states). */
+  private def latestLines: Array[String] =
+    if (!fs.exists(latestPath)) Array.empty
     else {
       val in = fs.open(latestPath)
       try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-        "UTF-8").trim.toLong
+        "UTF-8").trim.split("\n")
       finally in.close()
     }
+
+  /** 0 = empty state (nothing absorbed yet). */
+  def generation: Long = {
+    val ls = latestLines
+    if (ls.isEmpty) 0L else ls(0).trim.toLong
+  }
+
+  /** Tag of the batch whose absorb produced the LATEST generation, when
+    * that absorb was tagged. */
+  def latestBatchTag: Option[String] = {
+    val ls = latestLines
+    if (ls.length < 2 || ls(1).trim.isEmpty) None else Some(ls(1).trim)
+  }
 
   private def read(g: Long, name: String): DataFrame =
     spark.read.parquet(new Path(genDir(g), name).toString)
@@ -72,8 +99,13 @@ final class IncrementalDedupState(spark: SparkSession, stateDir: String,
     * stored sets, recompute df and the prefix postings under the new
     * rarity order, publish the next generation. The corpus-wide work
     * lives HERE, amortized once per corpus growth — not per query
-    * batch. Absorbing an already-present doc_id is idempotent. */
-  def absorb(sh: DataFrame): Unit = {
+    * batch. Absorbing an already-present doc_id is idempotent.
+    *
+    * `batchTag` (optional): stable id of the source batch for crash-replay
+    * idempotence — when the LATEST generation already carries this tag the
+    * absorb is a retry of itself and no-ops (see class doc). */
+  def absorb(sh: DataFrame, batchTag: String = ""): Unit = {
+    if (batchTag.nonEmpty && latestBatchTag.contains(batchTag)) return
     val g = generation
     val merged0 = sh.select(col("doc_id"), col("shingles"))
     val merged = (if (g == 0) merged0
@@ -90,7 +122,8 @@ final class IncrementalDedupState(spark: SparkSession, stateDir: String,
     Dedup.prefixShingles(flat, read(next, "df"), threshold)
       .write.mode("overwrite").parquet(new Path(genDir(next), "prefix").toString)
     val out = fs.create(latestPath, true)
-    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
+    val body = if (batchTag.isEmpty) next.toString else s"$next\n$batchTag"
+    try out.write(body.getBytes("UTF-8")) finally out.close()
   }
 
   /** Decide, for each document of a (doc_id, shingles) batch, whether it
@@ -98,9 +131,17 @@ final class IncrementalDedupState(spark: SparkSession, stateDir: String,
     * some stored set). Output: (doc_id, dup_of, keep) — one row per
     * batch document, dup_of = smallest matching corpus id, exactly
     * [[Dedup.dedupIncremental]]'s contract. Call [[absorb]] with the
-    * kept documents' shingles afterwards to grow the corpus. */
-  def dedupBatch(newSh0: DataFrame): DataFrame = {
-    val g = generation
+    * kept documents' shingles afterwards to grow the corpus.
+    *
+    * `batchTag` (optional): when the LATEST generation was produced by
+    * THIS tag (crash-replay after our own absorb), decisions run against
+    * the previous generation — the state this batch originally saw — so
+    * the replay reproduces the original output instead of self-matching
+    * (see class doc). */
+  def dedupBatch(newSh0: DataFrame, batchTag: String = ""): DataFrame = {
+    val g0 = generation
+    val g = if (batchTag.nonEmpty && latestBatchTag.contains(batchTag)) g0 - 1
+      else g0
     // consumed by the prefix window, the verify join, and the final left
     // join — snapshot once (the module's standing self-join rule)
     val newSh = newSh0.localCheckpoint(eager = false)

@@ -41,11 +41,15 @@ import graft.engine.{Catalog, SplitInfo}
   *    values into [[graft.ops.HllRegisterState]] — the streaming
   *    datasheet (distinct-count) maintenance.
   *
-  * Both states live under `stateDir` (`dedup/`, `hll/`). Batch replay
-  * caveat: the split commit is idempotent per batch id, but absorb/merge
-  * are append-only — a replayed batch re-absorbs already-present doc ids
-  * (idempotent by doc id) and re-merges registers (idempotent by max), so
-  * replays cannot corrupt either state. */
+  * Both states live under `stateDir` (`dedup/`, `hll/`). Batch replay: the
+  * split commit is idempotent per batch id; the dedup state is made replay-
+  * idempotent by tagging each absorbed generation with the (runTag, batchId)
+  * that produced it — a replayed batch whose absorb already landed evaluates
+  * `dedupBatch` against the PREVIOUS generation (so its own stored copies
+  * cannot self-match it to death) and its retried absorb no-ops, meaning a
+  * crash anywhere between state flip and split commit replays to exactly the
+  * original keepers and the original split; the HLL merge is idempotent by
+  * max. Pinned by StatefulStreamingSpec's replayed-batch case. */
 final case class StreamStateConfig(
     stateDir: String,
     textField: String,
@@ -158,7 +162,7 @@ final class StreamingIndexer(spark: SparkSession, catalog: Catalog) {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val toIndex = stateful match {
           case None => batch.toDF()
-          case Some(sc) => maintainState(batch.toDF(), sc)
+          case Some(sc) => maintainState(batch.toDF(), sc, s"$runTag/$batchId")
         }
         val committed = indexBatch(indexName, toIndex, batchId, runTag)
         for (threshold <- compactSmallDocs; split <- committed)
@@ -174,11 +178,17 @@ final class StreamingIndexer(spark: SparkSession, catalog: Catalog) {
     * [[StreamStateConfig]]) and return the rows that should be INDEXED:
     * exact within-batch duplicates collapsed, near-duplicates of the
     * absorbed corpus dropped. Keepers are absorbed and (when configured)
-    * their sketch registers merged, BEFORE the split commit — crash
-    * between state flip and commit replays the batch, and both state
-    * mutations are idempotent (absorb by doc id, merge by max). */
-  private def maintainState(batch: DataFrame,
-      sc: StreamStateConfig): DataFrame = {
+    * their sketch registers merged, BEFORE the split commit — safe because
+    * the absorb is tagged with `batchTag`: a crash between the state flip
+    * and the split commit replays this batch with `dedupBatch` reading the
+    * pre-absorb generation (identical decisions — without the tag the
+    * replayed keepers would self-match their stored copies at Jaccard 1.0
+    * and the batch's documents would silently vanish from the index) and
+    * the absorb retry no-ops; the register merge is idempotent by max.
+    * Package-visible so the replay property is testable without crashing
+    * a live query mid-foreachBatch. */
+  private[graft] def maintainState(batch: DataFrame,
+      sc: StreamStateConfig, batchTag: String): DataFrame = {
     import graft.ops.{Dedup, Hashing, IncrementalDedupState, HllRegisterState, Sketch}
     // deterministic doc key = h64 of the raw line; exact dupes collapse
     // here (same key), so the key is unique within the batch — consumed
@@ -193,11 +203,11 @@ final class StreamingIndexer(spark: SparkSession, catalog: Catalog) {
       .localCheckpoint(eager = false) // consumed by dedupBatch AND absorb
     val st = new IncrementalDedupState(spark, s"${sc.stateDir}/dedup",
       sc.threshold)
-    val keepIds = st.dedupBatch(sh).where(col("keep"))
+    val keepIds = st.dedupBatch(sh, batchTag).where(col("keep"))
       .select(col("doc_id").as("__did"))
       .localCheckpoint(eager = false) // consumed by absorb filter + index join
     val keptSh = sh.join(keepIds.withColumnRenamed("__did", "doc_id"), "doc_id")
-    if (!keptSh.isEmpty) st.absorb(keptSh)
+    if (!keptSh.isEmpty) st.absorb(keptSh, batchTag)
     val kept = df.join(keepIds, "__did")
     // docs the shingler skips (field missing / < 3 tokens) have no sh row
     // but dedupBatch never saw them either — they pass through unfiltered

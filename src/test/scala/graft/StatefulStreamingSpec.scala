@@ -240,4 +240,71 @@ class StatefulStreamingSpec extends AnyFunSuite {
       "same number of absorbing generations")
     cat.drop("sstream")
   }
+
+  test("crash-replay of a stateful batch: absorb landed but the split did not " +
+      "— the replay still indexes every keeper (no self-match data loss)") {
+    // The r11-advice scenario: doc ids are deterministic content hashes, so
+    // after a crash between the dedup-state absorb and the split commit a
+    // naive replay would find its own documents already in the state, mark
+    // them dup-of-self at Jaccard 1.0, and commit an EMPTY split — the
+    // batch's documents silently lost. The generation batch-tag makes the
+    // replay read the pre-absorb state instead; this drives maintainState +
+    // indexBatch directly to simulate the crash at the worst point.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+
+    val root = java.nio.file.Files.createTempDirectory("graft-replay").toString
+    val cat = new graft.engine.Catalog(root)
+    cat.create(
+      """version: 1
+        |name: replay
+        |path: /tmp/unused
+        |schema:
+        |  fields:
+        |    - name: body
+        |      type: !text
+        |""".stripMargin)
+    val stateDir = s"$root/state/replay"
+    val sc = graft.streaming.StreamStateConfig(stateDir, textField = "body",
+      threshold = 0.5)
+    val ix = new graft.streaming.StreamingIndexer(spark, cat)
+    val st = new graft.ops.IncrementalDedupState(spark, s"$stateDir/dedup", 0.5)
+
+    val b1 = Seq(
+      """{"body": "alpha beta gamma delta epsilon zeta"}""",
+      """{"body": "one two three four five six"}""").toDF("value")
+    val tag1 = "run/1"
+
+    // batch 1, attempt 1: state mutates... and then we "crash" before
+    // indexBatch — exactly the advice's data-loss window
+    ix.maintainState(b1, sc, tag1).count(): Unit
+    assert(st.generation == 1L && st.latestBatchTag.contains(tag1))
+
+    // batch 1, attempt 2 (replay): same decisions, absorb no-ops, and the
+    // split commit carries BOTH documents
+    val replayKept = ix.maintainState(b1, sc, tag1)
+    val committed = ix.indexBatch("replay", replayKept, batchId = 1L, runTag = "rt")
+    assert(committed.exists(_.numDocs == 2L),
+      s"replayed batch must index both keepers, got $committed")
+    assert(st.generation == 1L, "replayed absorb must not grow the state")
+
+    // a LATER batch with a different tag still dedups against the full
+    // state: a near-dup of batch 1 is dropped, the new doc survives
+    val b2 = Seq(
+      """{"body": "alpha beta gamma delta epsilon eta"}""",
+      """{"body": "completely unrelated text lives in this line"}""")
+      .toDF("value")
+    val kept2 = ix.maintainState(b2, sc, "run/2")
+    assert(kept2.count() == 1L, "near-dup of an absorbed doc still drops")
+    assert(st.generation == 2L && st.latestBatchTag.contains("run/2"))
+
+    // and an untagged batch-pipeline caller sees unchanged behavior
+    val sh = graft.ops.Dedup.shingles(
+      Seq((99L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+        .withColumn("tk", split(col("text"), " ")),
+      col("doc_id"), col("tk"), 3)
+    assert(st.dedupBatch(sh).where(col("keep")).isEmpty,
+      "untagged dedupBatch reads the latest generation")
+    cat.drop("replay")
+  }
 }
