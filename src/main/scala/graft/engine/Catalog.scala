@@ -56,6 +56,14 @@ final case class SplitInfo(id: String, numDocs: Long,
     digest: Option[String] = None)
 
 object Catalog {
+  /** Upper bound on mtime granularity across supported stores: local FS
+    * and HDFS stamp milliseconds, object stores commonly whole seconds.
+    * A manifest signature without an etag whose mtime is younger than
+    * this is treated as unsettled by [[Catalog.manifestStateCached]]
+    * (same-tick rewrite still possible); 2 s covers second-granularity
+    * stamps plus rounding at the tick boundary. */
+  val MtimeGranularityMs = 2000L
+
   /** Manifest commit timeout, applied per layer: the file:// commit
     * point bounds lock ACQUISITION by it, and the mutate() CAS-retry loop
     * separately bounds RETRYING by it — worst-case commit latency under a
@@ -220,12 +228,19 @@ final class Catalog(rootDir: String,
     * stale generation there would spin the CAS loop — and invalidate
     * this cache after every commit, so a same-instance
     * commit-then-search always sees its own write. Cross-process
-    * staleness is bounded by the signature (any commit rewrites the
-    * file, bumping mtime) — the reader contract is unchanged: an old or
-    * new manifest, never a partial one. */
+    * staleness is bounded by the signature: on etag-bearing stores
+    * (S3A) the signature is content-derived, and on mtime-only stores a
+    * hit is only trusted once the file's mtime tick lies wholly in the
+    * past — a signature younger than [[Catalog.MtimeGranularityMs]]
+    * could still be rewritten at the same (length, mtime) by a
+    * cross-process writer, so those reads bypass the cache (a brief
+    * full-read window after each observed commit, nothing in steady
+    * state). The reader contract is unchanged: an old or new manifest,
+    * never a partial one. Pinned by CatalogStoreSpec's back-to-back
+    * same-length commit case. */
   private val manifestCache =
     new java.util.concurrent.ConcurrentHashMap[
-      String, ((Long, Long), (Long, List[SplitInfo]))]()
+      String, (ManifestStore.FileSig, (Long, List[SplitInfo]))]()
 
   /** [[manifestState]] through the signature cache — the searcher's
     * read path. */
@@ -233,8 +248,11 @@ final class Catalog(rootDir: String,
     store.fileSignature(manifestPath(name)) match {
       case None => (0L, Nil)
       case Some(sig) =>
+        val contentDerived = sig.etag.nonEmpty
+        val settled = // mtime tick fully in the past (future mtimes: never)
+          System.currentTimeMillis() - sig.mtime >= Catalog.MtimeGranularityMs
         val hit = manifestCache.get(name)
-        if (hit != null && hit._1 == sig) hit._2
+        if (hit != null && hit._1 == sig && (contentDerived || settled)) hit._2
         else {
           val st = manifestState(name)
           manifestCache.put(name, (sig, st))
@@ -244,6 +262,12 @@ final class Catalog(rootDir: String,
 
   private def invalidateManifestCache(name: String): Unit =
     manifestCache.remove(name): Unit
+
+  /** Test hook: drop the parsed-manifest cache entry, as [[mutate]] does
+    * after its own commits — lets specs simulate a foreign writer's
+    * commit without waiting out the signature settle window. */
+  private[graft] def invalidateCachesForTest(name: String): Unit =
+    invalidateManifestCache(name)
 
   /** Snapshot read: (generation, splits) as of a PAST committed
     * generation — the Iceberg-style time-travel surface, served from the

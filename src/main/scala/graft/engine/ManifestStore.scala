@@ -23,14 +23,25 @@ final class ManifestStore(rootUri: String, conf: Configuration) {
   def exists(p: HPath): Boolean = fs.exists(p)
   def mkdirs(p: HPath): Unit = fs.mkdirs(p)
 
-  /** (length, modification time) of a file, None if missing — ONE
-    * metadata RPC, the cheap change-detection signature the parsed-
-    * manifest cache keys on (a manifest commit always rewrites the
-    * file, changing at least mtime). */
-  def fileSignature(p: HPath): Option[(Long, Long)] =
+  /** Change-detection signature of a file, None if missing — ONE
+    * metadata RPC, what the parsed-manifest cache keys on (a manifest
+    * commit always rewrites the file, changing at least mtime). Where
+    * the store's `FileStatus` carries an etag (S3A HEAD responses
+    * implement `EtagSource`; the etag is content-derived), it joins the
+    * signature for free, making same-length-same-second rewrites — the
+    * exact hazard of second-granularity object-store mtimes —
+    * distinguishable without reading the object. On stores without
+    * etags the caller must treat a signature whose mtime is still
+    * inside the clock's granularity window as unsettled (see
+    * [[graft.engine.Catalog.manifestStateCached]]). */
+  def fileSignature(p: HPath): Option[ManifestStore.FileSig] =
     try {
       val st = fs.getFileStatus(p)
-      Some((st.getLen, st.getModificationTime))
+      val etag = st match {
+        case e: org.apache.hadoop.fs.EtagSource => Option(e.getEtag).getOrElse("")
+        case _ => ""
+      }
+      Some(ManifestStore.FileSig(st.getLen, st.getModificationTime, etag))
     } catch { case _: java.io.FileNotFoundException => None }
 
   /** Names of plain files directly under `dir` (empty for a missing
@@ -131,6 +142,12 @@ final class ManifestStore(rootUri: String, conf: Configuration) {
 }
 
 object ManifestStore {
+  /** One-RPC change signature of a metadata file. `etag` is "" on stores
+    * whose `FileStatus` carries none (local FS, HDFS); when present
+    * (S3A) it is content-derived and makes the signature collision-proof
+    * against same-length-same-mtime rewrites. */
+  final case class FileSig(len: Long, mtime: Long, etag: String)
+
   /** Flat object stores where "rename" is copy+delete — not a safe
     * manifest publish primitive. */
   private val NonAtomicRenameSchemes =

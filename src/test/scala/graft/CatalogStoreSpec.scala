@@ -212,4 +212,43 @@ class CatalogStoreSpec extends AnyFunSuite {
     assert(live.size == 20, s"all 20 commits visible, got ${live.size}")
     assert(gen == 21L, s"create + 20 commits = gen 21, got $gen")
   }
+
+  test("manifest signature cache: a same-length cross-process rewrite within " +
+      "one mtime tick is observed, not served stale") {
+    // The r11-advice hazard: (length, mtime) collides when another process
+    // commits twice within one mtime tick with equal-length manifests (the
+    // local FS here stands in for a second-granularity object store — the
+    // manifests are written raw, as a foreign writer's commits would land).
+    // A signature whose mtime tick is not yet settled must bypass the cache.
+    val root = Files.createTempDirectory("graft-sigcache").toString
+    val cat = new Catalog(root)
+    val manifest = java.nio.file.Paths.get(root, "indexes", "sig", "manifest.json")
+    Files.createDirectories(manifest.getParent)
+    def write(gen: Long, id: String): Unit =
+      Files.write(manifest,
+        s"""{"gen":$gen,"splits":[{"id":"$id","numDocs":1,"format":2}]}"""
+          .getBytes("UTF-8")): Unit
+
+    write(1L, "split-aaaa")
+    assert(cat.manifestStateCached("sig")._2.map(_.id) == List("split-aaaa"))
+    write(2L, "split-bbbb") // same byte length; mtime tick likely unchanged
+    val (g2, l2) = cat.manifestStateCached("sig")
+    assert(g2 == 2L && l2.map(_.id) == List("split-bbbb"),
+      s"young same-length rewrite must be re-read, got gen $g2 $l2")
+
+    // and the cache IS a cache once the tick settles: forge an mtime far in
+    // the past (no writer can rewrite a settled tick — only forgeable in a
+    // test) and confirm the signature fast path serves the parsed entry
+    val past = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 60000L)
+    Files.setLastModifiedTime(manifest, past)
+    assert(cat.manifestStateCached("sig")._1 == 2L) // populates at settled sig
+    write(3L, "split-cccc")
+    Files.setLastModifiedTime(manifest, past) // same (len, mtime): settled hit
+    assert(cat.manifestStateCached("sig")._1 == 2L,
+      "a settled signature match must serve from cache (one metadata RPC)")
+    cat.invalidateCachesForTest("sig")
+    assert(cat.manifestStateCached("sig")._1 == 3L,
+      "invalidation re-reads the store")
+  }
 }
