@@ -2310,7 +2310,17 @@ object PipelineQueries {
 
   /** The curation chain's dedup + mixture tail over a CTE named
     * `keepers(doc_id, source, text)` — ONE copy shared by pipe_curate
-    * and pipe_curate_v2 (which differ only in how keepers is filtered). */
+    * and pipe_curate_v2 (which differ only in how keepers is filtered).
+    *
+    * Survivor order: `ORDER BY doc_id` alone is TOTAL here — every gated
+    * dataset is the `documents` table, whose doc_id is unique, so two
+    * rows in one md5(text) partition can never tie and no further
+    * tiebreak is needed on either side. The engine's CLI `pipeline` verb
+    * additionally breaks ties on a full-row md5
+    * ([[graft.ops.Pipeline.run]]) because ITS inputs may lack an id
+    * field (doc_id = md5(text) ⇒ every duplicate ties) — that path is
+    * CliSpec-pinned, not oracle-gated, and the gated queries here match
+    * this oracle exactly as written. */
   private lazy val curateTailSql =
     s"""surv AS (
        |  SELECT source, text FROM (

@@ -169,7 +169,11 @@ object SketchQueries {
         .as("bg"))
     val tf = bg.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint(eager = false)
-    val total = tf.agg(sum(col("cnt")).cast("long")).first().getLong(0)
+    // coalesce: a corpus with no bigrams (every doc < 2 tokens) must give
+    // census 0 — cmsAutoWidth's floor handles it — not a null-at-index-0
+    // throw while the DuckDB twin degrades to NULL width (r11 advice)
+    val total = tf.agg(coalesce(sum(col("cnt")), lit(0L)).cast("long"))
+      .first().getLong(0)
     val width = Sketch.cmsAutoWidth(total)
     val counters = Sketch.cmsCounters(tf, col("bg"), col("cnt"),
       CmsDepth, width)
