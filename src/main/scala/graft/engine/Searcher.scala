@@ -34,11 +34,12 @@ import graft.query.{Ast, FieldBounds, Occur, QueryCompiler, QueryParser, TimeBou
   *    ([[Catalog.manifestStateAt]] time travel) — reads the archived
   *    split listing for that generation. History reaches back as far as
   *    the referenced split data still exists: ingest-only history is
-  *    fully answerable, but merge compaction vacuums its inputs
-  *    eagerly ([[Catalog.swapSplits]]), so pre-merge generations whose
-  *    splits were compacted away fail LOUDLY rather than returning
-  *    partial history (a retain-for-time-travel merge mode would defer
-  *    that delete — the Iceberg vacuum trade, documented not built). */
+  *    fully answerable; a default merge vacuums its inputs eagerly
+  *    ([[Catalog.swapSplits]]), so pre-merge generations whose splits
+  *    were compacted away fail LOUDLY rather than returning partial
+  *    history. `merge --retain-inputs` defers that delete (the Iceberg
+  *    vacuum trade — built, TimeTravelSpec pins search-across-compaction)
+  *    and `vacuum --before-gen` reclaims retained splits later. */
 final case class SearchRequest(query: String, limit: Int = 1,
     fields: Option[List[String]] = None, scored: Boolean = true,
     asOfGen: Option[Long] = None)

@@ -186,12 +186,64 @@ object SketchQueries {
       .orderBy(col("true_cnt").desc, col("key"))
   }
 
+  /** Heavy-hitter tier — the middle point of the CMS sizing trilogy.
+    * `sketch_cms_topk` is constant-memory but its error grows with corpus
+    * mass (ε·N); `sketch_cms_auto` pins absolute error but its grid grows
+    * with mass (w ∝ N/64). Here the width comes from the HEAVY-HITTER
+    * CONTRACT itself: to report keys with frequency ≥ φ·N while
+    * overcounting reported keys by at most φ·N/depth in expectation, a
+    * grid of w = depth/φ cells per row suffices — CONSTANT memory (w
+    * depends only on φ, never on N) AND a fixed RELATIVE guarantee
+    * (overcount/threshold ≤ 1/depth), the Cormode–Muthukrishnan
+    * heavy-hitter recipe. φ = 1/256 → w = 4·256 = 1024 at EVERY scale;
+    * the reported set is `est ≥ φ·N` (CMS never undercounts ⇒ every true
+    * heavy hitter is reported; false positives carry `is_true_hh = false`
+    * and their overcount is the measured bound check). One integer census
+    * pass supplies N; everything downstream is the shared counter/probe
+    * machinery. UNIGRAM tokens, not bigrams: the fixture's token
+    * distribution has a stable ~30-stopword head clearing φ·N at every
+    * scale (the bigram distribution is flat — nothing reaches 1/256 even
+    * at sf0.1), so the 10× re-gate exercises the SAME contract on a
+    * corpus whose mass grew 10× under an unchanged grid. Measured: 30
+    * heavy hitters at BOTH scales, max overcount 0 ≤ bound 26 (sf0.01,
+    * N=27,165) and 0 ≤ 264 (sf0.1, N=270,704), zero false positives —
+    * the head is separated enough that min-over-4-salts absorbs every
+    * collision. Scale shape:
+    * grid aggregate ≤ depth×1024 rows after map-side partials; the
+    * vocabulary-sized probe join is tf-keyed against a broadcastable
+    * grid. */
+  private val HhPhiInv = 256
+  private val HhWidth = CmsDepth * HhPhiInv // 1024 — constant across scales
+
+  val sketch_cms_hh: Q = (s, dir) => {
+    val bg = table(s, dir, "documents")
+      .select(explode(tokenizeDefault(col("text"))).as("bg"))
+    val tf = bg.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false) // three consumers: census, grid, truth
+    val total = tf.agg(coalesce(sum(col("cnt")), lit(0L)).cast("long"))
+      .first().getLong(0)
+    val thresh = total / HhPhiInv          // φ·N — the reporting contract
+    val bound = total / (HhPhiInv.toLong * CmsDepth) // φ·N/4 — expected overcount cap
+    val counters = Sketch.cmsCounters(tf, col("bg"), col("cnt"),
+      CmsDepth, HhWidth)
+    val est = Sketch.cmsEstimate(counters, tf, col("bg"), CmsDepth, HhWidth)
+    est.where(col("est_cnt") >= thresh)
+      .join(tf, col("k") === col("bg"))
+      .select(col("k").as("key"), col("cnt").as("true_cnt"), col("est_cnt"),
+        (col("est_cnt") - col("cnt")).as("overcount"),
+        (col("cnt") >= thresh).as("is_true_hh"),
+        lit(thresh).as("thresh"), lit(bound).as("overcount_bound"),
+        lit(HhWidth.toLong).as("width"))
+      .orderBy(col("true_cnt").desc, col("key"))
+  }
+
   val all: Map[String, Q] = Map(
     "sketch_hll" -> sketch_hll,
     "sketch_hll_window" -> sketch_hll_window,
     "sketch_hll_lc" -> sketch_hll_lc,
     "sketch_cms_topk" -> sketch_cms_topk,
-    "sketch_cms_auto" -> sketch_cms_auto
+    "sketch_cms_auto" -> sketch_cms_auto,
+    "sketch_cms_hh" -> sketch_cms_hh
   )
 
   private val hllNumerSql = Sketch.HllNumerator.toString
@@ -361,6 +413,43 @@ object SketchQueries {
          |  est_cnt - cnt AS overcount,
          |  (SELECT w FROM wd) AS width, (SELECT n_total FROM wd) AS n_total
          |FROM top JOIN est ON top.bg = est.bg
+         |ORDER BY true_cnt DESC, key""".stripMargin,
+    // heavy-hitter contract width: w = depth/φ = 1024 constant at every
+    // scale; report keys whose ESTIMATE clears φ·N (never undercounts ⇒
+    // all true heavy hitters present), flag false positives
+    "sketch_cms_hh" ->
+      s"""WITH t AS (SELECT ${PipelineQueries.toksSql} AS toks FROM documents),
+         |tf AS (
+         |  SELECT bg, count(*) AS cnt FROM (
+         |    SELECT unnest(toks) AS bg FROM t) GROUP BY bg),
+         |tot AS (
+         |  SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) // $HhPhiInv AS thresh,
+         |    CAST(coalesce(sum(cnt), 0) AS BIGINT) // ${HhPhiInv * CmsDepth}
+         |      AS bound
+         |  FROM tf),
+         |counters AS (
+         |  SELECT d,
+         |    CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || '_' || k), 1, 15)) AS BIGINT)
+         |      % $HhWidth AS c,
+         |    CAST(sum(cnt) AS BIGINT) AS cell
+         |  FROM (SELECT bg AS k, cnt, unnest([0, 1, 2, 3]) AS d FROM tf)
+         |  GROUP BY d, c),
+         |probes AS (
+         |  SELECT bg, d,
+         |    CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || '_' || bg), 1, 15)) AS BIGINT)
+         |      % $HhWidth AS c
+         |  FROM (SELECT bg, unnest([0, 1, 2, 3]) AS d FROM tf)),
+         |est AS (
+         |  SELECT bg, min(cell) AS est_cnt
+         |  FROM probes JOIN counters USING (d, c) GROUP BY bg)
+         |SELECT est.bg AS key, cnt AS true_cnt, est_cnt,
+         |  est_cnt - cnt AS overcount,
+         |  cnt >= (SELECT thresh FROM tot) AS is_true_hh,
+         |  (SELECT thresh FROM tot) AS thresh,
+         |  (SELECT bound FROM tot) AS overcount_bound,
+         |  CAST($HhWidth AS BIGINT) AS width
+         |FROM est JOIN tf ON est.bg = tf.bg
+         |WHERE est_cnt >= (SELECT thresh FROM tot)
          |ORDER BY true_cnt DESC, key""".stripMargin
   )
 }

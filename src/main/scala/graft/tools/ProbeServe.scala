@@ -49,7 +49,30 @@ import graft.query.QueryParser
   *    10,000 resident — EXACTLY one miss per split (the first-touch
   *    sidecar fetch), zero refetch; selective p50s are FLAT 1k → 10k
   *    (92–110 ms vs 93–171 ms), confirming prune cost stays driver-side.
-  */
+  *
+  *  Measured (local[32], 100,000 splits — 1,000 real + 99,000 synthetic
+  *  loser-stat copies — 2026-08-14 run, the 100× point modeling the
+  *  100 TB index):
+  *  - build: 100,000 splits + ONE manifest commit in 46.9 s
+  *  - manifest: 16,399,878 bytes; p50 read+parse 185.8 ms;
+  *    signature-cached manifestStateCached p50 0.02 ms
+  *  - dict  `tenant:t0500`:      1/100000 survive, 1 file;  p50 83.0 ms
+  *  - zone  `n:[250 TO 269]`:   20/100000 survive, 20 files; p50 87.9 ms
+  *  - bloom `msg:uniqtoken500`:  1/100000 survive, 1 file;  p50 263.2 ms
+  *  - match-all `*`:      100000/100000, 100000 files; p50 19.2 s (the
+  *    unprunable floor stays linear, by construction)
+  *  - digest cache: 4,900,025 hits / 100,000 misses = 98.0%, exactly one
+  *    first-touch miss per split, zero refetch
+  *  Selective p50s are FLAT across 1k → 10k → 100k (83–263 ms): prune
+  *  cost is driver-side and O(splits) over in-memory stats, opens stay
+  *  O(matching splits). The NEW bottleneck at 100k is the COLD manifest
+  *  read+parse — 185.8 ms is ~2× a whole selective query, and a single
+  *  16.4 MB JSON rewrite per commit is O(total splits) write
+  *  amplification (164 MB at the 1M-split point). The signature cache
+  *  amortizes reads per process, but commit cost doesn't amortize —
+  *  the measured cue for a paged manifest format (commits rewrite only
+  *  dirty pages, O(delta); cold readers fetch the page list + surviving
+  *  pages) as the follow-up to this probe. */
 object ProbeServe {
   private val configYaml =
     """version: 1

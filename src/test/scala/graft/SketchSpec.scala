@@ -75,6 +75,33 @@ class SketchSpec extends AnyFunSuite {
     assert(grid < totalMass * 10, s"estimates implausibly large: $grid")
   }
 
+  test("sketch_cms_hh honors the heavy-hitter contract: no missed HH, bounded overcount") {
+    val rows = SketchQueries.sketch_cms_hh(spark, sf).collect()
+    assert(rows.nonEmpty, "fixture must surface at least one heavy hitter")
+    val thresh = rows.head.getAs[Long]("thresh")
+    val bound = rows.head.getAs[Long]("overcount_bound")
+    assert(rows.head.getAs[Long]("width") == 1024L,
+      "grid width must be the constant depth/phi, independent of corpus mass")
+    // completeness: every key whose TRUE count clears phi*N must be
+    // reported (CMS never undercounts, so est >= true >= thresh)
+    val reported = rows.map(_.getAs[String]("key")).toSet
+    val trueHh = Graft.table(spark, sf, "documents")
+      .select(explode(graft.functions.TextFunctions.tokenizeDefault(
+        col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= thresh).collect().map(_.getAs[String]("tok"))
+    assert(trueHh.nonEmpty, "fixture must hold true heavy hitters")
+    trueHh.foreach(k => assert(reported.contains(k), s"missed heavy hitter $k"))
+    // the measured contract: overcount on every reported key within the
+    // phi*N/depth expectation budget on this fixture
+    rows.foreach { r =>
+      val oc = r.getAs[Long]("overcount")
+      assert(oc >= 0L, "CMS never undercounts")
+      assert(oc <= bound,
+        s"key=${r.getAs[String]("key")} overcount $oc beyond bound $bound")
+    }
+  }
+
   test("HLL register construction is deterministic across runs") {
     val a = SketchQueries.sketch_hll(spark, sf).collect().toSeq
     val b = SketchQueries.sketch_hll(spark, sf).collect().toSeq
