@@ -28,7 +28,7 @@ import graft.streaming.StreamingIndexer
   * graft.cli.Main merge  <name>  [--small-docs N] [--dedup] [--retain-inputs]
   *                               [--root DIR]
   * graft.cli.Main vacuum <name>  --before-gen N   [--root DIR]
-  * graft.cli.Main stats  <name>                   [--root DIR]
+  * graft.cli.Main stats  <name> [--sketches --state-dir DIR] [--root DIR]
   * graft.cli.Main pipeline <config.yaml>
   * }}}
   *
@@ -157,6 +157,29 @@ object Main {
         val splits = cat.liveSplits(name)
         println(s"index '$name': ${splits.length} splits, " +
           s"${splits.map(_.numDocs).sum} docs")
+        // --sketches: read the streaming HLL datasheet state maintained by
+        // `index --stream --sketch-field F --state-dir DIR` without any
+        // Scala — per-group distinct estimates through the same
+        // linear-counting-corrected estimator the batch gate pins
+        // (sketch_hll_lc), with the regime that served each group
+        if (flags.contains("sketches")) {
+          val stateDir = flags.getOrElse("state-dir",
+            sys.error("stats --sketches requires --state-dir DIR " +
+              "(the directory given to index --stream)"))
+          val st = new graft.ops.HllRegisterState(spark, s"$stateDir/hll")
+          val gen = st.generation
+          if (gen == 0L) println("sketches: no state (no stream batch merged yet)")
+          else {
+            println(s"sketches (state generation $gen):")
+            graft.ops.Sketch.hllEstimateCorrected(st.registers)
+              .orderBy("grp").collect().foreach { r =>
+                println(f"  ${r.getAs[String]("grp")}%s: " +
+                  f"~${r.getAs[Long]("est_distinct")}%d distinct " +
+                  f"(regime=${r.getAs[String]("regime")}%s, " +
+                  f"v_empty=${r.getAs[Long]("v_empty")}%d)")
+              }
+          }
+        }
         val (dh, dm, dn) = Catalog.digestCacheStats
         if (dh + dm > 0)
           println(f"digest cache: $dh%d hits / $dm%d misses " +
@@ -223,6 +246,7 @@ object Main {
         case "--dedup" :: t  => flags("dedup") = "true"; rest = t
         case "--unscored" :: t => flags("unscored") = "true"; rest = t
         case "--retain-inputs" :: t => flags("retain-inputs") = "true"; rest = t
+        case "--sketches" :: t => flags("sketches") = "true"; rest = t
         case f :: v :: t if f.startsWith("--") => flags(f.stripPrefix("--")) = v; rest = t
         case x :: t => pos += x; rest = t
         case Nil =>
@@ -237,5 +261,6 @@ object Main {
         |       search <name> <query> [--limit N] [--fields a,b] [--unscored]
         |       count <name> <query> | merge <name> [--retain-inputs]
         |       vacuum <name> --before-gen N   (all: [--root DIR])
+        |       stats <name> [--sketches --state-dir DIR]
         |       pipeline <config.yaml>   (curate -> dedup -> shuffle -> shards)""".stripMargin)
 }

@@ -16,7 +16,9 @@ import graft.exprs.JsonSupport
   * {{{
   * <root>/catalog/<name>.yaml            # index config (create/drop)
   * <root>/indexes/<name>/splits/<id>/    # parquet files of one split
-  * <root>/indexes/<name>/manifest.json   # list of live splits (commit point)
+  * <root>/indexes/<name>/manifest.json   # commit point: gen + page refs + inline tail
+  * <root>/indexes/<name>/pages/page-<md5>.json  # sealed split entries (content-addressed,
+  *                                       # immutable; only above the page threshold)
   * }}}
   *
   * All IO goes through the Hadoop `FileSystem` of the root's scheme
@@ -122,6 +124,50 @@ object Catalog {
   private val digestHits = new java.util.concurrent.atomic.AtomicLong()
   private val digestMisses = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Entry count above which a manifest commit writes split entries into
+    * immutable content-addressed PAGE files instead of inlining them all
+    * in `manifest.json`. Measured motivation (ProbeServe, 100k splits):
+    * the inline manifest is 16.4 MB, 185.8 ms cold read+parse, and every
+    * commit rewrites all of it — O(total splits) write amplification.
+    * Paged, a commit rewrites the small root (page refs + an inline
+    * tail of < pageSize entries) plus at most the pages whose entries
+    * changed — O(delta) — and cold readers fetch only pages they have
+    * not cached (pages are content-addressed, so a cache entry can
+    * never be stale). Small indexes stay on the plain inline format. */
+  private[graft] def manifestPageSize: Int =
+    sys.props.get("graft.manifest.page.size").map(_.toInt).getOrElse(4096)
+
+  /** Parsed manifest pages, keyed by root + index + page file name. The
+    * name embeds the content md5, so entries are immutable — no
+    * invalidation, only LRU pressure. Sized in entries-of-pages: at the
+    * default page size, 1024 resident pages cover a 4M-split index. */
+  private val PageCacheMax =
+    sys.props.get("graft.manifest.page.cache.max").map(_.toInt).getOrElse(1024)
+  private val pageCache: java.util.Map[String, List[SplitInfo]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, List[SplitInfo]](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, List[SplitInfo]]): Boolean =
+          size() > PageCacheMax
+      })
+
+  /** Probe/test hook: forget all cached pages, forcing the next resolve
+    * to re-fetch — how ProbeServe measures the COLD paged read. */
+  private[graft] def clearPageCache(): Unit = pageCache.clear()
+
+  /** One sealed manifest page: an immutable content-addressed file under
+    * `indexes/<name>/pages/` holding `count` split entries. The file name
+    * embeds the content md5 (`page-<md5>.json`), which is what makes
+    * page caching invalidation-free and a torn write detectable. */
+  private[engine] final case class PageRef(file: String, count: Long)
+
+  /** A manifest as stored: generation, sealed page references, and the
+    * inline tail of entries not yet sealed into a page. Small indexes
+    * (≤ [[Catalog.manifestPageSize]] splits) have no pages at all — the
+    * original flat format, byte-for-byte. */
+  private[engine] final case class ManifestDoc(gen: Long,
+      pages: List[PageRef], tail: List[SplitInfo])
+
   /** (hits, misses, residentEntries) of the process-wide digest cache —
     * a MISS is a store round trip (sidecar GET), so at a 10k+ split
     * count the hit rate is the difference between O(matching) per query
@@ -162,6 +208,8 @@ final class Catalog(rootDir: String,
     new HPath(indexDir(name), "manifest.json")
   private def archivePath(name: String, gen: Long) =
     new HPath(indexDir(name), s"manifest.v$gen.json")
+  private def pagePath(name: String, file: String) =
+    new HPath(new HPath(indexDir(name), "pages"), file)
   def splitDir(name: String, id: String): String =
     new HPath(new HPath(indexDir(name), "splits"), id).toString
   /** Whether a split's directory still exists — the time-travel guard's
@@ -217,7 +265,7 @@ final class Catalog(rootDir: String,
   def manifestState(name: String): (Long, List[SplitInfo]) =
     store.readString(manifestPath(name)) match {
       case None => (0L, Nil)
-      case Some(text) => parseManifest(text)
+      case Some(text) => resolveDoc(name, parseDoc(text))
     }
 
   /** Parsed manifests keyed by (file length, mtime) signature — at 100k
@@ -281,7 +329,7 @@ final class Catalog(rootDir: String,
   def manifestStateAt(name: String, gen: Long): (Long, List[SplitInfo]) = {
     if (gen == 0L) return (0L, Nil)
     store.readString(archivePath(name, gen)) match {
-      case Some(text) => parseManifest(text)
+      case Some(text) => resolveDoc(name, parseDoc(text))
       case None =>
         val cur = manifestState(name)
         if (cur._1 == gen) cur
@@ -291,35 +339,78 @@ final class Catalog(rootDir: String,
     }
   }
 
-  private def parseManifest(text: String): (Long, List[SplitInfo]) = {
-        val node = JsonSupport.parse(text)
-        val gen = Option(node.get("gen")).filter(!_.isNull)
-          .map(_.asLong()).getOrElse(0L)
-        val splits = node.get("splits").elements().asScala.map { s =>
-          val numStats = Option(s.get("stats")).filter(_.isObject).map { st =>
-            st.properties().asScala.map { e =>
-              e.getKey -> (e.getValue.get("min").asDouble(), e.getValue.get("max").asDouble())
-            }.toMap
-          }.getOrElse(Map.empty[String, (Double, Double)])
-          val dicts = Option(s.get("dicts")).filter(_.isObject).map { dc =>
-            dc.properties().asScala.map { e =>
-              e.getKey -> e.getValue.elements().asScala.map(_.asText()).toList
-            }.toMap
-          }.getOrElse(Map.empty[String, List[String]])
-          val hexStats = Option(s.get("hexStats")).filter(_.isObject).map { st =>
-            st.properties().asScala.map { e =>
-              e.getKey -> (e.getValue.get("min").asText(), e.getValue.get("max").asText())
-            }.toMap
-          }.getOrElse(Map.empty[String, (String, String)])
-          SplitInfo(s.get("id").asText(), s.get("numDocs").asLong(),
-            Option(s.get("minTs")).filter(!_.isNull).map(_.asLong()),
-            Option(s.get("maxTs")).filter(!_.isNull).map(_.asLong()),
-            numStats, dicts, hexStats,
-            // entries from before the field are format-1 splits
-            Option(s.get("format")).filter(!_.isNull).map(_.asInt()).getOrElse(1),
-            Option(s.get("digest")).filter(!_.isNull).map(_.asText()))
-        }.toList
-        (gen, splits)
+  import Catalog.{ManifestDoc, PageRef}
+
+  private def parseEntry(s: com.fasterxml.jackson.databind.JsonNode): SplitInfo = {
+    val numStats = Option(s.get("stats")).filter(_.isObject).map { st =>
+      st.properties().asScala.map { e =>
+        e.getKey -> (e.getValue.get("min").asDouble(), e.getValue.get("max").asDouble())
+      }.toMap
+    }.getOrElse(Map.empty[String, (Double, Double)])
+    val dicts = Option(s.get("dicts")).filter(_.isObject).map { dc =>
+      dc.properties().asScala.map { e =>
+        e.getKey -> e.getValue.elements().asScala.map(_.asText()).toList
+      }.toMap
+    }.getOrElse(Map.empty[String, List[String]])
+    val hexStats = Option(s.get("hexStats")).filter(_.isObject).map { st =>
+      st.properties().asScala.map { e =>
+        e.getKey -> (e.getValue.get("min").asText(), e.getValue.get("max").asText())
+      }.toMap
+    }.getOrElse(Map.empty[String, (String, String)])
+    SplitInfo(s.get("id").asText(), s.get("numDocs").asLong(),
+      Option(s.get("minTs")).filter(!_.isNull).map(_.asLong()),
+      Option(s.get("maxTs")).filter(!_.isNull).map(_.asLong()),
+      numStats, dicts, hexStats,
+      // entries from before the field are format-1 splits
+      Option(s.get("format")).filter(!_.isNull).map(_.asInt()).getOrElse(1),
+      Option(s.get("digest")).filter(!_.isNull).map(_.asText()))
+  }
+
+  private def parseDoc(text: String): ManifestDoc = {
+    val node = JsonSupport.parse(text)
+    val gen = Option(node.get("gen")).filter(!_.isNull)
+      .map(_.asLong()).getOrElse(0L)
+    val pages = Option(node.get("pages")).filter(_.isArray).map {
+      _.elements().asScala.map(p =>
+        PageRef(p.get("file").asText(), p.get("count").asLong())).toList
+    }.getOrElse(Nil)
+    val tail = node.get("splits").elements().asScala.map(parseEntry).toList
+    ManifestDoc(gen, pages, tail)
+  }
+
+  /** Entries of one sealed page, through the process-wide page cache.
+    * Uncached pages are read and md5-verified against the name they were
+    * addressed by; a missing or corrupt page fails LOUDLY — the manifest
+    * references it, so serving without it would silently drop splits. */
+  private def pageEntries(name: String, ref: PageRef): List[SplitInfo] = {
+    val key = s"$catalogRoot#$name#${ref.file}"
+    val cached = Catalog.pageCache.get(key)
+    if (cached != null) cached
+    else {
+      val text = store.readString(pagePath(name, ref.file)).getOrElse(
+        throw new IllegalStateException(
+          s"manifest page ${ref.file} of '$name' is missing"))
+      val md5 = TermDigest.md5HexBytes(
+        text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      require(ref.file == s"page-$md5.json",
+        s"manifest page ${ref.file} of '$name' fails its content hash")
+      val entries = JsonSupport.parse(text).get("splits")
+        .elements().asScala.map(parseEntry).toList
+      Catalog.pageCache.put(key, entries)
+      entries
+    }
+  }
+
+  /** Flatten a stored manifest to (generation, all live splits): sealed
+    * pages in order, then the inline tail. Uncached pages are fetched
+    * CONCURRENTLY (they are independent immutable objects — on an object
+    * store the cold read is then max-of-page-GETs, not sum). */
+  private def resolveDoc(name: String, doc: ManifestDoc): (Long, List[SplitInfo]) = {
+    val uncached = doc.pages.filter(p =>
+      Catalog.pageCache.get(s"$catalogRoot#$name#${p.file}") == null)
+    if (uncached.sizeIs > 1)
+      uncached.asJava.parallelStream().forEach(p => pageEntries(name, p): Unit)
+    (doc.gen, doc.pages.flatMap(pageEntries(name, _)) ++ doc.tail)
   }
 
   def splitPaths(name: String): List[String] =
@@ -375,10 +466,8 @@ final class Catalog(rootDir: String,
     * (e.g. the searcher's BM25 corpus-stats memo). 0 = no manifest. */
   def manifestGen(name: String): Long = manifestState(name)._1
 
-  private def renderManifest(splits: List[SplitInfo], prevGen: Long): Array[Byte] = {
+  private def renderEntries(splits: List[SplitInfo]): com.fasterxml.jackson.databind.node.ArrayNode = {
     val m = JsonSupport.mapper
-    val rootNode = m.createObjectNode()
-    rootNode.put("gen", prevGen + 1L)
     val arr = m.createArrayNode()
     splits.foreach { s =>
       val o = m.createObjectNode()
@@ -416,8 +505,85 @@ final class Catalog(rootDir: String,
       }
       arr.add(o)
     }
-    rootNode.set[com.fasterxml.jackson.databind.JsonNode]("splits", arr)
-    m.writeValueAsString(rootNode).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    arr
+  }
+
+  /** Seal `entries` into a content-addressed page file (write-if-absent:
+    * identical content from a racing writer lands on the same name with
+    * the same bytes) and warm the page cache. Runs BEFORE the root CAS,
+    * the same invisible-until-referenced ordering as split data — a
+    * page whose commit loses is an unreferenced leaked file, tolerated
+    * like any leaked split. */
+  private def writePage(name: String, entries: List[SplitInfo]): PageRef = {
+    val m = JsonSupport.mapper
+    val node = m.createObjectNode()
+    node.set[com.fasterxml.jackson.databind.JsonNode]("splits", renderEntries(entries))
+    val text = m.writeValueAsString(node)
+    val md5 = TermDigest.md5HexBytes(
+      text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val file = s"page-$md5.json"
+    val p = pagePath(name, file)
+    if (!store.exists(p)) {
+      store.mkdirs(p.getParent)
+      try store.writeStringExclusive(p, text)
+      catch { case _: java.io.IOException if store.exists(p) => () }
+    }
+    Catalog.pageCache.put(s"$catalogRoot#$name#$file", entries)
+    PageRef(file, entries.size.toLong)
+  }
+
+  /** Render the next manifest, reusing the previous commit's sealed
+    * pages wherever their entries survive unchanged. At or below the
+    * page threshold this IS the original flat format. Above it:
+    *
+    *  - a sealed page whose every entry is present and unchanged in
+    *    `next` is referenced as-is (zero bytes rewritten);
+    *  - any other page is dropped and its surviving entries spill into
+    *    the inline tail (new versions included — idempotent replace);
+    *  - the tail (spills + appends + the previous tail's survivors)
+    *    seals full page-size chunks into new pages, remainder inline.
+    *
+    * Ingest appends therefore rewrite O(tail) bytes per commit and seal
+    * one page every pageSize commits; a merge rewrites only the pages
+    * its removed splits lived in. */
+  private def renderManifest(name: String, prevPages: List[PageRef],
+      next: List[SplitInfo], prevGen: Long): Array[Byte] = {
+    val m = JsonSupport.mapper
+    val rootNode = m.createObjectNode()
+    rootNode.put("gen", prevGen + 1L)
+    val pageSize = Catalog.manifestPageSize
+    val tail =
+      if (next.sizeIs <= pageSize) next // flat format, no pages
+      else {
+        val nextById = next.map(s => s.id -> s).toMap
+        val kept = List.newBuilder[PageRef]
+        val covered = scala.collection.mutable.HashSet.empty[String]
+        prevPages.foreach { p =>
+          val entries = pageEntries(name, p)
+          if (entries.forall(e => nextById.get(e.id).contains(e))) {
+            kept += p
+            covered ++= entries.iterator.map(_.id)
+          }
+        }
+        val tail0 = next.filterNot(s => covered(s.id))
+        val (toSeal, remain) = tail0.splitAt((tail0.size / pageSize) * pageSize)
+        val pages = kept.result() ++
+          toSeal.grouped(pageSize).map(writePage(name, _))
+        if (pages.nonEmpty) {
+          val arr = m.createArrayNode()
+          pages.foreach { p =>
+            val o = m.createObjectNode()
+            o.put("file", p.file); o.put("count", p.count)
+            arr.add(o)
+          }
+          rootNode.set[com.fasterxml.jackson.databind.JsonNode]("pages", arr)
+        }
+        remain
+      }
+    rootNode.set[com.fasterxml.jackson.databind.JsonNode]("splits",
+      renderEntries(tail))
+    m.writeValueAsString(rootNode)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
   }
 
   /** Optimistic read-modify-write: read (gen, splits), apply `f`, publish
@@ -428,11 +594,13 @@ final class Catalog(rootDir: String,
     val commitPoint = store.commitPoint(manifestPath(name))
     val deadline = System.nanoTime() + Catalog.LockTimeoutMs * 1000000L
     while (true) {
-      val (gen, live) = manifestState(name)
+      val doc = store.readString(manifestPath(name))
+        .map(parseDoc).getOrElse(ManifestDoc(0L, Nil, Nil))
+      val (gen, live) = resolveDoc(name, doc)
       f(live) match {
         case None => return false
         case Some(next) =>
-          val bytes = renderManifest(next, gen)
+          val bytes = renderManifest(name, doc.pages, next, gen)
           if (commitPoint.commit(gen + 1L, bytes)) {
             invalidateManifestCache(name)
             // advisory time-travel archive, AFTER the commit point and
@@ -512,7 +680,9 @@ final class Catalog(rootDir: String,
     * archives whose reads fail loudly on the missing-split guard, not
     * silently-partial history. Returns (archivesDeleted, splitDirsDeleted). */
   def vacuum(name: String, beforeGen: Long): (Int, Int) = {
-    val (curGen, live) = manifestState(name)
+    val liveDoc = store.readString(manifestPath(name))
+      .map(parseDoc).getOrElse(ManifestDoc(0L, Nil, Nil))
+    val (curGen, live) = resolveDoc(name, liveDoc)
     require(beforeGen <= curGen + 1,
       s"--before-gen $beforeGen is ahead of current generation $curGen")
     val archRe = """manifest\.v(\d+)\.json""".r
@@ -520,13 +690,24 @@ final class Catalog(rootDir: String,
       case archRe(g) => g.toLong
     }
     val (dropGens, keepGens) = gens.partition(_ < beforeGen)
-    def idsAt(g: Long): List[String] =
+    def docAt(g: Long): ManifestDoc =
       store.readString(archivePath(name, g))
-        .map(parseManifest(_)._2.map(_.id)).getOrElse(Nil)
-    val referenced = live.map(_.id).toSet ++ keepGens.flatMap(idsAt)
-    val victims = dropGens.flatMap(idsAt).distinct.filterNot(referenced)
+        .map(parseDoc).getOrElse(ManifestDoc(0L, Nil, Nil))
+    def idsOf(d: ManifestDoc): List[String] =
+      resolveDoc(name, d)._2.map(_.id)
+    val dropDocs = dropGens.map(docAt)
+    val keepDocs = keepGens.map(docAt)
+    val referenced = live.map(_.id).toSet ++ keepDocs.flatMap(idsOf)
+    val victims = dropDocs.flatMap(idsOf).distinct.filterNot(referenced)
+    // sealed pages shared with the live manifest or a surviving archive
+    // stay; pages only the dropped generations referenced go with them
+    val keptPages = (liveDoc.pages ++ keepDocs.flatMap(_.pages))
+      .map(_.file).toSet
+    val pageVictims = dropDocs.flatMap(_.pages).map(_.file)
+      .distinct.filterNot(keptPages)
     victims.foreach(id => deleteDirBestEffort(splitDir(name, id)))
     dropGens.foreach(g => store.deleteIfExists(archivePath(name, g)))
+    pageVictims.foreach(f => store.deleteIfExists(pagePath(name, f)))
     (dropGens.size, victims.size)
   }
 }

@@ -251,4 +251,105 @@ class CatalogStoreSpec extends AnyFunSuite {
     assert(cat.manifestStateCached("sig")._1 == 3L,
       "invalidation re-reads the store")
   }
+
+  /** Run `body` with the manifest page threshold forced down to
+    * `pageSize` so paging activates at test-sized split counts. */
+  private def withPageSize[A](pageSize: Int)(body: => A): A = {
+    val prev = sys.props.get("graft.manifest.page.size")
+    sys.props("graft.manifest.page.size") = pageSize.toString
+    try body
+    finally prev match {
+      case Some(v) => sys.props("graft.manifest.page.size") = v
+      case None => sys.props.remove("graft.manifest.page.size"): Unit
+    }
+  }
+
+  private def splitInfo(i: Int): SplitInfo =
+    SplitInfo(f"s-$i%04d", numDocs = i.toLong + 1,
+      numStats = Map("n" -> (i.toDouble, i.toDouble)))
+
+  test("paged manifest: entries seal into content-addressed pages, commits rewrite O(delta)") {
+    withPageSize(10) {
+      val root = Files.createTempDirectory("graft-paged").toString
+      val cat = new Catalog(root)
+      cat.create("version: 1\nname: paged\npath: /tmp/unused\nschema:\n" +
+        "  fields:\n    - name: body\n      type: !text\n")
+      // bulk: 25 entries at page size 10 -> 2 sealed pages + 5-entry tail
+      assert(cat.swapSplits("paged", Nil, (0 until 25).map(splitInfo).toList))
+      val (g1, live1) = cat.manifestState("paged")
+      assert(live1.size == 25 && live1.map(_.id).toSet ==
+        (0 until 25).map(i => f"s-$i%04d").toSet)
+      val pagesDir = new java.io.File(root, "indexes/paged/pages")
+      val pages1 = pagesDir.listFiles().map(_.getName).filter(_.matches("page-.*\\.json")).toSet
+      assert(pages1.size == 2, s"expected 2 sealed pages, got $pages1")
+      pages1.foreach(n => assert(n.matches("page-[0-9a-f]{32}\\.json")))
+      val rootFile = new java.io.File(root, "indexes/paged/manifest.json")
+      val rootText1 = new String(java.nio.file.Files.readAllBytes(rootFile.toPath), "UTF-8")
+      assert(!rootText1.contains("s-0003"),
+        "sealed entries must not be inlined in the root")
+      assert(rootText1.contains("s-0024"), "tail entries stay inline")
+
+      // append one split: both sealed pages must survive byte-identical
+      // (same content-addressed names), only root + tail rewritten
+      cat.commitSplit("paged", splitInfo(25))
+      val pages2 = pagesDir.listFiles().map(_.getName).filter(_.matches("page-.*\\.json")).toSet
+      assert(pages2 == pages1, "an append must not touch sealed pages")
+      assert(cat.manifestState("paged")._2.size == 26)
+
+      // grow the tail past the threshold: exactly one NEW page seals
+      (26 until 31).foreach(i => cat.commitSplit("paged", splitInfo(i)))
+      val pages3 = pagesDir.listFiles().map(_.getName).filter(_.matches("page-.*\\.json")).toSet
+      assert(pages3.size == 3 && pages1.subsetOf(pages3),
+        s"one new page expected, prior pages untouched: $pages3")
+      assert(cat.manifestState("paged")._2.size == 31)
+
+      // remove an entry buried in a sealed page: that page is dropped,
+      // its survivors spill, the other sealed pages stay referenced
+      assert(cat.swapSplits("paged", List("s-0003"),
+        List(splitInfo(99))))
+      val (g5, live5) = cat.manifestState("paged")
+      assert(live5.size == 31 && !live5.exists(_.id == "s-0003") &&
+        live5.exists(_.id == "s-0099"))
+      assert(g5 == g1 + 7, s"7 commits after the bulk: got $g5 vs base $g1")
+
+      // a fresh Catalog instance (cold process: no page cache, no
+      // signature cache) resolves the identical state
+      val cold = new Catalog(root)
+      val (cg, colds) = cold.manifestState("paged")
+      assert(cg == g5 && colds.toSet == live5.toSet,
+        "cold reader must reassemble pages + tail to the same state")
+    }
+  }
+
+  test("paged manifest: time travel resolves archived page refs; vacuum GCs orphaned pages") {
+    withPageSize(5) {
+      val root = Files.createTempDirectory("graft-pagedtt").toString
+      val cat = new Catalog(root)
+      cat.create("version: 1\nname: ptt\npath: /tmp/unused\nschema:\n" +
+        "  fields:\n    - name: body\n      type: !text\n")
+      assert(cat.swapSplits("ptt", Nil, (0 until 12).map(splitInfo).toList))
+      val genA = cat.manifestGen("ptt")
+      // compact: drop the first sealed page's entries; the OTHER sealed
+      // page must remain shared between the archive and the live manifest
+      assert(cat.swapSplits("ptt", (0 until 5).map(i => f"s-$i%04d").toList,
+        List(splitInfo(200)), retainInputs = true))
+      val genB = cat.manifestGen("ptt")
+      val atA = cat.manifestStateAt("ptt", genA)._2
+      assert(atA.size == 12, "snapshot read must resolve archived pages")
+      val pagesDir = new java.io.File(root, "indexes/ptt/pages")
+      val before = pagesDir.listFiles().map(_.getName).filter(_.matches("page-.*\\.json")).toSet
+      // vacuum everything below the live generation: the page holding
+      // s-0000..s-0004 is only referenced by dropped archives -> deleted;
+      // the page shared with the live manifest survives
+      val (archs, dirs) = cat.vacuum("ptt", genB)
+      assert(archs >= 1 && dirs >= 1)
+      val after = pagesDir.listFiles().map(_.getName).filter(_.matches("page-.*\\.json")).toSet
+      assert(after.subsetOf(before) && after.size < before.size,
+        s"orphaned pages must be GCd: before=$before after=$after")
+      val (lg, ls) = new Catalog(root).manifestState("ptt")
+      assert(lg == genB && ls.size == 8,
+        "live state must be fully servable after vacuum")
+      intercept[IllegalArgumentException](cat.manifestStateAt("ptt", genA))
+    }
+  }
 }

@@ -244,4 +244,45 @@ class CliSpec extends AnyFunSuite {
     assert(s.searchDf("test", "tenant_id:>90", 10).count() == 2)
     cat.drop("test")
   }
+
+  test("stats --sketches prints the streaming HLL datasheet from persisted state") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-cli-sk").toString
+    val cat = new Catalog(root)
+    val yaml = Files.createTempFile("cli-sk", ".yaml")
+    Files.write(yaml, configYaml.getBytes("UTF-8"))
+    cli.Main.run(Array("create", yaml.toString), spark, cat, root)
+
+    // state as `index --stream --sketch-field` leaves it: two batches of
+    // per-group registers max-merged into <state-dir>/hll
+    val stateDir = Files.createTempDirectory("graft-cli-skstate").toString
+    val hll = new graft.ops.HllRegisterState(spark, s"$stateDir/hll")
+    val b1 = Seq(("t1", "u1"), ("t1", "u2"), ("t2", "u1")).toDF("grp", "k")
+    val b2 = Seq(("t1", "u2"), ("t1", "u3"), ("t2", "u9")).toDF("grp", "k")
+    hll.merge(graft.ops.Sketch.hllRegisters(b1, col("grp"), col("k")))
+    hll.merge(graft.ops.Sketch.hllRegisters(b2, col("grp"), col("k")))
+
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      cli.Main.run(Array("stats", "cli_test", "--sketches",
+        "--state-dir", stateDir), spark, cat, root)
+    }
+    val printed = out.toString("UTF-8")
+    assert(printed.contains("sketches (state generation 2):"), printed)
+    // the printed estimates must be the batch estimator's values over the
+    // same registers — t1 saw u1,u2,u3 (3 distinct), t2 saw u1,u9 (2),
+    // both deep in the linear-counting regime where LC is exact
+    assert(printed.contains("t1: ~3 distinct (regime=lc"), printed)
+    assert(printed.contains("t2: ~2 distinct (regime=lc"), printed)
+
+    // empty state reports loudly instead of printing nothing
+    val empty = Files.createTempDirectory("graft-cli-skempty").toString
+    val out2 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out2, true, "UTF-8")) {
+      cli.Main.run(Array("stats", "cli_test", "--sketches",
+        "--state-dir", empty), spark, cat, root)
+    }
+    assert(out2.toString("UTF-8").contains("no state"), out2.toString("UTF-8"))
+  }
 }
