@@ -358,6 +358,42 @@ object Dedup {
       .withColumn("keep", col("n_hits") < minHits)
   }
 
+  /** Semantic (embedding-space) decontamination — the fuzzy complement
+    * of the n-gram [[decontaminate]]: a corpus item is contaminated when
+    * its cosine against ANY benchmark embedding clears `threshold`,
+    * catching the paraphrased / reformatted / translated eval leakage
+    * that exact shingle overlap misses (the reason modern data work runs
+    * an embedding decontamination pass BESIDE the n-gram one).
+    *
+    * Scale shape — the same contract as [[decontaminate]], lifted to
+    * vectors: the benchmark side (`bench_id`, `bv`) is broadcast (eval
+    * suites are thousands of items next to a 100 TB corpus), so the
+    * corpus-side pass is ONE broadcast nested-loop scoring — N·B
+    * cosines, map-only, no corpus shuffle anywhere; this is exactly the
+    * dense matrix product a batch scorer would run, expressed as a plan.
+    * Declared in PlanSpec's cartesian audit as benchmark-bounded.
+    *
+    * Output mirrors [[decontaminateBloom]]'s every-doc contract: each
+    * corpus row yields (vid, n_hits, first_bench, keep) — `first_bench`
+    * is the smallest condemning benchmark id (attribution for audits),
+    * -1 when clean, so callers can inner-join on keep without dropping
+    * unmatched docs and auditors can group leakage by benchmark. */
+  def decontaminateSemantic(corpus: DataFrame, benchmark: DataFrame,
+      threshold: Double): DataFrame = {
+    val hits = corpus.select(col("vid"), col("v"))
+      .crossJoin(broadcast(benchmark))
+      .where(graft.exprs.CosineSimilarity
+        .cosine_similarity(col("v"), col("bv")) >= threshold)
+      .groupBy(col("vid"))
+      .agg(count(lit(1)).as("n_hits"), min(col("bench_id")).as("first_bench"))
+    corpus.select(col("vid"))
+      .join(hits, Seq("vid"), "left")
+      .select(col("vid"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("first_bench"), lit(-1L)).as("first_bench"))
+      .withColumn("keep", col("n_hits") === 0L)
+  }
+
   /** Incremental near-dedup: decide, for each NEW document, whether it
     * duplicates the EXISTING corpus (exact n-gram Jaccard ≥ threshold) —
     * the ingest-time pass of a continuously growing training corpus,

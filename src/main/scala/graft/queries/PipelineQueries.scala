@@ -1880,6 +1880,22 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Embedding-space decontamination at the same benchmark/corpus split
+    * shape as [[pipe_decontaminate]] (vec_ids 0–9 stand in for the eval
+    * suite's embeddings): a corpus vector whose cosine against ANY
+    * benchmark vector clears 0.35 is condemned — the paraphrase-leakage
+    * pass that n-gram overlap misses. Broadcast benchmark, map-only
+    * corpus scoring — see [[graft.ops.Dedup.decontaminateSemantic]]. */
+  val pipe_semantic_decontaminate: Q = (s, dir) => {
+    val e = corpus(s, dir)
+    Dedup.decontaminateSemantic(
+      e.where(col("vid") >= 10),
+      e.where(col("vid") < 10)
+        .select(col("vid").as("bench_id"), col("v").as("bv")),
+      threshold = 0.35)
+      .orderBy(col("vid"))
+  }
+
   /** One exact k-means (Lloyd's) iteration training the IVF quantizer:
     * first 16 vectors seed the centroids, update sums are fixed-point
     * integers so the oracle reproduces them exactly — see
@@ -2025,6 +2041,7 @@ object PipelineQueries {
     "pipe_curate_v4" -> pipe_curate_v4,
     "text_span_scrub" -> text_span_scrub,
     "pipe_bloom_decontaminate" -> pipe_bloom_decontaminate,
+    "pipe_semantic_decontaminate" -> pipe_semantic_decontaminate,
     "pipe_unigram_seg" -> pipe_unigram_seg,
     "pipe_unigram_train" -> pipe_unigram_train,
     "pipe_unigram_counts" -> pipe_unigram_counts,
@@ -3677,6 +3694,21 @@ object PipelineQueries {
          |  coalesce(n_hits, 0) < 1 AS keep
          |FROM (SELECT doc_id FROM sh WHERE doc_id >= 10)
          |LEFT JOIN perdoc USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "pipe_semantic_decontaminate" ->
+      """WITH bench AS (
+        |  SELECT vec_id AS bench_id, embedding AS bv FROM embeddings WHERE vec_id < 10),
+        |corp AS (
+        |  SELECT vec_id AS vid, embedding AS v FROM embeddings WHERE vec_id >= 10),
+        |hits AS (
+        |  SELECT c.vid, count(*) AS n_hits, min(b.bench_id) AS first_bench
+        |  FROM corp c CROSS JOIN bench b
+        |  WHERE list_cosine_similarity(c.v, b.bv) >= 0.35
+        |  GROUP BY c.vid)
+        |SELECT c.vid, coalesce(h.n_hits, 0) AS n_hits,
+        |  CAST(coalesce(h.first_bench, -1) AS BIGINT) AS first_bench,
+        |  coalesce(h.n_hits, 0) = 0 AS keep
+        |FROM corp c LEFT JOIN hits h USING (vid)
+        |ORDER BY vid""".stripMargin,
     "pipe_curate_v3" ->
       s"""WITH sh AS ($shingleSql),
          |$bloomCtes,

@@ -164,6 +164,15 @@ class PlanSpec extends AnyFunSuite {
       s"the tiny benchmark set must broadcast, not shuffle the corpus:\n$plan")
   }
 
+  test("pipe_semantic_decontaminate: broadcast nested-loop on the benchmark, no corpus shuffle before scoring") {
+    val plan = formatted(
+      graft.queries.PipelineQueries.pipe_semantic_decontaminate(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the benchmark embeddings must broadcast for the cosine scan:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"a shuffled cartesian over the corpus is a 100 TB killer:\n$plan")
+  }
+
   test("pipe_temperature_sample broadcasts the per-source rate table") {
     val plan = formatted(
       graft.queries.PipelineQueries.pipe_temperature_sample(spark, sf))
@@ -452,7 +461,8 @@ class PlanSpec extends AnyFunSuite {
       "text_tfidf_top" -> "1-row corpus-size scalar attach (idf denominator)",
       "pipe_hybrid_rrf" -> "semantic arm = Ann.brute with a 1-query broadcast side",
       "pipe_hard_negatives" -> "semantic truth arm = Ann.brute (20-query broadcast side; declared diagnostic tier — pipe_hard_negatives_bounded is the production form)",
-      "pipe_hard_negatives_bounded" -> "centroid assignment over trained centroids (lexical arm is prefix-filtered, sh-keyed — see dedicated shape test)"
+      "pipe_hard_negatives_bounded" -> "centroid assignment over trained centroids (lexical arm is prefix-filtered, sh-keyed — see dedicated shape test)",
+      "pipe_semantic_decontaminate" -> "broadcast benchmark side (eval-suite bounded, thousands of rows vs the corpus), map-only corpus scoring — see dedicated shape test"
     )
     val sfDir = "/root/testdata/sf0.001"
     // planning failure is tracked SEPARATELY from the cartesian flag: a
