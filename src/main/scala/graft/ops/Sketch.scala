@@ -156,4 +156,74 @@ object Sketch {
       .join(counters, Seq("d", "c"))
       .groupBy(col("k"))
       .agg(min(col("cell")).as("est_cnt"))
+
+  // ---- HDR-histogram quantiles ------------------------------------------
+
+  /** Sub-buckets per power-of-two octave. Bucket width within octave e is
+    * 2^e/16, so any quantile estimate (bucket midpoint) is within
+    * 1/(2·16) ≈ 3.1% relative error of the true order statistic —
+    * the HdrHistogram / DDSketch guarantee shape (relative, not
+    * absolute, accuracy) with log₂ octaves instead of log_γ. */
+  val HdrSub = 16
+
+  /** HDR-histogram buckets `(grp, bucket, cnt)` for a non-negative long
+    * value column — the quantile member of the sketch trio (HLL =
+    * distinct, CMS = frequency, HDR = distribution). Bucket 0 holds
+    * v ≤ 0; v ≥ 1 lands in octave e = ⌊log₂ v⌋ split into [[HdrSub]]
+    * linear sub-buckets: `bucket = 1 + e·16 + ((v − 2^e)·16) DIV 2^e`.
+    * Everything is integer arithmetic on `length(bin(v))` — the same
+    * engine-portable bit-length idiom as the HLL rho — so a DuckDB
+    * oracle reproduces every bucket id exactly (no float log whose last
+    * ULP could flip a boundary).
+    *
+    * Scale shape: one `groupBy(grp, bucket).count` — partial-aggregated
+    * map-side, shuffling ≤ groups × (64·16+1) rows no matter the corpus;
+    * grids merge by `sum(cnt)` (per-split / per-window partials combine
+    * without revisiting data — pinned in SketchSpec). This is what a
+    * datasheet pass runs for p50/p90/p99 length and latency columns when
+    * an exact per-group sort of 100 TB is unaffordable. */
+  def hdrBuckets(df: DataFrame, group: Column, value: Column): DataFrame =
+    df.select(group.as("grp"), value.cast("long").as("v"))
+      .select(col("grp"),
+        when(col("v") <= 0, lit(0L))
+          .otherwise(expr(s"""1 + (length(bin(v)) - 1) * $HdrSub +
+            CAST(((v - shiftleft(CAST(1 AS BIGINT), length(bin(v)) - 1)) * $HdrSub)
+              DIV shiftleft(CAST(1 AS BIGINT), length(bin(v)) - 1) AS BIGINT)"""))
+          .as("bucket"))
+      .groupBy(col("grp"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Quantile extraction from a bucket table: for each group and each
+    * percentile q, rank r = ⌈q·n/100⌉ and the answer is the MIDPOINT of
+    * the first bucket whose cumulative count reaches r — integer lower
+    * and upper bucket bounds reconstructed from the bucket id, so the
+    * estimate is exact-integer in both engines. The cumulative window
+    * rides per-group bucket tables of ≤ 1025 rows (never the corpus),
+    * and the (grp, q) probe join is against that same bounded table. */
+  def hdrQuantiles(buckets: DataFrame, qs: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cum = buckets.withColumn("cum",
+      sum(col("cnt")).over(Window.partitionBy(col("grp"))
+        .orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ranks = buckets.groupBy(col("grp"))
+      .agg(sum(col("cnt")).cast("long").as("n"))
+      .select(col("grp"), col("n"),
+        explode(array(qs.map(lit): _*)).as("q"))
+      .withColumn("r", expr("(q * n + 99) DIV 100"))
+    ranks.join(cum, Seq("grp"))
+      .where(col("cum") >= col("r"))
+      .groupBy(col("grp"), col("q"), col("n"))
+      .agg(min(col("bucket")).as("bucket"))
+      .withColumn("est", expr(s"""CASE WHEN bucket = 0 THEN CAST(0 AS BIGINT) ELSE
+        (shiftleft(CAST(1 AS BIGINT), CAST((bucket - 1) DIV $HdrSub AS INT)) +
+           CAST((((bucket - 1) % $HdrSub) *
+             shiftleft(CAST(1 AS BIGINT), CAST((bucket - 1) DIV $HdrSub AS INT)))
+             DIV $HdrSub AS BIGINT) +
+         shiftleft(CAST(1 AS BIGINT), CAST((bucket - 1) DIV $HdrSub AS INT)) +
+           CAST(((((bucket - 1) % $HdrSub) + 1) *
+             shiftleft(CAST(1 AS BIGINT), CAST((bucket - 1) DIV $HdrSub AS INT)))
+             DIV $HdrSub AS BIGINT)) DIV 2 END"""))
+      .select(col("grp"), col("q"), col("n"), col("bucket"), col("est"))
+  }
 }

@@ -237,13 +237,54 @@ object SketchQueries {
       .orderBy(col("true_cnt").desc, col("key"))
   }
 
+  /** HDR-histogram p50/p90/p99 of document text length per source, plus
+    * the `__all__` roll-up built by SUM-MERGING the per-source bucket
+    * grids (the sketch property, demonstrated in the gated query exactly
+    * as [[sketch_hll]] max-merges registers). Completes the sketch trio:
+    * HLL answers "how many distinct", CMS "how often", HDR "how is it
+    * distributed" — the three columns of a corpus datasheet. The exact
+    * order statistic rides alongside as the truth tier and `err_ppm`
+    * prices the midpoint estimate; SketchSpec pins the 1/(2·16) relative
+    * bound and merge associativity. Scale shape: one (grp, bucket) count
+    * aggregate, ≤ groups × 1025 rows shuffled; the cumulative window and
+    * probe join ride that bounded grid, never the corpus. */
+  val sketch_quantile_hdr: Q = (s, dir) => {
+    val raw = table(s, dir, "documents")
+      .select(col("source").as("grp"),
+        length(col("text")).cast("long").as("v"))
+      .localCheckpoint(eager = false) // two consumers: buckets + exact tier
+    val bk = Sketch.hdrBuckets(raw, col("grp"), col("v"))
+      .localCheckpoint(eager = false) // two consumers: per-group + merged
+    val merged = bk.groupBy(col("bucket"))
+      .agg(sum(col("cnt")).cast("long").as("cnt"))
+      .select(lit("__all__").as("grp"), col("bucket"), col("cnt"))
+    val est = Sketch.hdrQuantiles(bk.unionByName(merged), Seq(50, 90, 99))
+    val rawall = raw.unionByName(
+      raw.select(lit("__all__").as("grp"), col("v")))
+    val rk = rawall.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("grp")).orderBy(col("v"))))
+    val exact = est.select(col("grp"), col("q"), col("n"))
+      .withColumn("r", expr("(q * n + 99) DIV 100"))
+      .join(rk, Seq("grp"))
+      .where(col("rn") === col("r"))
+      .select(col("grp"), col("q"), col("v").as("exact_v"))
+    est.join(exact, Seq("grp", "q"))
+      .select(col("grp"), col("q"), col("n"), col("bucket"), col("est"),
+        col("exact_v"),
+        expr("CASE WHEN exact_v > 0 THEN abs(est - exact_v) * 1000000" +
+          " DIV exact_v ELSE 0 END").as("err_ppm"))
+      .orderBy(col("grp"), col("q"))
+  }
+
   val all: Map[String, Q] = Map(
     "sketch_hll" -> sketch_hll,
     "sketch_hll_window" -> sketch_hll_window,
     "sketch_hll_lc" -> sketch_hll_lc,
     "sketch_cms_topk" -> sketch_cms_topk,
     "sketch_cms_auto" -> sketch_cms_auto,
-    "sketch_cms_hh" -> sketch_cms_hh
+    "sketch_cms_hh" -> sketch_cms_hh,
+    "sketch_quantile_hdr" -> sketch_quantile_hdr
   )
 
   private val hllNumerSql = Sketch.HllNumerator.toString
@@ -450,6 +491,58 @@ object SketchQueries {
          |  CAST($HhWidth AS BIGINT) AS width
          |FROM est JOIN tf ON est.bg = tf.bg
          |WHERE est_cnt >= (SELECT thresh FROM tot)
-         |ORDER BY true_cnt DESC, key""".stripMargin
+         |ORDER BY true_cnt DESC, key""".stripMargin,
+    // HDR-histogram quantiles: octave = bit length (same bin() idiom as
+    // the HLL rho), 16 linear sub-buckets, midpoint estimate — every
+    // step integer arithmetic both engines reproduce exactly
+    "sketch_quantile_hdr" ->
+      """WITH raw AS (
+        |  SELECT source AS grp, CAST(length(text) AS BIGINT) AS v FROM documents),
+        |b AS (
+        |  SELECT grp, CASE WHEN v <= 0 THEN 0
+        |    ELSE 1 + (length(bin(v)) - 1) * 16 +
+        |      ((v - (1::BIGINT << (length(bin(v)) - 1))) * 16)
+        |        // (1::BIGINT << (length(bin(v)) - 1))
+        |    END AS bucket
+        |  FROM raw),
+        |bk AS (SELECT grp, bucket, count(*) AS cnt FROM b GROUP BY grp, bucket),
+        |allbk AS (
+        |  SELECT grp, bucket, cnt FROM bk
+        |  UNION ALL
+        |  SELECT '__all__', bucket, CAST(sum(cnt) AS BIGINT) FROM bk GROUP BY bucket),
+        |cum AS (
+        |  SELECT grp, bucket,
+        |    CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY bucket) AS BIGINT) AS cum
+        |  FROM allbk),
+        |nq AS (
+        |  SELECT grp, n, q, (q * n + 99) // 100 AS r
+        |  FROM (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n FROM allbk GROUP BY grp)
+        |  CROSS JOIN (SELECT unnest([50, 90, 99]) AS q)),
+        |pick AS (
+        |  SELECT nq.grp, q, n, min(bucket) AS bucket
+        |  FROM nq JOIN cum ON cum.grp = nq.grp AND cum.cum >= nq.r
+        |  GROUP BY nq.grp, q, n),
+        |est AS (
+        |  SELECT grp, q, n, bucket,
+        |    CASE WHEN bucket = 0 THEN 0 ELSE
+        |      ((1::BIGINT << CAST((bucket - 1) // 16 AS INT))
+        |         + (((bucket - 1) % 16) * (1::BIGINT << CAST((bucket - 1) // 16 AS INT))) // 16
+        |       + (1::BIGINT << CAST((bucket - 1) // 16 AS INT))
+        |         + ((((bucket - 1) % 16) + 1) * (1::BIGINT << CAST((bucket - 1) // 16 AS INT))) // 16
+        |      ) // 2 END AS est
+        |  FROM pick),
+        |rawall AS (SELECT grp, v FROM raw UNION ALL SELECT '__all__', v FROM raw),
+        |rk AS (
+        |  SELECT grp, v, row_number() OVER (PARTITION BY grp ORDER BY v) AS rn
+        |  FROM rawall),
+        |ex AS (
+        |  SELECT nq.grp, nq.q, rk.v AS exact_v
+        |  FROM nq JOIN rk ON rk.grp = nq.grp AND rk.rn = nq.r)
+        |SELECT est.grp, est.q, est.n, est.bucket, est.est, ex.exact_v,
+        |  CASE WHEN ex.exact_v > 0
+        |    THEN abs(est.est - ex.exact_v) * 1000000 // ex.exact_v
+        |    ELSE 0 END AS err_ppm
+        |FROM est JOIN ex ON est.grp = ex.grp AND est.q = ex.q
+        |ORDER BY est.grp, est.q""".stripMargin
   )
 }

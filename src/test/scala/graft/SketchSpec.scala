@@ -179,4 +179,64 @@ class SketchSpec extends AnyFunSuite {
       assert(got(h) == want, s"h=$h r=$r: got ${got(h)} want $want")
     }
   }
+
+  test("HDR buckets match an independent bit-twiddling reference and contain their value") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vs = (Seq.fill(2000)(math.abs(rnd.nextLong()) % 1000000L) ++
+      Seq(0L, 1L, 15L, 16L, 17L, 255L, 256L, 1L << 40)).distinct
+    val got = Sketch.hdrBuckets(vs.toDF("v").select(lit("g").as("grp"), col("v")),
+        col("grp"), col("v"))
+      .collect().map(r => r.getLong(1)).toSet
+    val want = vs.map { v =>
+      if (v <= 0) 0L
+      else {
+        val e = 63 - java.lang.Long.numberOfLeadingZeros(v)
+        1L + e * Sketch.HdrSub + (((v - (1L << e)) * Sketch.HdrSub) >> e)
+      }
+    }.toSet
+    assert(got == want, s"bucket sets differ: ${got.diff(want)} vs ${want.diff(got)}")
+    // every bucket's [lower, upper) reconstruction contains its value
+    vs.filter(_ >= 1).foreach { v =>
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(v)
+      val s = ((v - (1L << e)) * Sketch.HdrSub) >> e
+      val lower = (1L << e) + (s * (1L << e)) / Sketch.HdrSub
+      // octaves narrower than HdrSub collapse integer sub-bucket bounds
+      // (width 0); the bucket is then exact, holding the single value
+      val upper = math.max(
+        (1L << e) + ((s + 1) * (1L << e)) / Sketch.HdrSub, lower + 1)
+      assert(lower <= v && v < upper, s"v=$v outside [$lower, $upper)")
+    }
+  }
+
+  test("HDR buckets merge by sum: split-then-merge == whole-corpus grid") {
+    val docs = Graft.table(spark, sf, "documents")
+      .select(col("source").as("grp"), length(col("text")).cast("long").as("v"),
+        col("doc_id"))
+    val whole = Sketch.hdrBuckets(docs, col("grp"), col("v"))
+    val halves = Seq(0, 1).map { p =>
+      Sketch.hdrBuckets(docs.where(pmod(col("doc_id"), lit(2)) === p),
+        col("grp"), col("v"))
+    }
+    val merged = halves.reduce(_ unionByName _)
+      .groupBy(col("grp"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+    assert(whole.exceptAll(merged).isEmpty && merged.exceptAll(whole).isEmpty,
+      "bucket grids must be additive under split-then-merge")
+  }
+
+  test("sketch_quantile_hdr: midpoint estimates honor the 1/16 relative bound") {
+    val rows = SketchQueries.sketch_quantile_hdr(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getAs[Long]("est")
+      val exact = r.getAs[Long]("exact_v")
+      // est and the true order statistic share a bucket of width 2^e/16
+      // with 2^e <= exact, so |est - exact| <= exact/16 (+1 for the
+      // integer-midpoint floor)
+      assert(math.abs(est - exact) <= exact / Sketch.HdrSub + 1,
+        s"grp=${r.getString(0)} q=${r.getInt(1)}: est $est vs exact $exact")
+    }
+    // the __all__ roll-up (sum-merged from per-source grids) is present
+    assert(rows.count(_.getString(0) == "__all__") == 3)
+  }
 }
