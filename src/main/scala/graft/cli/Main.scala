@@ -111,7 +111,8 @@ object Main {
               stateDir = flags.getOrElse("state-dir", s"$root/state/$name"),
               textField = f,
               threshold = flags.getOrElse("dedup-threshold", "0.5").toDouble,
-              sketchField = flags.get("sketch-field"))
+              sketchField = flags.get("sketch-field"),
+              quantileField = flags.get("quantile-field"))
           }
           val q = new StreamingIndexer(spark, cat)
             .startFileStream(name, input, ckpt, interval, stateful = stateful)
@@ -177,6 +178,17 @@ object Main {
                   f"~${r.getAs[Long]("est_distinct")}%d distinct " +
                   f"(regime=${r.getAs[String]("regime")}%s, " +
                   f"v_empty=${r.getAs[Long]("v_empty")}%d)")
+              }
+          }
+          // the HDR side of the datasheet (maintained by --quantile-field)
+          val hdr = new graft.ops.HdrBucketState(spark, s"$stateDir/hdr")
+          if (hdr.generation > 0L) {
+            println(s"quantiles (state generation ${hdr.generation}):")
+            graft.ops.Sketch.hdrQuantiles(hdr.buckets, Seq(50, 90, 99))
+              .orderBy("grp", "q").collect().foreach { r =>
+                println(f"  ${r.getAs[String]("grp")}%s p${r.getAs[Int]("q")}%d: " +
+                  f"~${r.getAs[Long]("est")}%d chars " +
+                  f"(n=${r.getAs[Long]("n")}%d)")
               }
           }
         }

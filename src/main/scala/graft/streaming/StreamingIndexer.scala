@@ -40,8 +40,13 @@ import graft.engine.{Catalog, SplitInfo}
   *  - `sketchField`: max-merge per-batch HLL registers of the field's
   *    values into [[graft.ops.HllRegisterState]] — the streaming
   *    datasheet (distinct-count) maintenance.
+  *  - `quantileField`: sum-merge per-batch HDR bucket grids of the
+  *    field's string LENGTH into [[graft.ops.HdrBucketState]] — the
+  *    length-distribution (p50/p90/p99) side of the same datasheet,
+  *    replay-guarded by batch tag because a sum-merge is not
+  *    idempotent the way the HLL max is.
   *
-  * Both states live under `stateDir` (`dedup/`, `hll/`). Batch replay: the
+  * The states live under `stateDir` (`dedup/`, `hll/`, `hdr/`). Batch replay: the
   * split commit is idempotent per batch id; the dedup state is made replay-
   * idempotent by tagging each absorbed generation with the (runTag, batchId)
   * that produced it — a replayed batch whose absorb already landed evaluates
@@ -54,7 +59,8 @@ final case class StreamStateConfig(
     stateDir: String,
     textField: String,
     threshold: Double = 0.5,
-    sketchField: Option[String] = None)
+    sketchField: Option[String] = None,
+    quantileField: Option[String] = None)
 
 final class StreamingIndexer(spark: SparkSession, catalog: Catalog) {
 
@@ -221,6 +227,14 @@ final class StreamingIndexer(spark: SparkSession, catalog: Catalog) {
       if (!keyed.isEmpty)
         new HllRegisterState(spark, s"${sc.stateDir}/hll")
           .merge(Sketch.hllRegisters(keyed, col("grp"), col("k")))
+    }
+    for (f <- sc.quantileField) {
+      val keyed = out.select(lit("stream").as("grp"),
+        length(get_json_object(col("value"), s"$$.$f")).cast("long").as("v"))
+        .where(col("v").isNotNull)
+      if (!keyed.isEmpty)
+        new graft.ops.HdrBucketState(spark, s"${sc.stateDir}/hdr")
+          .merge(Sketch.hdrBuckets(keyed, col("grp"), col("v")), batchTag)
     }
     out.drop("__did")
   }

@@ -262,6 +262,12 @@ class CliSpec extends AnyFunSuite {
     val b2 = Seq(("t1", "u2"), ("t1", "u3"), ("t2", "u9")).toDF("grp", "k")
     hll.merge(graft.ops.Sketch.hllRegisters(b1, col("grp"), col("k")))
     hll.merge(graft.ops.Sketch.hllRegisters(b2, col("grp"), col("k")))
+    // and the quantile sidecar as --quantile-field leaves it: one grid of
+    // body lengths 10, 20, 30 — p50 midpoint of 20's bucket
+    val hdr = new graft.ops.HdrBucketState(spark, s"$stateDir/hdr")
+    val lens = Seq(10L, 20L, 30L).toDF("v")
+      .select(org.apache.spark.sql.functions.lit("stream").as("grp"), col("v"))
+    hdr.merge(graft.ops.Sketch.hdrBuckets(lens, col("grp"), col("v")))
 
     val out = new java.io.ByteArrayOutputStream()
     Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
@@ -275,6 +281,9 @@ class CliSpec extends AnyFunSuite {
     // both deep in the linear-counting regime where LC is exact
     assert(printed.contains("t1: ~3 distinct (regime=lc"), printed)
     assert(printed.contains("t2: ~2 distinct (regime=lc"), printed)
+    // the HDR side prints p50/p90/p99 with the grid's row count
+    assert(printed.contains("quantiles (state generation 1):"), printed)
+    assert(printed.contains("stream p50: ~20 chars (n=3)"), printed)
 
     // empty state reports loudly instead of printing nothing
     val empty = Files.createTempDirectory("graft-cli-skempty").toString

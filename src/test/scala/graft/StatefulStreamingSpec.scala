@@ -168,7 +168,8 @@ class StatefulStreamingSpec extends AnyFunSuite {
         |""".stripMargin)
     val stateDir = s"$root/state/sstream"
     val sc = graft.streaming.StreamStateConfig(stateDir, textField = "body",
-      threshold = 0.5, sketchField = Some("tenant"))
+      threshold = 0.5, sketchField = Some("tenant"),
+      quantileField = Some("body"))
 
     def doc(t: String, body: String) =
       s"""{"tenant": "$t", "body": "$body"}"""
@@ -207,6 +208,7 @@ class StatefulStreamingSpec extends AnyFunSuite {
     val refDir = java.nio.file.Files.createTempDirectory("sstream-ref").toString
     val st = new graft.ops.IncrementalDedupState(spark, s"$refDir/dedup", 0.5)
     val hll = new graft.ops.HllRegisterState(spark, s"$refDir/hll")
+    val hdrRef = new graft.ops.HdrBucketState(spark, s"$refDir/hdr")
     Seq(b1, b2, b3).foreach { b =>
       val df = b.toDF("value").dropDuplicates("value")
         .withColumn("__did", graft.ops.Hashing.h64(col("value")))
@@ -222,11 +224,24 @@ class StatefulStreamingSpec extends AnyFunSuite {
         .select(lit("stream").as("grp"),
           get_json_object(col("value"), "$.tenant").as("k"))
       hll.merge(graft.ops.Sketch.hllRegisters(kept, col("grp"), col("k")))
+      val lens = df.where(col("__did").isin(keep.toSeq: _*))
+        .select(lit("stream").as("grp"),
+          length(get_json_object(col("value"), "$.body")).cast("long").as("v"))
+      hdrRef.merge(graft.ops.Sketch.hdrBuckets(lens, col("grp"), col("v")))
     }
     val streamed = new graft.ops.HllRegisterState(spark, s"$stateDir/hll")
     assert(streamed.registers.exceptAll(hll.registers).isEmpty &&
       hll.registers.exceptAll(streamed.registers).isEmpty,
       "streamed registers must equal the batch-replayed registers")
+    // the quantile sidecar: streamed grid == batch-replayed grid, and its
+    // quantiles ride the 3 keepers' body lengths
+    val hdrStreamed = new graft.ops.HdrBucketState(spark, s"$stateDir/hdr")
+    assert(hdrStreamed.buckets.exceptAll(hdrRef.buckets).isEmpty &&
+      hdrRef.buckets.exceptAll(hdrStreamed.buckets).isEmpty,
+      "streamed HDR grid must equal the batch-replayed grid")
+    val qs = graft.ops.Sketch.hdrQuantiles(hdrStreamed.buckets, Seq(50))
+      .collect().head
+    assert(qs.getAs[Long]("n") == 3L, s"3 keepers in the grid: $qs")
     // the streamed HLL estimate serves the datasheet: keepers carry
     // tenants t1, t2, t2 -> 2 distinct, deep LC regime -> exact
     val est = graft.ops.Sketch.hllEstimateCorrected(streamed.registers)
@@ -266,9 +281,10 @@ class StatefulStreamingSpec extends AnyFunSuite {
         |""".stripMargin)
     val stateDir = s"$root/state/replay"
     val sc = graft.streaming.StreamStateConfig(stateDir, textField = "body",
-      threshold = 0.5)
+      threshold = 0.5, quantileField = Some("body"))
     val ix = new graft.streaming.StreamingIndexer(spark, cat)
     val st = new graft.ops.IncrementalDedupState(spark, s"$stateDir/dedup", 0.5)
+    val hdr = new graft.ops.HdrBucketState(spark, s"$stateDir/hdr")
 
     val b1 = Seq(
       """{"body": "alpha beta gamma delta epsilon zeta"}""",
@@ -279,6 +295,7 @@ class StatefulStreamingSpec extends AnyFunSuite {
     // indexBatch — exactly the advice's data-loss window
     ix.maintainState(b1, sc, tag1).count(): Unit
     assert(st.generation == 1L && st.latestBatchTag.contains(tag1))
+    assert(hdr.generation == 1L && hdr.latestBatchTag.contains(tag1))
 
     // batch 1, attempt 2 (replay): same decisions, absorb no-ops, and the
     // split commit carries BOTH documents
@@ -287,6 +304,11 @@ class StatefulStreamingSpec extends AnyFunSuite {
     assert(committed.exists(_.numDocs == 2L),
       s"replayed batch must index both keepers, got $committed")
     assert(st.generation == 1L, "replayed absorb must not grow the state")
+    // the sum-merge is tag-guarded: a double merge would double-count
+    assert(hdr.generation == 1L, "replayed HDR merge must no-op")
+    assert(graft.ops.Sketch.hdrQuantiles(hdr.buckets, Seq(50))
+      .collect().head.getAs[Long]("n") == 2L,
+      "grid counts batch 1's two keepers exactly once")
 
     // a LATER batch with a different tag still dedups against the full
     // state: a near-dup of batch 1 is dropped, the new doc survives
