@@ -226,4 +226,100 @@ object Sketch {
              DIV $HdrSub AS BIGINT)) DIV 2 END"""))
       .select(col("grp"), col("q"), col("n"), col("bucket"), col("est"))
   }
+
+  // ---- KMV (bottom-k / theta) set-operation sketches ---------------------
+
+  /** h64's range is [0, 2^60), so the KMV stretch is nominally
+    * `(k-1) · 2^60 / h_k` — but that numerator overflows int64 for any
+    * useful k. Both engines therefore evaluate it at 2^30 precision:
+    * `(k-1) · 2^30 DIV (h_k DIV 2^30)`, whose truncation error is
+    * ≤ 2^30/h_k ≈ 4e-8 relative — far beneath the sketch's own
+    * 1/√(k-2) statistical error — while every intermediate stays well
+    * inside BIGINT in both engines. */
+  val KmvHalfRange: Long = 1L << 30
+
+  /** Bottom-k (KMV / theta) sketch `(grp, h)` — the SET-OPERATION member
+    * of the sketch family (the single-group, single-estimate form lives
+    * in `RelationalQueries.q_kmv_distinct`; this is the grouped,
+    * mergeable, set-algebra generalization), covering the one question
+    * HLL structurally cannot answer: the cardinality of an INTERSECTION (or any
+    * composition of unions and intersections) across groups. HLL
+    * registers destroy membership, so two HLL sketches only union; a
+    * bottom-k sketch keeps the k smallest distinct key hashes — a
+    * uniform random sample of the key space — and stays closed under
+    * both set operations: union = bottom-k of the merged sets
+    * ([[kmvMerge]]), intersection = scaled match fraction within the
+    * union's bottom-k ([[kmvIntersect]], the theta-sketch trick).
+    *
+    * Deterministic by construction: the k smallest md5-derived values of
+    * a key set is a pure function of the set — no RNG, no order
+    * dependence — so the DuckDB oracle reproduces every retained hash
+    * and therefore every estimate bit-for-bit.
+    *
+    * Scale shape: distinct-by-(grp, h) then a per-group bottom-k — the
+    * shuffle carries distinct keys once (same price as the exact
+    * distinct the sketch replaces must pay ANYWAY to count), but the
+    * OUTPUT is ≤ groups × k rows: the sketch, not the corpus, is what
+    * ships to the driver / the next stage / the datasheet store, and
+    * sketches of a million-key group and a billion-key group are the
+    * same size. Per-split partials merge by [[kmvMerge]] without
+    * revisiting data. */
+  def kmvSketch(df: DataFrame, group: Column, key: Column,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(group.as("grp"), Hashing.h64(key).as("h"))
+      .distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("h"))))
+      .where(col("rn") <= k)
+      .select(col("grp"), col("h"))
+  }
+
+  /** Union of bottom-k sketches: pool the retained hashes, dedupe, keep
+    * the k smallest — exactly [[kmvSketch]] of the concatenated inputs
+    * (closure under union; pinned in SketchSpec). `newGrp` names the
+    * merged sketch's group. */
+  def kmvMerge(sketches: DataFrame, newGrp: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    sketches.select(lit(newGrp).as("grp"), col("h")).distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("h"))))
+      .where(col("rn") <= k)
+      .select(col("grp"), col("h"))
+  }
+
+  /** Distinct-cardinality estimate per group: exact `n` when the group
+    * retained fewer than k hashes (the sketch IS the key set), else the
+    * classic KMV stretch `(k-1) · 2^60 / h_k` — one integer division
+    * over the k-th smallest hash, evaluated at [[KmvHalfRange]]
+    * precision to stay inside BIGINT. Relative standard error
+    * ≈ 1/√(k-2). */
+  def kmvEstimate(sketch: DataFrame, k: Int): DataFrame =
+    sketch.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("h_k"))
+      .select(col("grp"),
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(expr(s"CAST(${k - 1} AS BIGINT) * $KmvHalfRange" +
+            s" DIV greatest(h_k DIV $KmvHalfRange, CAST(1 AS BIGINT))"))
+          .as("est_distinct"))
+
+  /** Intersection estimate for two groups' sketches — the theta trick:
+    * within the UNION's bottom-k (threshold θ = its k-th smallest hash,
+    * a uniform sample of A ∪ B), count the hashes present in BOTH input
+    * sketches; `est(A∩B) = matched · est(A∪B) DIV k'` where k' is the
+    * union sketch's size. Exact when both groups kept everything.
+    * Output: one row `(est_union, matched, est_inter)`. */
+  def kmvIntersect(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    val u = kmvMerge(a.unionByName(b), "__u__", k)
+      .localCheckpoint(eager = false) // consumed by estimate + match count
+    val uEst = kmvEstimate(u, k).select(col("est_distinct").as("est_union"))
+    val kept = u.agg(count(lit(1)).cast("long").as("k_kept"))
+    val matched = u.join(a.select(col("h")).distinct(), "h")
+      .join(b.select(col("h")).distinct(), "h")
+      .agg(count(lit(1)).cast("long").as("matched"))
+    uEst.crossJoin(kept).crossJoin(matched)
+      .select(col("est_union"), col("matched"),
+        expr("CASE WHEN k_kept > 0 THEN (matched * est_union) DIV k_kept" +
+          " ELSE CAST(0 AS BIGINT) END").as("est_inter"))
+  }
 }

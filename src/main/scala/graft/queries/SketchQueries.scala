@@ -277,6 +277,56 @@ object SketchQueries {
       .orderBy(col("grp"), col("q"))
   }
 
+  private val KmvK = 256
+
+  /** KMV (bottom-k / theta) set-operation report over lineitem orderkeys
+    * keyed by return flag — the question HLL structurally cannot answer:
+    * how many orders have BOTH an 'A' and an 'N' lineitem (each flag
+    * sees ~11k distinct orders, the true A∩N is ~8.1k — a real partial
+    * overlap). Rows: per-flag distinct estimates, the A∪N union built by
+    * [[graft.ops.Sketch.kmvMerge]] (closure under union), and the A∩N
+    * theta-trick intersection — every estimate priced against the exact
+    * answer in err_ppm. Deterministic bottom-k of md5 hashes: the oracle
+    * reproduces every retained hash, so the gate pins estimates exactly.
+    * Scale shape: the distinct shuffle is the same price exact COUNT
+    * DISTINCT pays; everything after rides ≤ groups × 256 rows. */
+  val sketch_kmv_setops: Q = (s, dir) => {
+    val li = table(s, dir, "lineitem")
+      .select(col("l_returnflag").as("grp"),
+        col("l_orderkey").cast("string").as("k"), col("l_orderkey"))
+      .localCheckpoint(eager = false) // consumed by sketch + exact tiers
+    val sk = Sketch.kmvSketch(li, col("grp"), col("k"), KmvK)
+      .localCheckpoint(eager = false) // per-flag est + union + intersection
+    val perFlag = Sketch.kmvEstimate(sk, KmvK)
+      .select(concat(lit("distinct:"), col("grp")).as("op"),
+        col("est_distinct").as("est"))
+    val a = sk.where(col("grp") === "A")
+    val n = sk.where(col("grp") === "N")
+    val unionEst = Sketch.kmvEstimate(
+      Sketch.kmvMerge(a.unionByName(n), "A+N", KmvK), KmvK)
+      .select(lit("union:A+N").as("op"), col("est_distinct").as("est"))
+    val interEst = Sketch.kmvIntersect(a, n, KmvK)
+      .select(lit("inter:A*N").as("op"), col("est_inter").as("est"))
+    val ests = perFlag.unionByName(unionEst).unionByName(interEst)
+    val exFlag = li.groupBy(col("grp"))
+      .agg(countDistinct(col("l_orderkey")).as("exact"))
+      .select(concat(lit("distinct:"), col("grp")).as("op"), col("exact"))
+    val exUnion = li.where(col("grp").isin("A", "N"))
+      .agg(countDistinct(col("l_orderkey")).as("exact"))
+      .select(lit("union:A+N").as("op"), col("exact"))
+    val exInter = li.where(col("grp") === "A").select(col("l_orderkey")).distinct()
+      .join(li.where(col("grp") === "N").select(col("l_orderkey")).distinct(),
+        "l_orderkey")
+      .agg(count(lit(1)).as("exact"))
+      .select(lit("inter:A*N").as("op"), col("exact"))
+    val exacts = exFlag.unionByName(exUnion).unionByName(exInter)
+    ests.join(exacts, "op")
+      .select(col("op"), col("est"), col("exact"),
+        expr("CAST(abs(est - exact) * 1000000 DIV exact AS BIGINT)")
+          .as("err_ppm"))
+      .orderBy(col("op"))
+  }
+
   val all: Map[String, Q] = Map(
     "sketch_hll" -> sketch_hll,
     "sketch_hll_window" -> sketch_hll_window,
@@ -284,7 +334,8 @@ object SketchQueries {
     "sketch_cms_topk" -> sketch_cms_topk,
     "sketch_cms_auto" -> sketch_cms_auto,
     "sketch_cms_hh" -> sketch_cms_hh,
-    "sketch_quantile_hdr" -> sketch_quantile_hdr
+    "sketch_quantile_hdr" -> sketch_quantile_hdr,
+    "sketch_kmv_setops" -> sketch_kmv_setops
   )
 
   private val hllNumerSql = Sketch.HllNumerator.toString
@@ -543,6 +594,64 @@ object SketchQueries {
         |    THEN abs(est.est - ex.exact_v) * 1000000 // ex.exact_v
         |    ELSE 0 END AS err_ppm
         |FROM est JOIN ex ON est.grp = ex.grp AND est.q = ex.q
-        |ORDER BY est.grp, est.q""".stripMargin
+        |ORDER BY est.grp, est.q""".stripMargin,
+    // KMV bottom-k set operations: the retained hashes are a pure
+    // function of the key set, so every estimate reproduces exactly;
+    // the stretch runs at 2^30 precision (see Sketch.KmvHalfRange)
+    "sketch_kmv_setops" ->
+      """WITH kh AS (
+        |  SELECT DISTINCT l_returnflag AS grp,
+        |    CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM lineitem),
+        |sk AS (
+        |  SELECT grp, h FROM (
+        |    SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+        |    FROM kh)
+        |  WHERE rn <= 256),
+        |est AS (
+        |  SELECT grp, CASE WHEN count(*) < 256 THEN count(*)
+        |    ELSE (255::BIGINT * 1073741824) // greatest(max(h) // 1073741824, 1)
+        |    END AS est
+        |  FROM sk GROUP BY grp),
+        |usk AS (
+        |  SELECT h FROM (
+        |    SELECT h, row_number() OVER (ORDER BY h) AS rn
+        |    FROM (SELECT DISTINCT h FROM sk WHERE grp IN ('A', 'N')))
+        |  WHERE rn <= 256),
+        |uest AS (
+        |  SELECT CASE WHEN count(*) < 256 THEN count(*)
+        |    ELSE (255::BIGINT * 1073741824) // greatest(max(h) // 1073741824, 1)
+        |    END AS est, count(*) AS kk
+        |  FROM usk),
+        |m AS (
+        |  SELECT count(*) AS matched FROM usk
+        |  JOIN (SELECT h FROM sk WHERE grp = 'A') a USING (h)
+        |  JOIN (SELECT h FROM sk WHERE grp = 'N') b USING (h)),
+        |exf AS (
+        |  SELECT l_returnflag AS grp, count(DISTINCT l_orderkey) AS exact
+        |  FROM lineitem GROUP BY 1),
+        |exu AS (
+        |  SELECT count(DISTINCT l_orderkey) AS exact FROM lineitem
+        |  WHERE l_returnflag IN ('A', 'N')),
+        |exi AS (
+        |  SELECT count(*) AS exact FROM
+        |    (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'A') a
+        |    JOIN (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'N') b
+        |    USING (l_orderkey)),
+        |rep AS (
+        |  SELECT 'distinct:' || est.grp AS op, est.est, exf.exact
+        |  FROM est JOIN exf ON est.grp = exf.grp
+        |  UNION ALL
+        |  SELECT 'union:A+N', (SELECT est FROM uest), (SELECT exact FROM exu)
+        |  UNION ALL
+        |  SELECT 'inter:A*N',
+        |    CASE WHEN (SELECT kk FROM uest) > 0
+        |      THEN ((SELECT matched FROM m) * (SELECT est FROM uest))
+        |        // (SELECT kk FROM uest)
+        |      ELSE 0 END,
+        |    (SELECT exact FROM exi))
+        |SELECT op, CAST(est AS BIGINT) AS est, CAST(exact AS BIGINT) AS exact,
+        |  CAST(abs(est - exact) * 1000000 // exact AS BIGINT) AS err_ppm
+        |FROM rep ORDER BY op""".stripMargin
   )
 }

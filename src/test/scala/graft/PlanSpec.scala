@@ -462,7 +462,8 @@ class PlanSpec extends AnyFunSuite {
       "pipe_hybrid_rrf" -> "semantic arm = Ann.brute with a 1-query broadcast side",
       "pipe_hard_negatives" -> "semantic truth arm = Ann.brute (20-query broadcast side; declared diagnostic tier — pipe_hard_negatives_bounded is the production form)",
       "pipe_hard_negatives_bounded" -> "centroid assignment over trained centroids (lexical arm is prefix-filtered, sh-keyed — see dedicated shape test)",
-      "pipe_semantic_decontaminate" -> "broadcast benchmark side (eval-suite bounded, thousands of rows vs the corpus), map-only corpus scoring — see dedicated shape test"
+      "pipe_semantic_decontaminate" -> "broadcast benchmark side (eval-suite bounded, thousands of rows vs the corpus), map-only corpus scoring — see dedicated shape test",
+      "sketch_kmv_setops" -> "three 1-row scalar attaches (union estimate, kept count, match count) cross-joined into the intersection report row; sketches themselves are <= groups x 256 rows"
     )
     val sfDir = "/root/testdata/sf0.001"
     // planning failure is tracked SEPARATELY from the cartesian flag: a

@@ -224,6 +224,37 @@ class SketchSpec extends AnyFunSuite {
       "bucket grids must be additive under split-then-merge")
   }
 
+  test("KMV sketches are closed under union and exact below k") {
+    import spark.implicits._
+    val k = 8
+    val keys = (1 to 40).map(i => ("g", s"key$i")) ++
+      (1 to 5).map(i => ("small", s"key$i"))
+    val df = keys.toDF("grp", "k")
+    val whole = Sketch.kmvSketch(df, col("grp"), col("k"), k)
+    // closure: bottom-k of two half-sketches' union == bottom-k of the whole
+    val halves = Seq(0, 1).map { p =>
+      Sketch.kmvSketch(df.where(pmod(length(col("k")), lit(2)) === p),
+        col("grp"), col("k"), k)
+    }
+    val g = Sketch.kmvMerge(
+      halves.reduce(_ unionByName _).where(col("grp") === "g"), "g", k)
+    val gWhole = whole.where(col("grp") === "g")
+    assert(g.exceptAll(gWhole).isEmpty && gWhole.exceptAll(g).isEmpty,
+      "union of partial sketches must equal the whole sketch")
+    // below k the sketch IS the key set: estimate exact, intersection exact
+    val est = Sketch.kmvEstimate(whole, k).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("small") == 5L, s"below-k group must be exact: $est")
+    val inter = Sketch.kmvIntersect(
+      whole.where(col("grp") === "small"),
+      Sketch.kmvSketch(Seq(("b", "key3"), ("b", "key4"), ("b", "keyX"))
+        .toDF("grp", "k"), col("grp"), col("k"), k), k).collect().head
+    assert(inter.getAs[Long]("est_union") == 6L &&
+      inter.getAs[Long]("matched") == 2L &&
+      inter.getAs[Long]("est_inter") == 2L,
+      s"fully-retained sets intersect exactly: $inter")
+  }
+
   test("sketch_quantile_hdr: midpoint estimates honor the 1/16 relative bound") {
     val rows = SketchQueries.sketch_quantile_hdr(spark, sf).collect()
     assert(rows.nonEmpty)
