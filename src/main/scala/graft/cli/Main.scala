@@ -229,6 +229,35 @@ object Main {
         println(new Searcher(spark, cat).countMatches(pos.head, pos(1),
           fields = flags.get("fields").map(_.split(",").toList)))
 
+      case "train" =>
+        // vector serving: k-means the field's embeddings, persist the
+        // centroids + the cell-partitioned corpus rewrite (AnnIndex)
+        val field = flags.getOrElse("field", sys.error("train requires --field F"))
+        val (cells, n) = new graft.engine.AnnIndex(spark, cat).train(
+          pos.head, field,
+          cells = flags.getOrElse("cells", "16").toInt,
+          iterations = flags.getOrElse("iterations", "4").toInt)
+        println(s"trained $cells cell(s) over $n vector(s) for field '$field'")
+
+      case "knn" =>
+        val field = flags.getOrElse("field", sys.error("knn requires --field F"))
+        val qv = flags.getOrElse("vector",
+          sys.error("knn requires --vector v1,v2,...")).split(",").map(_.trim.toFloat)
+        val k = flags.get("k").map(_.toInt).getOrElse(5)
+        val nProbe = flags.get("nprobe").map(_.toInt).getOrElse(0)
+        val ann = new graft.engine.AnnIndex(spark, cat)
+        if (nProbe > 0) ann.meta(pos.head, field) match {
+          case None => println(s"note: no trained index for '$field'; running brute scan")
+          case Some((_, gen)) =>
+            val cur = cat.manifestState(pos.head)._1
+            if (cur != gen)
+              println(s"note: trained at generation $gen, index now at $cur " +
+                "— documents ingested since are not served; re-run train")
+        }
+        ann.knn(pos.head, field, qv, k, nProbe).collect().foreach { r =>
+          println(f"${r.getDouble(0)}%.6f\t${r.getString(1)}%s")
+        }
+
       case "pipeline" =>
         val yaml = new String(Files.readAllBytes(Paths.get(pos.head)), "UTF-8")
         val cfg = graft.ops.Pipeline.fromYaml(yaml)
@@ -274,5 +303,7 @@ object Main {
         |       count <name> <query> | merge <name> [--retain-inputs]
         |       vacuum <name> --before-gen N   (all: [--root DIR])
         |       stats <name> [--sketches --state-dir DIR]
+        |       train <name> --field F [--cells 16 --iterations 4]
+        |       knn <name> --field F --vector v1,v2,... [--k 5 --nprobe N]
         |       pipeline <config.yaml>   (curate -> dedup -> shuffle -> shards)""".stripMargin)
 }

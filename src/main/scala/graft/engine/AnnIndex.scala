@@ -1,0 +1,206 @@
+package graft.engine
+
+import org.apache.hadoop.fs.{Path => HPath}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.config.{NumberField, SchemaDerivation}
+import graft.exprs.CosineSimilarity
+import graft.ops.{Ann, Hashing}
+
+/** Vector-search serving over an indexed embedding field — the engine
+  * surface that turns the gated ANN query tier ([[graft.ops.Ann]]) into
+  * an index-lifecycle feature, the way `search` serves the text tier.
+  * The reference has no vector type at all; this is an extension, built
+  * on the schema the engine already has: an embedding field is declared
+  * as `type: !number {type: f64}` + `array: true` (array<double>
+  * storage), nothing new in the ingest path.
+  *
+  * Two serving tiers, mirroring the ANN query registry's brute/IVF split:
+  *
+  *  - **Brute** (no training needed): scan the LIVE splits, score every
+  *    document's vector against the query with the tight-loop
+  *    [[CosineSimilarity]] expression, `TakeOrdered` the top k. Always
+  *    fresh, O(corpus) per query — the truth tier and the small-index
+  *    default.
+  *  - **Trained IVF** (`train` then `knn --nprobe`): k-means centroids
+  *    ([[Ann.kmeansTrain]] — the same fixed-point Lloyd's the oracle
+  *    gates in `pipe_kmeans_train`) persisted under
+  *    `indexes/<name>/ann/<field>/`, and the corpus rewritten ONCE into
+  *    a `data/` parquet PARTITIONED BY cell. A query ranks the k·dim
+  *    centroid table driver-side (a model-constant, never a data
+  *    collect), picks its nprobe nearest cells, and the cell filter
+  *    prunes whole partition directories at the scan — the classic IVF
+  *    "touch nprobe/k of the corpus" cost realized with Spark partition
+  *    pruning instead of a custom file format. At 100 TB the data/
+  *    rewrite is one shuffle-free repartition-by-cell pass, and each
+  *    query reads only its cells' files.
+  *
+  * The trained tier serves a SNAPSHOT: META records the manifest
+  * generation the build saw; documents ingested afterwards are served by
+  * brute until the next `train` (the CLI prints the staleness so the
+  * operator knows). Output rows carry the same re-nested sorted-key doc
+  * JSON as `search` ([[Searcher.outputJson]]) plus the cosine score.
+  */
+final class AnnIndex(spark: SparkSession, catalog: Catalog) {
+
+  private val hconf = spark.sparkContext.hadoopConfiguration
+  private def annRoot(name: String, field: String) =
+    new HPath(s"${catalog.catalogRoot}/indexes/$name/ann/$field")
+  private def fs(p: HPath) = p.getFileSystem(hconf)
+
+  /** (cells, sourceGen) from META, None when no trained index exists. */
+  def meta(name: String, field: String): Option[(Int, Long)] = {
+    val p = new HPath(annRoot(name, field), "META")
+    if (!fs(p).exists(p)) None
+    else {
+      val in = fs(p).open(p)
+      val body =
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        finally in.close()
+      val kv = body.trim.split("\n").map(_.split("=", 2))
+        .collect { case Array(k, v) => k -> v }.toMap
+      Some((kv("cells").toInt, kv("gen").toLong))
+    }
+  }
+
+  private def vectorCol(cfg: graft.config.IndexConfig, field: String): Unit = {
+    val f = cfg.schema.fields.find(_.name == field).getOrElse(
+      sys.error(s"unknown field '$field'"))
+    f.fieldType match {
+      case n: NumberField if n.numType == "f64" && f.array => ()
+      case _ => sys.error(
+        s"field '$field' is not a vector (need type: !number {type: f64} with array: true)")
+    }
+  }
+
+  /** Live corpus with the vector field present, plus the assembled doc
+    * JSON — shared by the brute scan and the train rewrite. */
+  private def corpus(name: String): (SchemaDerivation, DataFrame) = {
+    val cfg = catalog.load(name)
+    val d = new SchemaDerivation(cfg)
+    val splits = catalog.liveSplits(name)
+    val df =
+      if (splits.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], d.storageSchema)
+      else Catalog.readSplits(spark, d, splits, s => catalog.splitDir(name, s.id))
+    (d, df)
+  }
+
+  /** Train the IVF tier: k-means centroids over the field's vectors
+    * (seeded by the `cells` smallest content hashes — deterministic, no
+    * RNG), then the one-time cell-partitioned rewrite of the stored
+    * corpus. Returns (cells, vectors seen). */
+  def train(name: String, field: String, cells: Int = 16,
+      iterations: Int = 4): (Int, Long) = {
+    val cfg = catalog.load(name)
+    vectorCol(cfg, field)
+    val (gen, _) = catalog.manifestState(name)
+    val (d, df) = corpus(name)
+    val vecs = df.where(col(field).isNotNull)
+      .select(Hashing.h64(to_json(col(field))).as("vid"),
+        expr(s"transform(`$field`, x -> CAST(x AS FLOAT))").as("v"))
+    val n = vecs.count()
+    require(n > 0, s"no documents carry vectors in '$field'")
+    val kEff = math.min(cells, n).toInt
+    // deterministic seed: the kEff vectors with the smallest content
+    // hashes (identical vectors collapse — harmless for a seed)
+    val init = vecs.dropDuplicates("vid").orderBy(col("vid")).limit(kEff)
+      .select(row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("vid"))).cast("long").as("cid"),
+        col("v").as("cv"))
+    val rounds = Ann.kmeansTrain(vecs, init, iterations)
+    val last = rounds.where(col("iter") === iterations)
+      .select(col("cell").as("cid"), col("d"), col("cq"))
+    val centRows = last.collect().groupBy(_.getLong(0)).toSeq.map {
+      case (cid, rows) =>
+        (cid, rows.sortBy(_.getLong(1)).map(r => (r.getLong(2).toDouble / 1e6).toFloat).toSeq)
+    }
+    val root = annRoot(name, field)
+    import spark.implicits._
+    val cents = centRows.toDF("cid", "cv")
+    cents.coalesce(1).write.mode("overwrite")
+      .parquet(new HPath(root, "centroids").toString)
+    // one-pass rewrite: every STORED column rides along, partitioned by
+    // the nearest-centroid cell so a query's cell filter prunes whole
+    // directories; the argmax is a map-only expression over the
+    // broadcast-sized centroid list (no window, no join)
+    val data = df.where(col(field).isNotNull)
+      .withColumn("__cell", nearestCell(col(field), centRows))
+    data.write.mode("overwrite").partitionBy("__cell")
+      .parquet(new HPath(root, "data").toString)
+    val metaPath = new HPath(root, "META")
+    val out = fs(metaPath).create(metaPath, true)
+    try out.write(s"cells=${centRows.length}\ngen=$gen\n".getBytes("UTF-8"))
+    finally out.close()
+    (centRows.length, n)
+  }
+
+  /** Map-only nearest-centroid argmax: max over (cosine, -cid) structs —
+    * cosine desc, cid asc ties, the [[Ann]] family's rule — with the
+    * centroid list inlined as literals (a model constant, k·dim). */
+  private def nearestCell(v: Column,
+      cents: Seq[(Long, Seq[Float])]): Column = {
+    val scored = cents.map { case (cid, cv) =>
+      struct(
+        // zero vectors cosine to null; pin them below every real score so
+        // the argmax (and the partition they land in) stays well-defined
+        coalesce(CosineSimilarity.cosine_similarity(v, array(cv.map(lit): _*)),
+          lit(-2.0)).as("c"),
+        lit(-cid).as("nc"))
+    }
+    (-array_max(array(scored: _*)).getField("nc")).as("__cell")
+  }
+
+  /** Top-k cosine neighbors of `queryVec` as (score, doc JSON) rows.
+    * nprobe > 0 with a trained index probes only the query's nprobe
+    * nearest cells (partition-pruned scan); nprobe = 0 (or no trained
+    * index) runs the brute tier over the live splits. */
+  def knn(name: String, field: String, queryVec: Array[Float], k: Int,
+      nProbe: Int = 0): DataFrame = {
+    val cfg = catalog.load(name)
+    vectorCol(cfg, field)
+    val d = new SchemaDerivation(cfg)
+    val q = array(queryVec.map(lit).toSeq: _*)
+    val searcher = new Searcher(spark, catalog)
+    val scored: DataFrame =
+      if (nProbe > 0 && meta(name, field).isDefined) {
+        val root = annRoot(name, field)
+        val cents = spark.read.parquet(new HPath(root, "centroids").toString)
+          .collect().map(r =>
+            (r.getLong(0), r.getSeq[Float](1).toArray))
+        // rank the model-constant centroid table driver-side
+        val probes = cents.map { case (cid, cv) =>
+          (cid, AnnIndex.cosine(queryVec, cv))
+        }.sortBy { case (cid, c) => (-c, cid) }.take(nProbe).map(_._1)
+        spark.read.parquet(new HPath(root, "data").toString)
+          .where(col("__cell").isin(probes.toSeq: _*))
+          .withColumn("__score", CosineSimilarity.cosine_similarity(col(field), q))
+      } else {
+        val (_, df) = corpus(name)
+        df.where(col(field).isNotNull)
+          .withColumn("__score", CosineSimilarity.cosine_similarity(col(field), q))
+      }
+    scored.where(col("__score").isNotNull)
+      .orderBy(desc("__score"))
+      .limit(k)
+      .select(col("__score").as("score"), searcher.outputJson(d).as("doc"))
+  }
+}
+
+object AnnIndex {
+  /** Driver-side cosine — identical arithmetic to [[CosineSimilarity]]
+    * (left-to-right double accumulation over float inputs). */
+  private[engine] def cosine(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    val den = math.sqrt(na) * math.sqrt(nb)
+    if (den == 0.0) 0.0 else dot / den
+  }
+}

@@ -539,7 +539,7 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
     * display form, static objects re-nested (they are already nested
     * structs here), `_dynamic` keys hoisted to top level, all object keys
     * alphabetical. */
-  private def outputJson(d: SchemaDerivation): Column = {
+  private[engine] def outputJson(d: SchemaDerivation): Column = {
     def outLeaf(c: Column, t: FieldType): Column = t match {
       case _: DateTimeField => TimeFunctions.formatRfc3339(c)
       case _: IpField       => ip_display(c)

@@ -294,4 +294,89 @@ class CliSpec extends AnyFunSuite {
     }
     assert(out2.toString("UTF-8").contains("no state"), out2.toString("UTF-8"))
   }
+
+  test("train + knn: vector serving over an embedding field, brute and IVF agree") {
+    val root = Files.createTempDirectory("graft-cli-knn").toString
+    val cat = new Catalog(root)
+    val yaml = Files.createTempFile("cli-knn", ".yaml")
+    Files.write(yaml,
+      """version: 1
+        |name: vec_test
+        |path: /tmp/unused
+        |schema:
+        |  fields:
+        |    - name: title
+        |      type: !text
+        |    - name: emb
+        |      type: !number
+        |        type: f64
+        |      array: true
+        |""".stripMargin.getBytes("UTF-8"))
+    cli.Main.run(Array("create", yaml.toString), spark, cat, root)
+
+    // two clearly separated directions in 4-dim space, 4 docs each
+    def doc(t: String, v: Seq[Double]) =
+      s"""{"title": "$t", "emb": [${v.mkString(", ")}]}"""
+    val docs = Seq(
+      doc("x1", Seq(1.0, 0.02, 0.0, 0.0)), doc("x2", Seq(0.9, 0.05, 0.0, 0.0)),
+      doc("x3", Seq(1.0, 0.0, 0.03, 0.0)), doc("x4", Seq(0.95, 0.01, 0.01, 0.0)),
+      doc("y1", Seq(0.0, 0.02, 1.0, 0.0)), doc("y2", Seq(0.0, 0.0, 0.9, 0.05)),
+      doc("y3", Seq(0.03, 0.0, 1.0, 0.02)), doc("y4", Seq(0.0, 0.01, 0.95, 0.01)))
+    val in = Files.createTempFile("knn-docs", ".jsonl")
+    Files.write(in, docs.mkString("\n").getBytes("UTF-8"))
+    cli.Main.run(Array("index", "vec_test", in.toString), spark, cat, root)
+
+    val ann = new graft.engine.AnnIndex(spark, cat)
+    // brute tier: nearest to the x direction is x1 (identical), score ~1
+    val brute = ann.knn("vec_test", "emb", Array(1.0f, 0.02f, 0.0f, 0.0f), 3)
+      .collect()
+    assert(brute.length == 3)
+    assert(brute.head.getString(1).contains("\"title\":\"x1\""), brute.head)
+    assert(brute.head.getDouble(0) > 0.9999, brute.head)
+    assert(brute.map(_.getString(1)).forall(_.contains("\"x")),
+      s"x-direction query must rank x docs first: ${brute.mkString("; ")}")
+
+    // train 2 cells and probe only the query's cell — same neighbors
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      cli.Main.run(Array("train", "vec_test", "--field", "emb",
+        "--cells", "2"), spark, cat, root)
+      cli.Main.run(Array("knn", "vec_test", "--field", "emb",
+        "--vector", "1.0,0.02,0.0,0.0", "--k", "3", "--nprobe", "1"),
+        spark, cat, root)
+    }
+    val printed = out.toString("UTF-8")
+    assert(printed.contains("trained 2 cell(s) over 8 vector(s)"), printed)
+    val hits = printed.linesIterator.filter(_.contains("\t")).toList
+    assert(hits.length == 3, printed)
+    assert(hits.head.contains("\"title\":\"x1\""), printed)
+    assert(hits.forall(_.contains("\"x")), printed)
+
+    // a doc ingested after training is brute-visible but the IVF tier
+    // flags the snapshot staleness
+    val in2 = Files.createTempFile("knn-docs2", ".jsonl")
+    Files.write(in2, doc("x5", Seq(1.0, 0.02, 0.001, 0.0)).getBytes("UTF-8"))
+    cli.Main.run(Array("index", "vec_test", in2.toString), spark, cat, root)
+    val out2 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out2, true, "UTF-8")) {
+      cli.Main.run(Array("knn", "vec_test", "--field", "emb",
+        "--vector", "1.0,0.02,0.001,0.0", "--k", "1", "--nprobe", "1"),
+        spark, cat, root)
+    }
+    assert(out2.toString("UTF-8").contains("re-run train"), out2.toString("UTF-8"))
+    val fresh = ann.knn("vec_test", "emb",
+      Array(1.0f, 0.02f, 0.001f, 0.0f), 1).collect()
+    assert(fresh.head.getString(1).contains("\"title\":\"x5\""),
+      s"brute tier serves the fresh doc: ${fresh.mkString}")
+
+    // the IVF tier's scan is PARTITION-pruned on the cell filter — the
+    // scale contract: a query touches nprobe/k of the data files, not a
+    // row filter over all of them
+    val ivfPlan = ann.knn("vec_test", "emb",
+      Array(1.0f, 0.02f, 0.0f, 0.0f), 3, nProbe = 1)
+      .queryExecution.executedPlan.toString
+    assert(ivfPlan.contains("PartitionFilters") && ivfPlan.contains("__cell"),
+      s"cell filter must prune partitions at the scan:\n$ivfPlan")
+    cat.drop("vec_test")
+  }
 }
