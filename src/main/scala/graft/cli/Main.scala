@@ -233,9 +233,11 @@ object Main {
         // vector serving: k-means the field's embeddings, persist the
         // centroids + the cell-partitioned corpus rewrite (AnnIndex)
         val field = flags.getOrElse("field", sys.error("train requires --field F"))
+        // --cells omitted = the measured sqrt(n) sizing rule (see
+        // AnnIndex.train — a fixed nlist dilutes recall as n grows)
         val (cells, n) = new graft.engine.AnnIndex(spark, cat).train(
           pos.head, field,
-          cells = flags.getOrElse("cells", "16").toInt,
+          cells = flags.getOrElse("cells", "0").toInt,
           iterations = flags.getOrElse("iterations", "4").toInt)
         println(s"trained $cells cell(s) over $n vector(s) for field '$field'")
 
@@ -303,7 +305,7 @@ object Main {
         |       count <name> <query> | merge <name> [--retain-inputs]
         |       vacuum <name> --before-gen N   (all: [--root DIR])
         |       stats <name> [--sketches --state-dir DIR]
-        |       train <name> --field F [--cells 16 --iterations 4]
+        |       train <name> --field F [--cells N (default sqrt(n)) --iterations 4]
         |       knn <name> --field F --vector v1,v2,... [--k 5 --nprobe N]
         |       pipeline <config.yaml>   (curate -> dedup -> shuffle -> shards)""".stripMargin)
 }

@@ -92,8 +92,18 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
   /** Train the IVF tier: k-means centroids over the field's vectors
     * (seeded by the `cells` smallest content hashes — deterministic, no
     * RNG), then the one-time cell-partitioned rewrite of the stored
-    * corpus. Returns (cells, vectors seen). */
-  def train(name: String, field: String, cells: Int = 16,
+    * corpus. Returns (cells, vectors seen).
+    *
+    * `cells = 0` (the default) sizes nlist as ⌈√n⌉ — the registry's
+    * measured sizing rule (`knn_recall_scaled`): a FIXED cell count
+    * dilutes recall as the corpus grows (16 cells / nprobe 2 measured
+    * 32% → 14% across a 10× on the gated embeddings) while the √n
+    * tier's recall stays FLAT across the same 10× (0.49 → 0.50 at
+    * nprobe ⌈√nlist⌉, honest query-disjoint measurement — see
+    * ProbeKnnDiag for the seed-bias finding). Absolute recall is
+    * nProbe's knob: ProbeKnn measures 0.63 at ⌈√cells⌉ probes and
+    * 0.82 at twice that, with files read tracking nProbe exactly. */
+  def train(name: String, field: String, cells: Int = 0,
       iterations: Int = 4): (Int, Long) = {
     val cfg = catalog.load(name)
     vectorCol(cfg, field)
@@ -104,7 +114,9 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
         expr(s"transform(`$field`, x -> CAST(x AS FLOAT))").as("v"))
     val n = vecs.count()
     require(n > 0, s"no documents carry vectors in '$field'")
-    val kEff = math.min(cells, n).toInt
+    val want = if (cells > 0) cells.toLong
+      else math.ceil(math.sqrt(n.toDouble)).toLong
+    val kEff = math.min(want, n).toInt
     // deterministic seed: the kEff vectors with the smallest content
     // hashes (identical vectors collapse — harmless for a seed)
     val init = vecs.dropDuplicates("vid").orderBy(col("vid")).limit(kEff)

@@ -1786,7 +1786,14 @@ object PipelineQueries {
     * composition of the two already-gated tiers ([[knn_brute]],
     * [[knn_ivf_pq]]) plus one intersection count — at scale the exact
     * side runs over a SAMPLE of queries, which is this same plan with a
-    * narrower isQuery. */
+    * narrower isQuery.
+    *
+    * Caveat (round 12): this legacy fixed tier's centroids are raw
+    * corpus vectors vid<16 — 16 of the 20 evaluation queries are
+    * centroids of their own cells, so even this number is biased UP by
+    * seed contamination, and it still dilutes to 14% at sf0.1: kept
+    * unchanged as the measured cue for why the √n tier exists
+    * ([[knn_recall_scaled]], whose seed is now query-disjoint). */
   val knn_recall: Q = (s, dir) => {
     val e = corpus(s, dir)
     val exact = Ann.brute(
@@ -1932,13 +1939,17 @@ object PipelineQueries {
     trainedCentroidsK(s, dir, seedK = 16L)
 
   /** [[trainedCentroids]] generalized over the seed-cell count — the
-    * nlist lever the √n-scaled tier sizes from a census. */
+    * nlist lever the √n-scaled tier sizes from a census — and the seed
+    * WINDOW start: recall-evaluation gates pass `seedFrom = 20` so the
+    * seed is disjoint from the vid<20 query set (seed hygiene — see
+    * [[knn_recall_scaled]]); mechanics gates keep the default 0. */
   private def trainedCentroidsK(s: SparkSession, dir: String,
-      seedK: Long): DataFrame = {
+      seedK: Long, seedFrom: Long = 0L): DataFrame = {
     val e = corpus(s, dir)
     Ann.kmeansTrain(
         e.select(col("vid"), col("v")),
-        e.where(col("vid") < seedK).select(col("vid").as("cid"), col("v").as("cv")),
+        e.where(col("vid") >= seedFrom && col("vid") < seedFrom + seedK)
+          .select(col("vid").as("cid"), col("v").as("cv")),
         iterations = 3)
       .where(col("iter") === 3)
       .groupBy(col("cell"))
@@ -1983,8 +1994,20 @@ object PipelineQueries {
     * the query, so the same gate text measures at any sf. Motivated by
     * the r10 measurement that the fixed 16-cell/2-probe tier dilutes
     * 32% → 14% recall across sf0.01 → sf0.1 — this tier's per-probe
-    * candidate count stays ~n/√n·√√n ≈ √n-ish, the classic IVF scaling,
-    * and its recall holds (recorded in SURVEY §11 round 10). */
+    * candidate count stays ~n/√n·√√n ≈ √n-ish, the classic IVF scaling.
+    *
+    * SEED HYGIENE (round-12 fix, found by ProbeKnn/ProbeKnnDiag): the
+    * original seed cut `vid < nlist` CONTAINED the 20 evaluation
+    * queries, so every query's neighborhood got a dedicated centroid
+    * and the reported recall was flattered — 0.94 with the contaminated
+    * seed vs 0.55 with ANY query-disjoint seed at sf0.1 (hash-seeded
+    * and vid≥100-seeded both measure 0.55 ± 0.01; the round-10 "recall
+    * holds" note was measuring seed bias, not tier quality). The seed
+    * now starts at vid 20, disjoint from the query set, so the gate
+    * reports the recall a production build would see: 0.49 at sf0.01,
+    * 0.50 at sf0.1 — the FLATNESS across the 10× is the √n sizing
+    * claim, and it survives the fix; the absolute level is nProbe's
+    * knob (ProbeKnn: 0.82 at 2·√nlist probes on the same cells). */
   val knn_recall_scaled: Q = (s, dir) => {
     val e = corpus(s, dir)
     val n = e.count()
@@ -1995,7 +2018,8 @@ object PipelineQueries {
     val exact = Ann.brute(queries, e.select(col("vid"), col("v")), k = 5)
       .select(col("qid"), col("neighbor"))
     val approx = Ann.ivf(queries, e.select(col("vid"), col("v")),
-        trainedCentroidsK(s, dir, nlist), nProbe = nProbe, k = 5)
+        trainedCentroidsK(s, dir, nlist, seedFrom = 20L),
+        nProbe = nProbe, k = 5)
       .select(col("qid"), col("neighbor"))
     val inter = exact.join(approx, Seq("qid", "neighbor"))
       .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
@@ -4097,7 +4121,9 @@ object PipelineQueries {
          |ORDER BY qid""".stripMargin,
     // the √n-scaled trained tier: nlist and nProbe both derive from the
     // census CTE, then the SAME unrolled k-means chain (kc0 is just a
-    // different seed cut) and knn_ivf_trained's serving shape
+    // different seed cut) and knn_ivf_trained's serving shape; the seed
+    // window starts at vid 20 — DISJOINT from the evaluation queries
+    // (seed hygiene, round 12 — see the engine-side scaladoc)
     "knn_recall_scaled" ->
       s"""WITH sz AS (
          |  SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS nlist,
@@ -4105,7 +4131,7 @@ object PipelineQueries {
          |  FROM embeddings),
          |kc0 AS (
          |  SELECT vec_id AS cid, embedding AS cv FROM embeddings, sz
-         |  WHERE vec_id < sz.nlist),
+         |  WHERE vec_id >= 20 AND vec_id < 20 + sz.nlist),
          |${kmeansIterSql(1)},
          |${kmeansIterSql(2)},
          |${kmeansIterSql(3)},
