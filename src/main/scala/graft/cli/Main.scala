@@ -238,7 +238,8 @@ object Main {
         val (cells, n) = new graft.engine.AnnIndex(spark, cat).train(
           pos.head, field,
           cells = flags.getOrElse("cells", "0").toInt,
-          iterations = flags.getOrElse("iterations", "4").toInt)
+          iterations = flags.getOrElse("iterations", "4").toInt,
+          spill = flags.getOrElse("spill", "1").toInt)
         println(s"trained $cells cell(s) over $n vector(s) for field '$field'")
 
       case "knn" =>
@@ -250,7 +251,7 @@ object Main {
         val ann = new graft.engine.AnnIndex(spark, cat)
         if (nProbe > 0) ann.meta(pos.head, field) match {
           case None => println(s"note: no trained index for '$field'; running brute scan")
-          case Some((_, gen)) =>
+          case Some((_, gen, _)) =>
             val cur = cat.manifestState(pos.head)._1
             if (cur != gen)
               println(s"note: trained at generation $gen, index now at $cur " +
@@ -305,7 +306,7 @@ object Main {
         |       count <name> <query> | merge <name> [--retain-inputs]
         |       vacuum <name> --before-gen N   (all: [--root DIR])
         |       stats <name> [--sketches --state-dir DIR]
-        |       train <name> --field F [--cells N (default sqrt(n)) --iterations 4]
+        |       train <name> --field F [--cells N (default sqrt(n)) --iterations 4 --spill 1]
         |       knn <name> --field F --vector v1,v2,... [--k 5 --nprobe N]
         |       pipeline <config.yaml>   (curate -> dedup -> shuffle -> shards)""".stripMargin)
 }

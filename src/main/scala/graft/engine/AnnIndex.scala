@@ -50,8 +50,9 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     new HPath(s"${catalog.catalogRoot}/indexes/$name/ann/$field")
   private def fs(p: HPath) = p.getFileSystem(hconf)
 
-  /** (cells, sourceGen) from META, None when no trained index exists. */
-  def meta(name: String, field: String): Option[(Int, Long)] = {
+  /** (cells, sourceGen, spill) from META, None when no trained index
+    * exists; spill defaults to 1 for pre-spill METAs. */
+  def meta(name: String, field: String): Option[(Int, Long, Int)] = {
     val p = new HPath(annRoot(name, field), "META")
     if (!fs(p).exists(p)) None
     else {
@@ -61,7 +62,8 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
         finally in.close()
       val kv = body.trim.split("\n").map(_.split("=", 2))
         .collect { case Array(k, v) => k -> v }.toMap
-      Some((kv("cells").toInt, kv("gen").toLong))
+      Some((kv("cells").toInt, kv("gen").toLong,
+        kv.get("spill").map(_.toInt).getOrElse(1)))
     }
   }
 
@@ -102,9 +104,21 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     * nprobe ⌈√nlist⌉, honest query-disjoint measurement — see
     * ProbeKnnDiag for the seed-bias finding). Absolute recall is
     * nProbe's knob: ProbeKnn measures 0.63 at ⌈√cells⌉ probes and
-    * 0.82 at twice that, with files read tracking nProbe exactly. */
+    * 0.82 at twice that, with files read tracking nProbe exactly.
+    *
+    * `spill > 1` stores each vector in its `spill` nearest cells — the
+    * boundary fix (ScaNN-style spilled assignment): a neighbor that
+    * sits just across the Voronoi edge from the query's cell is the
+    * dominant recall loss at small nProbe, and duplicating boundary
+    * rows into the runner-up cell recovers it for a `spill`× storage
+    * cost while READ cost still tracks nProbe (ProbeKnn, spill=2 vs 1:
+    * recall@5 0.45 vs 0.32 at nprobe=1, 0.82 vs 0.63 at √nlist, 0.94
+    * vs 0.82 at 2·√nlist — same files-read column). Copies carry a
+    * shared `__rid`, deduped at query time before the top-k; only
+    * spilled indexes pay that exchange. */
   def train(name: String, field: String, cells: Int = 0,
-      iterations: Int = 4): (Int, Long) = {
+      iterations: Int = 4, spill: Int = 1): (Int, Long) = {
+    require(spill >= 1, s"spill must be >= 1, got $spill")
     val cfg = catalog.load(name)
     vectorCol(cfg, field)
     val (gen, _) = catalog.manifestState(name)
@@ -136,34 +150,44 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     cents.coalesce(1).write.mode("overwrite")
       .parquet(new HPath(root, "centroids").toString)
     // one-pass rewrite: every STORED column rides along, partitioned by
-    // the nearest-centroid cell so a query's cell filter prunes whole
-    // directories; the argmax is a map-only expression over the
-    // broadcast-sized centroid list (no window, no join)
+    // the nearest-centroid cell(s) so a query's cell filter prunes whole
+    // directories; the top-spill selection is a map-only expression over
+    // the broadcast-sized centroid list (no window, no join). __rid ties
+    // a row's spill copies together for query-time dedup.
     val data = df.where(col(field).isNotNull)
-      .withColumn("__cell", nearestCell(col(field), centRows))
+      .withColumn("__rid", monotonically_increasing_id())
+      .withColumn("__cell",
+        explode(nearestCells(col(field), centRows, spill)))
     data.write.mode("overwrite").partitionBy("__cell")
       .parquet(new HPath(root, "data").toString)
     val metaPath = new HPath(root, "META")
     val out = fs(metaPath).create(metaPath, true)
-    try out.write(s"cells=${centRows.length}\ngen=$gen\n".getBytes("UTF-8"))
+    try out.write(s"cells=${centRows.length}\ngen=$gen\nspill=$spill\n"
+      .getBytes("UTF-8"))
     finally out.close()
     (centRows.length, n)
   }
 
-  /** Map-only nearest-centroid argmax: max over (cosine, -cid) structs —
-    * cosine desc, cid asc ties, the [[Ann]] family's rule — with the
-    * centroid list inlined as literals (a model constant, k·dim). */
-  private def nearestCell(v: Column,
-      cents: Seq[(Long, Seq[Float])]): Column = {
+  /** Map-only top-`spill` nearest-centroid selection: sort the
+    * (cosine, -cid) struct array — cosine desc, cid asc ties, the
+    * [[Ann]] family's rule — and slice the best `spill`, with the
+    * centroid list inlined as literals (a model constant, k·dim).
+    * Returns an array of cell ids (length min(spill, cells)). */
+  private def nearestCells(v: Column,
+      cents: Seq[(Long, Seq[Float])], spill: Int): Column = {
     val scored = cents.map { case (cid, cv) =>
       struct(
         // zero vectors cosine to null; pin them below every real score so
-        // the argmax (and the partition they land in) stays well-defined
+        // the selection (and the partitions they land in) stays defined
         coalesce(CosineSimilarity.cosine_similarity(v, array(cv.map(lit): _*)),
           lit(-2.0)).as("c"),
         lit(-cid).as("nc"))
     }
-    (-array_max(array(scored: _*)).getField("nc")).as("__cell")
+    val s = math.min(spill, cents.length)
+    val arr = array_sort(array(scored: _*)) // ascending: best cells last
+    transform(
+      slice(arr, cents.length - s + 1, s),
+      x => -x.getField("nc"))
   }
 
   /** Top-k cosine neighbors of `queryVec` as (score, doc JSON) rows.
@@ -177,8 +201,9 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     val d = new SchemaDerivation(cfg)
     val q = array(queryVec.map(lit).toSeq: _*)
     val searcher = new Searcher(spark, catalog)
+    val m = meta(name, field)
     val scored: DataFrame =
-      if (nProbe > 0 && meta(name, field).isDefined) {
+      if (nProbe > 0 && m.isDefined) {
         val root = annRoot(name, field)
         val cents = spark.read.parquet(new HPath(root, "centroids").toString)
           .collect().map(r =>
@@ -187,8 +212,15 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
         val probes = cents.map { case (cid, cv) =>
           (cid, AnnIndex.cosine(queryVec, cv))
         }.sortBy { case (cid, c) => (-c, cid) }.take(nProbe).map(_._1)
-        spark.read.parquet(new HPath(root, "data").toString)
+        val cand = spark.read.parquet(new HPath(root, "data").toString)
           .where(col("__cell").isin(probes.toSeq: _*))
+        // spill copies of one row share a __rid and an identical score;
+        // dedupe before the cut so a boundary row can't occupy two of
+        // the k slots when several of its cells were probed — only a
+        // spilled index pays this shuffle, spill=1 stays exchange-free
+        val deduped =
+          if (m.exists(_._3 > 1)) cand.dropDuplicates("__rid") else cand
+        deduped
           .withColumn("__score", CosineSimilarity.cosine_similarity(col(field), q))
       } else {
         val (_, df) = corpus(name)

@@ -22,24 +22,33 @@ import graft.engine.{AnnIndex, Catalog}
   *
   * Measured (local[32], sf0.1 embeddings = 2,000 vectors × 64 dims,
   * 45 trained cells (√n default), 20 queries, 2026-08-14 run):
-  *  - train: 8.2 s (4 Lloyd's rounds + the one-time cell-partitioned
-  *    rewrite, 45 partition dirs)
-  *  - brute:       1 file (everything); p50 96 ms; recall 1.0 (truth,
+  *  - train: 5.9 s (4 Lloyd's rounds + the one-time cell-partitioned
+  *    rewrite, 45 partition dirs); spill=2 retrain 2.3 s
+  *  - brute:       1 file (everything); p50 61 ms; recall 1.0 (truth,
   *    self included — the self match is free for every tier)
-  *  - nprobe=1:    1/45 files; p50 64 ms; recall@5 0.32
-  *  - nprobe=7:    7/45 files; p50 62 ms; recall@5 0.63  (√nlist rule)
-  *  - nprobe=14:  14/45 files; p50 61 ms; recall@5 0.82
-  * Files read track nprobe EXACTLY (the partition-pruning pin, also
-  * asserted in CliSpec's PartitionFilters plan check). Recall here is
-  * the honest query-disjoint number — chasing the 0.94 the registry
-  * gate used to report led to the seed-contamination finding recorded
-  * in [[ProbeKnnDiag]] (the gate's quantizer was seeded WITH the
-  * evaluation queries; its seed is now disjoint and reports 0.50,
-  * consistent with this probe modulo self-inclusion). At this corpus
-  * size one split holds everything so brute latency is already flat;
-  * the contract that matters at 100 TB is the files-read column — the
-  * trained tier touches nprobe/cells of the data regardless of corpus
-  * size, while brute touches all of it. */
+  *  - spill=1  nprobe=1:    1/45 files; p50 51 ms; recall@5 0.32
+  *  - spill=1  nprobe=7:    7/45 files; p50 44 ms; recall@5 0.63
+  *  - spill=1  nprobe=14:  14/45 files; p50 44 ms; recall@5 0.82
+  *  - spill=2  nprobe=1:    1/45 files; p50 71 ms; recall@5 0.45
+  *  - spill=2  nprobe=7:    7/45 files; p50 83 ms; recall@5 0.82
+  *  - spill=2  nprobe=14:  14/45 files; p50 102 ms; recall@5 0.94
+  * Files read track nprobe EXACTLY at both spill levels (the
+  * partition-pruning pin, also asserted in CliSpec's PartitionFilters
+  * plan check; the metric is the post-prune scan numFiles, unwrapped
+  * through AQE query stages). Spilled assignment (each vector stored
+  * in its 2 nearest cells) buys the boundary neighbors back — +0.13 to
+  * +0.19 recall at every probe count — for 2× storage and a
+  * dedup-by-__rid exchange at query time; read cost still tracks
+  * nprobe. Recall here is the honest query-disjoint number — chasing
+  * the 0.94 the registry gate used to report led to the
+  * seed-contamination finding recorded in [[ProbeKnnDiag]] (the gate's
+  * quantizer was seeded WITH the evaluation queries; its seed is now
+  * disjoint and reports 0.50, consistent with this probe modulo
+  * self-inclusion). At this corpus size one split holds everything so
+  * brute latency is already flat; the contract that matters at 100 TB
+  * is the files-read column — the trained tier touches nprobe/cells
+  * of the data regardless of corpus size, while brute touches all of
+  * it. */
 object ProbeKnn {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -80,12 +89,21 @@ object ProbeKnn {
     val ann = new AnnIndex(spark, cat)
 
     // files actually READ by the executed scan: the post-partition-prune
-    // numFiles metric (df.inputFiles lists the pre-prune catalog)
-    def filesRead(df: org.apache.spark.sql.DataFrame): Long =
-      df.queryExecution.executedPlan.collectLeaves().collect {
-        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-          f.metrics.get("numFiles").map(_.value).getOrElse(0L)
-      }.sum
+    // numFiles metric (df.inputFiles lists the pre-prune catalog); AQE
+    // wraps the tree, so unwrap adaptive nodes to the final plan
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case s: QueryStageExec        => scans(s.plan)
+        case f: FileSourceScanExec    => Seq(f)
+        case other                    => other.children.flatMap(scans)
+      }
+      scans(df.queryExecution.executedPlan)
+        .map(_.metrics.get("numFiles").map(_.value).getOrElse(0L)).sum
+    }
 
     def run(tag: String, nProbe: Int): Map[Long, Set[String]] = {
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -115,13 +133,26 @@ object ProbeKnn {
 
     val truth = run("brute", nProbe = 0)
     val pMid = math.ceil(math.sqrt(cells.toDouble)).toInt
-    for (p <- Seq(1, pMid, 2 * pMid)) {
-      val got = run(s"nprobe=$p", p)
-      val recall = queries.map { case (qid, _) =>
+
+    def recallVsTruth(got: Map[Long, Set[String]]): Double =
+      queries.map { case (qid, _) =>
         val t = truth(qid); val g = got(qid)
         if (t.isEmpty) 1.0 else t.intersect(g).size.toDouble / t.size
       }.sum / queries.length
-      println(f"[probe-knn]   recall@5 vs brute: $recall%.3f")
+
+    for (p <- Seq(1, pMid, 2 * pMid)) {
+      val got = run(s"nprobe=$p", p)
+      println(f"[probe-knn]   recall@5 vs brute: ${recallVsTruth(got)}%.3f")
+    }
+
+    // spill=2: each vector stored in its 2 nearest cells — the boundary
+    // fix; read cost still tracks nprobe, storage doubles
+    val t1 = System.nanoTime()
+    ann.train("pk", "emb", spill = 2)
+    println(f"[probe-knn] retrain spill=2 in ${(System.nanoTime() - t1) / 1e9}%.1f s")
+    for (p <- Seq(1, pMid, 2 * pMid)) {
+      val got = run(s"s2 np=$p", p)
+      println(f"[probe-knn]   recall@5 vs brute: ${recallVsTruth(got)}%.3f")
     }
     spark.stop()
   }

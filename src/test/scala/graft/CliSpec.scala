@@ -336,11 +336,13 @@ class CliSpec extends AnyFunSuite {
     assert(brute.map(_.getString(1)).forall(_.contains("\"x")),
       s"x-direction query must rank x docs first: ${brute.mkString("; ")}")
 
-    // train 2 cells and probe only the query's cell — same neighbors
+    // train 2 cells (spill=2: every vector lives in BOTH cells) and
+    // probe one cell — same neighbors, and the spill copies must
+    // dedupe instead of occupying multiple top-k slots
     val out = new java.io.ByteArrayOutputStream()
     Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
       cli.Main.run(Array("train", "vec_test", "--field", "emb",
-        "--cells", "2"), spark, cat, root)
+        "--cells", "2", "--spill", "2"), spark, cat, root)
       cli.Main.run(Array("knn", "vec_test", "--field", "emb",
         "--vector", "1.0,0.02,0.0,0.0", "--k", "3", "--nprobe", "1"),
         spark, cat, root)
@@ -351,6 +353,8 @@ class CliSpec extends AnyFunSuite {
     assert(hits.length == 3, printed)
     assert(hits.head.contains("\"title\":\"x1\""), printed)
     assert(hits.forall(_.contains("\"x")), printed)
+    assert(hits.map(_.replaceAll("^[0-9.]+\\t", "")).distinct.length == 3,
+      s"spill copies must dedupe out of the top-k:\n$printed")
 
     // a doc ingested after training is brute-visible but the IVF tier
     // flags the snapshot staleness
