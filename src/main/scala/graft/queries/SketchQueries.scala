@@ -327,6 +327,49 @@ object SketchQueries {
       .orderBy(col("op"))
   }
 
+  /** The corpus DATASHEET: one row per source assembling all three
+    * sketch columns — docs (exact count), vocabulary (HLL distinct
+    * tokens, linear-counting corrected, priced against exact), and the
+    * length distribution (HDR p50/p90/p99) — the per-source summary a
+    * 100 TB curation run publishes next to its shards. Each column is
+    * an already-gated tier ([[sketch_hll_lc]], [[sketch_quantile_hdr]])
+    * composed here end-to-end; the composition is what a datasheet job
+    * actually ships, so it gates as one unit.
+    * Scale shape: one token pass (register tables ≤ sources × 256) and
+    * one length pass (grids ≤ sources × 1025); the exact-vocab tier
+    * alongside is the truth baseline the HLL column replaces at scale. */
+  val sketch_datasheet: Q = (s, dir) => {
+    val docs = table(s, dir, "documents")
+      .select(col("source").as("grp"), col("text"))
+      .localCheckpoint(eager = false) // token pass + length pass + count
+    val toks = docs
+      .select(col("grp"), explode(tokenizeDefault(col("text"))).as("tok"))
+      .localCheckpoint(eager = false) // registers + exact tier
+    val vocab = Sketch.hllEstimateCorrected(
+        Sketch.hllRegisters(toks, col("grp"), col("tok")))
+      .select(col("grp"), col("est_distinct").as("est_vocab"),
+        col("regime"))
+    val exactVocab = toks.groupBy(col("grp"))
+      .agg(countDistinct(col("tok")).as("exact_vocab"))
+    val qs = Sketch.hdrQuantiles(
+      Sketch.hdrBuckets(
+        docs.select(col("grp"), length(col("text")).cast("long").as("v")),
+        col("grp"), col("v")),
+      Seq(50, 90, 99))
+    val lens = qs.groupBy(col("grp")).agg(
+      max(when(col("q") === 50, col("est"))).as("p50_len"),
+      max(when(col("q") === 90, col("est"))).as("p90_len"),
+      max(when(col("q") === 99, col("est"))).as("p99_len"))
+    val nd = docs.groupBy(col("grp")).agg(count(lit(1)).as("n_docs"))
+    nd.join(vocab, "grp").join(exactVocab, "grp").join(lens, "grp")
+      .select(col("grp"), col("n_docs"), col("est_vocab"),
+        col("exact_vocab"), col("regime"),
+        expr("CAST(abs(est_vocab - exact_vocab) * 1000000" +
+          " DIV exact_vocab AS BIGINT)").as("vocab_err_ppm"),
+        col("p50_len"), col("p90_len"), col("p99_len"))
+      .orderBy(col("grp"))
+  }
+
   val all: Map[String, Q] = Map(
     "sketch_hll" -> sketch_hll,
     "sketch_hll_window" -> sketch_hll_window,
@@ -335,7 +378,8 @@ object SketchQueries {
     "sketch_cms_auto" -> sketch_cms_auto,
     "sketch_cms_hh" -> sketch_cms_hh,
     "sketch_quantile_hdr" -> sketch_quantile_hdr,
-    "sketch_kmv_setops" -> sketch_kmv_setops
+    "sketch_kmv_setops" -> sketch_kmv_setops,
+    "sketch_datasheet" -> sketch_datasheet
   )
 
   private val hllNumerSql = Sketch.HllNumerator.toString
@@ -652,6 +696,83 @@ object SketchQueries {
         |    (SELECT exact FROM exi))
         |SELECT op, CAST(est AS BIGINT) AS est, CAST(exact AS BIGINT) AS exact,
         |  CAST(abs(est - exact) * 1000000 // exact AS BIGINT) AS err_ppm
-        |FROM rep ORDER BY op""".stripMargin
+        |FROM rep ORDER BY op""".stripMargin,
+    // the datasheet composition: the sketch_hll_lc chain per source over
+    // tokens + the sketch_quantile_hdr chain per source over lengths +
+    // exact tiers, one row per source
+    "sketch_datasheet" ->
+      s"""WITH dt AS (
+         |  SELECT source AS grp, text, ${PipelineQueries.toksSql} AS toks
+         |  FROM documents),
+         |tk AS (SELECT grp, unnest(toks) AS tok FROM dt),
+         |b AS (
+         |  SELECT grp, h // 4503599627370496 AS bucket, h % 4503599627370496 AS r
+         |  FROM (SELECT grp,
+         |    CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM tk)),
+         |regs AS (
+         |  SELECT grp, bucket,
+         |    max(CASE WHEN r = 0 THEN 53 ELSE 53 - length(bin(r)) END) AS m
+         |  FROM b GROUP BY grp, bucket),
+         |est AS (
+         |  SELECT grp, 256 - count(*) AS v_empty,
+         |    CAST(floor($hllNumerSql / CAST(
+         |      (256 - count(*)) * 9007199254740992 +
+         |      CAST(sum(1::BIGINT << CAST(53 - m AS INT)) AS BIGINT)
+         |    AS DOUBLE)) AS BIGINT) AS est_raw
+         |  FROM regs GROUP BY grp),
+         |corr AS (
+         |  SELECT grp,
+         |    CASE WHEN v_empty > 0 AND est_raw <= ${Sketch.HllSmallRangeMax} THEN 'lc' ELSE 'raw' END
+         |      AS regime,
+         |    CASE WHEN v_empty > 0 AND est_raw <= ${Sketch.HllSmallRangeMax}
+         |      THEN CAST(floor(256.0 * ln(256.0 / CAST(v_empty AS DOUBLE))) AS BIGINT)
+         |      ELSE est_raw END AS est_vocab
+         |  FROM est),
+         |ex AS (SELECT grp, count(DISTINCT tok) AS exact_vocab FROM tk GROUP BY grp),
+         |raw AS (SELECT grp, CAST(length(text) AS BIGINT) AS v FROM dt),
+         |hb AS (
+         |  SELECT grp, CASE WHEN v <= 0 THEN 0
+         |    ELSE 1 + (length(bin(v)) - 1) * 16 +
+         |      ((v - (1::BIGINT << (length(bin(v)) - 1))) * 16)
+         |        // (1::BIGINT << (length(bin(v)) - 1))
+         |    END AS bucket
+         |  FROM raw),
+         |bk AS (SELECT grp, bucket, count(*) AS cnt FROM hb GROUP BY grp, bucket),
+         |cum AS (
+         |  SELECT grp, bucket,
+         |    CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY bucket) AS BIGINT) AS cum
+         |  FROM bk),
+         |nq AS (
+         |  SELECT grp, n, q, (q * n + 99) // 100 AS r
+         |  FROM (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n FROM bk GROUP BY grp)
+         |  CROSS JOIN (SELECT unnest([50, 90, 99]) AS q)),
+         |pick AS (
+         |  SELECT nq.grp, q, min(bucket) AS bucket
+         |  FROM nq JOIN cum ON cum.grp = nq.grp AND cum.cum >= nq.r
+         |  GROUP BY nq.grp, q),
+         |qest AS (
+         |  SELECT grp, q,
+         |    CASE WHEN bucket = 0 THEN 0 ELSE
+         |      ((1::BIGINT << CAST((bucket - 1) // 16 AS INT))
+         |         + (((bucket - 1) % 16) * (1::BIGINT << CAST((bucket - 1) // 16 AS INT))) // 16
+         |       + (1::BIGINT << CAST((bucket - 1) // 16 AS INT))
+         |         + ((((bucket - 1) % 16) + 1) * (1::BIGINT << CAST((bucket - 1) // 16 AS INT))) // 16
+         |      ) // 2 END AS est
+         |  FROM pick),
+         |lens AS (
+         |  SELECT grp,
+         |    max(CASE WHEN q = 50 THEN est END) AS p50_len,
+         |    max(CASE WHEN q = 90 THEN est END) AS p90_len,
+         |    max(CASE WHEN q = 99 THEN est END) AS p99_len
+         |  FROM qest GROUP BY grp),
+         |nd AS (SELECT grp, count(*) AS n_docs FROM dt GROUP BY grp)
+         |SELECT nd.grp, n_docs, est_vocab, exact_vocab, regime,
+         |  abs(est_vocab - exact_vocab) * 1000000 // exact_vocab AS vocab_err_ppm,
+         |  p50_len, p90_len, p99_len
+         |FROM nd
+         |JOIN corr ON corr.grp = nd.grp
+         |JOIN ex ON ex.grp = nd.grp
+         |JOIN lens ON lens.grp = nd.grp
+         |ORDER BY nd.grp""".stripMargin
   )
 }
