@@ -231,16 +231,23 @@ object Main {
 
       case "train" =>
         // vector serving: k-means the field's embeddings, persist the
-        // centroids + the cell-partitioned corpus rewrite (AnnIndex)
+        // centroids + the cell-partitioned corpus rewrite (AnnIndex);
+        // --refresh assigns only splits committed since the build with
+        // the existing centroids (cost proportional to new data)
         val field = flags.getOrElse("field", sys.error("train requires --field F"))
-        // --cells omitted = the measured sqrt(n) sizing rule (see
-        // AnnIndex.train — a fixed nlist dilutes recall as n grows)
-        val (cells, n) = new graft.engine.AnnIndex(spark, cat).train(
-          pos.head, field,
-          cells = flags.getOrElse("cells", "0").toInt,
-          iterations = flags.getOrElse("iterations", "4").toInt,
-          spill = flags.getOrElse("spill", "1").toInt)
-        println(s"trained $cells cell(s) over $n vector(s) for field '$field'")
+        if (flags.contains("refresh")) {
+          val (ns, n) = new graft.engine.AnnIndex(spark, cat)
+            .refresh(pos.head, field)
+          println(s"refreshed: $ns new split(s), $n vector(s) appended " +
+            s"for field '$field'")
+        } else {
+          val (cells, n) = new graft.engine.AnnIndex(spark, cat).train(
+            pos.head, field,
+            cells = flags.getOrElse("cells", "0").toInt,
+            iterations = flags.getOrElse("iterations", "4").toInt,
+            spill = flags.getOrElse("spill", "1").toInt)
+          println(s"trained $cells cell(s) over $n vector(s) for field '$field'")
+        }
 
       case "knn" =>
         val field = flags.getOrElse("field", sys.error("knn requires --field F"))
@@ -255,7 +262,8 @@ object Main {
             val cur = cat.manifestState(pos.head)._1
             if (cur != gen)
               println(s"note: trained at generation $gen, index now at $cur " +
-                "— documents ingested since are not served; re-run train")
+                "— documents ingested since are not served; run " +
+                "train --refresh (or a full train after a merge)")
         }
         ann.knn(pos.head, field, qv, k, nProbe).collect().foreach { r =>
           println(f"${r.getDouble(0)}%.6f\t${r.getString(1)}%s")
@@ -291,6 +299,7 @@ object Main {
         case "--unscored" :: t => flags("unscored") = "true"; rest = t
         case "--retain-inputs" :: t => flags("retain-inputs") = "true"; rest = t
         case "--sketches" :: t => flags("sketches") = "true"; rest = t
+        case "--refresh" :: t => flags("refresh") = "true"; rest = t
         case f :: v :: t if f.startsWith("--") => flags(f.stripPrefix("--")) = v; rest = t
         case x :: t => pos += x; rest = t
         case Nil =>
@@ -306,7 +315,7 @@ object Main {
         |       count <name> <query> | merge <name> [--retain-inputs]
         |       vacuum <name> --before-gen N   (all: [--root DIR])
         |       stats <name> [--sketches --state-dir DIR]
-        |       train <name> --field F [--cells N (default sqrt(n)) --iterations 4 --spill 1]
+        |       train <name> --field F [--cells N (default sqrt(n)) --iterations 4 --spill 1 | --refresh]
         |       knn <name> --field F --vector v1,v2,... [--k 5 --nprobe N]
         |       pipeline <config.yaml>   (curate -> dedup -> shuffle -> shards)""".stripMargin)
 }

@@ -80,15 +80,32 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
   /** Live corpus with the vector field present, plus the assembled doc
     * JSON — shared by the brute scan and the train rewrite. */
   private def corpus(name: String): (SchemaDerivation, DataFrame) = {
+    val (d, _, df) = corpusOf(name, catalog.liveSplits(name))
+    (d, df)
+  }
+
+  private def corpusOf(name: String, splits: List[SplitInfo])
+      : (SchemaDerivation, List[SplitInfo], DataFrame) = {
     val cfg = catalog.load(name)
     val d = new SchemaDerivation(cfg)
-    val splits = catalog.liveSplits(name)
     val df =
       if (splits.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], d.storageSchema)
       else Catalog.readSplits(spark, d, splits, s => catalog.splitDir(name, s.id))
-    (d, df)
+    (d, splits, df)
+  }
+
+  /** Split ids the trained data/ currently covers (SPLITS sidecar). */
+  private def coveredSplits(name: String, field: String): Set[String] = {
+    val p = new HPath(annRoot(name, field), "SPLITS")
+    if (!fs(p).exists(p)) Set.empty
+    else {
+      val in = fs(p).open(p)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        .split("\n").map(_.trim).filter(_.nonEmpty).toSet
+      finally in.close()
+    }
   }
 
   /** Train the IVF tier: k-means centroids over the field's vectors
@@ -121,8 +138,11 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     require(spill >= 1, s"spill must be >= 1, got $spill")
     val cfg = catalog.load(name)
     vectorCol(cfg, field)
-    val (gen, _) = catalog.manifestState(name)
-    val (d, df) = corpus(name)
+    // ONE manifest read supplies both the recorded generation and the
+    // split list, so META can never claim a generation whose splits it
+    // did not actually cover
+    val (gen, splits) = catalog.manifestState(name)
+    val (_, _, df) = corpusOf(name, splits)
     val vecs = df.where(col(field).isNotNull)
       .select(Hashing.h64(to_json(col(field))).as("vid"),
         expr(s"transform(`$field`, x -> CAST(x AS FLOAT))").as("v"))
@@ -156,16 +176,98 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     // a row's spill copies together for query-time dedup.
     val data = df.where(col(field).isNotNull)
       .withColumn("__rid", monotonically_increasing_id())
+      .withColumn("__epoch", lit(0L))
       .withColumn("__cell",
         explode(nearestCells(col(field), centRows, spill)))
     data.write.mode("overwrite").partitionBy("__cell")
       .parquet(new HPath(root, "data").toString)
+    writeSidecars(name, field, centRows.length, gen, spill, epoch = 0,
+      covered = splits.map(_.id).toSet)
+    (centRows.length, n)
+  }
+
+  /** Incrementally extend a trained index to splits committed since the
+    * build: assign ONLY the new splits' vectors with the EXISTING
+    * centroids (no k-means rerun) and APPEND their cell partitions —
+    * refresh cost is proportional to the new data, not the corpus, so
+    * steady ingest keeps the served tier fresh without the full-rebuild
+    * price. Returns (new splits covered, vectors appended).
+    *
+    * Append-only contract: the covered splits must all still be live.
+    * A merge/compaction replaces covered splits with a new one that
+    * CONTAINS their documents — appending it would double-serve every
+    * compacted doc — so refresh fails loudly there and directs to a
+    * full retrain. Each refresh stamps its rows' `__rid` with the next
+    * epoch (bits 45+), keeping ids disjoint from every earlier batch
+    * without any cross-batch coordination. Centroids do drift as the
+    * corpus grows; the quantizer is only as good as its training set,
+    * which is the standard IVF trade — retrain on a cadence, refresh
+    * between. */
+  def refresh(name: String, field: String): (Int, Long) = {
+    val cfg = catalog.load(name)
+    vectorCol(cfg, field)
+    val m = meta(name, field).getOrElse(
+      sys.error(s"no trained index for '$field' — run train first"))
+    val covered = coveredSplits(name, field)
+    val (gen, live) = catalog.manifestState(name)
+    val liveIds = live.map(_.id).toSet
+    val gone = covered.diff(liveIds)
+    require(gone.isEmpty,
+      s"covered split(s) no longer live (merge/compaction?): " +
+        s"${gone.take(3).mkString(", ")} — refresh would double-serve " +
+        "their documents; re-run a full train")
+    val newSplits = live.filterNot(s => covered(s.id))
+    if (newSplits.isEmpty) {
+      // nothing to add; still advance the recorded generation so the
+      // staleness note clears after e.g. idempotent rewrites
+      writeSidecars(name, field, m._1, gen, m._3, epochOf(name, field),
+        covered)
+      return (0, 0L)
+    }
+    val (_, _, df) = corpusOf(name, newSplits)
+    val root = annRoot(name, field)
+    val centRows = spark.read.parquet(new HPath(root, "centroids").toString)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val epoch = epochOf(name, field) + 1
+    val base = df.where(col(field).isNotNull)
+    val nNew = base.count()
+    // (__epoch, __rid) identifies a logical row with zero cross-batch
+    // coordination: __rid is unique within its write (monotonic id) and
+    // __epoch distinguishes writes — no bit-packing bound to outgrow
+    val fresh = base
+      .withColumn("__rid", monotonically_increasing_id())
+      .withColumn("__epoch", lit(epoch.toLong))
+      .withColumn("__cell",
+        explode(nearestCells(col(field), centRows, m._3)))
+    fresh.write.mode("append").partitionBy("__cell")
+      .parquet(new HPath(root, "data").toString)
+    writeSidecars(name, field, m._1, gen, m._3, epoch,
+      covered ++ newSplits.map(_.id))
+    (newSplits.length, nNew)
+  }
+
+  private def epochOf(name: String, field: String): Int = {
+    val p = new HPath(annRoot(name, field), "META")
+    val in = fs(p).open(p)
+    val body =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    body.trim.split("\n").map(_.split("=", 2))
+      .collectFirst { case Array("epoch", v) => v.toInt }.getOrElse(0)
+  }
+
+  private def writeSidecars(name: String, field: String, cells: Int,
+      gen: Long, spill: Int, epoch: Int, covered: Set[String]): Unit = {
+    val root = annRoot(name, field)
+    val sp = new HPath(root, "SPLITS")
+    val so = fs(sp).create(sp, true)
+    try so.write(covered.toList.sorted.mkString("\n").getBytes("UTF-8"))
+    finally so.close()
     val metaPath = new HPath(root, "META")
     val out = fs(metaPath).create(metaPath, true)
-    try out.write(s"cells=${centRows.length}\ngen=$gen\nspill=$spill\n"
+    try out.write(s"cells=$cells\ngen=$gen\nspill=$spill\nepoch=$epoch\n"
       .getBytes("UTF-8"))
     finally out.close()
-    (centRows.length, n)
   }
 
   /** Map-only top-`spill` nearest-centroid selection: sort the
@@ -214,12 +316,14 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
         }.sortBy { case (cid, c) => (-c, cid) }.take(nProbe).map(_._1)
         val cand = spark.read.parquet(new HPath(root, "data").toString)
           .where(col("__cell").isin(probes.toSeq: _*))
-        // spill copies of one row share a __rid and an identical score;
-        // dedupe before the cut so a boundary row can't occupy two of
-        // the k slots when several of its cells were probed — only a
-        // spilled index pays this shuffle, spill=1 stays exchange-free
+        // spill copies of one row share an (__epoch, __rid) identity and
+        // an identical score; dedupe before the cut so a boundary row
+        // can't occupy two of the k slots when several of its cells were
+        // probed — only a spilled index pays this shuffle, spill=1 stays
+        // exchange-free
         val deduped =
-          if (m.exists(_._3 > 1)) cand.dropDuplicates("__rid") else cand
+          if (m.exists(_._3 > 1)) cand.dropDuplicates("__epoch", "__rid")
+          else cand
         deduped
           .withColumn("__score", CosineSimilarity.cosine_similarity(col(field), q))
       } else {

@@ -367,11 +367,36 @@ class CliSpec extends AnyFunSuite {
         "--vector", "1.0,0.02,0.001,0.0", "--k", "1", "--nprobe", "1"),
         spark, cat, root)
     }
-    assert(out2.toString("UTF-8").contains("re-run train"), out2.toString("UTF-8"))
+    assert(out2.toString("UTF-8").contains("train --refresh"), out2.toString("UTF-8"))
     val fresh = ann.knn("vec_test", "emb",
       Array(1.0f, 0.02f, 0.001f, 0.0f), 1).collect()
     assert(fresh.head.getString(1).contains("\"title\":\"x5\""),
       s"brute tier serves the fresh doc: ${fresh.mkString}")
+
+    // train --refresh assigns ONLY the new split with the existing
+    // centroids and appends it — the IVF tier then serves x5 with no
+    // staleness note
+    val out3 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out3, true, "UTF-8")) {
+      cli.Main.run(Array("train", "vec_test", "--field", "emb", "--refresh"),
+        spark, cat, root)
+      cli.Main.run(Array("knn", "vec_test", "--field", "emb",
+        "--vector", "1.0,0.02,0.001,0.0", "--k", "1", "--nprobe", "1"),
+        spark, cat, root)
+    }
+    val printed3 = out3.toString("UTF-8")
+    assert(printed3.contains("refreshed: 1 new split(s), 1 vector(s) appended"),
+      printed3)
+    assert(!printed3.contains("note:"), s"staleness note must clear:\n$printed3")
+    assert(printed3.linesIterator.exists(l =>
+      l.contains("\t") && l.contains("\"title\":\"x5\"")),
+      s"IVF tier must serve the refreshed doc:\n$printed3")
+
+    // a merge compacts the covered splits away — refresh must refuse
+    // loudly (appending the merged split would double-serve every doc)
+    cli.Main.run(Array("merge", "vec_test"), spark, cat, root)
+    val err = intercept[Exception] { ann.refresh("vec_test", "emb") }
+    assert(err.getMessage.contains("re-run a full train"), err.getMessage)
 
     // the IVF tier's scan is PARTITION-pruned on the cell filter — the
     // scale contract: a query touches nprobe/k of the data files, not a
