@@ -192,6 +192,24 @@ object Main {
               }
           }
         }
+        // --ann F: the trained vector index's datasheet — sizing, the
+        // generation it covers, spill, and the per-cell row histogram
+        // (skew visible at a glance: a hot cell serves slow)
+        for (f <- flags.get("ann")) {
+          val ann = new graft.engine.AnnIndex(spark, cat)
+          ann.meta(name, f) match {
+            case None => println(s"ann '$f': not trained")
+            case Some((cells, gen, spill)) =>
+              val cur = cat.manifestState(name)._1
+              val stale = if (cur == gen) "fresh" else s"STALE (index at $cur)"
+              val sizes = ann.cellSizes(name, f)
+              val tot = sizes.map(_._2).sum
+              val mx = if (sizes.isEmpty) 0L else sizes.map(_._2).max
+              println(s"ann '$f': $cells cell(s), spill=$spill, " +
+                s"trained at gen $gen ($stale); $tot row(s), " +
+                s"largest cell $mx")
+          }
+        }
         val (dh, dm, dn) = Catalog.digestCacheStats
         if (dh + dm > 0)
           println(f"digest cache: $dh%d hits / $dm%d misses " +
@@ -314,7 +332,7 @@ object Main {
         |       search <name> <query> [--limit N] [--fields a,b] [--unscored]
         |       count <name> <query> | merge <name> [--retain-inputs]
         |       vacuum <name> --before-gen N   (all: [--root DIR])
-        |       stats <name> [--sketches --state-dir DIR]
+        |       stats <name> [--sketches --state-dir DIR] [--ann F]
         |       train <name> --field F [--cells N (default sqrt(n)) --iterations 4 --spill 1 | --refresh]
         |       knn <name> --field F --vector v1,v2,... [--k 5 --nprobe N]
         |       pipeline <config.yaml>   (curate -> dedup -> shuffle -> shards)""".stripMargin)

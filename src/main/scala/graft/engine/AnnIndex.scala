@@ -96,6 +96,16 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     (d, splits, df)
   }
 
+  /** Per-cell row counts of the trained data/ (spill copies counted) —
+    * the skew histogram `stats --ann` prints; one count aggregate over
+    * the partition column, pruned to metadata + row groups. */
+  def cellSizes(name: String, field: String): Seq[(Long, Long)] =
+    spark.read.parquet(new HPath(annRoot(name, field), "data").toString)
+      // the partition column's type is directory-name inferred (INT for
+      // small ids) — pin it
+      .groupBy(col("__cell").cast("long").as("__cell")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+
   /** Split ids the trained data/ currently covers (SPLITS sidecar). */
   private def coveredSplits(name: String, field: String): Set[String] = {
     val p = new HPath(annRoot(name, field), "SPLITS")

@@ -392,6 +392,18 @@ class CliSpec extends AnyFunSuite {
       l.contains("\t") && l.contains("\"title\":\"x5\"")),
       s"IVF tier must serve the refreshed doc:\n$printed3")
 
+    // stats --ann prints the trained datasheet, fresh after the refresh
+    val out4 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out4, true, "UTF-8")) {
+      cli.Main.run(Array("stats", "vec_test", "--ann", "emb"),
+        spark, cat, root)
+    }
+    val printed4 = out4.toString("UTF-8")
+    assert(printed4.contains("ann 'emb': 2 cell(s), spill=2"), printed4)
+    assert(printed4.contains("(fresh)"), printed4)
+    // 8 spill=2 rows (16) + 1 refreshed spill=2 row (2) = 18
+    assert(printed4.contains("18 row(s)"), printed4)
+
     // a merge compacts the covered splits away — refresh must refuse
     // loudly (appending the merged split would double-serve every doc)
     cli.Main.run(Array("merge", "vec_test"), spark, cat, root)
