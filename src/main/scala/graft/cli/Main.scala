@@ -263,7 +263,8 @@ object Main {
             pos.head, field,
             cells = flags.getOrElse("cells", "0").toInt,
             iterations = flags.getOrElse("iterations", "4").toInt,
-            spill = flags.getOrElse("spill", "1").toInt)
+            spill = flags.getOrElse("spill", "1").toInt,
+            pq = flags.getOrElse("pq", "0").toInt)
           println(s"trained $cells cell(s) over $n vector(s) for field '$field'")
         }
 
@@ -273,6 +274,7 @@ object Main {
           sys.error("knn requires --vector v1,v2,...")).split(",").map(_.trim.toFloat)
         val k = flags.get("k").map(_.toInt).getOrElse(5)
         val nProbe = flags.get("nprobe").map(_.toInt).getOrElse(0)
+        val rerank = flags.get("rerank").map(_.toInt).getOrElse(0)
         val ann = new graft.engine.AnnIndex(spark, cat)
         if (nProbe > 0) ann.meta(pos.head, field) match {
           case None => println(s"note: no trained index for '$field'; running brute scan")
@@ -283,7 +285,7 @@ object Main {
                 "— documents ingested since are not served; run " +
                 "train --refresh (or a full train after a merge)")
         }
-        ann.knn(pos.head, field, qv, k, nProbe).collect().foreach { r =>
+        ann.knn(pos.head, field, qv, k, nProbe, rerank).collect().foreach { r =>
           println(f"${r.getDouble(0)}%.6f\t${r.getString(1)}%s")
         }
 
@@ -333,7 +335,7 @@ object Main {
         |       count <name> <query> | merge <name> [--retain-inputs]
         |       vacuum <name> --before-gen N   (all: [--root DIR])
         |       stats <name> [--sketches --state-dir DIR] [--ann F]
-        |       train <name> --field F [--cells N (default sqrt(n)) --iterations 4 --spill 1 | --refresh]
+        |       train <name> --field F [--cells N (default sqrt(n)) --iterations 4 --spill 1 --pq M | --refresh]
         |       knn <name> --field F --vector v1,v2,... [--k 5 --nprobe N]
         |       pipeline <config.yaml>   (curate -> dedup -> shuffle -> shards)""".stripMargin)
 }

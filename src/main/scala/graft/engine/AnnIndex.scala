@@ -143,8 +143,23 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     * vs 0.82 at 2·√nlist — same files-read column). Copies carry a
     * shared `__rid`, deduped at query time before the top-k; only
     * spilled indexes pay that exchange. */
+    /* `pq > 0` additionally writes an `m = pq` product-quantization code
+    * column into data/ (Jégou et al. 2011 — the [[graft.exprs.Pq]]
+    * kernels the gated `knn_pq`/`knn_ivf_pq` queries pin): at query
+    * time the candidate RANKING pass reads only the skinny
+    * (__code, __epoch, __rid) columns — m ints per row instead of dim
+    * floats, the memory-bandwidth win that matters when a probed cell
+    * holds millions of rows — and only the top-R ADC survivors fetch
+    * their full rows for an exact-cosine rerank. Codebooks = the 16
+    * smallest-content-hash vectors' sub-vectors, fixed-point, persisted
+    * beside the centroids. Measured (ProbeKnn, sf0.1, spill=2 pq=8):
+    * recall@5 0.61 at the default R=64 shortlist, 0.77 at R=256 — the
+    * quantization ceiling on that data vs 0.82 exact-vector — and the
+    * shortlist is FIXED size, so raising nProbe without raising
+    * `rerank` CROWDS it and recall drops (0.61 → 0.54 measured); the
+    * knn `rerank` knob sizes it. */
   def train(name: String, field: String, cells: Int = 0,
-      iterations: Int = 4, spill: Int = 1): (Int, Long) = {
+      iterations: Int = 4, spill: Int = 1, pq: Int = 0): (Int, Long) = {
     require(spill >= 1, s"spill must be >= 1, got $spill")
     val cfg = catalog.load(name)
     vectorCol(cfg, field)
@@ -184,7 +199,10 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     // directories; the top-spill selection is a map-only expression over
     // the broadcast-sized centroid list (no window, no join). __rid ties
     // a row's spill copies together for query-time dedup.
-    val data = df.where(col(field).isNotNull)
+    val pqCb: Option[graft.exprs.Pq.Codebooks] =
+      if (pq > 0) Some(buildCodebooks(vecs, pq)) else None
+    pqCb.foreach(writeCodebooks(root, _))
+    val data = withCode(df.where(col(field).isNotNull), field, pqCb)
       .withColumn("__rid", monotonically_increasing_id())
       .withColumn("__epoch", lit(0L))
       .withColumn("__cell",
@@ -192,9 +210,63 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     data.write.mode("overwrite").partitionBy("__cell")
       .parquet(new HPath(root, "data").toString)
     writeSidecars(name, field, centRows.length, gen, spill, epoch = 0,
-      covered = splits.map(_.id).toSet)
+      covered = splits.map(_.id).toSet, pq = pq)
     (centRows.length, n)
   }
+
+  private def withCode(df: DataFrame, field: String,
+      cb: Option[graft.exprs.Pq.Codebooks]): DataFrame = cb match {
+    case Some(c) =>
+      df.withColumn("__code", graft.exprs.Pq.pq_encode(col(field), c))
+    case None => df
+  }
+
+  /** PQ codebooks for serving: sub-vectors of the 16 smallest
+    * content-hash vectors (the train-seed discipline), fixed-point —
+    * the same seeds-as-codewords construction the gated `knn_pq` tier
+    * uses (`Ann.pqCodebooks`), re-derived here because serving seeds by
+    * hash, not vid. */
+  private def buildCodebooks(vecs: DataFrame,
+      numSub: Int): graft.exprs.Pq.Codebooks = {
+    import graft.exprs.Pq
+    val seeds = vecs.dropDuplicates("vid").orderBy(col("vid")).limit(16)
+      .select(col("v")).collect()
+    require(seeds.nonEmpty, "pq needs at least one vector for codebooks")
+    val fixedSeeds = seeds.toSeq.map { r =>
+      val v = r.getSeq[Any](0)
+      require(v != null && !v.contains(null), "pq seed vector malformed")
+      v.map {
+        case f: java.lang.Float  => Pq.fixedPoint(f.toDouble * 1000000.0)
+        case d: java.lang.Double => Pq.fixedPoint(d.doubleValue * 1000000.0)
+      }.toIndexedSeq
+    }
+    val dim = fixedSeeds.head.length
+    require(fixedSeeds.forall(_.length == dim),
+      "pq seed vectors disagree on dimensionality")
+    require(dim % numSub == 0,
+      s"dim $dim must split evenly into $numSub subspaces")
+    val subDim = dim / numSub
+    (0 until numSub).map(s =>
+      fixedSeeds.map(_.slice(s * subDim, (s + 1) * subDim)))
+  }
+
+  private def writeCodebooks(root: HPath,
+      cb: graft.exprs.Pq.Codebooks): Unit = {
+    import spark.implicits._
+    cb.zipWithIndex.flatMap { case (cws, s) =>
+      cws.zipWithIndex.map { case (cw, c) => (s, c, cw) }
+    }.toDF("s", "c", "dq").coalesce(1)
+      .write.mode("overwrite")
+      .parquet(new HPath(root, "codebooks").toString)
+  }
+
+  private def readCodebooks(root: HPath): graft.exprs.Pq.Codebooks =
+    spark.read.parquet(new HPath(root, "codebooks").toString)
+      .collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (_, rows) =>
+        rows.sortBy(_.getInt(1)).toSeq.map(_.getSeq[Long](2))
+      }
 
   /** Incrementally extend a trained index to splits committed since the
     * build: assign ONLY the new splits' vectors with the EXISTING
@@ -226,12 +298,13 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
       s"covered split(s) no longer live (merge/compaction?): " +
         s"${gone.take(3).mkString(", ")} — refresh would double-serve " +
         "their documents; re-run a full train")
+    val pq = pqOf(name, field)
     val newSplits = live.filterNot(s => covered(s.id))
     if (newSplits.isEmpty) {
       // nothing to add; still advance the recorded generation so the
       // staleness note clears after e.g. idempotent rewrites
       writeSidecars(name, field, m._1, gen, m._3, epochOf(name, field),
-        covered)
+        covered, pq)
       return (0, 0L)
     }
     val (_, _, df) = corpusOf(name, newSplits)
@@ -244,7 +317,8 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     // (__epoch, __rid) identifies a logical row with zero cross-batch
     // coordination: __rid is unique within its write (monotonic id) and
     // __epoch distinguishes writes — no bit-packing bound to outgrow
-    val fresh = base
+    val fresh = withCode(base, field,
+        if (pq > 0) Some(readCodebooks(root)) else None)
       .withColumn("__rid", monotonically_increasing_id())
       .withColumn("__epoch", lit(epoch.toLong))
       .withColumn("__cell",
@@ -252,22 +326,31 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     fresh.write.mode("append").partitionBy("__cell")
       .parquet(new HPath(root, "data").toString)
     writeSidecars(name, field, m._1, gen, m._3, epoch,
-      covered ++ newSplits.map(_.id))
+      covered ++ newSplits.map(_.id), pq)
     (newSplits.length, nNew)
   }
 
-  private def epochOf(name: String, field: String): Int = {
+  private def metaField(name: String, field: String, key: String): Option[String] = {
     val p = new HPath(annRoot(name, field), "META")
+    if (!fs(p).exists(p)) return None
     val in = fs(p).open(p)
     val body =
       try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
       finally in.close()
     body.trim.split("\n").map(_.split("=", 2))
-      .collectFirst { case Array("epoch", v) => v.toInt }.getOrElse(0)
+      .collectFirst { case Array(`key`, v) => v }
   }
 
+  private def epochOf(name: String, field: String): Int =
+    metaField(name, field, "epoch").map(_.toInt).getOrElse(0)
+
+  /** PQ subspace count of the trained index (0 = no code column). */
+  def pqOf(name: String, field: String): Int =
+    metaField(name, field, "pq").map(_.toInt).getOrElse(0)
+
   private def writeSidecars(name: String, field: String, cells: Int,
-      gen: Long, spill: Int, epoch: Int, covered: Set[String]): Unit = {
+      gen: Long, spill: Int, epoch: Int, covered: Set[String],
+      pq: Int): Unit = {
     val root = annRoot(name, field)
     val sp = new HPath(root, "SPLITS")
     val so = fs(sp).create(sp, true)
@@ -275,8 +358,9 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     finally so.close()
     val metaPath = new HPath(root, "META")
     val out = fs(metaPath).create(metaPath, true)
-    try out.write(s"cells=$cells\ngen=$gen\nspill=$spill\nepoch=$epoch\n"
-      .getBytes("UTF-8"))
+    try out.write(
+      s"cells=$cells\ngen=$gen\nspill=$spill\nepoch=$epoch\npq=$pq\n"
+        .getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -307,7 +391,7 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     * nearest cells (partition-pruned scan); nprobe = 0 (or no trained
     * index) runs the brute tier over the live splits. */
   def knn(name: String, field: String, queryVec: Array[Float], k: Int,
-      nProbe: Int = 0): DataFrame = {
+      nProbe: Int = 0, rerank: Int = 0): DataFrame = {
     val cfg = catalog.load(name)
     vectorCol(cfg, field)
     val d = new SchemaDerivation(cfg)
@@ -324,8 +408,31 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
         val probes = cents.map { case (cid, cv) =>
           (cid, AnnIndex.cosine(queryVec, cv))
         }.sortBy { case (cid, c) => (-c, cid) }.take(nProbe).map(_._1)
-        val cand = spark.read.parquet(new HPath(root, "data").toString)
+        val cand0 = spark.read.parquet(new HPath(root, "data").toString)
           .where(col("__cell").isin(probes.toSeq: _*))
+        // PQ tier: rank candidates over the SKINNY (__code, ids) columns
+        // — m ints per row instead of the full stored document, the
+        // memory-bandwidth cut that matters when a probed cell holds
+        // millions of rows — then fetch ONLY the top-R ADC survivors'
+        // full rows for the exact-cosine rerank below
+        val pq = pqOf(name, field)
+        val cand = if (pq > 0) {
+          val cb = readCodebooks(root)
+          val lut = AnnIndex.lutFor(queryVec, cb)
+          // the ADC shortlist size: more probes pour more candidates
+          // into a FIXED shortlist, so a crowded R trades recall —
+          // raise `rerank` together with nProbe (measured in ProbeKnn)
+          val rFetch = if (rerank > 0) rerank else math.max(4 * k, 64)
+          val survivors = cand0
+            .select(col("__epoch"), col("__rid"), col("__code"))
+            .where(col("__code").isNotNull)
+            .withColumn("__adist",
+              graft.exprs.Pq.pq_adc(col("__code"), typedLit(lut.toSeq)))
+            .orderBy(col("__adist").asc)
+            .limit(rFetch)
+            .select(col("__epoch"), col("__rid"))
+          cand0.join(broadcast(survivors), Seq("__epoch", "__rid"))
+        } else cand0
         // spill copies of one row share an (__epoch, __rid) identity and
         // an identical score; dedupe before the cut so a boundary row
         // can't occupy two of the k slots when several of its cells were
@@ -349,6 +456,38 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
 }
 
 object AnnIndex {
+  /** Driver-side ADC lookup table for a query — identical fixed-point
+    * arithmetic to [[graft.exprs.Pq]]'s PqLut kernel; the query is a
+    * constant, so the table is computed once and shipped as a literal
+    * instead of a per-row expression over an attached query column. */
+  private[engine] def lutFor(q: Array[Float],
+      cb: graft.exprs.Pq.Codebooks): Array[Long] = {
+    val numSub = cb.length
+    val numCw = cb.head.length
+    val subDim = cb.head.head.length
+    require(q.length == numSub * subDim,
+      s"query dim ${q.length} != codebook dim ${numSub * subDim}")
+    val qf = q.map(f => graft.exprs.Pq.fixedPoint(f.toDouble * 1000000.0))
+    val lut = new Array[Long](numSub * numCw)
+    var s = 0
+    while (s < numSub) {
+      var c = 0
+      while (c < numCw) {
+        val cw = cb(s)(c)
+        val off = s * subDim
+        var acc = 0L
+        var i = 0
+        while (i < subDim) {
+          val d = qf(off + i) - cw(i); acc += d * d; i += 1
+        }
+        lut(s * numCw + c) = acc
+        c += 1
+      }
+      s += 1
+    }
+    lut
+  }
+
   /** Driver-side cosine — identical arithmetic to [[CosineSimilarity]]
     * (left-to-right double accumulation over float inputs). */
   private[engine] def cosine(a: Array[Float], b: Array[Float]): Double = {

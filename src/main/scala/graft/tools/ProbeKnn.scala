@@ -32,6 +32,17 @@ import graft.engine.{AnnIndex, Catalog}
   *  - spill=2  nprobe=1:    1/45 files; p50 71 ms; recall@5 0.45
   *  - spill=2  nprobe=7:    7/45 files; p50 83 ms; recall@5 0.82
   *  - spill=2  nprobe=14:  14/45 files; p50 102 ms; recall@5 0.94
+  *  - spill=2 pq=8 nprobe=7,  R=64 (default): 0.61; R=256: 0.77
+  *  - spill=2 pq=8 nprobe=14, R=64: 0.54 (!); R=256: 0.76
+  * The PQ rows measure the bandwidth/recall trade honestly: the ADC
+  * shortlist is FIXED size, so more probes pour more candidates into
+  * it and recall can DROP with nprobe at small R (0.61 → 0.54) —
+  * raise --rerank together with nprobe; at R=256 the tier converges
+  * to ~0.77, the seeds-as-codewords quantization ceiling on this data
+  * (exact-vector tier: 0.82 at the same probes). The PQ files column
+  * doubles because ranking and fetch are two scans of the same probed
+  * partitions; BYTES are the point — the ranking scan reads 8 ints
+  * per row, and only R rows fetch their stored documents.
   * Files read track nprobe EXACTLY at both spill levels (the
   * partition-pruning pin, also asserted in CliSpec's PartitionFilters
   * plan check; the metric is the post-prune scan numFiles, unwrapped
@@ -105,11 +116,11 @@ object ProbeKnn {
         .map(_.metrics.get("numFiles").map(_.value).getOrElse(0L)).sum
     }
 
-    def run(tag: String, nProbe: Int): Map[Long, Set[String]] = {
+    def run(tag: String, nProbe: Int, rerank: Int = 0): Map[Long, Set[String]] = {
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var files = -1L
       val results = queries.map { case (qid, qv) =>
-        val df = ann.knn("pk", "emb", qv, 5, nProbe)
+        val df = ann.knn("pk", "emb", qv, 5, nProbe, rerank)
         val t0 = System.nanoTime()
         val rows = df.collect()
         times += (System.nanoTime() - t0) / 1e6
@@ -152,6 +163,16 @@ object ProbeKnn {
     println(f"[probe-knn] retrain spill=2 in ${(System.nanoTime() - t1) / 1e9}%.1f s")
     for (p <- Seq(1, pMid, 2 * pMid)) {
       val got = run(s"s2 np=$p", p)
+      println(f"[probe-knn]   recall@5 vs brute: ${recallVsTruth(got)}%.3f")
+    }
+
+    // PQ tier: spill=2 + 8-subspace codes — the candidate RANK pass
+    // reads skinny codes, only top-R survivors fetch full rows
+    val t2 = System.nanoTime()
+    ann.train("pk", "emb", spill = 2, pq = 8)
+    println(f"[probe-knn] retrain spill=2 pq=8 in ${(System.nanoTime() - t2) / 1e9}%.1f s")
+    for ((p, r) <- Seq((pMid, 0), (2 * pMid, 0), (pMid, 256), (2 * pMid, 256))) {
+      val got = run(f"s2pq np=$p%d R=$r%d", p, r)
       println(f"[probe-knn]   recall@5 vs brute: ${recallVsTruth(got)}%.3f")
     }
     spark.stop()

@@ -410,6 +410,18 @@ class CliSpec extends AnyFunSuite {
     val err = intercept[Exception] { ann.refresh("vec_test", "emb") }
     assert(err.getMessage.contains("re-run a full train"), err.getMessage)
 
+    // PQ tier: retrain with a 2-subspace code column; the ADC candidate
+    // cut + exact rerank must agree with the brute tier's top result
+    cli.Main.run(Array("train", "vec_test", "--field", "emb",
+      "--cells", "2", "--pq", "2"), spark, cat, root)
+    val pqHits = ann.knn("vec_test", "emb",
+      Array(1.0f, 0.02f, 0.001f, 0.0f), 3, nProbe = 1).collect()
+    assert(pqHits.length == 3, pqHits.mkString("; "))
+    assert(pqHits.head.getString(1).contains("\"title\":\"x5\""),
+      s"PQ + rerank must surface the exact-match doc first: ${pqHits.head}")
+    assert(pqHits.forall(_.getString(1).contains("\"x")),
+      s"x-direction query must rank x docs: ${pqHits.mkString("; ")}")
+
     // the IVF tier's scan is PARTITION-pruned on the cell filter — the
     // scale contract: a query touches nprobe/k of the data files, not a
     // row filter over all of them
