@@ -112,7 +112,8 @@ object Main {
               textField = f,
               threshold = flags.getOrElse("dedup-threshold", "0.5").toDouble,
               sketchField = flags.get("sketch-field"),
-              quantileField = flags.get("quantile-field"))
+              quantileField = flags.get("quantile-field"),
+              annField = flags.get("ann-field"))
           }
           val q = new StreamingIndexer(spark, cat)
             .startFileStream(name, input, ckpt, interval, stateful = stateful)

@@ -45,6 +45,14 @@ import graft.engine.{Catalog, SplitInfo}
   *    length-distribution (p50/p90/p99) side of the same datasheet,
   *    replay-guarded by batch tag because a sum-merge is not
   *    idempotent the way the HLL max is.
+  *  - `annField`: AFTER each split commit, incrementally refresh the
+  *    field's trained vector index ([[graft.engine.AnnIndex.refresh]])
+  *    so the IVF serving tier stays continuously fresh under streaming
+  *    ingest — streaming vector search. No-ops until a `train` has
+  *    built the index; replay-safe because a replayed batch's split is
+  *    already covered (refresh sees no new splits); if a compaction
+  *    has invalidated the snapshot the refresh failure is LOGGED, not
+  *    fatal — the stream keeps committing and the operator retrains.
   *
   * The states live under `stateDir` (`dedup/`, `hll/`, `hdr/`). Batch replay: the
   * split commit is idempotent per batch id; the dedup state is made replay-
@@ -60,7 +68,8 @@ final case class StreamStateConfig(
     textField: String,
     threshold: Double = 0.5,
     sketchField: Option[String] = None,
-    quantileField: Option[String] = None)
+    quantileField: Option[String] = None,
+    annField: Option[String] = None)
 
 final class StreamingIndexer(spark: SparkSession, catalog: Catalog) {
 
@@ -174,6 +183,18 @@ final class StreamingIndexer(spark: SparkSession, catalog: Catalog) {
         for (threshold <- compactSmallDocs; split <- committed)
           new graft.engine.Indexer(spark, catalog)
             .mergeSmallExcept(indexName, threshold, split.id): Unit
+        // streaming vector search: extend the trained IVF tier to the
+        // split just committed (cost proportional to the batch); skipped
+        // until train has run, non-fatal if a compaction broke coverage
+        for (f <- stateful.flatMap(_.annField); _ <- committed) {
+          val ann = new graft.engine.AnnIndex(spark, catalog)
+          if (ann.meta(indexName, f).isDefined)
+            try ann.refresh(indexName, f): Unit
+            catch { case e: Exception =>
+              System.err.println(s"[stream] ann refresh for '$f' failed " +
+                s"(full retrain needed): ${e.getMessage}")
+            }
+        }
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow())
      else writer.trigger(Trigger.ProcessingTime(commitInterval)))

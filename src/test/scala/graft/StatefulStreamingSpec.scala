@@ -329,4 +329,60 @@ class StatefulStreamingSpec extends AnyFunSuite {
       "untagged dedupBatch reads the latest generation")
     cat.drop("replay")
   }
+
+  test("streaming vector search: --ann-field keeps the trained IVF tier fresh per batch") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val root = java.nio.file.Files.createTempDirectory("graft-sann").toString
+    val cat = new graft.engine.Catalog(root)
+    cat.create(
+      """version: 1
+        |name: sann
+        |path: /tmp/unused
+        |schema:
+        |  fields:
+        |    - name: body
+        |      type: !text
+        |    - name: emb
+        |      type: !number
+        |        type: f64
+        |      array: true
+        |""".stripMargin)
+    val stateDir = s"$root/state/sann"
+    val sc = graft.streaming.StreamStateConfig(stateDir, textField = "body",
+      threshold = 0.5, annField = Some("emb"))
+    def doc(t: String, v: Seq[Double]) =
+      s"""{"body": "$t", "emb": [${v.mkString(", ")}]}"""
+
+    val input = MemoryStream[String]
+    val ckpt = java.nio.file.Files.createTempDirectory("sann-ckpt").toString
+    val ann = new graft.engine.AnnIndex(spark, cat)
+    val q = new graft.streaming.StreamingIndexer(spark, cat).startStream(
+      "sann", input.toDF(), ckpt, availableNow = false, stateful = Some(sc))
+    try {
+      // batch 1 lands BEFORE any training — the refresh hook must no-op
+      input.addData(
+        doc("first batch doc one", Seq(1.0, 0.0, 0.0, 0.0)),
+        doc("first batch doc two", Seq(0.0, 0.0, 1.0, 0.0)))
+      q.processAllAvailable()
+      assert(ann.meta("sann", "emb").isEmpty, "no training happened yet")
+
+      // operator trains once; subsequent batches auto-refresh
+      ann.train("sann", "emb", cells = 2)
+      input.addData(doc("second batch doc", Seq(0.9, 0.1, 0.0, 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // the IVF tier serves the post-train doc with the generation current
+    val (curGen, _) = cat.manifestState("sann")
+    assert(ann.meta("sann", "emb").exists(_._2 == curGen),
+      s"refresh must advance the covered generation to $curGen")
+    val hits = ann.knn("sann", "emb", Array(0.9f, 0.1f, 0.0f, 0.0f), 1,
+      nProbe = 1).collect()
+    assert(hits.head.getString(1).contains("second batch doc"),
+      s"streamed doc must be IVF-served: ${hits.mkString}")
+    cat.drop("sann")
+  }
 }
