@@ -210,6 +210,10 @@ object Main {
                 s"trained at gen $gen ($stale); $tot row(s), " +
                 s"largest cell $mx")
           }
+          val (ah, am, an) = graft.engine.AnnIndex.servingCacheStats
+          if (ah + am > 0)
+            println(f"ann model cache: $ah%d hits / $am%d misses " +
+              f"(${100.0 * ah / (ah + am)}%.1f%% hit rate), $an%d resident")
         }
         val (dh, dm, dn) = Catalog.digestCacheStats
         if (dh + dm > 0)

@@ -96,25 +96,37 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     (d, splits, df)
   }
 
-  /** Per-cell row counts of the trained data/ (spill copies counted) —
-    * the skew histogram `stats --ann` prints; one count aggregate over
-    * the partition column, pruned to metadata + row groups. */
+  /** Per-cell row counts of the trained data/ (spill copies counted;
+    * epochs above META's — an uncommitted crashed append — excluded,
+    * same visibility rule as [[knn]]) — the skew histogram `stats
+    * --ann` prints; one count aggregate over the partition columns,
+    * pruned to metadata + row groups. */
   def cellSizes(name: String, field: String): Seq[(Long, Long)] =
     spark.read.parquet(new HPath(annRoot(name, field), "data").toString)
+      .where(col("__epoch") <= lit(epochOf(name, field)))
       // the partition column's type is directory-name inferred (INT for
       // small ids) — pin it
       .groupBy(col("__cell").cast("long").as("__cell")).count()
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
 
-  /** Split ids the trained data/ currently covers (SPLITS sidecar). */
+  /** Split ids the trained data/ currently covers: `split=` lines of
+    * META — the same atomically-renamed file that carries the epoch, so
+    * coverage and epoch can never disagree after a crash. Pre-r13
+    * indexes kept coverage in a separate SPLITS file; read it as a
+    * fallback when META has no split lines. */
   private def coveredSplits(name: String, field: String): Set[String] = {
-    val p = new HPath(annRoot(name, field), "SPLITS")
-    if (!fs(p).exists(p)) Set.empty
+    val metaP = new HPath(annRoot(name, field), "META")
+    val fromMeta = catalog.metaStore.readString(metaP).map { body =>
+      body.split("\n").map(_.trim).collect {
+        case l if l.startsWith("split=") => l.substring("split=".length)
+      }.filter(_.nonEmpty).toSet
+    }.getOrElse(Set.empty)
+    if (fromMeta.nonEmpty) fromMeta
     else {
-      val in = fs(p).open(p)
-      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-        .split("\n").map(_.trim).filter(_.nonEmpty).toSet
-      finally in.close()
+      val p = new HPath(annRoot(name, field), "SPLITS")
+      catalog.metaStore.readString(p).map(
+        _.split("\n").map(_.trim).filter(_.nonEmpty).toSet)
+        .getOrElse(Set.empty)
     }
   }
 
@@ -176,13 +188,24 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     val want = if (cells > 0) cells.toLong
       else math.ceil(math.sqrt(n.toDouble)).toLong
     val kEff = math.min(want, n).toInt
+    // Quantizer training is SAMPLE-BOUNDED (standard IVF practice —
+    // Lloyd's converges on a representative sample; FAISS trains on
+    // min(n, 256·nlist) by default): the smallest-content-hash rule
+    // picks a deterministic pseudo-random sample with no RNG, and every
+    // k-means round then touches ≤ 256·k vectors instead of the corpus
+    // — at n = 10¹⁰ / k = 10⁵ that is 2.6·10⁷ rows per round, not
+    // 10¹⁰. TakeOrdered keeps the selection one narrow pass.
+    val sampleCap = 256L * kEff
+    val sample =
+      if (n > sampleCap) vecs.orderBy(col("vid")).limit(sampleCap.toInt)
+      else vecs
     // deterministic seed: the kEff vectors with the smallest content
     // hashes (identical vectors collapse — harmless for a seed)
     val init = vecs.dropDuplicates("vid").orderBy(col("vid")).limit(kEff)
       .select(row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("vid"))).cast("long").as("cid"),
         col("v").as("cv"))
-    val rounds = Ann.kmeansTrain(vecs, init, iterations)
+    val rounds = Ann.kmeansTrain(sample, init, iterations)
     val last = rounds.where(col("iter") === iterations)
       .select(col("cell").as("cid"), col("d"), col("cq"))
     val centRows = last.collect().groupBy(_.getLong(0)).toSeq.map {
@@ -195,21 +218,30 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     cents.coalesce(1).write.mode("overwrite")
       .parquet(new HPath(root, "centroids").toString)
     // one-pass rewrite: every STORED column rides along, partitioned by
-    // the nearest-centroid cell(s) so a query's cell filter prunes whole
-    // directories; the top-spill selection is a map-only expression over
-    // the broadcast-sized centroid list (no window, no join). __rid ties
-    // a row's spill copies together for query-time dedup.
+    // (epoch, nearest-centroid cell(s)) so a query's epoch + cell
+    // filters prune whole directories; the top-spill selection is a
+    // map-only tight-loop expression fed by a BROADCAST centroid table
+    // ([[graft.exprs.NearestCells]] — plan size independent of k; the
+    // per-centroid-literal form became a multi-hundred-MB Catalyst tree
+    // at 10⁵ cells). __rid ties a row's spill copies together for
+    // query-time dedup.
     val pqCb: Option[graft.exprs.Pq.Codebooks] =
       if (pq > 0) Some(buildCodebooks(vecs, pq)) else None
     pqCb.foreach(writeCodebooks(root, _))
+    // a pq=0 retrain over a previously pq>0 index must not leave the
+    // old codebooks/ behind for the serving-model loader to pick up
+    if (pq == 0)
+      catalog.metaStore.deleteDirBestEffort(new HPath(root, "codebooks"))
+    val bcCents = spark.sparkContext.broadcast(
+      centRows.sortBy(_._1).map { case (cid, cv) => (cid, cv.toArray) }.toArray)
     val data = withCode(df.where(col(field).isNotNull), field, pqCb)
       .withColumn("__rid", monotonically_increasing_id())
       .withColumn("__epoch", lit(0L))
-      .withColumn("__cell",
-        explode(nearestCells(col(field), centRows, spill)))
-    data.write.mode("overwrite").partitionBy("__cell")
+      .withColumn("__cell", explode(
+        graft.exprs.NearestCells.nearest_cells(col(field), bcCents, spill)))
+    data.write.mode("overwrite").partitionBy("__epoch", "__cell")
       .parquet(new HPath(root, "data").toString)
-    writeSidecars(name, field, centRows.length, gen, spill, epoch = 0,
+    writeMeta(name, field, centRows.length, gen, spill, epoch = 0,
       covered = splits.map(_.id).toSet, pq = pq)
     (centRows.length, n)
   }
@@ -223,31 +255,17 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
 
   /** PQ codebooks for serving: sub-vectors of the 16 smallest
     * content-hash vectors (the train-seed discipline), fixed-point —
-    * the same seeds-as-codewords construction the gated `knn_pq` tier
-    * uses (`Ann.pqCodebooks`), re-derived here because serving seeds by
-    * hash, not vid. */
+    * the ONE construction [[Ann.pqCodebooksFromSeeds]] defines (shared
+    * with the gated `knn_pq`/`knn_ivf_pq` tier); only the seed
+    * SELECTION differs here (serving seeds by content hash, the query
+    * tier by vid). */
   private def buildCodebooks(vecs: DataFrame,
       numSub: Int): graft.exprs.Pq.Codebooks = {
-    import graft.exprs.Pq
     val seeds = vecs.dropDuplicates("vid").orderBy(col("vid")).limit(16)
-      .select(col("v")).collect()
+      .select(col("vid"), col("v")).collect()
+      .toSeq.map(r => (s"vid=${r.get(0)}", r.getSeq[Any](1)))
     require(seeds.nonEmpty, "pq needs at least one vector for codebooks")
-    val fixedSeeds = seeds.toSeq.map { r =>
-      val v = r.getSeq[Any](0)
-      require(v != null && !v.contains(null), "pq seed vector malformed")
-      v.map {
-        case f: java.lang.Float  => Pq.fixedPoint(f.toDouble * 1000000.0)
-        case d: java.lang.Double => Pq.fixedPoint(d.doubleValue * 1000000.0)
-      }.toIndexedSeq
-    }
-    val dim = fixedSeeds.head.length
-    require(fixedSeeds.forall(_.length == dim),
-      "pq seed vectors disagree on dimensionality")
-    require(dim % numSub == 0,
-      s"dim $dim must split evenly into $numSub subspaces")
-    val subDim = dim / numSub
-    (0 until numSub).map(s =>
-      fixedSeeds.map(_.slice(s * subDim, (s + 1) * subDim)))
+    Ann.pqCodebooksFromSeeds(seeds, numSub)
   }
 
   private def writeCodebooks(root: HPath,
@@ -275,59 +293,118 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     * steady ingest keeps the served tier fresh without the full-rebuild
     * price. Returns (new splits covered, vectors appended).
     *
-    * Append-only contract: the covered splits must all still be live.
-    * A merge/compaction replaces covered splits with a new one that
-    * CONTAINS their documents — appending it would double-serve every
-    * compacted doc — so refresh fails loudly there and directs to a
-    * full retrain. Each refresh stamps its rows' `__rid` with the next
-    * epoch (bits 45+), keeping ids disjoint from every earlier batch
-    * without any cross-batch coordination. Centroids do drift as the
-    * corpus grows; the quantizer is only as good as its training set,
-    * which is the standard IVF trade — retrain on a cadence, refresh
-    * between. */
+    * Compaction survival: a merge/compaction replaces covered splits
+    * with produced ones that CONTAIN their documents. When the manifest
+    * records the merge as LOSSLESS ([[SplitInfo.parents]] — doc counts
+    * preserved, committed atomically with the swap), refresh TRANSLATES
+    * its coverage through the lineage (consumed ids out, produced ids
+    * in) and continues — the routine 100 TB compaction no longer forces
+    * a corpus-scale retrain. Translation iterates, so any number of
+    * merges between refreshes resolves as long as each merge's consumed
+    * set was covered; a doc-dropping merge (`--dedup`) records no
+    * lineage and still fails loudly to a full retrain (its removed
+    * duplicates are in data/ and would be over-served under a
+    * translated claim of exactly-once).
+    *
+    * Crash atomicity (the invisible-until-referenced discipline): new
+    * rows land under an epoch-named partition directory
+    * (`data/__epoch=N/`) that queries ignore until META — ONE
+    * atomically-renamed file carrying epoch + covered splits — points
+    * at it; a crash between the append and the META publish leaves
+    * orphan directories that the next refresh detects by listing and
+    * deletes before re-appending, so replays can never double-serve.
+    * Each row's (__epoch, __rid) pair identifies it across batches with
+    * zero cross-batch coordination. Centroids do drift as the corpus
+    * grows; the quantizer is only as good as its training set, which is
+    * the standard IVF trade — retrain on a cadence, refresh between. */
   def refresh(name: String, field: String): (Int, Long) = {
     val cfg = catalog.load(name)
     vectorCol(cfg, field)
     val m = meta(name, field).getOrElse(
       sys.error(s"no trained index for '$field' — run train first"))
-    val covered = coveredSplits(name, field)
+    val covered0 = coveredSplits(name, field)
     val (gen, live) = catalog.manifestState(name)
+    val covered = translateThroughMerges(covered0, live)
     val liveIds = live.map(_.id).toSet
     val gone = covered.diff(liveIds)
     require(gone.isEmpty,
-      s"covered split(s) no longer live (merge/compaction?): " +
-        s"${gone.take(3).mkString(", ")} — refresh would double-serve " +
-        "their documents; re-run a full train")
+      s"covered split(s) no longer live and not translatable through a " +
+        s"lossless merge lineage: ${gone.take(3).mkString(", ")} — " +
+        "refresh would double-serve their documents; re-run a full train")
     val pq = pqOf(name, field)
+    val root = annRoot(name, field)
+    val servedEpoch = epochOf(name, field)
     val newSplits = live.filterNot(s => covered(s.id))
     if (newSplits.isEmpty) {
-      // nothing to add; still advance the recorded generation so the
-      // staleness note clears after e.g. idempotent rewrites
-      writeSidecars(name, field, m._1, gen, m._3, epochOf(name, field),
-        covered, pq)
+      // nothing to append; still publish the translated coverage and
+      // the current generation so the staleness note clears (and a
+      // post-merge translation sticks without waiting for new data)
+      writeMeta(name, field, m._1, gen, m._3, servedEpoch, covered, pq)
       return (0, 0L)
     }
+    // a refresh that crashed between its append and its META publish
+    // left orphan epoch directories no query can see — delete them
+    // before re-appending the same splits under the same epoch number
+    dropOrphanEpochs(root, servedEpoch)
     val (_, _, df) = corpusOf(name, newSplits)
-    val root = annRoot(name, field)
-    val centRows = spark.read.parquet(new HPath(root, "centroids").toString)
-      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
-    val epoch = epochOf(name, field) + 1
+    val (centArr, cbs) = servingModel(name, field, root)
+    val epoch = servedEpoch + 1
     val base = df.where(col(field).isNotNull)
     val nNew = base.count()
-    // (__epoch, __rid) identifies a logical row with zero cross-batch
-    // coordination: __rid is unique within its write (monotonic id) and
-    // __epoch distinguishes writes — no bit-packing bound to outgrow
-    val fresh = withCode(base, field,
-        if (pq > 0) Some(readCodebooks(root)) else None)
+    val bcCents = spark.sparkContext.broadcast(centArr)
+    val fresh = withCode(base, field, if (pq > 0) cbs else None)
       .withColumn("__rid", monotonically_increasing_id())
       .withColumn("__epoch", lit(epoch.toLong))
-      .withColumn("__cell",
-        explode(nearestCells(col(field), centRows, m._3)))
-    fresh.write.mode("append").partitionBy("__cell")
+      .withColumn("__cell", explode(
+        graft.exprs.NearestCells.nearest_cells(col(field), bcCents, m._3)))
+    fresh.write.mode("append").partitionBy("__epoch", "__cell")
       .parquet(new HPath(root, "data").toString)
-    writeSidecars(name, field, m._1, gen, m._3, epoch,
+    writeMeta(name, field, m._1, gen, m._3, epoch,
       covered ++ newSplits.map(_.id), pq)
     (newSplits.length, nNew)
+  }
+
+  /** Coverage translation through lossless-merge lineage: live splits
+    * whose `parents` are all covered replace their parents in the
+    * covered set; iterated to honor several merges committed since the
+    * last refresh (merge order is immaterial — each produced GROUP
+    * translates only once its whole consumed set resolves). The loop is
+    * bounded by the number of distinct parent groups. */
+  private def translateThroughMerges(covered0: Set[String],
+      live: List[SplitInfo]): Set[String] = {
+    var covered = covered0
+    val groups = live.filter(_.parents.nonEmpty)
+      .groupBy(_.parents).toList
+    var changed = true
+    while (changed) {
+      changed = false
+      groups.foreach { case (pars, produced) =>
+        val ids = produced.map(_.id)
+        if (!ids.forall(covered) && pars.forall(covered)) {
+          covered = covered -- pars ++ ids
+          changed = true
+        }
+      }
+    }
+    covered
+  }
+
+  /** Epoch directories of data/ ABOVE the served epoch — writable only
+    * by a refresh that crashed before its META publish; invisible to
+    * queries (the epoch filter) and deleted before the next append. */
+  private def dropOrphanEpochs(root: HPath, servedEpoch: Int): Unit = {
+    val dataDir = new HPath(root, "data")
+    val f = fs(dataDir)
+    if (!f.exists(dataDir)) return
+    val epochRe = """__epoch=(\d+)""".r
+    f.listStatus(dataDir).foreach { st =>
+      st.getPath.getName match {
+        case epochRe(e) if e.toLong > servedEpoch =>
+          try { f.delete(st.getPath, true); () }
+          catch { case scala.util.control.NonFatal(_) => () }
+        case _ => ()
+      }
+    }
   }
 
   private def metaField(name: String, field: String, key: String): Option[String] = {
@@ -348,42 +425,56 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
   def pqOf(name: String, field: String): Int =
     metaField(name, field, "pq").map(_.toInt).getOrElse(0)
 
-  private def writeSidecars(name: String, field: String, cells: Int,
+  /** Publish the trained tier's commit point: ONE atomically-renamed
+    * META file carrying the model shape (cells/spill/pq), the covered
+    * manifest generation, the served epoch, AND the covered split ids
+    * (`split=` lines) — epoch and coverage can therefore never disagree
+    * after a crash, which is what makes [[refresh]]'s append
+    * invisible-until-referenced. Drops the legacy two-file layout's
+    * SPLITS sidecar so stale coverage can never shadow META's. */
+  private def writeMeta(name: String, field: String, cells: Int,
       gen: Long, spill: Int, epoch: Int, covered: Set[String],
       pq: Int): Unit = {
     val root = annRoot(name, field)
-    val sp = new HPath(root, "SPLITS")
-    val so = fs(sp).create(sp, true)
-    try so.write(covered.toList.sorted.mkString("\n").getBytes("UTF-8"))
-    finally so.close()
-    val metaPath = new HPath(root, "META")
-    val out = fs(metaPath).create(metaPath, true)
-    try out.write(
-      s"cells=$cells\ngen=$gen\nspill=$spill\nepoch=$epoch\npq=$pq\n"
-        .getBytes("UTF-8"))
-    finally out.close()
+    val body = new StringBuilder()
+    body.append(s"cells=$cells\ngen=$gen\nspill=$spill\nepoch=$epoch\npq=$pq\n")
+    covered.toList.sorted.foreach(id => body.append(s"split=$id\n"))
+    catalog.metaStore.writeStringAtomic(new HPath(root, "META"),
+      body.toString)
+    catalog.metaStore.deleteIfExists(new HPath(root, "SPLITS"))
   }
 
-  /** Map-only top-`spill` nearest-centroid selection: sort the
-    * (cosine, -cid) struct array — cosine desc, cid asc ties, the
-    * [[Ann]] family's rule — and slice the best `spill`, with the
-    * centroid list inlined as literals (a model constant, k·dim).
-    * Returns an array of cell ids (length min(spill, cells)). */
-  private def nearestCells(v: Column,
-      cents: Seq[(Long, Seq[Float])], spill: Int): Column = {
-    val scored = cents.map { case (cid, cv) =>
-      struct(
-        // zero vectors cosine to null; pin them below every real score so
-        // the selection (and the partitions they land in) stays defined
-        coalesce(CosineSimilarity.cosine_similarity(v, array(cv.map(lit): _*)),
-          lit(-2.0)).as("c"),
-        lit(-cid).as("nc"))
+  /** The serving model — (centroid table, PQ codebooks if any) —
+    * through a process-wide LRU keyed on the META signature (the digest
+    * -cache discipline): a knn previously re-read + collected the
+    * centroids/ and codebooks/ parquet on EVERY query — a cold
+    * object-store read per query at scale. Entries are only trusted and
+    * stored when the signature is content-derived (etag) or its mtime
+    * tick is settled, the [[Catalog.manifestStateCached]] rule. */
+  private def servingModel(name: String, field: String, root: HPath)
+      : (Array[(Long, Array[Float])], Option[graft.exprs.Pq.Codebooks]) = {
+    val sigOpt = catalog.metaStore.fileSignature(new HPath(root, "META"))
+    val trusted = sigOpt.exists(sig => sig.etag.nonEmpty ||
+      System.currentTimeMillis() - sig.mtime >= Catalog.MtimeGranularityMs)
+    val key = sigOpt.map(sig => s"${catalog.catalogRoot}#$name#$field#$sig")
+    val hit = if (trusted) key.flatMap(k =>
+      Option(AnnIndex.servingCache.get(k))) else None
+    hit match {
+      case Some(v) =>
+        AnnIndex.servingHits.incrementAndGet()
+        v
+      case None =>
+        AnnIndex.servingMisses.incrementAndGet()
+        val centArr = spark.read
+          .parquet(new HPath(root, "centroids").toString)
+          .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          .sortBy(_._1)
+        val cbP = new HPath(root, "codebooks")
+        val cbs = if (fs(cbP).exists(cbP)) Some(readCodebooks(root)) else None
+        val v = (centArr, cbs)
+        if (trusted) key.foreach(k => AnnIndex.servingCache.put(k, v))
+        v
     }
-    val s = math.min(spill, cents.length)
-    val arr = array_sort(array(scored: _*)) // ascending: best cells last
-    transform(
-      slice(arr, cents.length - s + 1, s),
-      x => -x.getField("nc"))
   }
 
   /** Top-k cosine neighbors of `queryVec` as (score, doc JSON) rows.
@@ -401,15 +492,19 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     val scored: DataFrame =
       if (nProbe > 0 && m.isDefined) {
         val root = annRoot(name, field)
-        val cents = spark.read.parquet(new HPath(root, "centroids").toString)
-          .collect().map(r =>
-            (r.getLong(0), r.getSeq[Float](1).toArray))
+        val (cents, cbsOpt) = servingModel(name, field, root)
         // rank the model-constant centroid table driver-side
         val probes = cents.map { case (cid, cv) =>
           (cid, AnnIndex.cosine(queryVec, cv))
         }.sortBy { case (cid, c) => (-c, cid) }.take(nProbe).map(_._1)
+        // the epoch filter is part of the crash contract: rows above
+        // META's served epoch are an unreferenced append (a refresh
+        // that died before its commit point) and must stay invisible;
+        // like the cell filter it prunes whole partition directories
+        val servedEpoch = epochOf(name, field)
         val cand0 = spark.read.parquet(new HPath(root, "data").toString)
-          .where(col("__cell").isin(probes.toSeq: _*))
+          .where(col("__cell").isin(probes.toSeq: _*) &&
+            col("__epoch") <= lit(servedEpoch))
         // PQ tier: rank candidates over the SKINNY (__code, ids) columns
         // — m ints per row instead of the full stored document, the
         // memory-bandwidth cut that matters when a probed cell holds
@@ -417,15 +512,25 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
         // full rows for the exact-cosine rerank below
         val pq = pqOf(name, field)
         val cand = if (pq > 0) {
-          val cb = readCodebooks(root)
+          val cb = cbsOpt.getOrElse(sys.error(
+            s"trained index for '$field' claims pq=$pq but has no codebooks"))
           val lut = AnnIndex.lutFor(queryVec, cb)
           // the ADC shortlist size: more probes pour more candidates
           // into a FIXED shortlist, so a crowded R trades recall —
           // raise `rerank` together with nProbe (measured in ProbeKnn)
           val rFetch = if (rerank > 0) rerank else math.max(4 * k, 64)
-          val survivors = cand0
+          // dedupe the SKINNY projection before the shortlist cut: with
+          // spill > 1 a boundary row's copies land in several probed
+          // cells with identical codes, and letting them occupy several
+          // of the rFetch slots silently shrinks the effective rerank
+          // budget by up to spill× (copies share (__epoch, __rid), so
+          // the dedup is exact; spill=1 skips the exchange)
+          val skinny0 = cand0
             .select(col("__epoch"), col("__rid"), col("__code"))
             .where(col("__code").isNotNull)
+          val skinny = if (m.exists(_._3 > 1))
+            skinny0.dropDuplicates("__epoch", "__rid") else skinny0
+          val survivors = skinny
             .withColumn("__adist",
               graft.exprs.Pq.pq_adc(col("__code"), typedLit(lut.toSeq)))
             .orderBy(col("__adist").asc)
@@ -456,6 +561,33 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
 }
 
 object AnnIndex {
+  /** Process-wide serving-model cache (centroids + codebooks), LRU,
+    * keyed on catalog root + index + field + META file signature — see
+    * [[AnnIndex.servingModel]]. Sized in MODELS: even 64 resident
+    * √n-cell models at 768 dims is a few hundred MB, and one index
+    * typically serves per process. */
+  private val ServingCacheMax =
+    sys.props.get("graft.ann.model.cache.max").map(_.toInt).getOrElse(64)
+  private[engine] val servingCache: java.util.Map[
+      String, (Array[(Long, Array[Float])], Option[graft.exprs.Pq.Codebooks])] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[
+          String, (Array[(Long, Array[Float])], Option[graft.exprs.Pq.Codebooks])](
+          16, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[
+            String, (Array[(Long, Array[Float])], Option[graft.exprs.Pq.Codebooks])])
+            : Boolean = size() > ServingCacheMax
+      })
+  private[engine] val servingHits = new java.util.concurrent.atomic.AtomicLong()
+  private[engine] val servingMisses = new java.util.concurrent.atomic.AtomicLong()
+
+  /** (hits, misses, residentModels) of the serving-model cache — a MISS
+    * is a centroids/ (+ codebooks/) parquet read + collect, the
+    * per-query cold-read the cache exists to kill; surfaced by
+    * `stats --ann`. */
+  def servingCacheStats: (Long, Long, Int) =
+    (servingHits.get(), servingMisses.get(), servingCache.size())
+
   /** Driver-side ADC lookup table for a query — identical fixed-point
     * arithmetic to [[graft.exprs.Pq]]'s PqLut kernel; the query is a
     * constant, so the table is computed once and shipped as a literal

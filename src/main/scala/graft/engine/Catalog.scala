@@ -55,7 +55,14 @@ final case class SplitInfo(id: String, numDocs: Long,
       * digests: pre-digest split, or every filter saturated). The hash —
       * not the filters — lives in the manifest, so manifest reads stay
       * O(bytes) and cached digests have an exact identity. */
-    digest: Option[String] = None)
+    digest: Option[String] = None,
+    /** Compaction lineage: the split ids a LOSSLESS merge consumed to
+      * produce this one (empty for ingested splits and for merges that
+      * changed the document count, e.g. `--dedup`). Committed atomically
+      * with the swap, so a sidecar index built over the consumed splits
+      * (the ANN trained tier) can translate its coverage through the
+      * merge instead of forcing a corpus-scale retrain. */
+    parents: List[String] = Nil)
 
 object Catalog {
   /** Upper bound on mtime granularity across supported stores: local FS
@@ -200,6 +207,10 @@ final class Catalog(rootDir: String,
     hadoopConf: Configuration = Catalog.defaultHadoopConf()) {
   private val store = new ManifestStore(rootDir, hadoopConf)
 
+  /** The catalog's store, for engine-internal sidecar writers that need
+    * its atomic-publish helpers (the ANN tier's META). */
+  private[engine] def metaStore: ManifestStore = store
+
   private def configPath(name: String) =
     new HPath(new HPath(store.root, "catalog"), s"$name.yaml")
   private def indexDir(name: String) =
@@ -303,7 +314,13 @@ final class Catalog(rootDir: String,
         if (hit != null && hit._1 == sig && (contentDerived || settled)) hit._2
         else {
           val st = manifestState(name)
-          manifestCache.put(name, (sig, st))
+          // Only cache trustworthy reads: an UNSETTLED mtime-only
+          // signature could still be rewritten at the same
+          // (length, mtime) by a foreign writer AFTER this read, and a
+          // cached entry would then serve the stale parse on every
+          // signature hit once the tick settles. Unsettled reads stay
+          // uncached (they were bypassing the cache anyway).
+          if (contentDerived || settled) manifestCache.put(name, (sig, st))
           st
         }
     }
@@ -363,7 +380,10 @@ final class Catalog(rootDir: String,
       numStats, dicts, hexStats,
       // entries from before the field are format-1 splits
       Option(s.get("format")).filter(!_.isNull).map(_.asInt()).getOrElse(1),
-      Option(s.get("digest")).filter(!_.isNull).map(_.asText()))
+      Option(s.get("digest")).filter(!_.isNull).map(_.asText()),
+      Option(s.get("parents")).filter(_.isArray).map {
+        _.elements().asScala.map(_.asText()).toList
+      }.getOrElse(Nil))
   }
 
   private def parseDoc(text: String): ManifestDoc = {
@@ -476,6 +496,11 @@ final class Catalog(rootDir: String,
       s.minTs.foreach(o.put("minTs", _))
       s.maxTs.foreach(o.put("maxTs", _))
       s.digest.foreach(o.put("digest", _))
+      if (s.parents.nonEmpty) {
+        val a = m.createArrayNode()
+        s.parents.foreach(a.add)
+        o.set[com.fasterxml.jackson.databind.JsonNode]("parents", a)
+      }
       if (s.numStats.nonEmpty) {
         val st = m.createObjectNode()
         s.numStats.toList.sortBy(_._1).foreach { case (f, (mn, mx)) =>
@@ -661,7 +686,22 @@ final class Catalog(rootDir: String,
     val committed = mutate(name) { live =>
       val liveIds = live.map(_.id).toSet
       if (!removed.forall(liveIds.contains)) None
-      else Some(live.filterNot(s => removed.contains(s.id)) ++ added)
+      else {
+        // Lineage tag: when the swap preserves every document (a pure
+        // compaction — doc counts match exactly), record the consumed
+        // ids as the produced splits' `parents`, atomically with the
+        // swap. A doc-dropping merge (--dedup) records nothing: a
+        // sidecar index translating coverage through parents must not
+        // claim docs the merge removed are "covered exactly once".
+        val consumedDocs = live.iterator
+          .filter(s => removed.contains(s.id)).map(_.numDocs).sum
+        val lossless = removed.nonEmpty && added.nonEmpty &&
+          consumedDocs == added.iterator.map(_.numDocs).sum
+        val tagged =
+          if (lossless) added.map(_.copy(parents = removed.sorted))
+          else added
+        Some(live.filterNot(s => removed.contains(s.id)) ++ tagged)
+      }
     }
     if (committed && !retainInputs)
       removed.foreach(id => deleteDirBestEffort(splitDir(name, id)))

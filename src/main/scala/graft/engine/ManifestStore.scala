@@ -74,6 +74,24 @@ final class ManifestStore(rootUri: String, conf: Configuration) {
     try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 
+  /** Atomic overwrite-publish of a small metadata file: temp write +
+    * `FileContext` OVERWRITE rename (the [[RenameCommitPoint]] idiom) —
+    * readers see the old or the new content, never a torn one, and a
+    * crash mid-write leaves the previous file intact plus one leaked
+    * temp. NOT a CAS: single-writer sidecars only (the ANN tier's META;
+    * the manifest itself goes through [[commitPoint]]). On flat object
+    * stores rename is copy+delete — same caveat as RenameCommitPoint,
+    * acceptable for a single-writer sidecar. */
+  def writeStringAtomic(p: HPath, s: String): Unit = {
+    mkdirs(p.getParent)
+    val tmp = new HPath(p.getParent,
+      s".${p.getName}.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    val fc = FileContext.getFileContext(p.toUri, fs.getConf)
+    fc.rename(tmp, p, Options.Rename.OVERWRITE)
+  }
+
   /** Delete a metadata file. IO failures PROPAGATE: a drop() that cannot
     * remove the index config must fail loudly — swallowing the error left
     * the index still exists() while drop reported success, and the next

@@ -53,18 +53,56 @@ object Ann {
 
   /** Nearest-centroid cell assignment — THE shared IVF-family contract
     * ([[ivf]], [[sq8Ivf]], [[kmeansStep]] and the probing side all use
-    * exactly this): exact cosine to each already-broadcast centroid,
-    * rank by (cosine desc, cid asc), keep ranks <= maxRank. `carry`
-    * columns ride along; output is (idCol, carry..., cell). A tie-break
-    * or ranking change lands in every operator at once. */
+    * exactly this): exact cosine to each centroid, rank by
+    * (cosine desc, cid asc), keep ranks <= maxRank. `carry` columns ride
+    * along; output is (idCol, carry..., cell). A tie-break or ranking
+    * change lands in every operator at once.
+    *
+    * Two physical forms, identical selections (the −2.0 sentinel in
+    * [[graft.exprs.NearestCells]] reproduces `desc_nulls_last` + cid-asc
+    * ties bit-for-bit):
+    *
+    *  - **corpus side (maxRank = 1)** — one MAP-ONLY pass: the tiny
+    *    centroid table is collected (k·dim, a model constant — the
+    *    kmeans/PQ collect discipline) and shipped as a Spark broadcast
+    *    into a tight-loop argmax expression. Zero exchange: the
+    *    previous `crossJoin + row_number().over(partitionBy(id))` form
+    *    shuffled n×k rows per assignment pass — 10¹⁵ rows at the
+    *    n = 10¹⁰, k = √n design point, the r12 verdict's scale-killer.
+    *  - **probe side (maxRank > 1)** — the broadcast-join + window
+    *    form, where the windowed side is the QUERY set (small) and the
+    *    shuffle is queries×k, never corpus-bound. */
   private def cellAssign(vecs: DataFrame, cents: DataFrame, idCol: String,
       vecCol: String, maxRank: Int, carry: Seq[String]): DataFrame =
-    vecs.crossJoin(cents)
-      .withColumn("ccos", cosine(col(vecCol), col("cv")))
-      .withColumn("crn", row_number().over(
-        Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("cid").asc)))
-      .where(col("crn") <= maxRank)
-      .select((col(idCol) +: carry.map(col)) :+ col("cid").as("cell"): _*)
+    if (maxRank == 1) {
+      val centArr = cents
+        .select(col("cid").cast("long"),
+          col("cv").cast(org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      val bc = vecs.sparkSession.sparkContext.broadcast(centArr)
+      // window-form parity at the edges: an empty centroid table drops
+      // every row (the crossJoin did); a NULL vector still lands in the
+      // lowest-cid cell (all-null cosines tied, cid-asc rank 1)
+      if (centArr.isEmpty)
+        vecs.where(lit(false))
+          .select((col(idCol) +: carry.map(col)) :+
+            lit(null).cast("long").as("cell"): _*)
+      else vecs
+        .withColumn("cell", coalesce(
+          element_at(
+            graft.exprs.NearestCells.nearest_cells(col(vecCol), bc, 1), 1),
+          lit(centArr.head._1)))
+        .select((col(idCol) +: carry.map(col)) :+ col("cell"): _*)
+    } else
+      vecs.crossJoin(cents)
+        .withColumn("ccos", cosine(col(vecCol), col("cv")))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("cid").asc)))
+        .where(col("crn") <= maxRank)
+        .select((col(idCol) +: carry.map(col)) :+ col("cid").as("cell"): _*)
 
   /** centroids: (cid, cv) — tiny, broadcast. Assignment is one narrow
     * pass; each query probes its nprobe nearest cells (the recall/latency
@@ -312,13 +350,26 @@ object Ann {
     * with a named cause rather than a MatchError. */
   private def pqCodebooks(vecs: DataFrame,
       numSubspaces: Int): graft.exprs.Pq.Codebooks = {
-    import graft.exprs.Pq
     val seeds = vecs.where(col("vid") < 16).orderBy(col("vid")).collect()
+      .toSeq.map(r => (s"vid=${r.get(0)}", r.getSeq[Any](1)))
     require(seeds.nonEmpty, "pq needs seed vectors (vid < 16) for codebooks")
-    val fixedSeeds: Seq[IndexedSeq[Long]] = seeds.toSeq.map { r =>
-      val v = r.getSeq[Any](1)
+    pqCodebooksFromSeeds(seeds, numSubspaces)
+  }
+
+  /** Seed vectors → PQ codebooks: fixed-point conversion, dimensionality
+    * checks, sub-vector slicing — THE one construction both the gated
+    * query tier ([[pq]]/[[ivfPq]] via [[pqCodebooks]], seeded by
+    * vid < 16) and the serving tier ([[graft.engine.AnnIndex]], seeded
+    * by the 16 smallest content hashes) encode with; the seed SELECTION
+    * is the only thing that differs between them. Seeds must be clean: a
+    * codebook from a malformed vector is undefined, so fail with a named
+    * cause rather than a MatchError. */
+  def pqCodebooksFromSeeds(seeds: Seq[(String, Seq[Any])],
+      numSubspaces: Int): graft.exprs.Pq.Codebooks = {
+    import graft.exprs.Pq
+    val fixedSeeds: Seq[IndexedSeq[Long]] = seeds.map { case (label, v) =>
       require(v != null && !v.contains(null),
-        s"pq seed vector vid=${r.get(0)} is null or has null elements")
+        s"pq seed vector $label is null or has null elements")
       v.map {
         case f: java.lang.Float  => Pq.fixedPoint(f.toDouble * 1000000.0)
         case d: java.lang.Double => Pq.fixedPoint(d.doubleValue * 1000000.0)

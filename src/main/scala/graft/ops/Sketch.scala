@@ -176,14 +176,26 @@ object Sketch {
     * oracle reproduces every bucket id exactly (no float log whose last
     * ULP could flip a boundary).
     *
+    * Supported value domain: [0, 2^58]. Values above [[HdrCap]] = 2^58
+    * are clamped into the top bucket — the sub-bucket product
+    * `(v − 2^e)·16` (and the midpoint reconstruction in
+    * [[hdrQuantiles]]) would overflow int64 for v ≥ 2^62, silently
+    * mis-bucketing extremes; the clamp keeps every intermediate well
+    * inside int64 and turns the overflow into a documented saturation.
+    *
     * Scale shape: one `groupBy(grp, bucket).count` — partial-aggregated
     * map-side, shuffling ≤ groups × (64·16+1) rows no matter the corpus;
     * grids merge by `sum(cnt)` (per-split / per-window partials combine
     * without revisiting data — pinned in SketchSpec). This is what a
     * datasheet pass runs for p50/p90/p99 length and latency columns when
     * an exact per-group sort of 100 TB is unaffordable. */
+  /** Saturation cap for [[hdrBuckets]] values (2^58) — see the domain
+    * note on hdrBuckets. */
+  val HdrCap: Long = 1L << 58
+
   def hdrBuckets(df: DataFrame, group: Column, value: Column): DataFrame =
-    df.select(group.as("grp"), value.cast("long").as("v"))
+    df.select(group.as("grp"),
+        least(value.cast("long"), lit(HdrCap)).as("v"))
       .select(col("grp"),
         when(col("v") <= 0, lit(0L))
           .otherwise(expr(s"""1 + (length(bin(v)) - 1) * $HdrSub +

@@ -591,8 +591,10 @@ object SketchQueries {
     // the HLL rho), 16 linear sub-buckets, midpoint estimate — every
     // step integer arithmetic both engines reproduce exactly
     "sketch_quantile_hdr" ->
-      """WITH raw AS (
-        |  SELECT source AS grp, CAST(length(text) AS BIGINT) AS v FROM documents),
+      s"""WITH raw AS (
+        |  SELECT source AS grp,
+        |    least(CAST(length(text) AS BIGINT), ${Sketch.HdrCap}) AS v
+        |  FROM documents),
         |b AS (
         |  SELECT grp, CASE WHEN v <= 0 THEN 0
         |    ELSE 1 + (length(bin(v)) - 1) * 16 +
@@ -729,7 +731,8 @@ object SketchQueries {
          |      ELSE est_raw END AS est_vocab
          |  FROM est),
          |ex AS (SELECT grp, count(DISTINCT tok) AS exact_vocab FROM tk GROUP BY grp),
-         |raw AS (SELECT grp, CAST(length(text) AS BIGINT) AS v FROM dt),
+         |raw AS (SELECT grp,
+         |  least(CAST(length(text) AS BIGINT), ${Sketch.HdrCap}) AS v FROM dt),
          |hb AS (
          |  SELECT grp, CASE WHEN v <= 0 THEN 0
          |    ELSE 1 + (length(bin(v)) - 1) * 16 +

@@ -273,4 +273,122 @@ class AdviceRegressionSpec extends AnyFunSuite {
       cat.drop("dyntok")
     }
   }
+
+  test("HDR buckets saturate at the 2^58 cap instead of int64-overflowing") {
+    // r12 advice: (v - 2^e)*16 overflows int64 for v >= 2^62 (and the
+    // midpoint reconstruction with it), silently mis-bucketing extremes;
+    // the documented domain is [0, 2^58] with saturation above.
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = Seq(("g", 1L << 62), ("g", Long.MaxValue),
+      ("g", (1L << 58) + 5L), ("g", 100L)).toDF("grp0", "v0")
+    val bk = graft.ops.Sketch.hdrBuckets(df, col("grp0"), col("v0"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(bk.keys.forall(_ >= 0), s"no negative (overflowed) bucket ids: $bk")
+    val capBucket = (1 + 58 * graft.ops.Sketch.HdrSub).toLong // v = 2^58, offset 0
+    assert(bk(capBucket) == 3L,
+      s"all three >= 2^58 values saturate into the cap bucket: $bk")
+    val qs = graft.ops.Sketch.hdrQuantiles(
+      graft.ops.Sketch.hdrBuckets(df, col("grp0"), col("v0")), Seq(50, 99))
+      .collect()
+    assert(qs.forall(_.getLong(4) > 0L),
+      s"midpoint reconstruction stays positive under the cap: ${qs.mkString(";")}")
+  }
+
+  test("PQ ADC shortlist dedupes spill copies BEFORE the cut — the rerank " +
+      "budget is not shrunk by spill") {
+    // r12 advice: with spill > 1 and pq > 0 the limit(rerank) ran before
+    // the (__epoch, __rid) dedup, so copies of one row occupied several
+    // shortlist slots. 4 docs × spill=2 in 2 probed cells = 8 candidate
+    // rows; a 4-slot shortlist must still surface all 4 DISTINCT docs.
+    withEngine { (cat, idx, _) =>
+      cat.create(
+        """version: 1
+          |name: pqspill
+          |path: /tmp/unused
+          |schema:
+          |  fields:
+          |    - name: title
+          |      type: !text
+          |    - name: emb
+          |      type: !number
+          |        type: f64
+          |      array: true
+          |""".stripMargin)
+      idx.indexFile("pqspill", writeDocs(
+        """{"title": "a", "emb": [1.0, 0.0, 0.0, 0.0]}
+          |{"title": "b", "emb": [0.9, 0.1, 0.0, 0.0]}
+          |{"title": "c", "emb": [0.0, 0.0, 1.0, 0.0]}
+          |{"title": "d", "emb": [0.0, 0.0, 0.9, 0.1]}""".stripMargin))
+      val ann = new graft.engine.AnnIndex(spark, cat)
+      ann.train("pqspill", "emb", cells = 2, spill = 2, pq = 2)
+      val hits = ann.knn("pqspill", "emb", Array(1.0f, 0.0f, 0.0f, 0.0f),
+        k = 4, nProbe = 2, rerank = 4).collect()
+      assert(hits.length == 4, s"got ${hits.length}: ${hits.mkString("; ")}")
+      assert(hits.map(_.getString(1)).distinct.length == 4,
+        s"4 distinct docs through a 4-slot shortlist: ${hits.mkString("; ")}")
+      cat.drop("pqspill")
+    }
+  }
+
+  test("an uncommitted (crashed) refresh append is invisible to knn and " +
+      "cleaned up by the next refresh") {
+    // r12 advice: refresh appended data BEFORE publishing META, and a
+    // crash between the two permanently double-served the appended docs.
+    // Appends now land in an epoch directory queries ignore until META
+    // references it; the next refresh deletes orphans before re-appending.
+    withEngine { (cat, idx, _) =>
+      cat.create(
+        """version: 1
+          |name: crashann
+          |path: /tmp/unused
+          |schema:
+          |  fields:
+          |    - name: title
+          |      type: !text
+          |    - name: emb
+          |      type: !number
+          |        type: f64
+          |      array: true
+          |""".stripMargin)
+      idx.indexFile("crashann", writeDocs(
+        """{"title": "a", "emb": [1.0, 0.0, 0.0, 0.0]}
+          |{"title": "b", "emb": [0.0, 0.0, 1.0, 0.0]}""".stripMargin))
+      val ann = new graft.engine.AnnIndex(spark, cat)
+      ann.train("crashann", "emb", cells = 1)
+      // simulate the torn refresh: an epoch-1 append exists on disk but
+      // META still says epoch=0 (copy the committed epoch-0 directory)
+      val dataDir = java.nio.file.Paths.get(
+        cat.catalogRoot.stripPrefix("file:"),
+        "indexes", "crashann", "ann", "emb", "data")
+      val src = dataDir.resolve("__epoch=0")
+      val dst = dataDir.resolve("__epoch=1")
+      java.nio.file.Files.walk(src).forEach { p =>
+        val t = dst.resolve(src.relativize(p).toString)
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t): Unit
+      }
+      // invisible: every doc served exactly once despite the orphan copy
+      val hits = ann.knn("crashann", "emb", Array(1.0f, 0.0f, 0.0f, 0.0f),
+        k = 4, nProbe = 1).collect()
+      assert(hits.length == 2 &&
+        hits.map(_.getString(1)).distinct.length == 2,
+        s"orphan epoch must stay invisible: ${hits.mkString("; ")}")
+      // the next refresh deletes the orphan before appending its epoch
+      idx.indexFile("crashann", writeDocs(
+        """{"title": "c", "emb": [0.9, 0.1, 0.0, 0.0]}"""))
+      val (ns, nv) = ann.refresh("crashann", "emb")
+      assert(ns == 1 && nv == 1L, s"refresh appends the new split: ($ns, $nv)")
+      // the orphan's copied rows are gone: 2 trained + 1 appended = 3
+      val total = ann.cellSizes("crashann", "emb").map(_._2).sum
+      assert(total == 3L, s"orphan rows must be deleted, not re-served: $total")
+      val after = ann.knn("crashann", "emb", Array(1.0f, 0.0f, 0.0f, 0.0f),
+        k = 6, nProbe = 1).collect()
+      assert(after.length == 3 &&
+        after.map(_.getString(1)).distinct.length == 3,
+        s"old + new exactly once after the recovery refresh: ${after.mkString("; ")}")
+      cat.drop("crashann")
+    }
+  }
 }

@@ -252,6 +252,38 @@ class CatalogStoreSpec extends AnyFunSuite {
       "invalidation re-reads the store")
   }
 
+  test("manifest signature cache: an UNSETTLED read is not cached — a " +
+      "same-tick foreign rewrite after it cannot be served stale once settled") {
+    // The r12-advice residual window: the unsettled read correctly
+    // bypassed the cache but still PUT its result; a foreign same-length
+    // same-tick rewrite landing after that read then poisoned the entry,
+    // and once the tick settled the stale parse was served on every
+    // signature hit until the next commit changed the signature.
+    val root = Files.createTempDirectory("graft-sigcache2").toString
+    val cat = new Catalog(root)
+    val manifest = java.nio.file.Paths.get(root, "indexes", "sig2", "manifest.json")
+    Files.createDirectories(manifest.getParent)
+    def write(gen: Long, id: String): Unit =
+      Files.write(manifest,
+        s"""{"gen":$gen,"splits":[{"id":"$id","numDocs":1,"format":2}]}"""
+          .getBytes("UTF-8")): Unit
+
+    // a tick that settles ~600ms from now, forged on both writes (wide
+    // enough that both unsettled steps run well before it settles)
+    val tick = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - (Catalog.MtimeGranularityMs - 600L))
+    write(1L, "split-aaaa")
+    Files.setLastModifiedTime(manifest, tick)
+    assert(cat.manifestStateCached("sig2")._2.map(_.id) == List("split-aaaa"))
+    // the foreign rewrite: same length, same mtime tick
+    write(2L, "split-bbbb")
+    Files.setLastModifiedTime(manifest, tick)
+    Thread.sleep(700) // the tick settles
+    val (g, l) = cat.manifestStateCached("sig2")
+    assert(g == 2L && l.map(_.id) == List("split-bbbb"),
+      s"settled hit must not serve the pre-rewrite parse, got gen $g $l")
+  }
+
   /** Run `body` with the manifest page threshold forced down to
     * `pageSize` so paging activates at test-sized split counts. */
   private def withPageSize[A](pageSize: Int)(body: => A): A = {

@@ -404,9 +404,39 @@ class CliSpec extends AnyFunSuite {
     // 8 spill=2 rows (16) + 1 refreshed spill=2 row (2) = 18
     assert(printed4.contains("18 row(s)"), printed4)
 
-    // a merge compacts the covered splits away — refresh must refuse
-    // loudly (appending the merged split would double-serve every doc)
+    // a LOSSLESS merge compacts the covered splits away — the lineage
+    // recorded atomically with the swap lets refresh TRANSLATE its
+    // coverage through it (consumed ids out, produced id in) and keep
+    // serving, instead of forcing a corpus-scale retrain
     cli.Main.run(Array("merge", "vec_test"), spark, cat, root)
+    val (trSplits, trVecs) = ann.refresh("vec_test", "emb")
+    assert(trSplits == 0 && trVecs == 0L,
+      s"translation-only refresh appends nothing: ($trSplits, $trVecs)")
+    val postMerge = ann.knn("vec_test", "emb",
+      Array(1.0f, 0.02f, 0.0f, 0.0f), 9, nProbe = 2).collect()
+    assert(postMerge.length == 9,
+      s"all 9 docs stay served post-merge: got ${postMerge.length}")
+    assert(postMerge.map(_.getString(1)).distinct.length == 9,
+      s"each doc exactly once post-merge:\n${postMerge.mkString("\n")}")
+
+    // refresh APPENDS normally after the translation — new docs keep
+    // flowing into the translated coverage
+    val in3 = Files.createTempFile("knn-docs3", ".jsonl")
+    Files.write(in3, doc("x6", Seq(0.98, 0.03, 0.002, 0.0)).getBytes("UTF-8"))
+    cli.Main.run(Array("index", "vec_test", in3.toString), spark, cat, root)
+    val (nr, nv) = ann.refresh("vec_test", "emb")
+    assert(nr == 1 && nv == 1L, s"post-translation append: ($nr, $nv)")
+    val postAppend = ann.knn("vec_test", "emb",
+      Array(1.0f, 0.02f, 0.0f, 0.0f), 10, nProbe = 2).collect()
+    assert(postAppend.length == 10 &&
+      postAppend.map(_.getString(1)).distinct.length == 10,
+      s"10 docs exactly once after translate+append:\n${postAppend.mkString("\n")}")
+
+    // a doc-DROPPING merge (--dedup) records no lineage — refresh must
+    // still refuse loudly: the dropped duplicates sit in data/ and a
+    // translated claim of exactly-once coverage would over-serve them
+    cli.Main.run(Array("index", "vec_test", in.toString), spark, cat, root)
+    cli.Main.run(Array("merge", "vec_test", "--dedup"), spark, cat, root)
     val err = intercept[Exception] { ann.refresh("vec_test", "emb") }
     assert(err.getMessage.contains("re-run a full train"), err.getMessage)
 

@@ -192,11 +192,17 @@ class PlanSpec extends AnyFunSuite {
       s"scoring must add no shuffle beyond the output sort:\n$plan")
   }
 
-  test("pipe_kmeans_step broadcasts centroids; update shuffle is (cell,dim)") {
+  test("pipe_kmeans_step: MAP-ONLY assignment (no join), update shuffle is (cell,dim)") {
     val plan = formatted(graft.queries.PipelineQueries.pipe_kmeans_step(spark, sf))
-    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
-      s"centroid assignment must broadcast:\n$plan")
+    // the corpus-side argmax rides a broadcast-fed tight-loop expression
+    // (graft.exprs.NearestCells) — the crossJoin+window form shuffled
+    // n×k rows per round, the r12 verdict's scale-killer; the only join
+    // allowed here would be the probe side, and kmeans has none
+    assert(!plan.contains("Join"),
+      s"centroid assignment must be a map-only expression, not a join:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("nearest_cells"),
+      s"assignment must ride the broadcast-fed nearest_cells expression:\n$plan")
   }
 
   test("knn_pq broadcasts the query LUTs; the corpus side carries codes only") {
