@@ -10,7 +10,15 @@ import org.apache.spark.sql.SparkSession
   * single eviction-driven recompute storm or GC stall cannot land on one
   * query and misreport it by an order of magnitude (the round-2 lesson).
   * Queries run in name order so the report is stable run-to-run.
-  */
+  *
+  * Next to wall seconds, each query reports PROCESS CPU seconds (the
+  * whole-JVM `OperatingSystemMXBean` counter delta — in local mode every
+  * executor thread lives in this JVM, so the delta is the query's actual
+  * compute): wall time on a shared box inflates 1.4–2× under a
+  * co-located process (two judge rounds burned cycles separating that
+  * from regression — SURVEY §11's drift episodes), while CPU cycles
+  * consumed stay flat, so cross-round per-query diffs should read the
+  * `cpu` column first and treat wall-only movement as contention. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -31,21 +39,33 @@ object Bench {
         System.err.println(s"[bench] warmup FAILED for $name: $e")
       }
     }
+    val osBean = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     val results = ordered.map { case (name, fn) =>
-      def once(): Option[Double] = {
+      def once(): Option[(Double, Double)] = {
+        val c0 = osBean.getProcessCpuTime
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).count()
+          Some(((System.nanoTime() - t0) / 1e9,
+            (osBean.getProcessCpuTime - c0) / 1e9))
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] query FAILED: $name: $e")
           None
         }
       }
-      // median of the successful runs: one transient failure must not
-      // discard two valid measurements (-1 only when every run failed)
-      val ok = Seq(once(), once(), once()).flatten.sorted
-      name -> (if (ok.isEmpty) -1.0 else ok(ok.size / 2))
+      // medians of the successful runs (wall and cpu independently): one
+      // transient failure must not discard two valid measurements (-1
+      // only when every run failed)
+      val ok = Seq(once(), once(), once()).flatten
+      def med(xs: Seq[Double]): Double =
+        if (xs.isEmpty) -1.0 else xs.sorted.apply(xs.size / 2)
+      (name, med(ok.map(_._1)), med(ok.map(_._2)))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, w, _) => "\"" + k + "\":" + w }
+      .mkString("{", ",", "}")
+    val cs = results.map { case (k, _, c) => "\"" + k + "\":" + c }
       .mkString("{", ",", "}")
     // A failed query must not shrink total (the regression would read as a
     // speedup): report the failure count explicitly and poison the headline
@@ -53,7 +73,9 @@ object Bench {
     val failed = results.count(_._2 < 0)
     val total =
       if (failed > 0) -1.0 else results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    val cpuTotal =
+      if (failed > 0) -1.0 else results.map(_._3).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"cpu_total":$cpuTotal,"queries":$qs,"cpu":$cs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

