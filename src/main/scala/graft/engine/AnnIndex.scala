@@ -502,9 +502,39 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
         // that died before its commit point) and must stay invisible;
         // like the cell filter it prunes whole partition directories
         val servedEpoch = epochOf(name, field)
-        val cand0 = spark.read.parquet(new HPath(root, "data").toString)
-          .where(col("__cell").isin(probes.toSeq: _*) &&
-            col("__epoch") <= lit(servedEpoch))
+        // list ONLY the probed directories: `spark.read.parquet(data/)`
+        // eagerly walks EVERY epoch×cell directory before partition
+        // pruning can drop any — at 10⁵ cells that is a per-query
+        // metadata storm. One listing per served epoch finds its cell
+        // dirs; the intersection with the probe set (× all served
+        // epochs) is what the scan ever sees — 1 + epochs metadata
+        // calls, reads bounded by nprobe as before. basePath keeps the
+        // partition columns derived from the dir names; the filters
+        // stay as belt-and-braces (a listed dir is already probed).
+        val dataDir = new HPath(root, "data")
+        val probeSet = probes.toSet
+        val cellRe = """__cell=(-?\d+)""".r
+        val epochRe = """__epoch=(\d+)""".r
+        val f = fs(dataDir)
+        val probedDirs = f.listStatus(dataDir).toSeq
+          .filter(st => st.getPath.getName match {
+            case epochRe(e) => e.toLong <= servedEpoch
+            case _          => false
+          })
+          .flatMap(ep => f.listStatus(ep.getPath).toSeq.collect {
+            case st if (st.getPath.getName match {
+              case cellRe(c) => probeSet.contains(c.toLong)
+              case _         => false
+            }) => st.getPath.toString
+          })
+        val cand0 =
+          if (probedDirs.isEmpty)
+            spark.read.parquet(dataDir.toString)
+              .where(lit(false)) // probed cells hold nothing at all
+          else spark.read.option("basePath", dataDir.toString)
+            .parquet(probedDirs: _*)
+            .where(col("__cell").isin(probes.toSeq: _*) &&
+              col("__epoch") <= lit(servedEpoch))
         // PQ tier: rank candidates over the SKINNY (__code, ids) columns
         // — m ints per row instead of the full stored document, the
         // memory-bandwidth cut that matters when a probed cell holds

@@ -50,9 +50,16 @@ import graft.engine.{Catalog, SplitInfo}
   *    so the IVF serving tier stays continuously fresh under streaming
   *    ingest — streaming vector search. No-ops until a `train` has
   *    built the index; replay-safe because a replayed batch's split is
-  *    already covered (refresh sees no new splits); if a compaction
-  *    has invalidated the snapshot the refresh failure is LOGGED, not
-  *    fatal — the stream keeps committing and the operator retrains.
+  *    already covered (refresh sees no new splits). The auto-compaction
+  *    hook (`compactSmallDocs`) COMPOSES with it: its merges are pure
+  *    compactions, so the manifest records their lineage
+  *    ([[graft.engine.SplitInfo.parents]]) and the next refresh
+  *    TRANSLATES its coverage through the merge instead of failing —
+  *    a long-lived stream compacts and stays vector-served with no
+  *    retrain (pinned in StatefulStreamingSpec). Only a doc-dropping
+  *    merge (`--dedup`, run out-of-band) still breaks coverage; that
+  *    failure is LOGGED, not fatal — the stream keeps committing and
+  *    the operator retrains.
   *
   * The states live under `stateDir` (`dedup/`, `hll/`, `hdr/`). Batch replay: the
   * split commit is idempotent per batch id; the dedup state is made replay-

@@ -385,4 +385,69 @@ class StatefulStreamingSpec extends AnyFunSuite {
       s"streamed doc must be IVF-served: ${hits.mkString}")
     cat.drop("sann")
   }
+
+  test("streaming --ann-field survives auto-compaction: coverage translates " +
+      "through the lossless merge, no retrain, every doc served once") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val root = java.nio.file.Files.createTempDirectory("graft-scann").toString
+    val cat = new graft.engine.Catalog(root)
+    cat.create(
+      """version: 1
+        |name: scann
+        |path: /tmp/unused
+        |schema:
+        |  fields:
+        |    - name: body
+        |      type: !text
+        |    - name: emb
+        |      type: !number
+        |        type: f64
+        |      array: true
+        |""".stripMargin)
+    val sc = graft.streaming.StreamStateConfig(s"$root/state/scann",
+      textField = "body", threshold = 0.5, annField = Some("emb"))
+    def doc(t: String, v: Seq[Double]) =
+      s"""{"body": "$t", "emb": [${v.mkString(", ")}]}"""
+
+    val input = MemoryStream[String]
+    val ckpt = java.nio.file.Files.createTempDirectory("scann-ckpt").toString
+    val ann = new graft.engine.AnnIndex(spark, cat)
+    // compactSmallDocs merges everything but the just-committed split —
+    // the long-lived-stream compaction the r12 scaladoc said breaks the
+    // vector tier; with merge lineage it must NOT anymore
+    val q = new graft.streaming.StreamingIndexer(spark, cat).startStream(
+      "scann", input.toDF(), ckpt, availableNow = false,
+      compactSmallDocs = Some(100L), stateful = Some(sc))
+    try {
+      input.addData(
+        doc("alpha doc", Seq(1.0, 0.0, 0.0, 0.0)),
+        doc("beta doc", Seq(0.0, 0.0, 1.0, 0.0)))
+      q.processAllAvailable()
+      ann.train("scann", "emb", cells = 2)
+      input.addData(doc("gamma doc", Seq(0.9, 0.1, 0.0, 0.0)))
+      q.processAllAvailable()
+      // this batch's commit triggers a compaction of the two COVERED
+      // splits; the refresh hook then translates and appends
+      input.addData(doc("delta doc", Seq(0.0, 0.1, 0.9, 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // refresh kept up (it would have logged-and-skipped before r13,
+    // leaving the covered generation behind the manifest's)
+    val (curGen, live) = cat.manifestState("scann")
+    assert(live.exists(_.parents.nonEmpty),
+      s"the auto-compaction must record lineage: ${live.map(s => s.id -> s.parents)}")
+    assert(ann.meta("scann", "emb").exists(_._2 == curGen),
+      s"refresh must survive the compaction and advance to gen $curGen " +
+        s"(meta: ${ann.meta("scann", "emb")})")
+    val served = ann.knn("scann", "emb", Array(1.0f, 0.0f, 0.0f, 0.0f), 4,
+      nProbe = 2).collect()
+    assert(served.length == 4 &&
+      served.map(_.getString(1)).distinct.length == 4,
+      s"all 4 docs IVF-served exactly once:\n${served.mkString("\n")}")
+    cat.drop("scann")
+  }
 }
