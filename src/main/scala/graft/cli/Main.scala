@@ -206,9 +206,12 @@ object Main {
               val sizes = ann.cellSizes(name, f)
               val tot = sizes.map(_._2).sum
               val mx = if (sizes.isEmpty) 0L else sizes.map(_._2).max
+              val (eb, ee) = ann.epochSpan(name, f)
+              val span = if (eb == ee) s"1 epoch"
+                else s"${ee - eb + 1} epochs ($eb..$ee — train --compact folds them)"
               println(s"ann '$f': $cells cell(s), spill=$spill, " +
                 s"trained at gen $gen ($stale); $tot row(s), " +
-                s"largest cell $mx")
+                s"largest cell $mx, $span")
           }
           val (ah, am, an) = graft.engine.AnnIndex.servingCacheStats
           if (ah + am > 0)
@@ -258,7 +261,16 @@ object Main {
         // --refresh assigns only splits committed since the build with
         // the existing centroids (cost proportional to new data)
         val field = flags.getOrElse("field", sys.error("train requires --field F"))
-        if (flags.contains("refresh")) {
+        if (flags.contains("compact")) {
+          // fold the per-refresh epoch directories into one (the vector
+          // tier's vacuum) — same centroids, one rewrite, no k-means
+          val (ne, n) = new graft.engine.AnnIndex(spark, cat)
+            .compactEpochs(pos.head, field)
+          if (ne == 0) println(s"nothing to compact for field '$field' " +
+            "(a single epoch is already served)")
+          else println(s"compacted $ne epoch(s) into one " +
+            s"($n row(s)) for field '$field'")
+        } else if (flags.contains("refresh")) {
           val (ns, n) = new graft.engine.AnnIndex(spark, cat)
             .refresh(pos.head, field)
           println(s"refreshed: $ns new split(s), $n vector(s) appended " +
@@ -325,6 +337,7 @@ object Main {
         case "--retain-inputs" :: t => flags("retain-inputs") = "true"; rest = t
         case "--sketches" :: t => flags("sketches") = "true"; rest = t
         case "--refresh" :: t => flags("refresh") = "true"; rest = t
+        case "--compact" :: t => flags("compact") = "true"; rest = t
         case f :: v :: t if f.startsWith("--") => flags(f.stripPrefix("--")) = v; rest = t
         case x :: t => pos += x; rest = t
         case Nil =>
@@ -340,7 +353,7 @@ object Main {
         |       count <name> <query> | merge <name> [--retain-inputs]
         |       vacuum <name> --before-gen N   (all: [--root DIR])
         |       stats <name> [--sketches --state-dir DIR] [--ann F]
-        |       train <name> --field F [--cells N (default sqrt(n)) --iterations 4 --spill 1 --pq M | --refresh]
+        |       train <name> --field F [--cells N (default sqrt(n)) --iterations 4 --spill 1 --pq M | --refresh | --compact]
         |       knn <name> --field F --vector v1,v2,... [--k 5 --nprobe N]
         |       pipeline <config.yaml>   (curate -> dedup -> shuffle -> shards)""".stripMargin)
 }

@@ -103,7 +103,8 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     * pruned to metadata + row groups. */
   def cellSizes(name: String, field: String): Seq[(Long, Long)] =
     spark.read.parquet(new HPath(annRoot(name, field), "data").toString)
-      .where(col("__epoch") <= lit(epochOf(name, field)))
+      .where(col("__epoch").between(
+        lit(baseOf(name, field)), lit(epochOf(name, field))))
       // the partition column's type is directory-name inferred (INT for
       // small ids) — pin it
       .groupBy(col("__cell").cast("long").as("__cell")).count()
@@ -334,18 +335,19 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     val pq = pqOf(name, field)
     val root = annRoot(name, field)
     val servedEpoch = epochOf(name, field)
+    val baseEp = baseOf(name, field)
     val newSplits = live.filterNot(s => covered(s.id))
     if (newSplits.isEmpty) {
       // nothing to append; still publish the translated coverage and
       // the current generation so the staleness note clears (and a
       // post-merge translation sticks without waiting for new data)
-      writeMeta(name, field, m._1, gen, m._3, servedEpoch, covered, pq)
+      writeMeta(name, field, m._1, gen, m._3, servedEpoch, covered, pq, baseEp)
       return (0, 0L)
     }
     // a refresh that crashed between its append and its META publish
     // left orphan epoch directories no query can see — delete them
     // before re-appending the same splits under the same epoch number
-    dropOrphanEpochs(root, servedEpoch)
+    dropOrphanEpochs(root, baseEp, servedEpoch)
     val (_, _, df) = corpusOf(name, newSplits)
     val (centArr, cbs) = servingModel(name, field, root)
     val epoch = servedEpoch + 1
@@ -360,8 +362,73 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     fresh.write.mode("append").partitionBy("__epoch", "__cell")
       .parquet(new HPath(root, "data").toString)
     writeMeta(name, field, m._1, gen, m._3, epoch,
-      covered ++ newSplits.map(_.id), pq)
+      covered ++ newSplits.map(_.id), pq, baseEp)
     (newSplits.length, nNew)
+  }
+
+  /** Fold every served epoch directory into ONE — the vector tier's
+    * vacuum. A long-lived stream refreshes per batch and each refresh is
+    * its own `data/__epoch=N/` directory tree; after thousands of
+    * batches the directory count (epochs × touched cells), not the data
+    * volume, dominates listing and open costs. Compaction rewrites the
+    * served rows once — SAME centroids, no k-means, cost ∝ stored data
+    * like [[train]]'s rewrite — into the next (invisible) epoch, then
+    * publishes `base = epoch = K+1` in one atomic META rename; the
+    * retired directories are best-effort deleted after the commit point
+    * and swept by [[dropOrphanEpochs]] if that is interrupted. Row
+    * identities are RE-KEYED (spill copies of one row keep a shared
+    * fresh `__rid`; pairs from different old epochs can collide once
+    * they share the folded epoch), which is safe because identities
+    * only ever live inside one serving snapshot — nothing outside
+    * data/ references them. Returns (epochs folded, rows rewritten),
+    * (0, 0) when a single epoch is already served. */
+  def compactEpochs(name: String, field: String): (Int, Long) = {
+    val cfg = catalog.load(name)
+    vectorCol(cfg, field)
+    val m = meta(name, field).getOrElse(
+      sys.error(s"no trained index for '$field' — run train first"))
+    val root = annRoot(name, field)
+    val base = baseOf(name, field)
+    val served = epochOf(name, field)
+    if (base == served) return (0, 0L)
+    val gen = metaField(name, field, "gen").map(_.toLong).getOrElse(0L)
+    val pq = pqOf(name, field)
+    val covered = coveredSplits(name, field)
+    // sweep uncommitted leftovers first so the fold sees exactly the
+    // served range, then rewrite it into the next (invisible) epoch
+    dropOrphanEpochs(root, base, served)
+    val dataDir = new HPath(root, "data")
+    val rows = spark.read.parquet(dataDir.toString)
+      .where(col("__epoch").between(base, served))
+    val next = served + 1
+    // fresh __rid per LOGICAL row: spill copies share their old
+    // (__epoch, __rid) pair and must keep sharing the new id (query-time
+    // dedup collapses on it); distinct old pairs get a unique monotonic
+    // id and the rows join it back — two corpus-keyed exchanges, the
+    // honest price of a rewrite, still centroid-free
+    val spill = m._3
+    val folded =
+      if (spill > 1) {
+        val ids = rows.select(col("__epoch").as("__oe"), col("__rid").as("__or"))
+          .distinct()
+          .withColumn("__nrid", monotonically_increasing_id())
+        rows.join(ids,
+            rows("__epoch") === ids("__oe") && rows("__rid") === ids("__or"))
+          .drop("__epoch", "__rid", "__oe", "__or")
+          .withColumnRenamed("__nrid", "__rid")
+          .withColumn("__epoch", lit(next.toLong))
+      } else
+        rows.drop("__epoch").drop("__rid")
+          .withColumn("__rid", monotonically_increasing_id())
+          .withColumn("__epoch", lit(next.toLong))
+    folded.write.mode("append").partitionBy("__epoch", "__cell")
+      .parquet(dataDir.toString)
+    val n = spark.read.parquet(dataDir.toString)
+      .where(col("__epoch") === next).count()
+    writeMeta(name, field, m._1, gen, spill, next, covered, pq, base = next)
+    // retired directories are already invisible; delete is cleanup only
+    dropOrphanEpochs(root, next, next)
+    (served - base + 1, n)
   }
 
   /** Coverage translation through lossless-merge lineage: live splits
@@ -389,17 +456,20 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     covered
   }
 
-  /** Epoch directories of data/ ABOVE the served epoch — writable only
-    * by a refresh that crashed before its META publish; invisible to
-    * queries (the epoch filter) and deleted before the next append. */
-  private def dropOrphanEpochs(root: HPath, servedEpoch: Int): Unit = {
+  /** Epoch directories of data/ OUTSIDE the served [base, epoch] range —
+    * above it, writable only by a refresh/compaction that crashed before
+    * its META publish; below it, retired by a committed compaction whose
+    * post-publish delete didn't finish. Both are invisible to queries
+    * (the epoch range filter) and swept here before the next append. */
+  private def dropOrphanEpochs(root: HPath, base: Int,
+      servedEpoch: Int): Unit = {
     val dataDir = new HPath(root, "data")
     val f = fs(dataDir)
     if (!f.exists(dataDir)) return
     val epochRe = """__epoch=(\d+)""".r
     f.listStatus(dataDir).foreach { st =>
       st.getPath.getName match {
-        case epochRe(e) if e.toLong > servedEpoch =>
+        case epochRe(e) if e.toLong > servedEpoch || e.toLong < base =>
           try { f.delete(st.getPath, true); () }
           catch { case scala.util.control.NonFatal(_) => () }
         case _ => ()
@@ -421,9 +491,22 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
   private def epochOf(name: String, field: String): Int =
     metaField(name, field, "epoch").map(_.toInt).getOrElse(0)
 
+  /** Lower bound of the served epoch range (0 for pre-compaction
+    * METAs): visibility is `base <= __epoch <= epoch`, which is what
+    * lets [[compactEpochs]] retire a long stream's accumulated epoch
+    * directories with one atomic META publish. */
+  private def baseOf(name: String, field: String): Int =
+    metaField(name, field, "base").map(_.toInt).getOrElse(0)
+
   /** PQ subspace count of the trained index (0 = no code column). */
   def pqOf(name: String, field: String): Int =
     metaField(name, field, "pq").map(_.toInt).getOrElse(0)
+
+  /** Served epoch range (base, epoch) — equal after a compaction (or a
+    * fresh train); the spread is the directory-growth signal `stats
+    * --ann` surfaces so the operator knows when `train --compact` pays. */
+  def epochSpan(name: String, field: String): (Int, Int) =
+    (baseOf(name, field), epochOf(name, field))
 
   /** Publish the trained tier's commit point: ONE atomically-renamed
     * META file carrying the model shape (cells/spill/pq), the covered
@@ -434,10 +517,11 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     * SPLITS sidecar so stale coverage can never shadow META's. */
   private def writeMeta(name: String, field: String, cells: Int,
       gen: Long, spill: Int, epoch: Int, covered: Set[String],
-      pq: Int): Unit = {
+      pq: Int, base: Int = 0): Unit = {
     val root = annRoot(name, field)
     val body = new StringBuilder()
     body.append(s"cells=$cells\ngen=$gen\nspill=$spill\nepoch=$epoch\npq=$pq\n")
+    if (base > 0) body.append(s"base=$base\n")
     covered.toList.sorted.foreach(id => body.append(s"split=$id\n"))
     catalog.metaStore.writeStringAtomic(new HPath(root, "META"),
       body.toString)
@@ -502,12 +586,13 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
         // that died before its commit point) and must stay invisible;
         // like the cell filter it prunes whole partition directories
         val servedEpoch = epochOf(name, field)
+        val baseEpoch = baseOf(name, field)
         // list ONLY the probed directories: `spark.read.parquet(data/)`
         // eagerly walks EVERY epoch×cell directory before partition
         // pruning can drop any — at 10⁵ cells that is a per-query
         // metadata storm. One listing per served epoch finds its cell
-        // dirs; the intersection with the probe set (× all served
-        // epochs) is what the scan ever sees — 1 + epochs metadata
+        // dirs; the intersection with the probe set (× the served
+        // epoch range) is what the scan ever sees — 1 + epochs metadata
         // calls, reads bounded by nprobe as before. basePath keeps the
         // partition columns derived from the dir names; the filters
         // stay as belt-and-braces (a listed dir is already probed).
@@ -518,7 +603,7 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
         val f = fs(dataDir)
         val probedDirs = f.listStatus(dataDir).toSeq
           .filter(st => st.getPath.getName match {
-            case epochRe(e) => e.toLong <= servedEpoch
+            case epochRe(e) => e.toLong >= baseEpoch && e.toLong <= servedEpoch
             case _          => false
           })
           .flatMap(ep => f.listStatus(ep.getPath).toSeq.collect {
@@ -534,7 +619,7 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
           else spark.read.option("basePath", dataDir.toString)
             .parquet(probedDirs: _*)
             .where(col("__cell").isin(probes.toSeq: _*) &&
-              col("__epoch") <= lit(servedEpoch))
+              col("__epoch").between(lit(baseEpoch), lit(servedEpoch)))
         // PQ tier: rank candidates over the SKINNY (__code, ids) columns
         // — m ints per row instead of the full stored document, the
         // memory-bandwidth cut that matters when a probed cell holds

@@ -460,6 +460,64 @@ class CliSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(ivfPlan.contains("PartitionFilters") && ivfPlan.contains("__cell"),
       s"cell filter must prune partitions at the scan:\n$ivfPlan")
+
+    // epoch compaction — the vector tier's vacuum: two refresh epochs on
+    // top of a spill=2 train, folded into one directory tree with the
+    // same centroids; every doc still served exactly once, and a later
+    // refresh appends above the new base
+    cli.Main.run(Array("train", "vec_test", "--field", "emb",
+      "--cells", "2", "--spill", "2", "--pq", "2"), spark, cat, root)
+    for (t <- Seq("z1", "z2")) {
+      val inz = Files.createTempFile(s"knn-$t", ".jsonl")
+      Files.write(inz, doc(t, Seq(0.5, 0.5, 0.5, 0.0)).getBytes("UTF-8"))
+      cli.Main.run(Array("index", "vec_test", inz.toString), spark, cat, root)
+      ann.refresh("vec_test", "emb")
+    }
+    assert(ann.epochSpan("vec_test", "emb") == (0, 2),
+      s"two refresh epochs recorded: ${ann.epochSpan("vec_test", "emb")}")
+    val preRows = ann.cellSizes("vec_test", "emb").map(_._2).sum
+    val preServed = ann.knn("vec_test", "emb",
+      Array(1.0f, 0.02f, 0.0f, 0.0f), 12, nProbe = 2).collect()
+      .map(_.getString(1)).toSet
+    val outC = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(outC, true, "UTF-8")) {
+      cli.Main.run(Array("train", "vec_test", "--field", "emb", "--compact"),
+        spark, cat, root)
+    }
+    assert(outC.toString("UTF-8").contains("compacted 3 epoch(s) into one"),
+      outC.toString("UTF-8"))
+    assert(ann.epochSpan("vec_test", "emb") == (3, 3),
+      s"folded span: ${ann.epochSpan("vec_test", "emb")}")
+    // exactly one epoch directory tree remains on disk
+    val dataDir = java.nio.file.Paths.get(root, "indexes", "vec_test",
+      "ann", "emb", "data")
+    val epochDirs = java.nio.file.Files.list(dataDir).iterator()
+    val dirNames = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (epochDirs.hasNext) {
+      val nme = epochDirs.next().getFileName.toString
+      if (nme.startsWith("__epoch=")) dirNames += nme
+    }
+    assert(dirNames.sorted == Seq("__epoch=3"),
+      s"retired epoch dirs must be deleted: $dirNames")
+    assert(ann.cellSizes("vec_test", "emb").map(_._2).sum == preRows,
+      "row count (spill copies included) survives the fold")
+    val postServed = ann.knn("vec_test", "emb",
+      Array(1.0f, 0.02f, 0.0f, 0.0f), 12, nProbe = 2).collect()
+      .map(_.getString(1))
+    assert(postServed.toSet == preServed && postServed.length == postServed.distinct.length,
+      s"identical serving set, exactly once:\npre=$preServed\npost=${postServed.mkString(";")}")
+    // refresh keeps working above the new base
+    val in4 = Files.createTempFile("knn-z3", ".jsonl")
+    Files.write(in4, doc("z3", Seq(0.4, 0.6, 0.4, 0.0)).getBytes("UTF-8"))
+    cli.Main.run(Array("index", "vec_test", in4.toString), spark, cat, root)
+    val (rs, rv) = ann.refresh("vec_test", "emb")
+    assert(rs == 1 && rv == 1L, s"post-compact refresh: ($rs, $rv)")
+    assert(ann.epochSpan("vec_test", "emb") == (3, 4),
+      s"append lands above the base: ${ann.epochSpan("vec_test", "emb")}")
+    val withZ3 = ann.knn("vec_test", "emb",
+      Array(0.4f, 0.6f, 0.4f, 0.0f), 1, nProbe = 2).collect()
+    assert(withZ3.head.getString(1).contains("\"title\":\"z3\""),
+      s"post-compact refresh must serve: ${withZ3.mkString}")
     cat.drop("vec_test")
   }
 }
