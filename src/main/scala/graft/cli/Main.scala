@@ -113,7 +113,9 @@ object Main {
               threshold = flags.getOrElse("dedup-threshold", "0.5").toDouble,
               sketchField = flags.get("sketch-field"),
               quantileField = flags.get("quantile-field"),
-              annField = flags.get("ann-field"))
+              annField = flags.get("ann-field"),
+              annCompactEvery =
+                flags.getOrElse("ann-compact-every", "0").toInt)
           }
           val q = new StreamingIndexer(spark, cat)
             .startFileStream(name, input, ckpt, interval, stateful = stateful)
@@ -349,6 +351,9 @@ object Main {
   private def usage(): Unit =
     System.err.println(
       """usage: create <config.yaml> | drop <name> | index <name> <input> [--stream]
+        |         [--dedup-field F [--dedup-threshold 0.5] [--sketch-field F]
+        |          [--quantile-field F] [--ann-field F [--ann-compact-every N]]
+        |          [--state-dir DIR]]
         |       search <name> <query> [--limit N] [--fields a,b] [--unscored]
         |       count <name> <query> | merge <name> [--retain-inputs]
         |       vacuum <name> --before-gen N   (all: [--root DIR])

@@ -76,7 +76,16 @@ final case class StreamStateConfig(
     threshold: Double = 0.5,
     sketchField: Option[String] = None,
     quantileField: Option[String] = None,
-    annField: Option[String] = None)
+    annField: Option[String] = None,
+    /** With `annField`: fold the trained tier's epoch directories once
+      * the served span reaches this many epochs
+      * ([[graft.engine.AnnIndex.compactEpochs]]) — per-batch refreshes
+      * each append an epoch directory tree, and without a fold a
+      * long-lived stream's directory count grows per batch. The fold
+      * rewrites the stored rows (cost ∝ tier size, amortized over N
+      * batches), so size N to taste; 0 disables (fold manually with
+      * `train --compact`). */
+    annCompactEvery: Int = 0)
 
 final class StreamingIndexer(spark: SparkSession, catalog: Catalog) {
 
@@ -196,8 +205,18 @@ final class StreamingIndexer(spark: SparkSession, catalog: Catalog) {
         for (f <- stateful.flatMap(_.annField); _ <- committed) {
           val ann = new graft.engine.AnnIndex(spark, catalog)
           if (ann.meta(indexName, f).isDefined)
-            try ann.refresh(indexName, f): Unit
-            catch { case e: Exception =>
+            try {
+              ann.refresh(indexName, f): Unit
+              // per-batch refreshes each append an epoch directory; fold
+              // them on the configured cadence so a long-lived stream's
+              // directory count stays bounded (the fold is crash-atomic
+              // the same way the refresh is — invisible until META)
+              val every = stateful.map(_.annCompactEvery).getOrElse(0)
+              if (every > 0) {
+                val (b, e) = ann.epochSpan(indexName, f)
+                if (e - b + 1 >= every) ann.compactEpochs(indexName, f): Unit
+              }
+            } catch { case e: Exception =>
               System.err.println(s"[stream] ann refresh for '$f' failed " +
                 s"(full retrain needed): ${e.getMessage}")
             }

@@ -456,3 +456,86 @@ class ArrayMatchSpec extends AnyFunSuite {
     assert(syms.getSeq[String](1) == Seq("b", "##aa", "##aa"), syms.getSeq[String](1))
   }
 }
+
+/** [[graft.exprs.NearestCells]] — the broadcast-fed IVF assignment. The
+  * contract it must reproduce bit-for-bit is the window form's
+  * `(cosine desc_nulls_last, cid asc)` selection, with invalid scores
+  * pinned to −2.0 (strictly below any real cosine). */
+class NearestCellsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def cellsOf(v: Seq[Double],
+      cents: Seq[(Long, Seq[Float])], take: Int): Seq[Long] = {
+    import org.apache.spark.sql.functions._
+    val bc = spark.sparkContext.broadcast(
+      cents.map { case (c, cv) => (c, cv.toArray) }.toArray)
+    val df = spark.range(1).select(
+      graft.exprs.NearestCells.nearest_cells(
+        typedLit(v), bc, take).as("cells"))
+    val r = df.collect()(0)
+    if (r.isNullAt(0)) null else r.getSeq[Long](0)
+  }
+
+  private val axes = Seq(
+    1L -> Seq(1f, 0f, 0f),
+    2L -> Seq(0f, 1f, 0f),
+    3L -> Seq(0f, 0f, 1f))
+
+  test("argmax and top-k order: cosine desc, cid asc ties") {
+    assert(cellsOf(Seq(1.0, 0.1, 0.0), axes, 1) == Seq(1L))
+    assert(cellsOf(Seq(1.0, 0.1, 0.0), axes, 2) == Seq(1L, 2L))
+    // exact tie between cells 1 and 2 — lower cid wins
+    assert(cellsOf(Seq(1.0, 1.0, 0.0), axes, 1) == Seq(1L))
+    assert(cellsOf(Seq(1.0, 1.0, 0.0), axes, 3) == Seq(1L, 2L, 3L))
+  }
+
+  test("take > cells truncates; zero vector lands in the lowest cids") {
+    assert(cellsOf(Seq(0.0, 1.0, 0.0), axes, 9) == Seq(2L, 1L, 3L))
+    // all cosines invalid (zero denominator) -> sentinel tie -> cid asc
+    assert(cellsOf(Seq(0.0, 0.0, 0.0), axes, 2) == Seq(1L, 2L))
+  }
+
+  test("zero CENTROID sorts below every real score") {
+    val withZero = axes :+ (0L -> Seq(0f, 0f, 0f))
+    assert(cellsOf(Seq(1.0, 0.2, 0.1), withZero, 4) == Seq(1L, 2L, 3L, 0L))
+  }
+
+  test("null vector yields null (callers pre-filter or coalesce)") {
+    import org.apache.spark.sql.functions._
+    val bc = spark.sparkContext.broadcast(
+      axes.map { case (c, cv) => (c, cv.toArray) }.toArray)
+    val r = spark.range(1).select(
+      graft.exprs.NearestCells.nearest_cells(
+        lit(null).cast("array<float>"), bc, 1).as("cells")).collect()(0)
+    assert(r.isNullAt(0))
+  }
+
+  test("agrees with the window form on random-ish vectors") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // md5-derived deterministic vectors, incl. short/long length skew
+    val vecs = spark.range(64).select(col("id").as("vid"), expr(
+      """transform(sequence(0, 7), d -> CAST(
+        |  CAST(conv(substr(md5(concat(CAST(id AS STRING), ':', CAST(d AS STRING))), 1, 6), 16, 10) AS DOUBLE)
+        |  / 16777216.0 - 0.5 AS FLOAT))""".stripMargin).as("v"))
+    val cents = spark.range(7).select((col("id") + 1).as("cid"), expr(
+      """transform(sequence(0, 7), d -> CAST(
+        |  CAST(conv(substr(md5(concat('c', CAST(id AS STRING), ':', CAST(d AS STRING))), 1, 6), 16, 10) AS DOUBLE)
+        |  / 16777216.0 - 0.5 AS FLOAT))""".stripMargin).as("cv"))
+    val win = vecs.crossJoin(broadcast(cents))
+      .withColumn("ccos", graft.exprs.CosineSimilarity
+        .cosine_similarity(col("v"), col("cv")))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("vid")).orderBy(col("ccos").desc, col("cid").asc)))
+      .where(col("crn") <= 2)
+      .select(col("vid"), col("crn"), col("cid"))
+    val centArr = cents.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(centArr)
+    val ex = vecs.select(col("vid"), posexplode(
+        graft.exprs.NearestCells.nearest_cells(col("v"), bc, 2)))
+      .select(col("vid"), (col("pos") + 1).as("crn"), col("col").as("cid"))
+    assert(win.exceptAll(ex).count() == 0 && ex.exceptAll(win).count() == 0,
+      "expression and window selections must be identical")
+  }
+}

@@ -408,7 +408,10 @@ class StatefulStreamingSpec extends AnyFunSuite {
         |      array: true
         |""".stripMargin)
     val sc = graft.streaming.StreamStateConfig(s"$root/state/scann",
-      textField = "body", threshold = 0.5, annField = Some("emb"))
+      textField = "body", threshold = 0.5, annField = Some("emb"),
+      // fold epoch dirs as soon as two accumulate — the long-lived
+      // stream's bounded-directory-count policy, exercised every batch
+      annCompactEvery = 2)
     def doc(t: String, v: Seq[Double]) =
       s"""{"body": "$t", "emb": [${v.mkString(", ")}]}"""
 
@@ -448,6 +451,11 @@ class StatefulStreamingSpec extends AnyFunSuite {
     assert(served.length == 4 &&
       served.map(_.getString(1)).distinct.length == 4,
       s"all 4 docs IVF-served exactly once:\n${served.mkString("\n")}")
+    // the annCompactEvery=2 policy folded the per-batch epochs: the
+    // served span stays bounded however many batches the stream ran
+    val (eb, ee) = ann.epochSpan("scann", "emb")
+    assert(ee - eb + 1 <= 2,
+      s"epoch span must stay <= the compaction cadence, got ($eb, $ee)")
     cat.drop("scann")
   }
 }
