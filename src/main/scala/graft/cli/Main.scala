@@ -2,6 +2,8 @@ package graft.cli
 
 import java.nio.file.{Files, Paths}
 
+import org.apache.spark.sql.functions.col
+
 import graft.Graft
 import graft.engine.{Catalog, Indexer, Searcher}
 import graft.streaming.StreamingIndexer
@@ -289,8 +291,6 @@ object Main {
 
       case "knn" =>
         val field = flags.getOrElse("field", sys.error("knn requires --field F"))
-        val qv = flags.getOrElse("vector",
-          sys.error("knn requires --vector v1,v2,...")).split(",").map(_.trim.toFloat)
         val k = flags.get("k").map(_.toInt).getOrElse(5)
         val nProbe = flags.get("nprobe").map(_.toInt).getOrElse(0)
         val rerank = flags.get("rerank").map(_.toInt).getOrElse(0)
@@ -304,8 +304,26 @@ object Main {
                 "— documents ingested since are not served; run " +
                 "train --refresh (or a full train after a merge)")
         }
-        ann.knn(pos.head, field, qv, k, nProbe, rerank).collect().foreach { r =>
-          println(f"${r.getDouble(0)}%.6f\t${r.getString(1)}%s")
+        flags.get("queries-file") match {
+          case Some(qf) =>
+            // batch serving: a JSONL relation {"qid": ..., "vector": [...]}
+            // answered in ONE pass over the trained layout
+            val queries = spark.read.json(qf)
+              .select(col("qid").cast("string").as("qid"),
+                col("vector").as("qv"))
+            ann.knnBatch(pos.head, field, queries, k, nProbe, rerank)
+              .orderBy(col("qid"), col("rank"))
+              .collect().foreach { r =>
+                println(f"${r.getString(0)}%s\t${r.getInt(1)}%d\t" +
+                  f"${r.getDouble(2)}%.6f\t${r.getString(3)}%s")
+              }
+          case None =>
+            val qv = flags.getOrElse("vector",
+              sys.error("knn requires --vector v1,v2,... (or --queries-file f.jsonl)"))
+              .split(",").map(_.trim.toFloat)
+            ann.knn(pos.head, field, qv, k, nProbe, rerank).collect().foreach { r =>
+              println(f"${r.getDouble(0)}%.6f\t${r.getString(1)}%s")
+            }
         }
 
       case "pipeline" =>
@@ -359,6 +377,7 @@ object Main {
         |       vacuum <name> --before-gen N   (all: [--root DIR])
         |       stats <name> [--sketches --state-dir DIR] [--ann F]
         |       train <name> --field F [--cells N (default sqrt(n)) --iterations 4 --spill 1 --pq M | --refresh | --compact]
-        |       knn <name> --field F --vector v1,v2,... [--k 5 --nprobe N]
+        |       knn <name> --field F (--vector v1,v2,... | --queries-file f.jsonl)
+        |         [--k 5 --nprobe N --rerank R]
         |       pipeline <config.yaml>   (curate -> dedup -> shuffle -> shards)""".stripMargin)
 }

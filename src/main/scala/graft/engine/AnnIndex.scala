@@ -26,22 +26,31 @@ import graft.ops.{Ann, Hashing}
   *    default.
   *  - **Trained IVF** (`train` then `knn --nprobe`): k-means centroids
   *    ([[Ann.kmeansTrain]] — the same fixed-point Lloyd's the oracle
-  *    gates in `pipe_kmeans_train`) persisted under
+  *    gates in `pipe_kmeans_train`, trained on a bounded
+  *    smallest-hash sample) persisted under
   *    `indexes/<name>/ann/<field>/`, and the corpus rewritten ONCE into
-  *    a `data/` parquet PARTITIONED BY cell. A query ranks the k·dim
-  *    centroid table driver-side (a model-constant, never a data
-  *    collect), picks its nprobe nearest cells, and the cell filter
-  *    prunes whole partition directories at the scan — the classic IVF
+  *    a `data/` parquet PARTITIONED BY (epoch, cell) via the map-only
+  *    broadcast-fed [[graft.exprs.NearestCells]] assignment. A query
+  *    ranks the k·dim centroid table driver-side (a model-constant,
+  *    memoized per META signature — never a data collect), picks its
+  *    nprobe nearest cells, and ONLY the probed directories within the
+  *    served epoch range are listed and scanned — the classic IVF
   *    "touch nprobe/k of the corpus" cost realized with Spark partition
-  *    pruning instead of a custom file format. At 100 TB the data/
-  *    rewrite is one shuffle-free repartition-by-cell pass, and each
-  *    query reads only its cells' files.
+  *    layout instead of a custom file format. At 100 TB the data/
+  *    rewrite is one shuffle-free pass, and each query reads only its
+  *    cells' files.
   *
-  * The trained tier serves a SNAPSHOT: META records the manifest
-  * generation the build saw; documents ingested afterwards are served by
-  * brute until the next `train` (the CLI prints the staleness so the
-  * operator knows). Output rows carry the same re-nested sorted-key doc
-  * JSON as `search` ([[Searcher.outputJson]]) plus the cosine score.
+  * The trained tier's lifecycle past the build: [[refresh]] appends
+  * splits committed since (cost ∝ new data, crash-atomic via epoch
+  * directories invisible until META references them, coverage
+  * translating through lossless-merge lineage), and [[compactEpochs]]
+  * folds accumulated epoch directories back to one (the tier's
+  * vacuum). META — one atomically-renamed file — is the single commit
+  * point carrying model shape, covered generation + splits, and the
+  * served epoch range. The CLI prints staleness vs the covered
+  * generation so the operator knows when a refresh is due. Output rows
+  * carry the same re-nested sorted-key doc JSON as `search`
+  * ([[Searcher.outputJson]]) plus the cosine score.
   */
 final class AnnIndex(spark: SparkSession, catalog: Catalog) {
 
@@ -561,6 +570,45 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     }
   }
 
+  /** Scan of ONLY the probed cells' directories within the served epoch
+    * range. `spark.read.parquet(data/)` eagerly walks EVERY epoch×cell
+    * directory before partition pruning can drop any — at 10⁵ cells
+    * that is a per-query metadata storm. One listing per served epoch
+    * finds its cell dirs; the intersection with the probe set is what
+    * the scan ever sees — 1 + epochs metadata calls, reads bounded by
+    * the probe count. basePath keeps the partition columns derived from
+    * the dir names; the epoch filter is part of the crash contract
+    * (rows outside META's [base, epoch] range are an unreferenced
+    * append or a retired fold and must stay invisible) and, with the
+    * cell filter, stays on as belt-and-braces. */
+  private def probedScan(name: String, field: String, root: HPath,
+      probeCells: Set[Long]): DataFrame = {
+    val servedEpoch = epochOf(name, field)
+    val baseEpoch = baseOf(name, field)
+    val dataDir = new HPath(root, "data")
+    val cellRe = """__cell=(-?\d+)""".r
+    val epochRe = """__epoch=(\d+)""".r
+    val f = fs(dataDir)
+    val probedDirs = f.listStatus(dataDir).toSeq
+      .filter(st => st.getPath.getName match {
+        case epochRe(e) => e.toLong >= baseEpoch && e.toLong <= servedEpoch
+        case _          => false
+      })
+      .flatMap(ep => f.listStatus(ep.getPath).toSeq.collect {
+        case st if (st.getPath.getName match {
+          case cellRe(c) => probeCells.contains(c.toLong)
+          case _         => false
+        }) => st.getPath.toString
+      })
+    if (probedDirs.isEmpty)
+      spark.read.parquet(dataDir.toString)
+        .where(lit(false)) // probed cells hold nothing at all
+    else spark.read.option("basePath", dataDir.toString)
+      .parquet(probedDirs: _*)
+      .where(col("__cell").isin(probeCells.toSeq: _*) &&
+        col("__epoch").between(lit(baseEpoch), lit(servedEpoch)))
+  }
+
   /** Top-k cosine neighbors of `queryVec` as (score, doc JSON) rows.
     * nprobe > 0 with a trained index probes only the query's nprobe
     * nearest cells (partition-pruned scan); nprobe = 0 (or no trained
@@ -581,45 +629,7 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
         val probes = cents.map { case (cid, cv) =>
           (cid, AnnIndex.cosine(queryVec, cv))
         }.sortBy { case (cid, c) => (-c, cid) }.take(nProbe).map(_._1)
-        // the epoch filter is part of the crash contract: rows above
-        // META's served epoch are an unreferenced append (a refresh
-        // that died before its commit point) and must stay invisible;
-        // like the cell filter it prunes whole partition directories
-        val servedEpoch = epochOf(name, field)
-        val baseEpoch = baseOf(name, field)
-        // list ONLY the probed directories: `spark.read.parquet(data/)`
-        // eagerly walks EVERY epoch×cell directory before partition
-        // pruning can drop any — at 10⁵ cells that is a per-query
-        // metadata storm. One listing per served epoch finds its cell
-        // dirs; the intersection with the probe set (× the served
-        // epoch range) is what the scan ever sees — 1 + epochs metadata
-        // calls, reads bounded by nprobe as before. basePath keeps the
-        // partition columns derived from the dir names; the filters
-        // stay as belt-and-braces (a listed dir is already probed).
-        val dataDir = new HPath(root, "data")
-        val probeSet = probes.toSet
-        val cellRe = """__cell=(-?\d+)""".r
-        val epochRe = """__epoch=(\d+)""".r
-        val f = fs(dataDir)
-        val probedDirs = f.listStatus(dataDir).toSeq
-          .filter(st => st.getPath.getName match {
-            case epochRe(e) => e.toLong >= baseEpoch && e.toLong <= servedEpoch
-            case _          => false
-          })
-          .flatMap(ep => f.listStatus(ep.getPath).toSeq.collect {
-            case st if (st.getPath.getName match {
-              case cellRe(c) => probeSet.contains(c.toLong)
-              case _         => false
-            }) => st.getPath.toString
-          })
-        val cand0 =
-          if (probedDirs.isEmpty)
-            spark.read.parquet(dataDir.toString)
-              .where(lit(false)) // probed cells hold nothing at all
-          else spark.read.option("basePath", dataDir.toString)
-            .parquet(probedDirs: _*)
-            .where(col("__cell").isin(probes.toSeq: _*) &&
-              col("__epoch").between(lit(baseEpoch), lit(servedEpoch)))
+        val cand0 = probedScan(name, field, root, probes.toSet)
         // PQ tier: rank candidates over the SKINNY (__code, ids) columns
         // — m ints per row instead of the full stored document, the
         // memory-bandwidth cut that matters when a probed cell holds
@@ -672,6 +682,100 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
       .orderBy(desc("__score"))
       .limit(k)
       .select(col("__score").as("score"), searcher.outputJson(d).as("doc"))
+  }
+
+  /** Batch serving: top-k neighbors for a whole query RELATION
+    * (`qid`, `qv` float/double array) in ONE pass over the trained
+    * layout — the batch-retrieval shape a training pipeline runs
+    * (hard-negative mining, dataset linking, eval sweeps), where
+    * per-query driver round-trips would dominate. The single-query
+    * [[knn]] stages generalize columnar:
+    *
+    *  - probe assignment is the map-only [[graft.exprs.NearestCells]]
+    *    expression over the broadcast centroid table (no driver ranking
+    *    per query, no window);
+    *  - the union of all queries' probed cells — bounded by nlist, a
+    *    model-scale collect — drives ONE [[probedScan]] directory
+    *    listing and one cell-keyed equi-join (queries×nprobe probe rows
+    *    against the probed cells' rows, shuffled on cell);
+    *  - with PQ, the ranking join carries only the SKINNY code column
+    *    and each query's LUT (computed once per query, not per row);
+    *    per-query ADC shortlists ride a window by qid with the
+    *    (adist, epoch, rid) total order, and only survivors re-join
+    *    their full rows for the exact-cosine rerank;
+    *  - spill copies dedupe per (qid, __epoch, __rid) BEFORE every cut.
+    *
+    * nProbe = 0 (or no trained index) runs the brute truth tier:
+    * corpus × broadcast queries. Output: (qid, rank, score, doc),
+    * rank 1..k per query. */
+  def knnBatch(name: String, field: String, queries: DataFrame, k: Int,
+      nProbe: Int = 0, rerank: Int = 0): DataFrame = {
+    val cfg = catalog.load(name)
+    vectorCol(cfg, field)
+    val d = new SchemaDerivation(cfg)
+    val searcher = new Searcher(spark, catalog)
+    val m = meta(name, field)
+    val qs = queries.select(col("qid"),
+      col("qv").cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType)).as("qv"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+    val scored: DataFrame =
+      if (nProbe > 0 && m.isDefined) {
+        val root = annRoot(name, field)
+        val (cents, cbsOpt) = servingModel(name, field, root)
+        val bc = spark.sparkContext.broadcast(cents)
+        val probesQ = qs.withColumn("__pcell", explode(
+          graft.exprs.NearestCells.nearest_cells(col("qv"), bc, nProbe)))
+        val probeCells = probesQ.select(col("__pcell")).distinct()
+          .collect().map(_.getLong(0)).toSet
+        val data = probedScan(name, field, root, probeCells)
+        val spilled = m.exists(_._3 > 1)
+        val pq = pqOf(name, field)
+        if (pq > 0) {
+          val cb = cbsOpt.getOrElse(sys.error(
+            s"trained index for '$field' claims pq=$pq but has no codebooks"))
+          val rFetch = if (rerank > 0) rerank else math.max(4 * k, 64)
+          val probesL = probesQ
+            .withColumn("__lut", graft.exprs.Pq.pq_lut(col("qv"), cb))
+            .where(col("__lut").isNotNull)
+          val skinny = data
+            .select(col("__cell").as("__dcell"), col("__epoch"),
+              col("__rid"), col("__code"))
+            .where(col("__code").isNotNull)
+          val cands0 = probesL.join(skinny, col("__pcell") === col("__dcell"))
+          val cands = if (spilled)
+            cands0.dropDuplicates("qid", "__epoch", "__rid") else cands0
+          val survivors = cands
+            .withColumn("__adist",
+              graft.exprs.Pq.pq_adc(col("__code"), col("__lut")))
+            .withColumn("__srn", row_number().over(w.orderBy(
+              col("__adist").asc, col("__epoch").asc, col("__rid").asc)))
+            .where(col("__srn") <= rFetch)
+            .select(col("qid"), col("qv"), col("__epoch"), col("__rid"))
+          val full = if (spilled)
+            data.dropDuplicates("__epoch", "__rid") else data
+          survivors.join(full, Seq("__epoch", "__rid"))
+            .withColumn("__score",
+              CosineSimilarity.cosine_similarity(col(field), col("qv")))
+        } else {
+          val cands0 = probesQ.join(data, col("__pcell") === col("__cell"))
+          val cands = if (spilled)
+            cands0.dropDuplicates("qid", "__epoch", "__rid") else cands0
+          cands.withColumn("__score",
+            CosineSimilarity.cosine_similarity(col(field), col("qv")))
+        }
+      } else {
+        val (_, df) = corpus(name)
+        df.where(col(field).isNotNull)
+          .crossJoin(broadcast(qs))
+          .withColumn("__score",
+            CosineSimilarity.cosine_similarity(col(field), col("qv")))
+      }
+    scored.where(col("__score").isNotNull)
+      .withColumn("rank", row_number().over(w.orderBy(col("__score").desc)))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("__score").as("score"),
+        searcher.outputJson(d).as("doc"))
   }
 }
 

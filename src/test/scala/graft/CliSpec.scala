@@ -518,6 +518,46 @@ class CliSpec extends AnyFunSuite {
       Array(0.4f, 0.6f, 0.4f, 0.0f), 1, nProbe = 2).collect()
     assert(withZ3.head.getString(1).contains("\"title\":\"z3\""),
       s"post-compact refresh must serve: ${withZ3.mkString}")
+
+    // batch serving: a query RELATION answered in one pass over the
+    // trained (spill=2, pq=2, compacted + refreshed) layout must agree
+    // with the single-query tier, query by query
+    import spark.implicits._
+    val batchQs = Seq(
+      ("qx", Seq(1.0f, 0.02f, 0.0f, 0.0f)),
+      ("qy", Seq(0.0f, 0.02f, 1.0f, 0.0f)),
+      ("qz", Seq(0.4f, 0.6f, 0.4f, 0.0f))).toDF("qid", "qv")
+    val batch = ann.knnBatch("vec_test", "emb", batchQs, k = 3,
+      nProbe = 2, rerank = 8).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(3)))
+      .groupBy(_._1)
+    for ((qid, v) <- Seq(
+        "qx" -> Array(1.0f, 0.02f, 0.0f, 0.0f),
+        "qy" -> Array(0.0f, 0.02f, 1.0f, 0.0f),
+        "qz" -> Array(0.4f, 0.6f, 0.4f, 0.0f))) {
+      val single = ann.knn("vec_test", "emb", v, 3, nProbe = 2, rerank = 8)
+        .collect().map(_.getString(1)).toSeq
+      val got = batch(qid).sortBy(_._2).map(_._3).toSeq
+      assert(got == single,
+        s"batch must agree with single-query for $qid:\nbatch=$got\nsingle=$single")
+    }
+    // the CLI face: JSONL queries file, one TSV line per (qid, rank)
+    val qf = Files.createTempFile("knn-queries", ".jsonl")
+    Files.write(qf,
+      """{"qid": "a", "vector": [1.0, 0.02, 0.0, 0.0]}
+        |{"qid": "b", "vector": [0.0, 0.02, 1.0, 0.0]}""".stripMargin
+        .getBytes("UTF-8"))
+    val outB = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(outB, true, "UTF-8")) {
+      cli.Main.run(Array("knn", "vec_test", "--field", "emb",
+        "--queries-file", qf.toString, "--k", "2", "--nprobe", "2"),
+        spark, cat, root)
+    }
+    val batchLines = outB.toString("UTF-8").linesIterator
+      .filter(_.contains("\t")).toList
+    assert(batchLines.length == 4, s"2 queries x k=2:\n${outB.toString("UTF-8")}")
+    assert(batchLines.count(_.startsWith("a\t1\t")) == 1 &&
+      batchLines.count(_.startsWith("b\t1\t")) == 1, batchLines.mkString("\n"))
     cat.drop("vec_test")
   }
 }
