@@ -724,8 +724,12 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
         val root = annRoot(name, field)
         val (cents, cbsOpt) = servingModel(name, field, root)
         val bc = spark.sparkContext.broadcast(cents)
+        // snapshotted: the probe relation feeds both the probed-cell
+        // census below and the candidate join — without the checkpoint
+        // the query-side lineage (source read + assignment) runs twice
         val probesQ = qs.withColumn("__pcell", explode(
           graft.exprs.NearestCells.nearest_cells(col("qv"), bc, nProbe)))
+          .localCheckpoint(eager = false)
         val probeCells = probesQ.select(col("__pcell")).distinct()
           .collect().map(_.getLong(0)).toSet
         val data = probedScan(name, field, root, probeCells)

@@ -46,6 +46,10 @@ import graft.engine.{AnnIndex, Catalog}
   *    cells in 2.1 s — 1.2× wall on a 4× corpus, where the r12
   *    window-form assignment's n^1.5 would predict 8× (see ProbeAssign
   *    for the isolated 80× head-to-head at n=200k)
+  *  - batch serving (r13): the 20 queries as ONE knnBatch relation pass
+  *    against the spill=2/pq=8 layout: 1.3 s vs the per-query loop's
+  *    5.8 s — 4.4× from amortizing per-query plan + listing + driver
+  *    ranking, at just 20 queries (the gap widens with the relation)
   * The PQ rows measure the bandwidth/recall trade honestly: the ADC
   * shortlist is FIXED size, so more probes pour more candidates into
   * it and recall can DROP with nprobe at small R (0.61 → 0.54) —
@@ -186,6 +190,26 @@ object ProbeKnn {
     for ((p, r) <- Seq((pMid, 0), (2 * pMid, 0), (pMid, 256), (2 * pMid, 256))) {
       val got = run(f"s2pq np=$p%d R=$r%d", p, r)
       println(f"[probe-knn]   recall@5 vs brute: ${recallVsTruth(got)}%.3f")
+    }
+
+    // batch serving vs a per-query loop: the same 20 queries answered by
+    // ONE knnBatch pass against the trained spill=2/pq=8 layout — the
+    // win is per-query fixed cost (plan + listing + driver ranking)
+    // amortized across the relation
+    {
+      import spark.implicits._
+      val qdf = queries.toSeq.map { case (qid, qv) => (qid, qv.toSeq) }
+        .toDF("qid", "qv")
+      val tLoop = System.nanoTime()
+      queries.foreach { case (_, qv) =>
+        ann.knn("pk", "emb", qv, 5, pMid, 256).collect(): Unit
+      }
+      val loopS = (System.nanoTime() - tLoop) / 1e9
+      val tBatch = System.nanoTime()
+      val nBatch = ann.knnBatch("pk", "emb", qdf, 5, pMid, 256).collect().length
+      val batchS = (System.nanoTime() - tBatch) / 1e9
+      println(f"[probe-knn] batch: ${queries.length} queries in $batchS%.1f s " +
+        f"($nBatch rows) vs per-query loop $loopS%.1f s — ${loopS / batchS}%.1f×")
     }
 
     // serving-model cache: the queries above re-used one trained model —
