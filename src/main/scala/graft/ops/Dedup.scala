@@ -691,6 +691,39 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame =
     connectedComponentsImpl(pairs, maxRounds)._1
 
+  /** Leakage-safe train/test split: assign every document a side by
+    * hashing its NEAR-DUP CLUSTER id, not its own id — a per-doc random
+    * (or hash) split sends members of one near-duplicate family to both
+    * sides, and the held-out half then "measures" memorization of
+    * training copies (the Lee et al. 2022 "Deduplicating Training Data"
+    * finding, applied to the split itself). Clusters are
+    * [[connectedComponents]] over any gated pair tier (MinHash-LSH in
+    * the registry gate); a document in no pair is its own cluster.
+    * `side = test` iff the cluster's md5 bucket < testPct —
+    * deterministic, resumable, engine-reproducible, and structurally
+    * leak-free: side is a pure function of the cluster id, so no
+    * cluster can ever straddle the split.
+    *
+    * Scale shape: the pair tier's own bounded candidate volume +
+    * O(log n) star-contraction rounds + ONE doc-keyed left join; the
+    * split decision itself is a map-only projection. docs: (doc_id);
+    * pairs: (a, b). Output: (doc_id, group_id, bucket, side). */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
+      testPct: Int): DataFrame = {
+    require(testPct >= 0 && testPct <= 100,
+      s"testPct must be in [0, 100], got $testPct")
+    val canon = connectedComponents(pairs)
+      .withColumnRenamed("doc_id", "c_doc")
+    docs.select(col("doc_id"))
+      .join(canon, col("doc_id") === col("c_doc"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canon_id"), col("doc_id")).as("group_id"))
+      .withColumn("bucket", pmod(
+        h64(concat(lit("split:"), col("group_id").cast("string"))), lit(100)))
+      .withColumn("side",
+        when(col("bucket") < testPct, lit("test")).otherwise(lit("train")))
+  }
+
   /** (labels, rounds) — rounds exposed for the test pinning the O(log n)
     * round bound on long chains. */
   private[graft] def connectedComponentsImpl(pairs0: DataFrame,

@@ -608,6 +608,20 @@ object PipelineQueries {
       Dedup.minhashLsh(shingled(s, dir), numHashes = 16, bands = 8))
       .orderBy(col("doc_id"))
 
+  /** Leakage-safe holdout split ([[graft.ops.Dedup.leakageSafeSplit]]):
+    * train/test side hashed on the NEAR-DUP CLUSTER id (MinHash-LSH
+    * pairs → connected components), so no near-duplicate family can
+    * straddle the split — the eval-integrity counterpart of
+    * [[pipe_decontaminate]] (that pass protects against a FIXED
+    * benchmark; this one makes the held-out half honest by
+    * construction). 20% test; unpaired docs are their own cluster. */
+  val pipe_split_leakage_safe: Q = (s, dir) =>
+    Dedup.leakageSafeSplit(
+      docs(s, dir).select(col("doc_id")),
+      Dedup.minhashLsh(shingled(s, dir), numHashes = 16, bands = 8),
+      testPct = 20)
+      .orderBy(col("doc_id"))
+
   /** Deterministic stratified sampling — the dataset-mixing primitive:
     * md5-derived bucket in [0, 100), per-language keep rates (the
     * overrepresented language is downsampled to 10%, the rest keep 50%).
@@ -2093,6 +2107,7 @@ object PipelineQueries {
     "knn_ivfpq_trained" -> knn_ivfpq_trained,
     "text_repetition" -> text_repetition,
     "dedup_cluster_canon" -> dedup_cluster_canon,
+    "pipe_split_leakage_safe" -> pipe_split_leakage_safe,
     "pipe_sample_stratified" -> pipe_sample_stratified,
     "pipe_domain_quota" -> pipe_domain_quota,
     "pipe_domain_quota_2pass" -> pipe_domain_quota_2pass,
@@ -3689,6 +3704,21 @@ object PipelineQueries {
       s"""WITH RECURSIVE $minhashCtes,
          |${ccCtes("prs")}
          |SELECT doc AS doc_id, canon_id FROM canon ORDER BY doc_id""".stripMargin,
+    // the same components chain, then side = f(cluster md5 bucket) —
+    // structurally leak-free: one side per cluster by construction
+    "pipe_split_leakage_safe" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |${ccCtes("prs")},
+         |grp AS (
+         |  SELECT d.doc_id, coalesce(c.canon_id, d.doc_id) AS group_id
+         |  FROM documents d LEFT JOIN canon c ON c.doc = d.doc_id),
+         |bkt AS (
+         |  SELECT doc_id, group_id,
+         |    CAST(('0x' || substr(md5('split:' || CAST(group_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+         |  FROM grp)
+         |SELECT doc_id, group_id, bucket,
+         |  CASE WHEN bucket < 20 THEN 'test' ELSE 'train' END AS side
+         |FROM bkt ORDER BY doc_id""".stripMargin,
     "text_repetition" ->
       s"""WITH t2 AS (
          |  SELECT doc_id, toks FROM (SELECT doc_id, $toksSql AS toks FROM documents)

@@ -1379,4 +1379,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(mean(member = true) < mean(member = false),
       s"members must score lower: ${mean(true)} vs ${mean(false)}")
   }
+
+  test("leakage-safe split: no near-dup cluster straddles train/test; " +
+      "every doc gets exactly one side") {
+    val rows = PipelineQueries.pipe_split_leakage_safe(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    val total = Graft.table(spark, sf, "documents").count()
+    assert(rows.length == total, s"every doc labeled: ${rows.length} vs $total")
+    // the structural guarantee: side is a function of the cluster id
+    val sidesPerGroup = rows.groupBy(_._2).view.mapValues(_.map(_._3).distinct)
+    val straddlers = sidesPerGroup.filter(_._2.length > 1)
+    assert(straddlers.isEmpty, s"clusters on both sides: ${straddlers.take(3)}")
+    // the fixture genuinely exercises it: multi-doc clusters exist and
+    // both sides are populated
+    assert(rows.groupBy(_._2).count(_._2.length > 1) > 0,
+      "fixture must contain multi-doc near-dup clusters")
+    val sides = rows.map(_._3).distinct.sorted
+    assert(sides.toSeq == Seq("test", "train"), sides.mkString(","))
+  }
 }
