@@ -284,6 +284,30 @@ class CatalogStoreSpec extends AnyFunSuite {
       s"settled hit must not serve the pre-rewrite parse, got gen $g $l")
   }
 
+  test("merge lineage (parents) round-trips through paged manifests and " +
+      "is only recorded for LOSSLESS swaps") {
+    withPageSize(4) {
+      val root = Files.createTempDirectory("graft-parents").toString
+      val cat = new Catalog(root)
+      cat.create("name: par\nfields:\n  - name: body\n    type: text\n")
+      (0 until 10).foreach(i => cat.commitSplit("par", SplitInfo(s"s$i", 3)))
+      // lossless swap: 2 splits of 3 docs -> one of 6; parents recorded
+      assert(cat.swapSplits("par", List("s0", "s1"), List(SplitInfo("m0", 6))))
+      // doc-dropping swap (a --dedup merge): 2x3 -> 5; NO parents
+      assert(cat.swapSplits("par", List("s2", "s3"), List(SplitInfo("m1", 5))))
+      // push everything through page sealing + a fresh catalog instance
+      (10 until 16).foreach(i => cat.commitSplit("par", SplitInfo(s"s$i", 1)))
+      Catalog.clearPageCache()
+      val live = new Catalog(root).liveSplits("par")
+      val byId = live.map(s => s.id -> s).toMap
+      assert(byId("m0").parents == List("s0", "s1"),
+        s"lossless lineage survives paging: ${byId("m0")}")
+      assert(byId("m1").parents.isEmpty,
+        s"doc-dropping swap must record no lineage: ${byId("m1")}")
+      assert(live.filter(_.id.startsWith("s")).forall(_.parents.isEmpty))
+    }
+  }
+
   /** Run `body` with the manifest page threshold forced down to
     * `pageSize` so paging activates at test-sized split counts. */
   private def withPageSize[A](pageSize: Int)(body: => A): A = {
