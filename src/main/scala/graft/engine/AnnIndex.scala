@@ -358,7 +358,7 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     // before re-appending the same splits under the same epoch number
     dropOrphanEpochs(root, baseEp, servedEpoch)
     val (_, _, df) = corpusOf(name, newSplits)
-    val (centArr, cbs) = servingModel(name, field, root)
+    val (centArr, cbs, _) = servingModel(name, field, root)
     val epoch = servedEpoch + 1
     val base = df.where(col(field).isNotNull)
     val nNew = base.count()
@@ -537,15 +537,18 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     catalog.metaStore.deleteIfExists(new HPath(root, "SPLITS"))
   }
 
-  /** The serving model — (centroid table, PQ codebooks if any) —
-    * through a process-wide LRU keyed on the META signature (the digest
-    * -cache discipline): a knn previously re-read + collected the
-    * centroids/ and codebooks/ parquet on EVERY query — a cold
-    * object-store read per query at scale. Entries are only trusted and
-    * stored when the signature is content-derived (etag) or its mtime
-    * tick is settled, the [[Catalog.manifestStateCached]] rule. */
+  /** The serving model — (centroid table, PQ codebooks if any, parsed
+    * META key-values) — through a process-wide LRU keyed on the META
+    * signature (the digest-cache discipline): a knn previously re-read
+    * + collected the centroids/ and codebooks/ parquet on EVERY query —
+    * a cold object-store read per query at scale — and separately
+    * re-fetched META for each of epoch/base/pq; one signature check now
+    * answers all of it. Entries are only trusted and stored when the
+    * signature is content-derived (etag) or its mtime tick is settled,
+    * the [[Catalog.manifestStateCached]] rule. */
   private def servingModel(name: String, field: String, root: HPath)
-      : (Array[(Long, Array[Float])], Option[graft.exprs.Pq.Codebooks]) = {
+      : (Array[(Long, Array[Float])], Option[graft.exprs.Pq.Codebooks],
+         Map[String, String]) = {
     val sigOpt = catalog.metaStore.fileSignature(new HPath(root, "META"))
     val trusted = sigOpt.exists(sig => sig.etag.nonEmpty ||
       System.currentTimeMillis() - sig.mtime >= Catalog.MtimeGranularityMs)
@@ -558,13 +561,19 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
         v
       case None =>
         AnnIndex.servingMisses.incrementAndGet()
+        val kv = catalog.metaStore
+          .readString(new HPath(root, "META")).map { body =>
+            body.trim.split("\n").map(_.split("=", 2))
+              .collect { case Array(k2, v2) if k2 != "split" => k2 -> v2 }
+              .toMap
+          }.getOrElse(Map.empty)
         val centArr = spark.read
           .parquet(new HPath(root, "centroids").toString)
           .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
           .sortBy(_._1)
         val cbP = new HPath(root, "codebooks")
         val cbs = if (fs(cbP).exists(cbP)) Some(readCodebooks(root)) else None
-        val v = (centArr, cbs)
+        val v = (centArr, cbs, kv)
         if (trusted) key.foreach(k => AnnIndex.servingCache.put(k, v))
         v
     }
@@ -581,10 +590,8 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     * (rows outside META's [base, epoch] range are an unreferenced
     * append or a retired fold and must stay invisible) and, with the
     * cell filter, stays on as belt-and-braces. */
-  private def probedScan(name: String, field: String, root: HPath,
+  private def probedScan(root: HPath, baseEpoch: Int, servedEpoch: Int,
       probeCells: Set[Long]): DataFrame = {
-    val servedEpoch = epochOf(name, field)
-    val baseEpoch = baseOf(name, field)
     val dataDir = new HPath(root, "data")
     val cellRe = """__cell=(-?\d+)""".r
     val epochRe = """__epoch=(\d+)""".r
@@ -624,18 +631,19 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     val scored: DataFrame =
       if (nProbe > 0 && m.isDefined) {
         val root = annRoot(name, field)
-        val (cents, cbsOpt) = servingModel(name, field, root)
+        val (cents, cbsOpt, mm) = servingModel(name, field, root)
         // rank the model-constant centroid table driver-side
         val probes = cents.map { case (cid, cv) =>
           (cid, AnnIndex.cosine(queryVec, cv))
         }.sortBy { case (cid, c) => (-c, cid) }.take(nProbe).map(_._1)
-        val cand0 = probedScan(name, field, root, probes.toSet)
+        val cand0 = probedScan(root,
+          mm.get("base").fold(0)(_.toInt), mm("epoch").toInt, probes.toSet)
         // PQ tier: rank candidates over the SKINNY (__code, ids) columns
         // — m ints per row instead of the full stored document, the
         // memory-bandwidth cut that matters when a probed cell holds
         // millions of rows — then fetch ONLY the top-R ADC survivors'
         // full rows for the exact-cosine rerank below
-        val pq = pqOf(name, field)
+        val pq = mm.get("pq").fold(0)(_.toInt)
         val cand = if (pq > 0) {
           val cb = cbsOpt.getOrElse(sys.error(
             s"trained index for '$field' claims pq=$pq but has no codebooks"))
@@ -722,7 +730,7 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     val scored: DataFrame =
       if (nProbe > 0 && m.isDefined) {
         val root = annRoot(name, field)
-        val (cents, cbsOpt) = servingModel(name, field, root)
+        val (cents, cbsOpt, mm) = servingModel(name, field, root)
         val bc = spark.sparkContext.broadcast(cents)
         // snapshotted: the probe relation feeds both the probed-cell
         // census below and the candidate join — without the checkpoint
@@ -732,9 +740,10 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
           .localCheckpoint(eager = false)
         val probeCells = probesQ.select(col("__pcell")).distinct()
           .collect().map(_.getLong(0)).toSet
-        val data = probedScan(name, field, root, probeCells)
+        val data = probedScan(root,
+          mm.get("base").fold(0)(_.toInt), mm("epoch").toInt, probeCells)
         val spilled = m.exists(_._3 > 1)
-        val pq = pqOf(name, field)
+        val pq = mm.get("pq").fold(0)(_.toInt)
         if (pq > 0) {
           val cb = cbsOpt.getOrElse(sys.error(
             s"trained index for '$field' claims pq=$pq but has no codebooks"))
@@ -791,15 +800,15 @@ object AnnIndex {
     * typically serves per process. */
   private val ServingCacheMax =
     sys.props.get("graft.ann.model.cache.max").map(_.toInt).getOrElse(64)
-  private[engine] val servingCache: java.util.Map[
-      String, (Array[(Long, Array[Float])], Option[graft.exprs.Pq.Codebooks])] =
+  private type ServingEntry =
+    (Array[(Long, Array[Float])], Option[graft.exprs.Pq.Codebooks],
+     Map[String, String])
+  private[engine] val servingCache: java.util.Map[String, ServingEntry] =
     java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[
-          String, (Array[(Long, Array[Float])], Option[graft.exprs.Pq.Codebooks])](
-          16, 0.75f, true) {
-        override def removeEldestEntry(e: java.util.Map.Entry[
-            String, (Array[(Long, Array[Float])], Option[graft.exprs.Pq.Codebooks])])
-            : Boolean = size() > ServingCacheMax
+      new java.util.LinkedHashMap[String, ServingEntry](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, ServingEntry]): Boolean =
+          size() > ServingCacheMax
       })
   private[engine] val servingHits = new java.util.concurrent.atomic.AtomicLong()
   private[engine] val servingMisses = new java.util.concurrent.atomic.AtomicLong()
