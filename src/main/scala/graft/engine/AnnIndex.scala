@@ -185,6 +185,8 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     require(spill >= 1, s"spill must be >= 1, got $spill")
     val cfg = catalog.load(name)
     vectorCol(cfg, field)
+    withMaintenanceLock(annRoot(name, field)) {
+    val tick0 = metaTick(name, field)
     // ONE manifest read supplies both the recorded generation and the
     // split list, so META can never claim a generation whose splits it
     // did not actually cover
@@ -205,7 +207,10 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     // k-means round then touches ≤ 256·k vectors instead of the corpus
     // — at n = 10¹⁰ / k = 10⁵ that is 2.6·10⁷ rows per round, not
     // 10¹⁰. TakeOrdered keeps the selection one narrow pass.
-    val sampleCap = 256L * kEff
+    // clamped at Int.MaxValue: limit() takes an Int, and an explicit
+    // --cells above ~8.4M would otherwise wrap 256L*kEff negative at
+    // exactly the scale tier the sampling exists for
+    val sampleCap = math.min(256L * kEff, Int.MaxValue.toLong)
     val sample =
       if (n > sampleCap) vecs.orderBy(col("vid")).limit(sampleCap.toInt)
       else vecs
@@ -252,8 +257,9 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     data.write.mode("overwrite").partitionBy("__epoch", "__cell")
       .parquet(new HPath(root, "data").toString)
     writeMeta(name, field, centRows.length, gen, spill, epoch = 0,
-      covered = splits.map(_.id).toSet, pq = pq)
+      covered = splits.map(_.id).toSet, pq = pq, expectTick = tick0)
     (centRows.length, n)
+    }
   }
 
   private def withCode(df: DataFrame, field: String,
@@ -330,6 +336,8 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
   def refresh(name: String, field: String): (Int, Long) = {
     val cfg = catalog.load(name)
     vectorCol(cfg, field)
+    withMaintenanceLock(annRoot(name, field)) {
+    val tick0 = metaTick(name, field)
     val m = meta(name, field).getOrElse(
       sys.error(s"no trained index for '$field' — run train first"))
     val covered0 = coveredSplits(name, field)
@@ -350,7 +358,8 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
       // nothing to append; still publish the translated coverage and
       // the current generation so the staleness note clears (and a
       // post-merge translation sticks without waiting for new data)
-      writeMeta(name, field, m._1, gen, m._3, servedEpoch, covered, pq, baseEp)
+      writeMeta(name, field, m._1, gen, m._3, servedEpoch, covered, pq,
+        expectTick = tick0, base = baseEp)
       return (0, 0L)
     }
     // a refresh that crashed between its append and its META publish
@@ -371,8 +380,9 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     fresh.write.mode("append").partitionBy("__epoch", "__cell")
       .parquet(new HPath(root, "data").toString)
     writeMeta(name, field, m._1, gen, m._3, epoch,
-      covered ++ newSplits.map(_.id), pq, baseEp)
+      covered ++ newSplits.map(_.id), pq, expectTick = tick0, base = baseEp)
     (newSplits.length, nNew)
+    }
   }
 
   /** Fold every served epoch directory into ONE — the vector tier's
@@ -394,6 +404,8 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
   def compactEpochs(name: String, field: String): (Int, Long) = {
     val cfg = catalog.load(name)
     vectorCol(cfg, field)
+    withMaintenanceLock(annRoot(name, field)) {
+    val tick0 = metaTick(name, field)
     val m = meta(name, field).getOrElse(
       sys.error(s"no trained index for '$field' — run train first"))
     val root = annRoot(name, field)
@@ -434,10 +446,12 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
       .parquet(dataDir.toString)
     val n = spark.read.parquet(dataDir.toString)
       .where(col("__epoch") === next).count()
-    writeMeta(name, field, m._1, gen, spill, next, covered, pq, base = next)
+    writeMeta(name, field, m._1, gen, spill, next, covered, pq,
+      expectTick = tick0, base = next)
     // retired directories are already invisible; delete is cleanup only
     dropOrphanEpochs(root, next, next)
     (served - base + 1, n)
+    }
   }
 
   /** Coverage translation through lossless-merge lineage: live splits
@@ -517,24 +531,87 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
   def epochSpan(name: String, field: String): (Int, Int) =
     (baseOf(name, field), epochOf(name, field))
 
-  /** Publish the trained tier's commit point: ONE atomically-renamed
-    * META file carrying the model shape (cells/spill/pq), the covered
-    * manifest generation, the served epoch, AND the covered split ids
-    * (`split=` lines) — epoch and coverage can therefore never disagree
-    * after a crash, which is what makes [[refresh]]'s append
-    * invisible-until-referenced. Drops the legacy two-file layout's
-    * SPLITS sidecar so stale coverage can never shadow META's. */
+  /** Publish the trained tier's commit point: ONE META file carrying
+    * the model shape (cells/spill/pq), the covered manifest generation,
+    * the served epoch, AND the covered split ids (`split=` lines) —
+    * epoch and coverage can therefore never disagree after a crash,
+    * which is what makes [[refresh]]'s append invisible-until-referenced.
+    * Drops the legacy two-file layout's SPLITS sidecar so stale coverage
+    * can never shadow META's.
+    *
+    * The publish is a compare-and-swap, not an overwrite: META carries a
+    * monotone `tick=`, the caller passes the tick it observed when its
+    * maintenance operation STARTED, and the commit goes through the same
+    * [[ManifestCommitPoint]] machinery as the manifest (OS-locked rename
+    * on file://, native conditional PUT where registered). A maintenance
+    * operation that lost a race — a `train --compact` folding while a
+    * stream's per-batch refresh publishes, the two single-writer paths
+    * that previously last-rename-wins'd each other — now aborts LOUDLY
+    * with nothing visible changed (its appended epoch directory is
+    * outside the winner's served range and gets swept), instead of
+    * silently dropping or double-serving a batch. */
   private def writeMeta(name: String, field: String, cells: Int,
       gen: Long, spill: Int, epoch: Int, covered: Set[String],
-      pq: Int, base: Int = 0): Unit = {
+      pq: Int, expectTick: Long, base: Int = 0): Unit = {
     val root = annRoot(name, field)
     val body = new StringBuilder()
+    body.append(s"tick=${expectTick + 1}\n")
     body.append(s"cells=$cells\ngen=$gen\nspill=$spill\nepoch=$epoch\npq=$pq\n")
     if (base > 0) body.append(s"base=$base\n")
     covered.toList.sorted.foreach(id => body.append(s"split=$id\n"))
-    catalog.metaStore.writeStringAtomic(new HPath(root, "META"),
-      body.toString)
+    val metaP = new HPath(root, "META")
+    val ok = catalog.metaStore.commitPoint(metaP).commit(expectTick + 1,
+      body.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (!ok) sys.error(
+      s"ANN META for '$name.$field' changed while this maintenance " +
+        s"operation ran (expected tick $expectTick): a concurrent " +
+        "train/refresh/compact won the publish. Nothing visible changed " +
+        "on this side — re-run the operation against the new META")
     catalog.metaStore.deleteIfExists(new HPath(root, "SPLITS"))
+  }
+
+  /** Tick CAS version of META (0 = legacy/absent META). */
+  private def metaTick(name: String, field: String): Long =
+    metaField(name, field, "tick").map(_.toLong).getOrElse(0L)
+
+  /** Serialize ANN maintenance (train / refresh / compactEpochs) per
+    * (index, field) ACROSS PROCESSES: the stream's per-batch refresh and
+    * an operator-run `train --compact` are each single-writer paths to
+    * the same META and data/ tree, and the epoch-range visibility rule
+    * needs their sweep→append→publish sequences to not interleave. On
+    * file:// roots this is a kernel advisory lock (released on holder
+    * crash — no stale-lock state, the [[LocalFsCommitPoint]] idiom) held
+    * for the operation's whole duration. Other schemes have no lock
+    * primitive; there the META tick CAS still turns a lost publish race
+    * into a loud abort, but concurrent maintenance should be externally
+    * coordinated (one writer per index/field — the same single-writer
+    * rule the manifest documents for rename-based stores). */
+  private def withMaintenanceLock[T](root: HPath)(body: => T): T = {
+    val f = fs(root)
+    if (f.getScheme != "file") return body
+    f.mkdirs(root)
+    val lockPath = java.nio.file.Paths.get(
+      f.makeQualified(root).toUri.getPath, "maintenance.lock")
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val deadline =
+        System.nanoTime() + AnnIndex.MaintenanceLockTimeoutMs * 1000000L
+      var fl: java.nio.channels.FileLock = null
+      while (fl == null) {
+        fl = try ch.tryLock()
+        catch { case _: java.nio.channels.OverlappingFileLockException => null }
+        if (fl == null) {
+          if (System.nanoTime() > deadline)
+            throw new IllegalStateException(
+              s"timed out acquiring ANN maintenance lock at $lockPath — " +
+                "another train/refresh/compact holds it")
+          Thread.sleep(20)
+        }
+      }
+      try body finally fl.release()
+    } finally ch.close()
   }
 
   /** The serving model — (centroid table, PQ codebooks if any, parsed
@@ -663,10 +740,13 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
             .where(col("__code").isNotNull)
           val skinny = if (m.exists(_._3 > 1))
             skinny0.dropDuplicates("__epoch", "__rid") else skinny0
+          // (__adist, __epoch, __rid) is a TOTAL order — same as
+          // knnBatch's — so ADC-distance ties cut deterministically at
+          // the shortlist boundary run-to-run and across the two tiers
           val survivors = skinny
             .withColumn("__adist",
               graft.exprs.Pq.pq_adc(col("__code"), typedLit(lut.toSeq)))
-            .orderBy(col("__adist").asc)
+            .orderBy(col("__adist").asc, col("__epoch").asc, col("__rid").asc)
             .limit(rFetch)
             .select(col("__epoch"), col("__rid"))
           cand0.join(broadcast(survivors), Seq("__epoch", "__rid"))
@@ -793,6 +873,15 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
 }
 
 object AnnIndex {
+  /** How long a maintenance op waits on the per-(index,field) advisory
+    * lock before failing loudly. Generous: the holder may be a fold
+    * rewriting the stored tier (minutes at scale), and waiting is
+    * strictly better than the pre-lock behavior (two writers
+    * interleaving sweep/append/publish on the same data/ tree). */
+  val MaintenanceLockTimeoutMs: Long =
+    sys.props.get("graft.ann.maintenance.lock.timeout.ms").map(_.toLong)
+      .getOrElse(10L * 60 * 1000)
+
   /** Process-wide serving-model cache (centroids + codebooks), LRU,
     * keyed on catalog root + index + field + META file signature — see
     * [[AnnIndex.servingModel]]. Sized in MODELS: even 64 resident

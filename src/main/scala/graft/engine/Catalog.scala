@@ -680,26 +680,37 @@ final class Catalog(rootDir: String,
     * generations ([[manifestStateAt]] snapshot reads), until an
     * explicit [[vacuum]] unreferences them. Without it (the default,
     * the reference's `merge.rs:50-70` order) the files are best-effort
-    * deleted after the commit point. */
+    * deleted after the commit point.
+    *
+    * `lossless` is the CALLER's declaration that the swap preserves
+    * every document (a pure concatenating compaction — nothing dropped,
+    * nothing added, nothing rewritten). Only then are the consumed ids
+    * recorded as the produced splits' `parents`, atomically with the
+    * swap — the lineage a sidecar index ([[AnnIndex]] coverage
+    * translation) uses to claim "the docs of these parents are covered
+    * exactly once by this child". Losslessness is a semantic property
+    * only the producer of `added` knows (doc-COUNT equality is a
+    * necessary-but-not-sufficient proxy: an equal-count REPLACEMENT of
+    * different documents must not inherit coverage), so it is declared
+    * here, not inferred — and the count proxy is kept as a loud sanity
+    * check against a false declaration. */
   def swapSplits(name: String, removed: List[String], added: List[SplitInfo],
-      retainInputs: Boolean = false): Boolean = {
+      retainInputs: Boolean = false, lossless: Boolean = false): Boolean = {
     val committed = mutate(name) { live =>
       val liveIds = live.map(_.id).toSet
       if (!removed.forall(liveIds.contains)) None
       else {
-        // Lineage tag: when the swap preserves every document (a pure
-        // compaction — doc counts match exactly), record the consumed
-        // ids as the produced splits' `parents`, atomically with the
-        // swap. A doc-dropping merge (--dedup) records nothing: a
-        // sidecar index translating coverage through parents must not
-        // claim docs the merge removed are "covered exactly once".
-        val consumedDocs = live.iterator
-          .filter(s => removed.contains(s.id)).map(_.numDocs).sum
-        val lossless = removed.nonEmpty && added.nonEmpty &&
-          consumedDocs == added.iterator.map(_.numDocs).sum
-        val tagged =
-          if (lossless) added.map(_.copy(parents = removed.sorted))
-          else added
+        val tagged = if (lossless) {
+          require(removed.nonEmpty && added.nonEmpty,
+            "lossless swap must consume and produce at least one split")
+          val consumedDocs = live.iterator
+            .filter(s => removed.contains(s.id)).map(_.numDocs).sum
+          val producedDocs = added.iterator.map(_.numDocs).sum
+          require(consumedDocs == producedDocs,
+            s"swap declared lossless but consumed $consumedDocs docs != " +
+              s"produced $producedDocs — refusing to record lineage")
+          added.map(_.copy(parents = removed.sorted))
+        } else added
         Some(live.filterNot(s => removed.contains(s.id)) ++ tagged)
       }
     }

@@ -158,8 +158,11 @@ final class Indexer(spark: SparkSession, catalog: Catalog) {
     val parts = math.max(1, (n / Indexer.MaxRecordsPerFile).toInt)
     val split = Indexer.writeSplit(spark, d, df.repartition(parts), dir, id,
       partitionsHint = Some(parts))
+    // A plain merge concatenates its inputs verbatim — declare it
+    // lossless so the produced split inherits the inputs' ANN coverage
+    // through `parents`. A --dedup merge drops documents: no lineage.
     if (catalog.swapSplits(indexName, splits.map(_.id), List(split),
-        retainInputs)) Some(split)
+        retainInputs, lossless = !dedup)) Some(split)
     else {
       // a concurrent merge consumed (some of) our inputs first: our output
       // would duplicate those documents, so abandon it and clean up

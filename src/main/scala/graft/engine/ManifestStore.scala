@@ -151,11 +151,22 @@ final class ManifestStore(rootUri: String, conf: Configuration) {
       }
   }
 
-  /** Stored manifest generation (0 = no manifest). */
+  /** Stored generation (0 = nothing stored). Two formats share the
+    * commit-point machinery: the manifest's JSON (its `gen` field) and
+    * key=value metadata sidecars like the ANN tier's META, whose
+    * monotone commit version is a `tick=` line (a legacy META without
+    * one reads as 0, so its first CAS publish — commit(1) — succeeds). */
   private[graft] def readGen(manifest: HPath): Long =
     readString(manifest).map { s =>
-      val node = graft.exprs.JsonSupport.parse(s)
-      Option(node.get("gen")).filter(!_.isNull).map(_.asLong()).getOrElse(0L)
+      try {
+        val node = graft.exprs.JsonSupport.parse(s)
+        Option(node.get("gen")).filter(!_.isNull).map(_.asLong()).getOrElse(0L)
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          s.split("\n").map(_.split("=", 2))
+            .collectFirst { case Array("tick", v) => v.trim.toLong }
+            .getOrElse(0L)
+      }
     }.getOrElse(0L)
 }
 

@@ -194,7 +194,11 @@ object Sketch {
   val HdrCap: Long = 1L << 58
 
   def hdrBuckets(df: DataFrame, group: Column, value: Column): DataFrame =
-    df.select(group.as("grp"),
+    // a NULL value is NOT an observation — drop it before the clamp
+    // (both engines' `least` SKIPS nulls, so an unfiltered NULL would
+    // saturate into the top 2^58 bucket and inflate high quantiles)
+    df.where(value.isNotNull)
+      .select(group.as("grp"),
         least(value.cast("long"), lit(HdrCap)).as("v"))
       .select(col("grp"),
         when(col("v") <= 0, lit(0L))

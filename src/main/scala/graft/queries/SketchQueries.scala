@@ -594,7 +594,7 @@ object SketchQueries {
       s"""WITH raw AS (
         |  SELECT source AS grp,
         |    least(CAST(length(text) AS BIGINT), ${Sketch.HdrCap}) AS v
-        |  FROM documents),
+        |  FROM documents WHERE length(text) IS NOT NULL),
         |b AS (
         |  SELECT grp, CASE WHEN v <= 0 THEN 0
         |    ELSE 1 + (length(bin(v)) - 1) * 16 +
@@ -732,7 +732,8 @@ object SketchQueries {
          |  FROM est),
          |ex AS (SELECT grp, count(DISTINCT tok) AS exact_vocab FROM tk GROUP BY grp),
          |raw AS (SELECT grp,
-         |  least(CAST(length(text) AS BIGINT), ${Sketch.HdrCap}) AS v FROM dt),
+         |  least(CAST(length(text) AS BIGINT), ${Sketch.HdrCap}) AS v FROM dt
+         |  WHERE length(text) IS NOT NULL),
          |hb AS (
          |  SELECT grp, CASE WHEN v <= 0 THEN 0
          |    ELSE 1 + (length(bin(v)) - 1) * 16 +

@@ -391,4 +391,129 @@ class AdviceRegressionSpec extends AnyFunSuite {
       cat.drop("crashann")
     }
   }
+
+  private val annYaml =
+    """version: 1
+      |name: %s
+      |path: /tmp/unused
+      |schema:
+      |  fields:
+      |    - name: title
+      |      type: !text
+      |    - name: emb
+      |      type: !number
+      |        type: f64
+      |      array: true
+      |""".stripMargin
+
+  test("ANN META publishes are a tick CAS, not a last-rename-wins overwrite") {
+    // r13 advice: the stream's per-batch refresh and an operator-run
+    // `train --compact` could race the same META through plain atomic
+    // renames, double-serving or dropping a batch. META now carries a
+    // monotone tick= and publishes through the manifest's commit-point
+    // machinery: a writer expecting a stale tick is REFUSED.
+    withEngine { (cat, idx, _) =>
+      cat.create(annYaml.format("casann"))
+      idx.indexFile("casann", writeDocs(
+        """{"title": "a", "emb": [1.0, 0.0, 0.0, 0.0]}
+          |{"title": "b", "emb": [0.0, 0.0, 1.0, 0.0]}""".stripMargin))
+      val ann = new graft.engine.AnnIndex(spark, cat)
+      ann.train("casann", "emb", cells = 1)
+      val store = new graft.engine.ManifestStore(cat.catalogRoot,
+        new org.apache.hadoop.conf.Configuration())
+      val metaP = new org.apache.hadoop.fs.Path(
+        s"${cat.catalogRoot}/indexes/casann/ann/emb/META")
+      assert(store.readGen(metaP) == 1L,
+        "a fresh train publishes tick=1 (key=value readGen fallback)")
+      val cp = store.commitPoint(metaP)
+      // a writer that read tick=0 before the train lost the race: refused
+      assert(!cp.commit(1L, "tick=1\ncells=9\n".getBytes("UTF-8")),
+        "a stale-tick publish must be refused, not last-rename-wins")
+      assert(store.readString(metaP).get.contains("cells=1"),
+        "the refused publish changed nothing")
+      // maintenance ops bump the tick: refresh (even a no-op republish)
+      ann.refresh("casann", "emb")
+      assert(store.readGen(metaP) == 2L,
+        "each maintenance publish advances the tick by one")
+      cat.drop("casann")
+    }
+  }
+
+  test("ANN maintenance ops exclude each other via the per-field advisory lock") {
+    withEngine { (cat, idx, _) =>
+      cat.create(annYaml.format("lockann"))
+      idx.indexFile("lockann", writeDocs(
+        """{"title": "a", "emb": [1.0, 0.0, 0.0, 0.0]}
+          |{"title": "b", "emb": [0.0, 0.0, 1.0, 0.0]}""".stripMargin))
+      val ann = new graft.engine.AnnIndex(spark, cat)
+      ann.train("lockann", "emb", cells = 1)
+      val lock = java.nio.file.Paths.get(
+        cat.catalogRoot.stripPrefix("file:"),
+        "indexes", "lockann", "ann", "emb", "maintenance.lock")
+      assert(java.nio.file.Files.exists(lock),
+        "train must have taken the maintenance lock")
+      // hold the lock as a foreign maintenance writer; a refresh must
+      // wait for release instead of interleaving its sweep/append/publish
+      val ch = java.nio.channels.FileChannel.open(lock,
+        java.nio.file.StandardOpenOption.WRITE)
+      val fl = ch.lock()
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fut = Future(ann.refresh("lockann", "emb"))
+      Thread.sleep(500)
+      assert(!fut.isCompleted,
+        "refresh must block while another maintenance op holds the lock")
+      fl.release(); ch.close()
+      val (ns, _) = Await.result(fut, 2.minutes)
+      assert(ns == 0, "nothing new to cover; the blocked refresh completes")
+      cat.drop("lockann")
+    }
+  }
+
+  test("single-query PQ shortlist cuts on the (adist, epoch, rid) total " +
+      "order — ADC ties are deterministic run-to-run") {
+    // r13 advice: orderBy(__adist).limit(rFetch) had no tie-break while
+    // knnBatch pinned (adist, epoch, rid); boundary ties could differ
+    // between tiers and across runs.
+    withEngine { (cat, idx, _) =>
+      cat.create(annYaml.format("tieann"))
+      // two identical pairs -> two distinct PQ codes, each shared by two
+      // rows: any rerank budget that splits a code group cuts on a tie
+      idx.indexFile("tieann", writeDocs(
+        """{"title": "a", "emb": [1.0, 0.0, 0.0, 0.0]}
+          |{"title": "b", "emb": [1.0, 0.0, 0.0, 0.0]}
+          |{"title": "c", "emb": [0.0, 0.0, 1.0, 0.0]}
+          |{"title": "d", "emb": [0.0, 0.0, 1.0, 0.0]}""".stripMargin))
+      val ann = new graft.engine.AnnIndex(spark, cat)
+      ann.train("tieann", "emb", cells = 1, pq = 2)
+      def run() = ann.knn("tieann", "emb", Array(1.0f, 0.0f, 0.0f, 0.0f),
+        k = 3, nProbe = 1, rerank = 3)
+        .collect().map(_.getString(1)).sorted.toSeq
+      val first = run()
+      (1 to 3).foreach { i =>
+        assert(run() == first, s"run $i must cut the tied shortlist " +
+          s"identically (total order), got vs $first")
+      }
+      cat.drop("tieann")
+    }
+  }
+
+  test("HDR buckets drop NULL values instead of saturating them into the " +
+      "top bucket") {
+    // r13 advice: least(value, HdrCap) SKIPS nulls in both engines, so a
+    // NULL value (e.g. length(NULL text)) counted as a maximal
+    // observation and inflated high quantiles.
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = Seq(("g", Some(100L)), ("g", Some(200L)), ("g", None))
+      .toDF("grp0", "v0")
+    val bk = graft.ops.Sketch.hdrBuckets(df, col("grp0"), col("v0"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(bk.map(_._2).sum == 2L,
+      s"the NULL row is not an observation: ${bk.mkString(";")}")
+    val capBucket = (1 + 58 * graft.ops.Sketch.HdrSub).toLong
+    assert(!bk.exists(_._1 == capBucket),
+      s"NULL must not saturate into the 2^58 cap bucket: ${bk.mkString(";")}")
+  }
 }

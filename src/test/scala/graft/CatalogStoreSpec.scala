@@ -291,10 +291,21 @@ class CatalogStoreSpec extends AnyFunSuite {
       val cat = new Catalog(root)
       cat.create("name: par\nfields:\n  - name: body\n    type: text\n")
       (0 until 10).foreach(i => cat.commitSplit("par", SplitInfo(s"s$i", 3)))
-      // lossless swap: 2 splits of 3 docs -> one of 6; parents recorded
-      assert(cat.swapSplits("par", List("s0", "s1"), List(SplitInfo("m0", 6))))
-      // doc-dropping swap (a --dedup merge): 2x3 -> 5; NO parents
-      assert(cat.swapSplits("par", List("s2", "s3"), List(SplitInfo("m1", 5))))
+      // declared-lossless swap: 2 splits of 3 docs -> one of 6; parents
+      assert(cat.swapSplits("par", List("s0", "s1"), List(SplitInfo("m0", 6)),
+        lossless = true))
+      // doc-dropping swap (a --dedup merge, undeclared): NO parents
+      assert(cat.swapSplits("par", List("s2", "s3"), List(SplitInfo("m1", 6))))
+      // equal-count REPLACEMENT without the declaration: count parity
+      // alone must NOT be inferred as lineage (the r13 advice case)
+      // -- m1 above consumed 6 docs and produced 6, yet has no parents.
+      // A FALSE declaration fails loudly instead of recording lineage:
+      intercept[IllegalArgumentException] {
+        cat.swapSplits("par", List("s4"), List(SplitInfo("m2", 99)),
+          lossless = true)
+      }
+      assert(cat.liveSplits("par").exists(_.id == "s4"),
+        "a refused lossless swap must not commit")
       // push everything through page sealing + a fresh catalog instance
       (10 until 16).foreach(i => cat.commitSplit("par", SplitInfo(s"s$i", 1)))
       Catalog.clearPageCache()
@@ -303,7 +314,8 @@ class CatalogStoreSpec extends AnyFunSuite {
       assert(byId("m0").parents == List("s0", "s1"),
         s"lossless lineage survives paging: ${byId("m0")}")
       assert(byId("m1").parents.isEmpty,
-        s"doc-dropping swap must record no lineage: ${byId("m1")}")
+        s"undeclared swap must record no lineage even at equal doc " +
+          s"counts: ${byId("m1")}")
       assert(live.filter(_.id.startsWith("s")).forall(_.parents.isEmpty))
     }
   }
