@@ -213,7 +213,10 @@ object Main {
               val (eb, ee) = ann.epochSpan(name, f)
               val span = if (eb == ee) s"1 epoch"
                 else s"${ee - eb + 1} epochs ($eb..$ee — train --compact folds them)"
-              println(s"ann '$f': $cells cell(s), spill=$spill, " +
+              val tier = if (ann.pqOf(name, f) > 0) s", pq=${ann.pqOf(name, f)}"
+                else if (ann.sq8Of(name, f)) ", sq8"
+                else ""
+              println(s"ann '$f': $cells cell(s), spill=$spill$tier, " +
                 s"trained at gen $gen ($stale); $tot row(s), " +
                 s"largest cell $mx, $span")
           }
@@ -285,7 +288,8 @@ object Main {
             cells = flags.getOrElse("cells", "0").toInt,
             iterations = flags.getOrElse("iterations", "4").toInt,
             spill = flags.getOrElse("spill", "1").toInt,
-            pq = flags.getOrElse("pq", "0").toInt)
+            pq = flags.getOrElse("pq", "0").toInt,
+            sq8 = flags.contains("sq8"))
           println(s"trained $cells cell(s) over $n vector(s) for field '$field'")
         }
 
@@ -358,6 +362,7 @@ object Main {
         case "--sketches" :: t => flags("sketches") = "true"; rest = t
         case "--refresh" :: t => flags("refresh") = "true"; rest = t
         case "--compact" :: t => flags("compact") = "true"; rest = t
+        case "--sq8" :: t => flags("sq8") = "true"; rest = t
         case f :: v :: t if f.startsWith("--") => flags(f.stripPrefix("--")) = v; rest = t
         case x :: t => pos += x; rest = t
         case Nil =>
@@ -376,7 +381,7 @@ object Main {
         |       count <name> <query> | merge <name> [--retain-inputs]
         |       vacuum <name> --before-gen N   (all: [--root DIR])
         |       stats <name> [--sketches --state-dir DIR] [--ann F]
-        |       train <name> --field F [--cells N (default sqrt(n)) --iterations 4 --spill 1 --pq M | --refresh | --compact]
+        |       train <name> --field F [--cells N (default sqrt(n)) --iterations 4 --spill 1 --pq M --sq8 | --refresh | --compact]
         |       knn <name> --field F (--vector v1,v2,... | --queries-file f.jsonl)
         |         [--k 5 --nprobe N --rerank R]
         |       pipeline <config.yaml>   (curate -> dedup -> shuffle -> shards)""".stripMargin)

@@ -181,8 +181,11 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     * `rerank` CROWDS it and recall drops (0.61 → 0.54 measured); the
     * knn `rerank` knob sizes it. */
   def train(name: String, field: String, cells: Int = 0,
-      iterations: Int = 4, spill: Int = 1, pq: Int = 0): (Int, Long) = {
+      iterations: Int = 4, spill: Int = 1, pq: Int = 0,
+      sq8: Boolean = false): (Int, Long) = {
     require(spill >= 1, s"spill must be >= 1, got $spill")
+    require(!(sq8 && pq > 0),
+      "--sq8 and --pq are alternative candidate-ranking tiers; pick one")
     val cfg = catalog.load(name)
     vectorCol(cfg, field)
     withMaintenanceLock(annRoot(name, field)) {
@@ -247,9 +250,32 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     // old codebooks/ behind for the serving-model loader to pick up
     if (pq == 0)
       catalog.metaStore.deleteDirBestEffort(new HPath(root, "codebooks"))
+    // SQ8 tier: per-dim corpus min/max (one narrow aggregate, dim-sized
+    // collect — the BM25-stats pattern) persisted as the quantizer the
+    // whole lifecycle shares; refresh/compact reuse it FROZEN, like the
+    // centroids, so stored codes from different epochs stay comparable
+    val sqStats: Option[(Array[Double], Array[Double])] =
+      if (sq8) {
+        val st = vecs.select(posexplode(col("v")).as(Seq("d", "x")))
+          .groupBy("d").agg(min("x").as("mn"), max("x").as("mx"))
+          .collect()
+          .map(r => (r.getInt(0), r.getFloat(1).toDouble, r.getFloat(2).toDouble))
+          .sortBy(_._1)
+        Some((st.map(_._2), st.map(_._3)))
+      } else None
+    sqStats match {
+      case Some((mn, mx)) =>
+        import spark.implicits._
+        mn.indices.map(i => (i, mn(i), mx(i))).toDF("d", "mn", "mx")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(new HPath(root, "sq8").toString)
+      case None =>
+        catalog.metaStore.deleteDirBestEffort(new HPath(root, "sq8"))
+    }
     val bcCents = spark.sparkContext.broadcast(
       centRows.sortBy(_._1).map { case (cid, cv) => (cid, cv.toArray) }.toArray)
-    val data = withCode(df.where(col(field).isNotNull), field, pqCb)
+    val data = withSq8(withCode(df.where(col(field).isNotNull), field, pqCb),
+        field, sqStats)
       .withColumn("__rid", monotonically_increasing_id())
       .withColumn("__epoch", lit(0L))
       .withColumn("__cell", explode(
@@ -257,7 +283,8 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     data.write.mode("overwrite").partitionBy("__epoch", "__cell")
       .parquet(new HPath(root, "data").toString)
     writeMeta(name, field, centRows.length, gen, spill, epoch = 0,
-      covered = splits.map(_.id).toSet, pq = pq, expectTick = tick0)
+      covered = splits.map(_.id).toSet, pq = pq, expectTick = tick0,
+      sq8 = sq8)
     (centRows.length, n)
     }
   }
@@ -266,6 +293,20 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
       cb: Option[graft.exprs.Pq.Codebooks]): DataFrame = cb match {
     case Some(c) =>
       df.withColumn("__code", graft.exprs.Pq.pq_encode(col(field), c))
+    case None => df
+  }
+
+  /** Attach the stored `__sq8` code column (256-bin per-dim scalar
+    * quantization under the FROZEN train-time stats) — the candidate
+    * column the SQ8 serving tier ranks on with an exact integer dot
+    * product: ~1 byte/dim under parquet's int packing vs 8 for the
+    * stored f64 vector, the middle recall/bandwidth point between the
+    * exact tier (full-vector reads) and PQ (m bytes, recall ceiling). */
+  private def withSq8(df: DataFrame, field: String,
+      st: Option[(Array[Double], Array[Double])]): DataFrame = st match {
+    case Some((mn, mx)) =>
+      df.withColumn("__sq8", graft.exprs.Sq8.sq8_quantize(
+        expr(s"transform(`$field`, x -> CAST(x AS FLOAT))"), mn, mx))
     case None => df
   }
 
@@ -350,6 +391,7 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
         s"lossless merge lineage: ${gone.take(3).mkString(", ")} — " +
         "refresh would double-serve their documents; re-run a full train")
     val pq = pqOf(name, field)
+    val sq8 = sq8Of(name, field)
     val root = annRoot(name, field)
     val servedEpoch = epochOf(name, field)
     val baseEp = baseOf(name, field)
@@ -359,7 +401,7 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
       // the current generation so the staleness note clears (and a
       // post-merge translation sticks without waiting for new data)
       writeMeta(name, field, m._1, gen, m._3, servedEpoch, covered, pq,
-        expectTick = tick0, base = baseEp)
+        expectTick = tick0, base = baseEp, sq8 = sq8)
       return (0, 0L)
     }
     // a refresh that crashed between its append and its META publish
@@ -367,12 +409,13 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     // before re-appending the same splits under the same epoch number
     dropOrphanEpochs(root, baseEp, servedEpoch)
     val (_, _, df) = corpusOf(name, newSplits)
-    val (centArr, cbs, _) = servingModel(name, field, root)
+    val (centArr, cbs, sqSt, _) = servingModel(name, field, root)
     val epoch = servedEpoch + 1
     val base = df.where(col(field).isNotNull)
     val nNew = base.count()
     val bcCents = spark.sparkContext.broadcast(centArr)
-    val fresh = withCode(base, field, if (pq > 0) cbs else None)
+    val fresh = withSq8(withCode(base, field, if (pq > 0) cbs else None),
+        field, if (sq8) sqSt else None)
       .withColumn("__rid", monotonically_increasing_id())
       .withColumn("__epoch", lit(epoch.toLong))
       .withColumn("__cell", explode(
@@ -380,7 +423,8 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     fresh.write.mode("append").partitionBy("__epoch", "__cell")
       .parquet(new HPath(root, "data").toString)
     writeMeta(name, field, m._1, gen, m._3, epoch,
-      covered ++ newSplits.map(_.id), pq, expectTick = tick0, base = baseEp)
+      covered ++ newSplits.map(_.id), pq, expectTick = tick0, base = baseEp,
+      sq8 = sq8)
     (newSplits.length, nNew)
     }
   }
@@ -447,7 +491,7 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     val n = spark.read.parquet(dataDir.toString)
       .where(col("__epoch") === next).count()
     writeMeta(name, field, m._1, gen, spill, next, covered, pq,
-      expectTick = tick0, base = next)
+      expectTick = tick0, base = next, sq8 = sq8Of(name, field))
     // retired directories are already invisible; delete is cleanup only
     dropOrphanEpochs(root, next, next)
     (served - base + 1, n)
@@ -525,6 +569,10 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
   def pqOf(name: String, field: String): Int =
     metaField(name, field, "pq").map(_.toInt).getOrElse(0)
 
+  /** Whether the trained index stores the SQ8 integer-code column. */
+  def sq8Of(name: String, field: String): Boolean =
+    metaField(name, field, "sq8").exists(_.toInt > 0)
+
   /** Served epoch range (base, epoch) — equal after a compaction (or a
     * fresh train); the spread is the directory-growth signal `stats
     * --ann` surfaces so the operator knows when `train --compact` pays. */
@@ -552,11 +600,13 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     * silently dropping or double-serving a batch. */
   private def writeMeta(name: String, field: String, cells: Int,
       gen: Long, spill: Int, epoch: Int, covered: Set[String],
-      pq: Int, expectTick: Long, base: Int = 0): Unit = {
+      pq: Int, expectTick: Long, base: Int = 0,
+      sq8: Boolean = false): Unit = {
     val root = annRoot(name, field)
     val body = new StringBuilder()
     body.append(s"tick=${expectTick + 1}\n")
     body.append(s"cells=$cells\ngen=$gen\nspill=$spill\nepoch=$epoch\npq=$pq\n")
+    if (sq8) body.append("sq8=1\n")
     if (base > 0) body.append(s"base=$base\n")
     covered.toList.sorted.foreach(id => body.append(s"split=$id\n"))
     val metaP = new HPath(root, "META")
@@ -625,7 +675,7 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     * the [[Catalog.manifestStateCached]] rule. */
   private def servingModel(name: String, field: String, root: HPath)
       : (Array[(Long, Array[Float])], Option[graft.exprs.Pq.Codebooks],
-         Map[String, String]) = {
+         Option[(Array[Double], Array[Double])], Map[String, String]) = {
     val sigOpt = catalog.metaStore.fileSignature(new HPath(root, "META"))
     val trusted = sigOpt.exists(sig => sig.etag.nonEmpty ||
       System.currentTimeMillis() - sig.mtime >= Catalog.MtimeGranularityMs)
@@ -650,7 +700,14 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
           .sortBy(_._1)
         val cbP = new HPath(root, "codebooks")
         val cbs = if (fs(cbP).exists(cbP)) Some(readCodebooks(root)) else None
-        val v = (centArr, cbs, kv)
+        val sqP = new HPath(root, "sq8")
+        val sq = if (fs(sqP).exists(sqP)) {
+          val st = spark.read.parquet(sqP.toString).collect()
+            .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+            .sortBy(_._1)
+          Some((st.map(_._2), st.map(_._3)))
+        } else None
+        val v = (centArr, cbs, sq, kv)
         if (trusted) key.foreach(k => AnnIndex.servingCache.put(k, v))
         v
     }
@@ -708,7 +765,7 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     val scored: DataFrame =
       if (nProbe > 0 && m.isDefined) {
         val root = annRoot(name, field)
-        val (cents, cbsOpt, mm) = servingModel(name, field, root)
+        val (cents, cbsOpt, sqStOpt, mm) = servingModel(name, field, root)
         // rank the model-constant centroid table driver-side
         val probes = cents.map { case (cid, cv) =>
           (cid, AnnIndex.cosine(queryVec, cv))
@@ -747,6 +804,36 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
             .withColumn("__adist",
               graft.exprs.Pq.pq_adc(col("__code"), typedLit(lut.toSeq)))
             .orderBy(col("__adist").asc, col("__epoch").asc, col("__rid").asc)
+            .limit(rFetch)
+            .select(col("__epoch"), col("__rid"))
+          cand0.join(broadcast(survivors), Seq("__epoch", "__rid"))
+        } else if (mm.get("sq8").exists(_.toInt > 0)) {
+          // SQ8 tier: same shortlist-then-rerank shape as PQ, ranking
+          // ASYMMETRICALLY — the stored int8 codes against the UNQUANTIZED
+          // query folded into per-dim fixed-point weights
+          // (w_i = floor(q_i·step_i·2^24), one literal array): the integer
+          // dot Σ code_i·w_i orders candidates by the RECONSTRUCTED inner
+          // product ⟨x̂, q⟩ up to a per-query constant, so the affine
+          // quantization offset cancels instead of biasing the cut
+          // (quantize-the-query ranking measured 0.66 recall where this
+          // form measures at the exact tier's level — see ProbeKnn).
+          // Candidate reads touch ~1 byte/dim instead of the 8-byte
+          // stored vector; survivors fetch full rows for the exact
+          // cosine rerank. (__idot desc, epoch, rid) is the same total
+          // order as the PQ and batch tiers.
+          val (mn, mx) = sqStOpt.getOrElse(sys.error(
+            s"trained index for '$field' claims sq8 but has no sq8/ stats"))
+          val qw = AnnIndex.sq8AdcWeights(queryVec, mn, mx)
+          val rFetch = if (rerank > 0) rerank else math.max(4 * k, 64)
+          val skinny0 = cand0
+            .select(col("__epoch"), col("__rid"), col("__sq8"))
+            .where(col("__sq8").isNotNull)
+          val skinny = if (m.exists(_._3 > 1))
+            skinny0.dropDuplicates("__epoch", "__rid") else skinny0
+          val survivors = skinny
+            .withColumn("__idot", graft.exprs.Sq8.dot_int(col("__sq8"),
+              typedLit(qw.toSeq)))
+            .orderBy(col("__idot").desc, col("__epoch").asc, col("__rid").asc)
             .limit(rFetch)
             .select(col("__epoch"), col("__rid"))
           cand0.join(broadcast(survivors), Seq("__epoch", "__rid"))
@@ -810,7 +897,7 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     val scored: DataFrame =
       if (nProbe > 0 && m.isDefined) {
         val root = annRoot(name, field)
-        val (cents, cbsOpt, mm) = servingModel(name, field, root)
+        val (cents, cbsOpt, sqStOpt, mm) = servingModel(name, field, root)
         val bc = spark.sparkContext.broadcast(cents)
         // snapshotted: the probe relation feeds both the probed-cell
         // census below and the candidate join — without the checkpoint
@@ -843,6 +930,40 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
               graft.exprs.Pq.pq_adc(col("__code"), col("__lut")))
             .withColumn("__srn", row_number().over(w.orderBy(
               col("__adist").asc, col("__epoch").asc, col("__rid").asc)))
+            .where(col("__srn") <= rFetch)
+            .select(col("qid"), col("qv"), col("__epoch"), col("__rid"))
+          val full = if (spilled)
+            data.dropDuplicates("__epoch", "__rid") else data
+          survivors.join(full, Seq("__epoch", "__rid"))
+            .withColumn("__score",
+              CosineSimilarity.cosine_similarity(col(field), col("qv")))
+        } else if (mm.get("sq8").exists(_.toInt > 0)) {
+          // SQ8 batch: fold every query row into its per-dim fixed-point
+          // ADC weights (one map-only zip_with under the frozen stored
+          // stats — same asymmetric form as the single-query tier), rank
+          // the skinny __sq8 codes per query on the integer dot, cut
+          // per-qid with the (dot desc, epoch, rid) total order, rerank
+          // survivors exact
+          val (mn, mx) = sqStOpt.getOrElse(sys.error(
+            s"trained index for '$field' claims sq8 but has no sq8/ stats"))
+          val rFetch = if (rerank > 0) rerank else math.max(4 * k, 64)
+          val step = mn.indices.map(i => (mx(i) - mn(i)) / 255.0)
+          val probesS = probesQ
+            .withColumn("__qw", zip_with(col("qv"), typedLit(step),
+              (x, s) => floor(x * s * lit(AnnIndex.Sq8AdcScale)).cast("int")))
+            .where(col("__qw").isNotNull)
+          val skinny = data
+            .select(col("__cell").as("__dcell"), col("__epoch"),
+              col("__rid"), col("__sq8"))
+            .where(col("__sq8").isNotNull)
+          val cands0 = probesS.join(skinny, col("__pcell") === col("__dcell"))
+          val cands = if (spilled)
+            cands0.dropDuplicates("qid", "__epoch", "__rid") else cands0
+          val survivors = cands
+            .withColumn("__idot",
+              graft.exprs.Sq8.dot_int(col("__qw"), col("__sq8")))
+            .withColumn("__srn", row_number().over(w.orderBy(
+              col("__idot").desc, col("__epoch").asc, col("__rid").asc)))
             .where(col("__srn") <= rFetch)
             .select(col("qid"), col("qv"), col("__epoch"), col("__rid"))
           val full = if (spilled)
@@ -891,7 +1012,7 @@ object AnnIndex {
     sys.props.get("graft.ann.model.cache.max").map(_.toInt).getOrElse(64)
   private type ServingEntry =
     (Array[(Long, Array[Float])], Option[graft.exprs.Pq.Codebooks],
-     Map[String, String])
+     Option[(Array[Double], Array[Double])], Map[String, String])
   private[engine] val servingCache: java.util.Map[String, ServingEntry] =
     java.util.Collections.synchronizedMap(
       new java.util.LinkedHashMap[String, ServingEntry](16, 0.75f, true) {
@@ -952,5 +1073,25 @@ object AnnIndex {
     }
     val den = math.sqrt(na) * math.sqrt(nb)
     if (den == 0.0) 0.0 else dot / den
+  }
+
+  /** Fixed-point scale of the SQ8 asymmetric-ranking weights (2^24):
+    * |q_i·step_i| is O(1e-3) for unit-norm embeddings, so the quantized
+    * weight keeps ~1e-5 relative precision while Σ code·w stays far
+    * inside int64 (255 · 2^24 · dims < 2^43 at 4k dims). */
+  val Sq8AdcScale: Double = (1L << 24).toDouble
+
+  /** Per-dim fixed-point ADC weights of a query under the stored SQ8
+    * stats: w_i = floor(q_i · (mx_i − mn_i)/255 · 2^24). Σ code_i·w_i
+    * then equals ⟨x̂, q⟩·2^24 minus the per-query constant Σ mn_i·q_i —
+    * a pure integer ranking of candidates by reconstructed inner
+    * product, with the affine offset cancelled. Same arithmetic as the
+    * batch tier's zip_with column. */
+  private[engine] def sq8AdcWeights(q: Array[Float], mn: Array[Double],
+      mx: Array[Double]): Array[Int] = {
+    val n = math.min(q.length, mn.length)
+    Array.tabulate(n) { i =>
+      math.floor(q(i).toDouble * ((mx(i) - mn(i)) / 255.0) * Sq8AdcScale).toInt
+    }
   }
 }

@@ -37,6 +37,21 @@ import graft.engine.{AnnIndex, Catalog}
   *    (the crowded rows moved +0.03 over r12 — np=14/R=64 0.54→0.57,
   *    R=256 0.76→0.79 — the r13 shortlist spill-dedup fix: copies no
   *    longer crowd the fixed budget)
+  *  - spill=2 sq8 (r14): nprobe=7 → 0.82, nprobe=14 → 0.94 at BOTH
+  *    R=64 and R=256 — identical to the exact tier at the same probes
+  *    (int8 reconstruction is lossless for ranking at 64 dims), with
+  *    none of PQ's ~0.77 codebook ceiling. The asymmetric form is what
+  *    buys this: ranking stored codes against the UNQUANTIZED query's
+  *    fixed-point weights orders by reconstructed inner product with
+  *    the affine offset cancelled; the first cut (quantize the query,
+  *    integer dot of two code vectors) measured 0.66–0.68 on the same
+  *    data because the per-dim offsets bias the dot.
+  *  - rank-scan bandwidth (r14, parquet column footers, whole spill=2
+  *    layout): exact reads the emb column = 2,002 KiB; sq8 reads
+  *    __sq8 = 295 KiB (6.8× less per candidate row); pq8 reads
+  *    __code = 21 KiB. The serving trade is now a proper ladder:
+  *    exact (full bandwidth, truth recall) / sq8 (~1/7 bandwidth, same
+  *    recall as exact here) / pq (~1/100 bandwidth, 0.77–0.79 ceiling).
   *  - serving-model cache (r13): 188 hits / 12 misses over the probe's
   *    200 queries — a miss is a centroids/codebooks parquet read, paid
   *    once per (re)train plus the unsettled-mtime window right after a
@@ -191,6 +206,60 @@ object ProbeKnn {
       val got = run(f"s2pq np=$p%d R=$r%d", p, r)
       println(f"[probe-knn]   recall@5 vs brute: ${recallVsTruth(got)}%.3f")
     }
+
+    // the candidate-RANKING scan's bandwidth: compressed parquet bytes
+    // of the column each tier's rank pass reads, straight from the data/
+    // file footers (runtime task metrics at this toy scale are dominated
+    // by page/footer overhead and the two-scan shape; the per-row column
+    // width is what scales to cells holding millions of rows)
+    def columnBytes(prefix: String): Long = {
+      val dataDir = new org.apache.hadoop.fs.Path(
+        s"$root/indexes/pk/ann/emb/data")
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val f = dataDir.getFileSystem(hconf)
+      val it = f.listFiles(dataDir, true)
+      var sum = 0L
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) {
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(st.getPath, hconf))
+          try {
+            r.getFooter.getBlocks.forEach { b =>
+              b.getColumns.forEach { c =>
+                if (c.getPath.toDotString.startsWith(prefix))
+                  sum += c.getTotalSize // compressed on-disk bytes
+              }
+            }
+          } finally r.close()
+        }
+      }
+      sum
+    }
+    val rankBytesPq = columnBytes("__code")
+    val rankBytesExact = columnBytes("emb")
+
+    // SQ8 tier: spill=2 + per-dim int8 codes, ASYMMETRIC ranking — the
+    // stored codes against the unquantized query's fixed-point weights
+    // (reconstructed inner product, affine offset cancelled), exact
+    // rerank of the top-R survivors. The middle bandwidth point with no
+    // codebook recall ceiling.
+    val t3 = System.nanoTime()
+    ann.train("pk", "emb", spill = 2, sq8 = true)
+    println(f"[probe-knn] retrain spill=2 sq8 in ${(System.nanoTime() - t3) / 1e9}%.1f s")
+    for ((p, r) <- Seq((pMid, 0), (2 * pMid, 0), (pMid, 256), (2 * pMid, 256))) {
+      val got = run(f"s2sq np=$p%d R=$r%d", p, r)
+      println(f"[probe-knn]   recall@5 vs brute: ${recallVsTruth(got)}%.3f")
+    }
+    val rankBytesSq8 = columnBytes("__sq8")
+    println(f"[probe-knn] rank-scan column bytes (whole layout, compressed): " +
+      f"exact(emb)=${rankBytesExact / 1024}%d KiB " +
+      f"sq8=${rankBytesSq8 / 1024}%d KiB pq8=${rankBytesPq / 1024}%d KiB — " +
+      f"sq8 reads ${rankBytesExact.toDouble / math.max(1, rankBytesSq8)}%.1f× " +
+      f"less than exact per candidate row")
+    // restore the pq=8 layout the batch section below expects
+    ann.train("pk", "emb", spill = 2, pq = 8)
 
     // batch serving vs a per-query loop: the same 20 queries answered by
     // ONE knnBatch pass against the trained spill=2/pq=8 layout — the

@@ -558,6 +558,61 @@ class CliSpec extends AnyFunSuite {
     assert(batchLines.length == 4, s"2 queries x k=2:\n${outB.toString("UTF-8")}")
     assert(batchLines.count(_.startsWith("a\t1\t")) == 1 &&
       batchLines.count(_.startsWith("b\t1\t")) == 1, batchLines.mkString("\n"))
+
+    // SQ8 serving tier: retrain with the int8 code column; the integer
+    // dot-product candidate cut + exact rerank must agree with the brute
+    // tier, the code column must survive a refresh (frozen quantizer),
+    // and batch serving must agree with single-query
+    val outS = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(outS, true, "UTF-8")) {
+      cli.Main.run(Array("train", "vec_test", "--field", "emb",
+        "--cells", "2", "--spill", "2", "--sq8"), spark, cat, root)
+      cli.Main.run(Array("stats", "vec_test", "--ann", "emb"),
+        spark, cat, root)
+    }
+    assert(outS.toString("UTF-8").contains("sq8"),
+      s"stats --ann must surface the sq8 tier:\n${outS.toString("UTF-8")}")
+    val sqHits = ann.knn("vec_test", "emb",
+      Array(1.0f, 0.02f, 0.001f, 0.0f), 3, nProbe = 1, rerank = 4).collect()
+    assert(sqHits.length == 3, sqHits.mkString("; "))
+    assert(sqHits.head.getString(1).contains("\"title\":\"x5\""),
+      s"sq8 cut + exact rerank must surface the exact-match doc: ${sqHits.head}")
+    assert(sqHits.forall(_.getString(1).contains("\"x")),
+      s"x-direction query must rank x docs: ${sqHits.mkString("; ")}")
+    // the stored layout carries the __sq8 code column, and a refresh
+    // encodes appended rows with the FROZEN train-time quantizer
+    val in5 = Files.createTempFile("knn-x6", ".jsonl")
+    Files.write(in5, doc("x6", Seq(0.97, 0.03, 0.002, 0.0)).getBytes("UTF-8"))
+    cli.Main.run(Array("index", "vec_test", in5.toString), spark, cat, root)
+    ann.refresh("vec_test", "emb")
+    val sqData = spark.read.parquet(java.nio.file.Paths.get(root,
+      "indexes", "vec_test", "ann", "emb", "data").toString)
+    assert(sqData.columns.contains("__sq8"), sqData.columns.mkString(","))
+    assert(sqData.where(org.apache.spark.sql.functions.col("__sq8").isNull)
+      .count() == 0, "every stored row (trained + refreshed) carries a code")
+    val sqFresh = ann.knn("vec_test", "emb",
+      Array(0.97f, 0.03f, 0.002f, 0.0f), 1, nProbe = 1, rerank = 4).collect()
+    assert(sqFresh.head.getString(1).contains("\"title\":\"x6\""),
+      s"refreshed doc served through the sq8 tier: ${sqFresh.mkString}")
+    // batch face agrees with single-query on the sq8 layout
+    val sqBatch = ann.knnBatch("vec_test", "emb", batchQs, k = 3,
+      nProbe = 2, rerank = 8).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(3)))
+      .groupBy(_._1)
+    for ((qid, v) <- Seq(
+        "qx" -> Array(1.0f, 0.02f, 0.0f, 0.0f),
+        "qz" -> Array(0.4f, 0.6f, 0.4f, 0.0f))) {
+      val single = ann.knn("vec_test", "emb", v, 3, nProbe = 2, rerank = 8)
+        .collect().map(_.getString(1)).toSeq
+      val got = sqBatch(qid).sortBy(_._2).map(_._3).toSeq
+      assert(got == single,
+        s"sq8 batch must agree with single-query for $qid:\nbatch=$got\nsingle=$single")
+    }
+    // the two code tiers are alternatives, not a stack
+    val errT = intercept[Exception] {
+      ann.train("vec_test", "emb", cells = 2, pq = 2, sq8 = true)
+    }
+    assert(errT.getMessage.contains("pick one"), errT.getMessage)
     cat.drop("vec_test")
   }
 }
