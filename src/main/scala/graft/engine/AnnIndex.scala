@@ -1075,11 +1075,10 @@ object AnnIndex {
     if (den == 0.0) 0.0 else dot / den
   }
 
-  /** Fixed-point scale of the SQ8 asymmetric-ranking weights (2^24):
-    * |q_i·step_i| is O(1e-3) for unit-norm embeddings, so the quantized
-    * weight keeps ~1e-5 relative precision while Σ code·w stays far
-    * inside int64 (255 · 2^24 · dims < 2^43 at 4k dims). */
-  val Sq8AdcScale: Double = (1L << 24).toDouble
+  /** Fixed-point scale of the SQ8 asymmetric-ranking weights — shared
+    * with the gated query tier ([[graft.exprs.Sq8.AdcScale]], rationale
+    * there). */
+  val Sq8AdcScale: Double = graft.exprs.Sq8.AdcScale
 
   /** Per-dim fixed-point ADC weights of a query under the stored SQ8
     * stats: w_i = floor(q_i · (mx_i − mn_i)/255 · 2^24). Σ code_i·w_i

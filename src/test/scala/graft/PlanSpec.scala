@@ -442,6 +442,7 @@ class PlanSpec extends AnyFunSuite {
       "knn_recall" -> "composes knn_brute as its ground truth",
       "knn_recall_scaled" -> "composes knn_brute truth + sqrt(n) centroid assignment",
       "knn_serving_recall" -> "composes knn_brute truth + query-side probe assignment (corpus layout is the map-only nearest_cells expression)",
+      "knn_serving_recall_sq8" -> "same harness as knn_serving_recall with the asymmetric sq8 integer-dot shortlist in place of ADC",
       "pipe_kmeans_step" -> "corpus x k broadcast centroid assignment",
       "knn_cell" -> "centroid assignment, k-bounded broadcast side",
       "knn_ivf" -> "centroid assignment + nprobe cut, broadcast side",
