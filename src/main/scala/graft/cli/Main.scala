@@ -334,11 +334,14 @@ object Main {
         val yaml = new String(Files.readAllBytes(Paths.get(pos.head)), "UTF-8")
         val cfg = graft.ops.Pipeline.fromYaml(yaml)
         val manifest = graft.ops.Pipeline.run(spark, cfg)
-        val rows = manifest.orderBy(org.apache.spark.sql.functions.col("shard"))
-          .collect()
+        val split = manifest.columns.contains("side")
+        val rows = (if (split)
+            manifest.orderBy(col("side"), col("shard"))
+          else manifest.orderBy(col("shard"))).collect()
         println(s"pipeline wrote ${rows.length} shard(s) to ${cfg.output}")
         rows.foreach { r =>
-          println(s"  shard ${r.getLong(0)}: ${r.getLong(1)} docs, " +
+          val sideNote = if (split) s" [${r.getAs[String]("side")}]" else ""
+          println(s"  shard ${r.getLong(0)}$sideNote: ${r.getLong(1)} docs, " +
             s"${r.getLong(3)} chars")
         }
 
@@ -384,5 +387,6 @@ object Main {
         |       train <name> --field F [--cells N (default sqrt(n)) --iterations 4 --spill 1 --pq M --sq8 | --refresh | --compact]
         |       knn <name> --field F (--vector v1,v2,... | --queries-file f.jsonl)
         |         [--k 5 --nprobe N --rerank R]
-        |       pipeline <config.yaml>   (curate -> dedup -> shuffle -> shards)""".stripMargin)
+        |       pipeline <config.yaml>   (curate -> dedup -> [decontaminate]
+        |         -> [leakage-safe split_test_pct] -> shuffle -> shards)""".stripMargin)
 }

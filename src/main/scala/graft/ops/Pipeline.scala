@@ -13,8 +13,10 @@ import graft.functions.TextFunctions.tokenizeDefault
 /** The end-to-end training-data pipeline as ONE composable entry point —
   * curate (Gopher quality keep) → exact dedup → optional per-source
   * quota (two-pass) → optional Bloom decontamination → optional
-  * weighted-sample budget → deterministic epoch shuffle → shard SINK
-  * with the manifest commit point. Every stage is an already-oracle-gated
+  * weighted-sample budget → optional LEAKAGE-SAFE train/test holdout
+  * (`split_test_pct`, cluster-hashed so no near-dup family straddles
+  * sides) → deterministic epoch shuffle → shard SINK with the manifest
+  * commit point (per side when split). Every stage is an already-oracle-gated
   * operator from this package ([[TextAnalysis.gopherKeep]],
   * [[Dedup.decontaminateBloom]], [[EpochShuffle.writeShards]]); this
   * object only sequences them and parses the YAML config the CLI's
@@ -49,7 +51,8 @@ object Pipeline {
       bloomBits: Int = 1 << 18,
       bloomHashes: Int = 3,
       seed: String = "epoch1",
-      targetShardSize: Long = 1L << 28) // ~256 MB of chars per shard
+      targetShardSize: Long = 1L << 28, // ~256 MB of chars per shard
+      splitTestPct: Option[Int] = None) // leakage-safe holdout %
 
   /** Parse the `pipeline` verb's YAML. Required keys: `input`, `output`;
     * everything else defaults as in [[Config]]. Unknown keys are
@@ -62,7 +65,7 @@ object Pipeline {
     val known = Set("input", "output", "text_field", "id_field",
       "source_field", "min_words", "max_words", "stopwords", "benchmark",
       "domain_quota", "sample_k", "shingle_n", "bloom_bits",
-      "bloom_hashes", "seed", "target_shard_size")
+      "bloom_hashes", "seed", "target_shard_size", "split_test_pct")
     val unknown = root.keySet.diff(known)
     require(unknown.isEmpty, s"unknown pipeline config key(s): ${unknown.toList.sorted.mkString(", ")}")
     def str(k: String): Option[String] = root.get(k).map(_.toString)
@@ -86,7 +89,8 @@ object Pipeline {
       bloomBits = int("bloom_bits", 1 << 18),
       bloomHashes = int("bloom_hashes", 3),
       seed = str("seed").getOrElse("epoch1"),
-      targetShardSize = lng("target_shard_size", 1L << 28))
+      targetShardSize = lng("target_shard_size", 1L << 28),
+      splitTestPct = str("split_test_pct").map(_.toInt))
   }
 
   /** Run the pipeline; returns the landed-shard manifest
@@ -163,15 +167,42 @@ object Pipeline {
           .orderBy(col("__key").asc, col("doc_id").asc).limit(k)
           .drop("__eq", "__key")
     }
-    // 4. shuffle + shard sink: auto-sized count from a one-scalar census,
+    // 4. optional leakage-safe holdout: side is a pure function of each
+    //    document's NEAR-DUP CLUSTER id ([[Dedup.leakageSafeSplit]] over
+    //    the gated MinHash-LSH pair tier), so no near-duplicate family
+    //    can straddle train/test — the Lee et al. 2022 finding applied
+    //    to the split itself. Each side lands under its own
+    //    <output>/<side>/ tree with its own shard census and manifest
+    //    commit point. Snapshotted first: the pair tier, the side join
+    //    and both sinks all re-read the surviving corpus.
+    // 5. shuffle + shard sink: auto-sized count from a one-scalar census,
     //    manifest written last as the commit point
-    val total = budgeted.agg(sum(length(col("text")).cast("long")))
-      .first() match {
-        case r if r.isNullAt(0) => 0L
-        case r => r.getLong(0)
-      }
-    val numShards = EpochShuffle.shardCount(total, cfg.targetShardSize)
-    EpochShuffle.writeShards(budgeted, col("doc_id"),
-      length(col("text")), cfg.seed, numShards, cfg.output)
+    def sink(df: DataFrame, outDir: String): DataFrame = {
+      val total = df.agg(sum(length(col("text")).cast("long")))
+        .first() match {
+          case r if r.isNullAt(0) => 0L
+          case r => r.getLong(0)
+        }
+      val numShards = EpochShuffle.shardCount(total, cfg.targetShardSize)
+      EpochShuffle.writeShards(df, col("doc_id"),
+        length(col("text")), cfg.seed, numShards, outDir)
+    }
+    cfg.splitTestPct match {
+      case None => sink(budgeted, cfg.output)
+      case Some(pct) =>
+        val snap = budgeted.localCheckpoint(eager = false)
+        val pairs = Dedup.minhashLsh(Dedup.shingles(
+          snap.withColumn("toks", tokenizeDefault(col("text"))),
+          col("doc_id"), col("toks"), cfg.shingleN))
+        val sides = Dedup.leakageSafeSplit(
+          snap.select(col("doc_id")), pairs, pct)
+          .select(col("doc_id"), col("side"))
+        val sided = snap.join(sides, Seq("doc_id"))
+        Seq("train", "test").map { side =>
+          sink(sided.where(col("side") === side).drop("side"),
+            s"${cfg.output}/$side")
+            .withColumn("side", lit(side))
+        }.reduce(_ unionByName _)
+    }
   }
 }

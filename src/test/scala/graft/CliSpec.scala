@@ -210,6 +210,70 @@ class CliSpec extends AnyFunSuite {
     assert(m.agg(org.apache.spark.sql.functions.sum(col("n_docs")))
       .first().getLong(0) == 10)
   }
+  test("pipeline verb: split_test_pct emits leakage-safe train/test trees " +
+      "with per-side manifests") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-pipe3").toString
+    // 30 distinct docs + a planted NEAR-duplicate pair (ids 200/201:
+    // same 16-word body, different final word — exact dedup keeps both,
+    // the MinHash-LSH pair tier must catch them)
+    val docs = (0 until 30).map { i =>
+      val words = (0 until 14).map(j => Seq("the", "quick", "brown", "fox",
+        "jumps", "over", "lazy", "dog", s"w$i", s"x${(i + j) % 7}")((i + j) % 10))
+      s"""{"id": $i, "text": "${words.mkString(" ")} of and to in is"}"""
+    }
+    val body = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november of and to in is"
+    val nearDup = Seq(
+      s"""{"id": 200, "text": "$body oscar"}""",
+      s"""{"id": 201, "text": "$body papa"}""")
+    Files.write(java.nio.file.Paths.get(s"$dir/corpus.jsonl"),
+      (docs ++ nearDup).mkString("\n").getBytes("UTF-8"))
+    Files.write(java.nio.file.Paths.get(s"$dir/pipe.yaml"),
+      s"""input: $dir/corpus.jsonl
+         |output: $dir/out
+         |id_field: id
+         |min_words: 5
+         |split_test_pct: 35
+         |target_shard_size: 600
+         |""".stripMargin.getBytes("UTF-8"))
+    val root = Files.createTempDirectory("graft-cli5").toString
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      cli.Main.run(Array("pipeline", s"$dir/pipe.yaml"), spark,
+        new Catalog(root), root)
+    }
+    // both side trees landed with their own commit points
+    for (side <- Seq("train", "test")) {
+      assert(new java.io.File(s"$dir/out/$side/manifest").exists(),
+        s"$side manifest is the side's commit point")
+    }
+    val train = spark.read.parquet(s"$dir/out/train/data")
+      .select(col("doc_id")).collect().map(_.getString(0)).toSet
+    val test = spark.read.parquet(s"$dir/out/test/data")
+      .select(col("doc_id")).collect().map(_.getString(0)).toSet
+    // the sides PARTITION the surviving corpus
+    assert(train.intersect(test).isEmpty, s"overlap: ${train.intersect(test)}")
+    assert(train.size + test.size == 32,
+      s"32 survivors split: ${train.size} train + ${test.size} test")
+    assert(train.nonEmpty && test.nonEmpty,
+      s"35% holdout over 31 clusters must populate both sides " +
+        s"(train=${train.size}, test=${test.size})")
+    // THE leakage gate: the planted near-dup family never straddles sides
+    assert(train.contains("200") == train.contains("201") &&
+      test.contains("200") == test.contains("201"),
+      s"near-dup pair must share a side: train=$train test=$test")
+    // per-side manifests attest the landed counts
+    for ((side, ids) <- Seq("train" -> train, "test" -> test)) {
+      val m = spark.read.parquet(s"$dir/out/$side/manifest")
+      assert(m.agg(org.apache.spark.sql.functions.sum(col("n_docs")))
+        .first().getLong(0) == ids.size, s"$side manifest count")
+    }
+    // the CLI face prints side-tagged shard lines
+    val printed = out.toString("UTF-8")
+    assert(printed.contains("[train]") && printed.contains("[test]"), printed)
+  }
+
   test("index --format parquet and csv ingest through the one JSON path") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("graft-fmt").toString
