@@ -1,0 +1,151 @@
+package graft.tools
+
+import scala.jdk.CollectionConverters._
+
+/** Cross-round bench adjudicator — applies the SURVEY §11 drift-reading
+  * rule MECHANICALLY so that separating a real regression from a noisy
+  * box stops burning judge cycles (it did in r12 and r13):
+  *
+  *  - **query-local cpu↑** (cpu ratio > 1.4× and > 1.4× the round's
+  *    median cpu ratio, on a non-trivial query) → REGRESSION — CPU time
+  *    is load-invariant on an idle-ish box, so only a code change moves
+  *    it locally;
+  *  - **wall↑ with cpu flat** (wall ratio > 1.4×, cpu ratio ≤ 1.15×) →
+  *    CONTENTION — the work was the same, the box was busy;
+  *  - **uniform both↑** (median cpu ratio itself elevated across ≥ 3/4
+  *    of queries) → THROTTLED CLOCK / changed harness — a global
+  *    multiplier is an environment property, not a per-query defect;
+  *  - queries under 0.2 s wall in BOTH runs are TRIVIA: their medians
+  *    flap ±2–4× run-to-run (measured r13), so they only count when
+  *    their absolute cpu moved ≥ 0.3 s.
+  *
+  * Input: two Bench JSON artifacts. The repo's own format carries
+  * `queries` (wall sec) and `cpu` (process-CPU sec) maps; a
+  * driver-truncated artifact that only has a `tail` string fragment is
+  * salvaged by regex (wall-only — the tool then says so and classifies
+  * conservatively: without CPU, wall movement alone NEVER convicts).
+  *
+  * Run: runMain graft.tools.BenchDiff <before.json> <after.json>
+  *
+  * Validated against the r12→r13 artifacts (the round the rule was
+  * written for): BenchDiff over BENCH_r12.json → BENCH_r13_local_full
+  * .json reproduces the r13 verdict's conclusion — zero regressions,
+  * movers classified contention/trivia; over the driver's truncated
+  * BENCH_r13.json it reports the wall-only uniform inflation as
+  * clock/harness, not regression.
+  */
+object BenchDiff {
+
+  final case class Run(wall: Map[String, Double], cpu: Map[String, Double],
+      label: String, salvaged: Boolean)
+
+  def load(path: String): Run = {
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8")
+    val node = graft.exprs.JsonSupport.parse(text)
+    def numMap(key: String): Map[String, Double] =
+      Option(node.get(key)).filter(_.isObject).map { o =>
+        o.properties().asScala
+          .map(e => e.getKey -> e.getValue.asDouble()).toMap
+      }.getOrElse(Map.empty)
+    val wall = numMap("queries")
+    if (wall.nonEmpty) Run(wall, numMap("cpu"), path, salvaged = false)
+    else {
+      // driver-truncated artifact: salvage "name":number pairs from the
+      // tail fragment (wall only, and possibly missing early queries)
+      val tail = Option(node.get("tail")).map(_.asText()).getOrElse("")
+      val pair = """"([A-Za-z0-9_]+)":([0-9]+(?:\.[0-9]+)?)""".r
+      val skip = Set("n", "rc", "cpus", "sf", "value", "failed", "cpu_total")
+      val m = pair.findAllMatchIn(tail)
+        .map(mm => mm.group(1) -> mm.group(2).toDouble)
+        .filterNot { case (k, _) => skip(k) }.toMap
+      Run(m, Map.empty, s"$path (salvaged tail fragment)", salvaged = true)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 2,
+      "usage: BenchDiff <before.json> <after.json>")
+    val before = load(args(0))
+    val after = load(args(1))
+    val common = (before.wall.keySet & after.wall.keySet).toList.sorted
+    require(common.nonEmpty, "no common queries between the two runs")
+    val haveCpu = common.forall(q =>
+      before.cpu.contains(q) && after.cpu.contains(q))
+    println(s"before: ${before.label} (${before.wall.size} queries)")
+    println(s"after:  ${after.label} (${after.wall.size} queries)")
+    println(s"common: ${common.size} queries; cpu column: " +
+      (if (haveCpu) "both runs" else "MISSING in at least one — " +
+        "wall-only mode, nothing can be convicted as a regression"))
+
+    def ratio(a: Double, b: Double): Double =
+      if (a <= 0.0) Double.NaN else b / a
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.filterNot(_.isNaN).sorted
+      if (s.isEmpty) Double.NaN else s(s.length / 2)
+    }
+    val wallR = common.map(q => q -> ratio(before.wall(q), after.wall(q))).toMap
+    val cpuR = if (haveCpu)
+      common.map(q => q -> ratio(before.cpu(q), after.cpu(q))).toMap
+    else Map.empty[String, Double]
+    val medWall = median(common.map(wallR))
+    val medCpu = if (haveCpu) median(common.map(cpuR)) else Double.NaN
+    println(f"median ratios: wall ${medWall}%.2fx" +
+      (if (haveCpu) f", cpu ${medCpu}%.2fx" else ""))
+
+    // global verdict first: a uniform multiplier is environment, not code
+    val uniformCut = 1.2
+    val uniformFrac = common.count(q => wallR(q) > uniformCut).toDouble / common.size
+    val globalVerdict =
+      if (haveCpu && medCpu > 1.3 &&
+          common.count(q => cpuR(q) > uniformCut) * 4 >= common.size * 3)
+        "THROTTLED CLOCK / changed environment (cpu uniformly elevated)"
+      else if (medWall > 1.3 && (!haveCpu || medCpu <= 1.15) && uniformFrac >= 0.75)
+        "CONTENTION or changed harness (wall uniformly up, cpu flat" +
+          (if (haveCpu) ")" else " evidence unavailable)")
+      else "comparable environments (no uniform multiplier)"
+    val uniformEnv = !globalVerdict.startsWith("comparable")
+    println(s"global: $globalVerdict")
+
+    final case class Mover(q: String, wb: Double, wa: Double, wr: Double,
+        cr: Double, cls: String)
+    val trivial = 0.2
+    val movers = common.flatMap { q =>
+      val (wb, wa) = (before.wall(q), after.wall(q))
+      val wr = wallR(q)
+      val cr = cpuR.getOrElse(q, Double.NaN)
+      // trivia keys on the BEFORE wall: a sub-0.2 s query's medians flap
+      // ±2–4x run-to-run, so only an absolute cpu move can convict it
+      val isTrivia = wb < trivial &&
+        (!haveCpu || math.abs(after.cpu(q) - before.cpu(q)) < 0.3)
+      val cls =
+        if (haveCpu && cr > 1.4 && cr > 1.4 * medCpu &&
+          after.cpu(q) - before.cpu(q) >= 0.3)
+          Some("REGRESSION (query-local cpu up)")
+        else if (isTrivia) None
+        else if (uniformEnv && wr > 1.4 && wr <= 2.2 * medWall &&
+          (!haveCpu || cr <= 1.4 * math.max(1.0, medCpu)))
+          Some("follows the global multiplier")
+        else if (wr > 1.4 && (!haveCpu || cr <= 1.15))
+          Some(if (haveCpu) "contention (wall up, cpu flat)"
+          else "wall up (no cpu evidence — not convictable)")
+        else if (wr > 1.4 || (haveCpu && cr > 1.4))
+          Some("moved with the environment (mixed evidence)")
+        else None
+      cls.map(c => Mover(q, wb, wa, wr, cr, c))
+    }.sortBy(m => (-(if (m.cls.startsWith("REGRESSION")) 1 else 0), -m.wr))
+
+    if (movers.isEmpty) println("movers: none above the 1.4x gate — clean")
+    else {
+      println(f"${"query"}%-32s ${"wall"}%14s ${"ratio"}%7s ${"cpu-r"}%7s  class")
+      movers.foreach { m =>
+        val cpuS = if (m.cr.isNaN) "    --" else f"${m.cr}%6.2fx"
+        println(f"${m.q}%-32s ${m.wb}%6.2f→${m.wa}%5.2fs ${m.wr}%6.2fx $cpuS  ${m.cls}")
+      }
+    }
+    val regs = movers.count(_.cls.startsWith("REGRESSION"))
+    println(s"verdict: $regs regression(s), " +
+      s"${movers.length - regs} environment/noise mover(s), " +
+      s"${common.size - movers.length} stable")
+  }
+}
