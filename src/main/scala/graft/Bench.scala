@@ -32,7 +32,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // optional positional args name specific queries to bench in
+    // isolation — the controlled-A/B knob for adjudicating a single
+    // mover without the full run's GC/cleaner bleed in the cpu column
+    val only = args.toSet
     val ordered = SparkEntry.queries.toList.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
     ordered.foreach { case (name, fn) =>
       try fn(spark, sfDir).count()
       catch { case e: Throwable =>
