@@ -429,7 +429,10 @@ class StatefulStreamingSpec extends AnyFunSuite {
         doc("alpha doc", Seq(1.0, 0.0, 0.0, 0.0)),
         doc("beta doc", Seq(0.0, 0.0, 1.0, 0.0)))
       q.processAllAvailable()
-      ann.train("scann", "emb", cells = 2)
+      // sq8 tier: the per-batch refresh hook must encode appended rows
+      // with the FROZEN train-time quantizer, and the auto-fold must
+      // carry the code column — pinned below on the final layout
+      ann.train("scann", "emb", cells = 2, sq8 = true)
       input.addData(doc("gamma doc", Seq(0.9, 0.1, 0.0, 0.0)))
       q.processAllAvailable()
       // this batch's commit triggers a compaction of the two COVERED
@@ -456,6 +459,13 @@ class StatefulStreamingSpec extends AnyFunSuite {
     val (eb, ee) = ann.epochSpan("scann", "emb")
     assert(ee - eb + 1 <= 2,
       s"epoch span must stay <= the compaction cadence, got ($eb, $ee)")
+    // every stored row — trained, stream-refreshed, and epoch-folded —
+    // carries the sq8 code column encoded under the frozen quantizer
+    val sqData = spark.read.parquet(java.nio.file.Paths.get(
+      root, "indexes", "scann", "ann", "emb", "data").toString)
+    assert(sqData.columns.contains("__sq8"), sqData.columns.mkString(","))
+    assert(sqData.where(col("__sq8").isNull).count() == 0,
+      "streaming refresh + auto-fold must preserve the sq8 codes")
     cat.drop("scann")
   }
 }
