@@ -610,13 +610,25 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     if (base > 0) body.append(s"base=$base\n")
     covered.toList.sorted.foreach(id => body.append(s"split=$id\n"))
     val metaP = new HPath(root, "META")
-    val ok = catalog.metaStore.commitPoint(metaP).commit(expectTick + 1,
-      body.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    if (!ok) sys.error(
-      s"ANN META for '$name.$field' changed while this maintenance " +
-        s"operation ran (expected tick $expectTick): a concurrent " +
-        "train/refresh/compact won the publish. Nothing visible changed " +
-        "on this side — re-run the operation against the new META")
+    val bytes = body.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val ok = catalog.metaStore.commitPoint(metaP).commit(expectTick + 1, bytes)
+    if (!ok) {
+      // One-time migration wrinkle: on a conditional-put store a LEGACY
+      // (tick-less) META reads as generation 0, so the first CAS publish
+      // maps to "create if absent" and fails against the existing
+      // object. That failure is a format gap, not a lost race — publish
+      // once via the legacy atomic rename (exactly the pre-tick
+      // discipline, so never worse), after which every META carries a
+      // tick and the CAS path owns all subsequent publishes.
+      val legacy = expectTick == 0L &&
+        catalog.metaStore.readString(metaP).exists(!_.contains("tick="))
+      if (legacy) catalog.metaStore.writeStringAtomic(metaP, body.toString)
+      else sys.error(
+        s"ANN META for '$name.$field' changed while this maintenance " +
+          s"operation ran (expected tick $expectTick): a concurrent " +
+          "train/refresh/compact won the publish. Nothing visible changed " +
+          "on this side — re-run the operation against the new META")
+    }
     catalog.metaStore.deleteIfExists(new HPath(root, "SPLITS"))
   }
 
