@@ -298,6 +298,10 @@ object Main {
         val k = flags.get("k").map(_.toInt).getOrElse(5)
         val nProbe = flags.get("nprobe").map(_.toInt).getOrElse(0)
         val rerank = flags.get("rerank").map(_.toInt).getOrElse(0)
+        // metadata pre-filter in the search grammar, e.g.
+        // --filter 'lang:en AND ts:>2020-01-01' — vector search over
+        // only the matching documents (filtered-ANN)
+        val kFilter = flags.get("filter")
         val ann = new graft.engine.AnnIndex(spark, cat)
         if (nProbe > 0) ann.meta(pos.head, field) match {
           case None => println(s"note: no trained index for '$field'; running brute scan")
@@ -315,7 +319,7 @@ object Main {
             val queries = spark.read.json(qf)
               .select(col("qid").cast("string").as("qid"),
                 col("vector").as("qv"))
-            ann.knnBatch(pos.head, field, queries, k, nProbe, rerank)
+            ann.knnBatch(pos.head, field, queries, k, nProbe, rerank, kFilter)
               .orderBy(col("qid"), col("rank"))
               .collect().foreach { r =>
                 println(f"${r.getString(0)}%s\t${r.getInt(1)}%d\t" +
@@ -325,7 +329,8 @@ object Main {
             val qv = flags.getOrElse("vector",
               sys.error("knn requires --vector v1,v2,... (or --queries-file f.jsonl)"))
               .split(",").map(_.trim.toFloat)
-            ann.knn(pos.head, field, qv, k, nProbe, rerank).collect().foreach { r =>
+            ann.knn(pos.head, field, qv, k, nProbe, rerank, kFilter)
+              .collect().foreach { r =>
               println(f"${r.getDouble(0)}%.6f\t${r.getString(1)}%s")
             }
         }
@@ -386,7 +391,7 @@ object Main {
         |       stats <name> [--sketches --state-dir DIR] [--ann F]
         |       train <name> --field F [--cells N (default sqrt(n)) --iterations 4 --spill 1 --pq M --sq8 | --refresh | --compact]
         |       knn <name> --field F (--vector v1,v2,... | --queries-file f.jsonl)
-        |         [--k 5 --nprobe N --rerank R]
+        |         [--k 5 --nprobe N --rerank R --filter 'search query']
         |       pipeline <config.yaml>   (curate -> dedup -> [decontaminate]
         |         -> [leakage-safe split_test_pct] -> shuffle -> shards)""".stripMargin)
 }

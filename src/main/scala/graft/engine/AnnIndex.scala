@@ -765,15 +765,30 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
   /** Top-k cosine neighbors of `queryVec` as (score, doc JSON) rows.
     * nprobe > 0 with a trained index probes only the query's nprobe
     * nearest cells (partition-pruned scan); nprobe = 0 (or no trained
-    * index) runs the brute tier over the live splits. */
+    * index) runs the brute tier over the live splits.
+    *
+    * `filter` is an optional search-grammar query (the SAME language
+    * `search` compiles — terms, bools, ranges, json paths) applied as a
+    * metadata PRE-filter: candidates are filtered BEFORE the PQ/SQ8
+    * shortlist cut, so the fixed rerank budget is spent only on
+    * matching documents instead of being crowded out by non-matching
+    * ones (the classic filtered-ANN failure of post-filtering). The
+    * stored layout carries every stored column, so the compiled
+    * predicate applies to trained-tier candidates directly. A highly
+    * selective filter can still under-fill k when the probed cells hold
+    * few matches — raise nprobe, the standard filtered-IVF knob. */
   def knn(name: String, field: String, queryVec: Array[Float], k: Int,
-      nProbe: Int = 0, rerank: Int = 0): DataFrame = {
+      nProbe: Int = 0, rerank: Int = 0,
+      filter: Option[String] = None): DataFrame = {
     val cfg = catalog.load(name)
     vectorCol(cfg, field)
     val d = new SchemaDerivation(cfg)
     val q = array(queryVec.map(lit).toSeq: _*)
     val searcher = new Searcher(spark, catalog)
     val m = meta(name, field)
+    val pred = filter.map(f => new graft.query.QueryCompiler(d).compile(f))
+    def filtered(df: DataFrame): DataFrame =
+      pred.fold(df)(p => df.where(p))
     val scored: DataFrame =
       if (nProbe > 0 && m.isDefined) {
         val root = annRoot(name, field)
@@ -782,8 +797,8 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
         val probes = cents.map { case (cid, cv) =>
           (cid, AnnIndex.cosine(queryVec, cv))
         }.sortBy { case (cid, c) => (-c, cid) }.take(nProbe).map(_._1)
-        val cand0 = probedScan(root,
-          mm.get("base").fold(0)(_.toInt), mm("epoch").toInt, probes.toSet)
+        val cand0 = filtered(probedScan(root,
+          mm.get("base").fold(0)(_.toInt), mm("epoch").toInt, probes.toSet))
         // PQ tier: rank candidates over the SKINNY (__code, ids) columns
         // — m ints per row instead of the full stored document, the
         // memory-bandwidth cut that matters when a probed cell holds
@@ -862,7 +877,7 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
           .withColumn("__score", CosineSimilarity.cosine_similarity(col(field), q))
       } else {
         val (_, df) = corpus(name)
-        df.where(col(field).isNotNull)
+        filtered(df.where(col(field).isNotNull))
           .withColumn("__score", CosineSimilarity.cosine_similarity(col(field), q))
       }
     scored.where(col("__score").isNotNull)
@@ -896,12 +911,19 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     * corpus × broadcast queries. Output: (qid, rank, score, doc),
     * rank 1..k per query. */
   def knnBatch(name: String, field: String, queries: DataFrame, k: Int,
-      nProbe: Int = 0, rerank: Int = 0): DataFrame = {
+      nProbe: Int = 0, rerank: Int = 0,
+      filter: Option[String] = None): DataFrame = {
     val cfg = catalog.load(name)
     vectorCol(cfg, field)
     val d = new SchemaDerivation(cfg)
     val searcher = new Searcher(spark, catalog)
     val m = meta(name, field)
+    // metadata pre-filter, same semantics as [[knn]]'s `filter`: one
+    // predicate over the stored columns, applied to the probed scan
+    // before any per-query shortlist so rerank budgets aren't crowded
+    val pred = filter.map(f => new graft.query.QueryCompiler(d).compile(f))
+    def filtered(df: DataFrame): DataFrame =
+      pred.fold(df)(p => df.where(p))
     val qs = queries.select(col("qid"),
       col("qv").cast(org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.FloatType)).as("qv"))
@@ -919,8 +941,8 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
           .localCheckpoint(eager = false)
         val probeCells = probesQ.select(col("__pcell")).distinct()
           .collect().map(_.getLong(0)).toSet
-        val data = probedScan(root,
-          mm.get("base").fold(0)(_.toInt), mm("epoch").toInt, probeCells)
+        val data = filtered(probedScan(root,
+          mm.get("base").fold(0)(_.toInt), mm("epoch").toInt, probeCells))
         val spilled = m.exists(_._3 > 1)
         val pq = mm.get("pq").fold(0)(_.toInt)
         if (pq > 0) {
@@ -992,7 +1014,7 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
         }
       } else {
         val (_, df) = corpus(name)
-        df.where(col(field).isNotNull)
+        filtered(df.where(col(field).isNotNull))
           .crossJoin(broadcast(qs))
           .withColumn("__score",
             CosineSimilarity.cosine_similarity(col(field), col("qv")))

@@ -672,6 +672,34 @@ class CliSpec extends AnyFunSuite {
       assert(got == single,
         s"sq8 batch must agree with single-query for $qid:\nbatch=$got\nsingle=$single")
     }
+    // filtered vector search: a search-grammar metadata PRE-filter
+    // composes with every tier — an x-direction query filtered to y
+    // titles must surface only y docs (the best cosine among the
+    // matches), in brute, trained (sq8 shortlist), and batch form
+    val fBrute = ann.knn("vec_test", "emb", Array(1.0f, 0.02f, 0.0f, 0.0f),
+      3, filter = Some("title:y*")).collect()
+    assert(fBrute.nonEmpty && fBrute.forall(_.getString(1).contains("\"y")),
+      s"brute + filter must serve only matching docs: ${fBrute.mkString("; ")}")
+    val fIvf = ann.knn("vec_test", "emb", Array(1.0f, 0.02f, 0.0f, 0.0f),
+      3, nProbe = 2, rerank = 8, filter = Some("title:y*")).collect()
+    assert(fIvf.nonEmpty && fIvf.forall(_.getString(1).contains("\"y")),
+      s"trained + filter must pre-filter candidates: ${fIvf.mkString("; ")}")
+    val fBatch = ann.knnBatch("vec_test", "emb", batchQs, k = 3,
+      nProbe = 2, rerank = 8, filter = Some("title:y*")).collect()
+    assert(fBatch.nonEmpty && fBatch.forall(_.getString(3).contains("\"y")),
+      s"batch + filter: ${fBatch.mkString("; ")}")
+    // the CLI face takes --filter
+    val outF = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(outF, true, "UTF-8")) {
+      cli.Main.run(Array("knn", "vec_test", "--field", "emb",
+        "--vector", "1.0,0.02,0.0,0.0", "--k", "2", "--nprobe", "2",
+        "--filter", "title:y*"), spark, cat, root)
+    }
+    val fLines = outF.toString("UTF-8").linesIterator
+      .filter(_.contains("\t")).toList
+    assert(fLines.length == 2 && fLines.forall(_.contains("\"y")),
+      outF.toString("UTF-8"))
+
     // the two code tiers are alternatives, not a stack
     val errT = intercept[Exception] {
       ann.train("vec_test", "emb", cells = 2, pq = 2, sq8 = true)
