@@ -329,9 +329,19 @@ object Main {
             val qv = flags.getOrElse("vector",
               sys.error("knn requires --vector v1,v2,... (or --queries-file f.jsonl)"))
               .split(",").map(_.trim.toFloat)
-            ann.knn(pos.head, field, qv, k, nProbe, rerank, kFilter)
-              .collect().foreach { r =>
-              println(f"${r.getDouble(0)}%.6f\t${r.getString(1)}%s")
+            flags.get("hybrid-text") match {
+              case Some(tq) =>
+                // hybrid retrieval: RRF-fuse the BM25 text arm with the
+                // vector arm (integer-exact, the pipe_hybrid_rrf rule)
+                ann.knnHybrid(pos.head, field, qv, tq, k, nProbe, rerank,
+                  kFilter).foreach { case (s, doc) =>
+                  println(s"$s\t$doc")
+                }
+              case None =>
+                ann.knn(pos.head, field, qv, k, nProbe, rerank, kFilter)
+                  .collect().foreach { r =>
+                  println(f"${r.getDouble(0)}%.6f\t${r.getString(1)}%s")
+                }
             }
         }
 
@@ -392,6 +402,7 @@ object Main {
         |       train <name> --field F [--cells N (default sqrt(n)) --iterations 4 --spill 1 --pq M --sq8 | --refresh | --compact]
         |       knn <name> --field F (--vector v1,v2,... | --queries-file f.jsonl)
         |         [--k 5 --nprobe N --rerank R --filter 'search query']
+        |         [--hybrid-text 'search query'   (RRF-fused text + vector)]
         |       pipeline <config.yaml>   (curate -> dedup -> [decontaminate]
         |         -> [leakage-safe split_test_pct] -> shuffle -> shards)""".stripMargin)
 }

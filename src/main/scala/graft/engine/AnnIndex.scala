@@ -886,6 +886,37 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
       .select(col("__score").as("score"), searcher.outputJson(d).as("doc"))
   }
 
+  /** Hybrid retrieval — the serving face of the gated
+    * [[graft.queries.PipelineQueries.pipe_hybrid_rrf]] composition: the
+    * text tier (BM25 `search` over `textQuery`) and the vector tier
+    * ([[knn]], any trained layout, `filter` composes) each produce
+    * their top-`depth` documents, fused by reciprocal-rank fusion with
+    * the same integer-quantized contribution the gate pins
+    * (⌊10⁹/(rrfK + rank)⌋ summed exactly — fusion order cannot drift).
+    * Both arms are k-bounded, so the fuse touches 2·depth driver-side
+    * rows — a no-op at any corpus size; each arm's own scale shape
+    * (pruned splits + stats memo; probed cells + shortlist) is
+    * unchanged. Doc identity is the shared [[Searcher.outputJson]]
+    * rendering, byte-identical across the two faces by construction.
+    * Returns (rrfScore, doc) rows, ties broken by doc text. */
+  def knnHybrid(name: String, field: String, queryVec: Array[Float],
+      textQuery: String, k: Int, nProbe: Int = 0, rerank: Int = 0,
+      filter: Option[String] = None, rrfK: Int = 60,
+      depth: Int = 0): Seq[(Long, String)] = {
+    val n = if (depth > 0) depth else math.max(4 * k, 20)
+    val vecArm = knn(name, field, queryVec, n, nProbe, rerank, filter)
+      .collect().map(_.getString(1)).toSeq
+    val txtArm = new Searcher(spark, catalog).search(name, textQuery, n)
+    val fused = scala.collection.mutable.Map.empty[String, Long]
+    def add(docs: Seq[String]): Unit = docs.zipWithIndex.foreach {
+      case (doc, i) =>
+        fused(doc) = fused.getOrElse(doc, 0L) + 1000000000L / (rrfK + i + 1)
+    }
+    add(vecArm); add(txtArm)
+    fused.toSeq.sortBy { case (doc, s) => (-s, doc) }.take(k)
+      .map { case (doc, s) => (s, doc) }
+  }
+
   /** Batch serving: top-k neighbors for a whole query RELATION
     * (`qid`, `qv` float/double array) in ONE pass over the trained
     * layout — the batch-retrieval shape a training pipeline runs

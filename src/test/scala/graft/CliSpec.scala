@@ -700,6 +700,32 @@ class CliSpec extends AnyFunSuite {
     assert(fLines.length == 2 && fLines.forall(_.contains("\"y")),
       outF.toString("UTF-8"))
 
+    // hybrid retrieval: each arm's rank-1 doc (vector: x1-nearest = x1;
+    // text: the BM25 match for title:y1 = y1) must BOTH surface in the
+    // fused top-2 — the RRF composition neither arm produces alone
+    val hybrid = ann.knnHybrid("vec_test", "emb",
+      Array(1.0f, 0.02f, 0.0f, 0.0f), "title:y1", k = 2, nProbe = 2,
+      rerank = 8)
+    assert(hybrid.length == 2, hybrid.mkString("; "))
+    val hybridDocs = hybrid.map(_._2)
+    assert(hybridDocs.exists(_.contains("\"title\":\"y1\"")) &&
+      hybridDocs.exists(_.contains("\"title\":\"x1\"")),
+      s"both arms' top docs fuse into the top-2: ${hybrid.mkString("; ")}")
+    // a doc ranked by BOTH arms outranks single-arm docs
+    val hybridSame = ann.knnHybrid("vec_test", "emb",
+      Array(1.0f, 0.02f, 0.0f, 0.0f), "title:x1", k = 1, nProbe = 2,
+      rerank = 8)
+    assert(hybridSame.head._2.contains("\"title\":\"x1\""),
+      s"double-armed doc wins: ${hybridSame.mkString("; ")}")
+    val outH = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(outH, true, "UTF-8")) {
+      cli.Main.run(Array("knn", "vec_test", "--field", "emb",
+        "--vector", "1.0,0.02,0.0,0.0", "--k", "2", "--nprobe", "2",
+        "--hybrid-text", "title:y1"), spark, cat, root)
+    }
+    assert(outH.toString("UTF-8").contains("\"title\":\"y1\""),
+      outH.toString("UTF-8"))
+
     // the two code tiers are alternatives, not a stack
     val errT = intercept[Exception] {
       ann.train("vec_test", "emb", cells = 2, pq = 2, sq8 = true)
