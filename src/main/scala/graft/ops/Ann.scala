@@ -499,16 +499,19 @@ object Ann {
     *  5'. exact-cosine RERANK of the shortlist to the final top-k.
     *
     * Every step is integer or reproducible double arithmetic, so a
-    * DuckDB unroll replays every rank. corpus: (vid, v); centroids:
-    * (cid, cv); queries selected by `isQuery`.
-    * Output: (qid, rank, neighbor). */
+    * DuckDB unroll replays every rank. corpus: (vid, v) plus any
+    * metadata columns `candFilter` needs; centroids: (cid, cv); queries
+    * selected by `isQuery`. `candFilter` is the serving tier's
+    * metadata PRE-filter twin ([[graft.engine.AnnIndex.knn]]'s
+    * `filter`): applied to the probed CANDIDATES before the shortlist
+    * cut, never to the stored layout. Output: (qid, rank, neighbor). */
   def ivfSq8Serving(corpus: DataFrame, isQuery: Column => Column,
       centroids: DataFrame, nProbe: Int, spill: Int,
-      rerank: Int, k: Int): DataFrame = {
+      rerank: Int, k: Int, candFilter: Option[Column] = None): DataFrame = {
     import graft.exprs.Sq8
-    val vecs = corpus.select(col("vid"),
+    val vecs = corpus.withColumn("v",
       col("v").cast(org.apache.spark.sql.types.ArrayType(
-        org.apache.spark.sql.types.FloatType)).as("v"))
+        org.apache.spark.sql.types.FloatType)))
     val stats = vecs.select(posexplode(col("v")).as(Seq("d", "x")))
       .groupBy("d").agg(min("x").as("mn"), max("x").as("mx"))
       .collect()
@@ -538,8 +541,9 @@ object Ann {
         carry = Seq("v", "qw"))
       .select(col("vid").as("qid"), col("v").as("qv"),
         col("qw"), col("cell"))
-    val cands = probes.join(asg, "cell")
+    val cands0 = probes.join(asg, "cell")
       .where(col("vid") =!= col("qid"))
+    val cands = candFilter.fold(cands0)(cands0.where)
       .dropDuplicates("qid", "vid")
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("idot").desc, col("vid").asc)

@@ -2114,6 +2114,43 @@ object PipelineQueries {
       .orderBy(col("qid"))
   }
 
+  /** Recall@5 of the FILTERED serving read shape — [[knn_serving_recall_sq8]]
+    * with a metadata candidate filter (`label < 3`, ~30% selectivity),
+    * the in-query twin of `knn --filter`: the predicate applies to the
+    * probed CANDIDATES before the shortlist cut (pre-filter — the
+    * rerank budget is spent only on matching docs; post-filtering would
+    * under-fill k), and truth is exact brute force over only the
+    * matching corpus. Pins that filtered-ANN serves the top matches,
+    * not the unfiltered top-k minus non-matches.
+    *
+    * Measured (2026-08-15, oracle-exact): recall@5 0.91 at sf0.01 /
+    * 0.89 at sf0.1 at the same probe budget as the unfiltered rows
+    * (the slight dip vs unfiltered is expected — a filtered truth set
+    * reaches deeper into the probe-miss tail). One row per query:
+    * (qid, hits ∈ [0,5]). */
+  val knn_serving_recall_filtered: Q = (s, dir) => {
+    val e = corpus(s, dir)
+    val n = e.count()
+    val nlist = math.ceil(math.sqrt(n.toDouble)).toLong
+    val nProbe = 2 * math.ceil(math.sqrt(nlist.toDouble)).toInt
+    val approx = Ann.ivfSq8Serving(
+        e.select(col("vid"), col("v"), col("label")), _ < 20,
+        trainedCentroidsK(s, dir, nlist, seedFrom = 20L),
+        nProbe = nProbe, spill = 2, rerank = 256, k = 5,
+        candFilter = Some(col("label") < 3))
+      .select(col("qid"), col("neighbor"))
+    val exact = Ann.brute(
+      e.where(col("vid") < 20).select(col("vid").as("qid"), col("v").as("qv")),
+      e.where(col("label") < 3).select(col("vid"), col("v")), k = 5)
+      .select(col("qid"), col("neighbor"))
+    val inter = exact.join(approx, Seq("qid", "neighbor"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+    e.where(col("vid") < 20).select(col("vid").as("qid"))
+      .join(inter, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"))
+      .orderBy(col("qid"))
+  }
+
   /** Cluster-balanced sampling over the TRAINED k-means cells
     * ([[graft.ops.Ann.clusterBalance]]): cap each learned cluster at 24
     * kept vectors by md5-hash rank — the diversity-selection pass (cap a
@@ -2135,6 +2172,7 @@ object PipelineQueries {
     "knn_recall_scaled" -> knn_recall_scaled,
     "knn_serving_recall" -> knn_serving_recall,
     "knn_serving_recall_sq8" -> knn_serving_recall_sq8,
+    "knn_serving_recall_filtered" -> knn_serving_recall_filtered,
     "pipe_cluster_balance" -> pipe_cluster_balance,
     "pipe_kmeans_step" -> pipe_kmeans_step,
     "pipe_kmeans_train" -> pipe_kmeans_train,
@@ -4401,6 +4439,84 @@ object PipelineQueries {
          |    JOIN embeddings n ON n.vec_id = s.neighbor)
          |  WHERE rank <= 5),
          |$bruteTop5Cte,
+         |inter AS (
+         |  SELECT exact.qid, count(*) AS hits
+         |  FROM exact JOIN approx ON approx.qid = exact.qid
+         |    AND approx.neighbor = exact.neighbor
+         |  GROUP BY exact.qid)
+         |SELECT qe.vec_id AS qid, CAST(coalesce(i.hits, 0) AS BIGINT) AS hits
+         |FROM embeddings qe LEFT JOIN inter i ON i.qid = qe.vec_id
+         |WHERE qe.vec_id < 20
+         |ORDER BY qid""".stripMargin,
+    // the FILTERED serving twin: the sq8 oracle with the label < 3
+    // candidate pre-filter and a matching-corpus-only brute truth arm
+    "knn_serving_recall_filtered" ->
+      s"""WITH sz AS (
+         |  SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS nlist,
+         |    2 * CAST(ceil(sqrt(ceil(sqrt(count(*))))) AS BIGINT) AS nprobe
+         |  FROM embeddings),
+         |kc0 AS (
+         |  SELECT vec_id AS cid, embedding AS cv FROM embeddings, sz
+         |  WHERE vec_id >= 20 AND vec_id < 20 + sz.nlist),
+         |${kmeansIterSql(1)},
+         |${kmeansIterSql(2)},
+         |${kmeansIterSql(3)},
+         |$sq8Ctes,
+         |asgS AS (
+         |  SELECT vec_id, embedding, label, cid AS cell FROM (
+         |    SELECT e.vec_id, e.embedding, e.label, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cid ASC) AS crn
+         |    FROM embeddings e CROSS JOIN kc3 c)
+         |  WHERE crn <= 2),
+         |probesS AS (
+         |  SELECT qid, qv, cell FROM (
+         |    SELECT e.vec_id AS qid, e.embedding AS qv, c.cid AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cid ASC) AS crn
+         |    FROM embeddings e CROSS JOIN kc3 c WHERE e.vec_id < 20)
+         |  WHERE crn <= (SELECT nprobe FROM sz)),
+         |cand AS (
+         |  SELECT DISTINCT p.qid, a.vec_id AS neighbor
+         |  FROM probesS p JOIN asgS a ON a.cell = p.cell
+         |  WHERE a.vec_id <> p.qid AND a.label < 3),
+         |qw AS (
+         |  SELECT vec_id, list_transform(range(64), j ->
+         |    CAST(floor(CAST(embedding[j + 1] AS DOUBLE)
+         |      * ((mxs[j + 1] - mns[j + 1]) / 255.0)
+         |      * ${graft.exprs.Sq8.AdcScale.toLong}.0) AS BIGINT)) AS w
+         |  FROM embeddings, mnx WHERE vec_id < 20),
+         |idot AS (
+         |  SELECT c.qid, c.neighbor,
+         |    CAST(list_sum(list_transform(range(64),
+         |      j -> cd.qv[j + 1] * w.w[j + 1])) AS BIGINT) AS idot
+         |  FROM cand c
+         |  JOIN q cd ON cd.vec_id = c.neighbor
+         |  JOIN qw w ON w.vec_id = c.qid),
+         |short AS (
+         |  SELECT qid, neighbor FROM (
+         |    SELECT qid, neighbor,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY idot DESC, neighbor ASC) AS srn
+         |    FROM idot)
+         |  WHERE srn <= 256),
+         |approx AS (
+         |  SELECT qid, neighbor FROM (
+         |    SELECT s.qid, s.neighbor,
+         |      row_number() OVER (PARTITION BY s.qid
+         |        ORDER BY list_cosine_similarity(qe.embedding, n.embedding) DESC, s.neighbor ASC) AS rank
+         |    FROM short s
+         |    JOIN embeddings qe ON qe.vec_id = s.qid
+         |    JOIN embeddings n ON n.vec_id = s.neighbor)
+         |  WHERE rank <= 5),
+         |exact AS (
+         |  SELECT qid, rank, neighbor FROM (
+         |    SELECT qe.vec_id AS qid, e.vec_id AS neighbor,
+         |      row_number() OVER (PARTITION BY qe.vec_id
+         |        ORDER BY list_cosine_similarity(qe.embedding, e.embedding) DESC, e.vec_id ASC) AS rank
+         |    FROM embeddings qe CROSS JOIN embeddings e
+         |    WHERE qe.vec_id < 20 AND e.vec_id <> qe.vec_id AND e.label < 3)
+         |  WHERE rank <= 5),
          |inter AS (
          |  SELECT exact.qid, count(*) AS hits
          |  FROM exact JOIN approx ON approx.qid = exact.qid

@@ -443,6 +443,7 @@ class PlanSpec extends AnyFunSuite {
       "knn_recall_scaled" -> "composes knn_brute truth + sqrt(n) centroid assignment",
       "knn_serving_recall" -> "composes knn_brute truth + query-side probe assignment (corpus layout is the map-only nearest_cells expression)",
       "knn_serving_recall_sq8" -> "same harness as knn_serving_recall with the asymmetric sq8 integer-dot shortlist in place of ADC",
+      "knn_serving_recall_filtered" -> "the sq8 serving harness with a label pre-filter; truth arm is a filtered knn_brute",
       "pipe_kmeans_step" -> "corpus x k broadcast centroid assignment",
       "knn_cell" -> "centroid assignment, k-bounded broadcast side",
       "knn_ivf" -> "centroid assignment + nprobe cut, broadcast side",
