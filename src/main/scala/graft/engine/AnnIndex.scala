@@ -280,14 +280,31 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
       .withColumn("__epoch", lit(0L))
       .withColumn("__cell", explode(
         graft.exprs.NearestCells.nearest_cells(col(field), bcCents, spill)))
-    data.write.mode("overwrite").partitionBy("__epoch", "__cell")
-      .parquet(new HPath(root, "data").toString)
+    // ONE cell-keyed exchange before the fan-out write: without it every
+    // write task emits a file into every cell directory it touches
+    // (tasks × cells files — ProbeVecScale measured 64 files/cell at
+    // 200k rows/32 tasks, and every query paid the open cost), with it
+    // each cell collapses to one file per maxRecordsPerFile chunk. The
+    // shuffle is the honest price of read locality, paid once at train.
+    writeCells(data, new HPath(root, "data"), overwrite = true)
     writeMeta(name, field, centRows.length, gen, spill, epoch = 0,
       covered = splits.map(_.id).toSet, pq = pq, expectTick = tick0,
       sq8 = sq8)
     (centRows.length, n)
     }
   }
+
+  /** The one layout-write path: cell-keyed repartition (read locality —
+    * one file per cell per [[Indexer.MaxRecordsPerFile]] chunk instead
+    * of one per write task per cell) + the (epoch, cell) directory
+    * fan-out every query's partition pruning relies on. */
+  private def writeCells(data: DataFrame, dataDir: HPath,
+      overwrite: Boolean): Unit =
+    data.repartition(col("__epoch"), col("__cell"))
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .option("maxRecordsPerFile", Indexer.MaxRecordsPerFile)
+      .partitionBy("__epoch", "__cell")
+      .parquet(dataDir.toString)
 
   private def withCode(df: DataFrame, field: String,
       cb: Option[graft.exprs.Pq.Codebooks]): DataFrame = cb match {
@@ -420,8 +437,9 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
       .withColumn("__epoch", lit(epoch.toLong))
       .withColumn("__cell", explode(
         graft.exprs.NearestCells.nearest_cells(col(field), bcCents, m._3)))
-    fresh.write.mode("append").partitionBy("__epoch", "__cell")
-      .parquet(new HPath(root, "data").toString)
+    // batch-sized cell-keyed exchange: one file per touched cell in the
+    // new epoch instead of one per task per cell (see writeCells)
+    writeCells(fresh, new HPath(root, "data"), overwrite = false)
     writeMeta(name, field, m._1, gen, m._3, epoch,
       covered ++ newSplits.map(_.id), pq, expectTick = tick0, base = baseEp,
       sq8 = sq8)
@@ -486,8 +504,7 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
         rows.drop("__epoch").drop("__rid")
           .withColumn("__rid", monotonically_increasing_id())
           .withColumn("__epoch", lit(next.toLong))
-    folded.write.mode("append").partitionBy("__epoch", "__cell")
-      .parquet(dataDir.toString)
+    writeCells(folded, dataDir, overwrite = false)
     val n = spark.read.parquet(dataDir.toString)
       .where(col("__epoch") === next).count()
     writeMeta(name, field, m._1, gen, spill, next, covered, pq,
