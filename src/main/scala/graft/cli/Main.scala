@@ -216,9 +216,14 @@ object Main {
               val tier = if (ann.pqOf(name, f) > 0) s", pq=${ann.pqOf(name, f)}"
                 else if (ann.sq8Of(name, f)) ", sq8"
                 else ""
+              val (cd, cf) = ann.fileStats(name, f)
+              val fileNote = if (cd > 0 && cf > 2 * cd)
+                s"; $cf files over $cd cell dirs — run train --compact " +
+                  "to collapse the fan-out"
+                else s"; $cf file(s) over $cd cell dir(s)"
               println(s"ann '$f': $cells cell(s), spill=$spill$tier, " +
                 s"trained at gen $gen ($stale); $tot row(s), " +
-                s"largest cell $mx, $span")
+                s"largest cell $mx, $span$fileNote")
           }
           val (ah, am, an) = graft.engine.AnnIndex.servingCacheStats
           if (ah + am > 0)
