@@ -464,6 +464,12 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     dropOrphanEpochs(root, baseEp, servedEpoch)
     val (_, _, df) = corpusOf(name, newSplits)
     val (centArr, cbs, sqSt, _) = servingModel(name, field, root)
+    // an sq8-flagged META whose sq8/ stats are gone must fail loudly:
+    // appending code-less rows would silently drop them from the
+    // integer-dot ranking (the shortlist filters on __sq8 is-not-null)
+    require(!sq8 || sqSt.isDefined,
+      s"META for '$name.$field' claims sq8 but the sq8/ stats are " +
+        "missing — re-run a full train --sq8")
     val epoch = servedEpoch + 1
     val base = df.where(col(field).isNotNull)
     val nNew = base.count()
