@@ -176,6 +176,13 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     * RNG), then the one-time cell-partitioned rewrite of the stored
     * corpus. Returns (cells, vectors seen).
     *
+    * A RETRAIN is staged like a refresh (r14 advice): data rows append
+    * into the next invisible epoch, model artifacts land in a fresh
+    * `model/<unique>/` directory, and one atomic META publish
+    * (`base = epoch = newEpoch`, `model=` pointer) flips the index to
+    * them — a lost race or crash leaves the serving layout untouched on
+    * ANY scheme, lock or no lock.
+    *
     * `cells = 0` (the default) sizes nlist as ⌈√n⌉ — the registry's
     * measured sizing rule (`knn_recall_scaled`): a FIXED cell count
     * dilutes recall as the corpus grows (16 cells / nprobe 2 measured
@@ -221,6 +228,31 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     vectorCol(cfg, field)
     withMaintenanceLock(annRoot(name, field)) {
     val tick0 = metaTick(name, field)
+    // STAGED rewrite (r14 advice): a retrain never touches what the
+    // current META references. New rows land in the NEXT (invisible)
+    // epoch and the model artifacts (centroids / codebooks / sq8 stats)
+    // in a fresh model/<unique> directory; the single atomic META
+    // publish flips base = epoch = newEpoch + the model pointer. A
+    // train that loses the publish race — or crashes mid-write —
+    // genuinely changes nothing visible: its epoch directory is outside
+    // the winner's served range (swept like any orphan) and its model
+    // dir is unreferenced (swept by the next successful train). The
+    // pre-r15 form overwrote data/ and sq8/ in place, so a lost train
+    // race on a lock-less scheme corrupted the surviving META's layout.
+    val priorMeta = meta(name, field)
+    val newEpoch = priorMeta.fold(0)(_ => epochOf(name, field) + 1)
+    if (priorMeta.isEmpty)
+      // no META has ever referenced data/ — a leftover tree is a
+      // crashed first train; replaying on top would double its rows
+      catalog.metaStore.deleteDirBestEffort(
+        new HPath(annRoot(name, field), "data"))
+    else
+      // sweep a crashed prior attempt's orphan epochs before appending
+      // under the same number
+      dropOrphanEpochs(annRoot(name, field), baseOf(name, field),
+        epochOf(name, field))
+    val modelName = s"t${tick0 + 1}-${java.util.UUID.randomUUID.toString.take(8)}"
+    val modelDir = new HPath(annRoot(name, field), s"model/$modelName")
     // ONE manifest read supplies both the recorded generation and the
     // split list, so META can never claim a generation whose splits it
     // did not actually cover
@@ -265,7 +297,7 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     import spark.implicits._
     val cents = centRows.toDF("cid", "cv")
     cents.coalesce(1).write.mode("overwrite")
-      .parquet(new HPath(root, "centroids").toString)
+      .parquet(new HPath(modelDir, "centroids").toString)
     // one-pass rewrite: every STORED column rides along, partitioned by
     // (epoch, nearest-centroid cell(s)) so a query's epoch + cell
     // filters prune whole directories; the top-spill selection is a
@@ -276,11 +308,10 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     // query-time dedup.
     val pqCb: Option[graft.exprs.Pq.Codebooks] =
       if (pq > 0) Some(buildCodebooks(vecs, pq)) else None
-    pqCb.foreach(writeCodebooks(root, _))
-    // a pq=0 retrain over a previously pq>0 index must not leave the
-    // old codebooks/ behind for the serving-model loader to pick up
-    if (pq == 0)
-      catalog.metaStore.deleteDirBestEffort(new HPath(root, "codebooks"))
+    // the fresh model dir holds ONLY this train's artifacts — a pq=0
+    // retrain over a previously pq>0 index simply writes no codebooks,
+    // and the old model dir (with its codebooks) is swept post-publish
+    pqCb.foreach(writeCodebooks(modelDir, _))
     // SQ8 tier: per-dim corpus min/max (one narrow aggregate, dim-sized
     // collect — the BM25-stats pattern) persisted as the quantizer the
     // whole lifecycle shares; refresh/compact reuse it FROZEN, like the
@@ -294,21 +325,17 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
           .sortBy(_._1)
         Some((st.map(_._2), st.map(_._3)))
       } else None
-    sqStats match {
-      case Some((mn, mx)) =>
-        import spark.implicits._
-        mn.indices.map(i => (i, mn(i), mx(i))).toDF("d", "mn", "mx")
-          .coalesce(1).write.mode("overwrite")
-          .parquet(new HPath(root, "sq8").toString)
-      case None =>
-        catalog.metaStore.deleteDirBestEffort(new HPath(root, "sq8"))
+    sqStats.foreach { case (mn, mx) =>
+      mn.indices.map(i => (i, mn(i), mx(i))).toDF("d", "mn", "mx")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(new HPath(modelDir, "sq8").toString)
     }
     val bcCents = spark.sparkContext.broadcast(
       centRows.sortBy(_._1).map { case (cid, cv) => (cid, cv.toArray) }.toArray)
     val data = withSq8(withCode(df.where(col(field).isNotNull), field, pqCb),
         field, sqStats)
       .withColumn("__rid", monotonically_increasing_id())
-      .withColumn("__epoch", lit(0L))
+      .withColumn("__epoch", lit(newEpoch.toLong))
       .withColumn("__cell", explode(
         graft.exprs.NearestCells.nearest_cells(col(field), bcCents, spill)))
     // ONE cell-keyed exchange before the fan-out write: without it every
@@ -317,11 +344,38 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     // 200k rows/32 tasks, and every query paid the open cost), with it
     // each cell collapses to one file per maxRecordsPerFile chunk. The
     // shuffle is the honest price of read locality, paid once at train.
-    writeCells(data, new HPath(root, "data"), overwrite = true)
-    writeMeta(name, field, centRows.length, gen, spill, epoch = 0,
+    // APPEND into the staged (invisible) epoch — the current META's
+    // served range is untouched until the publish below flips to it.
+    writeCells(data, new HPath(root, "data"), overwrite = false)
+    writeMeta(name, field, centRows.length, gen, spill, epoch = newEpoch,
       covered = splits.map(_.id).toSet, pq = pq, expectTick = tick0,
-      sq8 = sq8)
+      base = newEpoch, sq8 = sq8, model = Some(modelName))
+    // committed: retire everything the new META no longer references —
+    // pre-train epochs (already invisible) and prior model dirs
+    dropOrphanEpochs(root, newEpoch, newEpoch)
+    sweepStaleModels(root, keep = modelName)
     (centRows.length, n)
+    }
+  }
+
+  /** Best-effort removal of model/<*> directories other than the one the
+    * just-published META references, plus the legacy root-level
+    * centroids/codebooks/sq8 dirs a pre-staging train wrote in place.
+    * Only ever called AFTER a successful META publish, so anything swept
+    * is either retired (no META references it) or belongs to an in-flight
+    * train attempt that is doomed anyway (its tick CAS must fail against
+    * the publish that preceded this sweep). */
+  private def sweepStaleModels(root: HPath, keep: String): Unit = {
+    val mdir = new HPath(root, "model")
+    val f = fs(mdir)
+    if (f.exists(mdir))
+      f.listStatus(mdir).foreach { st =>
+        if (st.getPath.getName != keep)
+          try { f.delete(st.getPath, true); () }
+          catch { case scala.util.control.NonFatal(_) => () }
+      }
+    Seq("centroids", "codebooks", "sq8").foreach { nm =>
+      catalog.metaStore.deleteDirBestEffort(new HPath(root, nm))
     }
   }
 
@@ -449,13 +503,14 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     val root = annRoot(name, field)
     val servedEpoch = epochOf(name, field)
     val baseEp = baseOf(name, field)
+    val modelKey = metaField(name, field, "model")
     val newSplits = live.filterNot(s => covered(s.id))
     if (newSplits.isEmpty) {
       // nothing to append; still publish the translated coverage and
       // the current generation so the staleness note clears (and a
       // post-merge translation sticks without waiting for new data)
       writeMeta(name, field, m._1, gen, m._3, servedEpoch, covered, pq,
-        expectTick = tick0, base = baseEp, sq8 = sq8)
+        expectTick = tick0, base = baseEp, sq8 = sq8, model = modelKey)
       return (0, 0L)
     }
     // a refresh that crashed between its append and its META publish
@@ -485,7 +540,7 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     writeCells(fresh, new HPath(root, "data"), overwrite = false)
     writeMeta(name, field, m._1, gen, m._3, epoch,
       covered ++ newSplits.map(_.id), pq, expectTick = tick0, base = baseEp,
-      sq8 = sq8)
+      sq8 = sq8, model = modelKey)
     (newSplits.length, nNew)
     }
   }
@@ -551,7 +606,8 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     val n = spark.read.parquet(dataDir.toString)
       .where(col("__epoch") === next).count()
     writeMeta(name, field, m._1, gen, spill, next, covered, pq,
-      expectTick = tick0, base = next, sq8 = sq8Of(name, field))
+      expectTick = tick0, base = next, sq8 = sq8Of(name, field),
+      model = metaField(name, field, "model"))
     // retired directories are already invisible; delete is cleanup only
     dropOrphanEpochs(root, next, next)
     (served - base + 1, n)
@@ -661,13 +717,14 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
   private def writeMeta(name: String, field: String, cells: Int,
       gen: Long, spill: Int, epoch: Int, covered: Set[String],
       pq: Int, expectTick: Long, base: Int = 0,
-      sq8: Boolean = false): Unit = {
+      sq8: Boolean = false, model: Option[String] = None): Unit = {
     val root = annRoot(name, field)
     val body = new StringBuilder()
     body.append(s"tick=${expectTick + 1}\n")
     body.append(s"cells=$cells\ngen=$gen\nspill=$spill\nepoch=$epoch\npq=$pq\n")
     if (sq8) body.append("sq8=1\n")
     if (base > 0) body.append(s"base=$base\n")
+    model.foreach(m => body.append(s"model=$m\n"))
     covered.toList.sorted.foreach(id => body.append(s"split=$id\n"))
     val metaP = new HPath(root, "META")
     val bytes = body.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -687,7 +744,9 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
         s"ANN META for '$name.$field' changed while this maintenance " +
           s"operation ran (expected tick $expectTick): a concurrent " +
           "train/refresh/compact won the publish. Nothing visible changed " +
-          "on this side — re-run the operation against the new META")
+          "on this side — every maintenance op (train included, since its " +
+          "r15 staging) writes only into epoch/model directories the " +
+          "winning META does not reference — re-run against the new META")
     }
     catalog.metaStore.deleteIfExists(new HPath(root, "SPLITS"))
   }
@@ -766,13 +825,18 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
               .collect { case Array(k2, v2) if k2 != "split" => k2 -> v2 }
               .toMap
           }.getOrElse(Map.empty)
+        // staged-train layout: META's `model=` names the directory this
+        // publish's artifacts live under; a legacy (pre-staging) META
+        // has none and reads the root-level dirs it wrote in place
+        val mroot = kv.get("model")
+          .map(m => new HPath(root, s"model/$m")).getOrElse(root)
         val centArr = spark.read
-          .parquet(new HPath(root, "centroids").toString)
+          .parquet(new HPath(mroot, "centroids").toString)
           .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
           .sortBy(_._1)
-        val cbP = new HPath(root, "codebooks")
-        val cbs = if (fs(cbP).exists(cbP)) Some(readCodebooks(root)) else None
-        val sqP = new HPath(root, "sq8")
+        val cbP = new HPath(mroot, "codebooks")
+        val cbs = if (fs(cbP).exists(cbP)) Some(readCodebooks(mroot)) else None
+        val sqP = new HPath(mroot, "sq8")
         val sq = if (fs(sqP).exists(sqP)) {
           val st = spark.read.parquet(sqP.toString).collect()
             .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
@@ -940,10 +1004,15 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
         filtered(df.where(col(field).isNotNull))
           .withColumn("__score", CosineSimilarity.cosine_similarity(col(field), q))
       }
+    // (score desc, doc asc) is a TOTAL order on every tier (the doc JSON
+    // is content-derived): score-tied neighbors — e.g. duplicate vectors
+    // landed in different epochs — cut identically run-to-run and across
+    // the single-query and batch faces, independent of physical row ids
     scored.where(col("__score").isNotNull)
-      .orderBy(desc("__score"))
+      .withColumn("__doc", searcher.outputJson(d))
+      .orderBy(desc("__score"), asc("__doc"))
       .limit(k)
-      .select(col("__score").as("score"), searcher.outputJson(d).as("doc"))
+      .select(col("__score").as("score"), col("__doc").as("doc"))
   }
 
   /** Hybrid retrieval — the serving face of the gated
@@ -966,7 +1035,12 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     val n = if (depth > 0) depth else math.max(4 * k, 20)
     val vecArm = knn(name, field, queryVec, n, nProbe, rerank, filter)
       .collect().map(_.getString(1)).toSeq
-    val txtArm = new Searcher(spark, catalog).search(name, textQuery, n)
+    // the filter applies to BOTH arms: the text arm ANDs it into the
+    // compiled grammar query (same language), otherwise a fused result
+    // could surface a document that fails the filter through the BM25
+    // side alone — `--filter` would be silently half-applied
+    val tq = filter.fold(textQuery)(f => s"($textQuery) AND ($f)")
+    val txtArm = new Searcher(spark, catalog).search(name, tq, n)
     val fused = scala.collection.mutable.Map.empty[String, Long]
     def add(docs: Seq[String]): Unit = docs.zipWithIndex.foreach {
       case (doc, i) =>
@@ -1075,7 +1149,7 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
           val step = mn.indices.map(i => (mx(i) - mn(i)) / 255.0)
           val probesS = probesQ
             .withColumn("__qw", zip_with(col("qv"), typedLit(step),
-              (x, s) => floor(x * s * lit(AnnIndex.Sq8AdcScale)).cast("int")))
+              (x, s) => floor(x * s * lit(AnnIndex.Sq8AdcScale)).cast("bigint")))
             .where(col("__qw").isNotNull)
           val skinny = data
             .select(col("__cell").as("__dcell"), col("__epoch"),
@@ -1110,11 +1184,14 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
           .withColumn("__score",
             CosineSimilarity.cosine_similarity(col(field), col("qv")))
       }
+    // same (score desc, doc asc) total order as the single-query face
     scored.where(col("__score").isNotNull)
-      .withColumn("rank", row_number().over(w.orderBy(col("__score").desc)))
+      .withColumn("__doc", searcher.outputJson(d))
+      .withColumn("rank", row_number().over(
+        w.orderBy(col("__score").desc, col("__doc").asc)))
       .where(col("rank") <= k)
       .select(col("qid"), col("rank"), col("__score").as("score"),
-        searcher.outputJson(d).as("doc"))
+        col("__doc").as("doc"))
   }
 }
 
@@ -1209,13 +1286,15 @@ object AnnIndex {
     * stats: w_i = floor(q_i · (mx_i − mn_i)/255 · 2^24). Σ code_i·w_i
     * then equals ⟨x̂, q⟩·2^24 minus the per-query constant Σ mn_i·q_i —
     * a pure integer ranking of candidates by reconstructed inner
-    * product, with the affine offset cancelled. Same arithmetic as the
-    * batch tier's zip_with column. */
+    * product, with the affine offset cancelled. LONG end-to-end (the
+    * batch tier's `floor(...)` column is bigint and the DuckDB oracle
+    * keeps BIGINT), so all three paths share exact arithmetic even for
+    * large-magnitude non-unit-norm vectors where an int would wrap. */
   private[engine] def sq8AdcWeights(q: Array[Float], mn: Array[Double],
-      mx: Array[Double]): Array[Int] = {
+      mx: Array[Double]): Array[Long] = {
     val n = math.min(q.length, mn.length)
     Array.tabulate(n) { i =>
-      math.floor(q(i).toDouble * ((mx(i) - mn(i)) / 255.0) * Sq8AdcScale).toInt
+      math.floor(q(i).toDouble * ((mx(i) - mn(i)) / 255.0) * Sq8AdcScale).toLong
     }
   }
 }

@@ -162,9 +162,21 @@ final class ManifestStore(rootUri: String, conf: Configuration) {
         val node = graft.exprs.JsonSupport.parse(s)
         Option(node.get("gen")).filter(!_.isNull).map(_.asLong()).getOrElse(0L)
       } catch {
-        case scala.util.control.NonFatal(_) =>
+        case scala.util.control.NonFatal(e) =>
+          // the key=value fallback is for SIDECARS (the ANN META's
+          // `tick=` line); a corrupt JSON manifest must stay a loud
+          // failure, not silently read as generation 0 and let the next
+          // CAS treat the store as empty
+          if (s.contains("{")) throw e
           s.split("\n").map(_.split("=", 2))
-            .collectFirst { case Array("tick", v) => v.trim.toLong }
+            .collectFirst { case Array("tick", v) =>
+              try v.trim.toLong
+              catch {
+                case _: NumberFormatException => throw new IllegalStateException(
+                  s"malformed tick line in metadata sidecar $manifest: " +
+                    s"'tick=${v.trim}' is not a number — the sidecar is corrupt")
+              }
+            }
             .getOrElse(0L)
       }
     }.getOrElse(0L)

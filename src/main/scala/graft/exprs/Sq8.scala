@@ -46,12 +46,27 @@ case class Sq8Quantize(child: Expression, mn: Array[Double], mx: Array[Double])
 
 /** Integer dot product of two quantized vectors — the SIMD-able int math
   * that makes quantized scan the memory-bandwidth lever at scale. Exact
-  * (long accumulation of int products: no overflow below 2^43 for
-  * 255²-bounded 64-dim vectors). */
+  * (long accumulation; either side may be array<int> or array<bigint> —
+  * the asymmetric-ranking weights are Long end-to-end so the Spark
+  * single-query, Spark batch, and DuckDB BIGINT oracle paths share
+  * EXACT arithmetic with no int narrowing for large-magnitude vectors). */
 case class DotInt(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
+
+  @transient private lazy val leftIsLong: Boolean = left.dataType match {
+    case ArrayType(LongType, _)    => true
+    case ArrayType(IntegerType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"dot_int expects array<int|bigint>, got $other")
+  }
+  @transient private lazy val rightIsLong: Boolean = right.dataType match {
+    case ArrayType(LongType, _)    => true
+    case ArrayType(IntegerType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"dot_int expects array<int|bigint>, got $other")
+  }
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val x = l.asInstanceOf[ArrayData]
@@ -60,7 +75,9 @@ case class DotInt(left: Expression, right: Expression)
     var acc = 0L
     var i = 0
     while (i < n) {
-      acc += x.getInt(i).toLong * y.getInt(i).toLong
+      val a = if (leftIsLong) x.getLong(i) else x.getInt(i).toLong
+      val b = if (rightIsLong) y.getLong(i) else y.getInt(i).toLong
+      acc += a * b
       i += 1
     }
     java.lang.Long.valueOf(acc)

@@ -534,8 +534,10 @@ object Ann {
         graft.exprs.NearestCells.nearest_cells(col("v"), bc, spill)))
     val step = mn.indices.map(i => (mx(i) - mn(i)) / 255.0)
     val qs = snap.where(isQuery(col("vid")))
+      // bigint weights end-to-end (the DuckDB oracle's qw is BIGINT; an
+      // int cast would wrap for large-magnitude vectors)
       .withColumn("qw", zip_with(col("v"), typedLit(step),
-        (x, s) => floor(x * s * lit(Sq8.AdcScale)).cast("int")))
+        (x, s) => floor(x * s * lit(Sq8.AdcScale)).cast("bigint")))
       .where(col("qw").isNotNull)
     val probes = cellAssign(qs, broadcast(centroids), "vid", "v", nProbe,
         carry = Seq("v", "qw"))

@@ -516,4 +516,81 @@ class AdviceRegressionSpec extends AnyFunSuite {
     assert(!bk.exists(_._1 == capBucket),
       s"NULL must not saturate into the 2^58 cap bucket: ${bk.mkString(";")}")
   }
+
+  test("a retrain is STAGED: fresh epoch + fresh model dir, one META flip, " +
+      "retired artifacts swept — crash debris never double-serves") {
+    // r14 advice: train() used to overwrite data/ and sq8/ in place
+    // BEFORE the META publish, so a lost train race on a lock-less
+    // scheme left the surviving META referencing a rewritten layout.
+    withEngine { (cat, idx, _) =>
+      cat.create(annYaml.format("stgann"))
+      idx.indexFile("stgann", writeDocs(
+        """{"title": "a", "emb": [1.0, 0.0, 0.0, 0.0]}
+          |{"title": "b", "emb": [0.0, 1.0, 0.0, 0.0]}
+          |{"title": "c", "emb": [0.0, 0.0, 1.0, 0.0]}""".stripMargin))
+      val ann = new graft.engine.AnnIndex(spark, cat)
+      val root = new org.apache.hadoop.fs.Path(
+        s"${cat.catalogRoot}/indexes/stgann/ann/emb")
+      val fs = root.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      ann.train("stgann", "emb", cells = 1)
+      val meta1 = new graft.engine.ManifestStore(cat.catalogRoot,
+        new org.apache.hadoop.conf.Configuration())
+        .readString(new org.apache.hadoop.fs.Path(root, "META")).get
+      assert(meta1.contains("model=t1-"), meta1)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "centroids")),
+        "no root-level (unstaged) model artifacts")
+      // retrain with a different shape: new epoch, new model dir, old
+      // one swept after the publish
+      ann.train("stgann", "emb", cells = 2, sq8 = true)
+      val meta2 = new graft.engine.ManifestStore(cat.catalogRoot,
+        new org.apache.hadoop.conf.Configuration())
+        .readString(new org.apache.hadoop.fs.Path(root, "META")).get
+      assert(meta2.contains("model=t2-") && meta2.contains("epoch=1") &&
+        meta2.contains("base=1"), meta2)
+      val modelDirs = fs.listStatus(new org.apache.hadoop.fs.Path(root, "model"))
+        .map(_.getPath.getName).toSeq
+      assert(modelDirs.length == 1 && modelDirs.head.startsWith("t2-"),
+        s"retired model dir swept: $modelDirs")
+      val epochs = fs.listStatus(new org.apache.hadoop.fs.Path(root, "data"))
+        .map(_.getPath.getName).filter(_.startsWith("__epoch=")).toSeq
+      assert(epochs == Seq("__epoch=1"),
+        s"retired epoch swept, staged epoch served: $epochs")
+      // the flipped index serves every doc exactly once through sq8
+      val got = ann.knn("stgann", "emb", Array(1.0f, 0.0f, 0.0f, 0.0f),
+        k = 10, nProbe = 2, rerank = 8).collect()
+      assert(got.length == 3, got.mkString("; "))
+      cat.drop("stgann")
+    }
+  }
+
+  test("readGen fails loudly on a corrupt JSON manifest and on a malformed " +
+      "tick line; legacy tick-less sidecars still read as 0") {
+    // r14 advice: the key=value fallback swallowed EVERY JSON parse
+    // failure, so a corrupt manifest.json silently read as generation 0
+    // (the next CAS would treat the store as empty). The fallback now
+    // applies only to sidecar-shaped content (no '{').
+    val root = Files.createTempDirectory("graft-readgen").toString
+    val store = new graft.engine.ManifestStore(root,
+      new org.apache.hadoop.conf.Configuration())
+    def write(name: String, body: String): org.apache.hadoop.fs.Path = {
+      val p = new org.apache.hadoop.fs.Path(s"$root/$name")
+      store.writeStringAtomic(p, body)
+      p
+    }
+    // corrupt JSON (truncated manifest): loud, not gen 0
+    val bad = write("manifest.json", """{"gen": 4, "splits": [""")
+    intercept[Exception] { store.readGen(bad) }
+    // intact JSON still reads its gen
+    assert(store.readGen(write("ok.json", """{"gen": 7}""")) == 7L)
+    // sidecar with tick= reads the tick
+    assert(store.readGen(write("META", "tick=3\ncells=2\n")) == 3L)
+    // legacy tick-less sidecar reads 0 (first CAS publish = create)
+    assert(store.readGen(write("META0", "cells=2\ngen=1\n")) == 0L)
+    // malformed tick line: loud, named cause — not a NumberFormatException
+    // and not a silent 0
+    val mal = intercept[IllegalStateException] {
+      store.readGen(write("METAX", "tick=banana\n"))
+    }
+    assert(mal.getMessage.contains("malformed tick"), mal.getMessage)
+  }
 }

@@ -531,13 +531,17 @@ class CliSpec extends AnyFunSuite {
     // refresh appends above the new base
     cli.Main.run(Array("train", "vec_test", "--field", "emb",
       "--cells", "2", "--spill", "2", "--pq", "2"), spark, cat, root)
+    // a (re)train is STAGED: it flips to a single fresh epoch (base =
+    // epoch), advancing past every prior epoch rather than resetting
+    val (b0, e0) = ann.epochSpan("vec_test", "emb")
+    assert(b0 == e0, s"fresh train serves one staged epoch: ($b0, $e0)")
     for (t <- Seq("z1", "z2")) {
       val inz = Files.createTempFile(s"knn-$t", ".jsonl")
       Files.write(inz, doc(t, Seq(0.5, 0.5, 0.5, 0.0)).getBytes("UTF-8"))
       cli.Main.run(Array("index", "vec_test", inz.toString), spark, cat, root)
       ann.refresh("vec_test", "emb")
     }
-    assert(ann.epochSpan("vec_test", "emb") == (0, 2),
+    assert(ann.epochSpan("vec_test", "emb") == (b0, e0 + 2),
       s"two refresh epochs recorded: ${ann.epochSpan("vec_test", "emb")}")
     val preRows = ann.cellSizes("vec_test", "emb").map(_._2).sum
     val preServed = ann.knn("vec_test", "emb",
@@ -550,7 +554,7 @@ class CliSpec extends AnyFunSuite {
     }
     assert(outC.toString("UTF-8").contains("compacted 3 epoch(s) into one"),
       outC.toString("UTF-8"))
-    assert(ann.epochSpan("vec_test", "emb") == (3, 3),
+    assert(ann.epochSpan("vec_test", "emb") == (e0 + 3, e0 + 3),
       s"folded span: ${ann.epochSpan("vec_test", "emb")}")
     // exactly one epoch directory tree remains on disk
     val dataDir = java.nio.file.Paths.get(root, "indexes", "vec_test",
@@ -561,7 +565,7 @@ class CliSpec extends AnyFunSuite {
       val nme = epochDirs.next().getFileName.toString
       if (nme.startsWith("__epoch=")) dirNames += nme
     }
-    assert(dirNames.sorted == Seq("__epoch=3"),
+    assert(dirNames.sorted == Seq(s"__epoch=${e0 + 3}"),
       s"retired epoch dirs must be deleted: $dirNames")
     assert(ann.cellSizes("vec_test", "emb").map(_._2).sum == preRows,
       "row count (spill copies included) survives the fold")
@@ -576,7 +580,7 @@ class CliSpec extends AnyFunSuite {
     cli.Main.run(Array("index", "vec_test", in4.toString), spark, cat, root)
     val (rs, rv) = ann.refresh("vec_test", "emb")
     assert(rs == 1 && rv == 1L, s"post-compact refresh: ($rs, $rv)")
-    assert(ann.epochSpan("vec_test", "emb") == (3, 4),
+    assert(ann.epochSpan("vec_test", "emb") == (e0 + 3, e0 + 4),
       s"append lands above the base: ${ann.epochSpan("vec_test", "emb")}")
     val withZ3 = ann.knn("vec_test", "emb",
       Array(0.4f, 0.6f, 0.4f, 0.0f), 1, nProbe = 2).collect()
@@ -717,6 +721,14 @@ class CliSpec extends AnyFunSuite {
       rerank = 8)
     assert(hybridSame.head._2.contains("\"title\":\"x1\""),
       s"double-armed doc wins: ${hybridSame.mkString("; ")}")
+    // --filter applies to BOTH hybrid arms: a text query whose BM25 hit
+    // (x1) fails the filter must not leak through the text arm — every
+    // fused result is a filter match (the r14-advice fix)
+    val hybridF = ann.knnHybrid("vec_test", "emb",
+      Array(1.0f, 0.02f, 0.0f, 0.0f), "title:x1", k = 3, nProbe = 2,
+      rerank = 8, filter = Some("title:y*"))
+    assert(hybridF.nonEmpty && hybridF.forall(_._2.contains("\"title\":\"y")),
+      s"filter must gate the text arm too: ${hybridF.mkString("; ")}")
     val outH = new java.io.ByteArrayOutputStream()
     Console.withOut(new java.io.PrintStream(outH, true, "UTF-8")) {
       cli.Main.run(Array("knn", "vec_test", "--field", "emb",
