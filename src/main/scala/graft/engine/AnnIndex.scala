@@ -1004,15 +1004,34 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
         filtered(df.where(col(field).isNotNull))
           .withColumn("__score", CosineSimilarity.cosine_similarity(col(field), q))
       }
-    // (score desc, doc asc) is a TOTAL order on every tier (the doc JSON
-    // is content-derived): score-tied neighbors — e.g. duplicate vectors
-    // landed in different epochs — cut identically run-to-run and across
-    // the single-query and batch faces, independent of physical row ids
+    // (score desc, content-hash asc) is a TOTAL order on every tier:
+    // the tie-break key is derived from the stored row content, so
+    // score-tied neighbors — e.g. duplicate vectors landed in different
+    // epochs — cut identically run-to-run and across the single-query
+    // and batch faces, independent of physical row ids. The doc JSON
+    // (the engine's most expensive per-row projection) materializes
+    // only for the k WINNERS: the r15 form sorted on the full JSON and
+    // paid its construction for EVERY candidate — per-corpus-row work
+    // on the brute tier — for the same determinism guarantee one
+    // codegen'd hash provides.
     scored.where(col("__score").isNotNull)
-      .withColumn("__doc", searcher.outputJson(d))
-      .orderBy(desc("__score"), asc("__doc"))
+      .withColumn("__tb", contentTieBreak(d))
+      .orderBy(desc("__score"), asc("__tb"))
       .limit(k)
-      .select(col("__score").as("score"), col("__doc").as("doc"))
+      .select(col("__score").as("score"), searcher.outputJson(d).as("doc"))
+  }
+
+  /** Cheap content-derived tie-break key for the knn total order:
+    * xxhash64 over the declared top-level columns plus the dynamic
+    * catch-all rendered to JSON text (VariantType itself is not
+    * hashable; `to_json` renders variant keys sorted, so equal dynamic
+    * content hashes equal). Rows with identical content tie — and then
+    * render identical output docs, so the boundary choice is
+    * invisible; rows differing anywhere cut deterministically. */
+  private def contentTieBreak(d: SchemaDerivation): Column = {
+    import SchemaDerivation.Dynamic
+    xxhash64((d.topLevelNames.map(n => col(s"`$n`")) :+
+      to_json(col(Dynamic))): _*)
   }
 
   /** Hybrid retrieval — the serving face of the gated
@@ -1184,14 +1203,16 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
           .withColumn("__score",
             CosineSimilarity.cosine_similarity(col(field), col("qv")))
       }
-    // same (score desc, doc asc) total order as the single-query face
+    // same (score desc, content-hash asc) total order as the
+    // single-query face; the doc JSON renders only for the k winners
+    // per query, never for the full candidate set
     scored.where(col("__score").isNotNull)
-      .withColumn("__doc", searcher.outputJson(d))
+      .withColumn("__tb", contentTieBreak(d))
       .withColumn("rank", row_number().over(
-        w.orderBy(col("__score").desc, col("__doc").asc)))
+        w.orderBy(col("__score").desc, col("__tb").asc)))
       .where(col("rank") <= k)
       .select(col("qid"), col("rank"), col("__score").as("score"),
-        col("__doc").as("doc"))
+        searcher.outputJson(d).as("doc"))
   }
 }
 

@@ -499,6 +499,52 @@ class AdviceRegressionSpec extends AnyFunSuite {
     }
   }
 
+  test("knn tie-break sorts on the content HASH, not the rendered doc " +
+      "JSON — determinism survives, the JSON renders only for winners") {
+    // r15 advice: the determinism tie-break computed outputJson for
+    // EVERY scored candidate as a sort key (full corpus on the brute
+    // tier) — the engine's most expensive per-row projection in the
+    // serve hot path. The total order now cuts on xxhash64 of the row
+    // content; the doc JSON materializes after the k-cut.
+    withEngine { (cat, idx, _) =>
+      cat.create(annYaml.format("tbann"))
+      // four distinct docs, two score-tied pairs: k=3 cuts ON a tie
+      idx.indexFile("tbann", writeDocs(
+        """{"title": "a", "emb": [1.0, 0.0, 0.0, 0.0]}
+          |{"title": "b", "emb": [1.0, 0.0, 0.0, 0.0]}
+          |{"title": "c", "emb": [0.0, 1.0, 0.0, 0.0]}
+          |{"title": "d", "emb": [0.0, 1.0, 0.0, 0.0]}""".stripMargin))
+      val ann = new graft.engine.AnnIndex(spark, cat)
+      val q = Array(1.0f, 0.0f, 0.0f, 0.0f)
+      def run() = ann.knn("tbann", "emb", q, k = 3)
+        .collect().map(_.getString(1)).toSeq
+      val first = run()
+      (1 to 3).foreach { i =>
+        assert(run() == first,
+          s"run $i must cut the score tie identically, got vs $first")
+      }
+      // plan shape: the ordering key is the hash; the JSON projection
+      // sits ABOVE the cut, never in the sort
+      val plan = ann.knn("tbann", "emb", q, k = 3)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("xxhash64"),
+        s"tie-break must be the content hash, plan:\n$plan")
+      val orderSpec = plan.split("orderBy=\\[").lift(1).map(_.takeWhile(_ != ']'))
+      assert(orderSpec.exists(!_.contains("json")),
+        s"the sort key must not render JSON, orderBy: $orderSpec")
+      // the batch face pins the same order through its window
+      import spark.implicits._
+      val qs = Seq((1L, Seq(1.0f, 0.0f, 0.0f, 0.0f))).toDF("qid", "qv")
+      def runBatch() = ann.knnBatch("tbann", "emb", qs, k = 3)
+        .collect().map(r => (r.getInt(1), r.getString(3))).toSeq
+      val b1 = runBatch()
+      assert(b1.map(_._2).sorted == first.sorted,
+        s"single-query and batch faces must serve the same tied cut: $b1 vs $first")
+      assert(runBatch() == b1, "batch face must be deterministic")
+      cat.drop("tbann")
+    }
+  }
+
   test("HDR buckets drop NULL values instead of saturating them into the " +
       "top bucket") {
     // r13 advice: least(value, HdrCap) SKIPS nulls in both engines, so a
