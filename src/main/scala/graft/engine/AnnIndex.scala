@@ -1054,12 +1054,16 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     val n = if (depth > 0) depth else math.max(4 * k, 20)
     val vecArm = knn(name, field, queryVec, n, nProbe, rerank, filter)
       .collect().map(_.getString(1)).toSeq
-    // the filter applies to BOTH arms: the text arm ANDs it into the
-    // compiled grammar query (same language), otherwise a fused result
-    // could surface a document that fails the filter through the BM25
-    // side alone — `--filter` would be silently half-applied
-    val tq = filter.fold(textQuery)(f => s"($textQuery) AND ($f)")
-    val txtArm = new Searcher(spark, catalog).search(name, tq, n)
+    // the filter applies to BOTH arms in PURE filter context: the text
+    // arm takes it as a post-filter predicate (gates the matched set,
+    // zero score contribution — r15 ANDed it into the query, which let
+    // a scoring filter clause reshuffle the BM25 ranking before fusion,
+    // inconsistent with the vector arm's score-free pre-filter), so a
+    // fused result can never surface a document that fails the filter
+    // through the BM25 side alone AND the text ranking is the filtered
+    // prefix of the unfiltered one
+    val txtArm = new Searcher(spark, catalog).search(name,
+      graft.engine.SearchRequest(textQuery, n, postFilter = filter))
     val fused = scala.collection.mutable.Map.empty[String, Long]
     def add(docs: Seq[String]): Unit = docs.zipWithIndex.foreach {
       case (doc, i) =>

@@ -42,7 +42,7 @@ import graft.query.{Ast, FieldBounds, Occur, QueryCompiler, QueryParser, TimeBou
   *    and `vacuum --before-gen` reclaims retained splits later. */
 final case class SearchRequest(query: String, limit: Int = 1,
     fields: Option[List[String]] = None, scored: Boolean = true,
-    asOfGen: Option[Long] = None)
+    asOfGen: Option[Long] = None, postFilter: Option[String] = None)
 
 final class Searcher(spark: SparkSession, catalog: Catalog) {
 
@@ -84,7 +84,20 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
     // No coalesce wrapper: WHERE already drops null-valued predicates, and
     // wrapping the comparison in coalesce() blocks Parquet filter pushdown
     // (caught by PlanSpec — the scan lost its PushedFilters line).
-    val matched = df.where(pred)
+    //
+    // postFilter is PURE filter context (the knn --hybrid-text --filter
+    // contract): it gates the matched set as a row predicate but never
+    // enters scoreColumn's AST or the corpus-stats version — split
+    // pruning and BM25 stats (docCount/avgdl/df) stay those of the
+    // query alone, so a filtered result is exactly the filtered prefix
+    // of the unfiltered ranking. ANDing it into the query instead would
+    // SCORE every non-MustNot filter clause (BM25 for terms) and
+    // reshuffle the text ranking — inconsistent with the vector arm,
+    // where the same filter is a score-free pre-filter. Catalyst still
+    // conjoins both predicates into one pushed scan filter.
+    val fPred = req.postFilter.map(f =>
+      new QueryCompiler(d, req.fields).compileAst(QueryParser.parse(f)))
+    val matched = fPred.foldLeft(df.where(pred))(_.where(_))
     // Queries whose matches all score identically — match-all, ranges,
     // boolean/number terms, and automaton clauses (fuzzy/prefix/IN, const
     // 1.0 in tantivy) that every match necessarily satisfies — need no

@@ -406,6 +406,58 @@ class AdviceRegressionSpec extends AnyFunSuite {
       |      array: true
       |""".stripMargin
 
+  private val hybridYaml =
+    """version: 1
+      |name: %s
+      |path: /tmp/unused
+      |schema:
+      |  fields:
+      |    - name: title
+      |      type: !text
+      |    - name: body
+      |      type: !text
+      |    - name: emb
+      |      type: !number
+      |        type: f64
+      |      array: true
+      |""".stripMargin
+
+  test("search postFilter is PURE filter context: it gates matches but " +
+      "never reshuffles the BM25 ranking") {
+    // r15 advice: knnHybrid ANDed --filter into the text query, so a
+    // scoring filter clause (BM25 for terms) added per-doc score to the
+    // text arm and re-ranked it before RRF fusion — inconsistent with
+    // the vector arm, where the same filter is a score-free pre-filter.
+    withEngine { (cat, idx, srch) =>
+      cat.create(hybridYaml.format("pfann"))
+      // a: strong on the QUERY term; b: weak on the query term but
+      // saturated on the FILTER term — ANDing the filter into the query
+      // would let b's body:common tf outscore a
+      idx.indexFile("pfann", writeDocs(
+        """{"title": "alpha alpha alpha alpha", "body": "common", "emb": [1.0, 0.0]}
+          |{"title": "alpha beta beta beta", "body": "common common common common common common", "emb": [0.0, 1.0]}
+          |{"title": "gamma", "body": "rare", "emb": [0.5, 0.5]}""".stripMargin))
+      val plain = srch.search("pfann",
+        graft.engine.SearchRequest("title:alpha", 2))
+      val filtered = srch.search("pfann",
+        graft.engine.SearchRequest("title:alpha", 2,
+          postFilter = Some("body:common")))
+      assert(plain == filtered,
+        s"an all-candidates-matching filter must not re-rank: " +
+          s"plain=$plain filtered=$filtered")
+      assert(plain.head.contains("alpha alpha"),
+        s"the query-term-heavy doc stays rank 1: $plain")
+      // a filter that excludes the top doc serves the filtered PREFIX
+      // of the unfiltered ranking — not a re-scored set
+      val cut = srch.search("pfann",
+        graft.engine.SearchRequest("title:alpha", 2,
+          postFilter = Some("title:beta")))
+      assert(cut.length == 1 && cut.head.contains("beta"),
+        s"filter gates rows, ranking order preserved: $cut")
+      cat.drop("pfann")
+    }
+  }
+
   test("ANN META publishes are a tick CAS, not a last-rename-wins overwrite") {
     // r13 advice: the stream's per-batch refresh and an operator-run
     // `train --compact` could race the same META through plain atomic
