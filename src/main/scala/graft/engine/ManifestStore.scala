@@ -158,27 +158,39 @@ final class ManifestStore(rootUri: String, conf: Configuration) {
     * one reads as 0, so its first CAS publish — commit(1) — succeeds). */
   private[graft] def readGen(manifest: HPath): Long =
     readString(manifest).map { s =>
-      try {
+      // dispatch on FILE IDENTITY, never on content: every JSON
+      // manifest the engine writes is `*.json` by construction
+      // ([[Catalog.manifestPath]]) and every key=value sidecar (the ANN
+      // tier's META) is not. An r15 content sniff (`s.contains("{")`)
+      // had both failure modes — a sidecar whose any VALUE contained
+      // '{' turned the benign fallback into a rethrow, and a corrupt
+      // manifest truncated before its first '{' (an empty file from a
+      // non-atomic writer) still read silently as generation 0, the
+      // exact quiet corruption the guard exists to make loud.
+      if (manifest.getName.endsWith(".json")) {
+        // any parse failure — malformed, truncated, empty — is loud,
+        // never generation 0 (gen 0 tells the next CAS the store is
+        // empty and licenses it to overwrite history). Jackson returns
+        // a MissingNode for empty input instead of throwing, so the
+        // blank case is guarded explicitly.
         val node = graft.exprs.JsonSupport.parse(s)
+        if (node == null || node.isMissingNode)
+          throw new IllegalStateException(
+            s"manifest $manifest exists but holds no JSON (empty or " +
+              "whitespace-only — a non-atomic writer's debris?); " +
+              "refusing to read it as generation 0")
         Option(node.get("gen")).filter(!_.isNull).map(_.asLong()).getOrElse(0L)
-      } catch {
-        case scala.util.control.NonFatal(e) =>
-          // the key=value fallback is for SIDECARS (the ANN META's
-          // `tick=` line); a corrupt JSON manifest must stay a loud
-          // failure, not silently read as generation 0 and let the next
-          // CAS treat the store as empty
-          if (s.contains("{")) throw e
-          s.split("\n").map(_.split("=", 2))
-            .collectFirst { case Array("tick", v) =>
-              try v.trim.toLong
-              catch {
-                case _: NumberFormatException => throw new IllegalStateException(
-                  s"malformed tick line in metadata sidecar $manifest: " +
-                    s"'tick=${v.trim}' is not a number — the sidecar is corrupt")
-              }
+      } else
+        s.split("\n").map(_.split("=", 2))
+          .collectFirst { case Array("tick", v) =>
+            try v.trim.toLong
+            catch {
+              case _: NumberFormatException => throw new IllegalStateException(
+                s"malformed tick line in metadata sidecar $manifest: " +
+                  s"'tick=${v.trim}' is not a number — the sidecar is corrupt")
             }
-            .getOrElse(0L)
-      }
+          }
+          .getOrElse(0L)
     }.getOrElse(0L)
 }
 

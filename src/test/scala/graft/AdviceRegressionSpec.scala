@@ -690,5 +690,16 @@ class AdviceRegressionSpec extends AnyFunSuite {
       store.readGen(write("METAX", "tick=banana\n"))
     }
     assert(mal.getMessage.contains("malformed tick"), mal.getMessage)
+    // r15 advice: dispatch is by FILE IDENTITY (*.json), not a content
+    // sniff. (a) a sidecar whose VALUE contains '{' still takes the
+    // benign key=value path; (b) a manifest truncated before its first
+    // '{' — an empty file from a non-atomic writer — is loud, not gen 0
+    assert(store.readGen(write("META2", "tick=5\nnote={odd}\n")) == 5L,
+      "a '{' inside a sidecar value must not flip it onto the JSON path")
+    val empty = intercept[IllegalStateException] {
+      store.readGen(write("empty.json", ""))
+    }
+    assert(empty.getMessage.contains("generation 0"), empty.getMessage)
+    intercept[Exception] { store.readGen(write("blank.json", "   \n")) }
   }
 }
