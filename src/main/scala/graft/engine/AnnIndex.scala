@@ -180,8 +180,12 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     * into the next invisible epoch, model artifacts land in a fresh
     * `model/<unique>/` directory, and one atomic META publish
     * (`base = epoch = newEpoch`, `model=` pointer) flips the index to
-    * them — a lost race or crash leaves the serving layout untouched on
-    * ANY scheme, lock or no lock.
+    * them — a CRASH at any point leaves the serving layout untouched on
+    * any scheme, and a lost publish race is refused by the tick CAS.
+    * Concurrency carries [[withMaintenanceLock]]'s contract: the kernel
+    * lock serializes writers on file://, other schemes require external
+    * single-writer coordination (the staged epoch directory is a shared
+    * numbered path, not per-attempt unique — see the body comment).
     *
     * `cells = 0` (the default) sizes nlist as ⌈√n⌉ — the registry's
     * measured sizing rule (`knn_recall_scaled`): a FIXED cell count
@@ -232,13 +236,21 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     // current META references. New rows land in the NEXT (invisible)
     // epoch and the model artifacts (centroids / codebooks / sq8 stats)
     // in a fresh model/<unique> directory; the single atomic META
-    // publish flips base = epoch = newEpoch + the model pointer. A
-    // train that loses the publish race — or crashes mid-write —
-    // genuinely changes nothing visible: its epoch directory is outside
-    // the winner's served range (swept like any orphan) and its model
-    // dir is unreferenced (swept by the next successful train). The
-    // pre-r15 form overwrote data/ and sq8/ in place, so a lost train
-    // race on a lock-less scheme corrupted the surviving META's layout.
+    // publish flips base = epoch = newEpoch + the model pointer. The
+    // guarantee this buys (r15-advice scoping): CRASH SAFETY on any
+    // scheme — a train that dies mid-write leaves only unreferenced
+    // debris (orphan epoch above the served range, unreferenced model
+    // dir), swept by the next successful op — and LOST-RACE safety
+    // under the concurrency contract [[withMaintenanceLock]] documents
+    // (the kernel lock on file://, external single-writer coordination
+    // elsewhere). It is NOT lock-free race safety: only the model dir
+    // is per-attempt unique; newEpoch derives from the CURRENT META, so
+    // two uncoordinated trains on a lock-less scheme would append into
+    // the SAME data/__epoch=N+1 directory and the loser's rows
+    // (quantized under a different model) would double-serve inside the
+    // winner's range. The pre-r15 form was strictly worse — it
+    // overwrote data/ and sq8/ in place, so even a coordinated crash
+    // corrupted the surviving META's layout.
     val priorMeta = meta(name, field)
     val newEpoch = priorMeta.fold(0)(_ => epochOf(name, field) + 1)
     if (priorMeta.isEmpty)
@@ -353,24 +365,38 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     // committed: retire everything the new META no longer references —
     // pre-train epochs (already invisible) and prior model dirs
     dropOrphanEpochs(root, newEpoch, newEpoch)
-    sweepStaleModels(root, keep = modelName)
+    sweepStaleModels(root, keep = modelName, publishedTick = tick0 + 1)
     (centRows.length, n)
     }
   }
 
-  /** Best-effort removal of model/<*> directories other than the one the
-    * just-published META references, plus the legacy root-level
+  /** Best-effort removal of retired model/<*> directories after a
+    * successful META publish, plus the legacy root-level
     * centroids/codebooks/sq8 dirs a pre-staging train wrote in place.
-    * Only ever called AFTER a successful META publish, so anything swept
-    * is either retired (no META references it) or belongs to an in-flight
-    * train attempt that is doomed anyway (its tick CAS must fail against
-    * the publish that preceded this sweep). */
-  private def sweepStaleModels(root: HPath, keep: String): Unit = {
+    *
+    * TICK-BOUNDED (r15 advice): model dirs are named `t<tick>-<uuid>`,
+    * where `<tick>` is the tick their train's publish targets. Only
+    * dirs whose tick is <= `publishedTick` (and that are not the one
+    * just published) are swept — those are PROVABLY doomed, because
+    * their CAS expects a tick this publish already consumed. A dir with
+    * a HIGHER tick may belong to a train that started after this
+    * publish and is racing this very sweep (the publish-vs-sweep window
+    * the unconditional form had); it is left alone and retired by that
+    * train's own sweep, or by the next one here once its tick is
+    * consumed. Unparsable names were never written by the engine and
+    * are left untouched. */
+  private def sweepStaleModels(root: HPath, keep: String,
+      publishedTick: Long): Unit = {
     val mdir = new HPath(root, "model")
     val f = fs(mdir)
+    def tickOf(n: String): Option[Long] =
+      if (n.startsWith("t") && n.contains("-"))
+        n.substring(1, n.indexOf('-')).toLongOption
+      else None
     if (f.exists(mdir))
       f.listStatus(mdir).foreach { st =>
-        if (st.getPath.getName != keep)
+        val n = st.getPath.getName
+        if (n != keep && tickOf(n).exists(_ <= publishedTick))
           try { f.delete(st.getPath, true); () }
           catch { case scala.util.control.NonFatal(_) => () }
       }
@@ -743,10 +769,16 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
       else sys.error(
         s"ANN META for '$name.$field' changed while this maintenance " +
           s"operation ran (expected tick $expectTick): a concurrent " +
-          "train/refresh/compact won the publish. Nothing visible changed " +
-          "on this side — every maintenance op (train included, since its " +
-          "r15 staging) writes only into epoch/model directories the " +
-          "winning META does not reference — re-run against the new META")
+          "train/refresh/compact won the publish. Under the maintenance " +
+          "lock (file://) or the documented external single-writer " +
+          "coordination for other schemes, this is crash-replay debris " +
+          "and the serving layout is untouched — the loser staged only " +
+          "into directories the winning META does not reference. If " +
+          "maintenance ops were run concurrently WITHOUT coordination on " +
+          "a lock-less scheme, the losing op may have appended rows into " +
+          "the same numbered epoch directory the winner now serves (the " +
+          "model dir is unique per attempt; the epoch dir is not) — " +
+          "re-run `train` to rebuild into a fresh epoch")
     }
     catalog.metaStore.deleteIfExists(new HPath(root, "SPLITS"))
   }

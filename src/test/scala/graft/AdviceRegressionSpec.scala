@@ -657,6 +657,22 @@ class AdviceRegressionSpec extends AnyFunSuite {
       val got = ann.knn("stgann", "emb", Array(1.0f, 0.0f, 0.0f, 0.0f),
         k = 10, nProbe = 2, rerank = 8).collect()
       assert(got.length == 3, got.mkString("; "))
+      // r15 advice — the sweep is TICK-BOUNDED: a model dir whose tick
+      // is ABOVE the tick this train publishes may belong to a train
+      // that started after the publish (the publish-vs-sweep window);
+      // it must survive the sweep. A stale lower-tick dir (provably
+      // CAS-doomed) is swept.
+      val mdir = new org.apache.hadoop.fs.Path(root, "model")
+      fs.mkdirs(new org.apache.hadoop.fs.Path(mdir, "t99-deadbeef"))
+      fs.mkdirs(new org.apache.hadoop.fs.Path(mdir, "t1-00000000"))
+      ann.train("stgann", "emb", cells = 1)
+      val afterSweep = fs.listStatus(mdir).map(_.getPath.getName).toSeq.sorted
+      assert(afterSweep.exists(_ == "t99-deadbeef"),
+        s"a higher-tick (possibly in-flight) model dir must survive: $afterSweep")
+      assert(!afterSweep.exists(_ == "t1-00000000"),
+        s"a consumed-tick model dir is provably doomed and swept: $afterSweep")
+      assert(afterSweep.count(_.startsWith("t3-")) == 1,
+        s"the just-published model dir is kept: $afterSweep")
       cat.drop("stgann")
     }
   }
