@@ -214,14 +214,16 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     * (__code, __epoch, __rid) columns — m ints per row instead of dim
     * floats, the memory-bandwidth win that matters when a probed cell
     * holds millions of rows — and only the top-R ADC survivors fetch
-    * their full rows for an exact-cosine rerank. Codebooks = the 16
-    * smallest-content-hash vectors' sub-vectors, fixed-point, persisted
-    * beside the centroids. Measured (ProbeKnn, sf0.1, spill=2 pq=8):
-    * recall@5 0.61 at the default R=64 shortlist, 0.77 at R=256 — the
-    * quantization ceiling on that data vs 0.82 exact-vector — and the
-    * shortlist is FIXED size, so raising nProbe without raising
-    * `rerank` CROWDS it and recall drops (0.61 → 0.54 measured); the
-    * knn `rerank` knob sizes it. */
+    * their full rows for an exact-cosine rerank. Codebooks are TRAINED
+    * (r16): 256 codewords per subspace by sample-bounded integer
+    * k-means ([[buildCodebooks]] / [[Ann.pqCodebooksTrained]]),
+    * persisted in the staged model dir. Measured (ProbeKnn, sf0.1,
+    * spill=2 pq=8): recall@5 0.82 at nprobe=7/R=256 and 0.94 at
+    * nprobe=14/R=256 — AT the exact-vector tier's level at the same
+    * probe budget (the pre-r16 16 untrained seed codewords ceilinged
+    * at 0.77–0.79). The shortlist is FIXED size, so raising nProbe
+    * without raising `rerank` CROWDS it; the knn `rerank` knob
+    * sizes it. */
   def train(name: String, field: String, cells: Int = 0,
       iterations: Int = 4, spill: Int = 1, pq: Int = 0,
       sq8: Boolean = false): (Int, Long) = {
@@ -319,7 +321,7 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     // at 10⁵ cells). __rid ties a row's spill copies together for
     // query-time dedup.
     val pqCb: Option[graft.exprs.Pq.Codebooks] =
-      if (pq > 0) Some(buildCodebooks(vecs, pq)) else None
+      if (pq > 0) Some(buildCodebooks(vecs, pq, iterations, n)) else None
     // the fresh model dir holds ONLY this train's artifacts — a pq=0
     // retrain over a previously pq>0 index simply writes no codebooks,
     // and the old model dir (with its codebooks) is swept post-publish
@@ -444,19 +446,26 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     case None => df
   }
 
-  /** PQ codebooks for serving: sub-vectors of the 16 smallest
-    * content-hash vectors (the train-seed discipline), fixed-point —
-    * the ONE construction [[Ann.pqCodebooksFromSeeds]] defines (shared
-    * with the gated `knn_pq`/`knn_ivf_pq` tier); only the seed
-    * SELECTION differs here (serving seeds by content hash, the query
-    * tier by vid). */
-  private def buildCodebooks(vecs: DataFrame,
-      numSub: Int): graft.exprs.Pq.Codebooks = {
-    val seeds = vecs.dropDuplicates("vid").orderBy(col("vid")).limit(16)
-      .select(col("vid"), col("v")).collect()
-      .toSeq.map(r => (s"vid=${r.get(0)}", r.getSeq[Any](1)))
-    require(seeds.nonEmpty, "pq needs at least one vector for codebooks")
-    Ann.pqCodebooksFromSeeds(seeds, numSub)
+  /** PQ codebooks for serving: TRAINED per-subspace integer k-means
+    * ([[Ann.pqCodebooksTrained]] — the gated `knn_serving_recall`
+    * construction; only the seed SELECTION differs here, by smallest
+    * content hash instead of a vid window — the train-seed
+    * discipline). 256 codewords per subspace (the FAISS 8-bit
+    * standard; the pre-r16 16 untrained seed codewords were the PQ
+    * tier's measured quality ceiling — serving recall 0.94/0.82 vs
+    * SQ8's 0.96/0.91; trained codebooks measure 0.96/0.90 on the
+    * registry twin). Training is SAMPLE-BOUNDED at 256·codewords
+    * vectors by the same smallest-hash rule as the coarse quantizer —
+    * corpus-size-independent train cost. */
+  private def buildCodebooks(vecs: DataFrame, numSub: Int,
+      iterations: Int, n: Long): graft.exprs.Pq.Codebooks = {
+    val codewords = 256
+    val sampleCap = 256L * codewords
+    val sample =
+      if (n > sampleCap) vecs.orderBy(col("vid")).limit(sampleCap.toInt)
+      else vecs
+    Ann.pqCodebooksTrained(sample, numSub, seedLo = Long.MinValue,
+      codewords = codewords, iterations = iterations)
   }
 
   private def writeCodebooks(root: HPath,

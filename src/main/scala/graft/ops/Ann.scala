@@ -357,13 +357,14 @@ object Ann {
   }
 
   /** Seed vectors → PQ codebooks: fixed-point conversion, dimensionality
-    * checks, sub-vector slicing — THE one construction both the gated
+    * checks, sub-vector slicing — the UNTRAINED construction the gated
     * query tier ([[pq]]/[[ivfPq]] via [[pqCodebooks]], seeded by
-    * vid < 16) and the serving tier ([[graft.engine.AnnIndex]], seeded
-    * by the 16 smallest content hashes) encode with; the seed SELECTION
-    * is the only thing that differs between them. Seeds must be clean: a
-    * codebook from a malformed vector is undefined, so fail with a named
-    * cause rather than a MatchError. */
+    * vid < 16) encodes with; it pins the PQ arithmetic with a
+    * minimal-moving-parts codebook. The serving tiers (the registry's
+    * [[graft.queries.PipelineQueries.knn_serving_recall]] and the CLI
+    * `train --pq`) train theirs with [[pqCodebooksTrained]] since r16.
+    * Seeds must be clean: a codebook from a malformed vector is
+    * undefined, so fail with a named cause rather than a MatchError. */
   def pqCodebooksFromSeeds(seeds: Seq[(String, Seq[Any])],
       numSubspaces: Int): graft.exprs.Pq.Codebooks = {
     import graft.exprs.Pq
@@ -383,6 +384,89 @@ object Ann {
     val subDim = dim / numSubspaces
     (0 until numSubspaces).map(s =>
       fixedSeeds.map(_.slice(s * subDim, (s + 1) * subDim)))
+  }
+
+  /** TRAINED PQ codebooks — per-subspace Lloyd's k-means on FIXED-POINT
+    * subvectors, the construction that lifts the PQ tier off its seed
+    * ceiling (16 arbitrary corpus subvectors as codewords measured
+    * recall 0.82 where SQ8 — no codebook at all — measured 0.96; FAISS
+    * trains 256 codewords per subspace for the same reason). Every step
+    * is exact integer arithmetic, so a DuckDB unroll replays every
+    * codeword bit-for-bit:
+    *
+    *  - subvectors are `round(x·10⁶)` longs (the [[graft.exprs.Pq]]
+    *    fixed-point convention) — no float summation anywhere;
+    *  - seeds are the `codewords` smallest distinct vids at/above
+    *    `seedLo` (vid-window seeding for the oracle-gated registry row,
+    *    smallest-content-hash seeding for the CLI trained tier — the
+    *    same "only the seed SELECTION differs" discipline as
+    *    [[pqCodebooksFromSeeds]]);
+    *  - assignment is integer squared-L2 argmin, ties by codeword id —
+    *    the SAME metric [[graft.exprs.Pq.pq_encode]] cuts with, so
+    *    training optimizes exactly what encode measures (the coarse
+    *    [[kmeansTrain]] assigns by cosine and is deliberately NOT
+    *    reused here);
+    *  - update is the truncating integer mean `sum div n` per dim
+    *    (Spark `div` ≡ DuckDB `//`); codewords that lose all members
+    *    drop out, identically in the replay.
+    *
+    * Scale shape: `iterations` passes over a caller-bounded sample
+    * (the CLI caller caps at 256·codewords vectors — FAISS's default
+    * train bound), each pass one broadcast join of m·C codewords
+    * against n·m subvector rows plus a (s, cid, d)-keyed aggregate
+    * whose result is m·C·subDim rows, collected driver-side as a model
+    * artifact (the [[kmeansTrain]] pattern — never a data collect).
+    * corpus: (vid, v float/double array). Returns
+    * [[graft.exprs.Pq.Codebooks]] fixed-point longs. */
+  def pqCodebooksTrained(vecs: DataFrame, numSubspaces: Int,
+      seedLo: Long, codewords: Int, iterations: Int): graft.exprs.Pq.Codebooks = {
+    require(codewords > 0 && iterations >= 0,
+      s"need codewords > 0 (got $codewords), iterations >= 0 (got $iterations)")
+    val sp = vecs.sparkSession
+    import sp.implicits._
+    val dim = vecs.select(size(col("v"))).head().getInt(0)
+    require(dim % numSubspaces == 0,
+      s"dim $dim must split evenly into $numSubspaces subspaces")
+    val subDim = dim / numSubspaces
+    // one narrow pass: (vid, s, fs) fixed-point subvector rows
+    val sub = vecs.select(col("vid"),
+        expr("transform(v, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0D) AS BIGINT))")
+          .as("f"))
+      .select(col("vid"), posexplode(expr(
+        s"transform(sequence(0, ${numSubspaces - 1}), " +
+          s"s -> slice(f, s * $subDim + 1, $subDim))")).as(Seq("s", "fs")))
+      .localCheckpoint(eager = false)
+    val seedVids = vecs.select(col("vid")).where(col("vid") >= seedLo)
+      .dropDuplicates("vid").orderBy(col("vid")).limit(codewords)
+    var cents: Seq[(Int, Long, Seq[Long])] = sub
+      .join(broadcast(seedVids), "vid")
+      .select(col("s"), col("vid").as("cid"), col("fs"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2))).toSeq
+    require(cents.nonEmpty, "pq training needs at least one seed vector")
+    for (_ <- 1 to iterations) {
+      val cdf = cents.toDF("s", "cid", "cfs")
+      val upd = sub.join(broadcast(cdf), "s")
+        .withColumn("dist", aggregate(
+          zip_with(col("fs"), col("cfs"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x))
+        .groupBy(col("vid"), col("s"))
+        // cid is unique per (vid, s) group, so (dist, cid) is a total
+        // order and the argmin is exact — [[pq_encode]]'s tie rule
+        .agg(min_by(struct(col("cid"), col("fs")),
+          struct(col("dist"), col("cid"))).as("m"))
+        .select(col("s"), col("m.cid").as("cid"),
+          posexplode(col("m.fs")).as(Seq("d", "q")))
+        .groupBy("s", "cid", "d")
+        .agg(expr("sum(q) div count(1)").as("cq"))
+        .collect().map(r =>
+          (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      cents = upd.groupBy(t => (t._1, t._2)).toSeq.map { case ((s, cid), rows) =>
+        (s, cid, rows.sortBy(_._3).map(_._4).toSeq)
+      }
+    }
+    cents.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, cws) =>
+      cws.sortBy(_._2).map(_._3)
+    }
   }
 
   /** IVF-PQ — the production ANN tier ([[pq]]'s doc promises it): the
@@ -445,10 +529,11 @@ object Ann {
     * Output: (qid, rank, neighbor). */
   def ivfPqServing(corpus: DataFrame, isQuery: Column => Column,
       centroids: DataFrame, nProbe: Int, spill: Int, numSubspaces: Int,
-      rerank: Int, k: Int): DataFrame = {
+      rerank: Int, k: Int,
+      codebooks: Option[graft.exprs.Pq.Codebooks] = None): DataFrame = {
     import graft.exprs.Pq
     val vecs = corpus.select(col("vid"), col("v"))
-    val cb = pqCodebooks(vecs, numSubspaces)
+    val cb = codebooks.getOrElse(pqCodebooks(vecs, numSubspaces))
     // snapshotted: the coded corpus feeds the layout, probing, and LUTs
     val snap = vecs.withColumn("code", Pq.pq_encode(col("v"), cb))
       .localCheckpoint(eager = false)

@@ -32,11 +32,14 @@ import graft.engine.{AnnIndex, Catalog}
   *  - spill=2  nprobe=1:    1/45 files; p50 71 ms; recall@5 0.45
   *  - spill=2  nprobe=7:    7/45 files; p50 83 ms; recall@5 0.82
   *  - spill=2  nprobe=14:  14/45 files; p50 102 ms; recall@5 0.94
-  *  - spill=2 pq=8 nprobe=7,  R=64 (default): 0.61; R=256: 0.78
-  *  - spill=2 pq=8 nprobe=14, R=64: 0.57 (!); R=256: 0.79
-  *    (the crowded rows moved +0.03 over r12 — np=14/R=64 0.54→0.57,
-  *    R=256 0.76→0.79 — the r13 shortlist spill-dedup fix: copies no
-  *    longer crowd the fixed budget)
+  *  - spill=2 pq=8 TRAINED codebooks (r16, 256 codewords/subspace,
+  *    integer k-means — 2026-08-15 run): nprobe=7 R=default 0.80,
+  *    R=256 0.82; nprobe=14 R=default 0.88, R=256 0.94 — AT the
+  *    exact-vector tier's recall at the same probes. The pre-r16
+  *    16-seed codebooks ceilinged at 0.57–0.79 (np=14/R=64 0.57,
+  *    R=256 0.79); training the subquantizer removed the ceiling.
+  *    PQ train cost: 32 s at this sf (one-time, sample-bounded at
+  *    256·256 vectors so corpus-size-independent beyond that).
   *  - spill=2 sq8 (r14): nprobe=7 → 0.82, nprobe=14 → 0.94 at BOTH
   *    R=64 and R=256 — identical to the exact tier at the same probes
   *    (int8 reconstruction is lossless for ranking at 64 dims), with
@@ -51,7 +54,8 @@ import graft.engine.{AnnIndex, Catalog}
   *    __sq8 = 295 KiB (6.8× less per candidate row); pq8 reads
   *    __code = 21 KiB. The serving trade is now a proper ladder:
   *    exact (full bandwidth, truth recall) / sq8 (~1/7 bandwidth, same
-  *    recall as exact here) / pq (~1/100 bandwidth, 0.77–0.79 ceiling).
+  *    recall as exact here) / pq (~1/100 bandwidth, and since the r16
+  *    trained codebooks the same recall as exact at R=256).
   *  - serving-model cache (r13): 188 hits / 12 misses over the probe's
   *    200 queries — a miss is a centroids/codebooks parquet read, paid
   *    once per (re)train plus the unsettled-mtime window right after a
@@ -67,10 +71,10 @@ import graft.engine.{AnnIndex, Catalog}
   *    ranking, at just 20 queries (the gap widens with the relation)
   * The PQ rows measure the bandwidth/recall trade honestly: the ADC
   * shortlist is FIXED size, so more probes pour more candidates into
-  * it and recall can DROP with nprobe at small R (0.61 → 0.54) —
-  * raise --rerank together with nprobe; at R=256 the tier converges
-  * to ~0.77, the seeds-as-codewords quantization ceiling on this data
-  * (exact-vector tier: 0.82 at the same probes). The PQ files column
+  * it and recall can DROP with nprobe at small R (measured 0.61 → 0.54
+  * on the pre-r16 seed codebooks) — raise --rerank together with
+  * nprobe; at R=256 the trained tier now converges to the exact
+  * tier's recall at the same probes. The PQ files column
   * doubles because ranking and fetch are two scans of the same probed
   * partitions; BYTES are the point — the ranking scan reads 8 ints
   * per row, and only R rows fetch their stored documents.

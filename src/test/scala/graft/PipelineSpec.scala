@@ -1397,4 +1397,41 @@ class PipelineSpec extends AnyFunSuite {
     val sides = rows.map(_._3).distinct.sorted
     assert(sides.toSeq == Seq("test", "train"), sides.mkString(","))
   }
+
+  test("pqCodebooksTrained: per-subspace integer k-means converges to the " +
+      "truncating integer subvector means, deterministically") {
+    import spark.implicits._
+    // two clean clusters per subspace: subspace 0 clusters on dims 0-1,
+    // subspace 1 on dims 2-3; members differ by ±0.1 around the mean
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.9f, 0.0f, 0.1f)),
+      (1L, Seq(0.9f, 1.1f, 0.1f, 0.0f)),
+      (2L, Seq(0.0f, 0.1f, 1.0f, 0.9f)),
+      (3L, Seq(0.1f, 0.0f, 0.9f, 1.1f))
+    ).toDF("vid", "v")
+    val cb = graft.ops.Ann.pqCodebooksTrained(vecs, numSubspaces = 2,
+      seedLo = 0L, codewords = 2, iterations = 2)
+    assert(cb.length == 2, s"one codebook per subspace: ${cb.length}")
+    // seeds were vids 0 and 1 (both in the subspace-0 "high" cluster for
+    // s=0); after an iteration each surviving codeword is the exact
+    // truncating integer mean of its members' fixed-point subvectors
+    val all = Seq(Seq(1000000L, 900000L), Seq(900000L, 1100000L),
+      Seq(0L, 100000L), Seq(100000L, 0L))
+    def mean(vs: Seq[Seq[Long]]): Seq[Long] =
+      vs.transpose.map(d => d.sum / d.length)
+    cb.foreach { cws =>
+      cws.foreach { cw =>
+        assert(cw.length == 2, s"subDim dims per codeword: $cw")
+        // every codeword is an integer mean of SOME subset of the
+        // corpus subvectors (fixed-point exactness — no float drift)
+        val candidates = all.indices.toSet.subsets().filter(_.nonEmpty)
+          .map(ix => mean(ix.toSeq.map(all))).toSet
+        assert(candidates.contains(cw),
+          s"codeword $cw must be an exact integer mean of member subvectors")
+      }
+    }
+    val again = graft.ops.Ann.pqCodebooksTrained(vecs, numSubspaces = 2,
+      seedLo = 0L, codewords = 2, iterations = 2)
+    assert(cb == again, "training is deterministic — no RNG anywhere")
+  }
 }
