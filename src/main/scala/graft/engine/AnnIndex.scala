@@ -1016,6 +1016,15 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
           val (mn, mx) = sqStOpt.getOrElse(sys.error(
             s"trained index for '$field' claims sq8 but has no sq8/ stats"))
           val qw = AnnIndex.sq8AdcWeights(queryVec, mn, mx)
+          // r16: the cut key is the NORMALIZED reconstructed cosine
+          // (one fused kernel over the codes — [[graft.exprs.Sq8CosKey]]),
+          // not the raw inner-product dot: under a wide corpus norm
+          // spread the dot fills the shortlist with high-norm vectors
+          // and drops low-norm true neighbors (ProbeSq8Norm: recall@5
+          // 0.91 → 0.79 at a 10× spread; the normalized key recovers
+          // 0.91). Integer sums + one IEEE div/sqrt — deterministic.
+          val (ta, tb) = graft.exprs.Sq8.reconTables(mn, mx)
+          val mq = graft.exprs.Sq8.mqOf(queryVec, mn)
           val rFetch = if (rerank > 0) rerank else math.max(4 * k, 64)
           val skinny0 = cand0
             .select(col("__epoch"), col("__rid"), col("__sq8"))
@@ -1023,9 +1032,9 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
           val skinny = if (m.exists(_._3 > 1))
             skinny0.dropDuplicates("__epoch", "__rid") else skinny0
           val survivors = skinny
-            .withColumn("__idot", graft.exprs.Sq8.dot_int(col("__sq8"),
-              typedLit(qw.toSeq)))
-            .orderBy(col("__idot").desc, col("__epoch").asc, col("__rid").asc)
+            .withColumn("__ckey", graft.exprs.Sq8.cos_key(col("__sq8"),
+              typedLit(qw.toSeq), lit(mq), ta, tb))
+            .orderBy(col("__ckey").desc, col("__epoch").asc, col("__rid").asc)
             .limit(rFetch)
             .select(col("__epoch"), col("__rid"))
           cand0.join(broadcast(survivors), Seq("__epoch", "__rid"))
@@ -1211,10 +1220,19 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
             s"trained index for '$field' claims sq8 but has no sq8/ stats"))
           val rFetch = if (rerank > 0) rerank else math.max(4 * k, 64)
           val step = mn.indices.map(i => (mx(i) - mn(i)) / 255.0)
+          // normalized cut key (the single-query tier's r16 rule — one
+          // fused kernel, see the comment there); __mq is the per-query
+          // affine-offset constant, integer-summed per row
+          val (ta, tb) = graft.exprs.Sq8.reconTables(mn, mx)
           val probesS = probesQ
             .withColumn("__qw", zip_with(col("qv"), typedLit(step),
               (x, s) => floor(x * s * lit(AnnIndex.Sq8AdcScale)).cast("bigint")))
             .where(col("__qw").isNotNull)
+            .withColumn("__mq", aggregate(
+              zip_with(col("qv"), typedLit(mn.toSeq),
+                (x, mc) => floor(x.cast("double") * mc *
+                  lit(AnnIndex.Sq8AdcScale)).cast("bigint")),
+              lit(0L), (acc, x) => acc + x))
           val skinny = data
             .select(col("__cell").as("__dcell"), col("__epoch"),
               col("__rid"), col("__sq8"))
@@ -1223,10 +1241,10 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
           val cands = if (spilled)
             cands0.dropDuplicates("qid", "__epoch", "__rid") else cands0
           val survivors = cands
-            .withColumn("__idot",
-              graft.exprs.Sq8.dot_int(col("__qw"), col("__sq8")))
+            .withColumn("__ckey", graft.exprs.Sq8.cos_key(col("__sq8"),
+              col("__qw"), col("__mq"), ta, tb))
             .withColumn("__srn", row_number().over(w.orderBy(
-              col("__idot").desc, col("__epoch").asc, col("__rid").asc)))
+              col("__ckey").desc, col("__epoch").asc, col("__rid").asc)))
             .where(col("__srn") <= rFetch)
             .select(col("qid"), col("qv"), col("__epoch"), col("__rid"))
           val full = if (spilled)

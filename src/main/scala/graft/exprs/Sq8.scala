@@ -88,6 +88,63 @@ case class DotInt(left: Expression, right: Expression)
   override def prettyName: String = "dot_int"
 }
 
+/** Fused normalized-ranking key for the SQ8 shortlist: one tight loop
+  * over the stored codes computes BOTH the asymmetric integer dot
+  * Σ code_i·qw_i AND the integer reconstructed norm-squared
+  * Σ (a_i + code_i·b_i)² (a_i = ⌊mn_i·2¹²⌋, b_i = ⌊step_i·2¹²⌋ —
+  * constructor constants from the frozen quantizer stats), returning
+  * (mq + dot) / √den as one IEEE division + sqrt of EXACT integer
+  * sums — order-independent, bit-identical in a DuckDB replay.
+  *
+  * Why normalize: the plain dot orders by reconstructed INNER PRODUCT;
+  * under a wide corpus norm spread high-norm vectors crowd the fixed
+  * shortlist ahead of low-norm true (cosine) neighbors — ProbeSq8Norm
+  * measured recall@5 0.91 → 0.79 at a 10× spread, recovered to 0.91 by
+  * this key. `mq` (= Σ ⌊q_i·mn_i·2²⁴⌋, the query-side offset constant
+  * the pure-dot form cancels away) must come back in before dividing —
+  * cosine is NOT invariant to the affine offset. A zero reconstructed
+  * norm keys to -Double.MaxValue (sorts last). */
+case class Sq8CosKey(first: Expression, second: Expression,
+    third: Expression, a: Array[Long], b: Array[Long])
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true
+
+  @transient private lazy val qwIsLong: Boolean = second.dataType match {
+    case ArrayType(LongType, _)    => true
+    case ArrayType(IntegerType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"sq8_cos_key expects qw array<int|bigint>, got $other")
+  }
+
+  override def nullSafeEval(codeAny: Any, qwAny: Any, mqAny: Any): Any = {
+    val code = codeAny.asInstanceOf[ArrayData]
+    val qw = qwAny.asInstanceOf[ArrayData]
+    val mq = mqAny.asInstanceOf[java.lang.Long].longValue()
+    val n = math.min(math.min(code.numElements(), qw.numElements()), a.length)
+    var dot = 0L
+    var den = 0L
+    var i = 0
+    while (i < n) {
+      val c = code.getInt(i).toLong
+      val w = if (qwIsLong) qw.getLong(i) else qw.getInt(i).toLong
+      dot += c * w
+      val r = a(i) + c * b(i)
+      den += r * r
+      i += 1
+    }
+    java.lang.Double.valueOf(
+      if (den == 0L) -java.lang.Double.MAX_VALUE
+      else (mq + dot).toDouble / math.sqrt(den.toDouble))
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression) =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "sq8_cos_key"
+}
+
 object Sq8 {
   /** Fixed-point scale (2^24) of the ASYMMETRIC ranking weights
     * w_i = floor(q_i · step_i · 2^24): Σ code_i·w_i then orders
@@ -105,4 +162,34 @@ object Sq8 {
 
   def dot_int(x: Column, y: Column): Column =
     Bridge.column(DotInt(Bridge.expression(x), Bridge.expression(y)))
+
+  /** Normalized shortlist key — see [[Sq8CosKey]]. `a`/`b` are the
+    * 2¹²-fixed-point reconstruction tables of the frozen quantizer
+    * stats ([[reconTables]]); `mq` the query's offset constant
+    * ([[mqOf]]). */
+  def cos_key(code: Column, qw: Column, mq: Column,
+      a: Array[Long], b: Array[Long]): Column =
+    Bridge.column(Sq8CosKey(Bridge.expression(code), Bridge.expression(qw),
+      Bridge.expression(mq), a, b))
+
+  /** Integer reconstruction tables at 2¹² fixed point:
+    * x̂_i·2¹² ≈ a_i + code_i·b_i. One driver-side pass over the
+    * dim-sized frozen stats. */
+  def reconTables(mn: Array[Double], mx: Array[Double]): (Array[Long], Array[Long]) =
+    (mn.map(m => math.floor(m * 4096.0).toLong),
+      mn.indices.map(i =>
+        math.floor((mx(i) - mn(i)) / 255.0 * 4096.0).toLong).toArray)
+
+  /** The query's affine-offset constant Σ ⌊q_i·mn_i·2²⁴⌋ — exact
+    * integer, same per-dim floor-then-sum both engines. */
+  def mqOf(q: Array[Float], mn: Array[Double]): Long = {
+    var acc = 0L
+    var i = 0
+    val n = math.min(q.length, mn.length)
+    while (i < n) {
+      acc += math.floor(q(i).toDouble * mn(i) * AdcScale).toLong
+      i += 1
+    }
+    acc
+  }
 }

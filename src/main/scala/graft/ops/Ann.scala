@@ -592,7 +592,8 @@ object Ann {
     * cut, never to the stored layout. Output: (qid, rank, neighbor). */
   def ivfSq8Serving(corpus: DataFrame, isQuery: Column => Column,
       centroids: DataFrame, nProbe: Int, spill: Int,
-      rerank: Int, k: Int, candFilter: Option[Column] = None): DataFrame = {
+      rerank: Int, k: Int, candFilter: Option[Column] = None,
+      normRank: Boolean = false): DataFrame = {
     import graft.exprs.Sq8
     val vecs = corpus.withColumn("v",
       col("v").cast(org.apache.spark.sql.types.ArrayType(
@@ -624,20 +625,56 @@ object Ann {
       .withColumn("qw", zip_with(col("v"), typedLit(step),
         (x, s) => floor(x * s * lit(Sq8.AdcScale)).cast("bigint")))
       .where(col("qw").isNotNull)
-    val probes = cellAssign(qs, broadcast(centroids), "vid", "v", nProbe,
-        carry = Seq("v", "qw"))
+    // `normRank`: the plain integer dot orders candidates by
+    // reconstructed INNER PRODUCT — correct when corpus norms are
+    // uniform, but on a wide norm spread high-norm vectors crowd the
+    // fixed shortlist ahead of low-norm true (cosine) neighbors
+    // (ProbeSq8Norm: recall@5 0.91 → 0.63 under a 10× spread). The
+    // normalized key divides by the reconstructed norm: numerator
+    // 2²⁴·⟨x̂,q⟩ = mq + idot and denominator (2¹²·‖x̂‖)² are both EXACT
+    // integer sums (order-independent — the determinism discipline), so
+    // the one double division + sqrt per candidate is bit-identical in
+    // the DuckDB replay.
+    val mqCol =
+      if (!normRank) lit(0L)
+      else aggregate(zip_with(col("v"), typedLit(mn.toSeq),
+          (x, m) => floor(x.cast("double") * m * lit(Sq8.AdcScale))
+            .cast("bigint")),
+        lit(0L), (a, b) => a + b)
+    val qsN = qs.withColumn("mq", mqCol)
+    val probes = cellAssign(qsN, broadcast(centroids), "vid", "v", nProbe,
+        carry = Seq("v", "qw", "mq"))
       .select(col("vid").as("qid"), col("v").as("qv"),
-        col("qw"), col("cell"))
+        col("qw"), col("mq"), col("cell"))
     val cands0 = probes.join(asg, "cell")
       .where(col("vid") =!= col("qid"))
     val cands = candFilter.fold(cands0)(cands0.where)
       .dropDuplicates("qid", "vid")
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("idot").desc, col("vid").asc)
-    val shortlist = cands
-      .withColumn("idot", Sq8.dot_int(col("code"), col("qw")))
-      .withColumn("srn", row_number().over(w))
-      .where(col("srn") <= rerank)
+    val ranked =
+      if (!normRank)
+        cands.withColumn("idot", Sq8.dot_int(col("code"), col("qw")))
+          .withColumn("srn", row_number().over(Window.partitionBy(col("qid"))
+            .orderBy(col("idot").desc, col("vid").asc)))
+      else {
+        // integer reconstruction tables at 2¹² fixed point:
+        // x̂_i·2¹² ≈ A_i + code_i·B_i
+        val ab = typedLit(mn.indices.map(i => (
+          math.floor(mn(i) * 4096.0).toLong,
+          math.floor((mx(i) - mn(i)) / 255.0 * 4096.0).toLong)).toSeq)
+        cands.withColumn("idot", Sq8.dot_int(col("code"), col("qw")))
+          .withColumn("den", aggregate(
+            zip_with(col("code"), ab, (c, s) => {
+              val t = s.getField("_1") + c.cast("bigint") * s.getField("_2")
+              t * t
+            }), lit(0L), (a, x) => a + x))
+          .withColumn("key",
+            when(col("den") === 0L, lit(Double.MinValue)).otherwise(
+              (col("mq") + col("idot")).cast("double") /
+                sqrt(col("den").cast("double"))))
+          .withColumn("srn", row_number().over(Window.partitionBy(col("qid"))
+            .orderBy(col("key").desc, col("vid").asc)))
+      }
+    val shortlist = ranked.where(col("srn") <= rerank)
     topK(shortlist.select(col("qid"), col("qv"), col("vid"), col("v")), k)
   }
 }

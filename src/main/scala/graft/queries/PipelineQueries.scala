@@ -1973,6 +1973,29 @@ object PipelineQueries {
           .as("cv"))
   }
 
+  /** [[trainedCentroidsK]] over the norm-adversarial SCALED corpus —
+    * the `knn_serving_recall_sq8_norms` fixture trains its coarse
+    * quantizer on the same vectors it serves (scale-consistency: a
+    * quantizer trained on unit norms would mis-assign the scaled
+    * corpus and the gate would measure assignment noise, not the
+    * shortlist's rank bias). */
+  private def trainedCentroidsScaled(s: SparkSession, dir: String,
+      seedK: Long, seedFrom: Long): DataFrame = {
+    val e = corpus(s, dir).withColumn("v",
+      expr("transform(v, x -> CAST(CAST(x AS DOUBLE) * (vid % 10 + 1) AS FLOAT))"))
+    Ann.kmeansTrain(
+        e.select(col("vid"), col("v")),
+        e.where(col("vid") >= seedFrom && col("vid") < seedFrom + seedK)
+          .select(col("vid").as("cid"), col("v").as("cv")),
+        iterations = 3)
+      .where(col("iter") === 3)
+      .groupBy(col("cell"))
+      .agg(sort_array(collect_list(struct(col("d"), col("cq")))).as("ds"))
+      .select(col("cell").as("cid"),
+        expr("transform(ds, x -> CAST(CAST(x.cq AS DOUBLE) / 1000000.0 AS FLOAT))")
+          .as("cv"))
+  }
+
   /** IVF search served from TRAINED centroids — the production ANN
     * lifecycle end-to-end: [[pipe_kmeans_train]]'s round-3 table is
     * rebuilt in-plan into float centroid vectors and fed straight into
@@ -2092,11 +2115,15 @@ object PipelineQueries {
   }
 
   /** Recall@5 of the SQ8 serving read shape against exact brute force —
-    * [[graft.ops.Ann.ivfSq8Serving]], the in-query twin of the CLI
-    * `train --sq8` tier the same way [[knn_serving_recall]] twins the PQ
-    * tier: same census sizing (nlist = ⌈√n⌉ seed-disjoint cells,
-    * nProbe = 2·⌈√nlist⌉, spill=2, shortlist 256), with the asymmetric
-    * integer-dot cut in place of ADC. The int8 reconstruction has no
+    * [[graft.ops.Ann.ivfSq8Serving]] with the same census sizing as
+    * [[knn_serving_recall]] (nlist = ⌈√n⌉ seed-disjoint cells,
+    * nProbe = 2·⌈√nlist⌉, spill=2, shortlist 256) and the asymmetric
+    * integer-dot cut in place of ADC. This row pins the RAW
+    * asymmetric-dot arithmetic on the uniform-norm corpus; since r16
+    * the CLI `train --sq8` tier cuts on the NORMALIZED
+    * (reconstructed-cosine) key, whose twin is
+    * [[knn_serving_recall_sq8_norms]] — on uniform norms the two keys
+    * measure the same recall (ProbeSq8Norm). The int8 reconstruction has no
     * codebook ceiling, so this row should sit AT the exact tier's
     * recall while the PQ row sits below it — both curves re-measured in
     * CORRECTNESS at both scale factors every round.
@@ -2162,6 +2189,46 @@ object PipelineQueries {
       .orderBy(col("qid"))
   }
 
+  /** Recall@5 of the SQ8 serving shape on a NORM-ADVERSARIAL corpus —
+    * every vector scaled by `(vid % 10) + 1`, a deterministic 10× norm
+    * spread that leaves the COSINE truth untouched (cosine is
+    * per-vector-scale invariant) but breaks the plain integer-dot
+    * shortlist, which orders by reconstructed INNER PRODUCT: high-norm
+    * vectors crowd the fixed shortlist ahead of low-norm true
+    * neighbors (ProbeSq8Norm: recall@5 0.91 → 0.79 at sf0.1). The
+    * `normRank` key divides the exact integer numerator 2²⁴·⟨x̂,q⟩ by
+    * the exact integer reconstructed norm (2¹²·‖x̂‖)² under one IEEE
+    * division + sqrt — order-independent integer sums, so the DuckDB
+    * replay is bit-identical — and recovers the uniform-norm recall.
+    *
+    * Measured (2026-08-15, oracle-exact): recall@5 0.92 at sf0.01 and
+    * 0.91 at sf0.1 — vs 0.79 at sf0.1 with the unnormalized cut, and
+    * at the uniform-norm sq8 row's own 0.96/0.91 level (the sf0.01
+    * residual vs 0.96 is quantizer coarsening from the 10×-wider
+    * per-dim range, not rank bias — see ProbeSq8Norm). One row per
+    * query: (qid, hits ∈ [0,5]). */
+  val knn_serving_recall_sq8_norms: Q = (s, dir) => {
+    val e = corpus(s, dir).withColumn("v",
+      expr("transform(v, x -> CAST(CAST(x AS DOUBLE) * (vid % 10 + 1) AS FLOAT))"))
+    val n = e.count()
+    val nlist = math.ceil(math.sqrt(n.toDouble)).toLong
+    val nProbe = 2 * math.ceil(math.sqrt(nlist.toDouble)).toInt
+    val approx = Ann.ivfSq8Serving(e.select(col("vid"), col("v")), _ < 20,
+        trainedCentroidsScaled(s, dir, nlist, seedFrom = 20L),
+        nProbe = nProbe, spill = 2, rerank = 256, k = 5, normRank = true)
+      .select(col("qid"), col("neighbor"))
+    val exact = Ann.brute(
+      e.where(col("vid") < 20).select(col("vid").as("qid"), col("v").as("qv")),
+      e.select(col("vid"), col("v")), k = 5)
+      .select(col("qid"), col("neighbor"))
+    val inter = exact.join(approx, Seq("qid", "neighbor"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+    e.where(col("vid") < 20).select(col("vid").as("qid"))
+      .join(inter, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"))
+      .orderBy(col("qid"))
+  }
+
   /** Cluster-balanced sampling over the TRAINED k-means cells
     * ([[graft.ops.Ann.clusterBalance]]): cap each learned cluster at 24
     * kept vectors by md5-hash rank — the diversity-selection pass (cap a
@@ -2183,6 +2250,7 @@ object PipelineQueries {
     "knn_recall_scaled" -> knn_recall_scaled,
     "knn_serving_recall" -> knn_serving_recall,
     "knn_serving_recall_sq8" -> knn_serving_recall_sq8,
+    "knn_serving_recall_sq8_norms" -> knn_serving_recall_sq8_norms,
     "knn_serving_recall_filtered" -> knn_serving_recall_filtered,
     "pipe_cluster_balance" -> pipe_cluster_balance,
     "pipe_kmeans_step" -> pipe_kmeans_step,
@@ -2785,13 +2853,13 @@ object PipelineQueries {
     * DuckDB `//` ≡ Spark `div` on negatives), and the float-rounded
     * rebuild (`kc_i`) the next round assigns against. Generated per
     * iteration so the unroll cannot drift between rounds. */
-  private def kmeansIterSql(i: Int): String =
+  private def kmeansIterSql(i: Int, src: String = "embeddings"): String =
     s"""asg$i AS (
        |  SELECT cid AS cell, embedding FROM (
        |    SELECT e.vec_id, e.embedding, c.cid,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cid ASC) AS crn
-       |    FROM embeddings e CROSS JOIN kc${i - 1} c)
+       |    FROM $src e CROSS JOIN kc${i - 1} c)
        |  WHERE crn = 1),
        |upd$i AS (
        |  SELECT cell, d, CAST(sum(q) AS BIGINT) AS sum_q, count(*) AS n FROM (
@@ -2902,11 +2970,11 @@ object PipelineQueries {
   /** int8 scalar-quantization CTE chain (`st` → `mnx` → `q`): per-dim
     * min/max, 256-bin floor quantization — shared by the all-pairs and
     * IVF-cut sq8 oracles. */
-  private val sq8Ctes =
-    """st AS (
+  private def sq8Ctes(src: String = "embeddings"): String =
+    s"""st AS (
       |  SELECT i, CAST(min(embedding[i + 1]) AS DOUBLE) AS mn,
       |         CAST(max(embedding[i + 1]) AS DOUBLE) AS mx
-      |  FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS i)
+      |  FROM $src CROSS JOIN (SELECT unnest(range(64)) AS i)
       |  GROUP BY i),
       |mnx AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM st),
       |q AS (
@@ -2915,7 +2983,7 @@ object PipelineQueries {
       |      THEN CAST(floor((CAST(embedding[j + 1] AS DOUBLE) - mns[j + 1])
       |                      / (mxs[j + 1] - mns[j + 1]) * 255) AS BIGINT)
       |      ELSE 0 END) AS qv
-      |  FROM embeddings, mnx)""".stripMargin
+      |  FROM $src, mnx)""".stripMargin
 
   /** PQ CTE chain (`fx` → `sub` → `cw` → `dists` → `enc`): fixed-point
     * sub-vectors, 16 seed codewords per subspace, squared-L2 distance
@@ -3016,13 +3084,13 @@ object PipelineQueries {
 
   /** Exact cosine top-5 per query (`exact`) — knn_brute's ranking as a
     * shared fragment ([[knn_brute]], [[knn_recall]]). */
-  private val bruteTop5Cte =
-    """exact AS (
+  private def bruteTop5Cte(src: String = "embeddings"): String =
+    s"""exact AS (
       |  SELECT qid, rank, neighbor FROM (
       |    SELECT q.vec_id AS qid, e.vec_id AS neighbor,
       |      row_number() OVER (PARTITION BY q.vec_id
       |        ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id ASC) AS rank
-      |    FROM embeddings q CROSS JOIN embeddings e
+      |    FROM $src q CROSS JOIN $src e
       |    WHERE q.vec_id < 20 AND e.vec_id <> q.vec_id)
       |  WHERE rank <= 5)""".stripMargin
 
@@ -4180,7 +4248,7 @@ object PipelineQueries {
          |        FROM documents))
          |ORDER BY source, doc_id""".stripMargin,
     "knn_sq8" ->
-      s"""WITH $sq8Ctes,
+      s"""WITH ${sq8Ctes()},
          |cand AS (
          |  SELECT a.vec_id AS qid, b.vec_id AS neighbor,
          |    list_sum(list_transform(range(64), j -> a.qv[j + 1] * b.qv[j + 1])) AS qdot
@@ -4195,7 +4263,7 @@ object PipelineQueries {
     // the same shared CTEs that gate each piece alone
     "knn_sq8_ivf" ->
       s"""WITH $ivfCtes,
-         |$sq8Ctes,
+         |${sq8Ctes()},
          |cand AS (
          |  SELECT p.qid, a.vec_id AS neighbor,
          |    list_sum(list_transform(range(64), j -> qq.qv[j + 1] * qa.qv[j + 1])) AS qdot
@@ -4319,7 +4387,7 @@ object PipelineQueries {
          |    SELECT qid, neighbor,
          |      row_number() OVER (PARTITION BY qid ORDER BY adist ASC, neighbor ASC) AS rank
          |    FROM adc) WHERE rank <= 5),
-         |$bruteTop5Cte,
+         |${bruteTop5Cte()},
          |inter AS (
          |  SELECT exact.qid, count(*) AS hits
          |  FROM exact JOIN approx ON approx.qid = exact.qid
@@ -4367,7 +4435,7 @@ object PipelineQueries {
          |    FROM probesT p JOIN asgT a ON a.cell = p.cell
          |    WHERE a.vec_id <> p.qid)
          |  WHERE rank <= 5),
-         |$bruteTop5Cte,
+         |${bruteTop5Cte()},
          |inter AS (
          |  SELECT exact.qid, count(*) AS hits
          |  FROM exact JOIN approx ON approx.qid = exact.qid
@@ -4434,7 +4502,7 @@ object PipelineQueries {
          |    JOIN embeddings q ON q.vec_id = s.qid
          |    JOIN embeddings n ON n.vec_id = s.neighbor)
          |  WHERE rank <= 5),
-         |$bruteTop5Cte,
+         |${bruteTop5Cte()},
          |inter AS (
          |  SELECT exact.qid, count(*) AS hits
          |  FROM exact JOIN approx ON approx.qid = exact.qid
@@ -4459,7 +4527,7 @@ object PipelineQueries {
          |${kmeansIterSql(1)},
          |${kmeansIterSql(2)},
          |${kmeansIterSql(3)},
-         |$sq8Ctes,
+         |${sq8Ctes()},
          |asgS AS (
          |  SELECT vec_id, embedding, cid AS cell FROM (
          |    SELECT e.vec_id, e.embedding, c.cid,
@@ -4507,7 +4575,7 @@ object PipelineQueries {
          |    JOIN embeddings qe ON qe.vec_id = s.qid
          |    JOIN embeddings n ON n.vec_id = s.neighbor)
          |  WHERE rank <= 5),
-         |$bruteTop5Cte,
+         |${bruteTop5Cte()},
          |inter AS (
          |  SELECT exact.qid, count(*) AS hits
          |  FROM exact JOIN approx ON approx.qid = exact.qid
@@ -4515,6 +4583,101 @@ object PipelineQueries {
          |  GROUP BY exact.qid)
          |SELECT qe.vec_id AS qid, CAST(coalesce(i.hits, 0) AS BIGINT) AS hits
          |FROM embeddings qe LEFT JOIN inter i ON i.qid = qe.vec_id
+         |WHERE qe.vec_id < 20
+         |ORDER BY qid""".stripMargin,
+    // the NORM-ADVERSARIAL sq8 serving twin: corpus scaled by
+    // (vec_id % 10 + 1), shortlist cut on the normalized key
+    // (2^24-scale integer numerator mq + idot over the sqrt of the
+    // exact integer reconstructed norm-squared at 2^12 fixed point) —
+    // one IEEE division + sqrt per candidate, everything summed as
+    // integers so the replay is bit-identical
+    "knn_serving_recall_sq8_norms" ->
+      s"""WITH embx AS (
+         |  SELECT vec_id, label, list_transform(embedding,
+         |    x -> CAST(CAST(x AS DOUBLE) * (vec_id % 10 + 1) AS FLOAT)) AS embedding
+         |  FROM embeddings),
+         |sz AS (
+         |  SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS nlist,
+         |    2 * CAST(ceil(sqrt(ceil(sqrt(count(*))))) AS BIGINT) AS nprobe
+         |  FROM embx),
+         |kc0 AS (
+         |  SELECT vec_id AS cid, embedding AS cv FROM embx, sz
+         |  WHERE vec_id >= 20 AND vec_id < 20 + sz.nlist),
+         |${kmeansIterSql(1, "embx")},
+         |${kmeansIterSql(2, "embx")},
+         |${kmeansIterSql(3, "embx")},
+         |${sq8Ctes("embx")},
+         |asgS AS (
+         |  SELECT vec_id, embedding, cid AS cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cid ASC) AS crn
+         |    FROM embx e CROSS JOIN kc3 c)
+         |  WHERE crn <= 2),
+         |probesS AS (
+         |  SELECT qid, qv, cell FROM (
+         |    SELECT e.vec_id AS qid, e.embedding AS qv, c.cid AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cid ASC) AS crn
+         |    FROM embx e CROSS JOIN kc3 c WHERE e.vec_id < 20)
+         |  WHERE crn <= (SELECT nprobe FROM sz)),
+         |cand AS (
+         |  SELECT DISTINCT p.qid, a.vec_id AS neighbor
+         |  FROM probesS p JOIN asgS a ON a.cell = p.cell
+         |  WHERE a.vec_id <> p.qid),
+         |qw AS (
+         |  SELECT vec_id, list_transform(range(64), j ->
+         |    CAST(floor(CAST(embedding[j + 1] AS DOUBLE)
+         |      * ((mxs[j + 1] - mns[j + 1]) / 255.0)
+         |      * ${graft.exprs.Sq8.AdcScale.toLong}.0) AS BIGINT)) AS w,
+         |    CAST(list_sum(list_transform(range(64), j ->
+         |      CAST(floor(CAST(embedding[j + 1] AS DOUBLE) * mns[j + 1]
+         |        * ${graft.exprs.Sq8.AdcScale.toLong}.0) AS BIGINT))) AS BIGINT) AS mq
+         |  FROM embx, mnx WHERE vec_id < 20),
+         |ab AS (
+         |  SELECT
+         |    list_transform(range(64), j ->
+         |      CAST(floor(mns[j + 1] * 4096.0) AS BIGINT)) AS a,
+         |    list_transform(range(64), j ->
+         |      CAST(floor((mxs[j + 1] - mns[j + 1]) / 255.0 * 4096.0) AS BIGINT)) AS b
+         |  FROM mnx),
+         |keyed AS (
+         |  SELECT c.qid, c.neighbor,
+         |    CAST(list_sum(list_transform(range(64),
+         |      j -> cd.qv[j + 1] * w.w[j + 1])) AS BIGINT) AS idot,
+         |    CAST(list_sum(list_transform(range(64), j ->
+         |      (ab.a[j + 1] + cd.qv[j + 1] * ab.b[j + 1])
+         |        * (ab.a[j + 1] + cd.qv[j + 1] * ab.b[j + 1]))) AS BIGINT) AS den,
+         |    w.mq AS mq
+         |  FROM cand c
+         |  JOIN q cd ON cd.vec_id = c.neighbor
+         |  JOIN qw w ON w.vec_id = c.qid, ab),
+         |short AS (
+         |  SELECT qid, neighbor FROM (
+         |    SELECT qid, neighbor,
+         |      row_number() OVER (PARTITION BY qid ORDER BY
+         |        CASE WHEN den = 0 THEN -1.7976931348623157e308
+         |             ELSE CAST(mq + idot AS DOUBLE) / sqrt(CAST(den AS DOUBLE))
+         |        END DESC, neighbor ASC) AS srn
+         |    FROM keyed)
+         |  WHERE srn <= 256),
+         |approx AS (
+         |  SELECT qid, neighbor FROM (
+         |    SELECT s.qid, s.neighbor,
+         |      row_number() OVER (PARTITION BY s.qid
+         |        ORDER BY list_cosine_similarity(qe.embedding, n.embedding) DESC, s.neighbor ASC) AS rank
+         |    FROM short s
+         |    JOIN embx qe ON qe.vec_id = s.qid
+         |    JOIN embx n ON n.vec_id = s.neighbor)
+         |  WHERE rank <= 5),
+         |${bruteTop5Cte("embx")},
+         |inter AS (
+         |  SELECT exact.qid, count(*) AS hits
+         |  FROM exact JOIN approx ON approx.qid = exact.qid
+         |    AND approx.neighbor = exact.neighbor
+         |  GROUP BY exact.qid)
+         |SELECT qe.vec_id AS qid, CAST(coalesce(i.hits, 0) AS BIGINT) AS hits
+         |FROM embx qe LEFT JOIN inter i ON i.qid = qe.vec_id
          |WHERE qe.vec_id < 20
          |ORDER BY qid""".stripMargin,
     // the FILTERED serving twin: the sq8 oracle with the label < 3
@@ -4530,7 +4693,7 @@ object PipelineQueries {
          |${kmeansIterSql(1)},
          |${kmeansIterSql(2)},
          |${kmeansIterSql(3)},
-         |$sq8Ctes,
+         |${sq8Ctes()},
          |asgS AS (
          |  SELECT vec_id, embedding, label, cid AS cell FROM (
          |    SELECT e.vec_id, e.embedding, e.label, c.cid,
@@ -4693,7 +4856,7 @@ object PipelineQueries {
          |FROM embeddings e LEFT JOIN rk ON rk.vec_id = e.vec_id
          |ORDER BY e.vec_id""".stripMargin,
     "knn_brute" ->
-      s"""WITH $bruteTop5Cte
+      s"""WITH ${bruteTop5Cte()}
          |SELECT qid, rank, neighbor FROM exact ORDER BY qid, rank""".stripMargin,
     "knn_cell" ->
       """SELECT qid, rank, neighbor FROM (

@@ -677,6 +677,40 @@ class AdviceRegressionSpec extends AnyFunSuite {
     }
   }
 
+  test("sq8 shortlist ranks by reconstructed COSINE, not inner product — " +
+      "a huge-norm decoy cannot crowd out the true neighbor") {
+    // r14 carried design note, closed r16: the asymmetric integer dot
+    // orders by reconstructed inner product, so with rerank=1 a
+    // large-norm low-cosine decoy would fill the whole shortlist and
+    // the exact rerank never sees the true neighbor. The normalized
+    // key (Sq8CosKey) cuts by reconstructed cosine instead.
+    withEngine { (cat, idx, _) =>
+      cat.create(annYaml.format("normann"))
+      // q = [1,0,0,0]; t is cosine-1.0 with tiny norm; decoy d has 100×
+      // the norm but cosine ~0.7 — its reconstructed INNER product
+      // dwarfs t's
+      idx.indexFile("normann", writeDocs(
+        """{"title": "t", "emb": [0.1, 0.0, 0.0, 0.0]}
+          |{"title": "d", "emb": [10.0, 10.0, 0.0, 0.0]}
+          |{"title": "far", "emb": [0.0, 0.0, 0.1, 0.0]}""".stripMargin))
+      val ann = new graft.engine.AnnIndex(spark, cat)
+      ann.train("normann", "emb", cells = 1, sq8 = true)
+      // rerank=1: the shortlist IS the answer's candidate set — only a
+      // cosine-correct cut can surface t. Both serving faces.
+      val got = ann.knn("normann", "emb", Array(1.0f, 0.0f, 0.0f, 0.0f),
+        k = 1, nProbe = 1, rerank = 1).collect()
+      assert(got.length == 1 && got.head.getString(1).contains("\"title\":\"t\""),
+        s"normalized sq8 cut must keep the true neighbor: ${got.mkString("; ")}")
+      import spark.implicits._
+      val qs = Seq((7L, Seq(1.0f, 0.0f, 0.0f, 0.0f))).toDF("qid", "qv")
+      val b = ann.knnBatch("normann", "emb", qs, k = 1, nProbe = 1,
+        rerank = 1).collect()
+      assert(b.length == 1 && b.head.getString(3).contains("\"title\":\"t\""),
+        s"batch face agrees: ${b.mkString("; ")}")
+      cat.drop("normann")
+    }
+  }
+
   test("readGen fails loudly on a corrupt JSON manifest and on a malformed " +
       "tick line; legacy tick-less sidecars still read as 0") {
     // r14 advice: the key=value fallback swallowed EVERY JSON parse
