@@ -939,9 +939,13 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     * matching documents instead of being crowded out by non-matching
     * ones (the classic filtered-ANN failure of post-filtering). The
     * stored layout carries every stored column, so the compiled
-    * predicate applies to trained-tier candidates directly. A highly
-    * selective filter can still under-fill k when the probed cells hold
-    * few matches — raise nprobe, the standard filtered-IVF knob. */
+    * predicate applies to trained-tier candidates directly. When the
+    * probed cells hold fewer than k matches (a highly selective
+    * filter), the probe set auto-escalates by doubling in
+    * ranked-centroid order — bounded by nlist, each round scanning
+    * only the newly added cells — so a filtered query returns k
+    * results whenever k matches exist, without the caller hand-tuning
+    * nprobe per filter selectivity. */
   def knn(name: String, field: String, queryVec: Array[Float], k: Int,
       nProbe: Int = 0, rerank: Int = 0,
       filter: Option[String] = None): DataFrame = {
@@ -959,11 +963,40 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
         val root = annRoot(name, field)
         val (cents, cbsOpt, sqStOpt, mm) = servingModel(name, field, root)
         // rank the model-constant centroid table driver-side
-        val probes = cents.map { case (cid, cv) =>
+        val ranked = cents.map { case (cid, cv) =>
           (cid, AnnIndex.cosine(queryVec, cv))
-        }.sortBy { case (cid, c) => (-c, cid) }.take(nProbe).map(_._1)
-        val cand0 = filtered(probedScan(root,
-          mm.get("base").fold(0)(_.toInt), mm("epoch").toInt, probes.toSet))
+        }.sortBy { case (cid, c) => (-c, cid) }.map(_._1)
+        val baseEp = mm.get("base").fold(0)(_.toInt)
+        val epoch = mm("epoch").toInt
+        def scanCells(cids: Seq[Long]): DataFrame =
+          filtered(probedScan(root, baseEp, epoch, cids.toSet))
+        var covered = math.min(nProbe, ranked.length)
+        var cand0 = scanCells(ranked.take(covered))
+        // ADAPTIVE nprobe (r14 #3, built r16): a selective filter can
+        // leave fewer than k matching candidates in the probed cells —
+        // post-hoc "raise nprobe and retry" pushed the classic
+        // filtered-ANN failure onto the caller. When a filter is set,
+        // escalate by DOUBLING the probe set in ranked-centroid order
+        // (each round unions in only the NEW cells' scan, so the final
+        // plan reads every probed cell once), until k distinct
+        // candidates match or every cell is probed. Each round's
+        // sufficiency check is a limit(k) count — it short-circuits the
+        // moment k matches surface, and the whole loop is bounded by
+        // log2(nlist) rounds. Unfiltered queries never pay any of this.
+        if (pred.isDefined && ranked.nonEmpty) {
+          def enough(df: DataFrame): Boolean = {
+            val distinct = if (m.exists(_._3 > 1))
+              df.select(col("__epoch"), col("__rid"))
+                .dropDuplicates("__epoch", "__rid")
+            else df
+            distinct.limit(k).count() >= k
+          }
+          while (covered < ranked.length && !enough(cand0)) {
+            val next = math.min(covered * 2, ranked.length)
+            cand0 = cand0.unionAll(scanCells(ranked.slice(covered, next)))
+            covered = next
+          }
+        }
         // PQ tier: rank candidates over the SKINNY (__code, ids) columns
         // — m ints per row instead of the full stored document, the
         // memory-bandwidth cut that matters when a probed cell holds

@@ -359,6 +359,58 @@ class CliSpec extends AnyFunSuite {
     assert(out2.toString("UTF-8").contains("no state"), out2.toString("UTF-8"))
   }
 
+  test("filtered knn auto-escalates nprobe: a selective filter whose " +
+      "matches live outside the probed cells still fills k") {
+    // r14 #3 (built r16): with a fixed nprobe, a ~1%-selective filter
+    // under-fills k whenever its matches sit in unprobed cells; the
+    // probe set now doubles in ranked-centroid order (scanning only
+    // the NEW cells each round, bounded by nlist) until k candidates
+    // match or every cell is probed.
+    val root = Files.createTempDirectory("graft-cli-adapt").toString
+    val cat = new Catalog(root)
+    val yaml = Files.createTempFile("cli-adapt", ".yaml")
+    Files.write(yaml,
+      """version: 1
+        |name: adapt_test
+        |path: /tmp/unused
+        |schema:
+        |  fields:
+        |    - name: title
+        |      type: !text
+        |    - name: emb
+        |      type: !number
+        |        type: f64
+        |      array: true
+        |""".stripMargin.getBytes("UTF-8"))
+    cli.Main.run(Array("create", yaml.toString), spark, cat, root)
+    // ~200 docs near the +x direction, 2 "rare" docs in the OPPOSITE
+    // direction — the query's nearest cell holds only common docs, so
+    // nProbe=1 scans zero filter matches without escalation
+    def doc(t: String, v: Seq[Double]) =
+      s"""{"title": "$t", "emb": [${v.mkString(", ")}]}"""
+    val docs =
+      (1 to 200).map(i => doc(s"common$i",
+        Seq(1.0, 0.001 * (i % 13), 0.001 * (i % 7), 0.0))) ++
+      Seq(doc("rare a", Seq(-1.0, 0.05, 0.0, 0.0)),
+        doc("rare b", Seq(-0.9, 0.0, 0.05, 0.0)))
+    val in = Files.createTempFile("adapt-docs", ".jsonl")
+    Files.write(in, docs.mkString("\n").getBytes("UTF-8"))
+    cli.Main.run(Array("index", "adapt_test", in.toString), spark, cat, root)
+    val ann = new graft.engine.AnnIndex(spark, cat)
+    ann.train("adapt_test", "emb", cells = 8)
+    val got = ann.knn("adapt_test", "emb", Array(1.0f, 0.0f, 0.0f, 0.0f),
+      k = 2, nProbe = 1, rerank = 4, filter = Some("title:rare")).collect()
+    assert(got.length == 2,
+      s"escalation must fill k=2 from the far cells: ${got.mkString("; ")}")
+    assert(got.forall(_.getString(1).contains("rare")),
+      s"only filter matches serve: ${got.mkString("; ")}")
+    // unfiltered at the same nprobe stays the plain single-probe path
+    val plain = ann.knn("adapt_test", "emb", Array(1.0f, 0.0f, 0.0f, 0.0f),
+      k = 2, nProbe = 1, rerank = 4).collect()
+    assert(plain.length == 2 &&
+      plain.forall(_.getString(1).contains("common")), plain.mkString("; "))
+  }
+
   test("train + knn: vector serving over an embedding field, brute and IVF agree") {
     val root = Files.createTempDirectory("graft-cli-knn").toString
     val cat = new Catalog(root)
