@@ -117,7 +117,9 @@ object Main {
               quantileField = flags.get("quantile-field"),
               annField = flags.get("ann-field"),
               annCompactEvery =
-                flags.getOrElse("ann-compact-every", "0").toInt)
+                flags.getOrElse("ann-compact-every", "0").toInt,
+              annRetrainThreshold =
+                flags.getOrElse("ann-retrain-threshold", "0").toLong)
           }
           val q = new StreamingIndexer(spark, cat)
             .startFileStream(name, input, ckpt, interval, stateful = stateful)
@@ -398,7 +400,8 @@ object Main {
     System.err.println(
       """usage: create <config.yaml> | drop <name> | index <name> <input> [--stream]
         |         [--dedup-field F [--dedup-threshold 0.5] [--sketch-field F]
-        |          [--quantile-field F] [--ann-field F [--ann-compact-every N]]
+        |          [--quantile-field F] [--ann-field F [--ann-compact-every N]
+        |           [--ann-retrain-threshold PPM]]
         |          [--state-dir DIR]]
         |       search <name> <query> [--limit N] [--fields a,b] [--unscored]
         |       count <name> <query> | merge <name> [--retain-inputs]

@@ -545,7 +545,9 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
       // the current generation so the staleness note clears (and a
       // post-merge translation sticks without waiting for new data)
       writeMeta(name, field, m._1, gen, m._3, servedEpoch, covered, pq,
-        expectTick = tick0, base = baseEp, sq8 = sq8, model = modelKey)
+        expectTick = tick0, base = baseEp, sq8 = sq8, model = modelKey,
+        fitAnchor = fitAnchorOf(name, field),
+        lastFit = lastFitOf(name, field))
       return (0, 0L)
     }
     // a refresh that crashed between its append and its META publish
@@ -570,12 +572,28 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
       .withColumn("__epoch", lit(epoch.toLong))
       .withColumn("__cell", explode(
         graft.exprs.NearestCells.nearest_cells(col(field), bcCents, m._3)))
+    // out-of-sample FIT of this batch against the frozen centroids —
+    // one batch-sized broadcast-assignment pass (integer ppm, see
+    // [[Ann.assignFit]]); the FIRST refresh after a train sets the
+    // drift anchor, later batches record lastfit for [[driftPpm]]
+    val batchFit: Option[Long] = {
+      import spark.implicits._
+      val centDf = centArr.toSeq
+        .map { case (cid, cv) => (cid, cv.toSeq) }.toDF("cid", "cv")
+      Option(Ann.assignFit(
+          base.select(monotonically_increasing_id().as("vid"),
+            expr(s"transform(`$field`, x -> CAST(x AS FLOAT))").as("v")),
+          centDf)
+        .select(col("fit_ppm")).head().get(0))
+        .map(_.asInstanceOf[java.lang.Long].longValue())
+    }
+    val anchor = fitAnchorOf(name, field).orElse(batchFit)
     // batch-sized cell-keyed exchange: one file per touched cell in the
     // new epoch instead of one per task per cell (see writeCells)
     writeCells(fresh, new HPath(root, "data"), overwrite = false)
     writeMeta(name, field, m._1, gen, m._3, epoch,
       covered ++ newSplits.map(_.id), pq, expectTick = tick0, base = baseEp,
-      sq8 = sq8, model = modelKey)
+      sq8 = sq8, model = modelKey, fitAnchor = anchor, lastFit = batchFit)
     (newSplits.length, nNew)
     }
   }
@@ -642,7 +660,9 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
       .where(col("__epoch") === next).count()
     writeMeta(name, field, m._1, gen, spill, next, covered, pq,
       expectTick = tick0, base = next, sq8 = sq8Of(name, field),
-      model = metaField(name, field, "model"))
+      model = metaField(name, field, "model"),
+      fitAnchor = fitAnchorOf(name, field),
+      lastFit = lastFitOf(name, field))
     // retired directories are already invisible; delete is cleanup only
     dropOrphanEpochs(root, next, next)
     (served - base + 1, n)
@@ -730,6 +750,37 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
   def epochSpan(name: String, field: String): (Int, Int) =
     (baseOf(name, field), epochOf(name, field))
 
+  private def fitAnchorOf(name: String, field: String): Option[Long] =
+    metaField(name, field, "fit").map(_.toLong)
+
+  private def lastFitOf(name: String, field: String): Option[Long] =
+    metaField(name, field, "lastfit").map(_.toLong)
+
+  /** Centroid-drift reading: how far (ppm of mean nearest-centroid
+    * cosine) the LAST refresh batch's fit sits below the anchor — the
+    * first refresh batch after the current train, the out-of-sample
+    * reference (ProbeDrift: anchoring on the train-time in-sample fit
+    * false-triggers by ~190k ppm with no shift at all). None until two
+    * refreshes have recorded fits; a retrain clears both and the next
+    * refresh re-anchors. Positive = the stream has drifted away from
+    * the frozen quantizer; the `--ann-retrain-threshold` streaming
+    * policy retrains when this crosses the operator's threshold. */
+  def driftPpm(name: String, field: String): Option[Long] =
+    for (a <- fitAnchorOf(name, field); l <- lastFitOf(name, field))
+      yield a - l
+
+  /** The trained tier's storage knobs (spill, pq, sq8) — what a
+    * policy-driven retrain must preserve. */
+  def tierKnobs(name: String, field: String): (Int, Int, Boolean) =
+    (meta(name, field).map(_._3).getOrElse(1), pqOf(name, field),
+      sq8Of(name, field))
+
+  /** The served model directory name (`t<tick>-<uuid>`) — changes
+    * exactly when a retrain publishes; None on legacy root-level
+    * layouts. */
+  def modelOf(name: String, field: String): Option[String] =
+    metaField(name, field, "model")
+
   /** Publish the trained tier's commit point: ONE META file carrying
     * the model shape (cells/spill/pq), the covered manifest generation,
     * the served epoch, AND the covered split ids (`split=` lines) —
@@ -752,7 +803,8 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
   private def writeMeta(name: String, field: String, cells: Int,
       gen: Long, spill: Int, epoch: Int, covered: Set[String],
       pq: Int, expectTick: Long, base: Int = 0,
-      sq8: Boolean = false, model: Option[String] = None): Unit = {
+      sq8: Boolean = false, model: Option[String] = None,
+      fitAnchor: Option[Long] = None, lastFit: Option[Long] = None): Unit = {
     val root = annRoot(name, field)
     val body = new StringBuilder()
     body.append(s"tick=${expectTick + 1}\n")
@@ -760,6 +812,14 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     if (sq8) body.append("sq8=1\n")
     if (base > 0) body.append(s"base=$base\n")
     model.foreach(m => body.append(s"model=$m\n"))
+    // drift bookkeeping: `fit=` anchors the FIRST refresh batch's
+    // out-of-sample assignment fit (ppm); `lastfit=` is the most
+    // recent batch's. A retrain clears both (fresh model, fresh
+    // anchor). Train-time in-sample fit is deliberately NOT the anchor
+    // — ProbeDrift measured a ~190k-ppm in/out-of-sample gap with NO
+    // distribution shift, which would false-trigger every stream.
+    fitAnchor.foreach(f => body.append(s"fit=$f\n"))
+    lastFit.foreach(f => body.append(s"lastfit=$f\n"))
     covered.toList.sorted.foreach(id => body.append(s"split=$id\n"))
     val metaP = new HPath(root, "META")
     val bytes = body.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)

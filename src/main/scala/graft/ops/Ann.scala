@@ -217,6 +217,53 @@ object Ann {
     out.toSeq.toDF("iter", "cell", "d", "cq")
   }
 
+  /** Quantizer FIT of a vector cohort against a centroid table: the
+    * mean nearest-centroid cosine in ppm — per-row `floor(cos·10⁶)`
+    * then the truncating integer mean, so the number is
+    * order-independent and replays bit-for-bit in DuckDB. This is the
+    * cheap drift statistic the refresh lifecycle records (one
+    * batch-sized broadcast-assignment pass): when a refresh batch's
+    * fit drops far below the train-time fit, the frozen quantizer no
+    * longer describes the data — the `--ann-retrain-threshold`
+    * streaming policy triggers a retrain on exactly this comparison.
+    * (ProbeDrift: on the synthetic corpus RECALL often survives a
+    * shift — a whole unseen cluster assigns consistently into one
+    * legacy cell — while fit moves decisively, which is why the
+    * trigger thresholds on fit.) corpus: (vid, v); centroids:
+    * (cid, cv). Output: ONE row (n, fit_ppm). */
+  def assignFit(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = broadcast(centroids)
+    val asg = cellAssign(corpus, cents, "vid", "v", maxRank = 1,
+      carry = Seq("v"))
+    asg.join(cents, asg("cell") === cents("cid"))
+      .select(floor(cosine(col("v"), col("cv")) * lit(1000000.0))
+        .cast("bigint").as("q"))
+      .agg(count(col("q")).as("n"),
+        expr("sum(q) div count(q)").as("fit_ppm"))
+  }
+
+  /** Assignment SKEW of a vector cohort under a centroid table: the
+    * share (ppm, truncating integer division) of the cohort landing in
+    * its single hottest cell, plus the number of distinct cells
+    * occupied — the drift statistic that actually moves when refreshed
+    * data shifts (ProbeDrift: an unseen cluster assigns CONSISTENTLY,
+    * so cosine-fit and even recall barely move while the hot-cell
+    * share spikes), and the statistic that matters at scale: a cell
+    * absorbing a whole shifted cohort becomes the hot partition every
+    * probe of it pays for. One batch-sized broadcast-assignment pass;
+    * integer arithmetic end-to-end. corpus: (vid, v); centroids:
+    * (cid, cv). Output: ONE row (n, top_share_ppm, occupied). */
+  def assignSkew(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val asg = cellAssign(corpus, broadcast(centroids), "vid", "v",
+      maxRank = 1, carry = Nil)
+    asg.groupBy(col("cell")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).as("n"), max(col("c")).as("top"),
+        count(lit(1)).as("occupied"))
+      .select(col("n"),
+        expr("(top * 1000000) div n").as("top_share_ppm"),
+        col("occupied"))
+  }
+
   /** Cluster-balanced subsample — the diversity-selection pass that caps
     * every cluster's share of the kept set, so over-represented regions
     * of embedding space (boilerplate, templates, near-dup families that

@@ -1973,6 +1973,82 @@ object PipelineQueries {
           .as("cv"))
   }
 
+  /** CENTROID-DRIFT gate — what `train --refresh` costs when the data
+    * distribution shifts (r14 carried #2, built r16). The fixture:
+    * cohort A is the embeddings corpus; cohort B is a SHIFTED cohort
+    * (every vector dimension-reversed, vids offset +100000 — reversal
+    * is arithmetic-free, so the replay is exact, and it permutes the
+    * cluster structure so A-trained centroids genuinely misfit B).
+    *
+    *  - FROZEN arm: centroids k-means-trained on A alone (what the
+    *    incremental refresh serves after B streams in), assignment and
+    *    probing over A∪B;
+    *  - RETRAINED arm: centroids retrained on A∪B (seeds split across
+    *    both cohorts), same probe budget;
+    *  - queries: 20 FRESH-cohort vectors (B's first 20) — the
+    *    population a drifted quantizer hurts; truth is exact cosine
+    *    over A∪B.
+    *
+    * One row per query: (qid, hits_frozen, hits_retrained) — both arms
+    * replayed by the oracle (two prefixed k-means unrolls), so the
+    * frozen-vs-retrained comparison is CORRECTNESS-gated at both scale
+    * factors every round, not just probe-measured.
+    *
+    * Measured (2026-08-15, oracle-exact): at sf0.01 recall is flat
+    * (frozen 0.58 vs retrained 0.56 — 500+500 vectors in 23 cells, the
+    * probe set nearly covers the candidate space); at sf0.1 the drift
+    * penalty is real — frozen 0.42 vs retrained 0.53 — the shifted
+    * cohort visibly recovers under retraining once the cell cut bites.
+    * ProbeDrift documents the adjacent finding: on this near-isotropic
+    * synthetic corpus, cosine-FIT and cell-skew statistics do NOT
+    * separate a shifted refresh batch from a control batch (and
+    * in-sample train fit vs out-of-sample batch fit differ by ~190k
+    * ppm even with NO shift), so the `--ann-retrain-threshold` trigger
+    * anchors on the FIRST refresh batch's out-of-sample fit
+    * ([[graft.ops.Ann.assignFit]]) rather than the train-time fit —
+    * decisive on genuinely structured data (StatefulStreamingSpec's
+    * planted-cluster gate) and false-trigger-free on control noise. */
+  val knn_refresh_drift: Q = (s, dir) => {
+    val a = corpus(s, dir).select(col("vid"), col("v"))
+    val b = a.select((col("vid") + lit(100000L)).as("vid"),
+      reverse(col("v")).as("v"))
+    val u = a.unionAll(b)
+    val n = a.count()
+    val nlist = math.ceil(math.sqrt(n.toDouble)).toLong
+    val nProbe = math.ceil(math.sqrt(nlist.toDouble)).toInt
+    def cents(corpusDf: org.apache.spark.sql.DataFrame,
+        seeds: org.apache.spark.sql.DataFrame) =
+      Ann.kmeansTrain(corpusDf, seeds, iterations = 3)
+        .where(col("iter") === 3)
+        .groupBy(col("cell"))
+        .agg(sort_array(collect_list(struct(col("d"), col("cq")))).as("ds"))
+        .select(col("cell").as("cid"),
+          expr("transform(ds, x -> CAST(CAST(x.cq AS DOUBLE) / 1000000.0 AS FLOAT))")
+            .as("cv"))
+    val frozen = cents(a,
+      a.where(col("vid") >= 20 && col("vid") < 20 + nlist)
+        .select(col("vid").as("cid"), col("v").as("cv")))
+    val h = (nlist + 1) / 2
+    val retrained = cents(u,
+      u.where((col("vid") >= 20 && col("vid") < 20 + h) ||
+          (col("vid") >= 100020L && col("vid") < 100020L + (nlist - h)))
+        .select(col("vid").as("cid"), col("v").as("cv")))
+    val qs = b.where(col("vid") < 100020L)
+      .select(col("vid").as("qid"), col("v").as("qv"))
+    val exact = Ann.brute(qs, u, k = 5).select(col("qid"), col("neighbor"))
+    def hitsOf(c: org.apache.spark.sql.DataFrame, nm: String) =
+      exact.join(Ann.ivf(qs, u, c, nProbe, k = 5)
+          .select(col("qid"), col("neighbor")), Seq("qid", "neighbor"))
+        .groupBy(col("qid")).agg(count(lit(1)).as(nm))
+    qs.select(col("qid"))
+      .join(hitsOf(frozen, "hf"), Seq("qid"), "left")
+      .join(hitsOf(retrained, "hr"), Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("hf"), lit(0L)).as("hits_frozen"),
+        coalesce(col("hr"), lit(0L)).as("hits_retrained"))
+      .orderBy(col("qid"))
+  }
+
   /** [[trainedCentroidsK]] over the norm-adversarial SCALED corpus —
     * the `knn_serving_recall_sq8_norms` fixture trains its coarse
     * quantizer on the same vectors it serves (scale-consistency: a
@@ -2251,6 +2327,7 @@ object PipelineQueries {
     "knn_serving_recall" -> knn_serving_recall,
     "knn_serving_recall_sq8" -> knn_serving_recall_sq8,
     "knn_serving_recall_sq8_norms" -> knn_serving_recall_sq8_norms,
+    "knn_refresh_drift" -> knn_refresh_drift,
     "knn_serving_recall_filtered" -> knn_serving_recall_filtered,
     "pipe_cluster_balance" -> pipe_cluster_balance,
     "pipe_kmeans_step" -> pipe_kmeans_step,
@@ -2853,25 +2930,26 @@ object PipelineQueries {
     * DuckDB `//` ≡ Spark `div` on negatives), and the float-rounded
     * rebuild (`kc_i`) the next round assigns against. Generated per
     * iteration so the unroll cannot drift between rounds. */
-  private def kmeansIterSql(i: Int, src: String = "embeddings"): String =
-    s"""asg$i AS (
+  private def kmeansIterSql(i: Int, src: String = "embeddings",
+      pfx: String = ""): String =
+    s"""asg$pfx$i AS (
        |  SELECT cid AS cell, embedding FROM (
        |    SELECT e.vec_id, e.embedding, c.cid,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cid ASC) AS crn
-       |    FROM $src e CROSS JOIN kc${i - 1} c)
+       |    FROM $src e CROSS JOIN kc$pfx${i - 1} c)
        |  WHERE crn = 1),
-       |upd$i AS (
+       |upd$pfx$i AS (
        |  SELECT cell, d, CAST(sum(q) AS BIGINT) AS sum_q, count(*) AS n FROM (
        |    SELECT cell, i AS d,
        |      CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000000.0) AS BIGINT) AS q
-       |    FROM asg$i CROSS JOIN (SELECT unnest(range(64)) AS i))
+       |    FROM asg$pfx$i CROSS JOIN (SELECT unnest(range(64)) AS i))
        |  GROUP BY cell, d),
-       |cq$i AS (SELECT cell, d, sum_q // n AS cq FROM upd$i),
-       |kc$i AS (
+       |cq$pfx$i AS (SELECT cell, d, sum_q // n AS cq FROM upd$pfx$i),
+       |kc$pfx$i AS (
        |  SELECT cell AS cid,
        |    list(CAST(CAST(cq AS DOUBLE) / 1000000.0 AS FLOAT) ORDER BY d) AS cv
-       |  FROM cq$i GROUP BY cell)""".stripMargin
+       |  FROM cq$pfx$i GROUP BY cell)""".stripMargin
 
   private val gram5Sql =
     """list_transform(range(len(toks) - 4),
@@ -4584,6 +4662,105 @@ object PipelineQueries {
          |SELECT qe.vec_id AS qid, CAST(coalesce(i.hits, 0) AS BIGINT) AS hits
          |FROM embeddings qe LEFT JOIN inter i ON i.qid = qe.vec_id
          |WHERE qe.vec_id < 20
+         |ORDER BY qid""".stripMargin,
+    // the centroid-DRIFT gate: frozen arm trained on cohort A only,
+    // retrained arm on A + the dimension-reversed cohort B (vids
+    // +100000), both unrolled k-means chains prefixed (f/r) so they
+    // coexist; queries are B's first 20, truth exact cosine over A∪B
+    "knn_refresh_drift" ->
+      s"""WITH emba AS (SELECT vec_id, embedding FROM embeddings),
+         |embb AS (
+         |  SELECT vec_id + 100000 AS vec_id, list_reverse(embedding) AS embedding
+         |  FROM embeddings),
+         |embu AS (SELECT * FROM emba UNION ALL SELECT * FROM embb),
+         |sz AS (
+         |  SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS nlist,
+         |    CAST(ceil(sqrt(ceil(sqrt(count(*))))) AS BIGINT) AS nprobe,
+         |    (CAST(ceil(sqrt(count(*))) AS BIGINT) + 1) // 2 AS h
+         |  FROM emba),
+         |kcf0 AS (
+         |  SELECT vec_id AS cid, embedding AS cv FROM emba, sz
+         |  WHERE vec_id >= 20 AND vec_id < 20 + sz.nlist),
+         |${kmeansIterSql(1, "emba", "f")},
+         |${kmeansIterSql(2, "emba", "f")},
+         |${kmeansIterSql(3, "emba", "f")},
+         |kcr0 AS (
+         |  SELECT vec_id AS cid, embedding AS cv FROM embu, sz
+         |  WHERE (vec_id >= 20 AND vec_id < 20 + sz.h)
+         |     OR (vec_id >= 100020 AND vec_id < 100020 + (sz.nlist - sz.h))),
+         |${kmeansIterSql(1, "embu", "r")},
+         |${kmeansIterSql(2, "embu", "r")},
+         |${kmeansIterSql(3, "embu", "r")},
+         |asgF AS (
+         |  SELECT vec_id, embedding, cid AS cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cid ASC) AS crn
+         |    FROM embu e CROSS JOIN kcf3 c)
+         |  WHERE crn = 1),
+         |probesF AS (
+         |  SELECT qid, qv, cell FROM (
+         |    SELECT e.vec_id AS qid, e.embedding AS qv, c.cid AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cid ASC) AS crn
+         |    FROM embu e CROSS JOIN kcf3 c
+         |    WHERE e.vec_id >= 100000 AND e.vec_id < 100020)
+         |  WHERE crn <= (SELECT nprobe FROM sz)),
+         |knnF AS (
+         |  SELECT qid, neighbor FROM (
+         |    SELECT p.qid, a.vec_id AS neighbor,
+         |      row_number() OVER (PARTITION BY p.qid
+         |        ORDER BY list_cosine_similarity(p.qv, a.embedding) DESC, a.vec_id ASC) AS rank
+         |    FROM probesF p JOIN asgF a ON a.cell = p.cell
+         |    WHERE a.vec_id <> p.qid)
+         |  WHERE rank <= 5),
+         |asgR AS (
+         |  SELECT vec_id, embedding, cid AS cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cid ASC) AS crn
+         |    FROM embu e CROSS JOIN kcr3 c)
+         |  WHERE crn = 1),
+         |probesR AS (
+         |  SELECT qid, qv, cell FROM (
+         |    SELECT e.vec_id AS qid, e.embedding AS qv, c.cid AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cid ASC) AS crn
+         |    FROM embu e CROSS JOIN kcr3 c
+         |    WHERE e.vec_id >= 100000 AND e.vec_id < 100020)
+         |  WHERE crn <= (SELECT nprobe FROM sz)),
+         |knnR AS (
+         |  SELECT qid, neighbor FROM (
+         |    SELECT p.qid, a.vec_id AS neighbor,
+         |      row_number() OVER (PARTITION BY p.qid
+         |        ORDER BY list_cosine_similarity(p.qv, a.embedding) DESC, a.vec_id ASC) AS rank
+         |    FROM probesR p JOIN asgR a ON a.cell = p.cell
+         |    WHERE a.vec_id <> p.qid)
+         |  WHERE rank <= 5),
+         |exact AS (
+         |  SELECT qid, neighbor FROM (
+         |    SELECT q.vec_id AS qid, e.vec_id AS neighbor,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id ASC) AS rank
+         |    FROM embu q CROSS JOIN embu e
+         |    WHERE q.vec_id >= 100000 AND q.vec_id < 100020
+         |      AND e.vec_id <> q.vec_id)
+         |  WHERE rank <= 5),
+         |hf AS (
+         |  SELECT exact.qid, count(*) AS hits FROM exact
+         |  JOIN knnF ON knnF.qid = exact.qid AND knnF.neighbor = exact.neighbor
+         |  GROUP BY exact.qid),
+         |hr AS (
+         |  SELECT exact.qid, count(*) AS hits FROM exact
+         |  JOIN knnR ON knnR.qid = exact.qid AND knnR.neighbor = exact.neighbor
+         |  GROUP BY exact.qid)
+         |SELECT q.vec_id AS qid,
+         |  CAST(coalesce(hf.hits, 0) AS BIGINT) AS hits_frozen,
+         |  CAST(coalesce(hr.hits, 0) AS BIGINT) AS hits_retrained
+         |FROM embb q
+         |LEFT JOIN hf ON hf.qid = q.vec_id
+         |LEFT JOIN hr ON hr.qid = q.vec_id
+         |WHERE q.vec_id < 100020
          |ORDER BY qid""".stripMargin,
     // the NORM-ADVERSARIAL sq8 serving twin: corpus scaled by
     // (vec_id % 10 + 1), shortlist cut on the normalized key

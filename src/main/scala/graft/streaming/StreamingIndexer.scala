@@ -85,7 +85,16 @@ final case class StreamStateConfig(
       * rewrites the stored rows (cost ∝ tier size, amortized over N
       * batches), so size N to taste; 0 disables (fold manually with
       * `train --compact`). */
-    annCompactEvery: Int = 0)
+    annCompactEvery: Int = 0,
+    /** With `annField`: retrain the trained tier (staged — serving is
+      * uninterrupted) when the centroid-drift reading
+      * ([[graft.engine.AnnIndex.driftPpm]] — how far the latest refresh
+      * batch's out-of-sample assignment fit fell below the
+      * first-batch anchor, in ppm of mean nearest-centroid cosine)
+      * crosses this threshold. 0 disables. The anchor resets at each
+      * retrain, so a retrained stream re-baselines instead of
+      * re-triggering forever. */
+    annRetrainThreshold: Long = 0L)
 
 final class StreamingIndexer(spark: SparkSession, catalog: Catalog) {
 
@@ -216,6 +225,20 @@ final class StreamingIndexer(spark: SparkSession, catalog: Catalog) {
                 val (b, e) = ann.epochSpan(indexName, f)
                 if (e - b + 1 >= every) ann.compactEpochs(indexName, f): Unit
               }
+              // drift policy: when the latest batch's out-of-sample fit
+              // fell >= threshold ppm below the post-train anchor, the
+              // frozen quantizer no longer describes the stream — full
+              // STAGED retrain with the tier's own knobs (serving reads
+              // the old layout until the one atomic META flip)
+              val thr = stateful.map(_.annRetrainThreshold).getOrElse(0L)
+              if (thr > 0)
+                for (d <- ann.driftPpm(indexName, f) if d >= thr) {
+                  val (spill, pqK, sq8K) = ann.tierKnobs(indexName, f)
+                  System.err.println(s"[stream] ann drift $d ppm >= " +
+                    s"$thr for '$f' — retraining")
+                  ann.train(indexName, f, spill = spill, pq = pqK,
+                    sq8 = sq8K): Unit
+                }
             } catch { case e: Exception =>
               System.err.println(s"[stream] ann refresh for '$f' failed " +
                 s"(full retrain needed): ${e.getMessage}")

@@ -1398,6 +1398,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(sides.toSeq == Seq("test", "train"), sides.mkString(","))
   }
 
+  test("assignFit / assignSkew: integer ppm drift statistics are exact") {
+    import spark.implicits._
+    val cents = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("cid", "cv")
+    val rows = Seq((10L, Seq(1.0f, 0.0f)), (11L, Seq(3.0f, 4.0f)),
+      (12L, Seq(0.0f, 2.0f))).toDF("vid", "v")
+    // nearest cosines: 1.0, 0.8 (cell 2), 1.0 (cell 2) → floor·1e6 then
+    // truncating mean = (1000000 + 800000 + 1000000) div 3 = 933333
+    val fit = graft.ops.Ann.assignFit(rows, cents).head()
+    assert(fit.getLong(0) == 3L && fit.getLong(1) == 933333L, fit.toString)
+    // cells: vid10 → 1; vid11, vid12 → 2 ⇒ top share 2/3 = 666666 ppm
+    val skew = graft.ops.Ann.assignSkew(rows, cents).head()
+    assert(skew.getLong(1) == 666666L && skew.getLong(2) == 2L, skew.toString)
+  }
+
   test("pqCodebooksTrained: per-subspace integer k-means converges to the " +
       "truncating integer subvector means, deterministically") {
     import spark.implicits._

@@ -386,6 +386,77 @@ class StatefulStreamingSpec extends AnyFunSuite {
     cat.drop("sann")
   }
 
+  test("--ann-retrain-threshold: a drifted batch (out-of-sample fit far " +
+      "below the first-batch anchor) triggers a staged retrain; a control " +
+      "stream never does") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val root = java.nio.file.Files.createTempDirectory("graft-dann").toString
+    val cat = new graft.engine.Catalog(root)
+    cat.create(
+      """version: 1
+        |name: dann
+        |path: /tmp/unused
+        |schema:
+        |  fields:
+        |    - name: body
+        |      type: !text
+        |    - name: emb
+        |      type: !number
+        |        type: f64
+        |      array: true
+        |""".stripMargin)
+    val sc = graft.streaming.StreamStateConfig(s"$root/state/dann",
+      textField = "body", threshold = 0.5, annField = Some("emb"),
+      annRetrainThreshold = 300000L) // 0.3 mean-cosine drop
+    def doc(t: String, v: Seq[Double]) =
+      s"""{"body": "$t", "emb": [${v.mkString(", ")}]}"""
+    def xdoc(t: String, i: Int) = doc(t, Seq(1.0, 0.01 * i, 0.0, 0.0))
+
+    val input = MemoryStream[String]
+    val ckpt = java.nio.file.Files.createTempDirectory("dann-ckpt").toString
+    val ann = new graft.engine.AnnIndex(spark, cat)
+    val q = new graft.streaming.StreamingIndexer(spark, cat).startStream(
+      "dann", input.toDF(), ckpt, availableNow = false, stateful = Some(sc))
+    try {
+      input.addData((1 to 4).map(i => xdoc(s"seed doc nr$i", i)): _*)
+      q.processAllAvailable()
+      ann.train("dann", "emb", cells = 2)
+      val model0 = ann.modelOf("dann", "emb")
+      // two SAME-cluster batches: the first anchors the fit, the second
+      // matches it — no retrain (control stream never false-triggers)
+      input.addData(xdoc("anchor batch doc nr5", 5))
+      q.processAllAvailable()
+      input.addData(xdoc("control batch doc nr6", 6))
+      q.processAllAvailable()
+      assert(ann.modelOf("dann", "emb") == model0,
+        "a control stream must not trigger a retrain")
+      val drift0 = ann.driftPpm("dann", "emb")
+      assert(drift0.exists(d => math.abs(d) < 300000L),
+        s"control drift reads near zero: $drift0")
+      // a DRIFTED batch: orthogonal cluster — fit plunges vs the anchor
+      input.addData(
+        doc("drifted doc one", Seq(0.0, 0.0, 1.0, 0.02)),
+        doc("drifted doc two", Seq(0.0, 0.0, 0.95, 0.0)))
+      q.processAllAvailable()
+      assert(ann.modelOf("dann", "emb") != model0,
+        "the drift trigger must have retrained (fresh model dir)")
+      // the retrain re-anchored: fit bookkeeping cleared
+      assert(ann.driftPpm("dann", "emb").isEmpty,
+        "retrain clears the drift anchor")
+    } finally q.stop()
+    // post-retrain serving covers every doc exactly once (probe all
+    // cells: the retrained default sizing is ceil(sqrt(8)) = 3)
+    val got = ann.knn("dann", "emb", Array(0.0f, 0.0f, 1.0f, 0.0f), 10,
+      nProbe = 8).collect()
+    assert(got.length == 8, s"all eight docs served: ${got.length}")
+    assert(got.head.getString(1).contains("drifted"),
+      s"drifted-cluster query serves drifted docs first: ${got.head}")
+    cat.drop("dann")
+  }
+
   test("streaming --ann-field survives auto-compaction: coverage translates " +
       "through the lossless merge, no retrain, every doc served once") {
     import org.apache.spark.sql.functions._
