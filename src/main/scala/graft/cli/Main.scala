@@ -142,6 +142,10 @@ object Main {
         // archived generations stay servable (`--at-gen`); reclaim with
         // an explicit `vacuum --before-gen N`
         val retain = flags.contains("retain-inputs")
+        val fullDedup = flags.contains("dedup") && flags.get("small-docs").isEmpty
+        val preLive =
+          if (fullDedup) cat.liveSplits(pos.head).map(_.id).toSet
+          else Set.empty[String]
         val merged = (flags.get("small-docs"), flags.contains("dedup")) match {
           case (Some(n), dd)  =>
             idx.mergeSmall(pos.head, n.toLong, dedup = dd, retainInputs = retain)
@@ -149,7 +153,30 @@ object Main {
           case (None, false)  => idx.merge(pos.head, retainInputs = retain)
         }
         merged match {
-          case Some(s) => println(s"merged into split ${s.id} (${s.numDocs} docs)")
+          case Some(s) =>
+            println(s"merged into split ${s.id} (${s.numDocs} docs)")
+            // a FULL --dedup merge drops exact-duplicate docs; trained
+            // ANN tiers align by TOMBSTONING their surplus copies (one
+            // layout scan, cost ∝ deletes — no retrain; serving
+            // anti-joins, `train --compact` folds). A --small-docs
+            // --dedup merge dedups only within its subset, which the
+            // whole-layout pass must not over-apply to — that path
+            // keeps the loud fail-to-retrain behavior.
+            if (fullDedup) {
+              val ann = new graft.engine.AnnIndex(spark, cat)
+              val stillLive = cat.liveSplits(pos.head).map(_.id).toSet
+              ann.trainedFields(pos.head).foreach { f =>
+                try {
+                  val t = ann.dedupSync(pos.head, f, preLive -- stillLive, s)
+                  println(s"ann '$f': $t duplicate row(s) tombstoned, " +
+                    "coverage swapped — no retrain")
+                } catch {
+                  case e: Exception => System.err.println(
+                    s"ann '$f' dedup-sync failed (full retrain " +
+                      s"needed): ${e.getMessage}")
+                }
+              }
+            }
           case None    => println("nothing to merge (need >= 2 eligible splits)")
         }
 

@@ -405,6 +405,9 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     Seq("centroids", "codebooks", "sq8").foreach { nm =>
       catalog.metaStore.deleteDirBestEffort(new HPath(root, nm))
     }
+    // a retrain retires every pre-train epoch, so any tombstones (which
+    // reference rows of those epochs) are dead with them
+    catalog.metaStore.deleteDirBestEffort(new HPath(root, "tombstones"))
   }
 
   /** The one layout-write path: cell-keyed repartition (read locality —
@@ -547,7 +550,7 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
       writeMeta(name, field, m._1, gen, m._3, servedEpoch, covered, pq,
         expectTick = tick0, base = baseEp, sq8 = sq8, model = modelKey,
         fitAnchor = fitAnchorOf(name, field),
-        lastFit = lastFitOf(name, field))
+        lastFit = lastFitOf(name, field), tomb = tombOf(name, field))
       return (0, 0L)
     }
     // a refresh that crashed between its append and its META publish
@@ -593,7 +596,8 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     writeCells(fresh, new HPath(root, "data"), overwrite = false)
     writeMeta(name, field, m._1, gen, m._3, epoch,
       covered ++ newSplits.map(_.id), pq, expectTick = tick0, base = baseEp,
-      sq8 = sq8, model = modelKey, fitAnchor = anchor, lastFit = batchFit)
+      sq8 = sq8, model = modelKey, fitAnchor = anchor, lastFit = batchFit,
+      tomb = tombOf(name, field))
     (newSplits.length, nNew)
     }
   }
@@ -624,7 +628,11 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     val root = annRoot(name, field)
     val base = baseOf(name, field)
     val served = epochOf(name, field)
-    if (base == served) return (0, 0L)
+    val tomb = tombOf(name, field)
+    // a single served epoch with no tombstones has nothing to fold; a
+    // tombstoned layout folds even at one epoch (the fold is what turns
+    // the logical deletes physical)
+    if (base == served && tomb.isEmpty) return (0, 0L)
     val gen = metaField(name, field, "gen").map(_.toLong).getOrElse(0L)
     val pq = pqOf(name, field)
     val covered = coveredSplits(name, field)
@@ -632,8 +640,11 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     // served range, then rewrite it into the next (invisible) epoch
     dropOrphanEpochs(root, base, served)
     val dataDir = new HPath(root, "data")
-    val rows = spark.read.parquet(dataDir.toString)
-      .where(col("__epoch").between(base, served))
+    // the fold is where --dedup tombstones go physical: retired rows
+    // drop out of the rewrite and the fresh META carries no tomb=
+    val rows = antiTomb(root, tomb.map(t => Map("tomb" -> t)).getOrElse(Map.empty))(
+      spark.read.parquet(dataDir.toString)
+        .where(col("__epoch").between(base, served)))
     val next = served + 1
     // fresh __rid per LOGICAL row: spill copies share their old
     // (__epoch, __rid) pair and must keep sharing the new id (query-time
@@ -665,6 +676,10 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
       lastFit = lastFitOf(name, field))
     // retired directories are already invisible; delete is cleanup only
     dropOrphanEpochs(root, next, next)
+    // folded tombstones (the fresh META carries no tomb=) are dead;
+    // best-effort sweep of the whole sidecar tree
+    if (tomb.isDefined)
+      catalog.metaStore.deleteDirBestEffort(new HPath(root, "tombstones"))
     (served - base + 1, n)
     }
   }
@@ -781,6 +796,102 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
   def modelOf(name: String, field: String): Option[String] =
     metaField(name, field, "model")
 
+  /** The active tombstone directory name (under `tombstones/`), None
+    * when no `--dedup` merge has retired rows since the last
+    * train/compact. */
+  def tombOf(name: String, field: String): Option[String] =
+    metaField(name, field, "tomb")
+
+  /** Serve-time tombstone exclusion: anti-join the (tiny — ∝ deletes,
+    * broadcast) retired-row set against a trained-layout scan. A
+    * tomb-less META costs exactly nothing. */
+  private def antiTomb(root: HPath, mm: Map[String, String])(
+      df: DataFrame): DataFrame =
+    mm.get("tomb").fold(df) { td =>
+      df.join(broadcast(spark.read.parquet(
+          new HPath(root, s"tombstones/$td").toString)),
+        Seq("__epoch", "__rid"), "left_anti")
+    }
+
+  /** Every field of `name` with a trained ANN tier (a META under
+    * `ann/<field>/`). */
+  def trainedFields(name: String): Seq[String] = {
+    val adir = new HPath(s"${catalog.catalogRoot}/indexes/$name/ann")
+    val f = fs(adir)
+    if (!f.exists(adir)) Nil
+    else f.listStatus(adir).toSeq.map(_.getPath.getName)
+      .filter(fl => meta(name, fl).isDefined).sorted
+  }
+
+  /** Align the trained tier with a `--dedup` merge WITHOUT a retrain
+    * (r14 #5, built r16): the merge collapses exact-duplicate documents
+    * in the corpus; the stored layout still holds every copy. This pass
+    * TOMBSTONES the layout's surplus copies — one content-keyed scan
+    * over the served rows (the same content identity the merge dedups
+    * on and the knn tie-break hashes: every declared column plus the
+    * dynamic JSON), keep the (epoch, rid)-smallest copy per content
+    * group — and swaps the consumed split ids for the produced split in
+    * the SAME atomic META publish, so coverage and the retired-row set
+    * can never disagree. Cost ∝ one layout scan + the (tiny) tombstone
+    * write — no k-means, no rewrite; the pre-r16 behavior forced a
+    * corpus-scale retrain. Serving anti-joins the broadcast tombstone
+    * set ([[antiTomb]]); [[compactEpochs]] folds it away physically.
+    *
+    * Precondition (loud): the tier must have covered every consumed
+    * split — a layout missing one of the merge's inputs cannot claim
+    * the produced split's content. Returns retired-copy count. */
+  def dedupSync(name: String, field: String, consumed: Set[String],
+      produced: SplitInfo): Long = {
+    val cfg = catalog.load(name)
+    vectorCol(cfg, field)
+    val d = new SchemaDerivation(cfg)
+    withMaintenanceLock(annRoot(name, field)) {
+      val tick0 = metaTick(name, field)
+      val m = meta(name, field).getOrElse(sys.error(
+        s"no trained index for '$field' — nothing to dedup-sync"))
+      val covered = coveredSplits(name, field)
+      val missing = consumed.diff(covered)
+      require(missing.isEmpty,
+        s"dedup merge consumed split(s) the trained tier never covered " +
+          s"(${missing.take(3).mkString(", ")}) — the layout cannot claim " +
+          "the produced split; re-run a full train")
+      val root = annRoot(name, field)
+      val (gen, _) = catalog.manifestState(name)
+      val rows = spark.read.parquet(new HPath(root, "data").toString)
+        .where(col("__epoch").between(lit(baseOf(name, field)),
+          lit(epochOf(name, field))))
+      // spill copies share (__epoch, __rid) — collapse them first so a
+      // kept row's own spill copies are never tombstoned
+      val keyed = rows
+        .select(col("__epoch"), col("__rid"), contentTieBreak(d).as("__ck"))
+        .dropDuplicates("__epoch", "__rid")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__ck"))
+        .orderBy(col("__epoch").asc, col("__rid").asc)
+      val losers = keyed
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") > 1)
+        .select(col("__epoch"), col("__rid"))
+      val cnt = losers.count()
+      val newCovered = covered.diff(consumed) + produced.id
+      val tname =
+        if (cnt == 0) None
+        else {
+          val t = s"t${tick0 + 1}-${java.util.UUID.randomUUID.toString.take(8)}"
+          losers.coalesce(1).write.mode("overwrite")
+            .parquet(new HPath(root, s"tombstones/$t").toString)
+          Some(t)
+        }
+      writeMeta(name, field, m._1, gen, m._3, epochOf(name, field),
+        newCovered, pqOf(name, field), expectTick = tick0,
+        base = baseOf(name, field), sq8 = sq8Of(name, field),
+        model = modelOf(name, field),
+        fitAnchor = fitAnchorOf(name, field),
+        lastFit = lastFitOf(name, field), tomb = tname)
+      cnt
+    }
+  }
+
   /** Publish the trained tier's commit point: ONE META file carrying
     * the model shape (cells/spill/pq), the covered manifest generation,
     * the served epoch, AND the covered split ids (`split=` lines) —
@@ -804,7 +915,8 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
       gen: Long, spill: Int, epoch: Int, covered: Set[String],
       pq: Int, expectTick: Long, base: Int = 0,
       sq8: Boolean = false, model: Option[String] = None,
-      fitAnchor: Option[Long] = None, lastFit: Option[Long] = None): Unit = {
+      fitAnchor: Option[Long] = None, lastFit: Option[Long] = None,
+      tomb: Option[String] = None): Unit = {
     val root = annRoot(name, field)
     val body = new StringBuilder()
     body.append(s"tick=${expectTick + 1}\n")
@@ -820,6 +932,10 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     // distribution shift, which would false-trigger every stream.
     fitAnchor.foreach(f => body.append(s"fit=$f\n"))
     lastFit.foreach(f => body.append(s"lastfit=$f\n"))
+    // tombstones: the directory (under tombstones/) holding the
+    // (__epoch, __rid) rows a --dedup merge retired from serving —
+    // anti-joined at query time, folded away by `train --compact`
+    tomb.foreach(t => body.append(s"tomb=$t\n"))
     covered.toList.sorted.foreach(id => body.append(s"split=$id\n"))
     val metaP = new HPath(root, "META")
     val bytes = body.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -1029,7 +1145,7 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
         val baseEp = mm.get("base").fold(0)(_.toInt)
         val epoch = mm("epoch").toInt
         def scanCells(cids: Seq[Long]): DataFrame =
-          filtered(probedScan(root, baseEp, epoch, cids.toSet))
+          antiTomb(root, mm)(filtered(probedScan(root, baseEp, epoch, cids.toSet)))
         var covered = math.min(nProbe, ranked.length)
         var cand0 = scanCells(ranked.take(covered))
         // ADAPTIVE nprobe (r14 #3, built r16): a selective filter can
@@ -1272,8 +1388,8 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
           .localCheckpoint(eager = false)
         val probeCells = probesQ.select(col("__pcell")).distinct()
           .collect().map(_.getLong(0)).toSet
-        val data = filtered(probedScan(root,
-          mm.get("base").fold(0)(_.toInt), mm("epoch").toInt, probeCells))
+        val data = antiTomb(root, mm)(filtered(probedScan(root,
+          mm.get("base").fold(0)(_.toInt), mm("epoch").toInt, probeCells)))
         val spilled = m.exists(_._3 > 1)
         val pq = mm.get("pq").fold(0)(_.toInt)
         if (pq > 0) {

@@ -411,6 +411,71 @@ class CliSpec extends AnyFunSuite {
       plain.forall(_.getString(1).contains("common")), plain.mkString("; "))
   }
 
+  test("merge --dedup tombstones the trained tier's surplus copies: knn " +
+      "serves survivors with NO retrain; train --compact folds them away") {
+    val root = Files.createTempDirectory("graft-cli-tomb").toString
+    val cat = new Catalog(root)
+    val yaml = Files.createTempFile("cli-tomb", ".yaml")
+    Files.write(yaml,
+      """version: 1
+        |name: tomb_test
+        |path: /tmp/unused
+        |schema:
+        |  fields:
+        |    - name: title
+        |      type: !text
+        |    - name: emb
+        |      type: !number
+        |        type: f64
+        |      array: true
+        |""".stripMargin.getBytes("UTF-8"))
+    cli.Main.run(Array("create", yaml.toString), spark, cat, root)
+    def doc(t: String, v: Seq[Double]) =
+      s"""{"title": "$t", "emb": [${v.mkString(", ")}]}"""
+    // the same doc lands in BOTH splits (the at-least-once failure mode)
+    val dup = doc("dup", Seq(1.0, 0.0, 0.0, 0.0))
+    val in1 = Files.createTempFile("tomb1", ".jsonl")
+    Files.write(in1, Seq(dup, doc("a", Seq(0.9, 0.1, 0.0, 0.0)),
+      doc("b", Seq(0.0, 1.0, 0.0, 0.0))).mkString("\n").getBytes("UTF-8"))
+    cli.Main.run(Array("index", "tomb_test", in1.toString), spark, cat, root)
+    val in2 = Files.createTempFile("tomb2", ".jsonl")
+    Files.write(in2, Seq(dup, doc("c", Seq(0.0, 0.0, 1.0, 0.0)))
+      .mkString("\n").getBytes("UTF-8"))
+    cli.Main.run(Array("index", "tomb_test", in2.toString), spark, cat, root)
+    val ann = new graft.engine.AnnIndex(spark, cat)
+    ann.train("tomb_test", "emb", cells = 2)
+    val model0 = ann.modelOf("tomb_test", "emb")
+    // pre-merge: the layout holds both copies, and both occupy slots
+    val pre = ann.knn("tomb_test", "emb", Array(1.0f, 0.0f, 0.0f, 0.0f),
+      k = 10, nProbe = 2).collect().map(_.getString(1))
+    assert(pre.count(_.contains("\"title\":\"dup\"")) == 2,
+      s"fixture sanity — duplicate copies both serve pre-merge: ${pre.mkString("; ")}")
+    cli.Main.run(Array("merge", "tomb_test", "--dedup"), spark, cat, root)
+    assert(ann.modelOf("tomb_test", "emb") == model0,
+      "dedup-sync must NOT retrain (same model dir)")
+    assert(ann.tombOf("tomb_test", "emb").isDefined,
+      "a tombstone set is published")
+    val post = ann.knn("tomb_test", "emb", Array(1.0f, 0.0f, 0.0f, 0.0f),
+      k = 10, nProbe = 2).collect().map(_.getString(1))
+    assert(post.count(_.contains("\"title\":\"dup\"")) == 1,
+      s"the surviving copy serves exactly once: ${post.mkString("; ")}")
+    assert(post.length == 4, s"all four distinct docs serve: ${post.length}")
+    // coverage swapped to the produced split: a refresh after new data
+    // succeeds instead of failing to a full retrain
+    val in3 = Files.createTempFile("tomb3", ".jsonl")
+    Files.write(in3, doc("d", Seq(0.5, 0.5, 0.0, 0.0)).getBytes("UTF-8"))
+    cli.Main.run(Array("index", "tomb_test", in3.toString), spark, cat, root)
+    val (ns, nv) = ann.refresh("tomb_test", "emb")
+    assert(ns == 1 && nv == 1L, s"post-dedup refresh covers the new split: $ns/$nv")
+    // the fold turns the logical deletes physical and clears tomb=
+    ann.compactEpochs("tomb_test", "emb")
+    assert(ann.tombOf("tomb_test", "emb").isEmpty, "compact folds tombstones away")
+    val folded = ann.knn("tomb_test", "emb", Array(1.0f, 0.0f, 0.0f, 0.0f),
+      k = 10, nProbe = 2).collect().map(_.getString(1))
+    assert(folded.count(_.contains("\"title\":\"dup\"")) == 1 &&
+      folded.length == 5, s"folded layout serves 5 docs once each: ${folded.mkString("; ")}")
+  }
+
   test("train + knn: vector serving over an embedding field, brute and IVF agree") {
     val root = Files.createTempDirectory("graft-cli-knn").toString
     val cat = new Catalog(root)
