@@ -63,20 +63,91 @@ object BenchDiff {
     }
   }
 
+  final case class Mover(q: String, wb: Double, wa: Double, wr: Double,
+      cr: Double, cls: String)
+
   def main(args: Array[String]): Unit = {
-    require(args.length == 2,
-      "usage: BenchDiff <before.json> <after.json>")
-    val before = load(args(0))
-    val after = load(args(1))
+    require(args.length >= 2,
+      "usage: BenchDiff <before.json> [more-baselines.json ...] <after.json>\n" +
+        "  2 artifacts: the classic pairwise adjudication\n" +
+        "  3+ artifacts: the LAST is the candidate; every earlier one is an\n" +
+        "  independent baseline, and only convictions that hold against ALL\n" +
+        "  baselines report as STABLE (single-pair convictions on a noisy\n" +
+        "  box are exactly the flap this mode exists to silence)")
+    if (args.length == 2) { pairwise(load(args(0)), load(args(1))); return }
+    // conviction-stability mode (r15 verdict #7): the r14/r15 artifact
+    // pair convicted differently depending on which adjacent run was
+    // picked — a real regression must hold against EVERY baseline.
+    val after = load(args.last)
+    val baselines = args.dropRight(1).map(load).toSeq
+    println(s"candidate: ${after.label} (${after.wall.size} queries)")
+    println(s"baselines: ${baselines.size}")
+    val perPair = baselines.map { b =>
+      val (regs, movers) = classify(b, after)
+      println(s"  vs ${b.label}: ${regs.size} conviction(s)" +
+        (if (regs.nonEmpty) s" — ${regs.toList.sorted.mkString(", ")}" else "") +
+        s"; ${movers.length - regs.size} environment/noise mover(s)")
+      regs
+    }
+    val stable = perPair.reduce(_ & _)
+    val flappy = perPair.reduce(_ | _) -- stable
+    if (flappy.nonEmpty)
+      println(s"unstable (convicted in SOME pairs only — box noise, not " +
+        s"code): ${flappy.toList.sorted.mkString(", ")}")
+    if (stable.isEmpty)
+      println("verdict: zero STABLE convictions — nothing regresses " +
+        "against every baseline")
+    else {
+      println(s"verdict: ${stable.size} STABLE conviction(s) — regression " +
+        "holds against every baseline:")
+      stable.toList.sorted.foreach { q =>
+        val cols = baselines.map(b => f"${b.cpu.getOrElse(q, Double.NaN)}%.2f")
+        println(f"  $q%-32s cpu ${cols.mkString(" / ")} -> " +
+          f"${after.cpu.getOrElse(q, Double.NaN)}%.2f s")
+      }
+    }
+  }
+
+  /** One pairwise adjudication, silent — returns (convicted query set,
+    * all movers) for the stability intersection. */
+  private def classify(before: Run, after: Run): (Set[String], Seq[Mover]) = {
+    val movers = moversOf(before, after)._1
+    (movers.filter(_.cls.startsWith("REGRESSION")).map(_.q).toSet, movers)
+  }
+
+  private def pairwise(before: Run, after: Run): Unit = {
+    val (movers, summary) = moversOf(before, after)
+    println(s"before: ${before.label} (${before.wall.size} queries)")
+    println(s"after:  ${after.label} (${after.wall.size} queries)")
+    summary.foreach(println)
+
+    if (movers.isEmpty) println("movers: none above the 1.4x gate — clean")
+    else {
+      println(f"${"query"}%-32s ${"wall"}%14s ${"ratio"}%7s ${"cpu-r"}%7s  class")
+      movers.foreach { m =>
+        val cpuS = if (m.cr.isNaN) "    --" else f"${m.cr}%6.2fx"
+        println(f"${m.q}%-32s ${m.wb}%6.2f\u2192${m.wa}%5.2fs ${m.wr}%6.2fx $cpuS  ${m.cls}")
+      }
+    }
+    val regs = movers.count(_.cls.startsWith("REGRESSION"))
+    val nCommon = (before.wall.keySet & after.wall.keySet).size
+    println(s"verdict: $regs regression(s), " +
+      s"${movers.length - regs} environment/noise mover(s), " +
+      s"${nCommon - movers.length} stable")
+  }
+
+  /** The SURVEY §11 rule as a pure function: movers + the human-facing
+    * summary lines, shared by the pairwise and conviction-stability
+    * modes so the thresholds cannot drift between them. */
+  private def moversOf(before: Run, after: Run): (Seq[Mover], Seq[String]) = {
     val common = (before.wall.keySet & after.wall.keySet).toList.sorted
     require(common.nonEmpty, "no common queries between the two runs")
     val haveCpu = common.forall(q =>
       before.cpu.contains(q) && after.cpu.contains(q))
-    println(s"before: ${before.label} (${before.wall.size} queries)")
-    println(s"after:  ${after.label} (${after.wall.size} queries)")
-    println(s"common: ${common.size} queries; cpu column: " +
-      (if (haveCpu) "both runs" else "MISSING in at least one — " +
-        "wall-only mode, nothing can be convicted as a regression"))
+    val summary = scala.collection.mutable.ArrayBuffer[String](
+      s"common: ${common.size} queries; cpu column: " +
+        (if (haveCpu) "both runs" else "MISSING in at least one — " +
+          "wall-only mode, nothing can be convicted as a regression"))
 
     def ratio(a: Double, b: Double): Double =
       if (a <= 0.0) Double.NaN else b / a
@@ -90,8 +161,8 @@ object BenchDiff {
     else Map.empty[String, Double]
     val medWall = median(common.map(wallR))
     val medCpu = if (haveCpu) median(common.map(cpuR)) else Double.NaN
-    println(f"median ratios: wall ${medWall}%.2fx" +
-      (if (haveCpu) f", cpu ${medCpu}%.2fx" else ""))
+    summary += f"median ratios: wall ${medWall}%.2fx" +
+      (if (haveCpu) f", cpu ${medCpu}%.2fx" else "")
 
     // global verdict first: a uniform multiplier is environment, not code
     val uniformCut = 1.2
@@ -105,10 +176,8 @@ object BenchDiff {
           (if (haveCpu) ")" else " evidence unavailable)")
       else "comparable environments (no uniform multiplier)"
     val uniformEnv = !globalVerdict.startsWith("comparable")
-    println(s"global: $globalVerdict")
+    summary += s"global: $globalVerdict"
 
-    final case class Mover(q: String, wb: Double, wa: Double, wr: Double,
-        cr: Double, cls: String)
     val trivial = 0.2
     val movers = common.flatMap { q =>
       val (wb, wa) = (before.wall(q), after.wall(q))
@@ -134,18 +203,6 @@ object BenchDiff {
         else None
       cls.map(c => Mover(q, wb, wa, wr, cr, c))
     }.sortBy(m => (-(if (m.cls.startsWith("REGRESSION")) 1 else 0), -m.wr))
-
-    if (movers.isEmpty) println("movers: none above the 1.4x gate — clean")
-    else {
-      println(f"${"query"}%-32s ${"wall"}%14s ${"ratio"}%7s ${"cpu-r"}%7s  class")
-      movers.foreach { m =>
-        val cpuS = if (m.cr.isNaN) "    --" else f"${m.cr}%6.2fx"
-        println(f"${m.q}%-32s ${m.wb}%6.2f→${m.wa}%5.2fs ${m.wr}%6.2fx $cpuS  ${m.cls}")
-      }
-    }
-    val regs = movers.count(_.cls.startsWith("REGRESSION"))
-    println(s"verdict: $regs regression(s), " +
-      s"${movers.length - regs} environment/noise mover(s), " +
-      s"${common.size - movers.length} stable")
+    (movers, summary.toSeq)
   }
 }

@@ -1398,6 +1398,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(sides.toSeq == Seq("test", "train"), sides.mkString(","))
   }
 
+  test("BenchDiff conviction-stability: a regression holding against EVERY " +
+      "baseline reports STABLE; a single-pair conviction is silenced") {
+    import java.nio.file.Files
+    def art(vals: Map[String, Double]): String = {
+      val qs = vals.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+      val cs = vals.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+      val p = Files.createTempFile("bench", ".json")
+      Files.write(p,
+        s"""{"metric":"t","value":1,"queries":{$qs},"cpu":{$cs}}"""
+          .getBytes("UTF-8"))
+      p.toString
+    }
+    val fill = (1 to 6).map(i => s"q$i" -> 1.0).toMap
+    // q_bad regresses vs BOTH baselines; q_flap only vs baseline A
+    // (baseline B already ran slow — the box-noise signature)
+    val baseA = art(fill + ("q_bad" -> 1.0) + ("q_flap" -> 1.0))
+    val baseB = art(fill + ("q_bad" -> 1.0) + ("q_flap" -> 3.0))
+    val cand = art(fill + ("q_bad" -> 3.0) + ("q_flap" -> 3.0))
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      graft.tools.BenchDiff.main(Array(baseA, baseB, cand))
+    }
+    val text = out.toString("UTF-8")
+    assert(text.contains("1 STABLE conviction(s)"), text)
+    assert(text.linesIterator.exists(l =>
+      l.contains("q_bad") && !l.contains("unstable")), text)
+    assert(text.contains("unstable") && text.contains("q_flap"), text)
+    // and all-noise artifacts report zero stable convictions
+    val out2 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out2, true, "UTF-8")) {
+      graft.tools.BenchDiff.main(Array(baseA, baseB,
+        art(fill + ("q_bad" -> 1.0) + ("q_flap" -> 3.0))))
+    }
+    assert(out2.toString("UTF-8").contains("zero STABLE convictions"),
+      out2.toString("UTF-8"))
+  }
+
   test("assignFit / assignSkew: integer ppm drift statistics are exact") {
     import spark.implicits._
     val cents = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
