@@ -470,45 +470,58 @@ object Ann {
     require(codewords > 0 && iterations >= 0,
       s"need codewords > 0 (got $codewords), iterations >= 0 (got $iterations)")
     val sp = vecs.sparkSession
-    import sp.implicits._
     val dim = vecs.select(size(col("v"))).head().getInt(0)
     require(dim % numSubspaces == 0,
       s"dim $dim must split evenly into $numSubspaces subspaces")
     val subDim = dim / numSubspaces
-    // one narrow pass: (vid, s, fs) fixed-point subvector rows
-    val sub = vecs.select(col("vid"),
+    // one narrow snapshot: the float vector (feeds the tight-loop
+    // pq_encode assignment kernel) + its fixed-point form (feeds the
+    // integer mean update) — pq_encode's internal round(x·10⁶)
+    // HALF_UP is the SAME fixed point, the equality the gated knn_pq
+    // oracle already pins
+    val fx = vecs.select(col("vid"), col("v"),
         expr("transform(v, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0D) AS BIGINT))")
           .as("f"))
-      .select(col("vid"), posexplode(expr(
-        s"transform(sequence(0, ${numSubspaces - 1}), " +
-          s"s -> slice(f, s * $subDim + 1, $subDim))")).as(Seq("s", "fs")))
       .localCheckpoint(eager = false)
     val seedVids = vecs.select(col("vid")).where(col("vid") >= seedLo)
       .dropDuplicates("vid").orderBy(col("vid")).limit(codewords)
-    var cents: Seq[(Int, Long, Seq[Long])] = sub
+    var cents: Seq[(Int, Long, Seq[Long])] = fx
       .join(broadcast(seedVids), "vid")
+      .select(col("vid"), posexplode(expr(
+        s"transform(sequence(0, ${numSubspaces - 1}), " +
+          s"s -> slice(f, s * $subDim + 1, $subDim))")).as(Seq("s", "fs")))
       .select(col("s"), col("vid").as("cid"), col("fs"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2))).toSeq
     require(cents.nonEmpty, "pq training needs at least one seed vector")
     for (_ <- 1 to iterations) {
-      val cdf = cents.toDF("s", "cid", "cfs")
-      val upd = sub.join(broadcast(cdf), "s")
-        .withColumn("dist", aggregate(
-          zip_with(col("fs"), col("cfs"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x))
-        .groupBy(col("vid"), col("s"))
-        // cid is unique per (vid, s) group, so (dist, cid) is a total
-        // order and the argmin is exact — [[pq_encode]]'s tie rule
-        .agg(min_by(struct(col("cid"), col("fs")),
-          struct(col("dist"), col("cid"))).as("m"))
-        .select(col("s"), col("m.cid").as("cid"),
-          posexplode(col("m.fs")).as(Seq("d", "q")))
-        .groupBy("s", "cid", "d")
+      // positional codebooks per subspace, ascending cid — so
+      // pq_encode's argmin tie rule (smaller position) IS the oracle's
+      // (dist asc, cid asc). Assignment is ONE tight-loop kernel pass
+      // over the corpus (the r16 first cut joined n·m subvector rows
+      // against all m·C codewords with interpreted HOF lambdas —
+      // 12× the whole query's runtime at sf0.1).
+      val bySub: Array[Array[(Long, Seq[Long])]] = {
+        val g = cents.groupBy(_._1)
+        (0 until numSubspaces).map(s =>
+          g.getOrElse(s, Seq.empty).map(t => (t._2, t._3))
+            .sortBy(_._1).toArray).toArray
+      }
+      require(bySub.forall(_.nonEmpty),
+        "a subspace lost every codeword — corpus degenerate for pq")
+      val cb: graft.exprs.Pq.Codebooks = bySub.map(_.map(_._2).toSeq).toSeq
+      val upd = fx
+        .withColumn("codes", graft.exprs.Pq.pq_encode(col("v"), cb))
+        .where(col("codes").isNotNull)
+        .select(col("f"), posexplode(col("codes")).as(Seq("s", "p")))
+        .select(col("s"), col("p"),
+          posexplode(expr(s"slice(f, s * $subDim + 1, $subDim)"))
+            .as(Seq("d", "q")))
+        .groupBy("s", "p", "d")
         .agg(expr("sum(q) div count(1)").as("cq"))
         .collect().map(r =>
-          (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3)))
-      cents = upd.groupBy(t => (t._1, t._2)).toSeq.map { case ((s, cid), rows) =>
-        (s, cid, rows.sortBy(_._3).map(_._4).toSeq)
+          (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      cents = upd.groupBy(t => (t._1, t._2)).toSeq.map { case ((s, p), rows) =>
+        (s, bySub(s)(p)._1, rows.sortBy(_._3).map(_._4).toSeq)
       }
     }
     cents.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, cws) =>
