@@ -253,6 +253,20 @@ object Main {
               println(s"ann '$f': $cells cell(s), spill=$spill$tier, " +
                 s"trained at gen $gen ($stale); $tot row(s), " +
                 s"largest cell $mx, $span$fileNote")
+              // drift + tombstone state (r16): the operator's retrain
+              // signals without reading META by hand
+              ann.driftPpm(name, f).foreach(d =>
+                println(s"ann '$f': drift $d ppm below the post-train fit " +
+                  "anchor (positive = the stream shifted; " +
+                  "--ann-retrain-threshold triggers on this)"))
+              ann.tombOf(name, f).foreach { td =>
+                val n = spark.read.parquet(
+                  s"${cat.catalogRoot}/indexes/$name/ann/$f/tombstones/$td")
+                  .count()
+                println(s"ann '$f': $n tombstoned row(s) from a --dedup " +
+                  "merge (anti-joined at serve; train --compact folds " +
+                  "them physical)")
+              }
           }
           val (ah, am, an) = graft.engine.AnnIndex.servingCacheStats
           if (ah + am > 0)

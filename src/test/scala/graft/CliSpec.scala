@@ -455,6 +455,13 @@ class CliSpec extends AnyFunSuite {
       "dedup-sync must NOT retrain (same model dir)")
     assert(ann.tombOf("tomb_test", "emb").isDefined,
       "a tombstone set is published")
+    // the operator sees the tombstone state without reading META by hand
+    val outS = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(outS, true, "UTF-8")) {
+      cli.Main.run(Array("stats", "tomb_test", "--ann", "emb"), spark, cat, root)
+    }
+    assert(outS.toString("UTF-8").contains("1 tombstoned row(s)"),
+      s"stats --ann surfaces the tombstone count:\n${outS.toString("UTF-8")}")
     val post = ann.knn("tomb_test", "emb", Array(1.0f, 0.0f, 0.0f, 0.0f),
       k = 10, nProbe = 2).collect().map(_.getString(1))
     assert(post.count(_.contains("\"title\":\"dup\"")) == 1,
