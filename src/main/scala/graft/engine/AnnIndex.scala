@@ -874,6 +874,12 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
         .select(col("__epoch"), col("__rid"))
       val cnt = losers.count()
       val newCovered = covered.diff(consumed) + produced.id
+      // tombstones are serve-time BROADCAST state (two longs per retired
+      // row — ~16 MB per million deletes), so the sidecar is deliberately
+      // small-file-shaped (coalesce(1)); when a dedup retires a large
+      // fraction of the corpus, `train --compact` (fold the deletes
+      // physical) or a retrain is the right tool, and stats --ann shows
+      // the count to decide with
       val tname =
         if (cnt == 0) None
         else {
@@ -1160,6 +1166,11 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
         // moment k matches surface, and the whole loop is bounded by
         // log2(nlist) rounds. Unfiltered queries never pay any of this.
         if (pred.isDefined && ranked.nonEmpty) {
+          // the sufficiency probe is a COLUMN-PRUNED count (ids + the
+          // filter's own columns reach the scan; vectors and stored
+          // docs do not), so a filtered query pays one cheap extra
+          // pass over its probed cells' metadata — not a second serve
+          // scan — and an unfiltered query pays nothing at all
           def enough(df: DataFrame): Boolean = {
             val distinct = if (m.exists(_._3 > 1))
               df.select(col("__epoch"), col("__rid"))
@@ -1337,7 +1348,12 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     * (`qid`, `qv` float/double array) in ONE pass over the trained
     * layout — the batch-retrieval shape a training pipeline runs
     * (hard-negative mining, dataset linking, eval sweeps), where
-    * per-query driver round-trips would dominate. The single-query
+    * per-query driver round-trips would dominate. Filtered batch
+    * queries keep their FIXED nprobe (per-qid probe escalation would
+    * turn the one shared partition-pruned scan into query-count
+    * scans); a batch caller sizes nprobe/rerank to its filter's
+    * selectivity, or routes very selective filters through the
+    * single-query face, which auto-escalates. The single-query
     * [[knn]] stages generalize columnar:
     *
     *  - probe assignment is the map-only [[graft.exprs.NearestCells]]
