@@ -19,6 +19,40 @@ class PropertySpec extends AnyFunSuite {
     assert(res.passed, s"$name failed: ${res.status}")
   }
 
+  test("Sq8CosKey evaluates exactly (mq + Σc·w) / sqrt(Σ(a+c·b)²) — the " +
+      "kernel's fused loop against an independent reference") {
+    val gen = for {
+      n <- Gen.choose(1, 64)
+      code <- Gen.listOfN(n, Gen.choose(0, 255))
+      qw <- Gen.listOfN(n, Gen.choose(-2000000L, 2000000L))
+      a <- Gen.listOfN(n, Gen.choose(-5000L, 5000L))
+      b <- Gen.listOfN(n, Gen.choose(0L, 50L))
+      mq <- Gen.choose(-4000000000L, 4000000000L)
+    } yield (code, qw, a, b, mq)
+    check("sq8 cos key")(Prop.forAll(gen) { case (code, qw, a, b, mq) =>
+      val expr = graft.exprs.Sq8CosKey(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          code.toArray, org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.IntegerType)),
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          qw.toArray, org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType)),
+        org.apache.spark.sql.catalyst.expressions.Literal(mq),
+        a.toArray, b.toArray)
+      val got = expr.eval(null).asInstanceOf[Double]
+      val dot = code.zip(qw).map { case (c, w) => c.toLong * w }.sum
+      val den = code.zip(a.zip(b)).map { case (c, (ai, bi)) =>
+        val r = ai + c.toLong * bi; r * r
+      }.sum
+      val want =
+        if (den == 0L) -Double.MaxValue
+        else (mq + dot).toDouble / math.sqrt(den.toDouble)
+      // bit-exact: the kernel and the reference perform the identical
+      // integer sums and ONE IEEE division + sqrt
+      java.lang.Double.compare(got, want) == 0
+    })
+  }
+
   test("EpochShuffle.shardCount is exactly max(1, ceil(total/target))") {
     check("shardCount ceil law")(Prop.forAll(
       Gen.chooseNum(0L, 1000000000000L), Gen.chooseNum(1L, 1000000000L)) {
