@@ -232,14 +232,35 @@ object Ann {
     * trigger thresholds on fit.) corpus: (vid, v); centroids:
     * (cid, cv). Output: ONE row (n, fit_ppm). */
   def assignFit(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val cents = broadcast(centroids)
-    val asg = cellAssign(corpus, cents, "vid", "v", maxRank = 1,
-      carry = Seq("v"))
-    asg.join(cents, asg("cell") === cents("cid"))
-      .select(floor(cosine(col("v"), col("cv")) * lit(1000000.0))
+    // map-only nearest-cell argmax (the ProbeAssign lesson: the n×k
+    // window form is 80× this at n=200k — this runs in the refresh hot
+    // path, so the kernel matters), then ONE cosine per row against
+    // the re-joined tiny centroid table
+    val asg = assignOne(corpus, centroids)
+    asg.select(floor(cosine(col("v"), col("cv")) * lit(1000000.0))
         .cast("bigint").as("q"))
       .agg(count(col("q")).as("n"),
         expr("sum(q) div count(q)").as("fit_ppm"))
+  }
+
+  /** Shared map-only single-cell assignment: (vid, v, cell, cv) via the
+    * broadcast-fed [[graft.exprs.NearestCells]] argmax. */
+  private def assignOne(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val sp = corpus.sparkSession
+    val centArr = centroids
+      .select(col("cid").cast("long"),
+        col("cv").cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val bc = sp.sparkContext.broadcast(centArr)
+    corpus
+      .withColumn("cell", element_at(
+        graft.exprs.NearestCells.nearest_cells(col("v"), bc, 1), 1))
+      .where(col("cell").isNotNull)
+      .join(broadcast(centroids.select(col("cid").as("cell"),
+        col("cv").cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)).as("cv"))), "cell")
   }
 
   /** Assignment SKEW of a vector cohort under a centroid table: the
@@ -254,8 +275,7 @@ object Ann {
     * integer arithmetic end-to-end. corpus: (vid, v); centroids:
     * (cid, cv). Output: ONE row (n, top_share_ppm, occupied). */
   def assignSkew(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val asg = cellAssign(corpus, broadcast(centroids), "vid", "v",
-      maxRank = 1, carry = Nil)
+    val asg = assignOne(corpus, centroids)
     asg.groupBy(col("cell")).agg(count(lit(1)).as("c"))
       .agg(sum(col("c")).as("n"), max(col("c")).as("top"),
         count(lit(1)).as("occupied"))
