@@ -804,12 +804,25 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
 
   /** Serve-time tombstone exclusion: anti-join the (tiny — ∝ deletes,
     * broadcast) retired-row set against a trained-layout scan. A
-    * tomb-less META costs exactly nothing. */
+    * tomb-less META costs exactly nothing; a tombstoned one reads the
+    * sidecar ONCE per directory name — tombstone dirs are immutable
+    * (every publish writes a fresh `t<tick>-<uuid>` name), so the
+    * process-wide LRU can never serve a stale set, and per-query
+    * small-file GETs (the refetch-storm class the serving-model and
+    * digest caches exist for) never happen. */
   private def antiTomb(root: HPath, mm: Map[String, String])(
       df: DataFrame): DataFrame =
     mm.get("tomb").fold(df) { td =>
-      df.join(broadcast(spark.read.parquet(
-          new HPath(root, s"tombstones/$td").toString)),
+      val key = new HPath(root, s"tombstones/$td").toString
+      val rows = Option(AnnIndex.tombCache.get(key)).getOrElse {
+        val r = spark.read.parquet(key)
+          .select(col("__epoch").cast("long"), col("__rid").cast("long"))
+          .collect().map(x => (x.getLong(0), x.getLong(1)))
+        AnnIndex.tombCache.put(key, r)
+        r
+      }
+      import spark.implicits._
+      df.join(broadcast(rows.toSeq.toDF("__epoch", "__rid")),
         Seq("__epoch", "__rid"), "left_anti")
     }
 
@@ -1533,6 +1546,18 @@ object AnnIndex {
       })
   private[engine] val servingHits = new java.util.concurrent.atomic.AtomicLong()
   private[engine] val servingMisses = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Collected tombstone sets by immutable sidecar path — see
+    * [[AnnIndex.antiTomb]]. Bounded small: one live entry per
+    * (index, field) in steady state (a new publish retires the old
+    * name). */
+  private[engine] val tombCache: java.util.Map[String, Array[(Long, Long)]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Array[(Long, Long)]](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Array[(Long, Long)]]): Boolean =
+          size() > 32
+      })
 
   /** (hits, misses, residentModels) of the serving-model cache — a MISS
     * is a centroids/ (+ codebooks/) parquet read + collect, the
