@@ -2155,11 +2155,14 @@ object PipelineQueries {
     * probe scaladocs. One row per query: (qid, hits ∈ [0,5]).
     *
     * Measured (2026-08-15, oracle-exact at both scales, r16 TRAINED
-    * codebooks): recall@5 0.96 at sf0.01 (n=500, nlist=23, nprobe=10)
-    * and 0.90 at sf0.1 (n=5000, nlist=71, nprobe=18) — up from
+    * codebooks): recall@5 0.96 at sf0.01 and 0.90 at sf0.1 — up from
     * 0.94/0.82 on the pre-r16 16-seed codebooks, now at the SQ8 row's
     * 0.96/0.91 level: training the subquantizer removed the PQ
-    * tier's codebook ceiling. */
+    * tier's codebook ceiling. Declared bench cost: the in-query
+    * training (2 integer k-means rounds through the pq_encode kernel)
+    * adds ~2 s at sf0.1 — the price of re-gating the trained
+    * construction in CORRECTNESS every round rather than only at
+    * train time. */
   val knn_serving_recall: Q = (s, dir) => {
     val e = corpus(s, dir)
     val n = e.count()
