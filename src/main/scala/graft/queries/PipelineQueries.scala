@@ -2049,6 +2049,42 @@ object PipelineQueries {
       .orderBy(col("qid"))
   }
 
+  /** The DRIFT STATISTICS under the oracle — [[graft.ops.Ann.assignFit]]
+    * (mean nearest-centroid cosine, per-row ⌊cos·10⁶⌋ then the
+    * truncating integer mean) and [[graft.ops.Ann.assignSkew]]
+    * (hot-cell share in ppm + occupied cells), computed for the train
+    * cohort and the dimension-reversed shifted cohort against the
+    * SAME frozen quantizer [[knn_refresh_drift]] trains. These are the
+    * numbers the `--ann-retrain-threshold` streaming policy compares,
+    * so their integer arithmetic is CORRECTNESS-gated at both scale
+    * factors, not only spec-pinned. Two rows:
+    * (cohort, n, fit_ppm, top_share_ppm, occupied). */
+  val pipe_ann_drift: Q = (s, dir) => {
+    val a = corpus(s, dir).select(col("vid"), col("v"))
+    val b = a.select((col("vid") + lit(100000L)).as("vid"),
+      reverse(col("v")).as("v"))
+    val n = a.count()
+    val nlist = math.ceil(math.sqrt(n.toDouble)).toLong
+    val frozen = Ann.kmeansTrain(a,
+        a.where(col("vid") >= 20 && col("vid") < 20 + nlist)
+          .select(col("vid").as("cid"), col("v").as("cv")),
+        iterations = 3)
+      .where(col("iter") === 3)
+      .groupBy(col("cell"))
+      .agg(sort_array(collect_list(struct(col("d"), col("cq")))).as("ds"))
+      .select(col("cell").as("cid"),
+        expr("transform(ds, x -> CAST(CAST(x.cq AS DOUBLE) / 1000000.0 AS FLOAT))")
+          .as("cv"))
+    def statsOf(cohort: String, df: org.apache.spark.sql.DataFrame) =
+      Ann.assignFit(df, frozen)
+        .crossJoin(Ann.assignSkew(df, frozen)
+          .select(col("top_share_ppm"), col("occupied")))
+        .select(lit(cohort).as("cohort"), col("n"), col("fit_ppm"),
+          col("top_share_ppm"), col("occupied"))
+    statsOf("shifted", b).unionAll(statsOf("train", a))
+      .orderBy(col("cohort"))
+  }
+
   /** [[trainedCentroidsK]] over the norm-adversarial SCALED corpus —
     * the `knn_serving_recall_sq8_norms` fixture trains its coarse
     * quantizer on the same vectors it serves (scale-consistency: a
@@ -2331,6 +2367,7 @@ object PipelineQueries {
     "knn_serving_recall_sq8" -> knn_serving_recall_sq8,
     "knn_serving_recall_sq8_norms" -> knn_serving_recall_sq8_norms,
     "knn_refresh_drift" -> knn_refresh_drift,
+    "pipe_ann_drift" -> pipe_ann_drift,
     "knn_serving_recall_filtered" -> knn_serving_recall_filtered,
     "pipe_cluster_balance" -> pipe_cluster_balance,
     "pipe_kmeans_step" -> pipe_kmeans_step,
@@ -4765,6 +4802,53 @@ object PipelineQueries {
          |LEFT JOIN hr ON hr.qid = q.vec_id
          |WHERE q.vec_id < 100020
          |ORDER BY qid""".stripMargin,
+    // the drift statistics replayed: frozen chain over cohort A, both
+    // cohorts assigned (cosine argmax, ties by cid), per-row
+    // floor(cos*1e6) then truncating integer mean; skew = hot-cell
+    // share ppm + occupied cells
+    "pipe_ann_drift" ->
+      s"""WITH emba AS (SELECT vec_id, embedding FROM embeddings),
+         |embb AS (
+         |  SELECT vec_id + 100000 AS vec_id, list_reverse(embedding) AS embedding
+         |  FROM embeddings),
+         |sz AS (
+         |  SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS nlist FROM emba),
+         |kcf0 AS (
+         |  SELECT vec_id AS cid, embedding AS cv FROM emba, sz
+         |  WHERE vec_id >= 20 AND vec_id < 20 + sz.nlist),
+         |${kmeansIterSql(1, "emba", "f")},
+         |${kmeansIterSql(2, "emba", "f")},
+         |${kmeansIterSql(3, "emba", "f")},
+         |cohorts AS (
+         |  SELECT 'train' AS cohort, vec_id, embedding FROM emba
+         |  UNION ALL
+         |  SELECT 'shifted' AS cohort, vec_id, embedding FROM embb),
+         |asg AS (
+         |  SELECT cohort, vec_id, cell,
+         |    CAST(floor(cos * 1000000.0) AS BIGINT) AS q
+         |  FROM (
+         |    SELECT e.cohort, e.vec_id, c.cid AS cell,
+         |      list_cosine_similarity(e.embedding, c.cv) AS cos,
+         |      row_number() OVER (PARTITION BY e.cohort, e.vec_id
+         |        ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cid ASC) AS crn
+         |    FROM cohorts e CROSS JOIN kcf3 c)
+         |  WHERE crn = 1),
+         |fit AS (
+         |  SELECT cohort, count(*) AS n,
+         |    CAST(sum(q) AS BIGINT) // count(*) AS fit_ppm
+         |  FROM asg GROUP BY cohort),
+         |cellc AS (
+         |  SELECT cohort, cell, count(*) AS c FROM asg GROUP BY cohort, cell),
+         |skew AS (
+         |  SELECT cohort,
+         |    (CAST(max(c) AS BIGINT) * 1000000) // CAST(sum(c) AS BIGINT)
+         |      AS top_share_ppm,
+         |    count(*) AS occupied
+         |  FROM cellc GROUP BY cohort)
+         |SELECT f.cohort, CAST(f.n AS BIGINT) AS n, f.fit_ppm,
+         |  s2.top_share_ppm, CAST(s2.occupied AS BIGINT) AS occupied
+         |FROM fit f JOIN skew s2 ON s2.cohort = f.cohort
+         |ORDER BY f.cohort""".stripMargin,
     // the NORM-ADVERSARIAL sq8 serving twin: corpus scaled by
     // (vec_id % 10 + 1), shortlist cut on the normalized key
     // (2^24-scale integer numerator mq + idot over the sqrt of the

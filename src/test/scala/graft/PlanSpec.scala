@@ -446,6 +446,7 @@ class PlanSpec extends AnyFunSuite {
       "knn_serving_recall_filtered" -> "the sq8 serving harness with a label pre-filter; truth arm is a filtered knn_brute",
       "knn_serving_recall_sq8_norms" -> "the sq8 serving harness on the 10x norm-spread fixture with the normalized (reconstructed-cosine) shortlist key; same knn_brute truth + ab 1-row scalar attach",
       "knn_refresh_drift" -> "frozen-vs-retrained lifecycle gate: knn_brute truth over the A+B union with a 20-query broadcast side (same declared shape as every serving-recall row)",
+      "pipe_ann_drift" -> "two 1-row drift-statistic scalars (assignFit x assignSkew) cross-joined per cohort — bounded at 1x1",
       "pipe_kmeans_step" -> "corpus x k broadcast centroid assignment",
       "knn_cell" -> "centroid assignment, k-bounded broadcast side",
       "knn_ivf" -> "centroid assignment + nprobe cut, broadcast side",
