@@ -18,21 +18,28 @@ import graft.ops.Ann
   * labels 0–4, refresh 5–9 — unseen clusters); (b) dimension-REVERSED
   * refresh cohort (cluster structure permuted); (c) no shift (control).
   *
-  * Measured (sf0.01, 2026-08-15 — the numbers that shaped the r16
-  * drift gate):
-  *  - recall on this synthetic corpus is largely INSENSITIVE to frozen
-  *    centroids (shifted-cohort members keep assigning CONSISTENTLY —
-  *    a whole unseen cluster lands in one legacy cell, so its queries
-  *    still find it): label-shift frozen 0.55 vs retrained 0.57,
-  *    reversed 0.58 vs 0.56, control 0.57 vs 0.57. Recall drift is a
-  *    boundary-straddling effect, not guaranteed by shift alone.
-  *  - FIT moves decisively under the same shifts: control cohort fit
-  *    ≈ train fit; the reversed cohort's fit under frozen centroids
-  *    drops by hundreds of thousands of ppm and recovers under
-  *    retrain. Fit is the reliable, cheap (one batch-sized pass)
-  *    drift signal — hence the trigger thresholds on FIT, and the
-  *    registry row `knn_refresh_drift` gates both measurements
-  *    oracle-exactly so the relation stays pinned at both sfs.
+  * Measured (sf0.01, 2026-08-15, query-disjoint seeds — the numbers
+  * that shaped the r16 drift gate; an earlier cut seeded the retrained
+  * arm WITH the query vectors and faked a 0.84 "recovery", the
+  * ProbeKnnDiag contamination class):
+  *  - recall at this size is INSENSITIVE to frozen centroids
+  *    (shifted-cohort members keep assigning CONSISTENTLY — a whole
+  *    unseen cluster lands in one legacy cell, so its queries still
+  *    find it): label-shift frozen 0.51 vs retrained 0.55, reversed
+  *    0.51 vs 0.50, control 0.52 vs 0.59 — all within the flap.
+  *    Recall drift appears only once the cell cut bites
+  *    (knn_refresh_drift at sf0.1: 0.42 frozen vs 0.53 retrained).
+  *  - in-sample vs out-of-sample FIT dominates everything: the
+  *    train-half fit reads ~190k ppm ABOVE any fresh cohort's — shift
+  *    or no shift (label-shift 428k/235k, control 427k/239k) — so a
+  *    trigger anchored on the TRAIN-time fit would false-fire on
+  *    every stream. Out-of-sample batch fits are mutually stable
+  *    (235k vs 239k), hence the policy anchors on the FIRST refresh
+  *    batch. On this near-isotropic corpus neither fit nor cell-skew
+  *    separates the shifted cohort from control at sf0.01; at sf0.1
+  *    the reversed cohort reads a real 76k-ppm drop (pipe_ann_drift,
+  *    oracle-gated), and on genuinely clustered data the signal is
+  *    decisive (StatefulStreamingSpec's planted-cluster gate).
   *
   * Run: runMain graft.tools.ProbeDrift [sfDir]
   */
