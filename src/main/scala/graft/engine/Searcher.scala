@@ -42,7 +42,13 @@ import graft.query.{Ast, FieldBounds, Occur, QueryCompiler, QueryParser, TimeBou
   *    and `vacuum --before-gen` reclaims retained splits later. */
 final case class SearchRequest(query: String, limit: Int = 1,
     fields: Option[List[String]] = None, scored: Boolean = true,
-    asOfGen: Option[Long] = None, postFilter: Option[String] = None)
+    asOfGen: Option[Long] = None,
+    /** Pure-filter-context predicate (same grammar as `query`): gates
+      * the matched set as a row predicate but never scores — split
+      * pruning and BM25 corpus stats derive from `query` alone, so the
+      * result is the filtered prefix of the unfiltered ranking. The
+      * `knn --hybrid-text --filter` text arm rides this. */
+    postFilter: Option[String] = None)
 
 final class Searcher(spark: SparkSession, catalog: Catalog) {
 
