@@ -291,8 +291,28 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     // --cells above ~8.4M would otherwise wrap 256L*kEff negative at
     // exactly the scale tier the sampling exists for
     val sampleCap = math.min(256L * kEff, Int.MaxValue.toLong)
+    // train-time OUT-OF-SAMPLE drift anchor (r16 verdict): hold out the
+    // holdN LARGEST-hash rows — row-disjoint from the training sample
+    // (a smallest-hash prefix) and from the smallest-hash seed window by
+    // construction — and record their assignment fit as `fit=` in the
+    // same META flip below, so the FIRST refresh batch is a COMPARISON
+    // against a clean baseline instead of becoming the baseline. The
+    // pre-r17 anchor was the first refresh batch's own fit: a stream
+    // that drifted between train and that first refresh anchored on
+    // already-drifted data and `--ann-retrain-threshold` read ≈0 ppm
+    // forever — the exact quiet degradation the trigger exists to make
+    // loud. The anchor must NOT be the in-sample train fit either
+    // (ProbeDrift: ~190k ppm in/out-of-sample gap with zero actual
+    // shift — every stream would false-trigger). Tiny or degenerate
+    // corpora (< 40 rows, or an explicit --cells so large the seed
+    // window would overlap the holdout) skip the holdout; there the
+    // legacy first-refresh anchoring in [[refresh]] still applies.
+    val holdN: Long =
+      if (n < 40 || kEff.toLong + math.max(64L, n / 20) > n) 0L
+      else math.min(4096L, math.max(64L, n / 20))
+    val trainCap = math.min(sampleCap, n - holdN)
     val sample =
-      if (n > sampleCap) vecs.orderBy(col("vid")).limit(sampleCap.toInt)
+      if (n > trainCap) vecs.orderBy(col("vid")).limit(trainCap.toInt)
       else vecs
     // deterministic seed: the kEff vectors with the smallest content
     // hashes (identical vectors collapse — harmless for a seed)
@@ -312,6 +332,16 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     val cents = centRows.toDF("cid", "cv")
     cents.coalesce(1).write.mode("overwrite")
       .parquet(new HPath(modelDir, "centroids").toString)
+    // the held-out slice's fit under the JUST-trained centroids — one
+    // holdout-sized broadcast-assignment pass ([[Ann.assignFit]]), the
+    // out-of-sample baseline the drift trigger compares refresh batches
+    // against (see the holdN comment above)
+    val trainFit: Option[Long] =
+      if (holdN == 0L) None
+      else Option(Ann.assignFit(
+          vecs.orderBy(col("vid").desc).limit(holdN.toInt), cents)
+        .select(col("fit_ppm")).head().get(0))
+        .map(_.asInstanceOf[java.lang.Long].longValue())
     // one-pass rewrite: every STORED column rides along, partitioned by
     // (epoch, nearest-centroid cell(s)) so a query's epoch + cell
     // filters prune whole directories; the top-spill selection is a
@@ -363,7 +393,9 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     writeCells(data, new HPath(root, "data"), overwrite = false)
     writeMeta(name, field, centRows.length, gen, spill, epoch = newEpoch,
       covered = splits.map(_.id).toSet, pq = pq, expectTick = tick0,
-      base = newEpoch, sq8 = sq8, model = Some(modelName))
+      base = newEpoch, sq8 = sq8, model = Some(modelName),
+      reqCells = Some(cells), iters = Some(iterations),
+      fitAnchor = trainFit)
     // committed: retire everything the new META no longer references —
     // pre-train epochs (already invisible) and prior model dirs
     dropOrphanEpochs(root, newEpoch, newEpoch)
@@ -550,7 +582,9 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
       writeMeta(name, field, m._1, gen, m._3, servedEpoch, covered, pq,
         expectTick = tick0, base = baseEp, sq8 = sq8, model = modelKey,
         fitAnchor = fitAnchorOf(name, field),
-        lastFit = lastFitOf(name, field), tomb = tombOf(name, field))
+        lastFit = lastFitOf(name, field), tomb = tombOf(name, field),
+        reqCells = reqCellsOf(name, field),
+        iters = trainItersOf(name, field))
       return (0, 0L)
     }
     // a refresh that crashed between its append and its META publish
@@ -577,8 +611,10 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
         graft.exprs.NearestCells.nearest_cells(col(field), bcCents, m._3)))
     // out-of-sample FIT of this batch against the frozen centroids —
     // one batch-sized broadcast-assignment pass (integer ppm, see
-    // [[Ann.assignFit]]); the FIRST refresh after a train sets the
-    // drift anchor, later batches record lastfit for [[driftPpm]]
+    // [[Ann.assignFit]]). The anchor is normally the TRAIN-time
+    // held-out fit (`fit=` published by [[train]] since r17); only a
+    // legacy/tiny-corpus META with no train anchor falls back to
+    // anchoring on this first batch (the .orElse below)
     val batchFit: Option[Long] = {
       import spark.implicits._
       val centDf = centArr.toSeq
@@ -597,7 +633,8 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     writeMeta(name, field, m._1, gen, m._3, epoch,
       covered ++ newSplits.map(_.id), pq, expectTick = tick0, base = baseEp,
       sq8 = sq8, model = modelKey, fitAnchor = anchor, lastFit = batchFit,
-      tomb = tombOf(name, field))
+      tomb = tombOf(name, field), reqCells = reqCellsOf(name, field),
+      iters = trainItersOf(name, field))
     (newSplits.length, nNew)
     }
   }
@@ -673,7 +710,9 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
       expectTick = tick0, base = next, sq8 = sq8Of(name, field),
       model = metaField(name, field, "model"),
       fitAnchor = fitAnchorOf(name, field),
-      lastFit = lastFitOf(name, field))
+      lastFit = lastFitOf(name, field),
+      reqCells = reqCellsOf(name, field),
+      iters = trainItersOf(name, field))
     // retired directories are already invisible; delete is cleanup only
     dropOrphanEpochs(root, next, next)
     // folded tombstones (the fresh META carries no tomb=) are dead;
@@ -768,27 +807,50 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
   private def fitAnchorOf(name: String, field: String): Option[Long] =
     metaField(name, field, "fit").map(_.toLong)
 
+  private def reqCellsOf(name: String, field: String): Option[Int] =
+    metaField(name, field, "reqcells").map(_.toInt)
+
+  private def trainItersOf(name: String, field: String): Option[Int] =
+    metaField(name, field, "titer").map(_.toInt)
+
   private def lastFitOf(name: String, field: String): Option[Long] =
     metaField(name, field, "lastfit").map(_.toLong)
 
   /** Centroid-drift reading: how far (ppm of mean nearest-centroid
-    * cosine) the LAST refresh batch's fit sits below the anchor — the
-    * first refresh batch after the current train, the out-of-sample
-    * reference (ProbeDrift: anchoring on the train-time in-sample fit
-    * false-triggers by ~190k ppm with no shift at all). None until two
-    * refreshes have recorded fits; a retrain clears both and the next
-    * refresh re-anchors. Positive = the stream has drifted away from
-    * the frozen quantizer; the `--ann-retrain-threshold` streaming
-    * policy retrains when this crosses the operator's threshold. */
+    * cosine) the LAST refresh batch's fit sits below the anchor. Since
+    * r17 the anchor is recorded AT TRAIN TIME from a held-out,
+    * training-disjoint slice of the train corpus ([[train]]'s holdN
+    * pass) — so the FIRST refresh batch is already a comparison, and a
+    * stream that drifted between train and its first refresh triggers
+    * instead of silently re-baselining on drifted data (the r16
+    * verdict's finding). The anchor is still OUT-of-sample — ProbeDrift
+    * measured the in-sample train fit ~190k ppm optimistic with no
+    * shift at all, which would false-trigger every stream. None until a
+    * refresh has recorded a `lastfit=` (and, on legacy or tiny-corpus
+    * layouts whose train published no anchor, until a first refresh has
+    * anchored — there drift reads 0 until the SECOND refresh, the
+    * pre-r17 behavior). A retrain clears both and re-records. Positive
+    * = the stream has drifted away from the frozen quantizer; the
+    * `--ann-retrain-threshold` streaming policy retrains when this
+    * crosses the operator's threshold. */
   def driftPpm(name: String, field: String): Option[Long] =
     for (a <- fitAnchorOf(name, field); l <- lastFitOf(name, field))
       yield a - l
 
-  /** The trained tier's storage knobs (spill, pq, sq8) — what a
-    * policy-driven retrain must preserve. */
-  def tierKnobs(name: String, field: String): (Int, Int, Boolean) =
+  /** The trained tier's knobs — what a policy-driven retrain must
+    * preserve: storage shape (spill, pq, sq8) PLUS the operator's
+    * explicit sizing (`--cells N`, 0 = census √n) and train iterations
+    * (r16 advice: a drift-triggered retrain that replayed only the
+    * storage knobs silently reset an explicit nlist to census sizing
+    * and iterations to the default, changing the tier's read-latency
+    * profile without the operator asking). Pre-r17 METAs carry no
+    * `reqcells=`/`titer=` lines and fall back to (0, 4) — the defaults
+    * those trains actually ran with. */
+  def tierKnobs(name: String, field: String): (Int, Int, Boolean, Int, Int) =
     (meta(name, field).map(_._3).getOrElse(1), pqOf(name, field),
-      sq8Of(name, field))
+      sq8Of(name, field),
+      metaField(name, field, "reqcells").map(_.toInt).getOrElse(0),
+      metaField(name, field, "titer").map(_.toInt).getOrElse(4))
 
   /** The served model directory name (`t<tick>-<uuid>`) — changes
     * exactly when a retrain publishes; None on legacy root-level
@@ -874,12 +936,21 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
         .where(col("__epoch").between(lit(baseOf(name, field)),
           lit(epochOf(name, field))))
       // spill copies share (__epoch, __rid) — collapse them first so a
-      // kept row's own spill copies are never tombstoned
+      // kept row's own spill copies are never tombstoned. DELETE identity
+      // is 192 bits (r16 advice): the 64-bit contentTieBreak is fine as a
+      // sort tie-break (a collision there only reorders equal-score
+      // output), but as the key that decides which rows get DESTROYED it
+      // must match mergeDedup's full-column dropDuplicates semantics —
+      // at the 10^10-row design point expected 64-bit collisions are
+      // ~n²/2^65, several real documents silently retired. Pairing it
+      // with an independent md5 over the same canonical rendering makes
+      // a false merge need a simultaneous xxhash64+md5 collision.
       val keyed = rows
-        .select(col("__epoch"), col("__rid"), contentTieBreak(d).as("__ck"))
+        .select(col("__epoch"), col("__rid"), contentTieBreak(d).as("__ck"),
+          contentDigest(d).as("__ck2"))
         .dropDuplicates("__epoch", "__rid")
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("__ck"))
+        .partitionBy(col("__ck"), col("__ck2"))
         .orderBy(col("__epoch").asc, col("__rid").asc)
       val losers = keyed
         .withColumn("__rn", row_number().over(w))
@@ -906,7 +977,9 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
         base = baseOf(name, field), sq8 = sq8Of(name, field),
         model = modelOf(name, field),
         fitAnchor = fitAnchorOf(name, field),
-        lastFit = lastFitOf(name, field), tomb = tname)
+        lastFit = lastFitOf(name, field), tomb = tname,
+        reqCells = reqCellsOf(name, field),
+        iters = trainItersOf(name, field))
       cnt
     }
   }
@@ -935,7 +1008,8 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
       pq: Int, expectTick: Long, base: Int = 0,
       sq8: Boolean = false, model: Option[String] = None,
       fitAnchor: Option[Long] = None, lastFit: Option[Long] = None,
-      tomb: Option[String] = None): Unit = {
+      tomb: Option[String] = None, reqCells: Option[Int] = None,
+      iters: Option[Int] = None): Unit = {
     val root = annRoot(name, field)
     val body = new StringBuilder()
     body.append(s"tick=${expectTick + 1}\n")
@@ -943,18 +1017,25 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     if (sq8) body.append("sq8=1\n")
     if (base > 0) body.append(s"base=$base\n")
     model.foreach(m => body.append(s"model=$m\n"))
-    // drift bookkeeping: `fit=` anchors the FIRST refresh batch's
-    // out-of-sample assignment fit (ppm); `lastfit=` is the most
-    // recent batch's. A retrain clears both (fresh model, fresh
-    // anchor). Train-time in-sample fit is deliberately NOT the anchor
-    // — ProbeDrift measured a ~190k-ppm in/out-of-sample gap with NO
-    // distribution shift, which would false-trigger every stream.
+    // drift bookkeeping: `fit=` is the anchor — since r17 the TRAIN-time
+    // fit of a held-out, training-disjoint slice (train's holdN pass;
+    // falls back to the first refresh batch's fit on tiny/degenerate
+    // corpora) — and `lastfit=` is the most recent refresh batch's. A
+    // retrain re-records both (fresh model, fresh anchor). The
+    // IN-SAMPLE train fit is deliberately never the anchor — ProbeDrift
+    // measured a ~190k-ppm in/out-of-sample gap with NO distribution
+    // shift, which would false-trigger every stream.
     fitAnchor.foreach(f => body.append(s"fit=$f\n"))
     lastFit.foreach(f => body.append(s"lastfit=$f\n"))
     // tombstones: the directory (under tombstones/) holding the
     // (__epoch, __rid) rows a --dedup merge retired from serving —
     // anti-joined at query time, folded away by `train --compact`
     tomb.foreach(t => body.append(s"tomb=$t\n"))
+    // the operator's ORIGINAL train knobs (requested cells, 0 = census;
+    // train iterations) — what a policy-driven retrain replays so it
+    // cannot silently re-derive a different nlist (see [[tierKnobs]])
+    reqCells.foreach(c => body.append(s"reqcells=$c\n"))
+    iters.foreach(i => body.append(s"titer=$i\n"))
     covered.toList.sorted.foreach(id => body.append(s"split=$id\n"))
     val metaP = new HPath(root, "META")
     val bytes = body.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -1315,6 +1396,19 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     import SchemaDerivation.Dynamic
     xxhash64((d.topLevelNames.map(n => col(s"`$n`")) :+
       to_json(col(Dynamic))): _*)
+  }
+
+  /** 128-bit content digest over the SAME inputs as [[contentTieBreak]]
+    * (declared top-level columns + the dynamic catch-all rendered to
+    * sorted-key JSON), via one canonical struct-to-JSON rendering —
+    * paired with the 64-bit hash wherever content equality DECIDES row
+    * retirement ([[dedupSync]]), where a single-hash collision would be
+    * destructive rather than merely order-perturbing. */
+  private def contentDigest(d: SchemaDerivation): Column = {
+    import SchemaDerivation.Dynamic
+    md5(to_json(struct(
+      (d.topLevelNames.map(n => col(s"`$n`")) :+
+        to_json(col(Dynamic)).as("__dynjson")): _*)))
   }
 
   /** Hybrid retrieval — the serving face of the gated

@@ -38,6 +38,19 @@ object Pq {
   def pq_adc(code: Column, lut: Column): Column =
     toColumn(PqAdc(toExpr(code), toExpr(lut)))
 
+  /** Element-wise residual `v − c` as array<double> — the IVFADC
+    * residual step ([[pq_encode]]/[[pq_lut]] compose over it): both
+    * inputs widen to double BEFORE the subtraction, so the arithmetic
+    * is one IEEE double op per dim and replays bit-identically in
+    * DuckDB (`CAST(a AS DOUBLE) - CAST(b AS DOUBLE)`) — a float-domain
+    * subtraction would round differently from the oracle's
+    * double-domain one on large-magnitude dims. Null (and null-for-
+    * mismatched-length, the LshSigs all-or-nothing rule) so a malformed
+    * vector drops instead of encoding garbage. One tight loop, no
+    * interpreted HOF lambdas in the layout/probe paths. */
+  def vec_residual(v: Column, c: Column): Column =
+    toColumn(VecResidual(toExpr(v), toExpr(c)))
+
   /** Spark/DuckDB-shared fixed point: decimal HALF_UP, NOT floor(x+0.5)
     * (double-rounds) and NOT Math.round (pulls negative ties up). */
   private[graft] def fixedPoint(d: Double): Long =
@@ -142,6 +155,42 @@ case class PqLut(child: Expression, codebooks: Pq.Codebooks)
 
   override protected def withNewChildInternal(c: Expression): PqLut = copy(child = c)
   override def prettyName: String = "pq_lut"
+}
+
+case class VecResidual(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _)  => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"vec_residual expects array<float|double>, got $other")
+  }
+  @transient private lazy val leftFloat = elemIsFloat(left)
+  @transient private lazy val rightFloat = elemIsFloat(right)
+
+  override def nullSafeEval(v: Any, c: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val b = c.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (leftFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rightFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      out(i) = x - y
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecResidual =
+    copy(left = l, right = r)
+  override def prettyName: String = "vec_residual"
 }
 
 case class PqAdc(left: Expression, right: Expression)

@@ -505,7 +505,15 @@ object Ann {
       .localCheckpoint(eager = false)
     val seedVids = vecs.select(col("vid")).where(col("vid") >= seedLo)
       .dropDuplicates("vid").orderBy(col("vid")).limit(codewords)
+    // dedupe the fx side BY VID before the seed join (r16 advice): a
+    // corpus with several rows per vid (spilled layouts, replayed
+    // appends) would join each seed vid back to every copy and the
+    // initial codebook would exceed `codewords` entries until an update
+    // pass happened to prune them; rows sharing a vid carry the same
+    // vector by construction (vid is the content hash on the CLI path,
+    // the unique id on the gated path), so the pick is value-stable
     var cents: Seq[(Int, Long, Seq[Long])] = fx
+      .dropDuplicates("vid")
       .join(broadcast(seedVids), "vid")
       .select(col("vid"), posexplode(expr(
         s"transform(sequence(0, ${numSubspaces - 1}), " +
@@ -544,6 +552,16 @@ object Ann {
         (s, bySub(s)(p)._1, rows.sortBy(_._3).map(_._4).toSeq)
       }
     }
+    // degeneracy guard ON THE FINAL cents too (r16 advice): the in-loop
+    // check runs against the PREVIOUS round's codewords, so a subspace
+    // that loses every codeword in the last update (or a final pass
+    // that encodes nothing) would otherwise return Codebooks silently
+    // missing that subspace and mis-shape every downstream pq_encode
+    val finalBySub = cents.groupBy(_._1)
+    require((0 until numSubspaces).forall(s =>
+        finalBySub.get(s).exists(_.nonEmpty)),
+      "a subspace lost every codeword in the final update — corpus " +
+        "degenerate for pq")
     cents.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, cws) =>
       cws.sortBy(_._2).map(_._3)
     }

@@ -233,10 +233,16 @@ final class StreamingIndexer(spark: SparkSession, catalog: Catalog) {
               val thr = stateful.map(_.annRetrainThreshold).getOrElse(0L)
               if (thr > 0)
                 for (d <- ann.driftPpm(indexName, f) if d >= thr) {
-                  val (spill, pqK, sq8K) = ann.tierKnobs(indexName, f)
+                  // replay the tier's FULL knob set — storage shape AND
+                  // the operator's explicit sizing/iterations (r16
+                  // advice: replaying only (spill, pq, sq8) silently
+                  // reset an explicit --cells N to census sizing)
+                  val (spill, pqK, sq8K, reqCells, iters) =
+                    ann.tierKnobs(indexName, f)
                   System.err.println(s"[stream] ann drift $d ppm >= " +
                     s"$thr for '$f' — retraining")
-                  ann.train(indexName, f, spill = spill, pq = pqK,
+                  ann.train(indexName, f, cells = reqCells,
+                    iterations = iters, spill = spill, pq = pqK,
                     sq8 = sq8K): Unit
                 }
             } catch { case e: Exception =>

@@ -457,6 +457,68 @@ class StatefulStreamingSpec extends AnyFunSuite {
     cat.drop("dann")
   }
 
+  test("--ann-retrain-threshold: the FIRST refresh batch being already " +
+      "drifted fires the trigger — the train-time held-out anchor, not " +
+      "the first batch, is the baseline (r16 verdict)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val root = java.nio.file.Files.createTempDirectory("graft-fann").toString
+    val cat = new graft.engine.Catalog(root)
+    cat.create(
+      """version: 1
+        |name: fann
+        |path: /tmp/unused
+        |schema:
+        |  fields:
+        |    - name: body
+        |      type: !text
+        |    - name: emb
+        |      type: !number
+        |        type: f64
+        |      array: true
+        |""".stripMargin)
+    val sc = graft.streaming.StreamStateConfig(s"$root/state/fann",
+      textField = "body", threshold = 0.5, annField = Some("emb"),
+      annRetrainThreshold = 300000L)
+    def doc(t: String, v: Seq[Double]) =
+      s"""{"body": "$t", "emb": [${v.mkString(", ")}]}"""
+
+    val input = MemoryStream[String]
+    val ckpt = java.nio.file.Files.createTempDirectory("fann-ckpt").toString
+    val ann = new graft.engine.AnnIndex(spark, cat)
+    val q = new graft.streaming.StreamingIndexer(spark, cat).startStream(
+      "fann", input.toDF(), ckpt, availableNow = false, stateful = Some(sc))
+    try {
+      // a training corpus LARGE enough for the held-out anchor (>= 66
+      // rows: seeds + the 64-row holdout must fit disjointly), all in
+      // one tight cluster around (1, eps, 0, 0)
+      input.addData((1 to 80).map(i =>
+        doc(s"corpus doc nr$i", Seq(1.0, 0.005 * i, 0.0, 0.0))): _*)
+      q.processAllAvailable()
+      ann.train("fann", "emb", cells = 2)
+      val model0 = ann.modelOf("fann", "emb")
+      // the classic deploy-then-world-changes case: the VERY FIRST
+      // refresh batch is from an orthogonal cluster. Pre-r17 this batch
+      // BECAME the anchor (drift read 0 forever, trigger disarmed);
+      // with the train-time held-out anchor it reads ~1e6 ppm and fires.
+      input.addData(
+        doc("drifted doc one", Seq(0.0, 0.0, 1.0, 0.02)),
+        doc("drifted doc two", Seq(0.0, 0.0, 0.95, 0.0)))
+      q.processAllAvailable()
+      assert(ann.modelOf("fann", "emb") != model0,
+        "an already-drifted FIRST refresh batch must trigger the retrain")
+    } finally q.stop()
+    // the retrain absorbed both clusters: a drifted-cluster query now
+    // serves drifted docs first
+    val got = ann.knn("fann", "emb", Array(0.0f, 0.0f, 1.0f, 0.0f), 2,
+      nProbe = 16).collect()
+    assert(got.nonEmpty && got.head.getString(1).contains("drifted"),
+      s"retrained tier serves the drifted cluster: ${got.headOption}")
+    cat.drop("fann")
+  }
+
   test("streaming --ann-field survives auto-compaction: coverage translates " +
       "through the lossless merge, no retrain, every doc served once") {
     import org.apache.spark.sql.functions._
