@@ -263,6 +263,23 @@ object Ann {
           org.apache.spark.sql.types.FloatType)).as("cv"))), "cell")
   }
 
+  /** IVFADC residual corpus: each vector minus its rank-1 (nearest,
+    * ties by cid — [[ivf]]'s rule) trained centroid, as (vid, v double
+    * array) — the training input for residual PQ codebooks
+    * ([[pqCodebooksTrained]] over this instead of the raw vectors).
+    * Residuals are TIGHTER than raw vectors per cell (the coarse
+    * quantizer has already removed the between-cell variance, so the
+    * subquantizer spends its 256 codewords on the within-cell
+    * remainder — Jégou et al. 2011's IVFADC form), which is why the
+    * residual-trained serving tier out-recalls the raw-trained one at
+    * the same m. Arithmetic: one map-only broadcast-argmax assignment
+    * pass + the double-domain element subtraction
+    * ([[graft.exprs.Pq.vec_residual]] — exact IEEE, DuckDB-replayable). */
+  def residuals(vecs: DataFrame, centroids: DataFrame): DataFrame =
+    assignOne(vecs, centroids)
+      .select(col("vid"),
+        graft.exprs.Pq.vec_residual(col("v"), col("cv")).as("v"))
+
   /** Assignment SKEW of a vector cohort under a centroid table: the
     * share (ppm, truncating integer division) of the cohort landing in
     * its single hottest cell, plus the number of distinct cells
@@ -628,8 +645,14 @@ object Ann {
   def ivfPqServing(corpus: DataFrame, isQuery: Column => Column,
       centroids: DataFrame, nProbe: Int, spill: Int, numSubspaces: Int,
       rerank: Int, k: Int,
-      codebooks: Option[graft.exprs.Pq.Codebooks] = None): DataFrame = {
+      codebooks: Option[graft.exprs.Pq.Codebooks] = None,
+      residual: Boolean = false): DataFrame = {
     import graft.exprs.Pq
+    if (residual)
+      return ivfPqServingResidual(corpus, isQuery, centroids, nProbe,
+        spill, rerank, k, codebooks.getOrElse(sys.error(
+          "residual serving needs residual-trained codebooks — train with " +
+            "pqCodebooksTrained over Ann.residuals")))
     val vecs = corpus.select(col("vid"), col("v"))
     val cb = codebooks.getOrElse(pqCodebooks(vecs, numSubspaces))
     // snapshotted: the coded corpus feeds the layout, probing, and LUTs
@@ -662,6 +685,78 @@ object Ann {
       .orderBy(col("adist").asc, col("vid").asc)
     val shortlist = cands
       .withColumn("adist", Pq.pq_adc(col("code"), col("lut")))
+      .withColumn("srn", row_number().over(w))
+      .where(col("srn") <= rerank)
+    topK(shortlist.select(col("qid"), col("qv"), col("vid"), col("v")), k)
+  }
+
+  /** The RESIDUAL (IVFADC-proper) serving read shape — [[ivfPqServing]]
+    * with codes over `v − centroid(cell)` instead of raw vectors (Jégou
+    * et al. 2011's production form; the raw-vector form above is the
+    * pre-r17 construction kept for the arithmetic-pinning gates):
+    *
+    *  1. spill-cell LAYOUT as there, but each spilled copy encodes the
+    *     residual against ITS OWN cell's centroid — copies of one row
+    *     carry DIFFERENT codes, each a valid approximation in its cell;
+    *  2. PROBES as there, but each (query, probed cell) pair computes
+    *     its own ADC lookup table over the query's residual in that
+    *     cell — nProbe small tables per query, the FAISS per-probe LUT;
+    *  3. per-copy ADC, then the MIN over a row's probed copies — a
+    *     deterministic aggregate replacing the raw form's
+    *     identical-copy dedup (residual copies are not identical, so a
+    *     pick-any dedup would be nondeterministic);
+    *  4. shortlist cut (adist asc, vid asc) and exact-cosine rerank as
+    *     there.
+    *
+    * The residual is a double-domain IEEE subtraction
+    * ([[graft.exprs.Pq.vec_residual]]) and everything downstream is the
+    * same exact fixed-point PQ arithmetic, so a DuckDB unroll replays
+    * every rank. Codebooks MUST be residual-trained
+    * ([[pqCodebooksTrained]] over [[residuals]]). */
+  private def ivfPqServingResidual(corpus: DataFrame,
+      isQuery: Column => Column, centroids: DataFrame, nProbe: Int,
+      spill: Int, rerank: Int, k: Int,
+      cb: graft.exprs.Pq.Codebooks): DataFrame = {
+    import graft.exprs.Pq
+    val vecs = corpus.select(col("vid"), col("v"))
+    val centF = centroids.select(col("cid").cast("long").as("cid"),
+      col("cv").cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType)).as("cv"))
+    val centArr = centF.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val bc = vecs.sparkSession.sparkContext.broadcast(centArr)
+    val cellCv = broadcast(centF.select(col("cid").as("cell"), col("cv")))
+    // layout: per-copy residual codes (cell-matched centroid via one
+    // broadcast join, encode through the tight-loop kernel pair)
+    val asg = vecs
+      .withColumn("cell", explode(
+        graft.exprs.NearestCells.nearest_cells(col("v"), bc, spill)))
+      .join(cellCv, "cell")
+      .withColumn("code",
+        Pq.pq_encode(Pq.vec_residual(col("v"), col("cv")), cb))
+      .where(col("code").isNotNull)
+      .select(col("cell"), col("vid"), col("v"), col("code"))
+    // probes: one LUT per (query, probed cell) over the query's residual
+    val qs = vecs.where(isQuery(col("vid")))
+    val probes = cellAssign(qs, broadcast(centroids), "vid", "v", nProbe,
+        carry = Seq("v"))
+      .join(cellCv, "cell")
+      .withColumn("lut",
+        Pq.pq_lut(Pq.vec_residual(col("v"), col("cv")), cb))
+      .where(col("lut").isNotNull)
+      .select(col("vid").as("qid"), col("v").as("qv"),
+        col("lut"), col("cell"))
+    val perCopy = probes.join(asg, "cell")
+      .where(col("vid") =!= col("qid"))
+      .withColumn("adist", Pq.pq_adc(col("code"), col("lut")))
+    // min over a row's probed copies — qv/v ride along (functionally
+    // determined by qid/vid, so the first() picks are value-stable)
+    val best = perCopy.groupBy(col("qid"), col("vid"))
+      .agg(min(col("adist")).as("adist"),
+        first(col("qv")).as("qv"), first(col("v")).as("v"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adist").asc, col("vid").asc)
+    val shortlist = best
       .withColumn("srn", row_number().over(w))
       .where(col("srn") <= rerank)
     topK(shortlist.select(col("qid"), col("qv"), col("vid"), col("v")), k)

