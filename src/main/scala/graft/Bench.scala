@@ -6,7 +6,11 @@ import org.apache.spark.sql.SparkSession
   *
   * Each query runs once untimed (JIT + codegen + parquet footer warmup —
   * the first action in a fresh JVM otherwise pays ~10s that has nothing to
-  * do with the query), then three times timed, reporting the MEDIAN — a
+  * do with the query; the warmup also populates
+  * [[graft.queries.FixtureMemo]], so timed iterations of the serving
+  * rows measure the probe/rank operator, not their deterministic
+  * trained-fixture construction — the r16-verdict train-vs-serve cost
+  * split), then three times timed, reporting the MEDIAN — a
   * single eviction-driven recompute storm or GC stall cannot land on one
   * query and misreport it by an order of magnitude (the round-2 lesson).
   * Queries run in name order so the report is stable run-to-run.

@@ -1956,22 +1956,29 @@ object PipelineQueries {
     * nlist lever the √n-scaled tier sizes from a census — and the seed
     * WINDOW start: recall-evaluation gates pass `seedFrom = 20` so the
     * seed is disjoint from the vid<20 query set (seed hygiene — see
-    * [[knn_recall_scaled]]); mechanics gates keep the default 0. */
+    * [[knn_recall_scaled]]); mechanics gates keep the default 0.
+    *
+    * Memoized per process ([[FixtureMemo]], r16 verdict): the loop is
+    * pure integer fixed-point over (dir, seedK, seedFrom), so the first
+    * construction trains and every later one replays the identical
+    * table as a LocalRelation — repeat bench iterations measure the
+    * SERVING composition, not this fixture's k-means. */
   private def trainedCentroidsK(s: SparkSession, dir: String,
-      seedK: Long, seedFrom: Long = 0L): DataFrame = {
-    val e = corpus(s, dir)
-    Ann.kmeansTrain(
-        e.select(col("vid"), col("v")),
-        e.where(col("vid") >= seedFrom && col("vid") < seedFrom + seedK)
-          .select(col("vid").as("cid"), col("v").as("cv")),
-        iterations = 3)
-      .where(col("iter") === 3)
-      .groupBy(col("cell"))
-      .agg(sort_array(collect_list(struct(col("d"), col("cq")))).as("ds"))
-      .select(col("cell").as("cid"),
-        expr("transform(ds, x -> CAST(CAST(x.cq AS DOUBLE) / 1000000.0 AS FLOAT))")
-          .as("cv"))
-  }
+      seedK: Long, seedFrom: Long = 0L): DataFrame =
+    FixtureMemo.table(s, s"kc3:$dir:$seedK:$seedFrom") {
+      val e = corpus(s, dir)
+      Ann.kmeansTrain(
+          e.select(col("vid"), col("v")),
+          e.where(col("vid") >= seedFrom && col("vid") < seedFrom + seedK)
+            .select(col("vid").as("cid"), col("v").as("cv")),
+          iterations = 3)
+        .where(col("iter") === 3)
+        .groupBy(col("cell"))
+        .agg(sort_array(collect_list(struct(col("d"), col("cq")))).as("ds"))
+        .select(col("cell").as("cid"),
+          expr("transform(ds, x -> CAST(CAST(x.cq AS DOUBLE) / 1000000.0 AS FLOAT))")
+            .as("cv"))
+    }
 
   /** CENTROID-DRIFT gate — what `train --refresh` costs when the data
     * distribution shifts (r14 carried #2, built r16). The fixture:
@@ -2025,14 +2032,17 @@ object PipelineQueries {
         .select(col("cell").as("cid"),
           expr("transform(ds, x -> CAST(CAST(x.cq AS DOUBLE) / 1000000.0 AS FLOAT))")
             .as("cv"))
-    val frozen = cents(a,
-      a.where(col("vid") >= 20 && col("vid") < 20 + nlist)
-        .select(col("vid").as("cid"), col("v").as("cv")))
+    // the frozen arm IS the serving rows' quantizer (A-trained,
+    // seed-disjoint from the query window) — share its memo key; the
+    // retrained arm is unique to this gate and memoizes on its own
+    val frozen = trainedCentroidsK(s, dir, nlist, seedFrom = 20L)
     val h = (nlist + 1) / 2
-    val retrained = cents(u,
-      u.where((col("vid") >= 20 && col("vid") < 20 + h) ||
-          (col("vid") >= 100020L && col("vid") < 100020L + (nlist - h)))
-        .select(col("vid").as("cid"), col("v").as("cv")))
+    val retrained = FixtureMemo.table(s, s"kc3u:$dir:$nlist") {
+      cents(u,
+        u.where((col("vid") >= 20 && col("vid") < 20 + h) ||
+            (col("vid") >= 100020L && col("vid") < 100020L + (nlist - h)))
+          .select(col("vid").as("cid"), col("v").as("cv")))
+    }
     val qs = b.where(col("vid") < 100020L)
       .select(col("vid").as("qid"), col("v").as("qv"))
     val exact = Ann.brute(qs, u, k = 5).select(col("qid"), col("neighbor"))
@@ -2065,16 +2075,9 @@ object PipelineQueries {
       reverse(col("v")).as("v"))
     val n = a.count()
     val nlist = math.ceil(math.sqrt(n.toDouble)).toLong
-    val frozen = Ann.kmeansTrain(a,
-        a.where(col("vid") >= 20 && col("vid") < 20 + nlist)
-          .select(col("vid").as("cid"), col("v").as("cv")),
-        iterations = 3)
-      .where(col("iter") === 3)
-      .groupBy(col("cell"))
-      .agg(sort_array(collect_list(struct(col("d"), col("cq")))).as("ds"))
-      .select(col("cell").as("cid"),
-        expr("transform(ds, x -> CAST(CAST(x.cq AS DOUBLE) / 1000000.0 AS FLOAT))")
-          .as("cv"))
+    // identical construction (and memo key) to knn_refresh_drift's
+    // frozen arm and the serving rows' quantizer
+    val frozen = trainedCentroidsK(s, dir, nlist, seedFrom = 20L)
     def statsOf(cohort: String, df: org.apache.spark.sql.DataFrame) =
       Ann.assignFit(df, frozen)
         .crossJoin(Ann.assignSkew(df, frozen)
@@ -2092,21 +2095,22 @@ object PipelineQueries {
     * corpus and the gate would measure assignment noise, not the
     * shortlist's rank bias). */
   private def trainedCentroidsScaled(s: SparkSession, dir: String,
-      seedK: Long, seedFrom: Long): DataFrame = {
-    val e = corpus(s, dir).withColumn("v",
-      expr("transform(v, x -> CAST(CAST(x AS DOUBLE) * (vid % 10 + 1) AS FLOAT))"))
-    Ann.kmeansTrain(
-        e.select(col("vid"), col("v")),
-        e.where(col("vid") >= seedFrom && col("vid") < seedFrom + seedK)
-          .select(col("vid").as("cid"), col("v").as("cv")),
-        iterations = 3)
-      .where(col("iter") === 3)
-      .groupBy(col("cell"))
-      .agg(sort_array(collect_list(struct(col("d"), col("cq")))).as("ds"))
-      .select(col("cell").as("cid"),
-        expr("transform(ds, x -> CAST(CAST(x.cq AS DOUBLE) / 1000000.0 AS FLOAT))")
-          .as("cv"))
-  }
+      seedK: Long, seedFrom: Long): DataFrame =
+    FixtureMemo.table(s, s"kc3s:$dir:$seedK:$seedFrom") {
+      val e = corpus(s, dir).withColumn("v",
+        expr("transform(v, x -> CAST(CAST(x AS DOUBLE) * (vid % 10 + 1) AS FLOAT))"))
+      Ann.kmeansTrain(
+          e.select(col("vid"), col("v")),
+          e.where(col("vid") >= seedFrom && col("vid") < seedFrom + seedK)
+            .select(col("vid").as("cid"), col("v").as("cv")),
+          iterations = 3)
+        .where(col("iter") === 3)
+        .groupBy(col("cell"))
+        .agg(sort_array(collect_list(struct(col("d"), col("cq")))).as("ds"))
+        .select(col("cell").as("cid"),
+          expr("transform(ds, x -> CAST(CAST(x.cq AS DOUBLE) / 1000000.0 AS FLOAT))")
+            .as("cv"))
+    }
 
   /** IVF search served from TRAINED centroids — the production ANN
     * lifecycle end-to-end: [[pipe_kmeans_train]]'s round-3 table is
@@ -2224,9 +2228,11 @@ object PipelineQueries {
     // k-means rounds over the rank-1 residual corpus, seed window
     // disjoint from the vid<20 query set — the same construction the
     // CLI `train --pq` runs with content-hash seeding
-    val cb = Ann.pqCodebooksTrained(
-      Ann.residuals(e.select(col("vid"), col("v")), cents),
-      numSubspaces = 4, seedLo = 20L, codewords = 256, iterations = 2)
+    val cb = FixtureMemo.model(s"pqcb:res:$dir:$nlist") {
+      Ann.pqCodebooksTrained(
+        Ann.residuals(e.select(col("vid"), col("v")), cents),
+        numSubspaces = 4, seedLo = 20L, codewords = 256, iterations = 2)
+    }
     val approx = Ann.ivfPqServing(e.select(col("vid"), col("v")), _ < 20,
         cents,
         nProbe = nProbe, spill = 2, numSubspaces = 4, rerank = 256, k = 5,
