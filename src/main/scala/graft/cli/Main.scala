@@ -119,7 +119,9 @@ object Main {
               annCompactEvery =
                 flags.getOrElse("ann-compact-every", "0").toInt,
               annRetrainThreshold =
-                flags.getOrElse("ann-retrain-threshold", "0").toLong)
+                flags.getOrElse("ann-retrain-threshold", "0").toLong,
+              annTombstoneThreshold =
+                flags.getOrElse("ann-tombstone-threshold", "0").toDouble)
           }
           val q = new StreamingIndexer(spark, cat)
             .startFileStream(name, input, ckpt, interval, stateful = stateful)
@@ -253,19 +255,28 @@ object Main {
               println(s"ann '$f': $cells cell(s), spill=$spill$tier, " +
                 s"trained at gen $gen ($stale); $tot row(s), " +
                 s"largest cell $mx, $span$fileNote")
-              // drift + tombstone state (r16): the operator's retrain
-              // signals without reading META by hand
+              // drift + skew + tombstone state (r16/r17): the operator's
+              // maintenance signals without reading META by hand
               ann.driftPpm(name, f).foreach(d =>
                 println(s"ann '$f': drift $d ppm below the post-train fit " +
                   "anchor (positive = the stream shifted; " +
                   "--ann-retrain-threshold triggers on this)"))
-              ann.tombOf(name, f).foreach { td =>
-                val n = spark.read.parquet(
-                  s"${cat.catalogRoot}/indexes/$name/ann/$f/tombstones/$td")
-                  .count()
-                println(s"ann '$f': $n tombstoned row(s) from a --dedup " +
-                  "merge (anti-joined at serve; train --compact folds " +
-                  "them physical)")
+              // assignment skew from the census already in hand (r17 —
+              // CENSUS-bounded: `sizes` is the per-cell row histogram
+              // read above, never a corpus scan): hot-cell share of
+              // stored rows in ppm + occupied cells, the serve-side twin
+              // of the drift trigger's batch-side assignSkew
+              if (tot > 0)
+                println(s"ann '$f': skew top-cell ${mx * 1000000L / tot} " +
+                  s"ppm of rows, ${sizes.count(_._2 > 0)} of $cells " +
+                  "cell(s) occupied (a hot cell serves slow — retrain " +
+                  "re-sizes the cells)")
+              ann.tombstoneShare(name, f).foreach { case (t, nRows) =>
+                println(f"ann '$f': $t%d tombstoned row(s) of $nRows%d " +
+                  f"stored (${100.0 * t / nRows}%.1f%%) from a --dedup " +
+                  "merge (anti-joined at serve; train --compact or the " +
+                  "--ann-tombstone-threshold stream policy folds them " +
+                  "physical)")
               }
           }
           val (ah, am, an) = graft.engine.AnnIndex.servingCacheStats
@@ -442,7 +453,7 @@ object Main {
       """usage: create <config.yaml> | drop <name> | index <name> <input> [--stream]
         |         [--dedup-field F [--dedup-threshold 0.5] [--sketch-field F]
         |          [--quantile-field F] [--ann-field F [--ann-compact-every N]
-        |           [--ann-retrain-threshold PPM]]
+        |           [--ann-retrain-threshold PPM] [--ann-tombstone-threshold FRAC]]
         |          [--state-dir DIR]]
         |       search <name> <query> [--limit N] [--fields a,b] [--unscored]
         |       count <name> <query> | merge <name> [--retain-inputs]

@@ -351,7 +351,10 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     // at 10⁵ cells). __rid ties a row's spill copies together for
     // query-time dedup.
     val pqCb: Option[graft.exprs.Pq.Codebooks] =
-      if (pq > 0) Some(buildCodebooks(vecs, pq, iterations, n)) else None
+      if (pq > 0)
+        Some(buildCodebooks(vecs, pq, iterations, n,
+          residualAgainst = Some(cents)))
+      else None
     // the fresh model dir holds ONLY this train's artifacts — a pq=0
     // retrain over a previously pq>0 index simply writes no codebooks,
     // and the old model dir (with its codebooks) is swept post-publish
@@ -374,14 +377,18 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
         .coalesce(1).write.mode("overwrite")
         .parquet(new HPath(modelDir, "sq8").toString)
     }
-    val bcCents = spark.sparkContext.broadcast(
-      centRows.sortBy(_._1).map { case (cid, cv) => (cid, cv.toArray) }.toArray)
-    val data = withSq8(withCode(df.where(col(field).isNotNull), field, pqCb),
-        field, sqStats)
+    val centArr =
+      centRows.sortBy(_._1).map { case (cid, cv) => (cid, cv.toArray) }.toArray
+    val bcCents = spark.sparkContext.broadcast(centArr)
+    // RESIDUAL codes (r17): the code depends on the copy's cell, so the
+    // encode moves AFTER the cell explode (one broadcast join of the
+    // tiny model table per copy — [[withResidualCode]])
+    val data0 = withSq8(df.where(col(field).isNotNull), field, sqStats)
       .withColumn("__rid", monotonically_increasing_id())
       .withColumn("__epoch", lit(newEpoch.toLong))
       .withColumn("__cell", explode(
         graft.exprs.NearestCells.nearest_cells(col(field), bcCents, spill)))
+    val data = pqCb.fold(data0)(withResidualCode(data0, field, _, centArr))
     // ONE cell-keyed exchange before the fan-out write: without it every
     // write task emits a file into every cell directory it touches
     // (tasks × cells files — ProbeVecScale measured 64 files/cell at
@@ -395,7 +402,7 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
       covered = splits.map(_.id).toSet, pq = pq, expectTick = tick0,
       base = newEpoch, sq8 = sq8, model = Some(modelName),
       reqCells = Some(cells), iters = Some(iterations),
-      fitAnchor = trainFit)
+      fitAnchor = trainFit, pqRes = pq > 0)
     // committed: retire everything the new META no longer references —
     // pre-train epochs (already invisible) and prior model dirs
     dropOrphanEpochs(root, newEpoch, newEpoch)
@@ -467,6 +474,28 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     case None => df
   }
 
+  /** Attach RESIDUAL PQ codes to an already-cell-exploded layout
+    * (IVFADC, r17 — [[graft.ops.Ann.residuals]]' arithmetic on the
+    * engine path): each spilled copy encodes `v − centroid(its cell)`,
+    * the per-cell centroid arriving via one broadcast join of the tiny
+    * model table. Must run AFTER the `__cell` explode (the code depends
+    * on the cell), unlike the legacy raw [[withCode]] that runs before
+    * it. The float cast matches the codebook training domain
+    * ([[buildCodebooks]] trains on float-cast residuals). */
+  private def withResidualCode(df: DataFrame, field: String,
+      cb: graft.exprs.Pq.Codebooks,
+      centArr: Array[(Long, Array[Float])]): DataFrame = {
+    import spark.implicits._
+    val cellCv = broadcast(centArr.toSeq
+      .map { case (cid, cv) => (cid, cv.toSeq) }.toDF("__cell", "__ccv"))
+    df.join(cellCv, "__cell")
+      .withColumn("__code", graft.exprs.Pq.pq_encode(
+        graft.exprs.Pq.vec_residual(
+          expr(s"transform(`$field`, x -> CAST(x AS FLOAT))"),
+          col("__ccv")), cb))
+      .drop("__ccv")
+  }
+
   /** Attach the stored `__sq8` code column (256-bin per-dim scalar
     * quantization under the FROZEN train-time stats) — the candidate
     * column the SQ8 serving tier ranks on with an exact integer dot
@@ -489,17 +518,26 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     * standard; the pre-r16 16 untrained seed codewords were the PQ
     * tier's measured quality ceiling — serving recall 0.94/0.82 vs
     * SQ8's 0.96/0.91; trained codebooks measure 0.96/0.90 on the
-    * registry twin). Training is SAMPLE-BOUNDED at 256·codewords
-    * vectors by the same smallest-hash rule as the coarse quantizer —
-    * corpus-size-independent train cost. */
+    * registry twin, and RESIDUAL-trained ones — `residualAgainst`,
+    * the r17 default, mirroring the registry's 1.00/0.96 — lift the
+    * within-cell precision further). Training is SAMPLE-BOUNDED at
+    * 256·codewords vectors by the same smallest-hash rule as the
+    * coarse quantizer — corpus-size-independent train cost. */
   private def buildCodebooks(vecs: DataFrame, numSub: Int,
-      iterations: Int, n: Long): graft.exprs.Pq.Codebooks = {
+      iterations: Int, n: Long,
+      residualAgainst: Option[DataFrame] = None): graft.exprs.Pq.Codebooks = {
     val codewords = 256
     val sampleCap = 256L * codewords
     val sample =
       if (n > sampleCap) vecs.orderBy(col("vid")).limit(sampleCap.toInt)
       else vecs
-    Ann.pqCodebooksTrained(sample, numSub, seedLo = Long.MinValue,
+    // RESIDUAL training (IVFADC, r17 — the default for every new
+    // `train --pq`): subtract each SAMPLE vector's rank-1 trained
+    // centroid before the subspace k-means, so the 256 codewords spend
+    // on the within-cell remainder (the sample is cut first — the
+    // residual pass costs sampleCap assignments, not a corpus pass)
+    val trainSet = residualAgainst.fold(sample)(c => Ann.residuals(sample, c))
+    Ann.pqCodebooksTrained(trainSet, numSub, seedLo = Long.MinValue,
       codewords = codewords, iterations = iterations)
   }
 
@@ -584,7 +622,7 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
         fitAnchor = fitAnchorOf(name, field),
         lastFit = lastFitOf(name, field), tomb = tombOf(name, field),
         reqCells = reqCellsOf(name, field),
-        iters = trainItersOf(name, field))
+        iters = trainItersOf(name, field), pqRes = pqResOf(name, field))
       return (0, 0L)
     }
     // a refresh that crashed between its append and its META publish
@@ -603,12 +641,24 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     val base = df.where(col(field).isNotNull)
     val nNew = base.count()
     val bcCents = spark.sparkContext.broadcast(centArr)
-    val fresh = withSq8(withCode(base, field, if (pq > 0) cbs else None),
+    // frozen-model encode of the appended rows: residual layouts
+    // (pqres=1, every r17+ train) encode per copy AFTER the cell
+    // explode; legacy raw layouts keep the one-code-per-row path so
+    // their stored codes stay comparable across epochs
+    val pqRes = pqResOf(name, field)
+    val fresh0 = withSq8(
+        withCode(base, field, if (pq > 0 && !pqRes) cbs else None),
         field, if (sq8) sqSt else None)
       .withColumn("__rid", monotonically_increasing_id())
       .withColumn("__epoch", lit(epoch.toLong))
       .withColumn("__cell", explode(
         graft.exprs.NearestCells.nearest_cells(col(field), bcCents, m._3)))
+    val fresh =
+      if (pq > 0 && pqRes)
+        withResidualCode(fresh0, field, cbs.getOrElse(sys.error(
+          s"META for '$name.$field' claims pq=$pq but the codebooks " +
+            "are missing — re-run a full train --pq")), centArr)
+      else fresh0
     // out-of-sample FIT of this batch against the frozen centroids —
     // one batch-sized broadcast-assignment pass (integer ppm, see
     // [[Ann.assignFit]]). The anchor is normally the TRAIN-time
@@ -634,7 +684,7 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
       covered ++ newSplits.map(_.id), pq, expectTick = tick0, base = baseEp,
       sq8 = sq8, model = modelKey, fitAnchor = anchor, lastFit = batchFit,
       tomb = tombOf(name, field), reqCells = reqCellsOf(name, field),
-      iters = trainItersOf(name, field))
+      iters = trainItersOf(name, field), pqRes = pqRes)
     (newSplits.length, nNew)
     }
   }
@@ -712,7 +762,7 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
       fitAnchor = fitAnchorOf(name, field),
       lastFit = lastFitOf(name, field),
       reqCells = reqCellsOf(name, field),
-      iters = trainItersOf(name, field))
+      iters = trainItersOf(name, field), pqRes = pqResOf(name, field))
     // retired directories are already invisible; delete is cleanup only
     dropOrphanEpochs(root, next, next)
     // folded tombstones (the fresh META carries no tomb=) are dead;
@@ -791,6 +841,12 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     metaField(name, field, "base").map(_.toInt).getOrElse(0)
 
   /** PQ subspace count of the trained index (0 = no code column). */
+  /** Whether the stored PQ codes are RESIDUAL codes (IVFADC, r17 —
+    * every `train --pq` since writes them); legacy layouts return
+    * false and serve through the raw single-LUT path. */
+  def pqResOf(name: String, field: String): Boolean =
+    metaField(name, field, "pqres").contains("1")
+
   def pqOf(name: String, field: String): Int =
     metaField(name, field, "pq").map(_.toInt).getOrElse(0)
 
@@ -863,6 +919,28 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     * train/compact. */
   def tombOf(name: String, field: String): Option[String] =
     metaField(name, field, "tomb")
+
+  /** Serve-time tombstone PRESSURE: (retired identities, stored logical
+    * rows) — None when the META carries no tombstones, so a policy that
+    * polls this per batch pays one metadata read until a `--dedup` merge
+    * actually retires rows. The stored side divides the physical count
+    * by `spill` (every logical row stores exactly `spill` copies; the
+    * tombstone side is already per-identity), keeping the share a
+    * like-for-like fraction; both counts are parquet-metadata cheap.
+    * Consumed by the streaming `annTombstoneThreshold` policy and
+    * `stats --ann`. */
+  def tombstoneShare(name: String, field: String): Option[(Long, Long)] =
+    tombOf(name, field).map { td =>
+      val root = annRoot(name, field)
+      val t = spark.read
+        .parquet(new HPath(root, s"tombstones/$td").toString).count()
+      val spill = meta(name, field).fold(1)(_._3)
+      val rows = spark.read.parquet(new HPath(root, "data").toString)
+        .where(col("__epoch").between(baseOf(name, field),
+          epochOf(name, field)))
+        .count()
+      (t, math.max(1L, rows / math.max(1, spill)))
+    }
 
   /** Serve-time tombstone exclusion: anti-join the (tiny — ∝ deletes,
     * broadcast) retired-row set against a trained-layout scan. A
@@ -979,7 +1057,7 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
         fitAnchor = fitAnchorOf(name, field),
         lastFit = lastFitOf(name, field), tomb = tname,
         reqCells = reqCellsOf(name, field),
-        iters = trainItersOf(name, field))
+        iters = trainItersOf(name, field), pqRes = pqResOf(name, field))
       cnt
     }
   }
@@ -1009,12 +1087,19 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
       sq8: Boolean = false, model: Option[String] = None,
       fitAnchor: Option[Long] = None, lastFit: Option[Long] = None,
       tomb: Option[String] = None, reqCells: Option[Int] = None,
-      iters: Option[Int] = None): Unit = {
+      iters: Option[Int] = None, pqRes: Boolean = false): Unit = {
     val root = annRoot(name, field)
     val body = new StringBuilder()
     body.append(s"tick=${expectTick + 1}\n")
     body.append(s"cells=$cells\ngen=$gen\nspill=$spill\nepoch=$epoch\npq=$pq\n")
     if (sq8) body.append("sq8=1\n")
+    // pqres=1: the stored __code column holds RESIDUAL codes (IVFADC
+    // proper, r17 — every `train --pq` since): each spilled copy
+    // encodes v − centroid(its cell), so serving must rank with a
+    // per-probed-cell LUT over the query's residual and MIN over a
+    // row's copies. Absent on legacy raw-coded layouts, which keep the
+    // single-LUT path.
+    if (pqRes) body.append("pqres=1\n")
     if (base > 0) body.append(s"base=$base\n")
     model.foreach(m => body.append(s"model=$m\n"))
     // drift bookkeeping: `fit=` is the anchor — since r17 the TRAIN-time
@@ -1222,6 +1307,25 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     * only the newly added cells — so a filtered query returns k
     * results whenever k matches exist, without the caller hand-tuning
     * nprobe per filter selectivity. */
+  /** (cell → ADC lookup table) relation for a RESIDUAL-coded layout:
+    * one row per probed cell, the LUT computed over the query's
+    * residual IN THAT CELL by the same `vec_residual` → `pq_lut`
+    * kernels the layout encoded with — bit-parity with the stored
+    * codes by construction. Tiny (≤ probed cells), broadcast; malformed
+    * (null) LUTs drop, mirroring the raw tier's null-code drop. */
+  private def residualLuts(queryVec: Array[Float],
+      cents: Array[(Long, Array[Float])], probed: Set[Long],
+      cb: graft.exprs.Pq.Codebooks): DataFrame = {
+    import spark.implicits._
+    broadcast(cents.filter(c => probed(c._1)).toSeq
+      .map { case (cid, cv) => (cid, cv.toSeq) }.toDF("__lcell", "__ccv")
+      .withColumn("__lut", graft.exprs.Pq.pq_lut(
+        graft.exprs.Pq.vec_residual(
+          typedLit(queryVec.toSeq), col("__ccv")), cb))
+      .where(col("__lut").isNotNull)
+      .select(col("__lcell"), col("__lut")))
+  }
+
   def knn(name: String, field: String, queryVec: Array[Float], k: Int,
       nProbe: Int = 0, rerank: Int = 0,
       filter: Option[String] = None): DataFrame = {
@@ -1284,7 +1388,38 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
         // millions of rows — then fetch ONLY the top-R ADC survivors'
         // full rows for the exact-cosine rerank below
         val pq = mm.get("pq").fold(0)(_.toInt)
-        val cand = if (pq > 0) {
+        val cand = if (pq > 0 && mm.get("pqres").contains("1")) {
+          // RESIDUAL tier (IVFADC, r17 — every train --pq since): the
+          // stored codes approximate v − centroid(cell), so each probed
+          // cell ranks against its OWN lookup table over the query's
+          // residual in that cell ([[residualLuts]] — nprobe tiny rows,
+          // broadcast), and a spilled row's copies (DIFFERENT codes, one
+          // per cell) reduce by MIN before the shortlist cut — the
+          // deterministic aggregate replacing the raw tier's
+          // identical-copy dedup. Everything downstream (skinny
+          // projection, total order, exact-cosine rerank) is the raw
+          // tier's shape.
+          val cb = cbsOpt.getOrElse(sys.error(
+            s"trained index for '$field' claims pq=$pq but has no codebooks"))
+          val rFetch = if (rerank > 0) rerank else math.max(4 * k, 64)
+          val luts = residualLuts(queryVec, cents,
+            ranked.take(covered).toSet, cb)
+          val perCopy = cand0
+            .select(col("__cell"), col("__epoch"), col("__rid"), col("__code"))
+            .where(col("__code").isNotNull)
+            .join(luts, col("__cell") === col("__lcell"))
+            .withColumn("__adist",
+              graft.exprs.Pq.pq_adc(col("__code"), col("__lut")))
+          val best = if (m.exists(_._3 > 1))
+            perCopy.groupBy(col("__epoch"), col("__rid"))
+              .agg(min(col("__adist")).as("__adist"))
+          else perCopy.select(col("__epoch"), col("__rid"), col("__adist"))
+          val survivors = best
+            .orderBy(col("__adist").asc, col("__epoch").asc, col("__rid").asc)
+            .limit(rFetch)
+            .select(col("__epoch"), col("__rid"))
+          cand0.join(broadcast(survivors), Seq("__epoch", "__rid"))
+        } else if (pq > 0) {
           val cb = cbsOpt.getOrElse(sys.error(
             s"trained index for '$field' claims pq=$pq but has no codebooks"))
           val lut = AnnIndex.lutFor(queryVec, cb)
@@ -1503,19 +1638,117 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
         val root = annRoot(name, field)
         val (cents, cbsOpt, sqStOpt, mm) = servingModel(name, field, root)
         val bc = spark.sparkContext.broadcast(cents)
+        val baseEp = mm.get("base").fold(0)(_.toInt)
+        val servedEp = mm("epoch").toInt
+        val spilled = m.exists(_._3 > 1)
         // snapshotted: the probe relation feeds both the probed-cell
         // census below and the candidate join — without the checkpoint
         // the query-side lineage (source read + assignment) runs twice
-        val probesQ = qs.withColumn("__pcell", explode(
+        var probesQ = qs.withColumn("__pcell", explode(
           graft.exprs.NearestCells.nearest_cells(col("qv"), bc, nProbe)))
           .localCheckpoint(eager = false)
+        // ADAPTIVE nprobe, batch face (r16 verdict #4 — the single-query
+        // face's escalation since r16, batched): a selective filter can
+        // leave a qid with fewer than k matching candidates in its
+        // nProbe cells, silently under-filling that qid's result. When a
+        // filter is set, escalate by DOUBLING each UNDER-FILLED qid's
+        // probe set in its own ranked-centroid order — `nearest_cells`
+        // keeps a stable rank prefix, so slicing ranks covered+1..next
+        // unions in exactly the NEW cells — until every qid holds k
+        // matches or probes every cell. Each round is ONE incremental
+        // pass over only the low qids' new cells (never a per-qid loop),
+        // the sufficiency recount is a column-pruned ids-only aggregate
+        // (the filter's columns + ids reach the scan; vectors and stored
+        // docs do not), and the loop is bounded by log2(nlist) rounds.
+        // Satisfied qids keep their single-pass shape; unfiltered
+        // batches never pay any of this.
+        if (pred.isDefined && cents.nonEmpty) {
+          val nlist = cents.length
+          var covered = math.min(nProbe, nlist)
+          def lowQids(): DataFrame = {
+            val cellsNow = probesQ.select(col("__pcell")).distinct()
+              .collect().map(_.getLong(0)).toSet
+            val ids = antiTomb(root, mm)(filtered(probedScan(root,
+              baseEp, servedEp, cellsNow)))
+              .select(col("__cell"), col("__epoch"), col("__rid"))
+            val matched = probesQ
+              .join(ids, col("__pcell") === col("__cell"))
+              .select(col("qid"), col("__epoch"), col("__rid"))
+            // spill copies share (__epoch, __rid) across adjacent cells —
+            // count DISTINCT candidates or the recount could claim
+            // sufficiency from copies of fewer than k rows
+            val dm = if (spilled)
+              matched.dropDuplicates("qid", "__epoch", "__rid") else matched
+            qs.select(col("qid")).distinct()
+              .join(dm.groupBy(col("qid")).agg(count(lit(1)).as("__n")),
+                Seq("qid"), "left")
+              .where(coalesce(col("__n"), lit(0L)) < k)
+              .select(col("qid"))
+          }
+          var low = lowQids().localCheckpoint(eager = false)
+          while (covered < nlist && low.limit(1).count() > 0) {
+            val next = math.min(covered * 2, nlist)
+            // low qids are a subset of the caller's (driver-provided,
+            // bounded) query set — the broadcast is ≤ the batch itself
+            val newProbes = qs.join(broadcast(low), Seq("qid"))
+              .withColumn("__pcell", explode(slice(
+                graft.exprs.NearestCells.nearest_cells(col("qv"), bc, next),
+                covered + 1, next - covered)))
+              .select(probesQ.columns.map(col): _*)
+            probesQ = probesQ.unionAll(newProbes)
+              .localCheckpoint(eager = false)
+            covered = next
+            if (covered < nlist) low = lowQids().localCheckpoint(eager = false)
+          }
+        }
         val probeCells = probesQ.select(col("__pcell")).distinct()
           .collect().map(_.getLong(0)).toSet
         val data = antiTomb(root, mm)(filtered(probedScan(root,
-          mm.get("base").fold(0)(_.toInt), mm("epoch").toInt, probeCells)))
-        val spilled = m.exists(_._3 > 1)
+          baseEp, servedEp, probeCells)))
         val pq = mm.get("pq").fold(0)(_.toInt)
-        if (pq > 0) {
+        if (pq > 0 && mm.get("pqres").contains("1")) {
+          // RESIDUAL batch tier (IVFADC, r17 — the single face's per-cell
+          // LUT + min-over-copies, batched): each (qid, probed cell)
+          // pair computes its own LUT over the query's residual in that
+          // cell (one broadcast join of the tiny model table onto the
+          // probe relation — probe rows stay qids × nprobe), per-copy
+          // ADC, MIN per (qid, row identity) before the windowed
+          // shortlist cut, exact-cosine rerank of the survivors.
+          val cb = cbsOpt.getOrElse(sys.error(
+            s"trained index for '$field' claims pq=$pq but has no codebooks"))
+          val rFetch = if (rerank > 0) rerank else math.max(4 * k, 64)
+          import spark.implicits._
+          val cellCv = broadcast(cents.toSeq
+            .map { case (cid, cv) => (cid, cv.toSeq) }
+            .toDF("__pcell", "__ccv"))
+          val probesL = probesQ.join(cellCv, "__pcell")
+            .withColumn("__lut", graft.exprs.Pq.pq_lut(
+              graft.exprs.Pq.vec_residual(col("qv"), col("__ccv")), cb))
+            .where(col("__lut").isNotNull)
+            .drop("__ccv")
+          val skinny = data
+            .select(col("__cell").as("__dcell"), col("__epoch"),
+              col("__rid"), col("__code"))
+            .where(col("__code").isNotNull)
+          val perCopy = probesL.join(skinny, col("__pcell") === col("__dcell"))
+            .withColumn("__adist",
+              graft.exprs.Pq.pq_adc(col("__code"), col("__lut")))
+          // copies carry DIFFERENT codes — reduce by MIN per (qid,
+          // identity); qv rides along (functionally determined by qid)
+          val best = perCopy
+            .groupBy(col("qid"), col("__epoch"), col("__rid"))
+            .agg(min(col("__adist")).as("__adist"), first(col("qv")).as("qv"))
+          val survivors = best
+            .withColumn("__srn", row_number().over(w.orderBy(
+              col("__adist").asc, col("__epoch").asc, col("__rid").asc)))
+            .where(col("__srn") <= rFetch)
+            .select(col("qid"), col("qv"), col("__epoch"), col("__rid"))
+          val full = if (spilled)
+            data.dropDuplicates("__epoch", "__rid") else data
+          survivors.join(full, Seq("__epoch", "__rid"))
+            .withColumn("__score",
+              CosineSimilarity.cosine_similarity(col(field), col("qv")))
+        } else if (pq > 0) {
           val cb = cbsOpt.getOrElse(sys.error(
             s"trained index for '$field' claims pq=$pq but has no codebooks"))
           val rFetch = if (rerank > 0) rerank else math.max(4 * k, 64)

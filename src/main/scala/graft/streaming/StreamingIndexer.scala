@@ -94,7 +94,19 @@ final case class StreamStateConfig(
       * crosses this threshold. 0 disables. The anchor resets at each
       * retrain, so a retrained stream re-baselines instead of
       * re-triggering forever. */
-    annRetrainThreshold: Long = 0L)
+    annRetrainThreshold: Long = 0L,
+    /** With `annField`: fold the trained tier
+      * ([[graft.engine.AnnIndex.compactEpochs]]) once `--dedup`-merge
+      * tombstones reach this FRACTION of the stored logical rows
+      * (r16 verdict #5). Tombstones are serve-time BROADCAST state
+      * (~16 MB per million deletes), so a long-running stream under
+      * periodic out-of-band `--dedup` merges accretes serve cost until
+      * someone folds; this makes the fold part of the policy instead of
+      * an operator chore. 0 disables. A tomb-less META costs one
+      * metadata read per batch; the share census
+      * ([[graft.engine.AnnIndex.tombstoneShare]]) runs only while
+      * tombstones exist. */
+    annTombstoneThreshold: Double = 0.0)
 
 final class StreamingIndexer(spark: SparkSession, catalog: Catalog) {
 
@@ -225,6 +237,19 @@ final class StreamingIndexer(spark: SparkSession, catalog: Catalog) {
                 val (b, e) = ann.epochSpan(indexName, f)
                 if (e - b + 1 >= every) ann.compactEpochs(indexName, f): Unit
               }
+              // tombstone policy (r16 verdict #5): out-of-band --dedup
+              // merges accrete broadcast tombstones; once they reach the
+              // configured share of stored logical rows, fold them
+              // physical via the same compactEpochs path. Free while the
+              // META is tomb-less (one metadata read).
+              val tthr = stateful.map(_.annTombstoneThreshold).getOrElse(0.0)
+              if (tthr > 0)
+                for ((t, nRows) <- ann.tombstoneShare(indexName, f)
+                     if t.toDouble >= tthr * nRows) {
+                  System.err.println(s"[stream] ann tombstones $t of " +
+                    s"$nRows stored row(s) >= $tthr for '$f' — folding")
+                  ann.compactEpochs(indexName, f): Unit
+                }
               // drift policy: when the latest batch's out-of-sample fit
               // fell >= threshold ppm below the post-train anchor, the
               // frozen quantizer no longer describes the stream — full

@@ -409,6 +409,27 @@ class CliSpec extends AnyFunSuite {
       k = 2, nProbe = 1, rerank = 4).collect()
     assert(plain.length == 2 &&
       plain.forall(_.getString(1).contains("common")), plain.mkString("; "))
+    // BATCH face escalates per-qid (r16 verdict #4): qx's nearest cell
+    // holds zero rare docs (must escalate), qneg's nearest cell holds
+    // them (stays single-pass) — both fill k in ONE batch call, and the
+    // escalated qid agrees with the single-query face
+    import spark.implicits._
+    val bqs = Seq(
+      ("qx", Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      ("qneg", Seq(-1.0f, 0.0f, 0.0f, 0.0f))).toDF("qid", "qv")
+    val b = ann.knnBatch("adapt_test", "emb", bqs, k = 2, nProbe = 1,
+      rerank = 4, filter = Some("title:rare")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(3)))
+    val byQ = b.groupBy(_._1)
+    assert(byQ.keySet == Set("qx", "qneg") &&
+      byQ.values.forall(_.length == 2),
+      s"batch escalation must fill k=2 per qid: ${b.mkString("; ")}")
+    assert(b.forall(_._3.contains("rare")), b.mkString("; "))
+    val singleX = ann.knn("adapt_test", "emb", Array(1.0f, 0.0f, 0.0f, 0.0f),
+      k = 2, nProbe = 1, rerank = 4, filter = Some("title:rare"))
+      .collect().map(_.getString(1)).toSeq
+    assert(byQ("qx").sortBy(_._2).map(_._3).toSeq == singleX,
+      "escalated batch face must agree with the single-query face")
   }
 
   test("merge --dedup tombstones the trained tier's surplus copies: knn " +
@@ -474,6 +495,21 @@ class CliSpec extends AnyFunSuite {
     cli.Main.run(Array("index", "tomb_test", in3.toString), spark, cat, root)
     val (ns, nv) = ann.refresh("tomb_test", "emb")
     assert(ns == 1 && nv == 1L, s"post-dedup refresh covers the new split: $ns/$nv")
+    // the maintenance triad in ONE stats read (r16 verdict #6): drift
+    // reading, census-bounded skew, tombstone share — asserted on a
+    // fixture that is both drifted (the refreshed doc points off-axis
+    // from the trained corpus) and tombstoned
+    val outS2 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(outS2, true, "UTF-8")) {
+      cli.Main.run(Array("stats", "tomb_test", "--ann", "emb"), spark, cat, root)
+    }
+    val s2 = outS2.toString("UTF-8")
+    assert(s2.contains("ppm below the post-train fit"),
+      s"stats --ann surfaces the drift reading after a refresh:\n$s2")
+    assert(s2.contains("skew top-cell") && s2.contains("occupied"),
+      s"stats --ann surfaces the census skew row:\n$s2")
+    assert(s2.contains("tombstoned row(s) of") && s2.contains("%"),
+      s"stats --ann surfaces the tombstone share:\n$s2")
     // the fold turns the logical deletes physical and clears tomb=
     ann.compactEpochs("tomb_test", "emb")
     assert(ann.tombOf("tomb_test", "emb").isEmpty, "compact folds tombstones away")
@@ -632,6 +668,10 @@ class CliSpec extends AnyFunSuite {
     // cut + exact rerank must agree with the brute tier's top result
     cli.Main.run(Array("train", "vec_test", "--field", "emb",
       "--cells", "2", "--pq", "2"), spark, cat, root)
+    // r17: train --pq writes RESIDUAL codes (IVFADC proper) and records
+    // the serve-time dispatch flag in the same META publish
+    assert(ann.pqResOf("vec_test", "emb"),
+      "train --pq must publish pqres=1 (residual codes)")
     val pqHits = ann.knn("vec_test", "emb",
       Array(1.0f, 0.02f, 0.001f, 0.0f), 3, nProbe = 1).collect()
     assert(pqHits.length == 3, pqHits.mkString("; "))
@@ -691,6 +731,22 @@ class CliSpec extends AnyFunSuite {
     }
     assert(dirNames.sorted == Seq(s"__epoch=${e0 + 3}"),
       s"retired epoch dirs must be deleted: $dirNames")
+    // residual layout shape (r17): a spilled row's copies encode against
+    // THEIR OWN cells, so at least one boundary row must carry two
+    // DISTINCT codes — the property the per-cell-LUT + min-over-copies
+    // serve path exists for (identical codes per copy = the legacy raw
+    // form this layout must not be)
+    val copyCodes = spark.read.parquet(dataDir.toString)
+      .where(org.apache.spark.sql.functions.col("__code").isNotNull)
+      .groupBy(org.apache.spark.sql.functions.col("__rid"))
+      .agg(org.apache.spark.sql.functions.countDistinct(
+        org.apache.spark.sql.functions.to_json(
+          org.apache.spark.sql.functions.col("__code"))).as("nc"))
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col("nc")))
+      .head().getLong(0)
+    assert(copyCodes == 2,
+      s"spill=2 residual copies must encode per-cell (distinct codes), got max $copyCodes")
     assert(ann.cellSizes("vec_test", "emb").map(_._2).sum == preRows,
       "row count (spill copies included) survives the fold")
     val postServed = ann.knn("vec_test", "emb",

@@ -519,6 +519,74 @@ class StatefulStreamingSpec extends AnyFunSuite {
     cat.drop("fann")
   }
 
+  test("--ann-tombstone-threshold: a --dedup merge's tombstones cross the " +
+      "share threshold and the NEXT batch folds them physical (r16 verdict #5)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val root = java.nio.file.Files.createTempDirectory("graft-tfold").toString
+    val cat = new graft.engine.Catalog(root)
+    cat.create(
+      """version: 1
+        |name: tfold
+        |path: /tmp/unused
+        |schema:
+        |  fields:
+        |    - name: body
+        |      type: !text
+        |    - name: emb
+        |      type: !number
+        |        type: f64
+        |      array: true
+        |""".stripMargin)
+    val sc = graft.streaming.StreamStateConfig(s"$root/state/tfold",
+      textField = "body", threshold = 0.5, annField = Some("emb"),
+      annTombstoneThreshold = 0.1)
+    def doc(t: String, v: Seq[Double]) =
+      s"""{"body": "$t", "emb": [${v.mkString(", ")}]}"""
+    // the duplicate's body is ONE token so the streaming near-dedup
+    // shingler (>= 3 tokens) passes it through — the duplicate must
+    // reach the index for the out-of-band --dedup merge to retire it
+    val dup = doc("dup", Seq(1.0, 0.0, 0.0, 0.0))
+
+    val input = MemoryStream[String]
+    val ckpt = java.nio.file.Files.createTempDirectory("tfold-ckpt").toString
+    val ann = new graft.engine.AnnIndex(spark, cat)
+    val q = new graft.streaming.StreamingIndexer(spark, cat).startStream(
+      "tfold", input.toDF(), ckpt, availableNow = false, stateful = Some(sc))
+    try {
+      input.addData(dup,
+        doc("first corpus document here", Seq(0.9, 0.1, 0.0, 0.0)),
+        doc("second corpus document here", Seq(0.0, 1.0, 0.0, 0.0)))
+      q.processAllAvailable()
+      ann.train("tfold", "emb", cells = 2)
+      // the SAME doc lands again in a later split (at-least-once ingest)
+      input.addData(dup,
+        doc("third corpus document here", Seq(0.0, 0.0, 1.0, 0.0)))
+      q.processAllAvailable()
+      assert(ann.tombOf("tfold", "emb").isEmpty, "no tombstones yet")
+      // out-of-band --dedup merge retires the surplus copy via dedupSync
+      graft.cli.Main.run(Array("merge", "tfold", "--dedup"), spark, cat, root)
+      assert(ann.tombOf("tfold", "emb").isDefined,
+        "the dedup merge must publish a tombstone set")
+      val (t0, n0) = ann.tombstoneShare("tfold", "emb").get
+      assert(t0 == 1L && t0.toDouble >= 0.1 * n0,
+        s"fixture sanity — share $t0/$n0 crosses the 0.1 threshold")
+      // the NEXT batch's policy check folds the tombstones physical
+      input.addData(doc("fourth corpus document here", Seq(0.5, 0.5, 0.0, 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(ann.tombOf("tfold", "emb").isEmpty,
+      "the threshold policy must fold tombstones away (tomb-less META)")
+    val (fb, fe) = ann.epochSpan("tfold", "emb")
+    assert(fb == fe, s"folded layout serves one epoch: ($fb, $fe)")
+    val served = ann.knn("tfold", "emb", Array(1.0f, 0.0f, 0.0f, 0.0f), 10,
+      nProbe = 2).collect().map(_.getString(1))
+    assert(served.length == 5 && served.count(_.contains("\"dup\"")) == 1,
+      s"five distinct docs, the duplicate exactly once: ${served.mkString("; ")}")
+    cat.drop("tfold")
+  }
+
   test("streaming --ann-field survives auto-compaction: coverage translates " +
       "through the lossless merge, no retrain, every doc served once") {
     import org.apache.spark.sql.functions._
