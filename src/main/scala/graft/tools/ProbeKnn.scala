@@ -40,6 +40,17 @@ import graft.engine.{AnnIndex, Catalog}
   *    R=256 0.79); training the subquantizer removed the ceiling.
   *    PQ train cost: 32 s at this sf (one-time, sample-bounded at
   *    256·256 vectors so corpus-size-independent beyond that).
+  *  - spill=2 pq=8 RESIDUAL codebooks (r17, IVFADC — 2026-08-16 run,
+  *    hot box: brute p50 97 ms vs the r14 run's 61): np=14 R=256
+  *    recall 0.95 = the SAME run's exact spill=2 tier exactly
+  *    (np=14 0.95); np=14 R=default 0.90 vs the raw form's 0.88.
+  *    Two honest shape notes: per-copy residual codes no longer
+  *    parquet-dedup across spill copies, so the __code column reads
+  *    74 KiB vs the raw form's 21 (still 27× under exact's 2,002),
+  *    and serving pays nprobe tiny per-cell LUTs + a min-over-copies
+  *    aggregate instead of one LUT + copy-dedup (p50 ~354 vs exact
+  *    spill=2's 171 on this run — the same ~2× relationship the raw
+  *    form measured).
   *  - spill=2 sq8 (r14): nprobe=7 → 0.82, nprobe=14 → 0.94 at BOTH
   *    R=64 and R=256 — identical to the exact tier at the same probes
   *    (int8 reconstruction is lossless for ranking at 64 dims), with
