@@ -1591,11 +1591,12 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     * layout — the batch-retrieval shape a training pipeline runs
     * (hard-negative mining, dataset linking, eval sweeps), where
     * per-query driver round-trips would dominate. Filtered batch
-    * queries keep their FIXED nprobe (per-qid probe escalation would
-    * turn the one shared partition-pruned scan into query-count
-    * scans); a batch caller sizes nprobe/rerank to its filter's
-    * selectivity, or routes very selective filters through the
-    * single-query face, which auto-escalates. The single-query
+    * queries escalate nprobe PER QID since r17 (the pre-r17 contract
+    * kept fixed nprobe and documented routing selective filters to the
+    * single-query face): under-filled qids double their probe set in
+    * their own ranked-centroid order, each round ONE incremental pass
+    * over only those qids' NEW cells — never query-count scans — see
+    * the inline comment at the loop. The single-query
     * [[knn]] stages generalize columnar:
     *
     *  - probe assignment is the map-only [[graft.exprs.NearestCells]]
@@ -1606,11 +1607,15 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     *    listing and one cell-keyed equi-join (queries×nprobe probe rows
     *    against the probed cells' rows, shuffled on cell);
     *  - with PQ, the ranking join carries only the SKINNY code column
-    *    and each query's LUT (computed once per query, not per row);
-    *    per-query ADC shortlists ride a window by qid with the
-    *    (adist, epoch, rid) total order, and only survivors re-join
-    *    their full rows for the exact-cosine rerank;
-    *  - spill copies dedupe per (qid, __epoch, __rid) BEFORE every cut.
+    *    and per-query LUTs (raw layouts: one LUT per query; residual
+    *    layouts since r17: one per (query, probed cell), attached by a
+    *    broadcast join of the tiny model table — probe rows stay
+    *    queries×nprobe); per-query ADC shortlists ride a window by qid
+    *    with the (adist, epoch, rid) total order, and only survivors
+    *    re-join their full rows for the exact-cosine rerank;
+    *  - spill copies dedupe per (qid, __epoch, __rid) BEFORE every cut
+    *    (raw/sq8 tiers — identical copies) or reduce by MIN per
+    *    identity (residual — per-cell codes differ).
     *
     * nProbe = 0 (or no trained index) runs the brute truth tier:
     * corpus × broadcast queries. Output: (qid, rank, score, doc),
