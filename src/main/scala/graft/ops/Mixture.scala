@@ -41,6 +41,57 @@ object Mixture {
       (col("weight") * u).as("alloc_tokens"))
   }
 
+  /** REALIZE a training mixture: cut each source's document stream at
+    * its [[mixAllocation]] token budget, exactly and deterministically —
+    * the step between "the mixture spec says source s contributes
+    * alloc_s tokens" and a dataset that actually does. [[temperatureSample]]
+    * hits its targets only in expectation (per-doc Bernoulli over a
+    * rate); here each source keeps the PREFIX of its docs in hash order
+    * whose cumulative token count fits the budget: keep doc d iff
+    * `Σ n_tok over (partition source order by h, id) ≤ alloc_s`. The
+    * first doc to cross the boundary is dropped, so
+    * `alloc_s − kept_tokens_s < that doc's n_tok` — the budget is met
+    * as tightly as whole-document selection allows (finer would be a
+    * knapsack; pipelines split documents instead, see the chunkers).
+    * Hash order (the [[domainQuota]] idiom — md5 over source|id), not
+    * arrival/id order, so the kept set is an unbiased reproducible
+    * sample and a re-run on a grown corpus keeps a stable selection
+    * rule.
+    *
+    * Scale shape: one tiny source-keyed aggregate (the allocation),
+    * broadcast back, then ONE source-keyed window for the running sum —
+    * the same single shuffle [[domainQuota]] pays, right up to ~10⁸-doc
+    * sources; a pathologically hot source takes the documented two-pass
+    * thresholded form ([[domainQuotaTwoPass]]'s pattern: an expected-
+    * budget hash threshold bounds the windowed survivor set).
+    *
+    * Output per source (the realized-mixture datasheet):
+    * (source, alloc_tokens, kept_docs, kept_tokens, slack_tokens). */
+  def mixRealize(df: DataFrame, id: Column, source: Column, nTok: Column,
+      weight: Column): DataFrame = {
+    // two consumers (allocation + cut) of the tokenized projection —
+    // snapshot so the token count runs once (the module self-join rule)
+    val rows = df.select(id.as("id"), source.as("source"),
+      nTok.as("n_tok"), weight.as("weight"))
+      .localCheckpoint(eager = false)
+    val alloc = mixAllocation(rows, col("source"), col("n_tok"),
+      col("weight"))
+      .select(col("source"), col("alloc_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("h"), col("id"))
+    rows
+      .withColumn("h", Hashing.h64(
+        concat(col("source"), lit("|"), col("id").cast("string"))))
+      .join(broadcast(alloc), "source")
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .where(col("cum") <= col("alloc_tokens"))
+      .groupBy(col("source"), col("alloc_tokens"))
+      .agg(count(lit(1)).as("kept_docs"), sum(col("n_tok")).as("kept_tokens"))
+      .select(col("source"), col("alloc_tokens"), col("kept_docs"),
+        col("kept_tokens"),
+        (col("alloc_tokens") - col("kept_tokens")).as("slack_tokens"))
+  }
+
   /** Domain balancing by per-domain quota (the C4/RefinedWeb "cap any one
     * host's contribution" rule): keep at most `quota` documents per
     * domain, chosen by md5-hash rank — hash order, not arrival or id

@@ -907,6 +907,24 @@ object PipelineQueries {
       pmod(substring(col("source"), 4, 10).cast("long"), lit(3)) + 1)
       .orderBy(col("source"))
 
+  /** The mixture REALIZED ([[graft.ops.Mixture.mixRealize]]): each
+    * source's doc stream cut exactly at its [[pipe_mix_weights]] token
+    * budget — the deterministic hash-order prefix whose cumulative
+    * token count fits alloc_s, the step [[pipe_temperature_sample]]
+    * only hits in expectation. Same fixture weight rule (parts 1..3
+    * from the source number); the oracle replays the allocation CTE
+    * plus the running-sum cut. One row per source:
+    * (source, alloc_tokens, kept_docs, kept_tokens, slack_tokens),
+    * slack strictly under the boundary doc's token count. */
+  val pipe_mix_realize: Q = (s, dir) =>
+    graft.ops.Mixture.mixRealize(
+      docs(s, dir),
+      col("doc_id"),
+      col("source"),
+      size(tokenizeDefault(col("text"))).cast("long"),
+      pmod(substring(col("source"), 4, 10).cast("long"), lit(3)) + 1)
+      .orderBy(col("source"))
+
   /** The full curation pass end-to-end, one call: Gopher quality
     * keep/drop ([[graft.ops.TextAnalysis.gopherKeep]], inline in the
     * corpus projection — single scan), exact dedup among the keepers
@@ -2428,6 +2446,7 @@ object PipelineQueries {
     "text_line_dedup" -> text_line_dedup,
     "text_line_dedup_apply" -> text_line_dedup_apply,
     "pipe_mix_weights" -> pipe_mix_weights,
+    "pipe_mix_realize" -> pipe_mix_realize,
     "pipe_curate" -> pipe_curate,
     "pipe_curate_v2" -> pipe_curate_v2,
     "pipe_curate_v3" -> pipe_curate_v3,
@@ -4504,6 +4523,30 @@ object PipelineQueries {
          |SELECT source, n_docs, n_tokens, CAST(weight AS BIGINT) AS weight,
          |  CAST(weight * u AS BIGINT) AS alloc_tokens
          |FROM per CROSS JOIN u ORDER BY source""".stripMargin,
+    "pipe_mix_realize" ->
+      s"""WITH rows AS (
+         |  SELECT doc_id, source,
+         |    CAST(substr(source, 4) AS BIGINT) % 3 + 1 AS weight,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tok,
+         |    CAST(('0x' || substr(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |  FROM documents),
+         |per AS (
+         |  SELECT source, weight, sum(n_tok) AS n_tokens
+         |  FROM rows GROUP BY 1, 2),
+         |u AS (SELECT min(n_tokens // weight) AS u FROM per),
+         |alloc AS (
+         |  SELECT source, CAST(weight * u AS BIGINT) AS alloc_tokens
+         |  FROM per CROSS JOIN u),
+         |cum AS (
+         |  SELECT r.source, a.alloc_tokens, r.n_tok,
+         |    sum(r.n_tok) OVER (PARTITION BY r.source ORDER BY r.h, r.doc_id) AS c
+         |  FROM rows r JOIN alloc a USING (source))
+         |SELECT source, alloc_tokens,
+         |  CAST(count(*) AS BIGINT) AS kept_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS kept_tokens,
+         |  CAST(alloc_tokens - sum(n_tok) AS BIGINT) AS slack_tokens
+         |FROM cum WHERE c <= alloc_tokens
+         |GROUP BY 1, 2 ORDER BY source""".stripMargin,
     "text_line_dedup" ->
       s"""WITH lines AS ($linedLinesSql)
          |, owned AS (

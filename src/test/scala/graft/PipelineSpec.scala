@@ -1486,4 +1486,32 @@ class PipelineSpec extends AnyFunSuite {
       seedLo = 0L, codewords = 2, iterations = 2)
     assert(cb == again, "training is deterministic — no RNG anywhere")
   }
+
+  test("pipe_mix_realize cuts every source exactly at its token budget: " +
+      "slack non-negative and tighter than the source's largest doc") {
+    val got = PipelineQueries.pipe_mix_realize(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.nonEmpty)
+    // per-source max doc tokens — the whole-document-selection bound:
+    // the prefix stops at the FIRST doc that would overflow, so slack
+    // is strictly under that doc's (≤ the source's max) token count
+    val maxTok = Graft.table(spark, sf, "documents")
+      .groupBy(col("source"))
+      .agg(max(size(graft.functions.TextFunctions.tokenize(
+        col("text"), "default")).cast("long")).as("mx"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    got.foreach { case (src, alloc, nd, kept, slack) =>
+      assert(kept + slack == alloc && slack >= 0L && nd > 0L,
+        s"$src: kept=$kept slack=$slack alloc=$alloc")
+      assert(slack < maxTok(src),
+        s"$src: slack $slack must be under the largest doc (${maxTok(src)})")
+    }
+    // allocation side equals pipe_mix_weights' (the budget being realized)
+    val alloc = PipelineQueries.pipe_mix_weights(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("alloc_tokens"))).toMap
+    got.foreach { case (src, a, _, _, _) =>
+      assert(alloc(src) == a, s"$src: realized budget must equal the allocation")
+    }
+  }
 }
