@@ -61,9 +61,9 @@ object Mixture {
     * Scale shape: one tiny source-keyed aggregate (the allocation),
     * broadcast back, then ONE source-keyed window for the running sum —
     * the same single shuffle [[domainQuota]] pays, right up to ~10⁸-doc
-    * sources; a pathologically hot source takes the documented two-pass
-    * thresholded form ([[domainQuotaTwoPass]]'s pattern: an expected-
-    * budget hash threshold bounds the windowed survivor set).
+    * sources; a pathologically hot source takes [[mixRealizeTwoPass]]
+    * (an expected-budget hash threshold bounds the windowed survivor
+    * set — implemented, spec-pinned equal on the fixtures).
     *
     * Output per source (the realized-mixture datasheet):
     * (source, alloc_tokens, kept_docs, kept_tokens, slack_tokens). */
@@ -83,6 +83,56 @@ object Mixture {
       .withColumn("h", Hashing.h64(
         concat(col("source"), lit("|"), col("id").cast("string"))))
       .join(broadcast(alloc), "source")
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .where(col("cum") <= col("alloc_tokens"))
+      .groupBy(col("source"), col("alloc_tokens"))
+      .agg(count(lit(1)).as("kept_docs"), sum(col("n_tok")).as("kept_tokens"))
+      .select(col("source"), col("alloc_tokens"), col("kept_docs"),
+        col("kept_tokens"),
+        (col("alloc_tokens") - col("kept_tokens")).as("slack_tokens"))
+  }
+
+  /** The TWO-PASS form of [[mixRealize]] — the shape its scaladoc
+    * prescribes for a pathologically hot source (≫ executor memory per
+    * window task), the running-sum analogue of [[domainQuotaTwoPass]]:
+    * pass 1 aggregates per-source token mass (tiny, broadcast); each
+    * source gets a hash THRESHOLD sized so the EXPECTED token mass
+    * under it is `alloc_s · slack` (token counts are independent of the
+    * md5 hash, so mass under `h < t` is `n_tokens · t / 2⁶⁰`); the
+    * corpus is map-side filtered on `h < thr_s` — no window touches the
+    * full source — and only the bounded survivor set pays the exact
+    * running-sum cut. With `slack` ≥ 2 the survivors cover the true
+    * boundary prefix with overwhelming probability, making the output
+    * equal to the window form's (pinned by spec); a source whose
+    * survivors fell short of the budget would under-deliver
+    * deterministically rather than corrupt — the same documented trade
+    * as [[domainQuotaTwoPass]]. Threshold arithmetic widens to
+    * DECIMAL(38,0): `(2⁶⁰ DIV n_tokens) · alloc · slack` overflows
+    * BIGINT exactly at the scale tier this form exists for. */
+  def mixRealizeTwoPass(df: DataFrame, id: Column, source: Column,
+      nTok: Column, weight: Column, slack: Long = 2L): DataFrame = {
+    val MaxH = 1152921504606846976L // 2^60, the h64 range
+    val rows = df.select(id.as("id"), source.as("source"),
+      nTok.as("n_tok"), weight.as("weight"))
+      .localCheckpoint(eager = false)
+    val per = rows.groupBy(col("source"), col("weight"))
+      .agg(sum(col("n_tok")).as("n_tokens"))
+    val u = min(expr("n_tokens DIV weight"))
+      .over(org.apache.spark.sql.expressions.Window.partitionBy())
+    val alloc = per.select(col("source"), col("n_tokens"),
+      (col("weight") * u).as("alloc_tokens"))
+      .withColumn("thr", expr(
+        s"CAST(LEAST(CAST($MaxH AS DECIMAL(38,0)), " +
+          s"CAST($MaxH DIV n_tokens AS DECIMAL(38,0)) * " +
+          s"CAST(alloc_tokens AS DECIMAL(38,0)) * $slack) AS BIGINT)"))
+      .select(col("source"), col("alloc_tokens"), col("thr"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("h"), col("id"))
+    rows
+      .withColumn("h", Hashing.h64(
+        concat(col("source"), lit("|"), col("id").cast("string"))))
+      .join(broadcast(alloc), "source")
+      .where(col("h") < col("thr"))
       .withColumn("cum", sum(col("n_tok")).over(w))
       .where(col("cum") <= col("alloc_tokens"))
       .groupBy(col("source"), col("alloc_tokens"))

@@ -925,6 +925,22 @@ object PipelineQueries {
       pmod(substring(col("source"), 4, 10).cast("long"), lit(3)) + 1)
       .orderBy(col("source"))
 
+  /** The HOT-SOURCE form of [[pipe_mix_realize]]
+    * ([[graft.ops.Mixture.mixRealizeTwoPass]]): per-source hash
+    * thresholds sized to an expected `alloc·slack` token mass bound the
+    * windowed survivor set, so no window task ever holds a whole
+    * source — the running-sum analogue of [[pipe_domain_quota_2pass]].
+    * The oracle replays threshold arithmetic (DECIMAL/HUGEINT) and the
+    * cut; the spec pins equality with the window form on this corpus. */
+  val pipe_mix_realize_2pass: Q = (s, dir) =>
+    graft.ops.Mixture.mixRealizeTwoPass(
+      docs(s, dir),
+      col("doc_id"),
+      col("source"),
+      size(tokenizeDefault(col("text"))).cast("long"),
+      pmod(substring(col("source"), 4, 10).cast("long"), lit(3)) + 1)
+      .orderBy(col("source"))
+
   /** The full curation pass end-to-end, one call: Gopher quality
     * keep/drop ([[graft.ops.TextAnalysis.gopherKeep]], inline in the
     * corpus projection — single scan), exact dedup among the keepers
@@ -2447,6 +2463,7 @@ object PipelineQueries {
     "text_line_dedup_apply" -> text_line_dedup_apply,
     "pipe_mix_weights" -> pipe_mix_weights,
     "pipe_mix_realize" -> pipe_mix_realize,
+    "pipe_mix_realize_2pass" -> pipe_mix_realize_2pass,
     "pipe_curate" -> pipe_curate,
     "pipe_curate_v2" -> pipe_curate_v2,
     "pipe_curate_v3" -> pipe_curate_v3,
@@ -4541,6 +4558,34 @@ object PipelineQueries {
          |  SELECT r.source, a.alloc_tokens, r.n_tok,
          |    sum(r.n_tok) OVER (PARTITION BY r.source ORDER BY r.h, r.doc_id) AS c
          |  FROM rows r JOIN alloc a USING (source))
+         |SELECT source, alloc_tokens,
+         |  CAST(count(*) AS BIGINT) AS kept_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS kept_tokens,
+         |  CAST(alloc_tokens - sum(n_tok) AS BIGINT) AS slack_tokens
+         |FROM cum WHERE c <= alloc_tokens
+         |GROUP BY 1, 2 ORDER BY source""".stripMargin,
+    "pipe_mix_realize_2pass" ->
+      s"""WITH rows AS (
+         |  SELECT doc_id, source,
+         |    CAST(substr(source, 4) AS BIGINT) % 3 + 1 AS weight,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tok,
+         |    CAST(('0x' || substr(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |  FROM documents),
+         |per AS (
+         |  SELECT source, weight, sum(n_tok) AS n_tokens
+         |  FROM rows GROUP BY 1, 2),
+         |u AS (SELECT min(n_tokens // weight) AS u FROM per),
+         |alloc AS (
+         |  SELECT source, CAST(weight * u AS BIGINT) AS alloc_tokens,
+         |    CAST(LEAST(CAST(1152921504606846976 AS HUGEINT),
+         |      CAST(1152921504606846976 // n_tokens AS HUGEINT)
+         |        * CAST(weight * u AS HUGEINT) * 2) AS BIGINT) AS thr
+         |  FROM per CROSS JOIN u),
+         |cum AS (
+         |  SELECT r.source, a.alloc_tokens, r.n_tok,
+         |    sum(r.n_tok) OVER (PARTITION BY r.source ORDER BY r.h, r.doc_id) AS c
+         |  FROM rows r JOIN alloc a USING (source)
+         |  WHERE r.h < a.thr)
          |SELECT source, alloc_tokens,
          |  CAST(count(*) AS BIGINT) AS kept_docs,
          |  CAST(sum(n_tok) AS BIGINT) AS kept_tokens,

@@ -1513,5 +1513,14 @@ class PipelineSpec extends AnyFunSuite {
     got.foreach { case (src, a, _, _, _) =>
       assert(alloc(src) == a, s"$src: realized budget must equal the allocation")
     }
+    // the two-pass hot-source form (expected-budget hash threshold
+    // bounding the windowed survivors) returns the IDENTICAL realized
+    // mixture on this corpus — the domainQuotaTwoPass equality claim,
+    // running-sum edition
+    val twoPass = PipelineQueries.pipe_mix_realize_2pass(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(twoPass.toSeq == got.toSeq,
+      s"two-pass must equal the window form:\n${twoPass.toSeq}\nvs\n${got.toSeq}")
   }
 }
