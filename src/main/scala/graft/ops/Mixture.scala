@@ -68,7 +68,20 @@ object Mixture {
     * Output per source (the realized-mixture datasheet):
     * (source, alloc_tokens, kept_docs, kept_tokens, slack_tokens). */
   def mixRealize(df: DataFrame, id: Column, source: Column, nTok: Column,
-      weight: Column): DataFrame = {
+      weight: Column): DataFrame =
+    mixRealizeKept(df, id, source, nTok, weight)
+      .groupBy(col("source"), col("alloc_tokens"))
+      .agg(count(lit(1)).as("kept_docs"), sum(col("n_tok")).as("kept_tokens"))
+      .select(col("source"), col("alloc_tokens"), col("kept_docs"),
+        col("kept_tokens"),
+        (col("alloc_tokens") - col("kept_tokens")).as("slack_tokens"))
+
+  /** The KEPT ROWS of [[mixRealize]]'s cut — what a pipeline stage joins
+    * back onto the corpus to materialize the realized mixture (the
+    * summary above is this relation aggregated). Output:
+    * (id, source, n_tok, alloc_tokens). */
+  def mixRealizeKept(df: DataFrame, id: Column, source: Column,
+      nTok: Column, weight: Column): DataFrame = {
     // two consumers (allocation + cut) of the tokenized projection —
     // snapshot so the token count runs once (the module self-join rule)
     val rows = df.select(id.as("id"), source.as("source"),
@@ -85,11 +98,7 @@ object Mixture {
       .join(broadcast(alloc), "source")
       .withColumn("cum", sum(col("n_tok")).over(w))
       .where(col("cum") <= col("alloc_tokens"))
-      .groupBy(col("source"), col("alloc_tokens"))
-      .agg(count(lit(1)).as("kept_docs"), sum(col("n_tok")).as("kept_tokens"))
-      .select(col("source"), col("alloc_tokens"), col("kept_docs"),
-        col("kept_tokens"),
-        (col("alloc_tokens") - col("kept_tokens")).as("slack_tokens"))
+      .select(col("id"), col("source"), col("n_tok"), col("alloc_tokens"))
   }
 
   /** The TWO-PASS form of [[mixRealize]] — the shape its scaladoc

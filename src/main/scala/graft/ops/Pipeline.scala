@@ -13,10 +13,13 @@ import graft.functions.TextFunctions.tokenizeDefault
 /** The end-to-end training-data pipeline as ONE composable entry point —
   * curate (Gopher quality keep) → exact dedup → optional per-source
   * quota (two-pass) → optional Bloom decontamination → optional
-  * weighted-sample budget → optional LEAKAGE-SAFE train/test holdout
-  * (`split_test_pct`, cluster-hashed so no near-dup family straddles
-  * sides) → deterministic epoch shuffle → shard SINK with the manifest
-  * commit point (per side when split). Every stage is an already-oracle-gated
+  * weighted-sample budget → optional MIXTURE REALIZATION
+  * (`mix_weights`: each listed source cut exactly at its no-upsampling
+  * token allocation — the pipe_mix_realize cut) → optional LEAKAGE-SAFE
+  * train/test holdout (`split_test_pct`, cluster-hashed so no near-dup
+  * family straddles sides) → deterministic epoch shuffle → shard SINK
+  * with the manifest commit point (per side when split). Every stage is
+  * an already-oracle-gated
   * operator from this package ([[TextAnalysis.gopherKeep]],
   * [[Dedup.decontaminateBloom]], [[EpochShuffle.writeShards]]); this
   * object only sequences them and parses the YAML config the CLI's
@@ -47,6 +50,13 @@ object Pipeline {
       benchmark: Option[String] = None, // JSONL blocklist for decontam
       domainQuota: Option[Long] = None, // per-source doc cap (two-pass)
       sampleK: Option[Int] = None,      // corpus budget: weighted sample
+      /** Training-mixture spec: source → integer weight parts. Non-empty
+        * = realize the mixture ([[Mixture.mixRealizeKept]]): each LISTED
+        * source is cut exactly at its no-upsampling token allocation
+        * (weight·u tokens, u = min_s ⌊tokens_s/w_s⌋); sources NOT listed
+        * are dropped — a mixture spec enumerates its corpus, silently
+        * passing an unlisted source through would corrupt the mix. */
+      mixWeights: Map[String, Long] = Map.empty,
       shingleN: Int = 5,
       bloomBits: Int = 1 << 18,
       bloomHashes: Int = 3,
@@ -64,7 +74,7 @@ object Pipeline {
       .map(_.asScala.toMap).getOrElse(Map.empty[String, Object])
     val known = Set("input", "output", "text_field", "id_field",
       "source_field", "min_words", "max_words", "stopwords", "benchmark",
-      "domain_quota", "sample_k", "shingle_n", "bloom_bits",
+      "domain_quota", "sample_k", "mix_weights", "shingle_n", "bloom_bits",
       "bloom_hashes", "seed", "target_shard_size", "split_test_pct")
     val unknown = root.keySet.diff(known)
     require(unknown.isEmpty, s"unknown pipeline config key(s): ${unknown.toList.sorted.mkString(", ")}")
@@ -85,6 +95,10 @@ object Pipeline {
       benchmark = str("benchmark"),
       domainQuota = str("domain_quota").map(_.toLong),
       sampleK = str("sample_k").map(_.toInt),
+      mixWeights = root.get("mix_weights")
+        .map(_.asInstanceOf[java.util.Map[String, Object]].asScala.toMap
+          .map { case (k, v) => k -> v.toString.toLong })
+        .getOrElse(Map.empty),
       shingleN = int("shingle_n", 5),
       bloomBits = int("bloom_bits", 1 << 18),
       bloomHashes = int("bloom_hashes", 3),
@@ -167,6 +181,24 @@ object Pipeline {
           .orderBy(col("__key").asc, col("doc_id").asc).limit(k)
           .drop("__eq", "__key")
     }
+    // 3b. optional mixture realization: each LISTED source cut exactly
+    //     at its no-upsampling token allocation ([[Mixture
+    //     .mixRealizeKept]] — the hash-order running-sum prefix the
+    //     pipe_mix_realize gate pins); unlisted sources drop, because a
+    //     mixture spec enumerates its corpus. Snapshot first: the kept
+    //     set and the join both re-read the surviving corpus.
+    val mixed = if (cfg.mixWeights.isEmpty) budgeted else {
+      val snap = budgeted.localCheckpoint(eager = false)
+      val wcol = typedLit(cfg.mixWeights)
+      val listed = snap
+        .withColumn("__w", element_at(wcol, col("source")))
+        .where(col("__w").isNotNull)
+      val kept = Mixture.mixRealizeKept(listed, col("doc_id"),
+          col("source"), size(tokenizeDefault(col("text"))).cast("long"),
+          col("__w"))
+        .select(col("id").as("doc_id"))
+      snap.join(kept, Seq("doc_id"))
+    }
     // 4. optional leakage-safe holdout: side is a pure function of each
     //    document's NEAR-DUP CLUSTER id ([[Dedup.leakageSafeSplit]] over
     //    the gated MinHash-LSH pair tier), so no near-duplicate family
@@ -188,9 +220,9 @@ object Pipeline {
         length(col("text")), cfg.seed, numShards, outDir)
     }
     cfg.splitTestPct match {
-      case None => sink(budgeted, cfg.output)
+      case None => sink(mixed, cfg.output)
       case Some(pct) =>
-        val snap = budgeted.localCheckpoint(eager = false)
+        val snap = mixed.localCheckpoint(eager = false)
         val pairs = Dedup.minhashLsh(Dedup.shingles(
           snap.withColumn("toks", tokenizeDefault(col("text"))),
           col("doc_id"), col("toks"), cfg.shingleN))

@@ -210,6 +210,65 @@ class CliSpec extends AnyFunSuite {
     assert(m.agg(org.apache.spark.sql.functions.sum(col("n_docs")))
       .first().getLong(0) == 10)
   }
+  test("pipeline verb: mix_weights realizes the training mixture — listed " +
+      "sources cut at their token allocations, unlisted sources dropped") {
+    import org.apache.spark.sql.functions.{col, sum, length}
+    val dir = Files.createTempDirectory("graft-pipe4").toString
+    // three sources with distinct doc bodies; s2 is NOT in the mixture
+    val docs = (0 until 30).map { i =>
+      val words = (0 until 12).map(j => Seq("the", "quick", "brown", "fox",
+        "jumps", "over", "lazy", "dog", s"w$i", s"x${(i + j) % 7}")((i + j) % 10))
+      s"""{"id": $i, "src": "s${i % 3}", "text": "${words.mkString(" ")} of and to in is"}"""
+    }
+    Files.write(java.nio.file.Paths.get(s"$dir/corpus.jsonl"),
+      docs.mkString("\n").getBytes("UTF-8"))
+    Files.write(java.nio.file.Paths.get(s"$dir/pipe.yaml"),
+      s"""input: $dir/corpus.jsonl
+         |output: $dir/out
+         |id_field: id
+         |source_field: src
+         |min_words: 5
+         |mix_weights:
+         |  s0: 2
+         |  s1: 1
+         |target_shard_size: 400
+         |""".stripMargin.getBytes("UTF-8"))
+    val root = Files.createTempDirectory("graft-cli4").toString
+    cli.Main.run(Array("pipeline", s"$dir/pipe.yaml"), spark,
+      new Catalog(root), root)
+    val data = spark.read.parquet(s"$dir/out/data")
+    val bySrc = data.groupBy(col("source"))
+      .agg(sum(org.apache.spark.sql.functions.size(
+        graft.functions.TextFunctions.tokenize(col("text"), "default"))
+        .cast("long")).as("kept"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(!bySrc.contains("s2"), s"unlisted source must drop: $bySrc")
+    assert(bySrc.keySet == Set("s0", "s1"), bySrc.toString)
+    // the realized mixture obeys the spec: per-source kept tokens sit at
+    // the weight*u allocation (u = min over floor(tokens_s / w_s)),
+    // computed here from the post-curate/dedup survivors directly
+    val surv = spark.read.json(s"$dir/corpus.jsonl")
+      .where(col("src").isin("s0", "s1"))
+      .groupBy(col("src"))
+      .agg(sum(org.apache.spark.sql.functions.size(
+        graft.functions.TextFunctions.tokenize(col("text"), "default"))
+        .cast("long")).as("tok"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val u = math.min(surv("s0") / 2, surv("s1") / 1)
+    assert(bySrc("s0") <= 2 * u && bySrc("s1") <= u,
+      s"kept tokens must fit the allocation: $bySrc vs u=$u")
+    // tight: slack under the largest doc (~17 tokens in this fixture)
+    assert(2 * u - bySrc("s0") < 20 && u - bySrc("s1") < 20,
+      s"cut must be tight: $bySrc vs (${2 * u}, $u)")
+    // deterministic: rerun lands the identical survivor set
+    val ids1 = data.select(col("doc_id")).collect().map(_.getString(0)).toSet
+    cli.Main.run(Array("pipeline", s"$dir/pipe.yaml"), spark,
+      new Catalog(root), root)
+    val ids2 = spark.read.parquet(s"$dir/out/data")
+      .select(col("doc_id")).collect().map(_.getString(0)).toSet
+    assert(ids1 == ids2, "the mixture cut must reproduce across reruns")
+  }
+
   test("pipeline verb: split_test_pct emits leakage-safe train/test trees " +
       "with per-side manifests") {
     import org.apache.spark.sql.functions.col
