@@ -271,6 +271,15 @@ object Main {
                   s"ppm of rows, ${sizes.count(_._2 > 0)} of $cells " +
                   "cell(s) occupied (a hot cell serves slow — retrain " +
                   "re-sizes the cells)")
+              // probe-recall calibration curve (r17, train --calibrate):
+              // what --target-recall picks from
+              ann.readCalib(name, f).foreach { curve =>
+                val pts = curve.map { case (np, r) =>
+                  f"np=$np%d:${r / 10000.0}%.1f%%" }.mkString(" ")
+                println(s"ann '$f': probe-recall calibration $pts " +
+                  "(knn --target-recall picks the smallest sufficient " +
+                  "nprobe)")
+              }
               ann.tombstoneShare(name, f).foreach { case (t, nRows) =>
                 println(f"ann '$f': $t%d tombstoned row(s) of $nRows%d " +
                   f"stored (${100.0 * t / nRows}%.1f%%) from a --dedup " +
@@ -348,7 +357,8 @@ object Main {
             iterations = flags.getOrElse("iterations", "4").toInt,
             spill = flags.getOrElse("spill", "1").toInt,
             pq = flags.getOrElse("pq", "0").toInt,
-            sq8 = flags.contains("sq8"))
+            sq8 = flags.contains("sq8"),
+            calibrate = flags.contains("calibrate"))
           println(s"trained $cells cell(s) over $n vector(s) for field '$field'")
         }
 
@@ -397,7 +407,11 @@ object Main {
                   println(s"$s\t$doc")
                 }
               case None =>
-                ann.knn(pos.head, field, qv, k, nProbe, rerank, kFilter)
+                // --target-recall R: serve at the smallest CALIBRATED
+                // nprobe meeting the target (train --calibrate wrote the
+                // curve); an explicit --nprobe wins
+                ann.knn(pos.head, field, qv, k, nProbe, rerank, kFilter,
+                    targetRecall = flags.get("target-recall").map(_.toDouble))
                   .collect().foreach { r =>
                   println(f"${r.getDouble(0)}%.6f\t${r.getString(1)}%s")
                 }
@@ -440,6 +454,7 @@ object Main {
         case "--refresh" :: t => flags("refresh") = "true"; rest = t
         case "--compact" :: t => flags("compact") = "true"; rest = t
         case "--sq8" :: t => flags("sq8") = "true"; rest = t
+        case "--calibrate" :: t => flags("calibrate") = "true"; rest = t
         case f :: v :: t if f.startsWith("--") => flags(f.stripPrefix("--")) = v; rest = t
         case x :: t => pos += x; rest = t
         case Nil =>
@@ -459,10 +474,12 @@ object Main {
         |       count <name> <query> | merge <name> [--retain-inputs]
         |       vacuum <name> --before-gen N   (all: [--root DIR])
         |       stats <name> [--sketches --state-dir DIR] [--ann F]
-        |       train <name> --field F [--cells N (default sqrt(n)) --iterations 4 --spill 1 --pq M --sq8 | --refresh | --compact]
+        |       train <name> --field F [--cells N (default sqrt(n)) --iterations 4 --spill 1 --pq M --sq8 --calibrate | --refresh | --compact]
         |       knn <name> --field F (--vector v1,v2,... | --queries-file f.jsonl)
         |         [--k 5 --nprobe N --rerank R --filter 'search query']
+        |         [--target-recall R   (pick nprobe from the calibration curve)]
         |         [--hybrid-text 'search query'   (RRF-fused text + vector)]
         |       pipeline <config.yaml>   (curate -> dedup -> [decontaminate]
-        |         -> [leakage-safe split_test_pct] -> shuffle -> shards)""".stripMargin)
+        |         -> [mix_weights] -> [leakage-safe split_test_pct]
+        |         -> shuffle -> shards)""".stripMargin)
 }

@@ -226,7 +226,7 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     * sizes it. */
   def train(name: String, field: String, cells: Int = 0,
       iterations: Int = 4, spill: Int = 1, pq: Int = 0,
-      sq8: Boolean = false): (Int, Long) = {
+      sq8: Boolean = false, calibrate: Boolean = false): (Int, Long) = {
     require(spill >= 1, s"spill must be >= 1, got $spill")
     require(!(sq8 && pq > 0),
       "--sq8 and --pq are alternative candidate-ranking tiers; pick one")
@@ -389,6 +389,54 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
       .withColumn("__cell", explode(
         graft.exprs.NearestCells.nearest_cells(col(field), bcCents, spill)))
     val data = pqCb.fold(data0)(withResidualCode(data0, field, _, centArr))
+    // optional PROBE-RECALL CALIBRATION (r17): measure, on the bounded
+    // train sample, the recall@5 of the PROBE stage at a doubling nprobe
+    // grid, and persist the curve in the model dir so `knn
+    // --target-recall R` can pick the smallest sufficient nprobe without
+    // the operator hand-sweeping (the FAISS parameter-sweep workflow as
+    // a train option). Queries are the 16 LARGEST-hash vectors
+    // (train-disjoint whenever the corpus exceeds the sample cap — the
+    // holdout end); truth is brute cosine over the SAME sample; the
+    // approx arm replays the serving probe shape (spill-cell layout +
+    // query-side nprobe cells + exact cosine within probed cells), so
+    // the curve measures PROBE loss — the shortlist/rerank budget is
+    // the other knob (ProbeKnn measures that one). Cost per grid point:
+    // ≤ 16 queries × sample rows, ≤ ~log2(nlist)+1 points; artifacts
+    // land in the (unreferenced-until-META) model dir, so a crash
+    // leaves only sweepable debris.
+    if (calibrate) {
+      val q2 = vecs.orderBy(col("vid").desc).limit(math.min(16L, n).toInt)
+        .select(col("vid").as("qid"), col("v").as("qv"))
+        .localCheckpoint(eager = false)
+      val samp = sample.localCheckpoint(eager = false)
+      val truth = Ann.brute(q2, samp, k = 5)
+        .select(col("qid"), col("neighbor"))
+        .localCheckpoint(eager = false)
+      val lay = samp.withColumn("__cell", explode(
+        graft.exprs.NearestCells.nearest_cells(col("v"), bcCents, spill)))
+        .localCheckpoint(eager = false)
+      val nTruth = truth.count()
+      val grid = (Iterator.iterate(1)(_ * 2).takeWhile(_ < kEff).toSeq
+        :+ kEff).distinct
+      val w2 = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("__c").desc, col("vid").asc)
+      val curve = grid.map { np =>
+        val approx = q2.withColumn("__cell", explode(
+            graft.exprs.NearestCells.nearest_cells(col("qv"), bcCents, np)))
+          .join(lay, "__cell")
+          .where(col("vid") =!= col("qid"))
+          .dropDuplicates("qid", "vid")
+          .withColumn("__c",
+            CosineSimilarity.cosine_similarity(col("v"), col("qv")))
+          .withColumn("__rn", row_number().over(w2))
+          .where(col("__rn") <= 5)
+          .select(col("qid"), col("vid").as("neighbor"))
+        val hits = truth.join(approx, Seq("qid", "neighbor")).count()
+        (np, if (nTruth == 0) 1000000L else hits * 1000000L / nTruth)
+      }
+      curve.toDF("np", "recall_ppm").coalesce(1).write.mode("overwrite")
+        .parquet(new HPath(modelDir, "calib").toString)
+    }
     // ONE cell-keyed exchange before the fan-out write: without it every
     // write task emits a file into every cell directory it touches
     // (tasks × cells files — ProbeVecScale measured 64 files/cell at
@@ -920,6 +968,20 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
   def tombOf(name: String, field: String): Option[String] =
     metaField(name, field, "tomb")
 
+  /** The probe-recall calibration curve a `train --calibrate` persisted
+    * — (nprobe, recall_ppm) ascending by nprobe — or None when the
+    * served model was trained without one. Consumed by
+    * `knn --target-recall` and `stats --ann`. */
+  def readCalib(name: String, field: String): Option[Seq[(Int, Long)]] = {
+    val root = annRoot(name, field)
+    val mroot = modelOf(name, field)
+      .map(m => new HPath(root, s"model/$m")).getOrElse(root)
+    val p = new HPath(mroot, "calib")
+    if (!fs(p).exists(p)) None
+    else Some(spark.read.parquet(p.toString).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).toSeq)
+  }
+
   /** Serve-time tombstone PRESSURE: (retired identities, stored logical
     * rows) — None when the META carries no tombstones, so a policy that
     * polls this per batch pays one metadata read until a `--dedup` merge
@@ -1328,18 +1390,36 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
 
   def knn(name: String, field: String, queryVec: Array[Float], k: Int,
       nProbe: Int = 0, rerank: Int = 0,
-      filter: Option[String] = None): DataFrame = {
+      filter: Option[String] = None,
+      targetRecall: Option[Double] = None): DataFrame = {
     val cfg = catalog.load(name)
     vectorCol(cfg, field)
     val d = new SchemaDerivation(cfg)
     val q = array(queryVec.map(lit).toSeq: _*)
     val searcher = new Searcher(spark, catalog)
     val m = meta(name, field)
+    // --target-recall (r17): pick the smallest CALIBRATED nprobe whose
+    // measured probe recall meets the target (train --calibrate wrote
+    // the curve into the served model dir); the curve tops out at
+    // nlist, so an unreachable target serves the full-probe setting
+    // rather than failing. An explicit --nprobe always wins.
+    val nProbeEff: Int = targetRecall match {
+      case Some(r) if nProbe == 0 && m.isDefined =>
+        val curve = readCalib(name, field).getOrElse(sys.error(
+          s"--target-recall needs a calibration curve for '$field' — " +
+            "re-run train --calibrate"))
+        val want = math.min(1000000L, math.round(r * 1000000L))
+        curve.find(_._2 >= want).map(_._1).getOrElse(curve.last._1)
+      case Some(_) if m.isEmpty => sys.error(
+        s"--target-recall needs a trained index for '$field' — run " +
+          "train --calibrate first")
+      case _ => nProbe
+    }
     val pred = filter.map(f => new graft.query.QueryCompiler(d).compile(f))
     def filtered(df: DataFrame): DataFrame =
       pred.fold(df)(p => df.where(p))
     val scored: DataFrame =
-      if (nProbe > 0 && m.isDefined) {
+      if (nProbeEff > 0 && m.isDefined) {
         val root = annRoot(name, field)
         val (cents, cbsOpt, sqStOpt, mm) = servingModel(name, field, root)
         // rank the model-constant centroid table driver-side
@@ -1350,7 +1430,7 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
         val epoch = mm("epoch").toInt
         def scanCells(cids: Seq[Long]): DataFrame =
           antiTomb(root, mm)(filtered(probedScan(root, baseEp, epoch, cids.toSet)))
-        var covered = math.min(nProbe, ranked.length)
+        var covered = math.min(nProbeEff, ranked.length)
         var cand0 = scanCells(ranked.take(covered))
         // ADAPTIVE nprobe (r14 #3, built r16): a selective filter can
         // leave fewer than k matching candidates in the probed cells —

@@ -491,6 +491,80 @@ class CliSpec extends AnyFunSuite {
       "escalated batch face must agree with the single-query face")
   }
 
+  test("train --calibrate + knn --target-recall: the persisted probe-recall " +
+      "curve picks the smallest sufficient nprobe") {
+    val root = Files.createTempDirectory("graft-cli-calib").toString
+    val cat = new Catalog(root)
+    val yaml = Files.createTempFile("cli-calib", ".yaml")
+    Files.write(yaml,
+      """version: 1
+        |name: calib_test
+        |path: /tmp/unused
+        |schema:
+        |  fields:
+        |    - name: title
+        |      type: !text
+        |    - name: emb
+        |      type: !number
+        |        type: f64
+        |      array: true
+        |""".stripMargin.getBytes("UTF-8"))
+    cli.Main.run(Array("create", yaml.toString), spark, cat, root)
+    def doc(t: String, v: Seq[Double]) =
+      s"""{"title": "$t", "emb": [${v.mkString(", ")}]}"""
+    // four well-separated direction clusters so low nprobe measurably
+    // under-recalls and the curve climbs toward 1.0
+    val dirs = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0),
+      Seq(0.0, 0.0, 1.0, 0.0), Seq(0.0, 0.0, 0.0, 1.0))
+    val docsAll = (0 until 80).map { i =>
+      val d0 = dirs(i % 4)
+      doc(s"d$i", d0.zipWithIndex.map { case (x, j) =>
+        x + 0.01 * ((i + j) % 5) })
+    }
+    val in = Files.createTempFile("calib-docs", ".jsonl")
+    Files.write(in, docsAll.mkString("\n").getBytes("UTF-8"))
+    cli.Main.run(Array("index", "calib_test", in.toString), spark, cat, root)
+    val ann = new graft.engine.AnnIndex(spark, cat)
+    // without a calibration curve, --target-recall fails LOUDLY
+    ann.train("calib_test", "emb", cells = 8)
+    val err = intercept[Exception] {
+      ann.knn("calib_test", "emb", Array(1.0f, 0.0f, 0.0f, 0.0f), 3,
+        targetRecall = Some(0.9)).collect()
+    }
+    assert(err.getMessage.contains("train --calibrate"), err.getMessage)
+    // calibrated retrain persists the curve in the model dir
+    cli.Main.run(Array("train", "calib_test", "--field", "emb",
+      "--cells", "8", "--calibrate"), spark, cat, root)
+    val curve = ann.readCalib("calib_test", "emb").get
+    assert(curve.map(_._1) == curve.map(_._1).sorted && curve.nonEmpty,
+      s"ascending nprobe grid: $curve")
+    assert(curve.last._1 == 8, s"grid tops out at nlist: $curve")
+    assert(curve.last._2 >= curve.head._2,
+      s"recall must not decrease along the grid: $curve")
+    assert(curve.last._2 == 1000000L,
+      s"probing every cell recalls the exact top-5: $curve")
+    // --target-recall 1.0 serves (at the full-probe setting or earlier)
+    // and agrees with an explicit full-probe query
+    val got = ann.knn("calib_test", "emb", Array(1.0f, 0.0f, 0.0f, 0.0f),
+      3, targetRecall = Some(1.0)).collect().map(_.getString(1)).toSeq
+    val full = ann.knn("calib_test", "emb", Array(1.0f, 0.0f, 0.0f, 0.0f),
+      3, nProbe = 8).collect().map(_.getString(1)).toSeq
+    assert(got == full, s"target-recall 1.0 must match full-probe:\n$got\n$full")
+    // the CLI face takes --target-recall, and stats prints the curve
+    val outT = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(outT, true, "UTF-8")) {
+      cli.Main.run(Array("knn", "calib_test", "--field", "emb",
+        "--vector", "1.0,0.0,0.0,0.0", "--k", "2",
+        "--target-recall", "0.8"), spark, cat, root)
+      cli.Main.run(Array("stats", "calib_test", "--ann", "emb"),
+        spark, cat, root)
+    }
+    val sT = outT.toString("UTF-8")
+    assert(sT.linesIterator.count(_.contains("\t")) == 2, sT)
+    assert(sT.contains("probe-recall calibration") && sT.contains("np="), sT)
+    cat.drop("calib_test")
+  }
+
   test("merge --dedup tombstones the trained tier's surplus copies: knn " +
       "serves survivors with NO retrain; train --compact folds them away") {
     val root = Files.createTempDirectory("graft-cli-tomb").toString
