@@ -388,7 +388,8 @@ object Main {
             val queries = spark.read.json(qf)
               .select(col("qid").cast("string").as("qid"),
                 col("vector").as("qv"))
-            ann.knnBatch(pos.head, field, queries, k, nProbe, rerank, kFilter)
+            ann.knnBatch(pos.head, field, queries, k, nProbe, rerank, kFilter,
+                targetRecall = flags.get("target-recall").map(_.toDouble))
               .orderBy(col("qid"), col("rank"))
               .collect().foreach { r =>
                 println(f"${r.getString(0)}%s\t${r.getInt(1)}%d\t" +

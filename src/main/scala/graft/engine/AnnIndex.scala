@@ -1702,12 +1702,29 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     * rank 1..k per query. */
   def knnBatch(name: String, field: String, queries: DataFrame, k: Int,
       nProbe: Int = 0, rerank: Int = 0,
-      filter: Option[String] = None): DataFrame = {
+      filter: Option[String] = None,
+      targetRecall: Option[Double] = None): DataFrame = {
     val cfg = catalog.load(name)
     vectorCol(cfg, field)
     val d = new SchemaDerivation(cfg)
     val searcher = new Searcher(spark, catalog)
     val m = meta(name, field)
+    // --target-recall, batch face: same curve lookup as the single face
+    // (one nprobe for the whole relation — the calibration is per-model,
+    // not per-query; the filtered escalation below still lifts
+    // under-filled qids past it)
+    val nProbeEff: Int = targetRecall match {
+      case Some(r) if nProbe == 0 && m.isDefined =>
+        val curve = readCalib(name, field).getOrElse(sys.error(
+          s"--target-recall needs a calibration curve for '$field' — " +
+            "re-run train --calibrate"))
+        val want = math.min(1000000L, math.round(r * 1000000L))
+        curve.find(_._2 >= want).map(_._1).getOrElse(curve.last._1)
+      case Some(_) if m.isEmpty => sys.error(
+        s"--target-recall needs a trained index for '$field' — run " +
+          "train --calibrate first")
+      case _ => nProbe
+    }
     // metadata pre-filter, same semantics as [[knn]]'s `filter`: one
     // predicate over the stored columns, applied to the probed scan
     // before any per-query shortlist so rerank budgets aren't crowded
@@ -1719,7 +1736,7 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
         org.apache.spark.sql.types.FloatType)).as("qv"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
     val scored: DataFrame =
-      if (nProbe > 0 && m.isDefined) {
+      if (nProbeEff > 0 && m.isDefined) {
         val root = annRoot(name, field)
         val (cents, cbsOpt, sqStOpt, mm) = servingModel(name, field, root)
         val bc = spark.sparkContext.broadcast(cents)
@@ -1730,7 +1747,7 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
         // census below and the candidate join — without the checkpoint
         // the query-side lineage (source read + assignment) runs twice
         var probesQ = qs.withColumn("__pcell", explode(
-          graft.exprs.NearestCells.nearest_cells(col("qv"), bc, nProbe)))
+          graft.exprs.NearestCells.nearest_cells(col("qv"), bc, nProbeEff)))
           .localCheckpoint(eager = false)
         // ADAPTIVE nprobe, batch face (r16 verdict #4 — the single-query
         // face's escalation since r16, batched): a selective filter can
@@ -1749,7 +1766,7 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
         // batches never pay any of this.
         if (pred.isDefined && cents.nonEmpty) {
           val nlist = cents.length
-          var covered = math.min(nProbe, nlist)
+          var covered = math.min(nProbeEff, nlist)
           def lowQids(): DataFrame = {
             val cellsNow = probesQ.select(col("__pcell")).distinct()
               .collect().map(_.getLong(0)).toSet

@@ -562,6 +562,17 @@ class CliSpec extends AnyFunSuite {
     val sT = outT.toString("UTF-8")
     assert(sT.linesIterator.count(_.contains("\t")) == 2, sT)
     assert(sT.contains("probe-recall calibration") && sT.contains("np="), sT)
+    // batch face shares the curve lookup: target 1.0 ≡ explicit full-probe
+    import spark.implicits._
+    val bq = Seq(("qa", Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      ("qb", Seq(0.0f, 0.0f, 1.0f, 0.0f))).toDF("qid", "qv")
+    val bT = ann.knnBatch("calib_test", "emb", bq, k = 3,
+      targetRecall = Some(1.0)).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(3))).sortBy(x => (x._1, x._2))
+    val bF = ann.knnBatch("calib_test", "emb", bq, k = 3, nProbe = 8)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(3))).sortBy(x => (x._1, x._2))
+    assert(bT.sameElements(bF), "batch target-recall 1.0 must match full-probe")
     cat.drop("calib_test")
   }
 
