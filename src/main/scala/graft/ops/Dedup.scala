@@ -299,6 +299,33 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** CONTAMINATION REPORT — [[decontaminate]]'s reverse direction:
+    * grade the EVAL SET instead of dropping corpus docs. Per benchmark
+    * document, the fraction (ppm, truncating integer division) of its
+    * distinct shingles that occur ANYWHERE in the corpus — the
+    * eval-integrity number read before trusting a score on that item
+    * (a high ppm means the item's text leaks into training data, so
+    * its score measures memorization). Scale shape: the corpus side
+    * collapses to its DISTINCT gram set first (one gram-keyed combiner
+    * aggregate — never a doc×doc join, hot boilerplate grams cannot go
+    * quadratic), and the eval-suite-sized benchmark side left-semi
+    * probes it per gram. Output one row per benchmark doc:
+    * (bench_id, n_grams, n_hit, hit_ppm). */
+  def contaminationReport(benchmark: DataFrame,
+      corpus: DataFrame): DataFrame = {
+    val cg = corpus.select(explode(col("shingles")).as("sh")).distinct()
+    val hits = benchmark
+      .select(col("doc_id").as("bench_id"), explode(col("shingles")).as("sh"))
+      .join(cg, Seq("sh"), "left_semi")
+      .groupBy(col("bench_id")).agg(count(lit(1)).as("n_hit"))
+    benchmark.select(col("doc_id").as("bench_id"),
+        size(col("shingles")).cast("long").as("n_grams"))
+      .join(hits, Seq("bench_id"), "left")
+      .select(col("bench_id"), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        expr("(coalesce(n_hit, 0) * 1000000) div n_grams").as("hit_ppm"))
+  }
+
   /** Bloom-filter decontamination — the at-scale form of
     * [[decontaminate]]: when the benchmark suite's shingle set is too
     * large to broadcast raw (the real shape once every eval suite ever

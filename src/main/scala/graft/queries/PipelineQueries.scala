@@ -1920,6 +1920,20 @@ object PipelineQueries {
       .orderBy(col("doc_id"), col("bench_id"))
   }
 
+  /** The decontamination REPORT at the same fixture — per BENCHMARK doc,
+    * the share (ppm) of its distinct shingles found anywhere in the
+    * corpus ([[graft.ops.Dedup.contaminationReport]]): where
+    * [[pipe_decontaminate]] decides which corpus docs to DROP, this
+    * grades which eval items can still be trusted. One row per
+    * benchmark doc. */
+  val pipe_contamination_report: Q = (s, dir) => {
+    val sh = shingled(s, dir)
+    Dedup.contaminationReport(
+      sh.where(col("doc_id") < 10),
+      sh.where(col("doc_id") >= 10))
+      .orderBy(col("bench_id"))
+  }
+
   /** Bloom-filter decontamination at the [[pipe_decontaminate]] gate
     * fixture (docs < 10 are the benchmark, the rest the corpus) — see
     * [[graft.ops.Dedup.decontaminateBloom]]. m = 2^18 bits, j = 3
@@ -2417,6 +2431,7 @@ object PipelineQueries {
 
   val all: Map[String, Q] = Map(
     "pipe_decontaminate" -> pipe_decontaminate,
+    "pipe_contamination_report" -> pipe_contamination_report,
     "knn_recall_scaled" -> knn_recall_scaled,
     "knn_serving_recall" -> knn_serving_recall,
     "knn_serving_recall_sq8" -> knn_serving_recall_sq8,
@@ -4146,6 +4161,18 @@ object PipelineQueries {
          |GROUP BY 1, 2
          |HAVING count(*) >= 1
          |ORDER BY doc_id, bench_id""".stripMargin,
+    "pipe_contamination_report" ->
+      s"""WITH sh AS ($shingleSql),
+         |b AS (SELECT doc_id AS bench_id, unnest(shingles) AS s FROM sh WHERE doc_id < 10),
+         |cg AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id >= 10),
+         |hits AS (SELECT bench_id, count(*) AS n_hit FROM b JOIN cg USING (s) GROUP BY 1),
+         |ng AS (SELECT doc_id AS bench_id, CAST(len(shingles) AS BIGINT) AS n_grams
+         |       FROM sh WHERE doc_id < 10)
+         |SELECT ng.bench_id, ng.n_grams,
+         |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |  CAST(coalesce(h.n_hit, 0) * 1000000 // ng.n_grams AS BIGINT) AS hit_ppm
+         |FROM ng LEFT JOIN hits h ON h.bench_id = ng.bench_id
+         |ORDER BY ng.bench_id""".stripMargin,
     "pipe_kmeans_step" ->
       """WITH cents AS (
         |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),

@@ -1487,6 +1487,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(cb == again, "training is deterministic — no RNG anywhere")
   }
 
+  test("pipe_contamination_report: hit shares bounded, and exactly the " +
+      "benchmark docs pipe_decontaminate pairs with read n_hit > 0") {
+    val rep = PipelineQueries.pipe_contamination_report(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rep.nonEmpty && rep.forall { case (_, ng, nh, ppm) =>
+      ng > 0 && nh >= 0 && nh <= ng && ppm >= 0 && ppm <= 1000000L },
+      s"shares must be well-formed: ${rep.mkString("; ")}")
+    // consistency with the DROP direction: a (corpus, bench) pair with
+    // n_shared >= 1 exists iff that bench doc's report reads n_hit > 0
+    val paired = PipelineQueries.pipe_decontaminate(spark, sf).collect()
+      .map(_.getAs[Long]("bench_id")).toSet
+    val hit = rep.filter(_._3 > 0).map(_._1).toSet
+    assert(hit == paired,
+      s"report/drop directions must agree on contaminated items:\n$hit\nvs\n$paired")
+  }
+
   test("pipe_mix_realize cuts every source exactly at its token budget: " +
       "slack non-negative and tighter than the source's largest doc") {
     val got = PipelineQueries.pipe_mix_realize(spark, sf).collect()
