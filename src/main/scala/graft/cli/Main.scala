@@ -319,12 +319,25 @@ object Main {
         }
 
       case "search" =>
-        val req = graft.engine.SearchRequest(pos(1),
-          limit = flags.get("limit").map(_.toInt).getOrElse(1),
-          fields = flags.get("fields").map(_.split(",").toList),
-          scored = !flags.contains("unscored"),
-          asOfGen = flags.get("at-gen").map(_.toLong))
-        new Searcher(spark, cat).search(pos.head, req).foreach(println)
+        // --explain: report which splits the prune families excluded
+        // (time/zone/dict/prefix stats + term digests) without scanning
+        // — the operator's selectivity check before an expensive query
+        if (flags.contains("explain")) {
+          val (live, surv) = new Searcher(spark, cat).explainPrune(
+            pos.head, pos(1),
+            fields = flags.get("fields").map(_.split(",").toList))
+          println(s"splits: ${live.length} live, ${surv.length} scanned " +
+            s"(${live.length - surv.length} pruned)")
+          surv.foreach(id => println(s"  scan $id"))
+          live.filterNot(surv.toSet).foreach(id => println(s"  prune $id"))
+        } else {
+          val req = graft.engine.SearchRequest(pos(1),
+            limit = flags.get("limit").map(_.toInt).getOrElse(1),
+            fields = flags.get("fields").map(_.split(",").toList),
+            scored = !flags.contains("unscored"),
+            asOfGen = flags.get("at-gen").map(_.toLong))
+          new Searcher(spark, cat).search(pos.head, req).foreach(println)
+        }
 
       case "count" =>
         println(new Searcher(spark, cat).countMatches(pos.head, pos(1),
@@ -450,6 +463,7 @@ object Main {
         case "--stream" :: t => flags("stream") = "true"; rest = t
         case "--dedup" :: t  => flags("dedup") = "true"; rest = t
         case "--unscored" :: t => flags("unscored") = "true"; rest = t
+        case "--explain" :: t => flags("explain") = "true"; rest = t
         case "--retain-inputs" :: t => flags("retain-inputs") = "true"; rest = t
         case "--sketches" :: t => flags("sketches") = "true"; rest = t
         case "--refresh" :: t => flags("refresh") = "true"; rest = t
@@ -472,6 +486,7 @@ object Main {
         |           [--ann-retrain-threshold PPM] [--ann-tombstone-threshold FRAC]]
         |          [--state-dir DIR]]
         |       search <name> <query> [--limit N] [--fields a,b] [--unscored]
+        |         [--explain   (which splits prune vs scan, no data read)]
         |       count <name> <query> | merge <name> [--retain-inputs]
         |       vacuum <name> --before-gen N   (all: [--root DIR])
         |       stats <name> [--sketches --state-dir DIR] [--ann F]

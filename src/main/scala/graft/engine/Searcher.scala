@@ -146,6 +146,21 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
       .count()
   }
 
+  /** Split-prune EXPLAIN — the operator's view of what a query would
+    * touch, WITHOUT scanning anything: (live split ids, surviving split
+    * ids) through the exact prune path a real search takes (time/zone/
+    * dict/prefix scalar families first, then term digests over the
+    * survivors). `search --explain` prints it; a query whose survivor
+    * list is long is the cue to check the digest fill rates in `stats`
+    * or tighten the time bounds. */
+  def explainPrune(indexName: String, query: String,
+      fields: Option[List[String]] = None)
+      : (List[String], List[String]) = {
+    val (_, _, _, _, pruned) = loadAndPrune(indexName, query, fields)
+    (catalog.liveSplits(indexName).map(_.id).sorted,
+      pruned.map(_.id).sorted)
+  }
+
   /** Shared search prologue: config, derivation, parsed AST, manifest
     * generation, pruned splits. ONE manifest read supplies both the
     * split list and the generation: two reads could pair gen N+1 with a

@@ -70,6 +70,21 @@ class SplitPruningSpec extends AnyFunSuite {
     assert(got == Seq("""{"msg":"new alpha","ts":"2024-01-10T00:00:00Z"}"""))
     // and an all-splits query still sees everything
     assert(search.search("prune_test", "msg:alpha", 10).length == 2)
+
+    // --explain face (r17): the operator's no-scan selectivity view goes
+    // through the SAME prune path — 1 of 2 splits survives the ranged
+    // query, and the CLI prints the scan/prune split ids
+    val (live, surv) = search.explainPrune("prune_test", ranged)
+    assert(live.length == 2 && surv.length == 1,
+      s"explain must mirror the prune: $live vs $surv")
+    val outE = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(outE, true, "UTF-8")) {
+      graft.cli.Main.run(Array("search", "prune_test", ranged, "--explain"),
+        spark, cat, root)
+    }
+    val sE = outE.toString("UTF-8")
+    assert(sE.contains("2 live, 1 scanned (1 pruned)") &&
+      sE.contains("scan ") && sE.contains("prune "), sE)
   }
 
   private val zoneConfig =
