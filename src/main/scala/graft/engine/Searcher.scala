@@ -156,9 +156,15 @@ final class Searcher(spark: SparkSession, catalog: Catalog) {
   def explainPrune(indexName: String, query: String,
       fields: Option[List[String]] = None)
       : (List[String], List[String]) = {
-    val (_, _, _, _, pruned) = loadAndPrune(indexName, query, fields)
-    (catalog.liveSplits(indexName).map(_.id).sorted,
-      pruned.map(_.id).sorted)
+    val cfg = catalog.load(indexName)
+    val d = new SchemaDerivation(cfg)
+    val ast = QueryParser.parse(query)
+    // ONE manifest read supplies both lists — a second read could pair a
+    // gen-N live listing with a gen-N+1 prune under a concurrent commit
+    // and the explain would report splits that do not add up
+    val (_, live) = catalog.manifestStateCached(indexName)
+    val surv = prunedFrom(live, cfg, d, ast, fields)
+    (live.map(_.id).sorted, surv.map(_.id).sorted)
   }
 
   /** Shared search prologue: config, derivation, parsed AST, manifest
