@@ -101,6 +101,39 @@ object Mixture {
       .select(col("id"), col("source"), col("n_tok"), col("alloc_tokens"))
   }
 
+  /** Multi-EPOCH mixture plan — the table a mixture spec becomes when
+    * the token budget EXCEEDS the no-upsampling point ([[mixAllocation]]
+    * stops there): per source, its share of a total budget
+    * `budgetNum × corpus tokens`, how many passes over the source that
+    * means (epochs, in ppm — the Llama/Pile "epochs per source" table),
+    * the cap (`maxEpochs` passes — repeating a small source beyond a
+    * few epochs measurably hurts, so the excess is REPORTED as
+    * shortfall rather than silently over-repeated or redistributed —
+    * redistribution loops are a planner's choice, this is the honest
+    * input to one). Exact integer arithmetic throughout; the ×10⁶
+    * epochs scale-up widens to DECIMAL(38,0) (HUGEINT in the oracle)
+    * because `alloc · 10⁶` wraps BIGINT at the 100 TB design point.
+    * One source-keyed combiner aggregate + windows over the per-source
+    * rows only. Output per source: (source, n_tokens, weight,
+    * alloc_tokens, epochs_ppm, capped_tokens, shortfall_tokens). */
+  def mixEpochs(df: DataFrame, source: Column, nTok: Column,
+      weight: Column, budgetNum: Long, maxEpochs: Long): DataFrame = {
+    val per = df.select(source.as("source"), nTok.as("n_tok"),
+        weight.as("weight"))
+      .groupBy(col("source"), col("weight"))
+      .agg(sum(col("n_tok")).as("n_tokens"))
+    per.select(col("source"), col("n_tokens"), col("weight"))
+      .withColumn("alloc_tokens", expr(
+        s"(weight * (sum(n_tokens) OVER () * $budgetNum)) " +
+          "DIV sum(weight) OVER ()"))
+      .withColumn("epochs_ppm", expr(
+        "(CAST(alloc_tokens AS DECIMAL(38,0)) * 1000000) DIV n_tokens"))
+      .withColumn("capped_tokens",
+        least(col("alloc_tokens"), expr(s"n_tokens * $maxEpochs")))
+      .withColumn("shortfall_tokens",
+        col("alloc_tokens") - col("capped_tokens"))
+  }
+
   /** The TWO-PASS form of [[mixRealize]] — the shape its scaladoc
     * prescribes for a pathologically hot source (≫ executor memory per
     * window task), the running-sum analogue of [[domainQuotaTwoPass]]:

@@ -925,6 +925,21 @@ object PipelineQueries {
       pmod(substring(col("source"), 4, 10).cast("long"), lit(3)) + 1)
       .orderBy(col("source"))
 
+  /** The multi-EPOCH mixture plan ([[graft.ops.Mixture.mixEpochs]]):
+    * budget = 2× the corpus tokens (past the no-upsampling point), cap
+    * at 3 epochs per source, excess reported as shortfall. Same fixture
+    * weight rule as [[pipe_mix_weights]]; the oracle replays share,
+    * epoch, cap, and shortfall arithmetic (HUGEINT for the ×10⁶
+    * epoch scale-up). */
+  val pipe_mix_epochs: Q = (s, dir) =>
+    graft.ops.Mixture.mixEpochs(
+      docs(s, dir),
+      col("source"),
+      size(tokenizeDefault(col("text"))).cast("long"),
+      pmod(substring(col("source"), 4, 10).cast("long"), lit(3)) + 1,
+      budgetNum = 2L, maxEpochs = 3L)
+      .orderBy(col("source"))
+
   /** The HOT-SOURCE form of [[pipe_mix_realize]]
     * ([[graft.ops.Mixture.mixRealizeTwoPass]]): per-source hash
     * thresholds sized to an expected `alloc·slack` token mass bound the
@@ -2479,6 +2494,7 @@ object PipelineQueries {
     "pipe_mix_weights" -> pipe_mix_weights,
     "pipe_mix_realize" -> pipe_mix_realize,
     "pipe_mix_realize_2pass" -> pipe_mix_realize_2pass,
+    "pipe_mix_epochs" -> pipe_mix_epochs,
     "pipe_curate" -> pipe_curate,
     "pipe_curate_v2" -> pipe_curate_v2,
     "pipe_curate_v3" -> pipe_curate_v3,
@@ -4591,6 +4607,19 @@ object PipelineQueries {
          |  CAST(alloc_tokens - sum(n_tok) AS BIGINT) AS slack_tokens
          |FROM cum WHERE c <= alloc_tokens
          |GROUP BY 1, 2 ORDER BY source""".stripMargin,
+    "pipe_mix_epochs" ->
+      s"""WITH per AS (
+         |  SELECT source,
+         |    CAST(substr(source, 4) AS BIGINT) % 3 + 1 AS weight,
+         |    CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1, 2),
+         |t AS (SELECT sum(n_tokens) * 2 AS tt, sum(weight) AS sw FROM per)
+         |SELECT source, n_tokens, CAST(weight AS BIGINT) AS weight,
+         |  CAST(weight * tt // sw AS BIGINT) AS alloc_tokens,
+         |  CAST(CAST(weight * tt // sw AS HUGEINT) * 1000000 // n_tokens AS BIGINT) AS epochs_ppm,
+         |  CAST(LEAST(weight * tt // sw, n_tokens * 3) AS BIGINT) AS capped_tokens,
+         |  CAST(weight * tt // sw - LEAST(weight * tt // sw, n_tokens * 3) AS BIGINT) AS shortfall_tokens
+         |FROM per CROSS JOIN t ORDER BY source""".stripMargin,
     "pipe_mix_realize_2pass" ->
       s"""WITH rows AS (
          |  SELECT doc_id, source,

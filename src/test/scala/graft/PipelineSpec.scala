@@ -1487,6 +1487,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(cb == again, "training is deterministic — no RNG anywhere")
   }
 
+  test("pipe_mix_epochs: budget shares proportional to weight, cap at 3 " +
+      "epochs with the excess reported, identities exact") {
+    val got = PipelineQueries.pipe_mix_epochs(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.nonEmpty)
+    val tt = got.map(_._2).sum * 2
+    val sw = got.map(_._3).sum
+    got.foreach { case (src, nTok, w, alloc, ppm, capped, short) =>
+      assert(alloc == w * tt / sw, s"$src: share must be weight-proportional")
+      assert(ppm == BigInt(alloc) * 1000000 / nTok, s"$src: epochs arithmetic")
+      assert(capped == math.min(alloc, nTok * 3) && short == alloc - capped,
+        s"$src: cap/shortfall identities")
+      assert(short == 0 || ppm > 3000000L,
+        s"$src: shortfall only past the 3-epoch cap")
+    }
+  }
+
   test("pipe_contamination_report: hit shares bounded, and exactly the " +
       "benchmark docs pipe_decontaminate pairs with read n_hit > 0") {
     val rep = PipelineQueries.pipe_contamination_report(spark, sf).collect()
