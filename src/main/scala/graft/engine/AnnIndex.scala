@@ -996,12 +996,18 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
       val root = annRoot(name, field)
       val t = spark.read
         .parquet(new HPath(root, s"tombstones/$td").toString).count()
-      val spill = meta(name, field).fold(1)(_._3)
+      // nearest_cells emits min(spill, nlist) copies per row — clamp
+      // the divisor to the cell count or an index with fewer cells
+      // than spill under-counts its logical rows and the streaming
+      // fold policy fires earlier than the configured share (r17
+      // advice). Both counts stay parquet-metadata cheap.
+      val copies = meta(name, field).fold(1) { case (cells, _, sp) =>
+        math.max(1, math.min(sp, cells)) }
       val rows = spark.read.parquet(new HPath(root, "data").toString)
         .where(col("__epoch").between(baseOf(name, field),
           epochOf(name, field)))
         .count()
-      (t, math.max(1L, rows / math.max(1, spill)))
+      (t, math.max(1L, rows / copies))
     }
 
   /** Serve-time tombstone exclusion: anti-join the (tiny — ∝ deletes,
@@ -1399,10 +1405,13 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     val searcher = new Searcher(spark, catalog)
     val m = meta(name, field)
     // --target-recall (r17): pick the smallest CALIBRATED nprobe whose
-    // measured probe recall meets the target (train --calibrate wrote
-    // the curve into the served model dir); the curve tops out at
-    // nlist, so an unreachable target serves the full-probe setting
-    // rather than failing. An explicit --nprobe always wins.
+    // measured recall meets the target (train --calibrate wrote the
+    // curve into the served model dir); the curve tops out at nlist,
+    // so an unreachable target serves the full-probe setting rather
+    // than failing. An explicit --nprobe always wins, and an UNTRAINED
+    // index serves the brute tier — exact, so it meets any target
+    // trivially (r17 advice: erroring there blocked both documented
+    // outs); the loud error stays on the curve-lookup path only.
     val nProbeEff: Int = targetRecall match {
       case Some(r) if nProbe == 0 && m.isDefined =>
         val curve = readCalib(name, field).getOrElse(sys.error(
@@ -1410,9 +1419,6 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
             "re-run train --calibrate"))
         val want = math.min(1000000L, math.round(r * 1000000L))
         curve.find(_._2 >= want).map(_._1).getOrElse(curve.last._1)
-      case Some(_) if m.isEmpty => sys.error(
-        s"--target-recall needs a trained index for '$field' — run " +
-          "train --calibrate first")
       case _ => nProbe
     }
     val pred = filter.map(f => new graft.query.QueryCompiler(d).compile(f))
@@ -1448,12 +1454,21 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
           // filter's own columns reach the scan; vectors and stored
           // docs do not), so a filtered query pays one cheap extra
           // pass over its probed cells' metadata — not a second serve
-          // scan — and an unfiltered query pays nothing at all
+          // scan — and an unfiltered query pays nothing at all.
+          // When a quantized tier will serve, count only rows that
+          // tier can rank (non-null code) — a qid whose matches are
+          // all malformed-vector rows must keep escalating, not be
+          // declared sufficient and under-fill k (r17 advice)
+          val codeCol: Option[String] =
+            if (mm.get("pq").fold(0)(_.toInt) > 0) Some("__code")
+            else if (mm.get("sq8").exists(_.toInt > 0)) Some("__sq8")
+            else None
           def enough(df: DataFrame): Boolean = {
+            val servable = codeCol.fold(df)(c => df.where(col(c).isNotNull))
             val distinct = if (m.exists(_._3 > 1))
-              df.select(col("__epoch"), col("__rid"))
+              servable.select(col("__epoch"), col("__rid"))
                 .dropDuplicates("__epoch", "__rid")
-            else df
+            else servable
             distinct.limit(k).count() >= k
           }
           while (covered < ranked.length && !enough(cand0)) {
@@ -1712,7 +1727,8 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     // --target-recall, batch face: same curve lookup as the single face
     // (one nprobe for the whole relation — the calibration is per-model,
     // not per-query; the filtered escalation below still lifts
-    // under-filled qids past it)
+    // under-filled qids past it). Same outs as the single face: an
+    // explicit --nprobe wins, an untrained index serves exact brute.
     val nProbeEff: Int = targetRecall match {
       case Some(r) if nProbe == 0 && m.isDefined =>
         val curve = readCalib(name, field).getOrElse(sys.error(
@@ -1720,9 +1736,6 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
             "re-run train --calibrate"))
         val want = math.min(1000000L, math.round(r * 1000000L))
         curve.find(_._2 >= want).map(_._1).getOrElse(curve.last._1)
-      case Some(_) if m.isEmpty => sys.error(
-        s"--target-recall needs a trained index for '$field' — run " +
-          "train --calibrate first")
       case _ => nProbe
     }
     // metadata pre-filter, same semantics as [[knn]]'s `filter`: one
@@ -1767,11 +1780,21 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
         if (pred.isDefined && cents.nonEmpty) {
           val nlist = cents.length
           var covered = math.min(nProbeEff, nlist)
+          // quantized tiers rank only non-null-code rows — the recount
+          // must apply the same filter or a qid whose matches are all
+          // malformed-vector rows is declared sufficient yet
+          // under-fills k (r17 advice; same shape as the single face)
+          val codeCol: Option[String] =
+            if (mm.get("pq").fold(0)(_.toInt) > 0) Some("__code")
+            else if (mm.get("sq8").exists(_.toInt > 0)) Some("__sq8")
+            else None
           def lowQids(): DataFrame = {
             val cellsNow = probesQ.select(col("__pcell")).distinct()
               .collect().map(_.getLong(0)).toSet
-            val ids = antiTomb(root, mm)(filtered(probedScan(root,
+            val scanNow = antiTomb(root, mm)(filtered(probedScan(root,
               baseEp, servedEp, cellsNow)))
+            val ids = codeCol.fold(scanNow)(c =>
+              scanNow.where(col(c).isNotNull))
               .select(col("__cell"), col("__epoch"), col("__rid"))
             val matched = probesQ
               .join(ids, col("__pcell") === col("__cell"))

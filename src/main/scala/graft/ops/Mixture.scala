@@ -25,15 +25,36 @@ import org.apache.spark.sql.functions._
   */
 object Mixture {
 
+  /** The "weight is functionally determined by source" contract, made
+    * LOUD (r17 verdict #6): every per-source aggregate in this module
+    * keys by (source, weight), so a caller whose weight expression
+    * varied WITHIN a source used to get two silent allocation rows for
+    * it. Route the weight column through a per-source row-count window
+    * (the aggregate output is per-source tiny, so the window is free)
+    * that raises on the first violating source — downstream arithmetic
+    * consumes the routed column, so the check can never be pruned. */
+  private def weightChecked(per: DataFrame): DataFrame = {
+    val nw = count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("source")))
+    per.withColumn("weight",
+      when(nw > lit(1), raise_error(concat(
+        lit("mixture weight contract violated: source '"), col("source"),
+        lit("' carries multiple distinct weights — weight must be " +
+          "functionally determined by source"))))
+        .otherwise(col("weight")))
+  }
+
   /** `source`/`nTok`/`weight` are expressions over `df`'s columns;
     * `weight` must be functionally determined by `source` (it keys the
-    * aggregate alongside it). Output per source:
-    * (source, n_docs, n_tokens, weight, alloc_tokens). */
+    * aggregate alongside it; a violation raises — [[weightChecked]]).
+    * Output per source: (source, n_docs, n_tokens, weight,
+    * alloc_tokens). */
   def mixAllocation(df: DataFrame, source: Column, nTok: Column,
       weight: Column): DataFrame = {
-    val per = df.select(source.as("source"), nTok.as("n_tok"), weight.as("weight"))
-      .groupBy(col("source"), col("weight"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val per = weightChecked(
+      df.select(source.as("source"), nTok.as("n_tok"), weight.as("weight"))
+        .groupBy(col("source"), col("weight"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens")))
     // the no-upsampling unit count: global min over the per-source rows
     val u = min(expr("n_tokens DIV weight"))
       .over(org.apache.spark.sql.expressions.Window.partitionBy())
@@ -65,23 +86,40 @@ object Mixture {
     * (an expected-budget hash threshold bounds the windowed survivor
     * set — implemented, spec-pinned equal on the fixtures).
     *
-    * Output per source (the realized-mixture datasheet):
+    * Output per source (the realized-mixture datasheet): EVERY source
+    * emits a row — one whose allocation is smaller than its first
+    * hash-order doc's token count keeps nothing and reports
+    * kept_docs = 0 / slack = alloc (r17 advice: the kept-rows aggregate
+    * alone dropped such a source from the datasheet, so a consumer
+    * summing it could not see the unfilled budget):
     * (source, alloc_tokens, kept_docs, kept_tokens, slack_tokens). */
   def mixRealize(df: DataFrame, id: Column, source: Column, nTok: Column,
-      weight: Column): DataFrame =
-    mixRealizeKept(df, id, source, nTok, weight)
-      .groupBy(col("source"), col("alloc_tokens"))
+      weight: Column): DataFrame = {
+    val (kept, alloc) = mixRealizeParts(df, id, source, nTok, weight)
+    val agg = kept.groupBy(col("source"))
       .agg(count(lit(1)).as("kept_docs"), sum(col("n_tok")).as("kept_tokens"))
-      .select(col("source"), col("alloc_tokens"), col("kept_docs"),
-        col("kept_tokens"),
-        (col("alloc_tokens") - col("kept_tokens")).as("slack_tokens"))
+    alloc.join(agg, Seq("source"), "left")
+      .select(col("source"), col("alloc_tokens"),
+        coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        (col("alloc_tokens") - coalesce(col("kept_tokens"), lit(0L)))
+          .as("slack_tokens"))
+  }
 
   /** The KEPT ROWS of [[mixRealize]]'s cut — what a pipeline stage joins
     * back onto the corpus to materialize the realized mixture (the
     * summary above is this relation aggregated). Output:
     * (id, source, n_tok, alloc_tokens). */
   def mixRealizeKept(df: DataFrame, id: Column, source: Column,
-      nTok: Column, weight: Column): DataFrame = {
+      nTok: Column, weight: Column): DataFrame =
+    mixRealizeParts(df, id, source, nTok, weight)._1
+
+  /** (kept rows, per-source allocation) of the realized cut — the
+    * allocation relation rides out so [[mixRealize]] can report sources
+    * whose cut kept nothing, without re-scanning the corpus (both
+    * consumers share the one checkpointed tokenized projection). */
+  private def mixRealizeParts(df: DataFrame, id: Column, source: Column,
+      nTok: Column, weight: Column): (DataFrame, DataFrame) = {
     // two consumers (allocation + cut) of the tokenized projection —
     // snapshot so the token count runs once (the module self-join rule)
     val rows = df.select(id.as("id"), source.as("source"),
@@ -92,13 +130,14 @@ object Mixture {
       .select(col("source"), col("alloc_tokens"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("h"), col("id"))
-    rows
+    val kept = rows
       .withColumn("h", Hashing.h64(
         concat(col("source"), lit("|"), col("id").cast("string"))))
       .join(broadcast(alloc), "source")
       .withColumn("cum", sum(col("n_tok")).over(w))
       .where(col("cum") <= col("alloc_tokens"))
       .select(col("id"), col("source"), col("n_tok"), col("alloc_tokens"))
+    (kept, alloc)
   }
 
   /** Multi-EPOCH mixture plan — the table a mixture spec becomes when
@@ -118,10 +157,10 @@ object Mixture {
     * alloc_tokens, epochs_ppm, capped_tokens, shortfall_tokens). */
   def mixEpochs(df: DataFrame, source: Column, nTok: Column,
       weight: Column, budgetNum: Long, maxEpochs: Long): DataFrame = {
-    val per = df.select(source.as("source"), nTok.as("n_tok"),
+    val per = weightChecked(df.select(source.as("source"), nTok.as("n_tok"),
         weight.as("weight"))
       .groupBy(col("source"), col("weight"))
-      .agg(sum(col("n_tok")).as("n_tokens"))
+      .agg(sum(col("n_tok")).as("n_tokens")))
     per.select(col("source"), col("n_tokens"), col("weight"))
       .withColumn("alloc_tokens", expr(
         s"(weight * (sum(n_tokens) OVER () * $budgetNum)) " +
@@ -157,8 +196,8 @@ object Mixture {
     val rows = df.select(id.as("id"), source.as("source"),
       nTok.as("n_tok"), weight.as("weight"))
       .localCheckpoint(eager = false)
-    val per = rows.groupBy(col("source"), col("weight"))
-      .agg(sum(col("n_tok")).as("n_tokens"))
+    val per = weightChecked(rows.groupBy(col("source"), col("weight"))
+      .agg(sum(col("n_tok")).as("n_tokens")))
     val u = min(expr("n_tokens DIV weight"))
       .over(org.apache.spark.sql.expressions.Window.partitionBy())
     val alloc = per.select(col("source"), col("n_tokens"),
@@ -170,18 +209,23 @@ object Mixture {
       .select(col("source"), col("alloc_tokens"), col("thr"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("h"), col("id"))
-    rows
+    val agg = rows
       .withColumn("h", Hashing.h64(
         concat(col("source"), lit("|"), col("id").cast("string"))))
       .join(broadcast(alloc), "source")
       .where(col("h") < col("thr"))
       .withColumn("cum", sum(col("n_tok")).over(w))
       .where(col("cum") <= col("alloc_tokens"))
-      .groupBy(col("source"), col("alloc_tokens"))
+      .groupBy(col("source"))
       .agg(count(lit(1)).as("kept_docs"), sum(col("n_tok")).as("kept_tokens"))
-      .select(col("source"), col("alloc_tokens"), col("kept_docs"),
-        col("kept_tokens"),
-        (col("alloc_tokens") - col("kept_tokens")).as("slack_tokens"))
+    // every source emits a datasheet row, kept = 0 when nothing fit under
+    // its threshold (the same r17-advice completeness rule as mixRealize)
+    alloc.join(agg, Seq("source"), "left")
+      .select(col("source"), col("alloc_tokens"),
+        coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        (col("alloc_tokens") - coalesce(col("kept_tokens"), lit(0L)))
+          .as("slack_tokens"))
   }
 
   /** Domain balancing by per-domain quota (the C4/RefinedWeb "cap any one

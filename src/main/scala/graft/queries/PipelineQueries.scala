@@ -4600,13 +4600,16 @@ object PipelineQueries {
          |cum AS (
          |  SELECT r.source, a.alloc_tokens, r.n_tok,
          |    sum(r.n_tok) OVER (PARTITION BY r.source ORDER BY r.h, r.doc_id) AS c
-         |  FROM rows r JOIN alloc a USING (source))
-         |SELECT source, alloc_tokens,
-         |  CAST(count(*) AS BIGINT) AS kept_docs,
-         |  CAST(sum(n_tok) AS BIGINT) AS kept_tokens,
-         |  CAST(alloc_tokens - sum(n_tok) AS BIGINT) AS slack_tokens
-         |FROM cum WHERE c <= alloc_tokens
-         |GROUP BY 1, 2 ORDER BY source""".stripMargin,
+         |  FROM rows r JOIN alloc a USING (source)),
+         |kept AS (
+         |  SELECT source, count(*) AS kept_docs, sum(n_tok) AS kept_tokens
+         |  FROM cum WHERE c <= alloc_tokens GROUP BY 1)
+         |SELECT a.source, a.alloc_tokens,
+         |  CAST(coalesce(k.kept_docs, 0) AS BIGINT) AS kept_docs,
+         |  CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+         |  CAST(a.alloc_tokens - coalesce(k.kept_tokens, 0) AS BIGINT) AS slack_tokens
+         |FROM alloc a LEFT JOIN kept k USING (source)
+         |ORDER BY a.source""".stripMargin,
     "pipe_mix_epochs" ->
       s"""WITH per AS (
          |  SELECT source,
@@ -4641,13 +4644,16 @@ object PipelineQueries {
          |  SELECT r.source, a.alloc_tokens, r.n_tok,
          |    sum(r.n_tok) OVER (PARTITION BY r.source ORDER BY r.h, r.doc_id) AS c
          |  FROM rows r JOIN alloc a USING (source)
-         |  WHERE r.h < a.thr)
-         |SELECT source, alloc_tokens,
-         |  CAST(count(*) AS BIGINT) AS kept_docs,
-         |  CAST(sum(n_tok) AS BIGINT) AS kept_tokens,
-         |  CAST(alloc_tokens - sum(n_tok) AS BIGINT) AS slack_tokens
-         |FROM cum WHERE c <= alloc_tokens
-         |GROUP BY 1, 2 ORDER BY source""".stripMargin,
+         |  WHERE r.h < a.thr),
+         |kept AS (
+         |  SELECT source, count(*) AS kept_docs, sum(n_tok) AS kept_tokens
+         |  FROM cum WHERE c <= alloc_tokens GROUP BY 1)
+         |SELECT a.source, a.alloc_tokens,
+         |  CAST(coalesce(k.kept_docs, 0) AS BIGINT) AS kept_docs,
+         |  CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+         |  CAST(a.alloc_tokens - coalesce(k.kept_tokens, 0) AS BIGINT) AS slack_tokens
+         |FROM alloc a LEFT JOIN kept k USING (source)
+         |ORDER BY a.source""".stripMargin,
     "text_line_dedup" ->
       s"""WITH lines AS ($linedLinesSql)
          |, owned AS (

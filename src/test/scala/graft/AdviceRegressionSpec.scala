@@ -752,4 +752,88 @@ class AdviceRegressionSpec extends AnyFunSuite {
     assert(empty.getMessage.contains("generation 0"), empty.getMessage)
     intercept[Exception] { store.readGen(write("blank.json", "   \n")) }
   }
+
+  private def vecCatalog(prefix: String, name: String): (Catalog, String) = {
+    val root = Files.createTempDirectory(prefix).toString
+    val cat = new Catalog(root)
+    cat.create(
+      s"""version: 1
+         |name: $name
+         |path: /tmp/unused
+         |schema:
+         |  fields:
+         |    - name: title
+         |      type: !text
+         |    - name: emb
+         |      type: !number
+         |        type: f64
+         |      array: true
+         |""".stripMargin)
+    (cat, root)
+  }
+
+  private def vdoc(t: String, v: Seq[Double]): String =
+    s"""{"title": "$t", "emb": [${v.mkString(", ")}]}"""
+
+  test("tombstoneShare clamps the copy divisor to the cell count: spill " +
+      "beyond nlist stores min(spill, nlist) copies (r17 advice)") {
+    val (cat, root) = vecCatalog("graft-tombshare", "tshare")
+    // the SAME doc in two separate splits — the --dedup merge retires
+    // one copy on content identity, publishing exactly one tombstone
+    val dup = vdoc("dup", Seq(1.0, 0.0, 0.0, 0.0))
+    val fileA = writeDocs((dup +: (1 to 5).map(i =>
+      vdoc(s"d$i", Seq(0.1 * i, 1.0, 0.05 * i, 0.0)))).mkString("\n"))
+    val fileB = writeDocs(dup)
+    graft.cli.Main.run(Array("index", "tshare", fileA), spark, cat, root)
+    graft.cli.Main.run(Array("index", "tshare", fileB), spark, cat, root)
+    val ann = new graft.engine.AnnIndex(spark, cat)
+    // spill=4 on a 2-cell model: nearest_cells emits min(4, 2) = 2
+    // copies per row, so 7 logical rows store 14 physical ones
+    ann.train("tshare", "emb", cells = 2, spill = 4)
+    graft.cli.Main.run(Array("merge", "tshare", "--dedup"), spark, cat, root)
+    val (t, n) = ann.tombstoneShare("tshare", "emb").get
+    assert(t == 1L, s"one retired identity expected, got $t")
+    // the raw-spill divisor read 14/4 = 3 logical rows — half the truth,
+    // firing the streaming fold policy at half the configured share
+    assert(n == 7L, s"7 logical rows expected, got $n")
+    cat.drop("tshare")
+  }
+
+  test("--target-recall serves the brute tier on an untrained index and " +
+      "yields to an explicit --nprobe (r17 advice)") {
+    import spark.implicits._
+    val (cat, root) = vecCatalog("graft-trbrute", "trbrute")
+    val in = writeDocs((1 to 6).map(i =>
+      vdoc(s"d$i", Seq(1.0 - 0.1 * i, 0.1 * i, 0.0, 0.0))).mkString("\n"))
+    graft.cli.Main.run(Array("index", "trbrute", in), spark, cat, root)
+    val ann = new graft.engine.AnnIndex(spark, cat)
+    // untrained: the brute tier is exact, so it meets any target
+    // trivially — erroring here blocked a perfectly servable query
+    val brute = ann.knn("trbrute", "emb", Array(1.0f, 0.0f, 0.0f, 0.0f), 2,
+      targetRecall = Some(0.9)).collect().map(_.getString(1)).toSeq
+    assert(brute.length == 2 && brute.head.contains("\"d1\""),
+      brute.mkString("; "))
+    // explicit --nprobe alongside --target-recall, still untrained:
+    // the documented "--nprobe wins" rule serves (brute, no model)
+    val explicitNp = ann.knn("trbrute", "emb",
+      Array(1.0f, 0.0f, 0.0f, 0.0f), 2, nProbe = 3,
+      targetRecall = Some(0.9)).collect().map(_.getString(1)).toSeq
+    assert(explicitNp == brute, s"$explicitNp vs $brute")
+    // batch face: same outs
+    val bq = Seq(("q", Seq(1.0f, 0.0f, 0.0f, 0.0f))).toDF("qid", "qv")
+    val b = ann.knnBatch("trbrute", "emb", bq, k = 2,
+      targetRecall = Some(0.9)).collect()
+    assert(b.length == 2, b.mkString("; "))
+    // trained WITHOUT a curve: an explicit --nprobe still wins (the
+    // loud error stays on the curve-lookup path only)
+    ann.train("trbrute", "emb", cells = 2)
+    val trained = ann.knn("trbrute", "emb", Array(1.0f, 0.0f, 0.0f, 0.0f),
+      2, nProbe = 2, targetRecall = Some(0.9)).collect()
+    assert(trained.length == 2, trained.mkString("; "))
+    intercept[Exception] {
+      ann.knn("trbrute", "emb", Array(1.0f, 0.0f, 0.0f, 0.0f), 2,
+        targetRecall = Some(0.9)).collect()
+    }
+    cat.drop("trbrute")
+  }
 }

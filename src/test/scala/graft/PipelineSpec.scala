@@ -1557,4 +1557,52 @@ class PipelineSpec extends AnyFunSuite {
     assert(twoPass.toSeq == got.toSeq,
       s"two-pass must equal the window form:\n${twoPass.toSeq}\nvs\n${got.toSeq}")
   }
+
+  private def causeMessages(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+
+  test("mixture weight contract violation raises loudly instead of " +
+      "emitting two silent allocation rows (r17 verdict #6)") {
+    import spark.implicits._
+    val bad = Seq(("a", 10L, 1L), ("a", 20L, 2L), ("b", 30L, 1L))
+      .toDF("src", "n", "w")
+    for (call <- Seq[org.apache.spark.sql.DataFrame => Unit](
+      df => graft.ops.Mixture.mixAllocation(df,
+        col("src"), col("n"), col("w")).collect(),
+      df => graft.ops.Mixture.mixEpochs(df,
+        col("src"), col("n"), col("w"), 2L, 3L).collect(),
+      df => graft.ops.Mixture.mixRealizeTwoPass(df,
+        col("id"), col("src"), col("n"), col("w")).collect())) {
+      val err = intercept[Exception] { call(bad.withColumn("id", col("n"))) }
+      assert(causeMessages(err).contains("weight contract violated"),
+        causeMessages(err))
+    }
+    // the contract-respecting shape still computes
+    val ok = Seq(("a", 10L, 1L), ("a", 20L, 1L), ("b", 30L, 2L))
+      .toDF("src", "n", "w")
+    assert(graft.ops.Mixture.mixAllocation(ok,
+      col("src"), col("n"), col("w")).count() == 2)
+  }
+
+  test("mixRealize emits a kept_docs=0 datasheet row for a source whose " +
+      "allocation fits no document (r17 advice)") {
+    import spark.implicits._
+    // u = min(T_s / w_s) = 10 (source a), so b's allocation is 10 —
+    // smaller than its single 100-token doc: b keeps NOTHING and must
+    // still land in the datasheet with slack = alloc, or a consumer
+    // summing it cannot see the unfilled budget
+    val df = Seq((1L, "a", 4L), (2L, "a", 3L), (3L, "a", 3L),
+      (4L, "b", 100L)).toDF("id", "src", "n")
+    def sheet(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1).toSeq
+    val got = sheet(graft.ops.Mixture.mixRealize(df,
+      col("id"), col("src"), col("n"), lit(1L)))
+    assert(got == Seq(("a", 10L, 3L, 10L, 0L), ("b", 10L, 0L, 0L, 10L)), got)
+    // the two-pass hot-source form reports the same completeness
+    val tp = sheet(graft.ops.Mixture.mixRealizeTwoPass(df,
+      col("id"), col("src"), col("n"), lit(1L)))
+    assert(tp == got, s"$tp vs $got")
+  }
 }

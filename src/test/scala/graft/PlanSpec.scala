@@ -173,6 +173,19 @@ class PlanSpec extends AnyFunSuite {
       s"a shuffled cartesian over the corpus is a 100 TB killer:\n$plan")
   }
 
+  test("pipe_contamination_report: the semi-join dedups the corpus grams — no explicit distinct aggregate") {
+    val plan = formatted(
+      graft.queries.PipelineQueries.pipe_contamination_report(spark, sf))
+    // the left-semi probe already dedups its right side, so a
+    // `.distinct()` on the corpus gram stream would pay the gram-keyed
+    // exchange TWICE for nothing (r17 verdict #4): the only aggregates
+    // allowed key bench_id (n_hit / n_grams), never the bare gram
+    val gramAgg = plan.linesIterator.filter(_.contains("Keys [1]: [sh"))
+    assert(gramAgg.isEmpty,
+      s"no gram-keyed distinct aggregate expected under the semi-join:\n$plan")
+    assert(plan.contains("LeftSemi"), s"probe must stay a left-semi:\n$plan")
+  }
+
   test("pipe_temperature_sample broadcasts the per-source rate table") {
     val plan = formatted(
       graft.queries.PipelineQueries.pipe_temperature_sample(spark, sf))
