@@ -101,6 +101,31 @@ object EpochShuffle {
     sp.read.parquet(s"$outDir/manifest")
   }
 
+  /** Per-EPOCH shard assignment — [[epochShuffle]] for a relation that
+    * carries an `epoch` tag (a multi-epoch mixture realization, where
+    * the SAME document appears once per pass): the epoch folds into the
+    * hash seed, so each epoch's repeats land in a DIFFERENT, provably
+    * uncorrelated shard order (the whole point of re-shuffling between
+    * passes — a trainer must never see epoch k+1 in epoch k's order),
+    * and the position window partitions by (epoch, shard) so every
+    * epoch's shards stay independently dense.
+    *
+    * Scale shape: identical to [[epochShuffle]] — one map-only hash
+    * projection, one exchange on the (epoch, shard) window key, a
+    * shard-local sort. Output: every column of `df` plus (shard, pos),
+    * pos dense 1..n per (epoch, shard). */
+  def epochShuffleTagged(df: DataFrame, id: Column, epoch: Column,
+      seed: String, numShards: Long): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val w = Window.partitionBy(epoch, col("shard"))
+      .orderBy(col("__key").asc, id.asc)
+    df.withColumn("__key", h64(concat(lit(s"$seed:"),
+        epoch.cast("string"), lit(":"), id.cast("string"))))
+      .withColumn("shard", pmod(col("__key"), lit(numShards)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__key")
+  }
+
   /** Shard count for a corpus of `totalSize` units at `targetShardSize`
     * units per shard: ceil(total/target), at least 1. Integer arithmetic so
     * an external oracle reproduces the count exactly. */

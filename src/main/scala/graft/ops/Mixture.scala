@@ -173,6 +173,149 @@ object Mixture {
         col("alloc_tokens") - col("capped_tokens"))
   }
 
+  /** Water-filling fixpoint over the per-source (weight, n_tokens)
+    * table — [[mixEpochs]]' planner COMPLETION (r17 verdict #2): the
+    * plan form REPORTS each capped source's excess as shortfall; this
+    * redistributes it across the uncapped sources until no source's
+    * proportional share exceeds its `n_tokens · maxEpochs` cap.
+    * Simultaneous-round form, exact integer arithmetic: each round
+    * computes `share_s = w_s · R DIV Σ_U w` over the uncapped set U
+    * with R the budget minus already-capped caps, caps every source
+    * whose share exceeds its cap (allocating exactly the cap), and
+    * terminates when none does — every round caps ≥ 1 source, so the
+    * fixpoint lands in ≤ #sources rounds (shares of survivors only
+    * GROW as capped sources leave: a capped source consumed less than
+    * its share). Rounds are idempotent at the fixpoint, so an oracle
+    * replaying a fixed unroll of ≥ the actual round count computes the
+    * identical allocation.
+    *
+    * Returns (per-source allocation, residual, capped set): residual =
+    * budget − Σ alloc — the floor-division remainders of the final
+    * round, plus the whole undeliverable excess when EVERY source
+    * capped. */
+  private def waterFill(per: Seq[(String, BigInt, BigInt)],
+      budgetNum: Long, maxEpochs: Long)
+      : (Map[String, BigInt], BigInt, Set[String]) = {
+    val budget = per.map(_._3).sum * budgetNum
+    var uncapped = per.map(_._1).toSet
+    var alloc = Map.empty[String, BigInt]
+    var remaining = budget
+    var rounds = 0
+    var done = false
+    while (!done) {
+      rounds += 1
+      // each round caps >= 1 source or terminates — anything past
+      // #sources+1 rounds is a logic fault, not a convergence question
+      require(rounds <= per.length + 1,
+        s"water-filling failed to converge in ${per.length + 1} rounds")
+      val u = per.filter(p => uncapped(p._1))
+      if (u.isEmpty) done = true
+      else {
+        val wSum = u.map(_._2).sum
+        val share = u.map { case (s, w, n) =>
+          (s, w * remaining / wSum, n * maxEpochs) }
+        val over = share.filter { case (_, sh, cap) => sh > cap }
+        if (over.isEmpty) {
+          alloc ++= share.map { case (s, sh, _) => s -> sh }
+          done = true
+        } else over.foreach { case (s, _, cap) =>
+          alloc += s -> cap; remaining -= cap; uncapped -= s
+        }
+      }
+    }
+    (alloc, budget - alloc.values.sum, per.map(_._1).toSet -- uncapped)
+  }
+
+  /** Per-source (source, weight, n_tokens) with the weight contract
+    * enforced, COLLECTED — bounded by the source count: mixture specs
+    * are human-written tables (tens to low thousands of sources at the
+    * 100 TB design point), the same bounded-census shape as every
+    * model/stats pull in the engine. Sorted by source for a
+    * deterministic driver-side iteration order. */
+  private def collectPer(rows: DataFrame): Seq[(String, BigInt, BigInt)] =
+    weightChecked(rows.groupBy(col("source"), col("weight"))
+      .agg(sum(col("n_tok")).as("n_tokens")))
+      .select(col("source"), col("weight"), col("n_tokens"))
+      .collect()
+      .map(r => (r.getString(0), BigInt(r.getLong(1)), BigInt(r.getLong(2))))
+      .toSeq.sortBy(_._1)
+
+  /** The multi-epoch mixture PLAN after shortfall redistribution —
+    * [[mixEpochs]] with [[waterFill]] run to its fixpoint. Output per
+    * source: (source, n_tokens, weight, alloc_tokens, epochs_ppm,
+    * capped, residual_tokens) — `capped` marks sources pinned at
+    * `n_tokens · maxEpochs`, `residual_tokens` is the one global
+    * undeliverable remainder, identical on every row. */
+  def mixEpochsPlan(df: DataFrame, source: Column, nTok: Column,
+      weight: Column, budgetNum: Long, maxEpochs: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(source.as("source"), nTok.as("n_tok"),
+      weight.as("weight"))
+    val per = collectPer(rows)
+    val (alloc, residual, cappedSet) = waterFill(per, budgetNum, maxEpochs)
+    per.map { case (s, w, n) =>
+      val a = alloc(s)
+      (s, n.toLong, w.toLong, a.toLong,
+        if (n > 0) (a * 1000000 / n).toLong else 0L,
+        cappedSet(s), residual.toLong)
+    }.toDF("source", "n_tokens", "weight", "alloc_tokens", "epochs_ppm",
+      "capped", "residual_tokens")
+  }
+
+  /** REALIZE the multi-epoch mixture ([[mixEpochsPlan]] materialized —
+    * r17 verdict #2): per source, ⌊alloc / n_tokens⌋ FULL passes over
+    * every document (epoch-tagged 0..full−1) plus one fractional
+    * epoch — the [[mixRealizeKept]] hash-order prefix cut at the
+    * remaining `alloc − full·n_tokens` tokens, tagged epoch = full —
+    * then [[EpochShuffle.epochShuffleTagged]] assigns shards with the
+    * epoch folded into the hash seed, so each pass lands in a distinct
+    * shard order (a trainer must never replay epoch k's order).
+    *
+    * Scale shape: the plan is a driver-side fixpoint over the bounded
+    * per-source table; full passes are ONE broadcast join of a
+    * (source, epoch) relation (≤ sources × maxEpochs rows) onto the
+    * corpus; the fractional cut is one source-keyed window (the
+    * [[mixRealize]] bound applies); sharding adds its one (epoch,
+    * shard) exchange. The corpus token projection is checkpointed once
+    * and shared. Output: (id, source, n_tok, epoch, shard, pos). */
+  def mixEpochsRealize(df: DataFrame, id: Column, source: Column,
+      nTok: Column, weight: Column, budgetNum: Long, maxEpochs: Long,
+      seed: String, numShards: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(id.as("id"), source.as("source"),
+      nTok.as("n_tok"), weight.as("weight"))
+      .localCheckpoint(eager = false)
+    val per = collectPer(rows)
+    val (alloc, _, _) = waterFill(per, budgetNum, maxEpochs)
+    val plan = per.map { case (s, _, n) =>
+      val a = alloc(s)
+      val full = if (n > 0) (a / n).toLong else 0L
+      (s, full, (a - BigInt(full) * n).toLong)
+    }
+    val fullEp = plan.flatMap { case (s, full, _) =>
+      (0L until full).map(e => (s, e)) }.toDF("source", "epoch")
+    val fullRows = rows.join(broadcast(fullEp), "source")
+      .select(col("id"), col("source"), col("n_tok"), col("epoch"))
+    val fracB = plan.filter(_._3 > 0L)
+      .map { case (s, full, frac) => (s, full, frac) }
+      .toDF("source", "epoch", "frac_tok")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("h"), col("id"))
+    val fracRows = rows
+      .withColumn("h", Hashing.h64(
+        concat(col("source"), lit("|"), col("id").cast("string"))))
+      .join(broadcast(fracB), "source")
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .where(col("cum") <= col("frac_tok"))
+      .select(col("id"), col("source"), col("n_tok"), col("epoch"))
+    EpochShuffle.epochShuffleTagged(fullRows.unionByName(fracRows),
+      col("id"), col("epoch"), seed, numShards)
+      .select(col("id"), col("source"), col("n_tok"), col("epoch"),
+        col("shard"), col("pos"))
+  }
+
   /** The TWO-PASS form of [[mixRealize]] — the shape its scaladoc
     * prescribes for a pathologically hot source (≫ executor memory per
     * window task), the running-sum analogue of [[domainQuotaTwoPass]]:

@@ -940,6 +940,48 @@ object PipelineQueries {
       budgetNum = 2L, maxEpochs = 3L)
       .orderBy(col("source"))
 
+  /** The multi-epoch plan COMPLETED ([[graft.ops.Mixture.mixEpochsPlan]]):
+    * [[pipe_mix_epochs]] reports capped sources' excess as shortfall;
+    * this runs the water-filling fixpoint that redistributes it across
+    * the uncapped sources (share ∝ weight, recomputed each round over
+    * the survivors) until no share exceeds its 3-epoch cap. Same
+    * fixture rule (weights 1..3, budget 2× corpus tokens); on this
+    * corpus the fixpoint takes 2–3 rounds and caps 4–5 sources — the
+    * oracle replays the identical simultaneous-round integer
+    * arithmetic over a fixed 12-round unroll (rounds are idempotent at
+    * the fixpoint, so the unroll bound only has to EXCEED the actual
+    * round count). */
+  val pipe_mix_epochs_plan: Q = (s, dir) =>
+    graft.ops.Mixture.mixEpochsPlan(
+      docs(s, dir),
+      col("source"),
+      size(tokenizeDefault(col("text"))).cast("long"),
+      pmod(substring(col("source"), 4, 10).cast("long"), lit(3)) + 1,
+      budgetNum = 2L, maxEpochs = 3L)
+      .orderBy(col("source"))
+
+  /** The multi-epoch mixture REALIZED
+    * ([[graft.ops.Mixture.mixEpochsRealize]]): per source, ⌊epochs⌋
+    * full passes over every doc plus the fractional epoch's hash-order
+    * prefix cut, each pass shard-assigned with the epoch folded into
+    * the shuffle seed ([[graft.ops.EpochShuffle.epochShuffleTagged]])
+    * so repeats land in distinct shard orders. The oracle replays the
+    * water-filling unroll, the epoch expansion (generate_series ×
+    * doc join), the fractional running-sum cut, and the md5 shard/pos
+    * assignment. One row per (doc, epoch):
+    * (doc_id, source, n_tok, epoch, shard, pos). */
+  val pipe_mix_epochs_realize: Q = (s, dir) =>
+    graft.ops.Mixture.mixEpochsRealize(
+      docs(s, dir),
+      col("doc_id"),
+      col("source"),
+      size(tokenizeDefault(col("text"))).cast("long"),
+      pmod(substring(col("source"), 4, 10).cast("long"), lit(3)) + 1,
+      budgetNum = 2L, maxEpochs = 3L, seed = "mixep", numShards = 4L)
+      .select(col("id").as("doc_id"), col("source"), col("n_tok"),
+        col("epoch"), col("shard"), col("pos"))
+      .orderBy(col("source"), col("epoch"), col("shard"), col("pos"))
+
   /** The HOT-SOURCE form of [[pipe_mix_realize]]
     * ([[graft.ops.Mixture.mixRealizeTwoPass]]): per-source hash
     * thresholds sized to an expected `alloc·slack` token mass bound the
@@ -2495,6 +2537,8 @@ object PipelineQueries {
     "pipe_mix_realize" -> pipe_mix_realize,
     "pipe_mix_realize_2pass" -> pipe_mix_realize_2pass,
     "pipe_mix_epochs" -> pipe_mix_epochs,
+    "pipe_mix_epochs_plan" -> pipe_mix_epochs_plan,
+    "pipe_mix_epochs_realize" -> pipe_mix_epochs_realize,
     "pipe_curate" -> pipe_curate,
     "pipe_curate_v2" -> pipe_curate_v2,
     "pipe_curate_v3" -> pipe_curate_v3,
@@ -2567,6 +2611,42 @@ object PipelineQueries {
          |        t -> t <> '' AND length(t) <= 40)""".stripMargin
 
   private[queries] val toksSql = toksSqlOf("text")
+
+  /** Water-filling unroll for the multi-epoch oracle: `rounds` chained
+    * round CTEs over a `per(source, weight, n_tokens)` CTE, replaying
+    * [[graft.ops.Mixture]]'s simultaneous-round fixpoint in HUGEINT —
+    * each round computes uncapped shares `w·R // ΣW` (R = budget minus
+    * already-capped caps), caps every share that exceeds
+    * `n_tokens · maxEpochs`, and is IDEMPOTENT at the fixpoint, so any
+    * unroll ≥ the actual round count (2–3 on this corpus, ≤ #sources
+    * always) computes the identical allocation. Final state lands in
+    * `r$rounds`; the budget scalar in `tot`. */
+  private def waterFillCtes(rounds: Int, budgetNum: Int,
+      maxEpochs: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""tot AS MATERIALIZED (SELECT CAST(sum(n_tokens) AS HUGEINT) * $budgetNum AS B FROM per),
+         |r0 AS MATERIALIZED (SELECT source, weight, n_tokens,
+         |  CAST(n_tokens AS HUGEINT) * $maxEpochs AS cap,
+         |  FALSE AS capped, CAST(0 AS HUGEINT) AS alloc FROM per)""".stripMargin)
+    for (i <- 1 to rounds) {
+      val p = s"r${i - 1}"
+      sb.append(
+        s""",
+           |s$i AS MATERIALIZED (SELECT r.*, CASE WHEN r.capped THEN CAST(0 AS HUGEINT)
+           |    ELSE CAST(r.weight AS HUGEINT) *
+           |      (t.B - (SELECT coalesce(sum(alloc), 0) FROM $p WHERE capped))
+           |      // NULLIF((SELECT sum(weight) FROM $p WHERE NOT capped), 0)
+           |    END AS share
+           |  FROM $p r CROSS JOIN tot t),
+           |r$i AS MATERIALIZED (SELECT source, weight, n_tokens, cap,
+           |    (capped OR share > cap) AS capped,
+           |    CASE WHEN capped THEN alloc WHEN share > cap THEN cap
+           |      ELSE share END AS alloc
+           |  FROM s$i)""".stripMargin)
+    }
+    sb.toString
+  }
 
   /** Trigram stupid-backoff oracle chain — restates
     * [[graft.ops.LangModel.trigramNll]]'s three count tables and the
@@ -4623,6 +4703,57 @@ object PipelineQueries {
          |  CAST(LEAST(weight * tt // sw, n_tokens * 3) AS BIGINT) AS capped_tokens,
          |  CAST(weight * tt // sw - LEAST(weight * tt // sw, n_tokens * 3) AS BIGINT) AS shortfall_tokens
          |FROM per CROSS JOIN t ORDER BY source""".stripMargin,
+    "pipe_mix_epochs_plan" ->
+      s"""WITH per AS MATERIALIZED (
+         |  SELECT source,
+         |    CAST(substr(source, 4) AS BIGINT) % 3 + 1 AS weight,
+         |    CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1, 2),
+         |${waterFillCtes(12, 2, 3)}
+         |SELECT f.source, CAST(f.n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(f.weight AS BIGINT) AS weight,
+         |  CAST(f.alloc AS BIGINT) AS alloc_tokens,
+         |  CAST(CASE WHEN f.n_tokens > 0 THEN f.alloc * 1000000 // f.n_tokens
+         |    ELSE 0 END AS BIGINT) AS epochs_ppm,
+         |  f.capped AS capped,
+         |  CAST(t.B - (SELECT sum(alloc) FROM r12) AS BIGINT) AS residual_tokens
+         |FROM r12 f CROSS JOIN tot t
+         |ORDER BY f.source""".stripMargin,
+    "pipe_mix_epochs_realize" ->
+      s"""WITH rows AS MATERIALIZED (
+         |  SELECT doc_id, source,
+         |    CAST(substr(source, 4) AS BIGINT) % 3 + 1 AS weight,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tok,
+         |    CAST(('0x' || substr(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |  FROM documents),
+         |per AS MATERIALIZED (
+         |  SELECT source, weight, sum(n_tok) AS n_tokens
+         |  FROM rows GROUP BY 1, 2),
+         |${waterFillCtes(12, 2, 3)},
+         |fullspec AS MATERIALIZED (
+         |  SELECT source, CAST(alloc // n_tokens AS BIGINT) AS full_e,
+         |    CAST(alloc - (alloc // n_tokens) * n_tokens AS BIGINT) AS frac_tok
+         |  FROM r12),
+         |fullrows AS (
+         |  SELECT r.doc_id, r.source, r.n_tok, e.e AS epoch
+         |  FROM rows r JOIN fullspec f USING (source)
+         |  JOIN (SELECT unnest(generate_series(0, 2)) AS e) e ON e.e < f.full_e),
+         |frac AS (
+         |  SELECT doc_id, source, n_tok, full_e AS epoch FROM (
+         |    SELECT r.doc_id, r.source, r.n_tok, f.full_e, f.frac_tok,
+         |      sum(r.n_tok) OVER (PARTITION BY r.source ORDER BY r.h, r.doc_id) AS c
+         |    FROM rows r JOIN fullspec f USING (source)
+         |    WHERE f.frac_tok > 0)
+         |  WHERE c <= frac_tok),
+         |keyed AS (
+         |  SELECT doc_id, source, n_tok, CAST(epoch AS BIGINT) AS epoch,
+         |    CAST(('0x' || substr(md5('mixep:' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS k
+         |  FROM (SELECT * FROM fullrows UNION ALL SELECT * FROM frac))
+         |SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok, epoch,
+         |  CAST(k % 4 AS BIGINT) AS shard,
+         |  CAST(row_number() OVER (PARTITION BY epoch, k % 4 ORDER BY k, doc_id) AS BIGINT) AS pos
+         |FROM keyed
+         |ORDER BY source, epoch, shard, pos""".stripMargin,
     "pipe_mix_realize_2pass" ->
       s"""WITH rows AS (
          |  SELECT doc_id, source,

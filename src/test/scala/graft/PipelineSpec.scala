@@ -1558,6 +1558,95 @@ class PipelineSpec extends AnyFunSuite {
       s"two-pass must equal the window form:\n${twoPass.toSeq}\nvs\n${got.toSeq}")
   }
 
+  test("pipe_mix_epochs_plan: the water-filling fixpoint caps at the " +
+      "3-epoch ceiling, redistributes shortfall proportionally, and " +
+      "recovers the budget up to the floor residual") {
+    val plan = PipelineQueries.pipe_mix_epochs_plan(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5), r.getLong(6)))
+    assert(plan.exists(_._6), "fixture must cap at least one source")
+    assert(plan.exists(!_._6), "and leave at least one uncapped")
+    assert(plan.map(_._7).distinct.length == 1,
+      "residual is one global number, identical on every row")
+    plan.foreach { case (s, n, _, a, ppm, capped, resid) =>
+      assert(a <= 3 * n, s"$s: alloc $a beyond the 3-epoch cap ${3 * n}")
+      if (capped) assert(a == 3 * n, s"$s: capped row must sit AT its cap")
+      assert(ppm == a * 1000000L / n && resid >= 0L, s)
+    }
+    // budget conservation: Σ alloc + residual = 2 × corpus tokens
+    val budget = 2L * plan.map(_._2).sum
+    assert(plan.map(_._4).sum + plan.head._7 == budget,
+      "allocations plus residual must reconstruct the budget exactly")
+    // fixpoint shape: every uncapped source holds EXACTLY its
+    // proportional share of what the capped set left behind —
+    // w·R DIV ΣW over the final uncapped set (the defining equation)
+    val R = BigInt(budget) - plan.filter(_._6).map(x => BigInt(x._4)).sum
+    val W = plan.filter(!_._6).map(x => BigInt(x._3)).sum
+    plan.filter(!_._6).foreach { case (s, _, w, a, _, _, _) =>
+      assert(BigInt(a) == BigInt(w) * R / W,
+        s"$s: uncapped alloc must be its final-round share")
+    }
+    // vs the REPORTING plan (pipe_mix_epochs): redistribution delivers
+    // strictly more of the budget than capping alone
+    val naive = PipelineQueries.pipe_mix_epochs(spark, sf).collect()
+      .map(_.getAs[Long]("capped_tokens")).sum
+    assert(plan.map(_._4).sum > naive,
+      s"redistribution must beat the capped-only total ($naive)")
+  }
+
+  test("pipe_mix_epochs_realize: per-source tokens meet the plan within " +
+      "whole-doc slack, capped sources run exactly 3 full passes, and " +
+      "repeated epochs land in DISTINCT shard orders") {
+    val plan = PipelineQueries.pipe_mix_epochs_plan(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getBoolean(5)))
+    val rel = PipelineQueries.pipe_mix_epochs_realize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val bySrc = rel.groupBy(_._2)
+    val maxTok = Graft.table(spark, sf, "documents")
+      .groupBy(col("source"))
+      .agg(max(size(graft.functions.TextFunctions.tokenize(
+        col("text"), "default")).cast("long")).as("mx"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    plan.foreach { case (s, n, a, capped) =>
+      val rows = bySrc.getOrElse(s, Array.empty)
+      val toks = rows.map(_._3).sum
+      assert(toks <= a && a - toks < maxTok(s),
+        s"$s: realized $toks of $a (max doc ${maxTok(s)})")
+      if (capped) {
+        assert(toks == a, s"$s: a capped source realizes its cap exactly")
+        assert(rows.map(_._4).distinct.sorted.toSeq == Seq(0L, 1L, 2L),
+          s"$s: exactly 3 full passes")
+      }
+      // every full pass contains every doc of the source exactly once
+      val docsOfSrc = rows.filter(_._4 == 0L).map(_._1).sorted.toSeq
+      val full = a / n
+      (0L until full).foreach { e =>
+        assert(rows.filter(_._4 == e).map(_._1).sorted.toSeq == docsOfSrc,
+          s"$s epoch $e: a full pass repeats the whole source")
+      }
+    }
+    // distinct shard orders: same doc set, different (shard, pos) map —
+    // the epoch folds into the shuffle seed, so a trainer never replays
+    // epoch k's order in epoch k+1
+    val multi = plan.filter(p => p._3 / p._2 >= 2).map(_._1)
+    assert(multi.nonEmpty, "fixture must upsample some source >= 2 epochs")
+    multi.foreach { s =>
+      val rows = bySrc(s)
+      val e0 = rows.filter(_._4 == 0L).map(r => (r._1, r._5, r._6))
+        .sortBy(_._1).toSeq
+      val e1 = rows.filter(_._4 == 1L).map(r => (r._1, r._5, r._6))
+        .sortBy(_._1).toSeq
+      assert(e0.map(_._1) == e1.map(_._1), s"$s: same docs per pass")
+      assert(e0 != e1, s"$s: epoch 1 must not replay epoch 0's shard order")
+    }
+    // positions are dense 1..n per (epoch, shard)
+    rel.groupBy(r => (r._4, r._5)).foreach { case ((e, sh), rows) =>
+      assert(rows.map(_._6).sorted.toSeq == (1L to rows.length).toSeq,
+        s"epoch $e shard $sh: dense pos expected")
+    }
+  }
+
   private def causeMessages(t: Throwable): String =
     Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
       .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
