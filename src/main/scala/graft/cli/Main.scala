@@ -271,14 +271,19 @@ object Main {
                   s"ppm of rows, ${sizes.count(_._2 > 0)} of $cells " +
                   "cell(s) occupied (a hot cell serves slow — retrain " +
                   "re-sizes the cells)")
-              // probe-recall calibration curve (r17, train --calibrate):
-              // what --target-recall picks from
+              // recall calibration curve (r17; served arm r18 —
+              // train --calibrate): --target-recall picks off the
+              // SERVED column; probe stays for diagnosis. Scope note
+              // (r17 advice): the curve is measured on the bounded
+              // TRAIN SAMPLE, not the full corpus.
               ann.readCalib(name, f).foreach { curve =>
-                val pts = curve.map { case (np, r) =>
-                  f"np=$np%d:${r / 10000.0}%.1f%%" }.mkString(" ")
-                println(s"ann '$f': probe-recall calibration $pts " +
-                  "(knn --target-recall picks the smallest sufficient " +
-                  "nprobe)")
+                val pts = curve.map { case (np, pr, sr) =>
+                  f"np=$np%d:served ${sr / 10000.0}%.1f%%/probe ${pr / 10000.0}%.1f%%" }
+                  .mkString(" ")
+                println(s"ann '$f': recall calibration $pts " +
+                  "(calibrated on the train sample; knn --target-recall " +
+                  "picks the smallest nprobe whose SERVED recall " +
+                  "suffices)")
               }
               ann.tombstoneShare(name, f).foreach { case (t, nRows) =>
                 println(f"ann '$f': $t%d tombstoned row(s) of $nRows%d " +

@@ -389,22 +389,34 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
       .withColumn("__cell", explode(
         graft.exprs.NearestCells.nearest_cells(col(field), bcCents, spill)))
     val data = pqCb.fold(data0)(withResidualCode(data0, field, _, centArr))
-    // optional PROBE-RECALL CALIBRATION (r17): measure, on the bounded
-    // train sample, the recall@5 of the PROBE stage at a doubling nprobe
+    // optional RECALL CALIBRATION (r17; END-TO-END since r18): measure,
+    // on the bounded train sample, the recall@5 at a doubling nprobe
     // grid, and persist the curve in the model dir so `knn
     // --target-recall R` can pick the smallest sufficient nprobe without
     // the operator hand-sweeping (the FAISS parameter-sweep workflow as
     // a train option). Queries are the 16 LARGEST-hash vectors
     // (train-disjoint whenever the corpus exceeds the sample cap — the
-    // holdout end); truth is brute cosine over the SAME sample; the
-    // approx arm replays the serving probe shape (spill-cell layout +
-    // query-side nprobe cells + exact cosine within probed cells), so
-    // the curve measures PROBE loss — the shortlist/rerank budget is
-    // the other knob (ProbeKnn measures that one). Cost per grid point:
+    // holdout end); truth is brute cosine over the SAME sample — the
+    // curve's scope is the TRAIN SAMPLE, not the full corpus (cell
+    // densities can differ; the r17 advice note rides the stats
+    // output). TWO arms per grid point:
+    //  - probe arm: spill-cell layout + query-side nprobe cells + exact
+    //    cosine within probed cells — PROBE loss alone;
+    //  - served arm (r17 verdict #1): the FULL serve path — the trained
+    //    tier's quantized shortlist at the default rFetch (residual ADC
+    //    with MIN-over-copies for pq, the normalized sq8 cos-key for
+    //    sq8) + exact-cosine rerank of the survivors — so the persisted
+    //    number is what `--target-recall R` actually guarantees; the
+    //    pre-r18 probe-only curve let the PQ/SQ8 shortlist lose recall
+    //    the lookup never saw. Raw (unquantized) layouts serve exactly
+    //    the probe shape, so the arms coincide there.
+    // `--target-recall` picks off the SERVED column; the probe column
+    // stays for diagnosis (stats prints both). Cost per grid point:
     // ≤ 16 queries × sample rows, ≤ ~log2(nlist)+1 points; artifacts
     // land in the (unreferenced-until-META) model dir, so a crash
     // leaves only sweepable debris.
     if (calibrate) {
+      import spark.implicits._
       val q2 = vecs.orderBy(col("vid").desc).limit(math.min(16L, n).toInt)
         .select(col("vid").as("qid"), col("v").as("qv"))
         .localCheckpoint(eager = false)
@@ -412,29 +424,122 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
       val truth = Ann.brute(q2, samp, k = 5)
         .select(col("qid"), col("neighbor"))
         .localCheckpoint(eager = false)
-      val lay = samp.withColumn("__cell", explode(
+      val lay0 = samp.withColumn("__cell", explode(
         graft.exprs.NearestCells.nearest_cells(col("v"), bcCents, spill)))
+      // the layout with the SERVED tier's code column attached — the
+      // same encode the rewrite below stores (residual codes per copy
+      // for pq, frozen-stats sq8 otherwise), so the served arm ranks
+      // exactly what a query would
+      val lay = pqCb.map(cb => withResidualCode(lay0, "v", cb, centArr))
+        .orElse(sqStats.map(st => withSq8(lay0, "v", Some(st))))
+        .getOrElse(lay0)
         .localCheckpoint(eager = false)
       val nTruth = truth.count()
       val grid = (Iterator.iterate(1)(_ * 2).takeWhile(_ < kEff).toSeq
         :+ kEff).distinct
       val w2 = org.apache.spark.sql.expressions.Window
         .partitionBy(col("qid")).orderBy(col("__c").desc, col("vid").asc)
+      val wq = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid"))
+      // the serve path's default shortlist at k=5 (max(4k, 64)): the
+      // calibration replays the budget a default query actually gets
+      val rFetch = 64
+      def top5(scored: DataFrame): DataFrame = scored
+        .withColumn("__rn", row_number().over(w2))
+        .where(col("__rn") <= 5)
+        .select(col("qid"), col("vid").as("neighbor"))
+      def recallOf(approx: DataFrame): Long = {
+        val hits = truth.join(approx, Seq("qid", "neighbor")).count()
+        if (nTruth == 0) 1000000L else hits * 1000000L / nTruth
+      }
       val curve = grid.map { np =>
-        val approx = q2.withColumn("__cell", explode(
-            graft.exprs.NearestCells.nearest_cells(col("qv"), bcCents, np)))
-          .join(lay, "__cell")
+        val probes = q2.withColumn("__pcell", explode(
+          graft.exprs.NearestCells.nearest_cells(col("qv"), bcCents, np)))
+        val cand = probes
+          .join(lay, col("__pcell") === col("__cell"))
           .where(col("vid") =!= col("qid"))
+        val probeArm = top5(cand
           .dropDuplicates("qid", "vid")
           .withColumn("__c",
-            CosineSimilarity.cosine_similarity(col("v"), col("qv")))
-          .withColumn("__rn", row_number().over(w2))
-          .where(col("__rn") <= 5)
-          .select(col("qid"), col("vid").as("neighbor"))
-        val hits = truth.join(approx, Seq("qid", "neighbor")).count()
-        (np, if (nTruth == 0) 1000000L else hits * 1000000L / nTruth)
+            CosineSimilarity.cosine_similarity(col("v"), col("qv"))))
+        val servedArm: DataFrame = if (pqCb.isDefined) {
+          // residual ADC shortlist, batched: per-(query, probed cell)
+          // LUT over the query residual, MIN over a row's copies, cut
+          // at rFetch on the (adist, vid) total order, exact rerank
+          val cellCv = broadcast(centArr.toSeq
+            .map { case (cid, cv) => (cid, cv.toSeq) }
+            .toDF("__pcell", "__ccv"))
+          val probesL = probes.join(cellCv, "__pcell")
+            .withColumn("__lut", graft.exprs.Pq.pq_lut(
+              graft.exprs.Pq.vec_residual(col("qv"), col("__ccv")), pqCb.get))
+            .where(col("__lut").isNotNull)
+            .drop("__ccv")
+          val perCopy = probesL
+            .join(lay.select(col("__cell").as("__dcell"), col("vid"),
+              col("__code")).where(col("__code").isNotNull),
+              col("__pcell") === col("__dcell"))
+            .where(col("vid") =!= col("qid"))
+            .withColumn("__adist",
+              graft.exprs.Pq.pq_adc(col("__code"), col("__lut")))
+          val best = perCopy.groupBy(col("qid"), col("vid"))
+            .agg(min(col("__adist")).as("__adist"), first(col("qv")).as("qv"))
+          val survivors = best
+            .withColumn("__srn", row_number().over(wq.orderBy(
+              col("__adist").asc, col("vid").asc)))
+            .where(col("__srn") <= rFetch)
+            .select(col("qid"), col("qv"), col("vid"))
+          // identical vectors share a content-hash vid (the sample keeps
+          // every physical row) — dedup the rerank relation or each
+          // survivor re-enters once per copy and row_number admits the
+          // copies into the top-5
+          top5(survivors
+            .join(samp.select(col("vid"), col("v"))
+              .dropDuplicates("vid"), "vid")
+            .withColumn("__c",
+              CosineSimilarity.cosine_similarity(col("v"), col("qv"))))
+        } else if (sqStats.isDefined) {
+          // sq8 shortlist, batched: per-query fixed-point ADC weights
+          // (the batch face's zip_with form), normalized cos-key cut,
+          // exact rerank
+          val (mn, mx) = sqStats.get
+          val step = mn.indices.map(i => (mx(i) - mn(i)) / 255.0)
+          val (ta, tb) = graft.exprs.Sq8.reconTables(mn, mx)
+          val probesS = probes
+            .withColumn("__qw", zip_with(col("qv"), typedLit(step),
+              (x, s) => floor(x * s * lit(AnnIndex.Sq8AdcScale)).cast("bigint")))
+            .where(col("__qw").isNotNull)
+            .withColumn("__mq", aggregate(
+              zip_with(col("qv"), typedLit(mn.toSeq),
+                (x, mc) => floor(x.cast("double") * mc *
+                  lit(AnnIndex.Sq8AdcScale)).cast("bigint")),
+              lit(0L), (acc, x) => acc + x))
+          val cands = probesS
+            .join(lay.select(col("__cell").as("__dcell"), col("vid"),
+              col("__sq8")).where(col("__sq8").isNotNull),
+              col("__pcell") === col("__dcell"))
+            .where(col("vid") =!= col("qid"))
+            .dropDuplicates("qid", "vid")
+          val survivors = cands
+            .withColumn("__ckey", graft.exprs.Sq8.cos_key(col("__sq8"),
+              col("__qw"), col("__mq"), ta, tb))
+            .withColumn("__srn", row_number().over(wq.orderBy(
+              col("__ckey").desc, col("vid").asc)))
+            .where(col("__srn") <= rFetch)
+            .select(col("qid"), col("qv"), col("vid"))
+          // identical vectors share a content-hash vid (the sample keeps
+          // every physical row) — dedup the rerank relation or each
+          // survivor re-enters once per copy and row_number admits the
+          // copies into the top-5
+          top5(survivors
+            .join(samp.select(col("vid"), col("v"))
+              .dropDuplicates("vid"), "vid")
+            .withColumn("__c",
+              CosineSimilarity.cosine_similarity(col("v"), col("qv"))))
+        } else probeArm // raw layout: the serve path IS the probe shape
+        (np, recallOf(probeArm), recallOf(servedArm))
       }
-      curve.toDF("np", "recall_ppm").coalesce(1).write.mode("overwrite")
+      curve.toDF("np", "recall_ppm", "served_ppm").coalesce(1)
+        .write.mode("overwrite")
         .parquet(new HPath(modelDir, "calib").toString)
     }
     // ONE cell-keyed exchange before the fan-out write: without it every
@@ -968,18 +1073,30 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
   def tombOf(name: String, field: String): Option[String] =
     metaField(name, field, "tomb")
 
-  /** The probe-recall calibration curve a `train --calibrate` persisted
-    * — (nprobe, recall_ppm) ascending by nprobe — or None when the
-    * served model was trained without one. Consumed by
-    * `knn --target-recall` and `stats --ann`. */
-  def readCalib(name: String, field: String): Option[Seq[(Int, Long)]] = {
+  /** The recall calibration curve a `train --calibrate` persisted —
+    * (nprobe, probe recall_ppm, SERVED recall_ppm) ascending by nprobe
+    * — or None when the served model was trained without one. The
+    * served column replays the full quantized-shortlist + rerank path
+    * (r17 verdict #1) and is what `knn --target-recall` picks from; a
+    * legacy probe-only curve (pre-r18 two-column artifact) reads its
+    * probe column into both slots. Consumed by `knn --target-recall`
+    * and `stats --ann`. */
+  def readCalib(name: String, field: String)
+      : Option[Seq[(Int, Long, Long)]] = {
     val root = annRoot(name, field)
     val mroot = modelOf(name, field)
       .map(m => new HPath(root, s"model/$m")).getOrElse(root)
     val p = new HPath(mroot, "calib")
     if (!fs(p).exists(p)) None
-    else Some(spark.read.parquet(p.toString).collect()
-      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).toSeq)
+    else {
+      val df = spark.read.parquet(p.toString)
+      val hasServed = df.columns.contains("served_ppm")
+      Some(df.collect()
+        .map(r => (r.getAs[Int]("np"), r.getAs[Long]("recall_ppm"),
+          if (hasServed) r.getAs[Long]("served_ppm")
+          else r.getAs[Long]("recall_ppm")))
+        .sortBy(_._1).toSeq)
+    }
   }
 
   /** Serve-time tombstone PRESSURE: (retired identities, stored logical
@@ -1418,7 +1535,10 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
           s"--target-recall needs a calibration curve for '$field' — " +
             "re-run train --calibrate"))
         val want = math.min(1000000L, math.round(r * 1000000L))
-        curve.find(_._2 >= want).map(_._1).getOrElse(curve.last._1)
+        // pick off the SERVED column (full shortlist + rerank replay,
+        // r17 verdict #1) — probe recall alone overstates what the
+        // quantized tiers deliver
+        curve.find(_._3 >= want).map(_._1).getOrElse(curve.last._1)
       case _ => nProbe
     }
     val pred = filter.map(f => new graft.query.QueryCompiler(d).compile(f))
@@ -1735,7 +1855,10 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
           s"--target-recall needs a calibration curve for '$field' — " +
             "re-run train --calibrate"))
         val want = math.min(1000000L, math.round(r * 1000000L))
-        curve.find(_._2 >= want).map(_._1).getOrElse(curve.last._1)
+        // pick off the SERVED column (full shortlist + rerank replay,
+        // r17 verdict #1) — probe recall alone overstates what the
+        // quantized tiers deliver
+        curve.find(_._3 >= want).map(_._1).getOrElse(curve.last._1)
       case _ => nProbe
     }
     // metadata pre-filter, same semantics as [[knn]]'s `filter`: one

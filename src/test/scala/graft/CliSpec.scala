@@ -543,6 +543,10 @@ class CliSpec extends AnyFunSuite {
       s"recall must not decrease along the grid: $curve")
     assert(curve.last._2 == 1000000L,
       s"probing every cell recalls the exact top-5: $curve")
+    // raw (unquantized) layout: the serve path IS the probe shape, so
+    // the served column coincides with the probe column
+    assert(curve.forall(p => p._3 == p._2),
+      s"raw layout: served must equal probe: $curve")
     // --target-recall 1.0 serves (at the full-probe setting or earlier)
     // and agrees with an explicit full-probe query
     val got = ann.knn("calib_test", "emb", Array(1.0f, 0.0f, 0.0f, 0.0f),
@@ -561,7 +565,9 @@ class CliSpec extends AnyFunSuite {
     }
     val sT = outT.toString("UTF-8")
     assert(sT.linesIterator.count(_.contains("\t")) == 2, sT)
-    assert(sT.contains("probe-recall calibration") && sT.contains("np="), sT)
+    assert(sT.contains("recall calibration") && sT.contains("np="), sT)
+    // the r17-advice scope note: calibration truth is the train sample
+    assert(sT.contains("calibrated on the train sample"), sT)
     // batch face shares the curve lookup: target 1.0 ≡ explicit full-probe
     import spark.implicits._
     val bq = Seq(("qa", Seq(1.0f, 0.0f, 0.0f, 0.0f)),
@@ -574,6 +580,75 @@ class CliSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getInt(1), r.getString(3))).sortBy(x => (x._1, x._2))
     assert(bT.sameElements(bF), "batch target-recall 1.0 must match full-probe")
     cat.drop("calib_test")
+  }
+
+  test("--target-recall picks off the SERVED recall column, not probe " +
+      "recall: the quantized shortlist's loss must raise the chosen " +
+      "nprobe (r17 verdict #1)") {
+    val root = Files.createTempDirectory("graft-cli-served").toString
+    val cat = new Catalog(root)
+    val yaml = Files.createTempFile("cli-served", ".yaml")
+    Files.write(yaml,
+      """version: 1
+        |name: served_cal
+        |path: /tmp/unused
+        |schema:
+        |  fields:
+        |    - name: title
+        |      type: !text
+        |    - name: emb
+        |      type: !number
+        |        type: f64
+        |      array: true
+        |""".stripMargin.getBytes("UTF-8"))
+    cli.Main.run(Array("create", yaml.toString), spark, cat, root)
+    def doc(t: String, v: Seq[Double]) =
+      s"""{"title": "$t", "emb": [${v.mkString(", ")}]}"""
+    val dirs = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0),
+      Seq(0.0, 0.0, 1.0, 0.0), Seq(0.0, 0.0, 0.0, 1.0))
+    val docsAll = (0 until 80).map { i =>
+      val d0 = dirs(i % 4)
+      doc(s"d$i", d0.zipWithIndex.map { case (x, j) =>
+        x + 0.01 * ((i + j) % 5) })
+    }
+    val in = Files.createTempFile("served-docs", ".jsonl")
+    Files.write(in, docsAll.mkString("\n").getBytes("UTF-8"))
+    cli.Main.run(Array("index", "served_cal", in.toString), spark, cat, root)
+    val ann = new graft.engine.AnnIndex(spark, cat)
+    // a QUANTIZED tier (residual pq), calibrated: the curve must carry
+    // both arms, and the served arm — full ADC shortlist + rerank —
+    // can only lose recall relative to the probe arm (same candidates,
+    // a strict subset survives the shortlist cut)
+    ann.train("served_cal", "emb", cells = 8, pq = 2, calibrate = true)
+    val curve = ann.readCalib("served_cal", "emb").get
+    assert(curve.forall { case (_, pr, sr) =>
+      sr <= pr && sr >= 0L && pr <= 1000000L }, s"served <= probe: $curve")
+    // the semantics gate: plant a curve where PROBE recall meets the
+    // 0.95 target at nprobe=1 but SERVED recall does not until
+    // nprobe=8 — exactly the r17 gap (--target-recall read the probe
+    // number while the user experienced the served one). The lookup
+    // must now pick 8.
+    import spark.implicits._
+    val modelDir = s"$root/indexes/served_cal/ann/emb/model/" +
+      ann.modelOf("served_cal", "emb").get
+    Seq((1, 990000L, 900000L), (8, 1000000L, 1000000L))
+      .toDF("np", "recall_ppm", "served_ppm")
+      .coalesce(1).write.mode("overwrite").parquet(s"$modelDir/calib")
+    // a between-clusters query: its nearest single cell cannot hold
+    // the full exact top-4, so nprobe=1 and nprobe=8 provably differ
+    val qv = Array(0.72f, 0.70f, 0.0f, 0.0f)
+    def docsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.getString(1)).toSeq
+    val got = docsOf(ann.knn("served_cal", "emb", qv, 4,
+      targetRecall = Some(0.95)))
+    val full = docsOf(ann.knn("served_cal", "emb", qv, 4, nProbe = 8))
+    val one = docsOf(ann.knn("served_cal", "emb", qv, 4, nProbe = 1))
+    assert(one != full,
+      "fixture sanity: a single probed cell must under-serve this query")
+    assert(got == full,
+      s"--target-recall 0.95 must pick nprobe=8 off the SERVED column:\n" +
+        s"got $got\nfull $full\none $one")
+    cat.drop("served_cal")
   }
 
   test("merge --dedup tombstones the trained tier's surplus copies: knn " +
