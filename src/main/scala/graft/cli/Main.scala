@@ -277,13 +277,15 @@ object Main {
               // (r17 advice): the curve is measured on the bounded
               // TRAIN SAMPLE, not the full corpus.
               ann.readCalib(name, f).foreach { curve =>
-                val pts = curve.map { case (np, pr, sr) =>
-                  f"np=$np%d:served ${sr / 10000.0}%.1f%%/probe ${pr / 10000.0}%.1f%%" }
+                val pts = curve.map { case (np, pr, sr, hi) =>
+                  f"np=$np%d:served ${sr / 10000.0}%.1f%%" +
+                    f"/r${graft.engine.AnnIndex.CalibRerankHi}%d ${hi / 10000.0}%.1f%%" +
+                    f"/probe ${pr / 10000.0}%.1f%%" }
                   .mkString(" ")
                 println(s"ann '$f': recall calibration $pts " +
                   "(calibrated on the train sample; knn --target-recall " +
-                  "picks the smallest nprobe whose SERVED recall " +
-                  "suffices)")
+                  "picks the smallest sufficient (nprobe, rerank) off " +
+                  "the SERVED columns)")
               }
               ann.tombstoneShare(name, f).foreach { case (t, nRows) =>
                 println(f"ann '$f': $t%d tombstoned row(s) of $nRows%d " +

@@ -462,10 +462,16 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
           .dropDuplicates("qid", "vid")
           .withColumn("__c",
             CosineSimilarity.cosine_similarity(col("v"), col("qv"))))
-        val servedArm: DataFrame = if (pqCb.isDefined) {
-          // residual ADC shortlist, batched: per-(query, probed cell)
-          // LUT over the query residual, MIN over a row's copies, cut
-          // at rFetch on the (adist, vid) total order, exact rerank
+        // the quantized tiers rank ONCE per grid point and cut at both
+        // shortlist budgets — the second column is what escalating
+        // --rerank (cheaper than escalating nprobe: extra row fetches,
+        // not extra cell scans) would buy at this np (ProbeOpq
+        // measured the default 64-slot shortlist ~0.2 below 256 under
+        // probe pressure — the knob must be in the curve to be picked)
+        val ranked: Option[DataFrame] = if (pqCb.isDefined) {
+          // residual ADC, batched: per-(query, probed cell) LUT over
+          // the query residual, MIN over a row's copies, (adist, vid)
+          // total order
           val cellCv = broadcast(centArr.toSeq
             .map { case (cid, cv) => (cid, cv.toSeq) }
             .toDF("__pcell", "__ccv"))
@@ -483,24 +489,12 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
               graft.exprs.Pq.pq_adc(col("__code"), col("__lut")))
           val best = perCopy.groupBy(col("qid"), col("vid"))
             .agg(min(col("__adist")).as("__adist"), first(col("qv")).as("qv"))
-          val survivors = best
+          Some(best
             .withColumn("__srn", row_number().over(wq.orderBy(
-              col("__adist").asc, col("vid").asc)))
-            .where(col("__srn") <= rFetch)
-            .select(col("qid"), col("qv"), col("vid"))
-          // identical vectors share a content-hash vid (the sample keeps
-          // every physical row) — dedup the rerank relation or each
-          // survivor re-enters once per copy and row_number admits the
-          // copies into the top-5
-          top5(survivors
-            .join(samp.select(col("vid"), col("v"))
-              .dropDuplicates("vid"), "vid")
-            .withColumn("__c",
-              CosineSimilarity.cosine_similarity(col("v"), col("qv"))))
+              col("__adist").asc, col("vid").asc))))
         } else if (sqStats.isDefined) {
-          // sq8 shortlist, batched: per-query fixed-point ADC weights
-          // (the batch face's zip_with form), normalized cos-key cut,
-          // exact rerank
+          // sq8, batched: per-query fixed-point ADC weights (the batch
+          // face's zip_with form), normalized cos-key order
           val (mn, mx) = sqStats.get
           val step = mn.indices.map(i => (mx(i) - mn(i)) / 255.0)
           val (ta, tb) = graft.exprs.Sq8.reconTables(mn, mx)
@@ -519,26 +513,31 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
               col("__pcell") === col("__dcell"))
             .where(col("vid") =!= col("qid"))
             .dropDuplicates("qid", "vid")
-          val survivors = cands
+          Some(cands
             .withColumn("__ckey", graft.exprs.Sq8.cos_key(col("__sq8"),
               col("__qw"), col("__mq"), ta, tb))
             .withColumn("__srn", row_number().over(wq.orderBy(
-              col("__ckey").desc, col("vid").asc)))
-            .where(col("__srn") <= rFetch)
-            .select(col("qid"), col("qv"), col("vid"))
-          // identical vectors share a content-hash vid (the sample keeps
-          // every physical row) — dedup the rerank relation or each
-          // survivor re-enters once per copy and row_number admits the
-          // copies into the top-5
-          top5(survivors
+              col("__ckey").desc, col("vid").asc))))
+        } else None // raw layout: the serve path IS the probe shape
+        val rankedCk = ranked.map(
+          _.select(col("qid"), col("qv"), col("vid"), col("__srn"))
+            .localCheckpoint(eager = false))
+        def servedAt(rf: Int): DataFrame = rankedCk.fold(probeArm) { r =>
+          // identical vectors share a content-hash vid (the sample
+          // keeps every physical row) — dedup the rerank relation or
+          // each survivor re-enters once per copy and row_number
+          // admits the copies into the top-5
+          top5(r.where(col("__srn") <= rf)
             .join(samp.select(col("vid"), col("v"))
               .dropDuplicates("vid"), "vid")
             .withColumn("__c",
               CosineSimilarity.cosine_similarity(col("v"), col("qv"))))
-        } else probeArm // raw layout: the serve path IS the probe shape
-        (np, recallOf(probeArm), recallOf(servedArm))
+        }
+        (np, recallOf(probeArm), recallOf(servedAt(rFetch)),
+          recallOf(servedAt(AnnIndex.CalibRerankHi)))
       }
-      curve.toDF("np", "recall_ppm", "served_ppm").coalesce(1)
+      curve.toDF("np", "recall_ppm", "served_ppm", "served_hi_ppm")
+        .coalesce(1)
         .write.mode("overwrite")
         .parquet(new HPath(modelDir, "calib").toString)
     }
@@ -1074,15 +1073,20 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     metaField(name, field, "tomb")
 
   /** The recall calibration curve a `train --calibrate` persisted —
-    * (nprobe, probe recall_ppm, SERVED recall_ppm) ascending by nprobe
-    * — or None when the served model was trained without one. The
-    * served column replays the full quantized-shortlist + rerank path
-    * (r17 verdict #1) and is what `knn --target-recall` picks from; a
-    * legacy probe-only curve (pre-r18 two-column artifact) reads its
-    * probe column into both slots. Consumed by `knn --target-recall`
+    * (nprobe, probe recall_ppm, SERVED recall_ppm at the default
+    * shortlist, served recall_ppm at the escalated
+    * [[AnnIndex.CalibRerankHi]] shortlist) ascending by nprobe — or
+    * None when the served model was trained without one. The served
+    * columns replay the full quantized-shortlist + rerank path (r17
+    * verdict #1) and are what `knn --target-recall` picks from —
+    * including the CHEAPER escalation axis when the default shortlist
+    * is the binding loss (extra row fetches, not extra cell scans).
+    * Legacy artifacts degrade gracefully: a probe-only curve reads its
+    * probe column into every slot; an early-r18 three-column curve
+    * reads served into the hi slot. Consumed by `knn --target-recall`
     * and `stats --ann`. */
   def readCalib(name: String, field: String)
-      : Option[Seq[(Int, Long, Long)]] = {
+      : Option[Seq[(Int, Long, Long, Long)]] = {
     val root = annRoot(name, field)
     val mroot = modelOf(name, field)
       .map(m => new HPath(root, s"model/$m")).getOrElse(root)
@@ -1090,11 +1094,17 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     if (!fs(p).exists(p)) None
     else {
       val df = spark.read.parquet(p.toString)
-      val hasServed = df.columns.contains("served_ppm")
+      val cols = df.columns.toSet
       Some(df.collect()
-        .map(r => (r.getAs[Int]("np"), r.getAs[Long]("recall_ppm"),
-          if (hasServed) r.getAs[Long]("served_ppm")
-          else r.getAs[Long]("recall_ppm")))
+        .map { r =>
+          val probe = r.getAs[Long]("recall_ppm")
+          val served =
+            if (cols("served_ppm")) r.getAs[Long]("served_ppm") else probe
+          val hi =
+            if (cols("served_hi_ppm")) r.getAs[Long]("served_hi_ppm")
+            else served
+          (r.getAs[Int]("np"), probe, served, hi)
+        }
         .sortBy(_._1).toSeq)
     }
   }
@@ -1529,17 +1539,19 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     // index serves the brute tier — exact, so it meets any target
     // trivially (r17 advice: erroring there blocked both documented
     // outs); the loud error stays on the curve-lookup path only.
-    val nProbeEff: Int = targetRecall match {
+    val (nProbeEff: Int, rerankEff: Int) = targetRecall match {
       case Some(r) if nProbe == 0 && m.isDefined =>
         val curve = readCalib(name, field).getOrElse(sys.error(
           s"--target-recall needs a calibration curve for '$field' — " +
             "re-run train --calibrate"))
         val want = math.min(1000000L, math.round(r * 1000000L))
-        // pick off the SERVED column (full shortlist + rerank replay,
+        // pick off the SERVED columns (full shortlist + rerank replay,
         // r17 verdict #1) — probe recall alone overstates what the
-        // quantized tiers deliver
-        curve.find(_._3 >= want).map(_._1).getOrElse(curve.last._1)
-      case _ => nProbe
+        // quantized tiers deliver — choosing the cheaper escalation
+        // axis (shortlist budget before probe count) when the default
+        // shortlist is the binding loss
+        AnnIndex.pickSetting(curve, want, rerank)
+      case _ => (nProbe, rerank)
     }
     val pred = filter.map(f => new graft.query.QueryCompiler(d).compile(f))
     def filtered(df: DataFrame): DataFrame =
@@ -1616,7 +1628,7 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
           // tier's shape.
           val cb = cbsOpt.getOrElse(sys.error(
             s"trained index for '$field' claims pq=$pq but has no codebooks"))
-          val rFetch = if (rerank > 0) rerank else math.max(4 * k, 64)
+          val rFetch = if (rerankEff > 0) rerankEff else math.max(4 * k, 64)
           val luts = residualLuts(queryVec, cents,
             ranked.take(covered).toSet, cb)
           val perCopy = cand0
@@ -1641,7 +1653,7 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
           // the ADC shortlist size: more probes pour more candidates
           // into a FIXED shortlist, so a crowded R trades recall —
           // raise `rerank` together with nProbe (measured in ProbeKnn)
-          val rFetch = if (rerank > 0) rerank else math.max(4 * k, 64)
+          val rFetch = if (rerankEff > 0) rerankEff else math.max(4 * k, 64)
           // dedupe the SKINNY projection before the shortlist cut: with
           // spill > 1 a boundary row's copies land in several probed
           // cells with identical codes, and letting them occupy several
@@ -1689,7 +1701,7 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
           // 0.91). Integer sums + one IEEE div/sqrt — deterministic.
           val (ta, tb) = graft.exprs.Sq8.reconTables(mn, mx)
           val mq = graft.exprs.Sq8.mqOf(queryVec, mn)
-          val rFetch = if (rerank > 0) rerank else math.max(4 * k, 64)
+          val rFetch = if (rerankEff > 0) rerankEff else math.max(4 * k, 64)
           val skinny0 = cand0
             .select(col("__epoch"), col("__rid"), col("__sq8"))
             .where(col("__sq8").isNotNull)
@@ -1849,17 +1861,19 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
     // not per-query; the filtered escalation below still lifts
     // under-filled qids past it). Same outs as the single face: an
     // explicit --nprobe wins, an untrained index serves exact brute.
-    val nProbeEff: Int = targetRecall match {
+    val (nProbeEff: Int, rerankEff: Int) = targetRecall match {
       case Some(r) if nProbe == 0 && m.isDefined =>
         val curve = readCalib(name, field).getOrElse(sys.error(
           s"--target-recall needs a calibration curve for '$field' — " +
             "re-run train --calibrate"))
         val want = math.min(1000000L, math.round(r * 1000000L))
-        // pick off the SERVED column (full shortlist + rerank replay,
+        // pick off the SERVED columns (full shortlist + rerank replay,
         // r17 verdict #1) — probe recall alone overstates what the
-        // quantized tiers deliver
-        curve.find(_._3 >= want).map(_._1).getOrElse(curve.last._1)
-      case _ => nProbe
+        // quantized tiers deliver — choosing the cheaper escalation
+        // axis (shortlist budget before probe count) when the default
+        // shortlist is the binding loss
+        AnnIndex.pickSetting(curve, want, rerank)
+      case _ => (nProbe, rerank)
     }
     // metadata pre-filter, same semantics as [[knn]]'s `filter`: one
     // predicate over the stored columns, applied to the probed scan
@@ -1964,7 +1978,7 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
           // shortlist cut, exact-cosine rerank of the survivors.
           val cb = cbsOpt.getOrElse(sys.error(
             s"trained index for '$field' claims pq=$pq but has no codebooks"))
-          val rFetch = if (rerank > 0) rerank else math.max(4 * k, 64)
+          val rFetch = if (rerankEff > 0) rerankEff else math.max(4 * k, 64)
           import spark.implicits._
           val cellCv = broadcast(cents.toSeq
             .map { case (cid, cv) => (cid, cv.toSeq) }
@@ -1999,7 +2013,7 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
         } else if (pq > 0) {
           val cb = cbsOpt.getOrElse(sys.error(
             s"trained index for '$field' claims pq=$pq but has no codebooks"))
-          val rFetch = if (rerank > 0) rerank else math.max(4 * k, 64)
+          val rFetch = if (rerankEff > 0) rerankEff else math.max(4 * k, 64)
           val probesL = probesQ
             .withColumn("__lut", graft.exprs.Pq.pq_lut(col("qv"), cb))
             .where(col("__lut").isNotNull)
@@ -2031,7 +2045,7 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
           // survivors exact
           val (mn, mx) = sqStOpt.getOrElse(sys.error(
             s"trained index for '$field' claims sq8 but has no sq8/ stats"))
-          val rFetch = if (rerank > 0) rerank else math.max(4 * k, 64)
+          val rFetch = if (rerankEff > 0) rerankEff else math.max(4 * k, 64)
           val step = mn.indices.map(i => (mx(i) - mn(i)) / 255.0)
           // normalized cut key (the single-query tier's r16 rule — one
           // fused kernel, see the comment there); __mq is the per-query
@@ -2093,6 +2107,39 @@ final class AnnIndex(spark: SparkSession, catalog: Catalog) {
 }
 
 object AnnIndex {
+  /** The escalated shortlist budget the calibration's second served
+    * column measures (and `--target-recall` may pick): 4× the default
+    * rFetch floor — extra row fetches at a fixed probe set, the cheap
+    * axis when the default 64-slot shortlist is the binding loss
+    * (ProbeOpq measured it ~0.2 recall below 256 under probe
+    * pressure). */
+  val CalibRerankHi: Int = 256
+
+  /** (nprobe, rerank) for `--target-recall` off a calibration curve
+    * (rows (np, probe_ppm, served_ppm, served_hi_ppm) ascending by
+    * np): the SMALLEST np that meets the target at either shortlist
+    * budget, preferring the default budget at that np (rerank = 0 →
+    * serve-time default); escalating rerank at a fixed np is cheaper
+    * than the next np rung (row fetches vs cell scans). An explicit
+    * `--rerank` pins the budget — the lookup then reads the column
+    * matching it and returns that rerank unchanged. Nothing meets the
+    * target → the full-probe end of the curve, with the hi budget iff
+    * the curve shows it still buying recall there. */
+  private[graft] def pickSetting(curve: Seq[(Int, Long, Long, Long)],
+      want: Long, explicitRerank: Int): (Int, Int) = {
+    require(curve.nonEmpty, "empty calibration curve")
+    if (explicitRerank > 0) {
+      val colOf: ((Int, Long, Long, Long)) => Long =
+        if (explicitRerank >= CalibRerankHi) _._4 else _._3
+      (curve.find(p => colOf(p) >= want).map(_._1)
+        .getOrElse(curve.last._1), explicitRerank)
+    } else curve.collectFirst {
+      case (np, _, s, _) if s >= want => (np, 0)
+      case (np, _, _, h) if h >= want => (np, CalibRerankHi)
+    }.getOrElse((curve.last._1,
+      if (curve.last._4 > curve.last._3) CalibRerankHi else 0))
+  }
+
   /** How long a maintenance op waits on the per-(index,field) advisory
     * lock before failing loudly. Generous: the holder may be a fold
     * rewriting the stored tier (minutes at scale), and waiting is

@@ -544,8 +544,8 @@ class CliSpec extends AnyFunSuite {
     assert(curve.last._2 == 1000000L,
       s"probing every cell recalls the exact top-5: $curve")
     // raw (unquantized) layout: the serve path IS the probe shape, so
-    // the served column coincides with the probe column
-    assert(curve.forall(p => p._3 == p._2),
+    // both served columns coincide with the probe column
+    assert(curve.forall(p => p._3 == p._2 && p._4 == p._2),
       s"raw layout: served must equal probe: $curve")
     // --target-recall 1.0 serves (at the full-probe setting or earlier)
     // and agrees with an explicit full-probe query
@@ -621,8 +621,9 @@ class CliSpec extends AnyFunSuite {
     // a strict subset survives the shortlist cut)
     ann.train("served_cal", "emb", cells = 8, pq = 2, calibrate = true)
     val curve = ann.readCalib("served_cal", "emb").get
-    assert(curve.forall { case (_, pr, sr) =>
-      sr <= pr && sr >= 0L && pr <= 1000000L }, s"served <= probe: $curve")
+    assert(curve.forall { case (_, pr, sr, hi) =>
+      sr <= pr && sr <= hi && hi <= pr && sr >= 0L && pr <= 1000000L },
+      s"served <= served_hi <= probe expected: $curve")
     // the semantics gate: plant a curve where PROBE recall meets the
     // 0.95 target at nprobe=1 but SERVED recall does not until
     // nprobe=8 — exactly the r17 gap (--target-recall read the probe
@@ -649,6 +650,33 @@ class CliSpec extends AnyFunSuite {
       s"--target-recall 0.95 must pick nprobe=8 off the SERVED column:\n" +
         s"got $got\nfull $full\none $one")
     cat.drop("served_cal")
+  }
+
+  test("pickSetting escalates the SHORTLIST before the probe count: " +
+      "rerank rows are row fetches, nprobe rows are cell scans") {
+    import graft.engine.AnnIndex.{pickSetting, CalibRerankHi}
+    // (np, probe, served@default, served@hi)
+    val curve = Seq(
+      (1, 980000L, 900000L, 960000L),
+      (2, 990000L, 930000L, 980000L),
+      (4, 1000000L, 940000L, 990000L))
+    // default budget meets 0.90 at np=1 — cheapest point, default rerank
+    assert(pickSetting(curve, 900000L, 0) == (1, 0))
+    // 0.95: np=1 default misses (0.90) but np=1 @hi reaches 0.96 —
+    // escalate the shortlist at np=1, NOT the probe count to np=4
+    assert(pickSetting(curve, 950000L, 0) == (1, CalibRerankHi))
+    // 0.975: np=2 @hi (0.98) is the smallest sufficient point
+    assert(pickSetting(curve, 975000L, 0) == (2, CalibRerankHi))
+    // unreachable target: full-probe end, hi iff it still buys recall
+    assert(pickSetting(curve, 999999L, 0) == (4, CalibRerankHi))
+    val flat = curve.map { case (np, p, s, _) => (np, p, s, s) }
+    assert(pickSetting(flat, 999999L, 0) == (4, 0),
+      "hi buys nothing at the end of a flat curve — keep the default")
+    // an explicit --rerank pins the budget and reads its own column
+    assert(pickSetting(curve, 950000L, CalibRerankHi) ==
+      (1, CalibRerankHi))
+    assert(pickSetting(curve, 950000L, 32) == (4, 32),
+      "a pinned small budget must satisfy the target on ITS column")
   }
 
   test("merge --dedup tombstones the trained tier's surplus copies: knn " +
