@@ -126,6 +126,48 @@ object EpochShuffle {
       .drop("__key")
   }
 
+  /** The multi-EPOCH shard SINK — [[writeShards]] for a relation that
+    * carries an `epoch` tag (one row per (document, pass) from
+    * [[Mixture.mixEpochsKept]]): every payload column rides into
+    * `epoch=E/shard=N/` parquet trees in pos order, each epoch's
+    * repeats in its OWN [[epochShuffleTagged]] order, and ONE manifest
+    * covering the whole epoch set is written LAST — the commit point a
+    * trainer consuming pass after pass reads once ("every epoch's
+    * shards are complete"), with the same delete-stale-manifest-first
+    * rewrite protocol as [[writeShards]] (a crash mid-rewrite reads as
+    * "no dataset here", never a partial one).
+    *
+    * Scale shape: [[epochShuffleTagged]]'s one (epoch, shard)-keyed
+    * exchange, re-used by the write's repartition; per-task sort
+    * bounded by the shard size. `numShards` sizes EACH epoch's shard
+    * count (the caller's census should cover one epoch's mass, not the
+    * expanded total — every epoch is a full training pass).
+    *
+    * Returns the manifest read back from disk:
+    * (epoch, shard, n_docs, last_pos, n_chars). */
+  def writeEpochShards(df: DataFrame, id: Column, epoch: Column,
+      sizeCol: Column, seed: String, numShards: Long,
+      outDir: String): DataFrame = {
+    val sp = df.sparkSession
+    val mPath = new org.apache.hadoop.fs.Path(s"$outDir/manifest")
+    val fs = mPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
+    if (fs.exists(mPath)) fs.delete(mPath, true)
+    epochShuffleTagged(df.withColumn("sz", sizeCol.cast("long"))
+        .withColumn("epoch", epoch.cast("long")),
+        id, col("epoch"), seed, numShards)
+      .repartition(numShards.toInt, col("epoch"), col("shard"))
+      .sortWithinPartitions(col("epoch"), col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("epoch", "shard")
+      .parquet(s"$outDir/data")
+    val manifest = sp.read.parquet(s"$outDir/data")
+      .groupBy(col("epoch").cast("long").as("epoch"),
+        col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"), max(col("pos")).as("last_pos"),
+        sum(col("sz")).as("n_chars"))
+    manifest.write.mode("overwrite").parquet(s"$outDir/manifest")
+    sp.read.parquet(s"$outDir/manifest")
+  }
+
   /** Shard count for a corpus of `totalSize` units at `targetShardSize`
     * units per shard: ceil(total/target), at least 1. Integer arithmetic so
     * an external oracle reproduces the count exactly. */

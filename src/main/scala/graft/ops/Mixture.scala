@@ -281,7 +281,22 @@ object Mixture {
     * and shared. Output: (id, source, n_tok, epoch, shard, pos). */
   def mixEpochsRealize(df: DataFrame, id: Column, source: Column,
       nTok: Column, weight: Column, budgetNum: Long, maxEpochs: Long,
-      seed: String, numShards: Long): DataFrame = {
+      seed: String, numShards: Long): DataFrame =
+    EpochShuffle.epochShuffleTagged(
+      mixEpochsKept(df, id, source, nTok, weight, budgetNum, maxEpochs),
+      col("id"), col("epoch"), seed, numShards)
+      .select(col("id"), col("source"), col("n_tok"), col("epoch"),
+        col("shard"), col("pos"))
+
+  /** The PRE-SHUFFLE relation of [[mixEpochsRealize]] — one row per
+    * (document, epoch) the realized mixture contains, before shard
+    * assignment: what a pipeline sink joins back onto the corpus to
+    * materialize the upsampled dataset with full payload (the
+    * [[mixRealizeKept]] analogue one level up). Output:
+    * (id, source, n_tok, epoch). */
+  def mixEpochsKept(df: DataFrame, id: Column, source: Column,
+      nTok: Column, weight: Column, budgetNum: Long,
+      maxEpochs: Long): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val rows = df.select(id.as("id"), source.as("source"),
@@ -310,10 +325,7 @@ object Mixture {
       .withColumn("cum", sum(col("n_tok")).over(w))
       .where(col("cum") <= col("frac_tok"))
       .select(col("id"), col("source"), col("n_tok"), col("epoch"))
-    EpochShuffle.epochShuffleTagged(fullRows.unionByName(fracRows),
-      col("id"), col("epoch"), seed, numShards)
-      .select(col("id"), col("source"), col("n_tok"), col("epoch"),
-        col("shard"), col("pos"))
+    fullRows.unionByName(fracRows)
   }
 
   /** The TWO-PASS form of [[mixRealize]] — the shape its scaladoc

@@ -15,11 +15,14 @@ import graft.functions.TextFunctions.tokenizeDefault
   * quota (two-pass) → optional Bloom decontamination → optional
   * weighted-sample budget → optional MIXTURE REALIZATION
   * (`mix_weights`: each listed source cut exactly at its no-upsampling
-  * token allocation — the pipe_mix_realize cut) → optional LEAKAGE-SAFE
+  * token allocation — the pipe_mix_realize cut; with
+  * `mix_epochs_budget` set, the MULTI-EPOCH plan instead — water-filled
+  * allocations become full passes + a fractional cut and the sink
+  * writes per-epoch shard trees, r18) → optional LEAKAGE-SAFE
   * train/test holdout (`split_test_pct`, cluster-hashed so no near-dup
   * family straddles sides) → deterministic epoch shuffle → shard SINK
-  * with the manifest commit point (per side when split). Every stage is
-  * an already-oracle-gated
+  * with the manifest commit point (per side when split, per epoch when
+  * upsampled). Every stage is an already-oracle-gated
   * operator from this package ([[TextAnalysis.gopherKeep]],
   * [[Dedup.decontaminateBloom]], [[EpochShuffle.writeShards]]); this
   * object only sequences them and parses the YAML config the CLI's
@@ -57,6 +60,18 @@ object Pipeline {
         * are dropped — a mixture spec enumerates its corpus, silently
         * passing an unlisted source through would corrupt the mix. */
       mixWeights: Map[String, Long] = Map.empty,
+      /** Multi-epoch budget multiplier (`mix_epochs_budget`): when set,
+        * the mixture stage realizes the MULTI-EPOCH plan instead of the
+        * single no-upsampling cut — total tokens = multiplier × the
+        * surviving listed corpus, allocated ∝ `mixWeights` with
+        * water-filling shortfall redistribution
+        * ([[Mixture.mixEpochsKept]]), and the sink writes per-epoch
+        * shard trees ([[EpochShuffle.writeEpochShards]]) so each pass
+        * lands in its own shard order. Requires `mixWeights` non-empty
+        * and is mutually exclusive with `splitTestPct` (cut the
+        * holdout BEFORE upsampling — run a split pipeline first). */
+      mixEpochsBudget: Option[Long] = None,
+      mixEpochsMax: Long = 3L,
       shingleN: Int = 5,
       bloomBits: Int = 1 << 18,
       bloomHashes: Int = 3,
@@ -74,7 +89,8 @@ object Pipeline {
       .map(_.asScala.toMap).getOrElse(Map.empty[String, Object])
     val known = Set("input", "output", "text_field", "id_field",
       "source_field", "min_words", "max_words", "stopwords", "benchmark",
-      "domain_quota", "sample_k", "mix_weights", "shingle_n", "bloom_bits",
+      "domain_quota", "sample_k", "mix_weights", "mix_epochs_budget",
+      "mix_epochs_max", "shingle_n", "bloom_bits",
       "bloom_hashes", "seed", "target_shard_size", "split_test_pct")
     val unknown = root.keySet.diff(known)
     require(unknown.isEmpty, s"unknown pipeline config key(s): ${unknown.toList.sorted.mkString(", ")}")
@@ -99,6 +115,8 @@ object Pipeline {
         .map(_.asInstanceOf[java.util.Map[String, Object]].asScala.toMap
           .map { case (k, v) => k -> v.toString.toLong })
         .getOrElse(Map.empty),
+      mixEpochsBudget = str("mix_epochs_budget").map(_.toLong),
+      mixEpochsMax = lng("mix_epochs_max", 3L),
       shingleN = int("shingle_n", 5),
       bloomBits = int("bloom_bits", 1 << 18),
       bloomHashes = int("bloom_hashes", 3),
@@ -219,6 +237,51 @@ object Pipeline {
       EpochShuffle.writeShards(df, col("doc_id"),
         length(col("text")), cfg.seed, numShards, outDir)
     }
+    // 3c. optional MULTI-EPOCH realization: past the no-upsampling
+    //     point, the listed sources' water-filled allocations become
+    //     ⌊epochs⌋ full passes + a fractional prefix cut
+    //     ([[Mixture.mixEpochsKept]] — the pipe_mix_epochs_realize
+    //     relation), and the sink writes per-epoch shard trees
+    //     ([[EpochShuffle.writeEpochShards]]) so each pass lands in its
+    //     own shard order under ONE manifest commit point. Mutually
+    //     exclusive with the holdout: cut test data BEFORE upsampling
+    //     (an upsampled doc leaking into test defeats the split), so a
+    //     split pipeline runs first and this one consumes its train
+    //     side.
+    require(cfg.mixEpochsBudget.isEmpty || cfg.mixWeights.nonEmpty,
+      "pipeline config: mix_epochs_budget needs mix_weights (the " +
+        "per-source weight spec the budget is allocated over)")
+    require(cfg.mixEpochsBudget.isEmpty || cfg.splitTestPct.isEmpty,
+      "pipeline config: mix_epochs_budget and split_test_pct are " +
+        "mutually exclusive — cut the holdout BEFORE upsampling (run a " +
+        "split pipeline first, then a mix-epochs pipeline on its train " +
+        "side)")
+    cfg.mixEpochsBudget match { case Some(budgetNum) =>
+      val snap = budgeted.localCheckpoint(eager = false)
+      val listed = snap
+        .withColumn("__w", element_at(typedLit(cfg.mixWeights), col("source")))
+        .where(col("__w").isNotNull)
+      val kept = Mixture.mixEpochsKept(listed, col("doc_id"),
+          col("source"), size(tokenizeDefault(col("text"))).cast("long"),
+          col("__w"), budgetNum, cfg.mixEpochsMax)
+        .select(col("id").as("doc_id"), col("epoch"))
+      val expanded = snap.join(kept, Seq("doc_id")).drop("__w")
+      // shard count sized on the LARGEST single epoch's char mass —
+      // every epoch is a full training pass, so the per-shard sort
+      // bound must hold per epoch, not on the expanded total
+      val maxEpochMass = expanded
+        .groupBy(col("epoch"))
+        .agg(sum(length(col("text")).cast("long")).as("m"))
+        .agg(max(col("m"))).first() match {
+          case r if r.isNullAt(0) => 0L
+          case r => r.getLong(0)
+        }
+      val numShards =
+        EpochShuffle.shardCount(maxEpochMass, cfg.targetShardSize)
+      EpochShuffle.writeEpochShards(expanded, col("doc_id"),
+        col("epoch"), length(col("text")), cfg.seed, numShards,
+        cfg.output)
+    case None =>
     cfg.splitTestPct match {
       case None => sink(mixed, cfg.output)
       case Some(pct) =>
@@ -235,6 +298,7 @@ object Pipeline {
             s"${cfg.output}/$side")
             .withColumn("side", lit(side))
         }.reduce(_ unionByName _)
+    }
     }
   }
 }

@@ -269,6 +269,91 @@ class CliSpec extends AnyFunSuite {
     assert(ids1 == ids2, "the mixture cut must reproduce across reruns")
   }
 
+  test("pipeline verb: mix_epochs_budget realizes the MULTI-EPOCH mixture " +
+      "into per-epoch shard trees with one manifest commit point") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-pipe5").toString
+    val docs = (0 until 30).map { i =>
+      val words = (0 until 12).map(j => Seq("the", "quick", "brown", "fox",
+        "jumps", "over", "lazy", "dog", s"w$i", s"x${(i + j) % 7}")((i + j) % 10))
+      s"""{"id": $i, "src": "s${i % 3}", "text": "${words.mkString(" ")} of and to in is"}"""
+    }
+    Files.write(java.nio.file.Paths.get(s"$dir/corpus.jsonl"),
+      docs.mkString("\n").getBytes("UTF-8"))
+    // budget 3× the listed corpus under weights 2:1 with a 2-epoch cap:
+    // the water-fill caps BOTH sources at exactly 2 full passes (share
+    // 2T/T exceeds each cap 2·T_s), so every listed doc lands twice,
+    // epoch-tagged, with the excess budget reported — the planner's
+    // all-capped end
+    Files.write(java.nio.file.Paths.get(s"$dir/pipe.yaml"),
+      s"""input: $dir/corpus.jsonl
+         |output: $dir/out
+         |id_field: id
+         |source_field: src
+         |min_words: 5
+         |mix_weights:
+         |  s0: 2
+         |  s1: 1
+         |mix_epochs_budget: 3
+         |mix_epochs_max: 2
+         |target_shard_size: 400
+         |""".stripMargin.getBytes("UTF-8"))
+    val root = Files.createTempDirectory("graft-cli5").toString
+    cli.Main.run(Array("pipeline", s"$dir/pipe.yaml"), spark,
+      new Catalog(root), root)
+    val manifest = spark.read.parquet(s"$dir/out/manifest")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(manifest.map(_._1).toSet == Set(0L, 1L),
+      s"both full passes must land: ${manifest.toSeq}")
+    // positions dense per (epoch, shard): last_pos == n_docs
+    manifest.foreach { case (e, sh, n, last, _) =>
+      assert(last == n, s"epoch $e shard $sh: dense pos expected ($last/$n)")
+    }
+    val data = spark.read.parquet(s"$dir/out/data")
+      .select(col("doc_id"), col("source"), col("epoch").cast("long"),
+        col("shard").cast("long"), col("pos"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(!data.exists(_._2 == "s2"), "unlisted source must drop")
+    // every epoch is a FULL pass: identical doc sets per source
+    for (src <- Seq("s0", "s1")) {
+      val e0 = data.filter(d => d._2 == src && d._3 == 0L).map(_._1).sorted
+      val e1 = data.filter(d => d._2 == src && d._3 == 1L).map(_._1).sorted
+      assert(e0.nonEmpty && (e0.toSeq == e1.toSeq),
+        s"$src: both passes must repeat the whole source")
+    }
+    // distinct shard orders between passes (the epoch-folded seed)
+    val m0 = data.filter(_._3 == 0L).map(d => (d._1, d._4, d._5)).sortBy(_._1).toSeq
+    val m1 = data.filter(_._3 == 1L).map(d => (d._1, d._4, d._5)).sortBy(_._1).toSeq
+    assert(m0.map(_._1) == m1.map(_._1) && m0 != m1,
+      "epoch 1 must not replay epoch 0's shard order")
+    // rerun-identical (hash-deterministic end to end)
+    cli.Main.run(Array("pipeline", s"$dir/pipe.yaml"), spark,
+      new Catalog(root), root)
+    val again = spark.read.parquet(s"$dir/out/data")
+      .select(col("doc_id"), col("epoch").cast("long"),
+        col("shard").cast("long"), col("pos"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(x => (x._1, x._2)).toSeq
+    val first = data.map(d => (d._1, d._3, d._4, d._5))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(again == first, "multi-epoch realization must reproduce")
+    // loud config contract: budget without weights, or with a holdout
+    for (bad <- Seq(
+      s"input: $dir/corpus.jsonl\noutput: $dir/out2\nmix_epochs_budget: 2\n",
+      s"input: $dir/corpus.jsonl\noutput: $dir/out3\nmix_weights:\n  s0: 1\n" +
+        "mix_epochs_budget: 2\nsplit_test_pct: 20\n")) {
+      Files.write(java.nio.file.Paths.get(s"$dir/bad.yaml"),
+        bad.getBytes("UTF-8"))
+      val err = intercept[Exception] {
+        cli.Main.run(Array("pipeline", s"$dir/bad.yaml"), spark,
+          new Catalog(root), root)
+      }
+      assert(err.getMessage.contains("mix_epochs_budget"), err.getMessage)
+    }
+  }
+
   test("pipeline verb: split_test_pct emits leakage-safe train/test trees " +
       "with per-side manifests") {
     import org.apache.spark.sql.functions.col
@@ -649,6 +734,17 @@ class CliSpec extends AnyFunSuite {
     assert(got == full,
       s"--target-recall 0.95 must pick nprobe=8 off the SERVED column:\n" +
         s"got $got\nfull $full\none $one")
+    // and the SHORTLIST escalation path end-to-end: a curve where the
+    // default budget never meets the target but the hi budget does at
+    // nprobe=8 routes the query through rerankEff=256 and still serves
+    Seq((1, 990000L, 900000L, 910000L), (8, 1000000L, 940000L, 1000000L))
+      .toDF("np", "recall_ppm", "served_ppm", "served_hi_ppm")
+      .coalesce(1).write.mode("overwrite").parquet(s"$modelDir/calib")
+    val gotHi = docsOf(ann.knn("served_cal", "emb", qv, 4,
+      targetRecall = Some(0.95)))
+    assert(gotHi == full,
+      s"hi-shortlist escalation at nprobe=8 must serve the full-probe " +
+        s"result: $gotHi vs $full")
     cat.drop("served_cal")
   }
 

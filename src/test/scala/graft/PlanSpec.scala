@@ -173,6 +173,23 @@ class PlanSpec extends AnyFunSuite {
       s"a shuffled cartesian over the corpus is a 100 TB killer:\n$plan")
   }
 
+  test("epoch-TAGGED shuffle windows per (epoch, shard), never one partition") {
+    import org.apache.spark.sql.functions._
+    // the multi-epoch sink's assignment: the position window must key
+    // (epoch, shard) — per-epoch-dense positions with the same one-
+    // exchange scale shape as the single-epoch shuffle
+    val docs = Graft.table(spark, sf, "documents")
+      .withColumn("epoch", pmod(col("doc_id"), lit(2)))
+    val df = graft.ops.EpochShuffle.epochShuffleTagged(
+      docs, col("doc_id"), col("epoch"), "mixep", numShards = 8L)
+    val plan = formatted(df)
+    val winLine = plan.linesIterator.filter(_.contains("windowspecdefinition")).mkString
+    assert(winLine.contains("shard") && winLine.contains("epoch"),
+      s"window must partition by (epoch, shard):\n$winLine")
+    assert(plan.linesIterator.count(_.matches("\\(\\d+\\) Exchange.*")) == 1,
+      s"one (epoch, shard)-key shuffle expected:\n$plan")
+  }
+
   test("pipe_contamination_report: the semi-join dedups the corpus grams — no explicit distinct aggregate") {
     val plan = formatted(
       graft.queries.PipelineQueries.pipe_contamination_report(spark, sf))
