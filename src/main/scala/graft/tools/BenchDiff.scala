@@ -37,7 +37,10 @@ import scala.jdk.CollectionConverters._
 object BenchDiff {
 
   final case class Run(wall: Map[String, Double], cpu: Map[String, Double],
-      label: String, salvaged: Boolean)
+      label: String, salvaged: Boolean,
+      flapped: Set[String] = Set.empty,
+      wallMin: Map[String, Double] = Map.empty,
+      wallMax: Map[String, Double] = Map.empty)
 
   def load(path: String): Run = {
     val text = new String(java.nio.file.Files.readAllBytes(
@@ -49,7 +52,15 @@ object BenchDiff {
           .map(e => e.getKey -> e.getValue.asDouble()).toMap
       }.getOrElse(Map.empty)
     val wall = numMap("queries")
-    if (wall.nonEmpty) Run(wall, numMap("cpu"), path, salvaged = false)
+    // r18 storm-proofed artifacts carry their own adjudication: the
+    // bench's flap detector (spread or prior-seal wall step with cpu
+    // flat) plus per-query wall (min, max) across iterations
+    val flapped: Set[String] =
+      Option(node.get("flapped")).filter(_.isArray)
+        .map(_.elements().asScala.map(_.asText()).toSet)
+        .getOrElse(Set.empty)
+    if (wall.nonEmpty) Run(wall, numMap("cpu"), path, salvaged = false,
+      flapped, numMap("wall_min"), numMap("wall_max"))
     else {
       // driver-truncated artifact: salvage "name":number pairs from the
       // tail fragment (wall only, and possibly missing early queries)
@@ -163,6 +174,9 @@ object BenchDiff {
     val medCpu = if (haveCpu) median(common.map(cpuR)) else Double.NaN
     summary += f"median ratios: wall ${medWall}%.2fx" +
       (if (haveCpu) f", cpu ${medCpu}%.2fx" else "")
+    if (after.flapped.nonEmpty)
+      summary += s"after-run self-flagged flaps (bench storm detector): " +
+        after.flapped.toList.sorted.mkString(", ")
 
     // global verdict first: a uniform multiplier is environment, not code
     val uniformCut = 1.2
@@ -187,10 +201,22 @@ object BenchDiff {
       // ±2–4x run-to-run, so only an absolute cpu move can convict it
       val isTrivia = wb < trivial &&
         (!haveCpu || math.abs(after.cpu(q) - before.cpu(q)) < 0.3)
+      // a query the AFTER run self-flagged (r18 bench storm detector),
+      // or whose iteration spread exceeded 3x, carries a contaminated
+      // wall median — wall evidence is void for it; cpu still convicts
+      val afterSpread = (after.wallMin.get(q), after.wallMax.get(q)) match {
+        case (Some(mn), Some(mx)) if mn > 0.05 => mx / mn
+        case _ => 1.0
+      }
+      val wallVoid = after.flapped(q) || afterSpread > 3.0
       val cls =
         if (haveCpu && cr > 1.4 && cr > 1.4 * medCpu &&
           after.cpu(q) - before.cpu(q) >= 0.3)
           Some("REGRESSION (query-local cpu up)")
+        else if (wallVoid && wr > 1.4)
+          Some(if (after.flapped(q))
+            "self-flagged flap (bench annotation — wall evidence void)"
+          else f"iteration spread ${afterSpread}%.1fx (wall evidence void)")
         else if (isTrivia) None
         else if (uniformEnv && wr > 1.4 && wr <= 2.2 * medWall &&
           (!haveCpu || cr <= 1.4 * math.max(1.0, medCpu)))
