@@ -328,6 +328,48 @@ object Mixture {
     fullRows.unionByName(fracRows)
   }
 
+  /** Deterministic source-INTERLEAVE schedule of a realized mixture —
+    * stride scheduling (Waldspurger & Weihl 1995; the order Megatron's
+    * blendable dataset consumes a weighted mixture in): a mixture is
+    * not just WHICH documents train but in WHAT ORDER the sources
+    * interleave — reading source A's allocation then source B's would
+    * train on a distribution that drifts source-to-source. Source s's
+    * k-th draw (docs in the module's reproducible hash order) gets the
+    * ideal-position key `⌊(2k−1)·W / (2·w_s)⌋` (its k-th stride
+    * midpoint under weight w_s of total W), and the schedule is the
+    * key-ascending order (ties by source, id): any prefix of length t
+    * then holds t·w_s/W ± O(1) draws of each source — the interleave a
+    * per-step argmin loop produces, in closed form (exact integer
+    * arithmetic, so an external engine replays every position).
+    *
+    * Scale shape: one source-keyed window for k (the [[domainQuota]]
+    * shuffle), the tiny per-source weight table broadcast back, the
+    * key map-only — and the ORDER is a distributed range sort on the
+    * key, never a single-partition global window (the schedule has no
+    * dense step column for exactly that reason: consumers read it
+    * key-ordered, the key IS the position up to tie runs).
+    * Output: (skey, source, id), ascending (skey, source, id). */
+  def mixSchedule(df: DataFrame, id: Column, source: Column,
+      weight: Column): DataFrame = {
+    val rows = df.select(id.as("id"), source.as("source"),
+      weight.as("weight"))
+    val per = weightChecked(rows.groupBy(col("source"), col("weight"))
+      .agg(count(lit(1)).as("n_docs")))
+    val wsum = sum(col("weight")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy())
+    val wtab = per.select(col("source"), col("weight"), wsum.as("wsum"))
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("h"), col("id"))
+    rows
+      .withColumn("h", Hashing.h64(
+        concat(col("source"), lit("|"), col("id").cast("string"))))
+      .join(broadcast(wtab.select(col("source"), col("weight").as("w"),
+        col("wsum"))), "source")
+      .withColumn("k", row_number().over(wk).cast("long"))
+      .withColumn("skey", expr("((2 * k - 1) * wsum) DIV (2 * w)"))
+      .select(col("skey"), col("source"), col("id"))
+  }
+
   /** The TWO-PASS form of [[mixRealize]] — the shape its scaladoc
     * prescribes for a pathologically hot source (≫ executor memory per
     * window task), the running-sum analogue of [[domainQuotaTwoPass]]:

@@ -982,6 +982,29 @@ object PipelineQueries {
         col("epoch"), col("shard"), col("pos"))
       .orderBy(col("source"), col("epoch"), col("shard"), col("pos"))
 
+  /** The INTERLEAVE schedule of the realized mixture
+    * ([[graft.ops.Mixture.mixSchedule]] over [[pipe_mix_realize]]'s
+    * kept rows): stride scheduling — source s's k-th hash-order draw
+    * keyed at its stride midpoint ⌊(2k−1)·W / (2·w_s)⌋ — so reading
+    * the output key-ascending trains on the mixture's distribution at
+    * every prefix instead of source-by-source. Closed-form exact
+    * integer arithmetic; the oracle replays the realize cut, per-source
+    * hash ranks, and the key. */
+  val pipe_mix_schedule: Q = (s, dir) => {
+    val wExpr = pmod(substring(col("source"), 4, 10).cast("long"),
+      lit(3)) + 1
+    graft.ops.Mixture.mixSchedule(
+      graft.ops.Mixture.mixRealizeKept(
+        docs(s, dir),
+        col("doc_id"),
+        col("source"),
+        size(tokenizeDefault(col("text"))).cast("long"),
+        wExpr),
+      col("id"), col("source"), wExpr)
+      .select(col("skey"), col("source"), col("id").as("doc_id"))
+      .orderBy(col("skey"), col("source"), col("doc_id"))
+  }
+
   /** The HOT-SOURCE form of [[pipe_mix_realize]]
     * ([[graft.ops.Mixture.mixRealizeTwoPass]]): per-source hash
     * thresholds sized to an expected `alloc·slack` token mass bound the
@@ -2539,6 +2562,7 @@ object PipelineQueries {
     "pipe_mix_epochs" -> pipe_mix_epochs,
     "pipe_mix_epochs_plan" -> pipe_mix_epochs_plan,
     "pipe_mix_epochs_realize" -> pipe_mix_epochs_realize,
+    "pipe_mix_schedule" -> pipe_mix_schedule,
     "pipe_curate" -> pipe_curate,
     "pipe_curate_v2" -> pipe_curate_v2,
     "pipe_curate_v3" -> pipe_curate_v3,
@@ -4754,6 +4778,36 @@ object PipelineQueries {
          |  CAST(row_number() OVER (PARTITION BY epoch, k % 4 ORDER BY k, doc_id) AS BIGINT) AS pos
          |FROM keyed
          |ORDER BY source, epoch, shard, pos""".stripMargin,
+    "pipe_mix_schedule" ->
+      s"""WITH rows AS MATERIALIZED (
+         |  SELECT doc_id, source,
+         |    CAST(substr(source, 4) AS BIGINT) % 3 + 1 AS weight,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tok,
+         |    CAST(('0x' || substr(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |  FROM documents),
+         |per AS (
+         |  SELECT source, weight, sum(n_tok) AS n_tokens
+         |  FROM rows GROUP BY 1, 2),
+         |u AS (SELECT min(n_tokens // weight) AS u FROM per),
+         |alloc AS (
+         |  SELECT source, CAST(weight * u AS BIGINT) AS alloc_tokens
+         |  FROM per CROSS JOIN u),
+         |kept AS (
+         |  SELECT source, doc_id, weight, h FROM (
+         |    SELECT r.source, r.doc_id, r.weight, r.h,
+         |      sum(r.n_tok) OVER (PARTITION BY r.source ORDER BY r.h, r.doc_id) AS c,
+         |      a.alloc_tokens
+         |    FROM rows r JOIN alloc a USING (source))
+         |  WHERE c <= alloc_tokens),
+         |tot AS (SELECT sum(weight) AS wsum FROM per),
+         |ks AS (
+         |  SELECT doc_id, source, weight,
+         |    CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS k
+         |  FROM kept)
+         |SELECT CAST(((2 * k - 1) * wsum) // (2 * weight) AS BIGINT) AS skey,
+         |  source, doc_id
+         |FROM ks CROSS JOIN tot
+         |ORDER BY skey, source, doc_id""".stripMargin,
     "pipe_mix_realize_2pass" ->
       s"""WITH rows AS (
          |  SELECT doc_id, source,

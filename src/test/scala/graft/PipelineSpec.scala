@@ -1647,6 +1647,55 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("pipe_mix_schedule: stride interleave covers exactly the kept " +
+      "mixture and every prefix holds each source's weighted share") {
+    val sched = PipelineQueries.pipe_mix_schedule(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(sched.nonEmpty)
+    // the schedule is the kept mixture, nothing more, nothing less:
+    // per-source counts equal pipe_mix_realize's kept_docs
+    val bySrc = sched.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val real = PipelineQueries.pipe_mix_realize(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(bySrc == real.filter(_._2 > 0L),
+      s"schedule must cover exactly the kept docs: $bySrc vs $real")
+    // prefix balance (the stride property): while NO source has
+    // exhausted its draws, any prefix of length t holds t·w_s/W ± O(1)
+    // draws of each source — checked up to the first exhaustion point
+    // (beyond it a finished source's share honestly decays; stride
+    // guarantees nothing there)
+    val w = bySrc.keys.map(s =>
+      s -> ((s.drop(3).toLong % 3) + 1)).toMap
+    val bigW = w.values.sum
+    // horizon: the last prefix where every source still has a draw
+    // left at its ideal rate — min over s of kept_s · W / w_s
+    val horizon = bySrc.map { case (s, n) => n * bigW / w(s) }.min
+    val seen = scala.collection.mutable.Map[String, Long]()
+      .withDefaultValue(0L)
+    var worst = 0.0
+    sched.zipWithIndex.takeWhile(_._2 < horizon).foreach {
+      case ((_, s, _), i) =>
+        seen(s) += 1
+        val t = i + 1
+        w.foreach { case (src, ws) =>
+          worst = math.max(worst,
+            math.abs(seen(src) - t.toDouble * ws / bigW))
+        }
+    }
+    assert(worst <= 3.0,
+      f"a prefix drifted $worst%.2f draws from its weighted share — " +
+        "the interleave is not stride-balanced")
+    // the key arithmetic is the documented closed form
+    val ks = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    // recompute per-source k in output order: within a source the
+    // schedule preserves hash order, so k is just the running count
+    sched.foreach { case (skey, s, _) =>
+      ks(s) += 1
+      assert(skey == (2 * ks(s) - 1) * bigW / (2 * w(s)),
+        s"$s draw ${ks(s)}: key $skey is not its stride midpoint")
+    }
+  }
+
   private def causeMessages(t: Throwable): String =
     Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
       .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
