@@ -190,6 +190,22 @@ class PlanSpec extends AnyFunSuite {
       s"one (epoch, shard)-key shuffle expected:\n$plan")
   }
 
+  test("pipe_mix_epochs_realize and pipe_mix_schedule broadcast their tiny relations — the corpus never sort-merges") {
+    for ((name, df) <- Seq(
+      "pipe_mix_epochs_realize" ->
+        graft.queries.PipelineQueries.pipe_mix_epochs_realize(spark, sf),
+      "pipe_mix_schedule" ->
+        graft.queries.PipelineQueries.pipe_mix_schedule(spark, sf))) {
+      val plan = formatted(df)
+      // the (source, epoch) expansion / per-source weight table are
+      // sources×maxEpochs-sized — they must broadcast onto the corpus,
+      // never shuffle it into a sort-merge join
+      assert(plan.contains("BroadcastHashJoin"), s"$name:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$name: tiny relations must broadcast:\n$plan")
+    }
+  }
+
   test("pipe_contamination_report: the semi-join dedups the corpus grams — no explicit distinct aggregate") {
     val plan = formatted(
       graft.queries.PipelineQueries.pipe_contamination_report(spark, sf))
