@@ -2124,10 +2124,23 @@ object AnnIndex {
     * `--rerank` pins the budget — the lookup then reads the column
     * matching it and returns that rerank unchanged. Nothing meets the
     * target → the full-probe end of the curve, with the hi budget iff
-    * the curve shows it still buying recall there. */
+    * the curve shows it still buying recall there.
+    *
+    * An explicit `--rerank` BELOW the calibrated default shortlist
+    * (64) is refused loudly when combined with `--target-recall`: no
+    * curve column measures that budget, and served recall is monotone
+    * nondecreasing in the shortlist size, so the default column would
+    * OVERSTATE what the tiny shortlist delivers — the lookup would
+    * silently serve under the promised target (review r18). Budgets in
+    * [64, hi) read the default column (a lower bound for them);
+    * ≥ hi reads the hi column. */
   private[graft] def pickSetting(curve: Seq[(Int, Long, Long, Long)],
       want: Long, explicitRerank: Int): (Int, Int) = {
     require(curve.nonEmpty, "empty calibration curve")
+    require(explicitRerank <= 0 || explicitRerank >= 64,
+      s"--target-recall cannot guarantee a --rerank below the " +
+        s"calibrated default shortlist (64, got $explicitRerank) — " +
+        "raise --rerank or drop --target-recall for an uncalibrated run")
     if (explicitRerank > 0) {
       val colOf: ((Int, Long, Long, Long)) => Long =
         if (explicitRerank >= CalibRerankHi) _._4 else _._3

@@ -141,21 +141,27 @@ object EpochShuffle {
     * exchange, re-used by the write's repartition; per-task sort
     * bounded by the shard size. `numShards` sizes EACH epoch's shard
     * count (the caller's census should cover one epoch's mass, not the
-    * expanded total — every epoch is a full training pass).
+    * expanded total — every epoch is a full training pass), and the
+    * write fans into `numEpochs · numShards` partitions so a task
+    * holds ONE (epoch, shard) group — packing every epoch's copy of a
+    * shard into `numShards` tasks would sort numEpochs× the bound the
+    * census promised (review r18).
     *
     * Returns the manifest read back from disk:
     * (epoch, shard, n_docs, last_pos, n_chars). */
   def writeEpochShards(df: DataFrame, id: Column, epoch: Column,
-      sizeCol: Column, seed: String, numShards: Long,
+      sizeCol: Column, seed: String, numShards: Long, numEpochs: Long,
       outDir: String): DataFrame = {
+    require(numEpochs > 0, s"numEpochs must be positive, got $numEpochs")
     val sp = df.sparkSession
     val mPath = new org.apache.hadoop.fs.Path(s"$outDir/manifest")
     val fs = mPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
     if (fs.exists(mPath)) fs.delete(mPath, true)
+    val parts = math.min(numShards * numEpochs, Int.MaxValue.toLong).toInt
     epochShuffleTagged(df.withColumn("sz", sizeCol.cast("long"))
         .withColumn("epoch", epoch.cast("long")),
         id, col("epoch"), seed, numShards)
-      .repartition(numShards.toInt, col("epoch"), col("shard"))
+      .repartition(parts, col("epoch"), col("shard"))
       .sortWithinPartitions(col("epoch"), col("shard"), col("pos"))
       .write.mode("overwrite").partitionBy("epoch", "shard")
       .parquet(s"$outDir/data")

@@ -212,6 +212,10 @@ object Mixture {
       if (u.isEmpty) done = true
       else {
         val wSum = u.map(_._2).sum
+        require(wSum > 0,
+          "mixture weights must be positive — the uncapped sources' " +
+            s"weight sum is $wSum (a zero-weight source can absorb no " +
+            "budget; list only sources the mixture draws from)")
         val share = u.map { case (s, w, n) =>
           (s, w * remaining / wSum, n * maxEpochs) }
         val over = share.filter { case (_, sh, cap) => sh > cap }
@@ -235,7 +239,7 @@ object Mixture {
   private def collectPer(rows: DataFrame): Seq[(String, BigInt, BigInt)] =
     weightChecked(rows.groupBy(col("source"), col("weight"))
       .agg(sum(col("n_tok")).as("n_tokens")))
-      .select(col("source"), col("weight"), col("n_tokens"))
+      .select(col("source"), col("weight").cast("long"), col("n_tokens"))
       .collect()
       .map(r => (r.getString(0), BigInt(r.getLong(1)), BigInt(r.getLong(2))))
       .toSeq.sortBy(_._1)
@@ -368,6 +372,10 @@ object Mixture {
       .withColumn("k", row_number().over(wk).cast("long"))
       .withColumn("skey", expr("((2 * k - 1) * wsum) DIV (2 * w)"))
       .select(col("skey"), col("source"), col("id"))
+      // the documented contract IS the order — a distributed range
+      // sort on the key (consumers read the schedule sequentially);
+      // an outer orderBy on the same keys collapses into this one
+      .orderBy(col("skey"), col("source"), col("id"))
   }
 
   /** The TWO-PASS form of [[mixRealize]] — the shape its scaladoc

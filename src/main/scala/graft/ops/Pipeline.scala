@@ -265,21 +265,25 @@ object Pipeline {
           col("source"), size(tokenizeDefault(col("text"))).cast("long"),
           col("__w"), budgetNum, cfg.mixEpochsMax)
         .select(col("id").as("doc_id"), col("epoch"))
+      // snapshot: the census and the write both consume the expanded
+      // relation (the module's two-consumers rule — without it the
+      // whole kept-join plan runs twice, review r18)
       val expanded = snap.join(kept, Seq("doc_id")).drop("__w")
-      // shard count sized on the LARGEST single epoch's char mass —
-      // every epoch is a full training pass, so the per-shard sort
-      // bound must hold per epoch, not on the expanded total
-      val maxEpochMass = expanded
+        .localCheckpoint(eager = false)
+      // ONE census pass yields both sizing inputs: shard count from the
+      // LARGEST single epoch's char mass (every epoch is a full
+      // training pass, so the per-shard sort bound must hold per
+      // epoch), epoch count for the write's task fan-out
+      val perEpoch = expanded
         .groupBy(col("epoch"))
         .agg(sum(length(col("text")).cast("long")).as("m"))
-        .agg(max(col("m"))).first() match {
-          case r if r.isNullAt(0) => 0L
-          case r => r.getLong(0)
-        }
+        .collect().map(_.getLong(1))
+      val maxEpochMass = if (perEpoch.isEmpty) 0L else perEpoch.max
       val numShards =
         EpochShuffle.shardCount(maxEpochMass, cfg.targetShardSize)
       EpochShuffle.writeEpochShards(expanded, col("doc_id"),
         col("epoch"), length(col("text")), cfg.seed, numShards,
+        numEpochs = math.max(1L, perEpoch.length.toLong),
         cfg.output)
     case None =>
     cfg.splitTestPct match {

@@ -4799,7 +4799,9 @@ object PipelineQueries {
          |      a.alloc_tokens
          |    FROM rows r JOIN alloc a USING (source))
          |  WHERE c <= alloc_tokens),
-         |tot AS (SELECT sum(weight) AS wsum FROM per),
+         |tot AS (
+         |  SELECT sum(weight) AS wsum FROM (
+         |    SELECT DISTINCT source, weight FROM kept)),
          |ks AS (
          |  SELECT doc_id, source, weight,
          |    CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS k

@@ -177,6 +177,9 @@ object BenchDiff {
     if (after.flapped.nonEmpty)
       summary += s"after-run self-flagged flaps (bench storm detector): " +
         after.flapped.toList.sorted.mkString(", ")
+    if (before.flapped.nonEmpty)
+      summary += s"before-run self-flagged flaps (wall evidence void " +
+        s"for them): " + before.flapped.toList.sorted.mkString(", ")
 
     // global verdict first: a uniform multiplier is environment, not code
     val uniformCut = 1.2
@@ -201,14 +204,19 @@ object BenchDiff {
       // ±2–4x run-to-run, so only an absolute cpu move can convict it
       val isTrivia = wb < trivial &&
         (!haveCpu || math.abs(after.cpu(q) - before.cpu(q)) < 0.3)
-      // a query the AFTER run self-flagged (r18 bench storm detector),
-      // or whose iteration spread exceeded 3x, carries a contaminated
-      // wall median — wall evidence is void for it; cpu still convicts
-      val afterSpread = (after.wallMin.get(q), after.wallMax.get(q)) match {
-        case (Some(mn), Some(mx)) if mn > 0.05 => mx / mn
-        case _ => 1.0
-      }
-      val wallVoid = after.flapped(q) || afterSpread > 3.0
+      // a query EITHER run self-flagged (r18 bench storm detector), or
+      // whose iteration spread exceeded 3x on either side, carries a
+      // contaminated wall median — wall evidence is void for it in BOTH
+      // directions (a stormed BEFORE inflates the denominator and would
+      // read a real regression as an improvement); cpu still convicts
+      def spreadOf(r: Run): Double =
+        (r.wallMin.get(q), r.wallMax.get(q)) match {
+          case (Some(mn), Some(mx)) if mn > 0.05 => mx / mn
+          case _ => 1.0
+        }
+      val afterSpread = math.max(spreadOf(after), spreadOf(before))
+      val wallVoid = after.flapped(q) || before.flapped(q) ||
+        afterSpread > 3.0
       val cls =
         if (haveCpu && cr > 1.4 && cr > 1.4 * medCpu &&
           after.cpu(q) - before.cpu(q) >= 0.3)

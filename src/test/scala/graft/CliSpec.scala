@@ -771,8 +771,17 @@ class CliSpec extends AnyFunSuite {
     // an explicit --rerank pins the budget and reads its own column
     assert(pickSetting(curve, 950000L, CalibRerankHi) ==
       (1, CalibRerankHi))
-    assert(pickSetting(curve, 950000L, 32) == (4, 32),
-      "a pinned small budget must satisfy the target on ITS column")
+    // a budget in [64, hi) reads the default column — a lower bound
+    // for it (served recall is monotone in the shortlist size)
+    assert(pickSetting(curve, 930000L, 100) == (2, 100))
+    // a budget BELOW the calibrated default (64) has no measuring
+    // column — the default column would OVERSTATE it, so the combo is
+    // refused loudly instead of silently under-serving the target
+    val err = intercept[IllegalArgumentException] {
+      pickSetting(curve, 950000L, 32)
+    }
+    assert(err.getMessage.contains("below the calibrated default"),
+      err.getMessage)
   }
 
   test("merge --dedup tombstones the trained tier's surplus copies: knn " +

@@ -1696,6 +1696,24 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("mixSchedule strides over the sources PRESENT in its input: a " +
+      "zero-kept source contributes neither draws nor stride weight") {
+    import spark.implicits._
+    // the kept relation a realize cut hands over can lack a source
+    // entirely (its allocation fit nothing) — W must sum only the
+    // surviving sources' weights or every key shifts (review r18; the
+    // oracle computes wsum from the kept relation for the same reason)
+    val kept = Seq((1L, "a", 1L), (2L, "a", 1L), (3L, "b", 3L))
+      .toDF("id", "src", "w")
+    val got = graft.ops.Mixture.mixSchedule(kept,
+      col("id"), col("src"), col("w"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // W = 1 + 3 = 4 (no phantom third source): a's draws key at
+    // (2k-1)*4/2 = {2, 6}, b's at (2k-1)*4/6 = {0}
+    val keys = got.map(x => (x._2, x._1)).sorted.toSeq
+    assert(keys == Seq(("a", 2L), ("a", 6L), ("b", 0L)), keys.toString)
+  }
+
   private def causeMessages(t: Throwable): String =
     Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
       .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
