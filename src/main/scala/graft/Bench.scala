@@ -53,15 +53,21 @@ object Bench {
     * on a non-trivial query (a storm that caught SOME iterations), or
     * (b) median wall > 2× the prior seal's with cpu flat (< 1.5× — a
     * storm that caught ALL of them; flat compute is the contention
-    * signature). Sub-50 ms rows are exempt from (a): scheduler noise
-    * alone spreads them. */
+    * signature). Rule (b) needs a PRESENT prior cpu median: a seal
+    * lacking the cpu column ([[readPrior]] fills −1) cannot attest
+    * "compute didn't move", and treating absence as flatness would
+    * annotate a genuine wall+cpu regression as a flap — BenchDiff then
+    * voids its wall evidence and a wall-only artifact masks it
+    * entirely (r18 advice). Without prior cpu, spread detection (a)
+    * still applies. Sub-50 ms rows are exempt from (a): scheduler
+    * noise alone spreads them. */
   def looksFlapped(walls: Seq[Double], cpus: Seq[Double],
       prior: Option[(Double, Double)]): Boolean =
     walls.nonEmpty && {
       val spread = walls.min > 0.05 && walls.max / walls.min > 3.0
       val vsPrior = prior.exists { case (pw, pc) =>
         pw > 0.05 && med(walls) > 2.0 * pw &&
-          (pc <= 0.0 || med(cpus) < 1.5 * pc)
+          pc > 0.0 && med(cpus) < 1.5 * pc
       }
       spread || vsPrior
     }
@@ -137,7 +143,18 @@ object Bench {
     val osBean = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    // SPARK_GRAFT_BENCH_ISOLATE=1 (r18 verdict #4): between timed
+    // queries, drop SQL-cached plans and nudge the ContextCleaner (a
+    // full GC is what drives its reference-queue drain), so one query's
+    // accumulated shuffle/broadcast state cannot bleed into the next
+    // row's timings. FixtureMemo's localCheckpoint blocks are NOT in the
+    // cacheManager and stay live via the memo's strong references, so
+    // the serving rows keep measuring probe/rank, never re-training.
+    // The A/B vs the default (whether the sub-0.5 s rows' run-to-run
+    // spread tightens) is recorded in SURVEY §11.
+    val isolate = sys.env.get("SPARK_GRAFT_BENCH_ISOLATE").contains("1")
     val results = ordered.map { case (name, fn) =>
+      if (isolate) { spark.catalog.clearCache(); System.gc() }
       def once(): Option[(Double, Double)] = {
         val c0 = osBean.getProcessCpuTime
         val t0 = System.nanoTime()

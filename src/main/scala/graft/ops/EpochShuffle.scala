@@ -174,6 +174,162 @@ object EpochShuffle {
     sp.read.parquet(s"$outDir/manifest")
   }
 
+  /** SCHEDULE-ORDERED shard assignment — the single-epoch face of the
+    * stride-ordered sink family (r18 verdict #1): shard membership is
+    * BYTE-IDENTICAL to [[epochShuffle]] (same `h64(seed:id)` key, same
+    * `mod numShards`), but `pos` within each shard is the ascending
+    * STRIDE order of the shard's own rows ([[Mixture.mixSchedule]]'s
+    * closed form, ⌊(2k−1)·W/(2w_s)⌋ with k the row's rank among its
+    * shard's rows of the same source) — so a trainer reading ONE shard
+    * sequentially sees each source at its weighted rate w_s/W in every
+    * prefix (±O(1) vs the shard's own composition), instead of the
+    * arbitrary hash interleave. Before this, the schedule existed only
+    * as [[Mixture.mixSchedule]]'s separate artifact the sink ignored —
+    * exactly the source-drift its scaladoc warns against.
+    *
+    * `weight` must be functionally determined by `source`
+    * ([[Mixture.weightChecked]] raises otherwise); W sums the weights
+    * of the sources PRESENT in `df` (the [[Mixture.mixSchedule]] rule —
+    * a phantom source would shift every key). The stride multiply
+    * widens to DECIMAL(38,0) (the module overflow convention).
+    *
+    * Scale shape: one per-source combiner aggregate for the weight
+    * table (broadcast back), ONE exchange on the shard key, then both
+    * rank windows ride that partitioning — `(shard, source)` clusters
+    * REFINE `(shard)`, so the k-window needs no second shuffle, only a
+    * partition-local sort. No global window, no corpus broadcast.
+    * Output: every column of `df` plus (shard, skey, pos); `skey`
+    * rides out so shards carry their own schedule evidence. */
+  def shuffleScheduled(df: DataFrame, id: Column, source: Column,
+      weight: Column, seed: String, numShards: Long): DataFrame =
+    scheduledAssign(df, id, None, source, weight, seed, numShards,
+      partitions = 0)
+
+  /** SCHEDULE-ORDERED per-epoch shard assignment — the
+    * [[epochShuffleTagged]] analogue of [[shuffleScheduled]]: shard
+    * membership is byte-identical to [[epochShuffleTagged]] (the
+    * epoch-folded `h64(seed:epoch:id)` key, so each pass still lands
+    * in its own uncorrelated shard distribution), and `pos` within
+    * each (epoch, shard) is the stride order of that group's rows.
+    * Output: every column of `df` plus (shard, skey, pos), pos dense
+    * 1..n per (epoch, shard). */
+  def epochShuffleScheduled(df: DataFrame, id: Column, epoch: Column,
+      source: Column, weight: Column, seed: String,
+      numShards: Long): DataFrame =
+    scheduledAssign(df, id, Some(epoch), source, weight, seed, numShards,
+      partitions = 0)
+
+  /** The shared core of the scheduled assigners: hash shard key
+    * (epoch-folded when tagged), broadcast per-source (w, W) table,
+    * ONE repartition on the group key, then two partition-local rank
+    * windows — k per (group, source) in hash order, pos per group in
+    * (skey, source, id) order. `partitions` > 0 pins the exchange's
+    * partition count (the sinks pass their task fan-out so the write
+    * needs no second repartition); 0 leaves it to
+    * spark.sql.shuffle.partitions. */
+  private def scheduledAssign(df: DataFrame, id: Column,
+      epoch: Option[Column], source: Column, weight: Column, seed: String,
+      numShards: Long, partitions: Int): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val per = Mixture.weightChecked(
+      df.select(source.as("source"), weight.as("weight"))
+        .groupBy(col("source"), col("weight"))
+        .agg(count(lit(1)).as("n_rows")))
+    val wsum = sum(col("weight")).over(Window.partitionBy())
+    val wtab = per.select(col("source").as("__src"),
+      col("weight").as("__w"), wsum.as("__wsum"))
+    val keyExpr = epoch match {
+      case Some(e) => h64(concat(lit(s"$seed:"), e.cast("string"),
+        lit(":"), id.cast("string")))
+      case None => h64(concat(lit(s"$seed:"), id.cast("string")))
+    }
+    val keyed = df
+      .withColumn("__src", source)
+      .withColumn("__key", keyExpr)
+      .withColumn("shard", pmod(col("__key"), lit(numShards)))
+      .join(broadcast(wtab), Seq("__src"))
+    val gKeys = epoch.toSeq :+ col("shard")
+    val parted =
+      if (partitions > 0) keyed.repartition(partitions, gKeys: _*)
+      else keyed.repartition(gKeys: _*)
+    val wk = Window.partitionBy(gKeys :+ col("__src"): _*)
+      .orderBy(col("__key").asc, id.asc)
+    val wp = Window.partitionBy(gKeys: _*)
+      .orderBy(col("skey").asc, col("__src").asc, id.asc)
+    parted
+      .withColumn("__k", row_number().over(wk).cast("long"))
+      .withColumn("skey", expr(
+        "(CAST(2 * __k - 1 AS DECIMAL(38,0)) * __wsum) DIV (2 * __w)"))
+      .withColumn("pos", row_number().over(wp).cast("long"))
+      .drop("__src", "__key", "__k", "__w", "__wsum")
+  }
+
+  /** [[writeShards]] with the STRIDE-ORDERED intra-shard layout
+    * ([[shuffleScheduled]]): same shard membership, same
+    * delete-stale-manifest-first commit protocol, same manifest shape —
+    * only the within-shard `pos` order changes, from hash-arbitrary to
+    * mixture-faithful. The assignment's one exchange is pinned at
+    * `numShards` partitions, so the write fans straight out of it with
+    * a shard-local sort — no second repartition. `skey` rides into the
+    * shard files as the layout's own evidence. */
+  def writeShardsScheduled(df: DataFrame, id: Column, source: Column,
+      weight: Column, sizeCol: Column, seed: String, numShards: Long,
+      outDir: String): DataFrame = {
+    val sp = df.sparkSession
+    dropManifest(sp, outDir)
+    scheduledAssign(df.withColumn("sz", sizeCol.cast("long")), id, None,
+        source, weight, seed, numShards,
+        partitions = math.min(numShards, Int.MaxValue.toLong).toInt)
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$outDir/data")
+    val manifest = sp.read.parquet(s"$outDir/data")
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"), max(col("pos")).as("last_pos"),
+        sum(col("sz")).as("n_chars"))
+    manifest.write.mode("overwrite").parquet(s"$outDir/manifest")
+    sp.read.parquet(s"$outDir/manifest")
+  }
+
+  /** [[writeEpochShards]] with the STRIDE-ORDERED intra-shard layout
+    * ([[epochShuffleScheduled]]): same per-epoch shard membership, same
+    * one-manifest-for-the-whole-epoch-set commit point — each (epoch,
+    * shard) file's row order becomes the stride interleave, so every
+    * pass's every shard is mixture-faithful at every prefix. The
+    * assignment exchange is pinned at numEpochs·numShards partitions
+    * (one task ≈ one (epoch, shard) group — the r18 per-epoch sort
+    * bound), and the write fans straight out of it. */
+  def writeEpochShardsScheduled(df: DataFrame, id: Column, epoch: Column,
+      source: Column, weight: Column, sizeCol: Column, seed: String,
+      numShards: Long, numEpochs: Long, outDir: String): DataFrame = {
+    require(numEpochs > 0, s"numEpochs must be positive, got $numEpochs")
+    val sp = df.sparkSession
+    dropManifest(sp, outDir)
+    val parts = math.min(numShards * numEpochs, Int.MaxValue.toLong).toInt
+    scheduledAssign(df.withColumn("sz", sizeCol.cast("long"))
+        .withColumn("epoch", epoch.cast("long")),
+        id, Some(col("epoch")), source, weight, seed, numShards, parts)
+      .sortWithinPartitions(col("epoch"), col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("epoch", "shard")
+      .parquet(s"$outDir/data")
+    val manifest = sp.read.parquet(s"$outDir/data")
+      .groupBy(col("epoch").cast("long").as("epoch"),
+        col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"), max(col("pos")).as("last_pos"),
+        sum(col("sz")).as("n_chars"))
+    manifest.write.mode("overwrite").parquet(s"$outDir/manifest")
+    sp.read.parquet(s"$outDir/manifest")
+  }
+
+  /** Invalidate the OLD commit point before touching data (the shared
+    * first step of every sink here): readers see either the previous
+    * complete epoch or no epoch — never stale-manifest + new data. */
+  private def dropManifest(sp: org.apache.spark.sql.SparkSession,
+      outDir: String): Unit = {
+    val mPath = new org.apache.hadoop.fs.Path(s"$outDir/manifest")
+    val fs = mPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
+    if (fs.exists(mPath)) fs.delete(mPath, true)
+  }
+
   /** Shard count for a corpus of `totalSize` units at `targetShardSize`
     * units per shard: ceil(total/target), at least 1. Integer arithmetic so
     * an external oracle reproduces the count exactly. */

@@ -32,8 +32,10 @@ object Mixture {
     * it. Route the weight column through a per-source row-count window
     * (the aggregate output is per-source tiny, so the window is free)
     * that raises on the first violating source — downstream arithmetic
-    * consumes the routed column, so the check can never be pruned. */
-  private def weightChecked(per: DataFrame): DataFrame = {
+    * consumes the routed column, so the check can never be pruned.
+    * `private[ops]`: [[EpochShuffle]]'s scheduled sinks build the same
+    * per-source weight table and must enforce the same contract. */
+  private[ops] def weightChecked(per: DataFrame): DataFrame = {
     val nw = count(lit(1)).over(
       org.apache.spark.sql.expressions.Window.partitionBy(col("source")))
     per.withColumn("weight",
@@ -351,7 +353,15 @@ object Mixture {
     * key map-only — and the ORDER is a distributed range sort on the
     * key, never a single-partition global window (the schedule has no
     * dense step column for exactly that reason: consumers read it
-    * key-ordered, the key IS the position up to tie runs).
+    * key-ordered, the key IS the position up to tie runs). The key's
+    * multiply widens to DECIMAL(38,0) (the module's overflow
+    * convention — [[temperatureSample]], [[mixEpochs]]): `weight` is
+    * caller-supplied, and at token-mass-scale weights `(2k−1)·W`
+    * wraps BIGINT at k·W > 4.6×10¹⁸ — silently in Spark, loudly in
+    * DuckDB, so the engines would diverge exactly at the 100 TB
+    * design point (r18 verdict #3). The QUOTIENT stays BIGINT: skey
+    * is the draw's ideal global position, bounded by the total draw
+    * count plus O(1).
     * Output: (skey, source, id), ascending (skey, source, id). */
   def mixSchedule(df: DataFrame, id: Column, source: Column,
       weight: Column): DataFrame = {
@@ -370,7 +380,8 @@ object Mixture {
       .join(broadcast(wtab.select(col("source"), col("weight").as("w"),
         col("wsum"))), "source")
       .withColumn("k", row_number().over(wk).cast("long"))
-      .withColumn("skey", expr("((2 * k - 1) * wsum) DIV (2 * w)"))
+      .withColumn("skey", expr(
+        "(CAST(2 * k - 1 AS DECIMAL(38,0)) * wsum) DIV (2 * w)"))
       .select(col("skey"), col("source"), col("id"))
       // the documented contract IS the order — a distributed range
       // sort on the key (consumers read the schedule sequentially);

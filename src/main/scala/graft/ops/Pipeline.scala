@@ -72,6 +72,17 @@ object Pipeline {
         * holdout BEFORE upsampling — run a split pipeline first). */
       mixEpochsBudget: Option[Long] = None,
       mixEpochsMax: Long = 3L,
+      /** Stride-ordered shards (`schedule: true`, r18 verdict #1/#5):
+        * the sink writes each shard's rows in the mixture's
+        * source-interleave order ([[Mixture.mixSchedule]]'s stride key,
+        * computed per shard — [[EpochShuffle.writeShardsScheduled]] /
+        * [[EpochShuffle.writeEpochShardsScheduled]]) instead of hash
+        * order, so a trainer reading ONE shard sequentially sees each
+        * source at its weighted rate in every prefix. Shard MEMBERSHIP
+        * is unchanged (same hash key) — only the intra-shard order
+        * moves. Requires `mixWeights`: the stride rates ARE the
+        * mixture weights. */
+      schedule: Boolean = false,
       shingleN: Int = 5,
       bloomBits: Int = 1 << 18,
       bloomHashes: Int = 3,
@@ -90,7 +101,7 @@ object Pipeline {
     val known = Set("input", "output", "text_field", "id_field",
       "source_field", "min_words", "max_words", "stopwords", "benchmark",
       "domain_quota", "sample_k", "mix_weights", "mix_epochs_budget",
-      "mix_epochs_max", "shingle_n", "bloom_bits",
+      "mix_epochs_max", "schedule", "shingle_n", "bloom_bits",
       "bloom_hashes", "seed", "target_shard_size", "split_test_pct")
     val unknown = root.keySet.diff(known)
     require(unknown.isEmpty, s"unknown pipeline config key(s): ${unknown.toList.sorted.mkString(", ")}")
@@ -117,6 +128,7 @@ object Pipeline {
         .getOrElse(Map.empty),
       mixEpochsBudget = str("mix_epochs_budget").map(_.toLong),
       mixEpochsMax = lng("mix_epochs_max", 3L),
+      schedule = str("schedule").exists(_.toBoolean),
       shingleN = int("shingle_n", 5),
       bloomBits = int("bloom_bits", 1 << 18),
       bloomHashes = int("bloom_hashes", 3),
@@ -226,7 +238,11 @@ object Pipeline {
     //    commit point. Snapshotted first: the pair tier, the side join
     //    and both sinks all re-read the surviving corpus.
     // 5. shuffle + shard sink: auto-sized count from a one-scalar census,
-    //    manifest written last as the commit point
+    //    manifest written last as the commit point. With `schedule:
+    //    true` the intra-shard order is the mixture's stride interleave
+    //    (same membership, same manifest — [[EpochShuffle
+    //    .writeShardsScheduled]]), weighted by the mix spec.
+    val weightOf = element_at(typedLit(cfg.mixWeights), col("source"))
     def sink(df: DataFrame, outDir: String): DataFrame = {
       val total = df.agg(sum(length(col("text")).cast("long")))
         .first() match {
@@ -234,8 +250,12 @@ object Pipeline {
           case r => r.getLong(0)
         }
       val numShards = EpochShuffle.shardCount(total, cfg.targetShardSize)
-      EpochShuffle.writeShards(df, col("doc_id"),
-        length(col("text")), cfg.seed, numShards, outDir)
+      if (cfg.schedule)
+        EpochShuffle.writeShardsScheduled(df, col("doc_id"), col("source"),
+          weightOf, length(col("text")), cfg.seed, numShards, outDir)
+      else
+        EpochShuffle.writeShards(df, col("doc_id"),
+          length(col("text")), cfg.seed, numShards, outDir)
     }
     // 3c. optional MULTI-EPOCH realization: past the no-upsampling
     //     point, the listed sources' water-filled allocations become
@@ -256,6 +276,10 @@ object Pipeline {
         "mutually exclusive — cut the holdout BEFORE upsampling (run a " +
         "split pipeline first, then a mix-epochs pipeline on its train " +
         "side)")
+    require(!cfg.schedule || cfg.mixWeights.nonEmpty,
+      "pipeline config: schedule needs mix_weights — the stride-ordered " +
+        "shard layout interleaves sources at the mixture's weighted " +
+        "rates, so there is no schedule without a weight spec")
     cfg.mixEpochsBudget match { case Some(budgetNum) =>
       val snap = budgeted.localCheckpoint(eager = false)
       val listed = snap
@@ -281,10 +305,15 @@ object Pipeline {
       val maxEpochMass = if (perEpoch.isEmpty) 0L else perEpoch.max
       val numShards =
         EpochShuffle.shardCount(maxEpochMass, cfg.targetShardSize)
-      EpochShuffle.writeEpochShards(expanded, col("doc_id"),
-        col("epoch"), length(col("text")), cfg.seed, numShards,
-        numEpochs = math.max(1L, perEpoch.length.toLong),
-        cfg.output)
+      val numEpochs = math.max(1L, perEpoch.length.toLong)
+      if (cfg.schedule)
+        EpochShuffle.writeEpochShardsScheduled(expanded, col("doc_id"),
+          col("epoch"), col("source"), weightOf, length(col("text")),
+          cfg.seed, numShards, numEpochs, cfg.output)
+      else
+        EpochShuffle.writeEpochShards(expanded, col("doc_id"),
+          col("epoch"), length(col("text")), cfg.seed, numShards,
+          numEpochs, cfg.output)
     case None =>
     cfg.splitTestPct match {
       case None => sink(mixed, cfg.output)

@@ -1005,6 +1005,61 @@ object PipelineQueries {
       .orderBy(col("skey"), col("source"), col("doc_id"))
   }
 
+  /** [[pipe_mix_schedule]]'s WIDE-WEIGHT face — the overflow gate for
+    * the stride key's DECIMAL(38,0) widening (r18 verdict #3): weights
+    * at token-mass scale ((1..3)·10¹⁶ — the `weight` column is
+    * caller-supplied, and a 100 TB mixture spec legitimately carries
+    * token counts there), so on this corpus `(2k−1)·W` reaches
+    * ~2×10¹⁹ > 2⁶³ and a BIGINT multiply would wrap silently in Spark
+    * while DuckDB's HUGEINT computes the true key — the oracle
+    * hash-match IS the wrap detector. Scale-invariance makes the
+    * expected values legible: ⌊(2k−1)·cW / (2cw)⌋ = ⌊(2k−1)·W / (2w)⌋
+    * for any c, so these keys equal [[pipe_mix_schedule]]'s narrow
+    * arithmetic on the same draws (spec-pinned), and only an overflow
+    * can diverge. Runs over the raw corpus (no realize cut — the cut
+    * at wide weights would allocate u = 0): [[graft.ops.Mixture
+    * .mixSchedule]]'s contract is any (id, source, weight) relation. */
+  val pipe_mix_schedule_wide: Q = (s, dir) => {
+    val wExpr = (pmod(substring(col("source"), 4, 10).cast("long"),
+      lit(3)) + 1) * lit(10000000000000000L)
+    graft.ops.Mixture.mixSchedule(docs(s, dir), col("doc_id"),
+        col("source"), wExpr)
+      .select(col("skey"), col("source"), col("id").as("doc_id"))
+      .orderBy(col("skey"), col("source"), col("doc_id"))
+  }
+
+  /** The SCHEDULED multi-epoch shard assignment
+    * ([[graft.ops.EpochShuffle.epochShuffleScheduled]] over
+    * [[pipe_mix_epochs_realize]]'s kept relation — r18 verdict #1):
+    * shard membership is byte-identical to the realize row (same
+    * epoch-folded `h64('mixep':epoch:id)` key, same mod-4), but `pos`
+    * within each (epoch, shard) is the ascending STRIDE order of that
+    * group's rows — per-source rank k in hash order, key
+    * ⌊(2k−1)·W/(2w_s)⌋ with W summed over the sources PRESENT in the
+    * kept mixture — so a trainer reading one shard sequentially sees
+    * each source at its weighted rate in every prefix, which the
+    * hash-ordered sink provably does not give (the gap the r18 verdict
+    * named: the schedule existed only as a separate artifact the sink
+    * ignored). The oracle replays the water-fill unroll, the epoch
+    * expansion, the fractional cut, the shard hash, the per-(epoch,
+    * shard, source) rank, the HUGEINT stride key, and the dense pos.
+    * One row per (doc, epoch): (doc_id, source, epoch, shard, skey,
+    * pos). */
+  val pipe_mix_shard_schedule: Q = (s, dir) => {
+    val wExpr = pmod(substring(col("source"), 4, 10).cast("long"),
+      lit(3)) + 1
+    val kept = graft.ops.Mixture.mixEpochsKept(
+      docs(s, dir), col("doc_id"), col("source"),
+      size(tokenizeDefault(col("text"))).cast("long"), wExpr,
+      budgetNum = 2L, maxEpochs = 3L)
+    graft.ops.EpochShuffle.epochShuffleScheduled(kept, col("id"),
+        col("epoch"), col("source"), wExpr, seed = "mixep",
+        numShards = 4L)
+      .select(col("id").as("doc_id"), col("source"), col("epoch"),
+        col("shard"), col("skey"), col("pos"))
+      .orderBy(col("epoch"), col("shard"), col("pos"))
+  }
+
   /** The HOT-SOURCE form of [[pipe_mix_realize]]
     * ([[graft.ops.Mixture.mixRealizeTwoPass]]): per-source hash
     * thresholds sized to an expected `alloc·slack` token mass bound the
@@ -2563,6 +2618,8 @@ object PipelineQueries {
     "pipe_mix_epochs_plan" -> pipe_mix_epochs_plan,
     "pipe_mix_epochs_realize" -> pipe_mix_epochs_realize,
     "pipe_mix_schedule" -> pipe_mix_schedule,
+    "pipe_mix_schedule_wide" -> pipe_mix_schedule_wide,
+    "pipe_mix_shard_schedule" -> pipe_mix_shard_schedule,
     "pipe_curate" -> pipe_curate,
     "pipe_curate_v2" -> pipe_curate_v2,
     "pipe_curate_v3" -> pipe_curate_v3,
@@ -4806,10 +4863,74 @@ object PipelineQueries {
          |  SELECT doc_id, source, weight,
          |    CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS k
          |  FROM kept)
-         |SELECT CAST(((2 * k - 1) * wsum) // (2 * weight) AS BIGINT) AS skey,
+         |SELECT CAST((CAST(2 * k - 1 AS HUGEINT) * wsum) // (2 * weight) AS BIGINT) AS skey,
          |  source, doc_id
          |FROM ks CROSS JOIN tot
          |ORDER BY skey, source, doc_id""".stripMargin,
+    "pipe_mix_schedule_wide" ->
+      s"""WITH rows AS (
+         |  SELECT doc_id, source,
+         |    (CAST(substr(source, 4) AS BIGINT) % 3 + 1) * 10000000000000000 AS weight,
+         |    CAST(('0x' || substr(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |  FROM documents),
+         |tot AS (
+         |  SELECT sum(weight) AS wsum FROM (
+         |    SELECT DISTINCT source, weight FROM rows)),
+         |ks AS (
+         |  SELECT doc_id, source, weight,
+         |    CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS k
+         |  FROM rows)
+         |SELECT CAST((CAST(2 * k - 1 AS HUGEINT) * wsum) // (2 * weight) AS BIGINT) AS skey,
+         |  source, doc_id
+         |FROM ks CROSS JOIN tot
+         |ORDER BY skey, source, doc_id""".stripMargin,
+    "pipe_mix_shard_schedule" ->
+      s"""WITH rows AS MATERIALIZED (
+         |  SELECT doc_id, source,
+         |    CAST(substr(source, 4) AS BIGINT) % 3 + 1 AS weight,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tok,
+         |    CAST(('0x' || substr(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |  FROM documents),
+         |per AS MATERIALIZED (
+         |  SELECT source, weight, sum(n_tok) AS n_tokens
+         |  FROM rows GROUP BY 1, 2),
+         |${waterFillCtes(12, 2, 3)},
+         |fullspec AS MATERIALIZED (
+         |  SELECT source, CAST(alloc // n_tokens AS BIGINT) AS full_e,
+         |    CAST(alloc - (alloc // n_tokens) * n_tokens AS BIGINT) AS frac_tok
+         |  FROM r12),
+         |fullrows AS (
+         |  SELECT r.doc_id, r.source, e.e AS epoch
+         |  FROM rows r JOIN fullspec f USING (source)
+         |  JOIN (SELECT unnest(generate_series(0, 2)) AS e) e ON e.e < f.full_e),
+         |frac AS (
+         |  SELECT doc_id, source, full_e AS epoch FROM (
+         |    SELECT r.doc_id, r.source, f.full_e, f.frac_tok,
+         |      sum(r.n_tok) OVER (PARTITION BY r.source ORDER BY r.h, r.doc_id) AS c
+         |    FROM rows r JOIN fullspec f USING (source)
+         |    WHERE f.frac_tok > 0)
+         |  WHERE c <= frac_tok),
+         |keyed AS MATERIALIZED (
+         |  SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch,
+         |    CAST(substr(source, 4) AS BIGINT) % 3 + 1 AS w,
+         |    CAST(('0x' || substr(md5('mixep:' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hk
+         |  FROM (SELECT * FROM fullrows UNION ALL SELECT * FROM frac)),
+         |wtot AS (
+         |  SELECT sum(w) AS wsum FROM (
+         |    SELECT DISTINCT source, w FROM keyed)),
+         |ranked AS (
+         |  SELECT doc_id, source, epoch, w,
+         |    CAST(hk % 4 AS BIGINT) AS shard,
+         |    CAST(row_number() OVER (PARTITION BY epoch, hk % 4, source ORDER BY hk, doc_id) AS BIGINT) AS k
+         |  FROM keyed),
+         |sched AS (
+         |  SELECT doc_id, source, epoch, shard,
+         |    CAST((CAST(2 * k - 1 AS HUGEINT) * wsum) // (2 * w) AS BIGINT) AS skey
+         |  FROM ranked CROSS JOIN wtot)
+         |SELECT doc_id, source, epoch, shard, skey,
+         |  CAST(row_number() OVER (PARTITION BY epoch, shard ORDER BY skey, source, doc_id) AS BIGINT) AS pos
+         |FROM sched
+         |ORDER BY epoch, shard, pos""".stripMargin,
     "pipe_mix_realize_2pass" ->
       s"""WITH rows AS (
          |  SELECT doc_id, source,

@@ -207,14 +207,16 @@ object BenchDiff {
       // a query EITHER run self-flagged (r18 bench storm detector), or
       // whose iteration spread exceeded 3x on either side, carries a
       // contaminated wall median — wall evidence is void for it in BOTH
-      // directions (a stormed BEFORE inflates the denominator and would
-      // read a real regression as an improvement); cpu still convicts
+      // directions: a stormed BEFORE inflates the denominator, so a real
+      // regression reads as an IMPROVEMENT — that face is gated below
+      // (r18 advice), not just the wr > 1.4 face; cpu still convicts
       def spreadOf(r: Run): Double =
         (r.wallMin.get(q), r.wallMax.get(q)) match {
           case (Some(mn), Some(mx)) if mn > 0.05 => mx / mn
           case _ => 1.0
         }
       val afterSpread = math.max(spreadOf(after), spreadOf(before))
+      val beforeVoid = before.flapped(q) || spreadOf(before) > 3.0
       val wallVoid = after.flapped(q) || before.flapped(q) ||
         afterSpread > 3.0
       val cls =
@@ -226,6 +228,15 @@ object BenchDiff {
             "self-flagged flap (bench annotation — wall evidence void)"
           else f"iteration spread ${afterSpread}%.1fx (wall evidence void)")
         else if (isTrivia) None
+        else if (beforeVoid && wr < 1.0 / 1.4)
+          // the stormed-denominator face: this "improvement" divides by
+          // a contaminated BEFORE median — it may hide a flat or even
+          // regressed query, so it must surface annotated, never pass
+          // silently as stable/fast (cpu above already convicted if the
+          // compute genuinely moved; trivia rows stay silent — their
+          // wall medians are never evidence in either direction)
+          Some("improvement over a stormed/flapped BEFORE " +
+            "(wall evidence void)")
         else if (uniformEnv && wr > 1.4 && wr <= 2.2 * medWall &&
           (!haveCpu || cr <= 1.4 * math.max(1.0, medCpu)))
           Some("follows the global multiplier")

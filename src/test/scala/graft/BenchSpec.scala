@@ -47,6 +47,25 @@ class BenchSpec extends AnyFunSuite {
     assert(m.wall > 7.0)
   }
 
+  test("a prior seal WITHOUT a cpu column cannot flag the vs-prior rule: " +
+      "a genuine 2x regression with cpu also up stays un-annotated") {
+    // readPrior fills a missing cpu with -1.0; treating that as "cpu
+    // flat" would annotate this real regression as a flap, BenchDiff
+    // would void its wall evidence, and a wall-only artifact pair would
+    // mask it entirely (r18 advice) — absence of cpu evidence must fall
+    // back to spread-only detection, not convict contention
+    val m = Bench.measure(
+      runs((8.0, 24.0), (8.1, 24.5), (8.0, 24.2)),
+      prior = Some((1.2, -1.0)))
+    assert(!m.flapped,
+      s"missing prior cpu must not satisfy the cpu-flat clause: $m")
+    // and the spread rule still works without prior cpu
+    val spread = Bench.measure(
+      runs((0.4, 0.2), (8.0, 0.2), (0.4, 0.2), (0.4, 0.2), (0.4, 0.2)),
+      prior = Some((0.4, -1.0)))
+    assert(spread.flapped, s"spread detection must survive: $spread")
+  }
+
   test("calm runs pay no extra iterations and no annotation") {
     var calls = 0
     val calm = () => { calls += 1; Some((0.50 + 0.01 * calls, 1.0)) }

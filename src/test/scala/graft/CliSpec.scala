@@ -354,6 +354,111 @@ class CliSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline verb: schedule=true writes STRIDE-ORDERED shards on both " +
+      "sink paths — same membership as the hash sink, every per-shard " +
+      "prefix mixture-faithful") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-pipe6").toString
+    val docs = (0 until 30).map { i =>
+      val words = (0 until 12).map(j => Seq("the", "quick", "brown", "fox",
+        "jumps", "over", "lazy", "dog", s"w$i", s"x${(i + j) % 7}")((i + j) % 10))
+      s"""{"id": $i, "src": "s${i % 3}", "text": "${words.mkString(" ")} of and to in is"}"""
+    }
+    Files.write(java.nio.file.Paths.get(s"$dir/corpus.jsonl"),
+      docs.mkString("\n").getBytes("UTF-8"))
+    def yaml(out: String, extra: String): String = {
+      val p = s"$dir/pipe_${out.replace('/', '_')}.yaml"
+      Files.write(java.nio.file.Paths.get(p),
+        (s"input: $dir/corpus.jsonl\noutput: $dir/$out\nid_field: id\n" +
+          "source_field: src\nmin_words: 5\nmix_weights:\n  s0: 2\n" +
+          s"  s1: 1\ntarget_shard_size: 400\n$extra").getBytes("UTF-8"))
+      p
+    }
+    val root = Files.createTempDirectory("graft-cli6").toString
+    val w = Map("s0" -> 2L, "s1" -> 1L)
+    // the shard-order faithfulness check: pos order ascends skey, and
+    // while no present source has exhausted its rows, every prefix
+    // holds each source at its weighted rate among the PRESENT sources
+    def strideFaithful(rows: Seq[(String, String, Long, Long)],
+        label: String): Unit = {
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1L to sorted.length).toSeq,
+        s"$label: dense pos expected")
+      assert(sorted.sliding(2).forall(p =>
+        p.length < 2 || p(0)._3 <= p(1)._3),
+        s"$label: pos order must ascend the stride key")
+      val bySrc = sorted.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val wg = bySrc.keysIterator.map(w).sum
+      val horizon = bySrc.map { case (s, n) => n * wg / w(s) }.min
+      val seen = scala.collection.mutable.Map[String, Long]()
+        .withDefaultValue(0L)
+      var worst = 0.0
+      sorted.zipWithIndex.takeWhile(_._2 < horizon).foreach {
+        case ((_, s, _, _), i) =>
+          seen(s) += 1
+          val t = i + 1
+          bySrc.keys.foreach { src =>
+            worst = math.max(worst,
+              math.abs(seen(src) - t.toDouble * w(src) / wg))
+          }
+      }
+      assert(worst <= 2.5,
+        f"$label: a prefix drifted $worst%.2f draws from its weighted " +
+          "share — the shard is not stride-faithful")
+    }
+    // SINGLE-epoch path: hash sink vs scheduled sink, same seed
+    for (p <- Seq(yaml("out_h", ""), yaml("out_s", "schedule: true\n")))
+      cli.Main.run(Array("pipeline", p), spark, new Catalog(root), root)
+    val hash1 = spark.read.parquet(s"$dir/out_h/data")
+      .select(col("doc_id"), col("shard").cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val sched1 = spark.read.parquet(s"$dir/out_s/data")
+      .select(col("doc_id"), col("source"), col("shard").cast("long"),
+        col("skey"), col("pos")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(sched1.map(x => (x._1, x._3)).toMap == hash1,
+      "schedule must not move docs between shards (same hash, same mod)")
+    sched1.groupBy(_._3).foreach { case (sh, g) =>
+      strideFaithful(g.map(x => (x._1, x._2, x._4, x._5)).toSeq,
+        s"single-epoch shard $sh")
+    }
+    // the manifest commit point attests the same totals on both sinks
+    val mh = spark.read.parquet(s"$dir/out_h/manifest")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val ms = spark.read.parquet(s"$dir/out_s/manifest")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(mh == ms, s"manifest counts must agree: $mh vs $ms")
+    // MULTI-epoch path: per-epoch trees, each (epoch, shard) faithful
+    val me = "mix_epochs_budget: 3\nmix_epochs_max: 2\n"
+    for (p <- Seq(yaml("out_mh", me), yaml("out_ms", me + "schedule: true\n")))
+      cli.Main.run(Array("pipeline", p), spark, new Catalog(root), root)
+    val hashM = spark.read.parquet(s"$dir/out_mh/data")
+      .select(col("doc_id"), col("epoch").cast("long"),
+        col("shard").cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val schedM = spark.read.parquet(s"$dir/out_ms/data")
+      .select(col("doc_id"), col("source"), col("epoch").cast("long"),
+        col("shard").cast("long"), col("skey"), col("pos")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(schedM.map(x => (x._1, x._3, x._4)).toSet == hashM,
+      "multi-epoch schedule must not move (doc, epoch) rows between shards")
+    schedM.groupBy(x => (x._3, x._4)).foreach { case ((e, sh), g) =>
+      strideFaithful(g.map(x => (x._1, x._2, x._5, x._6)).toSeq,
+        s"epoch $e shard $sh")
+    }
+    // loud config contract: the stride rates ARE the mixture weights
+    Files.write(java.nio.file.Paths.get(s"$dir/bad.yaml"),
+      (s"input: $dir/corpus.jsonl\noutput: $dir/out_bad\n" +
+        "schedule: true\n").getBytes("UTF-8"))
+    val err = intercept[Exception] {
+      cli.Main.run(Array("pipeline", s"$dir/bad.yaml"), spark,
+        new Catalog(root), root)
+    }
+    assert(err.getMessage.contains("schedule"), err.getMessage)
+  }
+
   test("pipeline verb: split_test_pct emits leakage-safe train/test trees " +
       "with per-side manifests") {
     import org.apache.spark.sql.functions.col

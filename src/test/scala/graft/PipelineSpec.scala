@@ -1435,6 +1435,34 @@ class PipelineSpec extends AnyFunSuite {
       out2.toString("UTF-8"))
   }
 
+  test("BenchDiff: an 'improvement' over a stormed/flapped BEFORE run is " +
+      "annotated as wall-evidence-void, not reported as silent progress") {
+    import java.nio.file.Files
+    // the r18-advice face: wallVoid only gated wr > 1.4, so a flapped
+    // BEFORE median (inflated denominator) let a flat-or-regressed
+    // query read as a clean improvement — it must surface annotated
+    def art(vals: Map[String, Double], flapped: Seq[String] = Nil): String = {
+      val m = vals.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+      val f = flapped.map("\"" + _ + "\"").mkString(",")
+      val p = Files.createTempFile("bench", ".json")
+      Files.write(p,
+        (s"""{"metric":"t","value":1,"flapped":[$f],"queries":{$m},""" +
+          s""""cpu":{$m}}""").getBytes("UTF-8"))
+      p.toString
+    }
+    val fill = (1 to 6).map(i => s"q$i" -> 1.0).toMap
+    val before = art(fill + ("q_mask" -> 3.0), flapped = Seq("q_mask"))
+    val after = art(fill + ("q_mask" -> 1.0))
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      graft.tools.BenchDiff.main(Array(before, after))
+    }
+    val text = out.toString("UTF-8")
+    assert(text.linesIterator.exists(l => l.contains("q_mask") &&
+      l.contains("improvement over a stormed/flapped BEFORE")), text)
+    assert(text.contains("0 regression(s)"), text)
+  }
+
   test("assignFit / assignSkew: integer ppm drift statistics are exact") {
     import spark.implicits._
     val cents = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
@@ -1712,6 +1740,93 @@ class PipelineSpec extends AnyFunSuite {
     // (2k-1)*4/2 = {2, 6}, b's at (2k-1)*4/6 = {0}
     val keys = got.map(x => (x._2, x._1)).sorted.toSeq
     assert(keys == Seq(("a", 2L), ("a", 6L), ("b", 0L)), keys.toString)
+  }
+
+  test("pipe_mix_schedule_wide: token-mass-scale weights yield the SAME " +
+      "keys as narrow weights — scale invariance proves the DECIMAL(38,0) " +
+      "widening computed the true stride, not a wrapped one") {
+    // ⌊(2k−1)·cW / (2cw)⌋ = ⌊(2k−1)·W / (2w)⌋ for any c > 0, so the
+    // wide fixture (c = 10¹⁶, where (2k−1)·cW ≈ 2×10¹⁹ > 2⁶³ on this
+    // corpus) must reproduce the narrow arithmetic exactly; a BIGINT
+    // wrap would scatter the keys (r18 verdict #3)
+    val wide = PipelineQueries.pipe_mix_schedule_wide(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(2)) -> r.getLong(0)).toMap
+    val narrow = graft.ops.Mixture.mixSchedule(
+      Graft.table(spark, sf, "documents"),
+      col("doc_id"), col("source"),
+      pmod(substring(col("source"), 4, 10).cast("long"), lit(3)) + 1)
+      .collect().map(r => (r.getString(1), r.getLong(2)) -> r.getLong(0))
+      .toMap
+    assert(wide.nonEmpty && wide.keySet == narrow.keySet)
+    val diverged = wide.collect {
+      case (k, v) if narrow(k) != v => (k, v, narrow(k)) }
+    assert(diverged.isEmpty,
+      s"wide weights must not move any key: ${diverged.take(3)}")
+    // and the fixture genuinely exercises the overflow range: the
+    // widest multiply exceeds Long.MaxValue
+    val w = Graft.table(spark, sf, "documents")
+      .groupBy(col("source")).agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val bigW = w.map { case (s, _) =>
+      BigInt((s.drop(3).toLong % 3) + 1) * BigInt(10L).pow(16) }.sum
+    val maxK = w.map(_._2).max
+    assert(BigInt(2 * maxK - 1) * bigW > BigInt(Long.MaxValue),
+      s"fixture too narrow to catch a wrap: (2·$maxK−1)·$bigW")
+  }
+
+  test("pipe_mix_shard_schedule: shard membership is byte-identical to " +
+      "the realize row; pos ascends the stride key; every per-shard " +
+      "prefix holds each present source's weighted share") {
+    val sched = PipelineQueries.pipe_mix_shard_schedule(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(sched.nonEmpty)
+    // membership: the scheduled sink moves NOTHING between shards —
+    // same epoch-folded hash, same mod — only the intra-shard order
+    val real = PipelineQueries.pipe_mix_epochs_realize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    assert(sched.map(x => (x._1, x._3, x._4)).toSet ==
+      real.map(x => (x._1, x._2, x._3)).toSet,
+      "scheduled assignment must not move docs between shards")
+    val w = sched.map(_._2).distinct
+      .map(s => s -> ((s.drop(3).toLong % 3) + 1)).toMap
+    sched.groupBy(x => (x._3, x._4)).foreach { case ((e, sh), g) =>
+      val rows = g.sortBy(_._6)
+      // pos is dense and ascends skey (ties broken by source, id —
+      // reading the shard sequentially IS reading the schedule)
+      assert(rows.map(_._6).toSeq == (1L to rows.length).toSeq,
+        s"epoch $e shard $sh: dense pos expected")
+      assert(rows.sliding(2).forall(p =>
+        p.length < 2 || p(0)._5 <= p(1)._5),
+        s"epoch $e shard $sh: pos order must ascend the stride key")
+      // prefix balance per shard: the global W in the key is a common
+      // multiplier ((2k−1)/w_s decides the order), so within a group
+      // the interleave is the stride schedule of the sources PRESENT
+      // there — expected share w_s / Σ_present w — checked up to the
+      // group's horizon (the last prefix where every present source
+      // still has a draw left at its ideal rate; a source the epoch's
+      // fractional cut kept nothing of can't draw at all, and a
+      // finished source's share honestly decays past its exhaustion)
+      val bySrc = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      // keysIterator, not keys: a Set's .map would dedup equal weights
+      val wg = bySrc.keysIterator.map(w).sum
+      val horizon = bySrc.map { case (s, n) => n * wg / w(s) }.min
+      val seen = scala.collection.mutable.Map[String, Long]()
+        .withDefaultValue(0L)
+      var worst = 0.0
+      rows.zipWithIndex.takeWhile(_._2 < horizon).foreach {
+        case ((_, s, _, _, _, _), i) =>
+          seen(s) += 1
+          val t = i + 1
+          bySrc.keys.foreach { src =>
+            worst = math.max(worst,
+              math.abs(seen(src) - t.toDouble * w(src) / wg))
+          }
+      }
+      assert(worst <= 4.0,
+        f"epoch $e shard $sh: a prefix drifted $worst%.2f draws from " +
+          "its weighted share — the shard is not stride-faithful")
+    }
   }
 
   private def causeMessages(t: Throwable): String =

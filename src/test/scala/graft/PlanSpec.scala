@@ -190,6 +190,51 @@ class PlanSpec extends AnyFunSuite {
       s"one (epoch, shard)-key shuffle expected:\n$plan")
   }
 
+  test("scheduled shard assignment: ONE corpus exchange on (epoch, shard), " +
+      "both rank windows ride it, the weight table broadcasts") {
+    import org.apache.spark.sql.functions._
+    val docs = Graft.table(spark, sf, "documents")
+      .withColumn("epoch", pmod(col("doc_id"), lit(2)))
+    val df = graft.ops.EpochShuffle.epochShuffleScheduled(
+      docs, col("doc_id"), col("epoch"), col("source"),
+      pmod(substring(col("source"), 4, 10).cast("long"), lit(3)) + 1,
+      "mixep", numShards = 8L)
+    val plan = formatted(df)
+    // the per-source weight table broadcasts onto the corpus
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"the tiny weight table must broadcast, not shuffle the corpus:\n$plan")
+    // corpus-side cost is ONE exchange — the (epoch, shard)
+    // repartition; both rank windows' distributions are satisfied by
+    // it ((epoch, shard, source) clusters REFINE (epoch, shard)), so
+    // they pay partition-local sorts only. The other three exchanges
+    // sit on the weight-table branch (partial+final grouping agg, the
+    // contract window, the wsum window), all over the per-source
+    // aggregate — tiny at any corpus scale.
+    val exchanges = plan.linesIterator
+      .count(_.matches("\\(\\d+\\) Exchange.*"))
+    assert(exchanges == 4,
+      s"expected 1 corpus + 3 weight-branch exchanges, got $exchanges:\n$plan")
+    // exactly ONE exchange partitions on the shard key — the corpus
+    // one; and it hash-clusters (epoch, shard), never range/single
+    val shardParts = plan.linesIterator.filter(l =>
+      l.contains("Arguments: hashpartitioning") && l.contains("shard"))
+      .toList
+    assert(shardParts.length == 1 &&
+      shardParts.head.contains("epoch"),
+      s"one (epoch, shard) hash exchange expected:\n$shardParts\n$plan")
+    // no single-partition window over the corpus: every row_number
+    // window partitions by (epoch, shard[, source])
+    val rnWins = plan.linesIterator.filter(l =>
+      l.contains("windowspecdefinition") && l.contains("row_number"))
+      .toList
+    assert(rnWins.nonEmpty, plan)
+    rnWins.foreach { l =>
+      assert(l.contains("shard") && l.contains("epoch"),
+        s"rank window must partition by (epoch, shard[, source]):\n$l")
+    }
+  }
+
   test("pipe_mix_epochs_realize and pipe_mix_schedule broadcast their tiny relations — the corpus never sort-merges") {
     for ((name, df) <- Seq(
       "pipe_mix_epochs_realize" ->
