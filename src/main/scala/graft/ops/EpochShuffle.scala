@@ -235,7 +235,9 @@ object EpochShuffle {
       df.select(source.as("source"), weight.as("weight"))
         .groupBy(col("source"), col("weight"))
         .agg(count(lit(1)).as("n_rows")))
-    val wsum = sum(col("weight")).over(Window.partitionBy())
+    // DECIMAL(38,0) sum: Σw over token-mass-scale weights wraps a
+    // BIGINT window sum silently (the Mixture.mixSchedule convention)
+    val wsum = sum(col("weight").cast("decimal(38,0)")).over(Window.partitionBy())
     val wtab = per.select(col("source").as("__src"),
       col("weight").as("__w"), wsum.as("__wsum"))
     val keyExpr = epoch match {

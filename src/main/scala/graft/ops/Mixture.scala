@@ -359,9 +359,13 @@ object Mixture {
     * caller-supplied, and at token-mass-scale weights `(2k−1)·W`
     * wraps BIGINT at k·W > 4.6×10¹⁸ — silently in Spark, loudly in
     * DuckDB, so the engines would diverge exactly at the 100 TB
-    * design point (r18 verdict #3). The QUOTIENT stays BIGINT: skey
-    * is the draw's ideal global position, bounded by the total draw
-    * count plus O(1).
+    * design point (r18 verdict #3). W itself widens too: Σw over
+    * thousands of token-mass-scale sources exceeds 2⁶³ INSIDE the
+    * window sum (DuckDB's sum(BIGINT) is HUGEINT, Spark's wraps), so
+    * the aggregate runs on DECIMAL(38,0) — 10³⁸ headroom covers
+    * draws(10¹²)·W(10²¹) with 5 digits to spare. The QUOTIENT stays
+    * BIGINT: skey is the draw's ideal global position, bounded by the
+    * total draw count plus O(1).
     * Output: (skey, source, id), ascending (skey, source, id). */
   def mixSchedule(df: DataFrame, id: Column, source: Column,
       weight: Column): DataFrame = {
@@ -369,7 +373,7 @@ object Mixture {
       weight.as("weight"))
     val per = weightChecked(rows.groupBy(col("source"), col("weight"))
       .agg(count(lit(1)).as("n_docs")))
-    val wsum = sum(col("weight")).over(
+    val wsum = sum(col("weight").cast("decimal(38,0)")).over(
       org.apache.spark.sql.expressions.Window.partitionBy())
     val wtab = per.select(col("source"), col("weight"), wsum.as("wsum"))
     val wk = org.apache.spark.sql.expressions.Window

@@ -1006,22 +1006,23 @@ object PipelineQueries {
   }
 
   /** [[pipe_mix_schedule]]'s WIDE-WEIGHT face — the overflow gate for
-    * the stride key's DECIMAL(38,0) widening (r18 verdict #3): weights
-    * at token-mass scale ((1..3)·10¹⁶ — the `weight` column is
+    * the stride arithmetic's DECIMAL(38,0) widening (r18 verdict #3):
+    * weights at token-mass scale ((1..3)·10¹⁸ — the `weight` column is
     * caller-supplied, and a 100 TB mixture spec legitimately carries
-    * token counts there), so on this corpus `(2k−1)·W` reaches
-    * ~2×10¹⁹ > 2⁶³ and a BIGINT multiply would wrap silently in Spark
-    * while DuckDB's HUGEINT computes the true key — the oracle
-    * hash-match IS the wrap detector. Scale-invariance makes the
-    * expected values legible: ⌊(2k−1)·cW / (2cw)⌋ = ⌊(2k−1)·W / (2w)⌋
-    * for any c, so these keys equal [[pipe_mix_schedule]]'s narrow
-    * arithmetic on the same draws (spec-pinned), and only an overflow
-    * can diverge. Runs over the raw corpus (no realize cut — the cut
-    * at wide weights would allocate u = 0): [[graft.ops.Mixture
-    * .mixSchedule]]'s contract is any (id, source, weight) relation. */
+    * token counts there), so on this corpus BOTH face the wrap: Σw ≈
+    * 3.9×10¹⁹ > 2⁶³ wraps a BIGINT window SUM, and `(2k−1)·W` reaches
+    * ~2×10²¹ — silent in Spark Int64, exact in DuckDB's HUGEINT — so
+    * the oracle hash-match IS the wrap detector for the sum AND the
+    * multiply. Scale-invariance makes the expected values legible:
+    * ⌊(2k−1)·cW / (2cw)⌋ = ⌊(2k−1)·W / (2w)⌋ for any c, so these keys
+    * equal [[pipe_mix_schedule]]'s narrow arithmetic on the same draws
+    * (spec-pinned), and only an overflow can diverge. Runs over the
+    * raw corpus (no realize cut — the cut at wide weights would
+    * allocate u = 0): [[graft.ops.Mixture.mixSchedule]]'s contract is
+    * any (id, source, weight) relation. */
   val pipe_mix_schedule_wide: Q = (s, dir) => {
     val wExpr = (pmod(substring(col("source"), 4, 10).cast("long"),
-      lit(3)) + 1) * lit(10000000000000000L)
+      lit(3)) + 1) * lit(1000000000000000000L)
     graft.ops.Mixture.mixSchedule(docs(s, dir), col("doc_id"),
         col("source"), wExpr)
       .select(col("skey"), col("source"), col("id").as("doc_id"))
@@ -4870,7 +4871,7 @@ object PipelineQueries {
     "pipe_mix_schedule_wide" ->
       s"""WITH rows AS (
          |  SELECT doc_id, source,
-         |    (CAST(substr(source, 4) AS BIGINT) % 3 + 1) * 10000000000000000 AS weight,
+         |    (CAST(substr(source, 4) AS BIGINT) % 3 + 1) * 1000000000000000000 AS weight,
          |    CAST(('0x' || substr(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
          |  FROM documents),
          |tot AS (

@@ -1746,9 +1746,10 @@ class PipelineSpec extends AnyFunSuite {
       "keys as narrow weights — scale invariance proves the DECIMAL(38,0) " +
       "widening computed the true stride, not a wrapped one") {
     // ⌊(2k−1)·cW / (2cw)⌋ = ⌊(2k−1)·W / (2w)⌋ for any c > 0, so the
-    // wide fixture (c = 10¹⁶, where (2k−1)·cW ≈ 2×10¹⁹ > 2⁶³ on this
-    // corpus) must reproduce the narrow arithmetic exactly; a BIGINT
-    // wrap would scatter the keys (r18 verdict #3)
+    // wide fixture (c = 10¹⁸, where Σw ≈ 3.9×10¹⁹ already wraps a
+    // BIGINT window SUM and (2k−1)·cW ≈ 2×10²¹ wraps the multiply on
+    // this corpus) must reproduce the narrow arithmetic exactly; a
+    // wrap in either place would scatter the keys (r18 verdict #3)
     val wide = PipelineQueries.pipe_mix_schedule_wide(spark, sf).collect()
       .map(r => (r.getString(1), r.getLong(2)) -> r.getLong(0)).toMap
     val narrow = graft.ops.Mixture.mixSchedule(
@@ -1762,16 +1763,19 @@ class PipelineSpec extends AnyFunSuite {
       case (k, v) if narrow(k) != v => (k, v, narrow(k)) }
     assert(diverged.isEmpty,
       s"wide weights must not move any key: ${diverged.take(3)}")
-    // and the fixture genuinely exercises the overflow range: the
-    // widest multiply exceeds Long.MaxValue
+    // and the fixture genuinely exercises BOTH overflow ranges: the
+    // weight SUM alone exceeds Long.MaxValue (the window aggregate
+    // must run in DECIMAL(38,0)), a fortiori the stride multiply
     val w = Graft.table(spark, sf, "documents")
       .groupBy(col("source")).agg(count(lit(1)).as("n")).collect()
       .map(r => (r.getString(0), r.getLong(1)))
     val bigW = w.map { case (s, _) =>
-      BigInt((s.drop(3).toLong % 3) + 1) * BigInt(10L).pow(16) }.sum
+      BigInt((s.drop(3).toLong % 3) + 1) * BigInt(10L).pow(18) }.sum
     val maxK = w.map(_._2).max
+    assert(bigW > BigInt(Long.MaxValue),
+      s"fixture too narrow to catch a sum wrap: W=$bigW")
     assert(BigInt(2 * maxK - 1) * bigW > BigInt(Long.MaxValue),
-      s"fixture too narrow to catch a wrap: (2·$maxK−1)·$bigW")
+      s"fixture too narrow to catch a multiply wrap: (2·$maxK−1)·$bigW")
   }
 
   test("pipe_mix_shard_schedule: shard membership is byte-identical to " +
