@@ -33,16 +33,31 @@ object Mixture {
     * (the aggregate output is per-source tiny, so the window is free)
     * that raises on the first violating source — downstream arithmetic
     * consumes the routed column, so the check can never be pruned.
+    * NULLs raise too (r19 self-review): a NULL source would silently
+    * DROP its rows from every source-keyed equi-join in the module
+    * (SQL null never matches — the realize cut and the scheduled
+    * sink's weight attach would lose the rows without a trace), and a
+    * NULL weight passes the multiplicity check yet nulls every
+    * downstream allocation/stride key, which then sorts as a silent
+    * corruption instead of an error.
     * `private[ops]`: [[EpochShuffle]]'s scheduled sinks build the same
     * per-source weight table and must enforce the same contract. */
   private[ops] def weightChecked(per: DataFrame): DataFrame = {
     val nw = count(lit(1)).over(
       org.apache.spark.sql.expressions.Window.partitionBy(col("source")))
     per.withColumn("weight",
-      when(nw > lit(1), raise_error(concat(
-        lit("mixture weight contract violated: source '"), col("source"),
-        lit("' carries multiple distinct weights — weight must be " +
-          "functionally determined by source"))))
+      when(col("source").isNull, raise_error(
+        lit("mixture source contract violated: a NULL source row would " +
+          "silently drop from every source-keyed join — source must be " +
+          "non-null")))
+        .when(col("weight").isNull, raise_error(concat(
+          lit("mixture weight contract violated: source '"), col("source"),
+          lit("' carries a NULL weight — every downstream allocation and " +
+            "stride key would null out silently"))))
+        .when(nw > lit(1), raise_error(concat(
+          lit("mixture weight contract violated: source '"), col("source"),
+          lit("' carries multiple distinct weights — weight must be " +
+            "functionally determined by source"))))
         .otherwise(col("weight")))
   }
 

@@ -1860,6 +1860,38 @@ class PipelineSpec extends AnyFunSuite {
       col("src"), col("n"), col("w")).count() == 2)
   }
 
+  test("NULL source / NULL weight raise loudly instead of silently " +
+      "dropping rows from source-keyed joins or nulling stride keys") {
+    import spark.implicits._
+    // a NULL source row would vanish from every source-keyed equi-join
+    // (realize cut, scheduled sink weight attach) without a trace; a
+    // NULL weight passes the multiplicity check yet nulls every
+    // downstream allocation / stride key (r19 self-review)
+    val nullSrc = Seq((1L, Some("a"), 1L), (2L, None, 1L))
+      .toDF("id", "src", "w")
+    val errS = intercept[Exception] {
+      graft.ops.EpochShuffle.shuffleScheduled(nullSrc, col("id"),
+        col("src"), col("w"), "s", 2L).collect()
+    }
+    assert(causeMessages(errS).contains("source contract violated"),
+      causeMessages(errS))
+    val nullW = Seq((1L, "a", Some(1L)), (2L, "b", None))
+      .toDF("id", "src", "w")
+    val errW = intercept[Exception] {
+      graft.ops.Mixture.mixAllocation(nullW.withColumn("n", col("id")),
+        col("src"), col("n"), col("w")).collect()
+    }
+    assert(causeMessages(errW).contains("NULL weight"),
+      causeMessages(errW))
+    // and the scheduled assigner honors the same weight contract
+    val errW2 = intercept[Exception] {
+      graft.ops.EpochShuffle.shuffleScheduled(nullW, col("id"),
+        col("src"), col("w"), "s", 2L).collect()
+    }
+    assert(causeMessages(errW2).contains("NULL weight"),
+      causeMessages(errW2))
+  }
+
   test("mixRealize emits a kept_docs=0 datasheet row for a source whose " +
       "allocation fits no document (r17 advice)") {
     import spark.implicits._
