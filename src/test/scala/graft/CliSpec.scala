@@ -448,6 +448,23 @@ class CliSpec extends AnyFunSuite {
       strideFaithful(g.map(x => (x._1, x._2, x._5, x._6)).toSeq,
         s"epoch $e shard $sh")
     }
+    // SPLIT path: schedule composes with the leakage-safe holdout —
+    // each side's sink writes its own stride-ordered shards
+    cli.Main.run(Array("pipeline",
+      yaml("out_sp", "schedule: true\nsplit_test_pct: 30\n")), spark,
+      new Catalog(root), root)
+    for (side <- Seq("train", "test")) {
+      val rows = spark.read.parquet(s"$dir/out_sp/$side/data")
+        .select(col("doc_id"), col("source"), col("shard").cast("long"),
+          col("skey"), col("pos")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      assert(rows.nonEmpty, s"$side side must land")
+      rows.groupBy(_._3).foreach { case (sh, g) =>
+        strideFaithful(g.map(x => (x._1, x._2, x._4, x._5)).toSeq,
+          s"$side shard $sh")
+      }
+    }
     // loud config contract: the stride rates ARE the mixture weights
     Files.write(java.nio.file.Paths.get(s"$dir/bad.yaml"),
       (s"input: $dir/corpus.jsonl\noutput: $dir/out_bad\n" +
