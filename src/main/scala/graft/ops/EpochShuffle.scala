@@ -198,6 +198,12 @@ object EpochShuffle {
     * rank windows ride that partitioning — `(shard, source)` clusters
     * REFINE `(shard)`, so the k-window needs no second shuffle, only a
     * partition-local sort. No global window, no corpus broadcast.
+    * The weight-table aggregate is a SECOND EVALUATION of `df`'s plan
+    * (r19 advice): inside [[ops.Pipeline]] the input is
+    * localCheckpoint-backed so the re-read is a cached-block scan, but
+    * a direct caller with an expensive un-snapshotted upstream should
+    * snapshot first (`df.localCheckpoint()` — the module's
+    * two-consumers rule) or accept the recompute.
     * Output: every column of `df` plus (shard, skey, pos); `skey`
     * rides out so shards carry their own schedule evidence. */
   def shuffleScheduled(df: DataFrame, id: Column, source: Column,

@@ -39,7 +39,14 @@ object Mixture {
     * sink's weight attach would lose the rows without a trace), and a
     * NULL weight passes the multiplicity check yet nulls every
     * downstream allocation/stride key, which then sorts as a silent
-    * corruption instead of an error.
+    * corruption instead of an error. Non-positive weights raise too
+    * (r19 verdict #1): a ZERO weight reaches the stride key's
+    * `DIV (2·w)` — under Spark 4's ANSI default that throws a cryptic
+    * DIVIDE_BY_ZERO from deep inside the plan (and would silently null
+    * under `ansi=false`); a NEGATIVE weight is the silent face — the
+    * stride key ⌊(2k−1)·W/(2w)⌋ goes negative, sorting that source's
+    * ENTIRE allocation to the front of every schedule and every
+    * scheduled shard instead of interleaving it.
     * `private[ops]`: [[EpochShuffle]]'s scheduled sinks build the same
     * per-source weight table and must enforce the same contract. */
   private[ops] def weightChecked(per: DataFrame): DataFrame = {
@@ -54,6 +61,11 @@ object Mixture {
           lit("mixture weight contract violated: source '"), col("source"),
           lit("' carries a NULL weight — every downstream allocation and " +
             "stride key would null out silently"))))
+        .when(col("weight") <= lit(0), raise_error(concat(
+          lit("mixture weight contract violated: source '"), col("source"),
+          lit("' carries weight "), col("weight").cast("string"),
+          lit(" — weights must be positive (zero divides the stride key, " +
+            "negative front-loads the source's whole allocation)"))))
         .when(nw > lit(1), raise_error(concat(
           lit("mixture weight contract violated: source '"), col("source"),
           lit("' carries multiple distinct weights — weight must be " +

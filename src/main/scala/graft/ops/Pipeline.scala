@@ -128,7 +128,14 @@ object Pipeline {
         .getOrElse(Map.empty),
       mixEpochsBudget = str("mix_epochs_budget").map(_.toLong),
       mixEpochsMax = lng("mix_epochs_max", 3L),
-      schedule = str("schedule").exists(_.toBoolean),
+      schedule = str("schedule").exists {
+        // key-named parse error (r19 advice): a bare .toBoolean throws
+        // "For input string: ..." with no hint WHICH key was malformed
+        case s if s.equalsIgnoreCase("true") => true
+        case s if s.equalsIgnoreCase("false") => false
+        case s => sys.error(
+          s"pipeline config: schedule must be true or false, got '$s'")
+      },
       shingleN = int("shingle_n", 5),
       bloomBits = int("bloom_bits", 1 << 18),
       bloomHashes = int("bloom_hashes", 3),

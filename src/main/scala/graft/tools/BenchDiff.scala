@@ -245,6 +245,15 @@ object BenchDiff {
           else "wall up (no cpu evidence — not convictable)")
         else if (wr > 1.4 || (haveCpu && cr > 1.4))
           Some("moved with the environment (mixed evidence)")
+        else if (beforeVoid)
+          // the remaining stormed-BEFORE face (r19 advice): wr sits in
+          // the 0.71–1.4 band, but dividing by a contaminated BEFORE
+          // median makes THAT evidence void too — an inflated
+          // denominator can mask a real regression into the band. The
+          // row must not count toward the stable set; cpu above already
+          // convicted if the compute genuinely moved
+          Some("wall evidence void vs stormed BEFORE (in-band — " +
+            "not counted stable)")
         else None
       cls.map(c => Mover(q, wb, wa, wr, cr, c))
     }.sortBy(m => (-(if (m.cls.startsWith("REGRESSION")) 1 else 0), -m.wr))

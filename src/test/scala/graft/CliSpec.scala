@@ -474,6 +474,17 @@ class CliSpec extends AnyFunSuite {
         new Catalog(root), root)
     }
     assert(err.getMessage.contains("schedule"), err.getMessage)
+    // and a non-boolean value names the key instead of a bare
+    // "For input string" NumberFormat-style parse error (r19 advice)
+    Files.write(java.nio.file.Paths.get(s"$dir/bad2.yaml"),
+      (s"input: $dir/corpus.jsonl\noutput: $dir/out_bad2\n" +
+        "schedule: 1\n").getBytes("UTF-8"))
+    val err2 = intercept[Exception] {
+      cli.Main.run(Array("pipeline", s"$dir/bad2.yaml"), spark,
+        new Catalog(root), root)
+    }
+    assert(err2.getMessage.contains(
+      "schedule must be true or false, got '1'"), err2.getMessage)
   }
 
   test("pipeline verb: split_test_pct emits leakage-safe train/test trees " +

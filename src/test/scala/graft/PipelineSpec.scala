@@ -1461,6 +1461,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(text.linesIterator.exists(l => l.contains("q_mask") &&
       l.contains("improvement over a stormed/flapped BEFORE")), text)
     assert(text.contains("0 regression(s)"), text)
+    // the r19-advice face: a flapped BEFORE whose ratio lands IN the
+    // 0.71-1.4 band must not silently count toward the stable set —
+    // the inflated denominator can mask a real regression into band
+    val before2 = art(fill + ("q_band" -> 1.4), flapped = Seq("q_band"))
+    val after2 = art(fill + ("q_band" -> 1.2))
+    val out2 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out2, true, "UTF-8")) {
+      graft.tools.BenchDiff.main(Array(before2, after2))
+    }
+    val text2 = out2.toString("UTF-8")
+    assert(text2.linesIterator.exists(l => l.contains("q_band") &&
+      l.contains("wall evidence void vs stormed BEFORE")), text2)
+    assert(text2.contains("0 regression(s)"), text2)
   }
 
   test("assignFit / assignSkew: integer ppm drift statistics are exact") {
@@ -1890,6 +1903,40 @@ class PipelineSpec extends AnyFunSuite {
     }
     assert(causeMessages(errW2).contains("NULL weight"),
       causeMessages(errW2))
+  }
+
+  test("zero / negative weights raise loudly on every consuming face " +
+      "instead of ANSI-dividing or silently front-loading (r19 verdict #1)") {
+    import spark.implicits._
+    // zero weight reaches DIV (2·w) — a cryptic ANSI DIVIDE_BY_ZERO
+    // from plan internals (silent null under ansi=false); negative
+    // weight is worse: the stride key goes negative and sorts that
+    // source's ENTIRE allocation to the front of every schedule and
+    // scheduled shard — quiet corruption, not an error
+    for (badW <- Seq(0L, -3L)) {
+      val bad = Seq((1L, "a", 7L, 1L), (2L, "b", 5L, badW))
+        .toDF("id", "src", "n", "w")
+      for ((face, call) <- Seq[(String, org.apache.spark.sql.DataFrame => Unit)](
+        "mixAllocation" -> (df => graft.ops.Mixture.mixAllocation(df,
+          col("src"), col("n"), col("w")).collect()),
+        "mixSchedule" -> (df => graft.ops.Mixture.mixSchedule(df,
+          col("id"), col("src"), col("w")).collect()),
+        "scheduledAssign" -> (df => graft.ops.EpochShuffle.shuffleScheduled(
+          df, col("id"), col("src"), col("w"), "s", 2L).collect()))) {
+        val err = intercept[Exception] { call(bad) }
+        assert(causeMessages(err).contains("weights must be positive"),
+          s"$face with weight $badW: ${causeMessages(err)}")
+      }
+    }
+    // the contract-respecting shape still computes on all three faces
+    val ok = Seq((1L, "a", 7L, 1L), (2L, "b", 5L, 2L))
+      .toDF("id", "src", "n", "w")
+    assert(graft.ops.Mixture.mixAllocation(ok,
+      col("src"), col("n"), col("w")).count() == 2)
+    assert(graft.ops.Mixture.mixSchedule(ok,
+      col("id"), col("src"), col("w")).count() == 2)
+    assert(graft.ops.EpochShuffle.shuffleScheduled(ok,
+      col("id"), col("src"), col("w"), "s", 2L).count() == 2)
   }
 
   test("mixRealize emits a kept_docs=0 datasheet row for a source whose " +
