@@ -119,6 +119,12 @@ object BenchDiff {
     }
   }
 
+  /** The convicted query set of one pairwise adjudication — the
+    * programmatic face of [[classify]] for [[SealCheck]], so the seal
+    * verifier and the CLI modes can never drift apart on thresholds. */
+  def convictionsOf(before: Run, after: Run): Set[String] =
+    classify(before, after)._1
+
   /** One pairwise adjudication, silent — returns (convicted query set,
     * all movers) for the stability intersection. */
   private def classify(before: Run, after: Run): (Set[String], Seq[Mover]) = {

@@ -53,6 +53,55 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("stride schedule closed form: every prefix holds every source's " +
+      "weighted share within O(#sources), keys non-negative and " +
+      "per-source strictly increasing — random weights up to 10^18") {
+    // pure-arithmetic mirror of Mixture.mixSchedule / EpochShuffle
+    // .scheduledAssign: key for source s's k-th draw is
+    // ⌊(2k−1)·W/(2w_s)⌋ in unbounded integers (the DECIMAL(38,0)
+    // plan arithmetic), sequence read key-ascending. The fixture
+    // specs measure drift ≤ 3–4 on two hand-built mixtures; this
+    // property pins the bound's SHAPE over random weight/count
+    // vectors including token-mass-scale weights (the wide face):
+    // a wrap, a negative key, or a front-loaded source (the
+    // weight-contract corruption modes) all blow the O(m) bound,
+    // which measured corruption-free drift never does.
+    val gen = for {
+      m <- Gen.choose(2, 6)
+      ws <- Gen.listOfN(m, Gen.oneOf(
+        Gen.choose(1L, 50L), Gen.choose(1L, 1000000000000000000L)))
+      ns <- Gen.listOfN(m, Gen.choose(1, 40))
+    } yield (ws.map(BigInt(_)), ns)
+    check("stride prefix fidelity")(Prop.forAll(gen) { case (ws, ns) =>
+      val m = ws.length
+      val W = ws.sum
+      val rows = (for {
+        s <- 0 until m
+        k <- 1 to ns(s)
+      } yield (((2 * k - 1) * W) / (2 * ws(s)), s, k)).sortBy(r => (r._1, r._2, r._3))
+      val keysOk = rows.forall(_._1 >= 0) && (0 until m).forall { s =>
+        val ks = rows.filter(_._2 == s).map(_._1)
+        ks.zip(ks.drop(1)).forall { case (a, b) => a < b }
+      }
+      // horizon: the last prefix where every source still has a draw
+      // left at its ideal rate (the spec convention — after a source
+      // exhausts, its share honestly decays)
+      val horizon = (0 until m).map(s => BigInt(ns(s)) * W / ws(s)).min
+        .min(BigInt(rows.length)).toInt
+      val bound = BigInt(m + 3)
+      val seen = Array.fill(m)(BigInt(0))
+      val driftOk = rows.take(horizon).zipWithIndex.forall {
+        case ((_, s, _), i) =>
+          seen(s) += 1
+          val t = BigInt(i + 1)
+          // |seen_s − t·w_s/W| ≤ bound, compared exactly at scale W
+          (0 until m).forall(src =>
+            (seen(src) * W - t * ws(src)).abs <= bound * W)
+      }
+      keysOk && driftOk
+    })
+  }
+
   test("EpochShuffle.shardCount is exactly max(1, ceil(total/target))") {
     check("shardCount ceil law")(Prop.forAll(
       Gen.chooseNum(0L, 1000000000000L), Gen.chooseNum(1L, 1000000000L)) {
