@@ -116,6 +116,91 @@ object Ann {
     topK(probes.join(asg, "cell").where(col("vid") =!= col("qid")), k)
   }
 
+  // ---- MIPS (maximum-inner-product search) ------------------------------
+
+  /** Top-k per query by EXACT integer inner product over fixed-point
+    * vectors — the MIPS analogue of [[rankCut]]'s cosine form. Candidate
+    * rows carry (qid, qf, vid, f); ties break by neighbor id. Integer
+    * sums are order-independent, so a DuckDB replay is bit-identical. */
+  private def ipTopK(cands: DataFrame, k: Int): DataFrame =
+    rankCut(cands.withColumn("ipd",
+      graft.exprs.Sq8.dot_int(col("qf"), col("f"))), col("ipd").desc, k)
+
+  /** MIPS truth tier: all-pairs exact integer inner product, O(Q×N) —
+    * the declared diagnostic baseline ([[brute]]'s standing). Inner
+    * product is NOT scale-invariant, so on a corpus with a norm spread
+    * this ranking genuinely differs from the cosine tiers (a unit-norm
+    * corpus degenerates MIPS to cosine — measured 100/100 shared top-5
+    * rows on the raw unit-norm fixture vs 41/100 under a 10× spread).
+    * queries: (qid, qf); corpus: (vid, f), both array<bigint>. */
+  def mipsBrute(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
+    ipTopK(queries.crossJoin(corpus).where(col("vid") =!= col("qid")), k)
+
+  /** MIPS scale path: IVF over the norm-augmentation reduction (the
+    * public Bachrach et al. 2014 / Shrivastava–Li 2014 transform).
+    * Augment corpus x → [x, e_x] with e_x = √(M² − ‖x‖²), M = max
+    * corpus norm, queries q → [q, 0]: augmented vectors all have norm
+    * M, augmented COSINE of (q̂, x̂) = ⟨q,x⟩/(‖q‖·M) — monotone in the
+    * inner product — so nearest-centroid IVF machinery applies to MIPS
+    * verbatim. Implemented in SCALAR form (never materializing the
+    * augmented arrays): assignment score ⟨x,c⟩ + e_x·e_c, probe score
+    * ⟨q,c⟩, candidate score ⟨q,x⟩ — every inner product an exact
+    * integer ([[graft.exprs.Sq8.dot_int]]), and the only float ops
+    * (√, one ·, one +) are single correctly-rounded IEEE operations on
+    * exactly-representable integers (< 2⁵³), so the DuckDB oracle is
+    * bit-identical with no sum-order caveat.
+    *
+    * Scale shape: M² is ONE combiner aggregate collected as a scalar
+    * (note: a second evaluation of `corpus`'s plan — snapshot expensive
+    * upstreams, the module's two-consumers rule); the centroid table is
+    * collected (k·dim, the kmeans/PQ model-constant discipline) and
+    * folded into a MAP-ONLY argmin-of-struct-array assignment (zero
+    * exchange — the [[cellAssign]] maxRank=1 story); probes (Q×nProbe
+    * rows) broadcast into the candidate join, so the only exchange in
+    * the whole plan is the final per-query rank window over the
+    * cell-bounded candidate set.
+    *
+    * queries: (qid, qf); corpus: (vid, f); centroids: (cid, cf) —
+    * all vectors fixed-point array<bigint>. Ties: assignment and probe
+    * by cid asc, final ranking by neighbor id asc. */
+  def mipsIvf(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      nProbe: Int, k: Int): DataFrame = {
+    val self = graft.exprs.Sq8.dot_int(col("f"), col("f"))
+    val m2 = corpus.agg(max(self)).collect()(0).getLong(0)
+    val centArr = centroids
+      .select(col("cid").cast("long"), col("cf"))
+      .collect()
+      .map { r =>
+        val cf = r.getSeq[Long](1).toArray
+        var acc = 0L
+        var i = 0
+        while (i < cf.length) { acc += cf(i) * cf(i); i += 1 }
+        (r.getLong(0), cf, math.sqrt(math.max(0L, m2 - acc).toDouble))
+      }
+      .sortBy(_._1)
+    require(centArr.nonEmpty, "mipsIvf: empty centroid table")
+    // e_x once per corpus row; per-centroid scores as one array of
+    // structs, argmax by (score desc, cid asc) ≡ array_min of (−score,
+    // cid) under lexicographic struct ordering — map-only, codegen'd.
+    val eX = sqrt(greatest(lit(m2) - self, lit(0L)).cast("double"))
+    val asg = corpus.withColumn("cell",
+      array_min(array(centArr.map { case (cid, cf, eC) =>
+        struct(
+          (-(graft.exprs.Sq8.dot_int(col("f"), typedLit(cf.toSeq)).cast("double")
+            + eX * lit(eC))).as("ns"),
+          lit(cid).as("c"))
+      }: _*)).getField("c"))
+    // probe ranking needs no augmentation term (e_q = 0): pure integer
+    // ⟨q,c⟩ desc, cid asc — sort the tiny struct array, take nProbe.
+    val probes = queries.withColumn("pc",
+        explode(slice(array_sort(array(centArr.map { case (cid, cf, _) =>
+          struct((-graft.exprs.Sq8.dot_int(col("qf"), typedLit(cf.toSeq))).as("ns"),
+            lit(cid).as("c"))
+        }: _*)), 1, nProbe)))
+      .select(col("qid"), col("qf"), col("pc").getField("c").as("cell"))
+    ipTopK(broadcast(probes).join(asg, "cell").where(col("vid") =!= col("qid")), k)
+  }
+
   /** corpus: (vid, v); queries are selected by `isQuery` over vid. Builds
     * `planes` signed projections split evenly into `tables` bucket
     * tables; a candidate matches if ANY table's bucket matches. `dim` is

@@ -369,6 +369,82 @@ object PipelineQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Fixed-point norm-spread MIPS fixture: the
+    * [[knn_serving_recall_sq8_norms]] `(vid % 10 + 1)` deterministic 10×
+    * norm spread (a stand-in for popularity-scaled recommender / item
+    * vectors) applied as an exact INTEGER scale to the round(x·10⁶)
+    * BIGINT quantization (the [[graft.ops.Ann.kmeansStep]] fixed-point
+    * convention), so every inner product downstream is exact integer
+    * arithmetic — sum-order-independent, bit-identical in DuckDB. The
+    * spread is the point: the raw embeddings fixture is UNIT-NORM, on
+    * which MIPS degenerates to cosine (measured 100/100 shared top-5
+    * rows); under the spread the two objectives diverge (41/100). Max
+    * element ≤ 10·10⁶ ⇒ dots ≤ 64·10¹⁴ < 2⁵³, exact as doubles too. */
+  private def mipsCorpus(s: SparkSession, dir: String): DataFrame =
+    corpus(s, dir).select(col("vid"),
+      expr("transform(v, x -> (1 + vid % 10) * " +
+        "CAST(round(CAST(x AS DOUBLE) * 1000000.0D) AS BIGINT))").as("f"))
+
+  /** MIPS truth tier over the norm-spread fixture — exact integer
+    * inner-product top-5 for the 20 query vectors, the dot-product
+    * analogue of [[knn_brute]] (declared diagnostic O(Q×N) standing).
+    * See [[graft.ops.Ann.mipsBrute]]. */
+  val knn_mips: Q = (s, dir) => {
+    val e = mipsCorpus(s, dir)
+    Ann.mipsBrute(
+      e.where(col("vid") < 20).select(col("vid").as("qid"), col("f").as("qf")),
+      e, k = 5)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** MIPS production tier: IVF via the norm-augmentation reduction
+    * (assignment score ⟨x,c⟩ + e_x·e_c, probe by ⟨q,c⟩, nProbe=2,
+    * deterministic vid<16 centroids — the [[knn_ivf]] quantizer
+    * convention). Map-only assignment, broadcast probes, ONE exchange
+    * (the final rank window). See [[graft.ops.Ann.mipsIvf]]. */
+  val knn_mips_ivf: Q = (s, dir) => {
+    val e = mipsCorpus(s, dir)
+    Ann.mipsIvf(
+      e.where(col("vid") < 20).select(col("vid").as("qid"), col("f").as("qf")),
+      e,
+      e.where(col("vid") < 16).select(col("vid").as("cid"), col("f").as("cf")),
+      nProbe = 2, k = 5)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Recall@5 of the augmented-IVF MIPS tier against the exact MIPS
+    * truth tier — the [[knn_recall]] acceptance-gate shape for the
+    * dot-product objective: (qid, hits ∈ [0,5]), one row per query.
+    * Prices exactly what the augmentation hands to the coarse
+    * quantizer: high-norm vectors concentrate near the augmented
+    * "equator" cells, so probe shortfalls hit the norm-heavy true
+    * neighbors first — the MIPS-specific failure mode this gate
+    * watches. Same caveat as [[knn_recall]]: vid<16 centroids make 16
+    * of 20 queries centroids of their own cells (kept deliberately as
+    * the measured contrast cue).
+    *
+    * Measured (2026-08-16, oracle-exact both SFs): recall@5 0.55 at
+    * sf0.01, 0.61 at sf0.1 with the fixed vid<16 quantizer at
+    * nProbe=2 — the legacy-tier level ([[knn_recall]]'s own curve),
+    * priced by the same cure ([[knn_recall_scaled]]'s √n trained
+    * centroids) if a deployment needs more. */
+  val knn_mips_recall: Q = (s, dir) => {
+    val e = mipsCorpus(s, dir)
+    val qs = e.where(col("vid") < 20)
+      .select(col("vid").as("qid"), col("f").as("qf"))
+    val exact = Ann.mipsBrute(qs, e, k = 5).select(col("qid"), col("neighbor"))
+    val approx = Ann.mipsIvf(qs, e,
+        e.where(col("vid") < 16).select(col("vid").as("cid"), col("f").as("cf")),
+        nProbe = 2, k = 5)
+      .select(col("qid"), col("neighbor"))
+    val inter = exact.join(approx, Seq("qid", "neighbor"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+    e.where(col("vid") < 20).select(col("vid").as("qid"))
+      .join(inter, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"))
+      .orderBy(col("qid"))
+  }
+
   // ---- text analysis ----------------------------------------------------
 
   /** Corpus bigram top-20 (collocation mining): flat (doc, pos, token)
@@ -2674,6 +2750,9 @@ object PipelineQueries {
     "knn_brute" -> knn_brute,
     "knn_cell" -> knn_cell,
     "knn_ivf" -> knn_ivf,
+    "knn_mips" -> knn_mips,
+    "knn_mips_ivf" -> knn_mips_ivf,
+    "knn_mips_recall" -> knn_mips_recall,
     "text_bigrams" -> text_bigrams,
     "mm_frame_sample" -> mm_frame_sample,
     "text_token_count" -> text_token_count,
@@ -3334,6 +3413,72 @@ object PipelineQueries {
       |        ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cid ASC) AS crn
       |    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 20)
       |  WHERE crn <= 2)""".stripMargin
+
+  /** MIPS CTE chain (`mf` → `msd` → `mm` [+ `mcent`/`masg`/`mprobes`/
+    * `mappr`, `mex`]) — ONE definition of the norm-spread fixed-point
+    * fixture ([[mipsCorpus]]'s transform verbatim), the self-dot table,
+    * the M² scalar, and (for the IVF tiers) the augmented assignment /
+    * probe / candidate chain mirroring [[graft.ops.Ann.mipsIvf]]'s
+    * scalar-form arithmetic: integer dots are exact BIGINT sums
+    * (order-independent), the augmentation term is
+    * sqrt(CAST(greatest(m2−sd,0) AS DOUBLE)) — the same single
+    * correctly-rounded IEEE ops the Spark expression performs, so the
+    * scores are bit-identical across engines. */
+  private val mipsCtes =
+    """mf AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> (1 + vec_id % 10) * CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS f
+      |  FROM embeddings),
+      |msd AS (
+      |  SELECT vec_id, f,
+      |    CAST(list_sum(list_transform(range(64), i -> f[i+1] * f[i+1])) AS BIGINT) AS sd
+      |  FROM mf),
+      |mm AS (SELECT max(sd) AS m2 FROM msd)""".stripMargin
+
+  /** Exact MIPS top-5 CTE (`mex`) — [[knn_mips]]'s ranking as a shared
+    * fragment ([[knn_mips]], [[knn_mips_recall]]). */
+  private val mipsExactCte =
+    """mex AS (
+      |  SELECT qid, rank, neighbor FROM (
+      |    SELECT q.vec_id AS qid, e.vec_id AS neighbor,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_sum(list_transform(range(64), i -> q.f[i+1] * e.f[i+1])) DESC,
+      |          e.vec_id ASC) AS rank
+      |    FROM mf q CROSS JOIN mf e WHERE q.vec_id < 20 AND e.vec_id <> q.vec_id)
+      |  WHERE rank <= 5)""".stripMargin
+
+  /** Augmented-IVF MIPS candidate CTE chain (`mcent` → `masg` →
+    * `mprobes` → `mappr`) — shared by [[knn_mips_ivf]] and
+    * [[knn_mips_recall]]. */
+  private val mipsIvfCtes =
+    """mcent AS (SELECT vec_id AS cid, f, sd FROM msd WHERE vec_id < 16),
+      |masg AS (
+      |  SELECT vec_id, f, cid AS cell FROM (
+      |    SELECT e.vec_id, e.f, c.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        (CAST(list_sum(list_transform(range(64), i -> e.f[i+1] * c.f[i+1])) AS DOUBLE)
+      |         + sqrt(CAST(greatest(mm.m2 - e.sd, 0) AS DOUBLE))
+      |         * sqrt(CAST(greatest(mm.m2 - c.sd, 0) AS DOUBLE))) DESC,
+      |        c.cid ASC) AS crn
+      |    FROM msd e CROSS JOIN mcent c CROSS JOIN mm)
+      |  WHERE crn = 1),
+      |mprobes AS (
+      |  SELECT qid, f, cell FROM (
+      |    SELECT e.vec_id AS qid, e.f, c.cid AS cell,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_sum(list_transform(range(64), i -> e.f[i+1] * c.f[i+1])) DESC,
+      |        c.cid ASC) AS crn
+      |    FROM msd e CROSS JOIN mcent c WHERE e.vec_id < 20)
+      |  WHERE crn <= 2),
+      |mappr AS (
+      |  SELECT qid, rank, neighbor FROM (
+      |    SELECT p.qid, a.vec_id AS neighbor,
+      |      row_number() OVER (PARTITION BY p.qid ORDER BY
+      |        list_sum(list_transform(range(64), i -> p.f[i+1] * a.f[i+1])) DESC,
+      |        a.vec_id ASC) AS rank
+      |    FROM mprobes p JOIN masg a ON a.cell = p.cell
+      |    WHERE a.vec_id <> p.qid)
+      |  WHERE rank <= 5)""".stripMargin
 
   /** int8 scalar-quantization CTE chain (`st` → `mnx` → `q`): per-dim
     * min/max, 256-bin floor quantization — shared by the all-pairs and
@@ -5665,6 +5810,25 @@ object PipelineQueries {
          |  WHERE a.vec_id <> p.qid)
          |SELECT qid, rank, neighbor FROM cand WHERE rank <= 5
          |ORDER BY qid, rank""".stripMargin,
+    "knn_mips" ->
+      s"""WITH $mipsCtes,
+         |$mipsExactCte
+         |SELECT qid, rank, neighbor FROM mex ORDER BY qid, rank""".stripMargin,
+    "knn_mips_ivf" ->
+      s"""WITH $mipsCtes,
+         |$mipsIvfCtes
+         |SELECT qid, rank, neighbor FROM mappr ORDER BY qid, rank""".stripMargin,
+    "knn_mips_recall" ->
+      s"""WITH $mipsCtes,
+         |$mipsExactCte,
+         |$mipsIvfCtes,
+         |mh AS (
+         |  SELECT x.qid, count(*) AS hits FROM mex x
+         |  JOIN mappr a ON a.qid = x.qid AND a.neighbor = x.neighbor
+         |  GROUP BY x.qid)
+         |SELECT e.vec_id AS qid, coalesce(mh.hits, 0) AS hits
+         |FROM embeddings e LEFT JOIN mh ON mh.qid = e.vec_id
+         |WHERE e.vec_id < 20 ORDER BY qid""".stripMargin,
     "text_bigrams" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |bi AS (

@@ -16,7 +16,9 @@ package graft.tools
   * shared code, so the thresholds cannot drift) and asserts:
   *
   *   1. the four artifacts parse, carry full wall+cpu columns (not
-  *      salvaged tail fragments), and agree on registry size;
+  *      salvaged tail fragments); the three sealed-HEAD runs cover the
+  *      IDENTICAL registry and the prior seal's registry is a subset
+  *      of it (growth-only — new gates have no prior row);
   *   2. each run of the sealed HEAD reports `failed: 0` and an empty
   *      `flapped` list (no self-flagged storm rows);
   *   3. pairwise prior-seal → new-seal convicts NOTHING (the r20 seal
@@ -48,9 +50,19 @@ object SealCheck {
       runs.values.forall(r => !r.salvaged && r.cpu.nonEmpty),
       paths.map(p => s"${name(p)}: salvaged=${runs(p).salvaged} " +
         s"cpu=${runs(p).cpu.size}").mkString("; "))
-    checks += Check("registry size uniform across artifacts",
-      runs.values.map(_.wall.size).toSet.size == 1,
-      paths.map(p => s"${name(p)}=${runs(p).wall.size}").mkString(", "))
+    // the three sealed-HEAD runs must cover the IDENTICAL registry;
+    // the prior seal may be a SUBSET (the registry only grows between
+    // rounds — new gates have no prior and pairwise ignores them), but
+    // never a superset (a dropped query would silently vanish from
+    // every adjudication face)
+    val sealNames = runs(seal).wall.keySet
+    checks += Check("registry names: sealed-HEAD runs identical, prior a subset",
+      Seq(base1, base2).forall(p => runs(p).wall.keySet == sealNames) &&
+        runs(prior).wall.keySet.subsetOf(sealNames),
+      paths.map(p => s"${name(p)}=${runs(p).wall.size}").mkString(", ") + {
+        val grown = sealNames.diff(runs(prior).wall.keySet)
+        if (grown.isEmpty) "" else s" (new since prior: ${grown.toList.sorted.mkString(", ")})"
+      })
 
     // failed: 0 + flapped: [] on every run of the sealed HEAD
     for (p <- Seq(base1, base2, seal)) {

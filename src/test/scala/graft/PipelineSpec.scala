@@ -42,6 +42,65 @@ class PipelineSpec extends AnyFunSuite {
     assert(brute.groupBy(_._1).forall(_._2.size == 5))
   }
 
+  test("mipsBrute ranks by exact integer inner product (not cosine)") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, Seq(10L, 0L)),  // dot 10 to q — but cosine 1.0 ties with v2
+      (1L, Seq(0L, 10L)),  // dot 0
+      (2L, Seq(3L, 0L)),   // dot 3, same direction as v0
+      (3L, Seq(-10L, 0L))  // dot -10
+    ).toDF("vid", "f")
+    val qs = Seq((100L, Seq(1L, 0L))).toDF("qid", "qf")
+    val got = graft.ops.Ann.mipsBrute(qs, corpus, k = 4)
+      .orderBy(col("rank")).collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    // inner-product order 10 > 3 > 0 > -10; cosine would TIE v0 and v2
+    assert(got == Seq((1, 0L), (2, 2L), (3, 1L), (4, 3L)), s"got $got")
+  }
+
+  test("mipsIvf assignment uses the norm-augmentation term, not the plain dot") {
+    import spark.implicits._
+    // m2 = 100 (v0). v1=(1,0): plain dot favors c0 (10 vs 0), but the
+    // augmented score is c0: 10 + sqrt(99)*0 = 10 vs c1: 0 + sqrt(99)*
+    // sqrt(99) = 99 — the augmentation moves v1 into the LOW-NORM
+    // centroid's cell, which is the whole point of the reduction.
+    val corpus = Seq((0L, Seq(10L, 0L)), (1L, Seq(1L, 0L))).toDF("vid", "f")
+    val cents = Seq((0L, Seq(10L, 0L)), (1L, Seq(0L, 1L))).toDF("cid", "cf")
+    val qs = Seq((100L, Seq(1L, 0L))).toDF("qid", "qf")
+    // q probes by plain <q,c>: c0 first. nProbe=1 sees ONLY cell c0 =
+    // {v0} — v1 is absent because augmentation re-homed it.
+    val p1 = graft.ops.Ann.mipsIvf(qs, corpus, cents, nProbe = 1, k = 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    assert(p1 == Seq((1, 0L)), s"nProbe=1 must see only cell c0: $p1")
+    // nProbe=2 probes both cells: full ranking by inner product.
+    val p2 = graft.ops.Ann.mipsIvf(qs, corpus, cents, nProbe = 2, k = 2)
+      .orderBy(col("rank")).collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    assert(p2 == Seq((1, 0L), (2, 1L)), s"got $p2")
+  }
+
+  test("MIPS and cosine objectives genuinely diverge on the norm-spread fixture") {
+    val mips = PipelineQueries.knn_mips(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val cos = PipelineQueries.knn_brute(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(mips.size == 100 && cos.size == 100)
+    val shared = mips.intersect(cos).size
+    // identical sets would mean the spread fixture degenerated (the
+    // unit-norm failure mode the mipsCorpus scaladoc documents)
+    assert(shared < 100, s"MIPS top-5 must differ from cosine top-5, shared=$shared")
+  }
+
+  test("knn_mips_recall composes the two public MIPS tiers: 20 rows, hits = |exact ∩ ivf|") {
+    val rows = PipelineQueries.knn_mips_recall(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == 20 && rows.forall { case (_, h) => h >= 0 && h <= 5 })
+    val exact = PipelineQueries.knn_mips(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val appr = PipelineQueries.knn_mips_ivf(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(rows.map(_._2).sum == exact.intersect(appr).size,
+      "per-query hits must sum to the tier intersection")
+  }
+
   test("kgramOverlap counts positions of cross-doc grams; within-doc repeats don't count") {
     import spark.implicits._
     val df = Seq(

@@ -83,6 +83,29 @@ class PlanSpec extends AnyFunSuite {
       s"no un-broadcast cartesian anywhere:\n$plan")
   }
 
+  test("knn_mips_ivf: map-only augmented assignment, broadcast probes, " +
+      "ONE corpus exchange (the rank window) — never cartesian") {
+    val plan = formatted(graft.queries.PipelineQueries.knn_mips_ivf(spark, sf))
+    // probes (Q x nProbe rows) broadcast into the candidate join; the
+    // centroid table is folded into map-side expressions (collected
+    // model constants), so there is NO join against it at all
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probes must broadcast onto the assigned corpus:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"assignment must be the map-only struct-array argmin, not a join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // corpus-side cost is ONE hash exchange: the final per-query rank
+    // window (the query's display orderBy adds a rangepartitioning on
+    // top — not an operator cost)
+    val hashEx = plan.linesIterator
+      .count(_.contains("Arguments: hashpartitioning"))
+    assert(hashEx == 1,
+      s"expected exactly the rank-window hash exchange, got $hashEx:\n$plan")
+    // and the rank cut is the pushed-down group-limit, not a full sort
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("knn_lsh joins the tiny query side by broadcast, no cartesian") {
     val plan = formatted(graft.queries.PipelineQueries.knn_lsh(spark, sf))
     assert(plan.contains("BroadcastHashJoin"),
@@ -530,6 +553,8 @@ class PlanSpec extends AnyFunSuite {
     // trips this must either fix its join keys or justify itself here.
     val declared: Map[String, String] = Map(
       "knn_brute" -> "labeled exact O(Q*N) baseline (Ann.scaladoc)",
+      "knn_mips" -> "labeled exact O(Q*N) MIPS baseline (Ann.mipsBrute scaladoc)",
+      "knn_mips_recall" -> "composes knn_mips as its ground truth",
       "knn_recall" -> "composes knn_brute as its ground truth",
       "knn_recall_scaled" -> "composes knn_brute truth + sqrt(n) centroid assignment",
       "knn_serving_recall" -> "composes knn_brute truth + query-side probe assignment (corpus layout is the map-only nearest_cells expression)",

@@ -28,6 +28,27 @@ class SealCheckSpec extends AnyFunSuite {
     for (c <- checks) assert(c.ok, s"${c.name}: ${c.detail}")
   }
 
+  test("registry-names check fails when a sealed-HEAD run drops a query") {
+    // delete one query from base1's wall+cpu maps: the sealed-HEAD runs
+    // no longer cover the identical registry — the names check must
+    // fire (a silently vanished query would escape every adjudication)
+    val base1 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/BENCH_r20_base1.json")), "UTF-8")
+    val n = graft.exprs.JsonSupport.parse(base1)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val q = n.get("queries").properties().iterator().next().getKey
+    n.get("queries").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode].remove(q)
+    n.get("cpu").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode].remove(q)
+    val dir = java.nio.file.Files.createTempDirectory("sealcheck")
+    val dropped = dir.resolve("dropped.json")
+    java.nio.file.Files.write(dropped, n.toString.getBytes("UTF-8"))
+    val checks = graft.tools.SealCheck.run(
+      s"$root/BENCH_r19_local_full.json", dropped.toString,
+      s"$root/BENCH_r20_base2.json", s"$root/BENCH_r20_local_full.json")
+    val names = checks.find(_.name.startsWith("registry names")).get
+    assert(!names.ok, names.detail)
+  }
+
   test("SealCheck's failure face fires on a doctored artifact") {
     // clone the seal with one query's cpu tripled in EVERY artifact's
     // after-position: a regression that holds against all baselines
