@@ -160,6 +160,15 @@ object Ann {
     * the whole plan is the final per-query rank window over the
     * cell-bounded candidate set.
     *
+    * Economics, measured ([[graft.tools.ProbeMips]]): the FUSED form
+    * re-pays the O(N·nlist) assignment every call, so single-batch it
+    * never beats [[mipsBrute]] (whose cost is O(N·Q)) — the candidate
+    * bound (5.8 % → 2.0 % of the corpus per query at x1 → x100 under
+    * √n sizing) is the serve cost once a deployment PERSISTS the
+    * assignment ([[graft.engine.AnnIndex]]'s layout; e_x is one extra
+    * column). Keep this form for gates and one-shot jobs; keep
+    * [[mipsBrute]] below ~10⁵ vectors.
+    *
     * queries: (qid, qf); corpus: (vid, f); centroids: (cid, cf) —
     * all vectors fixed-point array<bigint>. Ties: assignment and probe
     * by cid asc, final ranking by neighbor id asc. */
