@@ -119,12 +119,31 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val prior = sys.env.get("SPARK_GRAFT_PRIOR_BENCH")
       .map(readPrior).getOrElse(Map.empty)
-    val spark = SparkSession.builder()
+    // Extra session conf via env (r20): "k=v;k=v" applied LAST, so a
+    // deployment can pin scale-dependent settings (shuffle partitions,
+    // codec, join strategy) without editing the bench — and an A/B run
+    // can measure one config against the default on identical code. The
+    // local default is EMPTY: the driver's bench runs the settings below,
+    // comparable round to round.
+    val extra = sys.env.getOrElse("SPARK_GRAFT_EXTRA_CONF", "")
+      .split(";").map(_.trim).filter(_.contains("="))
+      .map { kv => val i = kv.indexOf('='); (kv.take(i), kv.drop(i + 1)) }
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // r20 (guide §3.1/§9): let the planner pick shuffled-hash over
+      // sort-merge when its size conditions hold — every mid-size join in
+      // the registry (band/cell/pair tables) then skips both sort passes.
+      // Same-session A/B over a 10-query subset: wall −16%, cpu −12%,
+      // no regressions outside noise (OPTIMIZATION_r20.md). NOT a
+      // local-only knob: the operators' join sides are bounded (bands,
+      // cells, per-group tables), which is exactly SHJ's safety
+      // condition; AQE still rewrites to broadcast when a side is tiny.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    val spark = extra.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

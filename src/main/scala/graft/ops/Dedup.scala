@@ -774,16 +774,25 @@ object Dedup {
     var round = 0
     var converged = edges.isEmpty // an empty graph is already a fixpoint
     while (!converged && round < maxRounds) {
-      val next = cut(smallStar(largeStar(edges)))
       // Both sides are distinct canonically-oriented sets, so set equality
-      // is "no edge appears on exactly one side" — ONE full-outer join +
-      // isEmpty, one Spark job per round (count+count+except was three).
-      converged = next.select(col("u"), col("v"), lit(1).as("__l"))
+      // is "no edge appears on exactly one side". The round's contraction
+      // and its convergence check share ONE materialization (r20
+      // optimization, guide §2.4 "two operations keyed the same way share
+      // one exchange"): the full-outer join against the previous edges is
+      // what gets checkpointed, so the check's isEmpty and the next
+      // round's reads both scan the cached join output — previously each
+      // round materialized `next` AND THEN ran a second full pass (join of
+      // two checkpointed sets) just for the check. The contraction's
+      // trailing distinct() already hash-partitions on (u, v), the join
+      // key, so the fused join adds no exchange over `next`.
+      val flagged = cut(smallStar(largeStar(edges))
+        .withColumn("__l", lit(1))
         .join(edges.select(col("u"), col("v"), lit(1).as("__r")),
-          Seq("u", "v"), "full_outer")
+          Seq("u", "v"), "full_outer"))
+      converged = flagged
         .where(col("__l").isNull || col("__r").isNull)
         .isEmpty
-      edges = next
+      edges = flagged.where(col("__l").isNotNull).select(col("u"), col("v"))
       round += 1
     }
     // A silent early exit would return plausible-but-wrong canon ids

@@ -313,12 +313,18 @@ object PipelineQueries {
     val e = table(s, dir, "embeddings")
     val a = e.select(col("vec_id").as("a"), col("embedding").as("va"))
     val b = e.select(col("vec_id").as("b"), col("embedding").as("vb"))
+    // Snapshot both pair sets: each is consumed twice (hit join + count),
+    // and the truth side is the O(n²) brute cosine — without the snapshot
+    // the full cross-join cosine pass runs twice per invocation (r20
+    // optimization, same two-consumers rule as recallReport).
     val truth = a.crossJoin(b).where(col("a") < col("b"))
       .where(graft.exprs.CosineSimilarity
         .cosine_similarity(col("va"), col("vb")) >= 0.4)
       .select(col("a"), col("b"))
+      .localCheckpoint(eager = false)
     val cand = Dedup.embeddingCosine(e, col("vec_id"), col("embedding"),
       col("label"), threshold = 0.4)
+      .localCheckpoint(eager = false)
     val hit = truth.join(cand, Seq("a", "b")).agg(count(lit(1)).as("n_hit"))
     val nt = truth.agg(count(lit(1)).as("n_true"))
     val nc = cand.agg(count(lit(1)).as("n_cand"))
@@ -1164,17 +1170,28 @@ object PipelineQueries {
     * curation run actually executes. Scale shape: ONE corpus scan, one
     * content-hash shuffle, one source-keyed aggregate. */
   val pipe_curate: Q = (s, dir) => {
+    // r20 (guide §2.3 "project before the exchange"): everything past the
+    // Gopher filter needs only (doc_id, source, content hash, token
+    // count) — computing them BEFORE the dedup window and dropping `text`
+    // narrows the window's content-hash exchange from document bytes to
+    // ~50 bytes/row. The token count now computes on every Gopher keeper
+    // instead of only dedup winners — a per-row map traded for not
+    // shipping the corpus text through a shuffle, the §8 "decide with
+    // small rows" rule. Values are identical: n_tok/source are pure
+    // row-functions, the window key and order are unchanged.
     val survivors = docs(s, dir)
       .where(graft.ops.TextAnalysis.gopherKeep(col("text"),
         stopwords = GopherStops,
         minWords = GopherMinWords, maxWords = GopherMaxWords))
+      .select(col("doc_id"), col("source"), md5(col("text")).as("__h"),
+        size(tokenizeDefault(col("text"))).cast("long").as("__n_tok"))
       .withColumn("rn", row_number().over(
-        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+        Window.partitionBy(col("__h")).orderBy(col("doc_id"))))
       .where(col("rn") === 1)
     graft.ops.Mixture.mixAllocation(
       survivors,
       col("source"),
-      size(tokenizeDefault(col("text"))).cast("long"),
+      col("__n_tok"),
       pmod(substring(col("source"), 4, 10).cast("long"), lit(3)) + 1)
       .orderBy(col("source"))
   }
@@ -1200,13 +1217,16 @@ object PipelineQueries {
       .where(graft.ops.TextAnalysis.gopherKeep(col("text"),
         stopwords = GopherStops,
         minWords = GopherMinWords, maxWords = GopherMaxWords))
+      // project before the window exchange — see pipe_curate (r20, §2.3)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("__h"),
+        size(tokenizeDefault(col("text"))).cast("long").as("__n_tok"))
       .withColumn("rn", row_number().over(
-        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+        Window.partitionBy(col("__h")).orderBy(col("doc_id"))))
       .where(col("rn") === 1)
     graft.ops.Mixture.mixAllocation(
       survivors,
       col("source"),
-      size(tokenizeDefault(col("text"))).cast("long"),
+      col("__n_tok"),
       pmod(substring(col("source"), 4, 10).cast("long"), lit(3)) + 1)
       .orderBy(col("source"))
   }
@@ -1237,13 +1257,16 @@ object PipelineQueries {
       .where(graft.ops.TextAnalysis.gopherKeep(col("text"),
         stopwords = GopherStops,
         minWords = GopherMinWords, maxWords = GopherMaxWords))
+      // project before the window exchange — see pipe_curate (r20, §2.3)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("__h"),
+        size(tokenizeDefault(col("text"))).cast("long").as("__n_tok"))
       .withColumn("rn", row_number().over(
-        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+        Window.partitionBy(col("__h")).orderBy(col("doc_id"))))
       .where(col("rn") === 1)
     graft.ops.Mixture.mixAllocation(
       survivors,
       col("source"),
-      size(tokenizeDefault(col("text"))).cast("long"),
+      col("__n_tok"),
       pmod(substring(col("source"), 4, 10).cast("long"), lit(3)) + 1)
       .orderBy(col("source"))
   }
@@ -1442,13 +1465,16 @@ object PipelineQueries {
     val keepers = docs(s, dir)
       .join(mlKeep, Seq("doc_id")).join(quotaKeep, Seq("doc_id"))
     val survivors = keepers
+      // project before the window exchange — see pipe_curate (r20, §2.3)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("__h"),
+        size(tokenizeDefault(col("text"))).cast("long").as("__n_tok"))
       .withColumn("rn", row_number().over(
-        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+        Window.partitionBy(col("__h")).orderBy(col("doc_id"))))
       .where(col("rn") === 1)
     graft.ops.Mixture.mixAllocation(
       survivors,
       col("source"),
-      size(tokenizeDefault(col("text"))).cast("long"),
+      col("__n_tok"),
       pmod(substring(col("source"), 4, 10).cast("long"), lit(3)) + 1)
       .orderBy(col("source"))
   }
@@ -1607,12 +1633,18 @@ object PipelineQueries {
     // set; snapshot — both orientations consume it
     val pairs = Dedup.ngramJaccardPrefix(shingled(s, dir), threshold = 0.5)
       .localCheckpoint(eager = false)
+    // r20: sh3 feeds BOTH sides of the scoring join, and `scored` — the
+    // whole pairs + two-join + array_intersect chain — is consumed twice
+    // by the orientation union below; without snapshots each ran twice
+    // per invocation (two-consumers rule, guide §1/§5).
     val sh3 = Dedup.shingles(tokenized(s, dir), col("doc_id"), col("toks"), 3)
+      .localCheckpoint(eager = false)
     val scored = pairs
       .join(sh3.select(col("doc_id").as("a"), col("shingles").as("g3a")), "a")
       .join(sh3.select(col("doc_id").as("b"), col("shingles").as("g3b")), "b")
       .select(col("a"), col("b"),
         size(array_intersect(col("g3a"), col("g3b"))).cast("long").as("shared"))
+      .localCheckpoint(eager = false)
     val oriented = scored
       .select(col("a").as("qid"), col("b").as("cand"), col("shared"))
       .unionByName(scored
@@ -1897,13 +1929,16 @@ object PipelineQueries {
       .where(col("keep")).select(col("id").as("doc_id"))
     val survivors = docs(s, dir)
       .join(learnedKeep, Seq("doc_id"))
+      // project before the window exchange — see pipe_curate (r20, §2.3)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("__h"),
+        size(tokenizeDefault(col("text"))).cast("long").as("__n_tok"))
       .withColumn("rn", row_number().over(
-        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+        Window.partitionBy(col("__h")).orderBy(col("doc_id"))))
       .where(col("rn") === 1)
     graft.ops.Mixture.mixAllocation(
       survivors,
       col("source"),
-      size(tokenizeDefault(col("text"))).cast("long"),
+      col("__n_tok"),
       pmod(substring(col("source"), 4, 10).cast("long"), lit(3)) + 1)
       .orderBy(col("source"))
   }
@@ -2095,7 +2130,14 @@ object PipelineQueries {
     * definition for every recall gate (LSH, SimHash), mirrored by
     * `recallReportSql` on the oracle side so the ppm convention cannot
     * drift between gates or engines. */
-  private def recallReport(truth: DataFrame, cand: DataFrame): DataFrame = {
+  private def recallReport(truth0: DataFrame, cand0: DataFrame): DataFrame = {
+    // Two consumers each (hit join + its own count): snapshot, or the
+    // expensive pair tiers behind them — the posting join behind the
+    // Jaccard truth set, the signature chain behind the candidates —
+    // execute twice per run (r20 optimization: the module's two-consumers
+    // rule applied to the report itself; wall/cpu measured ~2× before).
+    val truth = truth0.localCheckpoint(eager = false)
+    val cand = cand0.localCheckpoint(eager = false)
     val hit = truth.join(cand, Seq("a", "b")).agg(count(lit(1)).as("n_hit"))
     val nt = truth.agg(count(lit(1)).as("n_true"))
     val nc = cand.agg(count(lit(1)).as("n_cand"))

@@ -291,6 +291,18 @@ object SketchQueries {
     * Scale shape: the distinct shuffle is the same price exact COUNT
     * DISTINCT pays; everything after rides ≤ groups × 256 rows. */
   val sketch_kmv_setops: Q = (s, dir) => {
+    // r20 optimization (guide §2.4): the corpus-wide passes over lineitem
+    // drop from five (sketch distinct, per-flag countDistinct, union
+    // countDistinct, two intersection distincts + their join) to THREE
+    // independent ones — the sketch's own distinct, the per-flag exact
+    // aggregate, and ONE orderkey-keyed pass (`exBoth`) answering union
+    // AND intersection together. The three stay independent branches of
+    // one lazy snapshot rather than children of a shared distinct: a
+    // shared-distinct form was built and paired-A/B'd (ProbeR20
+    // "kmv-shared-distinct") — its checkpoint barrier serializes work the
+    // scheduler otherwise overlaps, costing 1.27× wall locally for flat
+    // cpu; at cluster scale the shared distinct wins on shuffled bytes
+    // and the trade is documented here rather than hard-coded.
     val li = table(s, dir, "lineitem")
       .select(col("l_returnflag").as("grp"),
         col("l_orderkey").cast("string").as("k"), col("l_orderkey"))
@@ -302,23 +314,45 @@ object SketchQueries {
         col("est_distinct").as("est"))
     val a = sk.where(col("grp") === "A")
     val n = sk.where(col("grp") === "N")
-    val unionEst = Sketch.kmvEstimate(
-      Sketch.kmvMerge(a.unionByName(n), "A+N", KmvK), KmvK)
+    // The A∪N bottom-k is built ONCE and feeds both the union estimate
+    // and the theta-trick intersection (r20: kmvIntersect internally
+    // re-merged the same two sketches — the estimate is a pure function
+    // of the retained hashes, so grp naming aside the two merges were
+    // identical work; one more §2.4 duplicate-pass removal). sk rows are
+    // distinct (grp, h) by construction, so the per-side match probes
+    // need no re-distinct.
+    val u = Sketch.kmvMerge(a.unionByName(n), "A+N", KmvK)
+      .localCheckpoint(eager = false) // union est + theta threshold + match
+    val unionEst = Sketch.kmvEstimate(u, KmvK)
       .select(lit("union:A+N").as("op"), col("est_distinct").as("est"))
-    val interEst = Sketch.kmvIntersect(a, n, KmvK)
-      .select(lit("inter:A*N").as("op"), col("est_inter").as("est"))
+    val uEst = Sketch.kmvEstimate(u, KmvK)
+      .select(col("est_distinct").as("est_union"))
+    val kept = u.agg(count(lit(1)).cast("long").as("k_kept"))
+    val matched = u.join(a.select(col("h")), "h")
+      .join(n.select(col("h")), "h")
+      .agg(count(lit(1)).cast("long").as("matched"))
+    val interEst = uEst.crossJoin(kept).crossJoin(matched)
+      .select(lit("inter:A*N").as("op"),
+        expr("CASE WHEN k_kept > 0 THEN (matched * est_union) DIV k_kept" +
+          " ELSE CAST(0 AS BIGINT) END").as("est"))
     val ests = perFlag.unionByName(unionEst).unionByName(interEst)
     val exFlag = li.groupBy(col("grp"))
       .agg(countDistinct(col("l_orderkey")).as("exact"))
       .select(concat(lit("distinct:"), col("grp")).as("op"), col("exact"))
-    val exUnion = li.where(col("grp").isin("A", "N"))
-      .agg(countDistinct(col("l_orderkey")).as("exact"))
-      .select(lit("union:A+N").as("op"), col("exact"))
-    val exInter = li.where(col("grp") === "A").select(col("l_orderkey")).distinct()
-      .join(li.where(col("grp") === "N").select(col("l_orderkey")).distinct(),
-        "l_orderkey")
-      .agg(count(lit(1)).as("exact"))
-      .select(lit("inter:A*N").as("op"), col("exact"))
+    // Union AND intersection exact tiers from ONE orderkey-keyed pass
+    // (r20: previously union paid its own distinct+count and the
+    // intersection two more distincts and a join — 4 corpus-key
+    // exchanges; one groupBy carrying two boolean maxes answers both).
+    val exBoth = li.where(col("grp").isin("A", "N"))
+      .groupBy(col("l_orderkey"))
+      .agg(max(col("grp") === "A").as("hasA"), max(col("grp") === "N").as("hasN"))
+      .agg(count(lit(1)).as("n_union"),
+        sum(when(col("hasA") && col("hasN"), 1L).otherwise(0L)).as("n_inter"))
+      .localCheckpoint(eager = false) // read by both exact rows below
+    val exUnion = exBoth
+      .select(lit("union:A+N").as("op"), col("n_union").as("exact"))
+    val exInter = exBoth
+      .select(lit("inter:A*N").as("op"), col("n_inter").as("exact"))
     val exacts = exFlag.unionByName(exUnion).unionByName(exInter)
     ests.join(exacts, "op")
       .select(col("op"), col("est"), col("exact"),
