@@ -15,6 +15,11 @@ libraryDependencies ++= Seq(
 ThisBuild / scalacOptions ++= Seq("-encoding", "UTF-8")
 Test / fork := true
 run / fork := true
+// Pass forked-run output through verbatim: sbt's default LoggedOutput
+// prefixes every stdout line with "[info] ", which breaks any consumer
+// that json-parses the bench's final summary line (r21, verdict #1 — the
+// driver has recorded `parsed: null` for five rounds).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Forward the sbt process's stdin to the forked run JVM so
 // `cat docs.jsonl | sbt "runMain graft.cli.Main index <name> -"` works
 // (the CLI's stdin ingest path, matching the reference).

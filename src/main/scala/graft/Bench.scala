@@ -128,6 +128,10 @@ object Bench {
     val extra = sys.env.getOrElse("SPARK_GRAFT_EXTRA_CONF", "")
       .split(";").map(_.trim).filter(_.contains("="))
       .map { kv => val i = kv.indexOf('='); (kv.take(i), kv.drop(i + 1)) }
+    // advice r20: overrides are applied last and could silently diverge
+    // from the configuration the oracle certified — log each one
+    extra.foreach { case (k, v) =>
+      System.err.println(s"[bench] extra conf override: $k=$v") }
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -204,7 +208,26 @@ object Bench {
       if (failed > 0) -1.0 else results.map(_._2.wall).sum
     val cpuTotal =
       if (failed > 0) -1.0 else results.map(_._2.cpu).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"cpu_total":$cpuTotal,"flapped":$flaps,"queries":$qs,"cpu":$cs,"wall_min":$mins,"wall_max":$maxs,"sf":"$sfDir"}""")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"cpu_total":$cpuTotal,"flapped":$flaps,"queries":$qs,"cpu":$cs,"wall_min":$mins,"wall_max":$maxs,"sf":"$sfDir"}"""
+    // r21 (verdict #1): the driver's stdout capture keeps only the LAST
+    // 2000 chars, and the full per-query line above has grown to ~25 KB —
+    // every BENCH_r*.json on record holds a line truncated mid-JSON
+    // (`parsed: null` for five straight rounds). The full JSON therefore
+    // ALSO goes to a file (SPARK_GRAFT_BENCH_OUT, default bench_out.json —
+    // the per-query ground truth for cross-round diffs), and the LAST
+    // stdout line is a compact summary guaranteed to sit complete inside
+    // the capture window. The 172-entry queries map cannot fit there even
+    // at 2-decimal precision (~4 KB serialized vs a ~1.9 KB budget), so
+    // the compact line carries the totals and points at the file; no
+    // query is dropped from the bench — the full line (printed above,
+    // unchanged format) and the file both carry all of them.
+    println(full)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: $e")
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"cpu_total":$cpuTotal,"n_queries":${results.size},"flapped":$flaps,"queries_file":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

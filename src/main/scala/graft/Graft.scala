@@ -20,6 +20,12 @@ object Graft {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // r21 (verdict #2): promoted from the bench session so the product
+      // path executes the same plans the bench measures — the registry's
+      // mid-size joins (band/cell/pair/group tables) are SHJ's safety
+      // shape (bounded build side per partition), and AQE still rewrites
+      // to broadcast when a side is tiny. Guide §3.1/§9.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -24,11 +24,24 @@ object Verify {
         s"unknown query name(s) in filter: ${unknown.mkString(", ")}")
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // Mirror the bench session (r21, verdict #2 + advice): the oracle gate
+    // must certify the same physical configuration the bench times — SHJ
+    // preference included — and honor the same per-deployment override
+    // knob. Each applied override is logged so a deployment cannot
+    // silently diverge from the verified configuration.
+    val extra = sys.env.getOrElse("SPARK_GRAFT_EXTRA_CONF", "")
+      .split(";").map(_.trim).filter(_.contains("="))
+      .map { kv => val i = kv.indexOf('='); (kv.take(i), kv.drop(i + 1)) }
+    extra.foreach { case (k, v) =>
+      System.err.println(s"[verify] extra conf override: $k=$v") }
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    val spark = extra.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
