@@ -256,11 +256,24 @@ object Dedup {
   def prefixCandidates(shingled: DataFrame, threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
     val flat = flattenShingles(shingled)
-    val dfreq = flat.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    // r21 (guide §2.4): document frequency here is a COUNT OVER the same
+    // flat table's sh partitions — the separate dfreq aggregate +
+    // join-back ([[prefixShingles]], still used by the incremental paths
+    // whose dfreq comes from persisted state) exchanged the exploded
+    // corpus by sh TWICE and re-ran the explode per branch; one window on
+    // one sh-keyed exchange yields identical counts (one flat row per
+    // (doc, shingle) either way — shingle arrays are sets), and flat now
+    // has a single consumer.
+    val wsh = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
+    val wdoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df").asc, col("sh").asc)
     // Snapshotted: both sides of the candidate join consume the prefix
-    // table — without the snapshot the df aggregate and rank window would
+    // table — without the snapshot the df window and rank window would
     // run twice (the same self-join rule as minhashLsh/simhash).
-    val prefix = prefixShingles(flat, dfreq, threshold)
+    val prefix = flat.withColumn("df", count(lit(1)).over(wsh))
+      .withColumn("rk", row_number().over(wdoc))
+      .where(col("rk") <= prefixRankBound(col("nsh"), threshold))
+      .select(col("doc_id"), col("sh"))
       .localCheckpoint(eager = false)
     prefix.select(col("doc_id").as("a"), col("sh"))
       .join(prefix.select(col("doc_id").as("b"), col("sh")), "sh")

@@ -386,19 +386,19 @@ object TextAnalysis {
     * `tokenized`: (id, toks); output (id, rank, term, tfidf_q). */
   def tfidfTop(tokenized: DataFrame, id: Column, toks: Column,
       k: Int): DataFrame = {
-    // tf feeds TWO consumers (the df aggregate and the scoring join) —
-    // snapshot it per the module's self-join rule (see trigramNll) so the
-    // explode+count over the corpus runs once, not once per branch
     val tf = tokenized.select(id.as("id"), explode(toks).as("term"))
       .groupBy(col("id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(eager = false)
-    // df over the tf table: one row per (doc, term) is exactly document
-    // frequency; reuses the (id, term) shuffle's term-locality partially
-    val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = tokenized.select(id.as("id")).agg(count(lit(1)).as("n_docs"))
+    // r21 (guide §2.4): document frequency is a COUNT OVER the tf table's
+    // term partitions — one row per (doc, term) is exactly df — so the old
+    // df aggregate + join-back (a second term-keyed exchange of the whole
+    // tf table plus a join) collapses into one window on the same
+    // term-keyed exchange. tf then has a single consumer and needs no
+    // snapshot; values are bit-identical (same count, same idf formula).
+    val dfW = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
     val scored = tf
-      .join(dfTab, Seq("term"))
+      .withColumn("df", count(lit(1)).over(dfW))
       .crossJoin(broadcast(nDocs))
       .withColumn("idf_q",
         floor(log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) *

@@ -42,6 +42,14 @@ object SketchQueries {
     val merged = regs.groupBy(col("bucket")).agg(max(col("m")).as("m"))
       .select(lit("__all__").as("grp"), col("bucket"), col("m"))
     val est = Sketch.hllEstimate(regs.unionByName(merged))
+    // r21 NEGATIVE RESULT (kept as the old form on measurement): fusing
+    // the two exact passes into one orderkey-keyed
+    // groupBy(...).agg(collect_set(flag)) pass measured wall ×1.50 /
+    // cpu ×1.24 in the paired probe (ProbeR21 "hll-fused-exact") —
+    // collect_set forces ObjectHashAggregate out of whole-stage codegen,
+    // and the snapshot barrier serializes passes the scheduler otherwise
+    // overlaps (the same lesson as r20's rejected kmv shared-distinct).
+    // The two countDistinct passes below stay codegen'd end to end.
     val exact = li.groupBy(col("l_returnflag").as("grp"))
       .agg(countDistinct(col("l_orderkey")).as("exact_distinct"))
       .unionByName(li.agg(countDistinct(col("l_orderkey")).as("exact_distinct"))
@@ -72,6 +80,10 @@ object SketchQueries {
     val merged = regs.groupBy(col("bucket")).agg(max(col("m")).as("m"))
       .select(lit("__all__").as("grp"), col("bucket"), col("m"))
     val est = Sketch.hllEstimate(regs.unionByName(merged))
+    // r21 NEGATIVE RESULT: the event_id-keyed collect_set fusion of the
+    // two exact passes measured wall ×1.14 for cpu ×0.93 (ProbeR21
+    // "hllwin-fused-exact") — same ObjectHashAggregate + barrier
+    // mechanics as [[sketch_hll]]'s rejected variant; kept as-is.
     val exact = ev
       .groupBy(date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("grp"))
       .agg(countDistinct(col("event_id")).as("exact_distinct"))
@@ -258,16 +270,30 @@ object SketchQueries {
     val merged = bk.groupBy(col("bucket"))
       .agg(sum(col("cnt")).cast("long").as("cnt"))
       .select(lit("__all__").as("grp"), col("bucket"), col("cnt"))
-    val est = Sketch.hdrQuantiles(bk.unionByName(merged), Seq(50, 90, 99))
+    val qs = Seq(50, 90, 99)
+    val est = Sketch.hdrQuantiles(bk.unionByName(merged), qs)
     val rawall = raw.unionByName(
       raw.select(lit("__all__").as("grp"), col("v")))
-    val rk = rawall.withColumn("rn",
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("grp")).orderBy(col("v"))))
-    val exact = est.select(col("grp"), col("q"), col("n"))
-      .withColumn("r", expr("(q * n + 99) DIV 100"))
-      .join(rk, Seq("grp"))
-      .where(col("rn") === col("r"))
+    // r21 (guide §3.3/§2.4): the exact order statistic used to come from
+    // joining the 21-row est table to the CORPUS-sized ranked table on the
+    // low-cardinality grp — a SortMergeJoin that materialized 3 rows per
+    // corpus row (one per quantile) before the rn = r filter could run.
+    // The target ranks are computable INSIDE the same grp-keyed window
+    // pass: n rides along as count(v) over grp (count(col) skips NULLs,
+    // matching hdrQuantiles' n = non-null mass, while row_number still
+    // ranks the full partition exactly as before), each row checks itself
+    // against the three rank targets, and only the ≤ 3·groups surviving
+    // rows ever reach a join — est ⋈ exact is now tiny ⋈ tiny.
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+    val rk = rawall
+      .withColumn("rn", row_number().over(wg.orderBy(col("v"))))
+      .withColumn("nn", count(col("v")).over(wg))
+    val isTarget = qs.map(q => col("rn") === expr(s"($q * nn + 99) DIV 100"))
+      .reduce(_ || _)
+    val exact = rk.where(isTarget)
+      .select(col("grp"), col("v"), col("rn"), col("nn"),
+        explode(array(qs.map(lit): _*)).as("q"))
+      .where(col("rn") === expr("(q * nn + 99) DIV 100"))
       .select(col("grp"), col("q"), col("v").as("exact_v"))
     est.join(exact, Seq("grp", "q"))
       .select(col("grp"), col("q"), col("n"), col("bucket"), col("est"),
@@ -343,11 +369,17 @@ object SketchQueries {
     // (r20: previously union paid its own distinct+count and the
     // intersection two more distincts and a join — 4 corpus-key
     // exchanges; one groupBy carrying two boolean maxes answers both).
-    val exBoth = li.where(col("grp").isin("A", "N"))
+    // r21 (advice): isNotNull restates countDistinct's NULL-key skip and
+    // coalesce restates its empty-input 0 — the fused form is now exactly
+    // the old countDistinct/join semantics on ARBITRARY data, not just on
+    // TPC-H's non-null keys.
+    val exBoth = li.where(col("grp").isin("A", "N") &&
+        col("l_orderkey").isNotNull)
       .groupBy(col("l_orderkey"))
       .agg(max(col("grp") === "A").as("hasA"), max(col("grp") === "N").as("hasN"))
       .agg(count(lit(1)).as("n_union"),
-        sum(when(col("hasA") && col("hasN"), 1L).otherwise(0L)).as("n_inter"))
+        coalesce(sum(when(col("hasA") && col("hasN"), 1L).otherwise(0L)),
+          lit(0L)).as("n_inter"))
       .localCheckpoint(eager = false) // read by both exact rows below
     val exUnion = exBoth
       .select(lit("union:A+N").as("op"), col("n_union").as("exact"))
