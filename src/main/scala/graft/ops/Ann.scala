@@ -188,25 +188,21 @@ object Ann {
       }
       .sortBy(_._1)
     require(centArr.nonEmpty, "mipsIvf: empty centroid table")
-    // e_x once per corpus row; per-centroid scores as one array of
-    // structs, argmax by (score desc, cid asc) ≡ array_min of (−score,
-    // cid) under lexicographic struct ordering — map-only, codegen'd.
-    val eX = sqrt(greatest(lit(m2) - self, lit(0L)).cast("double"))
+    // r21 (guide §4 + §7.3): the assignment/probe scores used to be an
+    // array_min(array(struct × nlist)) tree carrying one dim-element
+    // typedLit per centroid — nlist·dim literal leaves that Catalyst
+    // re-analyzed and re-optimized on EVERY invocation (~1.0 s of driver
+    // planning per run, ProbeDissect21 "plan-only"). The collected model
+    // now rides as constructor constants inside two single-node
+    // expressions ([[graft.exprs.MipsExprs]]) whose loops replicate the
+    // struct-ordering arithmetic bit for bit (same IEEE ops, same
+    // Double.compare ties, same integer probe sort).
     val asg = corpus.withColumn("cell",
-      array_min(array(centArr.map { case (cid, cf, eC) =>
-        struct(
-          (-(graft.exprs.Sq8.dot_int(col("f"), typedLit(cf.toSeq)).cast("double")
-            + eX * lit(eC))).as("ns"),
-          lit(cid).as("c"))
-      }: _*)).getField("c"))
-    // probe ranking needs no augmentation term (e_q = 0): pure integer
-    // ⟨q,c⟩ desc, cid asc — sort the tiny struct array, take nProbe.
-    val probes = queries.withColumn("pc",
-        explode(slice(array_sort(array(centArr.map { case (cid, cf, _) =>
-          struct((-graft.exprs.Sq8.dot_int(col("qf"), typedLit(cf.toSeq))).as("ns"),
-            lit(cid).as("c"))
-        }: _*)), 1, nProbe)))
-      .select(col("qid"), col("qf"), col("pc").getField("c").as("cell"))
+      graft.exprs.MipsExprs.mips_assign(col("f"), centArr, m2))
+    val probes = queries
+      .withColumn("cell", explode(graft.exprs.MipsExprs.mips_probe_cells(
+        col("qf"), centArr.map(t => (t._1, t._2)), nProbe)))
+      .select(col("qid"), col("qf"), col("cell"))
     ipTopK(broadcast(probes).join(asg, "cell").where(col("vid") =!= col("qid")), k)
   }
 

@@ -858,11 +858,15 @@ object Dedup {
     * min(Γ(u) ∪ {u}). Preserves connectivity; output oriented
     * larger → smaller. */
   private def largeStar(edges: DataFrame): DataFrame = {
+    // r21 (guide §2.4): min(Γ(u) ∪ {u}) is a MIN OVER the neighbor list's
+    // own u-partitions — the groupBy + join-back form exchanged the edge
+    // set by u twice per round; the window computes the same m on one
+    // exchange. Identical output set (same min, same filters, same
+    // trailing distinct).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
     val nbrs = edges.select(col("u"), col("v"))
       .union(edges.select(col("v").as("u"), col("u").as("v")))
-    val mins = nbrs.groupBy(col("u")).agg(min(col("v")).as("mn"))
-      .select(col("u"), least(col("u"), col("mn")).as("m"))
-    nbrs.join(mins, "u")
+    nbrs.withColumn("m", least(col("u"), min(col("v")).over(w)))
       .where(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
       .where(col("u") =!= col("v"))
@@ -872,13 +876,17 @@ object Dedup {
   /** Small-star: for every vertex u, connect u and its smaller neighbors
     * to min(Γ(u) ∪ {u}) over the larger → smaller orientation. */
   private def smallStar(edges: DataFrame): DataFrame = {
+    // r21 (guide §2.4): same window-for-join-back rewrite as [[largeStar]].
+    // The second union branch used to be the distinct mins table; here it
+    // is one (u, m) row per oriented edge — the trailing distinct collapses
+    // both forms to the identical set.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
     val oriented = edges.select(greatest(col("u"), col("v")).as("u"),
       least(col("u"), col("v")).as("v"))
       .where(col("u") =!= col("v"))
-    val mins = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
-    oriented.join(mins, "u")
-      .select(col("v").as("u"), col("m").as("v"))
-      .union(mins.select(col("u"), col("m").as("v")))
+    val wm = oriented.withColumn("m", min(col("v")).over(w))
+    wm.select(col("v").as("u"), col("m").as("v"))
+      .union(wm.select(col("u"), col("m").as("v")))
       .where(col("u") =!= col("v"))
       .distinct()
   }

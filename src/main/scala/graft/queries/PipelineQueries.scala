@@ -390,6 +390,12 @@ object PipelineQueries {
     corpus(s, dir).select(col("vid"),
       expr("transform(v, x -> (1 + vid % 10) * " +
         "CAST(round(CAST(x AS DOUBLE) * 1000000.0D) AS BIGINT))").as("f"))
+      // r21 (guide §1/§5 two-consumers rule, the mipsIvf scaladoc's own
+      // note): every MIPS query reads this table from several actions —
+      // mipsIvf's m2 aggregate + centroid collect + main job, mipsBrute's
+      // query/corpus sides — and each was re-scanning and re-transforming
+      // the parquet. One lazy snapshot per invocation; values unchanged.
+      .localCheckpoint(eager = false)
 
   /** MIPS truth tier over the norm-spread fixture — exact integer
     * inner-product top-5 for the 20 query vectors, the dot-product

@@ -175,6 +175,114 @@ object ProbeR21 {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Pre-r21 connected components (verbatim r20-fused loop: join-back
+    * star phases, convergence fused into the round's materialization). */
+  private def ccOldR20(pairs0: DataFrame, maxRounds: Int = 50): DataFrame = {
+    def cut(df: DataFrame): DataFrame = df.localCheckpoint()
+    def largeStar(edges: DataFrame): DataFrame = {
+      val nbrs = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      nbrs.join(mins, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+    def smallStar(edges: DataFrame): DataFrame = {
+      val oriented = edges.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+        .where(col("u") =!= col("v"))
+      val mins = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
+      oriented.join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+    val pairs = pairs0.select(col("a"), col("b")).localCheckpoint(eager = false)
+    var edges = cut(smallStar(pairs
+      .select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()))
+    var round = 0
+    var converged = edges.isEmpty
+    while (!converged && round < maxRounds) {
+      val flagged = cut(smallStar(largeStar(edges))
+        .withColumn("__l", lit(1))
+        .join(edges.select(col("u"), col("v"), lit(1).as("__r")),
+          Seq("u", "v"), "full_outer"))
+      converged = flagged
+        .where(col("__l").isNull || col("__r").isNull)
+        .isEmpty
+      edges = flagged.where(col("__l").isNotNull).select(col("u"), col("v"))
+      round += 1
+    }
+    if (!converged) throw new IllegalStateException("no convergence")
+    val allV = pairs.select(col("a").as("doc_id"))
+      .union(pairs.select(col("b").as("doc_id"))).distinct()
+    allV.join(edges.select(col("u").as("doc_id"), col("v").as("canon_id")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canon_id"), col("doc_id")).as("canon_id"))
+  }
+
+  /** Pre-r21 knn_mips_ivf (verbatim): un-snapshotted corpus, struct-array
+    * assignment/probe trees with per-centroid typedLits. */
+  private def mipsIvfOld(s: SparkSession, dir: String): DataFrame = {
+    import graft.exprs.Sq8
+    val e = graft.Graft.table(s, dir, "embeddings")
+      .select(col("vec_id").as("vid"), col("embedding").as("v"))
+      .select(col("vid"),
+        expr("transform(v, x -> (1 + vid % 10) * " +
+          "CAST(round(CAST(x AS DOUBLE) * 1000000.0D) AS BIGINT))").as("f"))
+    val queries = e.where(col("vid") < 20)
+      .select(col("vid").as("qid"), col("f").as("qf"))
+    val corpus = e
+    val centroids = e.where(col("vid") < 16)
+      .select(col("vid").as("cid"), col("f").as("cf"))
+    val nProbe = 2
+    val k = 5
+    val self = Sq8.dot_int(col("f"), col("f"))
+    val m2 = corpus.agg(max(self)).collect()(0).getLong(0)
+    val centArr = centroids
+      .select(col("cid").cast("long"), col("cf"))
+      .collect()
+      .map { r =>
+        val cf = r.getSeq[Long](1).toArray
+        var acc = 0L
+        var i = 0
+        while (i < cf.length) { acc += cf(i) * cf(i); i += 1 }
+        (r.getLong(0), cf, math.sqrt(math.max(0L, m2 - acc).toDouble))
+      }
+      .sortBy(_._1)
+    val eX = sqrt(greatest(lit(m2) - self, lit(0L)).cast("double"))
+    val asg = corpus.withColumn("cell",
+      array_min(array(centArr.map { case (cid, cf, eC) =>
+        struct(
+          (-(Sq8.dot_int(col("f"), typedLit(cf.toSeq)).cast("double")
+            + eX * lit(eC))).as("ns"),
+          lit(cid).as("c"))
+      }: _*)).getField("c"))
+    val probes = queries.withColumn("pc",
+        explode(slice(array_sort(array(centArr.map { case (cid, cf, _) =>
+          struct((-Sq8.dot_int(col("qf"), typedLit(cf.toSeq))).as("ns"),
+            lit(cid).as("c"))
+        }: _*)), 1, nProbe)))
+      .select(col("qid"), col("qf"), col("pc").getField("c").as("cell"))
+    val cands = broadcast(probes).join(asg, "cell")
+      .where(col("vid") =!= col("qid"))
+      .withColumn("ipd", Sq8.dot_int(col("qf"), col("f")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("ipd").desc, col("vid").asc)
+    cands.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("vid").as("neighbor"), col("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   def main(args: Array[String]): Unit = {
     val reps = if (args.nonEmpty) args(0).toInt else 3
     val only: Set[String] =
@@ -216,6 +324,30 @@ object ProbeR21 {
     if (want("hllwin-fused-exact"))
       ab("hllwin-fused-exact", reps) { hllWinOld(s, sfDir).count() } {
         registry("sketch_hll_window")
+      }
+    if (want("cc-windowstar")) {
+      val pc = graft.ops.Dedup.embeddingCosine(
+        graft.Graft.table(s, sfDir, "embeddings"),
+        col("vec_id"), col("embedding"), col("label"), 0.4)
+        .select(col("a"), col("b")).localCheckpoint(eager = false)
+      pc.count()
+      ab("cc-windowstar", reps) { ccOldR20(pc).count() } {
+        graft.ops.Dedup.connectedComponents(pc).count()
+      }
+    }
+    if (want("mips-expr"))
+      ab("mips-expr", reps) { mipsIvfOld(s, sfDir).count() } {
+        registry("knn_mips_ivf")
+      }
+    if (want("sem-full"))
+      ab("sem-full", reps) {
+        // old full dedup_semantic = old CC is the only differing term; use
+        // the registry for both sides at different code states via bench
+        // instead — this tag intentionally compares registry vs registry
+        // to expose run-to-run noise for calibration.
+        registry("dedup_semantic")
+      } {
+        registry("dedup_semantic")
       }
     if (want("prefix-windowdf")) {
       val sh = graft.ops.Dedup.shingles(toks, col("doc_id"), col("toks"), 5)
